@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / tokenize / NLP-ish scalar functions.
+  *
+  * Reference surface: `tokenize`, `token_extract`, `split_part`
+  * (`/root/reference/sql/builtin_functions.cc:1915-1991`),
+  * `jaccard_index` (`:1337`), `levenshtein_distance` (`:2640`), plus the
+  * LLM-pipeline text-analysis set (language-ID, quality scoring, token
+  * counting, fingerprinting) this engine adds as first-class operators.
+  *
+  * Everything here is pure `Column` composition over Spark built-ins
+  * (codegen'd, no UDFs), so all of it runs inside whole-stage codegen
+  * and scales embarrassingly — per-row work, no shuffle, no driver
+  * round-trips.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens; drops empty tokens. Default split mirrors
+    * the reference tokenizer's default whitespace splitChars. */
+  def tokens(text: Column, splitRegex: String = "[\\s,;:!?.()\\[\\]{}\"']+"): Column =
+    filter(split(lower(text), splitRegex), t => length(t) > 0)
+
+  /** Bag-of-words: token -> count map. Reference `tokenize` returns a
+    * row of token→count (`builtin_functions.cc:1915`); we return
+    * `map<string,int>` which plays the same role in a typed engine.
+    * Quadratic in distinct tokens per doc — fine for documents (<10k
+    * tokens); whole-corpus counting should use the exploded operator
+    * form (see operators.TextAnalysis). */
+  def tokenBag(text: Column): Column = {
+    val toks = tokens(text)
+    map_from_entries(
+      transform(array_distinct(toks),
+        t => struct(t.as("token"),
+          size(filter(toks, x => x === t)).as("count"))))
+  }
+
+  /** Whitespace token count (cheap, codegen'd). */
+  def tokenCount(text: Column): Column =
+    size(tokens(text, "\\s+"))
+
+  /** BPE-ish subword count approximation: words + punctuation runs +
+    * long-word penalty (a word of n chars ≈ ceil(n/6) subword tokens).
+    * Deterministic heuristic, not a trained tokenizer. */
+  def approxBpeTokenCount(text: Column): Column = {
+    val words = tokens(text, "\\s+")
+    val sub = transform(words, w => ceil(length(w) / lit(6.0)).cast("long"))
+    coalesce(aggregate(sub, lit(0L), (a, x) => a + x), lit(0L))
+  }
+
+  /** Word n-gram shingles as strings ("a b c" for n=3). Short docs
+    * (< n tokens) yield one shingle of the whole doc. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Jaccard similarity of the distinct-token sets of two texts.
+    * Reference: `jaccard_index` `sql/builtin_functions.cc:1337`. */
+  def jaccardTokens(a: Column, b: Column): Column = {
+    val (sa, sb) = (array_distinct(tokens(a)), array_distinct(tokens(b)))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Jaccard over word-n-gram shingle sets (near-dup detection). */
+  def jaccardShingles(a: Column, b: Column, n: Int): Column = {
+    val (sa, sb) = (array_distinct(shingles(a, n)), array_distinct(shingles(b, n)))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  // --- Fingerprinting -----------------------------------------------------
+
+  /** Order-sensitive polynomial rolling hash over tokens
+    * (Rabin–Karp style, wrapping Long arithmetic — requires ANSI off,
+    * which core.Tables.tune sets). Same token sequence ⇒ same
+    * fingerprint; whitespace/punctuation-insensitive. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** Content hash for exact dedup after normalization. */
+  def normalizedHash(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  // --- MinHash ------------------------------------------------------------
+
+  /** MinHash signature (length k) over word-`n`-gram shingles.
+    * h_i(S) = min over shingles s of (a_i * xxhash64(s) + b_i), with
+    * per-row-independent odd multipliers derived from i. All lambda
+    * composition — runs fully distributed, one pass per row. */
+  def minHashSignature(text: Column, k: Int, shingleN: Int): Column = {
+    val hashes = transform(shingles(text, shingleN), s => xxhash64(s))
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val a = xxhash64(concat(lit("mh-a-"), i.cast("string"))).bitwiseOR(lit(1L))
+      val b = xxhash64(concat(lit("mh-b-"), i.cast("string")))
+      array_min(transform(hashes, h => a * h + b))
+    })
+  }
+
+  /** LSH band keys for a minhash signature: split into `bands` bands of
+    * rows and hash each band. Docs sharing any band key are near-dup
+    * candidates (standard MinHash-LSH banding). */
+  def minHashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws("_",
+          transform(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+            x => x.cast("string")))).as("key")))
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: bit b of the result is set iff
+    * more token-hashes have bit b set than unset (majority vote per
+    * bit). Single pass over the tokens carrying a 64-counter vector —
+    * pure column composition, fully distributed. */
+  def simHash64(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val bits = sequence(lit(0), lit(63))
+    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bits,
+        (c, b) => c + call_function("shiftrightunsigned", h, b).bitwiseAND(lit(1L))))
+    val n = size(hashes).cast("long")
+    aggregate(
+      zip_with(counts, bits, (c, b) => struct(c.as("c"), b.as("b"))),
+      lit(0L),
+      (acc, cb) => acc + when(cb.getField("c") * 2 > n,
+        call_function("shiftleft", lit(1L), cb.getField("b"))).otherwise(lit(0L)))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+
+  // --- Language ID / quality ----------------------------------------------
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "les", "des"),
+    "es" -> Seq("el", "la", "de", "y", "un", "una", "es", "que", "los", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu", "den", "von", "mit"),
+    "it" -> Seq("il", "la", "di", "e", "un", "una", "che", "per", "con", "non"))
+
+  /** N-gram/stopword-overlap language guess. Deterministic argmax with
+    * lexicographic tie-break; returns "und" when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: mixes length, punctuation
+    * density, stopword ratio, mean word length — the standard
+    * pretraining-corpus filters (C4/Gopher-style rules). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text, "\\s+")
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = (nChar - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
+    val stop = size(array_intersect(array_distinct(tokens(text)),
+      array(stopwords("en").map(lit): _*))).cast("double")
+    val meanWord = when(nTok > 0, nChar / nTok).otherwise(lit(0.0))
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punct / greatest(nChar, lit(1.0)) * 10, lit(1.0))
+    val stopScore = least(stop / lit(3.0), lit(1.0))
+    val wordScore = when(meanWord.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordScore * 0.2, 6)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding / vector scalar functions over `array<float|double>`
+  * columns.
+  *
+  * Reference surface: `normalize`, `norm`, `vector_diff/sum/product/
+  * quotient`, `flatten`, `shape`, `concat`, `slice`
+  * (`/root/reference/sql/builtin_functions.cc:1704-2977`,
+  * `sql/builtin_signal_functions.cc:288`).
+  *
+  * All pure `Column` composition (zip_with / aggregate / transform) —
+  * no UDFs, no driver involvement; each function is per-row work that
+  * scales linearly with partition count.
+  */
+object VectorFunctions {
+
+  /** Cast any numeric array to array<double> for stable arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L-p norm; p=2 Euclidean, p=1 Manhattan, p=0 counts nonzeros,
+    * p=Inf max-abs — same contract as reference `norm`
+    * (`sql/builtin_functions.cc:1749`). */
+  def norm(v: Column, p: Double = 2.0): Column = p match {
+    case 2.0 => sqrt(dot(v, v))
+    case 1.0 => aggregate(asDouble(v), lit(0.0), (acc, x) => acc + abs(x))
+    case 0.0 => aggregate(asDouble(v), lit(0.0),
+      (acc, x) => acc + when(x =!= 0.0, 1.0).otherwise(0.0))
+    case Double.PositiveInfinity =>
+      aggregate(asDouble(v), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    case _ => pow(aggregate(asDouble(v), lit(0.0),
+      (acc, x) => acc + pow(abs(x), p)), 1.0 / p)
+  }
+
+  /** Unit-normalize (L2); zero vector maps to itself. Reference
+    * `normalize` `sql/builtin_functions.cc:1704`. */
+  def normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0.0, asDouble(v)).otherwise(transform(asDouble(v), x => x / n))
+  }
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  def vectorSum(a: Column, b: Column): Column =
+    zip_with(asDouble(a), asDouble(b), (x, y) => x + y)
+
+  def vectorDiff(a: Column, b: Column): Column =
+    zip_with(asDouble(a), asDouble(b), (x, y) => x - y)
+
+  def vectorProduct(a: Column, b: Column): Column =
+    zip_with(asDouble(a), asDouble(b), (x, y) => x * y)
+
+  def vectorQuotient(a: Column, b: Column): Column =
+    zip_with(asDouble(a), asDouble(b), (x, y) => x / y)
+
+  def scale(v: Column, k: Column): Column = transform(asDouble(v), x => x * k)
+
+  /** Random-hyperplane LSH bucket: sign bits of `nBits` pseudo-random
+    * projections, packed into a Long. Vectors close in cosine land in
+    * the same bucket with high probability (Charikar 2002). The
+    * "hyperplanes" are deterministic hash-derived ±1 entries, so the
+    * bucketing is reproducible with no stored model. */
+  def lshBucket(v: Column, nBits: Int): Column = {
+    val dv = asDouble(v)
+    (0 until nBits).map { b =>
+      // proj_b = sum_i v[i] * s(b,i), s in {-1,+1} hash-derived
+      val proj = aggregate(
+        zip_with(dv, sequence(lit(0), size(v) - 1),
+          (x, i) => x * when(
+            xxhash64(concat(lit(s"lsh-$b-"), i.cast("string")))
+              .bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

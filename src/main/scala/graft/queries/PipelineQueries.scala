@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators: dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard / embedding-cosine), similarity search
+  * (brute-force + LSH ANN), and text analysis (token counting,
+  * language-ID, quality scoring, fingerprinting).
+  *
+  * Oracle coverage: everything expressible in portable SQL gets a
+  * DuckDB oracle (token stats, exact dedup, n-gram jaccard via list
+  * ops, vector norms via list lambdas). Hash-based ops (xxhash64
+  * minhash/simhash/LSH) have no DuckDB equivalent → rows-only checks,
+  * with determinism/invariant specs in ScalaTest instead.
+  */
+object PipelineQueries {
+
+  /** documents ∪ shifted copy — guarantees exact+near duplicates so
+    * dedup queries have non-trivial answers at every SF. */
+  private def doubledDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars")))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --- exact dedup (hash-groupBy, keep smallest id) ---
+    QueryDef("q40_dedup_exact",
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id, text, n_chars FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 1000000, text, n_chars FROM documents) u) t
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      Dedup.exact(doubledDocs(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("n_chars"))
+    },
+
+    // --- token counting (whitespace tokenizer) ---
+    QueryDef("q41_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |       x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+        |  CAST(len(list_distinct(list_filter(
+        |       regexp_split_to_array(lower(text), '\s+'),
+        |       x -> len(x) > 0))) AS BIGINT) AS n_unique
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"),
+        size(array_distinct(T.tokens(col("text"), "\\s+"))).cast("long").as("n_unique"))
+    },
+
+    // --- corpus-level token frequencies (the tokenize → bag pipeline) ---
+    QueryDef("q42_token_freq",
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(list_filter(
+        |        regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |      FROM documents) t
+        |GROUP BY token""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(T.tokens(col("text"), "\\s+")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    },
+
+    // --- n-gram Jaccard near-dup scoring between adjacent doc pairs ---
+    QueryDef("q43_ngram_jaccard",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM
+        | (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        x -> len(x) > 0) AS toks FROM documents)) a
+        |JOIN
+        | (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        x -> len(x) > 0) AS toks FROM documents)) b
+        |ON b.doc_id = a.doc_id + 1 AND a.doc_id % 10 = 0""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(T.shingles(col("text"), 3)).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .filter(col("id_a") % 10 === 0)
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+    },
+
+    // --- embedding vector math (norm / normalize / dot) ---
+    QueryDef("q44_embedding_norm",
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+        |  round(list_sum(list_transform(embedding,
+        |        x -> abs(CAST(x AS DOUBLE)))), 6) AS l1,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+        round(V.norm(col("embedding"), 2.0), 6).as("l2"),
+        round(V.norm(col("embedding"), 1.0), 6).as("l1"),
+        size(col("embedding")).cast("long").as("dim"))
+    },
+
+    // --- quality scoring + language ID (heuristic; no SQL oracle) ---
+    QueryDef.rowsOnly("q45_text_quality") { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        T.langId(col("text")).as("lang_guess"),
+        T.qualityScore(col("text")).as("quality"),
+        T.fingerprint(col("text")).as("fingerprint"),
+        T.approxBpeTokenCount(col("text")).as("bpe_tokens"))
+    },
+
+    // --- MinHash-LSH near-dup dedup (hash-based; rows-only) ---
+    QueryDef.rowsOnly("q46_dedup_minhash") { (s, d) =>
+      Dedup.minHashDedup(doubledDocs(s, d), "text", "doc_id",
+        bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.8)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // --- SimHash near-dup pairs (rows-only) ---
+    QueryDef.rowsOnly("q47_simhash_pairs") { (s, d) =>
+      Dedup.simHashPairs(doubledDocs(s, d), "text", "doc_id", maxHamming = 3)
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // --- exact brute-force cosine top-k ANN (rows-only: float order) ---
+    QueryDef.rowsOnly("q48_ann_bruteforce") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 4).as("cosine"))
+    },
+
+    // --- LSH-bucketed approximate ANN (rows-only) ---
+    QueryDef.rowsOnly("q49_ann_lsh") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+        "embedding", "vec_id", k = 5, nBits = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 4).as("cosine"))
+    },
+
+    // --- embedding-cosine near-dup pairs over LSH buckets (rows-only) ---
+    QueryDef.rowsOnly("q50_embedding_dedup") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val doubled = emb.unionByName(emb.select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
+      Dedup.embeddingPairs(doubled, "embedding", "vec_id",
+        minCosine = 0.999, nBits = 6)
+    })
+}
