@@ -95,15 +95,31 @@ object TextFunctions {
 
   /** MinHash signature (length k) over word-`n`-gram shingles.
     * h_i(S) = min over shingles s of (a_i * xxhash64(s) + b_i), with
-    * per-row-independent odd multipliers derived from i. All lambda
-    * composition — runs fully distributed, one pass per row. */
-  def minHashSignature(text: Column, k: Int, shingleN: Int): Column = {
-    val hashes = transform(shingles(text, shingleN), s => xxhash64(s))
+    * per-row-independent odd multipliers derived from i. Hot loop runs
+    * in the native MinHashSig expression (plans.HashExpressions). */
+  def minHashSignature(text: Column, k: Int, shingleN: Int): Column =
+    minHashFromShingles(array_distinct(shingles(text, shingleN)), k)
+
+  /** Signature from a precomputed (distinct) shingle array. */
+  def minHashFromShingles(sh: Column, k: Int): Column =
+    graft.plans.MinHashSig.column(transform(sh, s => xxhash64(s)), k)
+
+  /** Interpreted reference formulation of minHashSignature — kept as a
+    * differential-test oracle for the native expression. */
+  def minHashSignatureReference(text: Column, k: Int, shingleN: Int): Column = {
+    val hashes = transform(array_distinct(shingles(text, shingleN)), s => xxhash64(s))
     transform(sequence(lit(0), lit(k - 1)), i => {
       val a = xxhash64(concat(lit("mh-a-"), i.cast("string"))).bitwiseOR(lit(1L))
       val b = xxhash64(concat(lit("mh-b-"), i.cast("string")))
       array_min(transform(hashes, h => a * h + b))
     })
+  }
+
+  /** Jaccard similarity of two precomputed distinct-element arrays. */
+  def jaccardArrays(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
 
   /** LSH band keys for a minhash signature: split into `bands` bands of
@@ -120,9 +136,13 @@ object TextFunctions {
 
   /** 64-bit SimHash over token hashes: bit b of the result is set iff
     * more token-hashes have bit b set than unset (majority vote per
-    * bit). Single pass over the tokens carrying a 64-counter vector —
-    * pure column composition, fully distributed. */
-  def simHash64(text: Column): Column = {
+    * bit). Hot loop runs in the native SimHash64 expression. */
+  def simHash64(text: Column): Column =
+    graft.plans.SimHash64.column(transform(tokens(text), t => xxhash64(t)))
+
+  /** Interpreted reference formulation of simHash64 — differential-test
+    * oracle for the native expression. */
+  def simHash64Reference(text: Column): Column = {
     val hashes = transform(tokens(text), t => xxhash64(t))
     val bits = sequence(lit(0), lit(63))
     val counts = aggregate(hashes, array_repeat(lit(0L), 64),

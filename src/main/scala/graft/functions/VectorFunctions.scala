@@ -17,18 +17,37 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast any numeric array to array<double> for stable arithmetic. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast any numeric array to array<double> (codegen'd array Cast —
+    * cheaper than a per-element transform lambda). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExprs.dot(a, b)
 
   /** L-p norm; p=2 Euclidean, p=1 Manhattan, p=0 counts nonzeros,
     * p=Inf max-abs — same contract as reference `norm`
     * (`sql/builtin_functions.cc:1749`). */
-  def norm(v: Column, p: Double = 2.0): Column = p match {
-    case 2.0 => sqrt(dot(v, v))
+  def norm(v: Column, p: Double = 2.0): Column = graft.plans.VectorExprs.norm(v, p)
+
+  /** Unit-normalize (L2); zero vector maps to itself. Reference
+    * `normalize` `sql/builtin_functions.cc:1704`. */
+  def normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0.0, asDouble(v)).otherwise(transform(asDouble(v), x => x / n))
+  }
+
+  def cosine(a: Column, b: Column): Column = graft.plans.VectorExprs.cosine(a, b)
+
+  def euclidean(a: Column, b: Column): Column =
+    graft.plans.VectorExprs.euclidean(a, b)
+
+  /** Interpreted reference formulations — differential-test oracles
+    * for the native expressions in plans.VectorExpressions. */
+  def dotReference(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normReference(v: Column, p: Double = 2.0): Column = p match {
+    case 2.0 => sqrt(dotReference(v, v))
     case 1.0 => aggregate(asDouble(v), lit(0.0), (acc, x) => acc + abs(x))
     case 0.0 => aggregate(asDouble(v), lit(0.0),
       (acc, x) => acc + when(x =!= 0.0, 1.0).otherwise(0.0))
@@ -38,21 +57,10 @@ object VectorFunctions {
       (acc, x) => acc + pow(abs(x), p)), 1.0 / p)
   }
 
-  /** Unit-normalize (L2); zero vector maps to itself. Reference
-    * `normalize` `sql/builtin_functions.cc:1704`. */
-  def normalize(v: Column): Column = {
-    val n = norm(v)
-    when(n === 0.0, asDouble(v)).otherwise(transform(asDouble(v), x => x / n))
+  def cosineReference(a: Column, b: Column): Column = {
+    val d = normReference(a) * normReference(b)
+    when(d === 0.0, lit(0.0)).otherwise(dotReference(a, b) / d)
   }
-
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
-
-  def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
 
   def vectorSum(a: Column, b: Column): Column =
     zip_with(asDouble(a), asDouble(b), (x, y) => x + y)
@@ -73,7 +81,12 @@ object VectorFunctions {
     * the same bucket with high probability (Charikar 2002). The
     * "hyperplanes" are deterministic hash-derived ±1 entries, so the
     * bucketing is reproducible with no stored model. */
-  def lshBucket(v: Column, nBits: Int): Column = {
+  def lshBucket(v: Column, nBits: Int): Column =
+    graft.plans.VectorExprs.lshBucket(v, nBits)
+
+  /** Interpreted reference formulation of lshBucket (differential-test
+    * oracle for the native expression). */
+  def lshBucketReference(v: Column, nBits: Int): Column = {
     val dv = asDouble(v)
     (0 until nBits).map { b =>
       // proj_b = sum_i v[i] * s(b,i), s in {-1,+1} hash-derived

@@ -44,25 +44,33 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", T.minHashSignature(col("text"), k, shingleN))
-      .withColumn("band", explode(T.minHashBands(col("sig"), bands, rowsPerBand)))
-      .select(col("id"), col("text"),
-        col("band.band").as("band"), col("band.key").as("key"))
-    val pruned = sig.withColumn("__n",
+    // Stage 1 (map-side): one pass per doc — distinct shingles + native
+    // minhash signature. Only (id, band, key) goes into the self-join;
+    // shingle arrays stay out of the wide shuffle.
+    val base = docs.select(col(idCol).as("id"),
+      array_distinct(T.shingles(col(textCol), shingleN)).as("sh"))
+      .withColumn("sig", T.minHashFromShingles(col("sh"), k))
+    val bandTable = base
+      .select(col("id"), explode(T.minHashBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val pruned = bandTable.withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
       .filter(col("__n") <= maxBucket).drop("__n")
-    val a = pruned.select(col("band"), col("key"),
-      col("id").as("id_a"), col("text").as("text_a"))
-    val b = pruned.select(col("band"), col("key"),
-      col("id").as("id_b"), col("text").as("text_b"))
-    a.join(b, Seq("band", "key"))
+    // Stage 2: candidate pairs, deduplicated across bands BEFORE the
+    // expensive verification (a pair colliding in all 8 bands would
+    // otherwise be verified 8 times).
+    val cand = pruned.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("key"), col("id").as("id_b")),
+        Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // Stage 3: verify each candidate once with true shingle Jaccard.
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        T.jaccardShingles(col("text_a"), col("text_b"), shingleN).as("jaccard"))
+        T.jaccardArrays(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard")).as("jaccard"))
   }
 
   /** MinHash-LSH dedup: drop every doc that has a verified near-dup

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.functions.{MathFunctions => M, TextFunctions => T, VectorFunctions => V}
+
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
+
+  test("native SimHash64 expression matches interpreted reference") {
+    val n = docs.select(
+      T.simHash64(col("text")).as("fast"),
+      T.simHash64Reference(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(n === 0)
+  }
+
+  test("native MinHashSig expression matches interpreted reference") {
+    val n = docs.limit(100).select(
+      T.minHashSignature(col("text"), 16, 3).as("fast"),
+      T.minHashSignatureReference(col("text"), 16, 3).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(n === 0)
+  }
+
+  test("simhash hamming distance is zero on identical text") {
+    val n = docs.select(
+      T.hamming64(T.simHash64(col("text")), T.simHash64(col("text"))).as("h"))
+      .filter(col("h") =!= 0).count()
+    assert(n === 0)
+  }
+
+  test("tokens lowercases, drops empties; tokenCount consistent") {
+    import spark.implicits._
+    val df = Seq("Hello,  WORLD! foo", "", "a b  c").toDF("t")
+    val rows = df.select(T.tokens(col("t")).as("tk"),
+      T.tokenCount(col("t")).as("n")).collect()
+    assert(rows(0).getSeq[String](0) === Seq("hello", "world", "foo"))
+    assert(rows(1).getSeq[String](0) === Seq.empty)
+    assert(rows(2).getAs[Int]("n") === 3)
+  }
+
+  test("shingles: n-grams when long enough, whole doc otherwise") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("t")
+    val rows = df.select(T.shingles(col("t"), 3).as("s")).collect()
+    assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](0) === Seq("a b"))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    import spark.implicits._
+    val df = Seq(("a b c", "a b c", "x y z")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      T.jaccardTokens(col("t1"), col("t2")).as("same"),
+      T.jaccardTokens(col("t1"), col("t3")).as("diff")).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("Wilson bounds bracket the observed proportion") {
+    import spark.implicits._
+    val df = Seq((100L, 30L), (10L, 9L), (1000L, 1L)).toDF("t", "s")
+    val bad = df.select(
+      (col("s") / col("t")).as("p"),
+      M.binomialLb80(col("t"), col("s")).as("lb"),
+      M.binomialUb80(col("t"), col("s")).as("ub"))
+      .filter(!(col("lb") <= col("p") && col("p") <= col("ub"))).count()
+    assert(bad === 0)
+  }
+
+  test("vector norm/normalize/cosine basics") {
+    import spark.implicits._
+    val df = Seq((Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      V.norm(col("a")).as("n2"),
+      V.norm(col("a"), 1.0).as("n1"),
+      V.cosine(col("a"), col("a")).as("self"),
+      V.cosine(col("a"), col("b")).as("cross")).head()
+    assert(math.abs(r.getDouble(0) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 7.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("native vector expressions match interpreted references") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("a"))
+      .join(emb.select((col("vec_id") + 1).as("id_b"), col("embedding").as("b")),
+        col("id_a") === col("id_b"))
+    val bad = pairs.select(
+      V.dot(col("a"), col("b")).as("d"),
+      V.dotReference(col("a"), col("b")).as("dr"),
+      V.norm(col("a")).as("n2"),
+      V.normReference(col("a")).as("n2r"),
+      V.norm(col("a"), 1.0).as("n1"),
+      V.normReference(col("a"), 1.0).as("n1r"),
+      V.cosine(col("a"), col("b")).as("c"),
+      V.cosineReference(col("a"), col("b")).as("cr"),
+      V.lshBucket(col("a"), 8).as("l"),
+      V.lshBucketReference(col("a"), 8).as("lr"))
+      .filter(abs(col("d") - col("dr")) > 1e-9 ||
+        abs(col("n2") - col("n2r")) > 1e-12 ||
+        abs(col("n1") - col("n1r")) > 1e-12 ||
+        abs(col("c") - col("cr")) > 1e-12 ||
+        col("l") =!= col("lr"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("langId is deterministic and in-domain") {
+    val langs = docs.select(T.langId(col("text")).as("l"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "fr", "es", "de", "it", "und")))
+  }
+
+  test("geo distance: zero at same point, symmetric") {
+    import spark.implicits._
+    val df = Seq((48.85, 2.35, 40.71, -74.0)).toDF("la1", "lo1", "la2", "lo2")
+    val r = df.select(
+      M.geoDistanceKm(col("la1"), col("lo1"), col("la1"), col("lo1")).as("zero"),
+      M.geoDistanceKm(col("la1"), col("lo1"), col("la2"), col("lo2")).as("ab"),
+      M.geoDistanceKm(col("la2"), col("lo2"), col("la1"), col("lo1")).as("ba")).head()
+    assert(r.getDouble(0) === 0.0)
+    assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9)
+    // Paris -> NYC is ~5830 km
+    assert(r.getDouble(1) > 5700 && r.getDouble(1) < 5950)
+  }
+}
