@@ -1,0 +1,172 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LogisticRegression, NaiveBayes, RandomForestClassifier}
+import org.apache.spark.ml.clustering.{GaussianMixture, KMeans}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.feature.{CountVectorizer, IDF, PCA, RegexTokenizer, StandardScaler, VectorAssembler}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML procedures & appliable functions (SURVEY §2.7/§2.8) on MLlib.
+  *
+  * Reference mapping:
+  *  - `classifier.train` types glz/dt/bagging/boosting/naive_bayes
+  *    (`/root/reference/plugins/jml/classifier.cc:1491`, generator
+  *    factories under `plugins/jml/jml/` at `bagging_generator.cc:267`
+  *    … `glz_classifier_generator.cc:445`) →
+  *    LogisticRegression / DecisionTree / RandomForest / GBT / NaiveBayes.
+  *  - `classifier.test` (`plugins/jml/accuracy.cc:1006`) → AUC +
+  *    accuracy evaluators.
+  *  - `kmeans.train` / `gaussianclustering.train`
+  *    (`plugins/jml/kmeans_interface.cc:389`, `em_interface.cc:383`) →
+  *    KMeans / GaussianMixture.
+  *  - `svd.train` + `svd.embedRow` (`plugins/embedding/svd.cc:1023`) →
+  *    PCA projection (truncated orthogonal basis).
+  *  - `tfidf.train` / `tfidf` function (`plugins/nlp/tfidf.cc:472`) →
+  *    CountVectorizer + IDF pipeline.
+  *  - `probabilizer.train` (`plugins/jml/probabilizer.cc:292`) →
+  *    logistic fit on the raw score.
+  *
+  * A trained model is a PipelineModel — the engine's "function" entity
+  * (applied whole-column via `.transform`, persisted with
+  * `.write.save`, reloaded with `PipelineModel.load`), which is the
+  * MLDB function-entity lifecycle mapped onto Spark's idiom.
+  */
+object Models {
+
+  /** Build the feature-assembly front of every pipeline: numeric
+    * columns → dense vector (+ optional standardization). */
+  private def assembler(featureCols: Seq[String], standardize: Boolean) = {
+    val asm = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("__features_raw")
+    if (!standardize) Seq(asm.setOutputCol("features"))
+    else Seq(asm, new StandardScaler()
+      .setInputCol("__features_raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true))
+  }
+
+  /** `classifier.train`. `algorithm` ∈ glz | dt | bagging | boosting |
+    * naive_bayes (reference names). Returns the fitted PipelineModel —
+    * the appliable `classifier` function. */
+  def classifierTrain(train: DataFrame, featureCols: Seq[String],
+      labelCol: String, algorithm: String = "glz", seed: Long = 42L): PipelineModel = {
+    val clf = algorithm match {
+      case "glz" => new LogisticRegression()
+        .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(50)
+      case "dt" => new DecisionTreeClassifier()
+        .setLabelCol(labelCol).setFeaturesCol("features").setSeed(seed)
+      case "bagging" => new RandomForestClassifier()
+        .setLabelCol(labelCol).setFeaturesCol("features")
+        .setNumTrees(50).setSeed(seed)
+      case "boosting" => new GBTClassifier()
+        .setLabelCol(labelCol).setFeaturesCol("features")
+        .setMaxIter(30).setSeed(seed)
+      case "naive_bayes" => new NaiveBayes()
+        .setLabelCol(labelCol).setFeaturesCol("features")
+      case other => throw new IllegalArgumentException(
+        s"unknown classifier type '$other' (expect glz|dt|bagging|boosting|naive_bayes)")
+    }
+    val standardize = algorithm == "glz"
+    new Pipeline().setStages((assembler(featureCols, standardize) :+ clf).toArray)
+      .fit(train)
+  }
+
+  /** `classifier.test`: AUC + accuracy of an applied model. */
+  def classifierTest(model: PipelineModel, test: DataFrame,
+      labelCol: String): (Double, Double) = {
+    val scored = model.transform(test)
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol(labelCol).setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(scored)
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(scored)
+    (auc, acc)
+  }
+
+  /** `kmeans.train` over an embedding (array) column. */
+  def kmeansTrain(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L): KMeansApplied = {
+    val prepared = df.withColumn("features", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(prepared)
+    KMeansApplied(model, vecCol)
+  }
+
+  final case class KMeansApplied(
+      model: org.apache.spark.ml.clustering.KMeansModel, vecCol: String) {
+    /** the `kmeans` appliable function: assign cluster per row. */
+    def apply(df: DataFrame): DataFrame =
+      model.transform(df.withColumn("features", array_to_vector(col(vecCol))))
+        .withColumnRenamed("prediction", "cluster")
+        .drop("features")
+  }
+
+  /** `gaussianclustering.train` (EM / GMM). */
+  def gmmTrain(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L) = {
+    val prepared = df.withColumn("features", array_to_vector(col(vecCol)))
+    new GaussianMixture().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(prepared)
+  }
+
+  /** `svd.train` / `svd.embedRow`: truncated orthogonal projection of
+    * the vector column (PCA basis = right singular vectors). */
+  def svdTrain(df: DataFrame, vecCol: String, k: Int): PCAApplied = {
+    val prepared = df.withColumn("features", array_to_vector(col(vecCol)))
+    val model = new PCA().setK(k).setInputCol("features").setOutputCol("svd")
+      .fit(prepared)
+    PCAApplied(model, vecCol)
+  }
+
+  final case class PCAApplied(model: org.apache.spark.ml.feature.PCAModel,
+      vecCol: String) {
+    def apply(df: DataFrame): DataFrame =
+      model.transform(df.withColumn("features", array_to_vector(col(vecCol))))
+        .drop("features")
+  }
+
+  /** `tfidf.train` + the `tfidf` appliable function: token counts →
+    * IDF-weighted vectors over a fitted vocabulary. */
+  def tfidfTrain(df: DataFrame, textCol: String, vocabSize: Int = 1 << 16): PipelineModel = {
+    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
+      .setPattern("[\\s,;:!?.()\\[\\]{}\"']+").setToLowercase(true)
+    val cv = new CountVectorizer().setInputCol("__tokens").setOutputCol("__tf")
+      .setVocabSize(vocabSize)
+    val idf = new IDF().setInputCol("__tf").setOutputCol("tfidf")
+    new Pipeline().setStages(Array(tok, cv, idf)).fit(df)
+  }
+
+  /** `probabilizer.train`: calibrate a raw score into a probability
+    * with a one-feature logistic fit. */
+  def probabilizerTrain(scored: DataFrame, scoreCol: String,
+      labelCol: String): PipelineModel = {
+    val asm = new VectorAssembler().setInputCols(Array(scoreCol))
+      .setOutputCol("features")
+    val lr = new LogisticRegression().setLabelCol(labelCol)
+      .setFeaturesCol("features").setMaxIter(50)
+    new Pipeline().setStages(Array(asm, lr)).fit(scored)
+  }
+
+  /** `pooling` function (`builtin/pooling_function.cc:182`): aggregate
+    * word embeddings of a bag of words — avg + min + max pooling over a
+    * broadcast (token → embedding) join, grouped back per document.
+    * Scale shape: word-vector table broadcasts (vocabularies are
+    * small); only the doc-token stream shuffles, on the doc id. */
+  def pooling(docTokens: DataFrame, docIdCol: String, tokenCol: String,
+      wordVecs: DataFrame, wordCol: String, vecCol: String): DataFrame = {
+    val joined = docTokens.join(broadcast(wordVecs),
+      col(tokenCol) === col(wordCol), "inner")
+    val vs = col("__vecs")
+    val dim = size(element_at(vs, 1))
+    def pool(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      aggregate(slice(vs, 2, 1000000), element_at(vs, 1).cast("array<double>"),
+        (acc, v) => zip_with(acc, v.cast("array<double>"), f))
+    joined.groupBy(col(docIdCol))
+      .agg(collect_list(col(vecCol)).as("__vecs"))
+      .select(col(docIdCol),
+        transform(pool(_ + _), x => x / size(vs)).as("pool_avg"),
+        pool(least(_, _)).as("pool_min"),
+        pool(greatest(_, _)).as("pool_max"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.procedures.Procedures
+import graft.sources.Sources
+import graft.streaming.Continuous
+
+class ProceduresSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("split is deterministic, disjoint, covering, ~fraction sized") {
+    val orders = Tables.orders(spark, sf)
+    val (train, test) = Procedures.split(orders, "o_orderkey", 0.2)
+    val (n, tr, te) = (orders.count(), train.count(), test.count())
+    assert(tr + te === n)
+    assert(te > n * 0.15 && te < n * 0.25)
+    val (tr2, te2) = Procedures.split(orders, "o_orderkey", 0.2) match {
+      case (a, b) => (a.count(), b.count())
+    }
+    assert(tr2 === tr && te2 === te)
+    assert(train.join(test, Seq("o_orderkey")).count() === 0)
+  }
+
+  test("csv round-trip preserves rows and text exactly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val path = Files.createTempDirectory("graft_csv").toString + "/out"
+    Sources.exportCsv(docs, path)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val back = Sources.importText(spark, path,
+      Sources.TextImportConfig(schema = Some(schema)))
+    assert(back.count() === docs.count())
+    assert(docs.join(back, Seq("doc_id", "text", "lang"), "left_anti").count() === 0)
+  }
+
+  test("importText honors limit/offset/autoGenerateHeaders") {
+    val path = Files.createTempDirectory("graft_csv2").toString + "/out"
+    Sources.exportCsv(Tables.region(spark, sf), path, headers = false)
+    val cfg = Sources.TextImportConfig(headers = false,
+      autoGenerateHeaders = true, limit = Some(3))
+    val back = Sources.importText(spark, path, cfg)
+    assert(back.columns.toSeq === Seq("c0", "c1"))
+    assert(back.count() === 3)
+  }
+
+  test("summary statistics long format, one pass") {
+    val out = Procedures.summaryStatistics(
+      Tables.lineitem(spark, sf), Seq("l_quantity", "l_discount")).cache()
+    assert(out.count() === 12) // 2 cols x 6 stats
+    val avgQ = out.filter(col("column_name") === "l_quantity" && col("stat") === "avg")
+      .head().getAs[Double]("value")
+    assert(avgQ > 20 && avgQ < 30)
+  }
+
+  test("bucketize approx matches exact within one bucket at the edges") {
+    val exact = Procedures.bucketize(Tables.orders(spark, sf),
+      "o_totalprice", "o_orderkey", 10)
+    val approx = Procedures.bucketize(Tables.orders(spark, sf),
+      "o_totalprice", "o_orderkey", 10, approx = true)
+    val joined = exact.select(col("o_orderkey"), col("bucket").as("b1"))
+      .join(approx.select(col("o_orderkey"), col("bucket").as("b2")), Seq("o_orderkey"))
+    val far = joined.filter(abs(col("b1") - col("b2")) > 1).count()
+    assert(far === 0)
+  }
+
+  test("continuous dataset: stream-record then window read with pruning") {
+    val base = Files.createTempDirectory("graft_stream").toString
+    val events = Tables.events(spark, sf)
+    // stage the batch as files, stream them in with AvailableNow
+    events.write.parquet(s"$base/in")
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(s"$base/in").schema)
+      .parquet(s"$base/in")
+    val q = Continuous.record(streamIn, "ts", s"$base/store", s"$base/ckpt",
+      availableNowForTest = true)
+    q.awaitTermination(120000)
+    val from = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val to = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val win = Continuous.window(spark, s"$base/store", "ts", from, to)
+    val expected = events.filter(col("ts") >= lit(from) && col("ts") < lit(to)).count()
+    assert(win.count() === expected)
+    assert(expected > 0)
+    // partition pruning visible in the plan
+    val plan = win.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_hour"))
+  }
+}
