@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.sql.GraftSql
+
+/** Queries written in the MLDB SQL dialect and executed through the
+  * parser + lowering front-end (graft.sql). Hash-matching these
+  * against DuckDB oracles proves the full text → AST → Catalyst
+  * pipeline end-to-end, not just the DataFrame layer.
+  */
+object SqlDialectQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q60_sql_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  round(avg(l_discount), 6) AS avg_disc,
+          |  count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate <= CAST('1998-09-01' AS timestamp)
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    QueryDef("q61_sql_join",
+      """SELECT r_name, count(*) AS n_nations,
+        |  round(sum(n_nationkey), 2) AS key_sum
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |HAVING count(*) > 3
+        |ORDER BY r_name""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT r_name, count(*) AS n_nations,
+          |  round(sum(n_nationkey), 2) AS key_sum
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name
+          |HAVING count(*) > 3
+          |ORDER BY r_name""".stripMargin)
+    },
+
+    QueryDef("q62_sql_named_when",
+      """SELECT 'u-' || user_id AS "rowName", user_id,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-17'
+        |GROUP BY user_id""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT 'u-' || user_id AS rowName, user_id,
+          |  count(*) AS n, round(sum(value), 2) AS total
+          |FROM events
+          |WHEN value_timestamp() >= CAST('2024-01-03' AS timestamp)
+          |  AND value_timestamp() < CAST('2024-01-17' AS timestamp)
+          |GROUP BY user_id""".stripMargin)
+    },
+
+    QueryDef("q63_sql_distinct_on",
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t WHERE rn = 1""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_custkey, c_acctbal
+          |FROM customer
+          |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin)
+    },
+
+    QueryDef("q64_sql_case_scan",
+      """SELECT o_orderpriority,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'O') AND o_orderpriority LIKE '_-%'
+        |GROUP BY o_orderpriority,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT o_orderpriority,
+          |  CASE WHEN o_totalprice > 200000 THEN 'big'
+          |       WHEN o_totalprice > 100000 THEN 'mid'
+          |       ELSE 'small' END AS bucket,
+          |  count(*) AS n
+          |FROM orders
+          |WHERE o_orderstatus IN ('F', 'O') AND o_orderpriority LIKE '_-%'
+          |GROUP BY o_orderpriority,
+          |  CASE WHEN o_totalprice > 200000 THEN 'big'
+          |       WHEN o_totalprice > 100000 THEN 'mid'
+          |       ELSE 'small' END""".stripMargin)
+    },
+
+    QueryDef("q65_sql_subselect",
+      """SELECT status, round(max(total), 2) AS max_total,
+        |  round(min(total), 2) AS min_total
+        |FROM (SELECT o_orderstatus AS status, o_custkey,
+        |        sum(o_totalprice) AS total
+        |      FROM orders GROUP BY o_orderstatus, o_custkey) t
+        |GROUP BY status""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT status, round(max(total), 2) AS max_total,
+          |  round(min(total), 2) AS min_total
+          |FROM (SELECT o_orderstatus AS status, o_custkey,
+          |        sum(o_totalprice) AS total
+          |      FROM orders GROUP BY o_orderstatus, o_custkey) AS t
+          |GROUP BY status""".stripMargin)
+    })
+}

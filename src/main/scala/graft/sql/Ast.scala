@@ -1,0 +1,64 @@
+package graft.sql
+
+/** AST for the MLDB SQL dialect (SURVEY §2.1/§2.4).
+  *
+  * Shape mirrors the reference's `SelectStatement`
+  * (`/root/reference/sql/sql_expression.h:1764-1779`): SELECT <select>
+  * NAMED <rowName> FROM <from> WHEN <when> WHERE <where> GROUP BY
+  * <groupBy> HAVING <having> ORDER BY <orderBy> OFFSET <n> LIMIT <n>.
+  * The expression nodes cover `sql_expression_operations.h`'s
+  * inventory that is meaningful in wide (typed-column) mode.
+  */
+object Ast {
+
+  sealed trait Expr
+  final case class NullLit() extends Expr
+  final case class BoolLit(v: Boolean) extends Expr
+  final case class NumLit(v: BigDecimal, isIntegral: Boolean) extends Expr
+  final case class StrLit(v: String) extends Expr
+  /** Column / path reference, possibly qualified: a.b.c. */
+  final case class Ident(parts: Seq[String]) extends Expr
+  /** `*` or `* EXCLUDING (a, b)` — only valid as a select item. */
+  final case class Star(excluding: Seq[String]) extends Expr
+  final case class Unary(op: String, e: Expr) extends Expr
+  final case class Binary(op: String, l: Expr, r: Expr) extends Expr
+  final case class FnCall(name: String, args: Seq[Expr],
+      star: Boolean = false) extends Expr
+  final case class CaseWhen(operand: Option[Expr],
+      branches: Seq[(Expr, Expr)], orElse: Option[Expr]) extends Expr
+  final case class CastExpr(e: Expr, to: String) extends Expr
+  final case class Between(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
+  final case class InList(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
+  final case class InSelect(e: Expr, sub: Select, negated: Boolean) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+  final case class LikeExpr(e: Expr, pattern: Expr, negated: Boolean) extends Expr
+  /** `[a, b, c]` embedding literal. */
+  final case class ArrayLit(items: Seq[Expr]) extends Expr
+  /** `{a: x, b: y}` row literal (struct). */
+  final case class StructLit(fields: Seq[(String, Expr)]) extends Expr
+
+  final case class SelectItem(e: Expr, alias: Option[String])
+  final case class OrderItem(e: Expr, asc: Boolean)
+
+  sealed trait TableExpr
+  final case class TableRef(name: String, alias: Option[String]) extends TableExpr
+  final case class JoinExpr(l: TableExpr, r: TableExpr, joinType: String,
+      on: Option[Expr]) extends TableExpr
+  final case class SubSelect(stmt: Select, alias: String) extends TableExpr
+  /** Dataset functions: transpose(t), merge(a, b), sample(t, frac). */
+  final case class TableFn(name: String, tables: Seq[TableExpr],
+      args: Seq[Expr]) extends TableExpr
+
+  final case class Select(
+      items: Seq[SelectItem],
+      named: Option[Expr],
+      distinctOn: Option[Expr],
+      from: Option[TableExpr],
+      when: Option[Expr],
+      where: Option[Expr],
+      groupBy: Seq[Expr],
+      having: Option[Expr],
+      orderBy: Seq[OrderItem],
+      offset: Option[Long],
+      limit: Option[Long])
+}

@@ -1,0 +1,505 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Ast._
+import graft.functions.{MathFunctions => M, TextFunctions => T, VectorFunctions => V}
+
+/** AST → DataFrame lowering.
+  *
+  * The reference binds expressions to closures and interprets them
+  * (`/root/reference/sql/sql_expression.h:95-260`, executors in
+  * `core/bound_queries.cc`); we lower to Catalyst `Column` trees and
+  * let Spark do ALL optimization and execution — zero interpretation
+  * code of our own, so pushdown/pruning/codegen apply to dialect
+  * queries exactly as to native DataFrame code.
+  *
+  * MLDB semantics preserved here:
+  *  - unknown column reference → NULL, not an analyzer error
+  *    (`doc/builtin/sql/ValueExpression.md:23`);
+  *  - `NAMED <expr>` materializes as a `rowName` output column;
+  *  - `WHEN <expr>` is the wide-mode row-timestamp filter with
+  *    `value_timestamp()` bound to the `ts` column (per-cell fidelity
+  *    needs EAV mode — documented divergence, SURVEY §1.4);
+  *  - `DISTINCT ON (k)` keeps the first row per key in ORDER BY order
+  *    (`sql/sql_expression.cc:3087-3100`);
+  *  - equality `=` is null-safe-NOT: null = null → null (tri-logic).
+  */
+object Lowering {
+
+  final case class Context(spark: SparkSession, tables: String => DataFrame)
+
+  /** One FROM-scope frame: optional alias + the DataFrame. */
+  private final case class Scope(frames: Seq[(Option[String], DataFrame)]) {
+    def allColumns: Seq[(Option[String], String)] =
+      frames.flatMap { case (a, df) => df.columns.map(c => (a, c)) }
+    def hasColumn(name: String): Boolean =
+      allColumns.exists(_._2.equalsIgnoreCase(name))
+    def hasQualified(alias: String, name: String): Boolean =
+      frames.exists { case (a, df) =>
+        a.exists(_.equalsIgnoreCase(alias)) &&
+          df.columns.exists(_.equalsIgnoreCase(name))
+      }
+  }
+
+  def run(ctx: Context, stmt: Select): DataFrame = lowerSelect(ctx, stmt)
+
+  // ---- FROM ----------------------------------------------------------------
+
+  private def lowerTable(ctx: Context, t: TableExpr): (DataFrame, Scope) = t match {
+    case TableRef(name, alias) =>
+      val df0 = ctx.tables(name)
+      val df = alias.map(df0.alias).getOrElse(df0.alias(name))
+      (df, Scope(Seq(Some(alias.getOrElse(name)) -> df0)))
+    case SubSelect(stmt, alias) =>
+      val inner = lowerSelect(ctx, stmt)
+      (inner.alias(alias), Scope(Seq(Some(alias) -> inner)))
+    case JoinExpr(l, r, jt, on) =>
+      val (ld, ls) = lowerTable(ctx, l)
+      val (rd, rs) = lowerTable(ctx, r)
+      val scope = Scope(ls.frames ++ rs.frames)
+      val joined = (jt, on) match {
+        case ("cross", None) => ld.crossJoin(rd)
+        case (_, Some(cond)) => ld.join(rd, lowerExpr(scope, cond), jt)
+        case ("inner", None) => ld.crossJoin(rd) // reference CROSS via ON true
+        case (other, None) =>
+          throw new IllegalArgumentException(s"$other join requires ON")
+      }
+      (joined, scope)
+    case TableFn(name, tables, args) => name match {
+      case "merge" =>
+        val lowered = tables.map(lowerTable(ctx, _))
+        val merged = lowered.map(_._1.drop("__alias__")).reduce { (a, b) =>
+          graft.operators.Reshape.merge(a, b, "rowName")
+        }
+        (merged, Scope(Seq(None -> merged)))
+      case "union" =>
+        val lowered = tables.map(lowerTable(ctx, _)._1)
+        val u = lowered.reduce(_.unionByName(_, allowMissingColumns = true))
+        (u, Scope(Seq(None -> u)))
+      case "sample" =>
+        val (df, _) = lowerTable(ctx, tables.head)
+        val frac = args.headOption.map {
+          case NumLit(v, _) => v.toDouble
+          case _ => throw new IllegalArgumentException("sample(t, fraction)")
+        }.getOrElse(0.1)
+        val s = df.sample(withReplacement = false, frac, seed = 42L)
+        (s, Scope(Seq(None -> s)))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported table function $other")
+    }
+  }
+
+  // ---- expression lowering -------------------------------------------------
+
+  private def lowerExpr(scope: Scope, e: Expr): Column = e match {
+    case NullLit() => lit(null)
+    case BoolLit(v) => lit(v)
+    case NumLit(v, integral) => if (integral) lit(v.toLong) else lit(v.toDouble)
+    case StrLit(v) => lit(v)
+
+    case Ident(Seq(one)) =>
+      if (scope.hasColumn(one)) col(one)
+      else lit(null) // MLDB: unknown column reads as NULL
+    case Ident(Seq(q, name)) =>
+      if (scope.hasQualified(q, name)) col(s"$q.$name")
+      else if (scope.hasColumn(s"$q.$name")) col(s"`$q.$name`")
+      else lit(null)
+    case Ident(parts) => // deeper paths: flattened dotted column name
+      val flat = parts.mkString(".")
+      if (scope.hasColumn(flat)) col(s"`$flat`") else lit(null)
+
+    case Star(_) =>
+      throw new IllegalArgumentException("* only valid as a select item")
+
+    case Unary("-", x) => -lowerExpr(scope, x)
+    case Unary("~", x) => bitwise_not(lowerExpr(scope, x))
+    case Unary("not", x) => !lowerExpr(scope, x)
+    case Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
+
+    case Binary(op, l, r) =>
+      binaryOp(op, lowerExpr(scope, l), lowerExpr(scope, r))
+
+    case FnCall(name, args, star) =>
+      lowerFn(scope, name, args.map(lowerExpr(scope, _)), star, args)
+
+    case CaseWhen(operand, branches, orElse) =>
+      val cond: Expr => Column = operand match {
+        case Some(op) => c => lowerExpr(scope, op) === lowerExpr(scope, c)
+        case None => c => lowerExpr(scope, c)
+      }
+      val first = when(cond(branches.head._1), lowerExpr(scope, branches.head._2))
+      val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
+        acc.when(cond(c), lowerExpr(scope, v))
+      }
+      orElse.map(o => chained.otherwise(lowerExpr(scope, o))).getOrElse(chained)
+
+    case CastExpr(x, to) => lowerExpr(scope, x).cast(sparkType(to))
+
+    case Between(x, lo, hi, neg) =>
+      val c = lowerExpr(scope, x).between(lowerExpr(scope, lo), lowerExpr(scope, hi))
+      if (neg) !c else c
+    case InList(x, items, neg) =>
+      val c = lowerExpr(scope, x).isin(items.map(lowerExpr(scope, _)): _*)
+      if (neg) !c else c
+    case InSelect(_, _, _) =>
+      throw new IllegalArgumentException(
+        "IN (SELECT …) is only supported in WHERE (rewritten to semi-join)")
+    case IsNull(x, neg) =>
+      if (neg) lowerExpr(scope, x).isNotNull else lowerExpr(scope, x).isNull
+    case LikeExpr(x, StrLit(pat), neg) =>
+      val c = lowerExpr(scope, x).like(pat)
+      if (neg) !c else c
+    case LikeExpr(_, _, _) =>
+      throw new IllegalArgumentException("LIKE pattern must be a string literal")
+    case ArrayLit(items) => array(items.map(lowerExpr(scope, _)): _*)
+    case StructLit(fields) =>
+      struct(fields.map { case (n, v) => lowerExpr(scope, v).as(n) }: _*)
+  }
+
+  private def binaryOp(op: String, lc: Column, rc: Column): Column = op match {
+    case "+" => lc + rc
+    case "-" => lc - rc
+    case "*" => lc * rc
+    case "/" => lc / rc
+    case "%" => lc % rc
+    case "&" => lc.bitwiseAND(rc)
+    case "|" => lc.bitwiseOR(rc)
+    case "^" => lc.bitwiseXOR(rc)
+    case "||" => concat(lc.cast("string"), rc.cast("string"))
+    case "=" => lc === rc
+    case "!=" => lc =!= rc
+    case "<" => lc < rc
+    case "<=" => lc <= rc
+    case ">" => lc > rc
+    case ">=" => lc >= rc
+    case "and" => lc && rc
+    case "or" => lc || rc
+    case other => throw new IllegalArgumentException(s"binary $other")
+  }
+
+  /** MLDB CAST target → Spark type name (`CAST (x AS {string,integer,
+    * number,boolean,timestamp,blob,path,interval})`,
+    * `sql_expression_operations.cc:3374-3439`). */
+  private def sparkType(to: String): String = to match {
+    case "string" => "string"
+    case "integer" => "long"
+    case "number" => "double"
+    case "boolean" => "boolean"
+    case "timestamp" => "timestamp"
+    case "blob" => "binary"
+    case "path" => "string"
+    case other => other // passthrough: long, double, int, date …
+  }
+
+  /** MLDB builtin name → Column. SURVEY §2.5 registry. */
+  private def lowerFn(scope: Scope, name: String, a: Seq[Column],
+      star: Boolean, raw: Seq[Expr]): Column = name match {
+    // math
+    case "abs" => abs(a(0))
+    case "ceil" | "ceiling" => ceil(a(0))
+    case "floor" => floor(a(0))
+    case "round" => if (a.size > 1) round(a(0), raw(1).asInstanceOf[NumLit].v.toInt) else round(a(0), 0)
+    case "sqrt" => sqrt(a(0))
+    case "exp" => exp(a(0))
+    case "ln" => log(a(0))
+    case "log" => if (a.size == 2) log(raw(0).asInstanceOf[NumLit].v.toDouble, a(1)) else log10(a(0))
+    case "power" | "pow" => pow(a(0), a(1))
+    case "mod" => a(0) % a(1)
+    case "atan2" => atan2(a(0), a(1))
+    case "sin" => sin(a(0));   case "cos" => cos(a(0));   case "tan" => tan(a(0))
+    case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
+    case "sinh" => sinh(a(0)); case "cosh" => cosh(a(0)); case "tanh" => tanh(a(0))
+    case "sign" => signum(a(0))
+    case "isnan" => isnan(a(0))
+    case "quantize" => M.quantize(a(0), a(1))
+    case "clamp" => M.clamp(a(0), a(1), a(2))
+    case "replace_nan" => M.replaceNan(a(0), a(1))
+    case "replace_inf" => M.replaceInf(a(0), a(1))
+    case "replace_not_finite" => M.replaceNotFinite(a(0), a(1))
+    case "replace_null" => M.replaceNull(a(0), a(1))
+    case "binomial_ub_80" => M.binomialUb80(a(0), a(1))
+    case "binomial_lb_80" => M.binomialLb80(a(0), a(1))
+    case "pi" => lit(math.Pi)
+    case "e" => lit(math.E)
+    case "greatest" => greatest(a: _*)
+    case "least" => least(a: _*)
+    case "coalesce" => coalesce(a: _*)
+    // string
+    case "lower" => lower(a(0))
+    case "upper" => upper(a(0))
+    case "length" => length(a(0))
+    case "substr" | "substring" => a(0).substr(a(1), a.lift(2).getOrElse(lit(Int.MaxValue)))
+    case "trim" => trim(a(0))
+    case "replace" => if (a.size == 3) regexp_replace(a(0), a(1), a(2)) else a(0)
+    case "regex_replace" => regexp_replace(a(0), a(1), a(2))
+    case "regex_match" => a(0).rlike(raw(1) match {
+      case StrLit(s) => s
+      case _ => throw new IllegalArgumentException("regex must be literal")
+    })
+    case "levenshtein_distance" => levenshtein(a(0), a(1))
+    case "jaccard_index" => T.jaccardTokens(a(0), a(1))
+    case "split_part" => split_part(a(0), a(1), a(2))
+    case "concat" => concat(a: _*)
+    // timestamp
+    case "date_part" => raw(0) match {
+      case StrLit(unit) => date_part(lit(unit), a(1)).cast("long")
+      case _ => throw new IllegalArgumentException("date_part unit must be literal")
+    }
+    case "date_trunc" => raw(0) match {
+      case StrLit(unit) => date_trunc(unit, a(1))
+      case _ => throw new IllegalArgumentException("date_trunc unit must be literal")
+    }
+    case "to_timestamp" => a(0).cast("timestamp")
+    case "now" => current_timestamp()
+    case "value_timestamp" | "latest_timestamp" | "earliest_timestamp" =>
+      if (scope.hasColumn("ts")) col("ts") else lit(null)
+    // text / ML features
+    case "tokenize" => T.tokenBag(a(0))
+    case "token_count" => T.tokenCount(a(0))
+    case "hash" => xxhash64(a: _*)
+    case "base64_encode" => base64(a(0).cast("binary"))
+    case "base64_decode" => unbase64(a(0))
+    case "parse_json" => a(0) // JSON stays a string; use get_json_object-style extract
+    case "extract_json" => get_json_object(a(0), raw(1) match {
+      case StrLit(s) => s
+      case _ => throw new IllegalArgumentException("json path must be literal")
+    })
+    case "geo_distance" => M.geoDistanceM(a(0), a(1), a(2), a(3))
+    // vector
+    case "norm" => V.norm(a(0), raw.lift(1).collect { case NumLit(v, _) => v.toDouble }.getOrElse(2.0))
+    case "normalize" => V.normalize(a(0))
+    case "vector_sum" => V.vectorSum(a(0), a(1))
+    case "vector_diff" => V.vectorDiff(a(0), a(1))
+    case "vector_product" => V.vectorProduct(a(0), a(1))
+    case "vector_quotient" => V.vectorQuotient(a(0), a(1))
+    case "dot_product" => V.dot(a(0), a(1))
+    case "cosine_similarity" => V.cosine(a(0), a(1))
+    case "shape" => array(size(a(0)))
+    case "flatten" => flatten(a(0))
+    // dataset context
+    case "rowname" => if (scope.hasColumn("rowName")) col("rowName") else lit(null)
+    case "rowhash" =>
+      if (scope.hasColumn("rowName")) xxhash64(col("rowName")) else lit(null)
+    case "columncount" => lit(scope.allColumns.size.toLong)
+    case other =>
+      throw new IllegalArgumentException(s"unknown function $other")
+  }
+
+  // ---- aggregates ----------------------------------------------------------
+
+  private val aggNames = Set("count", "count_distinct", "sum", "avg", "min",
+    "max", "string_agg", "earliest", "latest", "variance", "stddev",
+    "vertical_sum", "vertical_avg", "vertical_min", "vertical_max")
+
+  private def isAggCall(e: Expr): Boolean = e match {
+    case FnCall(n, _, _) => aggNames(n)
+    case _ => false
+  }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case FnCall(n, args, _) => aggNames(n) || args.exists(containsAgg)
+    case Binary(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Unary(_, x) => containsAgg(x)
+    case CaseWhen(op, br, oe) =>
+      op.exists(containsAgg) || br.exists(b => containsAgg(b._1) || containsAgg(b._2)) ||
+        oe.exists(containsAgg)
+    case CastExpr(x, _) => containsAgg(x)
+    case Between(x, lo, hi, _) => Seq(x, lo, hi).exists(containsAgg)
+    case InList(x, items, _) => containsAgg(x) || items.exists(containsAgg)
+    case IsNull(x, _) => containsAgg(x)
+    case LikeExpr(x, p, _) => containsAgg(x) || containsAgg(p)
+    case ArrayLit(items) => items.exists(containsAgg)
+    case StructLit(fs) => fs.exists(f => containsAgg(f._2))
+    case _ => false
+  }
+
+  private def lowerAggCall(scope: Scope, f: FnCall): Column = f match {
+    case FnCall("count", _, true) => count(lit(1))
+    case FnCall("count", args, _) => count(lowerExpr(scope, args.head))
+    case FnCall("count_distinct", args, _) =>
+      countDistinct(lowerExpr(scope, args.head), args.tail.map(lowerExpr(scope, _)): _*)
+    case FnCall("sum", args, _) => sum(lowerExpr(scope, args.head))
+    case FnCall("avg", args, _) => avg(lowerExpr(scope, args.head))
+    case FnCall("min", args, _) => min(lowerExpr(scope, args.head))
+    case FnCall("max", args, _) => max(lowerExpr(scope, args.head))
+    case FnCall("variance", args, _) => var_samp(lowerExpr(scope, args.head))
+    case FnCall("stddev", args, _) => stddev_samp(lowerExpr(scope, args.head))
+    case FnCall("string_agg", args, _) =>
+      val sep = args.lift(1).map(lowerExpr(scope, _)).getOrElse(lit(","))
+      array_join(array_sort(collect_list(lowerExpr(scope, args.head))), ",")
+    case FnCall("earliest", args, _) =>
+      if (scope.hasColumn("ts")) min_by(lowerExpr(scope, args.head), col("ts"))
+      else min(lowerExpr(scope, args.head))
+    case FnCall("latest", args, _) =>
+      if (scope.hasColumn("ts")) max_by(lowerExpr(scope, args.head), col("ts"))
+      else max(lowerExpr(scope, args.head))
+    case FnCall(n, args, _) if n.startsWith("vertical_") =>
+      lowerAggCall(scope, FnCall(n.stripPrefix("vertical_"), args))
+    case other => throw new IllegalArgumentException(s"unknown aggregate $other")
+  }
+
+  /** Replace aggregate subtrees with references to precomputed agg
+    * columns; collect the aggregates. */
+  private def extractAggs(e: Expr, acc: scala.collection.mutable.LinkedHashMap[FnCall, String]): Expr = e match {
+    case f @ FnCall(n, _, _) if aggNames(n) =>
+      val name = acc.getOrElseUpdate(f, s"__agg${acc.size}")
+      Ident(Seq(name))
+    case FnCall(n, args, s) => FnCall(n, args.map(extractAggs(_, acc)), s)
+    case Binary(op, l, r) => Binary(op, extractAggs(l, acc), extractAggs(r, acc))
+    case Unary(op, x) => Unary(op, extractAggs(x, acc))
+    case CaseWhen(op, br, oe) => CaseWhen(op.map(extractAggs(_, acc)),
+      br.map(b => (extractAggs(b._1, acc), extractAggs(b._2, acc))),
+      oe.map(extractAggs(_, acc)))
+    case CastExpr(x, t) => CastExpr(extractAggs(x, acc), t)
+    case Between(x, lo, hi, n) =>
+      Between(extractAggs(x, acc), extractAggs(lo, acc), extractAggs(hi, acc), n)
+    case IsNull(x, n) => IsNull(extractAggs(x, acc), n)
+    case other => other
+  }
+
+  // ---- SELECT --------------------------------------------------------------
+
+  private def itemName(item: SelectItem, idx: Int): String =
+    item.alias.getOrElse(item.e match {
+      case Ident(parts) => parts.last
+      case FnCall(n, _, _) => n
+      case _ => s"_c$idx"
+    })
+
+  private def lowerSelect(ctx: Context, stmt: Select): DataFrame = {
+    val (fromDf, scope) = stmt.from match {
+      case Some(t) => lowerTable(ctx, t)
+      case None =>
+        val df = ctx.spark.range(1).toDF("__dummy")
+        (df, Scope(Seq(None -> df)))
+    }
+
+    // WHERE then WHEN (both row filters in wide mode)
+    val filtered0 = stmt.where.map(w => fromDf.filter(rewriteInSelect(ctx, scope, w)))
+      .getOrElse(fromDf)
+    val filtered = stmt.when.map(w => filtered0.filter(lowerExpr(scope, w)))
+      .getOrElse(filtered0)
+
+    val isAggregated = stmt.groupBy.nonEmpty ||
+      stmt.items.exists(i => containsAgg(i.e)) || stmt.having.exists(containsAgg)
+
+    val projected: DataFrame = if (!isAggregated) {
+      var out = filtered
+      // NAMED → rowName column
+      stmt.named.foreach(n => out = out.withColumn("rowName", lowerExpr(scope, n)))
+      val namedScope = Scope(scope.frames :+ (None -> out))
+      val cols: Seq[Column] = stmt.items.zipWithIndex.flatMap {
+        case (SelectItem(Star(excl), _), _) =>
+          val exclSet = excl.map(_.toLowerCase).toSet
+          val seen = scala.collection.mutable.LinkedHashSet[String]()
+          scope.allColumns.flatMap { case (alias, c) =>
+            if (exclSet(c.toLowerCase) || seen.contains(c.toLowerCase)) None
+            else {
+              seen += c.toLowerCase
+              Some(alias.map(al => col(s"$al.$c")).getOrElse(col(c)).as(c))
+            }
+          }
+        case (it, i) => Seq(lowerExpr(namedScope, it.e).as(itemName(it, i)))
+      }
+      val withName = stmt.named match {
+        case Some(_) => col("rowName") +: cols
+        case None => cols
+      }
+      // keep ORDER BY-referenced original columns available: sort first
+      val sorted = if (stmt.orderBy.nonEmpty) {
+        out.orderBy(stmt.orderBy.map(o =>
+          if (o.asc) lowerExpr(namedScope, o.e).asc
+          else lowerExpr(namedScope, o.e).desc): _*)
+      } else out
+      val distincted = stmt.distinctOn match {
+        case Some(key) =>
+          if (stmt.orderBy.isEmpty)
+            throw new IllegalArgumentException("DISTINCT ON requires ORDER BY")
+          val w = Window.partitionBy(lowerExpr(namedScope, key))
+            .orderBy(stmt.orderBy.map(o =>
+              if (o.asc) lowerExpr(namedScope, o.e).asc
+              else lowerExpr(namedScope, o.e).desc): _*)
+          sorted.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        case None => sorted
+      }
+      distincted.select(withName: _*)
+    } else {
+      // aggregate path: group keys + extracted aggregates, then outer exprs
+      val aggMap = scala.collection.mutable.LinkedHashMap[FnCall, String]()
+      val rewrittenItems = stmt.items.map(i => i.copy(e = extractAggs(i.e, aggMap)))
+      val rewrittenHaving = stmt.having.map(extractAggs(_, aggMap))
+      val keyCols = stmt.groupBy.zipWithIndex.map { case (g, i) =>
+        lowerExpr(scope, g).as(s"__key$i")
+      }
+      val aggCols = aggMap.map { case (f, n) => lowerAggCall(scope, f).as(n) }.toSeq
+      if (aggCols.isEmpty)
+        throw new IllegalArgumentException("GROUP BY without aggregates")
+      val grouped = filtered.groupBy(keyCols: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      // outer scope: keys referenced via their original expression ASTs
+      val keyLookup: Map[Expr, Column] = stmt.groupBy.zipWithIndex.map {
+        case (g, i) => (g, col(s"__key$i"))
+      }.toMap
+      val outScope = Scope(Seq(None -> grouped))
+      def lowerOuter(e: Expr): Column = keyLookup.get(e) match {
+        case Some(c) => c
+        case None => e match {
+          case Ident(Seq(n)) if aggMap.values.exists(_ == n) => col(n)
+          case Binary(op, l, r) => binaryOp(op, lowerOuter(l), lowerOuter(r))
+          case Unary("-", x) => -lowerOuter(x)
+          case Unary("not", x) => !lowerOuter(x)
+          case FnCall(n, args, s) =>
+            lowerFn(outScope, n, args.map(lowerOuter), s, args)
+          case CastExpr(x, t) => lowerOuter(x).cast(sparkType(t))
+          case Between(x, lo, hi, neg) =>
+            val c = lowerOuter(x).between(lowerOuter(lo), lowerOuter(hi))
+            if (neg) !c else c
+          case IsNull(x, neg) =>
+            if (neg) lowerOuter(x).isNotNull else lowerOuter(x).isNull
+          case CaseWhen(op, br, oe) =>
+            require(op.isEmpty, "searched CASE only after aggregation")
+            val first = when(lowerOuter(br.head._1), lowerOuter(br.head._2))
+            val chained = br.tail.foldLeft(first) { case (acc, (c, v)) =>
+              acc.when(lowerOuter(c), lowerOuter(v))
+            }
+            oe.map(o => chained.otherwise(lowerOuter(o))).getOrElse(chained)
+          case other => lowerExpr(outScope, other)
+        }
+      }
+      val havingFiltered = rewrittenHaving match {
+        case Some(h) => grouped.filter(lowerOuter(h))
+        case None => grouped
+      }
+      val outCols = rewrittenItems.zipWithIndex.map { case (it, i) =>
+        lowerOuter(it.e).as(itemName(stmt.items(i), i))
+      }
+      val selected = havingFiltered.select(outCols: _*)
+      if (stmt.orderBy.nonEmpty) {
+        val sortCols = stmt.orderBy.map { o =>
+          val c = o.e match {
+            case Ident(Seq(n)) if selected.columns.contains(n) => col(n)
+            case other => lowerOuter(extractAggs(other, aggMap))
+          }
+          if (o.asc) c.asc else c.desc
+        }
+        selected.orderBy(sortCols: _*)
+      } else selected
+    }
+
+    val offsetApplied = stmt.offset.map(o => projected.offset(o.toInt))
+      .getOrElse(projected)
+    stmt.limit.map(l => offsetApplied.limit(l.toInt)).getOrElse(offsetApplied)
+  }
+
+  /** WHERE-clause rewrite: `x IN (SELECT …)` → left-semi join. */
+  private def rewriteInSelect(ctx: Context, scope: Scope, e: Expr): Column = e match {
+    case InSelect(x, sub, negated) =>
+      throw new IllegalArgumentException(
+        "IN (SELECT …) at top level of WHERE is not yet lowered; " +
+          "use an explicit join")
+    case other => lowerExpr(scope, other)
+  }
+}

@@ -1,0 +1,404 @@
+package graft.sql
+
+import Ast._
+import Lexer._
+
+/** Recursive-descent parser for the MLDB SQL dialect.
+  *
+  * Operator precedence follows the reference's table
+  * (`/root/reference/sql/sql_expression.cc:1181-1211`), including the
+  * quirk that bitwise & | ^ sit at the same precedence as + and -
+  * (level 3); comparisons (incl. LIKE/BETWEEN/IN/IS) bind looser,
+  * then NOT, AND, OR.
+  */
+final class Parser(tokens: Vector[Token]) {
+
+  private var p = 0
+  private def peek: Token = tokens(p)
+  private def advance(): Token = { val t = tokens(p); p += 1; t }
+
+  private def isKw(t: Token, w: String): Boolean = t match {
+    case TIdent(v, false, _) => v.equalsIgnoreCase(w)
+    case _ => false
+  }
+  private def acceptKw(w: String): Boolean =
+    if (isKw(peek, w)) { p += 1; true } else false
+  private def expectKw(w: String): Unit =
+    if (!acceptKw(w)) fail(s"expected $w")
+  private def acceptOp(op: String): Boolean = peek match {
+    case TOp(v, _) if v == op => p += 1; true
+    case _ => false
+  }
+  private def expectOp(op: String): Unit =
+    if (!acceptOp(op)) fail(s"expected '$op'")
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"parse error at ${peek.pos}: $msg (got $peek)")
+
+  private val reserved = Set(
+    "select", "named", "from", "when", "where", "group", "having", "order",
+    "limit", "offset", "as", "on", "join", "inner", "left", "right", "full",
+    "outer", "cross", "and", "or", "not", "is", "null", "true", "false",
+    "between", "in", "like", "case", "then", "else", "end", "cast",
+    "excluding", "asc", "desc", "distinct", "by", "union", "all", "exists")
+
+  // ---- statement -----------------------------------------------------------
+
+  def parseStatement(): Select = {
+    val s = parseSelect()
+    peek match {
+      case TEnd(_) => s
+      case t => fail(s"trailing input")
+    }
+  }
+
+  def parseSelect(): Select = {
+    expectKw("SELECT")
+    val distinctOn =
+      if (acceptKw("DISTINCT")) {
+        expectKw("ON"); expectOp("(")
+        val e = parseExpr(); expectOp(")")
+        Some(e)
+      } else None
+    val items = parseSelectItems()
+    val named = if (acceptKw("NAMED")) Some(parseExpr()) else None
+    val from = if (acceptKw("FROM")) Some(parseTable()) else None
+    val when = if (acceptKw("WHEN")) Some(parseExpr()) else None
+    val where = if (acceptKw("WHERE")) Some(parseExpr()) else None
+    val groupBy =
+      if (acceptKw("GROUP")) { expectKw("BY"); parseExprList() } else Nil
+    val having = if (acceptKw("HAVING")) Some(parseExpr()) else None
+    val orderBy =
+      if (acceptKw("ORDER")) {
+        expectKw("BY")
+        val items = Vector.newBuilder[OrderItem]
+        var more = true
+        while (more) {
+          val e = parseExpr()
+          val asc = if (acceptKw("DESC")) false else { acceptKw("ASC"); true }
+          items += OrderItem(e, asc)
+          more = acceptOp(",")
+        }
+        items.result()
+      } else Nil
+    // reference grammar order is OFFSET then LIMIT; accept both orders
+    var offset: Option[Long] = None
+    var limit: Option[Long] = None
+    var making = true
+    while (making) {
+      if (offset.isEmpty && acceptKw("OFFSET")) offset = Some(parseIntLit())
+      else if (limit.isEmpty && acceptKw("LIMIT")) limit = Some(parseIntLit())
+      else making = false
+    }
+    Select(items, named, distinctOn, from, when, where, groupBy, having,
+      orderBy, offset, limit)
+  }
+
+  private def parseIntLit(): Long = advance() match {
+    case TNum(v, true, _) => v.toLong
+    case t => fail("expected integer literal")
+  }
+
+  private def parseSelectItems(): Seq[SelectItem] = {
+    val items = Vector.newBuilder[SelectItem]
+    var more = true
+    while (more) {
+      items += parseSelectItem()
+      more = acceptOp(",")
+    }
+    items.result()
+  }
+
+  private def parseSelectItem(): SelectItem = {
+    if (acceptOp("*")) {
+      val excl =
+        if (acceptKw("EXCLUDING")) {
+          expectOp("(")
+          val names = Vector.newBuilder[String]
+          var more = true
+          while (more) { names += parseIdentName(); more = acceptOp(",") }
+          expectOp(")")
+          names.result()
+        } else Nil
+      SelectItem(Star(excl), None)
+    } else {
+      val e = parseExpr()
+      val alias =
+        if (acceptKw("AS")) Some(parseIdentName())
+        else peek match {
+          // bare alias (ident that is not a clause keyword)
+          case TIdent(v, q, _) if q || !reserved(v.toLowerCase) =>
+            p += 1; Some(v)
+          case _ => None
+        }
+      SelectItem(e, alias)
+    }
+  }
+
+  private def parseIdentName(): String = advance() match {
+    case TIdent(v, _, _) => v
+    case t => fail("expected identifier")
+  }
+
+  private def parseExprList(): Seq[Expr] = {
+    val out = Vector.newBuilder[Expr]
+    var more = true
+    while (more) { out += parseExpr(); more = acceptOp(",") }
+    out.result()
+  }
+
+  // ---- FROM / table expressions -------------------------------------------
+
+  private val tableFns = Set("transpose", "merge", "sample", "union")
+
+  def parseTable(): TableExpr = {
+    var left = parseTablePrimary()
+    var more = true
+    while (more) {
+      val jt =
+        if (acceptKw("JOIN")) "inner"
+        else if (acceptKw("INNER")) { expectKw("JOIN"); "inner" }
+        else if (acceptKw("LEFT")) { acceptKw("OUTER"); expectKw("JOIN"); "left" }
+        else if (acceptKw("RIGHT")) { acceptKw("OUTER"); expectKw("JOIN"); "right" }
+        else if (acceptKw("FULL")) { acceptKw("OUTER"); expectKw("JOIN"); "full_outer" }
+        else if (acceptKw("CROSS")) { expectKw("JOIN"); "cross" }
+        else ""
+      if (jt.isEmpty) more = false
+      else {
+        val right = parseTablePrimary()
+        val on = if (acceptKw("ON")) Some(parseExpr()) else None
+        left = JoinExpr(left, right, jt, on)
+      }
+    }
+    left
+  }
+
+  private def parseTablePrimary(): TableExpr = {
+    if (acceptOp("(")) {
+      val stmt = parseSelect()
+      expectOp(")")
+      acceptKw("AS")
+      val alias = parseIdentName()
+      SubSelect(stmt, alias)
+    } else {
+      val name = parseIdentName()
+      if (tableFns(name.toLowerCase) && acceptOp("(")) {
+        val tbls = Vector.newBuilder[TableExpr]
+        val args = Vector.newBuilder[Expr]
+        val empty = acceptOp(")")
+        if (!empty) {
+          var more = true
+          while (more) {
+            peek match {
+              case TIdent(v, false, _)
+                  if !reserved(v.toLowerCase) && !isExprStart() =>
+                tbls += parseTablePrimary()
+              case _ => args += parseExpr()
+            }
+            more = acceptOp(",")
+          }
+          expectOp(")")
+        }
+        if (acceptKw("AS")) parseIdentName() // alias accepted, scope-irrelevant
+        TableFn(name.toLowerCase, tbls.result(), args.result())
+      } else {
+        val alias =
+          if (acceptKw("AS")) Some(parseIdentName())
+          else peek match {
+            case TIdent(v, q, _) if q || !reserved(v.toLowerCase) =>
+              p += 1; Some(v)
+            case _ => None
+          }
+        TableRef(name, alias)
+      }
+    }
+  }
+
+  /** lookahead: does the next token start a scalar expression rather
+    * than a table name? (number, string, '(' …) */
+  private def isExprStart(): Boolean = tokens(p + 1) match {
+    case TOp("(", _) => false // ident( … could be nested table fn
+    case _ => peek match {
+      case TNum(_, _, _) | TStr(_, _) => true
+      case _ => false
+    }
+  }
+
+  // ---- expressions ---------------------------------------------------------
+
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var l = parseAnd()
+    while (acceptKw("OR")) l = Binary("or", l, parseAnd())
+    l
+  }
+
+  private def parseAnd(): Expr = {
+    var l = parseNot()
+    while (acceptKw("AND")) l = Binary("and", l, parseNot())
+    l
+  }
+
+  private def parseNot(): Expr =
+    if (acceptKw("NOT")) Unary("not", parseNot()) else parseComparison()
+
+  private def parseComparison(): Expr = {
+    var l = parseAdditive()
+    var more = true
+    while (more) {
+      if (acceptOp("=")) l = Binary("=", l, parseAdditive())
+      else if (acceptOp("!=") || acceptOp("<>")) l = Binary("!=", l, parseAdditive())
+      else if (acceptOp("<=")) l = Binary("<=", l, parseAdditive())
+      else if (acceptOp(">=")) l = Binary(">=", l, parseAdditive())
+      else if (acceptOp("<")) l = Binary("<", l, parseAdditive())
+      else if (acceptOp(">")) l = Binary(">", l, parseAdditive())
+      else if (isKw(peek, "LIKE")) { p += 1; l = LikeExpr(l, parseAdditive(), negated = false) }
+      else if (isKw(peek, "NOT") && isKw(tokens(p + 1), "LIKE")) {
+        p += 2; l = LikeExpr(l, parseAdditive(), negated = true)
+      } else if (isKw(peek, "BETWEEN")) {
+        p += 1
+        val lo = parseAdditive(); expectKw("AND"); val hi = parseAdditive()
+        l = Between(l, lo, hi, negated = false)
+      } else if (isKw(peek, "NOT") && isKw(tokens(p + 1), "BETWEEN")) {
+        p += 2
+        val lo = parseAdditive(); expectKw("AND"); val hi = parseAdditive()
+        l = Between(l, lo, hi, negated = true)
+      } else if (isKw(peek, "IS")) {
+        p += 1
+        val neg = acceptKw("NOT")
+        expectKw("NULL")
+        l = IsNull(l, neg)
+      } else if (isKw(peek, "IN") ||
+          (isKw(peek, "NOT") && isKw(tokens(p + 1), "IN"))) {
+        val neg = isKw(peek, "NOT")
+        p += (if (neg) 2 else 1)
+        expectOp("(")
+        if (isKw(peek, "SELECT")) {
+          val sub = parseSelect(); expectOp(")")
+          l = InSelect(l, sub, neg)
+        } else {
+          val items = parseExprList(); expectOp(")")
+          l = InList(l, items, neg)
+        }
+      } else more = false
+    }
+    l
+  }
+
+  /** level 3: + - & | ^ || (bitwise shares additive precedence — the
+    * reference's quirk). */
+  private def parseAdditive(): Expr = {
+    var l = parseMultiplicative()
+    var more = true
+    while (more) {
+      if (acceptOp("+")) l = Binary("+", l, parseMultiplicative())
+      else if (acceptOp("-")) l = Binary("-", l, parseMultiplicative())
+      else if (acceptOp("&")) l = Binary("&", l, parseMultiplicative())
+      else if (acceptOp("|")) l = Binary("|", l, parseMultiplicative())
+      else if (acceptOp("^")) l = Binary("^", l, parseMultiplicative())
+      else if (acceptOp("||")) l = Binary("||", l, parseMultiplicative())
+      else more = false
+    }
+    l
+  }
+
+  private def parseMultiplicative(): Expr = {
+    var l = parseUnary()
+    var more = true
+    while (more) {
+      if (acceptOp("*")) l = Binary("*", l, parseUnary())
+      else if (acceptOp("/")) l = Binary("/", l, parseUnary())
+      else if (acceptOp("%")) l = Binary("%", l, parseUnary())
+      else more = false
+    }
+    l
+  }
+
+  private def parseUnary(): Expr =
+    if (acceptOp("-")) Unary("-", parseUnary())
+    else if (acceptOp("~")) Unary("~", parseUnary())
+    else if (acceptOp("+")) parseUnary()
+    else parsePrimary()
+
+  private def parsePrimary(): Expr = {
+    peek match {
+      case TNum(v, integral, _) => p += 1; NumLit(v, integral)
+      case TStr(v, _) => p += 1; StrLit(v)
+      case TOp("(", _) =>
+        p += 1
+        val e = parseExpr()
+        expectOp(")")
+        e
+      case TOp("[", _) =>
+        p += 1
+        val items = if (acceptOp("]")) Nil else {
+          val xs = parseExprList(); expectOp("]"); xs
+        }
+        ArrayLit(items)
+      case TOp("{", _) =>
+        p += 1
+        val fields = Vector.newBuilder[(String, Expr)]
+        if (!acceptOp("}")) {
+          var more = true
+          while (more) {
+            val name = parseIdentName()
+            expectOp(":")
+            fields += name -> parseExpr()
+            more = acceptOp(",")
+          }
+          expectOp("}")
+        }
+        StructLit(fields.result())
+      case TIdent(v, false, _) if v.equalsIgnoreCase("NULL") => p += 1; NullLit()
+      case TIdent(v, false, _) if v.equalsIgnoreCase("TRUE") => p += 1; BoolLit(true)
+      case TIdent(v, false, _) if v.equalsIgnoreCase("FALSE") => p += 1; BoolLit(false)
+      case TIdent(v, false, _) if v.equalsIgnoreCase("CASE") => parseCase()
+      case TIdent(v, false, _) if v.equalsIgnoreCase("CAST") =>
+        p += 1; expectOp("(")
+        val e = parseExpr()
+        expectKw("AS")
+        val to = parseIdentName()
+        expectOp(")")
+        CastExpr(e, to.toLowerCase)
+      case TIdent(_, _, _) =>
+        val name = parseIdentName()
+        if (acceptOp("(")) {
+          if (acceptOp("*")) { expectOp(")"); FnCall(name.toLowerCase, Nil, star = true) }
+          else if (acceptOp(")")) FnCall(name.toLowerCase, Nil)
+          else {
+            val distinct = acceptKw("DISTINCT")
+            val args = parseExprList()
+            expectOp(")")
+            val fn = if (distinct) s"${name.toLowerCase}_distinct"
+                     else name.toLowerCase
+            FnCall(fn, args)
+          }
+        } else {
+          // dotted path a.b.c
+          val parts = Vector.newBuilder[String]
+          parts += name
+          while (acceptOp(".")) parts += parseIdentName()
+          Ident(parts.result())
+        }
+      case t => fail("expected expression")
+    }
+  }
+
+  private def parseCase(): Expr = {
+    expectKw("CASE")
+    val operand = if (isKw(peek, "WHEN")) None else Some(parseExpr())
+    val branches = Vector.newBuilder[(Expr, Expr)]
+    while (acceptKw("WHEN")) {
+      val c = parseExpr()
+      expectKw("THEN")
+      branches += c -> parseExpr()
+    }
+    val orElse = if (acceptKw("ELSE")) Some(parseExpr()) else None
+    expectKw("END")
+    CaseWhen(operand, branches.result(), orElse)
+  }
+}
+
+object Parser {
+  def parse(sql: String): Select = new Parser(Lexer.lex(sql)).parseStatement()
+}
