@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{FunctionQueries, PipelineQueries, ProcedureQueries, QueryDef, RelationalQueries, SqlDialectQueries}
+import graft.queries.{EavQueries, FunctionQueries, PipelineQueries, ProcedureQueries, QueryDef, RelationalQueries, SqlDialectQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   val defs: Seq[QueryDef] =
     RelationalQueries.all ++ FunctionQueries.all ++ PipelineQueries.all ++
-      ProcedureQueries.all ++ SqlDialectQueries.all
+      ProcedureQueries.all ++ SqlDialectQueries.all ++ EavQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Eav, Tables}
+
+/** EAV-mode queries: per-cell timestamps, superpositions, WHEN with
+  * cell fidelity, temporal aggregates (SURVEY §1.1/§2.5 temporal
+  * family). Events are melted with rowName = user_id so each
+  * (rowName, column) genuinely holds many timestamped values — a real
+  * superposition, not a degenerate one-cell case.
+  */
+object EavQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q66_eav_temporal",
+      """SELECT CAST(user_id AS VARCHAR) AS "rowName", col AS "column",
+        |  count(num) AS temporal_count,
+        |  round(sum(num), 2) AS temporal_sum,
+        |  min(num) AS temporal_min,
+        |  max(num) AS temporal_max,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS earliest_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS latest_us
+        |FROM (
+        |  SELECT user_id, 'value' AS col, value AS num, ts FROM events
+        |  UNION ALL
+        |  SELECT user_id, 'event_type' AS col, CAST(NULL AS DOUBLE) AS num, ts
+        |  FROM events) t
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val eav = Eav.toEav(Tables.events(s, d), col("user_id"), col("ts"),
+        Seq("event_type", "value"))
+      Eav.temporalAgg(eav)
+        .select(col("rowName"), col("column"),
+          col("temporal_count"),
+          round(col("temporal_sum"), 2).as("temporal_sum"),
+          col("temporal_min"), col("temporal_max"),
+          unix_micros(col("earliest_ts")).as("earliest_us"),
+          unix_micros(col("latest_ts")).as("latest_us"))
+    },
+
+    QueryDef("q67_eav_when_latest",
+      """SELECT CAST(user_id AS VARCHAR) AS "rowName",
+        |  max_by(event_type, ts) AS latest_type
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-15'
+        |GROUP BY user_id""".stripMargin) { (s, d) =>
+      val eav = Eav.toEav(Tables.events(s, d), col("user_id"), col("ts"),
+        Seq("event_type", "value"))
+      val filtered = Eav.whenFilter(eav,
+        ts => ts < lit("2024-01-15").cast("timestamp"))
+      Eav.latest(filtered)
+        .filter(col("column") === "event_type")
+        .select(col("rowName"), col("value.str").as("latest_type"))
+    })
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Eav, Tables}
+import graft.operators.Multimodal
+
+class EavMultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("toEav emits one cell per non-null value with its timestamp") {
+    val ev = Tables.events(spark, sf)
+    val eav = Eav.toEav(ev, col("event_id"), col("ts"), Seq("event_type", "value"))
+    assert(eav.count() === ev.count() * 2)
+    assert(eav.columns.toSeq === Seq("rowName", "column", "value", "ts"))
+    // string cells fill only the str slot, numeric only num
+    assert(eav.filter(col("column") === "event_type" &&
+      (col("value.str").isNull || col("value.num").isNotNull)).count() === 0)
+  }
+
+  test("superpositions: latest() picks max-ts value per cell") {
+    val ev = Tables.events(spark, sf)
+    val eav = Eav.toEav(ev, col("user_id"), col("ts"), Seq("value"))
+    val lat = Eav.latest(eav)
+    // one output cell per (user, column)
+    assert(lat.count() === ev.select("user_id").distinct().count())
+    val expect = ev.groupBy(col("user_id"))
+      .agg(max_by(col("value"), col("ts")).as("v"))
+      .select(col("user_id").cast("string").as("rowName"), col("v"))
+    val got = lat.select(col("rowName"), col("value.num").as("v"))
+    assert(got.join(expect, Seq("rowName", "v")).count() === lat.count())
+  }
+
+  test("whenFilter drops cells, not rows (per-cell WHEN fidelity)") {
+    val ev = Tables.events(spark, sf)
+    val eav = Eav.toEav(ev, col("event_id"), col("ts"), Seq("event_type", "value"))
+    val cut = lit("2024-01-10").cast("timestamp")
+    val kept = Eav.whenFilter(eav, ts => ts < cut)
+    assert(kept.count() === ev.filter(col("ts") < cut).count() * 2)
+  }
+
+  test("fromEav round-trips wide rows at latest values") {
+    val ev = Tables.events(spark, sf).limit(200)
+    val eav = Eav.toEav(ev, col("event_id"), col("ts"), Seq("event_type", "value"))
+    val wide = Eav.fromEav(eav, Seq("event_type", "value"))
+    assert(wide.count() === 200)
+    val back = wide.select(col("rowName").cast("long").as("event_id"),
+      col("event_type.str").as("event_type"), col("value.num").as("value"))
+    assert(back.join(ev.select("event_id", "event_type", "value"),
+      Seq("event_id", "event_type", "value")).count() === 200)
+  }
+
+  test("multimodal: synthesize → decode stub → frame/resize plans") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    assert(media.schema("content").dataType.typeName === "binary")
+    val decoded = Multimodal.decodeStats(media).cache()
+    assert(decoded.count() === 50)
+    // stub decode is deterministic: n_bytes equals utf-8 text length
+    val bad = decoded.join(docs,
+      decoded("media_id") === docs("doc_id"))
+      .filter(col("decoded.n_bytes") =!= length(col("text")).cast("long"))
+      .count()
+    assert(bad === 0)
+    val planned = Multimodal.resizePlan(Multimodal.frameSamplePlan(decoded, 4), 256)
+    val r = planned.head()
+    val frames = r.getAs[scala.collection.Seq[Long]]("sample_frames")
+    assert(frames.length === 4)
+    val rs = r.getAs[org.apache.spark.sql.Row]("resize_to")
+    assert(rs.getInt(0) <= 256 && rs.getInt(1) <= 256)
+  }
+}
