@@ -1,0 +1,80 @@
+package graft.api
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The engine façade: MLDB's entity model (datasets, procedures,
+  * functions — `/root/reference/core/mldb_entity.h`, REST surface
+  * `server/mldb_server.cc:209-228`) as an in-process registry. The
+  * REST layer itself is out of scope for this library round; every
+  * `/v1/...` operation has a direct method equivalent here, so a thin
+  * HTTP shim could be layered on without re-architecting (SURVEY §7.1).
+  */
+final class GraftEngine(val spark: SparkSession) {
+
+  // ---- datasets (/v1/datasets) --------------------------------------------
+
+  private val datasets = TrieMap[String, DataFrame]()
+
+  def createDataset(name: String, df: DataFrame): Unit = datasets(name) = df
+
+  /** dataset of type `tabular` backed by parquet at rest. */
+  def createDatasetFromParquet(name: String, path: String): Unit =
+    datasets(name) = spark.read.parquet(path)
+
+  def dataset(name: String): DataFrame =
+    datasets.getOrElse(name,
+      throw new NoSuchElementException(s"dataset '$name' not found"))
+
+  def listDatasets: Seq[String] = datasets.keys.toSeq.sorted
+
+  def dropDataset(name: String): Unit = datasets.remove(name)
+
+  // ---- queries (/v1/query?q=…) --------------------------------------------
+
+  /** Run an MLDB-dialect query against the registered datasets. */
+  def query(sql: String): DataFrame =
+    graft.sql.GraftSql.queryTables(spark, dataset, sql)
+
+  // ---- functions (/v1/functions) ------------------------------------------
+
+  private val functions = TrieMap[String, DataFrame => DataFrame]()
+
+  /** Register an appliable function (the general row→row transform —
+    * trained models register their `.transform` here). */
+  def createFunction(name: String, f: DataFrame => DataFrame): Unit =
+    functions(name) = f
+
+  /** `sql.expression` — the user-defined-function mechanism
+    * (`/root/reference/builtin/sql_functions.cc:613`): a named SQL
+    * macro whose select items are computed over the input rows,
+    * expanded at parse time into the Catalyst plan (no interpretation,
+    * no UDF). */
+  def createSqlExpressionFunction(name: String, selectBody: String): Unit = {
+    val stmt = graft.sql.Parser.parse(s"SELECT $selectBody")
+    functions(name) = df =>
+      graft.sql.Lowering.run(
+        graft.sql.Lowering.Context(spark, _ => df),
+        stmt.copy(from = Some(graft.sql.Ast.TableRef("__input", None))))
+  }
+
+  def applyFunction(name: String, input: DataFrame): DataFrame =
+    functions.getOrElse(name,
+      throw new NoSuchElementException(s"function '$name' not found"))(input)
+
+  def listFunctions: Seq[String] = functions.keys.toSeq.sorted
+
+  // ---- procedures (/v1/procedures + /runs) --------------------------------
+
+  /** `transform` procedure: dialect query → new registered dataset
+    * (optionally persisted) — `TransformDataset::run`
+    * (`builtin/sql_functions.cc:662`). */
+  def runTransform(inputQuery: String, outputDataset: String,
+      persistPath: Option[String] = None): DataFrame = {
+    val result = query(inputQuery)
+    persistPath.foreach(p => result.write.mode(SaveMode.Overwrite).parquet(p))
+    val out = persistPath.map(spark.read.parquet).getOrElse(result)
+    createDataset(outputDataset, out)
+    out
+  }
+}

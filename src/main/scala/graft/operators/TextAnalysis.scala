@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-level text operators (SURVEY §2.7/§2.8 NLP surface):
+  * tfidf as plain DataFrame aggregation, bag-of-words stats tables,
+  * stemming, stopword filtering, n-gram extraction, feature hashing.
+  *
+  * All are explode → aggregate pipelines: one shuffle on the token,
+  * map-side partial aggregation, no driver state — the tokenize →
+  * transpose → SVD shape of the reference's benchmark pipelines
+  * (`/root/reference/testing/reddit_benchmark.py:27-110`) expressed
+  * as Catalyst plans.
+  */
+object TextAnalysis {
+
+  /** English stopword list (same scale as the reference's
+    * `filter_stopwords` backing list, `plugins/nlp/nlp.cc:108`). */
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "are", "was",
+    "be", "been", "that", "this", "it", "for", "on", "with", "as", "at",
+    "by", "from", "not", "but", "they", "he", "she", "we", "you", "i")
+
+  /** `filter_stopwords` over a token array column. */
+  def filterStopwords(tokens: Column,
+      stopwords: Seq[String] = stopwordsEn): Column =
+    array_except(tokens, array(stopwords.map(lit): _*))
+
+  /** Suffix-stripping stemmer (Porter step-1-style). The reference
+    * wraps Snowball (`plugins/nlp/nlp.cc:213-284`); this covers the
+    * high-frequency English inflections deterministically with pure
+    * column ops — documented as an approximation. */
+  def stem(token: Column): Column = {
+    val t = lower(token)
+    when(t.rlike(".{4,}ies$"), regexp_replace(t, "ies$", "y"))
+      .when(t.rlike(".{2,}sses$"), regexp_replace(t, "sses$", "ss"))
+      .when(t.rlike(".{4,}ing$"), regexp_replace(t, "ing$", ""))
+      .when(t.rlike(".{4,}edly$"), regexp_replace(t, "edly$", ""))
+      .when(t.rlike(".{4,}ed$"), regexp_replace(t, "ed$", ""))
+      .when(t.rlike(".{3,}s$") && !t.rlike("(ss|us|is)$"), regexp_replace(t, "s$", ""))
+      .otherwise(t)
+  }
+
+  /** stemmer over a whole token array (`stemmerdoc`). */
+  def stemAll(tokens: Column): Column = transform(tokens, t => stem(t))
+
+  /** `feature_hasher` (`plugins/feature_gen/feature_generators.cc:155`):
+    * hash tokens into a fixed-width sparse count vector, represented
+    * as map<int,int> (bucket → count). Collision-tolerant by design. */
+  def featureHash(tokens: Column, numBuckets: Int): Column = {
+    val buckets = transform(tokens, t => pmod(xxhash64(t), lit(numBuckets)))
+    map_from_entries(transform(array_distinct(buckets),
+      b => struct(b.cast("int").as("bucket"),
+        size(filter(buckets, x => x === b)).as("count"))))
+  }
+
+  /** Token or n-gram document/term frequencies for a corpus —
+    * the train side of tfidf (`plugins/nlp/tfidf.cc:472`). */
+  def termStats(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 1): DataFrame = {
+    val toks = if (ngram == 1) T.tokens(col(textCol))
+               else T.shingles(col(textCol), ngram)
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(toks).as("term"))
+    val nDocs = docs.count()
+    exploded.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf", log(lit(nDocs + 1.0) / (col("df") + 1.0)))
+  }
+
+  /** Apply tfidf: per (doc, term) weight using a broadcast term table. */
+  def tfidfApply(docs: DataFrame, idCol: String, textCol: String,
+      termTable: DataFrame): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(T.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    exploded.join(broadcast(termTable.select(col("term"), col("idf"))), Seq("term"))
+      .select(col("doc_id"), col("term"), (col("n") * col("idf")).as("tfidf"))
+  }
+
+  /** `statsTable.bagOfWords.train`
+    * (`plugins/feature_gen/stats_table_procedure.cc:992-1007`): per
+    * token, co-occurrence counts with a boolean outcome across docs. */
+  def bagOfWordsStats(docs: DataFrame, idCol: String, textCol: String,
+      outcome: Column): DataFrame =
+    docs.select(col(idCol).as("doc_id"), outcome.cast("long").as("__y"),
+      explode(array_distinct(T.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("trials"), sum(col("__y")).as("successes"))
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.GraftEngine
+import graft.core.Tables
+import graft.operators.TextAnalysis
+
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("engine: dataset registry + dialect query + transform procedure") {
+    val e = new GraftEngine(spark)
+    e.createDatasetFromParquet("nation", s"$sf/nation.parquet")
+    e.createDatasetFromParquet("region", s"$sf/region.parquet")
+    assert(e.listDatasets === Seq("nation", "region"))
+    val out = e.runTransform(
+      """SELECT r_name, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin, "per_region")
+    assert(out.count() === 5)
+    assert(e.dataset("per_region").count() === 5)
+    // chained query over the transform output
+    val top = e.query("SELECT r_name FROM per_region ORDER BY n DESC, r_name LIMIT 1")
+    assert(top.count() === 1)
+  }
+
+  test("sql.expression macro function applies over input rows") {
+    val e = new GraftEngine(spark)
+    e.createSqlExpressionFunction("enrich",
+      "c_custkey, c_acctbal * 2 AS doubled, upper(c_mktsegment) AS seg")
+    val out = e.applyFunction("enrich", Tables.customer(spark, sf))
+    assert(out.columns.toSeq === Seq("c_custkey", "doubled", "seg"))
+    val r = out.orderBy(col("c_custkey")).head()
+    val orig = Tables.customer(spark, sf).orderBy(col("c_custkey")).head()
+    assert(r.getDouble(1) === orig.getAs[Double]("c_acctbal") * 2)
+    assert(r.getString(2) === orig.getAs[String]("c_mktsegment").toUpperCase)
+  }
+
+  test("stemmer approximates common inflections") {
+    import spark.implicits._
+    val df = Seq("running", "parties", "classes", "jumped", "cats", "bus", "is")
+      .toDF("t")
+    val got = df.select(TextAnalysis.stem(col("t")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("runn", "party", "class", "jump", "cat", "bus", "is"))
+  }
+
+  test("stopword filter and feature hashing") {
+    import spark.implicits._
+    val df = Seq("the cat and the hat").toDF("text")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val filtered = df.select(TextAnalysis.filterStopwords(toks).as("f")).head()
+      .getAs[scala.collection.Seq[String]]("f")
+    assert(filtered.toSet === Set("cat", "hat"))
+    val hashed = df.select(TextAnalysis.featureHash(toks, 16).as("h")).head()
+      .getAs[Map[Int, Int]]("h")
+    assert(hashed.values.sum === 5) // all 5 tokens land somewhere
+    assert(hashed.keys.forall(b => b >= 0 && b < 16))
+  }
+
+  test("tfidf: rare terms outweigh common terms") {
+    val docs = Tables.documents(spark, sf)
+    val stats = TextAnalysis.termStats(docs, "doc_id", "text").cache()
+    val byDf = stats.orderBy(col("df").desc).collect()
+    val common = byDf.head
+    val rare = byDf.last
+    assert(common.getAs[Double]("idf") < rare.getAs[Double]("idf"))
+    val applied = TextAnalysis.tfidfApply(docs.limit(20), "doc_id", "text", stats)
+    assert(applied.count() > 0)
+    assert(applied.filter(col("tfidf") < 0).count() === 0)
+  }
+
+  test("bagOfWords stats: trials bound successes") {
+    val docs = Tables.documents(spark, sf)
+    val st = TextAnalysis.bagOfWordsStats(docs, "doc_id", "text",
+      col("lang") === "en")
+    assert(st.filter(col("successes") > col("trials")).count() === 0)
+    assert(st.count() > 0)
+  }
+}
