@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: prints the physical plan of representative queries and
+  * greps for the properties that matter at 100 TB — parquet filter
+  * pushdown (PushedFilters), column pruning (ReadSchema), broadcast
+  * joins for small dims, partial aggregation, whole-stage codegen
+  * spans. Run with `sbt "runMain graft.PlanAudit"`; output is
+  * reviewed into PLANS.md.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")  // so WholeStageCodegen spans print
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val interesting = Seq(
+      "q01_agg_groupby", "q02_filter_project", "q05_join_inner",
+      "q27_modulo_sample", "q34_wilson", "q46_dedup_minhash",
+      "q48_ann_bruteforce", "q60_sql_agg")
+    for (name <- interesting) {
+      val df = SparkEntry.queries(name)(spark, d)
+      val plan = df.queryExecution.executedPlan.toString
+      val props = Seq(
+        "PushedFilters: [" -> plan.contains("PushedFilters: ["),
+        "pruned ReadSchema" -> plan.contains("ReadSchema"),
+        "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
+        "WholeStageCodegen (\"*(n)\" spans)" -> plan.contains("*("),
+        "partial agg (HashAggregate x2)" ->
+          ("HashAggregate".r.findAllIn(plan).size >= 2))
+      println(s"=== $name")
+      props.foreach { case (k, v) => println(f"  ${if (v) "Y" else "-"}%s $k") }
+      // one-line scan summary: pushed filters + read schema width
+      "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+        .foreach(f => println(s"  $f"))
+      "ReadSchema: [^\\n]*".r.findAllIn(plan).take(2)
+        .foreach(f => println(s"  ${f.take(150)}"))
+    }
+    spark.stop()
+  }
+}
