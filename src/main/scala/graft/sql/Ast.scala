@@ -18,8 +18,11 @@ object Ast {
   final case class StrLit(v: String) extends Expr
   /** Column / path reference, possibly qualified: a.b.c. */
   final case class Ident(parts: Seq[String]) extends Expr
-  /** `*` or `* EXCLUDING (a, b)` — only valid as a select item. */
-  final case class Star(excluding: Seq[String]) extends Expr
+  /** `*`, `* EXCLUDING (a, b)`, `prefix*`, or `prefix* AS newprefix*`
+    * — only valid as a select item
+    * (`doc/builtin/sql/SelectExpression.md:18-41`). */
+  final case class Star(excluding: Seq[String], prefix: String = "",
+      rename: Option[String] = None) extends Expr
   final case class Unary(op: String, e: Expr) extends Expr
   final case class Binary(op: String, l: Expr, r: Expr) extends Expr
   final case class FnCall(name: String, args: Seq[Expr],

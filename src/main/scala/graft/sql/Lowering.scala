@@ -110,7 +110,7 @@ object Lowering {
       val flat = parts.mkString(".")
       if (scope.hasColumn(flat)) col(s"`$flat`") else lit(null)
 
-    case Star(_) =>
+    case Star(_, _, _) =>
       throw new IllegalArgumentException("* only valid as a select item")
 
     case Unary("-", x) => -lowerExpr(scope, x)
@@ -376,9 +376,25 @@ object Lowering {
         (df, Scope(Seq(None -> df)))
     }
 
-    // WHERE then WHEN (both row filters in wide mode)
-    val filtered0 = stmt.where.map(w => fromDf.filter(rewriteInSelect(ctx, scope, w)))
-      .getOrElse(fromDf)
+    // WHERE then WHEN (both row filters in wide mode).
+    // `x IN (SELECT …)` conjuncts become semi-joins (the reference
+    // materializes the subquery, `sql_expression_operations.h:285-330`;
+    // a semi-join is the distributed equivalent), NOT IN → anti-join.
+    val filtered0 = stmt.where match {
+      case Some(w) =>
+        val conjuncts = splitConjuncts(w)
+        val (inSelects, plain) = conjuncts.partition(_.isInstanceOf[InSelect])
+        val base = if (plain.isEmpty) fromDf
+          else fromDf.filter(plain.map(lowerExpr(scope, _)).reduce(_ && _))
+        inSelects.foldLeft(base) { case (df, InSelect(x, sub, negated)) =>
+          val subDf = lowerSelect(ctx, sub)
+          val subCol = subDf.columns.head
+          val probe = subDf.select(col(subCol).as("__in_probe"))
+          df.join(probe, lowerExpr(scope, x) === col("__in_probe"),
+            if (negated) "left_anti" else "left_semi")
+        }
+      case None => fromDf
+    }
     val filtered = stmt.when.map(w => filtered0.filter(lowerExpr(scope, w)))
       .getOrElse(filtered0)
 
@@ -390,40 +406,57 @@ object Lowering {
       // NAMED → rowName column
       stmt.named.foreach(n => out = out.withColumn("rowName", lowerExpr(scope, n)))
       val namedScope = Scope(scope.frames :+ (None -> out))
-      val cols: Seq[Column] = stmt.items.zipWithIndex.flatMap {
-        case (SelectItem(Star(excl), _), _) =>
-          val exclSet = excl.map(_.toLowerCase).toSet
-          val seen = scala.collection.mutable.LinkedHashSet[String]()
-          scope.allColumns.flatMap { case (alias, c) =>
-            if (exclSet(c.toLowerCase) || seen.contains(c.toLowerCase)) None
-            else {
-              seen += c.toLowerCase
-              Some(alias.map(al => col(s"$al.$c")).getOrElse(col(c)).as(c))
-            }
-          }
-        case (it, i) => Seq(lowerExpr(namedScope, it.e).as(itemName(it, i)))
+      // materialize every non-star item as a column BEFORE sorting so
+      // ORDER BY can reference select aliases; stars expand at the
+      // final select
+      val plainItems: Seq[(String, Expr)] = stmt.items.zipWithIndex.collect {
+        case (it @ SelectItem(e, _), i) if !e.isInstanceOf[Star] =>
+          itemName(it, i) -> e
       }
-      val withName = stmt.named match {
-        case Some(_) => col("rowName") +: cols
-        case None => cols
+      var extended = out
+      plainItems.foreach { case (n, e) =>
+        extended = extended.withColumn(n, lowerExpr(namedScope, e))
       }
-      // keep ORDER BY-referenced original columns available: sort first
-      val sorted = if (stmt.orderBy.nonEmpty) {
-        out.orderBy(stmt.orderBy.map(o =>
-          if (o.asc) lowerExpr(namedScope, o.e).asc
-          else lowerExpr(namedScope, o.e).desc): _*)
-      } else out
+      val extScope = Scope(scope.frames :+ (None -> extended))
+      def sortCols = stmt.orderBy.map { o =>
+        val c = o.e match {
+          case Ident(Seq(n)) if plainItems.exists(_._1 == n) => col(n)
+          case other => lowerExpr(extScope, other)
+        }
+        if (o.asc) c.asc else c.desc
+      }
+      val sorted =
+        if (stmt.orderBy.nonEmpty) extended.orderBy(sortCols: _*) else extended
       val distincted = stmt.distinctOn match {
         case Some(key) =>
           if (stmt.orderBy.isEmpty)
             throw new IllegalArgumentException("DISTINCT ON requires ORDER BY")
-          val w = Window.partitionBy(lowerExpr(namedScope, key))
-            .orderBy(stmt.orderBy.map(o =>
-              if (o.asc) lowerExpr(namedScope, o.e).asc
-              else lowerExpr(namedScope, o.e).desc): _*)
+          val w = Window.partitionBy(lowerExpr(extScope, key)).orderBy(sortCols: _*)
           sorted.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
         case None => sorted
+      }
+      val cols: Seq[Column] = stmt.items.zipWithIndex.flatMap {
+        case (SelectItem(Star(excl, prefix, rename), _), _) =>
+          val exclSet = excl.map(_.toLowerCase).toSet
+          val seen = scala.collection.mutable.LinkedHashSet[String]()
+          scope.allColumns.flatMap { case (alias, c) =>
+            val matches = prefix.isEmpty || c.startsWith(prefix)
+            if (!matches || exclSet(c.toLowerCase) || seen.contains(c.toLowerCase)) None
+            else {
+              seen += c.toLowerCase
+              val outName = rename match {
+                case Some(np) => np + c.stripPrefix(prefix)
+                case None => c
+              }
+              Some(alias.map(al => col(s"$al.$c")).getOrElse(col(c)).as(outName))
+            }
+          }
+        case (it, i) => Seq(col(itemName(it, i)))
+      }
+      val withName = stmt.named match {
+        case Some(_) => col("rowName") +: cols
+        case None => cols
       }
       distincted.select(withName: _*)
     } else {
@@ -494,12 +527,8 @@ object Lowering {
     stmt.limit.map(l => offsetApplied.limit(l.toInt)).getOrElse(offsetApplied)
   }
 
-  /** WHERE-clause rewrite: `x IN (SELECT …)` → left-semi join. */
-  private def rewriteInSelect(ctx: Context, scope: Scope, e: Expr): Column = e match {
-    case InSelect(x, sub, negated) =>
-      throw new IllegalArgumentException(
-        "IN (SELECT …) at top level of WHERE is not yet lowered; " +
-          "use an explicit join")
-    case other => lowerExpr(scope, other)
+  private def splitConjuncts(e: Expr): Seq[Expr] = e match {
+    case Binary("and", l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 }

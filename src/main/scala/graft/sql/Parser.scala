@@ -120,6 +120,16 @@ final class Parser(tokens: Vector[Token]) {
           names.result()
         } else Nil
       SelectItem(Star(excl), None)
+    } else if (peekPrefixWildcard()) {
+      val prefix = parseIdentName()
+      expectOp("*")
+      val rename =
+        if (acceptKw("AS")) {
+          val np = parseIdentName()
+          expectOp("*")
+          Some(np)
+        } else None
+      SelectItem(Star(Nil, prefix, rename), None)
     } else {
       val e = parseExpr()
       val alias =
@@ -137,6 +147,24 @@ final class Parser(tokens: Vector[Token]) {
   private def parseIdentName(): String = advance() match {
     case TIdent(v, _, _) => v
     case t => fail("expected identifier")
+  }
+
+  /** `a*` (and `a* AS b*`) vs `a * b` multiplication: a prefix
+    * wildcard is IDENT '*' followed by a list/clause boundary or AS. */
+  private def peekPrefixWildcard(): Boolean = peek match {
+    case TIdent(v, false, _) if !reserved(v.toLowerCase) =>
+      tokens.lift(p + 1) match {
+        case Some(TOp("*", _)) => tokens.lift(p + 2) match {
+          case Some(TOp(",", _)) | Some(TEnd(_)) => true
+          case Some(TIdent(w, false, _)) =>
+            w.equalsIgnoreCase("AS") || Seq("named", "from", "when", "where",
+              "group", "having", "order", "limit", "offset")
+              .contains(w.toLowerCase)
+          case _ => false
+        }
+        case _ => false
+      }
+    case _ => false
   }
 
   private def parseExprList(): Seq[Expr] = {

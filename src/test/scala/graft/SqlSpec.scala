@@ -130,6 +130,40 @@ class SqlSpec extends AnyFunSuite {
     assert(u === 10)
   }
 
+  test("prefix wildcard select and prefix rename") {
+    val df = q("SELECT n_* FROM nation")
+    assert(df.columns.toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
+    val renamed = q("SELECT n_* AS nation_* FROM nation")
+    assert(renamed.columns.toSeq ===
+      Seq("nation_nationkey", "nation_name", "nation_regionkey"))
+    // `a * b` multiplication still parses
+    val v = q("SELECT n_nationkey * 2 AS x FROM nation ORDER BY x DESC LIMIT 1")
+      .head().getLong(0)
+    assert(v === 48L)
+  }
+
+  test("IN (SELECT …) lowers to semi-join; NOT IN to anti-join") {
+    val n1 = q(
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_orderstatus = 'F'""".stripMargin).head().getLong(0)
+    val buildings = graft.core.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val expect1 = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .join(buildings, col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(n1 === expect1 && n1 > 0)
+    val n2 = q(
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                        WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+      .head().getLong(0)
+    val expect2 = graft.core.Tables.orders(spark, sf)
+      .join(buildings, col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(n2 === expect2 && n1 + n2 < graft.core.Tables.orders(spark, sf).count())
+  }
+
   test("scalar function registry spans math/string/date/vector") {
     val r = q(
       """SELECT round(sqrt(16.0), 1) AS a, upper('x') AS b,
