@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Path / web / misc scalar functions completing the SURVEY §2.5
+  * inventory.
+  *
+  * MLDB `Path` values (`/root/reference/sql/path.h`) are dotted
+  * element lists (`a.b.3`); our wide mode stores them as dotted
+  * strings, so the path functions are string/array conversions
+  * (`parse_path` `sql/builtin_functions.cc:3153` … `path_length`
+  * `:3260`). Web: `extract_domain`
+  * (`sql/builtin_http_functions.cc:78`), `mime_type` (`:3612`).
+  */
+object PathFunctions {
+
+  /** parse_path('a.b.c') → ['a','b','c']. */
+  def parsePath(s: Column): Column = split(s, "\\.")
+
+  /** stringify_path(['a','b']) → 'a.b'. */
+  def stringifyPath(p: Column): Column = array_join(p, ".")
+
+  def pathElement(p: Column, n: Column): Column = element_at(p, n + 1)
+
+  def pathLength(p: Column): Column = size(p)
+
+  /** flatten_path: nested struct field ref → dotted column name is the
+    * identity in our encoding; exposed for API parity. */
+  def flattenPath(s: Column): Column = s
+
+  /** extract_domain(url[, removeSubdomain]) — host of a URL. */
+  def extractDomain(url: Column, removeSubdomain: Boolean = false): Column = {
+    val host = parse_url(url, lit("HOST"))
+    if (!removeSubdomain) host
+    else {
+      // keep last two labels (heuristic, like the reference's default)
+      val parts = split(host, "\\.")
+      when(size(parts) <= 2, host)
+        .otherwise(concat_ws(".", slice(parts, -2, 2)))
+    }
+  }
+
+  /** mime_type(blob): magic-byte sniffing for common formats
+    * (reference uses libmagic; we cover the usual suspects). */
+  def mimeType(blob: Column): Column = {
+    val hexHead = hex(substring(blob, 1, 8))
+    when(hexHead.startsWith("FFD8FF"), "image/jpeg")
+      .when(hexHead.startsWith("89504E47"), "image/png")
+      .when(hexHead.startsWith("47494638"), "image/gif")
+      .when(hexHead.startsWith("25504446"), "application/pdf")
+      .when(hexHead.startsWith("504B0304"), "application/zip")
+      .when(hexHead.startsWith("1F8B"), "application/gzip")
+      .when(hexHead.startsWith("494433"), "audio/mpeg")
+      .when(substring(blob, 5, 4).cast("string") === "ftyp", "video/mp4")
+      .otherwise("application/octet-stream")
+  }
+
+  /** blob_length (`sql/builtin_functions.cc:2479`). */
+  def blobLength(blob: Column): Column = length(blob).cast("long")
+
+  /** ISO date parts the reference exposes beyond Spark's extract:
+    * isodow (Mon=1..Sun=7), isoweek, isodoy. */
+  def isoDow(ts: Column): Column =
+    (pmod(dayofweek(ts) + 5, lit(7)) + 1).cast("long")
+
+  def isoWeek(ts: Column): Column = weekofyear(ts).cast("long")
+}
