@@ -58,6 +58,20 @@ final class GraftEngine(val spark: SparkSession) {
         stmt.copy(from = Some(graft.sql.Ast.TableRef("__input", None))))
   }
 
+  /** `sql.query` — parameterized single-row subquery function
+    * (`/root/reference/builtin/sql_functions.cc:316`). The reference
+    * re-executes the inner SELECT per outer row
+    * (`core/analytics.cc` re-entry — no decorrelation); the
+    * distributed equivalent is a broadcast lookup join on the
+    * parameter columns, which is what this lowers to: the query runs
+    * ONCE, its result broadcasts, and application is a left join. */
+  def createSqlQueryFunction(name: String, queryText: String,
+      joinCols: Seq[String]): Unit = {
+    val lookup = query(queryText)
+    functions(name) = df =>
+      df.join(org.apache.spark.sql.functions.broadcast(lookup), joinCols, "left")
+  }
+
   def applyFunction(name: String, input: DataFrame): DataFrame =
     functions.getOrElse(name,
       throw new NoSuchElementException(s"function '$name' not found"))(input)

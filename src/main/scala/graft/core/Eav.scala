@@ -89,6 +89,19 @@ object Eav {
     wide
   }
 
+  /** `at(value, ts)` / `@` operator: re-timestamp cells
+    * (`/root/reference/sql/builtin_functions.cc:1154`). In EAV mode
+    * this is literal (set the ts column); the wide-mode equivalent is
+    * a documented no-op. */
+  def at(eav: DataFrame, newTs: Column): DataFrame =
+    eav.withColumn("ts", newTs)
+
+  /** distinct_timestamps (`sql/builtin_functions.cc:1120`): the
+    * sorted distinct timeline of each cell. */
+  def distinctTimestamps(eav: DataFrame): DataFrame =
+    eav.groupBy(col("rowName"), col("column"))
+      .agg(array_sort(collect_set(col("ts"))).as("timestamps"))
+
   /** Temporal aggregates: per (rowName, column) across the cell's
     * timeline — `temporal_min/max/sum/avg/count`
     * (`sql/builtin_functions.cc:1366-1467`). Numeric slots only. */

@@ -148,6 +148,22 @@ object Models {
     new Pipeline().setStages(Array(asm, lr)).fit(scored)
   }
 
+  /** `classifier.experiment` (`plugins/jml/experiment_procedure.cc:618`):
+    * k-fold train/test loop over deterministic hash splits; returns one
+    * row of metrics per fold. */
+  def classifierExperiment(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, keyCol: String, algorithm: String = "glz",
+      folds: Int = 3): Seq[(Int, Double, Double)] = {
+    (0 until folds).map { fold =>
+      val bucket = pmod(xxhash64(col(keyCol), lit(fold)), lit(folds))
+      val test = df.filter(bucket === fold)
+      val train = df.filter(bucket =!= fold)
+      val model = classifierTrain(train, featureCols, labelCol, algorithm)
+      val (auc, acc) = classifierTest(model, test, labelCol)
+      (fold, auc, acc)
+    }
+  }
+
   /** `pooling` function (`builtin/pooling_function.cc:182`): aggregate
     * word embeddings of a bag of words — avg + min + max pooling over a
     * broadcast (token → embedding) join, grouped back per document.

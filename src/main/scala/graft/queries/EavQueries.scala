@@ -38,6 +38,22 @@ object EavQueries {
           unix_micros(col("latest_ts")).as("latest_us"))
     },
 
+    QueryDef("q68_asof_join",
+      """SELECT ev.event_id, cp.cp_id
+        |FROM (SELECT event_id, user_id, ts FROM events) ev
+        |ASOF LEFT JOIN
+        |  (SELECT user_id AS cp_user, ts AS cp_ts, event_id AS cp_id
+        |   FROM events WHERE event_type = 'purchase') cp
+        |ON ev.user_id = cp.cp_user AND ev.ts >= cp.cp_ts""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val cp = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("cp_user"), col("ts").as("cp_ts"),
+          col("event_id").as("cp_id"))
+      graft.operators.AsOf.join(ev, cp, "ts", "cp_ts",
+        by = Seq(("user_id", "cp_user")))
+        .select(col("event_id"), col("cp_id"))
+    },
+
     QueryDef("q67_eav_when_latest",
       """SELECT CAST(user_id AS VARCHAR) AS "rowName",
         |  max_by(event_type, ts) AS latest_type

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.GraftEngine
+import graft.core.{Eav, Tables}
+import graft.ml.Models
+
+class MlLifecycleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def features = {
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("y", (col("label") >= 5).cast("double"))
+      .withColumn("f", col("embedding").cast("array<double>"))
+    (0 until 8).foldLeft(emb) { case (df, i) =>
+      df.withColumn(s"f_$i", element_at(col("f"), i + 1))
+    }
+  }
+
+  test("classifier.experiment: k folds, AUC above chance") {
+    val metrics = Models.classifierExperiment(features,
+      (0 until 8).map(i => s"f_$i"), "y", "vec_id", "glz", folds = 3)
+    assert(metrics.size === 3)
+    metrics.foreach { case (_, auc, acc) =>
+      assert(auc >= 0.0 && auc <= 1.0 && acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
+  test("model save/load round-trip: the persisted-function lifecycle") {
+    val dir = Files.createTempDirectory("graft_model").toString + "/m"
+    val model = Models.classifierTrain(features,
+      (0 until 8).map(i => s"f_$i"), "y", "dt")
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val a = model.transform(features).select(col("vec_id"), col("prediction"))
+    val b = loaded.transform(features).select(col("vec_id"), col("prediction"))
+    assert(a.join(b, Seq("vec_id", "prediction")).count() === a.count())
+  }
+
+  test("sql.query function: broadcast lookup application") {
+    val e = new GraftEngine(spark)
+    e.createDatasetFromParquet("nation", s"$sf/nation.parquet")
+    e.createDatasetFromParquet("region", s"$sf/region.parquet")
+    e.createSqlQueryFunction("region_of",
+      """SELECT n_nationkey, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+      Seq("n_nationkey"))
+    val input = e.dataset("nation").select(col("n_nationkey"), col("n_name"))
+    val out = e.applyFunction("region_of", input)
+    assert(out.columns.toSeq === Seq("n_nationkey", "n_name", "r_name"))
+    assert(out.filter(col("r_name").isNull).count() === 0)
+    assert(out.count() === 25)
+  }
+
+  test("EAV at() re-timestamps; distinct_timestamps sorted unique") {
+    val ev = Tables.events(spark, sf).limit(100)
+    val eav = Eav.toEav(ev, col("user_id"), col("ts"), Seq("value"))
+    val fixed = Eav.at(eav, lit("2030-01-01").cast("timestamp"))
+    assert(fixed.select(min(col("ts")), max(col("ts"))).head().toSeq.distinct.size === 1)
+    val dt = Eav.distinctTimestamps(eav)
+    val r = dt.head()
+    val tss = r.getAs[scala.collection.Seq[java.sql.Timestamp]]("timestamps")
+    assert(tss.map(_.getTime) === tss.map(_.getTime).sorted)
+    assert(tss.distinct.size === tss.size)
+  }
+}
