@@ -41,6 +41,27 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     size(tokens(text, "\\s+"))
 
+  /** Full `tokenize` option surface (reference config:
+    * splitChars, ngramRange, minTokenLength —
+    * `sql/builtin_functions.cc:1915`): bag of n-grams (nMin..nMax)
+    * over tokens of at least `minTokenLength` chars, as a
+    * token→count map. */
+  def tokenBagNgrams(text: Column, nMin: Int, nMax: Int,
+      minTokenLength: Int = 1,
+      splitRegex: String = "[\\s,;:!?.()\\[\\]{}\"']+"): Column = {
+    val toks = filter(tokens(text, splitRegex), t => length(t) >= minTokenLength)
+    val grams = (nMin to nMax).map { n =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }.reduce(concat(_, _))
+    map_from_entries(
+      transform(array_distinct(grams),
+        g => struct(g.as("token"),
+          size(filter(grams, x => x === g)).as("count"))))
+  }
+
   /** BPE-ish subword count approximation: words + punctuation runs +
     * long-word penalty (a word of n chars ≈ ceil(n/6) subword tokens).
     * Deterministic heuristic, not a trained tokenizer. */

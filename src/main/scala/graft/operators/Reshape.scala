@@ -48,6 +48,23 @@ object Reshape {
     widen(long, Seq("column"), idCol, "value", rowIds)
   }
 
+  /** `COLUMN EXPR (AS … WHERE … ORDER BY … LIMIT …)` — the
+    * meta-projection over the COLUMN SET
+    * (`/root/reference/sql/sql_expression_operations.h:560`, doc
+    * `sql/SelectExpression.md:43-96`). With a static schema this is
+    * pure driver-side logic over `df.columns`: filter column names,
+    * order them, limit, rename — no data movement at all. */
+  def selectColumnsExpr(df: DataFrame,
+      where: String => Boolean = _ => true,
+      orderBy: Option[Ordering[String]] = None,
+      limit: Option[Int] = None,
+      rename: String => String = identity): DataFrame = {
+    var names = df.columns.toSeq.filter(where)
+    orderBy.foreach(o => names = names.sorted(o))
+    limit.foreach(l => names = names.take(l))
+    df.select(names.map(c => col(c).as(rename(c))): _*)
+  }
+
   /** MLDB `merge(a, b)`: cell-wise overlay keyed on the row id; b's
     * value wins where both define a cell (the reference keeps both
     * timestamped values; in wide mode we take the later dataset —

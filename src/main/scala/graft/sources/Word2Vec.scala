@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** `import.word2vec`
+  * (`/root/reference/plugins/nlp/word2vec.cc:248`): load the original
+  * word2vec binary format (`<vocab> <dim>\n` then per word:
+  * `word<space><dim float32s>`), producing a (word, embedding) table.
+  *
+  * The parse runs on the driver (the file is a model artifact, MBs to
+  * low GBs — same assumption the reference makes); the resulting
+  * table is a normal DataFrame, broadcastable into pooling joins. A
+  * writer is included for round-trip testing.
+  */
+object Word2Vec {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new FileInputStream(path)))
+    try {
+      val header = readLine(in)
+      val parts = header.trim.split("\\s+")
+      val (vocab, dim) = (parts(0).toInt, parts(1).toInt)
+      val rows = (0 until vocab).map { _ =>
+        val word = readToken(in)
+        val vec = Array.fill(dim)(java.lang.Float.intBitsToFloat(
+          Integer.reverseBytes(in.readInt())))
+        Row(word, vec.toSeq)
+      }
+      val schema = StructType(Seq(
+        StructField("word", StringType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false))))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq), schema)
+    } finally in.close()
+  }
+
+  def write(df: DataFrame, path: String): Unit = {
+    val rows = df.select("word", "embedding").collect()
+    val dim = if (rows.isEmpty) 0
+      else rows.head.getAs[scala.collection.Seq[Float]]("embedding").size
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      out.writeBytes(s"${rows.length} $dim\n")
+      rows.foreach { r =>
+        out.writeBytes(r.getAs[String]("word"))
+        out.writeByte(' ')
+        r.getAs[scala.collection.Seq[Float]]("embedding").foreach(f =>
+          out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(f))))
+      }
+    } finally out.close()
+  }
+
+  private def readLine(in: DataInputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != -1 && c != '\n') { sb += c.toChar; c = in.read() }
+    if (c == -1 && sb.isEmpty) throw new EOFException("empty word2vec file")
+    sb.toString
+  }
+
+  private def readToken(in: DataInputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c == '\n' || c == ' ') c = in.read() // skip separators
+    while (c != -1 && c != ' ') { sb += c.toChar; c = in.read() }
+    sb.toString
+  }
+}
