@@ -18,6 +18,9 @@ object Ast {
   final case class StrLit(v: String) extends Expr
   /** Column / path reference, possibly qualified: a.b.c. */
   final case class Ident(parts: Seq[String]) extends Expr
+  /** `$name` / `$1` bound query parameter
+    * (`sql_expression_operations.h:378`). */
+  final case class Param(name: String) extends Expr
   /** `*`, `* EXCLUDING (a, b)`, `prefix*`, or `prefix* AS newprefix*`
     * — only valid as a select item
     * (`doc/builtin/sql/SelectExpression.md:18-41`). */

@@ -23,6 +23,14 @@ object GraftSql {
 
   /** Query over an arbitrary table resolver (the dataset registry). */
   def queryTables(spark: SparkSession, tables: String => DataFrame,
-      sql: String): DataFrame =
-    Lowering.run(Lowering.Context(spark, tables), Parser.parse(sql))
+      sql: String, params: Map[String, Any] = Map.empty): DataFrame =
+    Lowering.run(Lowering.Context(spark, tables, params), Parser.parse(sql))
+
+  /** Parameterized query: `$name` placeholders bound from `params`. */
+  def query(spark: SparkSession, dir: String, sql: String,
+      params: Map[String, Any]): DataFrame =
+    queryTables(spark, name => Tables.load(spark, dir, name) match {
+      case df if name == "events" => Tables.events(spark, dir)
+      case df => df
+    }, sql, params)
 }

@@ -28,7 +28,8 @@ import graft.functions.{MathFunctions => M, TextFunctions => T, VectorFunctions 
   */
 object Lowering {
 
-  final case class Context(spark: SparkSession, tables: String => DataFrame)
+  final case class Context(spark: SparkSession, tables: String => DataFrame,
+      params: Map[String, Any] = Map.empty)
 
   /** One FROM-scope frame: optional alias + the DataFrame. */
   private final case class Scope(frames: Seq[(Option[String], DataFrame)]) {
@@ -43,7 +44,10 @@ object Lowering {
       }
   }
 
-  def run(ctx: Context, stmt: Select): DataFrame = lowerSelect(ctx, stmt)
+  def run(ctx: Context, stmt: Select): DataFrame = {
+    currentParams = ctx.params
+    lowerSelect(ctx, stmt)
+  }
 
   // ---- FROM ----------------------------------------------------------------
 
@@ -93,7 +97,13 @@ object Lowering {
 
   // ---- expression lowering -------------------------------------------------
 
+  private var currentParams: Map[String, Any] = Map.empty
+
   private def lowerExpr(scope: Scope, e: Expr): Column = e match {
+    case Param(name) => currentParams.get(name) match {
+      case Some(v) => lit(v)
+      case None => throw new IllegalArgumentException(s"unbound parameter $$$name")
+    }
     case NullLit() => lit(null)
     case BoolLit(v) => lit(v)
     case NumLit(v, integral) => if (integral) lit(v.toLong) else lit(v.toDouble)

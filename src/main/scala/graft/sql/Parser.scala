@@ -357,6 +357,13 @@ final class Parser(tokens: Vector[Token]) {
         val e = parseExpr()
         expectOp(")")
         e
+      case TOp("$", _) =>
+        p += 1
+        advance() match {
+          case TIdent(v, _, _) => Param(v)
+          case TNum(v, true, _) => Param(v.toLong.toString)
+          case _ => fail("expected parameter name after $")
+        }
       case TOp("[", _) =>
         p += 1
         val items = if (acceptOp("]")) Nil else {

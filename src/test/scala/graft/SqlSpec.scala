@@ -164,6 +164,21 @@ class SqlSpec extends AnyFunSuite {
     assert(n2 === expect2 && n1 + n2 < graft.core.Tables.orders(spark, sf).count())
   }
 
+  test("$param bound parameters substitute literals") {
+    val n = GraftSql.query(spark, sf,
+      """SELECT count(*) AS n FROM customer
+        |WHERE c_mktsegment = $seg AND c_acctbal > $minbal""".stripMargin,
+      Map("seg" -> "BUILDING", "minbal" -> 5000.0)).head().getLong(0)
+    val expect = graft.core.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000.0)
+      .count()
+    assert(n === expect && n > 0)
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.query(spark, sf, "SELECT $missing AS x").collect()
+    }
+    assert(err.getMessage.contains("unbound parameter"))
+  }
+
   test("scalar function registry spans math/string/date/vector") {
     val r = q(
       """SELECT round(sqrt(16.0), 1) AS a, upper('x') AS b,
