@@ -36,6 +36,15 @@ final class GraftEngine(val spark: SparkSession) {
   def query(sql: String): DataFrame =
     graft.sql.GraftSql.queryTables(spark, dataset, sql)
 
+  /** Run a Spark-SQL (ANSI) query against the registered datasets —
+    * interop escape hatch: every registered dataset is exposed as a
+    * temp view, so users get Spark's full SQL surface (window
+    * functions, grouping sets, …) alongside the dialect. */
+  def sparkSql(sql: String): DataFrame = {
+    datasets.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    spark.sql(sql)
+  }
+
   // ---- functions (/v1/functions) ------------------------------------------
 
   private val functions = TrieMap[String, DataFrame => DataFrame]()

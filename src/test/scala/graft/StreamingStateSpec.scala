@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.operators.StatsTable
+import graft.streaming.Continuous
+
+class StreamingStateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("windowed aggregation totals equal batch group-by") {
+    val ev = Tables.events(spark, sf)
+    val win = Continuous.windowedAgg(ev, "ts", "event_type", "value",
+      windowLen = "6 hours", watermark = "1 hour")
+    // over a batch input, windowed sums partition the total exactly
+    val winTotal = win.agg(sum("n"), round(sum("total"), 2)).head()
+    val batch = ev.agg(count(lit(1)), round(sum("value"), 2)).head()
+    assert(winTotal.getLong(0) === batch.getLong(0))
+    assert(winTotal.getDouble(1) === batch.getDouble(1))
+    // windows align to the 6h grid
+    val misaligned = win.filter(
+      unix_timestamp(col("window_start")) % (6 * 3600) =!= 0).count()
+    assert(misaligned === 0)
+  }
+
+  test("stateful sessionize matches the window-based sessionizer") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
+        col("value"))
+      .as[Continuous.SessionEvent]
+    val gap = 86400000000L // 1 day, matches q39
+    val sessions = Continuous.sessionize(ev, gap).cache()
+    // same session count as the SQL/window formulation (q39 logic)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+    val viaWindow = Tables.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new", when(col("prev").isNull ||
+        col("us") - col("prev") > gap, 1).otherwise(0))
+      .agg(sum("new")).head().getLong(0)
+    assert(sessions.count() === viaWindow)
+    // event conservation
+    assert(sessions.agg(sum("nEvents")).head().getLong(0) ===
+      Tables.events(spark, sf).count())
+    // sessions respect the gap internally and between consecutive ones
+    val bad = sessions.filter(col("endMicros") < col("startMicros")).count()
+    assert(bad === 0)
+  }
+
+  test("statsTable getCounts on new data with cold-start zeros") {
+    import spark.implicits._
+    val trained = StatsTable.table(Tables.events(spark, sf), "event_type",
+      col("value") > 100)
+    val fresh = Seq("click", "error", "brand_new_type").toDF("event_type")
+    val out = StatsTable.getCounts(fresh, trained, "event_type").collect()
+    val byType = out.map(r => r.getString(0) ->
+      (r.getAs[Long]("trials"), r.getAs[Long]("successes"))).toMap
+    assert(byType("brand_new_type") === ((0L, 0L)))
+    assert(byType("click")._1 > 0)
+  }
+}
