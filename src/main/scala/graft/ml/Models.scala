@@ -148,6 +148,34 @@ object Models {
     new Pipeline().setStages(Array(asm, lr)).fit(scored)
   }
 
+  /** `classifier.explain` (`plugins/jml/classifier.cc:1496-1502`): for
+    * a glz (logistic) model, per-feature contribution = weight_i ·
+    * x_i (standardized space), plus the bias — the additive
+    * explanation of the raw score. Returns one map column
+    * feature→contribution. */
+  def classifierExplain(model: PipelineModel, df: DataFrame,
+      featureCols: Seq[String]): DataFrame = {
+    val lr = model.stages.last match {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
+      case other => throw new IllegalArgumentException(
+        s"explain supports glz (logistic) models, got ${other.getClass.getSimpleName}")
+    }
+    val weights = lr.coefficients.toArray
+    val scaler = model.stages.collectFirst {
+      case s: org.apache.spark.ml.feature.StandardScalerModel => s
+    }
+    val (means, stds) = scaler match {
+      case Some(s) => (s.mean.toArray, s.std.toArray)
+      case None => (Array.fill(weights.length)(0.0), Array.fill(weights.length)(1.0))
+    }
+    val contribs = featureCols.zipWithIndex.map { case (c, i) =>
+      val scaled = (col(c) - means(i)) / (if (stds(i) == 0) 1.0 else stds(i))
+      struct(lit(c).as("feature"), (scaled * weights(i)).as("contribution"))
+    }
+    df.withColumn("bias", lit(lr.intercept))
+      .withColumn("explanation", map_from_entries(array(contribs: _*)))
+  }
+
   /** `classifier.experiment` (`plugins/jml/experiment_procedure.cc:618`):
     * k-fold train/test loop over deterministic hash splits; returns one
     * row of metrics per fold. */

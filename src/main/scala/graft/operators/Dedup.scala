@@ -17,16 +17,17 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
 object Dedup {
 
   /** Exact dedup on a normalized content hash. Keeps the row with the
-    * smallest `idCol` per duplicate group. One shuffle on the 128-bit
-    * hash — at 100 TB this is a standard hash-partitioned
-    * dropDuplicates; AQE handles skew (identical boilerplate docs →
-    * few hot keys, but the combine is map-side). */
+    * smallest `idCol` per duplicate group, via `min_by` aggregation
+    * rather than a window: min_by is partial-aggregatable, so each map
+    * task pre-collapses its duplicates and the shuffle carries at most
+    * one row per (hash, partition) — the window formulation shuffles
+    * EVERY row then sorts. Hot keys (mass-duplicated boilerplate)
+    * collapse map-side for the same reason. */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
-    docs.withColumn("__h", T.normalizedHash(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__h", "__rn")
+    val allCols = struct(docs.columns.map(col): _*)
+    docs.groupBy(T.normalizedHash(col(textCol)).as("__h"))
+      .agg(min_by(allCols, col(idCol)).as("__row"))
+      .select(docs.columns.map(c => col(s"__row.$c").as(c)): _*)
   }
 
   /** Candidate near-duplicate pairs via MinHash-LSH banding.
@@ -64,8 +65,24 @@ object Dedup {
         Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // Stage 3: verify each candidate once with true shingle Jaccard.
-    cand
+    // Stage 3a: cheap prefilter on the minhash-ESTIMATED jaccard
+    // (fraction of agreeing signature components, std error ~1/sqrt(k))
+    // — signatures are k longs vs ~100-string shingle arrays, so this
+    // join moves far less data and discards hopeless candidates before
+    // the exact set arithmetic. Margin 3/sqrt(k) keeps recall ≈ 1.
+    val margin = 3.0 / math.sqrt(k.toDouble)
+    val sigs = base.select(col("id"), col("sig"))
+    val prefiltered = cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / k)
+      .filter(col("est") >= threshold - margin)
+      .select(col("id_a"), col("id_b"))
+    // Stage 3b: exact shingle-Jaccard verification of the survivors.
+    prefiltered
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

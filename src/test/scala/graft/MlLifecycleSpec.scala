@@ -50,6 +50,23 @@ class MlLifecycleSpec extends AnyFunSuite {
     assert(a.join(b, Seq("vec_id", "prediction")).count() === a.count())
   }
 
+  test("classifier.explain: contributions + bias reproduce the raw score") {
+    val feats = (0 until 8).map(i => s"f_$i")
+    val model = Models.classifierTrain(features, feats, "y", "glz")
+    val explained = Models.classifierExplain(model, features, feats)
+    val scored = model.transform(features)
+      .select(col("vec_id"), col("rawPrediction"))
+    val check = explained
+      .withColumn("score_from_explain",
+        aggregate(map_values(col("explanation")), lit(0.0), (a, x) => a + x)
+          + col("bias"))
+      .join(scored, Seq("vec_id"))
+      .withColumn("raw1", element_at(
+        org.apache.spark.ml.functions.vector_to_array(col("rawPrediction")), 2))
+      .filter(abs(col("score_from_explain") - col("raw1")) > 1e-6)
+    assert(check.count() === 0)
+  }
+
   test("sql.query function: broadcast lookup application") {
     val e = new GraftEngine(spark)
     e.createDatasetFromParquet("nation", s"$sf/nation.parquet")
