@@ -12,6 +12,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 final class GraftEngine(val spark: SparkSession) {
 
+  // engine sessions always run with the dialect's semantics: ANSI off
+  // (wrapping hash arithmetic), UTC, nanos-tolerant parquet reads —
+  // without this, registering a TIMESTAMP(NANOS) parquet (e.g. the
+  // events table) throws PARQUET_TYPE_ILLEGAL.
+  graft.core.Tables.tune(spark)
+
   // ---- datasets (/v1/datasets) --------------------------------------------
 
   private val datasets = TrieMap[String, DataFrame]()

@@ -1,0 +1,72 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{GraftEngine, RestServer}
+
+class RestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET.build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("REST façade: /v1 query, datasets, functions, transform") {
+    val engine = new GraftEngine(spark)
+    engine.createDatasetFromParquet("region", s"$sf/region.parquet")
+    engine.createDatasetFromParquet("nation", s"$sf/nation.parquet")
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      // list datasets
+      val (c1, b1) = get(port, "/v1/datasets")
+      assert(c1 === 200 && b1 === """["nation","region"]""")
+      // query with url-encoded dialect SQL
+      val q = java.net.URLEncoder.encode(
+        "SELECT r_name, count(*) AS n FROM nation JOIN region " +
+          "ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+        "UTF-8")
+      val (c2, b2) = get(port, s"/v1/query?q=$q")
+      assert(c2 === 200)
+      assert(b2.contains(""""r_name":"AFRICA"""") && b2.contains(""""n":5"""))
+      // sample a dataset
+      val (c3, b3) = get(port, "/v1/datasets/region?limit=2")
+      assert(c3 === 200 && b3.contains("r_regionkey"))
+      // register via PUT
+      val put = client.send(HttpRequest
+        .newBuilder(URI.create(
+          s"http://127.0.0.1:$port/v1/datasets/customer?path=" +
+            java.net.URLEncoder.encode(s"$sf/customer.parquet", "UTF-8")))
+        .PUT(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(put.statusCode() === 200)
+      assert(get(port, "/v1/datasets")._2.contains("customer"))
+      // transform procedure via POST
+      val post = client.send(HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:$port/v1/procedures/transform"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"inputQuery": "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey", "outputDataset": "per_region"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() === 200 && post.body().contains("\"rowCount\": 5"))
+      assert(get(port, "/v1/datasets/per_region")._1 === 200)
+      // errors: unknown dataset → 404; missing q → 400
+      assert(get(port, "/v1/datasets/nope")._1 === 404)
+      assert(get(port, "/v1/query")._1 === 400)
+    } finally srv.stop()
+  }
+}
