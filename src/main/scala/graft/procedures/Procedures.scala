@@ -24,6 +24,20 @@ object Procedures {
       .parquet(outPath)
   }
 
+  /** `transform` into a BUCKETED table: pre-partitions the data by the
+    * join/aggregation key so later equi-joins and groupBys between
+    * co-bucketed tables run with NO shuffle at all — the core
+    * at-100-TB layout decision for fact tables that join repeatedly on
+    * the same key. Verified shuffle-free in ProceduresSpec. */
+  def transformBucketed(result: DataFrame, tableName: String,
+      bucketCols: Seq[String], buckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    result.write.mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** `split` (`builtin/datasetsplit_procedure.cc:302`): deterministic
     * train/test split. With `stratifyBy`, per-stratum hash split so
     * label distributions match across folds (the reference's

@@ -77,6 +77,30 @@ class ProceduresSpec extends AnyFunSuite {
     assert(far === 0)
   }
 
+  test("bucketed tables join without a shuffle") {
+    val s2 = spark
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Procedures.transformBucketed(Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity"), "b_lineitem", Seq("l_orderkey"), 8)
+      Procedures.transformBucketed(Tables.orders(spark, sf)
+        .select("o_orderkey", "o_totalprice"), "b_orders", Seq("o_orderkey"), 8)
+      val joined = s2.table("b_lineitem")
+        .join(s2.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() === Tables.lineitem(spark, sf).count())
+    } finally {
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s2.sql("DROP TABLE IF EXISTS b_lineitem")
+      s2.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
   test("continuous dataset: stream-record then window read with pruning") {
     val base = Files.createTempDirectory("graft_stream").toString
     val events = Tables.events(spark, sf)

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{MathFunctions => M, TextFunctions => T, VectorFunctions => V}
+
+/** Property-based invariants over randomly generated inputs — the
+  * layer the reference's test pyramid lacks entirely (SURVEY §5 "no
+  * property-based testing"). Each property round-trips through a real
+  * Spark job, so it also fuzzes the expression implementations
+  * (native Catalyst hash/vector expressions included).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** deterministic mini-forAll: n samples from fixed seeds, so
+    * failures are reproducible run to run. */
+  private def forSamples[A](g: Gen[A], n: Int = 10)(f: A => Unit): Unit =
+    (0 until n).foreach(i =>
+      f(g.pureApply(Gen.Parameters.default, Seed(i.toLong))))
+
+  private def forSamples2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 10)(
+      f: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(ga.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+        gb.pureApply(Gen.Parameters.default, Seed(1000L + i)))
+    }
+
+  private val textGen: Gen[String] = Gen.listOfN(30,
+    Gen.oneOf("spark", "data", "row", "the", "fast", "merge", "x", "a b", ""))
+    .map(_.mkString(" "))
+
+  test("jaccard is symmetric, bounded, and 1 on self") {
+    forSamples2(textGen, textGen) { (a: String, b: String) =>
+      import spark.implicits._
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        T.jaccardTokens(col("a"), col("b")).as("ab"),
+        T.jaccardTokens(col("b"), col("a")).as("ba"),
+        T.jaccardTokens(col("a"), col("a")).as("aa")).head()
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(2) === 1.0)
+    }
+  }
+
+  test("simhash of identical text is identical; hamming bounded by 64") {
+    forSamples2(textGen, textGen) { (a: String, b: String) =>
+      import spark.implicits._
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        T.hamming64(T.simHash64(col("a")), T.simHash64(col("a"))).as("self"),
+        T.hamming64(T.simHash64(col("a")), T.simHash64(col("b"))).as("cross")).head()
+      assert(r.getInt(0) === 0)
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 64)
+    }
+  }
+
+  test("minhash estimated jaccard tracks true jaccard within 3/sqrt(k)") {
+    forSamples2(textGen, textGen) { (a: String, b: String) =>
+      if (a.trim.nonEmpty && b.trim.nonEmpty) {
+        import spark.implicits._
+        val k = 64
+        val df = Seq((a, b)).toDF("a", "b")
+        val r = df.select(
+          T.jaccardShingles(col("a"), col("b"), 2).as("true_j"),
+          (aggregate(zip_with(
+            T.minHashSignature(col("a"), k, 2),
+            T.minHashSignature(col("b"), k, 2),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+            lit(0.0), (acc, x) => acc + x) / k).as("est_j")).head()
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 3.0 / math.sqrt(k) + 0.05)
+      }
+    }
+  }
+
+  test("Wilson bounds bracket p and stay in [0,1]") {
+    forSamples2(Gen.choose(1L, 100000L), Gen.choose(0.0, 1.0), 20) { (t: Long, frac: Double) =>
+      val s = math.min(t, math.round(t * frac))
+      import spark.implicits._
+      val r = Seq((t, s)).toDF("t", "s").select(
+        M.binomialLb80(col("t"), col("s")).as("lb"),
+        M.binomialUb80(col("t"), col("s")).as("ub"),
+        (col("s") / col("t")).as("p")).head()
+      val (lb, ub, p) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(lb <= p + 1e-12 && p <= ub + 1e-12)
+      assert(lb >= -1e-12 && ub <= 1 + 1e-12)
+    }
+  }
+
+  test("vector norms: triangle inequality and scaling") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-100.0, 100.0))
+    forSamples2(vecGen, vecGen) { (a: List[Double], b: List[Double]) =>
+      import spark.implicits._
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        V.norm(V.vectorSum(col("a"), col("b"))).as("nab"),
+        (V.norm(col("a")) + V.norm(col("b"))).as("sum"),
+        V.norm(V.scale(col("a"), lit(3.0))).as("scaled"),
+        V.norm(col("a")).as("na")).head()
+      assert(r.getDouble(0) <= r.getDouble(1) + 1e-9)
+      assert(math.abs(r.getDouble(2) - 3.0 * r.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("parser handles arbitrary integer-arithmetic expressions like BigInt") {
+    val litGen = Gen.choose(-1000L, 1000L)
+    forSamples2(litGen, Gen.zip(litGen, litGen)) { case (x, (y, z)) =>
+      if (z != 0) {
+        import spark.implicits._
+        val got = graft.sql.GraftSql.queryTables(spark, _ => Seq(1).toDF("one"),
+          s"SELECT ($x + $y) * 2 - ($x % $z) AS v").head().getLong(0)
+        assert(got === (x + y) * 2 - (x % z))
+      }
+    }
+  }
+}
