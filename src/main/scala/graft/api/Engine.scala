@@ -38,9 +38,12 @@ final class GraftEngine(val spark: SparkSession) {
 
   // ---- queries (/v1/query?q=…) --------------------------------------------
 
-  /** Run an MLDB-dialect query against the registered datasets. */
+  /** Run an MLDB-dialect query against the registered datasets.
+    * Registered sql.expression functions are callable inside the
+    * query as `name({arg: expr, …})[output]` (macro expansion). */
   def query(sql: String): DataFrame =
-    graft.sql.GraftSql.queryTables(spark, dataset, sql)
+    graft.sql.GraftSql.queryTables(spark, dataset, sql,
+      macros = sqlMacros.toMap)
 
   /** Run a Spark-SQL (ANSI) query against the registered datasets —
     * interop escape hatch: every registered dataset is exposed as a
@@ -54,6 +57,8 @@ final class GraftEngine(val spark: SparkSession) {
   // ---- functions (/v1/functions) ------------------------------------------
 
   private val functions = TrieMap[String, DataFrame => DataFrame]()
+  private val sqlMacros =
+    TrieMap[String, Seq[graft.sql.Ast.SelectItem]]()
 
   /** Register an appliable function (the general row→row transform —
     * trained models register their `.transform` here). */
@@ -67,6 +72,7 @@ final class GraftEngine(val spark: SparkSession) {
     * no UDF). */
   def createSqlExpressionFunction(name: String, selectBody: String): Unit = {
     val stmt = graft.sql.Parser.parse(s"SELECT $selectBody")
+    sqlMacros(name) = stmt.items
     functions(name) = df =>
       graft.sql.Lowering.run(
         graft.sql.Lowering.Context(spark, _ => df),

@@ -51,6 +51,17 @@ object Procedures {
     (df.filter(bucket >= cut), df.filter(bucket < cut))
   }
 
+  /** md5-based split variant: identical assignment in any engine with
+    * a standard md5 (granularity 1/16 via the first hex digit) — used
+    * where the split must be reproduced outside Spark, e.g. by an
+    * external labeling system or a SQL-only consumer. */
+  def splitMd5(df: DataFrame, keyCol: String,
+      testHexDigits: Seq[String] = Seq("0", "1", "2")): (DataFrame, DataFrame) = {
+    val digit = substring(md5(col(keyCol).cast("string")), 1, 1)
+    (df.filter(!digit.isin(testHexDigits: _*)),
+      df.filter(digit.isin(testHexDigits: _*)))
+  }
+
   /** `summary.statistics` (`builtin/summary_statistics_proc.cc:516`):
     * per-numeric-column min/max/mean/stddev/count/nulls/approx
     * quantiles, computed in ONE pass over the data (single aggregate,

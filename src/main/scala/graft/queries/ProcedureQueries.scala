@@ -82,11 +82,22 @@ object ProcedureQueries {
         .select(col("column_name"), col("stat"), round(col("value"), 4).as("value"))
     },
 
-    // --- deterministic hash split (rows-only: xxhash64 is Spark-side) ---
-    QueryDef.rowsOnly("q54_split") { (s, d) =>
-      val (train, test) = Procedures.split(Tables.orders(s, d), "o_orderkey", 0.2)
-      val a = train.agg(count(lit(1)).as("n")).select(lit("train").as("fold"), col("n"))
-      val b = test.agg(count(lit(1)).as("n")).select(lit("test").as("fold"), col("n"))
+    // --- deterministic cross-engine split (md5 first hex digit) ---
+    QueryDef("q54_split",
+      """SELECT 'test' AS fold, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2')
+        |UNION ALL
+        |SELECT 'train' AS fold, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) NOT IN ('0','1','2')""".stripMargin) { (s, d) =>
+      val (train, test) = Procedures.splitMd5(Tables.orders(s, d), "o_orderkey")
+      val a = train.agg(count(lit(1)).as("n"), sum("o_custkey").as("key_sum"))
+        .select(lit("train").as("fold"), col("n"), col("key_sum"))
+      val b = test.agg(count(lit(1)).as("n"), sum("o_custkey").as("key_sum"))
+        .select(lit("test").as("fold"), col("n"), col("key_sum"))
       a.unionByName(b)
     },
 

@@ -30,6 +30,12 @@ object Ast {
   final case class Binary(op: String, l: Expr, r: Expr) extends Expr
   final case class FnCall(name: String, args: Seq[Expr],
       star: Boolean = false) extends Expr
+  /** Appliable-function call `name({a: x, b: y})[out]`
+    * (`doc/builtin/sql/ValueExpression.md:244-296`): apply the named
+    * user function to the argument row, read output column `out`
+    * (None = all outputs as a struct). */
+  final case class FnApply(name: String, args: Seq[(String, Expr)],
+      output: Option[String]) extends Expr
   final case class CaseWhen(operand: Option[Expr],
       branches: Seq[(Expr, Expr)], orElse: Option[Expr]) extends Expr
   final case class CastExpr(e: Expr, to: String) extends Expr

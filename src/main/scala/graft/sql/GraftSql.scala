@@ -23,8 +23,10 @@ object GraftSql {
 
   /** Query over an arbitrary table resolver (the dataset registry). */
   def queryTables(spark: SparkSession, tables: String => DataFrame,
-      sql: String, params: Map[String, Any] = Map.empty): DataFrame =
-    Lowering.run(Lowering.Context(spark, tables, params), Parser.parse(sql))
+      sql: String, params: Map[String, Any] = Map.empty,
+      macros: Map[String, Seq[Ast.SelectItem]] = Map.empty): DataFrame =
+    Lowering.run(Lowering.Context(spark, tables, params, macros),
+      Parser.parse(sql))
 
   /** Parameterized query: `$name` placeholders bound from `params`. */
   def query(spark: SparkSession, dir: String, sql: String,

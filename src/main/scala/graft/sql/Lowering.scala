@@ -29,7 +29,8 @@ import graft.functions.{MathFunctions => M, TextFunctions => T, VectorFunctions 
 object Lowering {
 
   final case class Context(spark: SparkSession, tables: String => DataFrame,
-      params: Map[String, Any] = Map.empty)
+      params: Map[String, Any] = Map.empty,
+      macros: Map[String, Seq[SelectItem]] = Map.empty)
 
   /** One FROM-scope frame: optional alias + the DataFrame. */
   private final case class Scope(frames: Seq[(Option[String], DataFrame)]) {
@@ -46,6 +47,7 @@ object Lowering {
 
   def run(ctx: Context, stmt: Select): DataFrame = {
     currentParams = ctx.params
+    currentMacros = ctx.macros
     lowerSelect(ctx, stmt)
   }
 
@@ -98,8 +100,53 @@ object Lowering {
   // ---- expression lowering -------------------------------------------------
 
   private var currentParams: Map[String, Any] = Map.empty
+  private var currentMacros: Map[String, Seq[SelectItem]] = Map.empty
+
+  /** substitute argument names for expressions inside a macro body. */
+  private def substitute(e: Expr, args: Map[String, Expr]): Expr = e match {
+    case Ident(Seq(n)) if args.contains(n) => args(n)
+    case FnCall(n, as, st) => FnCall(n, as.map(substitute(_, args)), st)
+    case FnApply(n, as, o) =>
+      FnApply(n, as.map { case (k, v) => k -> substitute(v, args) }, o)
+    case Binary(op, l, r) => Binary(op, substitute(l, args), substitute(r, args))
+    case Unary(op, x) => Unary(op, substitute(x, args))
+    case CaseWhen(op, br, oe) => CaseWhen(op.map(substitute(_, args)),
+      br.map(b => (substitute(b._1, args), substitute(b._2, args))),
+      oe.map(substitute(_, args)))
+    case CastExpr(x, t) => CastExpr(substitute(x, args), t)
+    case Between(x, lo, hi, n) => Between(substitute(x, args),
+      substitute(lo, args), substitute(hi, args), n)
+    case InList(x, items, n) =>
+      InList(substitute(x, args), items.map(substitute(_, args)), n)
+    case IsNull(x, n) => IsNull(substitute(x, args), n)
+    case LikeExpr(x, p, n) => LikeExpr(substitute(x, args), substitute(p, args), n)
+    case ArrayLit(items) => ArrayLit(items.map(substitute(_, args)))
+    case StructLit(fs) => StructLit(fs.map { case (k, v) => k -> substitute(v, args) })
+    case other => other
+  }
 
   private def lowerExpr(scope: Scope, e: Expr): Column = e match {
+    case FnApply(name, args, output) => currentMacros.get(name) match {
+      case Some(items) =>
+        val argMap = args.toMap
+        def itemFor(out: String): Expr = items.zipWithIndex.collectFirst {
+          case (it, i) if it.alias.contains(out) => it.e
+          case (it @ SelectItem(Ident(parts), None), _) if parts.last == out => it.e
+        }.getOrElse(throw new IllegalArgumentException(
+          s"function $name has no output '$out'"))
+        output match {
+          case Some(out) => lowerExpr(scope, substitute(itemFor(out), argMap))
+          case None if items.size == 1 =>
+            lowerExpr(scope, substitute(items.head.e, argMap))
+          case None => struct(items.zipWithIndex.map { case (it, i) =>
+            lowerExpr(scope, substitute(it.e, argMap))
+              .as(it.alias.getOrElse(s"_c$i"))
+          }: _*)
+        }
+      case None => throw new IllegalArgumentException(
+        s"unknown appliable function '$name' (register with " +
+          "createSqlExpressionFunction)")
+    }
     case Param(name) => currentParams.get(name) match {
       case Some(v) => lit(v)
       case None => throw new IllegalArgumentException(s"unbound parameter $$$name")

@@ -406,7 +406,17 @@ final class Parser(tokens: Vector[Token]) {
             expectOp(")")
             val fn = if (distinct) s"${name.toLowerCase}_distinct"
                      else name.toLowerCase
-            FnCall(fn, args)
+            // appliable-function syntax: name({row})[output]
+            (args, peek) match {
+              case (Seq(StructLit(fields)), TOp("[", _)) =>
+                p += 1
+                val out = parseIdentName()
+                expectOp("]")
+                FnApply(name, fields, Some(out))
+              case (Seq(StructLit(fields)), _) if !distinct =>
+                FnApply(name, fields, None)
+              case _ => FnCall(fn, args)
+            }
           }
         } else {
           // dotted path a.b.c

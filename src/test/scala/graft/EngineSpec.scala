@@ -47,6 +47,33 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getString(2) === orig.getAs[String]("c_mktsegment").toUpperCase)
   }
 
+  test("appliable-function syntax name({args})[output] expands macros in queries") {
+    val e = new GraftEngine(spark)
+    e.createDatasetFromParquet("customer", s"$sf/customer.parquet")
+    e.createSqlExpressionFunction("score",
+      "bal / 1000 AS kilo, upper(seg) AS segment")
+    val rows = e.query(
+      """SELECT c_custkey,
+        |  score({bal: c_acctbal, seg: c_mktsegment})[kilo] AS kilo,
+        |  score({bal: c_acctbal, seg: c_mktsegment})[segment] AS seg_up,
+        |  score({bal: c_acctbal, seg: c_mktsegment}) AS both
+        |FROM customer ORDER BY c_custkey LIMIT 3""".stripMargin).collect()
+    val orig = graft.core.Tables.customer(spark, sf)
+      .orderBy(col("c_custkey")).limit(3).collect()
+    rows.zip(orig).foreach { case (r, o) =>
+      assert(r.getAs[Double]("kilo") === o.getAs[Double]("c_acctbal") / 1000)
+      assert(r.getAs[String]("seg_up") ===
+        o.getAs[String]("c_mktsegment").toUpperCase)
+      val both = r.getAs[org.apache.spark.sql.Row]("both")
+      assert(both.getAs[Double]("kilo") === o.getAs[Double]("c_acctbal") / 1000)
+    }
+    // unknown function → clear error
+    val err = intercept[IllegalArgumentException] {
+      e.query("SELECT nope({x: 1})[y] AS v FROM customer").collect()
+    }
+    assert(err.getMessage.contains("unknown appliable function"))
+  }
+
   test("stemmer approximates common inflections") {
     import spark.implicits._
     val df = Seq("running", "parties", "classes", "jumped", "cats", "bus", "is")
