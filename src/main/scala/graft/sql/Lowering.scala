@@ -92,6 +92,31 @@ object Lowering {
         }.getOrElse(0.1)
         val s = df.sample(withReplacement = false, frac, seed = 42L)
         (s, Scope(Seq(None -> s)))
+      case "row_dataset" | "atom_dataset" =>
+        // one row per atom of the argument row literal
+        // (`sql/table_expression_operations.cc:660-780`): columns
+        // (column, value). Value type: common numeric type if every
+        // atom is numeric, else string.
+        val fields = args match {
+          case Seq(StructLit(fs)) => fs
+          case _ => throw new IllegalArgumentException(
+            "row_dataset expects a row literal {a: 1, b: 2}")
+        }
+        val emptyScope = Scope(Nil)
+        val allNumeric = fields.forall {
+          case (_, NumLit(_, _)) => true
+          case (_, Unary("-", NumLit(_, _))) => true
+          case _ => false
+        }
+        val castTo = if (allNumeric) "double" else "string"
+        val cells = fields.map { case (n, v) =>
+          struct(lit(n).as("column"),
+            lowerExpr(emptyScope, v).cast(castTo).as("value"))
+        }
+        val df = ctx.spark.range(1)
+          .select(explode(array(cells: _*)).as("cell"))
+          .select(col("cell.column").as("column"), col("cell.value").as("value"))
+        (df, Scope(Seq(None -> df)))
       case other =>
         throw new IllegalArgumentException(s"unsupported table function $other")
     }
@@ -455,8 +480,17 @@ object Lowering {
     val filtered = stmt.when.map(w => filtered0.filter(lowerExpr(scope, w)))
       .getOrElse(filtered0)
 
-    val isAggregated = stmt.groupBy.nonEmpty ||
-      stmt.items.exists(i => containsAgg(i.e)) || stmt.having.exists(containsAgg)
+    // GROUP BY may reference select aliases (GROUP BY bucket): rewrite
+    // such idents to the aliased expression before lowering
+    val aliasMap: Map[String, Expr] = stmt.items.collect {
+      case SelectItem(e, Some(a)) if !e.isInstanceOf[Star] => a -> e
+    }.toMap
+    val stmtG = stmt.copy(groupBy = stmt.groupBy.map {
+      case Ident(Seq(n)) if aliasMap.contains(n) => aliasMap(n)
+      case g => g
+    })
+    val isAggregated = stmtG.groupBy.nonEmpty ||
+      stmtG.items.exists(i => containsAgg(i.e)) || stmtG.having.exists(containsAgg)
 
     val projected: DataFrame = if (!isAggregated) {
       var out = filtered
@@ -521,7 +555,7 @@ object Lowering {
       val aggMap = scala.collection.mutable.LinkedHashMap[FnCall, String]()
       val rewrittenItems = stmt.items.map(i => i.copy(e = extractAggs(i.e, aggMap)))
       val rewrittenHaving = stmt.having.map(extractAggs(_, aggMap))
-      val keyCols = stmt.groupBy.zipWithIndex.map { case (g, i) =>
+      val keyCols = stmtG.groupBy.zipWithIndex.map { case (g, i) =>
         lowerExpr(scope, g).as(s"__key$i")
       }
       val aggCols = aggMap.map { case (f, n) => lowerAggCall(scope, f).as(n) }.toSeq
@@ -530,7 +564,7 @@ object Lowering {
       val grouped = filtered.groupBy(keyCols: _*)
         .agg(aggCols.head, aggCols.tail: _*)
       // outer scope: keys referenced via their original expression ASTs
-      val keyLookup: Map[Expr, Column] = stmt.groupBy.zipWithIndex.map {
+      val keyLookup: Map[Expr, Column] = stmtG.groupBy.zipWithIndex.map {
         case (g, i) => (g, col(s"__key$i"))
       }.toMap
       val outScope = Scope(Seq(None -> grouped))

@@ -176,7 +176,8 @@ final class Parser(tokens: Vector[Token]) {
 
   // ---- FROM / table expressions -------------------------------------------
 
-  private val tableFns = Set("transpose", "merge", "sample", "union")
+  private val tableFns =
+    Set("transpose", "merge", "sample", "union", "row_dataset", "atom_dataset")
 
   def parseTable(): TableExpr = {
     var left = parseTablePrimary()

@@ -164,6 +164,27 @@ class SqlSpec extends AnyFunSuite {
     assert(n2 === expect2 && n1 + n2 < graft.core.Tables.orders(spark, sf).count())
   }
 
+  test("row_dataset turns a row literal into a (column, value) table") {
+    val rows = q("""SELECT "column", value FROM row_dataset({a: 1, b: 2.5, c: 7})
+                   |ORDER BY "column"""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("a", 1.0), ("b", 2.5), ("c", 7.0)))
+    val mixed = q("""SELECT count(*) AS n FROM row_dataset({x: 'hi', y: 3})""")
+      .head().getLong(0)
+    assert(mixed === 2)
+  }
+
+  test("GROUP BY can reference a select alias") {
+    val rows = q(
+      """SELECT CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS bucket,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(0)).toSeq === Seq("hi", "lo"))
+    assert(rows.map(_.getLong(1)).sum ===
+      graft.core.Tables.lineitem(spark, sf).count())
+  }
+
   test("$param bound parameters substitute literals") {
     val n = GraftSql.query(spark, sf,
       """SELECT count(*) AS n FROM customer
