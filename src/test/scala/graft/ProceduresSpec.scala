@@ -120,6 +120,6 @@ class ProceduresSpec extends AnyFunSuite {
     assert(expected > 0)
     // partition pruning visible in the plan
     val plan = win.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(p_hour"))
+    assert(plan.contains("PartitionFilters: [isnotnull(p_date"))
   }
 }
