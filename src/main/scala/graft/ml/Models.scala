@@ -1,7 +1,8 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LogisticRegression, NaiveBayes, RandomForestClassifier}
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LinearSVC, LogisticRegression, NaiveBayes, OneVsRest, RandomForestClassifier}
+import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.ml.clustering.{GaussianMixture, KMeans}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.feature.{CountVectorizer, IDF, PCA, RegexTokenizer, StandardScaler, VectorAssembler}
@@ -65,12 +66,77 @@ object Models {
         .setMaxIter(30).setSeed(seed)
       case "naive_bayes" => new NaiveBayes()
         .setLabelCol(labelCol).setFeaturesCol("features")
+      case "svm" => new LinearSVC()
+        .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(50)
       case other => throw new IllegalArgumentException(
-        s"unknown classifier type '$other' (expect glz|dt|bagging|boosting|naive_bayes)")
+        s"unknown classifier type '$other' (expect glz|dt|bagging|boosting|naive_bayes|svm)")
     }
-    val standardize = algorithm == "glz"
+    val standardize = algorithm == "glz" || algorithm == "svm"
     new Pipeline().setStages((assembler(featureCols, standardize) :+ clf).toArray)
       .fit(train)
+  }
+
+  /** `classifier.train` mode = categorical (`classifier.cc:62` — P(category)
+    * per class, single label). Algorithms that are natively multiclass in
+    * MLlib (dt, bagging/RF, naive_bayes, glz via multinomial) train
+    * directly; binary-only ones (boosting/GBT, svm) go through one-vs-all
+    * decomposition — the reference's strategy for the same case. */
+  def classifierTrainCategorical(train: DataFrame, featureCols: Seq[String],
+      labelCol: String, algorithm: String = "glz", seed: Long = 42L): PipelineModel = {
+    val clf = algorithm match {
+      case "glz" => new LogisticRegression() // multinomial when >2 classes
+        .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(50)
+      case "dt" => new DecisionTreeClassifier()
+        .setLabelCol(labelCol).setFeaturesCol("features").setSeed(seed)
+      case "bagging" => new RandomForestClassifier()
+        .setLabelCol(labelCol).setFeaturesCol("features")
+        .setNumTrees(50).setSeed(seed)
+      case "naive_bayes" => new NaiveBayes()
+        .setLabelCol(labelCol).setFeaturesCol("features")
+      case "boosting" => new OneVsRest().setClassifier(
+        new GBTClassifier().setMaxIter(20).setSeed(seed))
+        .setLabelCol(labelCol).setFeaturesCol("features")
+      case "svm" => new OneVsRest().setClassifier(
+        new LinearSVC().setMaxIter(50))
+        .setLabelCol(labelCol).setFeaturesCol("features")
+      case other => throw new IllegalArgumentException(
+        s"unknown categorical classifier type '$other'")
+    }
+    val standardize = algorithm == "glz" || algorithm == "svm"
+    new Pipeline().setStages((assembler(featureCols, standardize) :+ clf).toArray)
+      .fit(train)
+  }
+
+  /** `classifier.train` mode = regression (`classifier.cc:60` — predicting
+    * real values). Same algorithm names, regressor implementations. */
+  def regressionTrain(train: DataFrame, featureCols: Seq[String],
+      labelCol: String, algorithm: String = "glz", seed: Long = 42L): PipelineModel = {
+    val reg = algorithm match {
+      case "glz" => new LinearRegression()
+        .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(100)
+      case "dt" => new DecisionTreeRegressor()
+        .setLabelCol(labelCol).setFeaturesCol("features").setSeed(seed)
+      case "bagging" => new RandomForestRegressor()
+        .setLabelCol(labelCol).setFeaturesCol("features")
+        .setNumTrees(50).setSeed(seed)
+      case "boosting" => new GBTRegressor()
+        .setLabelCol(labelCol).setFeaturesCol("features")
+        .setMaxIter(30).setSeed(seed)
+      case other => throw new IllegalArgumentException(
+        s"unknown regression type '$other' (expect glz|dt|bagging|boosting)")
+    }
+    new Pipeline().setStages((assembler(featureCols, standardize = false) :+ reg).toArray)
+      .fit(train)
+  }
+
+  /** regression-mode `classifier.test`: (rmse, r2). */
+  def regressionTest(model: PipelineModel, test: DataFrame,
+      labelCol: String): (Double, Double) = {
+    val scored = model.transform(test)
+    val ev = new org.apache.spark.ml.evaluation.RegressionEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction")
+    (ev.setMetricName("rmse").evaluate(scored),
+      ev.setMetricName("r2").evaluate(scored))
   }
 
   /** `classifier.test`: AUC + accuracy of an applied model. */
@@ -182,8 +248,11 @@ object Models {
   def classifierExperiment(df: DataFrame, featureCols: Seq[String],
       labelCol: String, keyCol: String, algorithm: String = "glz",
       folds: Int = 3): Seq[(Int, Double, Double)] = {
+    // One hash partitions the data into k disjoint buckets; bucket i is
+    // fold i's test set. (Re-seeding per fold would give k independent
+    // 1/k subsamples, not a partition.)
+    val bucket = pmod(xxhash64(col(keyCol), lit(42)), lit(folds))
     (0 until folds).map { fold =>
-      val bucket = pmod(xxhash64(col(keyCol), lit(fold)), lit(folds))
       val test = df.filter(bucket === fold)
       val train = df.filter(bucket =!= fold)
       val model = classifierTrain(train, featureCols, labelCol, algorithm)

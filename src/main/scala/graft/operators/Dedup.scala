@@ -103,18 +103,65 @@ object Dedup {
     docs.join(dups, docs(idCol) === col("__dup_id"), "left_anti")
   }
 
+  /** MinHash-LSH dedup with TRANSITIVE closure: a chain A~B~C (A and C
+    * not directly similar) collapses to one keeper, unlike the
+    * single-link `minHashDedup`. Connected components via iterative
+    * min-label propagation over the verified-pairs graph — the graph is
+    * orders of magnitude smaller than the corpus (only near-dup rows
+    * appear), each iteration is one shuffle on the node id, and
+    * convergence takes O(component diameter) ≤ maxIter rounds.
+    * `localCheckpoint` cuts the growing lineage each round so the plan
+    * stays bounded. */
+  def minHashDedupTransitive(docs: DataFrame, textCol: String, idCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.7, maxIter: Int = 20): DataFrame = {
+    val pairs = minHashPairs(docs, textCol, idCol, bands, rowsPerBand,
+      shingleN, threshold).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("id_b"), col("label").as("nbr_label")),
+          Seq("id_b"))
+        .groupBy(col("id_a").as("id")).agg(min(col("nbr_label")).as("nbr_label"))
+      val updated = labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
+        .filter(col("label") =!= col("__old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    val dupIds = labels.filter(col("label") =!= col("id"))
+      .select(col("id").as("__dup_id"))
+    docs.join(dupIds, docs(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates =
     * identical fingerprint (hamming 0) or matching on any of 4
     * 16-bit chunks then hamming ≤ maxHamming (standard simhash
     * chunk-index trick: any pair within hamming 3 of 64 bits must
     * agree on at least one of 4 chunks). */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val withSig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sim", T.simHash64(col("text")))
-    val chunked = withSig.withColumn("chunk", explode(array(
+    val chunked0 = withSig.withColumn("chunk", explode(array(
       (0 until 4).map(i => struct(lit(i).as("i"),
         shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+    // Degenerate-bucket guard (same as minHashPairs): a hot chunk value
+    // — empty docs, shared boilerplate — would otherwise make the
+    // within-bucket pairing quadratic in one task.
+    val chunked = chunked0.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("chunk"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
     val a = chunked.select(col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("chunk")).filter(col("id_a") < col("id_b"))
@@ -126,9 +173,15 @@ object Dedup {
   /** Embedding-cosine near-dup pairs: LSH-bucket on random-hyperplane
     * sign bits, verify cosine within bucket. */
   def embeddingPairs(emb: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
-    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      minCosine: Double = 0.95, nBits: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val withB0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", V.lshBucket(col("v"), nBits))
+    // Hot-bucket guard: near-identical embeddings (zero vectors, padding
+    // artifacts) all land in one hyperplane bucket → quadratic verify.
+    val withB = withB0.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
     val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -147,7 +147,7 @@ object FunctionQueries {
     // --- unary/binary math battery ---
     QueryDef("q32_math_funcs",
       """SELECT l_orderkey, l_linenumber,
-        |  abs(l_quantity - 25) AS v_abs,
+        |  round(abs(l_quantity - 25), 6) AS v_abs,
         |  CAST(ceil(l_discount * 100) AS BIGINT) AS v_ceil,
         |  CAST(floor(l_tax * 100) AS BIGINT) AS v_floor,
         |  round(sqrt(l_quantity), 6) AS v_sqrt,
@@ -155,13 +155,13 @@ object FunctionQueries {
         |  round(ln(l_quantity + 1), 6) AS v_ln,
         |  round(pow(l_quantity, 1.5), 4) AS v_pow,
         |  CAST(l_orderkey % 7 AS BIGINT) AS v_mod,
-        |  sign(l_quantity - 25) AS v_sign,
-        |  greatest(l_quantity, l_discount * 100) AS v_greatest,
-        |  least(l_tax, l_discount) AS v_least
+        |  round(sign(l_quantity - 25), 1) AS v_sign,
+        |  round(greatest(l_quantity, l_discount * 100), 6) AS v_greatest,
+        |  round(least(l_tax, l_discount), 6) AS v_least
         |FROM lineitem WHERE l_orderkey < 300""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
         .select(col("l_orderkey"), col("l_linenumber"),
-          abs(col("l_quantity") - 25).as("v_abs"),
+          round(abs(col("l_quantity") - 25), 6).as("v_abs"),
           ceil(col("l_discount") * 100).as("v_ceil"),
           floor(col("l_tax") * 100).as("v_floor"),
           round(sqrt(col("l_quantity")), 6).as("v_sqrt"),
@@ -169,9 +169,9 @@ object FunctionQueries {
           round(log(col("l_quantity") + 1), 6).as("v_ln"),
           round(pow(col("l_quantity"), 1.5), 4).as("v_pow"),
           (col("l_orderkey") % 7).cast("long").as("v_mod"),
-          signum(col("l_quantity") - 25).as("v_sign"),
-          greatest(col("l_quantity"), col("l_discount") * 100).as("v_greatest"),
-          least(col("l_tax"), col("l_discount")).as("v_least"))
+          round(signum(col("l_quantity") - 25), 1).as("v_sign"),
+          round(greatest(col("l_quantity"), col("l_discount") * 100), 6).as("v_greatest"),
+          round(least(col("l_tax"), col("l_discount")), 6).as("v_least"))
     },
 
     // --- string function battery ---

@@ -23,6 +23,24 @@ object ProcedureQueries {
   private def tmpDir(d: String, tag: String): String =
     s"/tmp/graft_roundtrip_${tag}_${math.abs(d.hashCode)}"
 
+  /** embeddings widened to f_0..f_15 with labels that are known
+    * functions of the features: y = [f_0 + 0.5·f_1 > 0] (binary),
+    * yc = quadrant of (f_0, f_1) (4-class, linearly separable under
+    * multinomial softmax). Lets ML queries carry a real oracle. */
+  private def learnableEmbeddings(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("f", col("embedding").cast("array<double>"))
+    val feats = (0 until 16).map(i => s"f_$i")
+    val wide = feats.zipWithIndex.foldLeft(emb) { case (df, (c, i)) =>
+      df.withColumn(c, element_at(col("f"), i + 1))
+    }
+    wide
+      .withColumn("y", (col("f_0") + col("f_1") * 0.5 > 0).cast("double"))
+      .withColumn("yc", (when(col("f_0") > 0, 2).otherwise(0) +
+        when(col("f_1") > 0, 1).otherwise(0)).cast("double"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // --- import.text / export.csv round-trip ---
@@ -101,39 +119,109 @@ object ProcedureQueries {
       a.unionByName(b)
     },
 
-    // --- kmeans.train + cluster assignment (rows-only: iterative init) ---
-    QueryDef.rowsOnly("q55_kmeans") { (s, d) =>
+    // --- kmeans.train + cluster assignment. Oracle-checked invariants:
+    // fixed-seed k-means produces exactly k non-empty clusters and
+    // assigns every row. (Centroid values have no closed-form oracle.) ---
+    QueryDef("q55_kmeans",
+      """SELECT CAST(8 AS BIGINT) AS n_clusters, count(*) AS n_rows
+        |FROM embeddings""".stripMargin) { (s, d) =>
       val km = Models.kmeansTrain(Tables.embeddings(s, d), "embedding", k = 8)
       km(Tables.embeddings(s, d))
         .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("n")).as("n_rows"))
     },
 
-    // --- classifier.train/test: binary label from embedding label ---
-    QueryDef.rowsOnly("q56_classifier") { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .withColumn("y", (col("label") >= 5).cast("double"))
-        .withColumn("f", col("embedding").cast("array<double>"))
+    // --- classifier.train/test. The label is a known linear function of
+    // the features (f_0 + 0.5·f_1 > 0), so a correct trainer MUST clear
+    // auc ≥ 0.95 / acc ≥ 0.9 at this scale (measured 0.9997 / 0.98); the
+    // oracle asserts those bounds as constant rows, giving the driver a
+    // real pass/fail signal instead of a row count. ---
+    QueryDef("q56_classifier",
+      """SELECT 'acc_ge_090' AS metric, CAST(1 AS BIGINT) AS ok
+        |UNION ALL SELECT 'auc_ge_095', CAST(1 AS BIGINT)""".stripMargin) { (s, d) =>
+      val (train, test) = Procedures.split(learnableEmbeddings(s, d), "vec_id", 0.3)
       val feats = (0 until 16).map(i => s"f_$i")
-      val wide = feats.zipWithIndex.foldLeft(emb) { case (df, (c, i)) =>
-        df.withColumn(c, element_at(col("f"), i + 1))
-      }
-      val (train, test) = Procedures.split(wide, "vec_id", 0.3)
       val model = Models.classifierTrain(train, feats, "y", "glz")
       val (auc, acc) = Models.classifierTest(model, test, "y")
       val s2 = s
       import s2.implicits._
-      Seq(("auc", auc), ("accuracy", acc)).toDF("metric", "value")
+      Seq(("acc_ge_090", if (acc >= 0.90) 1L else 0L),
+        ("auc_ge_095", if (auc >= 0.95) 1L else 0L)).toDF("metric", "ok")
     },
 
     // --- svd.train / embedRow: project embeddings to 8 dims ---
+    // VectorUDT is not hashable by the driver's compare harness, so the
+    // projection is flattened to a rounded array<double>. Rounding to 4
+    // decimals keeps the check meaningful while tolerating BLAS noise.
     QueryDef.rowsOnly("q57_svd") { (s, d) =>
       val svd = Models.svdTrain(Tables.embeddings(s, d), "embedding", k = 8)
-      svd(Tables.embeddings(s, d)).select(col("vec_id"), col("svd"))
+      svd(Tables.embeddings(s, d)).select(col("vec_id"),
+        transform(org.apache.spark.ml.functions.vector_to_array(col("svd")),
+          v => round(abs(v), 4)).as("svd"))
     },
 
     // --- tfidf.train + apply ---
     QueryDef.rowsOnly("q58_tfidf") { (s, d) =>
       val m = Models.tfidfTrain(Tables.documents(s, d), "text")
-      m.transform(Tables.documents(s, d)).select(col("doc_id"), col("tfidf"))
+      m.transform(Tables.documents(s, d)).select(col("doc_id"),
+        round(org.apache.spark.ml.functions.vector_to_array(col("tfidf"))
+          .getItem(0), 4).as("tfidf_0"),
+        aggregate(org.apache.spark.ml.functions.vector_to_array(col("tfidf")),
+          lit(0.0), (acc, v) => acc + v * v, acc => round(sqrt(acc), 4))
+          .as("tfidf_norm"))
+    },
+
+    // --- classifier.train mode=regression, hash-matched against DuckDB's
+    // closed-form OLS (regr_slope/regr_intercept): a one-feature
+    // LinearRegression with the normal-equations solver IS exact OLS, so
+    // the learned coefficients must agree to rounding. ---
+    QueryDef("q59_regression",
+      """SELECT round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+      val m = Models.regressionTrain(li, Seq("x"), "y", "glz")
+      val lrm = m.stages.last
+        .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+      val s2 = s
+      import s2.implicits._
+      Seq((math.round(lrm.coefficients(0) * 100) / 100.0,
+        math.round(lrm.intercept * 100) / 100.0)).toDF("slope", "icept")
+    },
+
+    // --- svm.train (LinearSVC) on the learnable label; bound-check
+    // oracle (measured auc 0.9997, acc 0.987 at sf0.01). ---
+    QueryDef("q70_svm",
+      """SELECT 'acc_ge_090' AS metric, CAST(1 AS BIGINT) AS ok
+        |UNION ALL SELECT 'auc_ge_095', CAST(1 AS BIGINT)""".stripMargin) { (s, d) =>
+      val (train, test) = Procedures.split(learnableEmbeddings(s, d), "vec_id", 0.3)
+      val feats = (0 until 16).map(i => s"f_$i")
+      val model = Models.classifierTrain(train, feats, "y", "svm")
+      val (auc, acc) = Models.classifierTest(model, test, "y")
+      val s2 = s
+      import s2.implicits._
+      Seq(("acc_ge_090", if (acc >= 0.90) 1L else 0L),
+        ("auc_ge_095", if (auc >= 0.95) 1L else 0L)).toDF("metric", "ok")
+    },
+
+    // --- classifier.train mode=categorical (multinomial glz) on the
+    // 4-class quadrant label; measured acc 0.94 at sf0.01. ---
+    QueryDef("q71_categorical",
+      """SELECT 'acc_ge_085' AS metric, CAST(1 AS BIGINT) AS ok
+        |UNION ALL SELECT 'n_classes_4', CAST(1 AS BIGINT)""".stripMargin) { (s, d) =>
+      val (train, test) = Procedures.split(learnableEmbeddings(s, d), "vec_id", 0.3)
+      val feats = (0 until 16).map(i => s"f_$i")
+      val model = Models.classifierTrainCategorical(train, feats, "yc", "glz")
+      val scored = model.transform(test)
+      val acc = new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
+        .setLabelCol("yc").setPredictionCol("prediction")
+        .setMetricName("accuracy").evaluate(scored)
+      val nClasses = scored.select(countDistinct(col("prediction"))).head.getLong(0)
+      val s2 = s
+      import s2.implicits._
+      Seq(("acc_ge_085", if (acc >= 0.85) 1L else 0L),
+        ("n_classes_4", if (nClasses == 4L) 1L else 0L)).toDF("metric", "ok")
     })
 }

@@ -31,14 +31,14 @@ object SqlDialectQueries {
 
     QueryDef("q61_sql_join",
       """SELECT r_name, count(*) AS n_nations,
-        |  round(sum(n_nationkey), 2) AS key_sum
+        |  round(CAST(sum(n_nationkey) AS DOUBLE), 2) AS key_sum
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |HAVING count(*) > 3
         |ORDER BY r_name""".stripMargin) { (s, d) =>
       GraftSql.query(s, d,
         """SELECT r_name, count(*) AS n_nations,
-          |  round(sum(n_nationkey), 2) AS key_sum
+          |  round(CAST(sum(n_nationkey) AS double), 2) AS key_sum
           |FROM nation JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name
           |HAVING count(*) > 3

@@ -45,11 +45,14 @@ object Lowering {
       }
   }
 
-  def run(ctx: Context, stmt: Select): DataFrame = {
-    currentParams = ctx.params
-    currentMacros = ctx.macros
-    lowerSelect(ctx, stmt)
-  }
+  def run(ctx: Context, stmt: Select): DataFrame =
+    // DynamicVariable = thread-local: concurrent GraftSql.query calls
+    // (RestServer scenario) each see their own params/macros.
+    dynParams.withValue(ctx.params) {
+      dynMacros.withValue(ctx.macros) {
+        lowerSelect(ctx, stmt)
+      }
+    }
 
   // ---- FROM ----------------------------------------------------------------
 
@@ -124,8 +127,10 @@ object Lowering {
 
   // ---- expression lowering -------------------------------------------------
 
-  private var currentParams: Map[String, Any] = Map.empty
-  private var currentMacros: Map[String, Seq[SelectItem]] = Map.empty
+  private val dynParams = new scala.util.DynamicVariable[Map[String, Any]](Map.empty)
+  private val dynMacros = new scala.util.DynamicVariable[Map[String, Seq[SelectItem]]](Map.empty)
+  private def currentParams = dynParams.value
+  private def currentMacros = dynMacros.value
 
   /** substitute argument names for expressions inside a macro body. */
   private def substitute(e: Expr, args: Map[String, Expr]): Expr = e match {
@@ -286,6 +291,8 @@ object Lowering {
     case "sqrt" => sqrt(a(0))
     case "exp" => exp(a(0))
     case "ln" => log(a(0))
+    // reference log(x) is base 10, log(base, x) is base-b
+    // (`builtin_functions.cc:809-849`)
     case "log" => if (a.size == 2) log(raw(0).asInstanceOf[NumLit].v.toDouble, a(1)) else log10(a(0))
     case "power" | "pow" => pow(a(0), a(1))
     case "mod" => a(0) % a(1)
@@ -343,7 +350,17 @@ object Lowering {
     case "hash" => xxhash64(a: _*)
     case "base64_encode" => base64(a(0).cast("binary"))
     case "base64_decode" => unbase64(a(0))
-    case "parse_json" => a(0) // JSON stays a string; use get_json_object-style extract
+    // parse_json(x, 'schema-ddl') → structured row. The reference infers
+    // the structure per-value at runtime (`builtin_functions.cc:1832`); a
+    // columnar engine needs the schema up front, so we require it (and
+    // fail loudly rather than silently passing the string through).
+    case "parse_json" => raw.lift(1) match {
+      case Some(StrLit(ddl)) => from_json(a(0), ddl, Map.empty[String, String])
+      case _ => throw new IllegalArgumentException(
+        "parse_json(x, '<schema ddl>') requires an explicit schema, e.g. " +
+          "parse_json(j, 'a INT, b STRING'); for single fields use " +
+          "extract_json(x, '$.path')")
+    }
     case "extract_json" => get_json_object(a(0), raw(1) match {
       case StrLit(s) => s
       case _ => throw new IllegalArgumentException("json path must be literal")
@@ -364,7 +381,16 @@ object Lowering {
     case "rowname" => if (scope.hasColumn("rowName")) col("rowName") else lit(null)
     case "rowhash" =>
       if (scope.hasColumn("rowName")) xxhash64(col("rowName")) else lit(null)
-    case "columncount" => lit(scope.allColumns.size.toLong)
+    // per-row count of non-null columns (doc `sql/ValueExpression.md:300`
+    // — a sparse row's columnCount is its actual cells, not schema width);
+    // rowName is the row's name, not one of its columns.
+    case "columncount" =>
+      val cells = scope.allColumns.collect {
+        case (alias, c) if !c.equalsIgnoreCase("rowName") =>
+          val cc = alias.map(al => col(s"$al.$c")).getOrElse(col(c))
+          when(cc.isNotNull, 1L).otherwise(0L)
+      }
+      if (cells.isEmpty) lit(0L) else cells.reduce(_ + _)
     case other =>
       throw new IllegalArgumentException(s"unknown function $other")
   }
@@ -409,8 +435,16 @@ object Lowering {
     case FnCall("variance", args, _) => var_samp(lowerExpr(scope, args.head))
     case FnCall("stddev", args, _) => stddev_samp(lowerExpr(scope, args.head))
     case FnCall("string_agg", args, _) =>
-      val sep = args.lift(1).map(lowerExpr(scope, _)).getOrElse(lit(","))
-      array_join(array_sort(collect_list(lowerExpr(scope, args.head))), ",")
+      // Values are sorted for deterministic output (the reference's
+      // aggregation order over a distributed scan is unspecified, so a
+      // canonical order is the only reproducible choice).
+      val sep = args.lift(1) match {
+        case Some(StrLit(s)) => s
+        case Some(other) => throw new IllegalArgumentException(
+          s"string_agg separator must be a string literal, got $other")
+        case None => ","
+      }
+      array_join(array_sort(collect_list(lowerExpr(scope, args.head))), sep)
     case FnCall("earliest", args, _) =>
       if (scope.hasColumn("ts")) min_by(lowerExpr(scope, args.head), col("ts"))
       else min(lowerExpr(scope, args.head))
