@@ -66,14 +66,20 @@ object Similarity {
       vecCol: String, idCol: String, k: Int): DataFrame = {
     val cents = broadcast(centroids.select(
       col(idCol).as("centroid_id"), col(vecCol).as("centv")))
+    // Map-side argmin: the broadcast nested-loop scores every centroid
+    // next to the corpus row, and min_by partial-aggregates per row id
+    // INSIDE each map task (a row's candidates never leave its input
+    // partition), so the shuffle carries one row per corpus row — not
+    // corpus×centroids rows into a window sort.
     def assign(df: DataFrame, vcol: String): DataFrame = {
-      val w = Window.partitionBy(col("__rid")).orderBy(
-        col("__dist"), col("centroid_id"))
+      val keep = df.columns.filter(_ != "__rid")
+      val payload = struct((keep.map(col) :+ col("centroid_id")): _*)
+      val key = struct(V.euclidean(col(vcol), col("centv")).as("d"),
+        col("centroid_id").as("c"))
       df.crossJoin(cents)
-        .withColumn("__dist", V.euclidean(col(vcol), col("centv")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__dist", "__rn", "centv")
+        .groupBy(col("__rid"))
+        .agg(min_by(payload, key).as("__best"))
+        .select((keep :+ "centroid_id").map(c => col(s"__best.$c").as(c)): _*)
     }
     val cb = assign(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), col(idCol).as("__rid")), "cv")

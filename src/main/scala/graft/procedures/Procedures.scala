@@ -85,15 +85,56 @@ object Procedures {
       s"stack(${cols.size * stats.size}, $stack) as (column_name, stat, value)"))
   }
 
+  /** Range-partition `df` on the sort keys and compute per-partition
+    * row offsets, so GLOBAL order positions come from per-partition
+    * windows plus a broadcast offset — never from the single-partition
+    * global window (the canonical 100 TB killer: one task holds the
+    * whole table). Range partitioning sends equal keys to one
+    * partition, so rank ties never straddle a boundary. Returns
+    * (ranged-with-__pid, tiny (__pid, __offset, __total) table). */
+  private def withPartitionOffsets(df: DataFrame,
+      orderBy: Seq[Column]): (DataFrame, DataFrame) = {
+    val nPart = try df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt catch { case _: Throwable => 200 }
+    val ranged = df.repartitionByRange(math.max(nPart, 1), orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    // ≤ nPart rows: the single-partition windows below are over a
+    // partition-count-sized table, not the data.
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total", sum(col("__n")).over(Window.partitionBy()))
+      .select(col("__pid"), col("__offset"), col("__total"))
+    (ranged, offsets)
+  }
+
   /** `bucketize` (`plugins/feature_gen/bucketize_procedure.cc:255`):
-    * percentile buckets by score order. Global ntile needs a total
-    * order; for scale, percentile_approx-based cut points avoid the
-    * single-partition window (used when `approx = true`). */
+    * percentile buckets by score order. The exact path reproduces
+    * global `ntile(n)` from a range-partitioned row_number (local
+    * window + broadcast offset — no single-partition window);
+    * `approx = true` uses percentile_approx cut points instead (one
+    * aggregate pass, no ordering shuffle at all). */
   def bucketize(df: DataFrame, scoreCol: String, tieCol: String, n: Int,
       approx: Boolean = false): DataFrame = {
     if (!approx) {
-      val w = Window.orderBy(col(scoreCol), col(tieCol))
-      df.withColumn("bucket", ntile(n).over(w))
+      val orderCols = Seq(col(scoreCol), col(tieCol))
+      val (ranged, offsets) = withPartitionOffsets(df, orderCols)
+      val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      // ntile closed form: size = total/n, the first (total % n)
+      // buckets take one extra row.
+      val r = col("__rownum")
+      val size = (col("__total") / n).cast("long")
+      val rem = col("__total") % n
+      val bigSpan = (size + 1) * rem
+      ranged.withColumn("__lrn", row_number().over(wLocal))
+        .join(broadcast(offsets), Seq("__pid"))
+        .withColumn("__rownum", col("__lrn") + col("__offset"))
+        .withColumn("bucket",
+          when(r <= bigSpan, ceil(r / (size + 1)))
+            .otherwise(rem + ceil((r - bigSpan) / size))
+            .cast("int"))
+        .drop("__pid", "__lrn", "__rownum", "__offset", "__total")
     } else {
       val qs = (1 until n).map(_.toDouble / n)
       val cuts = df.stat.approxQuantile(scoreCol, qs.toArray, 0.001)
@@ -106,12 +147,29 @@ object Procedures {
     }
   }
 
-  /** `ranking` (`builtin/ranking_procedure.cc:199`). */
+  /** `ranking` (`builtin/ranking_procedure.cc:199`). With partition
+    * keys this is a plain partitioned window; the GLOBAL case (empty
+    * partitionBy) reconstructs exact rank()/percent_rank() from
+    * range-partitioned local windows + broadcast offsets instead of a
+    * one-task global window. */
   def ranking(df: DataFrame, orderBy: Seq[Column], partitionBy: Seq[Column] = Nil): DataFrame = {
-    val w = (if (partitionBy.nonEmpty) Window.partitionBy(partitionBy: _*)
-             else Window.partitionBy()).orderBy(orderBy: _*)
-    df.withColumn("rank", rank().over(w))
-      .withColumn("percentile", percent_rank().over(w))
+    if (partitionBy.nonEmpty) {
+      val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      df.withColumn("rank", rank().over(w))
+        .withColumn("percentile", percent_rank().over(w))
+    } else {
+      val (ranged, offsets) = withPartitionOffsets(df, orderBy)
+      val wLocal = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
+      // global rank = rows strictly before this key = earlier-partition
+      // rows (offset) + local rank; ties stay intra-partition under
+      // range partitioning so the reconstruction is exact.
+      ranged.withColumn("__lrank", rank().over(wLocal))
+        .join(broadcast(offsets), Seq("__pid"))
+        .withColumn("rank", (col("__lrank") + col("__offset")).cast("int"))
+        .withColumn("percentile", (col("rank") - lit(1)).cast("double") /
+          greatest(col("__total") - lit(1), lit(1)).cast("double"))
+        .drop("__pid", "__lrank", "__offset", "__total")
+    }
   }
 
   /** `melt` procedure — delegates to the Reshape operator. */

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{MathFunctions => M}
 import graft.operators.StatsTable
+import graft.procedures.Procedures
 
 /** Scalar/aggregate function surface (SURVEY §2.4–2.6): math, string,
   * timestamp/temporal, JSON, geo, Wilson bounds, window procedures
@@ -56,14 +57,27 @@ object FunctionQueries {
         |                     ORDER BY c_acctbal DESC, c_custkey) AS prnk
         |      FROM customer) t
         |WHERE rnk <= 10""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      Tables.customer(s, d)
-        .withColumn("rnk", rank().over(w))
-        .withColumn("prnk", percent_rank().over(w))
-        .filter(col("rnk") <= 10)
-        .select(col("c_mktsegment"), col("c_custkey"), col("rnk"),
-          round(col("prnk"), 6).as("prnk"))
+      Procedures.ranking(Tables.customer(s, d),
+        Seq(col("c_acctbal").desc, col("c_custkey")), Seq(col("c_mktsegment")))
+        .filter(col("rank") <= 10)
+        .select(col("c_mktsegment"), col("c_custkey"), col("rank").as("rnk"),
+          round(col("percentile"), 6).as("prnk"))
+    },
+
+    // --- global (un-partitioned) ranking: exercises the range-
+    // partitioned exact-rank path — no single-partition window. ---
+    QueryDef("q72_global_rank",
+      """SELECT o_orderkey, rnk, round(prnk, 6) AS prnk
+        |FROM (SELECT o_orderkey,
+        |        rank() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+        |        percent_rank() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS prnk
+        |      FROM orders) t
+        |WHERE rnk <= 100""".stripMargin) { (s, d) =>
+      Procedures.ranking(Tables.orders(s, d),
+        Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .filter(col("rank") <= 100)
+        .select(col("o_orderkey"), col("rank").as("rnk"),
+          round(col("percentile"), 6).as("prnk"))
     },
 
     // --- bucketize procedure: ntile percentile buckets ---
@@ -74,9 +88,7 @@ object FunctionQueries {
         |        ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
         |      FROM orders) t
         |GROUP BY bucket""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("bucket", ntile(10).over(w))
+      Procedures.bucketize(Tables.orders(s, d), "o_totalprice", "o_orderkey", 10)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           round(min("o_totalprice"), 2).as("lo"),

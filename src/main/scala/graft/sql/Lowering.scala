@@ -385,12 +385,14 @@ object Lowering {
     // — a sparse row's columnCount is its actual cells, not schema width);
     // rowName is the row's name, not one of its columns.
     case "columncount" =>
-      val cells = scope.allColumns.collect {
-        case (alias, c) if !c.equalsIgnoreCase("rowName") =>
-          val cc = alias.map(al => col(s"$al.$c")).getOrElse(col(c))
-          when(cc.isNotNull, 1L).otherwise(0L)
-      }
-      if (cells.isEmpty) lit(0L) else cells.reduce(_ + _)
+      // dedupe by name: the lowering appends its working projection as
+      // an extra scope frame, so the same column can appear twice; and
+      // reference columns unqualified — materialized projections drop
+      // the FROM alias qualifier.
+      val names = scope.allColumns.map(_._2)
+        .filter(!_.equalsIgnoreCase("rowName")).map(_.toLowerCase).distinct
+      if (names.isEmpty) lit(0L)
+      else names.map(n => when(col(n).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
     case other =>
       throw new IllegalArgumentException(s"unknown function $other")
   }

@@ -73,15 +73,19 @@ object Continuous {
   final case class SessionEvent(key: Long, tsMicros: Long, value: Double)
   final case class SessionOut(key: Long, startMicros: Long, endMicros: Long,
       nEvents: Long, total: Double)
-  private final case class SessionState(start: Long, last: Long, n: Long,
+  // public: the streaming state encoder's generated code instantiates
+  // it reflectively between micro-batches
+  final case class SessionState(start: Long, last: Long, n: Long,
       total: Double)
 
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState): a session closes when no event arrives
-    * within `gapMicros`. State per key is O(1); timeouts evict idle
-    * keys — the mapGroupsWithState pattern for custom streaming state
-    * at scale. Works identically over a batch Dataset (Spark runs the
-    * same function), which is how the spec exercises it. */
+    * within `gapMicros`. State per key is O(1). This variant is the
+    * BATCH formulation: it flushes the trailing session at end of
+    * input. In a streaming run it closes sessions only when a
+    * subsequent event for the key arrives — for watermark-driven
+    * eviction of idle keys use `sessionizeStream`, which emits the
+    * open session on event-time timeout. */
   def sessionize(events: Dataset[SessionEvent], gapMicros: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val isStreamingRun = events.isStreaming
@@ -112,6 +116,61 @@ object Continuous {
             state.remove()
           }
           out.iterator
+      }
+  }
+
+  final case class SessionEventTs(key: Long, ts: java.sql.Timestamp,
+      value: Double)
+
+  /** Streaming sessionization with EVENT-TIME timeouts: when the
+    * watermark passes a key's last event + gap, the open session is
+    * emitted and its state evicted — idle keys neither linger forever
+    * nor wait for a next event that may never come. State per key is
+    * O(1), partitioned by key; the watermark bounds total state. */
+  def sessionizeStream(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, gapMicros: Long,
+      watermark: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val ds = events
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[SessionEventTs]
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(key, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val ts = micros(e.ts)
+              cur match {
+                case Some(s) if ts - s.last <= gapMicros =>
+                  cur = Some(SessionState(s.start, ts, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  out += SessionOut(key, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(ts, ts, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session once the WATERMARK (not wall clock)
+              // passes last + gap
+              state.setTimeoutTimestamp((s.last + gapMicros) / 1000L)
+            }
+            out.iterator
+          }
       }
   }
 

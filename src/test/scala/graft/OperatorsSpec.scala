@@ -112,4 +112,77 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c1 > 0 && c1 < li.count())
     assert(s1.count() === c1) // deterministic across evaluations
   }
+
+  test("degenerate corpus: 10k identical docs stay bounded under bucket caps") {
+    import spark.implicits._
+    // every doc identical -> every LSH bucket is one giant hot bucket;
+    // the maxBucket guards must drop them (bounded pair count, no
+    // quadratic blowup) rather than emit ~50M pairs.
+    val same = (0 until 10000).map(i => (i.toLong, "the same boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simHashPairs(same, "text", "doc_id", maxBucket = 100).count() === 0)
+    assert(Dedup.minHashPairs(same, "text", "doc_id", maxBucket = 100).count() === 0)
+    val emb = (0 until 10000).map(i => (i.toLong, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "v")
+    assert(Dedup.embeddingPairs(emb, "v", "vec_id", maxBucket = 100).count() === 0)
+  }
+
+  test("transitive dedup collapses a similarity chain to one keeper") {
+    import spark.implicits._
+    // A~B and B~C near-dups, A vs C below threshold: single-link keeps
+    // C (no direct A~C pair), transitive closure must drop B AND C.
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val a = base
+    val b = (4 until 44).map(i => s"tok$i").mkString(" ")   // J(a,b) high
+    val c = (8 until 48).map(i => s"tok$i").mkString(" ")   // J(b,c) high, J(a,c) lower
+    val chain = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val thr = 0.75
+    val pairs = Dedup.minHashPairs(chain, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = thr)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
+      !pairs.contains((1L, 3L)), s"chain premise broken: $pairs")
+    val kept = Dedup.minHashDedupTransitive(chain, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = thr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("global ranking matches the single-window formulation exactly") {
+    import graft.procedures.Procedures
+    val orders = Tables.orders(spark, sf)
+    val viaProc = Procedures.ranking(orders,
+      Seq(col("o_totalprice").desc, col("o_orderkey")))
+      .select(col("o_orderkey"), col("rank"), col("percentile"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rank", rank().over(w))
+      .withColumn("percentile", percent_rank().over(w))
+      .select(col("o_orderkey"), col("rank"), col("percentile"))
+    assert(viaProc.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaProc).isEmpty)
+  }
+
+  test("exact bucketize matches global ntile exactly") {
+    import graft.procedures.Procedures
+    val orders = Tables.orders(spark, sf)
+    for (n <- Seq(7, 10)) { // 7 does not divide the row count: remainder path
+      val viaProc = Procedures.bucketize(orders, "o_totalprice", "o_orderkey", n)
+        .select(col("o_orderkey"), col("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val viaWindow = orders.withColumn("bucket", ntile(n).over(w))
+        .select(col("o_orderkey"), col("bucket"))
+      assert(viaProc.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaProc).isEmpty)
+    }
+  }
+
+  test("ivf assignment: every row assigned to its nearest centroid, no window shuffle of corpus x centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter(col("vec_id") < 4)
+    val out = Similarity.ivfTopK(emb, cents, emb.filter(col("vec_id") < 2),
+      "embedding", "vec_id", k = 3)
+    assert(out.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
+    assert(out.count() > 0)
+  }
 }

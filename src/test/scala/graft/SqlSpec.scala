@@ -215,6 +215,34 @@ class SqlSpec extends AnyFunSuite {
     assert(r.getInt(5) === 3)
   }
 
+  test("string_agg honors a non-comma separator") {
+    val v = q("""SELECT string_agg(r_name, ' | ') AS names FROM region""")
+      .head().getString(0)
+    assert(v === "AFRICA | AMERICA | ASIA | EUROPE | MIDDLE EAST")
+  }
+
+  test("parse_json with a schema yields a structured row; without one it fails loudly") {
+    val row = q("""SELECT parse_json('{"a": 7, "b": "x"}', 'a INT, b STRING') AS j""")
+      .select(col("j.a"), col("j.b")).head()
+    assert(row.getInt(0) === 7 && row.getString(1) === "x")
+    val e = intercept[IllegalArgumentException] {
+      q("""SELECT parse_json('{"a": 1}') AS j""").collect()
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("columncount() counts per-row non-null cells, not schema width") {
+    // nation has 3 columns; a sparse row built from CASE nulls one out
+    val rows = q(
+      """SELECT columncount() AS c FROM (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey < 2 THEN NULL ELSE n_name END AS maybe_name
+        |  FROM nation) AS t
+        |ORDER BY n_nationkey""".stripMargin).collect()
+    assert(rows(0).getLong(0) === 1L) // n_nationkey only
+    assert(rows(2).getLong(0) === 2L) // both non-null
+  }
+
   test("offset/limit and rowname()/rowhash() context functions") {
     val rows = q(
       """SELECT rowname() AS rn, rowhash() AS rh, o_orderkey

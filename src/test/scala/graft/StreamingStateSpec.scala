@@ -60,6 +60,34 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("streaming sessionize emits the idle session on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("key", "ts", "value")
+    val sessions = Continuous.sessionizeStream(df, "ts", "key", "value",
+      gapMicros = 60L * 1000 * 1000, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((1L, t("2024-01-01 00:00:00"), 1.0),
+        (1L, t("2024-01-01 00:00:30"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0) // session still open
+      // an event on ANOTHER key advances the watermark past key 1's
+      // last + gap; the next batch fires key 1's timeout
+      input.addData((2L, t("2024-01-01 01:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData((2L, t("2024-01-01 01:00:01"), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[Continuous.SessionOut].collect()
+      assert(rows.exists(r => r.key == 1L && r.nEvents == 2 && r.total == 3.0),
+        s"expected key 1 session emitted via timeout, got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("statsTable getCounts on new data with cold-start zeros") {
     import spark.implicits._
     val trained = StatsTable.table(Tables.events(spark, sf), "event_type",
