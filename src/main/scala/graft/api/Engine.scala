@@ -32,6 +32,29 @@ final class GraftEngine(val spark: SparkSession) {
     datasets.getOrElse(name,
       throw new NoSuchElementException(s"dataset '$name' not found"))
 
+  /** `POST /v1/datasets/<n>/rows` — the reference's primary ingest
+    * path (`core/dataset.h:417-539` recordRow/recordRows). Body is a
+    * JSON array of flat row objects (wide mode; the reference's
+    * [col, value, ts] triple form is EAV — documented divergence).
+    * Parsed by Spark's own JSON codec; appended with a column-name
+    * union so late columns widen the schema like the reference's
+    * dynamic rows do. REST ingest is driver-side by nature — bulk
+    * loads belong in import.text / parquet, this is the low-volume
+    * record API. */
+  def recordRows(name: String, jsonRows: String): Long = {
+    import spark.implicits._
+    val incoming = spark.read.json(Seq(jsonRows).toDS())
+    if (incoming.columns.isEmpty)
+      throw new IllegalArgumentException("no rows in body")
+    val n = incoming.count()
+    datasets.get(name) match {
+      case Some(existing) =>
+        datasets(name) = existing.unionByName(incoming, allowMissingColumns = true)
+      case None => datasets(name) = incoming
+    }
+    n
+  }
+
   def listDatasets: Seq[String] = datasets.keys.toSeq.sorted
 
   def dropDataset(name: String): Unit = datasets.remove(name)
@@ -97,6 +120,14 @@ final class GraftEngine(val spark: SparkSession) {
     functions.getOrElse(name,
       throw new NoSuchElementException(s"function '$name' not found"))(input)
 
+  /** `GET /v1/functions/<n>/application?input={…}` — apply a
+    * registered function to ONE input row given as a JSON object
+    * (`server/mldb_server.cc` function application route). */
+  def applyFunctionJson(name: String, inputJson: String): DataFrame = {
+    import spark.implicits._
+    applyFunction(name, spark.read.json(Seq(inputJson).toDS()))
+  }
+
   def listFunctions: Seq[String] = functions.keys.toSeq.sorted
 
   // ---- procedures (/v1/procedures + /runs) --------------------------------
@@ -112,4 +143,35 @@ final class GraftEngine(val spark: SparkSession) {
     createDataset(outputDataset, out)
     out
   }
+
+  /** Async procedure runs (`POST /v1/procedures/<id>/runs` +
+    * run-status polling — the reference's run model,
+    * `rest/poly_collection.cc` async PUT semantics). One daemon thread
+    * per run; the run object is the pollable state machine
+    * executing → finished | error. */
+  final class Run(val id: String) {
+    @volatile var state: String = "executing"
+    @volatile var error: Option[String] = None
+    @volatile var rowCount: Long = -1
+  }
+  private val runs = TrieMap[String, Run]()
+
+  def startTransformRun(inputQuery: String, outputDataset: String): String = {
+    val run = new Run(java.util.UUID.randomUUID().toString.take(8))
+    runs(run.id) = run
+    val t = new Thread(() => {
+      try {
+        run.rowCount = runTransform(inputQuery, outputDataset).count()
+        run.state = "finished"
+      } catch { case e: Throwable =>
+        run.error = Some(String.valueOf(e.getMessage)); run.state = "error"
+      }
+    }, s"graft-run-${run.id}")
+    t.setDaemon(true)
+    t.start()
+    run.id
+  }
+
+  def runStatus(id: String): Run =
+    runs.getOrElse(id, throw new NoSuchElementException(s"run '$id' not found"))
 }

@@ -47,20 +47,57 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
             throw new IllegalArgumentException("missing path parameter"))
           engine.createDatasetFromParquet(name, p)
           s"""{"created": ${jsonStr(name)}}"""
+        case ("POST", nameRows) if nameRows.endsWith("/rows") =>
+          // record API (`core/dataset.h:417-539`): body = JSON array
+          // of flat row objects
+          val name = nameRows.stripSuffix("/rows")
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          val n = engine.recordRows(name, body)
+          s"""{"recorded": $n}"""
         case (m, _) => throw new IllegalArgumentException(s"unsupported $m")
       }
     })
     server.createContext("/v1/functions", (ex: HttpExchange) => handle(ex) {
-      engine.listFunctions.map(jsonStr).mkString("[", ",", "]")
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/functions")
+        .stripPrefix("/")
+      path match {
+        case "" => engine.listFunctions.map(jsonStr).mkString("[", ",", "]")
+        case app if app.endsWith("/application") =>
+          // single-row function application
+          // (`server/mldb_server.cc` application route)
+          val name = app.stripSuffix("/application")
+          val input = queryParams(ex).getOrElse("input",
+            throw new IllegalArgumentException("missing input parameter"))
+          rowsJson(engine.applyFunctionJson(name, input), 10)
+        case other => throw new IllegalArgumentException(s"unsupported $other")
+      }
     })
     server.createContext("/v1/procedures/transform", (ex: HttpExchange) => handle(ex) {
-      val body = new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
-      // tiny fixed-shape body parse (no JSON lib): "inputQuery" and
-      // "outputDataset" string fields
-      val input = extractField(body, "inputQuery")
-      val outName = extractField(body, "outputDataset")
-      val out = engine.runTransform(input, outName)
-      s"""{"outputDataset": ${jsonStr(outName)}, "rowCount": ${out.count()}}"""
+      val path = ex.getRequestURI.getPath
+        .stripPrefix("/v1/procedures/transform").stripPrefix("/")
+      (ex.getRequestMethod, path) match {
+        case ("POST", "") =>
+          val body = new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
+          // tiny fixed-shape body parse (no JSON lib): "inputQuery" and
+          // "outputDataset" string fields
+          val input = extractField(body, "inputQuery")
+          val outName = extractField(body, "outputDataset")
+          val out = engine.runTransform(input, outName)
+          s"""{"outputDataset": ${jsonStr(outName)}, "rowCount": ${out.count()}}"""
+        case ("POST", "runs") =>
+          // async run: returns immediately with a pollable run id
+          val body = new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
+          val input = extractField(body, "inputQuery")
+          val outName = extractField(body, "outputDataset")
+          val id = engine.startTransformRun(input, outName)
+          s"""{"runId": ${jsonStr(id)}, "state": "executing"}"""
+        case ("GET", runPath) if runPath.startsWith("runs/") =>
+          val run = engine.runStatus(runPath.stripPrefix("runs/"))
+          val err = run.error.map(e => s""", "error": ${jsonStr(e)}""").getOrElse("")
+          s"""{"runId": ${jsonStr(run.id)}, "state": ${jsonStr(run.state)}, "rowCount": ${run.rowCount}$err}"""
+        case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
+      }
     })
     server.setExecutor(null)
     server.start()

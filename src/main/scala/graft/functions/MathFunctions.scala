@@ -68,4 +68,24 @@ object MathFunctions {
 
   def geoDistanceM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     geoDistanceKm(lat1, lon1, lat2, lon2) * 1000.0
+
+  /** `ST_Contains_Point(polygon, lat, lon)` (reference
+    * `sql/builtin_geo_functions.cc:282`, which takes a GeoJSON row; in
+    * this typed engine the polygon is `array<array<double>>` of
+    * [lat, lon] vertices — documented divergence). Standard ray-casting
+    * in pure Column math: count edges the eastward ray from the point
+    * crosses; odd → inside. Codegen'd, no UDF. */
+  def stContainsPoint(poly: Column, lat: Column, lon: Column): Column = {
+    val n = size(poly)
+    val crossings = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      val pi = element_at(poly, i)
+      val pj = element_at(poly, when(i === 1, n).otherwise(i - 1))
+      val (yi, xi) = (element_at(pi, 1), element_at(pi, 2))
+      val (yj, xj) = (element_at(pj, 1), element_at(pj, 2))
+      when(((yi > lat) =!= (yj > lat)) &&
+        (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi), acc + 1L)
+        .otherwise(acc)
+    })
+    crossings % 2 === 1
+  }
 }

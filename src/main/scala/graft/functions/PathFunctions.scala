@@ -21,7 +21,8 @@ object PathFunctions {
   /** stringify_path(['a','b']) → 'a.b'. */
   def stringifyPath(p: Column): Column = array_join(p, ".")
 
-  def pathElement(p: Column, n: Column): Column = element_at(p, n + 1)
+  def pathElement(p: Column, n: Column): Column =
+    element_at(p, (n + 1).cast("int"))
 
   def pathLength(p: Column): Column = size(p)
 

@@ -98,6 +98,36 @@ object SqlDialectQueries {
           |       ELSE 'small' END""".stripMargin)
     },
 
+    // --- new-registry battery: horizontal_*, paths, remove_prefix,
+    // IS-type predicates, isodow — all through the dialect front-end,
+    // hash-matched against hand-written ANSI equivalents. ---
+    QueryDef("q69_sql_fn_battery",
+      """SELECT n_nationkey,
+        |  CAST(n_nationkey + n_regionkey AS DOUBLE) AS hsum,
+        |  CAST(greatest(n_nationkey, n_regionkey) AS DOUBLE) AS hmax,
+        |  CAST(2 AS BIGINT) AS hcount,
+        |  'b' AS pelem,
+        |  CAST(3 AS BIGINT) AS plen,
+        |  CASE WHEN starts_with(n_name, 'NATION_')
+        |       THEN substr(n_name, 8) ELSE n_name END AS stripped,
+        |  CAST(1 AS BOOLEAN) AS isnum,
+        |  CAST(0 AS BOOLEAN) AS ists,
+        |  CAST(isodow(TIMESTAMP '2024-01-01') AS BIGINT) AS idow
+        |FROM nation""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT n_nationkey,
+          |  horizontal_sum({a: n_nationkey, b: n_regionkey}) AS hsum,
+          |  horizontal_max({a: n_nationkey, b: n_regionkey}) AS hmax,
+          |  horizontal_count({a: n_nationkey, b: n_regionkey}) AS hcount,
+          |  path_element(parse_path('a.b.c'), 1) AS pelem,
+          |  CAST(path_length(parse_path('a.b.c')) AS integer) AS plen,
+          |  remove_prefix(n_name, 'NATION_') AS stripped,
+          |  n_nationkey IS NUMBER AS isnum,
+          |  n_name IS TIMESTAMP AS ists,
+          |  date_part('isodow', CAST('2024-01-01' AS timestamp)) AS idow
+          |FROM nation""".stripMargin)
+    },
+
     QueryDef("q65_sql_subselect",
       """SELECT status, round(max(total), 2) AS max_total,
         |  round(min(total), 2) AS min_total

@@ -43,6 +43,20 @@ object Ast {
   final case class InList(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
   final case class InSelect(e: Expr, sub: Select, negated: Boolean) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
+  /** `x IS [NOT] STRING|NUMBER|INTEGER|TIMESTAMP|TRUE|FALSE` type
+    * predicates (`sql_expression_operations.h:164`). */
+  final case class IsType(e: Expr, tpe: String, negated: Boolean) extends Expr
+  /** `x [NOT] IN (KEYS OF expr)` / `(VALUES OF expr)`
+    * (`sql_expression_operations.h:285-330`). */
+  final case class InKeysOf(e: Expr, container: Expr, negated: Boolean,
+      keys: Boolean) extends Expr
+  /** `COLUMN EXPR (AS … WHERE … ORDER BY … LIMIT … OFFSET …)` —
+    * meta-projection over the column set (doc
+    * `sql/SelectExpression.md:43-96`); only valid as a select item.
+    * The inner expressions see `columnName()`. */
+  final case class ColumnExprStar(as: Option[Expr], where: Option[Expr],
+      orderBy: Seq[OrderItem], limit: Option[Long],
+      offset: Option[Long]) extends Expr
   final case class LikeExpr(e: Expr, pattern: Expr, negated: Boolean) extends Expr
   /** `[a, b, c]` embedding literal. */
   final case class ArrayLit(items: Seq[Expr]) extends Expr

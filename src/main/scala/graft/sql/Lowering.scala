@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Ast._
-import graft.functions.{MathFunctions => M, TextFunctions => T, VectorFunctions => V}
+import graft.functions.{MathFunctions => M, PathFunctions => P, TextFunctions => T, VectorFunctions => V}
 
 /** AST → DataFrame lowering.
   *
@@ -149,6 +149,9 @@ object Lowering {
     case InList(x, items, n) =>
       InList(substitute(x, args), items.map(substitute(_, args)), n)
     case IsNull(x, n) => IsNull(substitute(x, args), n)
+    case IsType(x, t, n) => IsType(substitute(x, args), t, n)
+    case InKeysOf(x, c, n, k) =>
+      InKeysOf(substitute(x, args), substitute(c, args), n, k)
     case LikeExpr(x, p, n) => LikeExpr(substitute(x, args), substitute(p, args), n)
     case ArrayLit(items) => ArrayLit(items.map(substitute(_, args)))
     case StructLit(fs) => StructLit(fs.map { case (k, v) => k -> substitute(v, args) })
@@ -157,6 +160,10 @@ object Lowering {
 
   private def lowerExpr(scope: Scope, e: Expr): Column = e match {
     case FnApply(name, args, output) => currentMacros.get(name) match {
+      case None if name.toLowerCase.startsWith("horizontal_") =>
+        // horizontal_sum({a: x, b: y}) — row-literal argument form
+        horizontalFn(name.toLowerCase,
+          args.map { case (_, v) => lowerExpr(scope, v) })
       case Some(items) =>
         val argMap = args.toMap
         def itemFor(out: String): Expr = items.zipWithIndex.collectFirst {
@@ -235,6 +242,32 @@ object Lowering {
         "IN (SELECT …) is only supported in WHERE (rewritten to semi-join)")
     case IsNull(x, neg) =>
       if (neg) lowerExpr(scope, x).isNotNull else lowerExpr(scope, x).isNull
+    // `typeof` is resolved to the STATIC Spark type during analysis, so
+    // the whole predicate constant-folds to (isNotNull AND true/false) —
+    // free at runtime. NULL IS <type> is false (reference semantics).
+    case IsType(x, tpe, neg) =>
+      val c = lowerExpr(scope, x)
+      val t = typeof(c)
+      val pred = tpe match {
+        case "string" => c.isNotNull && t === "string"
+        case "number" => c.isNotNull &&
+          (t.isin("double", "float", "int", "bigint", "smallint", "tinyint") ||
+            t.startsWith("decimal"))
+        case "integer" =>
+          c.isNotNull && t.isin("int", "bigint", "smallint", "tinyint")
+        case "timestamp" => c.isNotNull && t.isin("timestamp", "timestamp_ntz")
+        case "true" => c.cast("boolean") <=> lit(true)
+        case "false" => c.cast("boolean") <=> lit(false)
+      }
+      if (neg) !pred else pred
+    case InKeysOf(x, container, neg, keys) =>
+      val c = lowerExpr(scope, container)
+      val arr = if (keys) map_keys(c) else map_values(c)
+      val pred = array_contains(arr, lowerExpr(scope, x))
+      if (neg) !pred else pred
+    case ColumnExprStar(_, _, _, _, _) =>
+      throw new IllegalArgumentException(
+        "COLUMN EXPR is only valid as a top-level select item")
     case LikeExpr(x, StrLit(pat), neg) =>
       val c = lowerExpr(scope, x).like(pat)
       if (neg) !c else c
@@ -323,17 +356,37 @@ object Lowering {
     case "trim" => trim(a(0))
     case "replace" => if (a.size == 3) regexp_replace(a(0), a(1), a(2)) else a(0)
     case "regex_replace" => regexp_replace(a(0), a(1), a(2))
+    // reference regex_match matches the ENTIRE string (doc
+    // `sql/ValueExpression.md` regex_match): anchor the pattern.
     case "regex_match" => a(0).rlike(raw(1) match {
-      case StrLit(s) => s
+      case StrLit(s) => s"^(?:$s)$$"
       case _ => throw new IllegalArgumentException("regex must be literal")
     })
     case "levenshtein_distance" => levenshtein(a(0), a(1))
     case "jaccard_index" => T.jaccardTokens(a(0), a(1))
     case "split_part" => split_part(a(0), a(1), a(2))
     case "concat" => concat(a: _*)
+    case "remove_prefix" =>
+      when(a(0).startsWith(a(1)),
+        a(0).substr(length(a(1)) + 1, length(a(0)))).otherwise(a(0))
+    case "remove_suffix" =>
+      when(a(0).endsWith(a(1)),
+        a(0).substr(lit(1), length(a(0)) - length(a(1)))).otherwise(a(0))
+    // regex_search: partial match anywhere in the string
+    // (`builtin_functions.cc` regex battery); regex_match above is the
+    // FULL-string match.
+    case "regex_search" => a(0).rlike(raw(1) match {
+      case StrLit(s) => s
+      case _ => throw new IllegalArgumentException("regex must be literal")
+    })
     // timestamp
     case "date_part" => raw(0) match {
-      case StrLit(unit) => date_part(lit(unit), a(1)).cast("long")
+      case StrLit(unit) => unit.toLowerCase match {
+        case "isodow" => P.isoDow(a(1))
+        case "isoweek" => P.isoWeek(a(1))
+        case "isoyear" => date_part(lit("YEAROFWEEK"), a(1)).cast("long")
+        case u => date_part(lit(u), a(1)).cast("long")
+      }
       case _ => throw new IllegalArgumentException("date_part unit must be literal")
     }
     case "date_trunc" => raw(0) match {
@@ -344,8 +397,36 @@ object Lowering {
     case "now" => current_timestamp()
     case "value_timestamp" | "latest_timestamp" | "earliest_timestamp" =>
       if (scope.hasColumn("ts")) col("ts") else lit(null)
-    // text / ML features
-    case "tokenize" => T.tokenBag(a(0))
+    // text / ML features. tokenize takes the reference's options row:
+    // {splitChars: '...', ngramRange: [lo, hi], minTokenLength: n}
+    // (`sql/builtin_functions.cc:1915`).
+    case "tokenize" => raw.lift(1) match {
+      case Some(StructLit(fields)) =>
+        val opts = fields.toMap
+        val splitRegex = opts.get("splitchars").orElse(opts.get("splitChars")) match {
+          case Some(StrLit(cs)) =>
+            "[" + cs.flatMap(c => s"\\${c}") + "]+"
+          case _ => "[\\s,;:!?.()\\[\\]{}\"']+"
+        }
+        val minLen = opts.get("mintokenlength").orElse(opts.get("minTokenLength")) match {
+          case Some(NumLit(v, _)) => v.toInt
+          case _ => 1
+        }
+        val (nMin, nMax) = opts.get("ngramrange").orElse(opts.get("ngramRange")) match {
+          case Some(ArrayLit(Seq(NumLit(lo, _), NumLit(hi, _)))) => (lo.toInt, hi.toInt)
+          case _ => (1, 1)
+        }
+        T.tokenBagNgrams(a(0), nMin, nMax, minLen, splitRegex)
+      case None => T.tokenBag(a(0))
+      case Some(_) => throw new IllegalArgumentException(
+        "tokenize options must be a row literal {splitChars: …, ngramRange: [a,b], minTokenLength: n}")
+    }
+    // token_extract(str, n): nth token, 0-based; negative counts from
+    // the end (`builtin_functions.cc:1956`).
+    case "token_extract" =>
+      val toks = T.tokens(a(0))
+      when(a(1) >= 0, element_at(toks, (a(1) + 1).cast("int")))
+        .otherwise(element_at(toks, a(1).cast("int")))
     case "token_count" => T.tokenCount(a(0))
     case "hash" => xxhash64(a: _*)
     case "base64_encode" => base64(a(0).cast("binary"))
@@ -366,6 +447,42 @@ object Lowering {
       case _ => throw new IllegalArgumentException("json path must be literal")
     })
     case "geo_distance" => M.geoDistanceM(a(0), a(1), a(2), a(3))
+    case "st_contains_point" => M.stContainsPoint(a(0), a(1), a(2))
+    // path functions (`sql/builtin_functions.cc` path battery)
+    case "parse_path" => P.parsePath(a(0))
+    case "stringify_path" | "print_path" => P.stringifyPath(a(0))
+    case "path_element" => P.pathElement(a(0), a(1))
+    case "path_length" => P.pathLength(a(0))
+    case "flatten_path" => P.flattenPath(a(0))
+    // web / blob
+    case "extract_domain" =>
+      val removeSub = raw.lift(1) match {
+        case Some(StructLit(fields)) => fields.collectFirst {
+          case (k, BoolLit(v)) if k.equalsIgnoreCase("removeSubdomain") => v
+        }.getOrElse(false)
+        case _ => false
+      }
+      P.extractDomain(a(0), removeSub)
+    case "blob_length" => P.blobLength(a(0))
+    case "mime_type" => P.mimeType(a(0))
+    // temporal_* over a wide-mode cell: each cell holds ONE timestamped
+    // value, so the per-cell history aggregate degenerates to the value
+    // itself (count is 0/1). Multi-version cells live in EAV mode
+    // (core.Eav.temporalAgg) — documented divergence, SURVEY §1.4.
+    case "temporal_count" => when(a(0).isNotNull, 1L).otherwise(0L)
+    case "temporal_sum" | "temporal_avg" | "temporal_min" | "temporal_max" |
+         "temporal_earliest" | "temporal_latest" => a(0)
+    // try(expr, fallback): in non-ANSI mode the error classes the
+    // reference's try recovers from (bad casts, malformed numeric
+    // input, div-by-zero) surface as NULL, so coalescing with the
+    // fallback reproduces the recover path; errors that still throw
+    // (e.g. invalid regex literals) abort the query — documented
+    // divergence from the reference's catch-all.
+    case "try" =>
+      if (a.size >= 2) coalesce(a(0), a(1))
+      else throw new IllegalArgumentException(
+        "try(expr, fallback) requires a fallback in this engine")
+    case "static_type" => typeof(a(0))
     // vector
     case "norm" => V.norm(a(0), raw.lift(1).collect { case NumLit(v, _) => v.toDouble }.getOrElse(2.0))
     case "normalize" => V.normalize(a(0))
@@ -378,6 +495,7 @@ object Lowering {
     case "shape" => array(size(a(0)))
     case "flatten" => flatten(a(0))
     // dataset context
+    case n if n.startsWith("horizontal_") => horizontalFn(n, a)
     case "rowname" => if (scope.hasColumn("rowName")) col("rowName") else lit(null)
     case "rowhash" =>
       if (scope.hasColumn("rowName")) xxhash64(col("rowName")) else lit(null)
@@ -397,6 +515,112 @@ object Lowering {
       throw new IllegalArgumentException(s"unknown function $other")
   }
 
+  /** horizontal_* (`sql/builtin_functions.cc` horizontal battery):
+    * aggregate ACROSS a row's columns, skipping nulls. Pure array
+    * Column math — codegen'd, no UDF, no shuffle. In wide mode all of
+    * a row's cells share the row timestamp, so earliest/latest take
+    * the first/last non-null in column order. */
+  private def horizontalFn(name: String, cols: Seq[Column]): Column = {
+    def nn = filter(array(cols.map(_.cast("double")): _*), v => v.isNotNull)
+    name match {
+      case "horizontal_count" => size(nn).cast("long")
+      case "horizontal_sum" =>
+        when(size(nn) > 0, aggregate(nn, lit(0.0), _ + _))
+      case "horizontal_avg" =>
+        when(size(nn) > 0, aggregate(nn, lit(0.0), _ + _) / size(nn))
+      case "horizontal_min" => array_min(nn)
+      case "horizontal_max" => array_max(nn)
+      case "horizontal_string_agg" =>
+        array_join(filter(array(cols.map(_.cast("string")): _*),
+          v => v.isNotNull), ",")
+      case "horizontal_earliest" => coalesce(cols: _*)
+      case "horizontal_latest" => coalesce(cols.reverse: _*)
+      case other => throw new IllegalArgumentException(s"unknown function $other")
+    }
+  }
+
+  /** Driver-side evaluator for COLUMN EXPR's mini-expressions: they
+    * operate on the COLUMN SET (names), not on data — with a static
+    * schema this is pure metadata logic (`Reshape.selectColumnsExpr`
+    * is the API twin). Supports the doc's surface
+    * (`sql/SelectExpression.md:43-96`): columnName(), string
+    * concat/compare, lower/upper/length, regex_match, LIKE. */
+  private object ColumnSetEval {
+    def evalStr(e: Expr, name: String): String = String.valueOf(eval(e, name))
+    def evalBool(e: Expr, name: String): Boolean = eval(e, name) match {
+      case b: Boolean => b
+      case null => false
+      case other => throw new IllegalArgumentException(
+        s"COLUMN EXPR predicate must be boolean, got $other")
+    }
+    def eval(e: Expr, name: String): Any = e match {
+      case StrLit(v) => v
+      case NumLit(v, i) => if (i) v.toLong else v.toDouble
+      case BoolLit(v) => v
+      case NullLit() => null
+      case FnCall("columnname" | "columnpath", _, _) => name
+      case FnCall("lower", Seq(x), _) => evalStr(x, name).toLowerCase
+      case FnCall("upper", Seq(x), _) => evalStr(x, name).toUpperCase
+      case FnCall("length", Seq(x), _) => evalStr(x, name).length.toLong
+      case FnCall("regex_match", Seq(x, StrLit(re)), _) =>
+        evalStr(x, name).matches(re)
+      case FnCall("regex_search", Seq(x, StrLit(re)), _) =>
+        re.r.findFirstIn(evalStr(x, name)).isDefined
+      case LikeExpr(x, StrLit(p), neg) =>
+        val re = java.util.regex.Pattern.quote(p)
+          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
+        val m = evalStr(x, name).matches(re)
+        if (neg) !m else m
+      case Binary("||", l, r) => evalStr(l, name) + evalStr(r, name)
+      case Binary("+", l, r) => (eval(l, name), eval(r, name)) match {
+        case (a: Long, b: Long) => a + b
+        case (a, b) => String.valueOf(a) + String.valueOf(b)
+      }
+      case Binary("=", l, r) => eval(l, name) == eval(r, name)
+      case Binary("!=", l, r) => eval(l, name) != eval(r, name)
+      case Binary(op @ ("<" | "<=" | ">" | ">="), l, r) =>
+        val c = (eval(l, name), eval(r, name)) match {
+          case (a: String, b: String) => a.compareTo(b)
+          case (a: Long, b: Long) => a.compareTo(b)
+          case (a, b) => String.valueOf(a).compareTo(String.valueOf(b))
+        }
+        op match {
+          case "<" => c < 0; case "<=" => c <= 0
+          case ">" => c > 0; case ">=" => c >= 0
+        }
+      case Binary("and", l, r) => evalBool(l, name) && evalBool(r, name)
+      case Binary("or", l, r) => evalBool(l, name) || evalBool(r, name)
+      case Unary("not", x) => !evalBool(x, name)
+      case other => throw new IllegalArgumentException(
+        s"unsupported in COLUMN EXPR: $other")
+    }
+  }
+
+  /** Expand a COLUMN EXPR select item against the scope's column set:
+    * filter / order / limit / rename the NAMES driver-side, emit plain
+    * column references — zero data movement. */
+  private def expandColumnExpr(scope: Scope, ce: ColumnExprStar): Seq[Column] = {
+    var names = scope.allColumns.map(_._2).distinct
+    ce.where.foreach(w => names = names.filter(n => ColumnSetEval.evalBool(w, n)))
+    if (ce.orderBy.nonEmpty) {
+      val ord = ce.orderBy.map { o =>
+        (n: String) => ColumnSetEval.evalStr(o.e, n)
+      }
+      names = names.sortWith { (x, y) =>
+        ce.orderBy.zip(ord).collectFirst {
+          case (o, k) if k(x) != k(y) =>
+            if (o.asc) k(x) < k(y) else k(x) > k(y)
+        }.getOrElse(false)
+      }
+    }
+    ce.offset.foreach(o => names = names.drop(o.toInt))
+    ce.limit.foreach(l => names = names.take(l.toInt))
+    names.map { n =>
+      val outName = ce.as.map(a => ColumnSetEval.evalStr(a, n)).getOrElse(n)
+      col(n).as(outName)
+    }
+  }
+
   // ---- aggregates ----------------------------------------------------------
 
   private val aggNames = Set("count", "count_distinct", "sum", "avg", "min",
@@ -410,6 +634,7 @@ object Lowering {
 
   private def containsAgg(e: Expr): Boolean = e match {
     case FnCall(n, args, _) => aggNames(n) || args.exists(containsAgg)
+    case FnApply(_, args, _) => args.exists(kv => containsAgg(kv._2))
     case Binary(_, l, r) => containsAgg(l) || containsAgg(r)
     case Unary(_, x) => containsAgg(x)
     case CaseWhen(op, br, oe) =>
@@ -419,6 +644,8 @@ object Lowering {
     case Between(x, lo, hi, _) => Seq(x, lo, hi).exists(containsAgg)
     case InList(x, items, _) => containsAgg(x) || items.exists(containsAgg)
     case IsNull(x, _) => containsAgg(x)
+    case IsType(x, _, _) => containsAgg(x)
+    case InKeysOf(x, c, _, _) => containsAgg(x) || containsAgg(c)
     case LikeExpr(x, p, _) => containsAgg(x) || containsAgg(p)
     case ArrayLit(items) => items.exists(containsAgg)
     case StructLit(fs) => fs.exists(f => containsAgg(f._2))
@@ -465,6 +692,8 @@ object Lowering {
       val name = acc.getOrElseUpdate(f, s"__agg${acc.size}")
       Ident(Seq(name))
     case FnCall(n, args, s) => FnCall(n, args.map(extractAggs(_, acc)), s)
+    case FnApply(n, args, o) =>
+      FnApply(n, args.map(kv => kv._1 -> extractAggs(kv._2, acc)), o)
     case Binary(op, l, r) => Binary(op, extractAggs(l, acc), extractAggs(r, acc))
     case Unary(op, x) => Unary(op, extractAggs(x, acc))
     case CaseWhen(op, br, oe) => CaseWhen(op.map(extractAggs(_, acc)),
@@ -474,6 +703,9 @@ object Lowering {
     case Between(x, lo, hi, n) =>
       Between(extractAggs(x, acc), extractAggs(lo, acc), extractAggs(hi, acc), n)
     case IsNull(x, n) => IsNull(extractAggs(x, acc), n)
+    case IsType(x, t, n) => IsType(extractAggs(x, acc), t, n)
+    case InKeysOf(x, c, n, k) =>
+      InKeysOf(extractAggs(x, acc), extractAggs(c, acc), n, k)
     case other => other
   }
 
@@ -537,7 +769,8 @@ object Lowering {
       // ORDER BY can reference select aliases; stars expand at the
       // final select
       val plainItems: Seq[(String, Expr)] = stmt.items.zipWithIndex.collect {
-        case (it @ SelectItem(e, _), i) if !e.isInstanceOf[Star] =>
+        case (it @ SelectItem(e, _), i)
+            if !e.isInstanceOf[Star] && !e.isInstanceOf[ColumnExprStar] =>
           itemName(it, i) -> e
       }
       var extended = out
@@ -564,6 +797,8 @@ object Lowering {
         case None => sorted
       }
       val cols: Seq[Column] = stmt.items.zipWithIndex.flatMap {
+        case (SelectItem(ce: ColumnExprStar, _), _) =>
+          expandColumnExpr(scope, ce)
         case (SelectItem(Star(excl, prefix, rename), _), _) =>
           val exclSet = excl.map(_.toLowerCase).toSet
           val seen = scala.collection.mutable.LinkedHashSet[String]()

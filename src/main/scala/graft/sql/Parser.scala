@@ -109,7 +109,35 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseSelectItem(): SelectItem = {
-    if (acceptOp("*")) {
+    if (isKw(peek, "COLUMN") && isKw(tokens(p + 1), "EXPR")) {
+      p += 2
+      expectOp("(")
+      val as = if (acceptKw("AS")) Some(parseExpr()) else None
+      val where = if (acceptKw("WHERE")) Some(parseExpr()) else None
+      val orderBy =
+        if (acceptKw("ORDER")) {
+          expectKw("BY")
+          val items = Vector.newBuilder[OrderItem]
+          var more = true
+          while (more) {
+            val e = parseExpr()
+            val asc = if (acceptKw("DESC")) false else { acceptKw("ASC"); true }
+            items += OrderItem(e, asc)
+            more = acceptOp(",")
+          }
+          items.result()
+        } else Nil
+      var offset: Option[Long] = None
+      var limit: Option[Long] = None
+      var making = true
+      while (making) {
+        if (offset.isEmpty && acceptKw("OFFSET")) offset = Some(parseIntLit())
+        else if (limit.isEmpty && acceptKw("LIMIT")) limit = Some(parseIntLit())
+        else making = false
+      }
+      expectOp(")")
+      SelectItem(ColumnExprStar(as, where, orderBy, limit, offset), None)
+    } else if (acceptOp("*")) {
       val excl =
         if (acceptKw("EXCLUDING")) {
           expectOp("(")
@@ -295,8 +323,14 @@ final class Parser(tokens: Vector[Token]) {
       } else if (isKw(peek, "IS")) {
         p += 1
         val neg = acceptKw("NOT")
-        expectKw("NULL")
-        l = IsNull(l, neg)
+        if (acceptKw("NULL")) l = IsNull(l, neg)
+        else {
+          // type predicates (`sql_expression_operations.h:164`)
+          val tpe = Seq("string", "number", "integer", "timestamp",
+            "true", "false").find(acceptKw(_))
+            .getOrElse(fail("expected NULL or a type after IS"))
+          l = IsType(l, tpe, neg)
+        }
       } else if (isKw(peek, "IN") ||
           (isKw(peek, "NOT") && isKw(tokens(p + 1), "IN"))) {
         val neg = isKw(peek, "NOT")
@@ -305,6 +339,12 @@ final class Parser(tokens: Vector[Token]) {
         if (isKw(peek, "SELECT")) {
           val sub = parseSelect(); expectOp(")")
           l = InSelect(l, sub, neg)
+        } else if ((isKw(peek, "KEYS") || isKw(peek, "VALUES")) &&
+            isKw(tokens(p + 1), "OF")) {
+          val keys = isKw(peek, "KEYS")
+          p += 2
+          val container = parseExpr(); expectOp(")")
+          l = InKeysOf(l, container, neg, keys)
         } else {
           val items = parseExprList(); expectOp(")")
           l = InList(l, items, neg)

@@ -69,4 +69,58 @@ class RestSpec extends AnyFunSuite {
       assert(get(port, "/v1/query")._1 === 400)
     } finally srv.stop()
   }
+
+  test("REST write surface: record rows, apply function, async run") {
+    val engine = new GraftEngine(spark)
+    engine.createDatasetFromParquet("nation", s"$sf/nation.parquet")
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      // record rows into a NEW dataset, then append widening rows
+      val rec1 = client.send(HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:$port/v1/datasets/scores/rows"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """[{"id": 1, "score": 0.5}, {"id": 2, "score": 0.9}]"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(rec1.statusCode() === 200 && rec1.body() === """{"recorded": 2}""")
+      val rec2 = client.send(HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:$port/v1/datasets/scores/rows"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """[{"id": 3, "score": 0.1, "tag": "new"}]"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(rec2.statusCode() === 200)
+      // recorded rows are queryable through the dialect, schema widened
+      val q = java.net.URLEncoder.encode(
+        "SELECT count(*) AS n, horizontal_max({a: max(score)}) AS hm FROM scores", "UTF-8")
+      val (qc, qb) = get(port, s"/v1/query?q=$q")
+      assert(qc === 200 && qb.contains(""""n":3"""))
+      // register a sql.expression function and apply it over HTTP
+      engine.createSqlExpressionFunction("gain", "score * 100 AS pct")
+      val input = java.net.URLEncoder.encode("""{"score": 0.25}""", "UTF-8")
+      val (ac, ab) = get(port, s"/v1/functions/gain/application?input=$input")
+      assert(ac === 200 && ab.contains(""""pct":25"""), s"application -> $ac $ab")
+      // async transform run: POST → poll until finished
+      val post = client.send(HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:$port/v1/procedures/transform/runs"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"inputQuery": "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey", "outputDataset": "async_out"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() === 200 && post.body().contains("executing"))
+      val runId = "\"runId\": \"([0-9a-f-]+)\"".r
+        .findFirstMatchIn(post.body()).get.group(1)
+      var state = "executing"
+      var tries = 0
+      while (state == "executing" && tries < 100) {
+        Thread.sleep(200)
+        val (_, sb) = get(port, s"/v1/procedures/transform/runs/$runId")
+        if (sb.contains("finished")) state = "finished"
+        else if (sb.contains("\"error\"")) state = "error"
+        tries += 1
+      }
+      assert(state === "finished")
+      assert(get(port, "/v1/datasets/async_out")._1 === 200)
+      // unknown run id → 404
+      assert(get(port, "/v1/procedures/transform/runs/nope")._1 === 404)
+    } finally srv.stop()
+  }
 }

@@ -243,6 +243,108 @@ class SqlSpec extends AnyFunSuite {
     assert(rows(2).getLong(0) === 2L) // both non-null
   }
 
+  test("IS type predicates resolve against static column types") {
+    val r = q(
+      """SELECT n_name IS STRING AS a, n_nationkey IS NUMBER AS b,
+        |  n_nationkey IS INTEGER AS c, n_name IS NOT NUMBER AS d,
+        |  n_name IS TIMESTAMP AS e,
+        |  CAST(n_nationkey AS number) IS INTEGER AS f
+        |FROM nation LIMIT 1""".stripMargin).head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) &&
+      r.getBoolean(3) && !r.getBoolean(4) && !r.getBoolean(5))
+  }
+
+  test("IS NULL IS STRING: null never satisfies a type predicate") {
+    val r = q("SELECT no_col IS STRING AS a, no_col IS NOT STRING AS b FROM region LIMIT 1").head()
+    assert(!r.getBoolean(0) && r.getBoolean(1))
+  }
+
+  test("IN (KEYS OF tokenize(...)) membership") {
+    val n = q(
+      """SELECT r_name FROM region
+        |WHERE 'africa' IN (KEYS OF tokenize(r_name))""".stripMargin).count()
+    assert(n === 1)
+    val none = q(
+      """SELECT r_name FROM region
+        |WHERE 'africa' NOT IN (KEYS OF tokenize(r_name))""".stripMargin).count()
+    assert(none === 4)
+  }
+
+  test("IN (VALUES OF …) checks map values") {
+    // tokenize counts: 'middle east' has two tokens each with count 1
+    val n = q(
+      """SELECT r_name FROM region
+        |WHERE 2 IN (VALUES OF tokenize(r_name || ' ' || r_name))""".stripMargin).count()
+    assert(n === 5) // every name duplicated -> counts of 2
+  }
+
+  test("COLUMN EXPR filters/orders/limits/renames the column set") {
+    val df = q(
+      """SELECT COLUMN EXPR (AS columnName() || '_x'
+        |  WHERE columnName() != 'n_regionkey'
+        |  ORDER BY columnName() DESC LIMIT 2)
+        |FROM nation""".stripMargin)
+    assert(df.columns.toSeq === Seq("n_nationkey_x", "n_name_x"))
+    assert(df.count() === 25)
+  }
+
+  test("horizontal_* in both row-literal and plain-arg forms") {
+    val r = q(
+      """SELECT horizontal_sum({a: 1, b: 2, c: NULL}) AS hs,
+        |  horizontal_count({a: 1, b: 2, c: NULL}) AS hc,
+        |  horizontal_avg({a: 1, b: 3}) AS ha,
+        |  horizontal_min(5, 2, 9) AS hmin,
+        |  horizontal_max(5, 2, 9) AS hmax,
+        |  horizontal_string_agg({a: 'x', b: 'y'}) AS hsa""".stripMargin).head()
+    assert(r.getDouble(0) === 3.0 && r.getLong(1) === 2L && r.getDouble(2) === 2.0)
+    assert(r.getDouble(3) === 2.0 && r.getDouble(4) === 9.0)
+    assert(r.getString(5) === "x,y")
+  }
+
+  test("temporal_* degenerate wide-mode semantics") {
+    val r = q(
+      """SELECT temporal_count(n_name) AS c, temporal_count(no_col) AS z,
+        |  temporal_max(n_nationkey) AS m
+        |FROM nation WHERE n_nationkey = 3""".stripMargin).head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 0L && r.getInt(2) === 3)
+  }
+
+  test("string/path/web additions: remove_prefix, token_extract, paths, domain") {
+    val r = q(
+      """SELECT remove_prefix('NATION_7', 'NATION_') AS a,
+        |  remove_suffix('file.csv', '.csv') AS b,
+        |  remove_prefix('zebra', 'NATION_') AS c,
+        |  regex_search('brown fox', 'fox') AS d,
+        |  regex_match('brown fox', 'fox') AS e,
+        |  token_extract('alpha beta gamma', 1) AS f,
+        |  token_extract('alpha beta gamma', -1) AS g,
+        |  stringify_path(parse_path('a.b.c')) AS h,
+        |  path_element(parse_path('a.b.c'), 1) AS i,
+        |  CAST(path_length(parse_path('a.b.c')) AS integer) AS j,
+        |  extract_domain('https://docs.example.com/x?y=1') AS k,
+        |  static_type(1.5) AS l,
+        |  try(CAST('oops' AS number), -1) AS m""".stripMargin).head()
+    assert(r.getString(0) === "7" && r.getString(1) === "file" &&
+      r.getString(2) === "zebra")
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getString(5) === "beta" && r.getString(6) === "gamma")
+    assert(r.getString(7) === "a.b.c" && r.getString(8) === "b" && r.getLong(9) === 3L)
+    assert(r.getString(10) === "docs.example.com")
+    assert(r.getString(11) === "double")
+    assert(r.getDouble(12) === -1.0)
+  }
+
+  test("tokenize with options row: ngrams + minTokenLength + splitChars") {
+    val r = q(
+      """SELECT tokenize('a bb ccc dd', {minTokenLength: 2, ngramRange: [1, 2]}) AS t""")
+      .head().getMap[String, Int](0)
+    assert(r.contains("bb") && r.contains("ccc") && r.contains("bb ccc"))
+    assert(!r.contains("a"))
+    val s = q("""SELECT tokenize('a-b_c', {splitChars: '-_'}) AS t""")
+      .head().getMap[String, Int](0)
+    assert(s.keySet === Set("a", "b", "c"))
+  }
+
   test("offset/limit and rowname()/rowhash() context functions") {
     val rows = q(
       """SELECT rowname() AS rn, rowhash() AS rh, o_orderkey
