@@ -203,15 +203,24 @@ object Models {
     new Pipeline().setStages(Array(tok, cv, idf)).fit(df)
   }
 
-  /** `probabilizer.train`: calibrate a raw score into a probability
-    * with a one-feature logistic fit. */
+  /** `probabilizer.train`: calibrate a raw score into a probability.
+    * `method` = "glz" (one-feature logistic fit, Platt scaling) or
+    * "isotonic" (monotone piecewise-constant calibration —
+    * `plugins/jml/probabilizer.cc:292`'s isotonic variant, MLlib
+    * IsotonicRegression 1:1). */
   def probabilizerTrain(scored: DataFrame, scoreCol: String,
-      labelCol: String): PipelineModel = {
+      labelCol: String, method: String = "glz"): PipelineModel = {
     val asm = new VectorAssembler().setInputCols(Array(scoreCol))
       .setOutputCol("features")
-    val lr = new LogisticRegression().setLabelCol(labelCol)
-      .setFeaturesCol("features").setMaxIter(50)
-    new Pipeline().setStages(Array(asm, lr)).fit(scored)
+    val est = method match {
+      case "glz" => new LogisticRegression().setLabelCol(labelCol)
+        .setFeaturesCol("features").setMaxIter(50)
+      case "isotonic" => new org.apache.spark.ml.regression.IsotonicRegression()
+        .setLabelCol(labelCol).setFeaturesCol("features").setIsotonic(true)
+      case other => throw new IllegalArgumentException(
+        s"unknown probabilizer method '$other' (expect glz|isotonic)")
+    }
+    new Pipeline().setStages(Array(asm, est)).fit(scored)
   }
 
   /** `classifier.explain` (`plugins/jml/classifier.cc:1496-1502`): for
@@ -223,8 +232,12 @@ object Models {
       featureCols: Seq[String]): DataFrame = {
     val lr = model.stages.last match {
       case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
+      case _: org.apache.spark.ml.classification.DecisionTreeClassificationModel |
+           _: org.apache.spark.ml.classification.RandomForestClassificationModel |
+           _: org.apache.spark.ml.classification.GBTClassificationModel =>
+        return treeExplain(model, df, featureCols)
       case other => throw new IllegalArgumentException(
-        s"explain supports glz (logistic) models, got ${other.getClass.getSimpleName}")
+        s"explain supports glz (logistic) and tree models, got ${other.getClass.getSimpleName}")
     }
     val weights = lr.coefficients.toArray
     val scaler = model.stages.collectFirst {
@@ -240,6 +253,30 @@ object Models {
     }
     df.withColumn("bias", lit(lr.intercept))
       .withColumn("explanation", map_from_entries(array(contribs: _*)))
+  }
+
+  /** Tree-model explain: Gini/impurity featureImportances attached as
+    * the explanation map. These are MODEL-level attributions (the
+    * reference's tree explain walks the decision path per row —
+    * documented divergence; per-row path attribution has no MLlib
+    * analog and would need driver-side tree traversal). */
+  private def treeExplain(model: PipelineModel, df: DataFrame,
+      featureCols: Seq[String]): DataFrame = {
+    val imp = model.stages.last match {
+      case m: org.apache.spark.ml.classification.DecisionTreeClassificationModel =>
+        m.featureImportances
+      case m: org.apache.spark.ml.classification.RandomForestClassificationModel =>
+        m.featureImportances
+      case m: org.apache.spark.ml.classification.GBTClassificationModel =>
+        m.featureImportances
+      case other => throw new IllegalArgumentException(
+        s"not a tree model: ${other.getClass.getSimpleName}")
+    }
+    val entries = featureCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("feature"), lit(imp(i)).as("contribution"))
+    }
+    df.withColumn("bias", lit(0.0))
+      .withColumn("explanation", map_from_entries(array(entries: _*)))
   }
 
   /** `classifier.experiment` (`plugins/jml/experiment_procedure.cc:618`):

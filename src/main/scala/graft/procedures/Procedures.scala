@@ -175,4 +175,24 @@ object Procedures {
   /** `melt` procedure — delegates to the Reshape operator. */
   def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String]): DataFrame =
     graft.operators.Reshape.melt(df, idCols, valueCols)
+
+  /** `serial` procedure (`builtin/basic_procedures.cc:196-272`): run
+    * child steps in order, stop at the first failure; returns the
+    * per-step results accumulated so far. */
+  def serial[T](steps: Seq[(String, () => T)]): Seq[(String, T)] =
+    steps.map { case (name, run) => name -> run() }
+
+  /** `permuter` procedure (`builtin/basic_procedures.cc:64-180`):
+    * cartesian product of the parameter grid, one child run per
+    * combination — the hyperparameter-sweep driver. The grid is
+    * driver-side (it is configuration, not data); each run is a full
+    * distributed job. */
+  def permutations(grid: Seq[(String, Seq[Any])]): Seq[Map[String, Any]] =
+    grid.foldLeft(Seq(Map.empty[String, Any])) { case (acc, (k, vs)) =>
+      for (m <- acc; v <- vs) yield m + (k -> v)
+    }
+
+  def permuter[T](grid: Seq[(String, Seq[Any])],
+      run: Map[String, Any] => T): Seq[(Map[String, Any], T)] =
+    permutations(grid).map(p => p -> run(p))
 }

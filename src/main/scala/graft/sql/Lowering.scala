@@ -89,11 +89,32 @@ object Lowering {
         (u, Scope(Seq(None -> u)))
       case "sample" =>
         val (df, _) = lowerTable(ctx, tables.head)
-        val frac = args.headOption.map {
-          case NumLit(v, _) => v.toDouble
-          case _ => throw new IllegalArgumentException("sample(t, fraction)")
-        }.getOrElse(0.1)
-        val s = df.sample(withReplacement = false, frac, seed = 42L)
+        val s = args.headOption match {
+          case Some(NumLit(v, _)) => df.sample(withReplacement = false,
+            v.toDouble, seed = 42L)
+          case Some(StructLit(fields)) =>
+            val fm = fields.toMap
+            val seed = fm.get("seed") match {
+              case Some(NumLit(sd, _)) => sd.toLong
+              case _ => 42L
+            }
+            (fm.get("fraction"), fm.get("rows")) match {
+              case (Some(NumLit(f, _)), _) =>
+                df.sample(withReplacement = false, f.toDouble, seed)
+              case (_, Some(NumLit(n, _))) =>
+                // {rows: N} (`builtin/sampled_dataset.cc` rows mode):
+                // deterministic pseudo-random N rows via hash order —
+                // plans as TakeOrdered (top-N per partition + merge),
+                // never a full sort materialization
+                df.orderBy(xxhash64(df.columns.map(col) :+ lit(seed): _*))
+                  .limit(n.toInt)
+              case _ => throw new IllegalArgumentException(
+                "sample options: {fraction: f | rows: n [, seed: s]}")
+            }
+          case None => df.sample(withReplacement = false, 0.1, seed = 42L)
+          case _ => throw new IllegalArgumentException(
+            "sample(t, fraction | {fraction | rows [, seed]})")
+        }
         (s, Scope(Seq(None -> s)))
       case "row_dataset" | "atom_dataset" =>
         // one row per atom of the argument row literal
@@ -164,6 +185,12 @@ object Lowering {
         // horizontal_sum({a: x, b: y}) — row-literal argument form
         horizontalFn(name.toLowerCase,
           args.map { case (_, v) => lowerExpr(scope, v) })
+      case None if Set("print_json", "hash")(name.toLowerCase) =>
+        // builtins whose single argument is a row literal parse as
+        // FnApply; route them back to the registry
+        val asStruct = StructLit(args)
+        lowerFn(scope, name.toLowerCase,
+          Seq(lowerExpr(scope, asStruct)), star = false, Seq(asStruct))
       case Some(items) =>
         val argMap = args.toMap
         def itemFor(out: String): Expr = items.zipWithIndex.collectFirst {
@@ -271,8 +298,9 @@ object Lowering {
     case LikeExpr(x, StrLit(pat), neg) =>
       val c = lowerExpr(scope, x).like(pat)
       if (neg) !c else c
-    case LikeExpr(_, _, _) =>
-      throw new IllegalArgumentException("LIKE pattern must be a string literal")
+    case LikeExpr(x, p, neg) => // dynamic pattern: SQL like(str, pattern)
+      val c = call_function("like", lowerExpr(scope, x), lowerExpr(scope, p))
+      if (neg) !c else c
     case ArrayLit(items) => array(items.map(lowerExpr(scope, _)): _*)
     case StructLit(fields) =>
       struct(fields.map { case (n, v) => lowerExpr(scope, v).as(n) }: _*)
@@ -334,7 +362,13 @@ object Lowering {
     case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
     case "sinh" => sinh(a(0)); case "cosh" => cosh(a(0)); case "tanh" => tanh(a(0))
     case "sign" => signum(a(0))
+    case "asinh" => asinh(a(0)); case "acosh" => acosh(a(0)); case "atanh" => atanh(a(0))
     case "isnan" => isnan(a(0))
+    case "isinf" =>
+      a(0) === Double.PositiveInfinity || a(0) === Double.NegativeInfinity
+    case "isfinite" =>
+      !isnan(a(0)) && a(0) =!= Double.PositiveInfinity &&
+        a(0) =!= Double.NegativeInfinity
     case "quantize" => M.quantize(a(0), a(1))
     case "clamp" => M.clamp(a(0), a(1), a(2))
     case "replace_nan" => M.replaceNan(a(0), a(1))
@@ -397,6 +431,13 @@ object Lowering {
     case "now" => current_timestamp()
     case "value_timestamp" | "latest_timestamp" | "earliest_timestamp" =>
       if (scope.hasColumn("ts")) col("ts") else lit(null)
+    // wide mode: one timestamp per row, so the distinct set is a
+    // singleton; `at` re-timestamps a value, which changes nothing
+    // observable when the value is read back in the same row
+    case "distinct_timestamps" =>
+      if (scope.hasColumn("ts")) array(col("ts"))
+      else array().cast("array<timestamp>")
+    case "at" => a(0)
     // text / ML features. tokenize takes the reference's options row:
     // {splitChars: '...', ngramRange: [lo, hi], minTokenLength: n}
     // (`sql/builtin_functions.cc:1915`).
@@ -446,6 +487,24 @@ object Lowering {
       case StrLit(s) => s
       case _ => throw new IllegalArgumentException("json path must be literal")
     })
+    case "print_json" => to_json(a(0))
+    // extract_column(name, row) (`builtin_functions.cc:2400`); the
+    // name must be a literal (static schema)
+    case "extract_column" => (raw(0), raw.lift(1)) match {
+      case (StrLit(name), Some(_)) => a(1).getField(name)
+      case (_, Some(StrLit(name))) => a(0).getField(name)
+      case _ => throw new IllegalArgumentException(
+        "extract_column needs a literal column name")
+    }
+    // signal battery (`sql/builtin_signal_functions.cc:214`)
+    case "fft" => graft.functions.SignalFunctions.fft(a(0))
+    case "ifft" => graft.functions.SignalFunctions.ifft(a(0))
+    case "amplitude" => graft.functions.SignalFunctions.amplitude(a(0))
+    case "phase" => graft.functions.SignalFunctions.phase(a(0))
+    case "real" => graft.functions.SignalFunctions.realPart(a(0))
+    case "imag" => graft.functions.SignalFunctions.imagPart(a(0))
+    case "impulse" => graft.functions.SignalFunctions.impulse(a(0), a(1))
+    case "slice" => slice(a(0), a(1).cast("int"), a(2).cast("int"))
     case "geo_distance" => M.geoDistanceM(a(0), a(1), a(2), a(3))
     case "st_contains_point" => M.stContainsPoint(a(0), a(1), a(2))
     // path functions (`sql/builtin_functions.cc` path battery)
@@ -453,7 +512,8 @@ object Lowering {
     case "stringify_path" | "print_path" => P.stringifyPath(a(0))
     case "path_element" => P.pathElement(a(0), a(1))
     case "path_length" => P.pathLength(a(0))
-    case "flatten_path" => P.flattenPath(a(0))
+    // identity pair in our dotted-string path convention
+    case "flatten_path" | "unflatten_path" => P.flattenPath(a(0))
     // web / blob
     case "extract_domain" =>
       val removeSub = raw.lift(1) match {
@@ -625,6 +685,7 @@ object Lowering {
 
   private val aggNames = Set("count", "count_distinct", "sum", "avg", "min",
     "max", "string_agg", "earliest", "latest", "variance", "stddev",
+    "likelihood_ratio", "pivot",
     "vertical_sum", "vertical_avg", "vertical_min", "vertical_max")
 
   private def isAggCall(e: Expr): Boolean = e match {
@@ -634,7 +695,8 @@ object Lowering {
 
   private def containsAgg(e: Expr): Boolean = e match {
     case FnCall(n, args, _) => aggNames(n) || args.exists(containsAgg)
-    case FnApply(_, args, _) => args.exists(kv => containsAgg(kv._2))
+    case FnApply(n, args, _) =>
+      aggNames(n) || args.exists(kv => containsAgg(kv._2))
     case Binary(_, l, r) => containsAgg(l) || containsAgg(r)
     case Unary(_, x) => containsAgg(x)
     case CaseWhen(op, br, oe) =>
@@ -663,6 +725,20 @@ object Lowering {
     case FnCall("max", args, _) => max(lowerExpr(scope, args.head))
     case FnCall("variance", args, _) => var_samp(lowerExpr(scope, args.head))
     case FnCall("stddev", args, _) => stddev_samp(lowerExpr(scope, args.head))
+    // likelihood_ratio(expr, outcome) (`builtin_aggregators.cc:947`):
+    // add-one-smoothed log ratio of P(expr|outcome) / P(expr|¬outcome)
+    case FnCall("likelihood_ratio", Seq(x, o), _) =>
+      val xe = lowerExpr(scope, x).cast("boolean")
+      val oe = lowerExpr(scope, o).cast("boolean")
+      def cnt(c: Column) = sum(when(c, 1.0).otherwise(0.0))
+      log(((cnt(xe && oe) + 1.0) / (cnt(oe) + 2.0)) /
+        ((cnt(xe && !oe) + 1.0) / (cnt(!oe) + 2.0)))
+    // pivot(name, value) (`builtin_aggregators.cc:1001`): build a row
+    // (map) from the group's (name, value) pairs; names must be unique
+    // per group, like the reference's row construction
+    case FnCall("pivot", Seq(n, v), _) =>
+      map_from_entries(array_distinct(collect_list(
+        struct(lowerExpr(scope, n), lowerExpr(scope, v)))))
     case FnCall("string_agg", args, _) =>
       // Values are sorted for deterministic output (the reference's
       // aggregation order over a distributed scan is unspecified, so a
@@ -686,14 +762,22 @@ object Lowering {
   }
 
   /** Replace aggregate subtrees with references to precomputed agg
-    * columns; collect the aggregates. */
+    * columns; collect the aggregates. `sum({a, b})` — an aggregate
+    * applied to a row literal — expands per column to
+    * `{a: sum(a), b: sum(b)}` first (the reference's RegisterAggregatorT
+    * loop, `builtin_aggregators.cc:502-550`). */
   private def extractAggs(e: Expr, acc: scala.collection.mutable.LinkedHashMap[FnCall, String]): Expr = e match {
     case f @ FnCall(n, _, _) if aggNames(n) =>
       val name = acc.getOrElseUpdate(f, s"__agg${acc.size}")
       Ident(Seq(name))
     case FnCall(n, args, s) => FnCall(n, args.map(extractAggs(_, acc)), s)
+    case FnApply(n, args, None) if aggNames(n) =>
+      extractAggs(StructLit(args.map { case (k, v) => k -> FnCall(n, Seq(v)) }), acc)
     case FnApply(n, args, o) =>
       FnApply(n, args.map(kv => kv._1 -> extractAggs(kv._2, acc)), o)
+    case StructLit(fs) =>
+      StructLit(fs.map { case (k, v) => k -> extractAggs(v, acc) })
+    case ArrayLit(items) => ArrayLit(items.map(extractAggs(_, acc)))
     case Binary(op, l, r) => Binary(op, extractAggs(l, acc), extractAggs(r, acc))
     case Unary(op, x) => Unary(op, extractAggs(x, acc))
     case CaseWhen(op, br, oe) => CaseWhen(op.map(extractAggs(_, acc)),
@@ -791,6 +875,12 @@ object Lowering {
         case Some(key) =>
           if (stmt.orderBy.isEmpty)
             throw new IllegalArgumentException("DISTINCT ON requires ORDER BY")
+          // reference validation (`sql_expression.cc:3087-3100`): the
+          // DISTINCT ON expression must be the leftmost ORDER BY key,
+          // otherwise "first row per key" is ill-defined
+          if (stmt.orderBy.head.e != key)
+            throw new IllegalArgumentException(
+              "DISTINCT ON (x) requires ORDER BY to start with x")
           val w = Window.partitionBy(lowerExpr(extScope, key)).orderBy(sortCols: _*)
           sorted.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")

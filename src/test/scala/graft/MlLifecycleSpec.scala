@@ -67,6 +67,48 @@ class MlLifecycleSpec extends AnyFunSuite {
     assert(check.count() === 0)
   }
 
+  test("isotonic probabilizer: monotone calibrated probabilities in [0,1]") {
+    val feats = (0 until 8).map(i => s"f_$i")
+    val base = Models.classifierTrain(features, feats, "y", "glz")
+    val scored = base.transform(features)
+      .withColumn("score", element_at(
+        org.apache.spark.ml.functions.vector_to_array(col("rawPrediction")), 2))
+      .select(col("vec_id"), col("score"), col("y"))
+    val cal = Models.probabilizerTrain(scored, "score", "y", method = "isotonic")
+    val out = cal.transform(scored)
+      .select(col("score"), col("prediction").as("p"))
+    assert(out.filter(col("p") < 0 || col("p") > 1).count() === 0)
+    // isotonic: higher score never maps to a lower probability
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+    val viol = out.withColumn("prev_p", lag(col("p"), 1).over(w))
+      .filter(col("prev_p").isNotNull && col("p") < col("prev_p") - 1e-9)
+    assert(viol.count() === 0)
+  }
+
+  test("classifier.explain on tree models: feature importances sum to 1") {
+    val feats = (0 until 8).map(i => s"f_$i")
+    val model = Models.classifierTrain(features, feats, "y", "bagging")
+    val explained = Models.classifierExplain(model, features, feats)
+    val total = explained
+      .select(aggregate(map_values(col("explanation")), lit(0.0), (a, x) => a + x)
+        .as("s")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6)
+  }
+
+  test("serial and permuter procedures: ordered steps, full grid sweep") {
+    import graft.procedures.Procedures
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    val out = Procedures.serial(Seq(
+      "a" -> (() => { ran += "a"; 1 }),
+      "b" -> (() => { ran += "b"; 2 })))
+    assert(ran.toSeq === Seq("a", "b") && out.map(_._2) === Seq(1, 2))
+    val grid = Seq("alg" -> Seq("glz", "dt"), "frac" -> Seq(0.2, 0.3))
+    val sweep = Procedures.permuter(grid, p => s"${p("alg")}@${p("frac")}")
+    assert(sweep.size === 4)
+    assert(sweep.map(_._2).toSet ===
+      Set("glz@0.2", "glz@0.3", "dt@0.2", "dt@0.3"))
+  }
+
   test("sql.query function: broadcast lookup application") {
     val e = new GraftEngine(spark)
     e.createDatasetFromParquet("nation", s"$sf/nation.parquet")

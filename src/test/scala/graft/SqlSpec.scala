@@ -345,6 +345,63 @@ class SqlSpec extends AnyFunSuite {
     assert(s.keySet === Set("a", "b", "c"))
   }
 
+  test("likelihood_ratio and pivot dialect aggregates") {
+    val lr = q(
+      """SELECT n_regionkey, round(likelihood_ratio(n_nationkey > 10, n_nationkey > 5), 6) AS lr
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey LIMIT 1""".stripMargin)
+      .head()
+    assert(!lr.isNullAt(1)) // smoothed ratio always defined
+    val pv = q(
+      """SELECT r_regionkey % 2 AS par, pivot(r_name, r_regionkey) AS m
+        |FROM region GROUP BY r_regionkey % 2""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Int](1)).toMap
+    assert(pv(0L)("AFRICA") === 0 && pv(0L)("ASIA") === 2)
+    assert(pv(1L).keySet === Set("AMERICA", "EUROPE"))
+  }
+
+  test("aggregate over a row literal expands per column: sum({a, b})") {
+    val r = q(
+      """SELECT sum({k: n_nationkey, r: n_regionkey}) AS s FROM nation""")
+      .select(col("s.k"), col("s.r")).head()
+    assert(r.getLong(0) === (0 until 25).sum)
+  }
+
+  test("dynamic LIKE pattern (non-literal)") {
+    val n = q(
+      """SELECT r_name FROM region WHERE r_name LIKE upper('a') || '%'""")
+      .count()
+    assert(n === 3) // 'A%' matches AFRICA, AMERICA, ASIA
+  }
+
+  test("DISTINCT ON must lead the ORDER BY") {
+    val e = intercept[IllegalArgumentException] {
+      q("""SELECT DISTINCT ON (r_regionkey) r_name FROM region
+          |ORDER BY r_name""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("ORDER BY to start with"))
+  }
+
+  test("sample table function: rows mode is deterministic") {
+    val a = q("SELECT * FROM sample(nation, {rows: 7})").collect()
+    val b = q("SELECT * FROM sample(nation, {rows: 7})").collect()
+    assert(a.length === 7 && a.map(_.getInt(0)).toSeq === b.map(_.getInt(0)).toSeq)
+    val c = q("SELECT * FROM sample(nation, {rows: 7, seed: 9})").collect()
+    assert(c.map(_.getInt(0)).toSeq !== a.map(_.getInt(0)).toSeq)
+  }
+
+  test("isinf/isfinite, extract_column, print_json, slice") {
+    val r = q(
+      """SELECT isinf(exp(1000.0)) AS a, isfinite(exp(1000.0)) AS b,
+        |  isfinite(2.5) AS c,
+        |  extract_column('x', {x: 41, y: 2}) AS d,
+        |  print_json({x: 1}) AS e,
+        |  slice([10, 20, 30, 40], 2, 2) AS f""".stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getLong(3) === 41L)
+    assert(r.getString(4) === """{"x":1}""")
+    assert(r.getSeq[Long](5) === Seq(20L, 30L))
+  }
+
   test("offset/limit and rowname()/rowhash() context functions") {
     val rows = q(
       """SELECT rowname() AS rn, rowhash() AS rh, o_orderkey
