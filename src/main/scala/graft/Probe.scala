@@ -9,60 +9,35 @@ object Probe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.01"
-    import graft.core.Tables
-    import graft.ml.Models
-    import graft.procedures.Procedures
-
-    val emb = Tables.embeddings(spark, d)
-      .withColumn("y", (col("label") >= 5).cast("double"))
-      .withColumn("f", col("embedding").cast("array<double>"))
-    val feats = (0 until 16).map(i => s"f_$i")
-    val wide = feats.zipWithIndex.foldLeft(emb) { case (df, (c, i)) =>
-      df.withColumn(c, element_at(col("f"), i + 1))
+    val d = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
-    val (train, test) = Procedures.split(wide, "vec_id", 0.3)
-
-    // binary glz (existing q56)
-    val glz = Models.classifierTrain(train, feats, "y", "glz")
-    val (auc, acc) = Models.classifierTest(glz, test, "y")
-    println(s"[probe] glz auc=$auc acc=$acc")
-
-    // svm
-    val svm = Models.classifierTrain(train, feats, "y", "svm")
-    val (svmAuc, svmAcc) = Models.classifierTest(svm, test, "y")
-    println(s"[probe] svm auc=$svmAuc acc=$svmAcc")
-
-    // categorical glz on the 10-class label
-    val wideCat = wide.withColumn("yc", col("label").cast("double"))
-    val (trc, tec) = Procedures.split(wideCat, "vec_id", 0.3)
-    val cat = Models.classifierTrainCategorical(trc, feats, "yc", "glz")
-    val scored = cat.transform(tec)
-    val catAcc = new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
-      .setLabelCol("yc").setPredictionCol("prediction").setMetricName("accuracy")
-      .evaluate(scored)
-    println(s"[probe] categorical glz acc=$catAcc nclasses=" +
-      wideCat.select(countDistinct(col("yc"))).head.getLong(0))
-
-    // regression slope/intercept vs closed form
-    val li = Tables.lineitem(spark, d).select(
-      col("l_quantity").cast("double").as("x"),
-      col("l_extendedprice").cast("double").as("y"))
-    val m = Models.regressionTrain(li, Seq("x"), "y", "glz")
-    val lrm = m.stages.last
-      .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
-    val cf = li.select(
-      (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("slope"),
-      (avg(col("y")) - covar_pop(col("x"), col("y")) / var_pop(col("x")) * avg(col("x"))).as("icept")).head
-    println(s"[probe] ols spark=${lrm.coefficients(0)},${lrm.intercept} closed=${cf.getDouble(0)},${cf.getDouble(1)}")
-
-    // kmeans cluster count
-    val km = Models.kmeansTrain(Tables.embeddings(spark, d), "embedding", k = 8)
-    val kdf = km(Tables.embeddings(spark, d)).groupBy(col("cluster")).count()
-    println(s"[probe] kmeans clusters=${kdf.count()}")
+    // mimic Bench warmup: tables + tiny-SF query pass
+    graft.core.Tables.documents(spark, d).count()
+    time("warm q46 sf0.001")(SparkEntry.queries("q46_dedup_minhash")(spark, "/root/testdata/sf0.001").count())
+    // timed, Bench-like single shot at sf0.1
+    val docs = {
+      import graft.core.Tables
+      val dd = Tables.documents(spark, d)
+      dd.unionByName(dd.select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")))
+    }
+    time("base persist+count") {
+      val base = docs.select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("sh"))
+        .withColumn("sig", graft.functions.TextFunctions.minHashFromHashes(col("sh"), 32))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count()
+    }
+    time("q46 bench-like")(SparkEntry.queries("q46_dedup_minhash")(spark, d).count())
+    time("q46 again")(SparkEntry.queries("q46_dedup_minhash")(spark, d).count())
     spark.stop()
   }
 }

@@ -125,6 +125,34 @@ object TextFunctions {
   def minHashFromShingles(sh: Column, k: Int): Column =
     graft.plans.MinHashSig.column(transform(sh, s => xxhash64(s)), k)
 
+  /** Distinct shingles pre-hashed to longs (sorted). Set operations
+    * (Jaccard) over the hashes are equivalent to the string sets up to
+    * ~2^-64 collision odds, at ~6× less memory (no Java string
+    * overhead) and primitive-array intersect speed — the representation
+    * the dedup pipeline shuffles and persists. Hot loop is the native
+    * ShingleHashes expression (one token hash each, polynomial window
+    * combine — no per-shingle string materialization). */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.plans.ShingleHashes.column(tokens(text), n)
+
+  /** Interpreted twin of the native shingleHashes — differential-test
+    * oracle (same token hashes, same polynomial combine, sorted
+    * distinct). */
+  def shingleHashesReference(text: Column, n: Int): Column = {
+    val th = transform(tokens(text), t => xxhash64(t))
+    val P = 1000003L
+    def combine(win: Column) = aggregate(win, lit(0L), (acc, h) => acc * P + h)
+    val combined = when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - lit(n - 1)),
+        i => combine(slice(th, i, lit(n)))))
+      .otherwise(array(combine(th)))
+    array_sort(array_distinct(combined))
+  }
+
+  /** Signature from pre-hashed shingles. */
+  def minHashFromHashes(shh: Column, k: Int): Column =
+    graft.plans.MinHashSig.column(shh, k)
+
   /** Interpreted reference formulation of minHashSignature — kept as a
     * differential-test oracle for the native expression. */
   def minHashSignatureReference(text: Column, k: Int, shingleN: Int): Column = {

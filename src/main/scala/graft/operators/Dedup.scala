@@ -43,14 +43,28 @@ object Dedup {
     * O(bucketCap²·buckets). */
   def minHashPairs(docs: DataFrame, textCol: String, idCol: String,
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
-      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 1000,
+      persistSignatures: Boolean = true): DataFrame = {
     val k = bands * rowsPerBand
-    // Stage 1 (map-side): one pass per doc — distinct shingles + native
-    // minhash signature. Only (id, band, key) goes into the self-join;
-    // shingle arrays stay out of the wide shuffle.
-    val base = docs.select(col(idCol).as("id"),
-      array_distinct(T.shingles(col(textCol), shingleN)).as("sh"))
-      .withColumn("sig", T.minHashFromShingles(col("sh"), k))
+    // Stage 1 (map-side): one pass per doc — distinct HASHED shingles
+    // (longs, not strings: Jaccard over the hash sets is equivalent up
+    // to ~2^-64 collisions at ~6× less memory) + native minhash
+    // signature. Only (id, band, key) goes into the self-join. `base`
+    // feeds THREE consumers (band explode, signature prefilter, exact
+    // verify) — without persist each one re-reads the corpus and
+    // re-shingles, tripling the most expensive map stage;
+    // MEMORY_AND_DISK keeps the working set bounded at scale.
+    val base0 = docs.select(col(idCol).as("id"),
+      T.shingleHashes(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", T.minHashFromHashes(col("sh"), k))
+    val base = if (persistSignatures) {
+      val b = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize NOW: the three downstream stages of one action can
+      // run concurrently, each recomputing an unfilled cache — an eager
+      // count guarantees exactly one shingling pass
+      b.count()
+      b
+    } else base0
     val bandTable = base
       .select(col("id"), explode(T.minHashBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))

@@ -69,6 +69,66 @@ object MinHashSig {
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(hashes), k))
 }
 
+/** Distinct hashes of word n-gram shingles, computed directly from the
+  * token array: each token is XXH64-hashed ONCE, consecutive n token
+  * hashes combine with a polynomial mix — no per-shingle string
+  * allocation (the Column formulation materializes every shingle as a
+  * UTF8 string only to hash it). Output is sorted distinct, so it is
+  * set-equal to the interpreted twin in TextFunctions. Short docs
+  * (< n tokens) yield one shingle over all tokens. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val u = toks.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    val P = 1000003L
+    val out =
+      if (m >= n) {
+        val arr = new Array[Long](m - n + 1)
+        var s = 0
+        while (s <= m - n) {
+          var h = 0L
+          var j = s
+          while (j < s + n) { h = h * P + th(j); j += 1 }
+          arr(s) = h
+          s += 1
+        }
+        arr
+      } else {
+        var h = 0L
+        var j = 0
+        while (j < m) { h = h * P + th(j); j += 1 }
+        Array(h)
+      }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+object ShingleHashes {
+  def column(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens), n))
+}
+
 /** 64-bit SimHash: array<long> token-hashes → long via per-bit
   * majority vote — same output as TextFunctions.simHash64's Column
   * formulation. */

@@ -35,6 +35,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n === 0)
   }
 
+  test("native ShingleHashes expression matches interpreted reference") {
+    val n = docs.limit(200).select(
+      T.shingleHashes(col("text"), 3).as("fast"),
+      T.shingleHashesReference(col("text"), 3).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(n === 0)
+    // short-doc path: fewer tokens than n -> single whole-doc shingle
+    val short = docs.sparkSession.sql("SELECT 'one two' AS text")
+    val s = short.select(
+      T.shingleHashes(col("text"), 3).as("fast"),
+      T.shingleHashesReference(col("text"), 3).as("ref")).head()
+    assert(s.getSeq[Long](0) === s.getSeq[Long](1) && s.getSeq[Long](0).size === 1)
+  }
+
   test("simhash hamming distance is zero on identical text") {
     val n = docs.select(
       T.hamming64(T.simHash64(col("text")), T.simHash64(col("text"))).as("h"))
