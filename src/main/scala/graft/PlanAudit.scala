@@ -22,7 +22,8 @@ object PlanAudit {
     val interesting = Seq(
       "q01_agg_groupby", "q02_filter_project", "q05_join_inner",
       "q27_modulo_sample", "q34_wilson", "q46_dedup_minhash",
-      "q48_ann_bruteforce", "q60_sql_agg")
+      "q48_ann_bruteforce", "q60_sql_agg",
+      "q21_ranking", "q22_bucketize", "q72_global_rank", "q69_sql_fn_battery")
     for (name <- interesting) {
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString
@@ -32,7 +33,14 @@ object PlanAudit {
         "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
         "WholeStageCodegen (\"*(n)\" spans)" -> plan.contains("*("),
         "partial agg (HashAggregate x2)" ->
-          ("HashAggregate".r.findAllIn(plan).size >= 2))
+          ("HashAggregate".r.findAllIn(plan).size >= 2),
+        // the 100 TB killer: a data-sized single-partition exchange.
+        // (broadcast builds legitimately SinglePartition-exchange the
+        // TINY side; only flag when a Window sorts on one partition)
+        "NO global-window SinglePartition" ->
+          (!plan.contains("Window") ||
+            "Exchange SinglePartition[^\\n]*\\n[^\\n]*Window".r
+              .findFirstIn(plan).isEmpty))
       println(s"=== $name")
       props.foreach { case (k, v) => println(f"  ${if (v) "Y" else "-"}%s $k") }
       // one-line scan summary: pushed filters + read schema width
