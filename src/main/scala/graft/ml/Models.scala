@@ -107,6 +107,26 @@ object Models {
       .fit(train)
   }
 
+  /** `classifier.train` mode = multilabel (`classifier.cc:63` — each
+    * example can carry several labels, given as one 0/1 column per
+    * label): independent binary decomposition, one model per label —
+    * the reference's decomposition for the same mode. Apply with
+    * `multilabelTransform`. */
+  def classifierTrainMultilabel(train: DataFrame, featureCols: Seq[String],
+      labelCols: Seq[String], algorithm: String = "glz",
+      seed: Long = 42L): Map[String, PipelineModel] =
+    labelCols.map(l =>
+      l -> classifierTrain(train, featureCols, l, algorithm, seed)).toMap
+
+  /** Apply a multilabel model set: adds `prediction_<label>` per label. */
+  def multilabelTransform(models: Map[String, PipelineModel],
+      df: DataFrame): DataFrame =
+    models.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (label, m)) =>
+      m.transform(acc)
+        .withColumnRenamed("prediction", s"prediction_$label")
+        .drop("rawPrediction", "probability", "features", "__features_raw")
+    }
+
   /** `classifier.train` mode = regression (`classifier.cc:60` — predicting
     * real values). Same algorithm names, regressor implementations. */
   def regressionTrain(train: DataFrame, featureCols: Seq[String],

@@ -28,23 +28,29 @@ object TextAnalysis {
       stopwords: Seq[String] = stopwordsEn): Column =
     array_except(tokens, array(stopwords.map(lit): _*))
 
-  /** Suffix-stripping stemmer (Porter step-1-style). The reference
-    * wraps Snowball (`plugins/nlp/nlp.cc:213-284`); this covers the
-    * high-frequency English inflections deterministically with pure
-    * column ops — documented as an approximation. */
-  def stem(token: Column): Column = {
-    val t = lower(token)
-    when(t.rlike(".{4,}ies$"), regexp_replace(t, "ies$", "y"))
-      .when(t.rlike(".{2,}sses$"), regexp_replace(t, "sses$", "ss"))
-      .when(t.rlike(".{4,}ing$"), regexp_replace(t, "ing$", ""))
-      .when(t.rlike(".{4,}edly$"), regexp_replace(t, "edly$", ""))
-      .when(t.rlike(".{4,}ed$"), regexp_replace(t, "ed$", ""))
-      .when(t.rlike(".{3,}s$") && !t.rlike("(ss|us|is)$"), regexp_replace(t, "s$", ""))
-      .otherwise(t)
-  }
+  /** Full Porter stemmer (the reference wraps Snowball,
+    * `plugins/nlp/nlp.cc:213-284`, whose English variant is Porter's
+    * algorithm) — native expression, one eval per token. */
+  def stem(token: Column): Column =
+    graft.plans.PorterStem.column(lower(token))
 
   /** stemmer over a whole token array (`stemmerdoc`). */
   def stemAll(tokens: Column): Column = transform(tokens, t => stem(t))
+
+  /** `tokensplit` function (`plugins/textual/tokensplit.cc:287`): the
+    * reference configures it with a dataset of special tokens
+    * (emoticons, hashtags…) and re-tokenizes text so each configured
+    * token stands alone. Longest tokens match first (same greedy rule
+    * as the reference's aho-corasick pass); the token list is
+    * configuration-sized, compiled into one regex alternation —
+    * codegen'd, no UDF. */
+  def tokensplit(text: Column, specialTokens: Seq[String]): Column = {
+    require(specialTokens.nonEmpty, "tokensplit needs at least one token")
+    val pattern = specialTokens.sortBy(-_.length)
+      .map(java.util.regex.Pattern.quote).mkString("|")
+    trim(regexp_replace(regexp_replace(text, s"($pattern)", " $1 "),
+      "\\s+", " "))
+  }
 
   /** `feature_hasher` (`plugins/feature_gen/feature_generators.cc:155`):
     * hash tokens into a fixed-width sparse count vector, represented

@@ -129,6 +129,28 @@ object ShingleHashes {
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens), n))
 }
 
+/** Porter stemmer as a native expression: string → string, one tight
+  * eval per row around `functions.PorterStemmer.stem`. Verified
+  * against the published algorithm's sample vocabulary in
+  * FunctionsSpec. */
+case class PorterStem(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_porter_stem"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.functions.PorterStemmer.stem(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(c: Expression): PorterStem = copy(child = c)
+}
+
+object PorterStem {
+  def column(s: Column): Column =
+    GraftColumnBridge.column(PorterStem(GraftColumnBridge.expression(s)))
+}
+
 /** 64-bit SimHash: array<long> token-hashes → long via per-bit
   * majority vote — same output as TextFunctions.simHash64's Column
   * formulation. */

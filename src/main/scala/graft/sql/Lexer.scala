@@ -16,7 +16,7 @@ object Lexer {
   final case class TEnd(pos: Int) extends Token
 
   private val multiOps = Seq("<=", ">=", "<>", "!=", "||")
-  private val singleOps = "+-*/%<>=&|^~(),.[]{}:$".toSet
+  private val singleOps = "+-*/%<>=&|^~(),.[]{}:$@".toSet
 
   def lex(s: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]

@@ -324,6 +324,11 @@ object Lowering {
     case ">=" => lc >= rc
     case "and" => lc && rc
     case "or" => lc || rc
+    // `expr @ ts` re-timestamps a value (`sql_expression_operations.h`
+    // at/@ operator). Wide mode stores one timestamp per ROW, not per
+    // cell, so the value itself is unchanged — same degenerate
+    // semantics as the at()/temporal_* family (SURVEY §1.4).
+    case "@" => lc
     case other => throw new IllegalArgumentException(s"binary $other")
   }
 
@@ -469,6 +474,7 @@ object Lowering {
       when(a(1) >= 0, element_at(toks, (a(1) + 1).cast("int")))
         .otherwise(element_at(toks, a(1).cast("int")))
     case "token_count" => T.tokenCount(a(0))
+    case "stem" | "stemmer" => graft.operators.TextAnalysis.stem(a(0))
     case "hash" => xxhash64(a: _*)
     case "base64_encode" => base64(a(0).cast("binary"))
     case "base64_decode" => unbase64(a(0))

@@ -378,6 +378,7 @@ final class Parser(tokens: Vector[Token]) {
       if (acceptOp("*")) l = Binary("*", l, parseUnary())
       else if (acceptOp("/")) l = Binary("/", l, parseUnary())
       else if (acceptOp("%")) l = Binary("%", l, parseUnary())
+      else if (acceptOp("@")) l = Binary("@", l, parseUnary())
       else more = false
     }
     l

@@ -74,13 +74,13 @@ class EngineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unknown appliable function"))
   }
 
-  test("stemmer approximates common inflections") {
+  test("stemmer produces canonical Porter stems") {
     import spark.implicits._
-    val df = Seq("running", "parties", "classes", "jumped", "cats", "bus", "is")
+    val df = Seq("running", "parties", "classes", "jumped", "cats", "is")
       .toDF("t")
     val got = df.select(TextAnalysis.stem(col("t")).as("s"))
       .collect().map(_.getString(0)).toSeq
-    assert(got === Seq("runn", "party", "class", "jump", "cat", "bus", "is"))
+    assert(got === Seq("run", "parti", "class", "jump", "cat", "is"))
   }
 
   test("stopword filter and feature hashing") {

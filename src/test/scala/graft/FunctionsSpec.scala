@@ -49,6 +49,58 @@ class FunctionsSpec extends AnyFunSuite {
     assert(s.getSeq[Long](0) === s.getSeq[Long](1) && s.getSeq[Long](0).size === 1)
   }
 
+  test("Porter stemmer matches the published algorithm's sample pairs") {
+    // vocabulary pairs from Porter 1980 (sections 1a-5b examples)
+    val pairs = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "agreed" -> "agre", "plastered" -> "plaster", "bled" -> "bled",
+      "motoring" -> "motor", "sing" -> "sing", "conflated" -> "conflat",
+      "troubled" -> "troubl", "sized" -> "size", "hopping" -> "hop",
+      "tanned" -> "tan", "falling" -> "fall", "hissing" -> "hiss",
+      "fizzed" -> "fizz", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc",
+      "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "conformabli" -> "conform", "radicalli" -> "radic",
+      "differentli" -> "differ", "vileli" -> "vile",
+      "analogousli" -> "analog", "vietnamization" -> "vietnam",
+      "predication" -> "predic", "operator" -> "oper",
+      "feudalism" -> "feudal", "decisiveness" -> "decis",
+      "hopefulness" -> "hope", "callousness" -> "callous",
+      "formaliti" -> "formal", "sensitiviti" -> "sensit",
+      "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electriciti" -> "electr",
+      "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good",
+      "generalizations" -> "gener", "oscillators" -> "oscil",
+      "revival" -> "reviv", "allowance" -> "allow",
+      "inference" -> "infer", "airliner" -> "airlin",
+      "gyroscopic" -> "gyroscop", "adjustable" -> "adjust",
+      "defensible" -> "defens", "irritant" -> "irrit",
+      "replacement" -> "replac", "adjustment" -> "adjust",
+      "dependent" -> "depend", "adoption" -> "adopt",
+      "communism" -> "commun", "activate" -> "activ",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    pairs.foreach { case (in, want) =>
+      val got = graft.functions.PorterStemmer.stem(in)
+      assert(got === want, s"stem($in) = $got, want $want")
+    }
+    // the native expression agrees with the Scala function over a corpus
+    import org.apache.spark.sql.functions.explode
+    val viaExpr = docs.limit(50)
+      .select(explode(T.tokens(col("text"))).as("t"))
+      .select(col("t"), graft.operators.TextAnalysis.stem(col("t")).as("s"))
+      .collect()
+    viaExpr.foreach { r =>
+      assert(r.getString(1) === graft.functions.PorterStemmer.stem(r.getString(0)))
+    }
+  }
+
   test("simhash hamming distance is zero on identical text") {
     val n = docs.select(
       T.hamming64(T.simHash64(col("text")), T.simHash64(col("text"))).as("h"))

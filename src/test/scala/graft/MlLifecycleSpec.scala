@@ -109,6 +109,39 @@ class MlLifecycleSpec extends AnyFunSuite {
       Set("glz@0.2", "glz@0.3", "dt@0.2", "dt@0.3"))
   }
 
+  test("multilabel mode: one model per label, predictions recover both planes") {
+    import spark.implicits._
+    val feats = Seq("f_0", "f_1")
+    val wide = features
+      .withColumn("y_a", (col("f_0") > 0).cast("double"))
+      .withColumn("y_b", (col("f_1") > 0).cast("double"))
+    val models = Models.classifierTrainMultilabel(wide, feats,
+      Seq("y_a", "y_b"), "glz")
+    assert(models.keySet === Set("y_a", "y_b"))
+    val out = Models.multilabelTransform(models, wide)
+    assert(out.columns.contains("prediction_y_a") &&
+      out.columns.contains("prediction_y_b"))
+    val accA = out.filter(col("prediction_y_a") === col("y_a")).count().toDouble / out.count()
+    val accB = out.filter(col("prediction_y_b") === col("y_b")).count().toDouble / out.count()
+    assert(accA > 0.9 && accB > 0.9, s"accA=$accA accB=$accB")
+  }
+
+  test("tokensplit separates configured special tokens, longest first") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq("I am :-)) today:-)ok").toDF("t")
+    val out = df.select(TextAnalysis.tokensplit(col("t"),
+      Seq(":-)", ":-))")).as("s")).head().getString(0)
+    assert(out === "I am :-)) today :-) ok")
+  }
+
+  test("@ operator parses and is the wide-mode identity") {
+    val r = graft.sql.GraftSql.query(spark, sf,
+      "SELECT (n_nationkey + 1) @ CAST('2024-01-01' AS timestamp) AS v " +
+        "FROM nation WHERE n_nationkey = 2").head()
+    assert(r.getLong(0) === 3L)
+  }
+
   test("sql.query function: broadcast lookup application") {
     val e = new GraftEngine(spark)
     e.createDatasetFromParquet("nation", s"$sf/nation.parquet")
