@@ -17,6 +17,8 @@ final class GraftEngine(val spark: SparkSession) {
   // without this, registering a TIMESTAMP(NANOS) parquet (e.g. the
   // events table) throws PARQUET_TYPE_ILLEGAL.
   graft.core.Tables.tune(spark)
+  // native expressions callable from sparkSql interop
+  graft.plans.GraftSqlFunctions.registerAll(spark)
 
   // ---- datasets (/v1/datasets) --------------------------------------------
 

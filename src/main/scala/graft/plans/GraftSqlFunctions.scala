@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** Registers graft's native expressions in a session's function
+  * registry so they are callable from plain `spark.sql(...)` — the
+  * interop path (`GraftEngine.sparkSql`) then exposes the engine's
+  * hot-loop expressions next to Spark's builtins, the same integration
+  * a SparkSessionExtensions jar would provide at cluster submit time. */
+object GraftSqlFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    GraftColumnBridge.registerFunction(spark, "graft_porter_stem",
+      es => PorterStem(es.head))
+    GraftColumnBridge.registerFunction(spark, "graft_simhash64",
+      es => SimHash64(es.head))
+    GraftColumnBridge.registerFunction(spark, "graft_shingle_hashes",
+      es => ShingleHashes(es(0), intLit(es(1), "shingle width n")))
+    GraftColumnBridge.registerFunction(spark, "graft_minhash_sig",
+      es => MinHashSig(es(0), intLit(es(1), "signature length k")))
+  }
+}

@@ -128,6 +128,34 @@ object SqlDialectQueries {
           |FROM nation""".stripMargin)
     },
 
+    // --- COLUMN EXPR through the driver gate: the column-set
+    // meta-projection resolves driver-side; the oracle spells out the
+    // surviving renamed columns. ---
+    QueryDef("q73_sql_column_expr",
+      """SELECT n_nationkey AS n_nationkey_x, n_regionkey AS n_regionkey_x
+        |FROM nation""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT COLUMN EXPR (AS columnName() || '_x'
+          |  WHERE columnName() LIKE '%key' ORDER BY columnName())
+          |FROM nation""".stripMargin)
+    },
+
+    // --- pivot aggregate + horizontal over the pivoted row ---
+    QueryDef("q74_sql_pivot_agg",
+      """SELECT par, CAST(n_asia AS BIGINT) AS n_asia,
+        |  CAST(n_europe AS BIGINT) AS n_europe
+        |FROM (
+        |  SELECT r_regionkey % 2 AS par,
+        |    sum(CASE WHEN r_name = 'ASIA' THEN r_regionkey ELSE NULL END) AS n_asia,
+        |    sum(CASE WHEN r_name = 'EUROPE' THEN r_regionkey ELSE NULL END) AS n_europe
+        |  FROM region GROUP BY r_regionkey % 2) t""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT r_regionkey % 2 AS par,
+          |  CAST(sum(CASE WHEN r_name = 'ASIA' THEN r_regionkey ELSE NULL END) AS integer) AS n_asia,
+          |  CAST(sum(CASE WHEN r_name = 'EUROPE' THEN r_regionkey ELSE NULL END) AS integer) AS n_europe
+          |FROM region GROUP BY par""".stripMargin)
+    },
+
     QueryDef("q65_sql_subselect",
       """SELECT status, round(max(total), 2) AS max_total,
         |  round(min(total), 2) AS min_total

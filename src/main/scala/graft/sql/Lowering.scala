@@ -691,7 +691,7 @@ object Lowering {
 
   private val aggNames = Set("count", "count_distinct", "sum", "avg", "min",
     "max", "string_agg", "earliest", "latest", "variance", "stddev",
-    "likelihood_ratio", "pivot",
+    "likelihood_ratio", "pivot", "count_distinct_approx",
     "vertical_sum", "vertical_avg", "vertical_min", "vertical_max")
 
   private def isAggCall(e: Expr): Boolean = e match {
@@ -725,6 +725,11 @@ object Lowering {
     case FnCall("count", args, _) => count(lowerExpr(scope, args.head))
     case FnCall("count_distinct", args, _) =>
       countDistinct(lowerExpr(scope, args.head), args.tail.map(lowerExpr(scope, _)): _*)
+    // beyond the reference (it only has the exact hash-set counter):
+    // HLL++ sketch for the 100 TB path — fixed memory per group,
+    // single pass, no distinct shuffle
+    case FnCall("count_distinct_approx", args, _) =>
+      approx_count_distinct(lowerExpr(scope, args.head))
     case FnCall("sum", args, _) => sum(lowerExpr(scope, args.head))
     case FnCall("avg", args, _) => avg(lowerExpr(scope, args.head))
     case FnCall("min", args, _) => min(lowerExpr(scope, args.head))
@@ -854,11 +859,34 @@ object Lowering {
       var out = filtered
       // NAMED → rowName column
       stmt.named.foreach(n => out = out.withColumn("rowName", lowerExpr(scope, n)))
+      // `x IN (SELECT …)` as a VALUE: precompute a boolean column per
+      // subquery via a distinct-marker left join (the subquery result
+      // is typically small → broadcasts; NULL probe follows SQL
+      // tri-logic: null IN (…) is NULL)
+      val inSelMap = scala.collection.mutable.LinkedHashMap[InSelect, String]()
+      val itemsNoSub = stmt.items.map { it =>
+        if (it.e.isInstanceOf[Star] || it.e.isInstanceOf[ColumnExprStar]) it
+        else it.copy(e = extractInSelects(it.e, inSelMap))
+      }
+      inSelMap.foreach { case (InSelect(x, sub, neg), name) =>
+        val subDf = lowerSelect(ctx, sub)
+        val vcol = subDf.columns.head
+        val probe = subDf.select(col(vcol).as(s"${name}_v")).distinct()
+          .withColumn(s"${name}_hit", lit(1))
+        val xe = lowerExpr(scope, x)
+        val hit = col(s"${name}_hit").isNotNull
+        out = out.join(probe, xe === col(s"${name}_v"), "left")
+          .withColumn(name,
+            when(xe.isNull, lit(null))
+              .otherwise(if (neg) !hit else hit))
+          .drop(s"${name}_v", s"${name}_hit")
+      }
+      val stmtItems = itemsNoSub
       val namedScope = Scope(scope.frames :+ (None -> out))
       // materialize every non-star item as a column BEFORE sorting so
       // ORDER BY can reference select aliases; stars expand at the
       // final select
-      val plainItems: Seq[(String, Expr)] = stmt.items.zipWithIndex.collect {
+      val plainItems: Seq[(String, Expr)] = stmtItems.zipWithIndex.collect {
         case (it @ SelectItem(e, _), i)
             if !e.isInstanceOf[Star] && !e.isInstanceOf[ColumnExprStar] =>
           itemName(it, i) -> e
@@ -892,7 +920,7 @@ object Lowering {
             .filter(col("__rn") === 1).drop("__rn")
         case None => sorted
       }
-      val cols: Seq[Column] = stmt.items.zipWithIndex.flatMap {
+      val cols: Seq[Column] = stmtItems.zipWithIndex.flatMap {
         case (SelectItem(ce: ColumnExprStar, _), _) =>
           expandColumnExpr(scope, ce)
         case (SelectItem(Star(excl, prefix, rename), _), _) =>
@@ -988,5 +1016,28 @@ object Lowering {
   private def splitConjuncts(e: Expr): Seq[Expr] = e match {
     case Binary("and", l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
+  }
+
+  /** Replace InSelect nodes in EXPRESSION position with references to
+    * precomputed boolean columns; collect the subqueries. (WHERE-level
+    * conjuncts keep the better semi/anti-join plan — this path serves
+    * `x IN (SELECT …)` used as a value, e.g. in a projection or CASE.) */
+  private def extractInSelects(e: Expr,
+      acc: scala.collection.mutable.LinkedHashMap[InSelect, String]): Expr = e match {
+    case is: InSelect =>
+      Ident(Seq(acc.getOrElseUpdate(is, s"__insel${acc.size}")))
+    case FnCall(n, args, s) => FnCall(n, args.map(extractInSelects(_, acc)), s)
+    case FnApply(n, args, o) =>
+      FnApply(n, args.map(kv => kv._1 -> extractInSelects(kv._2, acc)), o)
+    case Binary(op, l, r) =>
+      Binary(op, extractInSelects(l, acc), extractInSelects(r, acc))
+    case Unary(op, x) => Unary(op, extractInSelects(x, acc))
+    case CaseWhen(op, br, oe) => CaseWhen(op.map(extractInSelects(_, acc)),
+      br.map(b => (extractInSelects(b._1, acc), extractInSelects(b._2, acc))),
+      oe.map(extractInSelects(_, acc)))
+    case CastExpr(x, t) => CastExpr(extractInSelects(x, acc), t)
+    case IsNull(x, n) => IsNull(extractInSelects(x, acc), n)
+    case IsType(x, t, n) => IsType(extractInSelects(x, acc), t, n)
+    case other => other
   }
 }

@@ -21,4 +21,15 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Register a native expression under a SQL-callable name in this
+    * session's function registry — makes graft's expressions reachable
+    * from `spark.sql(...)` interop, the SparkSessionExtensions-style
+    * integration without requiring a restart-time extension jar. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    session.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => builder(exprs), "scala_udf")
+  }
 }

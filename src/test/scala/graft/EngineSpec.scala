@@ -74,6 +74,28 @@ class EngineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unknown appliable function"))
   }
 
+  test("native expressions callable from spark.sql interop") {
+    val e = new GraftEngine(spark)
+    val r = e.sparkSql(
+      """SELECT graft_porter_stem('generalizations') AS s,
+        |  graft_simhash64(array(1L, 3L, 3L)) AS h,
+        |  size(graft_minhash_sig(array(7L, 9L), 16)) AS k""".stripMargin).head()
+    assert(r.getString(0) === "gener")
+    assert(r.getLong(1) === 3L) // majority bits of {1,3,3}
+    assert(r.getInt(2) === 16)
+  }
+
+  test("count_distinct_approx lowers to the HLL sketch") {
+    val e = new GraftEngine(spark)
+    e.createDatasetFromParquet("orders_t", s"$sf/orders.parquet")
+    val n = e.query(
+      "SELECT count_distinct_approx(o_custkey) AS n FROM orders_t")
+      .head().getLong(0)
+    val exact = e.query(
+      "SELECT count(DISTINCT o_custkey) AS n FROM orders_t").head().getLong(0)
+    assert(math.abs(n - exact).toDouble / exact < 0.1, s"approx=$n exact=$exact")
+  }
+
   test("stemmer produces canonical Porter stems") {
     import spark.implicits._
     val df = Seq("running", "parties", "classes", "jumped", "cats", "is")

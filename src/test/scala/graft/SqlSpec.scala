@@ -402,6 +402,18 @@ class SqlSpec extends AnyFunSuite {
     assert(r.getSeq[Long](5) === Seq(20L, 30L))
   }
 
+  test("IN (SELECT …) as a value expression, incl. inside CASE") {
+    val df = q(
+      """SELECT n_name,
+        |  n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA') AS in_asia,
+        |  CASE WHEN n_regionkey NOT IN (SELECT r_regionkey FROM region
+        |    WHERE r_name = 'ASIA') THEN 'out' ELSE 'in' END AS tag
+        |FROM nation""".stripMargin)
+    assert(df.filter(col("in_asia")).count() === 5)
+    assert(df.filter(col("tag") === "in").count() === 5)
+    assert(df.count() === 25)
+  }
+
   test("offset/limit and rowname()/rowhash() context functions") {
     val rows = q(
       """SELECT rowname() AS rn, rowhash() AS rh, o_orderkey
