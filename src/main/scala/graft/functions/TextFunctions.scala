@@ -248,4 +248,40 @@ object TextFunctions {
     val wordScore = when(meanWord.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
     round(lenScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordScore * 0.2, 6)
   }
+
+  /** PII redaction for training corpora: emails, IPv4s, long digit
+    * runs (phone/card numbers) → placeholder tokens. Patterns stay in
+    * the regex subset Java and RE2 share, so an external SQL engine
+    * can reproduce the scrub bit-for-bit (oracle-checked in q75). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b[0-9][0-9 ()+.-]{8,}[0-9]\\b", "<NUMBER>")
+  }
+
+  /** Repeated-n-gram ratio (Gopher-style repetition signal): 1 −
+    * distinct/total n-grams. 0 = no repetition; →1 for highly
+    * repetitive boilerplate. Docs shorter than n score 0. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val grams = shingles(text, n)
+    val total = size(grams).cast("double")
+    when(total <= 1, lit(0.0))
+      .otherwise(round(lit(1.0) - size(array_distinct(grams)) / total, 6))
+  }
+
+  /** URL normalization for web-corpus dedup: lowercase scheme+host,
+    * strip the fragment and tracking parameters (utm_*, fbclid,
+    * gclid), drop a trailing "?" or lone "&"s left behind. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "(?:(?<=[?&]))(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
+    val tidy = regexp_replace(regexp_replace(noTrack, "[?&]$", ""), "&&+", "&")
+    // lowercase scheme://host, keep path/query case
+    concat(
+      lower(regexp_extract(tidy, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+      regexp_replace(tidy, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
+  }
 }

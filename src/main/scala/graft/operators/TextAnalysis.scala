@@ -88,6 +88,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), (col("n") * col("idf")).as("tfidf"))
   }
 
+  /** Benchmark-contamination check (LLM-pipeline extension): per
+    * document, the fraction of its distinct shingles that appear
+    * anywhere in a benchmark corpus — the standard n-gram-overlap
+    * decontamination test before training. Scale shape: the benchmark
+    * shingle set is distinct (benchmarks are small → broadcast; at
+    * worst one shuffle on the 8-byte shingle hash), the corpus
+    * explodes to (id, hash) and aggregates back map-side partial. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(T.shingleHashes(col(benchTextCol), shingleN)).as("__sh"))
+      .distinct().withColumn("__hit", lit(1))
+    docs.select(col(idCol).as("id"),
+      explode(T.shingleHashes(col(textCol), shingleN)).as("__sh"))
+      .join(broadcast(benchSh), Seq("__sh"), "left")
+      .groupBy(col("id"))
+      .agg(round(sum(when(col("__hit").isNotNull, 1.0).otherwise(0.0)) /
+        count(lit(1)), 6).as("contamination"))
+  }
+
   /** `statsTable.bagOfWords.train`
     * (`plugins/feature_gen/stats_table_procedure.cc:992-1007`): per
     * token, co-occurrence counts with a boolean outcome across docs. */

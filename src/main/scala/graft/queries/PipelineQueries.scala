@@ -162,5 +162,24 @@ object PipelineQueries {
         (col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
       Dedup.embeddingPairs(doubled, "embedding", "vec_id",
         minCosine = 0.999, nBits = 6)
+    },
+
+    // --- PII redaction, hash-matched cross-engine: both engines build
+    // the same synthetic PII string and must scrub it identically (the
+    // patterns stay in the Java∩RE2 regex subset on purpose). ---
+    QueryDef("q75_redact",
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org or 10.0.'
+        |    || CAST(doc_id % 200 AS VARCHAR) || '.7 tel 555 123 4567 now',
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |  '\b[0-9][0-9 ()+.-]{8,}[0-9]\b', '<NUMBER>', 'g') AS redacted
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), T.redactPii(concat(
+          lit("contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org or 10.0."),
+          (col("doc_id") % 200).cast("string"),
+          lit(".7 tel 555 123 4567 now"))).as("redacted"))
     })
 }

@@ -475,6 +475,17 @@ object Lowering {
         .otherwise(element_at(toks, a(1).cast("int")))
     case "token_count" => T.tokenCount(a(0))
     case "stem" | "stemmer" => graft.operators.TextAnalysis.stem(a(0))
+    // LLM-pipeline text hygiene (beyond the reference)
+    case "redact_pii" => T.redactPii(a(0))
+    case "repetition_ratio" =>
+      T.repetitionRatio(a(0), raw.lift(1) match {
+        case Some(NumLit(v, _)) => v.toInt
+        case _ => 2
+      })
+    case "normalize_url" => T.normalizeUrl(a(0))
+    case "language_id" => T.langId(a(0))
+    case "quality_score" => T.qualityScore(a(0))
+    case "fingerprint" => T.fingerprint(a(0))
     case "hash" => xxhash64(a: _*)
     case "base64_encode" => base64(a(0).cast("binary"))
     case "base64_decode" => unbase64(a(0))

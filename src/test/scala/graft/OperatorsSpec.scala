@@ -177,6 +177,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination: planted benchmark overlap detected, fresh docs clean") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val bench = Seq("the quick brown fox jumps over the lazy dog tonight")
+      .toDF("text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // verbatim
+      (2L, "completely unrelated words about spark catalyst plans here"),
+      (3L, "prefix words then the quick brown fox jumps over something else"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 1.0)
+    assert(out(2L) === 0.0)
+    assert(out(3L) > 0.2 && out(3L) < 1.0)
+  }
+
+  test("repetition ratio, PII redaction, URL normalization") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val r = Seq(("spam spam spam spam spam",
+      "mail a.b@x.io from 192.168.1.4 call 555 123 9876 ok",
+      "HTTPS://Example.COM/Path?a=1&utm_source=x&b=2#frag"))
+      .toDF("rep", "pii", "url")
+      .select(T.repetitionRatio(col("rep"), 2).as("rr"),
+        T.redactPii(col("pii")).as("red"),
+        T.normalizeUrl(col("url")).as("nu"))
+      .head()
+    assert(r.getDouble(0) === 0.75) // 4 bigrams, 1 distinct
+    assert(r.getString(1) === "mail <EMAIL> from <IP> call <NUMBER> ok")
+    assert(r.getString(2) === "https://example.com/Path?a=1&b=2")
+  }
+
   test("ivf assignment: every row assigned to its nearest centroid, no window shuffle of corpus x centroids") {
     val emb = Tables.embeddings(spark, sf)
     val cents = emb.filter(col("vec_id") < 4)
