@@ -41,6 +41,14 @@ object Multimodal {
         (pmod(xxhash64(col(payloadFrom), lit(3)), lit(300)) + 1).cast("int").as("n_frames"))
         .as("meta"))
 
+  /** REAL image-header metadata (no codec required): parse pixel
+    * dimensions out of PNG/GIF/BMP/JPEG container headers with pure
+    * byte arithmetic — the `parse_exif`-class capability that actually
+    * matters for corpus filtering at scale (resolution bucketing,
+    * aspect-ratio filters) without decoding a single pixel. */
+  def imageMeta(binary: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.plans.ImageHeaderMeta.column(binary)
+
   /** STUB decode: per-item "pixel statistics" derived deterministically
     * from the bytes. Real implementation would decode `content` with
     * an image codec here — same signature, same batch shape. */

@@ -116,6 +116,31 @@ object Lowering {
             "sample(t, fraction | {fraction | rows [, seed]})")
         }
         (s, Scope(Seq(None -> s)))
+      case "atom_dataset" if tables.nonEmpty =>
+        // atom_dataset(t): the whole TABLE as one row per cell —
+        // (rowName, column, value, ts). This is the dialect's bridge
+        // into EAV mode: on the atomized table the ROW-level WHEN is
+        // exactly the reference's per-cell WHEN semantics
+        // (`sql/sql_expression.cc:4054-4109`). rowName = existing
+        // rowName column, else the first column; ts = existing ts
+        // column, else NULL.
+        val (df, _) = lowerTable(ctx, tables.head)
+        val rowNameCol =
+          if (df.columns.exists(_.equalsIgnoreCase("rowName"))) col("rowName")
+          else col(df.columns.head)
+        val tsCol =
+          if (df.columns.exists(_.equalsIgnoreCase("ts"))) col("ts")
+          else lit(null).cast("timestamp")
+        val valueCols = df.columns.filterNot(c =>
+          c.equalsIgnoreCase("rowName") || c.equalsIgnoreCase("ts")).toSeq
+        val eav = graft.core.Eav.toEav(df, rowNameCol, tsCol, valueCols)
+          // surface the variant's slots as typed columns for SELECTing
+          .select(col("rowName"), col("column"),
+            coalesce(col("value.num").cast("string"), col("value.str"),
+              col("value.tsv").cast("string"),
+              col("value.flag").cast("string")).as("value"),
+            col("value.num").as("value_num"), col("ts"))
+        (eav, Scope(Seq(None -> eav)))
       case "row_dataset" | "atom_dataset" =>
         // one row per atom of the argument row literal
         // (`sql/table_expression_operations.cc:660-780`): columns

@@ -60,6 +60,51 @@ class EavMultimodalSpec extends AnyFunSuite {
       Seq("event_id", "event_type", "value")).count() === 200)
   }
 
+  test("image header metadata: PNG/GIF/BMP/JPEG dimensions from raw bytes") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(10)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("BM".getBytes).position(18)
+      b.putInt(w).putInt(h)
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.put(Array(0xff, 0xd8).map(_.toByte))
+      b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16).put(new Array[Byte](14))
+      b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(11)
+        .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(1.toByte)
+      b.array()
+    }
+    val df = Seq(
+      ("png", png(640, 480)), ("gif", gif(320, 200)),
+      ("bmp", bmp(800, 600)), ("jpeg", jpeg(384, 256)),
+      ("junk", Array[Byte](1, 2, 3)))
+      .toDF("tag", "content")
+    val out = df.select(col("tag"), Multimodal.imageMeta(col("content")).as("m"))
+      .select(col("tag"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out("png") === (("png", 640, 480)))
+    assert(out("gif") === (("gif", 320, 200)))
+    assert(out("bmp") === (("bmp", 800, 600)))
+    assert(out("jpeg") === (("jpeg", 384, 256)))
+    assert(out("junk") === null)
+  }
+
   test("multimodal: synthesize → decode stub → frame/resize plans") {
     val docs = Tables.documents(spark, sf).limit(50)
     val media = Multimodal.synthesize(docs, "doc_id", "text")

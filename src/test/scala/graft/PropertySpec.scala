@@ -40,6 +40,42 @@ class PropertySpec extends AnyFunSuite {
     Gen.oneOf("spark", "data", "row", "the", "fast", "merge", "x", "a b", ""))
     .map(_.mkString(" "))
 
+  test("text hygiene invariants: redaction removes PII shapes, normalizeUrl idempotent, repetition in [0,1]") {
+    val piiGen: Gen[String] = for {
+      words <- Gen.listOfN(5, Gen.oneOf("call", "mail", "visit", "ref", "x"))
+      user <- Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty)
+      n1 <- Gen.choose(0, 255); n2 <- Gen.choose(0, 255)
+    } yield s"${words.mkString(" ")} $user@test.org at 10.0.$n1.$n2 or 555 321 ${1000 + n1} end"
+    forSamples(piiGen, 15) { (s: String) =>
+      import spark.implicits._
+      val red = Seq(s).toDF("t").select(T.redactPii(col("t"))).head().getString(0)
+      assert(!red.contains("@test.org") && !red.contains("10.0."),
+        s"unredacted PII in: $red")
+      assert(red.contains("<EMAIL>") && red.contains("<IP>") &&
+        red.contains("<NUMBER>"))
+    }
+    val urlGen: Gen[String] = for {
+      host <- Gen.oneOf("Example.COM", "a.b.ORG", "x.io")
+      path <- Gen.oneOf("", "/Path/To", "/q")
+      qs <- Gen.oneOf("", "?a=1", "?utm_source=z&a=1", "?a=1&fbclid=zz&b=2")
+      frag <- Gen.oneOf("", "#sec")
+    } yield s"https://$host$path$qs$frag"
+    forSamples(urlGen, 20) { (u: String) =>
+      import spark.implicits._
+      val once = Seq(u).toDF("t").select(T.normalizeUrl(col("t"))).head().getString(0)
+      val twice = Seq(once).toDF("t").select(T.normalizeUrl(col("t"))).head().getString(0)
+      assert(once === twice, s"not idempotent: $u -> $once -> $twice")
+      assert(!once.contains("utm_") && !once.contains("fbclid") &&
+        !once.contains("#"))
+    }
+    forSamples(textGen, 15) { (s: String) =>
+      import spark.implicits._
+      val rr = Seq(s).toDF("t")
+        .select(T.repetitionRatio(col("t"), 2)).head().getDouble(0)
+      assert(rr >= 0.0 && rr <= 1.0)
+    }
+  }
+
   test("jaccard is symmetric, bounded, and 1 on self") {
     forSamples2(textGen, textGen) { (a: String, b: String) =>
       import spark.implicits._

@@ -414,6 +414,22 @@ class SqlSpec extends AnyFunSuite {
     assert(df.count() === 25)
   }
 
+  test("atom_dataset(table): per-cell rows, WHEN gets cell fidelity") {
+    // events has a ts column -> every cell carries the row's event time
+    val cells = q(
+      """SELECT rowName, column, value_num FROM atom_dataset(events)
+        |WHERE column = 'value' LIMIT 5""".stripMargin)
+    assert(cells.count() === 5)
+    // per-cell WHEN: on the atomized table, the row filter IS the cell
+    // filter — counts drop as the WHEN window narrows
+    val all = q("SELECT count(*) AS n FROM atom_dataset(events)").head().getLong(0)
+    val windowed = q(
+      """SELECT count(*) AS n FROM atom_dataset(events)
+        |WHEN value_timestamp() < CAST('2024-01-10' AS timestamp)""".stripMargin)
+      .head().getLong(0)
+    assert(windowed > 0 && windowed < all)
+  }
+
   test("offset/limit and rowname()/rowhash() context functions") {
     val rows = q(
       """SELECT rowname() AS rn, rowhash() AS rh, o_orderkey
