@@ -117,6 +117,46 @@ object Dedup {
     docs.join(dups, docs(idCol) === col("__dup_id"), "left_anti")
   }
 
+  /** Incremental cross-corpus dedup: drop NEW docs that near-duplicate
+    * anything in the EXISTING corpus — the daily-ingest-vs-kept-corpus
+    * shape. Same banded LSH as `minHashPairs` but the candidate join is
+    * new×existing (never existing×existing: the kept corpus is already
+    * deduped and only pays one signature pass), and only the new side
+    * is filtered. At 100 TB the existing side's (id, band, key) table
+    * is the only thing that reshuffles per batch — consider persisting
+    * it alongside the corpus. */
+  def minHashDedupAgainst(newDocs: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    def sigs(docs: DataFrame) = docs.select(col(idCol).as("id"),
+      T.shingleHashes(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", T.minHashFromHashes(col("sh"), k))
+    def bandTable(base: DataFrame) = base
+      .select(col("id"), explode(T.minHashBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val newBase = sigs(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newBase.count()
+    val oldBase = sigs(existing)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    oldBase.count()
+    val cand = bandTable(newBase).select(col("band"), col("key"), col("id").as("id_new"))
+      .join(bandTable(oldBase).select(col("band"), col("key"), col("id").as("id_old")),
+        Seq("band", "key"))
+      .select(col("id_new"), col("id_old")).distinct()
+    val dupNew = cand
+      .join(newBase.select(col("id").as("id_new"), col("sh").as("sh_new")), Seq("id_new"))
+      .join(oldBase.select(col("id").as("id_old"), col("sh").as("sh_old")), Seq("id_old"))
+      .filter(T.jaccardArrays(col("sh_new"), col("sh_old")) >= threshold)
+      .select(col("id_new").as("__dup_id")).distinct()
+    newDocs.join(dupNew, newDocs(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** MinHash-LSH dedup with TRANSITIVE closure: a chain A~B~C (A and C
     * not directly similar) collapses to one keeper, unlike the
     * single-link `minHashDedup`. Connected components via iterative

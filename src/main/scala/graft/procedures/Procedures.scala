@@ -51,6 +51,23 @@ object Procedures {
     (df.filter(bucket >= cut), df.filter(bucket < cut))
   }
 
+  /** Stratified deterministic sample: per-stratum hash-based keep
+    * fraction, so class balance survives sampling (the distribution-
+    * preserving counterpart of `split`; fractions default to one
+    * global value). Pure filter — pushes to the scan, no shuffle,
+    * stable under repartitioning (unlike `df.stat.sampleBy`'s
+    * rand()-based rows). */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      seed: Int = 42): DataFrame = {
+    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(1000000))
+    val cut = fractions.foldLeft(
+      when(lit(false), 0L)) { case (acc, (stratum, frac)) =>
+      acc.when(col(strataCol) === stratum, (frac * 1000000).toLong)
+    }.otherwise((defaultFraction * 1000000).toLong)
+    df.filter(bucket < cut)
+  }
+
   /** md5-based split variant: identical assignment in any engine with
     * a standard md5 (granularity 1/16 via the first hex digit) — used
     * where the split must be reproduced outside Spark, e.g. by an

@@ -177,6 +177,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup drops only new docs that match the existing corpus") {
+    val existing = docs
+    val incoming = docs.filter(col("doc_id") < 100) // 100 known dups
+      .select((col("doc_id") + 5000000).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+        .select((col("doc_id") + 6000000).as("doc_id"),
+          reverse(col("text")).as("text"), // disjoint shingle set
+          col("lang"), col("source"), col("n_chars")))
+    val kept = Dedup.minHashDedupAgainst(incoming, existing, "text", "doc_id",
+      threshold = 0.9)
+    // the 100 verbatim copies are dropped; the 50 novel docs survive
+    assert(kept.filter(col("doc_id") >= 5000000 && col("doc_id") < 6000000)
+      .count() === 0)
+    assert(kept.filter(col("doc_id") >= 6000000).count() === 50)
+  }
+
+  test("stratified sample preserves strata at the requested fractions") {
+    import graft.procedures.Procedures
+    val orders = Tables.orders(spark, sf)
+    val out = Procedures.stratifiedSample(orders, "o_orderstatus",
+      "o_orderkey", Map("F" -> 0.5, "O" -> 0.1))
+    val in = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("F").toDouble / in("F") - 0.5) < 0.1)
+    assert(math.abs(kept("O").toDouble / in("O") - 0.1) < 0.05)
+    assert(!kept.contains("P")) // default fraction 0 drops other strata
+    // deterministic: same call, same rows
+    assert(Procedures.stratifiedSample(orders, "o_orderstatus", "o_orderkey",
+      Map("F" -> 0.5, "O" -> 0.1)).count() === out.count())
+  }
+
   test("contamination: planted benchmark overlap detected, fresh docs clean") {
     import spark.implicits._
     import graft.operators.TextAnalysis
