@@ -67,7 +67,7 @@ object Models {
       case "naive_bayes" => new NaiveBayes()
         .setLabelCol(labelCol).setFeaturesCol("features")
       case "svm" => new LinearSVC()
-        .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(50)
+        .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(25)
       case other => throw new IllegalArgumentException(
         s"unknown classifier type '$other' (expect glz|dt|bagging|boosting|naive_bayes|svm)")
     }
@@ -97,7 +97,7 @@ object Models {
         new GBTClassifier().setMaxIter(20).setSeed(seed))
         .setLabelCol(labelCol).setFeaturesCol("features")
       case "svm" => new OneVsRest().setClassifier(
-        new LinearSVC().setMaxIter(50))
+        new LinearSVC().setMaxIter(25))
         .setLabelCol(labelCol).setFeaturesCol("features")
       case other => throw new IllegalArgumentException(
         s"unknown categorical classifier type '$other'")
