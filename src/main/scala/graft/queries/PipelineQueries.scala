@@ -164,6 +164,33 @@ object PipelineQueries {
         minCosine = 0.999, nBits = 6)
     },
 
+    // --- benchmark contamination: the benchmark slice itself must come
+    // back fully contaminated (its shingles are all present) ---
+    QueryDef.rowsOnly("q76_contamination") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") < 50)
+      graft.operators.TextAnalysis
+        .contamination(docs, "doc_id", "text", bench, "text")
+        .filter(col("contamination") >= 0.99)
+    },
+
+    // --- image-header metadata from synthesized real PNG bytes ---
+    QueryDef.rowsOnly("q77_image_meta") { (s, d) =>
+      val s2 = s
+      import s2.implicits._
+      def png(w: Int, h: Int): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(24)
+        b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+        b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+        b.array()
+      }
+      val imgs = (1 to 100).map(i => (i.toLong, png(640 + i, 480))).toDF("id", "content")
+      imgs.select(col("id"),
+        graft.operators.Multimodal.imageMeta(col("content")).as("m"))
+        .filter(col("m.format") === "png" && col("m.width") === col("id") + 640)
+        .select(col("id"), col("m.width").as("width"), col("m.height").as("height"))
+    },
+
     // --- PII redaction, hash-matched cross-engine: both engines build
     // the same synthetic PII string and must scrub it identically (the
     // patterns stay in the Java∩RE2 regex subset on purpose). ---
