@@ -24,10 +24,10 @@ object Dedup {
     * EVERY row then sorts. Hot keys (mass-duplicated boilerplate)
     * collapse map-side for the same reason. */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val allCols = struct(docs.columns.map(col): _*)
+    val allCols = struct(docs.columns.toSeq.map(col): _*)
     docs.groupBy(T.normalizedHash(col(textCol)).as("__h"))
       .agg(min_by(allCols, col(idCol)).as("__row"))
-      .select(docs.columns.map(c => col(s"__row.$c").as(c)): _*)
+      .select(docs.columns.toSeq.map(c => col(s"__row.$c").as(c)): _*)
   }
 
   /** Candidate near-duplicate pairs via MinHash-LSH banding.

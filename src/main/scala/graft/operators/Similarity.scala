@@ -73,13 +73,13 @@ object Similarity {
     // corpus×centroids rows into a window sort.
     def assign(df: DataFrame, vcol: String): DataFrame = {
       val keep = df.columns.filter(_ != "__rid")
-      val payload = struct((keep.map(col) :+ col("centroid_id")): _*)
+      val payload = struct((keep.toSeq.map(col) :+ col("centroid_id")): _*)
       val key = struct(V.euclidean(col(vcol), col("centv")).as("d"),
         col("centroid_id").as("c"))
       df.crossJoin(cents)
         .groupBy(col("__rid"))
         .agg(min_by(payload, key).as("__best"))
-        .select((keep :+ "centroid_id").map(c => col(s"__best.$c").as(c)): _*)
+        .select((keep.toSeq :+ "centroid_id").map(c => col(s"__best.$c").as(c)): _*)
     }
     val cb = assign(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), col(idCol).as("__rid")), "cv")

@@ -218,7 +218,7 @@ object ProcedureQueries {
       val acc = new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
         .setLabelCol("yc").setPredictionCol("prediction")
         .setMetricName("accuracy").evaluate(scored)
-      val nClasses = scored.select(countDistinct(col("prediction"))).head.getLong(0)
+      val nClasses = scored.select(countDistinct(col("prediction"))).head().getLong(0)
       val s2 = s
       import s2.implicits._
       Seq(("acc_ge_085", if (acc >= 0.85) 1L else 0L),

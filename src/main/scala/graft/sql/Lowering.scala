@@ -106,7 +106,7 @@ object Lowering {
                 // deterministic pseudo-random N rows via hash order —
                 // plans as TakeOrdered (top-N per partition + merge),
                 // never a full sort materialization
-                df.orderBy(xxhash64(df.columns.map(col) :+ lit(seed): _*))
+                df.orderBy(xxhash64(df.columns.toSeq.map(col) :+ lit(seed): _*))
                   .limit(n.toInt)
               case _ => throw new IllegalArgumentException(
                 "sample options: {fraction: f | rows: n [, seed: s]}")
@@ -867,7 +867,8 @@ object Lowering {
         val (inSelects, plain) = conjuncts.partition(_.isInstanceOf[InSelect])
         val base = if (plain.isEmpty) fromDf
           else fromDf.filter(plain.map(lowerExpr(scope, _)).reduce(_ && _))
-        inSelects.foldLeft(base) { case (df, InSelect(x, sub, negated)) =>
+        inSelects.foldLeft(base) { (df, e) =>
+          val InSelect(x, sub, negated) = e: @unchecked // partitioned above
           val subDf = lowerSelect(ctx, sub)
           val subCol = subDf.columns.head
           val probe = subDf.select(col(subCol).as("__in_probe"))
