@@ -601,6 +601,21 @@ object Lowering {
     case "rowname" => if (scope.hasColumn("rowName")) col("rowName") else lit(null)
     case "rowhash" =>
       if (scope.hasColumn("rowName")) xxhash64(col("rowName")) else lit(null)
+    case "rowpath" =>
+      if (scope.hasColumn("rowName")) P.parsePath(col("rowName"))
+      else lit(null).cast("array<string>")
+    case "rowpathelement" =>
+      if (scope.hasColumn("rowName")) P.pathElement(P.parsePath(col("rowName")), a(0))
+      else lit(null).cast("string")
+    // join context (`core/dataset_scope.cc`): the row names of the two
+    // join sides. Resolved against the FIRST / LAST scope frame that
+    // carries a rowName column.
+    case "leftrowname" | "rightrowname" =>
+      val frames = if (name == "leftrowname") scope.frames else scope.frames.reverse
+      frames.collectFirst {
+        case (alias, df) if df.columns.exists(_.equalsIgnoreCase("rowName")) =>
+          alias.map(al => col(s"$al.rowName")).getOrElse(col("rowName"))
+      }.getOrElse(lit(null))
     // per-row count of non-null columns (doc `sql/ValueExpression.md:300`
     // — a sparse row's columnCount is its actual cells, not schema width);
     // rowName is the row's name, not one of its columns.

@@ -430,6 +430,15 @@ class SqlSpec extends AnyFunSuite {
     assert(windowed > 0 && windowed < all)
   }
 
+  test("rowpath()/rowpathelement() decompose the row name") {
+    val r = q(
+      """SELECT rowpathelement(1) AS e, stringify_path(rowpath()) AS p
+        |FROM (SELECT r_regionkey, r_name NAMED 'region.' || r_regionkey
+        |      FROM region ORDER BY r_regionkey LIMIT 1) AS t""".stripMargin)
+      .head()
+    assert(r.getString(0) === "0" && r.getString(1) === "region.0")
+  }
+
   test("offset/limit and rowname()/rowhash() context functions") {
     val rows = q(
       """SELECT rowname() AS rn, rowhash() AS rh, o_orderkey
