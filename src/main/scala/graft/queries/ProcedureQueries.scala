@@ -191,6 +191,21 @@ object ProcedureQueries {
         math.round(lrm.intercept * 100) / 100.0)).toDF("slope", "icept")
     },
 
+    // --- skew-salted aggregation, hash-matched against the plain
+    // groupBy oracle: the two-phase salted plan must produce byte-equal
+    // results (l_returnflag has only 3 values at sf0.01 — maximal skew
+    // for a 32-way shuffle, exactly the shape the salt spreads). ---
+    QueryDef("q78_salted_agg",
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.operators.Skew.saltedAgg(Tables.lineitem(s, d),
+        "l_returnflag", col("l_orderkey"), salts = 64,
+        partial = Seq(count(lit(1)).as("__n"), sum("l_quantity").as("__q")),
+        finalAgg = Seq(sum("__n").as("n"),
+          round(sum("__q").cast("double"), 2).as("qty")))
+    },
+
     // --- svm.train (LinearSVC) on the learnable label; bound-check
     // oracle (measured auc 0.9997, acc 0.987 at sf0.01). ---
     QueryDef("q70_svm",
