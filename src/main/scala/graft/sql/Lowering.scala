@@ -740,10 +740,16 @@ object Lowering {
 
   // ---- aggregates ----------------------------------------------------------
 
-  private val aggNames = Set("count", "count_distinct", "sum", "avg", "min",
-    "max", "string_agg", "earliest", "latest", "variance", "stddev",
+  private val aggBaseNames = Set("count", "count_distinct", "sum", "avg",
+    "min", "max", "string_agg", "earliest", "latest", "variance", "stddev",
     "likelihood_ratio", "pivot", "count_distinct_approx",
-    "vertical_sum", "vertical_avg", "vertical_min", "vertical_max")
+    "sum_distinct", "avg_distinct")
+  /** aggregate-name predicate: any base aggregate, its vertical_ alias
+    * (applies the aggregate over a row argument — same lowering in
+    * wide mode), or its _distinct variant from `agg(DISTINCT x)`. */
+  private def aggNames(n: String): Boolean =
+    aggBaseNames(n) || (n.startsWith("vertical_") &&
+      aggBaseNames(n.stripPrefix("vertical_")))
 
   private def isAggCall(e: Expr): Boolean = e match {
     case FnCall(n, _, _) => aggNames(n)
@@ -776,6 +782,10 @@ object Lowering {
     case FnCall("count", args, _) => count(lowerExpr(scope, args.head))
     case FnCall("count_distinct", args, _) =>
       countDistinct(lowerExpr(scope, args.head), args.tail.map(lowerExpr(scope, _)): _*)
+    case FnCall("sum_distinct", args, _) => sum_distinct(lowerExpr(scope, args.head))
+    case FnCall("avg_distinct", args, _) =>
+      sum_distinct(lowerExpr(scope, args.head)) /
+        countDistinct(lowerExpr(scope, args.head))
     // beyond the reference (it only has the exact hash-set counter):
     // HLL++ sketch for the 100 TB path — fixed memory per group,
     // single pass, no distinct shuffle

@@ -430,6 +430,17 @@ class SqlSpec extends AnyFunSuite {
     assert(windowed > 0 && windowed < all)
   }
 
+  test("vertical_count and DISTINCT aggregate variants") {
+    val r = q(
+      """SELECT vertical_count(n_name) AS vc,
+        |  sum(DISTINCT n_regionkey) AS sd,
+        |  avg(DISTINCT n_regionkey) AS ad
+        |FROM nation""".stripMargin).head()
+    assert(r.getLong(0) === 25L)
+    assert(r.getLong(1) === 10L) // 0+1+2+3+4
+    assert(r.getDouble(2) === 2.0)
+  }
+
   test("rowpath()/rowpathelement() decompose the row name") {
     val r = q(
       """SELECT rowpathelement(1) AS e, stringify_path(rowpath()) AS p
