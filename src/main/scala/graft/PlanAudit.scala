@@ -22,8 +22,15 @@ object PlanAudit {
     val interesting = Seq(
       "q01_agg_groupby", "q02_filter_project", "q05_join_inner",
       "q27_modulo_sample", "q34_wilson", "q46_dedup_minhash",
-      "q48_ann_bruteforce", "q60_sql_agg",
+      "q47_simhash_pairs", "q50_embedding_dedup",
+      "q48_ann_bruteforce", "q60_sql_agg", "q79_sql_orderby_inselect",
       "q21_ranking", "q22_bucketize", "q72_global_rank", "q69_sql_fn_battery")
+    // LSH dedup plans must carry NO window at all: the hot-bucket
+    // guard counts via groupBy + broadcast anti-join (round 3) — a
+    // Window.partitionBy(bucket) would funnel a hot bucket's every
+    // exploded row into one task just to count it
+    val lshNames = Set("q46_dedup_minhash", "q47_simhash_pairs",
+      "q50_embedding_dedup")
     for (name <- interesting) {
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString
@@ -40,7 +47,11 @@ object PlanAudit {
         "NO global-window SinglePartition" ->
           (!plan.contains("Window") ||
             "Exchange SinglePartition[^\\n]*\\n[^\\n]*Window".r
-              .findFirstIn(plan).isEmpty))
+              .findFirstIn(plan).isEmpty)) ++
+        (if (lshNames(name))
+          Seq("NO Window in LSH guard (groupBy+broadcast)" ->
+            !plan.contains("Window"))
+         else Nil)
       println(s"=== $name")
       props.foreach { case (k, v) => println(f"  ${if (v) "Y" else "-"}%s $k") }
       // one-line scan summary: pushed filters + read schema width

@@ -26,10 +26,16 @@ object TextFunctions {
   /** Bag-of-words: token -> count map. Reference `tokenize` returns a
     * row of token→count (`builtin_functions.cc:1915`); we return
     * `map<string,int>` which plays the same role in a typed engine.
-    * Quadratic in distinct tokens per doc — fine for documents (<10k
-    * tokens); whole-corpus counting should use the exploded operator
-    * form (see operators.TextAnalysis). */
-  def tokenBag(text: Column): Column = {
+    * One pass per doc via the native TokenCounts expression — O(tokens),
+    * no distinct-token² cliff on pathological documents. Whole-corpus
+    * counting should still use the exploded operator form (see
+    * operators.TextAnalysis). */
+  def tokenBag(text: Column): Column =
+    graft.plans.TokenCounts.column(tokens(text))
+
+  /** Interpreted twin of tokenBag (the pre-native O(n·distinct)
+    * formulation) — differential-test oracle for TokenCounts. */
+  def tokenBagReference(text: Column): Column = {
     val toks = tokens(text)
     map_from_entries(
       transform(array_distinct(toks),
@@ -56,10 +62,7 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i, lit(n)))))
         .otherwise(array().cast("array<string>"))
     }.reduce(concat(_, _))
-    map_from_entries(
-      transform(array_distinct(grams),
-        g => struct(g.as("token"),
-          size(filter(grams, x => x === g)).as("count"))))
+    graft.plans.TokenCounts.column(grams)
   }
 
   /** BPE-ish subword count approximation: words + punctuation runs +

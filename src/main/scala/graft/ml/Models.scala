@@ -275,12 +275,78 @@ object Models {
       .withColumn("explanation", map_from_entries(array(contribs: _*)))
   }
 
-  /** Tree-model explain: Gini/impurity featureImportances attached as
-    * the explanation map. These are MODEL-level attributions (the
-    * reference's tree explain walks the decision path per row —
-    * documented divergence; per-row path attribution has no MLlib
-    * analog and would need driver-side tree traversal). */
+  /** Tree-model explain: PER-ROW decision-path attribution, matching
+    * the reference's tree explain (`plugins/jml/classifier.cc:1496-1502`
+    * walks each row's path and credits each split's feature). A split
+    * on feature f moves the expected prediction from parent.prediction
+    * to child.prediction; that delta is f's contribution on this row's
+    * path. Each tree's contributions are generated as ONE nested-when
+    * Column over the static tree structure — pure codegen'd expression,
+    * no UDF, no driver-side scoring, embarrassingly parallel — then
+    * summed across the ensemble with tree weights. bias = weighted sum
+    * of root predictions, so bias + Σ contributions = the ensemble's
+    * raw additive score (leaf prediction for a single dt, tree-average
+    * for RF, boosted sum for GBT). Trees with more than
+    * `maxExplainLeaves` total leaves fall back to model-level
+    * featureImportances (the expression grows one branch per leaf). */
   private def treeExplain(model: PipelineModel, df: DataFrame,
+      featureCols: Seq[String], maxExplainLeaves: Int = 4096): DataFrame = {
+    import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, LeafNode, Node}
+    val (trees, weights): (Seq[Node], Seq[Double]) = model.stages.last match {
+      case m: org.apache.spark.ml.classification.DecisionTreeClassificationModel =>
+        (Seq(m.rootNode), Seq(1.0))
+      case m: org.apache.spark.ml.classification.RandomForestClassificationModel =>
+        (m.trees.map(_.rootNode).toSeq,
+          Seq.fill(m.trees.length)(1.0 / m.trees.length))
+      case m: org.apache.spark.ml.classification.GBTClassificationModel =>
+        (m.trees.map(_.rootNode).toSeq, m.treeWeights.toSeq)
+      case other => throw new IllegalArgumentException(
+        s"not a tree model: ${other.getClass.getSimpleName}")
+    }
+    def leaves(n: Node): Int = n match {
+      case in: InternalNode => leaves(in.leftChild) + leaves(in.rightChild)
+      case _ => 1
+    }
+    if (trees.map(leaves).sum > maxExplainLeaves)
+      return treeImportanceExplain(model, df, featureCols)
+    def walk(node: Node, acc: Vector[Double],
+        w: Double): org.apache.spark.sql.Column = node match {
+      case _: LeafNode => array(acc.map(lit): _*)
+      case in: InternalNode =>
+        val f = in.split.featureIndex
+        val cond = in.split match {
+          case cs: ContinuousSplit => col(featureCols(f)) <= cs.threshold
+          case cs: CategoricalSplit =>
+            col(featureCols(f)).isin(
+              cs.leftCategories.toIndexedSeq.map(_.asInstanceOf[Any]): _*)
+        }
+        val lAcc = acc.updated(f,
+          acc(f) + (in.leftChild.prediction - in.prediction) * w)
+        val rAcc = acc.updated(f,
+          acc(f) + (in.rightChild.prediction - in.prediction) * w)
+        when(cond, walk(in.leftChild, lAcc, w))
+          .otherwise(walk(in.rightChild, rAcc, w))
+    }
+    val zero = Vector.fill(featureCols.size)(0.0)
+    val total = trees.zip(weights)
+      .map { case (t, w) => walk(t, zero, w) }
+      .reduce((a, b) => zip_with(a, b, _ + _))
+    val bias = trees.zip(weights).map { case (t, w) => t.prediction * w }.sum
+    val entries = featureCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("feature"),
+        element_at(col("__contrib"), i + 1).as("contribution"))
+    }
+    df.withColumn("__contrib", total)
+      .withColumn("bias", lit(bias))
+      .withColumn("explanation", map_from_entries(array(entries: _*)))
+      .drop("__contrib")
+  }
+
+  /** Fallback for very large ensembles: MODEL-level Gini
+    * featureImportances as the explanation map (documented divergence
+    * — per-row paths over >4096 leaves would generate an oversized
+    * expression tree). */
+  private def treeImportanceExplain(model: PipelineModel, df: DataFrame,
       featureCols: Seq[String]): DataFrame = {
     val imp = model.stages.last match {
       case m: org.apache.spark.ml.classification.DecisionTreeClassificationModel =>

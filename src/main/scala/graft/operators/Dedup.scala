@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
@@ -28,6 +27,25 @@ object Dedup {
     docs.groupBy(T.normalizedHash(col(textCol)).as("__h"))
       .agg(min_by(allCols, col(idCol)).as("__row"))
       .select(docs.columns.toSeq.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
+  /** Degenerate-bucket guard shared by every LSH variant: drop rows
+    * whose bucket key holds more than `cap` rows. Counts via
+    * `groupBy(keys).count` — partial-aggregatable, so each map task
+    * pre-counts and only tiny (key, n) rows cross the shuffle — then
+    * broadcast-anti-joins the over-cap keys back as a filter. The
+    * window formulation (`count over partitionBy(keys)`) this replaces
+    * shuffled EVERY exploded row of a hot bucket into one task just to
+    * count it: the quadratic pairing was prevented but a 100M-row hot
+    * bucket still made one straggler task at scale. Hot keys number at
+    * most totalRows/cap and in practice a handful (empty docs, shared
+    * boilerplate), so the broadcast side stays tiny. */
+  private def dropHotGroups(df: DataFrame, keyCols: Seq[String],
+      cap: Int): DataFrame = {
+    val hot = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+      .select(keyCols.map(col): _*)
+    df.join(broadcast(hot), keyCols, "left_anti")
   }
 
   /** Candidate near-duplicate pairs via MinHash-LSH banding.
@@ -68,9 +86,7 @@ object Dedup {
     val bandTable = base
       .select(col("id"), explode(T.minHashBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
-    val pruned = bandTable.withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("__n") <= maxBucket).drop("__n")
+    val pruned = dropHotGroups(bandTable, Seq("band", "key"), maxBucket)
     // Stage 2: candidate pairs, deduplicated across bands BEFORE the
     // expensive verification (a pair colliding in all 8 bands would
     // otherwise be verified 8 times).
@@ -96,12 +112,22 @@ object Dedup {
       .filter(col("est") >= threshold - margin)
       .select(col("id_a"), col("id_b"))
     // Stage 3b: exact shingle-Jaccard verification of the survivors.
-    prefiltered
+    val verified = prefiltered
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         T.jaccardArrays(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (persistSignatures) {
+      // Materialize the (near-dup-sized, tiny vs corpus) pair set, then
+      // release the signature cache — repeated calls in one session
+      // would otherwise accumulate executor memory/disk until eviction.
+      // localCheckpoint also cuts the 3-consumer lineage, so downstream
+      // reuse (dedup / transitive closure) never re-runs the LSH.
+      val out = verified.localCheckpoint(true)
+      base.unpersist(false)
+      out
+    } else verified
   }
 
   /** MinHash-LSH dedup: drop every doc that has a verified near-dup
@@ -133,12 +159,10 @@ object Dedup {
     def sigs(docs: DataFrame) = docs.select(col(idCol).as("id"),
       T.shingleHashes(col(textCol), shingleN).as("sh"))
       .withColumn("sig", T.minHashFromHashes(col("sh"), k))
-    def bandTable(base: DataFrame) = base
+    def bandTable(base: DataFrame) = dropHotGroups(base
       .select(col("id"), explode(T.minHashBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("__n") <= maxBucket).drop("__n")
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key")),
+      Seq("band", "key"), maxBucket)
     val newBase = sigs(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newBase.count()
@@ -149,11 +173,30 @@ object Dedup {
       .join(bandTable(oldBase).select(col("band"), col("key"), col("id").as("id_old")),
         Seq("band", "key"))
       .select(col("id_new"), col("id_old")).distinct()
-    val dupNew = cand
+    // Cheap prefilter on the minhash-ESTIMATED Jaccard (mirrors
+    // minHashPairs stage 3a): signatures are k longs vs the full hashed
+    // shingle arrays, so band-collision false positives are discarded
+    // before the heaviest join (both shingle sets) ever runs.
+    val margin = 3.0 / math.sqrt(k.toDouble)
+    val prefiltered = cand
+      .join(newBase.select(col("id").as("id_new"), col("sig").as("sig_new")), Seq("id_new"))
+      .join(oldBase.select(col("id").as("id_old"), col("sig").as("sig_old")), Seq("id_old"))
+      .withColumn("est",
+        aggregate(zip_with(col("sig_new"), col("sig_old"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / k)
+      .filter(col("est") >= threshold - margin)
+      .select(col("id_new"), col("id_old"))
+    val dupNew = prefiltered
       .join(newBase.select(col("id").as("id_new"), col("sh").as("sh_new")), Seq("id_new"))
       .join(oldBase.select(col("id").as("id_old"), col("sh").as("sh_old")), Seq("id_old"))
       .filter(T.jaccardArrays(col("sh_new"), col("sh_old")) >= threshold)
       .select(col("id_new").as("__dup_id")).distinct()
+      // materialize, then release both signature caches (same
+      // session-leak fix as minHashPairs)
+      .localCheckpoint(true)
+    newBase.unpersist(false)
+    oldBase.unpersist(false)
     newDocs.join(dupNew, newDocs(idCol) === col("__dup_id"), "left_anti")
   }
 
@@ -213,9 +256,7 @@ object Dedup {
     // Degenerate-bucket guard (same as minHashPairs): a hot chunk value
     // — empty docs, shared boilerplate — would otherwise make the
     // within-bucket pairing quadratic in one task.
-    val chunked = chunked0.withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("chunk"))))
-      .filter(col("__n") <= maxBucket).drop("__n")
+    val chunked = dropHotGroups(chunked0, Seq("chunk"), maxBucket)
     val a = chunked.select(col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("chunk")).filter(col("id_a") < col("id_b"))
@@ -233,9 +274,7 @@ object Dedup {
       .withColumn("bucket", V.lshBucket(col("v"), nBits))
     // Hot-bucket guard: near-identical embeddings (zero vectors, padding
     // artifacts) all land in one hyperplane bucket → quadratic verify.
-    val withB = withB0.withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("__n") <= maxBucket).drop("__n")
+    val withB = dropHotGroups(withB0, Seq("bucket"), maxBucket)
     val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -49,6 +49,19 @@ object Multimodal {
   def imageMeta(binary: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.plans.ImageHeaderMeta.column(binary)
 
+  /** EXIF subset (`parse_exif`): orientation / camera make / model /
+    * DateTime from the JPEG APP1 TIFF-IFD walk (bare TIFF too) — the
+    * rotation-normalization and camera-provenance filters a 100 TB
+    * image corpus needs, still without any codec. */
+  def exifMeta(binary: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.plans.ExifMeta.column(binary)
+
+  /** `fetcher`: url → {content, error} on the executors — the
+    * reference's URL→blob bridge (`builtin/fetcher.cc:188`). */
+  def fetch(url: org.apache.spark.sql.Column,
+      timeoutMs: Int = 10000): org.apache.spark.sql.Column =
+    graft.plans.Fetcher.column(url, timeoutMs)
+
   /** STUB decode: per-item "pixel statistics" derived deterministically
     * from the bytes. Real implementation would decode `content` with
     * an image codec here — same signature, same batch shape. */

@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot hashing loops.
@@ -149,6 +149,54 @@ case class PorterStem(child: Expression)
 object PorterStem {
   def column(s: Column): Column =
     GraftColumnBridge.column(PorterStem(GraftColumnBridge.expression(s)))
+}
+
+/** Token counting in ONE pass: array<string> → map<string,int> via a
+  * JVM hash map, O(tokens) per row. The Column formulation it replaces
+  * (`filter(toks, _ === t)` per distinct token) was O(tokens×distinct)
+  * — fine for ordinary documents but a task-stalling cliff on a
+  * pathological 100k-distinct-token doc. First-seen key order keeps
+  * output deterministic. */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    MapType(StringType, IntegerType, valueContainsNull = false)
+  override def prettyName: String = "graft_token_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        // clone: the UTF8String may point into a reused input buffer
+        val t = toks.getUTF8String(i).clone()
+        val c = m.get(t)
+        if (c == null) m.put(t, Array(1)) else c(0) += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue()(0)
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenCounts = copy(child = c)
+}
+
+object TokenCounts {
+  def column(tokens: Column): Column =
+    GraftColumnBridge.column(TokenCounts(GraftColumnBridge.expression(tokens)))
 }
 
 /** 64-bit SimHash: array<long> token-hashes → long via per-bit

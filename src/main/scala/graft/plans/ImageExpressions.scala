@@ -85,3 +85,110 @@ object ImageHeaderMeta {
     GraftColumnBridge.column(ImageHeaderMeta(
       GraftColumnBridge.expression(binary)))
 }
+
+/** EXIF metadata subset (`parse_exif`,
+  * `/root/reference/sql/builtin_image_functions.cc:208`): walk the JPEG
+  * APP1 "Exif\0\0" segment's TIFF IFD0 — byte order II/MM, 12-byte
+  * directory entries — and surface the tags corpus pipelines filter on:
+  * orientation (0x0112), camera make (0x010F) / model (0x0110), and
+  * DateTime (0x0132). Bare TIFF payloads (II*\0 / MM\0*) parse too.
+  * Pure byte arithmetic per the public TIFF 6.0 / EXIF 2.3 specs — no
+  * image library. Null when no EXIF is present; individual fields null
+  * when their tag is absent. */
+case class ExifMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("orientation", IntegerType),
+    StructField("make", StringType),
+    StructField("model", StringType),
+    StructField("datetime", StringType)))
+  override def prettyName: String = "graft_exif_meta"
+
+  private def u16(b: Array[Byte], i: Int, le: Boolean): Int =
+    if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u32(b: Array[Byte], i: Int, le: Boolean): Long =
+    if (le) ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** offset of the TIFF header inside the payload, or -1. */
+  private def tiffStart(b: Array[Byte]): Int = {
+    def isTiff(i: Int): Boolean = i + 8 <= b.length && (
+      (b(i) == 'I' && b(i + 1) == 'I' && u16(b, i + 2, le = true) == 42) ||
+      (b(i) == 'M' && b(i + 1) == 'M' && u16(b, i + 2, le = false) == 42))
+    if (isTiff(0)) return 0
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return -1
+    // JPEG: walk segments looking for APP1 "Exif\0\0"
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) i += 1
+      else {
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xff) i += 1
+        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else {
+          val len = u16(b, i + 2, le = false)
+          if (marker == 0xe1 && i + 10 <= b.length &&
+              b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
+              b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
+            return if (isTiff(i + 10)) i + 10 else -1
+          }
+          if (marker == 0xda) return -1 // scan data: no EXIF before it
+          i += 2 + len
+        }
+      }
+    }
+    -1
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val t = tiffStart(b)
+    if (t < 0) return null
+    val le = b(t) == 'I'
+    val ifd = t + u32(b, t + 4, le).toInt
+    if (ifd + 2 > b.length) return null
+    val n = u16(b, ifd, le)
+    var orientation: Integer = null
+    var make: UTF8String = null
+    var model: UTF8String = null
+    var datetime: UTF8String = null
+    def ascii(count: Long, valOff: Int): UTF8String = {
+      val start = if (count <= 4) valOff else t + u32(b, valOff, le).toInt
+      val len0 = math.min(count, math.max(0, b.length - start)).toInt
+      if (start < 0 || len0 <= 0) return null
+      var len = len0
+      while (len > 0 && b(start + len - 1) == 0) len -= 1 // strip NULs
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, start, start + len))
+    }
+    var e = 0
+    while (e < n && ifd + 2 + (e + 1) * 12 <= b.length) {
+      val off = ifd + 2 + e * 12
+      val tag = u16(b, off, le)
+      val tpe = u16(b, off + 2, le)
+      val count = u32(b, off + 4, le)
+      tag match {
+        case 0x0112 if tpe == 3 => orientation = u16(b, off + 8, le)
+        case 0x010f if tpe == 2 => make = ascii(count, off + 8)
+        case 0x0110 if tpe == 2 => model = ascii(count, off + 8)
+        case 0x0132 if tpe == 2 => datetime = ascii(count, off + 8)
+        case _ => ()
+      }
+      e += 1
+    }
+    if (orientation == null && make == null && model == null && datetime == null)
+      null
+    else InternalRow(orientation, make, model, datetime)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ExifMeta =
+    copy(child = c)
+}
+
+object ExifMeta {
+  def column(binary: Column): Column =
+    GraftColumnBridge.column(ExifMeta(GraftColumnBridge.expression(binary)))
+}

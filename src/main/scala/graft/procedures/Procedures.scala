@@ -38,6 +38,25 @@ object Procedures {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** beh / beh.binary behavioral layout
+    * (`/root/reference/plugins/behavior/behavior_dataset.cc:1014`): the
+    * reference's .beh files keep (subject × behaviour × time) sorted so
+    * per-subject time-range reads are sequential I/O — that layout is
+    * what made its behavioral queries fast. Spark-native equivalent:
+    * bucket by the subject key (equi-joins and groupBys on subject are
+    * then co-located — zero Exchange, proved in ProceduresSpec) and
+    * sort every bucket file by (subject, time) so a subject×time range
+    * predicate scans one bucket in time order, with parquet row-group
+    * stats pruning the time range inside the file. */
+  def transformBehavioral(result: DataFrame, tableName: String,
+      subjectCol: String, timeCol: String, buckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    result.write.mode(mode)
+      .bucketBy(buckets, subjectCol)
+      .sortBy(subjectCol, timeCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** `split` (`builtin/datasetsplit_procedure.cc:302`): deterministic
     * train/test split. With `stratifyBy`, per-stratum hash split so
     * label distributions match across folds (the reference's

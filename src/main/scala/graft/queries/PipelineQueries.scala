@@ -115,12 +115,51 @@ object PipelineQueries {
         size(col("embedding")).cast("long").as("dim"))
     },
 
-    // --- quality scoring + language ID (heuristic; no SQL oracle) ---
-    QueryDef.rowsOnly("q45_text_quality") { (s, d) =>
+    // --- quality scoring + language ID: deterministic Column math, so
+    // DuckDB can replicate the exact same expressions (langId's argmax
+    // with max-lexicographic tie-break becomes a descending-order CASE;
+    // the quality mix mirrors term-for-term). fingerprint (xxhash64
+    // rolling hash) has no DuckDB equivalent — covered in FunctionsSpec
+    // instead. ---
+    QueryDef("q45_text_quality",
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text),
+        |      '[\s,;:!?.()\[\]{}"'']+'), x -> len(x) > 0)) AS toks,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS wtoks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(toks, ['der','die','das','und','ein','ist','zu','den','von','mit'])) AS s_de,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+        |    len(list_intersect(toks, ['el','la','de','y','un','una','es','que','los','en'])) AS s_es,
+        |    len(list_intersect(toks, ['le','la','de','et','un','une','est','que','les','des'])) AS s_fr,
+        |    len(list_intersect(toks, ['il','la','di','e','un','una','che','per','con','non'])) AS s_it,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS stop,
+        |    CAST(len(wtoks) AS DOUBLE) AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS nchar,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(coalesce(list_sum(list_transform(wtoks,
+        |      w -> CAST(ceil(len(w) / 6.0) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) = 0 THEN 'und'
+        |       WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+        |       ELSE 'de' END AS lang_guess,
+        |  round(least(ntok / 100.0, 1.0) * 0.3 +
+        |    (1.0 - least(punct / greatest(nchar, 1.0) * 10, 1.0)) * 0.2 +
+        |    least(stop / 3.0, 1.0) * 0.3 +
+        |    (CASE WHEN ntok > 0 AND nchar / ntok BETWEEN 3.0 AND 12.0
+        |          THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+        |  bpe_tokens
+        |FROM s""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
         T.langId(col("text")).as("lang_guess"),
         T.qualityScore(col("text")).as("quality"),
-        T.fingerprint(col("text")).as("fingerprint"),
         T.approxBpeTokenCount(col("text")).as("bpe_tokens"))
     },
 
@@ -164,9 +203,31 @@ object PipelineQueries {
         minCosine = 0.999, nBits = 6)
     },
 
-    // --- benchmark contamination: the benchmark slice itself must come
-    // back fully contaminated (its shingles are all present) ---
-    QueryDef.rowsOnly("q76_contamination") { (s, d) =>
+    // --- benchmark contamination, now oracle-checked: DuckDB computes
+    // the same shingle-overlap fraction over STRING 3-gram shingles
+    // (the Spark side hashes shingles to longs first — identical
+    // fraction up to ~2^-64 collision odds). The benchmark slice
+    // itself must come back fully contaminated. ---
+    QueryDef("q76_contamination",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[\s,;:!?.()\[\]{}"'']+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+        |    ELSE [array_to_string(toks, ' ')] END) AS s
+        |  FROM t),
+        |bench AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 50),
+        |bl AS (SELECT list(g) AS l FROM bench),
+        |scored AS (
+        |  SELECT doc_id AS id,
+        |    round(CAST(len(list_intersect(s, bl.l))
+        |      AS DOUBLE) / len(s), 6) AS contamination
+        |  FROM sh, bl)
+        |SELECT id, contamination FROM scored
+        |WHERE contamination >= 0.99""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val bench = docs.filter(col("doc_id") < 50)
       graft.operators.TextAnalysis
@@ -174,7 +235,10 @@ object PipelineQueries {
         .filter(col("contamination") >= 0.99)
     },
 
-    // --- image-header metadata from synthesized real PNG bytes ---
+    // --- image-header + EXIF metadata from synthesized real bytes:
+    // PNG IHDR dims, plus a JPEG APP1 Exif segment whose TIFF IFD
+    // carries orientation + make — every row must parse back its own
+    // planted values or the filter drops it (100 expected). ---
     QueryDef.rowsOnly("q77_image_meta") { (s, d) =>
       val s2 = s
       import s2.implicits._
@@ -184,11 +248,37 @@ object PipelineQueries {
         b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
         b.array()
       }
-      val imgs = (1 to 100).map(i => (i.toLong, png(640 + i, 480))).toDF("id", "content")
+      def jpegExif(orient: Int): Array[Byte] = {
+        // TIFF LE: header(8) + IFD count(2) + 2 entries(24) + next(4) + "graft\0"
+        val t = java.nio.ByteBuffer.allocate(44)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        t.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+        t.putShort(2)
+        t.putShort(0x0112.toShort).putShort(3).putInt(1)
+          .putShort(orient.toShort).putShort(0)
+        t.putShort(0x010f.toShort).putShort(2).putInt(6).putInt(38)
+        t.putInt(0)
+        t.put("graft".getBytes).put(0.toByte)
+        val tiff = t.array()
+        val out = java.nio.ByteBuffer.allocate(4 + 2 + 6 + tiff.length + 2)
+        out.put(0xff.toByte).put(0xd8.toByte)
+        out.put(0xff.toByte).put(0xe1.toByte).putShort((2 + 6 + tiff.length).toShort)
+        out.put("Exif".getBytes).put(0.toByte).put(0.toByte)
+        out.put(tiff)
+        out.put(0xff.toByte).put(0xd9.toByte)
+        out.array()
+      }
+      val imgs = (1 to 100)
+        .map(i => (i.toLong, png(640 + i, 480), jpegExif((i % 8) + 1)))
+        .toDF("id", "content", "jpeg")
       imgs.select(col("id"),
-        graft.operators.Multimodal.imageMeta(col("content")).as("m"))
-        .filter(col("m.format") === "png" && col("m.width") === col("id") + 640)
-        .select(col("id"), col("m.width").as("width"), col("m.height").as("height"))
+        graft.operators.Multimodal.imageMeta(col("content")).as("m"),
+        graft.operators.Multimodal.exifMeta(col("jpeg")).as("x"))
+        .filter(col("m.format") === "png" && col("m.width") === col("id") + 640 &&
+          col("x.orientation") === pmod(col("id"), lit(8)) + 1 &&
+          col("x.make") === "graft")
+        .select(col("id"), col("m.width").as("width"),
+          col("m.height").as("height"), col("x.orientation").as("orientation"))
     },
 
     // --- PII redaction, hash-matched cross-engine: both engines build

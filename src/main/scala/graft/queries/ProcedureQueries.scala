@@ -150,14 +150,30 @@ object ProcedureQueries {
     },
 
     // --- svd.train / embedRow: project embeddings to 8 dims ---
-    // VectorUDT is not hashable by the driver's compare harness, so the
-    // projection is flattened to a rounded array<double>. Rounding to 4
-    // decimals keeps the check meaningful while tolerating BLAS noise.
-    QueryDef.rowsOnly("q57_svd") { (s, d) =>
+    // The projection itself has no closed-form DuckDB oracle (BLAS SVD),
+    // so the check is metric-bound on invariants a correct truncated
+    // orthogonal projection MUST satisfy: every input row is projected
+    // (n_rows preserved), the output has exactly k=8 dims, and — since
+    // the PCA basis is orthonormal — ‖P·x‖ ≤ ‖x‖ for every row
+    // (norm_ok counts rows satisfying contraction). All-scalar BIGINT
+    // columns, hashable by the driver's pandas harness (the r2 red row
+    // was an array column the harness could not sort).
+    QueryDef("q57_svd",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS norm_ok,
+        |  CAST(8 AS BIGINT) AS k
+        |FROM embeddings""".stripMargin) { (s, d) =>
       val svd = Models.svdTrain(Tables.embeddings(s, d), "embedding", k = 8)
-      svd(Tables.embeddings(s, d)).select(col("vec_id"),
-        transform(org.apache.spark.ml.functions.vector_to_array(col("svd")),
-          v => round(abs(v), 4)).as("svd"))
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("svd"))
+      def sq(a: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+      svd(Tables.embeddings(s, d))
+        .select(size(arr).as("dims"), sq(arr).as("pnorm"),
+          sq(col("embedding").cast("array<double>")).as("onorm"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("pnorm") <= col("onorm") + 1e-6, 1L).otherwise(0L))
+            .as("norm_ok"),
+          max(col("dims")).cast("long").as("k"))
     },
 
     // --- tfidf.train + apply ---

@@ -156,6 +156,28 @@ object SqlDialectQueries {
           |FROM region GROUP BY par""".stripMargin)
     },
 
+    // --- IN (SELECT …) outside WHERE: as a projected value AND as the
+    // leading ORDER BY key (reference allows a sub-select anywhere an
+    // expression goes, `sql_expression_operations.h:285-330`). The
+    // LIMIT makes the ordering itself observable: exactly the 10
+    // ASIA/EUROPE nations must surface. ---
+    QueryDef("q79_sql_orderby_inselect",
+      """SELECT n_name,
+        |  n_regionkey IN (SELECT r_regionkey FROM region
+        |    WHERE r_name IN ('ASIA', 'EUROPE')) AS in_ae
+        |FROM nation
+        |ORDER BY in_ae DESC, n_name
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT n_name,
+          |  n_regionkey IN (SELECT r_regionkey FROM region
+          |    WHERE r_name IN ('ASIA', 'EUROPE')) AS in_ae
+          |FROM nation
+          |ORDER BY n_regionkey IN (SELECT r_regionkey FROM region
+          |  WHERE r_name IN ('ASIA', 'EUROPE')) DESC, n_name
+          |LIMIT 10""".stripMargin)
+    },
+
     QueryDef("q65_sql_subselect",
       """SELECT status, round(max(total), 2) AS max_total,
         |  round(min(total), 2) AS min_total

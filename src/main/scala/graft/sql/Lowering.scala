@@ -291,7 +291,8 @@ object Lowering {
       if (neg) !c else c
     case InSelect(_, _, _) =>
       throw new IllegalArgumentException(
-        "IN (SELECT …) is only supported in WHERE (rewritten to semi-join)")
+        "IN (SELECT …) is not supported in this position (supported: " +
+          "WHERE/WHEN, projections, CASE, ORDER BY, DISTINCT ON)")
     case IsNull(x, neg) =>
       if (neg) lowerExpr(scope, x).isNotNull else lowerExpr(scope, x).isNull
     // `typeof` is resolved to the STATIC Spark type during analysis, so
@@ -476,7 +477,11 @@ object Lowering {
         val opts = fields.toMap
         val splitRegex = opts.get("splitchars").orElse(opts.get("splitChars")) match {
           case Some(StrLit(cs)) =>
-            "[" + cs.flatMap(c => s"\\${c}") + "]+"
+            // Escape only regex-special characters: backslash-escaping a
+            // letter/digit turns it into a regex class (\s, \d) or an
+            // invalid escape (\q → PatternSyntaxException).
+            "[" + cs.flatMap(c =>
+              if (c.isLetterOrDigit) c.toString else s"\\$c") + "]+"
           case _ => "[\\s,;:!?.()\\[\\]{}\"']+"
         }
         val minLen = opts.get("mintokenlength").orElse(opts.get("minTokenLength")) match {
@@ -567,6 +572,17 @@ object Lowering {
       P.extractDomain(a(0), removeSub)
     case "blob_length" => P.blobLength(a(0))
     case "mime_type" => P.mimeType(a(0))
+    // fetcher(url [, timeoutMs]) (`builtin/fetcher.cc:188`): url →
+    // {content, error}; failures travel as data, never abort the query
+    case "fetcher" | "fetch" =>
+      graft.plans.Fetcher.column(a(0), raw.lift(1) match {
+        case Some(NumLit(v, _)) => v.toInt
+        case _ => 10000
+      })
+    // parse_exif(blob) (`sql/builtin_image_functions.cc:208`):
+    // orientation/make/model/datetime from the JPEG APP1 TIFF walk
+    case "parse_exif" => graft.plans.ExifMeta.column(a(0))
+    case "image_meta" => graft.plans.ImageHeaderMeta.column(a(0))
     // temporal_* over a wide-mode cell: each cell holds ONE timestamped
     // value, so the per-cell history aggregate degenerates to the value
     // itself (count is 0/1). Multi-version cells live in EAV mode
@@ -579,11 +595,17 @@ object Lowering {
     // input, div-by-zero) surface as NULL, so coalescing with the
     // fallback reproduces the recover path; errors that still throw
     // (e.g. invalid regex literals) abort the query — documented
-    // divergence from the reference's catch-all.
+    // divergence from the reference's catch-all. A NULL that arrives
+    // because an INPUT column was NULL is legitimate data, not an
+    // error (errors need non-null input in non-ANSI mode), so any-
+    // input-null keeps the expr result instead of the fallback.
     case "try" =>
-      if (a.size >= 2) coalesce(a(0), a(1))
-      else throw new IllegalArgumentException(
+      if (a.size < 2) throw new IllegalArgumentException(
         "try(expr, fallback) requires a fallback in this engine")
+      val inputs = collectIdents(raw(0)).filter(scope.hasColumn).map(col)
+      if (inputs.isEmpty) coalesce(a(0), a(1))
+      else when(inputs.map(_.isNull).reduce(_ || _), a(0))
+        .otherwise(coalesce(a(0), a(1)))
     case "static_type" => typeof(a(0))
     // vector
     case "norm" => V.norm(a(0), raw.lift(1).collect { case NumLit(v, _) => v.toDouble }.getOrElse(2.0))
@@ -882,27 +904,17 @@ object Lowering {
         (df, Scope(Seq(None -> df)))
     }
 
-    // WHERE then WHEN (both row filters in wide mode).
+    // WHERE then WHEN (both row filters in wide mode). Top-level
     // `x IN (SELECT …)` conjuncts become semi-joins (the reference
     // materializes the subquery, `sql_expression_operations.h:285-330`;
-    // a semi-join is the distributed equivalent), NOT IN → anti-join.
+    // a semi-join is the distributed equivalent), NOT IN → anti-join;
+    // InSelects NESTED inside a conjunct (OR branches, CASE, WHEN)
+    // evaluate through tri-logic marker columns.
     val filtered0 = stmt.where match {
-      case Some(w) =>
-        val conjuncts = splitConjuncts(w)
-        val (inSelects, plain) = conjuncts.partition(_.isInstanceOf[InSelect])
-        val base = if (plain.isEmpty) fromDf
-          else fromDf.filter(plain.map(lowerExpr(scope, _)).reduce(_ && _))
-        inSelects.foldLeft(base) { (df, e) =>
-          val InSelect(x, sub, negated) = e: @unchecked // partitioned above
-          val subDf = lowerSelect(ctx, sub)
-          val subCol = subDf.columns.head
-          val probe = subDf.select(col(subCol).as("__in_probe"))
-          df.join(probe, lowerExpr(scope, x) === col("__in_probe"),
-            if (negated) "left_anti" else "left_semi")
-        }
+      case Some(w) => applyFilter(ctx, scope, fromDf, w)
       case None => fromDf
     }
-    val filtered = stmt.when.map(w => filtered0.filter(lowerExpr(scope, w)))
+    val filtered = stmt.when.map(w => applyFilter(ctx, scope, filtered0, w))
       .getOrElse(filtered0)
 
     // GROUP BY may reference select aliases (GROUP BY bucket): rewrite
@@ -921,27 +933,22 @@ object Lowering {
       var out = filtered
       // NAMED → rowName column
       stmt.named.foreach(n => out = out.withColumn("rowName", lowerExpr(scope, n)))
-      // `x IN (SELECT …)` as a VALUE: precompute a boolean column per
-      // subquery via a distinct-marker left join (the subquery result
-      // is typically small → broadcasts; NULL probe follows SQL
-      // tri-logic: null IN (…) is NULL)
+      // `x IN (SELECT …)` as a VALUE — in a projection, CASE, ORDER BY
+      // or the DISTINCT ON key (reference allows a sub-select anywhere
+      // an expression goes, `sql_expression_operations.h:285-330`):
+      // precompute a boolean column per subquery via a distinct-marker
+      // left join (the subquery result is typically small → broadcasts;
+      // full SQL tri-logic — see addInSelectMarker).
       val inSelMap = scala.collection.mutable.LinkedHashMap[InSelect, String]()
       val itemsNoSub = stmt.items.map { it =>
         if (it.e.isInstanceOf[Star] || it.e.isInstanceOf[ColumnExprStar]) it
         else it.copy(e = extractInSelects(it.e, inSelMap))
       }
-      inSelMap.foreach { case (InSelect(x, sub, neg), name) =>
-        val subDf = lowerSelect(ctx, sub)
-        val vcol = subDf.columns.head
-        val probe = subDf.select(col(vcol).as(s"${name}_v")).distinct()
-          .withColumn(s"${name}_hit", lit(1))
-        val xe = lowerExpr(scope, x)
-        val hit = col(s"${name}_hit").isNotNull
-        out = out.join(probe, xe === col(s"${name}_v"), "left")
-          .withColumn(name,
-            when(xe.isNull, lit(null))
-              .otherwise(if (neg) !hit else hit))
-          .drop(s"${name}_v", s"${name}_hit")
+      val orderByNoSub = stmt.orderBy.map(o =>
+        o.copy(e = extractInSelects(o.e, inSelMap)))
+      val distinctOnNoSub = stmt.distinctOn.map(extractInSelects(_, inSelMap))
+      inSelMap.foreach { case (is, name) =>
+        out = addInSelectMarker(ctx, scope, out, is, name)
       }
       val stmtItems = itemsNoSub
       val namedScope = Scope(scope.frames :+ (None -> out))
@@ -958,7 +965,7 @@ object Lowering {
         extended = extended.withColumn(n, lowerExpr(namedScope, e))
       }
       val extScope = Scope(scope.frames :+ (None -> extended))
-      def sortCols = stmt.orderBy.map { o =>
+      def sortCols = orderByNoSub.map { o =>
         val c = o.e match {
           case Ident(Seq(n)) if plainItems.exists(_._1 == n) => col(n)
           case other => lowerExpr(extScope, other)
@@ -966,15 +973,17 @@ object Lowering {
         if (o.asc) c.asc else c.desc
       }
       val sorted =
-        if (stmt.orderBy.nonEmpty) extended.orderBy(sortCols: _*) else extended
-      val distincted = stmt.distinctOn match {
+        if (orderByNoSub.nonEmpty) extended.orderBy(sortCols: _*) else extended
+      val distincted = distinctOnNoSub match {
         case Some(key) =>
-          if (stmt.orderBy.isEmpty)
+          if (orderByNoSub.isEmpty)
             throw new IllegalArgumentException("DISTINCT ON requires ORDER BY")
           // reference validation (`sql_expression.cc:3087-3100`): the
           // DISTINCT ON expression must be the leftmost ORDER BY key,
-          // otherwise "first row per key" is ill-defined
-          if (stmt.orderBy.head.e != key)
+          // otherwise "first row per key" is ill-defined. (Both sides
+          // are compared AFTER InSelect extraction, so a sub-select in
+          // the key matches its ORDER BY twin structurally.)
+          if (orderByNoSub.head.e != key)
             throw new IllegalArgumentException(
               "DISTINCT ON (x) requires ORDER BY to start with x")
           val w = Window.partitionBy(lowerExpr(extScope, key)).orderBy(sortCols: _*)
@@ -1079,6 +1088,92 @@ object Lowering {
     case Binary("and", l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
   }
+
+  /** Apply a row filter (WHERE or WHEN) with `[NOT] IN (SELECT …)`
+    * support: top-level conjuncts become semi/anti-joins (the optimal
+    * distributed plan); InSelects nested inside a conjunct (OR
+    * branches, CASE arms) evaluate via tri-logic marker columns that
+    * are dropped after the filter. */
+  private def applyFilter(ctx: Context, scope: Scope, df0: DataFrame,
+      w: Expr): DataFrame = {
+    val conjuncts = splitConjuncts(w)
+    val (inSelects, plain) = conjuncts.partition(_.isInstanceOf[InSelect])
+    val inSelMap = scala.collection.mutable.LinkedHashMap[InSelect, String]()
+    val plainRw = plain.map(extractInSelects(_, inSelMap))
+    var df = df0
+    inSelMap.foreach { case (is, name) =>
+      df = addInSelectMarker(ctx, scope, df, is, name)
+    }
+    val base =
+      if (plainRw.isEmpty) df
+      else {
+        val sc2 = Scope(scope.frames :+ (None -> df))
+        df.filter(plainRw.map(lowerExpr(sc2, _)).reduce(_ && _))
+      }
+    val dropped = inSelMap.values.foldLeft(base)(_.drop(_))
+    inSelects.foldLeft(dropped) { (d, e) =>
+      val InSelect(x, sub, negated) = e: @unchecked // partitioned above
+      val subDf = lowerSelect(ctx, sub)
+      val probe = subDf.select(col(subDf.columns.head).as("__in_probe"))
+      d.join(probe, lowerExpr(scope, x) === col("__in_probe"),
+        if (negated) "left_anti" else "left_semi")
+    }
+  }
+
+  /** Add boolean column `name` = `x [NOT] IN (subquery)` with full SQL
+    * tri-logic, via a distinct-marker left join (the subquery result is
+    * typically small → broadcasts). A 1-row has-null flag (broadcast
+    * crossJoin — one extra aggregate on the tiny probe) makes a
+    * non-matching probe against a subquery containing NULL evaluate to
+    * NULL rather than a definite miss: x NOT IN (set with NULL) is
+    * NULL for non-matching x. An empty subquery is a definite miss. */
+  private def addInSelectMarker(ctx: Context, scope: Scope, out: DataFrame,
+      is: InSelect, name: String): DataFrame = {
+    val InSelect(x, sub, neg) = is
+    val subDf = lowerSelect(ctx, sub)
+    val vcol = subDf.columns.head
+    val probe = subDf.select(col(vcol).as(s"${name}_v"))
+      .filter(col(s"${name}_v").isNotNull)
+      .distinct().withColumn(s"${name}_hit", lit(1))
+    val nullFlag = broadcast(subDf.agg(
+      max(when(col(vcol).isNull, 1).otherwise(0)).as(s"${name}_subnull")))
+    val xe = lowerExpr(scope, x)
+    val hit = col(s"${name}_hit").isNotNull
+    // empty subquery → subnull is NULL (max over no rows) → definite miss
+    val miss = when(col(s"${name}_subnull") === 1, lit(null).cast("boolean"))
+      .otherwise(lit(false))
+    val inVal = when(hit, lit(true)).otherwise(miss)
+    out.join(probe, xe === col(s"${name}_v"), "left")
+      .crossJoin(nullFlag)
+      .withColumn(name,
+        when(xe.isNull, lit(null).cast("boolean"))
+          .otherwise(if (neg) !inVal else inVal))
+      .drop(s"${name}_v", s"${name}_hit", s"${name}_subnull")
+  }
+
+  /** Leaf single-column references of an expression — try()'s
+    * input-null guard. */
+  private def collectIdents(e: Expr): Seq[String] = (e match {
+    case Ident(Seq(n)) => Seq(n)
+    case Ident(_) => Nil
+    case FnCall(_, args, _) => args.flatMap(collectIdents)
+    case FnApply(_, args, _) => args.flatMap(kv => collectIdents(kv._2))
+    case Binary(_, l, r) => collectIdents(l) ++ collectIdents(r)
+    case Unary(_, x) => collectIdents(x)
+    case CaseWhen(op, br, oe) => op.toSeq.flatMap(collectIdents) ++
+      br.flatMap(b => collectIdents(b._1) ++ collectIdents(b._2)) ++
+      oe.toSeq.flatMap(collectIdents)
+    case CastExpr(x, _) => collectIdents(x)
+    case Between(x, lo, hi, _) => Seq(x, lo, hi).flatMap(collectIdents)
+    case InList(x, items, _) => collectIdents(x) ++ items.flatMap(collectIdents)
+    case IsNull(x, _) => collectIdents(x)
+    case IsType(x, _, _) => collectIdents(x)
+    case InKeysOf(x, c, _, _) => collectIdents(x) ++ collectIdents(c)
+    case LikeExpr(x, p, _) => collectIdents(x) ++ collectIdents(p)
+    case ArrayLit(items) => items.flatMap(collectIdents)
+    case StructLit(fs) => fs.flatMap(f => collectIdents(f._2))
+    case _ => Nil
+  }).distinct
 
   /** Replace InSelect nodes in EXPRESSION position with references to
     * precomputed boolean columns; collect the subqueries. (WHERE-level

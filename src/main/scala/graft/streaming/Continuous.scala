@@ -166,8 +166,15 @@ object Continuous {
             cur.foreach { s =>
               state.update(s)
               // close the session once the WATERMARK (not wall clock)
-              // passes last + gap
-              state.setTimeoutTimestamp((s.last + gapMicros) / 1000L)
+              // passes last + gap. flatMapGroupsWithState does NOT
+              // auto-drop late rows, so a straggler whose last+gap is
+              // already behind the watermark would make
+              // setTimeoutTimestamp throw and kill the query — clamp to
+              // watermark+1ms (the session then closes on the next
+              // watermark advance, the correct event-time outcome).
+              val wmMs = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max((s.last + gapMicros) / 1000L, wmMs + 1L))
             }
             out.iterator
           }

@@ -105,6 +105,57 @@ class EavMultimodalSpec extends AnyFunSuite {
     assert(out("junk") === null)
   }
 
+  test("EXIF: orientation/make/model from JPEG APP1 (LE) and bare TIFF (BE)") {
+    import spark.implicits._
+    // little-endian TIFF inside a JPEG APP1 Exif segment
+    def jpegExif(orient: Int, make: String): Array[Byte] = {
+      val mk = make.getBytes :+ 0.toByte
+      val t = java.nio.ByteBuffer.allocate(38 + mk.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      t.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      t.putShort(2)
+      t.putShort(0x0112.toShort).putShort(3).putInt(1)
+        .putShort(orient.toShort).putShort(0)
+      t.putShort(0x010f.toShort).putShort(2).putInt(mk.length).putInt(38)
+      t.putInt(0)
+      t.put(mk)
+      val tiff = t.array()
+      val out = java.nio.ByteBuffer.allocate(4 + 2 + 6 + tiff.length + 2)
+      out.put(0xff.toByte).put(0xd8.toByte)
+      out.put(0xff.toByte).put(0xe1.toByte).putShort((2 + 6 + tiff.length).toShort)
+      out.put("Exif".getBytes).put(0.toByte).put(0.toByte)
+      out.put(tiff)
+      out.put(0xff.toByte).put(0xd9.toByte)
+      out.array()
+    }
+    // big-endian bare TIFF with orientation + inline-short model tag
+    def tiffBe(orient: Int): Array[Byte] = {
+      val t = java.nio.ByteBuffer.allocate(44) // BIG_ENDIAN default
+      t.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+      t.putShort(2)
+      t.putShort(0x0112.toShort).putShort(3).putInt(1)
+        .putShort(orient.toShort).putShort(0)
+      t.putShort(0x0110.toShort).putShort(2).putInt(4)
+        .put("cam".getBytes).put(0.toByte)
+      t.putInt(0)
+      t.array()
+    }
+    val df = Seq(
+      ("jpeg_le", jpegExif(6, "graftcam")),
+      ("tiff_be", tiffBe(3)),
+      ("no_exif", Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)),
+      ("junk", Array[Byte](1, 2, 3)))
+      .toDF("tag", "content")
+    val out = df.select(col("tag"), Multimodal.exifMeta(col("content")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getAs[org.apache.spark.sql.Row]("x")).toMap
+    assert(out("jpeg_le").getInt(0) === 6)
+    assert(out("jpeg_le").getString(1) === "graftcam")
+    assert(out("tiff_be").getInt(0) === 3)
+    assert(out("tiff_be").getString(2) === "cam")
+    assert(out("no_exif") === null)
+    assert(out("junk") === null)
+  }
+
   test("multimodal: synthesize → decode stub → frame/resize plans") {
     val docs = Tables.documents(spark, sf).limit(50)
     val media = Multimodal.synthesize(docs, "doc_id", "text")

@@ -186,6 +186,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("native TokenCounts (tokenBag) matches the interpreted formulation") {
+    // differential over the real corpus: the one-pass JVM map must
+    // agree with the O(n·distinct) Column formulation on every doc
+    val diff = docs.limit(200)
+      .select(array_sort(map_entries(T.tokenBag(col("text")))).as("a"),
+        array_sort(map_entries(T.tokenBagReference(col("text")))).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() === 0)
+    // counts, not just keys: repeated tokens accumulate
+    val m = spark.range(1)
+      .select(T.tokenBag(lit("a b a c b a")).as("t"))
+      .head().getMap[String, Int](0)
+    assert(m("a") === 3 && m("b") === 2 && m("c") === 1)
+    // ngram variant runs through the same native path
+    val g = spark.range(1)
+      .select(T.tokenBagNgrams(lit("x y x y"), 1, 2).as("t"))
+      .head().getMap[String, Int](0)
+    assert(g("x") === 2 && g("x y") === 2 && g("y x") === 1)
+  }
+
+  test("fingerprint: order-sensitive, whitespace/punct-insensitive, deterministic") {
+    val r = spark.range(1).select(
+      T.fingerprint(lit("alpha beta gamma")).as("a"),
+      T.fingerprint(lit("  alpha,  beta. gamma!")).as("b"),
+      T.fingerprint(lit("beta alpha gamma")).as("c"),
+      T.fingerprint(lit("alpha beta gamma")).as("d")).head()
+    assert(r.getLong(0) === r.getLong(1)) // normalization-insensitive
+    assert(r.getLong(0) !== r.getLong(2)) // order-sensitive
+    assert(r.getLong(0) === r.getLong(3)) // deterministic
+  }
+
   test("langId is deterministic and in-domain") {
     val langs = docs.select(T.langId(col("text")).as("l"))
       .distinct().collect().map(_.getString(0)).toSet

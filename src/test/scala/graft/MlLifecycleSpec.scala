@@ -85,14 +85,43 @@ class MlLifecycleSpec extends AnyFunSuite {
     assert(viol.count() === 0)
   }
 
-  test("classifier.explain on tree models: feature importances sum to 1") {
+  test("classifier.explain on a dt: per-row path contributions reproduce the leaf prediction") {
+    val feats = (0 until 8).map(i => s"f_$i")
+    val model = Models.classifierTrain(features, feats, "y", "dt")
+    val explained = Models.classifierExplain(model, features, feats)
+    val scored = model.transform(features).select(col("vec_id"), col("prediction"))
+    // bias + Σ path contributions must equal the leaf prediction on
+    // EVERY row (the decision-path identity the reference's tree
+    // explain satisfies, classifier.cc:1496-1502)
+    val check = explained
+      .withColumn("s",
+        aggregate(map_values(col("explanation")), lit(0.0), (a, x) => a + x)
+          + col("bias"))
+      .join(scored, Seq("vec_id"))
+      .filter(abs(col("s") - col("prediction")) > 1e-6)
+    assert(check.count() === 0)
+    // and the attribution is genuinely per-row (different paths →
+    // different contribution maps), not a model-level constant
+    val distinctExplanations = explained
+      .select(array_sort(map_entries(col("explanation"))).as("e"))
+      .distinct().count()
+    assert(distinctExplanations > 1)
+  }
+
+  test("classifier.explain on an ensemble: per-row contributions, bounded raw score") {
     val feats = (0 until 8).map(i => s"f_$i")
     val model = Models.classifierTrain(features, feats, "y", "bagging")
     val explained = Models.classifierExplain(model, features, feats)
-    val total = explained
-      .select(aggregate(map_values(col("explanation")), lit(0.0), (a, x) => a + x)
-        .as("s")).head().getDouble(0)
-    assert(math.abs(total - 1.0) < 1e-6)
+    // bias + Σ contributions = weighted average of the trees' leaf
+    // predictions — for a binary-label forest that lives in [0,1]
+    val out = explained.withColumn("s",
+      aggregate(map_values(col("explanation")), lit(0.0), (a, x) => a + x)
+        + col("bias"))
+    assert(out.filter(col("s") < -1e-9 || col("s") > 1.0 + 1e-9).count() === 0)
+    assert(out.select(array_sort(map_entries(col("explanation"))).as("e"))
+      .distinct().count() > 1)
+    // every map carries one entry per feature
+    assert(explained.filter(size(col("explanation")) =!= feats.size).count() === 0)
   }
 
   test("serial and permuter procedures: ordered steps, full grid sweep") {

@@ -127,6 +127,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.embeddingPairs(emb, "v", "vec_id", maxBucket = 100).count() === 0)
   }
 
+  test("LSH bucket guards plan as aggregate + broadcast filter, never a bucket-key window") {
+    // the guard must count buckets via groupBy (map-side partial agg)
+    // and broadcast the over-cap keys back — a Window.partitionBy over
+    // the bucket key would shuffle every exploded row of a hot bucket
+    // into one straggler task at scale
+    val plans = Seq(
+      Dedup.minHashPairs(doubled, "text", "doc_id", persistSignatures = false),
+      Dedup.simHashPairs(doubled, "text", "doc_id"),
+      Dedup.embeddingPairs(Tables.embeddings(spark, sf), "embedding", "vec_id"))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      assert(!p.contains("Window"), s"window in an LSH plan:\n${p.take(3000)}")
+      assert(p.contains("BroadcastHashJoin"), "hot-key filter should broadcast")
+    }
+  }
+
   test("transitive dedup collapses a similarity chain to one keeper") {
     import spark.implicits._
     // A~B and B~C near-dups, A vs C below threshold: single-link keeps

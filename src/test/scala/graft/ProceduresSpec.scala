@@ -101,6 +101,35 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("behavioral layout: subject×time range query runs with zero Exchange") {
+    val s2 = spark
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // events = (user_id, ts, ...) — the (subject × behaviour × time)
+      // shape of the reference's beh files
+      Procedures.transformBehavioral(Tables.events(spark, sf),
+        "b_behavior", "user_id", "ts", 8)
+      val t = s2.table("b_behavior")
+      // per-subject time-range aggregation: bucketed-by-subject layout
+      // means the groupBy needs NO shuffle
+      val q = t.filter(col("ts") >= "2024-01-02" && col("ts") < "2024-01-05")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(q.count() > 0)
+      // and a self-join on the subject key is likewise shuffle-free
+      val j = t.select(col("user_id"), col("ts"))
+        .join(t.select(col("user_id"), col("ts").as("ts2")), Seq("user_id"))
+      val jplan = j.queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange"), s"unexpected shuffle:\n$jplan")
+    } finally {
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s2.sql("DROP TABLE IF EXISTS b_behavior")
+    }
+  }
+
   test("continuous dataset: stream-record then window read with pruning") {
     val base = Files.createTempDirectory("graft_stream").toString
     val events = Tables.events(spark, sf)

@@ -26,6 +26,43 @@ class RestSpec extends AnyFunSuite {
     (r.statusCode(), r.body())
   }
 
+  test("fetcher: url → (content, error) against a local HTTP fixture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fixture server: /blob/<n> answers n deterministic bytes
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/blob", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val n = ex.getRequestURI.getPath.split("/").last.toInt
+      val bytes = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.start()
+    val port = srv.getAddress.getPort
+    try {
+      val urls = Seq(
+        (1L, s"http://127.0.0.1:$port/blob/10"),
+        (2L, s"http://127.0.0.1:$port/blob/70000"), // > one 8k read buffer
+        (3L, s"http://127.0.0.1:$port/nope"),       // 404 → error row
+        (4L, "http://127.0.0.1:1/unreachable"))     // refused → error row
+        .toDF("id", "url")
+      val out = urls
+        .select(col("id"), graft.operators.Multimodal.fetch(col("url"), 3000).as("f"))
+        .select(col("id"), col("f.content").as("c"), col("f.error").as("e"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Array[Byte]]("c"), r.getAs[String]("e"))).toMap
+      assert(out(1L)._1.toSeq === Array.tabulate[Byte](10)(i => (i % 251).toByte).toSeq)
+      assert(out(1L)._2 === null)
+      assert(out(2L)._1.length === 70000 && out(2L)._2 === null)
+      assert(out(3L)._1 === null && out(3L)._2 != null)
+      assert(out(4L)._1 === null && out(4L)._2 != null)
+      // exactly one of content/error per row — the reference's contract
+      assert(out.values.forall { case (c, e) => (c == null) != (e == null) })
+    } finally srv.stop(0)
+  }
+
   test("REST façade: /v1 query, datasets, functions, transform") {
     val engine = new GraftEngine(spark)
     engine.createDatasetFromParquet("region", s"$sf/region.parquet")

@@ -414,6 +414,71 @@ class SqlSpec extends AnyFunSuite {
     assert(df.count() === 25)
   }
 
+  test("IN (SELECT …) in ORDER BY position") {
+    val rows = q(
+      """SELECT n_name FROM nation
+        |ORDER BY n_regionkey IN (SELECT r_regionkey FROM region
+        |  WHERE r_name = 'ASIA') DESC, n_name
+        |LIMIT 5""".stripMargin).collect().map(_.getString(0)).toSeq
+    // the 5 ASIA nations (regionkey 2: NATION_{2,7,12,17,22}) sort
+    // first (true before false), then lexicographically by name
+    assert(rows === Seq("NATION_12", "NATION_17", "NATION_2", "NATION_22", "NATION_7"))
+  }
+
+  test("IN (SELECT …) in WHEN position, incl. inside OR") {
+    val n = q(
+      """SELECT n_name FROM nation
+        |WHEN n_regionkey IN (SELECT r_regionkey FROM region
+        |  WHERE r_name = 'ASIA') OR n_name = 'NATION_0'""".stripMargin).count()
+    assert(n === 6) // 5 ASIA nations + NATION_0
+  }
+
+  test("IN (SELECT …) as the DISTINCT ON key") {
+    val rows = q(
+      """SELECT DISTINCT ON (n_regionkey IN (SELECT r_regionkey FROM region
+        |    WHERE r_name = 'ASIA')) n_name FROM nation
+        |ORDER BY n_regionkey IN (SELECT r_regionkey FROM region
+        |  WHERE r_name = 'ASIA') DESC, n_name""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    // first row per key group: NATION_12 (in-ASIA group, lexicographic
+    // min of NATION_{2,7,12,17,22}), NATION_0 (rest)
+    assert(rows === Set("NATION_12", "NATION_0"))
+  }
+
+  test("NOT IN (SELECT …) with NULL in the subquery follows tri-logic") {
+    val rows = q(
+      """SELECT n_regionkey,
+        |  n_regionkey NOT IN (SELECT CASE WHEN r_regionkey = 2
+        |    THEN CAST(NULL AS integer) ELSE r_regionkey END FROM region) AS ni,
+        |  n_regionkey IN (SELECT CASE WHEN r_regionkey = 2
+        |    THEN CAST(NULL AS integer) ELSE r_regionkey END FROM region) AS i
+        |FROM nation""".stripMargin).collect()
+    rows.foreach { r =>
+      if (r.getInt(0) == 2) { // no match + NULL in set → NULL, not false
+        assert(r.isNullAt(1) && r.isNullAt(2))
+      } else { // definite match → IN true, NOT IN false
+        assert(!r.getBoolean(1) && r.getBoolean(2))
+      }
+    }
+  }
+
+  test("try keeps a legitimate NULL from a null input column") {
+    val rows = q(
+      """SELECT try(CAST(x AS number), -1) AS v FROM (
+        |  SELECT CASE WHEN r_regionkey = 0 THEN NULL ELSE r_name END AS x
+        |  FROM region) t""".stripMargin).collect()
+    // r_regionkey=0: x is NULL data → try passes the NULL through;
+    // other rows: CAST('AMERICA' AS number) errors→NULL → fallback -1
+    assert(rows.count(_.isNullAt(0)) === 1)
+    assert(rows.count(r => !r.isNullAt(0) && r.getDouble(0) === -1.0) === 4)
+  }
+
+  test("tokenize splitChars containing letters/digits split literally") {
+    val r = q("""SELECT tokenize('axbsc', {splitChars: 'sx'}) AS t""")
+      .head().getMap[String, Int](0)
+    assert(r.keySet === Set("a", "b", "c"))
+  }
+
   test("atom_dataset(table): per-cell rows, WHEN gets cell fidelity") {
     // events has a ts column -> every cell carries the row's event time
     val cells = q(
