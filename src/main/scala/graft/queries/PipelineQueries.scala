@@ -176,8 +176,29 @@ object PipelineQueries {
         .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
     },
 
-    // --- exact brute-force cosine top-k ANN (rows-only: float order) ---
-    QueryDef.rowsOnly("q48_ann_bruteforce") { (s, d) =>
+    // --- exact brute-force cosine top-k ANN, now oracle-checked:
+    // DuckDB's list_cosine_similarity + the same (cosine DESC,
+    // neighbor_id) tie-break reproduces the exact neighbor set, ranks
+    // and rounded cosines (both engines do double arithmetic; random
+    // embeddings leave ~1e-3 gaps between neighbors, far above ULP
+    // noise). ---
+    QueryDef("q48_ann_bruteforce",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos_raw
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank,
+        |    round(cos_raw, 4) AS cosine
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rank, cosine FROM r
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
         "embedding", "vec_id", k = 5)

@@ -176,15 +176,23 @@ object ProcedureQueries {
           max(col("dims")).cast("long").as("k"))
     },
 
-    // --- tfidf.train + apply ---
-    QueryDef.rowsOnly("q58_tfidf") { (s, d) =>
+    // --- tfidf.train + apply. The weights themselves depend on
+    // CountVectorizer's vocabulary order (no DuckDB analog), so the
+    // oracle is invariant-bound like q57: every document is
+    // transformed, and every document has a strictly positive tfidf
+    // norm (all docs carry at least one in-vocab token at the 65536
+    // vocab size). ---
+    QueryDef("q58_tfidf",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_pos_norm
+        |FROM documents""".stripMargin) { (s, d) =>
       val m = Models.tfidfTrain(Tables.documents(s, d), "text")
-      m.transform(Tables.documents(s, d)).select(col("doc_id"),
-        round(org.apache.spark.ml.functions.vector_to_array(col("tfidf"))
-          .getItem(0), 4).as("tfidf_0"),
+      m.transform(Tables.documents(s, d)).select(
         aggregate(org.apache.spark.ml.functions.vector_to_array(col("tfidf")),
-          lit(0.0), (acc, v) => acc + v * v, acc => round(sqrt(acc), 4))
+          lit(0.0), (acc, v) => acc + v * v, acc => sqrt(acc))
           .as("tfidf_norm"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("tfidf_norm") > 0, 1L).otherwise(0L)).as("n_pos_norm"))
     },
 
     // --- classifier.train mode=regression, hash-matched against DuckDB's

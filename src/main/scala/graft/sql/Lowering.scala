@@ -1067,15 +1067,31 @@ object Lowering {
         lowerOuter(it.e).as(itemName(stmt.items(i), i))
       }
       val selected = havingFiltered.select(outCols: _*)
-      if (stmt.orderBy.nonEmpty) {
-        val sortCols = stmt.orderBy.map { o =>
+      // ORDER BY key = a whole `x [NOT] IN (SELECT …)` works after
+      // aggregation too, via a tri-logic marker joined onto the
+      // aggregated projection (x may reference output columns); a
+      // sub-select NESTED inside a larger post-aggregation ORDER BY
+      // expression still throws — documented gap.
+      val aggInSel = scala.collection.mutable.LinkedHashMap[InSelect, String]()
+      val orderByAgg = stmt.orderBy.map {
+        case o if o.e.isInstanceOf[InSelect] =>
+          o.copy(e = extractInSelects(o.e, aggInSel))
+        case o => o
+      }
+      var sortBase = selected
+      aggInSel.foreach { case (is, name) =>
+        sortBase = addInSelectMarker(ctx, Scope(Seq(None -> sortBase)),
+          sortBase, is, name)
+      }
+      if (orderByAgg.nonEmpty) {
+        val sortCols = orderByAgg.map { o =>
           val c = o.e match {
-            case Ident(Seq(n)) if selected.columns.contains(n) => col(n)
+            case Ident(Seq(n)) if sortBase.columns.contains(n) => col(n)
             case other => lowerOuter(extractAggs(other, aggMap))
           }
           if (o.asc) c.asc else c.desc
         }
-        selected.orderBy(sortCols: _*)
+        sortBase.orderBy(sortCols: _*).drop(aggInSel.values.toSeq: _*)
       } else selected
     }
 

@@ -445,6 +445,16 @@ class SqlSpec extends AnyFunSuite {
     assert(rows === Set("NATION_12", "NATION_0"))
   }
 
+  test("IN (SELECT …) as the ORDER BY key after GROUP BY") {
+    val r = q(
+      """SELECT n_regionkey AS k, count(*) AS n FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY k IN (SELECT r_regionkey FROM region
+        |  WHERE r_name = 'ASIA') DESC, k
+        |LIMIT 1""".stripMargin).head()
+    assert(r.getInt(0) === 2 && r.getLong(1) === 5L) // ASIA group first
+  }
+
   test("NOT IN (SELECT …) with NULL in the subquery follows tri-logic") {
     val rows = q(
       """SELECT n_regionkey,
