@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.functions.{HtmlFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.operators.{Dedup, Similarity}
 
 /** Training-data pipeline operators: dedup (exact / MinHash-LSH /
@@ -17,6 +17,23 @@ import graft.operators.{Dedup, Similarity}
   * with determinism/invariant specs in ScalaTest instead.
   */
 object PipelineQueries {
+
+  /** The htmlToText regex/entity chain as DuckDB SQL over `expr` —
+    * the SAME operations in the SAME order as HtmlFunctions.htmlToText
+    * (patterns live in the Java∩RE2 subset on purpose; DuckDB needs
+    * the explicit 'g' flag where Spark replaces globally by default). */
+  private def htmlChainSql(expr: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      expr +
+      ", '(?is)<script[^>]*>.*?</script>', ' ', 'g')" +
+      ", '(?is)<style[^>]*>.*?</style>', ' ', 'g')" +
+      ", '(?s)<!--.*?-->', ' ', 'g')" +
+      ", '(?s)<[^>]+>', ' ', 'g')" +
+      ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>')" +
+      ", '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')" +
+      ", '\\s+', ' ', 'g'))"
 
   /** documents ∪ shifted copy — guarantees exact+near duplicates so
     * dedup queries have non-trivial answers at every SF. */
@@ -300,6 +317,44 @@ object PipelineQueries {
           col("x.make") === "graft")
         .select(col("id"), col("m.width").as("width"),
           col("m.height").as("height"), col("x.orientation").as("orientation"))
+    },
+
+    // --- HTML extraction (the html.parse capability), hash-matched
+    // cross-engine: both engines wrap each document in the same
+    // synthetic page (title with an entity, style/script bodies, two
+    // anchors, a comment) and must extract identical title, visible
+    // text, and href list. ---
+    QueryDef("q80_html_extract",
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    ' &amp; co</title><style>p { color: red }</style></head><body><p>' ||
+        |    text || '</p><a href="https://ex.org/' || CAST(doc_id AS VARCHAR) ||
+        |    '">x</a><a href=''/rel''>y</a><script>var a = 1 < 2;</script>' ||
+        |    '<!-- note --></body></html>' AS html
+        |  FROM documents WHERE doc_id < 200),
+        |x AS (
+        |  SELECT doc_id, html,
+        |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title_raw
+        |  FROM h)
+        |SELECT doc_id,
+        |  ${htmlChainSql("title_raw")} AS title,
+        |  ${htmlChainSql("html")} AS text_extract,
+        |  array_to_string(regexp_extract_all(html,
+        |    '(?is)href\\s*=\\s*["'']([^"''>]+)["'']', 1), ',') AS links
+        |FROM x""".stripMargin) { (s, d) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit(" &amp; co</title><style>p { color: red }</style></head><body><p>"),
+        col("text"),
+        lit("</p><a href=\"https://ex.org/"), col("doc_id"),
+        lit("\">x</a><a href='/rel'>y</a><script>var a = 1 < 2;</script>"),
+        lit("<!-- note --></body></html>"))
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          H.htmlTitle(html).as("title"),
+          H.htmlToText(html).as("text_extract"),
+          array_join(H.htmlLinks(html), ",").as("links"))
     },
 
     // --- PII redaction, hash-matched cross-engine: both engines build

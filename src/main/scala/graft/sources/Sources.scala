@@ -69,4 +69,61 @@ object Sources {
   def exportJson(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** `import.sentiwordnet`
+    * (`/root/reference/plugins/nlp/sentiwordnet.cc:85-170`): parse a
+    * SentiWordNet 3.0 data file — lines
+    * `POS\tID\tPosScore\tNegScore\tterm#rank term#rank…\tgloss` —
+    * into one row per `word#pos` with scores averaged across the
+    * word's synsets weighted by 1/senseRank (the reference's
+    * no-disambiguation weighting, including SentiObj = 1 - pos - neg
+    * per synset BEFORE averaging). Fully distributed: text scan →
+    * explode(terms) → one groupBy on the word key; the lexicon-sized
+    * result is broadcastable downstream. */
+  def importSentiWordNet(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lines = spark.read.text(path)
+      .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+    val f = split(col("value"), "\t")
+    val parsed = lines.select(
+      f.getItem(0).as("pos"),
+      f.getItem(2).cast("double").as("p"),
+      f.getItem(3).cast("double").as("n"),
+      split(f.getItem(4), " ").as("terms"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .withColumn("o", lit(1.0) - col("p") - col("n"))
+      .select(col("pos"), col("p"), col("n"), col("o"),
+        explode(col("terms")).as("term"))
+      .select(col("pos"), col("p"), col("n"), col("o"),
+        substring_index(col("term"), "#", 1).as("baseWord"),
+        substring_index(col("term"), "#", -1).cast("int").as("rank"))
+      .filter(col("rank").isNotNull && col("rank") > 0)
+    parsed
+      .groupBy(concat(col("baseWord"), lit("#"), col("pos")).as("rowName"))
+      .agg(
+        (sum(col("p") / col("rank")) / sum(lit(1.0) / col("rank"))).as("SentiPos"),
+        (sum(col("n") / col("rank")) / sum(lit(1.0) / col("rank"))).as("SentiNeg"),
+        (sum(col("o") / col("rank")) / sum(lit(1.0) / col("rank"))).as("SentiObj"),
+        first(col("pos")).as("POS"),
+        first(col("baseWord")).as("baseWord"))
+  }
+
+  /** Document-level sentiment via the imported lexicon: average the
+    * (SentiPos, SentiNeg, SentiObj) of every matched token, across
+    * POS variants (no disambiguation — same divergence as the
+    * reference importer documents). Lexicon broadcasts; only the
+    * (doc, token) stream shuffles on the doc id. */
+  def docSentiment(docs: DataFrame, idCol: String, textCol: String,
+      lexicon: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val words = lexicon.groupBy(col("baseWord"))
+      .agg(avg(col("SentiPos")).as("wp"), avg(col("SentiNeg")).as("wn"),
+        avg(col("SentiObj")).as("wo"))
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("baseWord"))
+      .join(org.apache.spark.sql.functions.broadcast(words), Seq("baseWord"))
+      .groupBy(col("doc_id"))
+      .agg(avg(col("wp")).as("SentiPos"), avg(col("wn")).as("SentiNeg"),
+        avg(col("wo")).as("SentiObj"), count(lit(1)).as("n_matched"))
+  }
 }

@@ -583,6 +583,10 @@ object Lowering {
     // orientation/make/model/datetime from the JPEG APP1 TIFF walk
     case "parse_exif" => graft.plans.ExifMeta.column(a(0))
     case "image_meta" => graft.plans.ImageHeaderMeta.column(a(0))
+    // html.parse capability family (`plugins/html/parse_html.cc`)
+    case "html_to_text" => graft.functions.HtmlFunctions.htmlToText(a(0))
+    case "html_title" => graft.functions.HtmlFunctions.htmlTitle(a(0))
+    case "html_links" => graft.functions.HtmlFunctions.htmlLinks(a(0))
     // temporal_* over a wide-mode cell: each cell holds ONE timestamped
     // value, so the per-cell history aggregate degenerates to the value
     // itself (count is 0/1). Multi-version cells live in EAV mode

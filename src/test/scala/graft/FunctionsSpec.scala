@@ -217,6 +217,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(0) === r.getLong(3)) // deterministic
   }
 
+  test("html extraction: text, title, links, entity decode") {
+    import graft.functions.{HtmlFunctions => H}
+    val html = "<html><head><title>T &amp; U</title><style>p{color:red}</style>" +
+      "</head><body><p>Hello <b>world</b></p><a href=\"https://a.b/c\">l</a>" +
+      "<a href='/rel'>m</a><script>if (1 < 2) x();</script><!-- gone --></body></html>"
+    val r = spark.range(1).select(
+      H.htmlToText(lit(html)).as("t"),
+      H.htmlTitle(lit(html)).as("ti"),
+      H.htmlLinks(lit(html)).as("l")).head()
+    assert(r.getString(0) === "T & U Hello world l m")
+    assert(r.getString(1) === "T & U")
+    assert(r.getSeq[String](2) === Seq("https://a.b/c", "/rel"))
+    // &amp;lt; decodes to the literal "&lt;", not "<"
+    val dbl = spark.range(1)
+      .select(H.htmlToText(lit("a &amp;lt; b")).as("t")).head().getString(0)
+    assert(dbl === "a &lt; b")
+  }
+
   test("langId is deterministic and in-domain") {
     val langs = docs.select(T.langId(col("text")).as("l"))
       .distinct().collect().map(_.getString(0)).toSet

@@ -71,4 +71,37 @@ class SignalW2vSpec extends AnyFunSuite {
     assert(bag === Map("bb" -> 1, "ccc" -> 1, "dd" -> 1,
       "bb ccc" -> 1, "ccc dd" -> 1))
   }
+
+  test("sentiwordnet import: 1/rank-weighted synset averages + doc sentiment") {
+    import graft.sources.Sources
+    val dir = Files.createTempDirectory("graft_swn").toString
+    val pw = new java.io.PrintWriter(s"$dir/swn.txt")
+    pw.println("# SentiWordNet v3.0 comment")
+    pw.println("a\t00000001\t0.5\t0.25\tgood#1 nice#2\tfirst gloss")
+    pw.println("a\t00000002\t0.0\t1.0\tgood#2\tsecond gloss")
+    pw.println("n\t00000003\t0.125\t0.5\tgood#1\tnoun gloss")
+    pw.close()
+    val lex = Sources.importSentiWordNet(spark, s"$dir/swn.txt")
+    val rows = lex.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // good#a: rank-1 (.5,.25,.25) w=1 + rank-2 (0,1,0) w=.5 →
+    // pos (.5)/(1.5)=1/3, neg (.25+.5)/1.5=.5, obj (.25)/1.5=1/6
+    val (p, n, o) = rows("good#a")
+    assert(math.abs(p - 1.0 / 3) < 1e-9 && math.abs(n - 0.5) < 1e-9 &&
+      math.abs(o - 1.0 / 6) < 1e-9)
+    // single-synset entries: weights cancel, raw scores come back
+    assert(rows("nice#a") === ((0.5, 0.25, 0.25)))
+    assert(rows("good#n") === ((0.125, 0.5, 0.375)))
+    // doc-level application: averages across matched tokens (and the
+    // word's POS variants); unmatched tokens are ignored
+    import spark.implicits._
+    val docs = Seq((1L, "good zzz"), (2L, "zzz qqq")).toDF("id", "t")
+    val senti = Sources.docSentiment(docs, "id", "t", lex).collect()
+    assert(senti.length === 1) // doc 2 matches nothing
+    val s1 = senti.head
+    // good = avg over good#a (1/3, .5, 1/6) and good#n (.125, .5, .375)
+    assert(math.abs(s1.getAs[Double]("SentiPos") - (1.0 / 3 + 0.125) / 2) < 1e-9)
+    assert(math.abs(s1.getAs[Double]("SentiNeg") - 0.5) < 1e-9)
+    assert(s1.getAs[Long]("n_matched") === 1L)
+  }
 }
