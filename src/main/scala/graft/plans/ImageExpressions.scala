@@ -149,8 +149,11 @@ case class ExifMeta(child: Expression)
     val t = tiffStart(b)
     if (t < 0) return null
     val le = b(t) == 'I'
-    val ifd = t + u32(b, t + 4, le).toInt
-    if (ifd + 2 > b.length) return null
+    // u32 can exceed Int.MaxValue or wrap negative on corrupt files —
+    // bound-check on the long BEFORE narrowing (caught by fuzzing)
+    val ifdL = t.toLong + u32(b, t + 4, le)
+    if (ifdL < 0 || ifdL + 2 > b.length) return null
+    val ifd = ifdL.toInt
     val n = u16(b, ifd, le)
     var orientation: Integer = null
     var make: UTF8String = null

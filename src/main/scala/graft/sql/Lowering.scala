@@ -587,6 +587,9 @@ object Lowering {
     case "html_to_text" => graft.functions.HtmlFunctions.htmlToText(a(0))
     case "html_title" => graft.functions.HtmlFunctions.htmlTitle(a(0))
     case "html_links" => graft.functions.HtmlFunctions.htmlLinks(a(0))
+    // http.useragent (`plugins/html/useragent_function.cc:106`)
+    case "parse_useragent" =>
+      graft.functions.UserAgentFunctions.parseUserAgent(a(0))
     // temporal_* over a wide-mode cell: each cell holds ONE timestamped
     // value, so the per-cell history aggregate degenerates to the value
     // itself (count is 0/1). Multi-version cells live in EAV mode

@@ -235,6 +235,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(dbl === "a &lt; b")
   }
 
+  test("useragent parsing: browser precedence, os versions, spiders") {
+    import graft.functions.{UserAgentFunctions => U}
+    import spark.implicits._
+    val uas = Seq(
+      ("chrome_win", "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"),
+      ("edge", "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"),
+      ("safari_ios", "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1"),
+      ("firefox_linux", "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0"),
+      ("samsung", "Mozilla/5.0 (Linux; Android 14; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Mobile Safari/537.36"),
+      ("bot", "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"))
+      .toDF("tag", "ua")
+    val out = uas.select(col("tag"), U.parseUserAgent(col("ua")).as("p"))
+      .select(col("tag"), col("p.browser.family").as("bf"),
+        col("p.browser.version").as("bv"), col("p.os.family").as("of"),
+        col("p.os.version").as("ov"), col("p.device.brand").as("db"),
+        col("p.isSpider").as("sp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("chrome_win").getString(1) === "Chrome" &&
+      out("chrome_win").getString(2).startsWith("120") &&
+      out("chrome_win").getString(3) === "Windows" &&
+      out("chrome_win").getString(4) === "10.0")
+    // Edge carries Chrome/ + Safari/ tokens; precedence must pick Edge
+    assert(out("edge").getString(1) === "Edge")
+    assert(out("safari_ios").getString(1) === "Safari" &&
+      out("safari_ios").getString(3) === "iOS" &&
+      out("safari_ios").getString(4) === "17.1" &&
+      out("safari_ios").getString(5) === "Apple")
+    assert(out("firefox_linux").getString(1) === "Firefox" &&
+      out("firefox_linux").getString(3) === "Linux")
+    assert(out("samsung").getString(5) === "Samsung")
+    assert(out("bot").getBoolean(6))
+    assert(!out("chrome_win").getBoolean(6))
+  }
+
   test("langId is deterministic and in-domain") {
     val langs = docs.select(T.langId(col("text")).as("l"))
       .distinct().collect().map(_.getString(0)).toSet

@@ -149,6 +149,62 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte parsers never throw on arbitrary/mutated bytes") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // valid EXIF prefix to mutate: header parsing must survive every
+    // single-byte corruption (truncation, bad offsets, wild counts)
+    def jpegExif(orient: Int): Array[Byte] = {
+      val t = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      t.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      t.putShort(2)
+      t.putShort(0x0112.toShort).putShort(3).putInt(1)
+        .putShort(orient.toShort).putShort(0)
+      t.putShort(0x010f.toShort).putShort(2).putInt(6).putInt(38)
+      t.putInt(0).put("graft".getBytes).put(0.toByte)
+      val tiff = t.array()
+      val out = java.nio.ByteBuffer.allocate(4 + 2 + 6 + tiff.length + 2)
+      out.put(0xff.toByte).put(0xd8.toByte)
+      out.put(0xff.toByte).put(0xe1.toByte).putShort((2 + 6 + tiff.length).toShort)
+      out.put("Exif".getBytes).put(0.toByte).put(0.toByte).put(tiff)
+      out.put(0xff.toByte).put(0xd9.toByte)
+      out.array()
+    }
+    val base = jpegExif(3)
+    val rnd = new scala.util.Random(42)
+    val mutated = (0 until 200).map { i =>
+      val b = base.clone()
+      b(i % b.length) = rnd.nextInt(256).toByte
+      (i.toLong, b)
+    }
+    val random = (0 until 100).map { i =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      (1000L + i, b)
+    }
+    val truncated = (0 until base.length).map(n =>
+      (2000L + n, java.util.Arrays.copyOf(base, n)))
+    val df = (mutated ++ random ++ truncated).toDF("id", "content")
+    // must evaluate every row without throwing; values may be null
+    val n = df.select(Multimodal.exifMeta(col("content")).as("x"),
+      Multimodal.imageMeta(col("content")).as("m")).count()
+    assert(n === mutated.size + random.size + truncated.size)
+  }
+
+  test("TokenCounts equals interpreted bag on random token soup") {
+    import spark.implicits._
+    val soup: Gen[String] = Gen.listOfN(60,
+      Gen.oneOf("a", "b", "ab", "x y", "", "7", "a.b", "A", "ünï")).map(_.mkString(" "))
+    forSamples(soup, 15) { (s: String) =>
+      val r = Seq(s).toDF("t").select(
+        array_sort(map_entries(T.tokenBag(col("t")))).as("n"),
+        array_sort(map_entries(T.tokenBagReference(col("t")))).as("i"))
+        .head()
+      assert(r.getSeq[Any](0) === r.getSeq[Any](1), s"input: '$s'")
+    }
+  }
+
   test("parser handles arbitrary integer-arithmetic expressions like BigInt") {
     val litGen = Gen.choose(-1000L, 1000L)
     forSamples2(litGen, Gen.zip(litGen, litGen)) { case (x, (y, z)) =>
