@@ -181,6 +181,23 @@ object Continuous {
       }
   }
 
+  /** Streaming exact dedup for continuous ingest (LLM-pipeline
+    * extension): drop events whose dedup key was already seen, with
+    * state bounded by the watermark — the standard at-least-once →
+    * exactly-once repair in front of a training-data store. Spark's
+    * `dropDuplicates` keeps per-key state forever on an unbounded
+    * stream; scoping it WITH the event-time column bounds state to the
+    * watermark horizon (late re-sends beyond the horizon are already
+    * quarantined by the watermark itself). Batch frames take the
+    * plain dropDuplicates path (Spark rejects the watermark variant
+    * outside streaming). */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** `continuous.window`: a committed time range as a batch dataset.
     * The p_date predicate is a pure partition filter (no file content
     * read outside the range); the ts predicate trims the boundary

@@ -34,6 +34,31 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(misaligned === 0)
   }
 
+  test("streaming exact dedup: re-sent events within the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val deduped = Continuous.dedupStream(
+      in.toDF.toDF("event_id", "ts", "value"), "ts", Seq("event_id"),
+      watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(2), 1.0))
+    q.processAllAvailable()
+    // duplicate id re-sent in a LATER batch, still within the watermark
+    in.addData((2L, ts(3), 2.0), (3L, ts(4), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 3L))
+    // batch frames pass through plain dropDuplicates semantics
+    val batch = Seq((1L, ts(0), 1.0), (1L, ts(5), 1.0), (2L, ts(1), 2.0))
+      .toDF("event_id", "ts", "value")
+    assert(Continuous.dedupStream(batch, "ts", Seq("event_id")).count() === 2)
+  }
+
   test("stateful sessionize matches the window-based sessionizer") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
