@@ -155,6 +155,32 @@ object Dedup {
       textCol: String, idCol: String,
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val (newBase, oldBase, _, prefiltered) = incrementalCandidates(
+      newDocs, existing, textCol, idCol, bands, rowsPerBand, shingleN,
+      threshold, maxBucket)
+    val dupNew = prefiltered
+      .join(newBase.select(col("id").as("id_new"), col("sh").as("sh_new")), Seq("id_new"))
+      .join(oldBase.select(col("id").as("id_old"), col("sh").as("sh_old")), Seq("id_old"))
+      .filter(T.jaccardArrays(col("sh_new"), col("sh_old")) >= threshold)
+      .select(col("id_new").as("__dup_id")).distinct()
+      // materialize, then release both signature caches (same
+      // session-leak fix as minHashPairs)
+      .localCheckpoint(true)
+    newBase.unpersist(false)
+    oldBase.unpersist(false)
+    newDocs.join(dupNew, newDocs(idCol) === col("__dup_id"), "left_anti")
+  }
+
+  /** The candidate-generation front of `minHashDedupAgainst`, exposed
+    * package-private so tests can measure how much the
+    * signature-estimate prefilter shrinks the exact-verify join.
+    * Returns (newBase, oldBase, bandCandidates, prefiltered); the two
+    * bases are persisted — the caller must unpersist them. */
+  private[graft] def incrementalCandidates(newDocs: DataFrame,
+      existing: DataFrame, textCol: String, idCol: String,
+      bands: Int, rowsPerBand: Int, shingleN: Int,
+      threshold: Double, maxBucket: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     def sigs(docs: DataFrame) = docs.select(col(idCol).as("id"),
       T.shingleHashes(col(textCol), shingleN).as("sh"))
@@ -187,17 +213,7 @@ object Dedup {
           lit(0.0), (acc, x) => acc + x) / k)
       .filter(col("est") >= threshold - margin)
       .select(col("id_new"), col("id_old"))
-    val dupNew = prefiltered
-      .join(newBase.select(col("id").as("id_new"), col("sh").as("sh_new")), Seq("id_new"))
-      .join(oldBase.select(col("id").as("id_old"), col("sh").as("sh_old")), Seq("id_old"))
-      .filter(T.jaccardArrays(col("sh_new"), col("sh_old")) >= threshold)
-      .select(col("id_new").as("__dup_id")).distinct()
-      // materialize, then release both signature caches (same
-      // session-leak fix as minHashPairs)
-      .localCheckpoint(true)
-    newBase.unpersist(false)
-    oldBase.unpersist(false)
-    newDocs.join(dupNew, newDocs(idCol) === col("__dup_id"), "left_anti")
+    (newBase, oldBase, cand, prefiltered)
   }
 
   /** MinHash-LSH dedup with TRANSITIVE closure: a chain A~B~C (A and C

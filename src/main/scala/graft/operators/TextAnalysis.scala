@@ -54,12 +54,15 @@ object TextAnalysis {
 
   /** `feature_hasher` (`plugins/feature_gen/feature_generators.cc:155`):
     * hash tokens into a fixed-width sparse count vector, represented
-    * as map<int,int> (bucket → count). Collision-tolerant by design. */
+    * as map<int,int> (bucket → count). Collision-tolerant by design.
+    * Counting runs through the one-pass native TokenCounts (O(tokens)
+    * per row — the per-distinct filter scan it replaces was
+    * O(tokens × distinct buckets)). */
   def featureHash(tokens: Column, numBuckets: Int): Column = {
-    val buckets = transform(tokens, t => pmod(xxhash64(t), lit(numBuckets)))
-    map_from_entries(transform(array_distinct(buckets),
-      b => struct(b.cast("int").as("bucket"),
-        size(filter(buckets, x => x === b)).as("count"))))
+    val buckets = transform(tokens,
+      t => pmod(xxhash64(t), lit(numBuckets)).cast("string"))
+    transform_keys(graft.plans.TokenCounts.column(buckets),
+      (k, _) => k.cast("int"))
   }
 
   /** Token or n-gram document/term frequencies for a corpus —

@@ -210,6 +210,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.filter(col("doc_id") >= 6000000).count() === 50)
   }
 
+  test("incremental dedup prefilter shrinks the exact-verify join") {
+    // near-dup incoming docs (sliding token windows of shared text)
+    // produce band collisions whose estimated jaccard is below the
+    // threshold margin — the prefilter must drop them before the
+    // heavy shingle-array join
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val existing = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = (1 to 30).map(sh =>
+      (100L + sh, (sh until sh + 60).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (nb, ob, cand, pre) = Dedup.incrementalCandidates(
+      incoming, existing, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, shingleN = 3,
+      threshold = 0.95, maxBucket = 1000)
+    val (nc, np) = (cand.count(), pre.count())
+    info(s"band candidates=$nc, after signature prefilter=$np")
+    assert(nc > 0, "fixture produced no band collisions")
+    assert(np < nc, s"prefilter removed nothing ($np of $nc)")
+    nb.unpersist(); ob.unpersist()
+  }
+
   test("stratified sample preserves strata at the requested fractions") {
     import graft.procedures.Procedures
     val orders = Tables.orders(spark, sf)
