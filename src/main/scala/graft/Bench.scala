@@ -72,9 +72,35 @@ object Bench {
       val tailRows = tail.map(_.numInputRows).sum
       val tailSec = tail
         .map(p => p.durationMs.get("triggerExecution").toLong).sum / 1000.0
+      // REST single-row scoring (baseline: "thousands of calls per
+      // second" on the application route): a sql.expression function
+      // over the driver-local JsonRow path — zero Spark jobs per call,
+      // measured over a real socket round-trip.
+      val engine = new graft.api.GraftEngine(spark)
+      engine.createSqlExpressionFunction("score",
+        "a + b AS s, a * b AS p, sqrt(a) AS q")
+      val srv = new graft.api.RestServer(engine)
+      val port = srv.start()
+      val client = java.net.http.HttpClient.newHttpClient()
+      def call(i: Int): Unit = {
+        val input = java.net.URLEncoder.encode(s"""{"a": $i, "b": 2}""", "UTF-8")
+        val r = client.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(
+            s"http://127.0.0.1:$port/v1/functions/score/application?input=$input"))
+          .GET.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200, s"scoring call failed: ${r.body()}")
+      }
+      (1 to 200).foreach(call) // warm-up: plan + codegen caches
+      val nCalls = 2000
+      val rt0 = System.nanoTime()
+      (1 to nCalls).foreach(call)
+      val restSec = (System.nanoTime() - rt0) / 1e9
+      srv.stop()
       s""","csv_ingest_rows_per_sec":${(csvN / csvSec).toLong}""" +
         s""","stream_ingest_events_per_sec":${(tailRows / tailSec).toLong}""" +
-        s""","stream_ingest_batches":${ps.length}"""
+        s""","stream_ingest_batches":${ps.length}""" +
+        s""","rest_scoring_calls_per_sec":${(nCalls / restSec).toLong}"""
     } catch { case _: Throwable => "" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$throughput,"sf":"$sfDir"}""")
     spark.stop()

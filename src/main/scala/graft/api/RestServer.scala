@@ -69,7 +69,11 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val name = app.stripSuffix("/application")
           val input = queryParams(ex).getOrElse("input",
             throw new IllegalArgumentException("missing input parameter"))
-          rowsJson(engine.applyFunctionJson(name, input), 10)
+          // rows come straight from the compiled projection (no
+          // Dataset, no planning) — the thousands-of-calls/s path
+          val (schema, rows) = engine.applyFunctionJsonRows(name, input)
+          rows.iterator.map(r => structJson(r, schema))
+            .mkString("[", ",", "]")
         case other => throw new IllegalArgumentException(s"unsupported $other")
       }
     })
@@ -106,8 +110,47 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
 
   def stop(): Unit = server.stop(0)
 
-  private def rowsJson(df: org.apache.spark.sql.DataFrame, limit: Int): String =
-    df.limit(limit).toJSON.collect().mkString("[", ",", "]")
+  /** Render rows to JSON on the DRIVER (null fields omitted, matching
+    * Spark's toJSON). `take` on a fully-local plan (the single-row
+    * function-application route after ConvertToLocalRelation) executes
+    * with zero Spark jobs — `toJSON.collect()` here forced a
+    * mapPartitions job per call, capping scoring at ~40 calls/s where
+    * the reference claims thousands. */
+  private def rowsJson(df: org.apache.spark.sql.DataFrame, limit: Int): String = {
+    val schema = df.schema
+    df.take(limit).iterator.map(r => structJson(r, schema)).mkString("[", ",", "]")
+  }
+
+  private def structJson(r: org.apache.spark.sql.Row,
+      st: org.apache.spark.sql.types.StructType): String =
+    st.fields.indices.filterNot(r.isNullAt).map { i =>
+      s"${jsonStr(st.fields(i).name)}:${valueJson(r.get(i), st.fields(i).dataType)}"
+    }.mkString("{", ",", "}")
+
+  private def valueJson(v: Any,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => jsonStr(v.toString)
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | BooleanType | _: DecimalType => v.toString
+      case TimestampType | TimestampNTZType =>
+        jsonStr(v.toString.replace(' ', 'T'))
+      case DateType => jsonStr(v.toString)
+      case BinaryType => jsonStr(java.util.Base64.getEncoder
+        .encodeToString(v.asInstanceOf[Array[Byte]]))
+      case ArrayType(et, _) => v.asInstanceOf[scala.collection.Seq[_]]
+        .map(e => if (e == null) "null" else valueJson(e, et))
+        .mkString("[", ",", "]")
+      case st: StructType => structJson(v.asInstanceOf[org.apache.spark.sql.Row], st)
+      case MapType(_, vt, _) => v.asInstanceOf[scala.collection.Map[_, _]]
+        .map { case (k, mv) =>
+          s"${jsonStr(String.valueOf(k))}:${
+            if (mv == null) "null" else valueJson(mv, vt)}"
+        }.mkString("{", ",", "}")
+      case _ => jsonStr(String.valueOf(v))
+    }
+  }
 
   private def handle(ex: HttpExchange)(body: => String): Unit = {
     val (code, payload) =

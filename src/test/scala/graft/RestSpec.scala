@@ -26,6 +26,25 @@ class RestSpec extends AnyFunSuite {
     (r.statusCode(), r.body())
   }
 
+  test("single-row application parses flat JSON driver-side (scalars + arrays)") {
+    val engine = new GraftEngine(spark)
+    engine.createSqlExpressionFunction("jsonrow_f",
+      "a + b AS s, upper(name) AS u, norm(v) AS n, flag AS fl")
+    val out = engine.applyFunctionJson("jsonrow_f",
+      """{"a": 2, "b": 3.5, "name": "x", "v": [3, 4], "flag": true}""").head()
+    assert(out.getDouble(0) === 5.5)
+    assert(out.getString(1) === "X")
+    assert(out.getDouble(2) === 5.0)
+    assert(out.getBoolean(3) === true)
+    // escapes and nulls
+    val e = new GraftEngine(spark)
+    e.createSqlExpressionFunction("jsonrow_g", "t AS t, z AS z")
+    val r = e.applyFunctionJson("jsonrow_g",
+      """{"t": "a\"b\nc", "z": null}""").head()
+    assert(r.getString(0) === "a\"b\nc")
+    assert(r.isNullAt(1))
+  }
+
   test("fetcher: url → (content, error) against a local HTTP fixture") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
