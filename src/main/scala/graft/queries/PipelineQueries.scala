@@ -12,9 +12,15 @@ import graft.operators.{Dedup, Similarity}
   *
   * Oracle coverage: everything expressible in portable SQL gets a
   * DuckDB oracle (token stats, exact dedup, n-gram jaccard via list
-  * ops, vector norms via list lambdas). Hash-based ops (xxhash64
-  * minhash/simhash/LSH) have no DuckDB equivalent → rows-only checks,
-  * with determinism/invariant specs in ScalaTest instead.
+  * ops, vector norms via list lambdas). The approximate LSH ops are
+  * oracled against the EXACT answer where recall is deterministic at
+  * gate scale (q46: all qualifying pairs sit far above the banding
+  * knee; q50: only identical vectors qualify and those always share a
+  * bucket) — certifying exact recall is the correctness claim an
+  * approximate dedup must defend. Purely hash-defined outputs with no
+  * similarity ground truth (simhash hamming histogram q47,
+  * bucket-restricted ANN q49 on clusterless random data) stay
+  * rows-only with determinism/invariant specs in ScalaTest.
   */
 object PipelineQueries {
 
@@ -180,8 +186,40 @@ object PipelineQueries {
         T.approxBpeTokenCount(col("text")).as("bpe_tokens"))
     },
 
-    // --- MinHash-LSH near-dup dedup (hash-based; rows-only) ---
-    QueryDef.rowsOnly("q46_dedup_minhash") { (s, d) =>
+    // --- MinHash-LSH near-dup dedup, now oracle-checked: DuckDB
+    // computes the EXACT single-link dedup (every doc dropped iff a
+    // smaller-id doc has true 3-gram Jaccard >= 0.8). LSH is
+    // approximate in general, but on this corpus every qualifying pair
+    // sits at j >= 0.9 where the 8x4 banding's miss probability is
+    // ~2e-4 per pair — and the hashes are deterministic, so the result
+    // is fixed: verified locally that the LSH output EQUALS the exact
+    // answer at the gate SF (476/476 ids + sources at sf0.01). The
+    // oracle certifies observed-exact recall, which is precisely the
+    // claim an approximate dedup must defend. Spark hashes shingles to
+    // longs first; Jaccard over the hash sets equals string-shingle
+    // Jaccard up to ~2^-64 collision odds. ---
+    QueryDef("q46_dedup_minhash",
+      """WITH u AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents),
+        |t AS (
+        |  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text),
+        |    '[\s,;:!?.()\[\]{}"'']+'), x -> len(x) > 0) AS toks
+        |  FROM u),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+        |    ELSE [array_to_string(toks, ' ')] END) AS s
+        |  FROM t),
+        |pairs AS (
+        |  SELECT b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT doc_id, source FROM sh
+        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin) { (s, d) =>
       Dedup.minHashDedup(doubledDocs(s, d), "text", "doc_id",
         bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.8)
         .select(col("doc_id"), col("source"))
@@ -232,13 +270,32 @@ object PipelineQueries {
           round(col("cosine"), 4).as("cosine"))
     },
 
-    // --- embedding-cosine near-dup pairs over LSH buckets (rows-only) ---
-    QueryDef.rowsOnly("q50_embedding_dedup") { (s, d) =>
+    // --- embedding-cosine near-dup pairs over LSH buckets, now
+    // oracle-checked: DuckDB brute-forces every pair at cosine >=
+    // 0.999. At that threshold only the planted exact duplicates
+    // qualify (max organic cosine on this data is ~0.51), and exact
+    // duplicates ALWAYS share a hyperplane bucket (identical sign
+    // pattern) — so LSH recall is structurally 1.0 here, not just
+    // observed. Cosine rounded to 6 on both sides (double arithmetic
+    // on identical vectors may give 1.0 +- 1 ulp per engine). ---
+    QueryDef("q50_embedding_dedup",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.999""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val doubled = emb.unionByName(emb.select(
         (col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
       Dedup.embeddingPairs(doubled, "embedding", "vec_id",
         minCosine = 0.999, nBits = 6)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     },
 
     // --- benchmark contamination, now oracle-checked: DuckDB computes
@@ -276,8 +333,16 @@ object PipelineQueries {
     // --- image-header + EXIF metadata from synthesized real bytes:
     // PNG IHDR dims, plus a JPEG APP1 Exif segment whose TIFF IFD
     // carries orientation + make — every row must parse back its own
-    // planted values or the filter drops it (100 expected). ---
-    QueryDef.rowsOnly("q77_image_meta") { (s, d) =>
+    // planted values or the filter drops it. Now oracle-checked: the
+    // planted values are pure functions of the row id (width = id+640,
+    // height = 480, orientation = id%8+1), so DuckDB recomputes the
+    // expected output directly — any byte-parser regression drops rows
+    // or changes values and the hash breaks. ---
+    QueryDef("q77_image_meta",
+      """SELECT doc_id AS id, doc_id + 640 AS width,
+        |  CAST(480 AS BIGINT) AS height,
+        |  doc_id % 8 + 1 AS orientation
+        |FROM documents WHERE doc_id BETWEEN 1 AND 100""".stripMargin) { (s, d) =>
       val s2 = s
       import s2.implicits._
       def png(w: Int, h: Int): Array[Byte] = {
@@ -315,8 +380,9 @@ object PipelineQueries {
         .filter(col("m.format") === "png" && col("m.width") === col("id") + 640 &&
           col("x.orientation") === pmod(col("id"), lit(8)) + 1 &&
           col("x.make") === "graft")
-        .select(col("id"), col("m.width").as("width"),
-          col("m.height").as("height"), col("x.orientation").as("orientation"))
+        .select(col("id"), col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"),
+          col("x.orientation").cast("long").as("orientation"))
     },
 
     // --- HTML extraction (the html.parse capability), hash-matched
