@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import graft.core.Tables
 import graft.ml.Models
 import graft.procedures.Procedures
-import graft.sources.Sources
+import graft.sources.{Sources, Xlsx}
 
 /** Procedure-layer queries: import/export round-trips (the
   * import.text / import.json / export.csv surface), summary
@@ -22,6 +22,39 @@ object ProcedureQueries {
 
   private def tmpDir(d: String, tag: String): String =
     s"/tmp/graft_roundtrip_${tag}_${math.abs(d.hashCode)}"
+
+  /** q81's workbook: 100 rows, each cell a pure function of the row
+    * index so the DuckDB oracle can recompute them — A = i + 0.25
+    * (number), B = "src_" + i%5 (via sharedStrings), C = Excel serial
+    * 44000 + i with the builtin date format (numFmtId 14). */
+  private def writeFixtureXlsx(path: String): Unit = {
+    val ns = "xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\""
+    val rns = "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\""
+    val sheetRows = (1 to 100).map { i =>
+      s"""<row r="$i"><c r="A$i"><v>$i.25</v></c>""" +
+        s"""<c r="B$i" t="s"><v>${i % 5}</v></c>""" +
+        s"""<c r="C$i" s="1"><v>${44000 + i}</v></c></row>"""
+    }.mkString
+    val entries = Seq(
+      "xl/workbook.xml" ->
+        s"""<?xml version="1.0"?><workbook $ns $rns><sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""",
+      "xl/sharedStrings.xml" ->
+        s"""<?xml version="1.0"?><sst $ns uniqueCount="5">${(0 until 5)
+          .map(i => s"<si><t>src_$i</t></si>").mkString}</sst>""",
+      "xl/styles.xml" ->
+        s"""<?xml version="1.0"?><styleSheet $ns><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs></styleSheet>""",
+      "xl/worksheets/sheet1.xml" ->
+        s"""<?xml version="1.0"?><worksheet $ns><sheetData>$sheetRows</sheetData></worksheet>""")
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    try entries.foreach { case (name, content) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+  }
 
   /** embeddings widened to f_0..f_15 with labels that are known
     * functions of the features: y = [f_0 + 0.5·f_1 > 0] (binary),
@@ -76,6 +109,30 @@ object ProcedureQueries {
       Sources.importJson(s, path)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 6).as("avg_chars"))
+    },
+
+    // --- import.xlsx: a workbook is synthesized from pure functions
+    // of doc_id (number / shared-string / date-styled serial cells),
+    // imported through the real zip+XML parse path, and pivoted back
+    // to scalars — DuckDB recomputes every expected cell, so any
+    // regression in shared-string resolution, serial-date conversion,
+    // or row-name padding breaks the hash. ---
+    QueryDef("q81_xlsx_import",
+      """SELECT 'data:' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS row_name,
+        |  doc_id + 0.25 AS a_num,
+        |  'src_' || CAST(doc_id % 5 AS VARCHAR) AS b_str,
+        |  strftime(DATE '1899-12-30' + CAST(44000 + doc_id AS INTEGER),
+        |           '%Y-%m-%d') AS c_date
+        |FROM documents WHERE doc_id BETWEEN 1 AND 100""".stripMargin) { (s, d) =>
+      val path = tmpDir(d, "xlsx") + ".xlsx"
+      writeFixtureXlsx(path)
+      Xlsx.importXlsx(s, path)
+        .groupBy(col("rowName").as("row_name"))
+        .agg(
+          max(when(col("column") === "A", col("value.num"))).as("a_num"),
+          max(when(col("column") === "B", col("value.str"))).as("b_str"),
+          date_format(max(when(col("column") === "C", col("value.tsv"))),
+            "yyyy-MM-dd").as("c_date"))
     },
 
     // --- summary.statistics procedure ---
