@@ -188,6 +188,47 @@ object ProcedureQueries {
         .agg(count(lit(1)).as("n_clusters"), sum(col("n")).as("n_rows"))
     },
 
+    // --- tsne.train: coordinates are seed-dependent (no closed-form
+    // oracle), so the check is the invariant a correct t-SNE MUST
+    // satisfy on separable input: labels are planted as cluster
+    // structure (each vector shifted by label·10 in its first
+    // dimension — far beyond the ~1.0 intra spread), and after
+    // embedding to 2-D the mean intra-label distance must sit well
+    // under the mean inter-label distance. n capped at 500 rows: the
+    // op is a driver-side visualization procedure by design. ---
+    QueryDef("q82_tsne",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(2 AS BIGINT) AS dims,
+        |  CAST(1 AS BIGINT) AS separated
+        |FROM embeddings WHERE vec_id < 500""".stripMargin) { (s, d) =>
+      val clustered = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("label"),
+          concat(array(col("label").cast("double") * 10.0),
+            slice(col("embedding").cast("array<double>"), 2, 10000)).as("vec"))
+      val (emb, _) = graft.ml.Tsne.train(clustered, "vec_id", "vec",
+        graft.ml.Tsne.Config(perplexity = 20.0, minIterations = 150,
+          maxIterations = 350, seed = 11L))
+      val withLabel = emb.join(
+        clustered.select(col("vec_id").cast("string").as("rowName"), col("label")),
+        Seq("rowName"))
+      val a = withLabel.select(col("rowName").as("id_a"),
+        col("embedding").as("e_a"), col("label").as("l_a"))
+      val b = withLabel.select(col("rowName").as("id_b"),
+        col("embedding").as("e_b"), col("label").as("l_b"))
+      val dists = a.join(b, col("id_a") < col("id_b"))
+        .select((col("l_a") === col("l_b")).as("same"),
+          sqrt(aggregate(zip_with(col("e_a"), col("e_b"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+            .as("dist"))
+      val agg = dists.groupBy(col("same")).agg(avg(col("dist")).as("m"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      val s2 = s
+      import s2.implicits._
+      Seq((emb.count(), 2L,
+        if (agg(true) < agg(false) * 0.5) 1L else 0L))
+        .toDF("n_rows", "dims", "separated")
+    },
+
     // --- classifier.train/test. The label is a known linear function of
     // the features (f_0 + 0.5·f_1 > 0), so a correct trainer MUST clear
     // auc ≥ 0.95 / acc ≥ 0.9 at this scale (measured 0.9997 / 0.98); the
