@@ -171,6 +171,85 @@ object Dedup {
     newDocs.join(dupNew, newDocs(idCol) === col("__dup_id"), "left_anti")
   }
 
+  /** A reusable LSH index over a kept corpus: signatures + banded
+    * bucket table, both persisted. `minHashDedupAgainst` re-shingles
+    * the existing corpus on EVERY call — correct for one-shot use,
+    * wasteful when the same corpus gates many batches (daily ingest,
+    * streaming). Build once, dedup many, `release()` when done. At
+    * 100 TB the band table is the thing to keep hot: it is the only
+    * corpus-derived input to each batch's candidate join. */
+  final case class MinHashIndex private[operators] (
+      base: DataFrame, bandTable: DataFrame,
+      bands: Int, rowsPerBand: Int, shingleN: Int, maxBucket: Int) {
+    def release(): Unit = {
+      base.unpersist(false)
+      bandTable.unpersist(false)
+    }
+  }
+
+  def buildIndex(existing: DataFrame, textCol: String, idCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
+      maxBucket: Int = 1000): MinHashIndex = {
+    val k = bands * rowsPerBand
+    val base = existing.select(col(idCol).as("id"),
+      T.shingleHashes(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", T.minHashFromHashes(col("sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val bandTable = dropHotGroups(base
+      .select(col("id"), explode(T.minHashBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key")),
+      Seq("band", "key"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandTable.count()
+    MinHashIndex(base, bandTable, bands, rowsPerBand, shingleN, maxBucket)
+  }
+
+  /** Drop from `newDocs` everything that near-duplicates the indexed
+    * corpus — `minHashDedupAgainst` against a prebuilt index. Same
+    * pipeline shape: band-collision candidates → signature-estimate
+    * prefilter (margin 3/√k) → exact shingle-Jaccard verify →
+    * broadcast anti join of the dup ids. */
+  def dedupAgainstIndex(newDocs: DataFrame, index: MinHashIndex,
+      textCol: String, idCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val k = index.bands * index.rowsPerBand
+    val newBase = newDocs.select(col(idCol).as("id"),
+      T.shingleHashes(col(textCol), index.shingleN).as("sh"))
+      .withColumn("sig", T.minHashFromHashes(col("sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newBase.count()
+    val newBands = dropHotGroups(newBase
+      .select(col("id"),
+        explode(T.minHashBands(col("sig"), index.bands, index.rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key")),
+      Seq("band", "key"), index.maxBucket)
+    val cand = newBands.select(col("band"), col("key"), col("id").as("id_new"))
+      .join(index.bandTable.select(col("band"), col("key"), col("id").as("id_old")),
+        Seq("band", "key"))
+      .select(col("id_new"), col("id_old")).distinct()
+    val margin = 3.0 / math.sqrt(k.toDouble)
+    val prefiltered = cand
+      .join(newBase.select(col("id").as("id_new"), col("sig").as("sig_new")), Seq("id_new"))
+      .join(index.base.select(col("id").as("id_old"), col("sig").as("sig_old")), Seq("id_old"))
+      .withColumn("est",
+        aggregate(zip_with(col("sig_new"), col("sig_old"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / k)
+      .filter(col("est") >= threshold - margin)
+      .select(col("id_new"), col("id_old"))
+    val dupNew = prefiltered
+      .join(newBase.select(col("id").as("id_new"), col("sh").as("sh_new")), Seq("id_new"))
+      .join(index.base.select(col("id").as("id_old"), col("sh").as("sh_old")), Seq("id_old"))
+      .filter(T.jaccardArrays(col("sh_new"), col("sh_old")) >= threshold)
+      .select(col("id_new").as("__dup_id")).distinct()
+      .localCheckpoint(true)
+    newBase.unpersist(false)
+    // no broadcast hint: the dup set is batch-sized in the worst case
+    // (a fully-duplicated batch); AQE picks broadcast when it is small
+    newDocs.join(dupNew, newDocs(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** The candidate-generation front of `minHashDedupAgainst`, exposed
     * package-private so tests can measure how much the
     * signature-estimate prefilter shrinks the exact-verify join.

@@ -198,6 +198,33 @@ object Continuous {
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Streaming near-dup dedup against a kept corpus (LLM-pipeline
+    * extension of `dedupStream`): each micro-batch runs the full
+    * MinHash-LSH `dedupAgainstIndex` pipeline — band-collision
+    * candidates, signature prefilter, exact Jaccard verify — against a
+    * prebuilt persisted corpus index, and the surviving rows go to
+    * `sink`. `foreachBatch` is the right mechanism, not a
+    * stream-static join: candidate generation needs explode +
+    * self-distinct + multi-join, which are batch plans; each
+    * micro-batch IS a batch, and the static index is reused across
+    * batches without re-shingling the corpus. The corpus index lives
+    * until `index.release()` — at scale, keep it on MEMORY_AND_DISK
+    * next to the kept corpus.
+    *
+    * Note the index is stationary WITHIN a run: novel stream docs are
+    * checked against the corpus, not against each other across
+    * batches (cross-batch stream self-dedup is `dedupStream` on a
+    * fingerprint, or periodic index rebuilds — documented trade). */
+  def nearDedupStream(stream: DataFrame,
+      index: graft.operators.Dedup.MinHashIndex,
+      textCol: String, idCol: String, threshold: Double = 0.7)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: java.lang.Long) =>
+        sink(graft.operators.Dedup.dedupAgainstIndex(
+          batch.toDF(), index, textCol, idCol, threshold), batchId)
+    }
+
   /** `continuous.window`: a committed time range as a batch dataset.
     * The p_date predicate is a pure partition filter (no file content
     * read outside the range); the ts predicate trims the boundary
