@@ -118,8 +118,7 @@ case class LshBucket(child: Expression, nBits: Int)
 
   private def ensureSigns(dim: Int): Unit = {
     if (signs == null || signDims < dim) {
-      signs = Array.tabulate(nBits)(b => Array.tabulate(dim)(i =>
-        if ((MinHashSig.seedHash(s"lsh-$b-$i") & 1L) == 0L) 1.0 else -1.0))
+      signs = LshBucket.signMatrix(nBits, dim)
       signDims = dim
     }
   }
@@ -141,6 +140,14 @@ case class LshBucket(child: Expression, nBits: Int)
     java.lang.Long.valueOf(out)
   }
   override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+}
+
+object LshBucket {
+  /** The deterministic ±1 hyperplane matrix behind lshBucket —
+    * exposed so cross-engine oracles can inline the exact planes. */
+  def signMatrix(nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits)(b => Array.tabulate(dim)(i =>
+      if ((MinHashSig.seedHash(s"lsh-$b-$i") & 1L) == 0L) 1.0 else -1.0))
 }
 
 object VectorExprs {

@@ -261,8 +261,40 @@ object PipelineQueries {
           round(col("cosine"), 4).as("cosine"))
     },
 
-    // --- LSH-bucketed approximate ANN (rows-only) ---
-    QueryDef.rowsOnly("q49_ann_lsh") { (s, d) =>
+    // --- LSH-bucketed approximate ANN, now oracle-checked: the ±1
+    // hyperplane matrix behind lshBucket is deterministic
+    // (xxhash64-seeded), so the oracle SQL inlines the exact planes as
+    // list literals and DuckDB recomputes the same bucket ids
+    // (list_dot_product runs the identical left-to-right double sum —
+    // bit-for-bit sign agreement), the same same-bucket candidate
+    // sets, and the same top-5. This checks the APPROXIMATE answer
+    // exactly — bucketing included — not just a recall bound. ---
+    QueryDef("q49_ann_lsh", {
+      val planes = graft.plans.LshBucket.signMatrix(4, 64)
+      def lit(row: Array[Double]) =
+        row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val bucketExpr = (0 until 4).map { b =>
+        s"(CASE WHEN list_dot_product(v, ${lit(planes(b))}) >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos_raw
+        |  FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank,
+        |    round(cos_raw, 4) AS cosine
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rank, cosine FROM r
+        |WHERE rank <= 5""".stripMargin
+    }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
         "embedding", "vec_id", k = 5, nBits = 4)
