@@ -231,6 +231,66 @@ object PipelineQueries {
         .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
     },
 
+    // --- SimHash cross-engine twin, hash-matched: q47's native
+    // simHash64 rests on xxhash64 token hashes DuckDB cannot compute,
+    // so this twin runs the SAME pipeline (per-token hash → per-bit
+    // votes → sign fingerprint → pairwise hamming histogram) on a
+    // hash both engines share: a 32-bit integer from the first 8 hex
+    // digits of md5(token). Every stage is mirrored term-for-term, so
+    // the full hamming histogram over all pairs must agree exactly —
+    // this is the oracle for the simhash MECHANICS; q47 stays the
+    // benchmark path for the fast native fingerprint. ---
+    QueryDef("q83_simhash_md5", {
+      val digitSqlDuck = (1 to 8).map { k =>
+        s"(strpos('0123456789abcdef', substr(md5(t), $k, 1)) - 1) * ${math.pow(16, 8 - k).toLong}"
+      }.mkString(" + ")
+      val votesDuck = (0 until 32).map { b =>
+        s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(", ")
+      val simDuck = (0 until 32).map { b =>
+        s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS t
+        |  FROM documents WHERE doc_id < 2000),
+        |hashed AS (
+        |  SELECT doc_id, CAST($digitSqlDuck AS BIGINT) AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, $votesDuck FROM hashed GROUP BY doc_id),
+        |sims AS (
+        |  SELECT doc_id, CAST($simDuck AS BIGINT) AS sim FROM votes)
+        |SELECT CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming,
+        |  count(*) AS n_pairs
+        |FROM sims a, sims b WHERE a.doc_id < b.doc_id
+        |GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      // 32-bit token hash from md5 hex digits — mirrors digitSqlDuck
+      val h = (1 to 8).map { k =>
+        (instr(lit("0123456789abcdef"),
+          substring(md5(col("t").cast("binary")), k, 1)) - 1) *
+          lit(math.pow(16, 8 - k).toLong)
+      }.reduce(_ + _)
+      val votes = (0 until 32).map { b =>
+        sum(when(pmod(floor(col("h") / lit(1L << b)), lit(2)) === 1, 1)
+          .otherwise(-1)).as(s"v$b")
+      }
+      val sim = (0 until 32).map { b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      val sims = Tables.documents(s, d).filter(col("doc_id") < 2000)
+        .select(col("doc_id"), explode(T.tokens(col("text"), "\\s+")).as("t"))
+        .withColumn("h", h.cast("long"))
+        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), sim.cast("long").as("sim"))
+      val a = sims.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+      val b = sims.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+          .cast("long").as("hamming"))
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+    },
+
     // --- exact brute-force cosine top-k ANN, now oracle-checked:
     // DuckDB's list_cosine_similarity + the same (cosine DESC,
     // neighbor_id) tie-break reproduces the exact neighbor set, ranks
