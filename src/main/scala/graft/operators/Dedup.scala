@@ -342,9 +342,20 @@ object Dedup {
     * chunk-index trick: any pair within hamming 3 of 64 bits must
     * agree on at least one of 4 chunks). */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingPairs(docs.select(col(idCol).as("id"),
+      T.simHash64(col(textCol)).as("sim")), "sim", "id",
+      maxHamming, maxBucket)
+
+  /** Near-dup pairs among 64-bit fingerprints by hamming distance —
+    * the candidate trick shared by text simhash and image dHash: any
+    * pair within hamming `maxHamming` ≤ 3 of 64 bits must agree on at
+    * least one of 4 16-bit chunks, so candidates = chunk-equality
+    * join, verified with the exact popcount. */
+  def hammingPairs(items: DataFrame, fingerprintCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val withSig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sim", T.simHash64(col("text")))
+    val withSig = items.select(col(idCol).as("id"),
+      col(fingerprintCol).as("sim")).filter(col("sim").isNotNull)
     val chunked0 = withSig.withColumn("chunk", explode(array(
       (0 until 4).map(i => struct(lit(i).as("i"),
         shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))

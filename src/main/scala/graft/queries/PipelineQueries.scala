@@ -477,6 +477,46 @@ object PipelineQueries {
           col("x.orientation").cast("long").as("orientation"))
     },
 
+    // --- real pixel decode (image.readpixels capability),
+    // oracle-checked: solid-color PNGs are synthesized with planted
+    // (width, color) as pure functions of the row id, decoded through
+    // the real ImageIO path on executors, and the per-channel means of
+    // a solid lossless image must equal the planted color EXACTLY —
+    // DuckDB recomputes everything from id arithmetic. ---
+    QueryDef("q84_image_decode",
+      """SELECT doc_id AS id,
+        |  CAST(16 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 29) % 256 AS DOUBLE) AS mean_b
+        |FROM documents WHERE doc_id BETWEEN 1 AND 50""".stripMargin) { (s, d) =>
+      val s2 = s
+      import s2.implicits._
+      def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(rgb))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val imgs = (1 to 50).map { i =>
+        val rgb = (((i * 7) % 256) << 16) | (((i * 13) % 256) << 8) | ((i * 29) % 256)
+        (i.toLong, solidPng(16 + i % 16, 12, rgb))
+      }.toDF("id", "content")
+      graft.operators.Multimodal.decodeImages(imgs)
+        .select(col("id"),
+          col("image.width").cast("long").as("width"),
+          col("image.height").cast("long").as("height"),
+          col("image.mean_r").as("mean_r"),
+          col("image.mean_g").as("mean_g"),
+          col("image.mean_b").as("mean_b"))
+    },
+
     // --- HTML extraction (the html.parse capability), hash-matched
     // cross-engine: both engines wrap each document in the same
     // synthetic page (title with an entity, style/script bodies, two

@@ -1,0 +1,118 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal}
+
+/** Real-codec multimodal tests: images are encoded with ImageIO in
+  * the test, decoded by the operators on executors, and the pixel
+  * math must round-trip. */
+class CodecSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Solid-color PNG with one gradient band (so dHash has signal). */
+  private def png(w: Int, h: Int, rgb: Int, bandAt: Int = -1): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        if (x == bandAt) 0xFFFFFF else if ((x + y) % 7 == 0) rgb ^ 0x3F3F3F else rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wav(freq: Double, seconds: Double, rate: Float = 8000f): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * 0.5 * 32767).toInt
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages: real pixel statistics, errors as data") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = Seq(
+      (1L, png(32, 16, 0xFF0000)),              // red-ish
+      (2L, png(10, 10, 0x0000FF)),              // blue-ish
+      (3L, Array[Byte](1, 2, 3, 4)))            // corrupt
+      .toDF("id", "content")
+    val out = Multimodal.decodeImages(rows).select("id", "image.*")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 32 && out(1L).getInt(2) == 16)
+    // red image: mean_r far above mean_b; blue image: reversed
+    assert(out(1L).getDouble(4) > out(1L).getDouble(6) + 100)
+    assert(out(2L).getDouble(6) > out(2L).getDouble(4) + 100)
+    assert(out(3L).isNullAt(1) && out(3L).getString(7) != null)
+  }
+
+  test("resizeImages: bounded dims, decodable output, no upscale") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = Seq((1L, png(100, 40, 0x00FF00)), (2L, png(8, 6, 0x123456)))
+      .toDF("id", "content")
+    val out = Multimodal.resizeImages(rows, maxSide = 50)
+      .select(col("id"), col("resized"), col("resized_meta.width"),
+        col("resized_meta.height"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) == 50 && out(1L).getInt(3) == 20)
+    assert(out(2L).getInt(2) == 8 && out(2L).getInt(3) == 6) // no upscale
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(
+      out(1L).getAs[Array[Byte]](1)))
+    assert(back.getWidth == 50 && back.getHeight == 20)
+  }
+
+  test("imageDHash + hammingPairs: near-identical images pair up") {
+    val s2 = spark
+    import s2.implicits._
+    val base = png(64, 64, 0x808080, bandAt = 20)
+    val near = png(64, 64, 0x808080, bandAt = 21)  // band shifted 1px
+    val other = png(64, 64, 0x10FF30, bandAt = 50)
+    val rows = Seq((1L, base), (2L, near), (3L, other), (4L, base))
+      .toDF("id", "content")
+    val hashed = Multimodal.imageDHash(rows)
+    val pairs = Dedup.hammingPairs(hashed, "phash", "id", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 4L))) // identical → hamming 0
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 0L)
+    assert(pairSet.contains((1L, 2L))) // near-identical → within 6
+    assert(!pairSet.contains((1L, 3L)) && !pairSet.contains((2L, 3L)))
+  }
+
+  test("decodeWav: format facts and RMS of a sine") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = Seq(
+      (1L, wav(440.0, 0.5)),
+      (2L, Array[Byte](9, 9, 9)))
+      .toDF("id", "content")
+    val out = Multimodal.decodeWav(rows).select("id", "audio.*")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 8000 && out(1L).getInt(2) == 1)
+    assert(math.abs(out(1L).getLong(4) - 500L) <= 1) // duration ms
+    // RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ≈ 0.354
+    assert(math.abs(out(1L).getDouble(5) - 0.3536) < 0.01)
+    assert(out(2L).isNullAt(1) && out(2L).getString(6) != null)
+  }
+}
