@@ -268,4 +268,58 @@ final class GraftEngine(val spark: SparkSession) {
 
   def runStatus(id: String): Run =
     runs.getOrElse(id, throw new NoSuchElementException(s"run '$id' not found"))
+
+  /** Typed procedure dispatch — the reference's `PUT /v1/procedures`
+    * config model (`{type, params}`) for every batch procedure this
+    * engine ships. Returns a small JSON summary; dataset-producing
+    * types register their result under `outputDataset`. */
+  def runProcedure(tpe: String, param: String => Option[String]): String = {
+    def req(k: String): String = param(k).getOrElse(
+      throw new IllegalArgumentException(s"procedure '$tpe' needs param '$k'"))
+    def registerOut(df: DataFrame): String = {
+      val name = req("outputDataset")
+      createDataset(name, df)
+      s"""{"outputDataset": "$name", "rowCount": ${df.count()}}"""
+    }
+    tpe match {
+      case "transform" =>
+        registerOut(query(req("inputQuery")))
+      case "import.text" =>
+        registerOut(graft.sources.Sources.importText(spark, req("dataFileUrl")))
+      case "import.json" =>
+        registerOut(graft.sources.Sources.importJson(spark, req("dataFileUrl")))
+      case "import.xlsx" =>
+        registerOut(graft.sources.Xlsx.importXlsx(spark, req("dataFileUrl"),
+          param("sheet").map(Seq(_))))
+      case "import.git" =>
+        registerOut(graft.sources.Git.importGit(spark, req("repository"),
+          limit = param("limit").map(_.toInt)))
+      case "import.sqlite" =>
+        registerOut(param("table") match {
+          case Some(t) => graft.sources.Sqlite.importSqlite(spark, req("dataFileUrl"), t)
+          case None => graft.sources.Sqlite.importSqliteSparse(spark, req("dataFileUrl"))
+        })
+      case "import.sentiwordnet" =>
+        registerOut(graft.sources.Sources.importSentiWordNet(spark, req("dataFileUrl")))
+      case "export.csv" =>
+        val path = req("dataFileUrl")
+        graft.sources.Sources.exportCsv(dataset(req("inputDataset")), path)
+        s"""{"exported": "$path"}"""
+      case "tsne.train" =>
+        val (emb, _) = graft.ml.Tsne.train(dataset(req("trainingDataset")),
+          param("idColumn").getOrElse("rowName"),
+          param("vectorColumn").getOrElse("embedding"))
+        registerOut(emb)
+      case "script.run" =>
+        val result = Scripting.run(spark, req("source"))
+        (result, param("outputDataset")) match {
+          case (df: DataFrame, Some(name)) =>
+            createDataset(name, df)
+            s"""{"outputDataset": "$name", "rowCount": ${df.count()}}"""
+          case _ => s"""{"result": ${JsonRow.scalarJson(result)}}"""
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown procedure type '$other'")
+    }
+  }
 }

@@ -49,6 +49,21 @@ object JsonRow {
     (StructType(names.result()), Row.fromSeq(values.result()))
   }
 
+  /** A scalar script/procedure result as a JSON value. */
+  def scalarJson(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Float => n.toString
+    case n: Double => n.toString
+    case other =>
+      "\"" + String.valueOf(other).replace("\\", "\\\\")
+        .replace("\"", "\\\"").replace("\n", "\\n") + "\""
+  }
+
   private def bad(msg: String) = new IllegalArgumentException(s"bad json: $msg")
 
   private final class P(s: String) {

@@ -14,6 +14,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   GET  /v1/functions                        — list
   *   POST /v1/procedures/transform  body: {"inputQuery": …,
   *        "outputDataset": …}                  — INSERT-INTO-SELECT
+  *   POST /v1/procedures  body: {"type": …, <flat params>} — typed
+  *        dispatch to every batch procedure (transform, import.text/
+  *        json/xlsx/git/sqlite/sentiwordnet, export.csv, tsne.train,
+  *        script.run); the reference's {type, params} config model
+  *        with a flat param object
   *
   * Built on the JDK's HttpServer (zero added dependencies). Row
   * serialization uses Spark's own `toJSON` codec. This is a
@@ -100,6 +105,19 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val run = engine.runStatus(runPath.stripPrefix("runs/"))
           val err = run.error.map(e => s""", "error": ${jsonStr(e)}""").getOrElse("")
           s"""{"runId": ${jsonStr(run.id)}, "state": ${jsonStr(run.state)}, "rowCount": ${run.rowCount}$err}"""
+        case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
+      }
+    })
+    server.createContext("/v1/procedures", (ex: HttpExchange) => handle(ex) {
+      // typed procedure dispatch: POST /v1/procedures
+      // body {"type": "...", <flat params>} — longer-prefix contexts
+      // (/v1/procedures/transform) keep their dedicated routes
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/procedures")
+      (ex.getRequestMethod, path) match {
+        case ("POST", "" | "/") =>
+          val body = new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
+          val tpe = extractField(body, "type")
+          engine.runProcedure(tpe, k => extractFieldOpt(body, k))
         case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
       }
     })
@@ -190,12 +208,13 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
   }
 
   /** extract "field": "value" (with escaped quotes) from a flat JSON body. */
-  private def extractField(body: String, field: String): String = {
+  private def extractField(body: String, field: String): String =
+    extractFieldOpt(body, field).getOrElse(
+      throw new IllegalArgumentException(s"missing field $field"))
+
+  private def extractFieldOpt(body: String, field: String): Option[String] = {
     val re = ("\"" + field + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-    re.findFirstMatchIn(body) match {
-      case Some(m) => m.group(1)
-        .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
-      case None => throw new IllegalArgumentException(s"missing field $field")
-    }
+    re.findFirstMatchIn(body).map(_.group(1)
+      .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
   }
 }

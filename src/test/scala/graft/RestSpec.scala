@@ -179,4 +179,43 @@ class RestSpec extends AnyFunSuite {
       assert(get(port, "/v1/procedures/transform/runs/nope")._1 === 404)
     } finally srv.stop()
   }
+
+  test("typed procedure dispatch: script.run, import.sqlite, tsne.train") {
+    val engine = new GraftEngine(spark)
+    engine.createDatasetFromParquet("embeddings", s"$sf/embeddings.parquet")
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      def post(body: String): (Int, String) = {
+        val r = client.send(HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port/v1/procedures"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // script.run returning a scalar
+      val (c1, b1) = post(
+        """{"type": "script.run", "source": "(s: org.apache.spark.sql.SparkSession, a: Map[String, Any]) => 6 * 7"}""")
+      assert(c1 === 200 && b1.contains("42"), b1)
+      // import.sqlite from the fixture, registered as a dataset
+      val dbPath = {
+        val in = getClass.getResourceAsStream("/graft/generic.db")
+        val f = java.nio.file.Files.createTempFile("rest", ".db")
+        java.nio.file.Files.copy(in, f,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        f.toString
+      }
+      val (c2, b2) = post(
+        s"""{"type": "import.sqlite", "dataFileUrl": "$dbPath", "table": "items", "outputDataset": "sqlite_items"}""")
+      assert(c2 === 200 && b2.contains("\"rowCount\": 300"), b2)
+      assert(get(port, "/v1/datasets/sqlite_items")._1 === 200)
+      // tsne.train over the registered embeddings table
+      val (c3, b3) = post(
+        """{"type": "tsne.train", "trainingDataset": "embeddings", "idColumn": "vec_id", "vectorColumn": "embedding", "outputDataset": "tsne_out"}""")
+      assert(c3 === 200 && b3.contains("tsne_out"), b3)
+      assert(get(port, "/v1/datasets/tsne_out")._1 === 200)
+      // unknown type → 400
+      assert(post("""{"type": "nope.nope"}""")._1 === 400)
+    } finally srv.stop()
+  }
 }
