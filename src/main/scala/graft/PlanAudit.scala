@@ -60,6 +60,33 @@ object PlanAudit {
       "ReadSchema: [^\\n]*".r.findAllIn(plan).take(2)
         .foreach(f => println(s"  ${f.take(150)}"))
     }
+
+    // dedupAgainstIndex must REUSE the prebuilt index caches (the
+    // whole point: one corpus shingling pass gates many batches) —
+    // its plan reads InMemoryTableScan for both signature and band
+    // tables, and carries no Window anywhere
+    {
+      import org.apache.spark.sql.functions._
+      val docs = graft.core.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      val idx = graft.operators.Dedup.buildIndex(
+        docs.filter(col("doc_id") < 200), "text", "doc_id")
+      // the index tables themselves must read from cache…
+      val idxPlan = idx.bandTable.queryExecution.executedPlan.toString +
+        idx.base.queryExecution.executedPlan.toString
+      val out = graft.operators.Dedup
+        .dedupAgainstIndex(docs.filter(col("doc_id") >= 200), idx,
+          "text", "doc_id")
+      val plan = out.queryExecution.executedPlan.toString
+      println("=== dedupAgainstIndex (streaming/batch incremental)")
+      println(s"  ${if (idxPlan.contains("InMemoryTableScan")) "Y" else "-"} index tables read from cache (InMemoryTableScan)")
+      // …and the batch result's dup-id side is checkpoint-backed (the
+      // candidate pipeline ran eagerly against the cached index; its
+      // lineage is cut so retries never re-run the LSH)
+      println(s"  ${if (plan.contains("ExistingRDD") || plan.contains("LocalTableScan")) "Y" else "-"} dup-id side checkpoint-backed (lineage cut)")
+      println(s"  ${if (!plan.contains("Window")) "Y" else "-"} NO Window (hot-bucket guard is groupBy+broadcast)")
+      idx.release()
+    }
     spark.stop()
   }
 }
