@@ -68,6 +68,11 @@ object Models {
         .setLabelCol(labelCol).setFeaturesCol("features")
       case "svm" => new LinearSVC()
         .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(25)
+        // stop at convergence rather than always burning maxIter
+        // rounds: neutral at toy scale (per-iteration job scheduling
+        // dominates there) but each saved iteration is a full
+        // treeAggregate pass at real data sizes
+        .setTol(1e-4)
       case other => throw new IllegalArgumentException(
         s"unknown classifier type '$other' (expect glz|dt|bagging|boosting|naive_bayes|svm)")
     }
@@ -86,6 +91,7 @@ object Models {
     val clf = algorithm match {
       case "glz" => new LogisticRegression() // multinomial when >2 classes
         .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(50)
+        .setTol(1e-5)
       case "dt" => new DecisionTreeClassifier()
         .setLabelCol(labelCol).setFeaturesCol("features").setSeed(seed)
       case "bagging" => new RandomForestClassifier()
@@ -97,7 +103,7 @@ object Models {
         new GBTClassifier().setMaxIter(20).setSeed(seed))
         .setLabelCol(labelCol).setFeaturesCol("features")
       case "svm" => new OneVsRest().setClassifier(
-        new LinearSVC().setMaxIter(25))
+        new LinearSVC().setMaxIter(25).setTol(1e-4))
         .setLabelCol(labelCol).setFeaturesCol("features")
       case other => throw new IllegalArgumentException(
         s"unknown categorical classifier type '$other'")
