@@ -6,7 +6,7 @@ import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, Line
 import org.apache.spark.ml.clustering.{GaussianMixture, KMeans}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.feature.{CountVectorizer, IDF, PCA, RegexTokenizer, StandardScaler, VectorAssembler}
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -410,5 +410,24 @@ object Models {
         transform(pool(_ + _), x => x / size(vs)).as("pool_avg"),
         pool(least(_, _)).as("pool_min"),
         pool(greatest(_, _)).as("pool_max"))
+  }
+
+  /** Word2Vec TRAINING (the reference only imports pre-trained
+    * vectors, `plugins/word2vec.cc` — training is a beyond-reference
+    * addition the pooling/embedding pipeline naturally wants).
+    * Distributed MLlib skip-gram; returns (word, vector array<float>)
+    * in exactly the shape `Sources`/`Word2Vec.write` exports and
+    * `pooling` consumes, so train → export-binary → re-import
+    * round-trips. */
+  def word2vecTrain(docTokens: DataFrame, tokensCol: String,
+      dim: Int = 64, minCount: Int = 2, maxIter: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val w2v = new org.apache.spark.ml.feature.Word2Vec()
+      .setInputCol(tokensCol).setOutputCol("__docvec")
+      .setVectorSize(dim).setMinCount(minCount).setMaxIter(maxIter)
+      .setSeed(seed)
+    val model = w2v.fit(docTokens)
+    model.getVectors.select(col("word"),
+      vector_to_array(col("vector"), "float32").as("embedding"))
   }
 }

@@ -104,4 +104,40 @@ class SignalW2vSpec extends AnyFunSuite {
     assert(math.abs(s1.getAs[Double]("SentiNeg") - 0.5) < 1e-9)
     assert(s1.getAs[Long]("n_matched") === 1L)
   }
+
+  test("word2vec train → binary export → re-import → pooling round-trip") {
+    import spark.implicits._
+    // a tiny corpus with strong co-occurrence structure
+    val sentences = (1 to 200).map { i =>
+      if (i % 2 == 0) Seq("cat", "dog", "pet", "fur")
+      else Seq("car", "road", "wheel", "drive")
+    }
+    val docs = sentences.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "toks")
+    val vecs = graft.ml.Models.word2vecTrain(docs, "toks",
+      dim = 16, minCount = 1, maxIter = 2)
+    assert(vecs.columns.toSeq == Seq("word", "embedding"))
+    assert(vecs.count() == 8)
+
+    // binary round-trip through the reference's word2vec format
+    val path = Files.createTempDirectory("w2v").toString + "/model.bin"
+    Word2Vec.write(vecs, path)
+    val back = Word2Vec.read(spark, path)
+    val a = vecs.orderBy("word").collect()
+    val b = back.orderBy("word").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getString(0) == y.getString(0))
+      val vx = x.getSeq[Float](1)
+      val vy = y.getSeq[Float](1)
+      vx.zip(vy).foreach { case (p, q) => assert(math.abs(p - q) < 1e-6f) }
+    }
+
+    // trained vectors feed pooling directly
+    val pooled = graft.ml.Models.pooling(
+      docs.select(col("doc_id"), explode(col("toks")).as("tok")),
+      "doc_id", "tok", back, "word", "embedding")
+    assert(pooled.count() == 200)
+    assert(pooled.schema("pool_avg").dataType.typeName == "array")
+  }
 }
