@@ -273,6 +273,74 @@ object Multimodal {
     }(enc)
   }
 
+  /** Fixed power-of-2 window of normalized mono samples from WAV
+    * payloads (channel-averaged, zero-padded) — the bridge from the
+    * real audio codec to the engine's FFT column functions: feature
+    * extraction stays declarative Column math over this array. */
+  def wavSamples(df: DataFrame, contentCol: String = "content",
+      n: Int = 4096): DataFrame = {
+    require((n & (n - 1)) == 0, s"window must be a power of 2, got $n")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("samples", ArrayType(DoubleType, containsNull = false))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, samples): (Any, Any) = try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](idx)))
+          val fmt = in.getFormat
+          val ch = fmt.getChannels
+          val bps = fmt.getSampleSizeInBits / 8
+          val frameBytes = ch * bps
+          val need = n * frameBytes
+          val buf = in.readNBytes(need)
+          val out = new Array[Double](n)
+          var f = 0
+          while (f * frameBytes + frameBytes <= buf.length) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = f * frameBytes + c * bps
+              val v =
+                if (bps == 2) {
+                  (if (fmt.isBigEndian)
+                    ((buf(off) << 8) | (buf(off + 1) & 0xFF)).toShort
+                  else ((buf(off + 1) << 8) | (buf(off) & 0xFF)).toShort) / 32768.0
+                } else ((buf(off) & 0xFF) - 128) / 128.0
+              acc += v
+              c += 1
+            }
+            out(f) = acc / ch
+            f += 1
+          }
+          (Int.box(fmt.getSampleRate.toInt), out.toSeq)
+        } catch { case _: Exception => (null, null) }
+        Row.fromSeq(r.toSeq ++ Seq(rate, samples))
+      }
+    }(enc)
+  }
+
+  /** Spectral centroid in Hz of a `wavSamples` window: index-weighted
+    * mean of the FFT amplitude spectrum (DC excluded), scaled to Hz.
+    * Pure Column math over the sample array — composes with any other
+    * expression, no extra decode pass. */
+  def spectralCentroidHz(samples: org.apache.spark.sql.Column,
+      sampleRate: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val amps = graft.functions.SignalFunctions.amplitude(
+      graft.functions.SignalFunctions.fft(samples))
+    // DC (bin 0) drops out of the numerator by its zero weight and is
+    // sliced out of the denominator
+    val weighted = aggregate(
+      zip_with(amps, sequence(lit(0), lit(n / 2)), (a, i) => a * i),
+      lit(0.0), (acc, x) => acc + x)
+    val total = aggregate(slice(amps, 2, n / 2), lit(0.0), (acc, x) => acc + x)
+    when(total > 0,
+      weighted / total * sampleRate.cast("double") / n)
+  }
+
   /** Byte-level statistics (no codec): cheap integrity/fingerprint
     * pass over any binary payload, including formats the JDK cannot
     * decode (video containers). */

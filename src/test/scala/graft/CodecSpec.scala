@@ -100,6 +100,30 @@ class CodecSpec extends AnyFunSuite {
     assert(!pairSet.contains((1L, 3L)) && !pairSet.contains((2L, 3L)))
   }
 
+  test("wavSamples + spectralCentroidHz: sines land on their frequency") {
+    val s2 = spark
+    import s2.implicits._
+    val n = 4096
+    val rows = Seq(
+      (1L, wav(440.0, 1.0)),
+      (2L, wav(2000.0, 1.0)),
+      (3L, Array[Byte](1, 2, 3)))
+      .toDF("id", "content")
+    val out = Multimodal.wavSamples(rows, n = n)
+      .withColumn("centroid",
+        Multimodal.spectralCentroidHz(col("samples"), col("sample_rate"), n))
+      .select("id", "sample_rate", "centroid")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 8000)
+    // a pure sine's centroid sits on its frequency (leakage keeps it
+    // within a couple of bins; bin width = 8000/4096 ≈ 2 Hz)
+    assert(math.abs(out(1L).getDouble(2) - 440.0) < 10.0,
+      s"centroid ${out(1L).getDouble(2)}")
+    assert(math.abs(out(2L).getDouble(2) - 2000.0) < 10.0,
+      s"centroid ${out(2L).getDouble(2)}")
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2))
+  }
+
   test("decodeWav: format facts and RMS of a sine") {
     val s2 = spark
     import s2.implicits._
