@@ -329,16 +329,26 @@ object Multimodal {
   def spectralCentroidHz(samples: org.apache.spark.sql.Column,
       sampleRate: org.apache.spark.sql.Column,
       n: Int): org.apache.spark.sql.Column = {
+    // Hann window before the FFT: a rectangular window's 1/Δ leakage
+    // tails bias the amplitude-weighted mean by hundreds of Hz; Hann
+    // sidelobes decay as 1/Δ³ so the centroid lands on the tone.
+    val windowed = zip_with(samples, sequence(lit(0), lit(n - 1)),
+      (x, i) => x * (lit(0.5) - lit(0.5) * cos(i * (2.0 * math.Pi / (n - 1)))))
     val amps = graft.functions.SignalFunctions.amplitude(
-      graft.functions.SignalFunctions.fft(samples))
-    // DC (bin 0) drops out of the numerator by its zero weight and is
-    // sliced out of the denominator
+      graft.functions.SignalFunctions.fft(windowed))
+    // positive-frequency bins 1..n/2 only (the FFT of a real signal is
+    // mirror-symmetric; DC carries no frequency information). The slice
+    // and the index sequence have the same length — zip_with pads the
+    // shorter array with NULLs, which would poison the sum.
+    val positive = slice(amps, 2, n / 2)
     val weighted = aggregate(
-      zip_with(amps, sequence(lit(0), lit(n / 2)), (a, i) => a * i),
+      zip_with(positive, sequence(lit(1), lit(n / 2)), (a, i) => a * i),
       lit(0.0), (acc, x) => acc + x)
-    val total = aggregate(slice(amps, 2, n / 2), lit(0.0), (acc, x) => acc + x)
-    when(total > 0,
-      weighted / total * sampleRate.cast("double") / n)
+    val total = aggregate(positive, lit(0.0), (acc, x) => acc + x)
+    // CASE WHEN evaluates its branch lazily per row, so decode failures
+    // (null/short sample arrays) never reach the FFT
+    when(samples.isNotNull && size(samples) === lit(n),
+      when(total > 0, weighted / total * sampleRate.cast("double") / n))
   }
 
   /** Byte-level statistics (no codec): cheap integrity/fingerprint
