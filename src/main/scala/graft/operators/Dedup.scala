@@ -371,6 +371,55 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(min(col("hamming")).as("hamming"))
   }
 
+  /** Exact dedup of an incoming batch AGAINST a kept corpus with a
+    * Bloom-filter prefilter: the classic two-phase shape for "drop
+    * anything we already have" at corpus scale.
+    *
+    * Phase 1 (no shuffle of the incoming side): a Bloom filter over the
+    * corpus's normalized-text hashes is built with one distributed
+    * aggregate (partial sketches merge map-side; only the ~MB sketch
+    * reaches the driver) and applied as a broadcast literal in a
+    * map-side filter. Bloom filters have NO false negatives, so every
+    * row the filter rejects is definitely novel and is kept without
+    * ever joining. Phase 2: only the "maybe present" rows — true
+    * duplicates plus an `fpp` fraction of the novel rows — pay the
+    * anti-join against the corpus. At 100 TB with a mostly-novel feed
+    * this turns a full-corpus shuffle join into a map-side scan plus a
+    * join on a few percent of the batch. (For corpora beyond ~1B
+    * distinct hashes, shard the sketch by hash prefix — the same
+    * construction per shard.)
+    *
+    * Matching is on the whitespace-normalized token stream (same
+    * normalization as `exact`), via xxhash64 — collisions at ~2^-64
+    * are the engine-wide accepted tolerance. Output is exactly the
+    * anti-join's: incoming rows whose normalized text is absent from
+    * the corpus. */
+  def bloomDedupAgainst(incoming: DataFrame, corpus: DataFrame,
+      textCol: String, fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    def normHash(c: org.apache.spark.sql.Column) =
+      xxhash64(concat_ws(" ", T.tokens(c)))
+    val n = if (expectedItems > 0) expectedItems else corpus.count()
+    val bloom = corpus.select(normHash(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", math.max(n, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      GraftColumnBridge.expression(normHash(col(textCol)))))
+    val flagged = incoming.withColumn("__maybe", mightContain)
+    val definitelyNew = flagged.filter(!col("__maybe"))
+    val candidates = flagged.filter(col("__maybe"))
+    val corpusHashes = corpus
+      .select(normHash(col(textCol)).as("__ch")).distinct()
+    val confirmedNew = candidates.join(corpusHashes,
+      normHash(candidates(textCol)) === col("__ch"), "left_anti")
+    definitelyNew.unionByName(confirmedNew).drop("__maybe")
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucket on random-hyperplane
     * sign bits, verify cosine within bucket. */
   def embeddingPairs(emb: DataFrame, vecCol: String, idCol: String,

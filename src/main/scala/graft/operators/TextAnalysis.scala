@@ -112,6 +112,47 @@ object TextAnalysis {
         count(lit(1)), 6).as("contamination"))
   }
 
+  /** BM25 ranked keyword search over a corpus (Robertson/Spärck Jones;
+    * the standard probabilistic relevance weighting — public
+    * formulation, Okapi BM25). Scale shape: the query is tiny and the
+    * corpus never explodes — document frequencies for the query terms,
+    * N, and avgdl all come from ONE global aggregate (map-side
+    * partial), broadcast back as a single row; per-document term
+    * frequencies are array math inside the row (codegen, O(queryTerms ×
+    * tokens)); the only ordering work is a TakeOrdered top-k. No
+    * shuffle ever carries document data.
+    *
+    * score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) ·
+    *            tf · (k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search needs at least one term")
+    val base = docs.select(col(idCol).as("doc_id"),
+      T.tokens(col(textCol), "\\s+").as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    val dfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L))
+        .cast("double").as(s"__df_$i")
+    }
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      (avg(col("__dl")).as("__avgdl") +: dfAggs): _*)
+    val score = queryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === t)).cast("double")
+      val dfT = col(s"__df_$i")
+      val idf = log(lit(1.0) + (col("__n") - dfT + 0.5) / (dfT + 0.5))
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("bm25", round(score, 6))
+      .filter(col("bm25") > 0)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** `statsTable.bagOfWords.train`
     * (`plugins/feature_gen/stats_table_procedure.cc:992-1007`): per
     * token, co-occurrence counts with a boolean outcome across docs. */

@@ -98,6 +98,55 @@ object Procedures {
       df.filter(digit.isin(testHexDigits: _*)))
   }
 
+  /** Per-group quota sampling: keep at most `cap` rows per group,
+    * chosen deterministically by md5 of the key (so the same quota is
+    * reproducible in any engine, and re-runs are stable) — the
+    * "at most N documents per domain" curation cap of a training-data
+    * pipeline. Two-phase top-k so a mega-group never lands in one
+    * task: phase 1 ranks within (group, input partition) — each window
+    * partition is bounded by the input partition size — and cuts every
+    * group to ≤ cap rows per partition; phase 2 ranks the ≤
+    * cap×partitions survivors per group. A single window partitioned
+    * by group alone would pull a billion-row domain into one task at
+    * 100 TB; here no task ever sees more than max(partitionSize,
+    * cap×partitions) rows of one group. */
+  def quotaSample(df: DataFrame, groupCol: String, keyCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val ord = Seq(md5(col(keyCol).cast("string")), col(keyCol))
+    val wLocal = Window.partitionBy(col(groupCol), col("__pid"))
+      .orderBy(ord.map(_.asc): _*)
+    val survivors = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(wLocal))
+      .filter(col("__lrn") <= cap)
+    // every member of the true per-group top-cap is within the top-cap
+    // of its own partition, so phase 1 never discards a final pick
+    val wFinal = Window.partitionBy(col(groupCol)).orderBy(ord.map(_.asc): _*)
+    survivors.withColumn("__rn", row_number().over(wFinal))
+      .filter(col("__rn") <= cap)
+      .drop("__pid", "__lrn", "__rn")
+  }
+
+  /** Deterministic mixture sampling: per-source keep rates, applied as
+    * a pure hash filter — how a training run hits a target data
+    * mixture ("10% of web, all of books…") reproducibly. Rates
+    * quantize to 1/256 via the first two md5 hex digits of the key, so
+    * any engine with a standard md5 reproduces the exact row set (the
+    * cross-engine contract `splitMd5` established, at 16× finer
+    * granularity). A filter pushes to the scan: no shuffle, stable
+    * under repartitioning, trivially composable with quotaSample. */
+  def mixtureSample(df: DataFrame, sourceCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val hexVal = "instr('0123456789abcdef', substring(md5(cast(`" +
+      keyCol + "` as string)), %d, 1)) - 1"
+    val v = expr(hexVal.format(1)) * 16 + expr(hexVal.format(2))
+    def cut(r: Double) = math.round(r * 256).toInt
+    val threshold = rates.foldLeft(when(lit(false), 0)) {
+      case (acc, (src, r)) => acc.when(col(sourceCol) === src, cut(r))
+    }.otherwise(cut(defaultRate))
+    df.filter(v < threshold)
+  }
+
   /** `summary.statistics` (`builtin/summary_statistics_proc.cc:516`):
     * per-numeric-column min/max/mean/stddev/count/nulls/approx
     * quantiles, computed in ONE pass over the data (single aggregate,

@@ -572,5 +572,87 @@ object PipelineQueries {
           lit("@mail.example.org or 10.0."),
           (col("doc_id") % 200).cast("string"),
           lit(".7 tel 555 123 4567 now"))).as("redacted"))
+    },
+
+    // --- BM25 ranked keyword search, oracle-checked: DuckDB mirrors
+    // the whole scoring chain term-for-term (same operand order, so
+    // the IEEE doubles agree; rounded to 6 before the ordering, ties
+    // broken by doc_id in both engines). ---
+    QueryDef("q85_bm25", {
+      val terms = Seq("dup", "vector", "merge")
+      def tf(t: String) =
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE)"
+      val termSql = terms.zipWithIndex.map { case (t, i) =>
+        s"ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * (${tf(t)} * (CAST(1.2 AS DOUBLE) + 1)) / " +
+          s"(${tf(t)} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      }.mkString(" + ")
+      val dfSql = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(", ")
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sized AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS dl FROM base),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfSql
+        |  FROM sized)
+        |SELECT doc_id, bm25 FROM (
+        |  SELECT doc_id, round($termSql, 6) AS bm25
+        |  FROM sized CROSS JOIN stats) s
+        |WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      graft.operators.TextAnalysis.bm25Search(Tables.documents(s, d),
+        "doc_id", "text", Seq("dup", "vector", "merge"), topK = 20)
+    },
+
+    // --- Bloom-prefiltered dedup against a kept corpus: the output is
+    // EXACTLY the anti-join (bloom filters have no false negatives and
+    // candidates are verified), so the oracle is plain NOT EXISTS.
+    // Incoming batch = every third doc an exact duplicate of the
+    // corpus, the rest novel. ---
+    QueryDef("q87_bloom_dedup",
+      """SELECT i.doc_id FROM (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' v2' END AS text
+        |  FROM documents) i
+        |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = i.text)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val incoming = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      graft.operators.Dedup.bloomDedupAgainst(incoming, docs, "text")
+        .select(col("doc_id"))
+    },
+
+    // --- per-group quota sampling (≤ cap docs per source,
+    // deterministic md5 order) — the cross-engine md5 contract makes
+    // the exact kept set reproducible in DuckDB. ---
+    QueryDef("q86_quota_sample",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 7""".stripMargin) { (s, d) =>
+      graft.procedures.Procedures.quotaSample(
+        Tables.documents(s, d), "source", "doc_id", cap = 7)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // --- deterministic mixture sampling (per-source keep rates via
+    // the first two md5 hex digits — 1/256 granularity, reproducible
+    // in any engine with a standard md5). ---
+    QueryDef("q88_mixture_sample",
+      """SELECT doc_id, source FROM documents
+        |WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+        |  < CASE source WHEN 'src0' THEN 64 WHEN 'src1' THEN 128
+        |    WHEN 'src2' THEN 0 ELSE 32 END""".stripMargin) { (s, d) =>
+      graft.procedures.Procedures.mixtureSample(
+        Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0),
+        defaultRate = 0.125)
+        .select(col("doc_id"), col("source"))
     })
 }

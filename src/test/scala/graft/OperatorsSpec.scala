@@ -30,6 +30,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") >= 1000000).count() === 0)
   }
 
+  test("bloomDedupAgainst equals the exact anti-join, prefilter bounded") {
+    val corpus = docs
+    // incoming: 1/3 exact dups of the corpus, 2/3 novel
+    val incoming = corpus.select((col("doc_id") + 1000000).as("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" novel"))).as("text"))
+    val kept = Dedup.bloomDedupAgainst(incoming, corpus, "text", fpp = 0.01)
+    val exact = incoming.join(corpus.select(col("text")).distinct(),
+      Seq("text"), "left_anti")
+    assert(kept.select("doc_id").except(exact.select("doc_id")).isEmpty &&
+      exact.select("doc_id").except(kept.select("doc_id")).isEmpty)
+    // every planted exact duplicate was dropped, and something survived
+    assert(kept.filter((col("doc_id") - 1000000) % 3 === 0).count() === 0)
+    assert(kept.count() > 0 && kept.count() < incoming.count())
+  }
+
+  test("bm25Search: exact term match ranks highest, scores positive and ordered") {
+    val s2 = spark
+    import s2.implicits._
+    val corpus = Seq(
+      (1L, "spark shuffle join broadcast"),
+      (2L, "spark spark spark catalyst"),
+      (3L, "zebra quantum marmalade xylophone"),
+      (4L, "broadcast join hint join")).toDF("doc_id", "text")
+    val hits = graft.operators.TextAnalysis.bm25Search(
+      corpus, "doc_id", "text", Seq("join", "broadcast"), topK = 10)
+      .collect()
+    // only docs containing a query term score
+    assert(hits.map(_.getLong(0)).toSet === Set(1L, 4L))
+    // doc 4 has join twice + broadcast once → outranks doc 1
+    assert(hits.head.getLong(0) === 4L)
+    // ordered descending
+    val scores = hits.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("minhash pairs find every exact duplicate with jaccard 1.0") {
     val pairs = Dedup.minHashPairs(doubled, "text", "doc_id",
       bands = 8, rowsPerBand = 4, threshold = 0.99)

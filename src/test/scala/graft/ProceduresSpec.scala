@@ -34,6 +34,46 @@ class ProceduresSpec extends AnyFunSuite {
     assert(train.join(test, Seq("o_orderkey")).count() === 0)
   }
 
+  test("quotaSample: per-group caps, deterministic, equals single-window form") {
+    val docs = Tables.documents(spark, sf)
+    val out = Procedures.quotaSample(docs, "source", "doc_id", cap = 3)
+    // cap respected, groups preserved
+    val per = out.groupBy("source").count().collect()
+    assert(per.forall(_.getLong(1) <= 3))
+    val smallGroups = docs.groupBy("source").count()
+      .filter(col("count") <= 3).count()
+    assert(per.count(_.getLong(1) == 3) === per.length - smallGroups)
+    // two-phase result == naive single-window result (same md5 order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3).drop("__rn")
+    assert(out.select("doc_id").except(naive.select("doc_id")).isEmpty &&
+      naive.select("doc_id").except(out.select("doc_id")).isEmpty)
+    // stable under repartitioning (partition-id phase must not leak)
+    val out2 = Procedures.quotaSample(docs.repartition(7), "source", "doc_id", 3)
+    assert(out2.select("doc_id").except(out.select("doc_id")).isEmpty)
+  }
+
+  test("mixtureSample: rates hit within granularity, deterministic, zero-rate drops all") {
+    val docs = Tables.documents(spark, sf)
+    val out = Procedures.mixtureSample(docs, "source", "doc_id",
+      Map("src0" -> 0.5, "src1" -> 0.0), defaultRate = 1.0)
+    assert(out.filter(col("source") === "src1").count() === 0)
+    val keptDefault = out.filter(!col("source").isin("src0", "src1")).count()
+    val allDefault = docs.filter(!col("source").isin("src0", "src1")).count()
+    assert(keptDefault === allDefault) // rate 1.0 keeps everything
+    val n0 = docs.filter(col("source") === "src0").count()
+    val k0 = out.filter(col("source") === "src0").count()
+    assert(k0 > 0 && k0 < n0) // half-ish rate strictly thins
+    // determinism
+    val again = Procedures.mixtureSample(docs, "source", "doc_id",
+      Map("src0" -> 0.5, "src1" -> 0.0), defaultRate = 1.0)
+    assert(again.select("doc_id").except(out.select("doc_id")).isEmpty &&
+      out.select("doc_id").except(again.select("doc_id")).isEmpty)
+  }
+
   test("csv round-trip preserves rows and text exactly") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
     val path = Files.createTempDirectory("graft_csv").toString + "/out"
