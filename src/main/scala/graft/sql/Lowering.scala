@@ -1041,10 +1041,14 @@ object Lowering {
         case (g, i) => (g, col(s"__key$i"))
       }.toMap
       val outScope = Scope(Seq(None -> grouped))
+      // tri-logic markers for IN (SELECT …) inside post-aggregation
+      // ORDER BY expressions; populated below, before sortCols lowers
+      val aggInSel = scala.collection.mutable.LinkedHashMap[InSelect, String]()
       def lowerOuter(e: Expr): Column = keyLookup.get(e) match {
         case Some(c) => c
         case None => e match {
-          case Ident(Seq(n)) if aggMap.values.exists(_ == n) => col(n)
+          case Ident(Seq(n)) if aggMap.values.exists(_ == n) ||
+            aggInSel.values.exists(_ == n) => col(n)
           case Binary(op, l, r) => binaryOp(op, lowerOuter(l), lowerOuter(r))
           case Unary("-", x) => -lowerOuter(x)
           case Unary("not", x) => !lowerOuter(x)
@@ -1074,17 +1078,13 @@ object Lowering {
         lowerOuter(it.e).as(itemName(stmt.items(i), i))
       }
       val selected = havingFiltered.select(outCols: _*)
-      // ORDER BY key = a whole `x [NOT] IN (SELECT …)` works after
-      // aggregation too, via a tri-logic marker joined onto the
-      // aggregated projection (x may reference output columns); a
-      // sub-select NESTED inside a larger post-aggregation ORDER BY
-      // expression still throws — documented gap.
-      val aggInSel = scala.collection.mutable.LinkedHashMap[InSelect, String]()
-      val orderByAgg = stmt.orderBy.map {
-        case o if o.e.isInstanceOf[InSelect] =>
-          o.copy(e = extractInSelects(o.e, aggInSel))
-        case o => o
-      }
+      // `x [NOT] IN (SELECT …)` works anywhere in a post-aggregation
+      // ORDER BY expression — whole key or nested inside CASE/boolean
+      // arithmetic — via tri-logic markers joined onto the aggregated
+      // projection (x may reference output columns); lowerOuter
+      // resolves the marker idents against sortBase.
+      val orderByAgg = stmt.orderBy.map(o =>
+        o.copy(e = extractInSelects(o.e, aggInSel)))
       var sortBase = selected
       aggInSel.foreach { case (is, name) =>
         sortBase = addInSelectMarker(ctx, Scope(Seq(None -> sortBase)),

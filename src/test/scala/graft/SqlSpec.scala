@@ -455,6 +455,28 @@ class SqlSpec extends AnyFunSuite {
     assert(r.getInt(0) === 2 && r.getLong(1) === 5L) // ASIA group first
   }
 
+  test("IN (SELECT …) nested inside a post-GROUP-BY ORDER BY expression") {
+    // the sub-select sits inside a CASE inside the sort key — the
+    // marker join must happen on the aggregated projection
+    val r = q(
+      """SELECT n_regionkey AS k, count(*) AS n FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY CASE WHEN k IN (SELECT r_regionkey FROM region
+        |  WHERE r_name = 'ASIA') THEN 0 ELSE 1 END, k DESC
+        |LIMIT 2""".stripMargin).collect()
+    // ASIA (k=2) first via the CASE, then the highest remaining key
+    assert(r(0).getInt(0) === 2 && r(0).getLong(1) === 5L)
+    assert(r(1).getInt(0) === 4)
+    // boolean operators around the sub-select work too
+    val r2 = q(
+      """SELECT n_regionkey AS k, count(*) AS n FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY NOT (k IN (SELECT r_regionkey FROM region
+        |  WHERE r_name = 'ASIA')), k
+        |LIMIT 1""".stripMargin).head()
+    assert(r2.getInt(0) === 2)
+  }
+
   test("NOT IN (SELECT …) with NULL in the subquery follows tri-logic") {
     val rows = q(
       """SELECT n_regionkey,
