@@ -125,6 +125,28 @@ final class GraftEngine(val spark: SparkSession) {
     functions.getOrElse(name,
       throw new NoSuchElementException(s"function '$name' not found"))(input)
 
+  // ---- sensors (/v1/sensors) ----------------------------------------------
+
+  /** The fifth entity kind (`/root/reference/core/sensor.h:37-63`): a
+    * named read-on-demand value source. `latest()` re-evaluates the
+    * supplier per call and stamps the read time — the reference's
+    * contract (a timestamped ExpressionValue, thread-safe reads). The
+    * supplier returns a one-row DataFrame so sensor reads compose with
+    * the rest of the engine (query over it, record it, serve it). */
+  private val sensors = TrieMap[String, () => DataFrame]()
+
+  def createSensor(name: String, supplier: () => DataFrame): Unit =
+    sensors(name) = supplier
+
+  def listSensors: Seq[String] = sensors.keys.toSeq.sorted
+
+  def sensorLatest(name: String): DataFrame = {
+    val df = sensors.getOrElse(name,
+      throw new NoSuchElementException(s"sensor '$name' not found"))()
+    if (df.columns.contains("ts")) df
+    else df.withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+  }
+
   /** `GET /v1/functions/<n>/application?input={…}` — apply a
     * registered function to ONE input row given as a JSON object
     * (`server/mldb_server.cc` function application route). The input

@@ -63,6 +63,16 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         case (m, _) => throw new IllegalArgumentException(s"unsupported $m")
       }
     })
+    server.createContext("/v1/sensors", (ex: HttpExchange) => handle(ex) {
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/sensors")
+        .stripPrefix("/")
+      path match {
+        case "" => engine.listSensors.map(jsonStr).mkString("[", ",", "]")
+        case latest if latest.endsWith("/latest") =>
+          rowsJson(engine.sensorLatest(latest.stripSuffix("/latest")), 100)
+        case other => throw new IllegalArgumentException(s"unsupported $other")
+      }
+    })
     server.createContext("/v1/functions", (ex: HttpExchange) => handle(ex) {
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/functions")
         .stripPrefix("/")

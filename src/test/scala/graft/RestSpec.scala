@@ -126,6 +126,28 @@ class RestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("sensors: fifth entity kind — latest() re-reads and stamps ts") {
+    val engine = new GraftEngine(spark)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    engine.createSensor("ticker", () => {
+      val s2 = spark
+      import s2.implicits._
+      Seq((reads.incrementAndGet(), "ok")).toDF("reading", "status")
+    })
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      assert(get(port, "/v1/sensors")._2 === """["ticker"]""")
+      val (c1, b1) = get(port, "/v1/sensors/ticker/latest")
+      assert(c1 === 200 && b1.contains(""""reading":1""") &&
+        b1.contains(""""status":"ok"""") && b1.contains(""""ts""""))
+      // a second read re-evaluates the supplier (reference contract:
+      // latest() is a fresh read, core/sensor.h:52-55)
+      assert(get(port, "/v1/sensors/ticker/latest")._2.contains(""""reading":2"""))
+      assert(get(port, "/v1/sensors/nope/latest")._1 === 404)
+    } finally srv.stop()
+  }
+
   test("REST write surface: record rows, apply function, async run") {
     val engine = new GraftEngine(spark)
     engine.createDatasetFromParquet("nation", s"$sf/nation.parquet")
