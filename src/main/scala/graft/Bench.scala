@@ -92,10 +92,17 @@ object Bench {
         require(r.statusCode() == 200, s"scoring call failed: ${r.body()}")
       }
       (1 to 200).foreach(call) // warm-up: plan + codegen caches
-      val nCalls = 2000
+      // aggregate throughput across 8 concurrent clients — the shape
+      // of the reference's "thousands of calls per second" claim
+      val nCalls = 4000
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       val rt0 = System.nanoTime()
-      (1 to nCalls).foreach(call)
+      val futs = (1 to nCalls).map { i =>
+        pool.submit(new Runnable { def run(): Unit = call(i) })
+      }
+      futs.foreach(_.get())
       val restSec = (System.nanoTime() - rt0) / 1e9
+      pool.shutdown()
       srv.stop()
       s""","csv_ingest_rows_per_sec":${(csvN / csvSec).toLong}""" +
         s""","stream_ingest_events_per_sec":${(tailRows / tailSec).toLong}""" +

@@ -24,7 +24,8 @@ object PlanAudit {
       "q27_modulo_sample", "q34_wilson", "q46_dedup_minhash",
       "q47_simhash_pairs", "q50_embedding_dedup",
       "q48_ann_bruteforce", "q60_sql_agg", "q79_sql_orderby_inselect",
-      "q21_ranking", "q22_bucketize", "q72_global_rank", "q69_sql_fn_battery")
+      "q21_ranking", "q22_bucketize", "q72_global_rank", "q69_sql_fn_battery",
+      "q85_bm25", "q86_quota_sample", "q87_bloom_dedup", "q88_mixture_sample")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
