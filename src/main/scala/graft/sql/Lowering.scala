@@ -891,6 +891,10 @@ object Lowering {
     case IsType(x, t, n) => IsType(extractAggs(x, acc), t, n)
     case InKeysOf(x, c, n, k) =>
       InKeysOf(extractAggs(x, acc), extractAggs(c, acc), n, k)
+    // descend into the probe (NOT the subquery — it has its own scope)
+    // so `sum(x) IN (SELECT …)` registers its aggregate before the
+    // grouped frame is built
+    case InSelect(x, sub, n) => InSelect(extractAggs(x, acc), sub, n)
     case other => other
   }
 
@@ -1026,8 +1030,16 @@ object Lowering {
     } else {
       // aggregate path: group keys + extracted aggregates, then outer exprs
       val aggMap = scala.collection.mutable.LinkedHashMap[FnCall, String]()
-      val rewrittenItems = stmt.items.map(i => i.copy(e = extractAggs(i.e, aggMap)))
-      val rewrittenHaving = stmt.having.map(extractAggs(_, aggMap))
+      // post-aggregation value positions for IN (SELECT …): projection
+      // items and HAVING get tri-logic markers joined onto the grouped
+      // frame (the probe may be a group key or an extracted aggregate);
+      // extractAggs runs FIRST so `sum(x) IN (SELECT …)` probes the
+      // aggregate's output column
+      val valInSel = scala.collection.mutable.LinkedHashMap[InSelect, String]()
+      val rewrittenItems = stmt.items.map(i =>
+        i.copy(e = extractInSelects(extractAggs(i.e, aggMap), valInSel)))
+      val rewrittenHaving = stmt.having.map(h =>
+        extractInSelects(extractAggs(h, aggMap), valInSel))
       val keyCols = stmtG.groupBy.zipWithIndex.map { case (g, i) =>
         lowerExpr(scope, g).as(s"__key$i")
       }
@@ -1048,7 +1060,8 @@ object Lowering {
         case Some(c) => c
         case None => e match {
           case Ident(Seq(n)) if aggMap.values.exists(_ == n) ||
-            aggInSel.values.exists(_ == n) => col(n)
+            aggInSel.values.exists(_ == n) ||
+            valInSel.values.exists(_ == n) => col(n)
           case Binary(op, l, r) => binaryOp(op, lowerOuter(l), lowerOuter(r))
           case Unary("-", x) => -lowerOuter(x)
           case Unary("not", x) => !lowerOuter(x)
@@ -1070,9 +1083,17 @@ object Lowering {
           case other => lowerExpr(outScope, other)
         }
       }
+      // join the projection/HAVING markers onto the grouped frame; the
+      // probe lowers through lowerOuter (group keys by original AST,
+      // aggregates by extracted name). The final projection drops them.
+      var groupedM = grouped
+      valInSel.foreach { case (is, name) =>
+        groupedM = addInSelectMarkerCol(ctx, groupedM,
+          lowerOuter(extractAggs(is.e, aggMap)), is, name)
+      }
       val havingFiltered = rewrittenHaving match {
-        case Some(h) => grouped.filter(lowerOuter(h))
-        case None => grouped
+        case Some(h) => groupedM.filter(lowerOuter(h))
+        case None => groupedM
       }
       val outCols = rewrittenItems.zipWithIndex.map { case (it, i) =>
         lowerOuter(it.e).as(itemName(stmt.items(i), i))
@@ -1151,8 +1172,16 @@ object Lowering {
     * NULL rather than a definite miss: x NOT IN (set with NULL) is
     * NULL for non-matching x. An empty subquery is a definite miss. */
   private def addInSelectMarker(ctx: Context, scope: Scope, out: DataFrame,
-      is: InSelect, name: String): DataFrame = {
-    val InSelect(x, sub, neg) = is
+      is: InSelect, name: String): DataFrame =
+    addInSelectMarkerCol(ctx, out, lowerExpr(scope, is.e), is, name)
+
+  /** Marker join with a pre-lowered probe column — the post-aggregation
+    * positions (HAVING, projection items, ORDER BY) lower the probe
+    * against the grouped frame (group keys by original AST, extracted
+    * aggregates by name), which plain scope lowering cannot express. */
+  private def addInSelectMarkerCol(ctx: Context, out: DataFrame,
+      xe: Column, is: InSelect, name: String): DataFrame = {
+    val InSelect(_, sub, neg) = is
     val subDf = lowerSelect(ctx, sub)
     val vcol = subDf.columns.head
     val probe = subDf.select(col(vcol).as(s"${name}_v"))
@@ -1160,7 +1189,6 @@ object Lowering {
       .distinct().withColumn(s"${name}_hit", lit(1))
     val nullFlag = broadcast(subDf.agg(
       max(when(col(vcol).isNull, 1).otherwise(0)).as(s"${name}_subnull")))
-    val xe = lowerExpr(scope, x)
     val hit = col(s"${name}_hit").isNotNull
     // empty subquery → subnull is NULL (max over no rows) → definite miss
     val miss = when(col(s"${name}_subnull") === 1, lit(null).cast("boolean"))

@@ -477,6 +477,40 @@ class SqlSpec extends AnyFunSuite {
     assert(r2.getInt(0) === 2)
   }
 
+  test("IN (SELECT …) in HAVING and in post-aggregation projection items") {
+    // HAVING on a group key probe
+    val r = q(
+      """SELECT n_regionkey AS k, count(*) AS n FROM nation
+        |GROUP BY n_regionkey
+        |HAVING n_regionkey IN (SELECT r_regionkey FROM region
+        |  WHERE r_name = 'ASIA' OR r_name = 'AFRICA')
+        |ORDER BY k""".stripMargin).collect()
+    assert(r.map(_.getInt(0)).toSeq === Seq(0, 2).sorted ||
+      r.length === 2) // two region keys survive
+    // projection item: the IN result is a selected value; also nested
+    // in CASE; also an aggregate probe
+    val r2 = q(
+      """SELECT n_regionkey AS k,
+        |  n_regionkey IN (SELECT r_regionkey FROM region
+        |    WHERE r_name = 'ASIA') AS is_asia,
+        |  CASE WHEN count(*) IN (SELECT r_regionkey FROM region)
+        |    THEN 'keycount' ELSE 'other' END AS tag,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY k""".stripMargin).collect()
+    assert(r2.length === 5)
+    assert(r2.count(_.getBoolean(1)) === 1) // only regionkey 2
+    // every group has count 5, and 5 is NOT a region key (keys 0..4
+    // include 4 but not 5) → count(*) IN (keys) false everywhere
+    assert(r2.forall(_.getString(2) === "other"))
+    // HAVING with an aggregate probe
+    val r3 = q(
+      """SELECT n_regionkey AS k, count(*) AS n FROM nation
+        |GROUP BY n_regionkey
+        |HAVING count(*) IN (SELECT r_regionkey + 1 FROM region
+        |  WHERE r_regionkey = 4)""".stripMargin).collect()
+    assert(r3.length === 5) // every group has exactly 5 rows
+  }
+
   test("NOT IN (SELECT …) with NULL in the subquery follows tri-logic") {
     val rows = q(
       """SELECT n_regionkey,
