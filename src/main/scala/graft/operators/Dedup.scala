@@ -48,6 +48,34 @@ object Dedup {
     df.join(broadcast(hot), keyCols, "left_anti")
   }
 
+  /** Exact substring-span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): drop every document
+    * that shares at least one run of `spanTokens` consecutive tokens
+    * with a smaller-id document. Catches boilerplate and quotation
+    * overlap that whole-document similarity (MinHash) misses, because
+    * a long shared span in otherwise-different documents barely moves
+    * Jaccard.
+    *
+    * Scale shape — deliberately NOT a pairwise join: each doc explodes
+    * to its rolling span hashes, `groupBy(span).min(id)` finds the
+    * keeper per span (partial-aggregatable — map tasks pre-collapse,
+    * only (span, minId) rows shuffle), and one join back marks every
+    * doc holding a span whose keeper is smaller. Work is linear in
+    * total spans; a boilerplate span shared by 100M docs is ONE row on
+    * the build side, where the pairwise formulation would square. Docs
+    * shorter than `spanTokens` fall back to a whole-doc span (exact
+    * short-dup semantics, mirroring shingle behavior). */
+  def spanDedup(docs: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      explode(T.shingleHashes(col(textCol), spanTokens)).as("__g"))
+    val keeper = sh.groupBy(col("__g")).agg(min(col("__id")).as("__keep"))
+    val dropped = sh.join(keeper, Seq("__g"))
+      .filter(col("__keep") < col("__id"))
+      .select(col("__id").as(idCol)).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Candidate near-duplicate pairs via MinHash-LSH banding.
     *
     * rows → minhash signature (k = bands·rowsPerBand) → explode band

@@ -153,6 +153,69 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Bigram language-model perplexity scoring with Stupid Backoff
+    * smoothing (Brants et al. 2007, "Large Language Models in Machine
+    * Translation" — the web-scale LM formulation designed for exactly
+    * this setting: counts only, no normalization pass). The standard
+    * CCNet-style quality gate: score each document's token stream
+    * under an n-gram LM trained on a reference corpus and filter on
+    * perplexity.
+    *
+    * score(w2 | w1) = c(w1 w2) / c(w1)           if the bigram was seen
+    *               = alpha * c(w2) / N            backed off to unigram
+    *                 (unseen unigrams get pseudo-count 0.5)
+    *
+    * Scale shape: the two count tables are plain groupBy aggregates
+    * (map-side partial; only (gram, n) rows shuffle). Scoring explodes
+    * each document to its bigrams and joins the count tables ON THE
+    * GRAM KEY — counts are never broadcast and never collected, so a
+    * 100 TB corpus with a billion-row bigram table is three co-located
+    * shuffle joins, not a driver bottleneck. Hot grams ("of the") are
+    * one row on the build side of each join — no row explosion.
+    *
+    * Determinism across engines: per-bigram log-scores are fixed-point
+    * rounded to 1e-6 as BIGINT and summed as integers, so the per-doc
+    * aggregation is exact and order-free (a raw double sum would hash
+    * differently under Spark's vs the oracle's reduction order);
+    * `avg_logprob` divides the same two integers in the same order in
+    * both engines. */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    def bigramArr(toks: Column): Column =
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))
+    val trainToks = train.select(T.tokens(col(trainTextCol), "\\s+").as("__toks"))
+    val uni = trainToks.select(explode(col("__toks")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(count(lit(1)).cast("double").as("__n"))
+    val bc = trainToks.filter(size(col("__toks")) >= 2)
+      .select(explode(bigramArr(col("__toks"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val docBg = docs
+      .select(col(idCol).as("doc_id"), T.tokens(col(textCol), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(bigramArr(col("__toks"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val scored = docBg
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uc.select(col("w").as("w1"), col("c").as("__c1w1")), Seq("w1"), "left")
+      .join(uc.select(col("w").as("w2"), col("c").as("__c1w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp", when(col("c2").isNotNull,
+          log(col("c2").cast("double") / col("__c1w1").cast("double")))
+        .otherwise(log(lit(alpha) *
+          coalesce(col("__c1w2").cast("double"), lit(0.5)) / col("__n"))))
+      .withColumn("__fp", round(col("__lp") * 1e6, 0).cast("long"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__fp")).as("logprob_fp"))
+      .withColumn("avg_logprob",
+        col("logprob_fp").cast("double") / col("n_bigrams") / 1e6)
+      .withColumn("perplexity", round(exp(-col("avg_logprob")), 4))
+  }
+
   /** `statsTable.bagOfWords.train`
     * (`plugins/feature_gen/stats_table_procedure.cc:992-1007`): per
     * token, co-occurrence counts with a boolean outcome across docs. */

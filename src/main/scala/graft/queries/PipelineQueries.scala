@@ -626,6 +626,83 @@ object PipelineQueries {
         .select(col("doc_id"))
     },
 
+    // --- bigram Stupid-Backoff LM perplexity (CCNet-style quality
+    // gate), oracle-checked exactly: the LM trains on the even-id half
+    // of the corpus and scores every doc, so odd docs exercise the
+    // backoff and OOV paths. Per-bigram log-scores are fixed-point
+    // BIGINTs (1e-6), so the per-doc sum is integer-exact and immune
+    // to double reduction order; both engines then derive avg/ppl from
+    // the same two integers with identical operand order. ---
+    QueryDef("q89_lm_perplexity",
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tr AS (SELECT toks FROM d WHERE doc_id % 2 = 0),
+        |uni AS (SELECT unnest(toks) AS w FROM tr),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+        |tbg AS (
+        |  SELECT toks[pos] AS w1, toks[pos + 1] AS w2 FROM (
+        |    SELECT unnest(generate_series(1, len(toks) - 1)) AS pos, toks
+        |    FROM tr WHERE len(toks) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY w1, w2),
+        |dbg AS (
+        |  SELECT doc_id, toks[pos] AS w1, toks[pos + 1] AS w2 FROM (
+        |    SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS pos, toks
+        |    FROM d WHERE len(toks) >= 2)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(round((CASE WHEN bc.c2 IS NOT NULL
+        |      THEN ln(CAST(bc.c2 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+        |      ELSE ln(CAST(0.4 AS DOUBLE) *
+        |        coalesce(CAST(u2.c AS DOUBLE), CAST(0.5 AS DOUBLE)) / tot.n)
+        |      END) * 1000000.0, 0) AS BIGINT) AS fp
+        |  FROM dbg
+        |  LEFT JOIN bc USING (w1, w2)
+        |  LEFT JOIN uc u1 ON u1.w = dbg.w1
+        |  LEFT JOIN uc u2 ON u2.w = dbg.w2
+        |  CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams, sum(fp) AS logprob_fp,
+        |  CAST(sum(fp) AS DOUBLE) / count(*) / 1000000.0 AS avg_logprob,
+        |  round(exp(-(CAST(sum(fp) AS DOUBLE) / count(*) / 1000000.0)), 4)
+        |    AS perplexity
+        |FROM sc GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.TextAnalysis.lmPerplexity(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text")
+    },
+
+    // --- exact substring-span dedup (Lee et al. 2022): drop docs
+    // sharing any 8-token run with a smaller-id doc. The Spark side
+    // works on rolling xxhash64 span hashes (identical result up to
+    // ~2^-64 collisions); DuckDB mirrors with string spans and the
+    // same short-doc whole-text fallback. No pairwise join on either
+    // side of the operator — keeper-per-span min + one join back. ---
+    QueryDef("q90_span_dedup",
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[\s,;:!?.()\[\]{}"'']+'), x -> len(x) > 0) AS toks
+        |  FROM u),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+        |    THEN [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+        |    ELSE [array_to_string(toks, ' ')] END)) AS g
+        |  FROM t),
+        |m AS (SELECT g, min(doc_id) AS keep FROM sh GROUP BY g),
+        |dropped AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN m USING (g)
+        |  WHERE m.keep < s.doc_id)
+        |SELECT doc_id FROM u
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
+      Dedup.spanDedup(doubledDocs(s, d), "text", "doc_id", spanTokens = 8)
+        .select(col("doc_id"))
+    },
+
     // --- per-group quota sampling (≤ cap docs per source,
     // deterministic md5 order) — the cross-engine md5 contract makes
     // the exact kept set reproducible in DuckDB. ---

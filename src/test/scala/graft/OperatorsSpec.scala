@@ -318,6 +318,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getString(2) === "https://example.com/Path?a=1&b=2")
   }
 
+  test("spanDedup: drops on a planted 8-token span, keeps a 7-token overlap") {
+    import spark.implicits._
+    val span8 = "alpha beta gamma delta epsilon zeta eta theta"
+    val frame = Seq(
+      (1L, s"intro words here $span8 closing remark"),
+      // different doc, same 8-token run embedded → dropped
+      (2L, s"totally other opening $span8 and different tail tokens"),
+      // shares only the first 7 tokens of the span → kept
+      (3L, "unrelated lead alpha beta gamma delta epsilon zeta eta trailing bits"),
+      (4L, "no overlap with anything else at all in this document body")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.spanDedup(frame, "text", "doc_id", spanTokens = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L))
+    // doubled real docs: every shifted copy shares all spans → dropped
+    val out = Dedup.spanDedup(doubled, "text", "doc_id", spanTokens = 8)
+    assert(out.filter(col("doc_id") >= 1000000).count() === 0)
+    // adding exact copies at larger ids must not change which originals
+    // survive (the corpus has organic span-sharing near-dups of its own)
+    assert(out.count() === Dedup.spanDedup(docs, "text", "doc_id", 8).count())
+  }
+
+  test("lmPerplexity: exact stupid-backoff scores on a counted fixture") {
+    import spark.implicits._
+    val train = Seq("a b", "a b", "a c").toDF("text")
+    // unigrams: a=3 b=2 c=1, N=6; bigrams: (a,b)=2 (a,c)=1
+    val score = Seq((1L, "a b"), (2L, "b a"), (3L, "a z"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .lmPerplexity(score, "doc_id", "text", train, "text")
+      .select("doc_id", "n_bigrams", "perplexity")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - 1.5) < 1e-4)       // exp(-ln(2/3))
+    assert(math.abs(out(2L)._2 - 5.0) < 1e-4)       // backoff: 0.4*3/6
+    assert(math.abs(out(3L)._2 - 30.0) < 1e-3)      // OOV: 0.4*0.5/6
+  }
+
   test("ivf assignment: every row assigned to its nearest centroid, no window shuffle of corpus x centroids") {
     val emb = Tables.embeddings(spark, sf)
     val cents = emb.filter(col("vec_id") < 4)
