@@ -25,13 +25,18 @@ object PlanAudit {
       "q47_simhash_pairs", "q50_embedding_dedup",
       "q48_ann_bruteforce", "q60_sql_agg", "q79_sql_orderby_inselect",
       "q21_ranking", "q22_bucketize", "q72_global_rank", "q69_sql_fn_battery",
-      "q85_bm25", "q86_quota_sample", "q87_bloom_dedup", "q88_mixture_sample")
+      "q85_bm25", "q86_quota_sample", "q87_bloom_dedup", "q88_mixture_sample",
+      "q89_lm_perplexity", "q90_span_dedup", "q91_chunking")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
     // exploded row into one task just to count it
     val lshNames = Set("q46_dedup_minhash", "q47_simhash_pairs",
-      "q50_embedding_dedup")
+      "q50_embedding_dedup",
+      // same discipline for the newer pipeline ops: keeper-per-span
+      // min (q90), count-table joins (q89) and per-row chunking (q91)
+      // must never plan a window
+      "q89_lm_perplexity", "q90_span_dedup", "q91_chunking")
     for (name <- interesting) {
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString

@@ -332,6 +332,37 @@ final class GraftEngine(val spark: SparkSession) {
           param("idColumn").getOrElse("rowName"),
           param("vectorColumn").getOrElse("embedding"))
         registerOut(emb)
+      case "dataset.stats" =>
+        // pro-plugin utility (`plugins/pro/*.cc:124-201`): per-column
+        // type/null/distinct profile of a registered dataset. One
+        // aggregate pass (exact null counts, approx distinct — the
+        // sketch keeps it single-pass at any width).
+        val df = dataset(req("inputDataset"))
+        import org.apache.spark.sql.functions._
+        val aggs = df.schema.fields.flatMap(f => Seq(
+          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+          approx_count_distinct(col(f.name)).as(s"${f.name}__distinct")))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val n = df.count()
+        val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+          s"""{"column": "${f.name}", "type": "${f.dataType.simpleString}", """ +
+            s""""nulls": ${row.getLong(2 * i)}, "approxDistinct": ${row.getLong(2 * i + 1)}}"""
+        }.mkString("[", ",", "]")
+        s"""{"rowCount": $n, "columnCount": ${df.schema.fields.length}, "columns": $cols}"""
+      case "list.files" =>
+        // pro-plugin `list.files`: a directory listing as a dataset
+        // (path, size, modified) — driver-side walk, listing-sized.
+        import scala.jdk.CollectionConverters._
+        val dir = java.nio.file.Paths.get(req("dataFileUrl"))
+        val s2 = spark
+        import s2.implicits._
+        val rows = java.nio.file.Files.walk(dir).iterator.asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => (p.toString, java.nio.file.Files.size(p),
+            new java.sql.Timestamp(
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+          .toSeq
+        registerOut(rows.toDF("path", "size_bytes", "modified"))
       case "script.run" =>
         val result = Scripting.run(spark, req("source"))
         (result, param("outputDataset")) match {

@@ -7,7 +7,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 /** Minimal REST façade over GraftEngine, mirroring the reference's
   * `/v1` surface (`/root/reference/server/mldb_server.cc:209-228`):
   *
-  *   GET  /v1/query?q=<dialect sql>&format=json&limit=<n>
+  *   GET  /v1/query?q=<dialect sql>&format=aos|table|soa|sparse|full|
+  *        atom&headers=<bool>&limit=<n>
   *   GET  /v1/datasets                         — list
   *   GET  /v1/datasets/<name>?limit=<n>        — sample rows
   *   PUT  /v1/datasets/<name>?path=<parquet>   — register
@@ -37,7 +38,9 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
       val q = params.getOrElse("q",
         throw new IllegalArgumentException("missing q parameter"))
       val limit = params.get("limit").map(_.toInt).getOrElse(1000)
-      rowsJson(engine.query(q), limit)
+      val format = params.getOrElse("format", "aos")
+      val headers = params.get("headers").forall(_.toBoolean)
+      formatJson(engine.query(q), limit, format, headers)
     })
     server.createContext("/v1/datasets", (ex: HttpExchange) => handle(ex) {
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/datasets")
@@ -138,6 +141,72 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
   }
 
   def stop(): Unit = server.stop(0)
+
+  /** The reference's query output formats
+    * (`doc/builtin/sql/QueryAPI.md:7-28`): `aos` (array of objects,
+    * the default here), `table` (positional arrays with an optional
+    * header row), `soa` (one array per column), `sparse` (rows as
+    * [column, value] pair arrays), `atom` (single cell or 400).
+    * `full` serves the sparse shape: this engine's wide mode has no
+    * per-cell timestamps to add (documented divergence — rowName /
+    * rowHash are ordinary columns in the typed data model, so the
+    * reference's `_rowName`/`_rowHash` implicit columns are expressed
+    * in the query itself). NaN/Inf follow the reference's cell
+    * conventions: `{"num": "NaN"}` everywhere except `table`, which
+    * stringifies. */
+  private def formatJson(df: org.apache.spark.sql.DataFrame, limit: Int,
+      format: String, headers: Boolean): String = {
+    val schema = df.schema
+    val rows = df.take(limit)
+    def cell(r: org.apache.spark.sql.Row, i: Int, table: Boolean): String =
+      if (r.isNullAt(i)) "null"
+      else valueJsonFmt(r.get(i), schema.fields(i).dataType, table)
+    format match {
+      case "aos" =>
+        rows.iterator.map(r => structJson(r, schema)).mkString("[", ",", "]")
+      case "table" =>
+        val header = if (headers)
+          Seq(schema.fields.map(f => jsonStr(f.name)).mkString("[", ",", "]"))
+        else Seq.empty
+        (header ++ rows.iterator.map(r =>
+          schema.fields.indices.map(cell(r, _, table = true))
+            .mkString("[", ",", "]"))).mkString("[", ",", "]")
+      case "soa" =>
+        schema.fields.indices.map { i =>
+          s"${jsonStr(schema.fields(i).name)}:${
+            rows.iterator.map(cell(_, i, table = false)).mkString("[", ",", "]")}"
+        }.mkString("{", ",", "}")
+      case "sparse" | "full" =>
+        rows.iterator.map(r =>
+          schema.fields.indices.filterNot(r.isNullAt).map { i =>
+            s"[${jsonStr(schema.fields(i).name)},${cell(r, i, table = false)}]"
+          }.mkString("[", ",", "]")).mkString("[", ",", "]")
+      case "atom" =>
+        if (rows.length != 1 || schema.fields.length != 1)
+          throw new IllegalArgumentException(
+            s"format=atom needs exactly one row and one column, got ${
+              rows.length} rows x ${schema.fields.length} cols")
+        cell(rows(0), 0, table = false)
+      case other =>
+        throw new IllegalArgumentException(s"unknown format $other")
+    }
+  }
+
+  /** valueJson plus the reference's non-finite-number convention. */
+  private def valueJsonFmt(v: Any, dt: org.apache.spark.sql.types.DataType,
+      table: Boolean): String = {
+    val nonFinite = v match {
+      case d: Double if d.isNaN || d.isInfinite =>
+        Some(if (d.isNaN) "NaN" else if (d > 0) "Inf" else "-Inf")
+      case f: Float if f.isNaN || f.isInfinite =>
+        Some(if (f.isNaN) "NaN" else if (f > 0) "Inf" else "-Inf")
+      case _ => None
+    }
+    nonFinite match {
+      case Some(s) => if (table) jsonStr(s) else s"""{"num":${jsonStr(s)}}"""
+      case None => valueJson(v, dt)
+    }
+  }
 
   /** Render rows to JSON on the DRIVER (null fields omitted, matching
     * Spark's toJSON). `take` on a fully-local plan (the single-row

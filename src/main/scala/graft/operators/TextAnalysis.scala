@@ -216,6 +216,78 @@ object TextAnalysis {
       .withColumn("perplexity", round(exp(-col("avg_logprob")), 4))
   }
 
+  /** Split documents into fixed token-budget chunks with overlap —
+    * the standard pre-tokenization step that turns raw documents into
+    * context-window-sized training sequences. Whitespace tokens keep
+    * their original casing (chunking must not alter content). Chunks
+    * start every `chunkTokens - overlap` tokens; the final chunk may
+    * be shorter; empty documents emit nothing.
+    *
+    * Scale shape: pure per-row array math + one posexplode — no
+    * shuffle, no state; output rows inherit the input partitioning, so
+    * chunking composes with any downstream operator at any corpus
+    * size. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens > 0 and 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val chunks = transform(
+      sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(step)),
+      s => slice(col("__toks"), s, lit(chunkTokens)))
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "__c")))
+      // a trailing start inside the overlap of the previous chunk adds
+      // no new tokens; drop fully-contained tail chunks (start > 1)
+      .filter(col("chunk_id") === 0 ||
+        size(col("__c")) > overlap)
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", col("__c")).as("chunk_text"),
+        size(col("__c")).cast("long").as("n_tokens"))
+  }
+
+  /** Corpus-level line deduplication (the C4/RefinedWeb cleaning
+    * step): a non-blank line duplicated across documents survives only
+    * in the smallest-id document holding it, and a line occurring
+    * `dropThreshold`-or-more times (navigation chrome, cookie
+    * banners) is removed everywhere. Blank lines always stay. Returns
+    * (doc_id, text, n_lines) with each document's surviving lines
+    * rejoined in order; documents whose every line was boilerplate
+    * come back with empty text, never disappear.
+    *
+    * Scale shape: explode to (doc, pos, line) → `groupBy(lineHash)`
+    * keeper/count aggregate (partial map-side; only (hash, minId, n)
+    * rows shuffle — a line shared by 100M docs is one row) → join back
+    * on the hash → re-assemble per doc by sorting the doc-sized
+    * (pos, line) list. No windows, no pairwise work, no driver state. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      dropThreshold: Long = Long.MaxValue): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__k",
+        when(length(trim(col("line"))) > 0, xxhash64(trim(col("line")))))
+    val stats = lines.filter(col("__k").isNotNull)
+      .groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("__keep"), count(lit(1)).as("__n"))
+    val kept = lines.join(stats, Seq("__k"), "left")
+      .filter(col("__k").isNull ||
+        (col("__keep") === col("doc_id") && col("__n") < dropThreshold))
+    docs.select(col(idCol).as("doc_id"))
+      .join(kept.groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
+            .as("__ps")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__ps").isNotNull,
+            concat_ws("\n", transform(col("__ps"), p => p("line"))))
+          .otherwise(lit("")).as("text"),
+        // size(null) is -1 with ANSI off, so guard on nullness instead
+        when(col("__ps").isNotNull, size(col("__ps")))
+          .otherwise(lit(0)).cast("long").as("n_lines"))
+  }
+
   /** `statsTable.bagOfWords.train`
     * (`plugins/feature_gen/stats_table_procedure.cc:992-1007`): per
     * token, co-occurrence counts with a boolean outcome across docs. */

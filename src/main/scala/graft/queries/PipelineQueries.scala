@@ -703,6 +703,75 @@ object PipelineQueries {
         .select(col("doc_id"))
     },
 
+    // --- document chunking into token-budget windows (40 tokens,
+    // overlap 8): pure integer/string row math, so DuckDB mirrors the
+    // exact chunk ids, texts and lengths. Tail chunks fully contained
+    // in the previous chunk's overlap are dropped on both sides. ---
+    QueryDef("q91_chunking",
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(1, greatest(len(toks), 1), 32)) AS s,
+        |    toks
+        |  FROM t WHERE len(toks) > 0),
+        |sl AS (
+        |  SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+        |    toks[s:s+39] AS ck
+        |  FROM c)
+        |SELECT doc_id, chunk_id, array_to_string(ck, ' ') AS chunk_text,
+        |  CAST(len(ck) AS BIGINT) AS n_tokens
+        |FROM sl WHERE chunk_id = 0 OR len(ck) > 8""".stripMargin) { (s, d) =>
+      graft.operators.TextAnalysis.chunkDocuments(
+        Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 40, overlap = 8)
+        .withColumn("chunk_id", col("chunk_id").cast("long"))
+    },
+
+    // --- corpus-level line dedup (C4/RefinedWeb boilerplate removal),
+    // oracle-checked: both engines synthesize the same 4-line page
+    // (global promo line, a quote shared by each 7-doc group, the doc
+    // body, a footer shared by each id%5 class). With dropThreshold 50
+    // the promo (n=500) and footers (n=100) vanish everywhere, quotes
+    // survive only in their group's smallest doc, bodies stay. ---
+    QueryDef("q92_line_dedup",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'PROMO click here to subscribe' || chr(10) ||
+        |    'shared quote block number ' ||
+        |      CAST(CAST(floor(doc_id / 7.0) AS BIGINT) AS VARCHAR) || chr(10) ||
+        |    text || chr(10) ||
+        |    'footer ' || CAST(doc_id % 5 AS VARCHAR) AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ln))) AS pos, ln
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM p)),
+        |l2 AS (SELECT doc_id, pos, ln[pos] AS line FROM l),
+        |s AS (
+        |  SELECT trim(line) AS k, min(doc_id) AS keep, count(*) AS n
+        |  FROM l2 WHERE len(trim(line)) > 0 GROUP BY 1),
+        |kept AS (
+        |  SELECT l2.doc_id, l2.pos, l2.line
+        |  FROM l2 LEFT JOIN s ON s.k = trim(l2.line)
+        |  WHERE len(trim(l2.line)) = 0 OR (s.keep = l2.doc_id AND s.n < 50)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |    CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text, '') AS text,
+        |  coalesce(a.n_lines, 0) AS n_lines
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, d) =>
+      val pages = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("PROMO click here to subscribe\n"),
+        lit("shared quote block number "),
+        floor(col("doc_id") / lit(7.0)).cast("long").cast("string"),
+        lit("\n"), col("text"),
+        lit("\nfooter "), (col("doc_id") % 5).cast("string")).as("text"))
+      graft.operators.TextAnalysis.lineDedup(pages, "doc_id", "text",
+        dropThreshold = 50L)
+    },
+
     // --- per-group quota sampling (≤ cap docs per source,
     // deterministic md5 order) — the cross-engine md5 contract makes
     // the exact kept set reproducible in DuckDB. ---

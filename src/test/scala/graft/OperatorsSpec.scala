@@ -340,6 +340,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.count() === Dedup.spanDedup(docs, "text", "doc_id", 8).count())
   }
 
+  test("chunkDocuments: windows, overlap, tail containment, casing kept") {
+    import spark.implicits._
+    val ten = "A b c d e f g h i J"
+    val frame = Seq((1L, ten), (2L, "one two"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .chunkDocuments(frame, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // doc 1: starts 1,3,5,7,9 → last start (9) has 2 tokens = overlap → dropped
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq ===
+      Seq("A b c d", "c d e f", "e f g h", "g h i J"))
+    assert(out.filter(_._1 == 1L).forall(_._4 == 4L))
+    // doc 2: single short chunk survives; doc 3: empty → nothing
+    assert(out.filter(_._1 == 2L) === Array((2L, 0, "one two", 2L)))
+    assert(!out.exists(_._1 == 3L))
+    // chunks tile the doc: every token of the original appears
+    val rebuilt = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).distinct
+    assert(ten.split(" ").forall(rebuilt.contains))
+  }
+
+  test("lineDedup: keeper keeps, others lose, boilerplate dies everywhere") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, "promo\nunique one\nshared quote"),
+      (2L, "promo\nunique two\nshared quote"),
+      (3L, "promo\n\nunique three"),
+      (4L, "promo")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .lineDedup(frame, "doc_id", "text", dropThreshold = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // promo occurs 4 times = threshold → removed everywhere, even doc 1
+    assert(out(1L) === ("unique one\nshared quote", 2L))
+    // doc 2 loses the shared quote to doc 1, keeps its own line
+    assert(out(2L) === ("unique two", 1L))
+    // blank lines survive untouched
+    assert(out(3L) === ("\nunique three", 2L))
+    // a doc made entirely of boilerplate stays, with empty text
+    assert(out(4L) === ("", 0L))
+  }
+
   test("lmPerplexity: exact stupid-backoff scores on a counted fixture") {
     import spark.implicits._
     val train = Seq("a b", "a b", "a c").toDF("text")

@@ -126,6 +126,47 @@ class RestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("query output formats: table/soa/sparse/atom per the reference API") {
+    val engine = new GraftEngine(spark)
+    engine.createDatasetFromParquet("region", s"$sf/region.parquet")
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      val q = java.net.URLEncoder.encode(
+        "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2 " +
+          "ORDER BY r_regionkey", "UTF-8")
+      // table: header row then positional arrays
+      val (tc, tb) = get(port, s"/v1/query?q=$q&format=table")
+      assert(tc === 200 &&
+        tb === """[["r_regionkey","r_name"],[0,"AFRICA"],[1,"AMERICA"]]""")
+      // headers=false drops the header row
+      assert(get(port, s"/v1/query?q=$q&format=table&headers=false")._2
+        === """[[0,"AFRICA"],[1,"AMERICA"]]""")
+      // soa: one array per column
+      val (_, sb) = get(port, s"/v1/query?q=$q&format=soa")
+      assert(sb === """{"r_regionkey":[0,1],"r_name":["AFRICA","AMERICA"]}""")
+      // sparse: rows as [column, value] pairs
+      val (_, pb) = get(port, s"/v1/query?q=$q&format=sparse")
+      assert(pb === """[[["r_regionkey",0],["r_name","AFRICA"]],""" +
+        """[["r_regionkey",1],["r_name","AMERICA"]]]""")
+      // atom: exactly one cell, bare value
+      val qa = java.net.URLEncoder.encode(
+        "SELECT count(*) AS n FROM region", "UTF-8")
+      assert(get(port, s"/v1/query?q=$qa&format=atom")._2 === "5")
+      // atom over a multi-row result → 400
+      assert(get(port, s"/v1/query?q=$q&format=atom")._1 === 400)
+      // non-finite numbers: {"num": "Inf"} objects, strings in table
+      val qn = java.net.URLEncoder.encode(
+        "SELECT exp(1000) AS inf, acos(2) AS nan FROM region LIMIT 1", "UTF-8")
+      val (_, nb) = get(port, s"/v1/query?q=$qn&format=soa")
+      assert(nb === """{"inf":[{"num":"Inf"}],"nan":[{"num":"NaN"}]}""")
+      assert(get(port, s"/v1/query?q=$qn&format=table&headers=false")._2
+        === """[["Inf","NaN"]]""")
+      // unknown format → 400
+      assert(get(port, s"/v1/query?q=$q&format=nope")._1 === 400)
+    } finally srv.stop()
+  }
+
   test("sensors: fifth entity kind — latest() re-reads and stamps ts") {
     val engine = new GraftEngine(spark)
     val reads = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -236,6 +277,21 @@ class RestSpec extends AnyFunSuite {
         """{"type": "tsne.train", "trainingDataset": "embeddings", "idColumn": "vec_id", "vectorColumn": "embedding", "outputDataset": "tsne_out"}""")
       assert(c3 === 200 && b3.contains("tsne_out"), b3)
       assert(get(port, "/v1/datasets/tsne_out")._1 === 200)
+      // dataset.stats: per-column profile of a registered dataset
+      val (c4, b4) = post(
+        """{"type": "dataset.stats", "inputDataset": "embeddings"}""")
+      assert(c4 === 200 && b4.contains("\"rowCount\": 500") &&
+        b4.contains("\"column\": \"vec_id\"") &&
+        b4.contains("\"nulls\": 0"), b4)
+      // list.files: directory listing as a dataset
+      val dir = java.nio.file.Files.createTempDirectory("lf")
+      java.nio.file.Files.writeString(dir.resolve("a.txt"), "hello")
+      java.nio.file.Files.writeString(dir.resolve("b.txt"), "world!!")
+      val (c5, b5) = post(
+        s"""{"type": "list.files", "dataFileUrl": "$dir", "outputDataset": "files"}""")
+      assert(c5 === 200 && b5.contains("\"rowCount\": 2"), b5)
+      val (_, fb) = get(port, "/v1/datasets/files")
+      assert(fb.contains("a.txt") && fb.contains("\"size_bytes\":7"))
       // unknown type → 400
       assert(post("""{"type": "nope.nope"}""")._1 === 400)
     } finally srv.stop()
