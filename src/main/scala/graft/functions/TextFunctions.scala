@@ -156,6 +156,48 @@ object TextFunctions {
   def minHashFromHashes(shh: Column, k: Int): Column =
     graft.plans.MinHashSig.column(shh, k)
 
+  /** Per-token xxhash64 array — the materialization point for the
+    * winnowing pipeline. IMPORTANT evaluation-model note for this and
+    * the two stages below: Spark higher-order functions re-evaluate
+    * every captured NON-lambda subexpression once per array element
+    * (they are CodegenFallback, interpreted, no CSE). Composing these
+    * stages as one nested expression therefore turns O(n·k) winnowing
+    * into O(n²·k·cost(hash)) per document. Always land each stage in
+    * its own projection (`.select(... .as("col"))`) so lambdas capture
+    * a plain attribute (a row-field read), never an expression tree —
+    * CollapseProject keeps multi-referenced non-cheap aliases apart,
+    * so the stages stay materialized. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => xxhash64(t))
+
+  /** POSITIONAL k-gram hashes (one per gram, in document order —
+    * unlike [[shingleHashes]], which sorts and dedups for set
+    * arithmetic). Polynomial combine over the [[tokenHashes]] array,
+    * wrapping Long arithmetic (ANSI off). Short docs yield one
+    * whole-doc gram. The winnowing input. `th` MUST be a materialized
+    * attribute column (see [[tokenHashes]] note). */
+  def positionalGramHashes(th: Column, k: Int): Column = {
+    val P = 1000003L
+    def combine(win: Column) = aggregate(win, lit(0L), (a, h) => a * P + h)
+    when(size(th) >= k,
+      transform(sequence(lit(1), size(th) - lit(k - 1)),
+        i => combine(slice(th, i, lit(k)))))
+      .otherwise(array(combine(th)))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003): the
+    * minimum of every w-wide sliding window over the positional gram
+    * hashes, distinct + sorted. Guarantees every shared gram run of
+    * length ≥ w shares a selected fingerprint while keeping ~2/(w+1)
+    * of the grams. Pure per-row array math, no shuffle. `grams` MUST
+    * be a materialized attribute column (see [[tokenHashes]] note). */
+  def winnowSelect(grams: Column, w: Int): Column =
+    when(size(grams) >= w,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), size(grams) - lit(w - 1)),
+        j => array_min(slice(grams, j, lit(w)))))))
+      .otherwise(array(array_min(grams)))
+
   /** Interpreted reference formulation of minHashSignature — kept as a
     * differential-test oracle for the native expression. */
   def minHashSignatureReference(text: Column, k: Int, shingleN: Int): Column = {

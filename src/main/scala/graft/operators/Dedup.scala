@@ -66,15 +66,45 @@ object Dedup {
     * shorter than `spanTokens` fall back to a whole-doc span (exact
     * short-dup semantics, mirroring shingle behavior). */
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
-      spanTokens: Int = 8): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"),
-      explode(T.shingleHashes(col(textCol), spanTokens)).as("__g"))
-    val keeper = sh.groupBy(col("__g")).agg(min(col("__id")).as("__keep"))
-    val dropped = sh.join(keeper, Seq("__g"))
+      spanTokens: Int = 8): DataFrame =
+    keeperDedup(docs, docs.select(col(idCol).as("__id"),
+      explode(T.shingleHashes(col(textCol), spanTokens)).as("__g")), idCol)
+
+  /** Shared keeper rule behind spanDedup/winnowDedup: given exploded
+    * (__id, __g) key rows, drop every doc holding a key whose smallest
+    * holder is a different doc. `groupBy(key).min(id)` partial-aggs
+    * map-side; the join back shuffles on the key; `distinct` dropped
+    * ids then one anti-join — linear in keys, never pairwise. */
+  def keeperDedup(docs: DataFrame, keyed: DataFrame,
+      idCol: String): DataFrame = {
+    val keeper = keyed.groupBy(col("__g")).agg(min(col("__id")).as("__keep"))
+    val dropped = keyed.join(keeper, Seq("__g"))
       .filter(col("__keep") < col("__id"))
       .select(col("__id").as(idCol)).distinct()
     docs.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Substring dedup via winnowing fingerprints (Schleimer, Wilkerson
+    * & Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — the MOSS algorithm): hash every k-token gram,
+    * keep only the MINIMUM hash of each w-gram sliding window, and
+    * apply the same keeper rule as [[spanDedup]] to the selected
+    * fingerprints. The winnowing guarantee: any shared token run of at
+    * least w+k-1 tokens shares at least one selected fingerprint — so
+    * this catches the same long-span overlaps as spanDedup while
+    * indexing ~2/(w+1) of the grams, the difference between shuffling
+    * 100 TB of span hashes and a few TB of fingerprints. */
+  def winnowDedup(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    // Staged projections, NOT one nested expression: HOF lambdas
+    // re-evaluate captured expression trees per element (see
+    // TextFunctions.tokenHashes), so each stage must land as an
+    // attribute before the next slides a window over it.
+    keeperDedup(docs, docs
+      .select(col(idCol).as("__id"), T.tokenHashes(col(textCol)).as("__th"))
+      .select(col("__id"), T.positionalGramHashes(col("__th"), k).as("__gr"))
+      .select(col("__id"), explode(T.winnowSelect(col("__gr"), w)).as("__g")),
+      idCol)
 
   /** Candidate near-duplicate pairs via MinHash-LSH banding.
     *

@@ -772,6 +772,125 @@ object PipelineQueries {
         dropThreshold = 50L)
     },
 
+    // --- winnowing-fingerprint substring dedup (Schleimer et al.
+    // 2003), hash-matched via the md5 cross-engine twin (q83 pattern):
+    // the fast path hashes tokens with xxhash64, which DuckDB cannot
+    // compute, so this twin runs the SAME pipeline — token hash →
+    // positional k=3 gram combine (mod-2^31 polynomial, fold from 0) →
+    // w=4 window minima → distinct fingerprints → keeper dedup — on a
+    // 32-bit md5-prefix token hash both engines share. Every stage is
+    // mirrored term-for-term over the doubled corpus. ---
+    QueryDef("q93_winnow_dedup", {
+      val w8 = (1 to 8).map(k =>
+        s"(strpos('0123456789abcdef', substr(md5(s), $k, 1)) - 1) * ${math.pow(16, 8 - k).toLong}")
+        .mkString(" + ")
+      val fold = "(a, x) -> ((a * 1000003) % 2147483648 + x) % 2147483648"
+      s"""WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '[\\s,;:!?.()\\[\\]{}"'']+'), x -> len(x) > 0) AS toks
+        |  FROM u),
+        |h AS (
+        |  SELECT doc_id, list_transform(toks, s -> CAST($w8 AS BIGINT)) AS th
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(th) >= 3
+        |    THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]), $fold)
+        |          for i in range(1, len(th) - 1)]
+        |    ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th), $fold)]
+        |    END AS gr
+        |  FROM h),
+        |f AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(gr) >= 4
+        |    THEN [list_min(gr[j:j+3]) for j in range(1, len(gr) - 2)]
+        |    ELSE [list_min(gr)] END)) AS fp
+        |  FROM g),
+        |m AS (SELECT fp, min(doc_id) AS keep FROM f GROUP BY fp),
+        |dropped AS (
+        |  SELECT DISTINCT f.doc_id FROM f JOIN m USING (fp)
+        |  WHERE m.keep < f.doc_id)
+        |SELECT doc_id FROM u
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
+    }) { (s, d) =>
+      val M = 2147483648L
+      // hex-prefix of md5 → 32-bit token hash; the md5 lands in its
+      // own projection (ONE digest per token), the hex→long map reads
+      // only the lambda variable — HOF lambdas re-evaluate captured
+      // expression trees per element (see TextFunctions.tokenHashes),
+      // so every stage below is a separate materialized column.
+      def hex2long(h: org.apache.spark.sql.Column) = (1 to 8).map { k =>
+        (instr(lit("0123456789abcdef"), substring(h, k, 1)) - 1) *
+          lit(math.pow(16, 8 - k).toLong)
+      }.reduce(_ + _).cast("long")
+      def comb(win: org.apache.spark.sql.Column) =
+        aggregate(win, lit(0L),
+          (a, x) => (a * lit(1000003L) % lit(M) + x) % lit(M))
+      val docs = doubledDocs(s, d)
+      val keyed = docs
+        .select(col("doc_id").as("__id"),
+          transform(T.tokens(col("text")),
+            t => substring(md5(t.cast("binary")), 1, 8)).as("__tm"))
+        .select(col("__id"),
+          transform(col("__tm"), h => hex2long(h)).as("__th"))
+        .select(col("__id"),
+          when(size(col("__th")) >= 3,
+            transform(sequence(lit(1), size(col("__th")) - 2),
+              i => comb(slice(col("__th"), i, lit(3)))))
+            .otherwise(array(comb(col("__th")))).as("__gr"))
+        .select(col("__id"),
+          explode(when(size(col("__gr")) >= 4,
+            array_distinct(transform(sequence(lit(1), size(col("__gr")) - 3),
+              j => array_min(slice(col("__gr"), j, lit(4))))))
+            .otherwise(array(array_min(col("__gr"))))).as("__g"))
+      Dedup.keeperDedup(docs, keyed, "doc_id").select(col("doc_id"))
+    },
+
+    // --- int8 embedding quantization, oracle-checked exactly: both
+    // engines derive the per-dimension ranges from the data, quantize
+    // with the identical operand order, dequantize, and report the
+    // per-vector max reconstruction error in 1e-9 fixed point (an
+    // integer max — order-free) plus an out-of-range-code count that
+    // must be zero. Any drift in the quantizer breaks the hash. ---
+    QueryDef("q94_embedding_quantize",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |l AS (
+        |  SELECT vec_id, unnest(generate_series(1, len(v))) AS pos, v FROM e),
+        |x AS (SELECT vec_id, pos, v[pos] AS x FROM l),
+        |r AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY pos),
+        |c AS (
+        |  SELECT vec_id, pos, x, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |      ELSE CAST(round((x - mn) / (mx - mn) * 255, 0) AS BIGINT)
+        |    END AS code
+        |  FROM x JOIN r USING (pos)),
+        |q AS (
+        |  SELECT vec_id, x, code, mn + code / 255.0 * (mx - mn) AS xq
+        |  FROM c)
+        |SELECT vec_id,
+        |  max(CAST(round(abs(x - xq) * 1000000000.0, 0) AS BIGINT)) AS max_err_fp,
+        |  CAST(sum(CASE WHEN code < 0 OR code > 255 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS oob
+        |FROM q GROUP BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (mins, maxs) = Similarity.embeddingRanges(emb, "embedding")
+      val codes = Similarity.quantizeInt8(col("embedding"), mins, maxs)
+      val deq = Similarity.dequantizeInt8(col("__codes"), mins, maxs)
+      emb.select(col("vec_id"), col("embedding"), codes.as("__codes"))
+        .select(col("vec_id"), col("__codes"),
+          zip_with(transform(col("embedding"), x => x.cast("double")), deq,
+            (a, b) => round(abs(a - b) * lit(1000000000.0), 0).cast("long"))
+            .as("__errs"))
+        .select(col("vec_id"),
+          array_max(col("__errs")).as("max_err_fp"),
+          size(filter(col("__codes"), c => c < 0 || c > 255))
+            .cast("long").as("oob"))
+    },
+
     // --- per-group quota sampling (≤ cap docs per source,
     // deterministic md5 order) — the cross-engine md5 contract makes
     // the exact kept set reproducible in DuckDB. ---

@@ -362,6 +362,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ten.split(" ").forall(rebuilt.contains))
   }
 
+  test("winnowing: fingerprints are a small subset of grams with the span guarantee") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val sel = docs
+      .select(T.tokenHashes(col("text")).as("th"))
+      .select(T.positionalGramHashes(col("th"), 3).as("gr"))
+      .select(col("gr"), T.winnowSelect(col("gr"), 4).as("fp"))
+      .select(size(col("gr")).as("n_grams"), size(col("fp")).as("n_fp"),
+        size(array_except(col("fp"), col("gr"))).as("leaked"))
+      .agg(sum(col("n_grams")).as("g"), sum(col("n_fp")).as("f"),
+        max(col("leaked")).as("l")).head()
+    // every fingerprint is one of the doc's gram hashes
+    assert(sel.getInt(2) === 0)
+    // winnowing keeps roughly 2/(w+1) of grams — assert a real reduction
+    assert(sel.getLong(1) < sel.getLong(0) / 2)
+    // the guarantee: two docs sharing a w+k-1 = 6-token run share a
+    // fingerprint, so winnowDedup drops the larger-id doc
+    val run6 = "alpha beta gamma delta epsilon zeta"
+    val frame = Seq(
+      (1L, s"first document body mentions $run6 and then diverges fully"),
+      (2L, s"second text totally different until $run6 shows up again"),
+      (3L, "third document shares nothing with anyone at all here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.winnowDedup(frame, "text", "doc_id", k = 3, w = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+    // doubled corpus: every exact copy is dropped
+    val out = Dedup.winnowDedup(doubled, "text", "doc_id")
+    assert(out.filter(col("doc_id") >= 1000000).count() === 0)
+  }
+
   test("lineDedup: keeper keeps, others lose, boilerplate dies everywhere") {
     import spark.implicits._
     val frame = Seq(
@@ -397,6 +428,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(1L)._2 - 1.5) < 1e-4)       // exp(-ln(2/3))
     assert(math.abs(out(2L)._2 - 5.0) < 1e-4)       // backoff: 0.4*3/6
     assert(math.abs(out(3L)._2 - 30.0) < 1e-3)      // OOV: 0.4*0.5/6
+  }
+
+  test("int8 quantization: codes in range, reconstruction within span/510") {
+    val emb = Tables.embeddings(spark, sf)
+    val (mins, maxs) = Similarity.embeddingRanges(emb, "embedding")
+    assert(mins.length === maxs.length && mins.zip(maxs).forall { case (a, b) => a <= b })
+    val maxSpan = mins.zip(maxs).map { case (a, b) => b - a }.max
+    val out = emb.select(
+      Similarity.quantizeInt8(col("embedding"), mins, maxs).as("c"),
+      col("embedding"))
+      .select(
+        size(filter(col("c"), c => c < 0 || c > 255)).as("oob"),
+        array_max(zip_with(transform(col("embedding"), x => x.cast("double")),
+          Similarity.dequantizeInt8(col("c"), mins, maxs),
+          (a, b) => abs(a - b))).as("err"))
+      .agg(sum(col("oob")).as("oob"), max(col("err")).as("err")).head()
+    assert(out.getLong(0) === 0L)
+    assert(out.getDouble(1) <= maxSpan / 510.0 + 1e-12)
   }
 
   test("ivf assignment: every row assigned to its nearest centroid, no window shuffle of corpus x centroids") {
