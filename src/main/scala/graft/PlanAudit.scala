@@ -26,7 +26,9 @@ object PlanAudit {
       "q48_ann_bruteforce", "q60_sql_agg", "q79_sql_orderby_inselect",
       "q21_ranking", "q22_bucketize", "q72_global_rank", "q69_sql_fn_battery",
       "q85_bm25", "q86_quota_sample", "q87_bloom_dedup", "q88_mixture_sample",
-      "q89_lm_perplexity", "q90_span_dedup", "q91_chunking")
+      "q89_lm_perplexity", "q90_span_dedup", "q91_chunking",
+      "q93_winnow_dedup", "q94_embedding_quantize", "q95_sequence_pack",
+      "q96_gopher_quality")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
@@ -36,7 +38,10 @@ object PlanAudit {
       // same discipline for the newer pipeline ops: keeper-per-span
       // min (q90), count-table joins (q89) and per-row chunking (q91)
       // must never plan a window
-      "q89_lm_perplexity", "q90_span_dedup", "q91_chunking")
+      "q89_lm_perplexity", "q90_span_dedup", "q91_chunking",
+      // winnow dedup is keeper-rule based like q90; quantization and
+      // the quality battery are pure row math — none may plan a window
+      "q93_winnow_dedup", "q94_embedding_quantize", "q96_gopher_quality")
     for (name <- interesting) {
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir, rest @ _*) = args
+    // optional extra args = query-name prefixes to run (local iteration
+    // only; the driver always passes exactly two args → full run)
+    val wanted: String => Boolean =
+      if (rest.isEmpty) _ => true else n => rest.exists(n.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce collapses the whole
       // upstream stage to a single task when no shuffle intervenes,
       // serializing scan+compute; repartition inserts a shuffle so the

@@ -288,6 +288,59 @@ object TextAnalysis {
           .otherwise(lit(0)).cast("long").as("n_lines"))
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", §A1.1) — the rule set most open pretraining pipelines
+    * (RefinedWeb, Dolma, FineWeb) apply verbatim. Per document:
+    * word count, mean word length, symbol-to-word ratio (#, ..., …),
+    * fraction of lines starting with a bullet / ending with an
+    * ellipsis, fraction of words containing a letter, count of
+    * distinct required stopwords present — plus the conjunction
+    * `pass`. Pure per-row Column math (one split each for words,
+    * lines, and punctuation-stripped tokens, materialized once; lambda
+    * bodies touch only their lambda variable), so it runs at scan
+    * speed with no shuffle and composes with any sampling/dedup
+    * downstream. Ratios are NULL (not pass) for empty docs. */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 10, maxWords: Long = 100000): DataFrame = {
+    val requiredStop = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with")
+    def occurrences(s: Column, lit0: String) =
+      (length(s) - length(replace(s, lit(lit0), lit("")))) / lit0.length
+    val staged = docs.select(col(idCol).as("doc_id"), col(textCol).as("__tx"),
+      T.tokens(col(textCol), "\\s+").as("__w"),
+      filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => length(l) > 0).as("__ln"),
+      array_distinct(T.tokens(col(textCol))).as("__t"))
+    staged.select(col("doc_id"),
+      size(col("__w")).cast("long").as("n_words"),
+      round(aggregate(col("__w"), lit(0L), (a, w) => a + length(w))
+        .cast("double") / nullif(size(col("__w")), lit(0)), 4)
+        .as("mean_word_len"),
+      round((occurrences(col("__tx"), "#") + occurrences(col("__tx"), "...") +
+        occurrences(col("__tx"), "…")).cast("double") /
+        nullif(size(col("__w")), lit(0)), 4).as("symbol_ratio"),
+      round(size(filter(col("__ln"),
+        l => substring(l, 1, 1).isin("-", "*", "•"))).cast("double") /
+        nullif(size(col("__ln")), lit(0)), 4).as("bullet_frac"),
+      round(size(filter(col("__ln"),
+        l => l.endsWith("...") || l.endsWith("…"))).cast("double") /
+        nullif(size(col("__ln")), lit(0)), 4).as("ellipsis_frac"),
+      round(size(filter(col("__w"), w => w.rlike("\\p{L}"))).cast("double") /
+        nullif(size(col("__w")), lit(0)), 4).as("alpha_frac"),
+      size(array_intersect(col("__t"),
+        array(requiredStop.map(lit): _*))).cast("long").as("n_stop"))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_frac") <= 0.9 &&
+        col("ellipsis_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 &&
+        col("n_stop") >= 2L)
+      .withColumn("pass", coalesce(col("pass"), lit(false)))
+  }
+
   /** `statsTable.bagOfWords.train`
     * (`plugins/feature_gen/stats_table_procedure.cc:992-1007`): per
     * token, co-occurrence counts with a boolean outcome across docs. */

@@ -257,6 +257,49 @@ object Procedures {
     }
   }
 
+  /** Concat-then-chunk sequence packing — the standard LLM pretraining
+    * batching step: documents are laid end-to-end in a deterministic
+    * order (ascending `idCol`) and the token stream is cut into fixed
+    * `budget`-token context windows. Emits one row per document with
+    * its global token `start_offset`, the `first_pack` window it lands
+    * in, and `n_packs` — how many windows it straddles (straddlers get
+    * split at training time; their count is the packing-efficiency
+    * metric). The global prefix sum is range-partitioned local window
+    * sums plus a broadcast per-partition token-total offset table —
+    * the same no-single-partition-window construction as
+    * ranking/bucketize, so a 100-billion-document corpus packs without
+    * any task ever holding more than one range partition. Empty
+    * documents occupy max(n, 1) = 1 slot so every doc lands in exactly
+    * one pack and offsets stay strictly increasing. */
+  def sequencePack(df: DataFrame, idCol: String, nTokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val nPart = try df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt catch { case _: Throwable => 200 }
+    val ranged = df.repartitionByRange(math.max(nPart, 1), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__n", greatest(col(nTokensCol).cast("long"), lit(1L)))
+    // ≤ nPart rows shuffle to build the offset table
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__n")).as("__psum"))
+      .withColumn("__toff", coalesce(sum(col("__psum")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__toff"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = lit(budget)
+    ranged.withColumn("__lsum", coalesce(sum(col("__n")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("start_offset", col("__lsum") + col("__toff"))
+      .withColumn("first_pack",
+        floor(col("start_offset") / b).cast("long"))
+      .withColumn("n_packs",
+        (floor((col("start_offset") + col("__n") - 1) / b).cast("long") -
+          col("first_pack") + 1L))
+      .drop("__pid", "__n", "__lsum", "__toff")
+  }
+
   /** `melt` procedure — delegates to the Reshape operator. */
   def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String]): DataFrame =
     graft.operators.Reshape.melt(df, idCols, valueCols)

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{HtmlFunctions => H, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.procedures.Procedures
 
 /** Training-data pipeline operators: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard / embedding-cosine), similarity search
@@ -889,6 +890,93 @@ object PipelineQueries {
           array_max(col("__errs")).as("max_err_fp"),
           size(filter(col("__codes"), c => c < 0 || c > 255))
             .cast("long").as("oob"))
+    },
+
+    // --- concat-then-chunk sequence packing: both engines compute the
+    // identical global token prefix sum (Spark via range-partition +
+    // broadcast offsets — never a single-partition window; DuckDB via
+    // a plain window over the toy corpus) and derive each document's
+    // pack placement with the same integer math. ---
+    QueryDef("q95_sequence_pack",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(CAST(sum(greatest(n_tokens, 1)) OVER (
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS start_offset
+        |  FROM d)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 2048.0) AS BIGINT) AS first_pack,
+        |  CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 2048.0)
+        |    AS BIGINT)
+        |    - CAST(floor(start_offset / 2048.0) AS BIGINT) + 1 AS n_packs
+        |FROM c""".stripMargin) { (s, d) =>
+      val counted = Tables.documents(s, d).select(col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Procedures.sequencePack(counted, "doc_id", "n_tokens", 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("first_pack"), col("n_packs"))
+    },
+
+    // --- Gopher quality-rule battery (Rae et al. 2021 §A1.1): every
+    // metric is deterministic per-row math both engines mirror
+    // term-for-term (same splits, same trim, same rounding). ---
+    QueryDef("q96_gopher_quality",
+      """WITH s AS (
+        |  SELECT doc_id, text AS tx,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS w,
+        |    list_filter(list_transform(str_split(text, chr(10)),
+        |      l -> trim(l)), l -> len(l) > 0) AS ln,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text),
+        |      '[\s,;:!?.()\[\]{}"'']+'), x -> len(x) > 0)) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+        |    / nullif(len(w), 0), 4) AS mean_word_len,
+        |  round(((length(tx) - length(replace(tx, '#', ''))) / 1.0
+        |    + (length(tx) - length(replace(tx, '...', ''))) / 3.0
+        |    + (length(tx) - length(replace(tx, '…', ''))) / 1.0)
+        |    / nullif(len(w), 0), 4) AS symbol_ratio,
+        |  round(CAST(len(list_filter(ln,
+        |      l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+        |    / nullif(len(ln), 0), 4) AS bullet_frac,
+        |  round(CAST(len(list_filter(ln,
+        |      l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+        |    / nullif(len(ln), 0), 4) AS ellipsis_frac,
+        |  round(CAST(len(list_filter(w,
+        |      x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+        |    / nullif(len(w), 0), 4) AS alpha_frac,
+        |  CAST(len(list_filter(t, x -> list_contains(
+        |    ['the','be','to','of','and','that','have','with'], x)))
+        |    AS BIGINT) AS n_stop,
+        |  COALESCE(len(w) BETWEEN 10 AND 100000
+        |    AND round(CAST(list_sum(list_transform(w, x -> len(x)))
+        |      AS DOUBLE) / nullif(len(w), 0), 4) BETWEEN 3.0 AND 10.0
+        |    AND round(((length(tx) - length(replace(tx, '#', ''))) / 1.0
+        |      + (length(tx) - length(replace(tx, '...', ''))) / 3.0
+        |      + (length(tx) - length(replace(tx, '…', ''))) / 1.0)
+        |      / nullif(len(w), 0), 4) <= 0.1
+        |    AND round(CAST(len(list_filter(ln,
+        |        l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+        |      / nullif(len(ln), 0), 4) <= 0.9
+        |    AND round(CAST(len(list_filter(ln,
+        |        l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+        |      / nullif(len(ln), 0), 4) <= 0.3
+        |    AND round(CAST(len(list_filter(w,
+        |        x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+        |      / nullif(len(w), 0), 4) >= 0.8
+        |    AND len(list_filter(t, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x))) >= 2,
+        |    false) AS pass
+        |FROM s""".stripMargin) { (s, d) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, d), "doc_id", "text")
     },
 
     // --- per-group quota sampling (≤ cap docs per source,

@@ -430,6 +430,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(3L)._2 - 30.0) < 1e-3)      // OOV: 0.4*0.5/6
   }
 
+  test("gopherQuality: each rule trips on its crafted offender only") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val good = "the quick brown fox jumps over that lazy dog because " +
+      "we have seen it move with great speed and of course style"
+    val frame = Seq(
+      (1L, good),
+      (2L, "- one item\n- two item\n- three item\n- four item\n- five item"),
+      (3L, "this line trails off...\nand this one too...\nmore dots...\nhere..."),
+      (4L, "## ## ## ## ## the of and ## that have ## with ## be to ##"),
+      (5L, "11 22 33 44 55 66 77 88 99 101 111 121 131 141 151 161")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.gopherQuality(frame, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("pass"))
+    assert(!m(2L).getAs[Boolean]("pass") &&
+      m(2L).getAs[Double]("bullet_frac") > 0.9)
+    assert(!m(3L).getAs[Boolean]("pass") &&
+      m(3L).getAs[Double]("ellipsis_frac") > 0.3)
+    assert(!m(4L).getAs[Boolean]("pass") &&
+      m(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!m(5L).getAs[Boolean]("pass") &&
+      m(5L).getAs[Double]("alpha_frac") < 0.8)
+    // empty doc: ratios NULL, pass false, never a crash
+    val empty = TextAnalysis.gopherQuality(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(!empty.getAs[Boolean]("pass"))
+    assert(empty.isNullAt(empty.fieldIndex("mean_word_len")))
+  }
+
   test("int8 quantization: codes in range, reconstruction within span/510") {
     val emb = Tables.embeddings(spark, sf)
     val (mins, maxs) = Similarity.embeddingRanges(emb, "embedding")

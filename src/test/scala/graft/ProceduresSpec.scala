@@ -74,6 +74,32 @@ class ProceduresSpec extends AnyFunSuite {
       out.select("doc_id").except(again.select("doc_id")).isEmpty)
   }
 
+  test("sequencePack: exact prefix sums, pack spans, range-partitioned plan") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+    val out = Procedures.sequencePack(docs, "doc_id", "n_tokens", 64L)
+      .select("doc_id", "n_tokens", "start_offset", "first_pack", "n_packs")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // driver-side reference: running offset in id order
+    var off = 0L
+    out.foreach { case (_, n, start, first, packs) =>
+      assert(start === off)
+      val span = math.max(n, 1L)
+      assert(first === start / 64)
+      assert(packs === (start + span - 1) / 64 - start / 64 + 1)
+      off += span
+    }
+    assert(out.map(_._5).max >= 2, "some doc should straddle a pack boundary")
+    // scale shape: the data shuffles by RANGE on the sort key; the only
+    // unpartitioned window runs over the partition-count-sized offsets
+    val plan = Procedures.sequencePack(docs, "doc_id", "n_tokens", 64L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"))
+  }
+
   test("csv round-trip preserves rows and text exactly") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
     val path = Files.createTempDirectory("graft_csv").toString + "/out"
