@@ -979,6 +979,60 @@ object PipelineQueries {
       TextAnalysis.gopherQuality(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // --- quantized-scan + exact-rerank ANN, oracle-checked END TO
+    // END: DuckDB re-derives the per-dimension ranges, re-quantizes
+    // with the identical operand order (q94 proved the codes match),
+    // scans with the same approximate cosine, cuts the same
+    // 20-candidate pool, and re-ranks with the exact cosine — so the
+    // approximate index path itself is hash-matched, not just a
+    // recall bound. ---
+    QueryDef("q97_ann_quantized",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |l AS (
+        |  SELECT vec_id, unnest(generate_series(1, len(v))) AS pos, v FROM e),
+        |x AS (SELECT vec_id, pos, v[pos] AS x FROM l),
+        |r AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY pos),
+        |cq AS (
+        |  SELECT vec_id, list(mn + code / 255.0 * (mx - mn) ORDER BY pos) AS vq
+        |  FROM (
+        |    SELECT vec_id, pos, mn, mx,
+        |      CASE WHEN mx = mn THEN 0
+        |        ELSE CAST(round((x - mn) / (mx - mn) * 255, 0) AS BIGINT)
+        |      END AS code
+        |    FROM x JOIN r USING (pos))
+        |  GROUP BY vec_id),
+        |a AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.vq) AS ac
+        |  FROM e q JOIN cq c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ac DESC, neighbor_id) AS rr
+        |    FROM a) t
+        |  WHERE rr <= 20),
+        |ex AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos_raw
+        |  FROM cand
+        |  JOIN e q ON q.vec_id = cand.query_id
+        |  JOIN e c ON c.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank,
+        |  round(cos_raw, 4) AS cosine
+        |FROM ex
+        |QUALIFY rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8),
+        "embedding", "vec_id", k = 5, rerankFactor = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 4).as("cosine"))
+    },
+
     // --- per-group quota sampling (≤ cap docs per source,
     // deterministic md5 order) — the cross-engine md5 contract makes
     // the exact kept set reproducible in DuckDB. ---

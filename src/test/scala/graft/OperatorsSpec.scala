@@ -478,6 +478,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.getDouble(1) <= maxSpan / 510.0 + 1e-12)
   }
 
+  test("quantizedTopK: high recall vs exact, identical exact cosines on shared pairs") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 6)
+    val exact = Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(emb, qs, "embedding", "vec_id", 5,
+      rerankFactor = 4)
+    val qPairs = quant.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(qPairs.size === exact.size)
+    // int8 + 4x rerank pool on 64-dim data: near-total recall
+    val recall = (exact & qPairs).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // the rerank is EXACT: shared pairs carry the brute-force cosine
+    val bf = Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 5)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    quant.select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+      .filter(t => bf.contains((t._1, t._2)))
+      .foreach(t => assert(t._3 === bf((t._1, t._2))))
+  }
+
   test("ivf assignment: every row assigned to its nearest centroid, no window shuffle of corpus x centroids") {
     val emb = Tables.embeddings(spark, sf)
     val cents = emb.filter(col("vec_id") < 4)
