@@ -45,6 +45,24 @@ object Lowering {
       }
   }
 
+  /** Static Spark type of an expression when it is knowable without
+    * lowering: a literal, or a column resolvable in the scope. Used by
+    * functions whose reference semantics branch on the runtime value
+    * type (implicit_cast) — the typed analog branches on the static
+    * type at plan time. */
+  private def staticType(scope: Scope,
+      e: Expr): Option[org.apache.spark.sql.types.DataType] = e match {
+    case StrLit(_) => Some(org.apache.spark.sql.types.StringType)
+    case Ident(Seq(n)) => scope.frames.iterator.flatMap { case (_, df) =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(n))
+    }.map(_.dataType).nextOption()
+    case Ident(Seq(q, n)) => scope.frames.iterator.collect {
+      case (Some(al), df) if al.equalsIgnoreCase(q) => df
+    }.flatMap(_.schema.fields.find(_.name.equalsIgnoreCase(n)))
+      .map(_.dataType).nextOption()
+    case _ => None
+  }
+
   def run(ctx: Context, stmt: Select): DataFrame =
     // DynamicVariable = thread-local: concurrent GraftSql.query calls
     // (RestServer scenario) each see their own params/macros.
@@ -550,7 +568,35 @@ object Lowering {
     case "phase" => graft.functions.SignalFunctions.phase(a(0))
     case "real" => graft.functions.SignalFunctions.realPart(a(0))
     case "imag" => graft.functions.SignalFunctions.imagPart(a(0))
-    case "impulse" => graft.functions.SignalFunctions.impulse(a(0), a(1))
+    // reference impulse is 1-arg (1.0 at index 0,
+    // `builtin_signal_functions.cc:293`); the 2-arg form is our
+    // generalization and doubles as shifted_impulse (`:299`)
+    case "impulse" => graft.functions.SignalFunctions.impulse(
+      a(0), if (a.size > 1) a(1) else lit(0))
+    case "shifted_impulse" =>
+      graft.functions.SignalFunctions.impulse(a(0), a(1))
+    // reshape(x, [shape] [, fill]) (`sql/builtin_functions.cc:2725`):
+    // resize a 1-D embedding (truncate / pad with fill; out-of-range
+    // element_at is NULL with ANSI off, so coalesce supplies the pad)
+    // or fold it into [rows, cols] nested form. The shape must be a
+    // literal — it decides the OUTPUT TYPE, which Catalyst fixes at
+    // plan time. reshape(NULL, [n], fill) = constant array.
+    case "reshape" =>
+      val fill = a.lift(2).map(_.cast("double")).getOrElse(lit(null).cast("double"))
+      val v = a(0).cast("array<double>") // types an untyped NULL too
+      def cell(i: Column) = coalesce(element_at(v, i), fill)
+      raw(1) match {
+        case ArrayLit(Seq(_)) =>
+          val n = element_at(a(1), 1).cast("int")
+          transform(sequence(lit(1), n), i => cell(i))
+        case ArrayLit(Seq(_, _)) =>
+          val r = element_at(a(1), 1).cast("int")
+          val c = element_at(a(1), 2).cast("int")
+          transform(sequence(lit(0), r - 1),
+            bi => transform(sequence(lit(1), c), j => cell(bi * c + j)))
+        case _ => throw new IllegalArgumentException(
+          "reshape needs a literal 1-D or 2-D shape, e.g. reshape(x, [4], 0)")
+      }
     case "slice" => slice(a(0), a(1).cast("int"), a(2).cast("int"))
     case "geo_distance" => M.geoDistanceM(a(0), a(1), a(2), a(3))
     case "st_contains_point" => M.stContainsPoint(a(0), a(1), a(2))
@@ -614,6 +660,20 @@ object Lowering {
       else when(inputs.map(_.isNull).reduce(_ || _), a(0))
         .otherwise(coalesce(a(0), a(1)))
     case "static_type" => typeof(a(0))
+    // implicit_cast (`sql/builtin_functions.cc:949`): string values
+    // that parse as numbers become numbers, the empty string becomes
+    // NULL, non-strings pass through. Typed-engine divergence
+    // (documented): a string input lowers to its NUMERIC
+    // interpretation — non-numeric strings become NULL here, where
+    // the dynamically-typed reference keeps them as strings. When the
+    // static type cannot be resolved (computed expression), the input
+    // passes through unchanged.
+    case "implicit_cast" =>
+      staticType(scope, raw(0)) match {
+        case Some(org.apache.spark.sql.types.StringType) =>
+          when(a(0) === "", lit(null)).otherwise(a(0).cast("double"))
+        case _ => a(0)
+      }
     // vector
     case "norm" => V.norm(a(0), raw.lift(1).collect { case NumLit(v, _) => v.toDouble }.getOrElse(2.0))
     case "normalize" => V.normalize(a(0))

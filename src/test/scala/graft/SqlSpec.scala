@@ -49,6 +49,37 @@ class SqlSpec extends AnyFunSuite {
     assert(df.head().getAs[String]("rowName") === "region-0")
   }
 
+  test("impulse / shifted_impulse / reshape (signal battery closure)") {
+    val r1 = q("SELECT impulse(4) AS s").head().getSeq[Double](0)
+    assert(r1 === Seq(1.0, 0.0, 0.0, 0.0))
+    val r2 = q("SELECT shifted_impulse(5, 2) AS s").head().getSeq[Double](0)
+    assert(r2 === Seq(0.0, 0.0, 1.0, 0.0, 0.0))
+    // pad, truncate, constant-from-null, and 2-D fold
+    assert(q("SELECT reshape([1, 2], [4], 0) AS s").head().getSeq[Double](0)
+      === Seq(1.0, 2.0, 0.0, 0.0))
+    assert(q("SELECT reshape([1, 2, 3], [2]) AS s").head().getSeq[Double](0)
+      === Seq(1.0, 2.0))
+    assert(q("SELECT reshape(NULL, [3], 7) AS s").head().getSeq[Double](0)
+      === Seq(7.0, 7.0, 7.0))
+    val m = q("SELECT reshape([1, 2, 3, 4, 5, 6], [2, 3], 0) AS s")
+      .head().getSeq[Seq[Double]](0)
+    assert(m === Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+  }
+
+  test("implicit_cast: string column to numeric interpretation, non-string identity") {
+    // r_name is a string column: non-numeric → NULL (documented typed
+    // divergence), and the function is identity on numeric columns
+    val rows = q("""SELECT implicit_cast(r_regionkey) AS k,
+                   |implicit_cast(r_name) AS n,
+                   |implicit_cast('') AS e,
+                   |implicit_cast('2.5') AS v
+                   |FROM region ORDER BY r_regionkey LIMIT 1""".stripMargin).head()
+    assert(rows.getInt(0) === 0)
+    assert(rows.isNullAt(1))
+    assert(rows.isNullAt(2))
+    assert(rows.getDouble(3) === 2.5)
+  }
+
   test("bitwise ops share additive precedence (reference quirk)") {
     // standard SQL would give 1 + (2 & 3) = 3; MLDB gives (1+2) & 3 = 3 … pick
     // a case where the two differ: 2 + 2 & 3 → MLDB (2+2)&3 = 0; std 2+(2&3)=4
