@@ -594,9 +594,36 @@ object Lowering {
           val c = element_at(a(1), 2).cast("int")
           transform(sequence(lit(0), r - 1),
             bi => transform(sequence(lit(1), c), j => cell(bi * c + j)))
+        case ArrayLit(Seq(_, _, _)) =>
+          val d1 = element_at(a(1), 1).cast("int")
+          val d2 = element_at(a(1), 2).cast("int")
+          val d3 = element_at(a(1), 3).cast("int")
+          transform(sequence(lit(0), d1 - 1), i =>
+            transform(sequence(lit(0), d2 - 1), j =>
+              transform(sequence(lit(1), d3), k => cell((i * d2 + j) * d3 + k))))
         case _ => throw new IllegalArgumentException(
-          "reshape needs a literal 1-D or 2-D shape, e.g. reshape(x, [4], 0)")
+          "reshape needs a literal 1-D, 2-D or 3-D shape, e.g. reshape(x, [4], 0)")
       }
+    // image.proximatevoxels appliable function
+    // (`plugins/embedding/embedding.cc:1611-1685`): the (2r+1)^3 cubic
+    // subvolume around (x, y, z) of a nested 3-D embedding — the
+    // reference walks columns in (z, y, x) order; out-of-range
+    // coordinates yield NULL cells (the reference instead requires
+    // in-range input). Compose with reshape(v, [d,d,d]) to go from a
+    // flat embedding to the voxel volume.
+    case "proximate_voxels" =>
+      val vv = a(0).cast("array<array<array<double>>>")
+      val x = a(1).cast("int"); val y = a(2).cast("int")
+      val z = a(3).cast("int")
+      val r = a(4).cast("int")
+      // element_at(_, 0) throws even with ANSI off; a negative
+      // coordinate must yield NULL like an over-range one does
+      def at1(arr: Column, i: Column) =
+        when(i >= 1, element_at(arr, i))
+      transform(sequence(z - r, z + r), kk =>
+        transform(sequence(y - r, y + r), jj =>
+          transform(sequence(x - r, x + r), ii =>
+            at1(at1(at1(vv, kk + 1), jj + 1), ii + 1))))
     case "slice" => slice(a(0), a(1).cast("int"), a(2).cast("int"))
     case "geo_distance" => M.geoDistanceM(a(0), a(1), a(2), a(3))
     case "st_contains_point" => M.stContainsPoint(a(0), a(1), a(2))

@@ -66,6 +66,24 @@ class SqlSpec extends AnyFunSuite {
     assert(m === Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
   }
 
+  test("proximate_voxels: cubic subvolume of a reshaped 3-D embedding") {
+    // the doc's 4x4x4 example (functions/ProximateVoxelsFunction.md):
+    // flat 1..64, voxel (z,y,x) = z*16 + y*4 + x + 1
+    val flat = (1 to 64).mkString("[", ", ", "]")
+    val cube = q(s"SELECT proximate_voxels(reshape($flat, [4, 4, 4]), 1, 1, 1, 1) AS v")
+      .head().getSeq[Seq[Seq[Double]]](0)
+    assert(cube.size === 3 && cube(0).size === 3 && cube(0)(0).size === 3)
+    // center of the subvolume is the queried voxel
+    assert(cube(1)(1)(1) === (1 * 16 + 1 * 4 + 1 + 1).toDouble)
+    // corner (z=0,y=0,x=0) is voxel 1
+    assert(cube(0)(0)(0) === 1.0)
+    // out-of-range cells are NULL, not errors
+    val edge = q(s"SELECT proximate_voxels(reshape($flat, [4, 4, 4]), 0, 0, 0, 1) AS v")
+      .head().getSeq[Seq[Seq[Any]]](0)
+    assert(edge(0)(0)(0) == null)
+    assert(edge(1)(1)(1) == 1.0)
+  }
+
   test("implicit_cast: string column to numeric interpretation, non-string identity") {
     // r_name is a string column: non-numeric → NULL (documented typed
     // divergence), and the function is identity on numeric columns
