@@ -363,6 +363,52 @@ final class GraftEngine(val spark: SparkSession) {
               java.nio.file.Files.getLastModifiedTime(p).toMillis)))
           .toSeq
         registerOut(rows.toDF("path", "size_bytes", "modified"))
+      // LLM-pipeline operators as first-class procedures (same typed
+      // dispatch as the reference's procedure entities): each reads a
+      // registered dataset, runs the batch operator, and registers the
+      // result under outputDataset.
+      case "dedup.exact" =>
+        registerOut(graft.operators.Dedup.exact(dataset(req("inputDataset")),
+          param("column").getOrElse("text"),
+          param("idColumn").getOrElse("doc_id")))
+      case "dedup.winnow" =>
+        registerOut(graft.operators.Dedup.winnowDedup(
+          dataset(req("inputDataset")),
+          param("column").getOrElse("text"),
+          param("idColumn").getOrElse("doc_id"),
+          k = param("k").map(_.toInt).getOrElse(3),
+          w = param("w").map(_.toInt).getOrElse(4)))
+      case "dedup.minhash" =>
+        registerOut(graft.operators.Dedup.minHashDedup(
+          dataset(req("inputDataset")),
+          param("column").getOrElse("text"),
+          param("idColumn").getOrElse("doc_id")))
+      case "quality.gopher" =>
+        registerOut(graft.operators.TextAnalysis.gopherQuality(
+          dataset(req("inputDataset")),
+          param("idColumn").getOrElse("doc_id"),
+          param("column").getOrElse("text")))
+      case "pack.sequence" =>
+        val in = dataset(req("inputDataset"))
+        val idCol = param("idColumn").getOrElse("doc_id")
+        // either a precomputed token-count column, or count a text col
+        val counted = param("nTokensColumn") match {
+          case Some(c) => in.select(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(c).cast("long").as("n_tokens"))
+          case None => in.select(org.apache.spark.sql.functions.col(idCol),
+            graft.functions.TextFunctions.tokenCount(
+              org.apache.spark.sql.functions.col(param("column").getOrElse("text")))
+              .cast("long").as("n_tokens"))
+        }
+        registerOut(graft.procedures.Procedures.sequencePack(counted, idCol,
+          "n_tokens", param("budget").map(_.toLong).getOrElse(2048L)))
+      case "ann.quantized" =>
+        registerOut(graft.operators.Similarity.quantizedTopK(
+          dataset(req("inputDataset")), dataset(req("queriesDataset")),
+          param("vectorColumn").getOrElse("embedding"),
+          param("idColumn").getOrElse("vec_id"),
+          k = param("k").map(_.toInt).getOrElse(10),
+          rerankFactor = param("rerankFactor").map(_.toInt).getOrElse(4)))
       case "script.run" =>
         val result = Scripting.run(spark, req("source"))
         (result, param("outputDataset")) match {

@@ -302,17 +302,19 @@ object TextAnalysis {
     * speed with no shuffle and composes with any sampling/dedup
     * downstream. Ratios are NULL (not pass) for empty docs. */
   def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
-      minWords: Long = 10, maxWords: Long = 100000): DataFrame = {
+      minWords: Long = 10, maxWords: Long = 100000,
+      keep: Seq[String] = Nil): DataFrame = {
     val requiredStop = Seq("the", "be", "to", "of", "and", "that",
       "have", "with")
     def occurrences(s: Column, lit0: String) =
       (length(s) - length(replace(s, lit(lit0), lit("")))) / lit0.length
-    val staged = docs.select(col(idCol).as("doc_id"), col(textCol).as("__tx"),
+    val kept = keep.map(col)
+    val staged = docs.select(Seq(col(idCol).as("doc_id"), col(textCol).as("__tx"),
       T.tokens(col(textCol), "\\s+").as("__w"),
       filter(transform(split(col(textCol), "\n"), l => trim(l)),
         l => length(l) > 0).as("__ln"),
-      array_distinct(T.tokens(col(textCol))).as("__t"))
-    staged.select(col("doc_id"),
+      array_distinct(T.tokens(col(textCol))).as("__t")) ++ kept: _*)
+    val metrics = Seq(
       size(col("__w")).cast("long").as("n_words"),
       round(aggregate(col("__w"), lit(0L), (a, w) => a + length(w))
         .cast("double") / nullif(size(col("__w")), lit(0)), 4)
@@ -330,6 +332,7 @@ object TextAnalysis {
         nullif(size(col("__w")), lit(0)), 4).as("alpha_frac"),
       size(array_intersect(col("__t"),
         array(requiredStop.map(lit): _*))).cast("long").as("n_stop"))
+    staged.select(Seq(col("doc_id")) ++ kept ++ metrics: _*)
       .withColumn("pass",
         col("n_words").between(minWords, maxWords) &&
         col("mean_word_len").between(3.0, 10.0) &&

@@ -679,9 +679,12 @@ object Lowering {
     // because an INPUT column was NULL is legitimate data, not an
     // error (errors need non-null input in non-ANSI mode), so any-
     // input-null keeps the expr result instead of the fallback.
+    // 1-arg try(expr): the reference returns the error MESSAGE as the
+    // value; in non-ANSI mode recoverable errors surface as NULL, so
+    // the analog is the expression itself with NULL standing in for
+    // the message (documented divergence — no error text available).
+    case "try" if a.size < 2 => a(0)
     case "try" =>
-      if (a.size < 2) throw new IllegalArgumentException(
-        "try(expr, fallback) requires a fallback in this engine")
       val inputs = collectIdents(raw(0)).filter(scope.hasColumn).map(col)
       if (inputs.isEmpty) coalesce(a(0), a(1))
       else when(inputs.map(_.isNull).reduce(_ || _), a(0))

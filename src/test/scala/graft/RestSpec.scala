@@ -296,4 +296,42 @@ class RestSpec extends AnyFunSuite {
       assert(post("""{"type": "nope.nope"}""")._1 === 400)
     } finally srv.stop()
   }
+
+  test("LLM-pipeline operators as typed procedures over REST") {
+    val engine = new GraftEngine(spark)
+    engine.createDatasetFromParquet("documents", s"$sf/documents.parquet")
+    engine.createDatasetFromParquet("embeddings", s"$sf/embeddings.parquet")
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      def post(body: String): (Int, String) = {
+        val r = client.send(HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port/v1/procedures"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val (c1, b1) = post(
+        """{"type": "dedup.exact", "inputDataset": "documents", "outputDataset": "deduped"}""")
+      assert(c1 === 200 && b1.contains("deduped"), b1)
+      val (c2, b2) = post(
+        """{"type": "quality.gopher", "inputDataset": "documents", "outputDataset": "quality"}""")
+      assert(c2 === 200, b2)
+      val (_, qb) = get(port, "/v1/datasets/quality")
+      assert(qb.contains("mean_word_len") && qb.contains("\"pass\""))
+      val (c3, b3) = post(
+        """{"type": "pack.sequence", "inputDataset": "documents", "budget": "512", "outputDataset": "packed"}""")
+      assert(c3 === 200, b3)
+      val (_, pb) = get(port, "/v1/datasets/packed")
+      assert(pb.contains("first_pack") && pb.contains("n_packs"))
+      val (c4, b4) = post(
+        """{"type": "ann.quantized", "inputDataset": "embeddings", "queriesDataset": "embeddings", "k": "3", "outputDataset": "nbrs"}""")
+      assert(c4 === 200, b4)
+      val (_, nb) = get(port, "/v1/datasets/nbrs")
+      assert(nb.contains("neighbor_id") && nb.contains("cosine"))
+      val (c5, b5) = post(
+        """{"type": "dedup.winnow", "inputDataset": "documents", "k": "3", "w": "4", "outputDataset": "winnowed"}""")
+      assert(c5 === 200 && b5.contains("winnowed"), b5)
+    } finally srv.stop()
+  }
 }

@@ -84,6 +84,14 @@ class SqlSpec extends AnyFunSuite {
     assert(edge(1)(1)(1) == 1.0)
   }
 
+  test("try(expr) without fallback: recoverable errors surface as NULL") {
+    val r = q("""SELECT try(CAST('oops' AS number)) AS a,
+                |try(1 / 0) AS b, try(2 + 2) AS c""".stripMargin).head()
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1))
+    assert(r.getLong(2) === 4L)
+  }
+
   test("implicit_cast: string column to numeric interpretation, non-string identity") {
     // r_name is a string column: non-numeric → NULL (documented typed
     // divergence), and the function is identity on numeric columns

@@ -113,6 +113,35 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless pipeline ops run unchanged on a stream (quality gate + redaction)") {
+    // gopherQuality / redactPii / langId are pure per-row Column math,
+    // so the SAME operator code drives a streaming quality filter —
+    // no foreachBatch, no state. This is the 100 TB ingest-gate shape:
+    // filter documents as they arrive, before anything shuffles.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val good = "the quick brown fox jumps over that lazy dog because " +
+      "we have seen it move with great speed and of course style"
+    in.addData((1L, good), (2L, "## ## ## ##"), (3L, good + " email me at a@b.com"))
+    val docs = in.toDF().toDF("doc_id", "text")
+    val gated = graft.operators.TextAnalysis
+      .gopherQuality(docs.withColumn("clean",
+        graft.functions.TextFunctions.redactPii(col("text"))),
+        "doc_id", "text", keep = Seq("clean"))
+      .filter(col("pass"))
+    val q = gated.writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, clean FROM gate_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet === Set(1L, 3L))
+      assert(!out(3L).contains("a@b.com"))
+    } finally q.stop()
+  }
+
   test("statsTable getCounts on new data with cold-start zeros") {
     import spark.implicits._
     val trained = StatsTable.table(Tables.events(spark, sf), "event_type",
