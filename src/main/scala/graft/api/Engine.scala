@@ -402,6 +402,21 @@ final class GraftEngine(val spark: SparkSession) {
         }
         registerOut(graft.procedures.Procedures.sequencePack(counted, idCol,
           "n_tokens", param("budget").map(_.toLong).getOrElse(2048L)))
+      case "bpe.train" =>
+        // procedure → appliable function lifecycle, like
+        // classifier.train: the trained merges become a registered
+        // function that tokenizes any dataset's text column.
+        val model = graft.ml.Bpe.train(dataset(req("trainingDataset")),
+          param("column").getOrElse("text"),
+          numMerges = param("numMerges").map(_.toInt).getOrElse(200),
+          maxVocab = param("maxVocab").map(_.toInt).getOrElse(50000))
+        val fname = req("functionName")
+        val textCol = param("column").getOrElse("text")
+        createFunction(fname, df => df.withColumn("bpe_tokens",
+          graft.ml.Bpe.encodeColumn(
+            graft.functions.TextFunctions.tokens(
+              org.apache.spark.sql.functions.col(textCol)), model)))
+        s"""{"functionName": "$fname", "merges": ${model.merges.size}}"""
       case "ann.quantized" =>
         registerOut(graft.operators.Similarity.quantizedTopK(
           dataset(req("inputDataset")), dataset(req("queriesDataset")),

@@ -1033,6 +1033,51 @@ object PipelineQueries {
           round(col("cosine"), 4).as("cosine"))
     },
 
+    // --- BPE tokenization (exact Sennrich merges trained on the
+    // corpus word-frequency table, applied by the native expression).
+    // Metric-bound oracle (the q55/q56 pattern): DuckDB recomputes
+    // n_words / chars_in_words from the identical tokenizer and emits
+    // the EXPECTED constants for the structural invariants the Spark
+    // side actually measures — subwords partition each word's
+    // characters exactly, every word ends in exactly one </w>-marked
+    // subword, and the subword count is within [n_words,
+    // chars_in_words + n_words]. Any encoder defect on any document
+    // breaks the hash. ---
+    QueryDef("q98_bpe_tokenize",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text),
+        |    '[\s,;:!?.()\[\]{}"'']+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[\s,;:!?.()\[\]{}"'']+'), x -> len(x) > 0),
+        |    x -> len(x))), 0) AS BIGINT) AS chars_in_words,
+        |  true AS partition_exact,
+        |  true AS markers_exact,
+        |  true AS bpe_bounded
+        |FROM documents""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val model = graft.ml.Bpe.train(docs, "text",
+        numMerges = 200, maxVocab = 20000)
+      docs.select(col("doc_id"), T.tokens(col("text")).as("__w"))
+        .select(col("doc_id"), col("__w"),
+          graft.ml.Bpe.encodeColumn(col("__w"), model).as("__bpe"))
+        .select(col("doc_id"),
+          size(col("__w")).cast("long").as("n_words"),
+          aggregate(col("__w"), lit(0L), (a, w) => a + length(w))
+            .as("chars_in_words"),
+          (aggregate(col("__bpe"), lit(0L), (a, t) => a + length(t)) -
+            lit(graft.ml.Bpe.EndOfWord.length.toLong) * size(col("__w")) ===
+            aggregate(col("__w"), lit(0L), (a, w) => a + length(w)))
+            .as("partition_exact"),
+          (size(filter(col("__bpe"),
+            t => t.endsWith(graft.ml.Bpe.EndOfWord))) === size(col("__w")))
+            .as("markers_exact"),
+          (size(col("__bpe")) >= size(col("__w")) &&
+            size(col("__bpe")) <= size(col("__w")) +
+              aggregate(col("__w"), lit(0L), (a, w) => a + length(w)))
+            .as("bpe_bounded"))
+    },
+
     // --- per-group quota sampling (≤ cap docs per source,
     // deterministic md5 order) — the cross-engine md5 contract makes
     // the exact kept set reproducible in DuckDB. ---

@@ -332,6 +332,13 @@ class RestSpec extends AnyFunSuite {
       val (c5, b5) = post(
         """{"type": "dedup.winnow", "inputDataset": "documents", "k": "3", "w": "4", "outputDataset": "winnowed"}""")
       assert(c5 === 200 && b5.contains("winnowed"), b5)
+      // bpe.train registers an appliable tokenizer function
+      val (c6, b6) = post(
+        """{"type": "bpe.train", "trainingDataset": "documents", "numMerges": "40", "functionName": "tok"}""")
+      assert(c6 === 200 && b6.contains("\"merges\": 40"), b6)
+      val input = java.net.URLEncoder.encode("""{"text": "the quick fox"}""", "UTF-8")
+      val (ac, ab) = get(port, s"/v1/functions/tok/application?input=$input")
+      assert(ac === 200 && ab.contains("bpe_tokens") && ab.contains("</w>"), ab)
     } finally srv.stop()
   }
 }

@@ -12,6 +12,7 @@ already have removed).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -57,6 +58,10 @@ def main(sf_dir, out_dir):
             spark_df = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         except Exception as e:
+            # partial Verify runs (name-prefix filtered) leave most
+            # outputs absent — skip silently when asked
+            if os.environ.get("SKIP_MISSING"):
+                continue
             print(f"FAIL {name}: no spark output ({e})")
             n_fail += 1
             continue
