@@ -28,7 +28,8 @@ object PlanAudit {
       "q85_bm25", "q86_quota_sample", "q87_bloom_dedup", "q88_mixture_sample",
       "q89_lm_perplexity", "q90_span_dedup", "q91_chunking",
       "q93_winnow_dedup", "q94_embedding_quantize", "q95_sequence_pack",
-      "q96_gopher_quality", "q97_ann_quantized", "q98_bpe_tokenize")
+      "q96_gopher_quality", "q97_ann_quantized", "q98_bpe_tokenize",
+      "q99_kl_divergence")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
@@ -42,8 +43,9 @@ object PlanAudit {
       // winnow dedup is keeper-rule based like q90; quantization and
       // the quality battery are pure row math — none may plan a window
       "q93_winnow_dedup", "q94_embedding_quantize", "q96_gopher_quality",
-      // BPE apply is a native per-row expression over the scan
-      "q98_bpe_tokenize")
+      // BPE apply is a native per-row expression over the scan;
+      // KL divergence is pure groupBy/join aggregation
+      "q98_bpe_tokenize", "q99_kl_divergence")
     for (name <- interesting) {
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString

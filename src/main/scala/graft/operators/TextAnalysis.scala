@@ -344,6 +344,43 @@ object TextAnalysis {
       .withColumn("pass", coalesce(col("pass"), lit(false)))
   }
 
+  /** Per-slice unigram KL divergence against the whole corpus — the
+    * distribution-shift diagnostic behind data-mixture tuning ("how
+    * far is this source's token distribution from the blend?").
+    * KL(P_slice || Q_corpus) = Σ_t P(t|s) · ln(P(t|s) / Q(t)), with
+    * every term computed from exact integer counts and rounded to
+    * 1e-9 fixed point before the sum — the q89 contract that makes
+    * the aggregate integer-exact and reduction-order-free, so a
+    * second engine reproduces it bit for bit.
+    *
+    * Scale shape: two explode → groupBy count aggregates (map-side
+    * partials; only (slice, token, n) rows shuffle), one token-keyed
+    * join co-partitioned on the token, slice totals and the corpus
+    * total broadcast. No windows, no driver state. */
+  def unigramDivergence(docs: DataFrame, textCol: String,
+      sliceCol: String): DataFrame = {
+    val toks = docs.select(col(sliceCol).as("slice"),
+      explode(T.tokens(col(textCol))).as("t"))
+    val bySlice = toks.groupBy(col("slice"), col("t"))
+      .agg(count(lit(1)).as("c_st"))
+    val byTok = toks.groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+    val nSlice = toks.groupBy(col("slice")).agg(count(lit(1)).as("n_s"))
+    val total = toks.agg(count(lit(1)).as("n_all"))
+    val term = (col("c_st").cast("double") / col("n_s")) *
+      log((col("c_st").cast("double") * col("n_all")) /
+        (col("c_t").cast("double") * col("n_s")))
+    bySlice
+      .join(byTok, Seq("t"))
+      .join(broadcast(nSlice), Seq("slice"))
+      .crossJoin(broadcast(total))
+      .withColumn("__fp", round(term * 1e9, 0).cast("long"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        max(col("n_s")).as("n_tokens"),
+        sum(col("__fp")).as("kl_fp"))
+      .withColumn("kl", round(col("kl_fp").cast("double") / 1e9, 6))
+  }
+
   /** `statsTable.bagOfWords.train`
     * (`plugins/feature_gen/stats_table_procedure.cc:992-1007`): per
     * token, co-occurrence counts with a boolean outcome across docs. */

@@ -1078,6 +1078,38 @@ object PipelineQueries {
             .as("bpe_bounded"))
     },
 
+    // --- per-slice unigram KL divergence vs the corpus blend (the
+    // data-mixture diagnostic). Every term derives from exact integer
+    // counts and lands in 1e-9 fixed point before the sum (the q89
+    // contract), so DuckDB reproduces the aggregate bit for bit. ---
+    QueryDef("q99_kl_divergence",
+      """WITH tk AS (
+        |  SELECT source AS slice,
+        |    unnest(list_filter(regexp_split_to_array(lower(text),
+        |      '[\s,;:!?.()\[\]{}"'']+'), x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |bs AS (SELECT slice, t, CAST(count(*) AS BIGINT) AS c_st
+        |       FROM tk GROUP BY slice, t),
+        |bt AS (SELECT t, CAST(count(*) AS BIGINT) AS c_t FROM tk GROUP BY t),
+        |ns AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_s
+        |       FROM tk GROUP BY slice),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM tk),
+        |terms AS (
+        |  SELECT bs.slice, n_s,
+        |    CAST(round((CAST(c_st AS DOUBLE) / n_s) *
+        |      ln((CAST(c_st AS DOUBLE) * n_all) /
+        |         (CAST(c_t AS DOUBLE) * n_s)) * 1000000000.0, 0)
+        |      AS BIGINT) AS fp
+        |  FROM bs JOIN bt USING (t) JOIN ns USING (slice) CROSS JOIN tot)
+        |SELECT slice,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |  max(n_s) AS n_tokens,
+        |  CAST(sum(fp) AS BIGINT) AS kl_fp,
+        |  round(CAST(sum(fp) AS DOUBLE) / 1000000000.0, 6) AS kl
+        |FROM terms GROUP BY slice""".stripMargin) { (s, d) =>
+      TextAnalysis.unigramDivergence(Tables.documents(s, d), "text", "source")
+    },
+
     // --- per-group quota sampling (≤ cap docs per source,
     // deterministic md5 order) — the cross-engine md5 contract makes
     // the exact kept set reproducible in DuckDB. ---

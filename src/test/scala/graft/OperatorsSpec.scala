@@ -460,6 +460,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(empty.isNullAt(empty.fieldIndex("mean_word_len")))
   }
 
+  test("unigramDivergence: non-negative, zero for identical slices, large for disjoint") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // two slices with the SAME token distribution → KL == 0 exactly
+    val same = Seq(("a", "x y z x"), ("b", "x y z x")).toDF("source", "text")
+    val klSame = TextAnalysis.unigramDivergence(same, "text", "source")
+      .select("kl_fp").as[Long].collect()
+    assert(klSame.forall(_ === 0L))
+    // a disjoint-vocabulary slice diverges hard; everything stays >= 0
+    val skew = Seq(("a", "x y z x y z"), ("b", "q r s q r s"))
+      .toDF("source", "text")
+    val klSkew = TextAnalysis.unigramDivergence(skew, "text", "source")
+      .select("kl_fp").as[Long].collect()
+    assert(klSkew.forall(_ > 0L))
+    val real = TextAnalysis.unigramDivergence(
+      Tables.documents(spark, sf), "text", "source")
+      .select("kl_fp").as[Long].collect()
+    assert(real.nonEmpty && real.forall(_ >= 0L))
+  }
+
   test("int8 quantization: codes in range, reconstruction within span/510") {
     val emb = Tables.embeddings(spark, sf)
     val (mins, maxs) = Similarity.embeddingRanges(emb, "embedding")

@@ -102,7 +102,6 @@ def main(sf_dir, out_dir):
             n_pass += 1
     # rows-only queries: just check output exists and has rows
     import glob
-    import os
     for p in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(p.rstrip("/"))
         if name in oracles:
