@@ -29,7 +29,7 @@ object PlanAudit {
       "q89_lm_perplexity", "q90_span_dedup", "q91_chunking",
       "q93_winnow_dedup", "q94_embedding_quantize", "q95_sequence_pack",
       "q96_gopher_quality", "q97_ann_quantized", "q98_bpe_tokenize",
-      "q99_kl_divergence")
+      "q99_kl_divergence", "q100_semantic_dedup", "q101_dsir")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
@@ -45,7 +45,11 @@ object PlanAudit {
       "q93_winnow_dedup", "q94_embedding_quantize", "q96_gopher_quality",
       // BPE apply is a native per-row expression over the scan;
       // KL divergence is pure groupBy/join aggregation
-      "q98_bpe_tokenize", "q99_kl_divergence")
+      "q98_bpe_tokenize", "q99_kl_divergence",
+      // SemDeDup assigns clusters map-side from literal centroids and
+      // dedups via anti-join; DSIR scores map-side against the literal
+      // weight table and selects via TakeOrdered — no windows anywhere
+      "q100_semantic_dedup", "q101_dsir")
     for (name <- interesting) {
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString

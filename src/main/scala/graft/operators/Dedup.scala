@@ -495,4 +495,105 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine")).distinct()
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest centroid
+    * by dot product, verify cosine only WITHIN each cluster, and from
+    * every near-duplicate pair drop the row MORE similar to its
+    * centroid (the paper keeps the low-centroid-similarity example as
+    * the more informative one; ties drop the larger id).
+    *
+    * Scale shape: the centroid table rides in the plan as literals
+    * (k·dim doubles), so assignment is pure map-side codegen'd math —
+    * ZERO shuffle; the only shuffle is the per-cluster self-join,
+    * quadratic within a cluster and bounded by `maxCluster` via
+    * [[dropHotGroups]]. At 100 TB the centroid count is the knob:
+    * k ~ n/maxCluster keeps every cluster join-sized while the
+    * centroid literal stays a few hundred KB. Differs from
+    * [[embeddingPairs]] (hyperplane LSH buckets) in that clusters are
+    * data-adaptive — pass k-means centroids for the paper's behavior,
+    * or any fixed matrix for a deterministic coarse partition.
+    *
+    * Returns survivors as (id, cluster, csim). */
+  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], minCosine: Double = 0.95,
+      maxCluster: Int = 10000): DataFrame = {
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // All k centroid dots in ONE native eval per row (bit-identical to
+    // k separate VecDots — same per-dot summation order); argmax ties
+    // resolve to the first (lowest) centroid in both this and the
+    // DuckDB list_position mirror.
+    val dots = graft.plans.VectorExprs.matVecDots(
+      centroids.toIndexedSeq.map(_.toIndexedSeq), col("v"))
+    val cNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toSeq
+    val withDots = base.withColumn("__dots", dots)
+      .withColumn("__vnorm", sqrt(V.dot(col("v"), col("v"))))
+      .withColumn("cluster",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1)
+          .cast("int"))
+    // Normalize ONCE per row, before the pair join: the within-cluster
+    // verify is the quadratic stage, so per-pair work must be a bare
+    // dot product — norms computed per pair would triple the flops on
+    // the hot path.
+    val assigned = withDots
+      .withColumn("csim", when(col("__vnorm") === 0.0, lit(0.0)).otherwise(
+        array_max(col("__dots")) /
+          (col("__vnorm") * element_at(typedLit(cNorms), col("cluster") + 1))))
+      .withColumn("vn", when(col("__vnorm") === 0.0, col("v"))
+        .otherwise(transform(col("v"), x => x / col("__vnorm"))))
+      .select(col("id"), col("v"), col("vn"), col("cluster"), col("csim"))
+    val guarded = dropHotGroups(assigned, Seq("cluster"), maxCluster)
+    // Quantized prefilter over the quadratic stage: the self-join scans
+    // 64-BYTE int8 codes (8× less payload than array<double>) and keeps
+    // only pairs whose integer-exact approximate dot clears
+    // minCosine − ε, where ε = 2√d/255 + d/255² bounds the quantization
+    // error for unit vectors — so NO true pair is ever dropped and the
+    // exact re-score below makes the result bit-identical to the
+    // unquantized formulation (differential-tested in OperatorsSpec).
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    val eps = 2.0 * math.sqrt(dim.toDouble) / 255.0 +
+      dim.toDouble / (255.0 * 255.0)
+    val q = graft.plans.VectorExprs.quantizeUnit8(col("vn"))
+    val a = guarded.select(col("cluster"), col("id").as("id_a"),
+      q.as("q_a"), col("csim").as("csim_a"))
+    val b = guarded.select(col("cluster"), col("id").as("id_b"),
+      q.as("q_b"), col("csim").as("csim_b"))
+    val candidates = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.plans.VectorExprs.dotQ8(col("q_a"), col("q_b")) >=
+        minCosine - eps)
+      .select(col("id_a"), col("id_b"), col("csim_a"), col("csim_b"))
+    // Exact re-score: only the (rare) candidate pairs touch the full
+    // vectors again — the quantizedTopK rerank shape.
+    val losers = candidates
+      .join(assigned.select(col("id").as("id_a"), col("vn").as("vn_a")),
+        Seq("id_a"))
+      .join(assigned.select(col("id").as("id_b"), col("vn").as("vn_b")),
+        Seq("id_b"))
+      .filter(V.dot(col("vn_a"), col("vn_b")) >= minCosine)
+      .select(when(col("csim_a") > col("csim_b") ||
+          (col("csim_a") === col("csim_b") && col("id_a") > col("id_b")),
+        col("id_a")).otherwise(col("id_b")).as("id"))
+      .distinct()
+    assigned.join(losers, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"), col("csim"))
+  }
+
+  /** [[semanticDedup]] with centroids trained in place by MLlib
+    * k-means (the SemDeDup paper's setup). The fitted centers are
+    * extracted to plain arrays, so the dedup pass itself still runs
+    * with literal centroids and a zero-shuffle assignment. */
+  def semanticDedupAuto(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, minCosine: Double = 0.95, maxCluster: Int = 10000,
+      seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+    semanticDedup(emb, vecCol, idCol,
+      model.clusterCenters.map(_.toArray), minCosine, maxCluster)
+  }
 }

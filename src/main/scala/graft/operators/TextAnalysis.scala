@@ -390,4 +390,85 @@ object TextAnalysis {
       explode(array_distinct(T.tokens(col(textCol)))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("trials"), sum(col("__y")).as("successes"))
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how much more
+    * likely its hashed-n-gram bag is under the TARGET corpus's
+    * unigram distribution than under the raw corpus's own, then
+    * resample with Gumbel-top-k. The standard way to skim a
+    * target-domain-like subset (e.g. "wiki-like") out of a web-scale
+    * crawl.
+    *
+    * Mechanics, 100 TB shape:
+    *  1. Hash every token into `nBuckets` buckets (`bucketOf`; default
+    *     xxhash64 — pass an md5 formulation for cross-engine tests).
+    *  2. One groupBy(bucket).count pass per corpus — partial-aggregated
+    *     map-side, ≤ nBuckets rows shuffle; the two count vectors are
+    *     config-sized driver arrays (the word2vec-vocab pattern).
+    *  3. Per-bucket importance weight ln(p_target(b)/p_raw(b)) with
+    *     +0.5 additive smoothing, FIXED-POINT scaled to BIGINT
+    *     micro-units (the q89 construction: per-doc sums become
+    *     integer-exact and reduction-order-free).
+    *  4. Per-doc log-weight = Σ fp(bucket(token)) — pure map-side array
+    *     math against the broadcast-literal weight table, zero joins.
+    *  5. Gumbel noise g = -ln(-ln(u)) with u drawn deterministically
+    *     from md5(id·seed) — resampling without replacement reduces to
+    *     a global top-k on (logw + g), which TakeOrdered handles
+    *     without a single-partition sort.
+    *
+    * Returns (id, logw_fp, gumbel_fp, sel_fp) for every raw doc;
+    * [[dsirSelect]] takes the top k. */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 256, seed: Int = 42,
+      bucketOf: Option[Column => Column] = None): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      "nBuckets must be in (0, 65536] — the weight table rides in the plan")
+    val bucket: Column => Column =
+      bucketOf.getOrElse(t => pmod(xxhash64(t), lit(nBuckets.toLong)))
+    def counts(df: DataFrame): Array[Long] = {
+      val out = Array.fill(nBuckets)(0L)
+      df.select(explode(T.tokens(col(textCol), "\\s+")).as("__t"))
+        .select(bucket(col("__t")).cast("int").as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+        .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
+      out
+    }
+    val (tc, rc) = (counts(target), counts(raw))
+    val (tN, rN) = (tc.sum.toDouble, rc.sum.toDouble)
+    // ln((tc+0.5)/(tN+0.5·B)) - ln((rc+0.5)/(rN+0.5·B)), µ-scaled.
+    // KEEP this formula textually in sync with the q101 oracle SQL.
+    val fp: Seq[Long] = (0 until nBuckets).map { b =>
+      math.round((math.log((tc(b) + 0.5) / (tN + 0.5 * nBuckets)) -
+        math.log((rc(b) + 0.5) / (rN + 0.5 * nBuckets))) * 1e6)
+    }
+    val u = (hexVal(md5(concat(col("id").cast("string"),
+      lit(s"-$seed")).cast("binary"))) + lit(0.5)) / lit(4294967296.0)
+    raw.select(col(idCol).as("id"), T.tokens(col(textCol), "\\s+").as("__toks"))
+      .withColumn("__b", transform(col("__toks"), t => bucket(t).cast("int")))
+      .withColumn("logw_fp", aggregate(col("__b"), lit(0L),
+        (acc, b) => acc + element_at(typedLit(fp), b + 1)))
+      .withColumn("gumbel_fp",
+        round(-log(-log(u)) * 1e6, 0).cast("long"))
+      .select(col("id"), col("logw_fp"), col("gumbel_fp"),
+        (col("logw_fp") + col("gumbel_fp")).as("sel_fp"))
+  }
+
+  /** Gumbel-top-k selection over [[dsirScores]] — equivalent to
+    * sampling k docs without replacement with probability ∝ the
+    * importance weight. orderBy+limit lowers to TakeOrdered: per-
+    * partition top-k then a driver merge of k·nPart rows — no global
+    * sort, no single-partition window. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, nBuckets: Int = 256, seed: Int = 42,
+      bucketOf: Option[Column => Column] = None): DataFrame =
+    dsirScores(raw, target, idCol, textCol, nBuckets, seed, bucketOf)
+      .orderBy(col("sel_fp").desc, col("id")).limit(k)
+
+  /** First 8 hex digits of an md5 hex string as a number in [0, 2^32)
+    * — the q83 cross-engine digit idiom, shared by the Gumbel draw. */
+  private def hexVal(md5Hex: Column): Column =
+    (1 to 8).map { k =>
+      (instr(lit("0123456789abcdef"), substring(md5Hex, k, 1)) - 1) *
+        lit(math.pow(16, 8 - k).toLong)
+    }.reduce(_ + _).cast("double")
 }

@@ -103,6 +103,96 @@ case class VecEuclidean(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All rows of a PLAN-CONSTANT matrix dotted with the input vector in
+  * ONE eval: returns array<double> of k dot products. Equivalent to
+  * array(VecDot(row₀, v), …, VecDot(rowₖ₋₁, v)) — same per-dot
+  * left-to-right summation order, bit-identical results — but one
+  * interpreted-expression dispatch per ROW instead of k (the k-call
+  * form pays ~1µs of CodegenFallback boxing per dot, which dominates
+  * nearest-centroid assignment at k ≥ 16). */
+case class MatVecDots(matrix: Seq[Seq[Double]], child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_matvec_dots"
+  @transient private lazy val m: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val k = m.length
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val row = m(c)
+      val n = math.min(v.numElements(), row.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += row(i) * v.getDouble(i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): MatVecDots =
+    copy(child = c)
+}
+
+/** Unit-interval int8 quantization to a BINARY code: each coordinate
+  * of a vector with entries in [-1, 1] (e.g. an L2-normalized
+  * embedding) maps to round((x + 1) · 127.5) − 128 ∈ [-128, 127],
+  * one signed byte per dimension — 8× less pair-join payload than
+  * array<double>. Out-of-range inputs clamp. Inverse:
+  * x ≈ (code + 128) / 127.5 − 1, max per-coordinate error 1/255. */
+case class QuantizeUnit8(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_quantize_unit8"
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val cl = if (x < -1.0) -1.0 else if (x > 1.0) 1.0 else x
+      val c = Math.round((cl + 1.0) * 127.5).toInt - 128
+      out(i) = (if (c < -128) -128 else if (c > 127) 127 else c).toByte
+      i += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): QuantizeUnit8 =
+    copy(child = c)
+}
+
+/** Approximate dot product of two [[QuantizeUnit8]] codes, computed
+  * EXACTLY in integer arithmetic then scaled once:
+  * Σ(ua/127.5−1)(ub/127.5−1) = Σua·ub/127.5² − (Σua+Σub)/127.5 + n
+  * with ua = code + 128 ∈ [0, 255]. For unit vectors the result is
+  * within (‖a‖₁+‖b‖₁)/255 + n/255² ≤ 2√n/255 + n/255² of the true
+  * dot — the margin a prefilter must allow before exact re-scoring. */
+case class VecDotQ8(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot_q8"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    val n = math.min(a.length, b.length)
+    var dd = 0L; var sa = 0L; var sb = 0L
+    var i = 0
+    while (i < n) {
+      val ua = (a(i) + 128).toLong; val ub = (b(i) + 128).toLong
+      dd += ua * ub; sa += ua; sb += ub
+      i += 1
+    }
+    java.lang.Double.valueOf(
+      dd / (127.5 * 127.5) - (sa + sb) / 127.5 + n)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotQ8 =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket id: sign bits of nBits hash-derived
   * ±1 projections packed into a long (Charikar 2002). The ±1 entries
   * are derived from xxhash64("lsh-<bit>-<dim>") — identical to
@@ -165,4 +255,12 @@ object VectorExprs {
       GraftColumnBridge.expression(d(a)), GraftColumnBridge.expression(d(b))))
   def lshBucket(v: Column, nBits: Int): Column =
     GraftColumnBridge.column(LshBucket(GraftColumnBridge.expression(d(v)), nBits))
+  def matVecDots(matrix: Seq[Seq[Double]], v: Column): Column =
+    GraftColumnBridge.column(MatVecDots(matrix,
+      GraftColumnBridge.expression(d(v))))
+  def quantizeUnit8(v: Column): Column =
+    GraftColumnBridge.column(QuantizeUnit8(GraftColumnBridge.expression(d(v))))
+  def dotQ8(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VecDotQ8(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -1138,5 +1138,125 @@ object PipelineQueries {
         Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0),
         defaultRate = 0.125)
         .select(col("doc_id"), col("source"))
+    },
+
+    // --- SemDeDup semantic dedup (Abbas et al. 2023), hash-matched:
+    // centroids are the deterministic ±1 sign matrix (q49's idiom), so
+    // DuckDB recomputes the same cluster assignment (list_position of
+    // the max dot — first-index tie-break both sides), the same
+    // within-cluster cosines, and the same more-central-row-loses
+    // keeper rule. Near-dups are planted by unioning a perturbed copy
+    // of the corpus (first coordinate halved + 0.01 — identical IEEE
+    // arithmetic in both engines); the original corpus is near-
+    // orthogonal (max pair cosine 0.475 ≪ 0.9), so exactly the
+    // same-cluster twins drop. ---
+    QueryDef("q100_semantic_dedup", {
+      val cents = graft.plans.LshBucket.signMatrix(64, 64)
+      def clit(row: Array[Double]) =
+        row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val dotsSql = (0 until 64).map(c =>
+        s"list_dot_product(v, ${clit(cents(c))})").mkString("[", ", ", "]")
+      s"""WITH e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, v0 AS v FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_concat([v0[1] * 0.5 + 0.01], v0[2:]) AS v FROM e0),
+        |dt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vnorm,
+        |       $dotsSql AS dots FROM u),
+        |a AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER) AS cluster,
+        |    CASE WHEN vnorm = 0 THEN 0.0
+        |         ELSE list_max(dots) / (vnorm * 8.0)
+        |    END AS csim,
+        |    CASE WHEN vnorm = 0 THEN v
+        |         ELSE list_transform(v, x -> x / vnorm)
+        |    END AS vn
+        |  FROM dt),
+        |p AS (
+        |  SELECT a1.vec_id AS id_a, a2.vec_id AS id_b,
+        |    a1.csim AS csim_a, a2.csim AS csim_b,
+        |    list_dot_product(a1.vn, a2.vn) AS cos
+        |  FROM a a1 JOIN a a2
+        |    ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id),
+        |l AS (
+        |  SELECT DISTINCT CASE WHEN csim_a > csim_b
+        |      OR (csim_a = csim_b AND id_a > id_b)
+        |    THEN id_a ELSE id_b END AS vec_id
+        |  FROM p WHERE cos >= 0.9)
+        |SELECT vec_id, cluster, round(csim, 6) AS csim FROM a
+        |WHERE vec_id NOT IN (SELECT vec_id FROM l)""".stripMargin
+    }) { (s, d) =>
+      val cents = graft.plans.LshBucket.signMatrix(64, 64)
+      val e0 = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val pert = e0.select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("v"), 1) * 0.5 + 0.01),
+          slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+      Dedup.semanticDedup(e0.unionByName(pert), "v", "vec_id", cents,
+        minCosine = 0.9)
+        .select(col("id").as("vec_id"), col("cluster"),
+          round(col("csim"), 6).as("csim"))
+    },
+
+    // --- DSIR importance resampling (Xie et al. 2023), hash-matched:
+    // target = the English slice, raw = the whole corpus. Buckets,
+    // per-bucket fixed-point log-ratios, per-doc BIGINT sums, and the
+    // deterministic md5 Gumbel draw are all reproduced term-for-term
+    // in DuckDB; the selected top-100 set (with its scores) must agree
+    // exactly. ---
+    QueryDef("q101_dsir", {
+      val digitT = (1 to 8).map { k =>
+        s"(strpos('0123456789abcdef', substr(md5(t), $k, 1)) - 1) * ${math.pow(16, 8 - k).toLong}"
+      }.mkString(" + ")
+      val digitG = (1 to 8).map { k =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || '-42'), $k, 1)) - 1) * ${math.pow(16, 8 - k).toLong}"
+      }.mkString(" + ")
+      s"""WITH d AS (
+        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text),
+        |    '\\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(toks) AS t FROM d),
+        |tb AS (SELECT doc_id, lang, CAST(($digitT) % 256 AS BIGINT) AS b FROM tok),
+        |tcnt AS (SELECT b, count(*) AS c FROM tb WHERE lang = 'en' GROUP BY b),
+        |rcnt AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+        |tn AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n FROM tcnt),
+        |rn AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n FROM rcnt),
+        |w AS (
+        |  SELECT gs.b,
+        |    CAST(round((ln((coalesce(tcnt.c, 0) + 0.5) / (tn.n + 0.5 * 256)) -
+        |      ln((coalesce(rcnt.c, 0) + 0.5) / (rn.n + 0.5 * 256))) * 1000000.0,
+        |      0) AS BIGINT) AS fp
+        |  FROM (SELECT unnest(generate_series(0, 255)) AS b) gs
+        |  LEFT JOIN tcnt ON tcnt.b = gs.b
+        |  LEFT JOIN rcnt ON rcnt.b = gs.b
+        |  CROSS JOIN tn CROSS JOIN rn),
+        |ds AS (
+        |  SELECT tb.doc_id, CAST(sum(w.fp) AS BIGINT) AS logw_fp
+        |  FROM tb JOIN w ON w.b = tb.b GROUP BY tb.doc_id),
+        |sc AS (
+        |  SELECT d.doc_id, coalesce(ds.logw_fp, 0) AS logw_fp,
+        |    CAST(round(-ln(-ln((($digitG) + 0.5) / 4294967296.0)) * 1000000.0,
+        |      0) AS BIGINT) AS gumbel_fp
+        |  FROM d LEFT JOIN ds ON ds.doc_id = d.doc_id)
+        |SELECT doc_id, logw_fp, gumbel_fp, logw_fp + gumbel_fp AS sel_fp
+        |FROM sc ORDER BY sel_fp DESC, doc_id LIMIT 100""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // md5-digit bucket (q83 idiom) so DuckDB reproduces the hash
+      val mdBucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        t => pmod((1 to 8).map { k =>
+          (instr(lit("0123456789abcdef"),
+            substring(md5(t.cast("binary")), k, 1)) - 1) *
+            lit(math.pow(16, 8 - k).toLong)
+        }.reduce(_ + _), lit(256L))
+      TextAnalysis.dsirSelect(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", k = 100, nBuckets = 256, seed = 42,
+        bucketOf = Some(mdBucket))
+        .select(col("id").as("doc_id"), col("logw_fp"), col("gumbel_fp"),
+          col("sel_fp"))
     })
 }

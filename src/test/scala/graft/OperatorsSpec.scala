@@ -531,4 +531,102 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
     assert(out.count() > 0)
   }
+
+  test("semanticDedup: twin drops by the more-central-loses rule; no Window in the plan") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // plant twins: same direction, slightly perturbed first coordinate
+    val twins = emb.select((col("vec_id") + 1000L).as("vec_id"),
+      concat(array(element_at(col("v"), 1) * 0.5 + 0.01),
+        slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+    val cents = graft.plans.LshBucket.signMatrix(8, 64)
+    val all = emb.unionByName(twins)
+    val out = Dedup.semanticDedup(all, "v", "vec_id", cents, minCosine = 0.9)
+    val n = emb.count()
+    // exactly one of each same-cluster twin pair dropped; nothing else
+    // (original corpus pairs are near-orthogonal)
+    assert(out.count() < 2 * n && out.count() >= n)
+    // survivors of a dropped pair: the one with LOWER centroid cosine
+    val surv = out.select("id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSet
+    (0L until n).foreach { i =>
+      assert(surv.contains(i) || surv.contains(i + 1000L))
+    }
+    // plan audit: no Window anywhere (assignment is map-side literals)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "semanticDedup must not use Window")
+  }
+
+  test("semanticDedup quantized prefilter is exact: equals the unquantized formulation") {
+    import graft.functions.{VectorFunctions => V}
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val twins = emb.select((col("vec_id") + 1000L).as("vec_id"),
+      concat(array(element_at(col("v"), 1) * 0.5 + 0.01),
+        slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+    val cents = graft.plans.LshBucket.signMatrix(8, 64)
+    val all = emb.unionByName(twins)
+    val out = Dedup.semanticDedup(all, "v", "vec_id", cents, minCosine = 0.9)
+      .select("id").as[Long](spark.implicits.newLongEncoder).collect().toSet
+    // unquantized reference: same assignment, plain exact-dot pairs
+    val dots = array(cents.toIndexedSeq.map(c =>
+      V.dot(col("v"), typedLit(c.toSeq))): _*)
+    val assigned = all.select(col("vec_id").as("id"), col("v"))
+      .withColumn("__dots", dots)
+      .withColumn("__vnorm", sqrt(V.dot(col("v"), col("v"))))
+      .withColumn("cluster",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+      .withColumn("csim", array_max(col("__dots")) / (col("__vnorm") * 8.0))
+      .withColumn("vn", org.apache.spark.sql.functions.transform(
+        col("v"), x => x / col("__vnorm")))
+      .select(col("id"), col("vn"), col("cluster"), col("csim"))
+    val aa = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("vn").as("vn_a"), col("csim").as("csim_a"))
+    val bb = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("vn").as("vn_b"), col("csim").as("csim_b"))
+    val losers = aa.join(bb, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .filter(V.dot(col("vn_a"), col("vn_b")) >= 0.9)
+      .select(when(col("csim_a") > col("csim_b") ||
+          (col("csim_a") === col("csim_b") && col("id_a") > col("id_b")),
+        col("id_a")).otherwise(col("id_b")).as("id"))
+      .distinct()
+    val ref = assigned.join(losers, Seq("id"), "left_anti")
+      .select("id").as[Long](spark.implicits.newLongEncoder).collect().toSet
+    assert(out === ref)
+  }
+
+  test("semanticDedupAuto trains kmeans centroids in place") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Dedup.semanticDedupAuto(emb, "embedding", "vec_id",
+      k = 4, minCosine = 0.99)
+    // near-orthogonal corpus, high threshold: nothing drops
+    assert(out.count() === emb.count())
+    assert(out.select("cluster").distinct().count() <= 4)
+  }
+
+  test("dsirSelect: target-like docs get higher importance weight and dominate the selection") {
+    val s2 = spark
+    import s2.implicits._
+    // target vocabulary {alpha beta gamma}; off-target {delta epsilon zeta}
+    val raw = (0 until 200).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta gamma alpha beta")
+      else (i.toLong, "delta epsilon zeta delta epsilon")
+    }.toDF("doc_id", "text")
+    val target = Seq((9000L, "alpha beta gamma"), (9001L, "beta gamma alpha"))
+      .toDF("doc_id", "text")
+    val scores = graft.operators.TextAnalysis.dsirScores(
+      raw, target, "doc_id", "text", nBuckets = 64)
+    val byParity = scores.withColumn("p", col("id") % 2)
+      .groupBy("p").agg(avg(col("logw_fp")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byParity(0L) > byParity(1L),
+      s"target-like docs must score higher: $byParity")
+    val sel = graft.operators.TextAnalysis.dsirSelect(
+      raw, target, "doc_id", "text", k = 50, nBuckets = 64)
+    // selection is deterministic and dominated by target-like docs
+    assert(sel.filter(col("id") % 2 === 0).count() >= 45)
+    val again = graft.operators.TextAnalysis.dsirSelect(
+      raw, target, "doc_id", "text", k = 50, nBuckets = 64)
+    assert(sel.select("id").except(again.select("id")).isEmpty)
+  }
 }
