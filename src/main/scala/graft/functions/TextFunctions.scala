@@ -232,7 +232,7 @@ object TextFunctions {
     * more token-hashes have bit b set than unset (majority vote per
     * bit). Hot loop runs in the native SimHash64 expression. */
   def simHash64(text: Column): Column =
-    graft.plans.SimHash64.column(transform(tokens(text), t => xxhash64(t)))
+    graft.plans.SimHash64.column(graft.plans.TokenHashes64.column(tokens(text)))
 
   /** Interpreted reference formulation of simHash64 — differential-test
     * oracle for the native expression. */

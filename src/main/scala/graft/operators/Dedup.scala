@@ -96,14 +96,17 @@ object Dedup {
     * 100 TB of span hashes and a few TB of fingerprints. */
   def winnowDedup(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3, w: Int = 4): DataFrame =
-    // Staged projections, NOT one nested expression: HOF lambdas
-    // re-evaluate captured expression trees per element (see
-    // TextFunctions.tokenHashes), so each stage must land as an
-    // attribute before the next slides a window over it.
+    // One native eval per doc (hash → grams → window minima → distinct)
+    // — the staged Column chain it replaces paid an interpreted lambda
+    // dispatch per token and a slice allocation per window position,
+    // and was the bench's slowest pipeline stage. The Column twins
+    // (tokenHashes/positionalGramHashes/winnowSelect) remain as the
+    // differential-test oracle.
     keeperDedup(docs, docs
-      .select(col(idCol).as("__id"), T.tokenHashes(col(textCol)).as("__th"))
-      .select(col("__id"), T.positionalGramHashes(col("__th"), k).as("__gr"))
-      .select(col("__id"), explode(T.winnowSelect(col("__gr"), w)).as("__g")),
+      .select(col(idCol).as("__id"),
+        explode(graft.plans.WinnowPrints.column(
+          graft.plans.TokenHashes64.column(T.tokens(col(textCol))), k, w))
+          .as("__g")),
       idCol)
 
   /** Candidate near-duplicate pairs via MinHash-LSH banding.

@@ -238,3 +238,131 @@ object SimHash64 {
   def column(hashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(hashes)))
 }
+
+/** Per-token XXH64 (seed 42, same as `xxhash64()`): array<string> →
+  * array<long> in one eval — the native twin of
+  * `transform(tokens, t => xxhash64(t))`, which pays an interpreted
+  * lambda dispatch per token. */
+case class TokenHashes64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val u = toks.getUTF8String(i)
+      out(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenHashes64 =
+    copy(child = c)
+}
+
+object TokenHashes64 {
+  def column(tokens: Column): Column =
+    GraftColumnBridge.column(TokenHashes64(GraftColumnBridge.expression(tokens)))
+}
+
+/** Per-token 32-bit md5-prefix hash: the value of the first 8 hex
+  * digits of md5(token-utf8) — the cross-engine hash contract the md5
+  * twin queries share with DuckDB (`strpos('0123…f', substr(md5(t),
+  * k, 1))` folded over k = 1…8). One digest per token, no per-digit
+  * Column ops. */
+case class TokenHashesMd5x32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes_md5x32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val dig = md.digest(toks.getUTF8String(i).getBytes)
+      // first 8 hex digits = first 4 bytes, big-endian unsigned
+      out(i) = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenHashesMd5x32 =
+    copy(child = c)
+}
+
+object TokenHashesMd5x32 {
+  def column(tokens: Column): Column =
+    GraftColumnBridge.column(TokenHashesMd5x32(GraftColumnBridge.expression(tokens)))
+}
+
+/** Whole winnowing fingerprint selection in ONE eval (Schleimer et
+  * al. 2003): token hashes → positional k-gram polynomial hashes
+  * (P = 1000003; wrapping Long arithmetic when `mod` = 0, else each
+  * step `(a·P mod m + h) mod m` — the 2³¹ variant the md5 twin shares
+  * with DuckDB) → minimum of every w-wide window → sorted distinct.
+  * Matches TextFunctions.positionalGramHashes ∘ winnowSelect exactly
+  * (including the short-doc whole-array fallbacks), without the
+  * per-window slice allocations and per-element lambda dispatch that
+  * made the staged Column chain the bench's slowest pipeline. */
+case class WinnowPrints(child: Expression, k: Int, w: Int, mod: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_prints"
+
+  override def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData]
+    val m = th.numElements()
+    val P = 1000003L
+    def comb(from: Int, until: Int): Long = {
+      var h = 0L
+      var j = from
+      if (mod > 0L) {
+        while (j < until) { h = (h * P % mod + th.getLong(j)) % mod; j += 1 }
+      } else {
+        while (j < until) { h = h * P + th.getLong(j); j += 1 }
+      }
+      h
+    }
+    val grams: Array[Long] =
+      if (m >= k) Array.tabulate(m - k + 1)(s => comb(s, s + k))
+      else Array(comb(0, m))
+    val minima: Array[Long] =
+      if (grams.length >= w) Array.tabulate(grams.length - w + 1) { j =>
+        var mn = grams(j)
+        var i = j + 1
+        while (i < j + w) { if (grams(i) < mn) mn = grams(i); i += 1 }
+        mn
+      } else Array(grams.min)
+    java.util.Arrays.sort(minima)
+    var wr = 0
+    var r = 0
+    while (r < minima.length) {
+      if (r == 0 || minima(r) != minima(r - 1)) { minima(wr) = minima(r); wr += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(minima, wr))
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowPrints =
+    copy(child = c)
+}
+
+object WinnowPrints {
+  def column(tokenHashes: Column, k: Int, w: Int, mod: Long = 0L): Column =
+    GraftColumnBridge.column(WinnowPrints(
+      GraftColumnBridge.expression(tokenHashes), k, w, mod))
+}

@@ -816,36 +816,13 @@ object PipelineQueries {
         |SELECT doc_id FROM u
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
     }) { (s, d) =>
-      val M = 2147483648L
-      // hex-prefix of md5 → 32-bit token hash; the md5 lands in its
-      // own projection (ONE digest per token), the hex→long map reads
-      // only the lambda variable — HOF lambdas re-evaluate captured
-      // expression trees per element (see TextFunctions.tokenHashes),
-      // so every stage below is a separate materialized column.
-      def hex2long(h: org.apache.spark.sql.Column) = (1 to 8).map { k =>
-        (instr(lit("0123456789abcdef"), substring(h, k, 1)) - 1) *
-          lit(math.pow(16, 8 - k).toLong)
-      }.reduce(_ + _).cast("long")
-      def comb(win: org.apache.spark.sql.Column) =
-        aggregate(win, lit(0L),
-          (a, x) => (a * lit(1000003L) % lit(M) + x) % lit(M))
+      // native one-pass winnow over the 32-bit md5-prefix token hash
+      // (mod 2^31 gram arithmetic — the contract DuckDB mirrors above)
       val docs = doubledDocs(s, d)
-      val keyed = docs
-        .select(col("doc_id").as("__id"),
-          transform(T.tokens(col("text")),
-            t => substring(md5(t.cast("binary")), 1, 8)).as("__tm"))
-        .select(col("__id"),
-          transform(col("__tm"), h => hex2long(h)).as("__th"))
-        .select(col("__id"),
-          when(size(col("__th")) >= 3,
-            transform(sequence(lit(1), size(col("__th")) - 2),
-              i => comb(slice(col("__th"), i, lit(3)))))
-            .otherwise(array(comb(col("__th")))).as("__gr"))
-        .select(col("__id"),
-          explode(when(size(col("__gr")) >= 4,
-            array_distinct(transform(sequence(lit(1), size(col("__gr")) - 3),
-              j => array_min(slice(col("__gr"), j, lit(4))))))
-            .otherwise(array(array_min(col("__gr"))))).as("__g"))
+      val keyed = docs.select(col("doc_id").as("__id"),
+        explode(graft.plans.WinnowPrints.column(
+          graft.plans.TokenHashesMd5x32.column(T.tokens(col("text"))),
+          k = 3, w = 4, mod = 2147483648L)).as("__g"))
       Dedup.keeperDedup(docs, keyed, "doc_id").select(col("doc_id"))
     },
 

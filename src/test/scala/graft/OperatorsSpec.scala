@@ -393,6 +393,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") >= 1000000).count() === 0)
   }
 
+  test("native winnow/token-hash expressions equal their Column twins") {
+    import graft.functions.{TextFunctions => T}
+    // xxhash64 token hashes
+    val th = docs.select(
+      T.tokenHashes(col("text")).as("ref"),
+      graft.plans.TokenHashes64.column(T.tokens(col("text"))).as("nat"))
+    assert(th.filter(col("ref") =!= col("nat")).count() === 0)
+    // full winnow chain (wrapping arithmetic)
+    val wn = docs.select(col("text"))
+      .withColumn("th", T.tokenHashes(col("text")))
+      .withColumn("gr", T.positionalGramHashes(col("th"), 3))
+      .withColumn("ref", T.winnowSelect(col("gr"), 4))
+      .withColumn("nat", graft.plans.WinnowPrints.column(
+        graft.plans.TokenHashes64.column(T.tokens(col("text"))), 3, 4))
+    assert(wn.filter(col("ref") =!= col("nat")).count() === 0)
+    // md5-prefix 32-bit hash vs the per-digit Column chain
+    def hex2long(h: org.apache.spark.sql.Column) = (1 to 8).map { k =>
+      (instr(lit("0123456789abcdef"), substring(h, k, 1)) - 1) *
+        lit(math.pow(16, 8 - k).toLong)
+    }.reduce(_ + _).cast("long")
+    val md = docs
+      .select(transform(T.tokens(col("text")),
+        t => substring(md5(t.cast("binary")), 1, 8)).as("tm"),
+        graft.plans.TokenHashesMd5x32.column(T.tokens(col("text"))).as("nat"))
+      .select(transform(col("tm"), h => hex2long(h)).as("ref"), col("nat"))
+    assert(md.filter(col("ref") =!= col("nat")).count() === 0)
+    // mod-2^31 gram variant: sorted-distinct window minima agree with
+    // the staged Column formulation used by the pre-native q93
+    val M = 2147483648L
+    def comb(win: org.apache.spark.sql.Column) =
+      aggregate(win, lit(0L),
+        (a, x) => (a * lit(1000003L) % lit(M) + x) % lit(M))
+    val wm = docs
+      .select(graft.plans.TokenHashesMd5x32.column(T.tokens(col("text"))).as("th"))
+      .withColumn("gr",
+        when(size(col("th")) >= 3,
+          transform(sequence(lit(1), size(col("th")) - 2),
+            i => comb(slice(col("th"), i, lit(3)))))
+          .otherwise(array(comb(col("th")))))
+      .withColumn("ref", array_sort(array_distinct(
+        when(size(col("gr")) >= 4,
+          transform(sequence(lit(1), size(col("gr")) - 3),
+            j => array_min(slice(col("gr"), j, lit(4)))))
+          .otherwise(array(array_min(col("gr")))))))
+      .withColumn("nat", graft.plans.WinnowPrints.column(col("th"), 3, 4, M))
+    assert(wm.filter(col("ref") =!= col("nat")).count() === 0)
+  }
+
   test("lineDedup: keeper keeps, others lose, boilerplate dies everywhere") {
     import spark.implicits._
     val frame = Seq(
