@@ -518,45 +518,51 @@ object Dedup {
     * or any fixed matrix for a deterministic coarse partition.
     *
     * Returns survivors as (id, cluster, csim). */
-  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
-      centroids: Array[Array[Double]], minCosine: Double = 0.95,
-      maxCluster: Int = 10000): DataFrame = {
+  /** Shared assignment stage of the semantic-dedup family: every row
+    * gets (id, v, vn unit-normalized, cluster, csim) from ONE native
+    * matrix-vector eval against the plan-literal centroids — pure
+    * map-side math, zero shuffle. Argmax ties resolve to the first
+    * (lowest) centroid, matching the DuckDB list_position mirror.
+    * Normalizing HERE (once per row) keeps the quadratic pair stages
+    * downstream to a bare dot product per pair. */
+  private def assignClusters(emb: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    // All k centroid dots in ONE native eval per row (bit-identical to
-    // k separate VecDots — same per-dot summation order); argmax ties
-    // resolve to the first (lowest) centroid in both this and the
-    // DuckDB list_position mirror.
     val dots = graft.plans.VectorExprs.matVecDots(
       centroids.toIndexedSeq.map(_.toIndexedSeq), col("v"))
     val cNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toSeq
-    val withDots = base.withColumn("__dots", dots)
+    base.withColumn("__dots", dots)
       .withColumn("__vnorm", sqrt(V.dot(col("v"), col("v"))))
       .withColumn("cluster",
         (array_position(col("__dots"), array_max(col("__dots"))) - 1)
           .cast("int"))
-    // Normalize ONCE per row, before the pair join: the within-cluster
-    // verify is the quadratic stage, so per-pair work must be a bare
-    // dot product — norms computed per pair would triple the flops on
-    // the hot path.
-    val assigned = withDots
       .withColumn("csim", when(col("__vnorm") === 0.0, lit(0.0)).otherwise(
         array_max(col("__dots")) /
           (col("__vnorm") * element_at(typedLit(cNorms), col("cluster") + 1))))
       .withColumn("vn", when(col("__vnorm") === 0.0, col("v"))
         .otherwise(transform(col("v"), x => x / col("__vnorm"))))
       .select(col("id"), col("v"), col("vn"), col("cluster"), col("csim"))
+  }
+
+  /** Prefilter margin: |dotQ8 − dot| ≤ 2√d/255 + d/255² for unit
+    * vectors (see plans.VecDotQ8). */
+  private def q8Margin(dim: Int): Double =
+    2.0 * math.sqrt(dim.toDouble) / 255.0 + dim.toDouble / (255.0 * 255.0)
+
+  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], minCosine: Double = 0.95,
+      maxCluster: Int = 10000): DataFrame = {
+    val assigned = assignClusters(emb, vecCol, idCol, centroids)
     val guarded = dropHotGroups(assigned, Seq("cluster"), maxCluster)
     // Quantized prefilter over the quadratic stage: the self-join scans
     // 64-BYTE int8 codes (8× less payload than array<double>) and keeps
     // only pairs whose integer-exact approximate dot clears
-    // minCosine − ε, where ε = 2√d/255 + d/255² bounds the quantization
-    // error for unit vectors — so NO true pair is ever dropped and the
-    // exact re-score below makes the result bit-identical to the
-    // unquantized formulation (differential-tested in OperatorsSpec).
-    val dim = centroids.headOption.map(_.length).getOrElse(0)
-    val eps = 2.0 * math.sqrt(dim.toDouble) / 255.0 +
-      dim.toDouble / (255.0 * 255.0)
+    // minCosine − ε, where ε bounds the quantization error for unit
+    // vectors — so NO true pair is ever dropped and the exact re-score
+    // below makes the result bit-identical to the unquantized
+    // formulation (differential-tested in OperatorsSpec).
+    val eps = q8Margin(centroids.headOption.map(_.length).getOrElse(0))
     val q = graft.plans.VectorExprs.quantizeUnit8(col("vn"))
     val a = guarded.select(col("cluster"), col("id").as("id_a"),
       q.as("q_a"), col("csim").as("csim_a"))
@@ -598,5 +604,69 @@ object Dedup {
       .fit(feats)
     semanticDedup(emb, vecCol, idCol,
       model.clusterCenters.map(_.toArray), minCosine, maxCluster)
+  }
+
+  /** Reusable semantic-dedup corpus index (the [[MinHashIndex]]
+    * pattern): the corpus's cluster assignment + int8 codes + unit
+    * vectors, persisted once so MANY incoming batches dedup against
+    * one assignment pass. `release()` when done. */
+  final case class SemanticIndex private[operators] (
+      assigned: DataFrame, centroids: Array[Array[Double]],
+      maxCluster: Int) {
+    def release(): Unit = assigned.unpersist(false)
+  }
+
+  def buildSemanticIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]],
+      maxCluster: Int = 10000): SemanticIndex = {
+    val a = assignClusters(corpus, vecCol, idCol, centroids)
+      .withColumn("q", graft.plans.VectorExprs.quantizeUnit8(col("vn")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    a.count() // materialize now: one assignment pass gates every batch
+    SemanticIndex(a, centroids, maxCluster)
+  }
+
+  /** Drop from `newEmb` every row whose exact cosine to ANY corpus row
+    * in the same cluster clears `minCosine` — the incremental sibling
+    * of [[semanticDedup]]. Corpus rows always survive, and new rows
+    * are NOT checked against each other (same contract as
+    * [[dedupAgainstIndex]]; batch self-dedup composes via
+    * [[semanticDedup]] on the batch first). Same scale shape as the
+    * batch operator: one cluster-keyed join over int8 codes with the
+    * provable-margin prefilter, exact verify only for candidates. */
+  def semanticDedupAgainstIndex(newEmb: DataFrame, index: SemanticIndex,
+      vecCol: String, idCol: String,
+      minCosine: Double = 0.95): DataFrame = {
+    val eps = q8Margin(index.centroids.headOption.map(_.length).getOrElse(0))
+    val na = assignClusters(newEmb, vecCol, idCol, index.centroids)
+      .withColumn("q", graft.plans.VectorExprs.quantizeUnit8(col("vn")))
+    val corpusSide = dropHotGroups(
+      index.assigned.select(col("cluster"), col("id").as("id_c"), col("q").as("q_c")),
+      Seq("cluster"), index.maxCluster)
+    val candidates = na.select(col("cluster"), col("id"), col("q"))
+      .join(corpusSide, Seq("cluster"))
+      .filter(graft.plans.VectorExprs.dotQ8(col("q"), col("q_c")) >=
+        minCosine - eps)
+      .select(col("id"), col("id_c"))
+    val dropped = candidates
+      .join(na.select(col("id"), col("vn")), Seq("id"))
+      .join(index.assigned.select(col("id").as("id_c"), col("vn").as("vn_c")),
+        Seq("id_c"))
+      .filter(V.dot(col("vn"), col("vn_c")) >= minCosine)
+      .select(col("id").as(idCol)).distinct()
+    newEmb.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** One-shot incremental semantic dedup without a persisted index —
+    * builds the corpus assignment inline. Prefer
+    * [[buildSemanticIndex]] + [[semanticDedupAgainstIndex]] when many
+    * batches hit the same corpus. */
+  def semanticDedupAgainst(newEmb: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, centroids: Array[Array[Double]],
+      minCosine: Double = 0.95, maxCluster: Int = 10000): DataFrame = {
+    val a = assignClusters(corpus, vecCol, idCol, centroids)
+      .withColumn("q", graft.plans.VectorExprs.quantizeUnit8(col("vn")))
+    semanticDedupAgainstIndex(newEmb,
+      SemanticIndex(a, centroids, maxCluster), vecCol, idCol, minCosine)
   }
 }

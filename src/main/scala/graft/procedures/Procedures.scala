@@ -147,6 +147,35 @@ object Procedures {
     df.filter(v < threshold)
   }
 
+  /** Temperature-balanced mixture sampling — the multilingual/source
+    * rebalance rule (sampling probability per source ∝ n_s^α,
+    * α = 0.5 being the classic sqrt-temperature of multilingual LM
+    * training): per-source keep rate
+    * min(1, budget·N·w_s / (W·n_s)) with w_s = round(n_s^α · 1e6) as
+    * a FIXED-POINT integer, W = Σ w_s — integer weights make the rate
+    * arithmetic bit-reproducible across engines (the q89 contract),
+    * and α = 0.5 stays exactly mirrorable because sqrt is
+    * IEEE-correctly-rounded (other α go through pow, correct but not
+    * guaranteed bit-identical cross-engine). Source counts are a
+    * config-sized driver collect; the row filter is [[mixtureSample]]'s
+    * md5 contract — a pure scan-pushed predicate, no shuffle. */
+  def temperatureSample(df: DataFrame, sourceCol: String, keyCol: String,
+      budgetFraction: Double, alpha: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val bigN = counts.map(_._2).sum
+    val w: Map[String, Long] = counts.map { case (s, n) =>
+      s -> (if (alpha == 0.5) math.round(math.sqrt(n.toDouble) * 1e6)
+        else math.round(math.pow(n.toDouble, alpha) * 1e6))
+    }.toMap
+    val bigW = counts.map(c => w(c._1)).sum
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0,
+        ((budgetFraction * bigN) * w(s)) / (bigW.toDouble * n.toDouble))
+    }.toMap
+    mixtureSample(df, sourceCol, keyCol, rates, defaultRate = 0.0)
+  }
+
   /** `summary.statistics` (`builtin/summary_statistics_proc.cc:516`):
     * per-numeric-column min/max/mean/stddev/count/nulls/approx
     * quantiles, computed in ONE pass over the data (single aggregate,

@@ -1235,5 +1235,33 @@ object PipelineQueries {
         bucketOf = Some(mdBucket))
         .select(col("id").as("doc_id"), col("logw_fp"), col("gumbel_fp"),
           col("sel_fp"))
+    },
+
+    // --- sqrt-temperature mixture sampling, hash-matched: DuckDB
+    // recomputes the per-source counts, the 1e6 fixed-point sqrt
+    // weights, the capped keep rates (every double op mirrored in the
+    // same order — sqrt is IEEE-exact) and the md5 1/256 row filter.
+    // The kept row SET must agree exactly. ---
+    QueryDef("q102_temperature_sample", {
+      def hx(k: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1)"
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+        |sq AS (SELECT source, n,
+        |         CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS w
+        |       FROM c),
+        |ws AS (SELECT CAST(sum(w) AS BIGINT) AS ww FROM sq),
+        |r AS (SELECT source,
+        |        CAST(round(least(1.0, ((0.25 * nn) * w) /
+        |          (CAST(ww AS DOUBLE) * CAST(n AS DOUBLE))) * 256.0, 0)
+        |          AS BIGINT) AS cut
+        |      FROM sq CROSS JOIN tot CROSS JOIN ws)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |WHERE ${hx(1)} * 16 + ${hx(2)} < cut""".stripMargin
+    }) { (s, d) =>
+      Procedures.temperatureSample(Tables.documents(s, d), "source",
+        "doc_id", budgetFraction = 0.25, alpha = 0.5)
+        .select(col("doc_id"), col("source"))
     })
 }

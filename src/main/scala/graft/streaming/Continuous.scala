@@ -225,6 +225,23 @@ object Continuous {
           batch.toDF(), index, textCol, idCol, threshold), batchId)
     }
 
+  /** Streaming SEMANTIC dedup against a prebuilt
+    * [[graft.operators.Dedup.SemanticIndex]]: each micro-batch's
+    * embeddings are cluster-assigned map-side and checked against the
+    * persisted corpus codes — the embedding-space sibling of
+    * [[nearDedupStream]], same foreachBatch shape and the same
+    * stationary-index contract (novel rows are checked against the
+    * corpus, not each other). */
+  def semanticDedupStream(stream: DataFrame,
+      index: graft.operators.Dedup.SemanticIndex,
+      vecCol: String, idCol: String, minCosine: Double = 0.95)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: java.lang.Long) =>
+        sink(graft.operators.Dedup.semanticDedupAgainstIndex(
+          batch.toDF(), index, vecCol, idCol, minCosine), batchId)
+    }
+
   /** `continuous.window`: a committed time range as a batch dataset.
     * The p_date predicate is a pure partition filter (no file content
     * read outside the range); the ts predicate trims the boundary

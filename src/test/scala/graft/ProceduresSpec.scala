@@ -217,4 +217,38 @@ class ProceduresSpec extends AnyFunSuite {
     val plan = win.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(p_date"))
   }
+
+  test("temperatureSample: sqrt temperature flattens the mixture, rates capped and deterministic") {
+    import spark.implicits._
+    // skewed corpus: big source 400 rows, small source 25 rows
+    val rows = (0 until 400).map(i => (i.toLong, "big")) ++
+      (1000 until 1025).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val out = Procedures.temperatureSample(df, "source", "doc_id",
+      budgetFraction = 0.3, alpha = 0.5)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt temperature: small source keeps a HIGHER fraction than big
+    val fracBig = kept.getOrElse("big", 0L).toDouble / 400
+    val fracSmall = kept.getOrElse("small", 0L).toDouble / 25
+    assert(fracSmall > fracBig,
+      s"sqrt temperature must favor the small source: $kept")
+    // expected-rate math: rate_s = min(1, b*N*w_s/(W*n_s)) at 1/256
+    val w = Map("big" -> math.round(math.sqrt(400.0) * 1e6),
+      "small" -> math.round(math.sqrt(25.0) * 1e6))
+    val bigW = w.values.sum
+    def cut(s: String, n: Long) = math.round(math.min(1.0,
+      ((0.3 * 425) * w(s)) / (bigW.toDouble * n.toDouble)) * 256).toInt
+    // per-source kept counts match the exact md5 filter at those cuts
+    val expected = df.filter(
+      (expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1") * 16 +
+        expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1")) <
+        when(col("source") === "big", cut("big", 400))
+          .otherwise(cut("small", 25)))
+    assert(out.select("doc_id").except(expected.select("doc_id")).isEmpty &&
+      expected.select("doc_id").except(out.select("doc_id")).isEmpty)
+    // deterministic
+    val again = Procedures.temperatureSample(df, "source", "doc_id", 0.3)
+    assert(out.select("doc_id").except(again.select("doc_id")).isEmpty)
+  }
 }

@@ -85,4 +85,65 @@ class StreamNearDedupSpec extends AnyFunSuite {
     assert(viaIndex.forall(_ >= 40), s"copies survived: $viaIndex")
     assert(viaIndex.nonEmpty)
   }
+
+  test("semantic stream: corpus-twin embeddings scrubbed, novel pass, index reused") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50).cache()
+    val corpusVecs = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents = graft.plans.LshBucket.signMatrix(8, 64)
+    val index = Dedup.buildSemanticIndex(corpus, "v", "vec_id", cents)
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val kept = ArrayBuffer.empty[Long]
+      val q = Continuous.semanticDedupStream(
+        in.toDF.toDF("vec_id", "v"), index, "v", "vec_id",
+        minCosine = 0.95) { (batch: DataFrame, _: Long) =>
+        kept ++= batch.select("vec_id").collect().map(_.getLong(0))
+      }.start()
+      // batch 1: two exact corpus twins + one novel random direction
+      val novel = Seq.tabulate(64)(i => if (i % 3 == 0) 1.0 else -0.5)
+      in.addData((9001L, corpusVecs(0)._2), (9002L, corpusVecs(1)._2),
+        (9003L, novel))
+      q.processAllAvailable()
+      assert(kept.toSet == Set(9003L), s"batch1 kept $kept")
+      // batch 2: a slightly perturbed twin + another novel direction,
+      // same index instance (no corpus re-assignment)
+      val near = corpusVecs(2)._2.updated(0, corpusVecs(2)._2.head * 0.5 + 0.01)
+      val novel2 = Seq.tabulate(64)(i => if (i % 5 == 0) -1.0 else 0.25)
+      in.addData((9004L, near), (9005L, novel2))
+      q.processAllAvailable()
+      assert(kept.toSet == Set(9003L, 9005L), s"batch2 kept $kept")
+      q.stop()
+    } finally index.release()
+  }
+
+  test("semanticDedupAgainstIndex equals one-shot semanticDedupAgainst") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val corpus = emb.filter(col("vec_id") < 100).cache()
+    // new side: 20 corpus twins (shifted ids) + 20 novel rows
+    val newRows = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 5000).as("vec_id"), col("v"))
+      .unionByName(emb.filter(col("vec_id") >= 100 && col("vec_id") < 120))
+    val cents = graft.plans.LshBucket.signMatrix(8, 64)
+    val viaIndex = {
+      val idx = Dedup.buildSemanticIndex(corpus, "v", "vec_id", cents)
+      try Dedup.semanticDedupAgainstIndex(newRows, idx, "v", "vec_id",
+        minCosine = 0.95)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      finally idx.release()
+    }
+    val oneShot = Dedup.semanticDedupAgainst(newRows, corpus, "v", "vec_id",
+      cents, minCosine = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == oneShot)
+    // every exact twin dropped; every novel row kept (corpus is
+    // near-orthogonal, nothing clears 0.95 by accident)
+    assert(viaIndex == (100L until 120L).toSet, s"kept $viaIndex")
+  }
 }
