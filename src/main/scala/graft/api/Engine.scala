@@ -383,11 +383,49 @@ final class GraftEngine(val spark: SparkSession) {
           dataset(req("inputDataset")),
           param("column").getOrElse("text"),
           param("idColumn").getOrElse("doc_id")))
+      case "dedup.semantic" =>
+        // SemDeDup over an embedding column; k-means centroids trained
+        // in place (semanticDedupAuto) unless a centroidsDataset of
+        // (id, vector) rows is supplied.
+        val in = dataset(req("inputDataset"))
+        val vecCol = param("vectorColumn").getOrElse("embedding")
+        val idCol = param("idColumn").getOrElse("vec_id")
+        val minCos = param("minCosine").map(_.toDouble).getOrElse(0.95)
+        registerOut(param("centroidsDataset") match {
+          case Some(cds) =>
+            val cents = dataset(cds)
+              .select(org.apache.spark.sql.functions
+                .col(vecCol).cast("array<double>"))
+              .collect().map(_.getSeq[Double](0).toArray)
+            graft.operators.Dedup.semanticDedup(in, vecCol, idCol, cents, minCos)
+          case None =>
+            graft.operators.Dedup.semanticDedupAuto(in, vecCol, idCol,
+              k = param("k").map(_.toInt).getOrElse(64), minCos)
+        })
+      case "sample.dsir" =>
+        registerOut(graft.operators.TextAnalysis.dsirSelect(
+          dataset(req("inputDataset")), dataset(req("targetDataset")),
+          param("idColumn").getOrElse("doc_id"),
+          param("column").getOrElse("text"),
+          k = param("k").map(_.toInt).getOrElse(1000),
+          nBuckets = param("nBuckets").map(_.toInt).getOrElse(256)))
+      case "sample.temperature" =>
+        registerOut(graft.procedures.Procedures.temperatureSample(
+          dataset(req("inputDataset")),
+          param("sourceColumn").getOrElse("source"),
+          param("idColumn").getOrElse("doc_id"),
+          budgetFraction = req("budgetFraction").toDouble,
+          alpha = param("alpha").map(_.toDouble).getOrElse(0.5)))
       case "quality.gopher" =>
         registerOut(graft.operators.TextAnalysis.gopherQuality(
           dataset(req("inputDataset")),
           param("idColumn").getOrElse("doc_id"),
-          param("column").getOrElse("text")))
+          param("column").getOrElse("text"),
+          stopwords = param("stopwords")
+            .map(_.split(",").toSeq.map(_.trim))
+            .getOrElse(Seq("the", "be", "to", "of", "and", "that",
+              "have", "with")),
+          minStop = param("minStop").map(_.toLong).getOrElse(2L)))
       case "pack.sequence" =>
         val in = dataset(req("inputDataset"))
         val idCol = param("idColumn").getOrElse("doc_id")

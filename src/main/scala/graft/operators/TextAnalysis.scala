@@ -303,9 +303,11 @@ object TextAnalysis {
     * downstream. Ratios are NULL (not pass) for empty docs. */
   def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
       minWords: Long = 10, maxWords: Long = 100000,
-      keep: Seq[String] = Nil): DataFrame = {
-    val requiredStop = Seq("the", "be", "to", "of", "and", "that",
-      "have", "with")
+      keep: Seq[String] = Nil,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with"),
+      minStop: Long = 2): DataFrame = {
+    val requiredStop = stopwords
     def occurrences(s: Column, lit0: String) =
       (length(s) - length(replace(s, lit(lit0), lit("")))) / lit0.length
     val kept = keep.map(col)
@@ -340,7 +342,7 @@ object TextAnalysis {
         col("bullet_frac") <= 0.9 &&
         col("ellipsis_frac") <= 0.3 &&
         col("alpha_frac") >= 0.8 &&
-        col("n_stop") >= 2L)
+        col("n_stop") >= lit(minStop))
       .withColumn("pass", coalesce(col("pass"), lit(false)))
   }
 
@@ -420,15 +422,21 @@ object TextAnalysis {
     * [[dsirSelect]] takes the top k. */
   def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 256, seed: Int = 42,
-      bucketOf: Option[Column => Column] = None): DataFrame = {
+      bucketsOf: Option[Column => Column] = None): DataFrame = {
     require(nBuckets > 0 && nBuckets <= 65536,
       "nBuckets must be in (0, 65536] — the weight table rides in the plan")
-    val bucket: Column => Column =
-      bucketOf.getOrElse(t => pmod(xxhash64(t), lit(nBuckets.toLong)))
+    // token array → bucket array, ONE native hash eval per doc (a
+    // per-token Column hash would pay an interpreted dispatch per
+    // token — the q93 lesson). Default: xxhash64; pass e.g.
+    // pmod over TokenHashesMd5x32 for the cross-engine md5 contract.
+    val buckets: Column => Column = bucketsOf.getOrElse(toks =>
+      transform(graft.plans.TokenHashes64.column(toks),
+        h => pmod(h, lit(nBuckets.toLong)).cast("int")))
     def counts(df: DataFrame): Array[Long] = {
       val out = Array.fill(nBuckets)(0L)
-      df.select(explode(T.tokens(col(textCol), "\\s+")).as("__t"))
-        .select(bucket(col("__t")).cast("int").as("__b"))
+      // bucketsOf must yield array<int> (the default does)
+      df.select(buckets(T.tokens(col(textCol), "\\s+")).as("__bs"))
+        .select(explode(col("__bs")).as("__b"))
         .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
         .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
       out
@@ -444,7 +452,7 @@ object TextAnalysis {
     val u = (hexVal(md5(concat(col("id").cast("string"),
       lit(s"-$seed")).cast("binary"))) + lit(0.5)) / lit(4294967296.0)
     raw.select(col(idCol).as("id"), T.tokens(col(textCol), "\\s+").as("__toks"))
-      .withColumn("__b", transform(col("__toks"), t => bucket(t).cast("int")))
+      .withColumn("__b", buckets(col("__toks")))
       .withColumn("logw_fp", aggregate(col("__b"), lit(0L),
         (acc, b) => acc + element_at(typedLit(fp), b + 1)))
       .withColumn("gumbel_fp",
@@ -460,8 +468,8 @@ object TextAnalysis {
     * sort, no single-partition window. */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, k: Int, nBuckets: Int = 256, seed: Int = 42,
-      bucketOf: Option[Column => Column] = None): DataFrame =
-    dsirScores(raw, target, idCol, textCol, nBuckets, seed, bucketOf)
+      bucketsOf: Option[Column => Column] = None): DataFrame =
+    dsirScores(raw, target, idCol, textCol, nBuckets, seed, bucketsOf)
       .orderBy(col("sel_fp").desc, col("id")).limit(k)
 
   /** First 8 hex digits of an md5 hex string as a number in [0, 2^32)

@@ -1223,16 +1223,14 @@ object PipelineQueries {
         |FROM sc ORDER BY sel_fp DESC, doc_id LIMIT 100""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
-      // md5-digit bucket (q83 idiom) so DuckDB reproduces the hash
-      val mdBucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        t => pmod((1 to 8).map { k =>
-          (instr(lit("0123456789abcdef"),
-            substring(md5(t.cast("binary")), k, 1)) - 1) *
-            lit(math.pow(16, 8 - k).toLong)
-        }.reduce(_ + _), lit(256L))
+      // md5-prefix buckets via ONE native digest pass per doc — same
+      // values as DuckDB's per-digit md5 fold above
+      val mdBuckets: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        toks => transform(graft.plans.TokenHashesMd5x32.column(toks),
+          h => pmod(h, lit(256L)).cast("int"))
       TextAnalysis.dsirSelect(docs, docs.filter(col("lang") === "en"),
         "doc_id", "text", k = 100, nBuckets = 256, seed = 42,
-        bucketOf = Some(mdBucket))
+        bucketsOf = Some(mdBuckets))
         .select(col("id").as("doc_id"), col("logw_fp"), col("gumbel_fp"),
           col("sel_fp"))
     },
@@ -1263,5 +1261,89 @@ object PipelineQueries {
       Procedures.temperatureSample(Tables.documents(s, d), "source",
         "doc_id", budgetFraction = 0.25, alpha = 0.5)
         .select(col("doc_id"), col("source"))
+    },
+
+    // --- END-TO-END pipeline composition, hash-matched: Gopher
+    // quality gate → exact dedup (min-id keeper) → sqrt-temperature
+    // rebalance → per-source doc/token stats. Every stage is an
+    // already-oracled operator (q96, q40, q102, q41); this query
+    // proves they COMPOSE — the chained DuckDB mirror must reproduce
+    // the final per-source counts exactly. ---
+    QueryDef("q103_pipeline_e2e", {
+      def hx(k: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1)"
+      s"""WITH s AS (
+        |  SELECT doc_id, text AS tx,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> len(x) > 0) AS w,
+        |    list_filter(list_transform(str_split(text, chr(10)),
+        |      l -> trim(l)), l -> len(l) > 0) AS ln,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text),
+        |      '[\\s,;:!?.()\\[\\]{}"'']+'), x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, COALESCE(len(w) BETWEEN 10 AND 100000
+        |    AND round(CAST(list_sum(list_transform(w, x -> len(x)))
+        |      AS DOUBLE) / nullif(len(w), 0), 4) BETWEEN 3.0 AND 10.0
+        |    AND round(((length(tx) - length(replace(tx, '#', ''))) / 1.0
+        |      + (length(tx) - length(replace(tx, '...', ''))) / 3.0
+        |      + (length(tx) - length(replace(tx, '…', ''))) / 1.0)
+        |      / nullif(len(w), 0), 4) <= 0.1
+        |    AND round(CAST(len(list_filter(ln,
+        |        l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+        |      / nullif(len(ln), 0), 4) <= 0.9
+        |    AND round(CAST(len(list_filter(ln,
+        |        l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+        |      / nullif(len(ln), 0), 4) <= 0.3
+        |    AND round(CAST(len(list_filter(w,
+        |        x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)
+        |      / nullif(len(w), 0), 4) >= 0.8
+        |    AND len(list_filter(t, x -> list_contains(
+        |      ['the','a','table','value'], x))) >= 3,
+        |    false) AS pass
+        |  FROM s),
+        |kept AS (
+        |  SELECT d.doc_id, d.text, d.source FROM documents d
+        |  JOIN g USING (doc_id) WHERE g.pass),
+        |ded AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT doc_id, text, source,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM kept) z WHERE rn = 1),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ded GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+        |sq AS (SELECT source, n,
+        |         CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS w
+        |       FROM c),
+        |ws AS (SELECT CAST(sum(w) AS BIGINT) AS ww FROM sq),
+        |r AS (SELECT source,
+        |        CAST(round(least(1.0, ((0.5 * nn) * w) /
+        |          (CAST(ww AS DOUBLE) * CAST(n AS DOUBLE))) * 256.0, 0)
+        |          AS BIGINT) AS cut
+        |      FROM sq CROSS JOIN tot CROSS JOIN ws),
+        |sel AS (
+        |  SELECT ded.doc_id, ded.text, ded.source FROM ded
+        |  JOIN r USING (source)
+        |  WHERE ${hx(1)} * 16 + ${hx(2)} < cut)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |    x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |FROM sel GROUP BY source""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // corpus-fitting stopword list (the synthetic vocab has no
+      // English function words beyond "the"/"a") so the gate
+      // discriminates: 368 pass / 132 fail at sf0.01
+      val passed = TextAnalysis.gopherQuality(docs, "doc_id", "text",
+          stopwords = Seq("the", "a", "table", "value"), minStop = 3)
+        .filter(col("pass")).select("doc_id")
+      val kept = docs.join(passed, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("source"))
+      val ded = Dedup.exact(kept, "text", "doc_id")
+      val sel = Procedures.temperatureSample(ded, "source", "doc_id",
+        budgetFraction = 0.5, alpha = 0.5)
+      sel.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
     })
 }

@@ -336,6 +336,15 @@ class RestSpec extends AnyFunSuite {
       val (c6, b6) = post(
         """{"type": "bpe.train", "trainingDataset": "documents", "numMerges": "40", "functionName": "tok"}""")
       assert(c6 === 200 && b6.contains("\"merges\": 40"), b6)
+      val (c7, b7) = post(
+        """{"type": "dedup.semantic", "inputDataset": "embeddings", "k": "8", "minCosine": "0.99", "outputDataset": "semdeduped"}""")
+      assert(c7 === 200 && b7.contains("semdeduped"), b7)
+      val (c8, b8) = post(
+        """{"type": "sample.temperature", "inputDataset": "documents", "budgetFraction": "0.25", "outputDataset": "balanced"}""")
+      assert(c8 === 200 && b8.contains("balanced"), b8)
+      val (c9, b9) = post(
+        """{"type": "sample.dsir", "inputDataset": "documents", "targetDataset": "documents", "k": "50", "outputDataset": "dsir_sel"}""")
+      assert(c9 === 200 && b9.contains("\"rowCount\": 50"), b9)
       val input = java.net.URLEncoder.encode("""{"text": "the quick fox"}""", "UTF-8")
       val (ac, ab) = get(port, s"/v1/functions/tok/application?input=$input")
       assert(ac === 200 && ab.contains("bpe_tokens") && ab.contains("</w>"), ab)
