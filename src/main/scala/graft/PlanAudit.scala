@@ -29,7 +29,9 @@ object PlanAudit {
       "q89_lm_perplexity", "q90_span_dedup", "q91_chunking",
       "q93_winnow_dedup", "q94_embedding_quantize", "q95_sequence_pack",
       "q96_gopher_quality", "q97_ann_quantized", "q98_bpe_tokenize",
-      "q99_kl_divergence", "q100_semantic_dedup", "q101_dsir")
+      "q99_kl_divergence", "q100_semantic_dedup", "q101_dsir",
+      "q102_temperature_sample", "q103_pipeline_e2e",
+      "q104_gopher_repetition")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
@@ -49,7 +51,13 @@ object PlanAudit {
       // SemDeDup assigns clusters map-side from literal centroids and
       // dedups via anti-join; DSIR scores map-side against the literal
       // weight table and selects via TakeOrdered — no windows anywhere
-      "q100_semantic_dedup", "q101_dsir")
+      "q100_semantic_dedup", "q101_dsir",
+      // temperature sampling is counts→broadcast rates→scan filter;
+      // the e2e pipeline chains quality gate + min_by dedup + that
+      // filter — none of the stages may plan a window; the repetition
+      // battery is pure per-row gram math
+      "q102_temperature_sample", "q103_pipeline_e2e",
+      "q104_gopher_repetition")
     for (name <- interesting) {
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString

@@ -426,6 +426,11 @@ final class GraftEngine(val spark: SparkSession) {
             .getOrElse(Seq("the", "be", "to", "of", "and", "that",
               "have", "with")),
           minStop = param("minStop").map(_.toLong).getOrElse(2L)))
+      case "quality.repetition" =>
+        registerOut(graft.operators.TextAnalysis.gopherRepetition(
+          dataset(req("inputDataset")),
+          param("idColumn").getOrElse("doc_id"),
+          param("column").getOrElse("text")))
       case "pack.sequence" =>
         val in = dataset(req("inputDataset"))
         val idCol = param("idColumn").getOrElse("doc_id")

@@ -346,6 +346,99 @@ object TextAnalysis {
       .withColumn("pass", coalesce(col("pass"), lit(false)))
   }
 
+  /** Gopher repetition battery (Rae et al. 2021 §A1.1, the half of
+    * the quality filter [[gopherQuality]] doesn't cover): duplicate
+    * line/paragraph fraction and char fraction, top-n-gram char
+    * fraction (n=2..4), duplicated-n-gram char fraction (n=5..10).
+    * Thresholds are the paper's; `pass` = survives all of them.
+    *
+    * Definitions (each mirrored term-for-term by a DuckDB oracle, so
+    * they are part of the cross-engine contract):
+    *   - words = lowercased whitespace tokens; `total_chars` = Σ word
+    *     lengths; an n-gram's char length excludes the n−1 joiners.
+    *   - dup_line_frac = (line occurrences − distinct lines) / lines;
+    *     char fraction counts every occurrence AFTER the first.
+    *   - top_ngram_frac = max over grams seen ≥2 times of
+    *     count × gramChars / total_chars (the max-product form needs
+    *     no tie-break, unlike "chars of THE most frequent gram").
+    *   - dup_ngram_frac = Σ over grams seen ≥2 times of
+    *     count × gramChars / total_chars, capped at 1 (overlaps are
+    *     not position-deduped — the standard reimplementation).
+    *
+    * Scale shape: pure per-row math — one native [[graft.plans.TokenCounts]]
+    * map build per (row, n), zero shuffles, zero windows; composes
+    * with any scan. */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val topMax = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupMax = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val kept = keep.map(col)
+    def nonEmptyTrimmed(parts: Column) =
+      filter(transform(parts, l => trim(l)), l => length(l) > 0)
+    val staged = docs.select(Seq(col(idCol).as("doc_id"),
+      T.tokens(col(textCol), "\\s+").as("__w"),
+      nonEmptyTrimmed(split(col(textCol), "\n")).as("__ln"),
+      nonEmptyTrimmed(split(col(textCol), "\\n\\s*\\n")).as("__pg")) ++
+      kept: _*)
+      .withColumn("__tc",
+        aggregate(col("__w"), lit(0L), (a, w) => a + length(w)))
+    // duplicate-unit (line / paragraph) fraction + char fraction from
+    // one TokenCounts map over the unit strings
+    def unitMetrics(units: Column, prefix: String): Seq[Column] = {
+      val ents = map_entries(graft.plans.TokenCounts.column(units))
+      val dupch = aggregate(ents, lit(0L), (a, e) =>
+        a + (e.getField("value") - 1).cast("long") *
+          length(e.getField("key")))
+      val allch = aggregate(ents, lit(0L), (a, e) =>
+        a + e.getField("value").cast("long") * length(e.getField("key")))
+      Seq(
+        coalesce(round((size(units) - size(ents)).cast("double") /
+          nullif(size(units), lit(0)), 4), lit(0.0))
+          .as(s"dup_${prefix}_frac"),
+        coalesce(round(dupch.cast("double") / nullif(allch, lit(0L)), 4),
+          lit(0.0)).as(s"dup_${prefix}_char_frac"))
+    }
+    // n-gram stats: grams joined with ' ', counted in one native map
+    // build; char length excludes the n-1 joiners
+    def gramEntries(n: Int): Column = {
+      val grams = when(size(col("__w")) >= n,
+        transform(sequence(lit(1), size(col("__w")) - n + 1),
+          i => concat_ws(" ", slice(col("__w"), i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      map_entries(graft.plans.TokenCounts.column(grams))
+    }
+    def gramChars(n: Int, e: Column): Column =
+      e.getField("value").cast("long") *
+        (length(e.getField("key")) - (n - 1))
+    val topCols = topNs.map { n =>
+      val top = aggregate(gramEntries(n), lit(0L), (a, e) =>
+        greatest(a, when(e.getField("value") >= 2, gramChars(n, e))
+          .otherwise(lit(0L))))
+      coalesce(round(top.cast("double") / nullif(col("__tc"), lit(0L)), 4),
+        lit(0.0)).as(s"top_${n}gram_frac")
+    }
+    val dupCols = dupNs.map { n =>
+      val dup = aggregate(gramEntries(n), lit(0L), (a, e) =>
+        a + when(e.getField("value") >= 2, gramChars(n, e)).otherwise(lit(0L)))
+      least(lit(1.0), coalesce(round(dup.cast("double") /
+        nullif(col("__tc"), lit(0L)), 4), lit(0.0)))
+        .as(s"dup_${n}gram_frac")
+    }
+    val metrics = unitMetrics(col("__ln"), "line") ++
+      unitMetrics(col("__pg"), "para") ++ topCols ++ dupCols
+    val withM = staged.select(Seq(col("doc_id")) ++ kept ++ metrics: _*)
+    val pass = Seq[Column](
+      col("dup_line_frac") <= 0.30, col("dup_para_frac") <= 0.30,
+      col("dup_line_char_frac") <= 0.20,
+      col("dup_para_char_frac") <= 0.20) ++
+      topNs.map(n => col(s"top_${n}gram_frac") <= topMax(n)) ++
+      dupNs.map(n => col(s"dup_${n}gram_frac") <= dupMax(n))
+    withM.withColumn("pass", coalesce(pass.reduce(_ && _), lit(false)))
+  }
+
   /** Per-slice unigram KL divergence against the whole corpus — the
     * distribution-shift diagnostic behind data-mixture tuning ("how
     * far is this source's token distribution from the blend?").

@@ -1345,5 +1345,87 @@ object PipelineQueries {
       sel.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    },
+
+    // --- Gopher repetition battery (Rae et al. 2021 §A1.1, the
+    // dup-line / top-n-gram / dup-n-gram half): every metric is
+    // deterministic per-row integer math over word grams, mirrored
+    // term-for-term — same splits, same char accounting (gram chars
+    // exclude joiners), same rounding, same thresholds. ---
+    QueryDef("q104_gopher_repetition", {
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 6, 7, 8, 9, 10)
+      def gramCtes(n: Int) =
+        s"""g$n AS (
+          |  SELECT doc_id, g, count(*) AS c, len(g) - ${n - 1} AS gl
+          |  FROM (
+          |    SELECT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS g
+          |    FROM (SELECT doc_id, w,
+          |            unnest(range(1, len(w) - $n + 2)) AS i
+          |          FROM base))
+          |  GROUP BY doc_id, g),
+          |s$n AS (
+          |  SELECT doc_id,
+          |    max(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS topch,
+          |    sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dupch
+          |  FROM g$n GROUP BY doc_id)""".stripMargin
+      def unitCtes(src: String, pre: String) =
+        s"""${pre}u AS (
+          |  SELECT doc_id, l, count(*) AS c, len(l) AS ll
+          |  FROM (SELECT doc_id, unnest($src) AS l FROM base)
+          |  GROUP BY doc_id, l),
+          |${pre}s AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS na,
+          |    count(*) AS nd, sum((c - 1) * ll) AS dupch,
+          |    sum(c * ll) AS allch
+          |  FROM ${pre}u GROUP BY doc_id)""".stripMargin
+      def unitFracs(pre: String, out: String) =
+        s"""  COALESCE(round(CAST(${pre}s.na - ${pre}s.nd AS DOUBLE)
+          |    / nullif(${pre}s.na, 0), 4), 0.0) AS dup_${out}_frac,
+          |  COALESCE(round(CAST(${pre}s.dupch AS DOUBLE)
+          |    / nullif(${pre}s.allch, 0), 4), 0.0) AS dup_${out}_char_frac""".stripMargin
+      val topFracs = topNs.map(n =>
+        s"""  COALESCE(round(CAST(s$n.topch AS DOUBLE)
+          |    / nullif(tc.total, 0), 4), 0.0) AS top_${n}gram_frac""".stripMargin)
+      val dupFracs = dupNs.map(n =>
+        s"""  least(1.0, COALESCE(round(CAST(s$n.dupch AS DOUBLE)
+          |    / nullif(tc.total, 0), 4), 0.0)) AS dup_${n}gram_frac""".stripMargin)
+      val joins = (topNs ++ dupNs)
+        .map(n => s"LEFT JOIN s$n USING (doc_id)").mkString(" ")
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> len(x) > 0) AS w,
+        |    list_filter(list_transform(str_split(text, chr(10)),
+        |      l -> trim(l)), l -> len(l) > 0) AS ln,
+        |    list_filter(list_transform(regexp_split_to_array(text,
+        |      '\\n\\s*\\n'), l -> trim(l)), l -> len(l) > 0) AS pg
+        |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, COALESCE(CAST(list_sum(list_transform(w,
+        |    x -> len(x))) AS BIGINT), 0) AS total FROM base),
+        |${unitCtes("ln", "l")},
+        |${unitCtes("pg", "p")},
+        |${(topNs ++ dupNs).map(gramCtes).mkString(",\n")},
+        |m AS (
+        |  SELECT base.doc_id,
+        |${unitFracs("l", "line")},
+        |${unitFracs("p", "para")},
+        |${(topFracs ++ dupFracs).mkString(",\n")}
+        |  FROM base
+        |  LEFT JOIN tc USING (doc_id)
+        |  LEFT JOIN ls USING (doc_id) LEFT JOIN ps USING (doc_id)
+        |  $joins)
+        |SELECT m.*, COALESCE(
+        |  dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        |  AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        |  AND top_2gram_frac <= 0.20 AND top_3gram_frac <= 0.18
+        |  AND top_4gram_frac <= 0.16 AND dup_5gram_frac <= 0.15
+        |  AND dup_6gram_frac <= 0.14 AND dup_7gram_frac <= 0.13
+        |  AND dup_8gram_frac <= 0.12 AND dup_9gram_frac <= 0.11
+        |  AND dup_10gram_frac <= 0.10, false) AS pass
+        |FROM m""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")
     })
 }

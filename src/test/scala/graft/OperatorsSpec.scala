@@ -508,6 +508,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(empty.isNullAt(empty.fieldIndex("mean_word_len")))
   }
 
+  test("gopherRepetition: each repetition rule trips on its crafted offender") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 25 distinct 2-char filler tokens (50 chars) after a repeated
+    // 5-gram of 1-char words (10 chars): total 60 word chars, so
+    // dup_5gram = 2*5/60 = 0.1667 > 0.15 trips while the sub-gram
+    // top fracs stay under their thresholds (top4 = 2*4/60 = 0.1333)
+    val filler = (0 until 25).map(i => s"${('a' + i / 5).toChar}${i % 5}")
+    val doc4 = "p q r s t p q r s t " + filler.mkString(" ")
+    val frame = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "same line\nsame line\nsame line\nother"),
+      (3L, "ab cd ab cd ab cd xx yy"),
+      (4L, doc4),
+      (5L, "para one text\n\npara one text\n\nother para")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.gopherRepetition(frame, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("pass"))
+    assert(m(1L).getAs[Double]("top_2gram_frac") === 0.0 &&
+      m(1L).getAs[Double]("dup_line_frac") === 0.0)
+    // doc2: "same line"x3 + "other": (4-2)/4 lines dup; chars
+    // (3-1)*9 / (3*9+5)
+    assert(!m(2L).getAs[Boolean]("pass"))
+    assert(m(2L).getAs[Double]("dup_line_frac") === 0.5)
+    assert(m(2L).getAs[Double]("dup_line_char_frac") === 0.5625)
+    // doc3: "ab cd"x3 of 16 word chars → 3*4/16
+    assert(!m(3L).getAs[Boolean]("pass"))
+    assert(m(3L).getAs[Double]("top_2gram_frac") === 0.75)
+    assert(m(3L).getAs[Double]("dup_5gram_frac") === 0.0)
+    // doc4: only the 5-gram rule trips
+    assert(!m(4L).getAs[Boolean]("pass"))
+    assert(m(4L).getAs[Double]("dup_5gram_frac") === 0.1667)
+    assert(m(4L).getAs[Double]("top_4gram_frac") <= 0.16)
+    assert(m(4L).getAs[Double]("top_3gram_frac") <= 0.18)
+    // doc5: "para one text"x2 + one other → (3-2)/3 paras dup;
+    // chars (2-1)*13 / (2*13+10)
+    assert(!m(5L).getAs[Boolean]("pass"))
+    assert(m(5L).getAs[Double]("dup_para_frac") === 0.3333)
+    assert(m(5L).getAs[Double]("dup_para_char_frac") === 0.3611)
+    // empty doc: all metrics 0, no repetition → pass, never a crash
+    val empty = TextAnalysis.gopherRepetition(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(empty.getAs[Boolean]("pass"))
+    assert(empty.getAs[Double]("dup_10gram_frac") === 0.0)
+  }
+
   test("unigramDivergence: non-negative, zero for identical slices, large for disjoint") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -345,6 +345,9 @@ class RestSpec extends AnyFunSuite {
       val (c9, b9) = post(
         """{"type": "sample.dsir", "inputDataset": "documents", "targetDataset": "documents", "k": "50", "outputDataset": "dsir_sel"}""")
       assert(c9 === 200 && b9.contains("\"rowCount\": 50"), b9)
+      val (c10, b10) = post(
+        """{"type": "quality.repetition", "inputDataset": "documents", "outputDataset": "rep"}""")
+      assert(c10 === 200 && b10.contains("rep"), b10)
       val input = java.net.URLEncoder.encode("""{"text": "the quick fox"}""", "UTF-8")
       val (ac, ab) = get(port, s"/v1/functions/tok/application?input=$input")
       assert(ac === 200 && ab.contains("bpe_tokens") && ab.contains("</w>"), ab)
