@@ -31,7 +31,7 @@ object PlanAudit {
       "q96_gopher_quality", "q97_ann_quantized", "q98_bpe_tokenize",
       "q99_kl_divergence", "q100_semantic_dedup", "q101_dsir",
       "q102_temperature_sample", "q103_pipeline_e2e",
-      "q104_gopher_repetition")
+      "q104_gopher_repetition", "q105_curation_capstone")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
@@ -55,9 +55,11 @@ object PlanAudit {
       // temperature sampling is counts→broadcast rates→scan filter;
       // the e2e pipeline chains quality gate + min_by dedup + that
       // filter — none of the stages may plan a window; the repetition
-      // battery is pure per-row gram math
+      // battery is pure per-row gram math; the capstone chains min_by
+      // dedup + line dedup (groupBy+join) + gates + broadcast
+      // contamination, all window-free
       "q102_temperature_sample", "q103_pipeline_e2e",
-      "q104_gopher_repetition")
+      "q104_gopher_repetition", "q105_curation_capstone")
     for (name <- interesting) {
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString

@@ -1427,5 +1427,212 @@ object PipelineQueries {
         |FROM m""".stripMargin
     }) { (s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // --- CAPSTONE curation pipeline, hash-matched end to end: exact
+    // dedup over a twin-doubled corpus → boilerplate line dedup
+    // (planted PROMO banner ≥50 occurrences dropped everywhere,
+    // per-7-block quote line kept by min-doc keeper only) → Gopher
+    // quality gate AND repetition gate on the CLEANED text →
+    // contamination scrub against the raw doc<50 benchmark → final
+    // per-source doc/token stats. Six stages, every one an
+    // already-oracled operator (q40, q92, q96/q103, q104, q76, q41);
+    // one chained DuckDB mirror must reproduce the final counts. ---
+    QueryDef("q105_curation_capstone", {
+      val stop = "['the','a','table','value']"
+      def gramCtes(n: Int) =
+        s"""rg$n AS (
+          |  SELECT doc_id, g, count(*) AS c, len(g) - ${n - 1} AS gl
+          |  FROM (
+          |    SELECT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS g
+          |    FROM (SELECT doc_id, w,
+          |            unnest(range(1, len(w) - $n + 2)) AS i
+          |          FROM qb))
+          |  GROUP BY doc_id, g),
+          |rs$n AS (
+          |  SELECT doc_id,
+          |    max(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS topch,
+          |    sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dupch
+          |  FROM rg$n GROUP BY doc_id)""".stripMargin
+      def unitCtes(src: String, pre: String) =
+        s"""${pre}u2 AS (
+          |  SELECT doc_id, l, count(*) AS c, len(l) AS ll
+          |  FROM (SELECT doc_id, unnest($src) AS l FROM qb)
+          |  GROUP BY doc_id, l),
+          |${pre}s2 AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS na,
+          |    count(*) AS nd, sum((c - 1) * ll) AS dupch,
+          |    sum(c * ll) AS allch
+          |  FROM ${pre}u2 GROUP BY doc_id)""".stripMargin
+      def unitFracs(pre: String, out: String) =
+        s"""  COALESCE(round(CAST(${pre}s2.na - ${pre}s2.nd AS DOUBLE)
+          |    / nullif(${pre}s2.na, 0), 4), 0.0) AS dup_${out}_frac,
+          |  COALESCE(round(CAST(${pre}s2.dupch AS DOUBLE)
+          |    / nullif(${pre}s2.allch, 0), 4), 0.0) AS dup_${out}_char_frac""".stripMargin
+      val topFracs = Seq(2, 3, 4).map(n =>
+        s"""  COALESCE(round(CAST(rs$n.topch AS DOUBLE)
+          |    / nullif(rtc.total, 0), 4), 0.0) AS top_${n}gram_frac""".stripMargin)
+      val dupFracs = Seq(5, 6, 7, 8, 9, 10).map(n =>
+        s"""  least(1.0, COALESCE(round(CAST(rs$n.dupch AS DOUBLE)
+          |    / nullif(rtc.total, 0), 4), 0.0)) AS dup_${n}gram_frac""".stripMargin)
+      val gramJoins = (2 to 10)
+        .map(n => s"LEFT JOIN rs$n USING (doc_id)").mkString(" ")
+      s"""WITH u AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents),
+        |d1 AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM u) z
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    'PROMO click here to subscribe' || chr(10) ||
+        |    'shared quote block ' ||
+        |      CAST(CAST(floor(doc_id / 7.0) AS BIGINT) AS VARCHAR) || chr(10) ||
+        |    text AS t
+        |  FROM d1),
+        |l AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ln))) AS pos, ln
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ln FROM p)),
+        |l2 AS (SELECT doc_id, pos, ln[pos] AS line FROM l),
+        |ls AS (
+        |  SELECT trim(line) AS k, min(doc_id) AS keep, count(*) AS n
+        |  FROM l2 WHERE len(trim(line)) > 0 GROUP BY 1),
+        |keptl AS (
+        |  SELECT l2.doc_id, l2.pos, l2.line
+        |  FROM l2 LEFT JOIN ls ON ls.k = trim(l2.line)
+        |  WHERE len(trim(l2.line)) = 0 OR (ls.keep = l2.doc_id AND ls.n < 50)),
+        |cl AS (
+        |  SELECT p.doc_id, p.source, coalesce(a.text, '') AS text
+        |  FROM p LEFT JOIN (
+        |    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |    FROM keptl GROUP BY doc_id) a USING (doc_id)),
+        |qb AS (
+        |  SELECT doc_id, text AS tx,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> len(x) > 0) AS w,
+        |    list_filter(list_transform(str_split(text, chr(10)),
+        |      l -> trim(l)), l -> len(l) > 0) AS lns,
+        |    list_filter(list_transform(regexp_split_to_array(text,
+        |      '\\n\\s*\\n'), l -> trim(l)), l -> len(l) > 0) AS pgs,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text),
+        |      '[\\s,;:!?.()\\[\\]{}"'']+'), x -> len(x) > 0)) AS t
+        |  FROM cl),
+        |qg AS (
+        |  SELECT doc_id, COALESCE(len(w) BETWEEN 10 AND 100000
+        |    AND round(CAST(list_sum(list_transform(w, x -> len(x)))
+        |      AS DOUBLE) / nullif(len(w), 0), 4) BETWEEN 3.0 AND 10.0
+        |    AND round(((length(tx) - length(replace(tx, '#', ''))) / 1.0
+        |      + (length(tx) - length(replace(tx, '...', ''))) / 3.0
+        |      + (length(tx) - length(replace(tx, '…', ''))) / 1.0)
+        |      / nullif(len(w), 0), 4) <= 0.1
+        |    AND round(CAST(len(list_filter(lns,
+        |        l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+        |      / nullif(len(lns), 0), 4) <= 0.9
+        |    AND round(CAST(len(list_filter(lns,
+        |        l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+        |      / nullif(len(lns), 0), 4) <= 0.3
+        |    AND round(CAST(len(list_filter(w,
+        |        x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)
+        |      / nullif(len(w), 0), 4) >= 0.8
+        |    AND len(list_filter(t, x -> list_contains($stop, x))) >= 3,
+        |    false) AS pass
+        |  FROM qb),
+        |rtc AS (
+        |  SELECT doc_id, COALESCE(CAST(list_sum(list_transform(w,
+        |    x -> len(x))) AS BIGINT), 0) AS total FROM qb),
+        |${unitCtes("lns", "rl")},
+        |${unitCtes("pgs", "rp")},
+        |${(2 to 10).map(gramCtes).mkString(",\n")},
+        |rm AS (
+        |  SELECT qb.doc_id,
+        |${unitFracs("rl", "line")},
+        |${unitFracs("rp", "para")},
+        |${(topFracs ++ dupFracs).mkString(",\n")}
+        |  FROM qb
+        |  LEFT JOIN rtc USING (doc_id)
+        |  LEFT JOIN rls2 USING (doc_id) LEFT JOIN rps2 USING (doc_id)
+        |  $gramJoins),
+        |rpass AS (
+        |  SELECT doc_id, COALESCE(
+        |    dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        |    AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        |    AND top_2gram_frac <= 0.20 AND top_3gram_frac <= 0.18
+        |    AND top_4gram_frac <= 0.16 AND dup_5gram_frac <= 0.15
+        |    AND dup_6gram_frac <= 0.14 AND dup_7gram_frac <= 0.13
+        |    AND dup_8gram_frac <= 0.12 AND dup_9gram_frac <= 0.11
+        |    AND dup_10gram_frac <= 0.10, false) AS pass
+        |  FROM rm),
+        |gt AS (
+        |  SELECT cl.doc_id, cl.source, cl.text FROM cl
+        |  JOIN qg USING (doc_id) JOIN rpass USING (doc_id)
+        |  WHERE qg.pass AND rpass.pass),
+        |ct AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN [array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)]
+        |    ELSE [array_to_string(toks, ' ')] END) AS s
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+        |          lower(text), '[\\s,;:!?.()\\[\\]{}"'']+'),
+        |          x -> len(x) > 0) AS toks FROM gt)),
+        |bsh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN [array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)]
+        |    ELSE [array_to_string(toks, ' ')] END) AS s
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+        |          lower(text), '[\\s,;:!?.()\\[\\]{}"'']+'),
+        |          x -> len(x) > 0) AS toks
+        |        FROM documents WHERE doc_id < 50)),
+        |bl AS (SELECT list(g) AS lg FROM (
+        |  SELECT DISTINCT unnest(s) AS g FROM bsh)),
+        |scored AS (
+        |  SELECT ct.doc_id, round(CAST(len(list_intersect(s, bl.lg))
+        |    AS DOUBLE) / len(s), 6) AS c
+        |  FROM ct, bl),
+        |fin AS (
+        |  SELECT gt.source, gt.text FROM gt
+        |  JOIN scored USING (doc_id) WHERE scored.c < 0.8)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |    x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |FROM fin GROUP BY source""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      // 1. exact dedup over a twin-doubled corpus (min-id keeper)
+      val doubled = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
+      val ded = Dedup.exact(doubled, "text", "doc_id")
+      // 2. plant boilerplate: a corpus-wide banner (dropped everywhere,
+      // n ≥ 50) and a per-7-block quote line (kept by block keeper)
+      val pages = ded.select(col("doc_id"), col("source"), concat(
+        lit("PROMO click here to subscribe\n"),
+        lit("shared quote block "),
+        floor(col("doc_id") / lit(7.0)).cast("long").cast("string"),
+        lit("\n"), col("text")).as("text"))
+      val cleaned = TextAnalysis.lineDedup(pages, "doc_id", "text",
+        dropThreshold = 50L)
+        .join(pages.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // 3+4. both Gopher gates on the CLEANED text
+      val qual = TextAnalysis.gopherQuality(cleaned, "doc_id", "text",
+          stopwords = Seq("the", "a", "table", "value"), minStop = 3)
+        .filter(col("pass")).select("doc_id")
+      val rep = TextAnalysis.gopherRepetition(cleaned, "doc_id", "text")
+        .filter(col("pass")).select("doc_id")
+      val gated = cleaned.join(qual, Seq("doc_id")).join(rep, Seq("doc_id"))
+      // 5. decontaminate against the raw doc<50 benchmark
+      val bench = Tables.documents(s, d).filter(col("doc_id") < 50)
+      val keepIds = TextAnalysis
+        .contamination(gated, "doc_id", "text", bench, "text")
+        .filter(col("contamination") < 0.8)
+        .select(col("id").as("doc_id"))
+      // 6. per-source stats of the surviving corpus
+      gated.join(keepIds, Seq("doc_id"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
     })
 }
