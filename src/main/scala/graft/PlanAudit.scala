@@ -31,7 +31,8 @@ object PlanAudit {
       "q96_gopher_quality", "q97_ann_quantized", "q98_bpe_tokenize",
       "q99_kl_divergence", "q100_semantic_dedup", "q101_dsir",
       "q102_temperature_sample", "q103_pipeline_e2e",
-      "q104_gopher_repetition", "q105_curation_capstone")
+      "q104_gopher_repetition", "q105_curation_capstone",
+      "q106_c4_clean")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
@@ -59,7 +60,9 @@ object PlanAudit {
       // dedup + line dedup (groupBy+join) + gates + broadcast
       // contamination, all window-free
       "q102_temperature_sample", "q103_pipeline_e2e",
-      "q104_gopher_repetition", "q105_curation_capstone")
+      "q104_gopher_repetition", "q105_curation_capstone",
+      // C4 cleaning is pure per-row line filtering
+      "q106_c4_clean")
     for (name <- interesting) {
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString

@@ -426,6 +426,13 @@ final class GraftEngine(val spark: SparkSession) {
             .getOrElse(Seq("the", "be", "to", "of", "and", "that",
               "have", "with")),
           minStop = param("minStop").map(_.toLong).getOrElse(2L)))
+      case "quality.c4" =>
+        registerOut(graft.operators.TextAnalysis.c4Clean(
+          dataset(req("inputDataset")),
+          param("idColumn").getOrElse("doc_id"),
+          param("column").getOrElse("text"),
+          minWordsPerLine = param("minWordsPerLine").map(_.toInt).getOrElse(5),
+          minSentences = param("minSentences").map(_.toInt).getOrElse(3)))
       case "quality.repetition" =>
         registerOut(graft.operators.TextAnalysis.gopherRepetition(
           dataset(req("inputDataset")),

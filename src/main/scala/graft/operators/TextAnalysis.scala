@@ -346,6 +346,47 @@ object TextAnalysis {
       .withColumn("pass", coalesce(col("pass"), lit(false)))
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2 — the most widely
+    * replicated pretraining cleanup): keep only lines that end in
+    * terminal punctuation, have ≥ `minWordsPerLine` words, and do not
+    * mention "javascript"; drop the whole page when the raw text
+    * contains "lorem ipsum" or a curly brace, or when the cleaned
+    * text has fewer than `minSentences` sentences ('.'/'!'/'?'
+    * occurrences in kept lines) or no kept lines at all.
+    *
+    * Returns one row per input doc — cleaned `text`, `n_lines`,
+    * `n_kept`, `n_sentences`, and the `keep` verdict — so the caller
+    * chooses between filtering (C4 proper) and auditing. Pure per-row
+    * Column math: no shuffle, no window, composes with any scan. */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 5, minSentences: Int = 3,
+      keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    def occurrences(s: Column, what: String) =
+      length(s) - length(replace(s, lit(what), lit("")))
+    val lns = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val keptLines = filter(lns, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), x => length(x) > 0)) >=
+          minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    docs.select(Seq(col(idCol).as("doc_id"), col(textCol).as("__tx"),
+      lns.as("__ln"), keptLines.as("__kept")) ++ kept: _*)
+      .withColumn("__sc", aggregate(col("__kept"), lit(0L), (a, l) =>
+        a + occurrences(l, ".") + occurrences(l, "!") +
+          occurrences(l, "?")))
+      .select(Seq(col("doc_id")) ++ kept ++ Seq(
+        concat_ws("\n", col("__kept")).as("text"),
+        size(col("__ln")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        col("__sc").as("n_sentences"),
+        coalesce(!lower(col("__tx")).contains("lorem ipsum") &&
+          !col("__tx").contains("{") &&
+          col("__sc") >= minSentences && size(col("__kept")) > 0,
+          lit(false)).as("keep")): _*)
+  }
+
   /** Gopher repetition battery (Rae et al. 2021 §A1.1, the half of
     * the quality filter [[gopherQuality]] doesn't cover): duplicate
     * line/paragraph fraction and char fraction, top-n-gram char

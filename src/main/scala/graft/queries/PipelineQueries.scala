@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{HtmlFunctions => H, TextFunctions => T, VectorFunctions => V}
@@ -1600,6 +1601,88 @@ object PipelineQueries {
         |    x -> len(x) > 0))) AS BIGINT) AS n_tokens
         |FROM fin GROUP BY source""".stripMargin
     }) { (s, d) =>
+      q105Impl(s, d)
+    },
+
+    // --- C4 cleaning rules (Raffel et al. 2020 §2.2): both engines
+    // construct the SAME synthetic page from each doc (8-word lines;
+    // period on 2 of 3 lines keyed by doc_id+i; a "javascript" marker
+    // on line 1 of doc_id%11 docs; a brace line on %13; a lorem line
+    // on %17) and then apply the rule set term-for-term — so the
+    // line-keep regex, word minimum, sentence counting, and page-drop
+    // flags are all cross-engine hash-matched. ---
+    QueryDef("q106_c4_clean",
+      """WITH b AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id,
+        |    array_to_string([
+        |      array_to_string(w[(i-1)*8+1 : i*8], ' ')
+        |      || CASE WHEN doc_id % 11 = 0 AND i = 1
+        |           THEN ' javascript' ELSE '' END
+        |      || CASE WHEN (doc_id + i) % 3 = 2 THEN '' ELSE '.' END
+        |      for i in range(1,
+        |        greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 1) + 1)],
+        |      chr(10))
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN chr(10) || 'var x = function() {' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0
+        |         THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+        |      AS t
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    list_filter(list_transform(str_split(t, chr(10)),
+        |      l -> trim(l)), l -> len(l) > 0) AS lns
+        |  FROM pg),
+        |k AS (
+        |  SELECT doc_id, t, lns,
+        |    list_filter(lns, l -> regexp_matches(l, '[.!?"]$')
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'),
+        |            x -> len(x) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM c),
+        |sc AS (
+        |  SELECT doc_id, t, lns, kept,
+        |    CAST(COALESCE(list_sum(list_transform(kept, l ->
+        |      (len(l) - len(replace(l, '.', '')))
+        |      + (len(l) - len(replace(l, '!', '')))
+        |      + (len(l) - len(replace(l, '?', ''))))), 0) AS BIGINT) AS sc2
+        |  FROM k)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS text,
+        |  CAST(len(lns) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  sc2 AS n_sentences,
+        |  COALESCE(NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{') AND sc2 >= 3 AND len(kept) > 0,
+        |    false) AS keep
+        |FROM sc""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nL = greatest(ceil(size(col("__w")) / lit(8.0)).cast("int"), lit(1))
+      val pageLines = transform(sequence(lit(1), nL), i =>
+        concat(
+          concat_ws(" ", slice(col("__w"), (i - lit(1)) * lit(8) + lit(1),
+            lit(8))),
+          when(col("doc_id") % 11 === 0 && i === 1, lit(" javascript"))
+            .otherwise(lit("")),
+          when((col("doc_id") + i) % 3 === 2, lit("")).otherwise(lit("."))))
+      val page = concat(concat_ws("\n", pageLines),
+        when(col("doc_id") % 13 === 0, lit("\nvar x = function() {"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit("")))
+      TextAnalysis.c4Clean(
+        docs.select(col("doc_id"), T.tokens(col("text"), "\\s+").as("__w"))
+          .select(col("doc_id"), page.as("text")),
+        "doc_id", "text")
+    })
+
+  // the capstone body is hoisted out only to keep the QueryDef list
+  // readable; see the q105 oracle SQL above for the stage-by-stage map
+  private def q105Impl(s: SparkSession, d: String): DataFrame = {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("text"))
       // 1. exact dedup over a twin-doubled corpus (min-id keeper)
@@ -1634,5 +1717,5 @@ object PipelineQueries {
         .groupBy(col("source")).agg(
           count(lit(1)).as("n_docs"),
           sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
-    })
+  }
 }

@@ -508,6 +508,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(empty.isNullAt(empty.fieldIndex("mean_word_len")))
   }
 
+  test("c4Clean: line rules drop lines, page flags drop pages") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val frame = Seq(
+      (1L, "this line has five good words.\nshort line.\n" +
+        "no terminal punctuation here at all\n" +
+        "this other line also has five words!\n" +
+        "third full sentence line keeps pages alive?"),
+      (2L, "the javascript line has six words.\n" +
+        "clean line with five words here.\n" +
+        "another clean line with words here.\n" +
+        "third clean line with many words."),
+      (3L, "lorem ipsum dolor sit amet consectetur.\n" +
+        "clean line with five words here.\n" +
+        "more clean line with words here.\nthird clean line right here now."),
+      (4L, "object with brace {\nclean line with five words here.\n" +
+        "more clean line with words here.\nthird clean line right here now."),
+      (5L, "only one good sentence line here.\n" +
+        "second good sentence line right here."),
+      (9L, "")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.c4Clean(frame, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc1: short line and unterminated line dropped, 3 survive
+    assert(m(1L).getAs[Boolean]("keep") && m(1L).getAs[Long]("n_kept") === 3L)
+    assert(m(1L).getAs[String]("text") ===
+      "this line has five good words.\nthis other line also has five words!\n" +
+        "third full sentence line keeps pages alive?")
+    assert(m(1L).getAs[Long]("n_sentences") === 3L)
+    // doc2: the javascript LINE dies, the page survives
+    assert(m(2L).getAs[Boolean]("keep") && m(2L).getAs[Long]("n_kept") === 3L)
+    assert(!m(2L).getAs[String]("text").contains("javascript"))
+    // doc3/doc4: lorem ipsum and brace kill the whole page
+    assert(!m(3L).getAs[Boolean]("keep"))
+    assert(!m(4L).getAs[Boolean]("keep"))
+    // doc5: only 2 sentences
+    assert(!m(5L).getAs[Boolean]("keep") && m(5L).getAs[Long]("n_kept") === 2L)
+    // empty doc: zero lines, keep false, never a crash
+    assert(!m(9L).getAs[Boolean]("keep") && m(9L).getAs[Long]("n_lines") === 0L)
+    assert(m(9L).getAs[String]("text") === "")
+  }
+
   test("gopherRepetition: each repetition rule trips on its crafted offender") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -348,6 +348,9 @@ class RestSpec extends AnyFunSuite {
       val (c10, b10) = post(
         """{"type": "quality.repetition", "inputDataset": "documents", "outputDataset": "rep"}""")
       assert(c10 === 200 && b10.contains("rep"), b10)
+      val (c11, b11) = post(
+        """{"type": "quality.c4", "inputDataset": "documents", "outputDataset": "c4"}""")
+      assert(c11 === 200 && b11.contains("c4"), b11)
       val input = java.net.URLEncoder.encode("""{"text": "the quick fox"}""", "UTF-8")
       val (ac, ab) = get(port, s"/v1/functions/tok/application?input=$input")
       assert(ac === 200 && ab.contains("bpe_tokens") && ab.contains("</w>"), ab)
