@@ -32,7 +32,7 @@ object PlanAudit {
       "q99_kl_divergence", "q100_semantic_dedup", "q101_dsir",
       "q102_temperature_sample", "q103_pipeline_e2e",
       "q104_gopher_repetition", "q105_curation_capstone",
-      "q106_c4_clean")
+      "q106_c4_clean", "q107_sequence_pack_grouped")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every

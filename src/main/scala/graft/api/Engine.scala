@@ -439,19 +439,27 @@ final class GraftEngine(val spark: SparkSession) {
           param("idColumn").getOrElse("doc_id"),
           param("column").getOrElse("text")))
       case "pack.sequence" =>
+        import org.apache.spark.sql.functions.{col => c}
         val in = dataset(req("inputDataset"))
         val idCol = param("idColumn").getOrElse("doc_id")
+        val groupCol = param("groupColumn") // set → per-group streams
+        val keyCols = (Seq(idCol) ++ groupCol).map(c)
         // either a precomputed token-count column, or count a text col
         val counted = param("nTokensColumn") match {
-          case Some(c) => in.select(org.apache.spark.sql.functions.col(idCol),
-            org.apache.spark.sql.functions.col(c).cast("long").as("n_tokens"))
-          case None => in.select(org.apache.spark.sql.functions.col(idCol),
-            graft.functions.TextFunctions.tokenCount(
-              org.apache.spark.sql.functions.col(param("column").getOrElse("text")))
-              .cast("long").as("n_tokens"))
+          case Some(cc) =>
+            in.select(keyCols :+ c(cc).cast("long").as("n_tokens"): _*)
+          case None =>
+            in.select(keyCols :+ graft.functions.TextFunctions.tokenCount(
+              c(param("column").getOrElse("text")))
+              .cast("long").as("n_tokens"): _*)
         }
-        registerOut(graft.procedures.Procedures.sequencePack(counted, idCol,
-          "n_tokens", param("budget").map(_.toLong).getOrElse(2048L)))
+        val budget = param("budget").map(_.toLong).getOrElse(2048L)
+        registerOut(groupCol match {
+          case Some(g) => graft.procedures.Procedures
+            .sequencePackGrouped(counted, g, idCol, "n_tokens", budget)
+          case None => graft.procedures.Procedures
+            .sequencePack(counted, idCol, "n_tokens", budget)
+        })
       case "bpe.train" =>
         // procedure → appliable function lifecycle, like
         // classifier.train: the trained merges become a registered

@@ -329,6 +329,50 @@ object Procedures {
       .drop("__pid", "__n", "__lsum", "__toff")
   }
 
+  /** Per-group sequence packing — the multi-corpus variant of
+    * [[sequencePack]]: each `groupCol` value (a source, a language, a
+    * curriculum stage) concatenates into its OWN token stream and
+    * cuts into its own `budget`-token context windows, so sources
+    * never share a pack. Same scale construction lifted one level:
+    * range-partition on (group, id) so each group's rows are
+    * contiguous across partitions, per-(group, partition) token
+    * totals aggregate map-side into a ≤ groups×nPart-row offset
+    * table, the cross-partition prefix runs as a window over THAT
+    * tiny table (partitioned by group, ordered by partition id), and
+    * the result broadcasts back. The in-partition prefix sum windows
+    * over (partition, group) slices — never more rows than one range
+    * partition holds. No data-sized single-partition exchange
+    * anywhere, any number of groups, any skew between them. */
+  def sequencePackGrouped(df: DataFrame, groupCol: String, idCol: String,
+      nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val nPart = try df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt catch { case _: Throwable => 200 }
+    val ranged = df
+      .repartitionByRange(math.max(nPart, 1), col(groupCol), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__n", greatest(col(nTokensCol).cast("long"), lit(1L)))
+    val offsets = ranged.groupBy(col(groupCol), col("__pid"))
+      .agg(sum(col("__n")).as("__psum"))
+      .withColumn("__toff", coalesce(sum(col("__psum")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__pid"), col("__toff"))
+    val wLocal = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = lit(budget)
+    ranged.withColumn("__lsum", coalesce(sum(col("__n")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq(groupCol, "__pid"))
+      .withColumn("start_offset", col("__lsum") + col("__toff"))
+      .withColumn("first_pack",
+        floor(col("start_offset") / b).cast("long"))
+      .withColumn("n_packs",
+        (floor((col("start_offset") + col("__n") - 1) / b).cast("long") -
+          col("first_pack") + 1L))
+      .drop("__pid", "__n", "__lsum", "__toff")
+  }
+
   /** `melt` procedure — delegates to the Reshape operator. */
   def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String]): DataFrame =
     graft.operators.Reshape.melt(df, idCols, valueCols)

@@ -1678,6 +1678,38 @@ object PipelineQueries {
         docs.select(col("doc_id"), T.tokens(col("text"), "\\s+").as("__w"))
           .select(col("doc_id"), page.as("text")),
         "doc_id", "text")
+    },
+
+    // --- per-source sequence packing: each source concatenates into
+    // its OWN context-window stream (the multi-corpus training
+    // layout). DuckDB mirrors with a per-source cumulative window;
+    // the Spark side must reproduce every offset with its
+    // range-partition + per-group broadcast-offset construction. ---
+    QueryDef("q107_sequence_pack_grouped",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(CAST(sum(greatest(n_tokens, 1)) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS start_offset
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 512.0) AS BIGINT) AS first_pack,
+        |  CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512.0)
+        |    AS BIGINT)
+        |    - CAST(floor(start_offset / 512.0) AS BIGINT) + 1 AS n_packs
+        |FROM c""".stripMargin) { (s, d) =>
+      val counted = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Procedures.sequencePackGrouped(counted, "source", "doc_id",
+        "n_tokens", 512L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset"), col("first_pack"), col("n_packs"))
     })
 
   // the capstone body is hoisted out only to keep the QueryDef list

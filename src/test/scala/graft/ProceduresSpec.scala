@@ -100,6 +100,43 @@ class ProceduresSpec extends AnyFunSuite {
     assert(plan.contains("rangepartitioning"))
   }
 
+  test("sequencePackGrouped: independent per-group streams, range-partitioned plan") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+    val out = Procedures
+      .sequencePackGrouped(docs, "source", "doc_id", "n_tokens", 64L)
+      .select("source", "doc_id", "n_tokens", "start_offset", "first_pack",
+        "n_packs")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // driver-side reference: one running offset PER source in id order
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      var off = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, start, first, packs) =>
+        assert(start === off)
+        val span = math.max(n, 1L)
+        assert(first === start / 64)
+        assert(packs === (start + span - 1) / 64 - start / 64 + 1)
+        off += span
+      }
+    }
+    // every group restarts at offset zero — no cross-source leakage
+    assert(out.groupBy(_._1).forall(_._2.map(_._4).min === 0L))
+    // stable under input partitioning
+    val re = Procedures
+      .sequencePackGrouped(docs.repartition(7), "source", "doc_id",
+        "n_tokens", 64L)
+      .select("source", "doc_id", "start_offset")
+      .as[(String, Long, Long)].collect().toSet
+    assert(re === out.map(t => (t._1, t._2, t._4)).toSet)
+    val plan = Procedures
+      .sequencePackGrouped(docs, "source", "doc_id", "n_tokens", 64L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"))
+  }
+
   test("csv round-trip preserves rows and text exactly") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
     val path = Files.createTempDirectory("graft_csv").toString + "/out"

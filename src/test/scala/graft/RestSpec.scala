@@ -324,6 +324,9 @@ class RestSpec extends AnyFunSuite {
       assert(c3 === 200, b3)
       val (_, pb) = get(port, "/v1/datasets/packed")
       assert(pb.contains("first_pack") && pb.contains("n_packs"))
+      val (c3g, b3g) = post(
+        """{"type": "pack.sequence", "inputDataset": "documents", "groupColumn": "source", "budget": "512", "outputDataset": "packed_by_src"}""")
+      assert(c3g === 200 && b3g.contains("packed_by_src"), b3g)
       val (c4, b4) = post(
         """{"type": "ann.quantized", "inputDataset": "embeddings", "queriesDataset": "embeddings", "k": "3", "outputDataset": "nbrs"}""")
       assert(c4 === 200, b4)
