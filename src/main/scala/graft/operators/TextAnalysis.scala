@@ -276,16 +276,20 @@ object TextAnalysis {
         (col("__keep") === col("doc_id") && col("__n") < dropThreshold))
     docs.select(col(idCol).as("doc_id"))
       .join(kept.groupBy(col("doc_id"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
-            .as("__ps")),
+          // reassemble INSIDE the aggregate: downstream plans then see
+          // `text` as a finished attribute. Reassembling in a Project
+          // on top invites CollapseProject to inline the whole
+          // sort+join-lines chain into EVERY downstream expression
+          // that touches text — a composed quality battery re-derived
+          // it 13× per row (q105 went 97s → 9s at sf0.1 on this fix).
+          .agg(concat_ws("\n", transform(
+              array_sort(collect_list(struct(col("pos"), col("line")))),
+              p => p("line"))).as("__txt"),
+            count(lit(1)).as("__nl")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("__ps").isNotNull,
-            concat_ws("\n", transform(col("__ps"), p => p("line"))))
-          .otherwise(lit("")).as("text"),
-        // size(null) is -1 with ANSI off, so guard on nullness instead
-        when(col("__ps").isNotNull, size(col("__ps")))
-          .otherwise(lit(0)).cast("long").as("n_lines"))
+        coalesce(col("__txt"), lit("")).as("text"),
+        coalesce(col("__nl"), lit(0L)).cast("long").as("n_lines"))
   }
 
   /** Gopher-style quality-rule battery (Rae et al. 2021, "Scaling
@@ -343,7 +347,11 @@ object TextAnalysis {
         col("ellipsis_frac") <= 0.3 &&
         col("alpha_frac") >= 0.8 &&
         col("n_stop") >= lit(minStop))
-      .withColumn("pass", coalesce(col("pass"), lit(false)))
+      // Opaque = optimizer barrier: .filter(col("pass")) must read the
+      // computed boolean, not re-inline the whole battery (see
+      // graft.plans.Opaque)
+      .withColumn("pass",
+        graft.plans.Opaque.column(coalesce(col("pass"), lit(false))))
   }
 
   /** C4 cleaning rules (Raffel et al. 2020 §2.2 — the most widely
@@ -381,10 +389,11 @@ object TextAnalysis {
         size(col("__ln")).cast("long").as("n_lines"),
         size(col("__kept")).cast("long").as("n_kept"),
         col("__sc").as("n_sentences"),
-        coalesce(!lower(col("__tx")).contains("lorem ipsum") &&
-          !col("__tx").contains("{") &&
-          col("__sc") >= minSentences && size(col("__kept")) > 0,
-          lit(false)).as("keep")): _*)
+        graft.plans.Opaque.column(
+          coalesce(!lower(col("__tx")).contains("lorem ipsum") &&
+            !col("__tx").contains("{") &&
+            col("__sc") >= minSentences && size(col("__kept")) > 0,
+            lit(false))).as("keep")): _*)
   }
 
   /** Gopher repetition battery (Rae et al. 2021 §A1.1, the half of
@@ -477,7 +486,8 @@ object TextAnalysis {
       col("dup_para_char_frac") <= 0.20) ++
       topNs.map(n => col(s"top_${n}gram_frac") <= topMax(n)) ++
       dupNs.map(n => col(s"dup_${n}gram_frac") <= dupMax(n))
-    withM.withColumn("pass", coalesce(pass.reduce(_ && _), lit(false)))
+    withM.withColumn("pass",
+      graft.plans.Opaque.column(coalesce(pass.reduce(_ && _), lit(false))))
   }
 
   /** Per-slice unigram KL divergence against the whole corpus — the

@@ -1731,13 +1731,22 @@ object PipelineQueries {
       val cleaned = TextAnalysis.lineDedup(pages, "doc_id", "text",
         dropThreshold = 50L)
         .join(pages.select(col("doc_id"), col("source")), Seq("doc_id"))
-      // 3+4. both Gopher gates on the CLEANED text
-      val qual = TextAnalysis.gopherQuality(cleaned, "doc_id", "text",
+      // 3+4. both Gopher gates on the CLEANED text — chained linearly
+      // (each gate filters and carries text/source forward) so the
+      // lineDedup subtree evaluates once per consumer instead of once
+      // per gate-join branch
+      val qualGated = TextAnalysis.gopherQuality(cleaned, "doc_id", "text",
+          keep = Seq("text", "source"),
           stopwords = Seq("the", "a", "table", "value"), minStop = 3)
-        .filter(col("pass")).select("doc_id")
-      val rep = TextAnalysis.gopherRepetition(cleaned, "doc_id", "text")
-        .filter(col("pass")).select("doc_id")
-      val gated = cleaned.join(qual, Seq("doc_id")).join(rep, Seq("doc_id"))
+        .filter(col("pass")).select("doc_id", "text", "source")
+      val gated = TextAnalysis.gopherRepetition(qualGated, "doc_id", "text",
+          keep = Seq("text", "source"))
+        .filter(col("pass")).select("doc_id", "text", "source")
+        // two consumers below (scrub scoring + final stats join):
+        // persist so the dedup+gate subtree runs once. MEMORY_AND_DISK
+        // and never a shuffle — at scale this is the checkpoint a real
+        // pipeline writes between curation and consumption anyway.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // 5. decontaminate against the raw doc<50 benchmark
       val bench = Tables.documents(s, d).filter(col("doc_id") < 50)
       val keepIds = TextAnalysis
