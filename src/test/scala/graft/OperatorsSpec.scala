@@ -508,6 +508,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(empty.isNullAt(empty.fieldIndex("mean_word_len")))
   }
 
+  test("battery verdicts are optimizer barriers: filter(pass) reads the boolean") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // non-scan input (aggregate + join below the battery) — the shape
+    // where predicate pushdown used to re-inline the 13-metric pass
+    // conjunction through every projection layer (~20x per-row cost)
+    val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val joined = a.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.first("text").as("text"))
+      .join(a.select("doc_id"), Seq("doc_id"))
+    for (battery <- Seq(
+        TextAnalysis.gopherRepetition(joined, "doc_id", "text"),
+        TextAnalysis.gopherQuality(joined, "doc_id", "text"))) {
+      val plan = battery.filter(col("pass")).select("doc_id")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("graft_opaque"),
+        "verdict must be fenced by plans.Opaque")
+      // the blowup signature: the battery's expressions duplicated into
+      // the filter condition. One fenced battery keeps ≤ 15 TokenCounts
+      // sites (gram ns + line/para units); a re-inlined one doubles+.
+      val tc = "graft_token_counts".r.findAllIn(plan).size
+      assert(tc <= 15, s"battery re-inlined into the filter: $tc sites")
+    }
+  }
+
   test("c4Clean: line rules drop lines, page flags drop pages") {
     import spark.implicits._
     import graft.operators.TextAnalysis
