@@ -140,6 +140,24 @@ class StreamingStateSpec extends AnyFunSuite {
       assert(out.keySet === Set(1L, 3L))
       assert(!out(3L).contains("a@b.com"))
     } finally q.stop()
+    // the newer batteries are the same stateless per-row shape — the
+    // repetition battery and C4 rules gate a stream with the same code
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    in2.addData((1L, good + "."), (2L, "spam spam spam spam spam spam."))
+    val docs2 = in2.toDF().toDF("doc_id", "text")
+    val both = graft.operators.TextAnalysis.gopherRepetition(
+        graft.operators.TextAnalysis.c4Clean(docs2, "doc_id", "text",
+          minSentences = 1).filter(col("keep")),
+        "doc_id", "text").filter(col("pass"))
+    val q2 = both.writeStream.format("memory").queryName("gate_out2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM gate_out2")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L), "repetitive doc must be gated out on-stream")
+    } finally q2.stop()
   }
 
   test("statsTable getCounts on new data with cold-start zeros") {
