@@ -371,6 +371,62 @@ final class GraftEngine(val spark: SparkSession) {
         registerOut(graft.operators.Dedup.exact(dataset(req("inputDataset")),
           param("column").getOrElse("text"),
           param("idColumn").getOrElse("doc_id")))
+      case "pipeline.curate" =>
+        // the whole curation chain behind one call (the q105 shape):
+        // optional stages run in the canonical order — corpus line
+        // dedup → C4 cleanup → Gopher quality gate → repetition gate →
+        // exact dedup → benchmark decontamination → temperature
+        // rebalance. Every stage is the same operator the standalone
+        // procedures use; disabled stages cost nothing.
+        import org.apache.spark.sql.functions.{col => c}
+        import graft.operators.{Dedup, TextAnalysis}
+        val keepCols = param("keepColumns")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Nil)
+        def on(p: String) = param(p).exists(_.toBoolean)
+        var cur = dataset(req("inputDataset"))
+          .withColumnRenamed(param("idColumn").getOrElse("doc_id"), "doc_id")
+          .withColumnRenamed(param("column").getOrElse("text"), "text")
+          .select((Seq("doc_id", "text") ++ keepCols).map(c): _*)
+        val carry = (df: org.apache.spark.sql.DataFrame) =>
+          df.select((Seq("doc_id", "text") ++ keepCols).map(c): _*)
+        if (on("lineDedup")) {
+          val others = cur.select((Seq("doc_id") ++ keepCols).map(c): _*)
+          cur = carry(TextAnalysis.lineDedup(cur, "doc_id", "text",
+            param("lineDropThreshold").map(_.toLong).getOrElse(Long.MaxValue))
+            .join(others, Seq("doc_id")))
+        }
+        if (on("c4"))
+          cur = carry(TextAnalysis.c4Clean(cur, "doc_id", "text",
+            keep = keepCols).filter(c("keep")))
+        if (on("quality"))
+          cur = carry(TextAnalysis.gopherQuality(cur, "doc_id", "text",
+            keep = Seq("text") ++ keepCols,
+            stopwords = param("stopwords")
+              .map(_.split(",").toSeq.map(_.trim))
+              .getOrElse(Seq("the", "be", "to", "of", "and", "that",
+                "have", "with")),
+            minStop = param("minStop").map(_.toLong).getOrElse(2L))
+            .filter(c("pass")))
+        if (on("repetition"))
+          cur = carry(TextAnalysis.gopherRepetition(cur, "doc_id", "text",
+            keep = Seq("text") ++ keepCols).filter(c("pass")))
+        if (on("dedupExact")) cur = Dedup.exact(cur, "text", "doc_id")
+        param("benchmarkDataset").foreach { b =>
+          val maxC = param("maxContamination").map(_.toDouble).getOrElse(0.8)
+          val keepIds = TextAnalysis.contamination(cur, "doc_id", "text",
+            dataset(b), param("benchmarkColumn").getOrElse("text"))
+            .filter(c("contamination") < maxC).select(c("id").as("doc_id"))
+          cur = cur.join(keepIds, Seq("doc_id"))
+        }
+        param("budgetFraction").foreach { bf =>
+          cur = cur.join(graft.procedures.Procedures.temperatureSample(
+            cur, param("sourceColumn").getOrElse("source"), "doc_id",
+            budgetFraction = bf.toDouble,
+            alpha = param("alpha").map(_.toDouble).getOrElse(0.5))
+            .select("doc_id"), Seq("doc_id"))
+        }
+        registerOut(cur)
       case "dedup.winnow" =>
         registerOut(graft.operators.Dedup.winnowDedup(
           dataset(req("inputDataset")),

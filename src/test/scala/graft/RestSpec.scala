@@ -354,6 +354,12 @@ class RestSpec extends AnyFunSuite {
       val (c11, b11) = post(
         """{"type": "quality.c4", "inputDataset": "documents", "outputDataset": "c4"}""")
       assert(c11 === 200 && b11.contains("c4"), b11)
+      // whole curation chain in one call: gates + dedup + rebalance
+      val (c12, b12) = post(
+        """{"type": "pipeline.curate", "inputDataset": "documents", "keepColumns": "source", "quality": "true", "stopwords": "the,a,table,value", "minStop": "3", "repetition": "true", "dedupExact": "true", "budgetFraction": "0.5", "outputDataset": "curated"}""")
+      assert(c12 === 200 && b12.contains("curated"), b12)
+      val m12 = "\"rowCount\": (\\d+)".r.findFirstMatchIn(b12)
+      assert(m12.exists(m => m.group(1).toInt > 0 && m.group(1).toInt < 500), b12)
       val input = java.net.URLEncoder.encode("""{"text": "the quick fox"}""", "UTF-8")
       val (ac, ab) = get(port, s"/v1/functions/tok/application?input=$input")
       assert(ac === 200 && ab.contains("bpe_tokens") && ab.contains("</w>"), ab)
