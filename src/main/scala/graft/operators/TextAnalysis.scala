@@ -153,6 +153,72 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** The cross-engine score-table contract behind [[lmPerplexity]]:
+    * every per-bigram fixed-point log-score, keyed by the INTEGER
+    * count pair that determines it. `seen` maps each distinct
+    * (bigram count, head-word count) pair to round(ln(c2/c1)·1e6);
+    * `backoff` maps each distinct unigram count to
+    * round(ln(α·c/N)·1e6); `oovFp` is the out-of-vocabulary score
+    * round(ln(α·0.5/N)·1e6). The transcendental is evaluated exactly
+    * ONCE (driver-side) and the resulting BIGINTs ride in BOTH the
+    * Spark plan and the DuckDB oracle as literals — no engine ever
+    * recomputes a log, so 1-ulp libm differences cannot flip a
+    * rounding boundary (the q101/DSIR pattern). */
+  final case class LmScoreTables(
+      seen: Seq[(Long, Long, Long)],   // (c2, c1, fp)
+      backoff: Seq[(Long, Long)],      // (c1w2, fp)
+      oovFp: Long,
+      nTokens: Long)
+
+  private def bigramArr(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => struct(element_at(toks, i).as("w1"),
+        element_at(toks, i + 1).as("w2")))
+
+  /** round-half-away-from-zero to BIGINT micro-units — the same
+    * convention as Spark's `round(x, 0)` and DuckDB's `round`. */
+  private def fpMicro(x: Double): Long =
+    BigDecimal(x * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Derive the [[LmScoreTables]] for a training corpus. The collect
+    * is DISTINCT COUNT PAIRS, not grams: counts are Zipf-distributed,
+    * so the number of distinct (c2, c1) pairs grows ~sub-linearly in
+    * corpus size (empirically thousands at millions of bigrams; a
+    * trillion-bigram corpus yields a few million pairs ≈ tens of MB —
+    * still broadcast-sized). A hard cap fails fast rather than
+    * silently collecting an unexpectedly pathological table.
+    *
+    * `logFn` exists for the determinism spec: perturbing ln by 1 ulp
+    * must leave every fixed-point entry unchanged. */
+  def lmScoreTables(train: DataFrame, trainTextCol: String,
+      alpha: Double = 0.4, logFn: Double => Double = math.log,
+      maxPairs: Int = 4000000): LmScoreTables = {
+    val trainToks =
+      train.select(T.tokens(col(trainTextCol), "\\s+").as("__toks"))
+    val uni = trainToks.select(explode(col("__toks")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.count()
+    val pairRows = trainToks.filter(size(col("__toks")) >= 2)
+      .select(explode(bigramArr(col("__toks"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .select(col("c2"), col("c1")).distinct()
+      .limit(maxPairs + 1).collect()
+    require(pairRows.length <= maxPairs,
+      s"lmScoreTables: > $maxPairs distinct (c2,c1) pairs — corpus count " +
+        "distribution is pathological; raise maxPairs explicitly")
+    val seen = pairRows.toSeq.map { r =>
+      val (c2, c1) = (r.getLong(0), r.getLong(1))
+      (c2, c1, fpMicro(logFn(c2.toDouble / c1.toDouble)))
+    }.sortBy(t => (t._1, t._2))
+    val backoff = uc.select(col("c")).distinct().collect().toSeq
+      .map(_.getLong(0)).sorted
+      .map(c => c -> fpMicro(logFn(alpha * c / n)))
+    LmScoreTables(seen, backoff, fpMicro(logFn(alpha * 0.5 / n)), n)
+  }
+
   /** Bigram language-model perplexity scoring with Stupid Backoff
     * smoothing (Brants et al. 2007, "Large Language Models in Machine
     * Translation" — the web-scale LM formulation designed for exactly
@@ -171,25 +237,39 @@ object TextAnalysis {
     * GRAM KEY — counts are never broadcast and never collected, so a
     * 100 TB corpus with a billion-row bigram table is three co-located
     * shuffle joins, not a driver bottleneck. Hot grams ("of the") are
-    * one row on the build side of each join — no row explosion.
+    * one row on the build side of each join — no row explosion. The
+    * only broadcast is the distinct-count-pair score table
+    * ([[lmScoreTables]] — sub-linear, megabytes at web scale).
     *
-    * Determinism across engines: per-bigram log-scores are fixed-point
-    * rounded to 1e-6 as BIGINT and summed as integers, so the per-doc
-    * aggregation is exact and order-free (a raw double sum would hash
-    * differently under Spark's vs the oracle's reduction order);
-    * `avg_logprob` divides the same two integers in the same order in
-    * both engines. */
+    * Determinism across engines: per-bigram log-scores come from the
+    * shared fixed-point table (BIGINT micro-units), so the per-doc sum
+    * is integer-exact and order-free, and no engine evaluates a
+    * transcendental inside the hashed contract; `avg_logprob` divides
+    * the same two integers in the same order in both engines.
+    * (`perplexity` = exp(−avg) is derived CONVENIENCE output — exp is
+    * engine-libm-dependent, so oracle contracts should hash the
+    * integer-exact columns, not this one.) */
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
       train: DataFrame, trainTextCol: String,
-      alpha: Double = 0.4): DataFrame = {
-    def bigramArr(toks: Column): Column =
-      transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2")))
-    val trainToks = train.select(T.tokens(col(trainTextCol), "\\s+").as("__toks"))
-    val uni = trainToks.select(explode(col("__toks")).as("w"))
-    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val totals = uni.agg(count(lit(1)).cast("double").as("__n"))
+      alpha: Double = 0.4): DataFrame =
+    lmPerplexityWith(docs, idCol, textCol, train, trainTextCol,
+      lmScoreTables(train, trainTextCol, alpha))
+
+  /** [[lmPerplexity]] against a pre-built [[LmScoreTables]] — the
+    * entry point when the caller also needs the table (e.g. to mirror
+    * it into an oracle plan, or to score many batches under one LM). */
+  def lmPerplexityWith(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String,
+      tables: LmScoreTables): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val seenDf = broadcast(
+      tables.seen.toDF("__sc2", "__sc1", "__fp_seen"))
+    val backDf = broadcast(tables.backoff.toDF("__bc", "__fp_back"))
+    val trainToks =
+      train.select(T.tokens(col(trainTextCol), "\\s+").as("__toks"))
+    val uc = trainToks.select(explode(col("__toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val bc = trainToks.filter(size(col("__toks")) >= 2)
       .select(explode(bigramArr(col("__toks"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -203,12 +283,11 @@ object TextAnalysis {
       .join(bc, Seq("w1", "w2"), "left")
       .join(uc.select(col("w").as("w1"), col("c").as("__c1w1")), Seq("w1"), "left")
       .join(uc.select(col("w").as("w2"), col("c").as("__c1w2")), Seq("w2"), "left")
-      .crossJoin(broadcast(totals))
-      .withColumn("__lp", when(col("c2").isNotNull,
-          log(col("c2").cast("double") / col("__c1w1").cast("double")))
-        .otherwise(log(lit(alpha) *
-          coalesce(col("__c1w2").cast("double"), lit(0.5)) / col("__n"))))
-      .withColumn("__fp", round(col("__lp") * 1e6, 0).cast("long"))
+      .join(seenDf, col("c2") === col("__sc2") &&
+        col("__c1w1") === col("__sc1"), "left")
+      .join(backDf, col("__c1w2") === col("__bc"), "left")
+      .withColumn("__fp", when(col("c2").isNotNull, col("__fp_seen"))
+        .otherwise(coalesce(col("__fp_back"), lit(tables.oovFp))))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__fp")).as("logprob_fp"))
       .withColumn("avg_logprob",

@@ -478,6 +478,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(3L)._2 - 30.0) < 1e-3)      // OOV: 0.4*0.5/6
   }
 
+  test("lmScoreTables: 1-ulp log perturbation leaves the fixed-point " +
+      "contract unchanged") {
+    // The r3 q89 red row: round(ln·1e6) computed independently in two
+    // engines flips when libm results differ by 1 ulp near a .5
+    // boundary. The contract now ships ONE driver-computed table to
+    // both engines, so the only remaining exposure would be the table
+    // itself being ulp-fragile — prove it is not: nudging every log
+    // result up or down a full ulp reproduces the identical BIGINTs,
+    // hence the identical hashed output in both engines.
+    val train = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = graft.operators.TextAnalysis.lmScoreTables(train, "text")
+    val up = graft.operators.TextAnalysis.lmScoreTables(train, "text",
+      logFn = x => Math.nextUp(math.log(x)))
+    val down = graft.operators.TextAnalysis.lmScoreTables(train, "text",
+      logFn = x => Math.nextDown(math.log(x)))
+    assert(base.seen.nonEmpty && base.backoff.nonEmpty)
+    assert(up === base)
+    assert(down === base)
+    // and scoring against the table is pure integer math: the same
+    // table must give the same per-doc sums wherever it is evaluated
+    val docs = train.limit(50)
+    val a = graft.operators.TextAnalysis
+      .lmPerplexityWith(docs, "doc_id", "text", train, "text", base)
+      .select("doc_id", "logprob_fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.operators.TextAnalysis
+      .lmPerplexityWith(docs, "doc_id", "text", train, "text", up)
+      .select("doc_id", "logprob_fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("gopherQuality: each rule trips on its crafted offender only") {
     import spark.implicits._
     import graft.operators.TextAnalysis
