@@ -35,6 +35,12 @@ object Tables {
     // parquet reader rejects; read the raw long and convert ourselves
     // (see events()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Let pass-through predicates keep reaching the scan past graft's
+    // Opaque optimizer barrier (see plans.PushThroughOpaque).
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.PushThroughOpaque))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushThroughOpaque
     spark
   }
 

@@ -527,8 +527,23 @@ object Dedup {
     * downstream to a bare dot product per pair. */
   private def assignClusters(emb: DataFrame, vecCol: String, idCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
+    // Fail fast on mis-dimensioned config: MatVecDots/VecDotQ8
+    // truncate to the shorter operand, which would silently void the
+    // q8Margin "no true pair ever dropped" prefilter bound. Centroids
+    // must agree with each other and (checked against one row on the
+    // batch path; streams have no row to peek) with the embeddings.
+    require(centroids.nonEmpty && centroids.forall(
+      _.length == centroids.head.length),
+      "assignClusters: centroids must be non-empty and share one dimension")
+    val dim = centroids.head.length
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    if (!emb.isStreaming)
+      base.select(size(col("v")).as("n")).head(1).foreach { r =>
+        require(r.getInt(0) == dim,
+          s"assignClusters: embedding length ${r.getInt(0)} != centroid " +
+            s"dimension $dim — the quantized prefilter bound assumes equal dims")
+      }
     val dots = graft.plans.VectorExprs.matVecDots(
       centroids.toIndexedSeq.map(_.toIndexedSeq), col("v"))
     val cNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toSeq

@@ -542,10 +542,14 @@ object TextAnalysis {
     def gramChars(n: Int, e: Column): Column =
       e.getField("value").cast("long") *
         (length(e.getField("key")) - (n - 1))
+    // top-gram frac counts the MOST FREQUENT n-gram even when it
+    // occurs once (Rae 2021's definition, as reimplemented by e.g.
+    // DataTrove's find_top_duplicate) — short documents with one long
+    // unique 4-gram are MEANT to trip the 0.16 threshold. Ties resolve
+    // by max count·chars (deterministic, unlike insertion-order picks).
     val topCols = topNs.map { n =>
       val top = aggregate(gramEntries(n), lit(0L), (a, e) =>
-        greatest(a, when(e.getField("value") >= 2, gramChars(n, e))
-          .otherwise(lit(0L))))
+        greatest(a, gramChars(n, e)))
       coalesce(round(top.cast("double") / nullif(col("__tc"), lit(0L)), 4),
         lit(0.0)).as(s"top_${n}gram_frac")
     }

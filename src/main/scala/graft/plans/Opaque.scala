@@ -24,7 +24,21 @@ import org.apache.spark.sql.types.DataType
   *
   * The wrapped expression must itself be deterministic (the marker
   * lies about non-determinism precisely to fence the optimizer; the
-  * value is stable, so correctness and retries are unaffected). */
+  * value is stable, so correctness and retries are unaffected).
+  *
+  * Contract (spec-pinned in OperatorsSpec):
+  *  - A MATERIALIZED verdict column is an ordinary attribute — group,
+  *    join, sort and filter on it freely. Only embedding
+  *    `Opaque.column(...)` directly inside a grouping/join/sort
+  *    EXPRESSION is rejected (by Catalyst, as any nondeterministic
+  *    expression there would be).
+  *  - The marker alone would also block UNRELATED predicate
+  *    transposition through the projection (Spark's pushdown rule
+  *    requires every project field deterministic).
+  *    [[PushThroughOpaque]] — installed by `Tables.tune`, i.e. every
+  *    graft entry point — restores pushdown for conjuncts touching
+  *    only pass-through columns; predicates on computed metric
+  *    columns intentionally stay above the barrier. */
 case class Opaque(child: Expression) extends UnaryExpression {
   override lazy val deterministic: Boolean = false
   override def dataType: DataType = child.dataType

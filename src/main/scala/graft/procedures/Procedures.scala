@@ -161,8 +161,15 @@ object Procedures {
     * md5 contract — a pure scan-pushed predicate, no shuffle. */
   def temperatureSample(df: DataFrame, sourceCol: String, keyCol: String,
       budgetFraction: Double, alpha: Double = 0.5): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // sources group on their STRING form (non-string columns cast, so
+    // the rate lookup in mixtureSample matches what was counted);
+    // null sources are excluded from the budget math and dropped by
+    // the defaultRate = 0.0 below — a null "source" has no n_s.
+    val counts = df.groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .sortBy(_._1)
     val bigN = counts.map(_._2).sum
     val w: Map[String, Long] = counts.map { case (s, n) =>
       s -> (if (alpha == 0.5) math.round(math.sqrt(n.toDouble) * 1e6)
@@ -173,8 +180,24 @@ object Procedures {
       s -> math.min(1.0,
         ((budgetFraction * bigN) * w(s)) / (bigW.toDouble * n.toDouble))
     }.toMap
-    mixtureSample(df, sourceCol, keyCol, rates, defaultRate = 0.0)
+    mixtureSample(df.filter(col(sourceCol).isNotNull), sourceCol, keyCol,
+      rates, defaultRate = 0.0)
   }
+
+  /** Both packers read `ranged` from two plan subtrees (data branch +
+    * offset table); correctness needs both subtrees to see ONE
+    * physical range partitioning. With the default
+    * `spark.sql.exchange.reuse=true` Catalyst collapses the two
+    * identical exchanges, so the boundary sample is shared for free.
+    * If a session disables reuse, the exchanges would sample range
+    * boundaries independently and `__pid` could disagree between the
+    * branches — so materialize the partitioning once (localCheckpoint)
+    * instead of silently corrupting offsets. */
+  private def pinRanged(ranged: DataFrame): DataFrame =
+    if (ranged.sparkSession.conf
+        .getOption("spark.sql.exchange.reuse").contains("false"))
+      ranged.localCheckpoint()
+    else ranged
 
   /** `summary.statistics` (`builtin/summary_statistics_proc.cc:516`):
     * per-numeric-column min/max/mean/stddev/count/nulls/approx
@@ -305,9 +328,10 @@ object Procedures {
     require(budget > 0, "budget must be positive")
     val nPart = try df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt catch { case _: Throwable => 200 }
-    val ranged = df.repartitionByRange(math.max(nPart, 1), col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__n", greatest(col(nTokensCol).cast("long"), lit(1L)))
+    val ranged = pinRanged(
+      df.repartitionByRange(math.max(nPart, 1), col(idCol))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__n", greatest(col(nTokensCol).cast("long"), lit(1L))))
     // ≤ nPart rows shuffle to build the offset table
     val offsets = ranged.groupBy(col("__pid"))
       .agg(sum(col("__n")).as("__psum"))
@@ -348,10 +372,10 @@ object Procedures {
     require(budget > 0, "budget must be positive")
     val nPart = try df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt catch { case _: Throwable => 200 }
-    val ranged = df
+    val ranged = pinRanged(df
       .repartitionByRange(math.max(nPart, 1), col(groupCol), col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__n", greatest(col(nTokensCol).cast("long"), lit(1L)))
+      .withColumn("__n", greatest(col(nTokensCol).cast("long"), lit(1L))))
     val offsets = ranged.groupBy(col(groupCol), col("__pid"))
       .agg(sum(col("__n")).as("__psum"))
       .withColumn("__toff", coalesce(sum(col("__psum")).over(

@@ -1401,7 +1401,7 @@ object PipelineQueries {
           |  GROUP BY doc_id, g),
           |s$n AS (
           |  SELECT doc_id,
-          |    max(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS topch,
+          |    max(c * gl) AS topch,
           |    sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dupch
           |  FROM g$n GROUP BY doc_id)""".stripMargin
       def unitCtes(src: String, pre: String) =
@@ -1486,7 +1486,7 @@ object PipelineQueries {
           |  GROUP BY doc_id, g),
           |rs$n AS (
           |  SELECT doc_id,
-          |    max(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS topch,
+          |    max(c * gl) AS topch,
           |    sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dupch
           |  FROM rg$n GROUP BY doc_id)""".stripMargin
       def unitCtes(src: String, pre: String) =

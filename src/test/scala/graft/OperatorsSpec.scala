@@ -566,6 +566,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Opaque contract: group/join/sort on a verdict column still work") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // The barrier marks the verdict nondeterministic, but a
+    // materialized verdict is an ATTRIBUTE by the time an Aggregate,
+    // Join or Sort sees it — these must keep working (CollapseProject
+    // cannot legally merge the nondeterministic Project into them).
+    val passing = (0 until 40).map(i => s"${('a' + i / 10).toChar}${i % 10}")
+      .mkString(" ")
+    val docs = Seq((1L, passing),
+      (2L, "spam spam spam spam spam spam spam spam")).toDF("doc_id", "text")
+    val battery = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+    val grouped = battery.groupBy(col("pass")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(grouped === Map(true -> 1L, false -> 1L))
+    val sorted = battery.orderBy(col("pass"), col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    assert(sorted === Array(2L, 1L))
+    val joined = battery.select(col("doc_id"), col("pass"))
+      .join(battery.select(col("doc_id").as("id2"), col("pass")), Seq("pass"))
+    assert(joined.count() === 2L)
+  }
+
+  test("Opaque contract: pass-through predicates still reach the scan") {
+    import graft.operators.TextAnalysis
+    // The nondeterministic marker blocks Spark's own pushdown through
+    // the battery Project; plans.PushThroughOpaque (installed by
+    // Tables.tune) transposes conjuncts that touch only pass-through
+    // columns, so partition-pruning/scan filters written AFTER a
+    // battery still land in PushedFilters.
+    val docs = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .filter(col("doc_id") > 100).select("doc_id", "pass")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_opaque"), "barrier must survive")
+    assert(plan.contains("GreaterThan(doc_id,100)"),
+      s"doc_id predicate must reach PushedFilters; plan:\n$plan")
+    // and the verdict conjunct itself must NOT transpose below the
+    // battery (that would re-inline the 13-metric expression)
+    val vPlan = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .filter(col("pass") && col("doc_id") > 100).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(vPlan.contains("GreaterThan(doc_id,100)"),
+      "sibling conjunct must still push with the verdict filtered above")
+  }
+
   test("c4Clean: line rules drop lines, page flags drop pages") {
     import spark.implicits._
     import graft.operators.TextAnalysis
@@ -617,8 +663,13 @@ class OperatorsSpec extends AnyFunSuite {
     // top fracs stay under their thresholds (top4 = 2*4/60 = 0.1333)
     val filler = (0 until 25).map(i => s"${('a' + i / 5).toChar}${i % 5}")
     val doc4 = "p q r s t p q r s t " + filler.mkString(" ")
+    // doc1: 40 distinct 2-char tokens — with top-gram now counting
+    // once-occurring grams (the paper's definition), a passing doc
+    // needs its longest single n-gram to be a small char fraction
+    val doc1 = (0 until 40).map(i => s"${('a' + i / 10).toChar}${i % 10}")
+      .mkString(" ")
     val frame = Seq(
-      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, doc1),
       (2L, "same line\nsame line\nsame line\nother"),
       (3L, "ab cd ab cd ab cd xx yy"),
       (4L, doc4),
@@ -627,7 +678,8 @@ class OperatorsSpec extends AnyFunSuite {
     val m = TextAnalysis.gopherRepetition(frame, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(m(1L).getAs[Boolean]("pass"))
-    assert(m(1L).getAs[Double]("top_2gram_frac") === 0.0 &&
+    // all 2-grams occur once; the top one still counts: 4 chars / 80
+    assert(m(1L).getAs[Double]("top_2gram_frac") === 0.05 &&
       m(1L).getAs[Double]("dup_line_frac") === 0.0)
     // doc2: "same line"x3 + "other": (4-2)/4 lines dup; chars
     // (3-1)*9 / (3*9+5)

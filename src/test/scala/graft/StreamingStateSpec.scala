@@ -144,7 +144,11 @@ class StreamingStateSpec extends AnyFunSuite {
     // repetition battery and C4 rules gate a stream with the same code
     val in2 = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
-    in2.addData((1L, good + "."), (2L, "spam spam spam spam spam spam."))
+    // the passing doc needs enough distinct tokens that its single
+    // longest 4-gram stays under the paper's 0.16 char threshold now
+    // that once-occurring top grams count (Rae 2021 definition)
+    val good2 = (1 to 60).map(i => f"tok$i%02d").mkString(" ") + "."
+    in2.addData((1L, good2), (2L, "spam spam spam spam spam spam."))
     val docs2 = in2.toDF().toDF("doc_id", "text")
     val both = graft.operators.TextAnalysis.gopherRepetition(
         graft.operators.TextAnalysis.c4Clean(docs2, "doc_id", "text",
