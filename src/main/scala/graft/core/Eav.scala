@@ -80,6 +80,29 @@ object Eav {
     eav.groupBy(col("rowName"), col("column"))
       .agg(max_by(col("value"), col("ts")).as("value"), max(col("ts")).as("ts"))
 
+  /** GET_EARLIEST read — `VariableFilter::EARLIEST`: collapse each
+    * superposition to its FIRST-timestamped value. Same single
+    * partial-aggregated shuffle as [[latest]]. */
+  def earliest(eav: DataFrame): DataFrame =
+    eav.groupBy(col("rowName"), col("column"))
+      .agg(min_by(col("value"), col("ts")).as("value"), min(col("ts")).as("ts"))
+
+  /** GET_RANGE read — `VariableFilter::BETWEEN`: keep only the values
+    * of each superposition whose timestamp lies in [lo, hi] (both
+    * inclusive, the reference's bound semantics). Stays in EAV form so
+    * it composes with [[latest]]/[[earliest]]/[[temporalAgg]] — and it
+    * is a pure filter, so it pushes to the scan. */
+  def between(eav: DataFrame, lo: Column, hi: Column): DataFrame =
+    eav.filter(col("ts") >= lo && col("ts") <= hi)
+
+  /** GET_ALL read — `VariableFilter::ALL`: the whole superposition of
+    * each cell as a ts-ordered array of (ts, value) — the
+    * full-fidelity read the other filters collapse. */
+  def allValues(eav: DataFrame): DataFrame =
+    eav.groupBy(col("rowName"), col("column"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("value"))))
+        .as("values"))
+
   /** EAV → wide for a known column set, reading LATEST per cell. */
   def fromEav(eav: DataFrame, columns: Seq[String]): DataFrame = {
     val l = latest(eav)

@@ -54,6 +54,28 @@ object EavQueries {
         .select(col("event_id"), col("cp_id"))
     },
 
+    // --- the remaining VariableFilter variants as first-class reads
+    // (sql/expression_value.h:61-100): BETWEEN windows the cell
+    // timeline (inclusive bounds, a scan-pushed filter), EARLIEST
+    // collapses each surviving superposition to its first value —
+    // composed here exactly as a reference query would chain them. ---
+    QueryDef("q108_eav_between",
+      """SELECT CAST(user_id AS VARCHAR) AS "rowName",
+        |  min_by(event_type, ts) AS earliest_type,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS earliest_us
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'
+        |GROUP BY user_id""".stripMargin) { (s, d) =>
+      val eav = Eav.toEav(Tables.events(s, d), col("user_id"), col("ts"),
+        Seq("event_type", "value"))
+      val windowed = Eav.between(eav,
+        lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
+      Eav.earliest(windowed)
+        .filter(col("column") === "event_type")
+        .select(col("rowName"), col("value.str").as("earliest_type"),
+          unix_micros(col("ts")).as("earliest_us"))
+    },
+
     QueryDef("q67_eav_when_latest",
       """SELECT CAST(user_id AS VARCHAR) AS "rowName",
         |  max_by(event_type, ts) AS latest_type

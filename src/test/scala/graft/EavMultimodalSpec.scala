@@ -49,6 +49,35 @@ class EavMultimodalSpec extends AnyFunSuite {
     assert(kept.count() === ev.filter(col("ts") < cut).count() * 2)
   }
 
+  test("VariableFilter variants: earliest/between/allValues on a superposition") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // one cell (u1, score) holding three timestamped values
+    val wide = Seq(
+      ("u1", 1.0, t("2024-01-01 00:00:00")),
+      ("u1", 2.0, t("2024-01-05 00:00:00")),
+      ("u1", 3.0, t("2024-01-09 00:00:00")),
+      ("u2", 9.0, t("2024-01-03 00:00:00"))
+    ).toDF("user", "score", "ts")
+    val eav = Eav.toEav(wide, col("user"), col("ts"), Seq("score"))
+    val ear = Eav.earliest(eav).collect()
+      .map(r => r.getString(0) -> r.getStruct(2).getDouble(0)).toMap
+    assert(ear === Map("u1" -> 1.0, "u2" -> 9.0))
+    // BETWEEN is inclusive on both bounds and keeps EAV form
+    val win = Eav.between(eav,
+      lit("2024-01-01 00:00:00").cast("timestamp"),
+      lit("2024-01-05 00:00:00").cast("timestamp"))
+    assert(win.count() === 3)
+    val latWin = Eav.latest(win).collect()
+      .map(r => r.getString(0) -> r.getStruct(2).getDouble(0)).toMap
+    assert(latWin === Map("u1" -> 2.0, "u2" -> 9.0))
+    // ALL returns the whole timeline, ts-ordered
+    val allv = Eav.allValues(eav).filter(col("rowName") === "u1").head()
+    val vals = allv.getSeq[org.apache.spark.sql.Row](2)
+      .map(_.getStruct(1).getDouble(0))
+    assert(vals === Seq(1.0, 2.0, 3.0))
+  }
+
   test("fromEav round-trips wide rows at latest values") {
     val ev = Tables.events(spark, sf).limit(200)
     val eav = Eav.toEav(ev, col("event_id"), col("ts"), Seq("event_type", "value"))
