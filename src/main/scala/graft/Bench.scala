@@ -30,7 +30,7 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val timedQueries = SparkEntry.queries.filterNot(kv =>
-      verificationTwins(kv._1))
+      verificationTwins(kv._1)) ++ SparkEntry.benchOnlyQueries
     timedQueries.foreach { case (_, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count() }
       catch { case _: Throwable => () }

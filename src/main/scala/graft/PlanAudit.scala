@@ -64,7 +64,8 @@ object PlanAudit {
       // C4 cleaning is pure per-row line filtering
       "q106_c4_clean")
     for (name <- interesting) {
-      val df = SparkEntry.queries(name)(spark, d)
+      val df = SparkEntry.queries.getOrElse(name,
+        SparkEntry.benchOnlyQueries(name))(spark, d)
       val plan = df.queryExecution.executedPlan.toString
       val props = Seq(
         "PushedFilters: [" -> plan.contains("PushedFilters: ["),

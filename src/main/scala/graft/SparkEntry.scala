@@ -29,4 +29,10 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     defs.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Operators timed by Bench but outside the correctness gate —
+    * native-hash fast paths whose oracle is a mechanics twin (see
+    * PipelineQueries.benchOnly). */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineQueries.benchOnly.toMap
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, regexp_replace}
 import org.apache.spark.sql.types.StructType
 
 /** File sources/sinks (SURVEY §2.7 import/export procedures).
@@ -17,39 +18,112 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
+  /** Mirror of the reference's ImportTextConfig
+    * (`plugins/textual/importtext_procedure.cc:43-115`), field for
+    * field where Spark has an analog:
+    *  - `headerNames` = the reference's `headers` list (names supplied
+    *    when the file has no header row);
+    *  - `preHeaderOffset` / `skipLineRegex` / `processExcelFormulas`
+    *    are LINE-level options, so they route the read through
+    *    `spark.read.csv(Dataset[String])` — incompatible with
+    *    `allowMultiLines`, exactly as the reference warns;
+    *  - `select`/`where`/`named`/`timestamp` are the post-import SQL
+    *    expressions, applied through the session's SQL engine (full
+    *    select-list syntax); `named`/`timestamp` add the reference's
+    *    `rowName`/`ts` columns when supplied (defaulting them to
+    *    lineNumber()/fileTimestamp() would force a line-level read,
+    *    so unlike the reference they are opt-in);
+    *  - `structuredColumnNames`/`ignoreExtraColumns` are not
+    *    implemented (Spark columns are flat; width mismatches follow
+    *    `ignoreBadLines`).
+    * uint64 note (SURVEY §1.2): with inference, integers beyond
+    * int64 (e.g. 2^64-1) import as DECIMAL(20,0) — Spark's CSV
+    * inference tries int → bigint → decimal — so the reference's full
+    * uint64 range round-trips exactly; supply a schema to force a
+    * different type. Spec-pinned in ProceduresSpec. */
   final case class TextImportConfig(
       delimiter: String = ",",
       quoteChar: String = "\"",
       encoding: String = "UTF-8",
       headers: Boolean = true,
+      headerNames: Seq[String] = Nil,
       autoGenerateHeaders: Boolean = false,
       ignoreBadLines: Boolean = false,
       allowMultiLines: Boolean = false,
       limit: Option[Int] = None,
       offset: Int = 0,
+      preHeaderOffset: Int = 0,
+      skipLineRegex: Option[String] = None,
+      processExcelFormulas: Boolean = false,
+      select: String = "*",
+      where: String = "true",
+      named: Option[String] = None,
+      timestamp: Option[String] = None,
       schema: Option[StructType] = None)
 
   /** `import.text` — CSV/TSV import. */
   def importText(spark: SparkSession, path: String,
       cfg: TextImportConfig = TextImportConfig()): DataFrame = {
+    val lineLevel = cfg.preHeaderOffset > 0 || cfg.skipLineRegex.nonEmpty ||
+      cfg.processExcelFormulas
+    require(!(lineLevel && cfg.allowMultiLines),
+      "preHeaderOffset/skipLineRegex/processExcelFormulas are line-level " +
+        "options and cannot combine with allowMultiLines (records span lines)")
+    require(!(cfg.headerNames.nonEmpty && cfg.autoGenerateHeaders),
+      "headerNames and autoGenerateHeaders are mutually exclusive")
+    val hasHeaderRow =
+      cfg.headers && !cfg.autoGenerateHeaders && cfg.headerNames.isEmpty
     var r = spark.read
       .option("sep", cfg.delimiter)
       .option("quote", cfg.quoteChar)
       .option("encoding", cfg.encoding)
-      .option("header", cfg.headers && !cfg.autoGenerateHeaders)
+      .option("header", hasHeaderRow)
       .option("mode", if (cfg.ignoreBadLines) "DROPMALFORMED" else "FAILFAST")
       .option("multiLine", cfg.allowMultiLines)
     cfg.schema match {
       case Some(s) => r = r.schema(s)
       case None => r = r.option("inferSchema", true)
     }
-    val df0 = r.csv(path)
-    val df1 = if (cfg.autoGenerateHeaders) {
-      // reference autoGenerateHeaders: columns named by position
-      df0.toDF(df0.columns.indices.map(i => s"c$i"): _*)
-    } else df0
+    val df0 = if (!lineLevel) r.csv(path) else {
+      // line-level preprocessing: drop pre-header lines, skip lines by
+      // (whole-line-anchored) regex, unwrap Excel ="..." formulas —
+      // then hand the cleaned lines to the same CSV parser. Stays
+      // distributed: text scan → per-row ops → csv(Dataset[String]).
+      import spark.implicits._
+      var lines = spark.read.option("encoding", cfg.encoding).text(path)
+        .select(col("value"))
+      if (cfg.preHeaderOffset > 0) lines = lines.offset(cfg.preHeaderOffset)
+      cfg.skipLineRegex.foreach { re =>
+        lines = lines.filter(!col("value").rlike("^(?:" + re + ")$"))
+      }
+      if (cfg.processExcelFormulas)
+        lines = lines.select(regexp_replace(col("value"),
+          "=(\"[^\"]*\")", "$1").as("value"))
+      r.csv(lines.as[String])
+    }
+    val df1 =
+      if (cfg.autoGenerateHeaders)
+        df0.toDF(df0.columns.indices.map(i => s"c$i"): _*)
+      else if (cfg.headerNames.nonEmpty) {
+        require(cfg.headerNames.length == df0.columns.length,
+          s"headerNames has ${cfg.headerNames.length} names but the file " +
+            s"has ${df0.columns.length} columns")
+        df0.toDF(cfg.headerNames: _*)
+      } else df0
     val df2 = if (cfg.offset > 0) df1.offset(cfg.offset) else df1
-    cfg.limit.map(df2.limit).getOrElse(df2)
+    val df3 = cfg.limit.map(df2.limit).getOrElse(df2)
+    // post-import expressions (reference select/where/named/timestamp)
+    val df4 = cfg.named.foldLeft(df3)((d, e) =>
+      d.withColumn("rowName", expr(e).cast("string")))
+    val df5 = cfg.timestamp.foldLeft(df4)((d, e) =>
+      d.withColumn("ts", expr(e).cast("timestamp")))
+    if (cfg.select == "*" && cfg.where == "true") df5
+    else {
+      val view = s"__graft_import_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      df5.createOrReplaceTempView(view)
+      try spark.sql(s"SELECT ${cfg.select} FROM $view WHERE ${cfg.where}")
+      finally spark.catalog.dropTempView(view)
+    }
   }
 
   /** `import.json` — line-JSON import

@@ -160,6 +160,80 @@ class ProceduresSpec extends AnyFunSuite {
     assert(back.count() === 3)
   }
 
+  test("importText option parity: crafted fixtures per reference option") {
+    val dir = Files.createTempDirectory("graft_csv3").toString
+    // a messy file: junk banner above the header, comment lines, an
+    // Excel-formula cell, and one malformed (too-wide) line
+    Files.writeString(java.nio.file.Paths.get(s"$dir/messy.csv"),
+      """junk banner line
+        |# a second junk line
+        |id,name,score
+        |1,alice,10
+        |# comment to skip
+        |2,="bob",20
+        |3,carol,30,EXTRA
+        |4,dave,40
+        |""".stripMargin)
+    val cfg = Sources.TextImportConfig(
+      preHeaderOffset = 2, skipLineRegex = Some("#.*"),
+      processExcelFormulas = true, ignoreBadLines = true)
+    val got = Sources.importText(spark, s"$dir/messy.csv", cfg)
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    // the too-wide line 3 dropped by ignoreBadLines; formula unwrapped
+    assert(got === Map(1 -> ("alice", 10), 2 -> ("bob", 20),
+      4 -> ("dave", 40)))
+    // headerNames: a header-less file with names supplied (the
+    // reference's `headers` list)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/nohdr.csv"),
+      "1,x\n2,y\n")
+    val named = Sources.importText(spark, s"$dir/nohdr.csv",
+      Sources.TextImportConfig(headers = false, headerNames = Seq("k", "v")))
+    assert(named.columns.toSeq === Seq("k", "v"))
+    // select/where/named/timestamp post-expressions
+    val post = Sources.importText(spark, s"$dir/messy.csv", cfg.copy(
+      select = "id, upper(name) AS name_uc",
+      where = "score >= 20",
+      named = Some("concat('row', id)"),
+      timestamp = Some("timestamp'2024-01-01 00:00:00'")))
+    // select list applies AFTER named/ts columns exist; rowName/ts
+    // must be selectable but the select here projects them away
+    assert(post.columns.toSeq === Seq("id", "name_uc"))
+    assert(post.collect().map(_.getString(1)).sorted.toSeq ===
+      Seq("BOB", "DAVE"))
+    val withMeta = Sources.importText(spark, s"$dir/messy.csv", cfg.copy(
+      named = Some("concat('row', id)"),
+      timestamp = Some("timestamp'2024-01-01 00:00:00'")))
+    assert(withMeta.filter(col("rowName") === "row4").count() === 1)
+    assert(withMeta.select("ts").distinct().count() === 1)
+    // encoding: latin1 bytes round-trip under the declared charset
+    val latin = "id,name\n1,café\n".getBytes("ISO-8859-1")
+    Files.write(java.nio.file.Paths.get(s"$dir/latin1.csv"), latin)
+    val enc = Sources.importText(spark, s"$dir/latin1.csv",
+      Sources.TextImportConfig(encoding = "ISO-8859-1"))
+    assert(enc.head().getString(1) === "café")
+    // allowMultiLines: a quoted field spanning lines parses as one row
+    Files.writeString(java.nio.file.Paths.get(s"$dir/multi.csv"),
+      "id,txt\n1,\"line one\nline two\"\n")
+    val multi = Sources.importText(spark, s"$dir/multi.csv",
+      Sources.TextImportConfig(allowMultiLines = true))
+    assert(multi.count() === 1 &&
+      multi.head().getString(1).contains("line two"))
+  }
+
+  test("importText: integers beyond int64 import as DECIMAL(20,0) exactly") {
+    // SURVEY §1.2: the reference's CellValue keeps uint64 up to
+    // 2^64-1; Spark's bigint stops at 2^63-1. Inference promotes the
+    // overflow range to decimal(20,0), preserving every digit.
+    val dir = Files.createTempDirectory("graft_u64").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/u64.csv"),
+      "id,big\n1,18446744073709551615\n2,42\n")
+    val got = Sources.importText(spark, s"$dir/u64.csv")
+    assert(got.schema("big").dataType ===
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    val v = got.filter(col("id") === 1).head().getDecimal(1)
+    assert(v.toBigInteger.toString === "18446744073709551615")
+  }
+
   test("summary statistics long format, one pass") {
     val out = Procedures.summaryStatistics(
       Tables.lineitem(spark, sf), Seq("l_quantity", "l_discount")).cache()
