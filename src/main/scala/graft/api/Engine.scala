@@ -147,6 +147,35 @@ final class GraftEngine(val spark: SparkSession) {
     else df.withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
   }
 
+  // ---- plugins (/v1/plugins) ----------------------------------------------
+
+  /** The fifth entity kind (`core/mldb_entity.h` — datasets,
+    * procedures, functions, sensors, PLUGINS): a plugin is named,
+    * operator-supplied code that can serve custom routes. The
+    * reference loads python/javascript bundles whose `handleRequest`
+    * answers `GET /v1/plugins/<id>/routes/<path>`
+    * (`builtin/plugin.h`); here the bundle is a [[Scripting]] script —
+    * compiled once at registration (bad code fails the PUT, like the
+    * reference's plugin-init error surface) and invoked per route
+    * call with `route` plus the query parameters as its args map. */
+  private val plugins = TrieMap[String, (String, Scripting.Script)]()
+
+  def createPlugin(name: String, source: String): Unit =
+    plugins(name) = (source, Scripting.compile(source))
+
+  def listPlugins: Seq[String] = plugins.keys.toSeq.sorted
+
+  def deletePlugin(name: String): Unit =
+    if (plugins.remove(name).isEmpty)
+      throw new NoSuchElementException(s"plugin '$name' not found")
+
+  def pluginRoute(name: String, route: String,
+      params: Map[String, String]): Any = {
+    val (_, handler) = plugins.getOrElse(name,
+      throw new NoSuchElementException(s"plugin '$name' not found"))
+    handler(spark, Map("route" -> route) ++ params)
+  }
+
   /** `GET /v1/functions/<n>/application?input={…}` — apply a
     * registered function to ONE input row given as a JSON object
     * (`server/mldb_server.cc` function application route). The input

@@ -96,6 +96,48 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         case other => throw new IllegalArgumentException(s"unsupported $other")
       }
     })
+    server.createContext("/v1/plugins", (ex: HttpExchange) => handle(ex) {
+      // the fifth entity kind (core/mldb_entity.h): named script +
+      // custom routes. PUT registers (compiles — bad code → 400),
+      // GET lists/statuses, DELETE unloads,
+      // GET <name>/routes/<path>?… dispatches to the plugin handler.
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/plugins")
+        .stripPrefix("/")
+      (ex.getRequestMethod, path) match {
+        case ("GET", "") =>
+          engine.listPlugins.map(jsonStr).mkString("[", ",", "]")
+        case ("PUT", name) if !name.contains("/") =>
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          // the script toolbox signals compile failures as a bare
+          // Throwable (ToolBoxError), not an Exception — surface as 400
+          try engine.createPlugin(name, extractField(body, "source"))
+          catch {
+            case e: IllegalArgumentException => throw e
+            case e: Throwable => throw new IllegalArgumentException(
+              s"plugin did not compile: ${e.getMessage}")
+          }
+          s"""{"created": ${jsonStr(name)}}"""
+        case ("DELETE", name) if !name.contains("/") =>
+          engine.deletePlugin(name)
+          s"""{"deleted": ${jsonStr(name)}}"""
+        case ("GET", name) if !name.contains("/") =>
+          if (!engine.listPlugins.contains(name))
+            throw new NoSuchElementException(s"plugin '$name' not found")
+          s"""{"name": ${jsonStr(name)}, "state": "loaded"}"""
+        case ("GET", routed) if routed.contains("/routes/") =>
+          val Array(name, route) = routed.split("/routes/", 2)
+          engine.pluginRoute(name, route, queryParams(ex)) match {
+            case df: org.apache.spark.sql.DataFrame => rowsJson(df, 100)
+            case s: String => jsonStr(s)
+            case n: (java.lang.Number) => n.toString
+            case b: java.lang.Boolean => b.toString
+            case null => "null"
+            case other => jsonStr(String.valueOf(other))
+          }
+        case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
+      }
+    })
     server.createContext("/v1/procedures/transform", (ex: HttpExchange) => handle(ex) {
       val path = ex.getRequestURI.getPath
         .stripPrefix("/v1/procedures/transform").stripPrefix("/")
@@ -256,7 +298,10 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
       catch {
         case e: IllegalArgumentException => (400, errJson(e))
         case e: NoSuchElementException => (404, errJson(e))
-        case e: Exception => (500, errJson(e))
+        // Throwable, not Exception: a handler error that escapes here
+        // (e.g. a scripting ToolBoxError) would otherwise close the
+        // connection with no response at all
+        case e: Throwable => (500, errJson(e))
       }
     val bytes = payload.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -265,7 +310,7 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     ex.close()
   }
 
-  private def errJson(e: Exception): String =
+  private def errJson(e: Throwable): String =
     s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}"""
 
   private def jsonStr(s: String): String =

@@ -243,6 +243,49 @@ class RestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("plugins: fifth entity kind — register, serve a custom route, delete") {
+    val engine = new GraftEngine(spark)
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      def put(path: String, body: String): (Int, String) = {
+        val r = client.send(HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def delete(path: String): (Int, String) = {
+        val r = client.send(HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      // a plugin = named script serving custom routes: one scalar
+      // route reading a query param, one route returning a DataFrame
+      val source =
+        """(s: org.apache.spark.sql.SparkSession, a: Map[String, Any]) =>
+          |  if (a("route") == "hello") "hello " + a.getOrElse("who", "world")
+          |  else s.range(3).toDF("n")""".stripMargin
+      val (c1, b1) = put("/v1/plugins/demo", s"""{"source": "${esc(source)}"}""")
+      assert(c1 === 200 && b1.contains("demo"), b1)
+      assert(get(port, "/v1/plugins")._2.contains("\"demo\""))
+      val (cs, bs) = get(port, "/v1/plugins/demo")
+      assert(cs === 200 && bs.contains("loaded"), bs)
+      val (c2, b2) = get(port, "/v1/plugins/demo/routes/hello?who=graft")
+      assert(c2 === 200 && b2 === "\"hello graft\"", b2)
+      val (c3, b3) = get(port, "/v1/plugins/demo/routes/rows")
+      assert(c3 === 200 && b3 === """[{"n":0},{"n":1},{"n":2}]""", b3)
+      // a plugin that does not compile is rejected at registration
+      assert(put("/v1/plugins/bad", """{"source": "not scala ]["}""")._1 === 400)
+      // delete unloads: routes 404 afterwards
+      assert(delete("/v1/plugins/demo")._1 === 200)
+      assert(get(port, "/v1/plugins/demo/routes/hello")._1 === 404)
+      assert(delete("/v1/plugins/demo")._1 === 404)
+    } finally srv.stop()
+  }
+
   test("typed procedure dispatch: script.run, import.sqlite, tsne.train") {
     val engine = new GraftEngine(spark)
     engine.createDatasetFromParquet("embeddings", s"$sf/embeddings.parquet")
