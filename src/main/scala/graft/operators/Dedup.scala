@@ -197,9 +197,9 @@ object Dedup {
     * clustering). */
   def minHashDedup(docs: DataFrame, textCol: String, idCol: String,
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val dups = minHashPairs(docs, textCol, idCol, bands, rowsPerBand,
-      shingleN, threshold)
+      shingleN, threshold, maxBucket)
       .select(col("id_b").as("__dup_id")).distinct()
     docs.join(dups, docs(idCol) === col("__dup_id"), "left_anti")
   }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Scale-stress for the dedup family beyond paper arguments: a 10×
+  * synthetic blowup of sf0.1 (the Bench copies trick) with EXACT-COPY
+  * clusters — the worst realistic skew for dedup, since every
+  * span/fingerprint/band bucket inflates 10× and duplicate clusters
+  * dominate the corpus. Three proofs per operator:
+  *
+  *  1. CORRECTNESS UNDER BLOWUP: exact copies add no information, so
+  *     the survivor id set of the 10× corpus must EQUAL the survivor
+  *     set of the base corpus (copies carry strictly larger ids and
+  *     identical text, so keeper rules must collapse them onto the
+  *     base outcome).
+  *  2. PLAN SHAPE: no Window, no CartesianProduct — the
+  *     no-single-task-per-hot-key and no-pairwise claims from
+  *     PLANS.md, asserted on the actual executed plan at 10×.
+  *  3. WALL TIME: a generous bound (the ops are linear; a pairwise or
+  *     windowed regression would blow it by orders of magnitude).
+  *
+  * Timings print to stdout for the round notes.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def base: DataFrame =
+    core.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+
+  /** 10 exact copies of every doc; copy c of doc d gets id d + c·10^7,
+    * so copy 0 keeps the original id and every cluster's keeper is the
+    * base doc. */
+  private def blowup(df: DataFrame, copies: Int): DataFrame =
+    df.crossJoin(spark.range(copies).toDF("__c"))
+      .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"),
+        col("text"))
+
+  private def timed[T](what: String)(f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"$what: $sec%.1f s")
+    println(f"[scale] $what: $sec%.1f s")
+    (r, sec)
+  }
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def assertShape(df: DataFrame, what: String): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"$what planned a Window at 10×")
+    assert(!plan.contains("CartesianProduct"),
+      s"$what planned a cartesian pairwise join at 10×")
+  }
+
+  test("spanDedup at 10× sf0.1: base-equivalent survivors, linear plan, bounded time") {
+    val b = base
+    val big = blowup(b, 10)
+    val expected = ids(Dedup.spanDedup(b, "text", "doc_id"))
+    val out = Dedup.spanDedup(big, "text", "doc_id")
+    assertShape(out, "spanDedup")
+    val (got, sec) = timed("spanDedup 10x sf0.1")(ids(out))
+    assert(got === expected,
+      "exact copies must collapse onto the base survivor set")
+    assert(sec < 120, f"spanDedup blew the wall-time budget: $sec%.1f s")
+  }
+
+  test("winnowDedup at 10× sf0.1: base-equivalent survivors, linear plan, bounded time") {
+    val b = base
+    val big = blowup(b, 10)
+    val expected = ids(Dedup.winnowDedup(b, "text", "doc_id"))
+    val out = Dedup.winnowDedup(big, "text", "doc_id")
+    assertShape(out, "winnowDedup")
+    val (got, sec) = timed("winnowDedup 10x sf0.1")(ids(out))
+    assert(got === expected)
+    assert(sec < 120, f"winnowDedup blew the wall-time budget: $sec%.1f s")
+  }
+
+  test("minHashDedup at 10× sf0.1: base-equivalent survivors, no window, bounded time") {
+    val b = base
+    val big = blowup(b, 10)
+    // every (band, key) bucket inflates exactly 10× under exact
+    // copies, so scaling the hot-bucket cap 10× keeps the guard
+    // decision identical to the base run — the precondition for
+    // survivor equivalence
+    val expected = ids(Dedup.minHashDedup(b, "text", "doc_id",
+      maxBucket = 1000))
+    // plan shape audited on the LAZY pipeline (the production path
+    // eagerly checkpoints the pair set, which hides the LSH stages
+    // from the final plan)
+    assertShape(Dedup.minHashPairs(big, "text", "doc_id",
+      maxBucket = 10000, persistSignatures = false), "minHashPairs")
+    val (got, sec) = timed("minHashDedup 10x sf0.1")(
+      ids(Dedup.minHashDedup(big, "text", "doc_id", maxBucket = 10000)))
+    assert(got === expected)
+    assert(sec < 180, f"minHashDedup blew the wall-time budget: $sec%.1f s")
+  }
+
+  test("hot-bucket guard engages on a planted mega-cluster without a straggler") {
+    // 3000 identical boilerplate docs on top of the base corpus: every
+    // band bucket they hash to exceeds the cap, so the guard drops
+    // those buckets (documented degenerate-boilerplate behavior) and
+    // the cluster pairs with nothing — instead of one task processing
+    // a 3000-member bucket (or a 4.5M-pair explosion)
+    val boiler = spark.range(3000)
+      .select((col("id") + 900000000L).as("doc_id"),
+        lit("shared boilerplate banner repeated across the fleet " +
+          "subscribe now terms apply all rights reserved").as("text"))
+    val docs = base.unionByName(boiler)
+    val out = Dedup.minHashDedup(docs, "text", "doc_id", maxBucket = 1000)
+    assertShape(out, "minHashDedup+megacluster")
+    val (survivors, sec) = timed("minHashDedup mega-cluster guard")(ids(out))
+    // all 3000 boilerplate docs survive: their buckets were dropped,
+    // which is the guard working — dedup of degenerate boilerplate
+    // belongs to line/span dedup (which has no cap and kills them)
+    assert((900000000L until 900003000L).forall(survivors.contains))
+    assert(sec < 120, f"mega-cluster run blew the budget: $sec%.1f s")
+    val spanOut = Dedup.spanDedup(docs, "text", "doc_id")
+    val spanSurvivors = ids(spanOut)
+    assert(spanSurvivors.contains(900000000L) &&
+      !spanSurvivors.exists(id => id > 900000000L),
+      "span dedup must keep exactly the min-id boilerplate copy")
+  }
+}
