@@ -352,6 +352,27 @@ final class GraftEngine(val spark: SparkSession) {
         })
       case "import.sentiwordnet" =>
         registerOut(graft.sources.Sources.importSentiWordNet(spark, req("dataFileUrl")))
+      case "postgresql.import" =>
+        // reference: plugins/postgresql — here the pure-JVM wire reader
+        val cfg = graft.sources.Postgres.PgConfig(
+          req("host"), param("port").map(_.toInt).getOrElse(5432),
+          param("database").getOrElse("postgres"),
+          param("user").getOrElse("postgres"),
+          param("password").getOrElse(""))
+        registerOut(param("query") match {
+          case Some(q) => graft.sources.Postgres.importQuery(spark, cfg, q)
+          case None => graft.sources.Postgres.importTable(spark, cfg,
+            req("table"), param("partitionColumn"),
+            param("numPartitions").map(_.toInt).getOrElse(1))
+        })
+      case "mongodb.import" =>
+        // reference: plugins/mongodb — here the pure-JVM OP_MSG reader
+        registerOut(graft.sources.Mongo.importCollection(spark,
+          graft.sources.Mongo.MongoConfig(req("host"),
+            param("port").map(_.toInt).getOrElse(27017)),
+          param("database").getOrElse("db"), req("collection"),
+          param("partitionField"),
+          param("numPartitions").map(_.toInt).getOrElse(1)))
       case "export.csv" =>
         val path = req("dataFileUrl")
         graft.sources.Sources.exportCsv(dataset(req("inputDataset")), path)
