@@ -139,4 +139,74 @@ class CodecSpec extends AnyFunSuite {
     assert(math.abs(out(1L).getDouble(5) - 0.3536) < 0.01)
     assert(out(2L).isNullAt(1) && out(2L).getString(6) != null)
   }
+
+  test("video: AVI/MJPEG container walk + real frame decode") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    def jpegFrame(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // hand-rolled RIFF writer: hdrl(avih + strl(strh vids/MJPG + strf)),
+    // then movi with one 00dc chunk per JPEG frame (even-padded)
+    def avi(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+        handler: String = "MJPG"): Array[Byte] = {
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+        id.getBytes("ASCII") ++ le32(body.length) ++ body ++ pad
+      }
+      def list(tpe: String, body: Array[Byte]): Array[Byte] =
+        "LIST".getBytes("ASCII") ++ le32(body.length + 4) ++
+          tpe.getBytes("ASCII") ++ body
+      def le32(v: Int): Array[Byte] = ByteBuffer.allocate(4)
+        .order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+      val avih = le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+      val strh = "vids".getBytes("ASCII") ++ handler.getBytes("ASCII") ++
+        le32(0) ++ le32(0) /* prio+lang */ ++ le32(0) ++
+        le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ Array.fill(8)(0.toByte)
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++
+        Array[Byte](1, 0, 24, 0) ++ handler.getBytes("ASCII") ++
+        le32(w * h * 3) ++ Array.fill(16)(0.toByte)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi",
+        frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("ASCII") ++ le32(body.length) ++ body
+    }
+    // 5 frames: red, red, blue, blue, green — 32x24 @ 25 fps
+    val frames = Seq(0xFF0000, 0xFF0000, 0x0000FF, 0x0000FF, 0x00FF00)
+      .map(jpegFrame(_, 32, 24))
+    val good = avi(frames, 32, 24, 25)
+    val h264 = avi(frames.map(_.drop(2)), 32, 24, 25, handler = "H264")
+    val rows = Seq((1L, good), (2L, h264),
+      (3L, "not a movie".getBytes)).toDF("id", "content")
+    val meta = graft.operators.Multimodal.videoMeta(rows)
+      .select("id", "video.*").collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getAs[String]("codec") === "MJPG")
+    assert(meta(1L).getAs[Int]("width") === 32 &&
+      meta(1L).getAs[Int]("height") === 24)
+    assert(meta(1L).getAs[Double]("fps") === 25.0)
+    assert(meta(1L).getAs[Int]("n_frames") === 5)
+    assert(meta(3L).getAs[String]("error") != null)
+    // sample 2 frames: indices 0 (red) and 2 (blue), really decoded
+    val fr = graft.operators.Multimodal.videoSampleFrames(rows, 2)
+      .select(col("id"), col("frames")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    val f1 = fr(1L)
+    assert(f1.map(_.getInt(0)) === Seq(0, 2))
+    assert(f1(0).getDouble(4) > 200 && f1(0).getDouble(6) < 60) // red frame
+    assert(f1(1).getDouble(6) > 200 && f1(1).getDouble(4) < 60) // blue frame
+    assert(f1.forall(_.getString(7) == null))
+    // non-MJPEG codec: per-frame error, not a crash
+    assert(fr(2L).forall(_.getString(7) != null))
+  }
 }
