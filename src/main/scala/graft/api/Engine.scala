@@ -365,6 +365,17 @@ final class GraftEngine(val spark: SparkSession) {
             req("table"), param("partitionColumn"),
             param("numPartitions").map(_.toInt).getOrElse(1))
         })
+      case "postgresql.export" =>
+        // the recorder direction: dataset → table, per-partition INSERTs
+        val cfg = graft.sources.Postgres.PgConfig(
+          req("host"), param("port").map(_.toInt).getOrElse(5432),
+          param("database").getOrElse("postgres"),
+          param("user").getOrElse("postgres"),
+          param("password").getOrElse(""))
+        val src = dataset(req("inputDataset"))
+        graft.sources.Postgres.exportTable(src, cfg, req("table"),
+          createTable = param("createTable").exists(_.toBoolean))
+        s"""{"exported": "${req("table")}", "rowCount": ${src.count()}}"""
       case "mongodb.import" =>
         // reference: plugins/mongodb — here the pure-JVM OP_MSG reader
         registerOut(graft.sources.Mongo.importCollection(spark,

@@ -298,6 +298,73 @@ object Postgres {
     }
   }
 
+  /** `postgresql.recorder`: write a DataFrame into a table, one
+    * connection PER PARTITION, multi-row INSERT batches of
+    * `batchRows` (the libpq-recorder shape of
+    * `postgresql_plugin.cc`'s recorder dataset, distributed). Values
+    * ship as SQL literals over the simple-query protocol —
+    * strings/timestamps escaped, binary as bytea hex, null as NULL.
+    * `createTable` issues a best-effort CREATE TABLE from the
+    * DataFrame schema first. */
+  def exportTable(df: org.apache.spark.sql.DataFrame, cfg: PgConfig,
+      table: String, createTable: Boolean = false,
+      batchRows: Int = 500): Unit = {
+    val schema = df.schema
+    if (createTable) {
+      val cols = schema.fields.map { f =>
+        val t = f.dataType match {
+          case org.apache.spark.sql.types.BooleanType => "boolean"
+          case org.apache.spark.sql.types.ShortType => "int2"
+          case org.apache.spark.sql.types.IntegerType => "int4"
+          case org.apache.spark.sql.types.LongType => "int8"
+          case org.apache.spark.sql.types.FloatType => "float4"
+          case org.apache.spark.sql.types.DoubleType => "float8"
+          case _: org.apache.spark.sql.types.DecimalType => "numeric"
+          case org.apache.spark.sql.types.DateType => "date"
+          case org.apache.spark.sql.types.TimestampType => "timestamptz"
+          case org.apache.spark.sql.types.BinaryType => "bytea"
+          case _ => "text"
+        }
+        s""""${f.name}" $t"""
+      }.mkString(", ")
+      val c = new Conn(cfg)
+      try c.query(s"CREATE TABLE IF NOT EXISTS $table ($cols)")
+      finally c.close()
+    }
+    val colList = schema.fields.map(f => s""""${f.name}"""").mkString(", ")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val c = new Conn(cfg)
+        try rows.grouped(batchRows).foreach { batch =>
+          val values = batch.map { r =>
+            schema.fields.indices.map { i =>
+              sqlLiteral(r.get(i), schema.fields(i).dataType)
+            }.mkString("(", ", ", ")")
+          }.mkString(", ")
+          c.query(s"INSERT INTO $table ($colList) VALUES $values")
+        } finally c.close()
+      }
+    }
+  }
+
+  private def sqlLiteral(v: Any,
+      dt: org.apache.spark.sql.types.DataType): String =
+    if (v == null) "NULL"
+    else dt match {
+      case org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType |
+           _: org.apache.spark.sql.types.DecimalType => v.toString
+      case org.apache.spark.sql.types.BinaryType =>
+        "'\\x" + v.asInstanceOf[Array[Byte]]
+          .map(b => f"$b%02x").mkString + "'"
+      case _ => // strings, dates, timestamps: escaped single-quoted text
+        "'" + v.toString.replace("'", "''") + "'"
+    }
+
   private def importQueryWithSchema(spark: SparkSession, cfg: PgConfig,
       sql: String, schema: StructType, parts: Int): DataFrame = {
     val rdd = spark.sparkContext.parallelize(Seq(sql), parts).mapPartitions {
