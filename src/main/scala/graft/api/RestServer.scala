@@ -128,7 +128,9 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         case ("GET", routed) if routed.contains("/routes/") =>
           val Array(name, route) = routed.split("/routes/", 2)
           engine.pluginRoute(name, route, queryParams(ex)) match {
-            case df: org.apache.spark.sql.DataFrame => rowsJson(df, 100)
+            // any Dataset (typed or Row) renders as rows — a script's
+            // s.range(n) without .toDF must not ClassCast
+            case ds: org.apache.spark.sql.Dataset[_] => rowsJson(ds.toDF(), 100)
             case s: String => jsonStr(s)
             case n: (java.lang.Number) => n.toString
             case b: java.lang.Boolean => b.toString

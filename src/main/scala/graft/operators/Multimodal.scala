@@ -492,7 +492,10 @@ object Multimodal {
           val (_, _, _, _, chunks) = parseAvi(bytes)
           if (chunks.isEmpty) Seq.empty
           else (0 until math.min(k, chunks.length)).map { i =>
-            val fi = (i.toLong * chunks.length / k).toInt
+            // k ≥ frames → every frame once; otherwise evenly strided
+            // (i·len/k collapses to repeated index 0 when k > len)
+            val fi = if (k >= chunks.length) i
+              else (i.toLong * chunks.length / k).toInt
             val (off, len) = chunks(fi)
             try {
               // a decodable frame starts with the JPEG SOI marker

@@ -199,6 +199,8 @@ object TextAnalysis {
     val uni = trainToks.select(explode(col("__toks")).as("w"))
     val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val n = uni.count()
+    require(n > 0, "lmScoreTables: training corpus has no tokens — " +
+      "every backoff score would be log(x/0)")
     val pairRows = trainToks.filter(size(col("__toks")) >= 2)
       .select(explode(bigramArr(col("__toks"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
