@@ -7,7 +7,7 @@ import org.apache.spark.ml.clustering.{GaussianMixture, KMeans}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.feature.{CountVectorizer, IDF, PCA, RegexTokenizer, StandardScaler, VectorAssembler}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ML procedures & appliable functions (SURVEY §2.7/§2.8) on MLlib.
@@ -255,13 +255,13 @@ object Models {
     * explanation of the raw score. Returns one map column
     * feature→contribution. */
   def classifierExplain(model: PipelineModel, df: DataFrame,
-      featureCols: Seq[String]): DataFrame = {
+      featureCols: Seq[String], maxExplainLeaves: Int = 4096): DataFrame = {
     val lr = model.stages.last match {
       case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
       case _: org.apache.spark.ml.classification.DecisionTreeClassificationModel |
            _: org.apache.spark.ml.classification.RandomForestClassificationModel |
            _: org.apache.spark.ml.classification.GBTClassificationModel =>
-        return treeExplain(model, df, featureCols)
+        return treeExplain(model, df, featureCols, maxExplainLeaves)
       case other => throw new IllegalArgumentException(
         s"explain supports glz (logistic) and tree models, got ${other.getClass.getSimpleName}")
     }
@@ -292,9 +292,11 @@ object Models {
     * summed across the ensemble with tree weights. bias = weighted sum
     * of root predictions, so bias + Σ contributions = the ensemble's
     * raw additive score (leaf prediction for a single dt, tree-average
-    * for RF, boosted sum for GBT). Trees with more than
-    * `maxExplainLeaves` total leaves fall back to model-level
-    * featureImportances (the expression grows one branch per leaf). */
+    * for RF, boosted sum for GBT). Ensembles with more than
+    * `maxExplainLeaves` total leaves switch to the broadcast-walk
+    * implementation (same semantics, no expression-size limit —
+    * differential-tested equal); the nested-when form stays the
+    * default because it codegens into the scan stage. */
   private def treeExplain(model: PipelineModel, df: DataFrame,
       featureCols: Seq[String], maxExplainLeaves: Int = 4096): DataFrame = {
     import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, LeafNode, Node}
@@ -314,7 +316,7 @@ object Models {
       case _ => 1
     }
     if (trees.map(leaves).sum > maxExplainLeaves)
-      return treeImportanceExplain(model, df, featureCols)
+      return treePathExplainLarge(df, featureCols, trees, weights)
     def walk(node: Node, acc: Vector[Double],
         w: Double): org.apache.spark.sql.Column = node match {
       case _: LeafNode => array(acc.map(lit): _*)
@@ -348,11 +350,93 @@ object Models {
       .drop("__contrib")
   }
 
-  /** Fallback for very large ensembles: MODEL-level Gini
-    * featureImportances as the explanation map (documented divergence
-    * — per-row paths over >4096 leaves would generate an oversized
-    * expression tree). */
-  private def treeImportanceExplain(model: PipelineModel, df: DataFrame,
+  /** Flattened tree node for the broadcast-walk explain: `feat = -1`
+    * marks a leaf; `cats == null` means a continuous split. */
+  private final case class FlatNode(feat: Int, thr: Double,
+      cats: Array[Double], left: Int, right: Int, pred: Double)
+
+  /** Per-row decision-path attribution for ensembles TOO LARGE for a
+    * plan-literal expression (r3's documented 4096-leaf fallback,
+    * now closed): trees flatten to index-linked arrays that ride the
+    * task closure (model-sized, the same payload every tree-model
+    * scorer broadcasts), and each row walks each tree in O(depth)
+    * inside mapPartitions. Exactly the expression path's semantics —
+    * the spec forces this path on a small model and asserts equality
+    * against the nested-when form. */
+  private def treePathExplainLarge(df: DataFrame, featureCols: Seq[String],
+      treesIn: Seq[org.apache.spark.ml.tree.Node],
+      weights: Seq[Double]): DataFrame = {
+    import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, Node}
+    def flatten(root: Node): Array[FlatNode] = {
+      val out = scala.collection.mutable.ArrayBuffer[FlatNode]()
+      def add(n: Node): Int = {
+        val idx = out.length
+        out += null // reserve
+        n match {
+          case in: InternalNode =>
+            val (f, thr, cats) = in.split match {
+              case cs: ContinuousSplit => (cs.featureIndex, cs.threshold, null)
+              case cs: CategoricalSplit =>
+                (cs.featureIndex, 0.0, cs.leftCategories)
+            }
+            val l = add(in.leftChild)
+            val r = add(in.rightChild)
+            out(idx) = FlatNode(f, thr, cats, l, r, in.prediction)
+          case leaf =>
+            out(idx) = FlatNode(-1, 0.0, null, -1, -1, leaf.prediction)
+        }
+        idx
+      }
+      add(root)
+      out.toArray
+    }
+    val flat: Array[(Array[FlatNode], Double)] =
+      treesIn.zip(weights).map { case (t, w) => (flatten(t), w) }.toArray
+    val bias = treesIn.zip(weights).map { case (t, w) => t.prediction * w }.sum
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("bias",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("explanation",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idxs = featureCols.map(df.schema.fieldIndex).toArray
+    val names = featureCols.toArray
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val x = idxs.map(i => r.get(i) match {
+          case null => 0.0
+          case n: java.lang.Number => n.doubleValue
+          case b: java.lang.Boolean => if (b) 1.0 else 0.0
+          case other => other.toString.toDouble
+        })
+        val contrib = new Array[Double](names.length)
+        var t = 0
+        while (t < flat.length) {
+          val (nodes, w) = flat(t)
+          var cur = 0
+          while (nodes(cur).feat >= 0) {
+            val nd = nodes(cur)
+            val goLeft =
+              if (nd.cats != null) nd.cats.contains(x(nd.feat))
+              else x(nd.feat) <= nd.thr
+            val next = if (goLeft) nd.left else nd.right
+            contrib(nd.feat) += (nodes(next).pred - nd.pred) * w
+            cur = next
+          }
+          t += 1
+        }
+        Row.fromSeq(r.toSeq ++
+          Seq(bias, names.zip(contrib).toMap))
+      }
+    }(enc)
+  }
+
+  /** MODEL-level Gini featureImportances as an explanation map — kept
+    * as an explicit cheap alternative (importance, not attribution);
+    * no longer any path's silent fallback. */
+  def treeImportanceExplain(model: PipelineModel, df: DataFrame,
       featureCols: Seq[String]): DataFrame = {
     val imp = model.stages.last match {
       case m: org.apache.spark.ml.classification.DecisionTreeClassificationModel =>

@@ -108,6 +108,35 @@ class MlLifecycleSpec extends AnyFunSuite {
     assert(distinctExplanations > 1)
   }
 
+  test("classifier.explain beyond the leaf cap: broadcast walk equals the expression path") {
+    // r3's documented divergence (>4096 total leaves → importances
+    // fallback) is closed: the large path walks broadcast tree arrays
+    // per row. Force it on a SMALL model (cap = 1 leaf) and assert the
+    // two implementations agree bit-for-bit per row.
+    val feats = (0 until 8).map(i => s"f_$i")
+    for (algo <- Seq("dt", "bagging", "boosting")) {
+      val model = Models.classifierTrain(features, feats, "y", algo)
+      val expr = Models.classifierExplain(model, features, feats)
+        .select(col("vec_id"), col("bias"), col("explanation"))
+      val walk = Models.classifierExplain(model, features, feats,
+        maxExplainLeaves = 1)
+        .select(col("vec_id"), col("bias").as("bias2"),
+          col("explanation").as("explanation2"))
+      val joined = expr.join(walk, Seq("vec_id"))
+        .withColumn("d", abs(col("bias") - col("bias2")) +
+          aggregate(
+            zip_with(
+              map_values(map_from_entries(
+                array_sort(map_entries(col("explanation"))))),
+              map_values(map_from_entries(
+                array_sort(map_entries(col("explanation2"))))),
+              (a, b) => abs(a - b)),
+            lit(0.0), (a, x) => a + x))
+      assert(joined.filter(col("d") > 1e-9).count() === 0,
+        s"$algo: broadcast walk diverged from the expression path")
+    }
+  }
+
   test("classifier.explain on an ensemble: per-row contributions, bounded raw score") {
     val feats = (0 until 8).map(i => s"f_$i")
     val model = Models.classifierTrain(features, feats, "y", "bagging")
