@@ -376,6 +376,13 @@ final class GraftEngine(val spark: SparkSession) {
         graft.sources.Postgres.exportTable(src, cfg, req("table"),
           createTable = param("createTable").exists(_.toBoolean))
         s"""{"exported": "${req("table")}", "rowCount": ${src.count()}}"""
+      case "mongodb.export" =>
+        val src = dataset(req("inputDataset"))
+        graft.sources.Mongo.exportCollection(src,
+          graft.sources.Mongo.MongoConfig(req("host"),
+            param("port").map(_.toInt).getOrElse(27017)),
+          param("database").getOrElse("db"), req("collection"))
+        s"""{"exported": "${req("collection")}", "rowCount": ${src.count()}}"""
       case "mongodb.import" =>
         // reference: plugins/mongodb — here the pure-JVM OP_MSG reader
         registerOut(graft.sources.Mongo.importCollection(spark,

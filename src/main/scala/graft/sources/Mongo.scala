@@ -337,6 +337,49 @@ object Mongo {
     } finally conn.close()
   }
 
+  // ---- write path (recorder direction) -----------------------------------
+
+  /** Spark value → BSON-encodable value for [[bsonDoc]]. */
+  private def toBson(v: Any): Any = v match {
+    case null => BNull
+    case t: java.sql.Timestamp => Dt(t.getTime)
+    case d: java.sql.Date => Dt(d.getTime)
+    case s: scala.collection.Seq[_] => s.toSeq.map(toBson)
+    case r: org.apache.spark.sql.Row =>
+      r.schema.fieldNames.zip(r.toSeq.map(toBson)).toMap
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => k.toString -> toBson(mv) }.toMap
+    case f: Float => f.toDouble
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case bd: java.math.BigDecimal => bd.doubleValue
+    case bd: BigDecimal => bd.doubleValue
+    case other => other // String / Int / Long / Double / Boolean
+  }
+
+  /** `mongodb.record`: write a DataFrame into a collection — one
+    * connection per partition, `insert` commands of `batchDocs`
+    * documents. Timestamps/dates become BSON datetimes, structs/maps
+    * subdocuments, nulls BSON nulls. Server errors (errmsg) raise. */
+  def exportCollection(df: org.apache.spark.sql.DataFrame, cfg: MongoConfig,
+      db: String, coll: String, batchDocs: Int = 500): Unit = {
+    val schema = df.schema
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = new Conn(cfg)
+        try rows.grouped(batchDocs).foreach { batch =>
+          val docs = batch.map { r =>
+            schema.fieldNames.toSeq.zip(r.toSeq.map(toBson)).toMap
+          }
+          val cmd = bsonDoc(Seq(
+            "insert" -> coll, "$db" -> db, "documents" -> docs))
+          val (_, _, ok) = readCursor(conn.command(cmd), "firstBatch")
+          require(ok, s"mongo insert into $db.$coll not acknowledged")
+        } finally conn.close()
+      }
+    }
+  }
+
   // ---- public API --------------------------------------------------------
 
   /** `mongodb.import`: one collection → DataFrame. With

@@ -42,6 +42,7 @@ class MongoSpec extends AnyFunSuite {
     val server = new ServerSocket(0, 16,
       java.net.InetAddress.getByName("127.0.0.1"))
     val finds = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val inserts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     @volatile private var running = true
 
     private val acceptor = new Thread(() => {
@@ -76,6 +77,17 @@ class MongoSpec extends AnyFunSuite {
           val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
           b.getInt; b.get() // flags + kind
           val cmdJson = Mongo.bsonToJson(b)
+          if (cmdJson.contains("\"insert\":")) {
+            inserts.add(cmdJson)
+            val n = "\\{".r.findAllIn(
+              cmdJson.drop(cmdJson.indexOf("\"documents\""))).size
+            val reply = Mongo.bsonDoc(Seq("n" -> n, "ok" -> 1.0))
+            val total = 16 + 4 + 1 + reply.length
+            val rb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+            rb.putInt(total).putInt(999).putInt(reqId).putInt(2013)
+            rb.putInt(0); rb.put(0.toByte); rb.put(reply)
+            out.write(rb.array()); out.flush()
+          } else {
           val isFind = cmdJson.contains("\"find\"")
           if (isFind) finds.add(cmdJson)
           val batch: Seq[Seq[(String, Any)]] =
@@ -108,6 +120,7 @@ class MongoSpec extends AnyFunSuite {
           rb.putInt(0); rb.put(0.toByte); rb.put(reply)
           out.write(rb.array()); out.flush()
           val _ = batch
+          }
         }
       }
       sock.close()
@@ -149,6 +162,33 @@ class MongoSpec extends AnyFunSuite {
       val preds = qs.flatMap(
         "\\$mod\":\\[2,(\\d)\\]".r.findFirstMatchIn(_).map(_.group(1))).toSet
       assert(preds === Set("0", "1"), qs.toSeq)
+    } finally pg.stop()
+  }
+
+  test("exportCollection: per-partition insert batches with typed BSON") {
+    import spark.implicits._
+    val pg = new MockMongo()
+    try {
+      val df = Seq(
+        (1L, "alice", 1.5, true),
+        (2L, "o\"brien", -2.0, false),
+        (3L, null.asInstanceOf[String], 0.25, true),
+        (4L, "dave", 9.0, false),
+        (5L, "eve", 3.5, true)
+      ).toDF("id", "name", "score", "ok")
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .repartition(2)
+      Mongo.exportCollection(df, MongoConfig("127.0.0.1", pg.port),
+        "db", "out_items", batchDocs = 2)
+      val ins = pg.inserts.toArray.map(_.toString)
+      // 5 rows in ≤2-doc batches over 2 partitions → ≥3 inserts
+      assert(ins.length >= 3, ins.toSeq)
+      val all = ins.mkString("\n")
+      assert(all.contains("\"name\":\"o\\\"brien\""))
+      assert(all.contains("\"name\":null"))
+      assert(all.contains("\"ts\":\"2024-01-01T00:00:00Z\"")) // BSON datetime
+      (1 to 5).foreach(i => assert(
+        ins.count(_.contains(s"\"id\":$i,")) === 1, s"row $i"))
     } finally pg.stop()
   }
 
