@@ -11,6 +11,54 @@ object SqlDialectQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // --- no-FROM single-row SELECT (previously spec-tier only): the
+    // dialect seeds a one-row relation; every expression is constant-
+    // foldable and IEEE-exact cross-engine (sqrt is correctly
+    // rounded). ---
+    QueryDef("q109_sql_nofrom",
+      """SELECT 3 AS a, 'GRAFT' AS b, 3.0 AS c, CAST(NULL AS DOUBLE) AS d""") {
+      (s, d) =>
+        GraftSql.query(s, d,
+          "SELECT 1 + 2 AS a, upper('graft') AS b, sqrt(9.0) AS c, " +
+            "CAST(NULL AS double) AS d")
+    },
+
+    // --- row_dataset table function (previously spec-tier only): a
+    // row literal becomes one row per atom, numeric atoms unify to
+    // double. ---
+    QueryDef("q110_sql_row_dataset",
+      """SELECT * FROM (VALUES ('a', CAST(1.0 AS DOUBLE)),
+        |  ('b', CAST(2.5 AS DOUBLE)), ('c', CAST(7.0 AS DOUBLE)))
+        |  t("column", "value")
+        |ORDER BY "column"""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT "column", value FROM row_dataset({a: 1, b: 2.5, c: 7})
+          |ORDER BY "column"""".stripMargin)
+    },
+
+    // --- atom_dataset over a real table (previously spec-tier only):
+    // the dialect's bridge into EAV — one output row per cell with
+    // the typed value surfaced by the same coalesce slot rules the
+    // oracle mirrors. ---
+    QueryDef("q111_sql_atom_dataset",
+      """SELECT CAST(n_nationkey AS VARCHAR) AS "rowName", col AS "column",
+        |  val AS value, num AS value_num
+        |FROM (
+        |  SELECT n_nationkey, 'n_name' AS col, n_name AS val,
+        |    CAST(NULL AS DOUBLE) AS num FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'n_regionkey',
+        |    CAST(CAST(n_regionkey AS DOUBLE) AS VARCHAR),
+        |    CAST(n_regionkey AS DOUBLE) FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'n_nationkey',
+        |    CAST(CAST(n_nationkey AS DOUBLE) AS VARCHAR),
+        |    CAST(n_nationkey AS DOUBLE) FROM nation) t""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT "rowName", "column", value, value_num
+          |FROM atom_dataset(nation)""".stripMargin)
+    },
+
     QueryDef("q60_sql_agg",
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
