@@ -33,6 +33,12 @@ def canon(v):
     return v
 
 
+EXACT = "--exact" in sys.argv  # driver-parity mode: the real gate
+# HASHES values, so floats must be BIT-identical; run this before
+# trusting a new float-emitting oracle (the r3 q89 lesson: 1e-9
+# tolerance here hid a cross-engine libm rounding flip)
+
+
 def close(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -42,6 +48,8 @@ def close(a, b):
         fa, fb = float(a), float(b)
         if math.isnan(fa) or math.isnan(fb):
             return math.isnan(fa) and math.isnan(fb)
+        if EXACT:
+            return fa == fb
         return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return a == b
 
