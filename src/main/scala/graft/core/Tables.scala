@@ -56,14 +56,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts arrives as nanos-since-epoch (see tune()); convert to a
-    * microsecond TimestampType with integral division — double math
-    * would lose precision above 2^53 ns. Truncation (floor) matches
-    * DuckDB's epoch_us on TIMESTAMP_NS for these positive epochs. */
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (read as a raw long via
+    * nanosAsLong — see tune()) and native TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). Normalize both to a microsecond TimestampType:
+    * - long nanos → integral `div 1000` (double math would lose
+    *   precision above 2^53 ns; floor matches DuckDB's epoch_us),
+    * - NTZ → cast (identity on the micros value in the UTC session). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
