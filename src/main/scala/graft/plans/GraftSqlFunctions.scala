@@ -25,5 +25,13 @@ object GraftSqlFunctions {
       es => ShingleHashes(es(0), intLit(es(1), "shingle width n")))
     GraftColumnBridge.registerFunction(spark, "graft_minhash_sig",
       es => MinHashSig(es(0), intLit(es(1), "signature length k")))
+    GraftColumnBridge.registerFunction(spark, "jseval",
+      es => JsEval.build("json", es))
+    GraftColumnBridge.registerFunction(spark, "jseval_num",
+      es => JsEval.build("num", es))
+    GraftColumnBridge.registerFunction(spark, "jseval_str",
+      es => JsEval.build("str", es))
+    GraftColumnBridge.registerFunction(spark, "jseval_bool",
+      es => JsEval.build("bool", es))
   }
 }

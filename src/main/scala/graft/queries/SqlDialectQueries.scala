@@ -226,6 +226,45 @@ object SqlDialectQueries {
           |LIMIT 10""".stripMargin)
     },
 
+    // --- jseval: per-row JavaScript (reference builtin/js/js_function
+    // .cc via the JsInterp ES5 subset). The script exercises loops,
+    // regex split/match, and object results; every emitted value is
+    // integer-derived so the cross-engine hash contract stays exact
+    // (JSON.stringify prints integral doubles in integer form, matching
+    // DuckDB's BIGINT formatting). ---
+    QueryDef("q112_jseval",
+      """SELECT doc_id,
+        |  CAST(2 * length(text)
+        |    + 7 * len(list_filter(regexp_split_to_array(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+        |        w -> length(w) > 4))
+        |    - ((length(text)
+        |        - length(regexp_replace(text, '[aeiou]', '', 'g'))) % 5)
+        |    AS DOUBLE) AS js_score,
+        |  '{"len":' || length(text) || ',"long":'
+        |    || len(list_filter(regexp_split_to_array(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+        |        w -> length(w) > 4)) || '}' AS js_doc
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val count =
+        """var t = text.replace(/^\s+|\s+$/g, "");
+          |var words = t.split(/\s+/);
+          |var lw = 0;
+          |for (var i = 0; i < words.length; i++)
+          |  if (words[i].length > 4) lw++;""".stripMargin
+      GraftSql.query(s, d,
+        s"""SELECT doc_id,
+           |  jseval_num('$count
+           |var vowels = (text.match(/[aeiou]/g) || []).length;
+           |return 2 * text.length + 7 * lw - (vowels % 5);',
+           |    'text', text) AS js_score,
+           |  jseval('$count
+           |return {len: text.length, long: lw};', 'text', text) AS js_doc
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin)
+    },
+
     QueryDef("q65_sql_subselect",
       """SELECT status, round(max(total), 2) AS max_total,
         |  round(min(total), 2) AS min_total

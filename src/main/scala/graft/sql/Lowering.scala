@@ -747,6 +747,32 @@ object Lowering {
         .filter(!_.equalsIgnoreCase("rowName")).map(_.toLowerCase).distinct
       if (names.isEmpty) lit(0L)
       else names.map(n => when(col(n).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    // jseval: per-row JavaScript (reference builtin/js/js_function.cc).
+    // Script and arg-name list must be string literals; remaining args
+    // are evaluated per row and bound as JS locals.
+    case "jseval" | "jseval_num" | "jseval_str" | "jseval_bool" =>
+      val mode = name match {
+        case "jseval" => "json"
+        case other0 => other0.stripPrefix("jseval_")
+      }
+      // script + arg names come from the dialect's own AST literals
+      // (the bridge's Column→Expression conversion is lazy and not
+      // foldable before analysis, so JsEval.build can't inspect it)
+      val script = raw.headOption match {
+        case Some(StrLit(s)) => s
+        case _ => throw new IllegalArgumentException(
+          "jseval: the script (first argument) must be a string literal")
+      }
+      val names = raw.drop(1).headOption match {
+        case Some(StrLit(s)) =>
+          s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        case _ => throw new IllegalArgumentException(
+          "jseval: the argument-name list (second argument) must be a string literal")
+      }
+      org.apache.spark.sql.GraftColumnBridge.column(graft.plans.JsEval(
+        script, names,
+        a.drop(2).map(org.apache.spark.sql.GraftColumnBridge.expression),
+        mode))
     case other =>
       throw new IllegalArgumentException(s"unknown function $other")
   }
