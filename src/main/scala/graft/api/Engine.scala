@@ -10,6 +10,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `/v1/...` operation has a direct method equivalent here, so a thin
   * HTTP shim could be layered on without re-architecting (SURVEY §7.1).
   */
+/** JSON already rendered by a handler — the REST layer passes it
+  * through verbatim instead of re-quoting it as a string. */
+final case class RawJson(json: String)
+
 final class GraftEngine(val spark: SparkSession) {
 
   // engine sessions always run with the dialect's semantics: ANSI off
@@ -158,10 +162,34 @@ final class GraftEngine(val spark: SparkSession) {
     * compiled once at registration (bad code fails the PUT, like the
     * reference's plugin-init error surface) and invoked per route
     * call with `route` plus the query parameters as its args map. */
-  private val plugins = TrieMap[String, (String, Scripting.Script)]()
+  private val plugins =
+    TrieMap[String, (String, Map[String, String]) => Any]()
 
-  def createPlugin(name: String, source: String): Unit =
-    plugins(name) = (source, Scripting.compile(source))
+  /** `language`: "scala" (a [[Scripting]] snippet — the host-language
+    * substitute) or "javascript" (the reference's native plugin
+    * language, run on [[graft.js.JsInterp]] with the [[JsHost]]
+    * bindings: `args`, `args.route`, `mldb.query`). Both compile at
+    * registration so bad code fails the PUT. */
+  def createPlugin(name: String, source: String,
+      language: String = "scala"): Unit = language match {
+    case "javascript" =>
+      val program = graft.js.JsInterp.compile(source) // parse → 400
+      plugins(name) = { (route, params) =>
+        RawJson(JsHost.resultJson(graft.js.JsInterp.run(
+          program, Nil, Nil,
+          extraGlobals = Map(
+            "mldb" -> JsHost.mldbObject(spark, dataset),
+            "args" -> JsHost.fromAny(
+              Map("route" -> route) ++ params)))))
+      }
+    case "scala" | "" =>
+      val handler = Scripting.compile(source)
+      plugins(name) = { (route, params) =>
+        handler(spark, Map("route" -> route) ++ params)
+      }
+    case other => throw new IllegalArgumentException(
+      s"unknown plugin language '$other' (scala | javascript)")
+  }
 
   def listPlugins: Seq[String] = plugins.keys.toSeq.sorted
 
@@ -171,9 +199,9 @@ final class GraftEngine(val spark: SparkSession) {
 
   def pluginRoute(name: String, route: String,
       params: Map[String, String]): Any = {
-    val (_, handler) = plugins.getOrElse(name,
+    val handler = plugins.getOrElse(name,
       throw new NoSuchElementException(s"plugin '$name' not found"))
-    handler(spark, Map("route" -> route) ++ params)
+    handler(route, params)
   }
 
   /** `GET /v1/functions/<n>/application?input={…}` — apply a
@@ -607,12 +635,20 @@ final class GraftEngine(val spark: SparkSession) {
           k = param("k").map(_.toInt).getOrElse(10),
           rerankFactor = param("rerankFactor").map(_.toInt).getOrElse(4)))
       case "script.run" =>
-        val result = Scripting.run(spark, req("source"))
-        (result, param("outputDataset")) match {
-          case (df: DataFrame, Some(name)) =>
-            createDataset(name, df)
-            s"""{"outputDataset": "$name", "rowCount": ${df.count()}}"""
-          case _ => s"""{"result": ${JsonRow.scalarJson(result)}}"""
+        // language: scala (host-language snippet) | javascript (the
+        // reference's script_procedure language, on JsInterp/JsHost)
+        if (param("language").contains("javascript")) {
+          val result = JsHost.run(spark, dataset,
+            req("source"), Map.empty)
+          s"""{"result": ${JsHost.resultJson(result)}}"""
+        } else {
+          val result = Scripting.run(spark, req("source"))
+          (result, param("outputDataset")) match {
+            case (df: DataFrame, Some(name)) =>
+              createDataset(name, df)
+              s"""{"outputDataset": "$name", "rowCount": ${df.count()}}"""
+            case _ => s"""{"result": ${JsonRow.scalarJson(result)}}"""
+          }
         }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure type '$other'")

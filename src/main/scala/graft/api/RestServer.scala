@@ -111,7 +111,8 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
             StandardCharsets.UTF_8)
           // the script toolbox signals compile failures as a bare
           // Throwable (ToolBoxError), not an Exception — surface as 400
-          try engine.createPlugin(name, extractField(body, "source"))
+          try engine.createPlugin(name, extractField(body, "source"),
+            extractFieldOpt(body, "language").getOrElse("scala"))
           catch {
             case e: IllegalArgumentException => throw e
             case e: Throwable => throw new IllegalArgumentException(
@@ -131,6 +132,7 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
             // any Dataset (typed or Row) renders as rows — a script's
             // s.range(n) without .toDF must not ClassCast
             case ds: org.apache.spark.sql.Dataset[_] => rowsJson(ds.toDF(), 100)
+            case raw: RawJson => raw.json
             case s: String => jsonStr(s)
             case n: (java.lang.Number) => n.toString
             case b: java.lang.Boolean => b.toString

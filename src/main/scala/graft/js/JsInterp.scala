@@ -192,18 +192,24 @@ object JsInterp {
   def compile(src: String): List[JsAst.Stmt] = JsAst.parseProgram(src)
 
   def run(program: List[JsAst.Stmt], argNames: Seq[String],
-      args: Seq[JsVal], maxSteps: Long = 20000000L): JsVal = {
+      args: Seq[JsVal], maxSteps: Long = 20000000L,
+      extraGlobals: Map[String, JsVal] = Map.empty): JsVal = {
     val ev = new Evaluator(maxSteps)
     val global = ev.newGlobal()
+    extraGlobals.foreach { case (n, v) => global.declare(n, v) }
     argNames.zipAll(args, "", JsUndef).foreach { case (n, v) =>
       if (n.nonEmpty) global.declare(n, v)
     }
     try {
       ev.hoist(program, global)
+      // script completion value: the last VALUE-producing statement
+      // wins (V8 script semantics — an `if` branch's expression
+      // statement counts), so a trailing `x;`, with or without braces
+      // around it, is the result when there is no explicit return.
       var last: JsVal = JsUndef
-      program.foreach {
-        case JsAst.ExprS(e) => last = ev.eval(e, global)
-        case s => ev.exec(s, global); ()
+      program.foreach { s =>
+        val v = ev.exec(s, global)
+        if (v != JsUndef) last = v
       }
       last
     } catch {
@@ -243,35 +249,58 @@ object JsInterp {
       case _ => ()
     }
 
-    def exec(s: Stmt, env: Env): Unit = { tick(); s match {
-      case ExprS(e) => eval(e, env); ()
-      case VarS(ds) => ds.foreach {
-        case (n, Some(init)) => env.set(n, eval(init, env))
-        case (n, None) => if (!env.has(n)) env.declare(n, JsUndef)
-      }
+    /** Executes a statement and returns its COMPLETION VALUE (the ES
+      * notion V8 uses for a script's result): expression statements
+      * produce their value, declarations produce "empty" (JsUndef
+      * here), and compound statements propagate the last non-empty
+      * value of whatever ran inside them. */
+    def exec(s: Stmt, env: Env): JsVal = { tick(); s match {
+      case ExprS(e) => eval(e, env)
+      case VarS(ds) =>
+        ds.foreach {
+          case (n, Some(init)) => env.set(n, eval(init, env))
+          case (n, None) => if (!env.has(n)) env.declare(n, JsUndef)
+        }
+        JsUndef
       case IfS(c, t, f) =>
-        if (toBool(eval(c, env))) exec(t, env) else f.foreach(exec(_, env))
-      case BlockS(ss) => ss.foreach(exec(_, env))
-      case EmptyS => ()
-      case FuncDeclS(_, _, _) => () // hoisted
+        if (toBool(eval(c, env))) exec(t, env)
+        else f.fold[JsVal](JsUndef)(exec(_, env))
+      case BlockS(ss) => execAll(ss, env)
+      case EmptyS => JsUndef
+      case FuncDeclS(_, _, _) => JsUndef // hoisted
       case WhileS(c, b) =>
+        var last: JsVal = JsUndef
         try while (toBool(eval(c, env))) {
-          try exec(b, env) catch { case _: ContinueEx => () }
+          try {
+            val v = exec(b, env)
+            if (v != JsUndef) last = v
+          } catch { case _: ContinueEx => () }
         } catch { case _: BreakEx => () }
+        last
       case DoWhileS(b, c) =>
+        var last: JsVal = JsUndef
         try {
           var go = true
           while (go) {
-            try exec(b, env) catch { case _: ContinueEx => () }
+            try {
+              val v = exec(b, env)
+              if (v != JsUndef) last = v
+            } catch { case _: ContinueEx => () }
             go = toBool(eval(c, env))
           }
         } catch { case _: BreakEx => () }
+        last
       case ForS(init, test, update, b) =>
         init.foreach(exec(_, env))
+        var last: JsVal = JsUndef
         try while (test.forall(t => toBool(eval(t, env)))) {
-          try exec(b, env) catch { case _: ContinueEx => () }
+          try {
+            val v = exec(b, env)
+            if (v != JsUndef) last = v
+          } catch { case _: ContinueEx => () }
           update.foreach(eval(_, env))
         } catch { case _: BreakEx => () }
+        last
       case ForInS(name, objE, b) =>
         val keys: Seq[String] = eval(objE, env) match {
           case o: JsObjV => o.fields.keys.toSeq
@@ -279,26 +308,32 @@ object JsInterp {
           case JsStr(s) => s.indices.map(_.toString)
           case _ => Nil
         }
+        var last: JsVal = JsUndef
         try keys.foreach { k =>
           env.set(name, JsStr(k))
-          try exec(b, env) catch { case _: ContinueEx => () }
+          try {
+            val v = exec(b, env)
+            if (v != JsUndef) last = v
+          } catch { case _: ContinueEx => () }
         } catch { case _: BreakEx => () }
+        last
       case ReturnS(e) => throw new ReturnEx(e.fold[JsVal](JsUndef)(eval(_, env)))
       case BreakS => throw new BreakEx
       case ContinueS => throw new ContinueEx
       case ThrowS(e) => throw new JsError(eval(e, env))
       case TryS(blk, catchParam, catchBlock, finallyBlock) =>
         try {
-          try blk.foreach(exec(_, env))
+          try execAll(blk, env)
           catch {
             case je: JsError if catchBlock.isDefined =>
               val cenv = new Env(env)
               catchParam.foreach(p => cenv.declare(p, je.value))
-              catchBlock.get.foreach(exec(_, cenv))
+              execAll(catchBlock.get, cenv)
           }
-        } finally finallyBlock.foreach(_.foreach(exec(_, env)))
+        } finally finallyBlock.foreach(execAll(_, env))
       case SwitchS(disc, cases) =>
         val d = eval(disc, env)
+        var last: JsVal = JsUndef
         try {
           var matched = false
           // first pass: case labels; second: default fallthrough entry
@@ -307,17 +342,33 @@ object JsInterp {
               case Some(l) if strictEq(d, eval(l, env)) => matched = true
               case _ => ()
             }
-            if (matched) body.foreach(exec(_, env))
+            if (matched) {
+              val v = execAll(body, env)
+              if (v != JsUndef) last = v
+            }
           }
           if (!matched) {
             var inDefault = false
             cases.foreach { case (label, body) =>
               if (label.isEmpty) inDefault = true
-              if (inDefault) body.foreach(exec(_, env))
+              if (inDefault) {
+                val v = execAll(body, env)
+                if (v != JsUndef) last = v
+              }
             }
           }
         } catch { case _: BreakEx => () }
+        last
     } }
+
+    private def execAll(ss: List[Stmt], env: Env): JsVal = {
+      var last: JsVal = JsUndef
+      ss.foreach { s =>
+        val v = exec(s, env)
+        if (v != JsUndef) last = v
+      }
+      last
+    }
 
     // ----------------------------------------------------- expressions
 

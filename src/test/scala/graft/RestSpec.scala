@@ -286,6 +286,54 @@ class RestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("javascript plugins: the reference's native plugin language") {
+    val engine = new GraftEngine(spark)
+    engine.createDatasetFromParquet("nation", s"$sf/nation.parquet")
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      def put(path: String, body: String): (Int, String) = {
+        val r = client.send(HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def esc(s: String): String = s.replace("\\", "\\\\")
+        .replace("\"", "\\\"").replace("\n", "\\n")
+      val source =
+        """if (args.route == "hello") {
+          |  "hello " + (args.who || "world");
+          |} else {
+          |  var rows = mldb.query("SELECT n_name FROM nation " +
+          |    "ORDER BY n_name LIMIT 2");
+          |  var out = [];
+          |  for (var i = 0; i < rows.length; i++) out.push(rows[i].n_name);
+          |  ({first: out[0], second: out[1], n: rows.length});
+          |}""".stripMargin
+      val (c1, b1) = put("/v1/plugins/jsdemo",
+        s"""{"language": "javascript", "source": "${esc(source)}"}""")
+      assert(c1 === 200 && b1.contains("jsdemo"), b1)
+      // a string result renders as a JSON string
+      val (c2, b2) = get(port, "/v1/plugins/jsdemo/routes/hello?who=graft")
+      assert(c2 === 200 && b2 === "\"hello graft\"", b2)
+      // an object result renders as a JSON object, via mldb.query
+      val (c3, b3) = get(port, "/v1/plugins/jsdemo/routes/top")
+      assert(c3 === 200 &&
+        b3 === """{"first":"NATION_0","second":"NATION_1","n":2}""", b3)
+      // bad JS is rejected at registration, like a bad scala plugin
+      assert(put("/v1/plugins/jsbad",
+        """{"language": "javascript", "source": "function ("}""")._1 === 400)
+      // script.run with language=javascript
+      val r = engine.runProcedure("script.run", Map(
+        "language" -> "javascript",
+        "source" -> ("var xs = [1, 2, 3, 4]; var s = 0; " +
+          "for (var i = 0; i < xs.length; i++) s += xs[i]; s * 10;")
+      ).get _)
+      assert(r === """{"result": 100}""", r)
+    } finally srv.stop()
+  }
+
   test("typed procedure dispatch: script.run, import.sqlite, tsne.train") {
     val engine = new GraftEngine(spark)
     engine.createDatasetFromParquet("embeddings", s"$sf/embeddings.parquet")
