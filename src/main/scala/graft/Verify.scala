@@ -20,6 +20,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // One schema line per table: the driver regenerates testdata
+    // between rounds and physical types have drifted before (events.ts
+    // int64-nanos → timestamp[us] broke 12 queries in round 4). This
+    // makes the next drift a one-glance diagnosis in the verify log.
+    graft.core.Tables.names.foreach { t =>
+      val s = try graft.core.Tables.load(spark, sfDir, t).schema
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      catch { case e: Throwable => s"UNREADABLE(${e.getMessage})" }
+      System.err.println(s"[verify] schema $t = $s")
+    }
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce collapses the whole
       // upstream stage to a single task when no shuffle intervenes,

@@ -125,6 +125,25 @@ final class GraftEngine(val spark: SparkSession) {
       df.join(org.apache.spark.sql.functions.broadcast(lookup), joinCols, "left")
   }
 
+  /** `script.apply` — a function entity backed by a JavaScript snippet
+    * (`/root/reference/builtin/script_function.cc:147`): the script
+    * runs per row on [[graft.plans.JsEval]] with the named input
+    * columns bound as JS locals, its result landing in `outputColumn`.
+    * `mode` picks the static result type (num | str | bool | json —
+    * Catalyst needs one; the reference's V8 values are dynamic). The
+    * script parses once per executor, never per row. */
+  def createScriptFunction(name: String, source: String,
+      inputColumns: Seq[String], outputColumn: String = "result",
+      mode: String = "num"): Unit = {
+    graft.js.JsInterp.compile(source) // fail registration on bad code
+    functions(name) = df =>
+      df.withColumn(outputColumn, org.apache.spark.sql.GraftColumnBridge
+        .column(graft.plans.JsEval(source, inputColumns,
+          inputColumns.map(c => org.apache.spark.sql.GraftColumnBridge
+            .expression(df(c))), mode)))
+    compiledApplies.clear()
+  }
+
   def applyFunction(name: String, input: DataFrame): DataFrame =
     functions.getOrElse(name,
       throw new NoSuchElementException(s"function '$name' not found"))(input)

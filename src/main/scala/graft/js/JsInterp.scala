@@ -618,6 +618,49 @@ object JsInterp {
         o.fields("__isError") = JsBool(true)
         o
       },
+      "Date" -> { args =>
+        // Deterministic subset: an explicit instant is required —
+        // epoch millis or an ISO-8601 string. (No-arg `new Date()`
+        // would read the wall clock and make results irreproducible;
+        // it throws instead. Timestamp columns arrive as epoch ms.)
+        val ms: Double = args match {
+          case JsNum(d) :: Nil => d
+          case JsStr(s) :: Nil =>
+            try java.time.Instant.parse(
+              if (s.contains("T")) (if (s.endsWith("Z") || s.contains("+"))
+                s else s + "Z")
+              else s.replace(' ', 'T') + (if (s.length == 10) "T00:00:00Z"
+                else "Z")).toEpochMilli.toDouble
+            catch { case _: Exception => Double.NaN }
+          case Nil => error(
+            "new Date() without an argument is non-deterministic; " +
+              "pass epoch millis or an ISO-8601 string")
+          case _ => Double.NaN
+        }
+        val o = new JsObjV(mutable.LinkedHashMap.empty)
+        o.fields("__ms") = JsNum(ms)
+        def at = java.time.Instant.ofEpochMilli(ms.toLong)
+          .atZone(java.time.ZoneOffset.UTC)
+        def nfn(name: String)(f: => Double): Unit =
+          o.fields(name) = new JsNativeV(name, (_, _) =>
+            if (ms.isNaN) JsNum(Double.NaN) else JsNum(f))
+        nfn("getTime")(ms)
+        nfn("valueOf")(ms)
+        nfn("getUTCFullYear")(at.getYear.toDouble)
+        nfn("getUTCMonth")(at.getMonthValue.toDouble - 1)
+        nfn("getUTCDate")(at.getDayOfMonth.toDouble)
+        nfn("getUTCDay")(at.getDayOfWeek.getValue % 7)
+        nfn("getUTCHours")(at.getHour.toDouble)
+        nfn("getUTCMinutes")(at.getMinute.toDouble)
+        nfn("getUTCSeconds")(at.getSecond.toDouble)
+        nfn("getUTCMilliseconds")(((ms.toLong % 1000 + 1000) % 1000).toDouble)
+        o.fields("toISOString") = new JsNativeV("toISOString", (_, _) =>
+          if (ms.isNaN) error("toISOString on Invalid Date")
+          else JsStr(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+            .format(at)))
+        o
+      },
       "String" -> { args => JsStr(args.headOption.map(toStr).getOrElse("")) },
       "Number" -> { args =>
         JsNum(args.headOption.map(toNum).getOrElse(0d)) },
@@ -1035,6 +1078,7 @@ object JsInterp {
       g.declare("Boolean", native("Boolean")((_, as) =>
         JsBool(as.headOption.exists(toBool))))
       g.declare("Array", native("Array")((_, as) => constructors("Array")(as)))
+      g.declare("Date", native("Date")((_, as) => constructors("Date")(as)))
       g.declare("RegExp", native("RegExp")((_, as) =>
         constructors("RegExp")(as)))
       g.declare("Error", native("Error")((_, as) => constructors("Error")(as)))

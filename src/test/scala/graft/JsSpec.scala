@@ -228,6 +228,18 @@ class JsSpec extends AnyFunSuite {
     assert(str("(3.14159).toFixed(2);") == "3.14")
   }
 
+  test("Date: deterministic UTC subset") {
+    assert(num("new Date(86400000).getUTCDate();") == 2) // 1970-01-02
+    assert(str("new Date(1704067199123).toISOString();")
+      == "2023-12-31T23:59:59.123Z")
+    assert(num("new Date('2024-03-05T06:07:08Z').getUTCMonth();") == 2)
+    assert(num("new Date('2024-03-05').getUTCFullYear();") == 2024)
+    assert(num("new Date(1704067199123).getTime();") == 1704067199123d)
+    // no-arg Date would read the wall clock: refused
+    val err = intercept[JsError] { JsInterp.eval("new Date();") }
+    assert(toStr(err.value).contains("non-deterministic"))
+  }
+
   // ---- safety
   test("runaway loop hits the step budget") {
     val err = intercept[JsError] {
@@ -297,6 +309,25 @@ class JsSpec extends AnyFunSuite {
         |  'xs, o', array(1, 2, 3), named_struct('k', 10)) AS v""".stripMargin)
       .collect().head.getDouble(0)
     assert(v == 16.0)
+  }
+
+  test("script.apply: a JS-backed function entity applies per row") {
+    val engine = new graft.api.GraftEngine(spark)
+    engine.createScriptFunction("jsscore",
+      "return a * 2 + (b > 1 ? 10 : 0);", Seq("a", "b"), "score")
+    import spark.implicits._
+    val out = engine.applyFunction("jsscore",
+      Seq((1.0, 0.5), (3.0, 2.0)).toDF("a", "b"))
+      .select("score").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(2.0, 16.0))
+    // bad code fails registration, not first application
+    intercept[graft.js.JsAst.JsParseError] {
+      engine.createScriptFunction("bad", "function (", Seq("a"))
+    }
+    // the single-row REST scoring path works through the same entity
+    val (_, rows) = engine.applyFunctionJsonRows("jsscore",
+      """{"a": 4, "b": 9}""")
+    assert(rows.head.getAs[Double]("score") == 18.0)
   }
 
   test("a runaway script fails the query with a clear error, not a hang") {
