@@ -670,6 +670,35 @@ object JsInterp {
     // ------------------------------------------------------- properties
 
     private def member(obj: JsVal, prop: String): JsVal = obj match {
+      // statics on the global constructors (native values cannot carry
+      // fields, so Object.keys / Array.isArray / String.fromCharCode
+      // dispatch here by constructor name)
+      case n: JsNativeV if n.name == "Object" && prop == "keys" =>
+        native("keys") { (_, as) =>
+          as.headOption match {
+            case Some(o: JsObjV) => new JsArrV(
+              mutable.ArrayBuffer.from(o.fields.keys.map(JsStr(_): JsVal)))
+            case Some(a: JsArrV) => new JsArrV(mutable.ArrayBuffer.from(
+              a.elems.indices.map(i => JsStr(i.toString): JsVal)))
+            case _ => new JsArrV(mutable.ArrayBuffer.empty)
+          } }
+      case n: JsNativeV if n.name == "Object" && prop == "values" =>
+        native("values") { (_, as) =>
+          as.headOption match {
+            case Some(o: JsObjV) =>
+              new JsArrV(mutable.ArrayBuffer.from(o.fields.values))
+            case Some(a: JsArrV) => new JsArrV(a.elems.clone())
+            case _ => new JsArrV(mutable.ArrayBuffer.empty)
+          } }
+      case n: JsNativeV if n.name == "Array" && prop == "isArray" =>
+        native("isArray")((_, as) =>
+          JsBool(as.headOption.exists(_.isInstanceOf[JsArrV])))
+      case n: JsNativeV if n.name == "String" && prop == "fromCharCode" =>
+        native("fromCharCode")((_, as) =>
+          JsStr(as.map(a => toNum(a).toInt.toChar).mkString))
+      case n: JsNativeV if n.name == "Date" && prop == "now" =>
+        native("now")((_, _) => error(
+          "Date.now() is non-deterministic; pass timestamps in as data"))
       case o: JsObjV =>
         o.fields.getOrElse(prop, prop match {
           case "hasOwnProperty" => native("hasOwnProperty") { (t, as) =>

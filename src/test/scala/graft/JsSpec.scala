@@ -228,6 +228,17 @@ class JsSpec extends AnyFunSuite {
     assert(str("(3.14159).toFixed(2);") == "3.14")
   }
 
+  test("constructor statics: Object.keys/values, Array.isArray, fromCharCode") {
+    assert(str("Object.keys({a: 1, b: 2}).join(',');") == "a,b")
+    assert(num("Object.values({a: 3, b: 4}).reduce(" +
+      "function(x, y) { return x + y; }, 0);") == 7)
+    assert(num("Array.isArray([1]) ? 1 : 0;") == 1)
+    assert(num("Array.isArray('no') ? 1 : 0;") == 0)
+    assert(str("String.fromCharCode(72, 105);") == "Hi")
+    val err = intercept[JsError] { JsInterp.eval("Date.now();") }
+    assert(toStr(err.value).contains("non-deterministic"))
+  }
+
   test("Date: deterministic UTC subset") {
     assert(num("new Date(86400000).getUTCDate();") == 2) // 1970-01-02
     assert(str("new Date(1704067199123).toISOString();")
