@@ -265,6 +265,25 @@ object SqlDialectQueries {
            |ORDER BY doc_id""".stripMargin)
     },
 
+    // --- jseval over timestamps: the TimestampType arg arrives as JS
+    // epoch milliseconds, reconstructed with the deterministic Date
+    // subset. getUTCDay matches DuckDB's dayofweek (0 = Sunday). ---
+    QueryDef("q113_jseval_temporal",
+      """SELECT event_id,
+        |  CAST(hour(ts) * 100 + dayofweek(ts) AS DOUBLE) AS hod_dow
+        |FROM events
+        |ORDER BY event_id
+        |LIMIT 1000""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT event_id,
+          |  jseval_num('var dt = new Date(t);
+          |return dt.getUTCHours() * 100 + dt.getUTCDay();', 't', ts)
+          |    AS hod_dow
+          |FROM events
+          |ORDER BY event_id
+          |LIMIT 1000""".stripMargin)
+    },
+
     QueryDef("q65_sql_subselect",
       """SELECT status, round(max(total), 2) AS max_total,
         |  round(min(total), 2) AS min_total
