@@ -37,10 +37,19 @@ object JsInterp {
   final case class JsNum(v: Double) extends JsVal
   final case class JsStr(s: String) extends JsVal
   final class JsObjV(val fields: mutable.LinkedHashMap[String, JsVal])
-      extends JsVal
+      extends JsVal {
+    /** [[Prototype]] link — set by `new F()` from F.prototype. Own
+      * fields shadow it; JSON/stringify/for-in see own fields only
+      * (enumerability of the chain is not modeled). */
+    var proto: JsObjV = null
+  }
   final class JsArrV(val elems: mutable.ArrayBuffer[JsVal]) extends JsVal
   final class JsFuncV(val name: String, val params: List[String],
-      val body: List[JsAst.Stmt], val closure: Env) extends JsVal
+      val body: List[JsAst.Stmt], val closure: Env) extends JsVal {
+    /** F.prototype — pre-created so `F.prototype.m = function(){...}`
+      * works like ES5; wholesale `F.prototype = {...}` replaces it. */
+    var prototypeObj: JsObjV = new JsObjV(mutable.LinkedHashMap.empty)
+  }
   final class JsNativeV(val name: String,
       val fn: (JsVal, List[JsVal]) => JsVal) extends JsVal
   final class JsRegexV(val source: String, val flags: String) extends JsVal {
@@ -452,6 +461,10 @@ object JsInterp {
             else propE.asInstanceOf[JsAst.StrE].v
           obj match {
             case o: JsObjV => o.fields(prop) = v
+            case f: JsFuncV if prop == "prototype" => v match {
+              case p: JsObjV => f.prototypeObj = p
+              case _ => error("prototype must be an object")
+            }
             case a: JsArrV =>
               if (prop == "length") {
                 val n = toNum(v).toInt
@@ -554,6 +567,11 @@ object JsInterp {
         case _ => error("'in' needs an object operand")
       }
       case "instanceof" => (a, b) match {
+        case (o: JsObjV, f: JsFuncV) =>
+          var p = o.proto
+          var hit = false
+          while (p != null && !hit) { hit = p eq f.prototypeObj; p = p.proto }
+          JsBool(hit)
         case (_: JsArrV, n: JsNativeV) => JsBool(n.name == "Array")
         case (_: JsObjV, n: JsNativeV) =>
           JsBool(n.name == "Object" ||
@@ -591,6 +609,7 @@ object JsInterp {
         constructors(n.name)(args)
       case fn: JsFuncV =>
         val self = new JsObjV(mutable.LinkedHashMap.empty)
+        self.proto = fn.prototypeObj
         callValue(fn, self, args, fn.name) match {
           case o: JsObjV => o
           case a: JsArrV => a
@@ -700,14 +719,38 @@ object JsInterp {
         native("now")((_, _) => error(
           "Date.now() is non-deterministic; pass timestamps in as data"))
       case o: JsObjV =>
-        o.fields.getOrElse(prop, prop match {
-          case "hasOwnProperty" => native("hasOwnProperty") { (t, as) =>
-            JsBool(t.asInstanceOf[JsObjV].fields
-              .contains(toStr(as.headOption.getOrElse(JsUndef))))
+        o.fields.getOrElse(prop, {
+          // walk the [[Prototype]] chain before builtin fallbacks
+          var p = o.proto
+          var found: JsVal = null
+          while (p != null && found == null) {
+            found = p.fields.getOrElse(prop, null)
+            p = p.proto
           }
-          case "toString" => native("toString")((t, _) => JsStr(toStr(t)))
-          case _ => JsUndef
+          if (found != null) found
+          else prop match {
+            case "hasOwnProperty" => native("hasOwnProperty") { (t, as) =>
+              JsBool(t.asInstanceOf[JsObjV].fields
+                .contains(toStr(as.headOption.getOrElse(JsUndef))))
+            }
+            case "toString" => native("toString")((t, _) => JsStr(toStr(t)))
+            case _ => JsUndef
+          }
         })
+      case f: JsFuncV => prop match {
+        case "prototype" => f.prototypeObj
+        case "name" => JsStr(f.name)
+        case "length" => JsNum(f.params.length.toDouble)
+        case "call" => native("call") { (_, as) =>
+          callValue(f, as.headOption.getOrElse(JsUndef), as.drop(1), f.name) }
+        case "apply" => native("apply") { (_, as) =>
+          val args = as.drop(1).headOption match {
+            case Some(arr: JsArrV) => arr.elems.toList
+            case _ => Nil
+          }
+          callValue(f, as.headOption.getOrElse(JsUndef), args, f.name) }
+        case _ => JsUndef
+      }
       case a: JsArrV => arrayMember(a, prop)
       case JsStr(s) => stringMember(s, prop)
       case JsNum(d) => numberMember(d, prop)

@@ -228,6 +228,39 @@ class JsSpec extends AnyFunSuite {
     assert(str("(3.14159).toFixed(2);") == "3.14")
   }
 
+  test("prototype chains: shared methods, instanceof, call/apply") {
+    val src = """
+      function Point(x, y) { this.x = x; this.y = y; }
+      Point.prototype.norm = function() {
+        return Math.sqrt(this.x * this.x + this.y * this.y);
+      };
+      Point.prototype.scale = function(k) {
+        return new Point(this.x * k, this.y * k);
+      };
+      var p = new Point(3, 4);
+      var q = p.scale(2);
+      '' + p.norm() + ',' + q.norm() + ',' +
+        (p instanceof Point) + ',' + ({} instanceof Point) + ',' +
+        p.hasOwnProperty('x') + ',' + p.hasOwnProperty('norm');
+    """
+    assert(str(src) == "5,10,true,false,true,false")
+  }
+
+  test("prototype replacement and function call/apply") {
+    assert(num("""
+      function A() {}
+      A.prototype = {tag: 7};
+      var a = new A();
+      a.tag;
+    """) == 7)
+    assert(num("function add(a, b) { return a + b; } " +
+      "add.call(null, 1, 2) + add.apply(null, [10, 20]);") == 33)
+    assert(num("""
+      function get() { return this.v; }
+      get.call({v: 42});
+    """) == 42)
+  }
+
   test("constructor statics: Object.keys/values, Array.isArray, fromCharCode") {
     assert(str("Object.keys({a: 1, b: 2}).join(',');") == "a,b")
     assert(num("Object.values({a: 3, b: 4}).reduce(" +
