@@ -44,8 +44,9 @@ object JsAst {
   final case class WhileS(c: Expr, body: Stmt) extends Stmt
   final case class DoWhileS(body: Stmt, c: Expr) extends Stmt
   final case class ReturnS(e: Option[Expr]) extends Stmt
-  case object BreakS extends Stmt
-  case object ContinueS extends Stmt
+  final case class BreakS(label: Option[String]) extends Stmt
+  final case class ContinueS(label: Option[String]) extends Stmt
+  final case class LabeledS(name: String, body: Stmt) extends Stmt
   final case class BlockS(stmts: List[Stmt]) extends Stmt
   final case class FuncDeclS(name: String, params: List[String],
       body: List[Stmt]) extends Stmt
@@ -258,11 +259,27 @@ object JsAst {
                 else Some(expression())
         endStmt(); ReturnS(e)
       }
-      else if (atKw("break")) { advance(); endStmt(); BreakS }
-      else if (atKw("continue")) { advance(); endStmt(); ContinueS }
+      else if (atKw("break")) {
+        advance()
+        val label = if (cur.kind == "ident" && !cur.newlineBefore)
+          Some(advance().text) else None
+        endStmt(); BreakS(label)
+      }
+      else if (atKw("continue")) {
+        advance()
+        val label = if (cur.kind == "ident" && !cur.newlineBefore)
+          Some(advance().text) else None
+        endStmt(); ContinueS(label)
+      }
       else if (atKw("throw")) { advance(); val e = expression(); endStmt(); ThrowS(e) }
       else if (atKw("try")) tryStmt()
       else if (atKw("switch")) switchStmt()
+      else if (cur.kind == "ident" && toks(pos + 1).kind == "punct" &&
+          toks(pos + 1).text == ":") {
+        val name = advance().text
+        advance() // ':'
+        LabeledS(name, statement())
+      }
       else { val e = expression(); endStmt(); ExprS(e) }
     }
 

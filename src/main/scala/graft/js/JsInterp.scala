@@ -58,7 +58,14 @@ object JsInterp {
       var f = 0
       if (flags.contains('i')) f |= java.util.regex.Pattern.CASE_INSENSITIVE
       if (flags.contains('m')) f |= java.util.regex.Pattern.MULTILINE
-      java.util.regex.Pattern.compile(source, f)
+      try java.util.regex.Pattern.compile(source, f)
+      catch {
+        // catchable from JS, like V8's SyntaxError at regex creation
+        case e: java.util.regex.PatternSyntaxException =>
+          throw new JsError(JsStr(
+            s"SyntaxError: invalid regular expression /$source/: " +
+              e.getDescription))
+      }
     }
   }
 
@@ -67,8 +74,9 @@ object JsInterp {
       toStr(value), null, false, false)
 
   // control flow — stackless exceptions, caught by the matching loop
-  private final class BreakEx extends RuntimeException(null, null, false, false)
-  private final class ContinueEx
+  private final class BreakEx(val label: Option[String])
+      extends RuntimeException(null, null, false, false)
+  private final class ContinueEx(val label: Option[String])
       extends RuntimeException(null, null, false, false)
   private final class ReturnEx(val v: JsVal)
       extends RuntimeException(null, null, false, false)
@@ -255,6 +263,7 @@ object JsInterp {
       case TryS(b, p, c, f) =>
         hoist(b, env); c.foreach(hoist(_, env)); f.foreach(hoist(_, env))
       case SwitchS(_, cs) => cs.foreach { case (_, ss) => hoist(ss, env) }
+      case LabeledS(_, b) => hoist(List(b), env)
       case _ => ()
     }
 
@@ -278,15 +287,17 @@ object JsInterp {
       case EmptyS => JsUndef
       case FuncDeclS(_, _, _) => JsUndef // hoisted
       case WhileS(c, b) =>
+        val myLabel = takeLabel()
         var last: JsVal = JsUndef
         try while (toBool(eval(c, env))) {
           try {
             val v = exec(b, env)
             if (v != JsUndef) last = v
-          } catch { case _: ContinueEx => () }
-        } catch { case _: BreakEx => () }
+          } catch { case ce: ContinueEx if forMe(ce.label, myLabel) => () }
+        } catch { case be: BreakEx if forMe(be.label, myLabel) => () }
         last
       case DoWhileS(b, c) =>
+        val myLabel = takeLabel()
         var last: JsVal = JsUndef
         try {
           var go = true
@@ -294,23 +305,25 @@ object JsInterp {
             try {
               val v = exec(b, env)
               if (v != JsUndef) last = v
-            } catch { case _: ContinueEx => () }
+            } catch { case ce: ContinueEx if forMe(ce.label, myLabel) => () }
             go = toBool(eval(c, env))
           }
-        } catch { case _: BreakEx => () }
+        } catch { case be: BreakEx if forMe(be.label, myLabel) => () }
         last
       case ForS(init, test, update, b) =>
+        val myLabel = takeLabel()
         init.foreach(exec(_, env))
         var last: JsVal = JsUndef
         try while (test.forall(t => toBool(eval(t, env)))) {
           try {
             val v = exec(b, env)
             if (v != JsUndef) last = v
-          } catch { case _: ContinueEx => () }
+          } catch { case ce: ContinueEx if forMe(ce.label, myLabel) => () }
           update.foreach(eval(_, env))
-        } catch { case _: BreakEx => () }
+        } catch { case be: BreakEx if forMe(be.label, myLabel) => () }
         last
       case ForInS(name, objE, b) =>
+        val myLabel = takeLabel()
         val keys: Seq[String] = eval(objE, env) match {
           case o: JsObjV => o.fields.keys.toSeq
           case a: JsArrV => a.elems.indices.map(_.toString)
@@ -323,12 +336,20 @@ object JsInterp {
           try {
             val v = exec(b, env)
             if (v != JsUndef) last = v
-          } catch { case _: ContinueEx => () }
-        } catch { case _: BreakEx => () }
+          } catch { case ce: ContinueEx if forMe(ce.label, myLabel) => () }
+        } catch { case be: BreakEx if forMe(be.label, myLabel) => () }
         last
+      case LabeledS(n, body) =>
+        // the label attaches to a directly-following loop (so
+        // `continue n` / `break n` resolve there); for a non-loop
+        // body, `break n` is caught here
+        pendingLabel = n
+        try exec(body, env)
+        catch { case be: BreakEx if be.label.contains(n) => JsUndef }
+        finally pendingLabel = null
       case ReturnS(e) => throw new ReturnEx(e.fold[JsVal](JsUndef)(eval(_, env)))
-      case BreakS => throw new BreakEx
-      case ContinueS => throw new ContinueEx
+      case BreakS(l) => throw new BreakEx(l)
+      case ContinueS(l) => throw new ContinueEx(l)
       case ThrowS(e) => throw new JsError(eval(e, env))
       case TryS(blk, catchParam, catchBlock, finallyBlock) =>
         try {
@@ -366,9 +387,18 @@ object JsInterp {
               }
             }
           }
-        } catch { case _: BreakEx => () }
+        } catch { case be: BreakEx if be.label.isEmpty => () }
         last
     } }
+
+    // label plumbing: LabeledS leaves its name here for the directly
+    // following loop to claim as its own
+    private var pendingLabel: String = null
+    private def takeLabel(): String = {
+      val l = pendingLabel; pendingLabel = null; l
+    }
+    private def forMe(l: Option[String], myLabel: String): Boolean =
+      l.isEmpty || (myLabel != null && l.contains(myLabel))
 
     private def execAll(ss: List[Stmt], env: Env): JsVal = {
       var last: JsVal = JsUndef

@@ -228,6 +228,39 @@ class JsSpec extends AnyFunSuite {
     assert(str("(3.14159).toFixed(2);") == "3.14")
   }
 
+  test("labeled break and continue target the labeled loop") {
+    assert(str("""
+      var out = '';
+      outer: for (var i = 0; i < 3; i++) {
+        for (var j = 0; j < 3; j++) {
+          if (j == 2) continue outer;
+          if (i == 2) break outer;
+          out += '' + i + j + ',';
+        }
+      }
+      out;
+    """) == "00,01,10,11,")
+    // unlabeled break still binds to the innermost loop
+    assert(num("""
+      var n = 0;
+      for (var i = 0; i < 3; i++) {
+        for (var j = 0; j < 10; j++) { if (j == 1) break; n++; }
+      }
+      n;
+    """) == 3)
+    // break out of a labeled block (non-loop)
+    assert(num("var x = 1; blk: { x = 2; break blk; x = 3; } x;") == 2)
+  }
+
+  test("invalid regex is a catchable JS error") {
+    assert(str("""
+      var m = 'none';
+      try { new RegExp('[unclosed').test('x'); }
+      catch (e) { m = '' + e; }
+      m.indexOf('SyntaxError') >= 0 ? 'caught' : m;
+    """) == "caught")
+  }
+
   test("prototype chains: shared methods, instanceof, call/apply") {
     val src = """
       function Point(x, y) { this.x = x; this.y = y; }
