@@ -22,7 +22,10 @@ object JsAst {
   final case class RegexE(pattern: String, flags: String) extends Expr
   final case class IdentE(name: String) extends Expr
   final case class ArrE(elems: List[Expr]) extends Expr
-  final case class ObjE(fields: List[(String, Expr)]) extends Expr
+  /** accessors: (propName, isGetter, function) for ES5 `get x() {}` /
+    * `set x(v) {}` object-literal members. */
+  final case class ObjE(fields: List[(String, Expr)],
+      accessors: List[(String, Boolean, Expr)] = Nil) extends Expr
   final case class FuncE(name: Option[String], params: List[String],
       body: List[Stmt]) extends Expr
   final case class UnaryE(op: String, e: Expr, prefix: Boolean) extends Expr
@@ -559,26 +562,38 @@ object JsAst {
       else if (atPunct("{")) {
         advance()
         val fields = List.newBuilder[(String, Expr)]
+        val accessors = List.newBuilder[(String, Boolean, Expr)]
+        def propKey(): String = cur.kind match {
+          case "ident" | "kw" => advance().text
+          case "str" => advance().text
+          case "num" => val x = advance().text
+            // numeric keys normalize through the JS number→string rule
+            val d = x.toDouble
+            if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+          case _ => fail("expected property key")
+        }
         if (!atPunct("}")) {
           var more = true
           while (more) {
-            val key = cur.kind match {
-              case "ident" | "kw" => advance().text
-              case "str" => advance().text
-              case "num" => val x = advance().text
-                // numeric keys normalize through the JS number→string rule
-                val d = x.toDouble
-                if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
-              case _ => fail("expected property key")
+            // ES5 accessor: `get name() {...}` / `set name(v) {...}` —
+            // only when `get`/`set` is NOT itself a key (`{get: 1}`)
+            if (cur.kind == "ident" && (cur.text == "get" || cur.text == "set")
+                && toks(pos + 1).kind != "punct") {
+              val isGetter = advance().text == "get"
+              val name = propKey()
+              val (ps, body) = funcRest()
+              accessors += ((name, isGetter, FuncE(None, ps, body)))
+            } else {
+              val key = propKey()
+              expect("punct", ":")
+              fields += ((key, assignExpr()))
             }
-            expect("punct", ":")
-            fields += ((key, assignExpr()))
             if (atPunct(",")) { advance(); if (atPunct("}")) more = false }
             else more = false
           }
         }
         expect("punct", "}")
-        ObjE(fields.result())
+        ObjE(fields.result(), accessors.result())
       }
       else fail("expected expression")
     }

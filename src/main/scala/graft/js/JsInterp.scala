@@ -42,6 +42,10 @@ object JsInterp {
       * fields shadow it; JSON/stringify/for-in see own fields only
       * (enumerability of the chain is not modeled). */
     var proto: JsObjV = null
+    /** ES5 accessors (own-object only): name → (getter, setter);
+      * null when the literal declared none — the common case pays no
+      * allocation. */
+    var accessors: mutable.LinkedHashMap[String, (JsVal, JsVal)] = null
   }
   final class JsArrV(val elems: mutable.ArrayBuffer[JsVal]) extends JsVal
   final class JsFuncV(val name: String, val params: List[String],
@@ -423,10 +427,19 @@ object JsInterp {
         if (env.has(name)) env.get(name) else error(s"'$name' is not defined")
       case ArrE(elems) =>
         new JsArrV(mutable.ArrayBuffer.from(elems.map(eval(_, env))))
-      case ObjE(fields) =>
+      case ObjE(fields, accessors) =>
         val m = mutable.LinkedHashMap.empty[String, JsVal]
         fields.foreach { case (k, v) => m(k) = eval(v, env) }
-        new JsObjV(m)
+        val o = new JsObjV(m)
+        if (accessors.nonEmpty) {
+          o.accessors = mutable.LinkedHashMap.empty
+          accessors.foreach { case (name, isGetter, fe) =>
+            val f = eval(fe, env)
+            val (g0, s0) = o.accessors.getOrElse(name, (null, null))
+            o.accessors(name) = if (isGetter) (f, s0) else (g0, f)
+          }
+        }
+        o
       case FuncE(name, ps, body) =>
         val f = new JsFuncV(name.getOrElse(""), ps, body, env)
         // named function expressions can self-reference
@@ -490,6 +503,13 @@ object JsInterp {
           val prop = if (computed) toStr(eval(propE, env))
             else propE.asInstanceOf[JsAst.StrE].v
           obj match {
+            case o: JsObjV
+                if o.accessors != null && o.accessors.contains(prop) =>
+              o.accessors(prop) match {
+                case (_, s) if s != null =>
+                  callValue(s, o, List(v), prop); ()
+                case _ => () // getter-only: silent no-op (non-strict ES5)
+              }
             case o: JsObjV => o.fields(prop) = v
             case f: JsFuncV if prop == "prototype" => v match {
               case p: JsObjV => f.prototypeObj = p
@@ -748,6 +768,11 @@ object JsInterp {
       case n: JsNativeV if n.name == "Date" && prop == "now" =>
         native("now")((_, _) => error(
           "Date.now() is non-deterministic; pass timestamps in as data"))
+      case o: JsObjV if o.accessors != null && o.accessors.contains(prop) =>
+        o.accessors(prop) match {
+          case (g, _) if g != null => callValue(g, o, Nil, prop)
+          case _ => JsUndef // setter-only property reads as undefined
+        }
       case o: JsObjV =>
         o.fields.getOrElse(prop, {
           // walk the [[Prototype]] chain before builtin fallbacks

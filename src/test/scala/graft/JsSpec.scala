@@ -228,6 +228,33 @@ class JsSpec extends AnyFunSuite {
     assert(str("(3.14159).toFixed(2);") == "3.14")
   }
 
+  test("ES5 accessors: getters and setters in object literals") {
+    assert(num("""
+      var o = {
+        _v: 10,
+        get v() { return this._v * 2; },
+        set v(x) { this._v = x + 1; }
+      };
+      var before = o.v;   // 20
+      o.v = 4;            // _v = 5
+      before + o.v;       // 20 + 10
+    """) == 30)
+    // `get` / `set` as ordinary keys still work
+    assert(num("({get: 7, set: 8}).get + ({get: 7, set: 8}).set;") == 15)
+    // setter-only reads as undefined; getter-only writes are no-ops
+    assert(str("""
+      var log = [];
+      var sink = {set x(v) { log.push(v); }};
+      sink.x = 1; sink.x = 2;
+      '' + sink.x + '|' + log.join(',');
+    """) == "undefined|1,2")
+    assert(num("""
+      var g = {get x() { return 9; }};
+      g.x = 100; // silently ignored (non-strict)
+      g.x;
+    """) == 9)
+  }
+
   test("labeled break and continue target the labeled loop") {
     assert(str("""
       var out = '';
