@@ -32,7 +32,8 @@ object PlanAudit {
       "q99_kl_divergence", "q100_semantic_dedup", "q101_dsir",
       "q102_temperature_sample", "q103_pipeline_e2e",
       "q104_gopher_repetition", "q105_curation_capstone",
-      "q106_c4_clean", "q107_sequence_pack_grouped")
+      "q106_c4_clean", "q107_sequence_pack_grouped",
+      "q114_dedup_transitive", "q115_fix_text", "q116_intradoc_line_dedup")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
@@ -62,7 +63,11 @@ object PlanAudit {
       "q102_temperature_sample", "q103_pipeline_e2e",
       "q104_gopher_repetition", "q105_curation_capstone",
       // C4 cleaning is pure per-row line filtering
-      "q106_c4_clean")
+      "q106_c4_clean",
+      // transitive closure iterates checkpointed min-label joins —
+      // never a window; fix_text and intra-doc line dedup are pure
+      // per-row projections
+      "q114_dedup_transitive", "q115_fix_text", "q116_intradoc_line_dedup")
     for (name <- interesting) {
       val df = SparkEntry.queries.getOrElse(name,
         SparkEntry.benchOnlyQueries(name))(spark, d)

@@ -329,4 +329,39 @@ object TextFunctions {
       lower(regexp_extract(tidy, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
       regexp_replace(tidy, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
   }
+
+  /** Unicode NFC canonical composition (native expression, codegen'd,
+    * ASCII fast path). Web corpora mix composed and decomposed accent
+    * forms; every hash-based dedup upstream of this call treats them
+    * as distinct documents. */
+  def nfcNormalize(text: Column): Column =
+    graft.plans.NfcNormalize.column(text)
+
+  /** ftfy-lite text repair for web corpora — the fixed cleanup chain a
+    * curation pipeline runs before any hashing/dedup stage:
+    *
+    *  1. Unicode NFC (composed accents; see [[nfcNormalize]])
+    *  2. typographic chars → ASCII (curly quotes, en/em dash, NBSP)
+    *  3. CRLF / lone CR → LF
+    *  4. strip C0 control chars except \t\n (and DEL)
+    *  5. collapse runs of spaces/tabs to one space
+    *  6. drop spaces hugging a newline
+    *  7. clamp blank-line runs to one blank line
+    *  8. trim
+    *
+    * Order matters (5 before 6 lets a single-space pattern catch every
+    * newline-adjacent run) and each step is a codegen'd built-in, so
+    * the whole chain fuses into one whole-stage-codegen projection —
+    * per-row work, no shuffle, scale-free. */
+  def fixText(text: Column): Column = {
+    val nfc = nfcNormalize(text)
+    val ascii = translate(nfc,
+      "‘’“”–— ", "''\"\"-- ")
+    val lf = regexp_replace(ascii, "\r\n|\r", "\n")
+    val ctl = regexp_replace(lf,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val sp = regexp_replace(ctl, "[ \t]+", " ")
+    val hug = regexp_replace(sp, " ?\n ?", "\n")
+    trim(regexp_replace(hug, "\n{3,}", "\n\n"))
+  }
 }

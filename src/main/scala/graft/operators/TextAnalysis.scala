@@ -708,4 +708,24 @@ object TextAnalysis {
       (instr(lit("0123456789abcdef"), substring(md5Hex, k, 1)) - 1) *
         lit(math.pow(16, 8 - k).toLong)
     }.reduce(_ + _).cast("double")
+
+  /** WITHIN-document repeated-line removal (RefinedWeb-style intra-doc
+    * repetition cleanup): keep the FIRST occurrence of every line,
+    * preserve document order, rejoin with \n. Complements [[lineDedup]]
+    * (which dedups lines ACROSS the corpus and needs a shuffle): this
+    * one is pure per-row array math — `array_position` gives the index
+    * of a line's first occurrence, the index-aware `filter` keeps only
+    * positions that ARE that first occurrence. Zero shuffle, codegen'd
+    * built-ins only, so it scales with the scan. */
+  def intraDocLineDedup(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    // land the split in its own projection so the filter lambda
+    // captures a plain attribute, not the split expression (HOFs
+    // re-evaluate captured subexpressions per element — see the
+    // evaluation-model note in TextFunctions.tokenHashes)
+    val lines = docs.withColumn("__lines", split(col(textCol), "\n"))
+    val kept = filter(col("__lines"),
+      (x, i) => array_position(col("__lines"), x) === (i + lit(1)).cast("long"))
+    lines.withColumn(textCol, array_join(kept, "\n")).drop("__lines")
+  }
 }

@@ -25,6 +25,8 @@ object GraftSqlFunctions {
       es => ShingleHashes(es(0), intLit(es(1), "shingle width n")))
     GraftColumnBridge.registerFunction(spark, "graft_minhash_sig",
       es => MinHashSig(es(0), intLit(es(1), "signature length k")))
+    GraftColumnBridge.registerFunction(spark, "graft_nfc_normalize",
+      es => NfcNormalize(es.head))
     GraftColumnBridge.registerFunction(spark, "jseval",
       es => JsEval.build("json", es))
     GraftColumnBridge.registerFunction(spark, "jseval_num",

@@ -107,6 +107,31 @@ object PipelineQueries {
       col("source"), col("n_chars")))
   }
 
+  /** Similarity CHAINS for the transitive-dedup oracle (q114): per base
+    * doc, three variants — Z (text + 2m junk tokens, smallest id),
+    * X (bare text, +1M), Y (text + m junk, +2M) with m ≈ ntok/3.
+    * Adjacent Jaccards land near 0.75 (X~Y) and 0.8 (Y~Z); the
+    * end-to-end X~Z pair lands near 0.6, below a 0.7 threshold — so X
+    * reaches the min-id keeper Z only through the Y hop, and transitive
+    * closure differs from single-link (which would keep X: its only
+    * neighbor Y has a larger id). Junk tokens are 'zq1'..'zqm' built
+    * from the SAME token count both engines compute. */
+  private def chainedDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("text"), col("source"))
+    val m = greatest(lit(2), floor(size(T.tokens(col("text"))) / lit(3)).cast("int"))
+    def junk(count: org.apache.spark.sql.Column) = array_join(
+      transform(sequence(lit(1), count),
+        i => concat(lit("zq"), i.cast("string"))), " ")
+    val z = docs.select(col("doc_id"),
+      concat(col("text"), lit(" "), junk(m * 2)).as("text"), col("source"))
+    val x = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"), col("source"))
+    val y = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"), lit(" "), junk(m)).as("text"), col("source"))
+    z.unionByName(x).unionByName(y)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // --- exact dedup (hash-groupBy, keep smallest id) ---
@@ -1740,6 +1765,139 @@ object PipelineQueries {
         "n_tokens", 512L)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("start_offset"), col("first_pack"), col("n_packs"))
+    },
+
+    // --- MinHash dedup with TRANSITIVE closure, oracle-checked: the
+    // corpus is built as explicit A~B~C chains (Z = text + 2m junk
+    // tokens gets the SMALLEST id, X = bare text, Y = text + m junk;
+    // with m ≈ ntok/3 the adjacent Jaccards sit near 0.75/0.8 and the
+    // end-to-end pair near 0.6 < threshold) so transitive closure
+    // genuinely differs from single-link: X's only neighbor Y has a
+    // LARGER id, so single-link would keep X; reaching the keeper Z
+    // requires the Y hop. DuckDB recomputes the exact pair graph and
+    // closes it with a recursive CTE (min-reachable-label). 16×2
+    // banding puts the recall knee far below the pair band (miss prob
+    // ≤ 2e-6 at j = 0.75), and every hash is deterministic, so
+    // LSH output == exact closure at gate SF (verified locally). ---
+    QueryDef("q114_dedup_transitive",
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[\s,;:!?.()\[\]{}"'']+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 250),
+        |p AS (
+        |  SELECT doc_id, source, toks,
+        |    greatest(2, len(toks) // 3) AS m
+        |  FROM b),
+        |v AS (
+        |  SELECT doc_id AS id, source,
+        |    list_concat(toks, list_transform(range(1, 2 * m + 1),
+        |      i -> 'zq' || CAST(i AS VARCHAR))) AS tk
+        |  FROM p
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, toks FROM p
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, source,
+        |    list_concat(toks, list_transform(range(1, m + 1),
+        |      i -> 'zq' || CAST(i AS VARCHAR)))
+        |  FROM p),
+        |sh AS (
+        |  SELECT id, source, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+        |    ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM v),
+        |e0 AS (
+        |  SELECT a.id AS id_a, c.id AS id_b
+        |  FROM sh a, sh c
+        |  WHERE a.id < c.id
+        |    AND CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.s, c.s))) >= 0.7),
+        |edges AS (
+        |  SELECT id_a, id_b FROM e0
+        |  UNION ALL SELECT id_b, id_a FROM e0),
+        |cc AS (
+        |  SELECT id_a AS id, id_b AS peer FROM edges
+        |  UNION
+        |  SELECT cc.id, e.id_b FROM cc JOIN edges e ON cc.peer = e.id_a)
+        |SELECT id AS doc_id, source FROM sh
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM cc WHERE cc.id = sh.id AND cc.peer < sh.id)""".stripMargin) { (s, d) =>
+      Dedup.minHashDedupTransitive(chainedDocs(s, d), "text", "doc_id",
+        bands = 16, rowsPerBand = 2, shingleN = 3, threshold = 0.7)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // --- fix_text normalization chain, oracle-checked: a dirty suffix
+    // (decomposed é = e + U+0301, curly quotes, em dash, NBSP, a BEL
+    // control char, CRLF, space-hugged blank lines) is planted from
+    // chr() codepoints IN BOTH ENGINES, then the identical 8-step
+    // chain runs on each side (DuckDB nfc_normalize ≡ JDK Normalizer
+    // NFC for these ancient codepoints; every other step is the same
+    // regex/translate term-for-term). The hashed value is the cleaned
+    // string itself — any divergence in any step fails the row. ---
+    QueryDef("q115_fix_text",
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || chr(13) || chr(10) || 'cafe' || chr(101) || chr(769) ||
+        |    ' ' || chr(8220) || 'quo' || chr(8221) || chr(8216) || 'tes' ||
+        |    chr(8217) || chr(7) || ' a' || chr(8212) || 'b' || chr(160) ||
+        |    'c ' || chr(10) || '  ' || chr(10) || chr(10) || chr(9) ||
+        |    ' tail  end ' AS t
+        |  FROM documents),
+        |steps AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              translate(nfc_normalize(t),
+        |                chr(8216) || chr(8217) || chr(8220) || chr(8221) ||
+        |                chr(8211) || chr(8212) || chr(160),
+        |                '''''""--' || ' '),
+        |              '\r\n|\r', chr(10), 'g'),
+        |            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |          '[ \t]+', ' ', 'g'),
+        |        ' ?\n ?', chr(10), 'g'),
+        |      '\n{3,}', chr(10) || chr(10), 'g') AS cleaned
+        |  FROM dirty)
+        |SELECT doc_id, trim(cleaned) AS clean_text FROM steps""".stripMargin) { (s, d) =>
+      // NB: Spark's chr() is ASCII-mod-256, so the non-ASCII suffix
+      // must come in as a string literal (the oracle uses DuckDB's
+      // full-codepoint chr() for the same bytes)
+      val dirty = concat(col("text"),
+        lit("\r\ncafeé “quo”‘tes’" +
+          7.toChar + " a—b c \n  \n\n\t tail  end "))
+      Tables.documents(s, d).select(col("doc_id"),
+        T.fixText(dirty).as("clean_text"))
+    },
+
+    // --- within-document repeated-line removal (RefinedWeb-style),
+    // oracle-checked: duplicates are planted (the doc's own first
+    // line replayed + a twice-repeated literal line), the op keeps
+    // each line's FIRST occurrence in order. DuckDB mirrors with a
+    // list comprehension over line positions (list_position = index
+    // of first occurrence). Pure per-row array math on the Spark
+    // side — zero shuffle. ---
+    QueryDef("q116_intradoc_line_dedup",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || chr(10) ||
+        |    string_split(text, chr(10))[1] || chr(10) ||
+        |    'repeat me' || chr(10) || 'repeat me' AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM planted)
+        |SELECT doc_id, array_to_string(
+        |  [ls[i] for i in range(1, len(ls) + 1)
+        |    if list_position(ls, ls[i]) = i], chr(10)) AS clean_text
+        |FROM lines""".stripMargin) { (s, d) =>
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit("\n"),
+          element_at(split(col("text"), "\n"), 1), lit("\n"),
+          lit("repeat me\nrepeat me")).as("text"))
+      TextAnalysis.intraDocLineDedup(planted, "doc_id", "text")
+        .select(col("doc_id"), col("text").as("clean_text"))
     })
 
   /** Bench-tier queries: operators whose FAST path rests on a hash no

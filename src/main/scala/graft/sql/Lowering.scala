@@ -531,6 +531,8 @@ object Lowering {
         case _ => 2
       })
     case "normalize_url" => T.normalizeUrl(a(0))
+    case "nfc_normalize" => T.nfcNormalize(a(0))
+    case "fix_text" => T.fixText(a(0))
     case "language_id" => T.langId(a(0))
     case "quality_score" => T.qualityScore(a(0))
     case "fingerprint" => T.fingerprint(a(0))

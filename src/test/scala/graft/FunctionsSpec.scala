@@ -287,4 +287,55 @@ class FunctionsSpec extends AnyFunSuite {
     // Paris -> NYC is ~5830 km
     assert(r.getDouble(1) > 5700 && r.getDouble(1) < 5950)
   }
+
+  test("nfcNormalize composes decomposed accents; identity on ASCII and composed input") {
+    import spark.implicits._
+    val decomposed = "cafe" + "e\u0301" + " nai\u0308ve"   // e+combining acute, i+diaeresis
+    val composed = "cafe\u00e9 na\u00efve"
+    val df = Seq((decomposed, composed, "plain ascii")).toDF("d", "c", "a")
+    val r = df.select(
+      T.nfcNormalize(col("d")).as("nd"),
+      T.nfcNormalize(col("c")).as("nc"),
+      T.nfcNormalize(col("a")).as("na")).head()
+    assert(r.getString(0) === composed)   // composed form out
+    assert(r.getString(1) === composed)                            // already-NFC passes through
+    assert(r.getString(2) === "plain ascii")                       // ASCII fast path
+    // matches the JDK normalizer on the raw corpus (differential)
+    val n = docs.limit(200).select(col("text"), T.nfcNormalize(col("text")).as("nfc"))
+      .collect().count { row =>
+        row.getString(1) != java.text.Normalizer.normalize(
+          row.getString(0), java.text.Normalizer.Form.NFC)
+      }
+    assert(n === 0)
+  }
+
+  test("nfcNormalize agrees between codegen and interpreted eval") {
+    // exercise the interpreted path directly (doGenCode is what the
+    // projection uses; nullSafeEval must match it)
+    val e = graft.plans.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("ze\u0301bre"),
+        org.apache.spark.sql.types.StringType))
+    assert(e.eval(null).toString === "z\u00e9bre")
+    import spark.implicits._
+    val viaPlan = Seq("ze\u0301bre").toDF("t")
+      .select(T.nfcNormalize(col("t"))).as[String].head()
+    assert(viaPlan === "z\u00e9bre")
+  }
+
+  test("fixText runs the full cleanup chain in order") {
+    import spark.implicits._
+    val dirty = "  bad\u0007ctl\r\nA  B\tC \n \n\n\n d" +
+      " \u201Cq\u201D\u2018s\u2019 a\u2014b\u2013c\u00a0d  "
+    val want = "bad" + "ctl\nA B C\n\nd \"q\"'s' a-b-c d"
+    val got = Seq(dirty).toDF("t").select(T.fixText(col("t"))).as[String].head()
+    assert(got === want)
+  }
+
+  test("fixText is idempotent on the corpus") {
+    val n = docs.select(T.fixText(col("text")).as("once"))
+      .select(col("once"), T.fixText(col("once")).as("twice"))
+      .filter(col("once") =!= col("twice")).count()
+    assert(n === 0)
+  }
 }

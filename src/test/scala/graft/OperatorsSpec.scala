@@ -876,4 +876,25 @@ class OperatorsSpec extends AnyFunSuite {
       raw, target, "doc_id", "text", k = 50, nBuckets = 64)
     assert(sel.select("id").except(again.select("id")).isEmpty)
   }
+
+  test("intraDocLineDedup keeps first occurrences in document order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb\na"),        // dups scattered
+      (2L, "x\n\ny\n\n\nx"),           // repeated empty lines collapse too
+      (3L, "only"),                          // no newline at all
+      (4L, "same\nsame\nsame")            // all identical
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .intraDocLineDedup(df, "doc_id", "text")
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(got === Array("a\nb\nc", "x\n\ny", "only", "same"))
+    // schema unchanged, no extra columns leak out
+    assert(graft.operators.TextAnalysis.intraDocLineDedup(df, "doc_id", "text")
+      .columns.toSeq === Seq("doc_id", "text"))
+    // zero-shuffle: the plan has no Exchange
+    val plan = graft.operators.TextAnalysis.intraDocLineDedup(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
