@@ -442,6 +442,16 @@ final class GraftEngine(val spark: SparkSession) {
         val path = req("dataFileUrl")
         graft.sources.Sources.exportCsv(dataset(req("inputDataset")), path)
         s"""{"exported": "$path"}"""
+      case "export.shards" =>
+        // training-data delivery: token-budget shards + manifest
+        val path = req("outputUrl")
+        val man = graft.procedures.Procedures.exportShards(
+          dataset(req("inputDataset")),
+          param("idColumn").getOrElse("doc_id"),
+          param("textColumn").getOrElse("text"),
+          param("tokensPerShard").map(_.toLong).getOrElse(1000000L), path)
+        val n = man.count()
+        s"""{"exported": "$path", "shards": $n}"""
       case "tsne.train" =>
         val (emb, _) = graft.ml.Tsne.train(dataset(req("trainingDataset")),
           param("idColumn").getOrElse("rowName"),

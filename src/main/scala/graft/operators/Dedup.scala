@@ -367,9 +367,10 @@ object Dedup {
     * stays bounded. */
   def minHashDedupTransitive(docs: DataFrame, textCol: String, idCol: String,
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
-      threshold: Double = 0.7, maxIter: Int = 20): DataFrame = {
+      threshold: Double = 0.7, maxIter: Int = 20,
+      maxBucket: Int = 1000): DataFrame = {
     val pairs = minHashPairs(docs, textCol, idCol, bands, rowsPerBand,
-      shingleN, threshold).select(col("id_a"), col("id_b"))
+      shingleN, threshold, maxBucket).select(col("id_a"), col("id_b"))
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct().localCheckpoint()

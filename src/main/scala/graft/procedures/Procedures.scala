@@ -397,6 +397,35 @@ object Procedures {
       .drop("__pid", "__n", "__lsum", "__toff")
   }
 
+  /** Token-budget shard export — the training-data delivery step: cut
+    * a curated corpus into ~`tokensPerShard`-token shards a trainer
+    * can stream, each document kept WHOLE (assigned to the shard its
+    * cumulative start offset falls in — greedy fill, so a shard can
+    * overshoot by at most one document). Reuses [[sequencePack]]'s
+    * scale construction (range partition + broadcast offsets, no
+    * data-sized single-partition stage); the write is Hive-partitioned
+    * by `shard`, and because ids are range-partitioned, each task
+    * holds a CONTIGUOUS run of shards — ~(partition tokens / budget)
+    * files per task, no shuffle on write. Also writes
+    * `<outDir>/manifest` (per-shard doc/token counts) and returns it. */
+  def exportShards(docs: DataFrame, idCol: String, textCol: String,
+      tokensPerShard: Long, outDir: String): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val counted = docs.withColumn("n_tokens",
+      greatest(graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("long"), lit(1L)))
+    val packed = sequencePack(counted, idCol, "n_tokens", tokensPerShard)
+      .withColumnRenamed("first_pack", "shard")
+      .drop("start_offset", "n_packs")
+    packed.write.mode("overwrite").partitionBy("shard")
+      .parquet(outDir + "/data")
+    val manifest = packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"))
+    manifest.write.mode("overwrite").parquet(outDir + "/manifest")
+    manifest.sparkSession.read.parquet(outDir + "/manifest")
+  }
+
   /** `melt` procedure — delegates to the Reshape operator. */
   def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String]): DataFrame =
     graft.operators.Reshape.melt(df, idCols, valueCols)

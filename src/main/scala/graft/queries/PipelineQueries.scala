@@ -1898,6 +1898,30 @@ object PipelineQueries {
           lit("repeat me\nrepeat me")).as("text"))
       TextAnalysis.intraDocLineDedup(planted, "doc_id", "text")
         .select(col("doc_id"), col("text").as("clean_text"))
+    },
+
+    // --- URL normalization for web-corpus dedup, oracle-checked by
+    // INDEPENDENT CONSTRUCTION: both engines build the same messy URL
+    // (uppercased host, tracking params utm_*/fbclid/gclid threaded
+    // through the query string, fragment), Spark runs the
+    // normalizeUrl regex chain, DuckDB writes down what the normal
+    // form MUST be. Unlike a term-for-term regex mirror (impossible
+    // here — the tracker strip uses a lookbehind RE2 lacks), this
+    // oracles the SEMANTICS, not the implementation. ---
+    QueryDef("q117_url_normalize",
+      """SELECT doc_id,
+        |  'https://www.' || source || '.example.com/Path/' ||
+        |    CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+        |    AS url
+        |FROM documents""".stripMargin) { (s, d) =>
+      val messy = concat(
+        lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM/Path/"), col("doc_id").cast("string"),
+        lit("?utm_source=news&fbclid=abc123&id="),
+        col("doc_id").cast("string"),
+        lit("&gclid=zz#sec-"), col("doc_id").cast("string"))
+      Tables.documents(s, d).select(col("doc_id"),
+        T.normalizeUrl(messy).as("url"))
     })
 
   /** Bench-tier queries: operators whose FAST path rests on a hash no

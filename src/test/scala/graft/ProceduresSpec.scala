@@ -362,4 +362,36 @@ class ProceduresSpec extends AnyFunSuite {
     val again = Procedures.temperatureSample(df, "source", "doc_id", 0.3)
     assert(out.select("doc_id").except(again.select("doc_id")).isEmpty)
   }
+
+  test("exportShards cuts token-budget shards, keeps docs whole, writes a matching manifest") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val budget = 5000L
+    val manifest = Procedures.exportShards(docs, "doc_id", "text", budget, dir)
+    val back = spark.read.parquet(dir + "/data")
+    // every doc present exactly once, none split
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    // shard ids are contiguous from 0
+    val shards = back.select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(shards.head === 0L && shards.last === shards.length - 1L)
+    // greedy fill: every shard's token sum stays under budget + the
+    // largest single doc (a doc never splits, so only the straddling
+    // doc can overshoot); every shard but the last reaches the budget
+    val maxDoc = back.agg(max("n_tokens")).head().getLong(0)
+    val sums = back.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.get(0).toString.toLong, r.getLong(1))).toMap
+    sums.foreach { case (sh, t) =>
+      assert(t <= budget + maxDoc, s"shard $sh overshoots: $t")
+      if (sh < shards.last) assert(t >= budget - maxDoc, s"shard $sh underfilled: $t")
+    }
+    // manifest mirrors the data exactly
+    val fromData = back.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    assert(manifest.select("shard", "n_docs", "n_tokens")
+      .except(fromData).isEmpty)
+    assert(fromData.except(
+      manifest.select("shard", "n_docs", "n_tokens")).isEmpty)
+  }
 }

@@ -454,6 +454,15 @@ class RestSpec extends AnyFunSuite {
       val input = java.net.URLEncoder.encode("""{"text": "the quick fox"}""", "UTF-8")
       val (ac, ab) = get(port, s"/v1/functions/tok/application?input=$input")
       assert(ac === 200 && ab.contains("bpe_tokens") && ab.contains("</w>"), ab)
+      // shard export: token-budget shards + manifest on disk
+      val shardDir = java.nio.file.Files.createTempDirectory("graft_rest_shards").toString
+      val (c13, b13) = post(
+        s"""{"type": "export.shards", "inputDataset": "documents", "tokensPerShard": "5000", "outputUrl": "$shardDir"}""")
+      assert(c13 === 200 && b13.contains("\"shards\""), b13)
+      val nShards = "\"shards\": (\\d+)".r.findFirstMatchIn(b13).get.group(1).toInt
+      assert(nShards > 1, b13)
+      assert(new java.io.File(shardDir + "/data").exists())
+      assert(new java.io.File(shardDir + "/manifest").exists())
     } finally srv.stop()
   }
 }

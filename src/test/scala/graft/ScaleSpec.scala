@@ -133,4 +133,31 @@ class ScaleSpec extends AnyFunSuite {
       !spanSurvivors.exists(id => id > 900000000L),
       "span dedup must keep exactly the min-id boilerplate copy")
   }
+
+  test("minHashDedupTransitive at 10× sf0.1: base-equivalent survivors, flat iterative plan, bounded time") {
+    val b = base
+    val big = blowup(b, 10)
+    // exact copies add edges only WITHIN a cluster (jaccard 1) and
+    // replicate the base graph's cross-doc edges, so every blown-up
+    // component's min label is the base component's min — the closure
+    // must land on the base run's survivor set
+    // bucket cap scales with the 10× inflation (same reasoning as the
+    // single-link test above) so guard decisions match the base run
+    val expected = ids(Dedup.minHashDedupTransitive(b, "text", "doc_id",
+      maxBucket = 1000))
+    // construction is EAGER (the label-propagation loop checkpoints
+    // each round), so the whole pipeline goes inside the timer
+    val ((out, got), sec) = timed("minHashDedupTransitive 10x sf0.1") {
+      val o = Dedup.minHashDedupTransitive(big, "text", "doc_id",
+        maxBucket = 10000)
+      (o, ids(o))
+    }
+    // the final anti-join plan must stay window- and cartesian-free;
+    // the label-propagation rounds run on the checkpointed PAIR GRAPH
+    // (near-dup-sized), never the corpus
+    assertShape(out, "minHashDedupTransitive")
+    assert(got === expected,
+      "exact copies must collapse onto the base transitive survivor set")
+    assert(sec < 300, f"transitive dedup blew the wall-time budget: $sec%.1f s")
+  }
 }
