@@ -330,6 +330,85 @@ object TextFunctions {
       regexp_replace(tidy, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
   }
 
+  // --- Reference-exact `tokenize` (sql/tokenize.cc) -----------------------
+  // Unlike the pipeline tokenizers above (which lowercase and split on
+  // a broad punctuation class — the right default for dedup/quality
+  // work), the reference's SQL `tokenize` is CASE-PRESERVING, splits
+  // on "," by default, and supports quoteChar / offset / limit /
+  // value / minTokenLength / ngramRange (ngrams joined with "_",
+  // tokenize.cc:118). The dialect's tokenize/token_extract route here.
+
+  /** Reference token stream: split on any of `splitChars` (single
+    * characters, not a regex), keep case, honor `quoteChar`-delimited
+    * tokens that may contain split chars, drop tokens shorter than
+    * `minTokenLength`. */
+  def tokensRef(text: Column, splitChars: String = ",",
+      quoteChar: String = "", minTokenLength: Int = 1): Column = {
+    val cls = splitChars.flatMap(c =>
+      if (c.isLetterOrDigit) c.toString else s"\\$c")
+    val raw0 =
+      if (quoteChar.isEmpty) split(text, s"[$cls]+")
+      else {
+        val q = quoteChar.head
+        val qe = if (q.isLetterOrDigit) q.toString else s"\\$q"
+        // quoted token (may contain split chars) | plain token
+        val pat = s"$qe[^$qe]*$qe|[^$cls$qe]+"
+        val matches = regexp_extract_all(text, lit(pat), lit(0))
+        transform(matches, t =>
+          when(length(t) >= 2 &&
+              t.startsWith(quoteChar) && t.endsWith(quoteChar),
+            t.substr(lit(2), length(t) - 2)).otherwise(t))
+      }
+    filter(raw0, t => length(t) >= math.max(minTokenLength, 1))
+  }
+
+  /** Reference `tokenize` with the full option surface
+    * (`sql/tokenize.cc:23-70`): bag of tokens/ngrams → count map;
+    * `offset`/`limit` window the token stream (after the
+    * minTokenLength filter, before ngrams — tokenize.cc:303-317);
+    * `value` replaces counts with a constant. */
+  def tokenizeRef(text: Column, splitChars: String = ",",
+      quoteChar: String = "", minTokenLength: Int = 1,
+      ngramRange: (Int, Int) = (1, 1), offset: Int = 0, limit: Int = -1,
+      value: Option[Column] = None): Column = {
+    val (nMin, nMax) = ngramRange
+    require(nMin >= 1 && nMax >= nMin, "ngramRange values must be " +
+      "bigger than 0 and the second value needs to be equal or bigger " +
+      "than the first")
+    val toks = tokensRef(text, splitChars, quoteChar, minTokenLength)
+    val windowed =
+      if (offset > 0 || limit >= 0)
+        slice(toks, lit(offset + 1),
+          if (limit >= 0) lit(limit) else size(toks))
+      else toks
+    val grams: Column = (nMin to nMax).map[Column] { n =>
+      if (n == 1) windowed
+      else when(size(windowed) >= n,
+        transform(sequence(lit(1), size(windowed) - lit(n - 1)),
+          i => concat_ws("_", slice(windowed, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }.reduce((x, y) => concat(x, y))
+    val bag = graft.plans.TokenCounts.column(grams)
+    value match {
+      case Some(v) => transform_values(bag, (_, _) => v)
+      case None => bag
+    }
+  }
+
+  /** Reference `token_extract` (`builtin_functions.cc:1956`,
+    * tokenize.cc:328-377): nth token 0-based after `offset`; negative
+    * nth counts from the END of the offset/limit window. */
+  def tokenExtractRef(text: Column, nth: Column,
+      splitChars: String = ",", quoteChar: String = "",
+      minTokenLength: Int = 1, offset: Int = 0, limit: Int = -1): Column = {
+    val toks = tokensRef(text, splitChars, quoteChar, minTokenLength)
+    val positive = element_at(toks, (nth + lit(offset) + 1).cast("int"))
+    val windowed = slice(toks, lit(offset + 1),
+      if (limit >= 0) lit(limit) else size(toks))
+    val negative = element_at(windowed, nth.cast("int"))
+    when(nth >= 0, positive).otherwise(negative)
+  }
+
   /** Unicode NFC canonical composition (native expression, codegen'd,
     * ASCII fast path). Web corpora mix composed and decomposed accent
     * forms; every hash-based dedup upstream of this call treats them

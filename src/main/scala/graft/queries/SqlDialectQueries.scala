@@ -152,7 +152,7 @@ object SqlDialectQueries {
     QueryDef("q69_sql_fn_battery",
       """SELECT n_nationkey,
         |  CAST(n_nationkey + n_regionkey AS DOUBLE) AS hsum,
-        |  CAST(greatest(n_nationkey, n_regionkey) AS DOUBLE) AS hmax,
+        |  greatest(n_nationkey, n_regionkey) AS hmax,
         |  CAST(2 AS BIGINT) AS hcount,
         |  'b' AS pelem,
         |  CAST(3 AS BIGINT) AS plen,

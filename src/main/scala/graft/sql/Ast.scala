@@ -58,6 +58,11 @@ object Ast {
       orderBy: Seq[OrderItem], limit: Option[Long],
       offset: Option[Long]) extends Expr
   final case class LikeExpr(e: Expr, pattern: Expr, negated: Boolean) extends Expr
+  /** `e[key]` postfix extraction (reference ExtractExpression,
+    * `sql/sql_expression.cc:1495-1506`): string key reads a row/bag
+    * field, integer key reads an embedding element (0-based). Binds
+    * tighter than every binary operator, like `IS`. */
+  final case class Extract(e: Expr, key: Expr) extends Expr
   /** `[a, b, c]` embedding literal. */
   final case class ArrayLit(items: Seq[Expr]) extends Expr
   /** `{a: x, b: y}` row literal (struct). */

@@ -105,6 +105,22 @@ object Lowering {
         val lowered = tables.map(lowerTable(ctx, _)._1)
         val u = lowered.reduce(_.unionByName(_, allowMissingColumns = true))
         (u, Scope(Seq(None -> u)))
+      case "transpose" =>
+        // transpose(t): rows become columns; the new column set (one
+        // per input row) must be enumerable driver-side — the same
+        // practical bound the reference's transposed_dataset has
+        // (`builtin/transposed_dataset.cc:393`), so cap it like a
+        // schema, not a dataset.
+        val (df, _) = lowerTable(ctx, tables.head)
+        val idCol = if (df.columns.contains("rowName")) "rowName"
+          else df.columns.head
+        val keyed = df.withColumn(idCol, col(idCol).cast("string"))
+        val ids = keyed.select(col(idCol)).distinct()
+          .limit(10001).collect().map(_.getString(0)).sorted.toSeq
+        require(ids.size <= 10000,
+          "transpose: more than 10000 rows would become columns")
+        val t = graft.operators.Reshape.transpose(keyed, idCol, ids, "string")
+        (t, Scope(Seq(None -> t)))
       case "sample" =>
         val (df, _) = lowerTable(ctx, tables.head)
         val s = args.headOption match {
@@ -166,8 +182,12 @@ object Lowering {
         // atom is numeric, else string.
         val fields = args match {
           case Seq(StructLit(fs)) => fs
+          // an embedding literal is a row with columns "0".."n-1"
+          // (reference accepts row_dataset([0, 0]), MLDB-2065)
+          case Seq(ArrayLit(items)) =>
+            items.zipWithIndex.map { case (e, i) => i.toString -> e }
           case _ => throw new IllegalArgumentException(
-            "row_dataset expects a row literal {a: 1, b: 2}")
+            "row_dataset expects a row literal {a: 1, b: 2} or an embedding [..]")
         }
         val emptyScope = Scope(Nil)
         val allNumeric = fields.forall {
@@ -181,8 +201,12 @@ object Lowering {
             lowerExpr(emptyScope, v).cast(castTo).as("value"))
         }
         val df = ctx.spark.range(1)
-          .select(explode(array(cells: _*)).as("cell"))
-          .select(col("cell.column").as("column"), col("cell.value").as("value"))
+          .select(posexplode(array(cells: _*)).as(Seq("pos", "cell")))
+          // rowName = atom index (reference row_dataset row naming,
+          // `table_expression_operations.cc:660-780`) — makes
+          // merge(row_dataset(…), row_dataset(…)) line rows up
+          .select(col("pos").cast("string").as("rowName"),
+            col("cell.column").as("column"), col("cell.value").as("value"))
         (df, Scope(Seq(None -> df)))
       case other =>
         throw new IllegalArgumentException(s"unsupported table function $other")
@@ -217,9 +241,89 @@ object Lowering {
     case InKeysOf(x, c, n, k) =>
       InKeysOf(substitute(x, args), substitute(c, args), n, k)
     case LikeExpr(x, p, n) => LikeExpr(substitute(x, args), substitute(p, args), n)
+    case Extract(x, k) => Extract(substitute(x, args), substitute(k, args))
     case ArrayLit(items) => ArrayLit(items.map(substitute(_, args)))
     case StructLit(fs) => StructLit(fs.map { case (k, v) => k -> substitute(v, args) })
     case other => other
+  }
+
+  /** Parsed `tokenize`/`token_extract` option row (reference
+    * TokenizeOptions incl. legacy snake_case names, tokenize.cc:23-80;
+    * unknown fields are an error there too). */
+  private final case class TokOpts(split: String, quote: String,
+      minLen: Int, ngram: (Int, Int), offset: Int, limit: Int,
+      value: Option[Expr])
+
+  private def tokenizeOptions(arg: Option[Expr], fn: String): TokOpts = arg match {
+    case None => TokOpts(",", "", 1, (1, 1), 0, -1, None)
+    case Some(StructLit(fields)) =>
+      val opts = fields.map { case (k, v) =>
+        k.toLowerCase.replace("_", "") -> v }.toMap
+      val known = Set("splitchars", "quotechar", "mintokenlength",
+        "ngramrange", "offset", "limit", "value")
+      (opts.keySet -- known).foreach(k => throw new IllegalArgumentException(
+        s"Unknown field '$k' parsing $fn configuration"))
+      def intOf(e: Expr): Option[Int] = e match {
+        case NumLit(v, _) => Some(v.toInt)
+        case Unary("-", NumLit(v, _)) => Some(-v.toInt)
+        case _ => None
+      }
+      def str(k: String, d: String) = opts.get(k) match {
+        case Some(StrLit(s)) => s
+        case None => d
+        case Some(_) => throw new IllegalArgumentException(
+          s"$fn option $k must be a string literal")
+      }
+      def num(k: String, d: Int) = opts.get(k) match {
+        case Some(e) => intOf(e).getOrElse(throw new IllegalArgumentException(
+          s"$fn option $k must be an integer literal"))
+        case None => d
+      }
+      val ngram = opts.get("ngramrange") match {
+        case Some(ArrayLit(Seq(lo, hi))) if intOf(lo).isDefined && intOf(hi).isDefined =>
+          (intOf(lo).get, intOf(hi).get)
+        case None => (1, 1)
+        case Some(_) => throw new IllegalArgumentException(
+          s"$fn option ngramRange must be a two-integer array")
+      }
+      TokOpts(str("splitchars", ","), str("quotechar", ""),
+        num("mintokenlength", 1), ngram, num("offset", 0),
+        num("limit", -1), opts.get("value"))
+    case Some(_) => throw new IllegalArgumentException(
+      s"$fn options must be a row literal {splitChars: …, ngramRange: [a,b], …}")
+  }
+
+  /** Static embedding dims of an expression, when the AST makes them
+    * knowable: nested array literals, or reshape calls carrying a
+    * literal shape. */
+  private def staticDims(e: Expr): Option[Seq[Expr]] = e match {
+    case ArrayLit(items) if items.nonEmpty =>
+      items.head match {
+        case inner @ ArrayLit(_) =>
+          staticDims(inner).map(NumLit(BigDecimal(items.size), isIntegral = true) +: _)
+        case _ => Some(Seq(NumLit(BigDecimal(items.size), isIntegral = true)))
+      }
+    case FnCall("reshape", args, _) if args.length >= 2 =>
+      args(1) match {
+        case ArrayLit(dims) => Some(dims)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Static nesting depth (1 = flat array) — 0 when unknowable. */
+  private def staticDepth(e: Expr): Int = staticDims(e).map(_.size).getOrElse(1)
+
+  /** Statically boolean-valued AST shapes (for the arithmetic
+    * boolean→int coercion above). */
+  private def boolShaped(e: Expr): Boolean = e match {
+    case BoolLit(_) | IsNull(_, _) | IsType(_, _, _) | LikeExpr(_, _, _) |
+        Between(_, _, _, _) | InList(_, _, _) | InKeysOf(_, _, _, _) |
+        InSelect(_, _, _) => true
+    case Binary(op, _, _) =>
+      Set("and", "or", "=", "!=", "<", ">", "<=", ">=")(op)
+    case Unary("not", _) => true
+    case _ => false
   }
 
   private def lowerExpr(scope: Scope, e: Expr): Column = e match {
@@ -283,7 +387,15 @@ object Lowering {
     case Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
 
     case Binary(op, l, r) =>
-      binaryOp(op, lowerExpr(scope, l), lowerExpr(scope, r))
+      // MLDB arithmetic treats booleans as 1/0 cells (MLDB-1736:
+      // `x + (5 IS NOT NULL)` = x + 1); Spark needs the explicit
+      // int cast, decidable statically from the operand's AST shape
+      def arith = Set("+", "-", "*", "/", "%")(op)
+      def side(e: Expr): Column = {
+        val c = lowerExpr(scope, e)
+        if (arith && boolShaped(e)) c.cast("int") else c
+      }
+      binaryOp(op, side(l), side(r))
 
     case FnCall(name, args, star) =>
       lowerFn(scope, name, args.map(lowerExpr(scope, _)), star, args)
@@ -348,6 +460,21 @@ object Lowering {
     case ArrayLit(items) => array(items.map(lowerExpr(scope, _)): _*)
     case StructLit(fields) =>
       struct(fields.map { case (n, v) => lowerExpr(scope, v).as(n) }: _*)
+    // postfix extraction (reference ExtractExpression): string key →
+    // row field / bag key, integer key → 0-based embedding element.
+    // Spark's ExtractValue resolves struct/map/array uniformly at
+    // analysis time, so one getItem covers all three.
+    case Extract(x, key) =>
+      val c = lowerExpr(scope, x)
+      key match {
+        case StrLit(s) => c.getItem(s)
+        case NumLit(v, true) => c.getItem(v.toInt)
+        // a bare/quoted identifier inside [] is a FIELD NAME of the
+        // extracted value (reference: `x["2"]` reads output column 2
+        // of the lhs row, MLDB-2108) — not a column of the FROM scope
+        case Ident(Seq(name)) => c.getItem(name)
+        case other => c.getItem(lowerExpr(scope, other))
+      }
   }
 
   private def binaryOp(op: String, lc: Column, rc: Column): Column = op match {
@@ -446,8 +573,35 @@ object Lowering {
       case _ => throw new IllegalArgumentException("regex must be literal")
     })
     case "levenshtein_distance" => levenshtein(a(0), a(1))
-    case "jaccard_index" => T.jaccardTokens(a(0), a(1))
-    case "split_part" => split_part(a(0), a(1), a(2))
+    // jaccard_index: over two token BAGS (the reference signature,
+    // MLDB-1668 — jaccard of the key sets; empty∩empty = 1), or the
+    // text-text convenience form over default-tokenized strings.
+    case "jaccard_index" =>
+      val isBag = raw.length == 2 && raw.forall {
+        case FnCall("tokenize", _, _) => true
+        case _ => false
+      }
+      if (isBag) {
+        val (ka, kb) = (map_keys(a(0)), map_keys(a(1)))
+        val inter = size(array_intersect(ka, kb)).cast("double")
+        val uni = size(array_union(ka, kb)).cast("double")
+        when(uni === 0, lit(1.0)).otherwise(inter / uni)
+      } else T.jaccardTokens(a(0), a(1))
+    case "split_part" =>
+      if (a.length >= 3) split_part(a(0), a(1), a(2))
+      else {
+        // reference 2-arg form (token_split registered as
+        // "split_part", `builtin_functions.cc:1958-1991`): a row of
+        // parts keyed "0".."n-1" (MLDB-2108); extract a single part
+        // with the postfix subscript `split_part(x, sep)["2"]`.
+        val parts = raw(1) match {
+          case StrLit(sep) => split(a(0), java.util.regex.Pattern.quote(sep))
+          case _ => call_function("split", a(0), a(1))
+        }
+        map_from_arrays(
+          transform(sequence(lit(0), size(parts) - 1), i => i.cast("string")),
+          parts)
+      }
     case "concat" => concat(a: _*)
     case "remove_prefix" =>
       when(a(0).startsWith(a(1)),
@@ -490,37 +644,21 @@ object Lowering {
     // text / ML features. tokenize takes the reference's options row:
     // {splitChars: '...', ngramRange: [lo, hi], minTokenLength: n}
     // (`sql/builtin_functions.cc:1915`).
-    case "tokenize" => raw.lift(1) match {
-      case Some(StructLit(fields)) =>
-        val opts = fields.toMap
-        val splitRegex = opts.get("splitchars").orElse(opts.get("splitChars")) match {
-          case Some(StrLit(cs)) =>
-            // Escape only regex-special characters: backslash-escaping a
-            // letter/digit turns it into a regex class (\s, \d) or an
-            // invalid escape (\q → PatternSyntaxException).
-            "[" + cs.flatMap(c =>
-              if (c.isLetterOrDigit) c.toString else s"\\$c") + "]+"
-          case _ => "[\\s,;:!?.()\\[\\]{}\"']+"
-        }
-        val minLen = opts.get("mintokenlength").orElse(opts.get("minTokenLength")) match {
-          case Some(NumLit(v, _)) => v.toInt
-          case _ => 1
-        }
-        val (nMin, nMax) = opts.get("ngramrange").orElse(opts.get("ngramRange")) match {
-          case Some(ArrayLit(Seq(NumLit(lo, _), NumLit(hi, _)))) => (lo.toInt, hi.toInt)
-          case _ => (1, 1)
-        }
-        T.tokenBagNgrams(a(0), nMin, nMax, minLen, splitRegex)
-      case None => T.tokenBag(a(0))
-      case Some(_) => throw new IllegalArgumentException(
-        "tokenize options must be a row literal {splitChars: …, ngramRange: [a,b], minTokenLength: n}")
-    }
-    // token_extract(str, n): nth token, 0-based; negative counts from
-    // the end (`builtin_functions.cc:1956`).
+    // tokenize: the reference's exact semantics (`sql/tokenize.cc`) —
+    // case-preserving, default splitChars ",", quoteChar / offset /
+    // limit / value / minTokenLength / ngramRange (incl. the legacy
+    // snake_case option names, tokenize.cc:52-80).
+    case "tokenize" =>
+      val o = tokenizeOptions(raw.lift(1), "tokenize")
+      T.tokenizeRef(a(0), o.split, o.quote, o.minLen, o.ngram,
+        o.offset, o.limit, o.value.map(lowerExpr(scope, _)))
+    // token_extract(str, n [, options]): nth token 0-based after
+    // `offset`; negative counts from the end of the offset/limit
+    // window (`builtin_functions.cc:1956`).
     case "token_extract" =>
-      val toks = T.tokens(a(0))
-      when(a(1) >= 0, element_at(toks, (a(1) + 1).cast("int")))
-        .otherwise(element_at(toks, a(1).cast("int")))
+      val o = tokenizeOptions(raw.lift(2), "token_extract")
+      T.tokenExtractRef(a(0), a(1), o.split, o.quote, o.minLen,
+        o.offset, o.limit)
     case "token_count" => T.tokenCount(a(0))
     case "stem" | "stemmer" => graft.operators.TextAnalysis.stem(a(0))
     // LLM-pipeline text hygiene (beyond the reference)
@@ -585,7 +723,24 @@ object Lowering {
     // plan time. reshape(NULL, [n], fill) = constant array.
     case "reshape" =>
       val fill = a.lift(2).map(_.cast("double")).getOrElse(lit(null).cast("double"))
-      val v = a(0).cast("array<double>") // types an untyped NULL too
+      // nested embedding literals flatten first (the reference's
+      // embeddings are one buffer + a shape, MLDB-1947)
+      val flatIn = (1 until staticDepth(raw(0))).foldLeft(a(0))((c, _) => flatten(c))
+      val v0 = flatIn.cast("array<double>") // types an untyped NULL too
+      // the 2-arg form is STRICT like the reference
+      // (`expression_value.cc:1432`): changing the element count is an
+      // error; only the 3-arg form (explicit fill) may pad/truncate
+      val v = if (a.length >= 3) v0 else {
+        val total = raw(1) match {
+          case ArrayLit(dims) =>
+            dims.map(d => lowerExpr(scope, d).cast("int"))
+              .reduce(_ * _)
+          case _ => lit(-1)
+        }
+        when(size(v0) === total, v0).otherwise(raise_error(concat(
+          lit("Attempt to change embedding size by reshaping.  Original size "),
+          size(v0).cast("string"), lit(", new size "), total.cast("string"))))
+      }
       def cell(i: Column) = coalesce(element_at(v, i), fill)
       raw(1) match {
         case ArrayLit(Seq(_)) =>
@@ -640,7 +795,13 @@ object Lowering {
     case "extract_domain" =>
       val removeSub = raw.lift(1) match {
         case Some(StructLit(fields)) => fields.collectFirst {
-          case (k, BoolLit(v)) if k.equalsIgnoreCase("removeSubdomain") => v
+          // the reference writes {removeSubdomain: 1} (MLDB-1753) —
+          // accept both boolean and numeric truthiness
+          case (k, v) if k.equalsIgnoreCase("removeSubdomain") => v match {
+            case BoolLit(b) => b
+            case NumLit(n, _) => n != 0
+            case _ => false
+          }
         }.getOrElse(false)
         case _ => false
       }
@@ -715,7 +876,18 @@ object Lowering {
     case "vector_quotient" => V.vectorQuotient(a(0), a(1))
     case "dot_product" => V.dot(a(0), a(1))
     case "cosine_similarity" => V.cosine(a(0), a(1))
-    case "shape" => array(size(a(0)))
+    // shape: nested dims from the static AST when knowable (nested
+    // array literal, or a reshape call whose shape literal we can
+    // read — MLDB-1947); flat embeddings report [size]
+    case "shape" => staticDims(raw(0)) match {
+      case Some(dims) =>
+        // the size() guard forces evaluation of the child (a strict
+        // 2-arg reshape must still raise on a size mismatch even when
+        // the dims are statically knowable); NULL child → NULL shape
+        when(size(a(0)) >= 0,
+          array(dims.map(d => lowerExpr(scope, d).cast("int")): _*))
+      case None => array(size(a(0)))
+    }
     case "flatten" => flatten(a(0))
     // dataset context
     case n if n.startsWith("horizontal_") => horizontalFn(n, a)
@@ -792,8 +964,13 @@ object Lowering {
         when(size(nn) > 0, aggregate(nn, lit(0.0), _ + _))
       case "horizontal_avg" =>
         when(size(nn) > 0, aggregate(nn, lit(0.0), _ + _) / size(nn))
-      case "horizontal_min" => array_min(nn)
-      case "horizontal_max" => array_max(nn)
+      // min/max are TYPE-PRESERVING (strings, timestamps — the
+      // reference compares CellValues of any type, MLDB-1706);
+      // least/greatest skip nulls and coerce mixed numerics
+      case "horizontal_min" =>
+        if (cols.size == 1) cols.head else least(cols: _*)
+      case "horizontal_max" =>
+        if (cols.size == 1) cols.head else greatest(cols: _*)
       case "horizontal_string_agg" =>
         array_join(filter(array(cols.map(_.cast("string")): _*),
           v => v.isNotNull), ",")
@@ -1025,7 +1202,20 @@ object Lowering {
       case _ => s"_c$idx"
     })
 
-  private def lowerSelect(ctx: Context, stmt: Select): DataFrame = {
+  private def lowerSelect(ctx: Context, stmt0: Select): DataFrame = {
+    // `SELECT {…} AS *` expands the row literal's fields into columns
+    // (reference row-literal-as-star, e.g. MLDB-1736's
+    // `select {x: 5} as *`). Dynamic (map-typed) AS * stays
+    // unsupported in the typed engine — columns must be knowable at
+    // plan time.
+    val stmt = stmt0.copy(items = stmt0.items.flatMap {
+      case SelectItem(StructLit(fields), Some("*")) =>
+        fields.map { case (n, e) => SelectItem(e, Some(n)) }
+      case SelectItem(_, Some("*")) =>
+        throw new IllegalArgumentException(
+          "AS * requires a row literal {…} (dynamic-schema AS * is not supported)")
+      case it => Seq(it)
+    })
     val (fromDf, scope) = stmt.from match {
       case Some(t) => lowerTable(ctx, t)
       case None =>

@@ -14,6 +14,7 @@ import Lexer._
 final class Parser(tokens: Vector[Token]) {
 
   private var p = 0
+  private var anonSub = 0
   private def peek: Token = tokens(p)
   private def advance(): Token = { val t = tokens(p); p += 1; t }
 
@@ -161,8 +162,10 @@ final class Parser(tokens: Vector[Token]) {
     } else {
       val e = parseExpr()
       val alias =
-        if (acceptKw("AS")) Some(parseIdentName())
-        else peek match {
+        if (acceptKw("AS")) {
+          // `expr AS *` expands a row literal's fields into columns
+          if (acceptOp("*")) Some("*") else Some(parseIdentName())
+        } else peek match {
           // bare alias (ident that is not a clause keyword)
           case TIdent(v, q, _) if q || !reserved(v.toLowerCase) =>
             p += 1; Some(v)
@@ -231,10 +234,25 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseTablePrimary(): TableExpr = {
     if (acceptOp("(")) {
+      // extra wrapping parens (the reference writes
+      // `transpose((select …))`) — unwrap recursively
+      if (isSubSelectStart() && (peek match {
+        case TOp("(", _) => true; case _ => false
+      })) {
+        val inner = parseTablePrimary()
+        expectOp(")")
+        return inner
+      }
       val stmt = parseSelect()
       expectOp(")")
-      acceptKw("AS")
-      val alias = parseIdentName()
+      // alias optional (the reference accepts bare `FROM (SELECT …)`)
+      val alias =
+        if (acceptKw("AS")) parseIdentName()
+        else peek match {
+          case TIdent(v, quoted, _) if quoted || !reserved(v.toLowerCase) =>
+            p += 1; v
+          case _ => anonSub += 1; s"__sub$anonSub"
+        }
       SubSelect(stmt, alias)
     } else {
       val name = parseIdentName()
@@ -248,6 +266,10 @@ final class Parser(tokens: Vector[Token]) {
             peek match {
               case TIdent(v, false, _)
                   if !reserved(v.toLowerCase) && !isExprStart() =>
+                tbls += parseTablePrimary()
+              // a parenthesized sub-select is a TABLE argument:
+              // transpose((SELECT …)) — possibly doubly wrapped
+              case TOp("(", _) if isSubSelectStart() =>
                 tbls += parseTablePrimary()
               case _ => args += parseExpr()
             }
@@ -268,6 +290,14 @@ final class Parser(tokens: Vector[Token]) {
         TableRef(name, alias)
       }
     }
+  }
+
+  /** lookahead: '(' (possibly repeated) followed by SELECT — a
+    * parenthesized sub-select used as a table-function argument. */
+  private def isSubSelectStart(): Boolean = {
+    var i = p
+    while (tokens(i) match { case TOp("(", _) => true; case _ => false }) i += 1
+    isKw(tokens(i), "SELECT")
   }
 
   /** lookahead: does the next token start a scalar expression rather
@@ -320,17 +350,6 @@ final class Parser(tokens: Vector[Token]) {
         p += 2
         val lo = parseAdditive(); expectKw("AND"); val hi = parseAdditive()
         l = Between(l, lo, hi, negated = true)
-      } else if (isKw(peek, "IS")) {
-        p += 1
-        val neg = acceptKw("NOT")
-        if (acceptKw("NULL")) l = IsNull(l, neg)
-        else {
-          // type predicates (`sql_expression_operations.h:164`)
-          val tpe = Seq("string", "number", "integer", "timestamp",
-            "true", "false").find(acceptKw(_))
-            .getOrElse(fail("expected NULL or a type after IS"))
-          l = IsType(l, tpe, neg)
-        }
       } else if (isKw(peek, "IN") ||
           (isKw(peek, "NOT") && isKw(tokens(p + 1), "IN"))) {
         val neg = isKw(peek, "NOT")
@@ -388,7 +407,37 @@ final class Parser(tokens: Vector[Token]) {
     if (acceptOp("-")) Unary("-", parseUnary())
     else if (acceptOp("~")) Unary("~", parseUnary())
     else if (acceptOp("+")) parseUnary()
-    else parsePrimary()
+    else parsePostfix(parsePrimary())
+
+  /** Postfix operators bind tighter than EVERY binary operator — the
+    * reference matches them in its parse loop before binary dispatch
+    * (`sql/sql_expression.cc:1480-1540`), so `x + 5 IS NOT NULL`
+    * means `x + (5 IS NOT NULL)` (MLDB-1736) and
+    * `split_part(x, ' ')["2"]` extracts from the call result. */
+  private def parsePostfix(e0: Expr): Expr = {
+    var l = e0
+    var more = true
+    while (more) {
+      if (peek match { case TOp("[", _) => true; case _ => false }) {
+        p += 1
+        val key = parseExpr()
+        expectOp("]")
+        l = Extract(l, key)
+      } else if (isKw(peek, "IS")) {
+        p += 1
+        val neg = acceptKw("NOT")
+        if (acceptKw("NULL")) l = IsNull(l, neg)
+        else {
+          // type predicates (`sql_expression_operations.h:164`)
+          val tpe = Seq("string", "number", "integer", "timestamp",
+            "true", "false").find(acceptKw(_))
+            .getOrElse(fail("expected NULL or a type after IS"))
+          l = IsType(l, tpe, neg)
+        }
+      } else more = false
+    }
+    l
+  }
 
   private def parsePrimary(): Expr = {
     peek match {
@@ -414,18 +463,43 @@ final class Parser(tokens: Vector[Token]) {
         ArrayLit(items)
       case TOp("{", _) =>
         p += 1
+        // three field forms, mixable (reference row-literal grammar):
+        //   name: expr   |   expr AS name   |   expr  (auto-named _i)
         val fields = Vector.newBuilder[(String, Expr)]
         if (!acceptOp("}")) {
           var more = true
+          var i = 0
           while (more) {
-            val name = parseIdentName()
-            expectOp(":")
-            fields += name -> parseExpr()
+            val named = (peek, tokens.lift(p + 1)) match {
+              case (TIdent(_, _, _), Some(TOp(":", _))) => true
+              case _ => false
+            }
+            if (named) {
+              val name = parseIdentName()
+              expectOp(":")
+              fields += name -> parseExpr()
+            } else {
+              val e = parseExpr()
+              val name =
+                if (acceptKw("AS")) parseIdentName()
+                else s"_$i"
+              fields += name -> e
+            }
+            i += 1
             more = acceptOp(",")
           }
           expectOp("}")
         }
         StructLit(fields.result())
+      case TIdent(v, false, _) if v.equalsIgnoreCase("TIMESTAMP") &&
+          (tokens.lift(p + 1) match {
+            case Some(TNum(_, _, _)) | Some(TStr(_, _)) => true
+            case _ => false
+          }) =>
+        // TIMESTAMP <seconds> / TIMESTAMP '<iso>' literal (the
+        // reference's timestamp constant syntax, MLDB-1706)
+        p += 1
+        FnCall("to_timestamp", Seq(parsePrimary()))
       case TIdent(v, false, _) if v.equalsIgnoreCase("NULL") => p += 1; NullLit()
       case TIdent(v, false, _) if v.equalsIgnoreCase("TRUE") => p += 1; BoolLit(true)
       case TIdent(v, false, _) if v.equalsIgnoreCase("FALSE") => p += 1; BoolLit(false)

@@ -57,7 +57,9 @@ class SqlSpec extends AnyFunSuite {
     // pad, truncate, constant-from-null, and 2-D fold
     assert(q("SELECT reshape([1, 2], [4], 0) AS s").head().getSeq[Double](0)
       === Seq(1.0, 2.0, 0.0, 0.0))
-    assert(q("SELECT reshape([1, 2, 3], [2]) AS s").head().getSeq[Double](0)
+    // truncation needs the explicit-fill form: the 2-arg reshape is
+    // STRICT like the reference (size change raises, MLDB-1947)
+    assert(q("SELECT reshape([1, 2, 3], [2], 0) AS s").head().getSeq[Double](0)
       === Seq(1.0, 2.0))
     assert(q("SELECT reshape(NULL, [3], 7) AS s").head().getSeq[Double](0)
       === Seq(7.0, 7.0, 7.0))
@@ -317,13 +319,14 @@ class SqlSpec extends AnyFunSuite {
   }
 
   test("IN (KEYS OF tokenize(...)) membership") {
+    // reference tokenize is case-preserving with default splitChars ","
     val n = q(
       """SELECT r_name FROM region
-        |WHERE 'africa' IN (KEYS OF tokenize(r_name))""".stripMargin).count()
+        |WHERE 'AFRICA' IN (KEYS OF tokenize(r_name))""".stripMargin).count()
     assert(n === 1)
     val none = q(
       """SELECT r_name FROM region
-        |WHERE 'africa' NOT IN (KEYS OF tokenize(r_name))""".stripMargin).count()
+        |WHERE 'AFRICA' NOT IN (KEYS OF tokenize(r_name))""".stripMargin).count()
     assert(none === 4)
   }
 
@@ -331,7 +334,8 @@ class SqlSpec extends AnyFunSuite {
     // tokenize counts: 'middle east' has two tokens each with count 1
     val n = q(
       """SELECT r_name FROM region
-        |WHERE 2 IN (VALUES OF tokenize(r_name || ' ' || r_name))""".stripMargin).count()
+        |WHERE 2 IN (VALUES OF tokenize(r_name || ' ' || r_name,
+        |                               {splitChars: ' '}))""".stripMargin).count()
     assert(n === 5) // every name duplicated -> counts of 2
   }
 
@@ -354,7 +358,7 @@ class SqlSpec extends AnyFunSuite {
         |  horizontal_max(5, 2, 9) AS hmax,
         |  horizontal_string_agg({a: 'x', b: 'y'}) AS hsa""".stripMargin).head()
     assert(r.getDouble(0) === 3.0 && r.getLong(1) === 2L && r.getDouble(2) === 2.0)
-    assert(r.getDouble(3) === 2.0 && r.getDouble(4) === 9.0)
+    assert(r.getLong(3) === 2L && r.getLong(4) === 9L)
     assert(r.getString(5) === "x,y")
   }
 
@@ -373,8 +377,8 @@ class SqlSpec extends AnyFunSuite {
         |  remove_prefix('zebra', 'NATION_') AS c,
         |  regex_search('brown fox', 'fox') AS d,
         |  regex_match('brown fox', 'fox') AS e,
-        |  token_extract('alpha beta gamma', 1) AS f,
-        |  token_extract('alpha beta gamma', -1) AS g,
+        |  token_extract('alpha beta gamma', 1, {splitChars: ' '}) AS f,
+        |  token_extract('alpha beta gamma', -1, {splitChars: ' '}) AS g,
         |  stringify_path(parse_path('a.b.c')) AS h,
         |  path_element(parse_path('a.b.c'), 1) AS i,
         |  CAST(path_length(parse_path('a.b.c')) AS integer) AS j,
@@ -392,10 +396,12 @@ class SqlSpec extends AnyFunSuite {
   }
 
   test("tokenize with options row: ngrams + minTokenLength + splitChars") {
+    // ngrams join with "_" (reference tokenize.cc:118)
     val r = q(
-      """SELECT tokenize('a bb ccc dd', {minTokenLength: 2, ngramRange: [1, 2]}) AS t""")
+      """SELECT tokenize('a bb ccc dd', {splitChars: ' ',
+        |  minTokenLength: 2, ngramRange: [1, 2]}) AS t""".stripMargin)
       .head().getMap[String, Int](0)
-    assert(r.contains("bb") && r.contains("ccc") && r.contains("bb ccc"))
+    assert(r.contains("bb") && r.contains("ccc") && r.contains("bb_ccc"))
     assert(!r.contains("a"))
     val s = q("""SELECT tokenize('a-b_c', {splitChars: '-_'}) AS t""")
       .head().getMap[String, Int](0)
