@@ -314,6 +314,21 @@ object Lowering {
   /** Static nesting depth (1 = flat array) — 0 when unknowable. */
   private def staticDepth(e: Expr): Int = staticDims(e).map(_.size).getOrElse(1)
 
+  /** rowName() — single-frame queries read the carried rowName column;
+    * after a JOIN the reference composes the sides' names as
+    * `[left]-[right]` (`sql/join_utils.cc` row-name composition,
+    * MLDB-180), which is also what makes the joined rowName unique. */
+  private def rowNameOf(scope: Scope): Column = {
+    val quals = scope.frames.collect {
+      case (Some(al), df) if df.columns.exists(_.equalsIgnoreCase("rowName")) => al
+    }.distinct
+    if (quals.size >= 2)
+      quals.map(al => concat(lit("["), col(s"$al.rowName").cast("string"), lit("]")))
+        .reduce((x, y) => concat(x, lit("-"), y))
+    else if (scope.hasColumn("rowName")) col("rowName")
+    else lit(null)
+  }
+
   /** Statically boolean-valued AST shapes (for the arithmetic
     * boolean→int coercion above). */
   private def boolShaped(e: Expr): Boolean = e match {
@@ -891,9 +906,9 @@ object Lowering {
     case "flatten" => flatten(a(0))
     // dataset context
     case n if n.startsWith("horizontal_") => horizontalFn(n, a)
-    case "rowname" => if (scope.hasColumn("rowName")) col("rowName") else lit(null)
+    case "rowname" => rowNameOf(scope)
     case "rowhash" =>
-      if (scope.hasColumn("rowName")) xxhash64(col("rowName")) else lit(null)
+      if (scope.hasColumn("rowName")) xxhash64(rowNameOf(scope)) else lit(null)
     case "rowpath" =>
       if (scope.hasColumn("rowName")) P.parsePath(col("rowName"))
       else lit(null).cast("array<string>")
@@ -1337,6 +1352,12 @@ object Lowering {
       distincted.select(withName: _*)
     } else {
       // aggregate path: group keys + extracted aggregates, then outer exprs
+      // reference validation (MLDB-1713): a wildcard projection is
+      // meaningless under GROUP BY
+      if (stmt.items.exists(i => i.e.isInstanceOf[Star] ||
+          i.e.isInstanceOf[ColumnExprStar]))
+        throw new IllegalArgumentException(
+          "Wildcard cannot be used with GROUP BY")
       val aggMap = scala.collection.mutable.LinkedHashMap[FnCall, String]()
       // post-aggregation value positions for IN (SELECT …): projection
       // items and HAVING get tri-logic markers joined onto the grouped

@@ -247,6 +247,20 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(rows(proj.format(
       "ON jt1.x = jt2.x AND jt1.y IS NOT NULL")) === Seq(
       ("ex1", "ex4", 1L, 2L, 1L, 2L, null)))
+    // the composed join row name: [left]-[right]
+    val named = e.query("""SELECT rowName() AS rn
+      |FROM jt1 JOIN jt2 ON jt1.x = jt2.x ORDER BY rn""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(named === Seq("[ex1]-[ex4]", "[ex2]-[ex5]"))
+  }
+
+  // --- MLDB-1713-wildcard-groupby.py ---------------------------------------
+
+  test("MLDB-1713: wildcard with GROUP BY raises the reference's error") {
+    val ex = intercept[IllegalArgumentException] {
+      q("SELECT * FROM (SELECT 1 AS a) GROUP BY a").collect()
+    }
+    assert(ex.getMessage.contains("Wildcard cannot be used with GROUP BY"))
   }
 
   // --- MLDB-907-tokenize.py ------------------------------------------------
