@@ -63,6 +63,9 @@ object Ast {
     * field, integer key reads an embedding element (0-based). Binds
     * tighter than every binary operator, like `IS`. */
   final case class Extract(e: Expr, key: Expr) extends Expr
+  /** `alias.rowName()` — a dataset-context function qualified by a
+    * join-side alias (reference `core/dataset_scope.cc`). */
+  final case class QualifiedFn(qualifier: String, name: String) extends Expr
   /** `[a, b, c]` embedding literal. */
   final case class ArrayLit(items: Seq[Expr]) extends Expr
   /** `{a: x, b: y}` row literal (struct). */

@@ -323,7 +323,9 @@ object Lowering {
       case (Some(al), df) if df.columns.exists(_.equalsIgnoreCase("rowName")) => al
     }.distinct
     if (quals.size >= 2)
-      quals.map(al => concat(lit("["), col(s"$al.rowName").cast("string"), lit("]")))
+      // an outer join's missing side renders as [] (MLDB-1361)
+      quals.map(al => concat(lit("["),
+          coalesce(col(s"$al.rowName").cast("string"), lit("")), lit("]")))
         .reduce((x, y) => concat(x, lit("-"), y))
     else if (scope.hasColumn("rowName")) col("rowName")
     else lit(null)
@@ -377,6 +379,38 @@ object Lowering {
       case Some(v) => lit(v)
       case None => throw new IllegalArgumentException(s"unbound parameter $$$name")
     }
+    // alias-qualified dataset-context call, e.g. `t.rowName()` inside
+    // a join condition (MLDB-1361)
+    case QualifiedFn(qual, fn) =>
+      val frame = scope.frames.collectFirst {
+        case f @ (Some(al), _) if al.equalsIgnoreCase(qual) => f
+      }
+      frame match {
+        case Some((Some(al), df)) => fn match {
+          case "rowname" =>
+            if (df.columns.exists(_.equalsIgnoreCase("rowName")))
+              col(s"$al.rowName")
+            else lit(null)
+          case "rowhash" =>
+            if (df.columns.exists(_.equalsIgnoreCase("rowName")))
+              xxhash64(col(s"$al.rowName"))
+            else lit(null)
+          case "rowpath" =>
+            if (df.columns.exists(_.equalsIgnoreCase("rowName")))
+              P.parsePath(col(s"$al.rowName"))
+            else lit(null).cast("array<string>")
+          case "columncount" =>
+            val names = df.columns.filter(!_.equalsIgnoreCase("rowName"))
+            if (names.isEmpty) lit(0L)
+            else names.map(n =>
+              when(col(s"$al.$n").isNotNull, 1L).otherwise(0L))
+              .reduce(_ + _)
+          case other => throw new IllegalArgumentException(
+            s"unsupported qualified function $qual.$other()")
+        }
+        case _ => throw new IllegalArgumentException(
+          s"unknown table alias '$qual' for $qual.$fn()")
+      }
     case NullLit() => lit(null)
     case BoolLit(v) => lit(v)
     case NumLit(v, integral) => if (integral) lit(v.toLong) else lit(v.toDouble)
@@ -1223,20 +1257,48 @@ object Lowering {
     // `select {x: 5} as *`). Dynamic (map-typed) AS * stays
     // unsupported in the typed engine — columns must be knowable at
     // plan time.
-    val stmt = stmt0.copy(items = stmt0.items.flatMap {
+    val stmt1 = stmt0.copy(items = stmt0.items.flatMap {
       case SelectItem(StructLit(fields), Some("*")) =>
         fields.map { case (n, e) => SelectItem(e, Some(n)) }
-      case SelectItem(_, Some("*")) =>
-        throw new IllegalArgumentException(
-          "AS * requires a row literal {…} (dynamic-schema AS * is not supported)")
       case it => Seq(it)
     })
-    val (fromDf, scope) = stmt.from match {
+    val (fromDf0, scope0) = stmt1.from match {
       case Some(t) => lowerTable(ctx, t)
       case None =>
         val df = ctx.spark.range(1).toDF("__dummy")
         (df, Scope(Seq(None -> df)))
     }
+    // DYNAMIC `expr AS *` — the reference's bag-of-words pivot
+    // (`tokenize(…) AS *`, MLDB-907 test_in_transform) and
+    // struct-returning function expansion (`useragent({…}) AS *`).
+    // A typed engine needs the column set at plan time: struct fields
+    // come from the analyzed schema; map keys come from one
+    // distinct-keys pass over the data (capped like a schema — the
+    // transpose bound). Runs BEFORE filters so key discovery sees the
+    // same frame the projection will.
+    val stmt = stmt1.copy(items = stmt1.items.flatMap {
+      case SelectItem(e, Some("*")) =>
+        val c = lowerExpr(scope0, e)
+        fromDf0.select(c.as("__asstar")).schema.head.dataType match {
+          case _: org.apache.spark.sql.types.StructType =>
+            fromDf0.select(c.as("__asstar")).schema.head.dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fields.toSeq.map(f =>
+                SelectItem(Extract(e, StrLit(f.name)), Some(f.name)))
+          case _: org.apache.spark.sql.types.MapType =>
+            val keys = fromDf0.select(explode(map_keys(c)).as("__k"))
+              .distinct().limit(10001).collect().map(_.get(0).toString)
+            require(keys.length <= 10000,
+              "AS *: more than 10000 dynamic columns")
+            keys.sorted.toSeq.map(k =>
+              SelectItem(Extract(e, StrLit(k)), Some(k)))
+          case other => throw new IllegalArgumentException(
+            s"AS * requires a row-valued expression (got $other)")
+        }
+      case it => Seq(it)
+    })
+    val fromDf = fromDf0
+    val scope = scope0
 
     // WHERE then WHEN (both row filters in wide mode). Top-level
     // `x IN (SELECT …)` conjuncts become semi-joins (the reference

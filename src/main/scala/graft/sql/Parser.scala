@@ -535,11 +535,18 @@ final class Parser(tokens: Vector[Token]) {
             }
           }
         } else {
-          // dotted path a.b.c
+          // dotted path a.b.c — or a QUALIFIED dataset-context call
+          // `alias.rowName()` (MLDB-1361 join conditions)
           val parts = Vector.newBuilder[String]
           parts += name
           while (acceptOp(".")) parts += parseIdentName()
-          Ident(parts.result())
+          val ps = parts.result()
+          val ctxFns = Set("rowname", "rowhash", "rowpath", "columncount")
+          if (ps.size >= 2 && ctxFns(ps.last.toLowerCase) &&
+              acceptOp("(")) {
+            expectOp(")")
+            QualifiedFn(ps.init.mkString("."), ps.last.toLowerCase)
+          } else Ident(ps)
         }
       case t => fail("expected expression")
     }

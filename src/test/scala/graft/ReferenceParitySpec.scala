@@ -254,6 +254,26 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(named === Seq("[ex1]-[ex4]", "[ex2]-[ex5]"))
   }
 
+  // --- MLDB-1361_join_on_subselect.py --------------------------------------
+
+  test("MLDB-1361: chained LEFT JOINs on qualified rowName() expressions") {
+    val e = new api.GraftEngine(spark)
+    e.recordRows("text",
+      """[{"rowName":"a","txt":"raise shields"},{"rowName":"b","txt":"set a course"}]""")
+    e.recordRows("sub1", """[{"rowName":"row_a","warp":8}]""")
+    e.recordRows("sub2", """[{"rowName":"row_b","warp":9}]""")
+    val rows = e.query("""SELECT rowName() AS rn,
+      |  text.txt AS txt, sub1.warp AS w1, sub2.warp AS w2
+      |FROM text
+      |LEFT JOIN sub1 ON text.rowName() = regex_replace(sub1.rowName(), 'row_', '')
+      |LEFT JOIN sub2 ON text.rowName() = regex_replace(sub2.rowName(), 'row_', '')
+      |ORDER BY rn""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.get(2), r.get(3))).toSeq
+    assert(rows === Seq(
+      ("[a]-[row_a]-[]", "raise shields", 8L, null),
+      ("[b]-[]-[row_b]", "set a course", null, 9L)))
+  }
+
   // --- MLDB-1713-wildcard-groupby.py ---------------------------------------
 
   test("MLDB-1713: wildcard with GROUP BY raises the reference's error") {
@@ -379,6 +399,25 @@ class ReferenceParitySpec extends AnyFunSuite {
     assertThrows[Exception] {
       q("SELECT shape(reshape([1,2,3,4,5], [2,2])) AS dim").collect()
     }
+  }
+
+  test("MLDB-907: tokenize(...) AS * pivots the bag into dynamic columns") {
+    // the reference's transform writes the bag to a dataset and reads
+    // its columns; the typed engine discovers the key set at plan
+    // time — same resulting table (sorted columns, count values)
+    val df = q("""SELECT tokenize('abouyayaa adsf 2 ; sdv, sdf',
+      |  {splitChars: ',; …', minTokenLength: 3}) AS *""".stripMargin)
+    assert(df.columns.toSeq === Seq("abouyayaa", "adsf", "sdf", "sdv"))
+    val r = df.head()
+    assert((0 until 4).map(r.getInt) === Seq(1, 1, 1, 1))
+  }
+
+  test("struct-returning function AS * expands to its fields") {
+    val df = q("""SELECT parse_useragent(
+      |  'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/1.0 Safari/537.36') AS *""".stripMargin)
+    assert(df.columns.contains("browser") && df.columns.contains("os"))
+    assert(df.head().getStruct(df.columns.indexOf("browser"))
+      .getAs[String]("family") === "Chrome")
   }
 
   test("MLDB-907: invalid ngramRange raises; tokenize(NULL) is NULL") {
