@@ -220,6 +220,9 @@ final class Parser(tokens: Vector[Token]) {
         else if (acceptKw("LEFT")) { acceptKw("OUTER"); expectKw("JOIN"); "left" }
         else if (acceptKw("RIGHT")) { acceptKw("OUTER"); expectKw("JOIN"); "right" }
         else if (acceptKw("FULL")) { acceptKw("OUTER"); expectKw("JOIN"); "full_outer" }
+        // bare OUTER JOIN = FULL OUTER (reference, MLDB-1624
+        // test_join_on_false)
+        else if (acceptKw("OUTER")) { expectKw("JOIN"); "full_outer" }
         else if (acceptKw("CROSS")) { expectKw("JOIN"); "cross" }
         else ""
       if (jt.isEmpty) more = false

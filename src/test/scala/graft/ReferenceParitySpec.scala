@@ -274,6 +274,89 @@ class ReferenceParitySpec extends AnyFunSuite {
       ("[b]-[]-[row_b]", "set a course", null, 9L)))
   }
 
+  // --- MLDB-1624-more-join-test.py (postgres-derived join battery) ---------
+
+  test("MLDB-1624: equi/non-equi/outer/multiway join battery with composed names") {
+    val e = new api.GraftEngine(spark)
+    e.recordRows("J1_TBL",
+      """[{"rowName":"01","i":1,"j":4,"t":"one"},
+        |{"rowName":"02","i":2,"j":3,"t":"two"},
+        |{"rowName":"03","i":3,"j":2,"t":"three"},
+        |{"rowName":"04","i":4,"j":1,"t":"four"},
+        |{"rowName":"05","i":5,"j":0,"t":"five"},
+        |{"rowName":"06","i":6,"j":6,"t":"six"},
+        |{"rowName":"07","i":7,"j":7,"t":"seven"},
+        |{"rowName":"08","i":8,"j":8,"t":"eight"},
+        |{"rowName":"09","i":0,"t":"zero"},
+        |{"rowName":"10","t":"null"},
+        |{"rowName":"11","j":0,"t":"zero"}]""".stripMargin.replace("\n", ""))
+    e.recordRows("J2_TBL",
+      """[{"rowName":"01","i":1,"k":-1},
+        |{"rowName":"02","i":2,"k":2},
+        |{"rowName":"03","i":3,"k":-3},
+        |{"rowName":"04","i":2,"k":4},
+        |{"rowName":"05","i":5,"k":-5},
+        |{"rowName":"06","i":5,"k":-5},
+        |{"rowName":"07","i":0},
+        |{"rowName":"08"},
+        |{"rowName":"09","k":0}]""".stripMargin.replace("\n", ""))
+    def names(joinSql: String): Set[String] =
+      e.query(s"SELECT rowName() AS rn FROM $joinSql")
+        .collect().map(_.getString(0)).toSet
+    // equi join (7 rows, reference expected list)
+    assert(names("J1_TBL INNER JOIN J2_TBL ON J1_TBL.i = J2_TBL.i") === Set(
+      "[01]-[01]", "[02]-[02]", "[02]-[04]", "[03]-[03]",
+      "[05]-[05]", "[05]-[06]", "[09]-[07]"))
+    // non-equi join on i <= k (MLDB-1664)
+    assert(names("J1_TBL JOIN J2_TBL ON J1_TBL.i <= J2_TBL.k") === Set(
+      "[01]-[02]", "[01]-[04]", "[02]-[02]", "[02]-[04]", "[03]-[04]",
+      "[04]-[04]", "[09]-[02]", "[09]-[04]", "[09]-[09]"))
+    // left outer: unmatched left rows get a [] right side
+    assert(names("J1_TBL LEFT OUTER JOIN J2_TBL ON J1_TBL.i = J2_TBL.i") === Set(
+      "[10]-[]", "[11]-[]", "[09]-[07]", "[01]-[01]", "[02]-[02]",
+      "[02]-[04]", "[03]-[03]", "[04]-[]", "[05]-[05]", "[05]-[06]",
+      "[06]-[]", "[07]-[]", "[08]-[]"))
+    // right outer (MLDB-1672)
+    assert(names("J1_TBL RIGHT OUTER JOIN J2_TBL ON J1_TBL.i = J2_TBL.i") === Set(
+      "[]-[08]", "[]-[09]", "[09]-[07]", "[01]-[01]", "[02]-[02]",
+      "[02]-[04]", "[03]-[03]", "[05]-[05]", "[05]-[06]"))
+    // full outer = union of both
+    assert(names("J1_TBL FULL OUTER JOIN J2_TBL ON J1_TBL.i = J2_TBL.i") === Set(
+      "[]-[08]", "[10]-[]", "[11]-[]", "[]-[09]", "[09]-[07]",
+      "[01]-[01]", "[02]-[02]", "[02]-[04]", "[03]-[03]", "[04]-[]",
+      "[05]-[05]", "[05]-[06]", "[06]-[]", "[07]-[]", "[08]-[]"))
+    // WHERE over an outer join filters the padded rows
+    assert(e.query("""SELECT rowName() AS rn FROM J1_TBL
+      |LEFT JOIN J2_TBL ON J1_TBL.i = J2_TBL.i
+      |WHERE J2_TBL.k = 1""".stripMargin).count() === 0)
+    assert(names("J1_TBL LEFT JOIN J2_TBL ON J1_TBL.i = J2_TBL.i WHERE J2_TBL.i = 1")
+      === Set("[01]-[01]"))
+    // multiway FULL JOIN chain composes a 3-part row name
+    e.recordRows("mt1", """[{"rowName":"01","name":"bb","n":11}]""")
+    e.recordRows("mt2",
+      """[{"rowName":"01","name":"bb","n":12},{"rowName":"02","name":"cc","n":22},{"rowName":"03","name":"ee","n":42}]""")
+    e.recordRows("mt3",
+      """[{"rowName":"01","name":"bb","n":13},{"rowName":"02","name":"cc","n":23},{"rowName":"03","name":"dd","n":33}]""")
+    assert(names("mt1 FULL JOIN mt2 ON mt1.name = mt2.name FULL JOIN mt3 ON mt2.name = mt3.name")
+      === Set("[01]-[01]-[01]", "[]-[02]-[02]", "[]-[]-[03]", "[]-[03]-[]"))
+    // bare OUTER JOIN ON false keeps both unmatched sides (padded)
+    e.recordRows("fd1", """[{"rowName":"row1","colA":1}]""")
+    e.recordRows("fd2", """[{"rowName":"row2","colB":1}]""")
+    Seq("false", "s1.rowName() = 'wwwwwwwww'",
+        "s1.rowName() = 'wwwwwwwww' AND s2.rowName() = 'wwwwwwwww'").foreach { cond =>
+      assert(names(s"(SELECT * FROM fd1) AS s1 OUTER JOIN (SELECT * FROM fd2) AS s2 ON $cond")
+        === Set("[row1]-[]", "[]-[row2]"), cond)
+    }
+    // MLDBFB-503: unary minus binds tighter than + in ON conditions
+    val prec = e.query("""SELECT rowName() AS rn, J1_TBL.i AS i1, J2_TBL.k AS k1
+      |FROM J1_TBL JOIN J2_TBL ON J1_TBL.i = -J2_TBL.k + 3
+      |ORDER BY rn""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(prec === Seq(
+      ("[01]-[02]", 1L, 2L), ("[03]-[09]", 3L, 0L), ("[04]-[01]", 4L, -1L),
+      ("[06]-[03]", 6L, -3L), ("[08]-[05]", 8L, -5L), ("[08]-[06]", 8L, -5L)))
+  }
+
   // --- MLDB-1713-wildcard-groupby.py ---------------------------------------
 
   test("MLDB-1713: wildcard with GROUP BY raises the reference's error") {
