@@ -508,7 +508,22 @@ object Lowering {
       if (neg) !c else c
     case ArrayLit(items) => array(items.map(lowerExpr(scope, _)): _*)
     case StructLit(fields) =>
-      struct(fields.map { case (n, v) => lowerExpr(scope, v).as(n) }: _*)
+      // `{*}` expands to every scope column (minus the carried rowName,
+      // which is the row's NAME, not one of its cells)
+      val expanded: Seq[Column] = fields.flatMap {
+        case ("*", Star(_, _, _)) =>
+          val seen = scala.collection.mutable.LinkedHashSet[String]()
+          scope.allColumns.flatMap { case (alias, c) =>
+            if (c.equalsIgnoreCase("rowName") || c.startsWith("__") ||
+                seen.contains(c.toLowerCase)) None
+            else {
+              seen += c.toLowerCase
+              Some(alias.map(al => col(s"$al.$c")).getOrElse(col(c)).as(c))
+            }
+          }
+        case (n, v) => Seq(lowerExpr(scope, v).as(n))
+      }
+      struct(expanded: _*)
     // postfix extraction (reference ExtractExpression): string key →
     // row field / bag key, integer key → 0-based embedding element.
     // Spark's ExtractValue resolves struct/map/array uniformly at

@@ -477,7 +477,11 @@ final class Parser(tokens: Vector[Token]) {
               case (TIdent(_, _, _), Some(TOp(":", _))) => true
               case _ => false
             }
-            if (named) {
+            if (acceptOp("*")) {
+              // `{*}` — the whole row as a struct (the reference's
+              // feature-vector idiom, e.g. classifier({features: {*}}))
+              fields += "*" -> Star(Nil)
+            } else if (named) {
               val name = parseIdentName()
               expectOp(":")
               fields += name -> parseExpr()

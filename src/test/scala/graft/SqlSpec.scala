@@ -233,6 +233,20 @@ class SqlSpec extends AnyFunSuite {
     assert(mixed === 2)
   }
 
+  test("{*} row literal passes the whole row (jseval feature-vector idiom)") {
+    // the reference's classifier({features: {*}}) / jseval(..., {*})
+    // pattern: every scope column becomes a struct field
+    val r = q("""SELECT jseval_num(
+      |  'var n = 0; for (var k in row) n++; return n;', 'row', {*}) AS n,
+      |  jseval_str('return row.n_name;', 'row', {*}) AS nm
+      |FROM nation ORDER BY n_nationkey LIMIT 1""".stripMargin).head()
+    assert(r.getDouble(0) === 3.0)   // n_nationkey, n_name, n_regionkey
+    assert(r.getString(1) === "NATION_0")
+    // plain struct shape too
+    val s0 = q("SELECT {*} AS all_cols FROM region LIMIT 1").head().getStruct(0)
+    assert(s0.schema.fieldNames.toSeq === Seq("r_regionkey", "r_name"))
+  }
+
   test("GROUP BY can reference a select alias") {
     val rows = q(
       """SELECT CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS bucket,
