@@ -1442,10 +1442,39 @@ object Lowering {
       // extractAggs runs FIRST so `sum(x) IN (SELECT …)` probes the
       // aggregate's output column
       val valInSel = scala.collection.mutable.LinkedHashMap[InSelect, String]()
+      // `sum({*})` — a row-argument aggregate over the whole row
+      // expands to one aggregate per scope column before extraction
+      // (the reference's per-column auto-application,
+      // `builtin_aggregators.cc:502-550`, with the {*} row)
+      lazy val rowStarCols: Seq[String] = {
+        val seen = scala.collection.mutable.LinkedHashSet[String]()
+        scope.allColumns.flatMap { case (_, c) =>
+          if (c.equalsIgnoreCase("rowName") || c.startsWith("__") ||
+              seen.contains(c.toLowerCase)) None
+          else { seen += c.toLowerCase; Some(c) }
+        }
+      }
+      def expandAggRowStar(e: Expr): Expr = e match {
+        case FnApply(n, args, o) if aggNames(n) && args.exists(_._1 == "*") =>
+          FnApply(n, args.flatMap {
+            case ("*", Star(_, _, _)) =>
+              rowStarCols.map(c => c -> (Ident(Seq(c)): Expr))
+            case kv => Seq(kv)
+          }, o)
+        case FnApply(n, args, o) =>
+          FnApply(n, args.map(kv => kv._1 -> expandAggRowStar(kv._2)), o)
+        case FnCall(n, args, st) => FnCall(n, args.map(expandAggRowStar), st)
+        case StructLit(fs) =>
+          StructLit(fs.map { case (k, v) => k -> expandAggRowStar(v) })
+        case Binary(op, l, r) =>
+          Binary(op, expandAggRowStar(l), expandAggRowStar(r))
+        case Unary(op, x) => Unary(op, expandAggRowStar(x))
+        case other => other
+      }
       val rewrittenItems = stmt.items.map(i =>
-        i.copy(e = extractInSelects(extractAggs(i.e, aggMap), valInSel)))
+        i.copy(e = extractInSelects(extractAggs(expandAggRowStar(i.e), aggMap), valInSel)))
       val rewrittenHaving = stmt.having.map(h =>
-        extractInSelects(extractAggs(h, aggMap), valInSel))
+        extractInSelects(extractAggs(expandAggRowStar(h), aggMap), valInSel))
       val keyCols = stmtG.groupBy.zipWithIndex.map { case (g, i) =>
         lowerExpr(scope, g).as(s"__key$i")
       }

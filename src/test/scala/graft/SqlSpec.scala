@@ -441,6 +441,10 @@ class SqlSpec extends AnyFunSuite {
       """SELECT sum({k: n_nationkey, r: n_regionkey}) AS s FROM nation""")
       .select(col("s.k"), col("s.r")).head()
     assert(r.getLong(0) === (0 until 25).sum)
+    // {*} composes: one aggregate per table column
+    val w = q("""SELECT sum({*}) AS s FROM region""").head().getStruct(0)
+    assert(w.schema.fieldNames.contains("r_regionkey"))
+    assert(w.getAs[Number]("r_regionkey").longValue === (0 until 5).sum)
   }
 
   test("dynamic LIKE pattern (non-literal)") {
