@@ -86,7 +86,7 @@ object Ast {
   final case class Select(
       items: Seq[SelectItem],
       named: Option[Expr],
-      distinctOn: Option[Expr],
+      distinctOn: Seq[Expr],
       from: Option[TableExpr],
       when: Option[Expr],
       where: Option[Expr],

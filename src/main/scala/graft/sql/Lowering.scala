@@ -319,14 +319,21 @@ object Lowering {
     * `[left]-[right]` (`sql/join_utils.cc` row-name composition,
     * MLDB-180), which is also what makes the joined rowName unique. */
   private def rowNameOf(scope: Scope): Column = {
-    val quals = scope.frames.collect {
-      case (Some(al), df) if df.columns.exists(_.equalsIgnoreCase("rowName")) => al
+    // every aliased frame of a join contributes a side — a frame with
+    // no rowName column at all (e.g. an empty sparse dataset) still
+    // renders as [] (MLDB-2040 test_left_join_no_rhs names rows
+    // `[row1]-[]` against a columnless right side)
+    val sides = scope.frames.collect { case (Some(al), df) =>
+      (al, df.columns.exists(_.equalsIgnoreCase("rowName")))
     }.distinct
-    if (quals.size >= 2)
+    if (sides.size >= 2)
       // an outer join's missing side renders as [] (MLDB-1361)
-      quals.map(al => concat(lit("["),
-          coalesce(col(s"$al.rowName").cast("string"), lit("")), lit("]")))
-        .reduce((x, y) => concat(x, lit("-"), y))
+      sides.map { case (al, hasName) =>
+        val body = if (hasName)
+          coalesce(col(s"$al.rowName").cast("string"), lit(""))
+        else lit("")
+        concat(lit("["), body, lit("]"))
+      }.reduce((x, y) => concat(x, lit("-"), y))
     else if (scope.hasColumn("rowName")) col("rowName")
     else lit(null)
   }
@@ -449,7 +456,9 @@ object Lowering {
     case FnCall(name, args, star) =>
       lowerFn(scope, name, args.map(lowerExpr(scope, _)), star, args)
 
-    case CaseWhen(operand, branches, orElse) =>
+    case CaseWhen(operand0, branches0, orElse0) =>
+      val CaseWhen(operand, branches, orElse) =
+        normalizeCaseStructs(CaseWhen(operand0, branches0, orElse0)): @unchecked
       val cond: Expr => Column = operand match {
         case Some(op) => c => lowerExpr(scope, op) === lowerExpr(scope, c)
         case None => c => lowerExpr(scope, c)
@@ -1261,10 +1270,18 @@ object Lowering {
 
   private def itemName(item: SelectItem, idx: Int): String =
     item.alias.getOrElse(item.e match {
-      case Ident(parts) => parts.last
+      // a qualified ident keeps its dotted surface form, like the
+      // reference's join projections (MLDB-2040: `SELECT a.one` names
+      // the output column `a.one`) — single-part idents stay bare
+      case Ident(parts) => parts.mkString(".")
       case FnCall(n, _, _) => n
       case _ => s"_c$idx"
     })
+
+  /** col() for a literal output-column name (dots are NOT struct
+    * accessors here — quote them). */
+  private def outCol(name: String): Column =
+    if (name.contains(".")) col(s"`$name`") else col(name)
 
   private def lowerSelect(ctx: Context, stmt0: Select): DataFrame = {
     // `SELECT {…} AS *` expands the row literal's fields into columns
@@ -1292,6 +1309,22 @@ object Lowering {
     // transpose bound). Runs BEFORE filters so key discovery sees the
     // same frame the projection will.
     val stmt = stmt1.copy(items = stmt1.items.flatMap {
+      // `sum({*}) AS *` / `sum({x, y}) AS *` — an aggregate over a row
+      // expands to one aliased aggregate per column BEFORE the generic
+      // AS * (which would try to lower the un-grouped aggregate in row
+      // scope). Reference per-column auto-application, MLDB-1594.
+      case SelectItem(FnApply(n, args, None), Some("*")) if aggNames(n) =>
+        val seen = scala.collection.mutable.LinkedHashSet[String]()
+        val cols = scope0.allColumns.flatMap { case (_, c) =>
+          if (c.equalsIgnoreCase("rowName") || c.startsWith("__") ||
+              seen.contains(c.toLowerCase)) None
+          else { seen += c.toLowerCase; Some(c) }
+        }
+        args.flatMap {
+          case ("*", Star(_, _, _)) =>
+            cols.map(c => SelectItem(FnCall(n, Seq(Ident(Seq(c)))), Some(c)))
+          case (k, v) => Seq(SelectItem(FnCall(n, Seq(v)), Some(k)))
+        }
       case SelectItem(e, Some("*")) =>
         val c = lowerExpr(scope0, e)
         fromDf0.select(c.as("__asstar")).schema.head.dataType match {
@@ -1385,23 +1418,29 @@ object Lowering {
       }
       val sorted =
         if (orderByNoSub.nonEmpty) extended.orderBy(sortCols: _*) else extended
-      val distincted = distinctOnNoSub match {
-        case Some(key) =>
+      val distincted =
+        if (distinctOnNoSub.nonEmpty) {
+          val keys = distinctOnNoSub
           if (orderByNoSub.isEmpty)
             throw new IllegalArgumentException("DISTINCT ON requires ORDER BY")
           // reference validation (`sql_expression.cc:3087-3100`): the
-          // DISTINCT ON expression must be the leftmost ORDER BY key,
-          // otherwise "first row per key" is ill-defined. (Both sides
-          // are compared AFTER InSelect extraction, so a sub-select in
-          // the key matches its ORDER BY twin structurally.)
-          if (orderByNoSub.head.e != key)
+          // DISTINCT ON expressions must be the leftmost ORDER BY keys
+          // in order, otherwise "first row per key" is ill-defined.
+          // (Both sides are compared AFTER InSelect extraction, so a
+          // sub-select in a key matches its ORDER BY twin structurally.)
+          if (orderByNoSub.size < keys.size ||
+              orderByNoSub.take(keys.size).map(_.e) != keys)
             throw new IllegalArgumentException(
               "DISTINCT ON (x) requires ORDER BY to start with x")
-          val w = Window.partitionBy(lowerExpr(extScope, key)).orderBy(sortCols: _*)
+          val w = Window.partitionBy(keys.map(lowerExpr(extScope, _)): _*)
+            .orderBy(sortCols: _*)
+          // re-sort after the window filter: the partitioned window
+          // destroys the global ORDER BY order, and OFFSET/LIMIT apply
+          // to the ordered stream (MLDB-1841 test_distincton_offset)
           sorted.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-        case None => sorted
-      }
+            .orderBy(sortCols: _*)
+        } else sorted
       val cols: Seq[Column] = stmtItems.zipWithIndex.flatMap {
         case (SelectItem(ce: ColumnExprStar, _), _) =>
           expandColumnExpr(scope, ce)
@@ -1420,7 +1459,7 @@ object Lowering {
               Some(alias.map(al => col(s"$al.$c")).getOrElse(col(c)).as(outName))
             }
           }
-        case (it, i) => Seq(col(itemName(it, i)))
+        case (it, i) => Seq(outCol(itemName(it, i)))
       }
       val withName = stmt.named match {
         case Some(_) => col("rowName") +: cols
@@ -1475,28 +1514,74 @@ object Lowering {
         i.copy(e = extractInSelects(extractAggs(expandAggRowStar(i.e), aggMap), valInSel)))
       val rewrittenHaving = stmt.having.map(h =>
         extractInSelects(extractAggs(expandAggRowStar(h), aggMap), valInSel))
+      // NAMED / ORDER BY / DISTINCT ON may carry aggregates of their
+      // own — register them BEFORE the grouped frame is built so their
+      // extracted columns exist (results re-derived below; getOrElse-
+      // Update keeps the names stable)
+      val rewrittenNamed = stmt.named.map(n =>
+        extractAggs(expandAggRowStar(n), aggMap))
+      stmt.orderBy.foreach(o => extractAggs(expandAggRowStar(o.e), aggMap))
+      stmt.distinctOn.foreach(k => extractAggs(expandAggRowStar(k), aggMap))
       val keyCols = stmtG.groupBy.zipWithIndex.map { case (g, i) =>
         lowerExpr(scope, g).as(s"__key$i")
       }
-      val aggCols = aggMap.map { case (f, n) => lowerAggCall(scope, f).as(n) }.toSeq
-      if (aggCols.isEmpty)
-        throw new IllegalArgumentException("GROUP BY without aggregates")
+      val aggCols0 = aggMap.map { case (f, n) => lowerAggCall(scope, f).as(n) }.toSeq
+      // GROUP BY with no aggregates in the projection is legal in the
+      // reference (MLDB-2111: `SELECT x+1 … GROUP BY x+1`) — group on
+      // the keys alone via a hidden count that never reaches the output
+      val aggCols =
+        if (aggCols0.nonEmpty) aggCols0
+        else Seq(count(lit(1)).as("__gcnt"))
       val grouped = filtered.groupBy(keyCols: _*)
         .agg(aggCols.head, aggCols.tail: _*)
       // outer scope: keys referenced via their original expression ASTs
       val keyLookup: Map[Expr, Column] = stmtG.groupBy.zipWithIndex.map {
         case (g, i) => (g, col(s"__key$i"))
       }.toMap
+      // the GROUP's row name: `[k1,k2]` over the key values, strings
+      // JSON-quoted — the reference's group-row naming
+      // (MLDB-2111 test_groupby_rowname: `["0"]`, multi-key `[2,4]`)
+      val groupRowName: Column = {
+        val keyTypes = stmtG.groupBy.indices.map(i =>
+          grouped.schema(s"__key$i").dataType)
+        val rendered = stmtG.groupBy.indices.map { i =>
+          val k = col(s"__key$i")
+          val body = keyTypes(i) match {
+            case org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.TimestampType =>
+              concat(lit("\""),
+                regexp_replace(regexp_replace(k.cast("string"),
+                  lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\"")),
+                lit("\""))
+            case _ => k.cast("string")
+          }
+          when(k.isNull, lit("null")).otherwise(body)
+        }
+        concat(lit("[") +: (if (rendered.isEmpty) Seq(lit(""))
+          else rendered.init.flatMap(c => Seq(c, lit(","))) :+ rendered.last)
+          :+ lit("]"): _*)
+      }
       val outScope = Scope(Seq(None -> grouped))
       // tri-logic markers for IN (SELECT …) inside post-aggregation
       // ORDER BY expressions; populated below, before sortCols lowers
       val aggInSel = scala.collection.mutable.LinkedHashMap[InSelect, String]()
-      def lowerOuter(e: Expr): Column = keyLookup.get(e) match {
+      def lowerOuter(e: Expr): Column = e match {
+        // post-aggregation rowName()/rowHash() are the GROUP row's,
+        // not the key's — even when rowName() is itself a group key
+        case FnCall("rowname", Nil, _) => groupRowName
+        case FnCall("rowhash", Nil, _) => xxhash64(groupRowName)
+        case _ => keyLookup.get(e) match {
         case Some(c) => c
         case None => e match {
           case Ident(Seq(n)) if aggMap.values.exists(_ == n) ||
             aggInSel.values.exists(_ == n) ||
             valInSel.values.exists(_ == n) => col(n)
+          case Ident(Seq(n)) =>
+            // reference validation (MLDB-2111 test_groupby_inexact):
+            // a bare variable below an aggregate must be a group key
+            throw new IllegalArgumentException(
+              s"variable '$n' must appear in the GROUP BY clause or " +
+                "be used in an aggregate function")
           case Binary(op, l, r) => binaryOp(op, lowerOuter(l), lowerOuter(r))
           case Unary("-", x) => -lowerOuter(x)
           case Unary("not", x) => !lowerOuter(x)
@@ -1518,6 +1603,7 @@ object Lowering {
           case other => lowerExpr(outScope, other)
         }
       }
+      }
       // join the projection/HAVING markers onto the grouped frame; the
       // probe lowers through lowerOuter (group keys by original AST,
       // aggregates by extracted name). The final projection drops them.
@@ -1533,34 +1619,104 @@ object Lowering {
       val outCols = rewrittenItems.zipWithIndex.map { case (it, i) =>
         lowerOuter(it.e).as(itemName(stmt.items(i), i))
       }
-      val selected = havingFiltered.select(outCols: _*)
-      // `x [NOT] IN (SELECT …)` works anywhere in a post-aggregation
-      // ORDER BY expression — whole key or nested inside CASE/boolean
-      // arithmetic — via tri-logic markers joined onto the aggregated
-      // projection (x may reference output columns); lowerOuter
-      // resolves the marker idents against sortBase.
-      val orderByAgg = stmt.orderBy.map(o =>
-        o.copy(e = extractInSelects(o.e, aggInSel)))
-      var sortBase = selected
-      aggInSel.foreach { case (is, name) =>
-        sortBase = addInSelectMarker(ctx, Scope(Seq(None -> sortBase)),
-          sortBase, is, name)
-      }
-      if (orderByAgg.nonEmpty) {
-        val sortCols = orderByAgg.map { o =>
-          val c = o.e match {
-            case Ident(Seq(n)) if sortBase.columns.contains(n) => col(n)
-            case other => lowerOuter(extractAggs(other, aggMap))
+      // NAMED in the aggregate path — a rowName column ahead of the
+      // projection, like the non-agg path (MLDB-2111 test_groupby_named)
+      val namedPrefix = rewrittenNamed.map(n =>
+        lowerOuter(n).cast("string").as("rowName")).toSeq
+      if (stmt.distinctOn.nonEmpty) {
+          val keys = stmt.distinctOn
+          // DISTINCT ON over a grouped projection (MLDB-1841
+          // test_distincton_groupby*): keep the first row per key in
+          // ORDER BY order. The key and sort expressions materialize
+          // as hidden columns at projection time (output aliases
+          // resolve to their item expression; everything else lowers
+          // against the grouped frame), then the same window-filter +
+          // re-sort as the row path.
+          if (stmt.orderBy.isEmpty)
+            throw new IllegalArgumentException("DISTINCT ON requires ORDER BY")
+          if (stmt.orderBy.size < keys.size ||
+              stmt.orderBy.take(keys.size).map(_.e) != keys)
+            throw new IllegalArgumentException(
+              "DISTINCT ON (x) requires ORDER BY to start with x")
+          val aliasToExpr: Map[String, Expr] = rewrittenItems.zipWithIndex.map {
+            case (it, i) => itemName(stmt.items(i), i) -> it.e
+          }.toMap
+          def postExpr(e: Expr): Expr = e match {
+            case Ident(Seq(n)) if aliasToExpr.contains(n) => aliasToExpr(n)
+            case other => extractAggs(expandAggRowStar(other), aggMap)
           }
-          if (o.asc) c.asc else c.desc
-        }
-        sortBase.orderBy(sortCols: _*).drop(aggInSel.values.toSeq: _*)
-      } else selected
+          val hidden = stmt.orderBy.zipWithIndex.map { case (o, i) =>
+            lowerOuter(postExpr(o.e)).as(s"__sort$i")
+          }
+          val selected2 = havingFiltered.select(
+            namedPrefix ++ outCols ++ hidden: _*)
+          val sortCols = stmt.orderBy.zipWithIndex.map { case (o, i) =>
+            if (o.asc) col(s"__sort$i").asc else col(s"__sort$i").desc
+          }
+          val w = Window
+            .partitionBy(keys.indices.map(i => col(s"__sort$i")): _*)
+            .orderBy(sortCols: _*)
+          selected2.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .orderBy(sortCols: _*)
+            .drop(stmt.orderBy.indices.map(i => s"__sort$i") :+ "__rn": _*)
+      } else {
+          val selected = havingFiltered.select(namedPrefix ++ outCols: _*)
+          // `x [NOT] IN (SELECT …)` works anywhere in a post-aggregation
+          // ORDER BY expression — whole key or nested inside CASE/boolean
+          // arithmetic — via tri-logic markers joined onto the aggregated
+          // projection (x may reference output columns); lowerOuter
+          // resolves the marker idents against sortBase.
+          val orderByAgg = stmt.orderBy.map(o =>
+            o.copy(e = extractInSelects(o.e, aggInSel)))
+          var sortBase = selected
+          aggInSel.foreach { case (is, name) =>
+            sortBase = addInSelectMarker(ctx, Scope(Seq(None -> sortBase)),
+              sortBase, is, name)
+          }
+          if (orderByAgg.nonEmpty) {
+            val sortCols = orderByAgg.map { o =>
+              val c = o.e match {
+                case Ident(Seq(n)) if sortBase.columns.contains(n) => col(n)
+                case other => lowerOuter(extractAggs(other, aggMap))
+              }
+              if (o.asc) c.asc else c.desc
+            }
+            sortBase.orderBy(sortCols: _*).drop(aggInSel.values.toSeq: _*)
+          } else selected
+      }
     }
 
     val offsetApplied = stmt.offset.map(o => projected.offset(o.toInt))
       .getOrElse(projected)
     stmt.limit.map(l => offsetApplied.limit(l.toInt)).getOrElse(offsetApplied)
+  }
+
+  /** Row-valued CASE normalization (MLDB-1734): when any branch is a
+    * row literal, every branch is coerced to the UNION of the row
+    * fields (missing fields → NULL), and the default ELSE is the empty
+    * row `{}` — so `CASE … WHEN 1 THEN {z: 5, y: 8} END` yields a row
+    * with z and y NULL on the else path, exactly like the reference
+    * (`sql/expression_value.cc` row superposition of CASE arms). */
+  private def normalizeCaseStructs(cw: CaseWhen): CaseWhen = {
+    val CaseWhen(operand, branches, orElse) = cw
+    val structVals = (branches.map(_._2) ++ orElse.toSeq).collect {
+      case s: StructLit => s
+    }
+    if (structVals.isEmpty) cw
+    else {
+      val fields = scala.collection.mutable.LinkedHashSet[String]()
+      structVals.foreach(_.fields.foreach(f => fields += f._1))
+      val union = fields.toSeq
+      def widen(e: Expr): Expr = e match {
+        case StructLit(fs) =>
+          val m = fs.toMap
+          StructLit(union.map(n => n -> m.getOrElse(n, NullLit(): Expr)))
+        case other => other
+      }
+      CaseWhen(operand, branches.map { case (c, v) => (c, widen(v)) },
+        Some(widen(orElse.getOrElse(StructLit(Nil)))))
+    }
   }
 
   private def splitConjuncts(e: Expr): Seq[Expr] = e match {

@@ -56,10 +56,19 @@ final class Parser(tokens: Vector[Token]) {
     expectKw("SELECT")
     val distinctOn =
       if (acceptKw("DISTINCT")) {
-        expectKw("ON"); expectOp("(")
-        val e = parseExpr(); expectOp(")")
-        Some(e)
-      } else None
+        // reference validation (MLDB-1841 test_distinct_generic)
+        if (!isKw(peek, "ON"))
+          throw new IllegalArgumentException(
+            "Generic 'DISTINCT' is not currently supported. " +
+              "Please use 'DISTINCT ON'.")
+        expectKw("ON")
+        // reference validation (MLDB-1841 test_distinct_parens)
+        if (!acceptOp("("))
+          throw new IllegalArgumentException(
+            "DISTINCT ON requires a parenthesized expression list")
+        val es = parseExprList(); expectOp(")")
+        es
+      } else Nil
     val items = parseSelectItems()
     val named = if (acceptKw("NAMED")) Some(parseExpr()) else None
     val from = if (acceptKw("FROM")) Some(parseTable()) else None
@@ -159,6 +168,12 @@ final class Parser(tokens: Vector[Token]) {
           Some(np)
         } else None
       SelectItem(Star(Nil, prefix, rename), None)
+    } else if (peekNameColon()) {
+      // `SELECT x: 1` — the reference's name-first shorthand for
+      // `SELECT 1 AS x` (MLDB-2111 uses `SELECT x:1` subselects)
+      val name = parseIdentName()
+      expectOp(":")
+      SelectItem(parseExpr(), Some(name))
     } else {
       val e = parseExpr()
       val alias =
@@ -182,6 +197,15 @@ final class Parser(tokens: Vector[Token]) {
 
   /** `a*` (and `a* AS b*`) vs `a * b` multiplication: a prefix
     * wildcard is IDENT '*' followed by a list/clause boundary or AS. */
+  private def peekNameColon(): Boolean = peek match {
+    case TIdent(v, q, _) if q || !reserved(v.toLowerCase) =>
+      tokens.lift(p + 1) match {
+        case Some(TOp(":", _)) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
   private def peekPrefixWildcard(): Boolean = peek match {
     case TIdent(v, false, _) if !reserved(v.toLowerCase) =>
       tokens.lift(p + 1) match {
