@@ -353,9 +353,12 @@ object Lowering {
   private def lowerExpr(scope: Scope, e: Expr): Column = e match {
     case FnApply(name, args, output) => currentMacros.get(name) match {
       case None if name.toLowerCase.startsWith("horizontal_") =>
-        // horizontal_sum({a: x, b: y}) — row-literal argument form
+        // horizontal_sum({a: x, b: y}) — row-literal argument form.
+        // MLDB rows keep columns in name order, so order-sensitive
+        // horizontal aggs (string_agg, earliest/latest) see the
+        // fields alphabetically (MLDB-1554).
         horizontalFn(name.toLowerCase,
-          args.map { case (_, v) => lowerExpr(scope, v) })
+          args.sortBy(_._1).map { case (_, v) => lowerExpr(scope, v) })
       case None if Set("print_json", "hash")(name.toLowerCase) =>
         // builtins whose single argument is a row literal parse as
         // FnApply; route them back to the registry
@@ -963,7 +966,20 @@ object Lowering {
     }
     case "flatten" => flatten(a(0))
     // dataset context
-    case n if n.startsWith("horizontal_") => horizontalFn(n, a)
+    case n if n.startsWith("horizontal_") =>
+      // FnCall form: `horizontal_string_agg({...}, ', ')` — a row
+      // literal plus extra parameters (here the separator). Fields
+      // lower in name order like the FnApply form (MLDB-1554).
+      raw.headOption match {
+        case Some(StructLit(fields)) =>
+          val cols = fields.sortBy(_._1).map { case (_, v) => lowerExpr(scope, v) }
+          val sep = raw.lift(1) match {
+            case Some(StrLit(s)) => Some(s)
+            case _ => None
+          }
+          horizontalFn(n, cols, sep)
+        case _ => horizontalFn(n, a)
+      }
     case "rowname" => rowNameOf(scope)
     case "rowhash" =>
       if (scope.hasColumn("rowName")) xxhash64(rowNameOf(scope)) else lit(null)
@@ -977,11 +993,24 @@ object Lowering {
     // join sides. Resolved against the FIRST / LAST scope frame that
     // carries a rowName column.
     case "leftrowname" | "rightrowname" =>
-      val frames = if (name == "leftrowname") scope.frames else scope.frames.reverse
-      frames.collectFirst {
-        case (alias, df) if df.columns.exists(_.equalsIgnoreCase("rowName")) =>
-          alias.map(al => col(s"$al.rowName")).getOrElse(col("rowName"))
-      }.getOrElse(lit(null))
+      // MLDB-1710: the right side is the LAST joined frame, the left
+      // side is everything before it — composed as `[a]-[b]` when the
+      // left is itself a join, bare otherwise; a padded outer side
+      // reads as ''. Outside a join both raise, like the reference.
+      val joined = scope.frames.collect { case (Some(al), df) =>
+        (al, df.columns.exists(_.equalsIgnoreCase("rowName")))
+      }.distinct
+      if (joined.size < 2)
+        throw new IllegalArgumentException(
+          s"Function '${if (name == "leftrowname") "leftRowName"
+            else "rightRowName"}' is not available outside of a join")
+      def bare(side: (String, Boolean)): Column =
+        if (side._2) coalesce(col(s"${side._1}.rowName").cast("string"), lit(""))
+        else lit("")
+      if (name == "rightrowname") bare(joined.last)
+      else if (joined.size == 2) bare(joined.head)
+      else joined.init.map(s => concat(lit("["), bare(s), lit("]")))
+        .reduce((x, y) => concat(x, lit("-"), y))
     // per-row count of non-null columns (doc `sql/ValueExpression.md:300`
     // — a sparse row's columnCount is its actual cells, not schema width);
     // rowName is the row's name, not one of its columns.
@@ -1029,7 +1058,8 @@ object Lowering {
     * Column math — codegen'd, no UDF, no shuffle. In wide mode all of
     * a row's cells share the row timestamp, so earliest/latest take
     * the first/last non-null in column order. */
-  private def horizontalFn(name: String, cols: Seq[Column]): Column = {
+  private def horizontalFn(name: String, cols: Seq[Column],
+      sep: Option[String] = None): Column = {
     def nn = filter(array(cols.map(_.cast("double")): _*), v => v.isNotNull)
     name match {
       case "horizontal_count" => size(nn).cast("long")
@@ -1046,7 +1076,7 @@ object Lowering {
         if (cols.size == 1) cols.head else greatest(cols: _*)
       case "horizontal_string_agg" =>
         array_join(filter(array(cols.map(_.cast("string")): _*),
-          v => v.isNotNull), ",")
+          v => v.isNotNull), sep.getOrElse(","))
       case "horizontal_earliest" => coalesce(cols: _*)
       case "horizontal_latest" => coalesce(cols.reverse: _*)
       case other => throw new IllegalArgumentException(s"unknown function $other")
@@ -1218,7 +1248,19 @@ object Lowering {
           s"string_agg separator must be a string literal, got $other")
         case None => ","
       }
-      array_join(array_sort(collect_list(lowerExpr(scope, args.head))), sep)
+      args.lift(2) match {
+        case Some(orderKey) =>
+          // explicit 3rd-arg sort key (MLDB-1554:
+          // `string_agg(what, ', ', rowName())` concatenates in
+          // rowName order) — collect (key, value) pairs, sort by key,
+          // join the values
+          val pairs = array_sort(collect_list(struct(
+            lowerExpr(scope, orderKey).cast("string").as("k"),
+            lowerExpr(scope, args.head).cast("string").as("v"))))
+          array_join(transform(pairs, p => p.getField("v")), sep)
+        case None =>
+          array_join(array_sort(collect_list(lowerExpr(scope, args.head))), sep)
+      }
     case FnCall("earliest", args, _) =>
       if (scope.hasColumn("ts")) min_by(lowerExpr(scope, args.head), col("ts"))
       else min(lowerExpr(scope, args.head))

@@ -513,7 +513,12 @@ final class Parser(tokens: Vector[Token]) {
               val e = parseExpr()
               val name =
                 if (acceptKw("AS")) parseIdentName()
-                else s"_$i"
+                else e match {
+                  // a bare ident names its field after itself —
+                  // `{who, what}` has columns who/what (MLDB-1554)
+                  case Ident(parts) => parts.mkString(".")
+                  case _ => s"_$i"
+                }
               fields += name -> e
             }
             i += 1

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Third batch of replays of the reference's OWN regression tests
+  * (see ReferenceParitySpec/-2). Each test cites the
+  * `/root/reference/testing/` file it reproduces and asserts that
+  * file's expected values verbatim. */
+class ReferenceParitySpec3 extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val e = new api.GraftEngine(spark)
+  private def q(sql: String) = e.query(sql)
+  private def one(sql: String): Row = q(sql).head()
+
+  // --- MLDB-2074-empty-join.py ---------------------------------------------
+
+  private lazy val ds2074: Unit = {
+    e.recordRows("a2074",
+      """[{"rowName":"row1","one":1,"two":1},{"rowName":"row2","one":1,"two":2},
+        |{"rowName":"row3","one":2,"two":1},{"rowName":"row4","one":2,"two":2}]"""
+        .stripMargin.replace("\n", ""))
+    e.createDataset("empty2074", spark.emptyDataFrame)
+  }
+
+  private def rows2074(sql: String): Seq[(String, Any, Any)] = {
+    ds2074
+    q(sql).collect().toSeq.map(r => (r.getString(0), r.get(1), r.get(2)))
+  }
+
+  private val allPadded = Seq(
+    ("[row1]-[]", 1L, 1L), ("[row2]-[]", 1L, 2L),
+    ("[row3]-[]", 2L, 1L), ("[row4]-[]", 2L, 2L))
+  private val allPaddedRev = Seq(
+    ("[]-[row1]", 1L, 1L), ("[]-[row2]", 1L, 2L),
+    ("[]-[row3]", 2L, 1L), ("[]-[row4]", 2L, 2L))
+
+  test("MLDB-2074: left/full joins against an empty dataset pad every row") {
+    for (cond <- Seq("a2074.one = empty2074.one",
+        "a2074.one = empty2074.one AND a2074.two = empty2074.one",
+        "a2074.one <= empty2074.one AND a2074.two <= empty2074.one")) {
+      assert(rows2074(s"""SELECT rowName() AS rn, a2074.one, a2074.two
+        |FROM a2074 LEFT JOIN empty2074 ON $cond ORDER BY rn""".stripMargin)
+        === allPadded, s"LEFT ON $cond")
+      assert(rows2074(s"""SELECT rowName() AS rn, a2074.one, a2074.two
+        |FROM a2074 FULL JOIN empty2074 ON $cond ORDER BY rn""".stripMargin)
+        === allPadded, s"FULL ON $cond")
+    }
+  }
+
+  test("MLDB-2074: the empty side of right/left joins yields no rows") {
+    ds2074
+    for (cond <- Seq("a2074.one = empty2074.one",
+        "a2074.one = empty2074.one AND a2074.two = empty2074.one",
+        "a2074.one <= empty2074.one AND a2074.two <= empty2074.one")) {
+      assert(q(s"""SELECT rowName() AS rn FROM a2074
+        |RIGHT JOIN empty2074 ON $cond""".stripMargin).count() === 0,
+        s"RIGHT ON $cond")
+      assert(q(s"""SELECT rowName() AS rn FROM empty2074
+        |LEFT JOIN a2074 ON $cond""".stripMargin).count() === 0,
+        s"reversed LEFT ON $cond")
+    }
+  }
+
+  test("MLDB-2074: reversed right/full joins keep the populated side") {
+    for (cond <- Seq("a2074.one = empty2074.one AND a2074.two = empty2074.one",
+        "a2074.one <= empty2074.one AND a2074.two <= empty2074.one")) {
+      assert(rows2074(s"""SELECT rowName() AS rn, a2074.one, a2074.two
+        |FROM empty2074 RIGHT JOIN a2074 ON $cond ORDER BY rn""".stripMargin)
+        === allPaddedRev, s"reversed RIGHT ON $cond")
+      assert(rows2074(s"""SELECT rowName() AS rn, a2074.one, a2074.two
+        |FROM empty2074 FULL JOIN a2074 ON $cond ORDER BY rn""".stripMargin)
+        === allPaddedRev, s"reversed FULL ON $cond")
+    }
+  }
+
+  // --- MLDB-1328-join_empty_dataset_test.py --------------------------------
+
+  test("MLDB-1328: GROUP BY an unknown column over an empty dataset is empty") {
+    e.createDataset("empty1328", spark.emptyDataFrame)
+    assert(q("SELECT uid, count(1) AS size FROM empty1328 GROUP BY uid")
+      .count() === 0)
+  }
+
+  // --- MLDB-1710-left-right-rowname.py -------------------------------------
+
+  private lazy val ds1710: Unit = {
+    e.recordRows("t1710a", """[{"rowName":"x","a":1}]""")
+    e.recordRows("t1710b", """[{"rowName":"y","a":1}]""")
+    e.recordRows("t1710c", """[{"rowName":"z","a":1}]""")
+  }
+
+  test("MLDB-1710: leftRowName/rightRowName in a plain join") {
+    ds1710
+    val r = one("""SELECT leftRowName() AS l, rightRowName() AS r,
+      |rowName() AS rn FROM t1710a JOIN t1710b ON t1710a.a = t1710b.a"""
+      .stripMargin)
+    assert(r === Row("x", "y", "[x]-[y]"))
+  }
+
+  test("MLDB-1710: nested join composes the left side") {
+    ds1710
+    val r = one("""SELECT leftRowName() AS l, rightRowName() AS r,
+      |rowName() AS rn FROM t1710a JOIN t1710b ON t1710a.a = t1710b.a
+      |JOIN t1710c ON t1710b.a = t1710c.a""".stripMargin)
+    assert(r === Row("[x]-[y]", "z", "[x]-[y]-[z]"))
+  }
+
+  test("MLDB-1710: the padded outer side reads as empty string") {
+    ds1710
+    val r = one("""SELECT leftRowName() AS l, rightRowName() AS r
+      |FROM t1710a LEFT JOIN t1710b ON t1710a.a = t1710b.a + 1"""
+      .stripMargin)
+    assert(r === Row("x", ""))
+  }
+
+  test("MLDB-1710: leftRowName/rightRowName raise outside a join") {
+    ds1710
+    val ex = intercept[IllegalArgumentException](
+      q("SELECT leftRowName() AS l FROM t1710a").collect())
+    assert(ex.getMessage.contains(
+      "Function 'leftRowName' is not available outside of a join"))
+    val ex2 = intercept[IllegalArgumentException](
+      q("SELECT rightRowName() AS r FROM t1710a").collect())
+    assert(ex2.getMessage.contains(
+      "Function 'rightRowName' is not available outside of a join"))
+  }
+
+  // --- MLDB-1899-duplicated-rows-in-equijoins.py ---------------------------
+
+  test("MLDB-1899: left-join row multiplicities with mixed equi/theta conditions") {
+    val rows = (0 until 100).map(i =>
+      s"""{"rowName":"$i","c":${i % 10},"const":2}""").mkString(",")
+    e.recordRows("left1899", s"[$rows]")
+    val rrows = (0 until 100).map(i =>
+      s"""{"rowName":"$i","c":${i % 10},"d":${i % 2}}""").mkString(",")
+    e.recordRows("right1899", s"[$rrows]")
+    def cnt(cond: String): Long =
+      one(s"SELECT count(*) AS n FROM left1899 LEFT JOIN right1899 ON $cond")
+        .getLong(0)
+    // each left row matches 10 right rows on c
+    assert(cnt("left1899.c = right1899.c") === 1000L)
+    // right condition always false → every left row padded once
+    assert(cnt("left1899.c = right1899.c AND 2 < right1899.d") === 100L)
+    // right condition true for odd rows → 50 padded + 50×10 matched
+    assert(cnt("left1899.c = right1899.c AND right1899.d = 1") === 550L)
+    // cross conditions
+    assert(cnt("left1899.c = right1899.c AND left1899.const > right1899.d") === 1000L)
+    assert(cnt("left1899.c = right1899.c AND left1899.const < right1899.d") === 100L)
+    assert(cnt("left1899.c = right1899.c AND left1899.const > right1899.d " +
+      "AND right1899.d = 1") === 550L)
+  }
+
+  // --- MLDB-1345-having.py (shape replayed on recorded data) ---------------
+
+  test("MLDB-1345: HAVING mixes aggregate and group-key conditions") {
+    e.recordRows("ds1345",
+      """[{"rowName":"1","sex":"m","cls":1,"age":70},
+        |{"rowName":"2","sex":"m","cls":1,"age":30},
+        |{"rowName":"3","sex":"m","cls":2,"age":20},
+        |{"rowName":"4","sex":"f","cls":1,"age":60},
+        |{"rowName":"5","sex":"f","cls":2,"age":10},
+        |{"rowName":"6","sex":"f","cls":2,"age":15}]"""
+        .stripMargin.replace("\n", ""))
+    // having on a bare aggregate
+    val r1 = q("""SELECT count(*) AS x FROM ds1345 GROUP BY sex, cls
+      |HAVING count(*) > 1""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(r1.forall(_ > 1) && r1.size === 2)
+    // having mixing max(), count() and a group key in AND/OR logic
+    val r2 = q("""SELECT max(age) AS ma, count(*) AS n, sex FROM ds1345
+      |GROUP BY sex, cls
+      |HAVING max(age) < 64 AND (count(*) > 1 OR sex = 'm')
+      |ORDER BY ma""".stripMargin).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // groups: (m,1) max 70 filtered; (m,2) passes via sex='m';
+    // (f,1) count=1 and sex≠'m' filtered; (f,2) count=2 passes
+    assert(r2 === Seq((15L, 2L, "f"), (20L, 1L, "m")))
+  }
+
+  // --- MLDB-1554-string-agg.js ---------------------------------------------
+
+  private lazy val ds1554: Unit =
+    e.recordRows("t1554",
+      """[{"rowName":"0","who":"mustard","what":"moved","how":"kitchen"},
+        |{"rowName":"1","who":"plum","what":"moved","how":"kitchen"},
+        |{"rowName":"2","who":"mustard","what":"stabbed","how":"plum"},
+        |{"rowName":"3","who":"mustard","what":"killed","how":"plum"},
+        |{"rowName":"4","who":"plum","what":"died","how":"stabbed"}]"""
+        .stripMargin.replace("\n", ""))
+
+  test("MLDB-1554: string_agg with an explicit order key") {
+    ds1554
+    val rows = q("""SELECT string_agg(what, ', ', rowName()) AS whats,
+      |string_agg(how, '', rowName()) AS hows, who AS w
+      |FROM t1554 GROUP BY who ORDER BY who""".stripMargin)
+      .collect().toSeq.map(r => (r.getString(2), r.getString(0), r.getString(1)))
+    assert(rows === Seq(
+      ("mustard", "moved, stabbed, killed", "kitchenplumplum"),
+      ("plum", "moved, died", "kitchenstabbed")))
+  }
+
+  test("MLDB-1554: horizontal_string_agg joins the row's columns in name order") {
+    ds1554
+    val rows = q("""SELECT horizontal_string_agg({who, what, how}, ', ') AS aggs
+      |FROM t1554 ORDER BY rowName()""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq(
+      "kitchen, moved, mustard", "kitchen, moved, plum",
+      "plum, stabbed, mustard", "plum, killed, mustard",
+      "stabbed, died, plum"))
+  }
+
+  // --- MLDB-162-min-max-function.py ----------------------------------------
+
+  test("MLDB-162: arithmetic over and between aggregates") {
+    val rows = (0 until 10).map(i =>
+      s"""{"rowName":"row_$i","x":$i,"y":${i % 2}}""").mkString(",")
+    e.recordRows("ds162", s"[$rows]")
+    assert(one("SELECT 1 + sum(x + 1) AS sum_x FROM ds162").getLong(0) === 56L)
+    assert(one("SELECT sum(x) + max(x) AS sum_max_x FROM ds162").getLong(0) === 54L)
+    val r = one("SELECT sum(x) as sum_x, max(x) as max_x FROM ds162")
+    assert(r === Row(45L, 9L))
+    val r2 = one("SELECT 3 + min(x) as col1, sum(y) / 2 as col2 FROM ds162")
+    assert(r2.getLong(0) === 3L && r2.getDouble(1) === 2.5)
+    val r3 = one("SELECT max(x) + max(x) as col1, max(x) - max(x) as col2 FROM ds162")
+    assert(r3 === Row(18L, 0L))
+  }
+}
