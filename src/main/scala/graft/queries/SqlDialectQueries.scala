@@ -226,6 +226,59 @@ object SqlDialectQueries {
           |LIMIT 10""".stripMargin)
     },
 
+    // --- multi-key DISTINCT ON (MLDB-1841 test_distincton_multiple):
+    // first customer per (nation, segment) in custkey order — DuckDB
+    // speaks the same Postgres-style DISTINCT ON natively. ---
+    QueryDef("q118_sql_distinct_on_multi",
+      """SELECT DISTINCT ON (c_nationkey, c_mktsegment)
+        |  c_nationkey, c_mktsegment, c_custkey
+        |FROM customer ORDER BY c_nationkey, c_mktsegment, c_custkey"""
+        .stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT DISTINCT ON (c_nationkey, c_mktsegment)
+          |  c_nationkey, c_mktsegment, c_custkey
+          |FROM customer ORDER BY c_nationkey, c_mktsegment, c_custkey"""
+          .stripMargin)
+    },
+
+    // --- GROUP BY an arbitrary expression with the composed group row
+    // name surfaced (MLDB-2111): rowName() after grouping is `[key]`.
+    // No aggregate in the projection — the reference allows keys-only
+    // grouped selects. ---
+    QueryDef("q119_sql_group_expr",
+      """SELECT '[' || CAST(n_regionkey * 2 AS VARCHAR) || ']' AS grp,
+        |  n_regionkey * 2 AS dbl, CAST(count(*) AS BIGINT) AS n
+        |FROM nation GROUP BY n_regionkey * 2""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT rowName() AS grp, n_regionkey * 2 AS dbl, count(*) AS n
+          |FROM nation GROUP BY n_regionkey * 2""".stripMargin)
+    },
+
+    // --- ordered string_agg (MLDB-1554 third argument) — the sort key
+    // keeps its native type, so numeric keys order numerically in both
+    // engines. ---
+    QueryDef("q120_sql_string_agg_ordered",
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_nationkey) AS names
+        |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT n_regionkey, string_agg(n_name, ',', n_nationkey) AS names
+          |FROM nation GROUP BY n_regionkey""".stripMargin)
+    },
+
+    // --- sum({*}) AS * — the reference's whole-row per-column
+    // aggregate auto-application (MLDB-1594/1198), over integer
+    // columns so the cross-engine sums hash exactly. ---
+    QueryDef("q121_sql_sum_row_star",
+      """SELECT CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS q,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS l_linenumber
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      GraftSql.query(s, d,
+        """SELECT sum({*}) AS * FROM (
+          |  SELECT CAST(l_quantity AS INTEGER) AS q, l_linenumber
+          |  FROM lineitem)""".stripMargin)
+    },
+
     // --- jseval: per-row JavaScript (reference builtin/js/js_function
     // .cc via the JsInterp ES5 subset). The script exercises loops,
     // regex split/match, and object results; every emitted value is

@@ -1255,7 +1255,7 @@ object Lowering {
           // rowName order) — collect (key, value) pairs, sort by key,
           // join the values
           val pairs = array_sort(collect_list(struct(
-            lowerExpr(scope, orderKey).cast("string").as("k"),
+            lowerExpr(scope, orderKey).as("k"),
             lowerExpr(scope, args.head).cast("string").as("v"))))
           array_join(transform(pairs, p => p.getField("v")), sep)
         case None =>
