@@ -428,6 +428,11 @@ object Lowering {
 
     case Ident(Seq(one)) =>
       if (scope.hasColumn(one)) col(one)
+      // no-FROM scope (the __dummy one-row seed): the reference raises
+      // rather than reading NULL (MLDB-1430 test_error)
+      else if (scope.frames.exists(_._2.columns.sameElements(Array("__dummy"))))
+        throw new IllegalArgumentException(
+          s"""Cannot read column "$one" with no FROM clause.""")
       else lit(null) // MLDB: unknown column reads as NULL
     case Ident(Seq(q, name)) =>
       if (scope.hasQualified(q, name)) col(s"$q.$name")
@@ -1339,6 +1344,12 @@ object Lowering {
     val (fromDf0, scope0) = stmt1.from match {
       case Some(t) => lowerTable(ctx, t)
       case None =>
+        // reference validation (MLDB-1732): a wildcard has no row to
+        // expand against without a FROM
+        if (stmt1.items.exists(i => i.e.isInstanceOf[Star] ||
+            i.e.isInstanceOf[ColumnExprStar]))
+          throw new IllegalArgumentException(
+            "Wildcard usage requires a FROM statement")
         val df = ctx.spark.range(1).toDF("__dummy")
         (df, Scope(Seq(None -> df)))
     }

@@ -218,6 +218,62 @@ class ReferenceParitySpec3 extends AnyFunSuite {
       "stabbed, died, plum"))
   }
 
+  // --- MLDB-1732-columnCount_in_where.py -----------------------------------
+
+  test("MLDB-1732: wildcard without FROM raises; WHERE columnCount() filters empty rows") {
+    val ex = intercept[IllegalArgumentException](q("SELECT *"))
+    assert(ex.getMessage.contains("Wildcard usage requires a FROM statement"))
+    val ex2 = intercept[IllegalArgumentException](
+      q("SELECT * WHERE columnCount() > 0"))
+    assert(ex2.getMessage.contains("Wildcard usage requires a FROM statement"))
+    e.recordRows("ds1732",
+      """[{"rowName":"a","x":1},{"rowName":"b"}]""")
+    val rows = q("SELECT rowName() AS rn, x FROM ds1732 WHERE columnCount() > 0")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(rows === Seq(("a", 1L)))
+  }
+
+  // --- MLDB-1430-aggregate-bug.py ------------------------------------------
+
+  test("MLDB-1430: reading a column with no FROM clause raises") {
+    val ex = intercept[IllegalArgumentException](q("SELECT a").collect())
+    assert(ex.getMessage.contains("""Cannot read column "a" with no FROM clause."""))
+    val ex2 = intercept[IllegalArgumentException](q("SELECT 1 NAMED a").collect())
+    assert(ex2.getMessage.contains("""Cannot read column "a" with no FROM clause."""))
+  }
+
+  test("MLDB-1430: repeated and mixed aggregates in one projection") {
+    e.recordRows("ds1430",
+      """[{"rowName":"1","age":20},{"rowName":"2","age":40},{"rowName":"3"}]""")
+    val r = one("""SELECT count(*) as x, sum(age) / count(age) as y,
+      |count(*) as z FROM ds1430""".stripMargin)
+    assert(r === Row(3L, 30.0, 3L))
+  }
+
+  // --- MLDB-1507-groupby.py ------------------------------------------------
+
+  test("MLDB-1507: aggregate permutations agree with and without GROUP BY") {
+    e.recordRows("ds1507",
+      """[{"rowName":"1","age":20,"sex":"m","cls":1},
+        |{"rowName":"2","age":40,"sex":"f","cls":1},
+        |{"rowName":"3","sex":"m","cls":2}]""".stripMargin.replace("\n", ""))
+    // GROUP BY a constant groups everything into one bucket
+    assert(one("SELECT count(*) AS n FROM ds1507 GROUP BY 1").getLong(0) === 3L)
+    // count over a row argument counts per column
+    val r = one("SELECT count({age, sex}) AS c FROM ds1507").getStruct(0)
+    assert(r.getAs[Long]("age") === 2L && r.getAs[Long]("sex") === 3L)
+    // max({*}) auto-applies per column
+    val m = q("SELECT max({*}) AS * FROM ds1507")
+    val row = m.head()
+    assert(row.getLong(m.columns.indexOf("age")) === 40L)
+    assert(row.getString(m.columns.indexOf("sex")) === "m")
+    assert(row.getLong(m.columns.indexOf("cls")) === 2L)
+    // wildcard + GROUP BY raises (test_groupby_select_star)
+    val ex = intercept[IllegalArgumentException](
+      q("SELECT * FROM ds1507 GROUP BY cls"))
+    assert(ex.getMessage.contains("Wildcard cannot be used with GROUP BY"))
+  }
+
   // --- MLDB-162-min-max-function.py ----------------------------------------
 
   test("MLDB-162: arithmetic over and between aggregates") {
