@@ -81,7 +81,7 @@ object Ast {
   final case class SubSelect(stmt: Select, alias: String) extends TableExpr
   /** Dataset functions: transpose(t), merge(a, b), sample(t, frac). */
   final case class TableFn(name: String, tables: Seq[TableExpr],
-      args: Seq[Expr]) extends TableExpr
+      args: Seq[Expr], alias: Option[String] = None) extends TableExpr
 
   final case class Select(
       items: Seq[SelectItem],

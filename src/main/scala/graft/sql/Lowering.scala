@@ -80,7 +80,15 @@ object Lowering {
       val df = alias.map(df0.alias).getOrElse(df0.alias(name))
       (df, Scope(Seq(Some(alias.getOrElse(name)) -> df0)))
     case SubSelect(stmt, alias) =>
-      val inner = lowerSelect(ctx, stmt)
+      val inner0 = lowerSelect(ctx, stmt)
+      // a no-FROM SELECT names its single row 'result' (MLDB-1639,
+      // MLDB-1841 test_distincton_pipeline) — carry it so joins
+      // compose `[result]-[…]`
+      val inner =
+        if (stmt.from.isEmpty && stmt.named.isEmpty &&
+            !inner0.columns.exists(_.equalsIgnoreCase("rowName")))
+          inner0.withColumn("rowName", lit("result"))
+        else inner0
       (inner.alias(alias), Scope(Seq(Some(alias) -> inner)))
     case JoinExpr(l, r, jt, on) =>
       val (ld, ls) = lowerTable(ctx, l)
@@ -91,10 +99,19 @@ object Lowering {
         case (_, Some(cond)) => ld.join(rd, lowerExpr(scope, cond), jt)
         case ("inner", None) => ld.crossJoin(rd) // reference CROSS via ON true
         case (other, None) =>
-          throw new IllegalArgumentException(s"$other join requires ON")
+          // the reference treats an ON-less outer join as ON true —
+          // every pair matches, WHERE then filters (MLDB-1639
+          // test_join_outer_where)
+          ld.join(rd, lit(true), other)
       }
       (joined, scope)
-    case TableFn(name, tables, args) => name match {
+    case TableFn(name, tables, args, Some(al)) =>
+      // alias the table function's frame so `t.col` and joined
+      // row-name composition see it (MLDB-1639)
+      val (df0, _) = lowerTable(ctx, TableFn(name, tables, args, None))
+      val aliased = df0.alias(al)
+      (aliased, Scope(Seq(Some(al) -> aliased)))
+    case TableFn(name, tables, args, None) => name match {
       case "merge" =>
         val lowered = tables.map(lowerTable(ctx, _))
         val merged = lowered.map(_._1.drop("__alias__")).reduce { (a, b) =>
@@ -196,7 +213,15 @@ object Lowering {
           case _ => false
         }
         val castTo = if (allNumeric) "double" else "string"
-        val cells = fields.map { case (n, v) =>
+        // atom index follows the reference's column order — paths sort
+        // numerically when every element is a number, lexicographically
+        // otherwise (MLDB-1639: {"toy story": 1, "terminator": 5} names
+        // terminator row '0' and toy story row '1')
+        val sortedFields =
+          if (fields.forall(f => f._1.forall(_.isDigit) && f._1.nonEmpty))
+            fields.sortBy(_._1.toLong)
+          else fields.sortBy(_._1)
+        val cells = sortedFields.map { case (n, v) =>
           struct(lit(n).as("column"),
             lowerExpr(emptyScope, v).cast(castTo).as("value"))
         }
@@ -649,10 +674,12 @@ object Lowering {
     case "regex_replace" => regexp_replace(a(0), a(1), a(2))
     // reference regex_match matches the ENTIRE string (doc
     // `sql/ValueExpression.md` regex_match): anchor the pattern.
-    case "regex_match" => a(0).rlike(raw(1) match {
-      case StrLit(s) => s"^(?:$s)$$"
-      case _ => throw new IllegalArgumentException("regex must be literal")
-    })
+    case "regex_match" => raw(1) match {
+      case StrLit(s) => a(0).rlike(s"^(?:$s)$$")
+      case _ => // dynamic pattern (MLDB-1639 join conditions)
+        call_function("rlike", a(0),
+          concat(lit("^(?:"), a(1), lit(")$")))
+    }
     case "levenshtein_distance" => levenshtein(a(0), a(1))
     // jaccard_index: over two token BAGS (the reference signature,
     // MLDB-1668 — jaccard of the key sets; empty∩empty = 1), or the
@@ -693,10 +720,11 @@ object Lowering {
     // regex_search: partial match anywhere in the string
     // (`builtin_functions.cc` regex battery); regex_match above is the
     // FULL-string match.
-    case "regex_search" => a(0).rlike(raw(1) match {
-      case StrLit(s) => s
-      case _ => throw new IllegalArgumentException("regex must be literal")
-    })
+    case "regex_search" => raw(1) match {
+      case StrLit(s) => a(0).rlike(s)
+      case _ => // dynamic pattern (MLDB-1639 join conditions)
+        call_function("rlike", a(0), a(1))
+    }
     // timestamp
     case "date_part" => raw(0) match {
       case StrLit(unit) => unit.toLowerCase match {

@@ -304,8 +304,16 @@ final class Parser(tokens: Vector[Token]) {
           }
           expectOp(")")
         }
-        if (acceptKw("AS")) parseIdentName() // alias accepted, scope-irrelevant
-        TableFn(name.toLowerCase, tbls.result(), args.result())
+        // `atom_dataset({…}) AS t` — the alias scopes qualified column
+        // reads and join row-name composition (MLDB-1639)
+        val alias =
+          if (acceptKw("AS")) Some(parseIdentName())
+          else peek match {
+            case TIdent(v, q, _) if q || !reserved(v.toLowerCase) =>
+              p += 1; Some(v)
+            case _ => None
+          }
+        TableFn(name.toLowerCase, tbls.result(), args.result(), alias)
       } else {
         val alias =
           if (acceptKw("AS")) Some(parseIdentName())

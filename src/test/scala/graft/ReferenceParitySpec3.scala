@@ -274,6 +274,33 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     assert(ex.getMessage.contains("Wildcard cannot be used with GROUP BY"))
   }
 
+  // --- MLDB-1639-join-where.py ---------------------------------------------
+
+  test("MLDB-1639: ON-less joins filtered by WHERE, atom_dataset as a side") {
+    // atom_dataset rows are named by sorted column order:
+    // terminator → '0', toy story → '1'
+    val r1 = q("""select rowName() AS rn, test1.x from (select 'toy story' as x) as test1
+      |join atom_dataset({"toy story": 1, "terminator": 5}) as test2
+      |where regex_search(test1.x, test2.column)""".stripMargin)
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    assert(r1 === Seq(("[result]-[1]", "toy story")))
+    val r2 = q("""select rowName() AS rn, test1.x, test2.column, test2.value
+      |from (select 'toy story' as x) as test1
+      |right join atom_dataset({"toy story": 1, "terminator": 5}) as test2
+      |where CAST (test1.x AS PATH) = test2.column""".stripMargin)
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(r2 === Seq(("[result]-[1]", "toy story", "toy story", 1.0)))
+    val r3 = q("""select rowName() AS rn, test2.column, test2.value, test1.x
+      |from atom_dataset({"toy story": 1, "terminator": 5}) as test2
+      |left join (select 'everythingisawesome' as x) as test1
+      |on CAST (test2.column AS STRING) = 'toy story'
+      |order by rn""".stripMargin)
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.get(3)))
+    assert(r3 === Seq(
+      ("[0]-[]", "terminator", 5.0, null),
+      ("[1]-[result]", "toy story", 1.0, "everythingisawesome")))
+  }
+
   // --- MLDB-162-min-max-function.py ----------------------------------------
 
   test("MLDB-162: arithmetic over and between aggregates") {
