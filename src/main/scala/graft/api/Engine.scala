@@ -383,7 +383,31 @@ final class GraftEngine(val spark: SparkSession) {
       case "transform" =>
         registerOut(query(req("inputQuery")))
       case "import.text" =>
-        registerOut(graft.sources.Sources.importText(spark, req("dataFileUrl")))
+        // full ImportTextConfig surface over REST params
+        // (`plugins/textual/importtext_procedure.cc:43-115`)
+        def flag(k: String) = param(k).exists(_.toBoolean)
+        val cfg = graft.sources.Sources.TextImportConfig(
+          delimiter = param("delimiter").getOrElse(","),
+          quoteChar = param("quoteChar").getOrElse("\""),
+          encoding = param("encoding").getOrElse("UTF-8"),
+          headers = param("hasHeaderRow").forall(_.toBoolean),
+          headerNames = param("headers").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          autoGenerateHeaders = flag("autoGenerateHeaders"),
+          ignoreBadLines = flag("ignoreBadLines"),
+          ignoreExtraColumns = flag("ignoreExtraColumns"),
+          allowMultiLines = flag("allowMultiLines"),
+          limit = param("limit").map(_.toInt),
+          offset = param("offset").map(_.toInt).getOrElse(0),
+          preHeaderOffset = param("preHeaderOffset").map(_.toInt).getOrElse(0),
+          skipLineRegex = param("skipLineRegex"),
+          processExcelFormulas = flag("processExcelFormulas"),
+          select = param("select").getOrElse("*"),
+          where = param("where").getOrElse("true"),
+          named = param("named"),
+          timestamp = param("timestamp"))
+        registerOut(graft.sources.Sources.importText(spark,
+          req("dataFileUrl"), cfg))
       case "import.json" =>
         registerOut(graft.sources.Sources.importJson(spark, req("dataFileUrl")))
       case "import.xlsx" =>

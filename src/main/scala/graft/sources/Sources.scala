@@ -33,9 +33,14 @@ object Sources {
     *    `rowName`/`ts` columns when supplied (defaulting them to
     *    lineNumber()/fileTimestamp() would force a line-level read,
     *    so unlike the reference they are opt-in);
-    *  - `structuredColumnNames`/`ignoreExtraColumns` are not
-    *    implemented (Spark columns are flat; width mismatches follow
-    *    `ignoreBadLines`).
+    *  - `ignoreExtraColumns` maps to Spark's PERMISSIVE parse mode,
+    *    which truncates extra tokens to the header width
+    *    (MLDB-2169); nuance: rows with too FEW columns then read as
+    *    nulls rather than erroring;
+    *  - a trailing empty header cell and its (empty) values drop,
+    *    like the reference's trailing-comma handling (MLDB-1649);
+    *  - `structuredColumnNames` is not implemented (Spark columns
+    *    are flat).
     * uint64 note (SURVEY §1.2): with inference, integers beyond
     * int64 (e.g. 2^64-1) import as DECIMAL(20,0) — Spark's CSV
     * inference tries int → bigint → decimal — so the reference's full
@@ -49,6 +54,7 @@ object Sources {
       headerNames: Seq[String] = Nil,
       autoGenerateHeaders: Boolean = false,
       ignoreBadLines: Boolean = false,
+      ignoreExtraColumns: Boolean = false,
       allowMultiLines: Boolean = false,
       limit: Option[Int] = None,
       offset: Int = 0,
@@ -73,12 +79,25 @@ object Sources {
       "headerNames and autoGenerateHeaders are mutually exclusive")
     val hasHeaderRow =
       cfg.headers && !cfg.autoGenerateHeaders && cfg.headerNames.isEmpty
+    // the reference accepts latin1/utf8-style aliases
+    // (`plugins/textual/importtext_procedure.cc` parse_encoding)
+    val encoding = cfg.encoding.toLowerCase.replace("-", "").replace("_", "") match {
+      case "latin1" | "iso88591" => "ISO-8859-1"
+      case "latin2" | "iso88592" => "ISO-8859-2"
+      case "utf8" => "UTF-8"
+      case "utf16" => "UTF-16"
+      case "utf32" => "UTF-32"
+      case "ascii" | "usascii" => "US-ASCII"
+      case _ => cfg.encoding
+    }
     var r = spark.read
       .option("sep", cfg.delimiter)
       .option("quote", cfg.quoteChar)
-      .option("encoding", cfg.encoding)
+      .option("encoding", encoding)
       .option("header", hasHeaderRow)
-      .option("mode", if (cfg.ignoreBadLines) "DROPMALFORMED" else "FAILFAST")
+      .option("mode",
+        if (cfg.ignoreExtraColumns) "PERMISSIVE"
+        else if (cfg.ignoreBadLines) "DROPMALFORMED" else "FAILFAST")
       .option("multiLine", cfg.allowMultiLines)
     cfg.schema match {
       case Some(s) => r = r.schema(s)
@@ -90,7 +109,7 @@ object Sources {
       // then hand the cleaned lines to the same CSV parser. Stays
       // distributed: text scan → per-row ops → csv(Dataset[String]).
       import spark.implicits._
-      var lines = spark.read.option("encoding", cfg.encoding).text(path)
+      var lines = spark.read.option("encoding", encoding).text(path)
         .select(col("value"))
       if (cfg.preHeaderOffset > 0) lines = lines.offset(cfg.preHeaderOffset)
       cfg.skipLineRegex.foreach { re =>
@@ -101,15 +120,23 @@ object Sources {
           "=(\"[^\"]*\")", "$1").as("value"))
       r.csv(lines.as[String])
     }
+    // a trailing comma in the header row yields an empty-named last
+    // column (Spark auto-names it _cN); the reference drops it with
+    // its (empty) values — MLDB-1649
+    val df0t =
+      if (hasHeaderRow && df0.columns.nonEmpty &&
+          df0.columns.last == s"_c${df0.columns.length - 1}")
+        df0.drop(df0.columns.last)
+      else df0
     val df1 =
       if (cfg.autoGenerateHeaders)
-        df0.toDF(df0.columns.indices.map(i => s"c$i"): _*)
+        df0t.toDF(df0t.columns.indices.map(i => s"c$i"): _*)
       else if (cfg.headerNames.nonEmpty) {
-        require(cfg.headerNames.length == df0.columns.length,
+        require(cfg.headerNames.length == df0t.columns.length,
           s"headerNames has ${cfg.headerNames.length} names but the file " +
-            s"has ${df0.columns.length} columns")
-        df0.toDF(cfg.headerNames: _*)
-      } else df0
+            s"has ${df0t.columns.length} columns")
+        df0t.toDF(cfg.headerNames: _*)
+      } else df0t
     val df2 = if (cfg.offset > 0) df1.offset(cfg.offset) else df1
     val df3 = cfg.limit.map(df2.limit).getOrElse(df2)
     // post-import expressions (reference select/where/named/timestamp)

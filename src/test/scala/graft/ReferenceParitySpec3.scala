@@ -301,6 +301,26 @@ class ReferenceParitySpec3 extends AnyFunSuite {
       ("[1]-[result]", "toy story", 1.0, "everythingisawesome")))
   }
 
+  // --- MLDB-2169-skip-extra-columns.js / MLDB-1649 trailing comma ----------
+
+  test("MLDB-2169: ignoreExtraColumns truncates wide rows to the header") {
+    val df = sources.Sources.importText(spark,
+      "/root/reference/testing/fixtures/MLDB-2169-skip-extra-columns.csv",
+      sources.Sources.TextImportConfig(encoding = "latin1",
+        ignoreExtraColumns = true))
+    assert(df.columns.toSeq === Seq("a", "b"))
+    val rows = df.collect().toSeq.map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows === Seq((1, 2), (3, 4), (5, 6), (5, 6), (5, 6), (5, 6), (9, 10)))
+  }
+
+  test("MLDB-1649: a trailing header comma drops the empty last column") {
+    val df = sources.Sources.importText(spark,
+      "/root/reference/testing/dataset/MLDB-1649.csv")
+    assert(df.columns.toSeq === Seq("a", "b", "c"))
+    assert(df.collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      === Seq((1, 2, 3)))
+  }
+
   // --- MLDB-162-min-max-function.py ----------------------------------------
 
   test("MLDB-162: arithmetic over and between aggregates") {
