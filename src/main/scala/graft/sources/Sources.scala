@@ -67,18 +67,68 @@ object Sources {
       timestamp: Option[String] = None,
       schema: Option[StructType] = None)
 
+  /** Formats Spark cannot read natively (.lz4 frame, .zst, .zip) are
+    * decompressed once driver-side to a temp file, then parsed
+    * distributed like any text (MLDB-1140 compression battery). None
+    * of these formats is splittable, so the single decompression
+    * stream is what any engine pays; .gz/.bz2 stay on Spark's native
+    * codec path. */
+  private def maybeDecompress(path: String): String = {
+    val lower = path.toLowerCase
+    def viaStream(open: java.io.InputStream => java.io.InputStream,
+        suffix: String): String = {
+      val raw = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(path.stripPrefix("file://")))
+      val in = open(raw)
+      val tmp = java.io.File.createTempFile("graft_import_", suffix)
+      tmp.deleteOnExit()
+      try java.nio.file.Files.copy(in, tmp.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.getAbsolutePath
+    }
+    // magic-sniff: a mislabeled extension over plain text reads as-is
+    // (the reference's own MLDB-1140 .zip fixture is plain text)
+    def magic(bytes: Int*): Boolean = {
+      val in = new java.io.FileInputStream(path.stripPrefix("file://"))
+      try {
+        val head = new Array[Byte](bytes.length)
+        in.read(head) == bytes.length &&
+          head.toSeq == bytes.map(_.toByte)
+      } finally in.close()
+    }
+    if (lower.endsWith(".lz4") && magic(0x04, 0x22, 0x4d, 0x18))
+      viaStream(new net.jpountz.lz4.LZ4FrameInputStream(_), ".csv")
+    else if ((lower.endsWith(".zst") || lower.endsWith(".zstd")) &&
+        magic(0x28, 0xb5, 0x2f, 0xfd))
+      viaStream(new com.github.luben.zstd.ZstdInputStream(_), ".csv")
+    else if (lower.endsWith(".zip") && magic(0x50, 0x4b, 0x03, 0x04))
+      viaStream(raw => {
+        val z = new java.util.zip.ZipInputStream(raw)
+        if (z.getNextEntry == null)
+          throw new IllegalArgumentException(s"$path: empty zip archive")
+        z
+      }, ".csv")
+    else path
+  }
+
   /** `import.text` — CSV/TSV import. */
-  def importText(spark: SparkSession, path: String,
+  def importText(spark: SparkSession, path0: String,
       cfg: TextImportConfig = TextImportConfig()): DataFrame = {
+    val path = maybeDecompress(path0)
+    val hasHeaderRow0 =
+      cfg.headers && !cfg.autoGenerateHeaders && cfg.headerNames.isEmpty
+    // a header-less offset must skip raw LINES before the typed parse —
+    // the skipped lines may not even parse (MLDB-1140's metadata line)
+    val lineOffset = if (!hasHeaderRow0 && cfg.offset > 0) cfg.offset else 0
     val lineLevel = cfg.preHeaderOffset > 0 || cfg.skipLineRegex.nonEmpty ||
-      cfg.processExcelFormulas
+      cfg.processExcelFormulas || lineOffset > 0
     require(!(lineLevel && cfg.allowMultiLines),
       "preHeaderOffset/skipLineRegex/processExcelFormulas are line-level " +
         "options and cannot combine with allowMultiLines (records span lines)")
     require(!(cfg.headerNames.nonEmpty && cfg.autoGenerateHeaders),
       "headerNames and autoGenerateHeaders are mutually exclusive")
-    val hasHeaderRow =
-      cfg.headers && !cfg.autoGenerateHeaders && cfg.headerNames.isEmpty
+    val hasHeaderRow = hasHeaderRow0
     // the reference accepts latin1/utf8-style aliases
     // (`plugins/textual/importtext_procedure.cc` parse_encoding)
     val encoding = cfg.encoding.toLowerCase.replace("-", "").replace("_", "") match {
@@ -112,6 +162,7 @@ object Sources {
       var lines = spark.read.option("encoding", encoding).text(path)
         .select(col("value"))
       if (cfg.preHeaderOffset > 0) lines = lines.offset(cfg.preHeaderOffset)
+      if (lineOffset > 0) lines = lines.offset(lineOffset)
       cfg.skipLineRegex.foreach { re =>
         lines = lines.filter(!col("value").rlike("^(?:" + re + ")$"))
       }
@@ -137,7 +188,8 @@ object Sources {
             s"has ${df0t.columns.length} columns")
         df0t.toDF(cfg.headerNames: _*)
       } else df0t
-    val df2 = if (cfg.offset > 0) df1.offset(cfg.offset) else df1
+    val df2 =
+      if (cfg.offset > 0 && lineOffset == 0) df1.offset(cfg.offset) else df1
     val df3 = cfg.limit.map(df2.limit).getOrElse(df2)
     // post-import expressions (reference select/where/named/timestamp)
     val df4 = cfg.named.foldLeft(df3)((d, e) =>

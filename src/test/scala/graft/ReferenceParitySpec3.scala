@@ -321,6 +321,25 @@ class ReferenceParitySpec3 extends AnyFunSuite {
       === Seq((1, 2, 3)))
   }
 
+  // --- MLDB-1140-csv_reading_compression_test.py ---------------------------
+
+  test("MLDB-1140: lz4 and zip CSVs import identically to the plain file") {
+    import org.apache.spark.sql.types._
+    val cfg = sources.Sources.TextImportConfig(
+      headers = false,
+      headerNames = Seq("uid", "timestamp", "score"),
+      delimiter = "\t", offset = 1, named = Some("uid"),
+      schema = Some(StructType(Seq(StructField("uid", StringType),
+        StructField("timestamp", StringType), StructField("score", DoubleType)))))
+    val results = for (ext <- Seq("lz4", "zip")) yield {
+      val df = sources.Sources.importText(spark,
+        s"/root/reference/testing/MLDB-1140-small_score.csv.$ext", cfg)
+      assert(df.columns.toSeq === Seq("uid", "timestamp", "score", "rowName"))
+      df.orderBy("uid").collect().toSeq.map(_.toString)
+    }
+    assert(results(0) === results(1) && results(0).nonEmpty)
+  }
+
   // --- MLDB-162-min-max-function.py ----------------------------------------
 
   test("MLDB-162: arithmetic over and between aggregates") {
