@@ -33,7 +33,12 @@ object PlanAudit {
       "q102_temperature_sample", "q103_pipeline_e2e",
       "q104_gopher_repetition", "q105_curation_capstone",
       "q106_c4_clean", "q107_sequence_pack_grouped",
-      "q114_dedup_transitive", "q115_fix_text", "q116_intradoc_line_dedup")
+      "q114_dedup_transitive", "q115_fix_text", "q116_intradoc_line_dedup",
+      // round-5 session-3 dialect additions: multi-key DISTINCT ON
+      // (window partitioned BY THE KEY — never SinglePartition),
+      // expression group keys, ordered string_agg, sum({*}) expansion
+      "q118_sql_distinct_on_multi", "q119_sql_group_expr",
+      "q120_sql_string_agg_ordered", "q121_sql_sum_row_star")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
