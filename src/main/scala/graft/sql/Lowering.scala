@@ -620,6 +620,11 @@ object Lowering {
     case "timestamp" => "timestamp"
     case "blob" => "binary"
     case "path" => "string"
+    // MLDB's INTERVAL cell type (`cell_value.h` TIMEINTERVAL) — the
+    // day-time flavor: numeric casts read as seconds, and
+    // timestamp ± interval arithmetic works (MLDB-1033 family).
+    // Month-bearing intervals are not representable (documented).
+    case "interval" => "interval day to second"
     case other => other // passthrough: long, double, int, date …
   }
 

@@ -340,6 +340,59 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     assert(results(0) === results(1) && results(0).nonEmpty)
   }
 
+  // --- MLDBFB-1235-temporal-aggregators.py ---------------------------------
+
+  test("MLDB-1235: superposed cells — aggregates see the latest value, temporal_earliest the first") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val before = java.sql.Timestamp.valueOf("2016-01-01 12:23:34")
+    val sometime = java.sql.Timestamp.valueOf("2016-01-02 12:23:34")
+    val after = java.sql.Timestamp.valueOf("2016-01-03 12:23:34")
+    // the reference's setUpClass: x/y superpositions at three times
+    val cells = (1 to 2).flatMap { i =>
+      Seq(("row_" + i, "x", -i.toDouble, before), ("row_" + i, "y", i.toDouble, before),
+        ("row_" + i, "x", 0.0, sometime), ("row_" + i, "y", 0.0, sometime),
+        ("row_" + i, "x", (i + 1).toDouble, after), ("row_" + i, "y", (-i - 1).toDouble, after))
+    }
+    val eav = cells.toDF("rowName", "column", "num", "ts")
+      .select(col("rowName"), col("column"),
+        struct(col("num"), lit(null).cast("string").as("str"),
+          lit(null).cast("timestamp").as("tsv"),
+          lit(null).cast("boolean").as("flag")).as("value"), col("ts"))
+    // min(x) reads each row's LATEST x: row_1 → 2, row_2 → 3 → min 2
+    val latest = core.Eav.latest(eav)
+    val minX = latest.filter(col("column") === "x")
+      .agg(min(col("value.num"))).head().getDouble(0)
+    assert(minX === 2.0)
+    // temporal_earliest(x): row_1 → -1@before, row_2 → -2@before
+    val earliest = core.Eav.earliest(eav)
+    val ex = earliest.filter(col("column") === "x")
+      .orderBy("rowName").collect().toSeq
+      .map(r => (r.getString(0), r.getStruct(2).getDouble(0), r.getTimestamp(3)))
+    assert(ex === Seq(("row_1", -1.0, before), ("row_2", -2.0, before)))
+    // temporal_earliest({*}) as *: every column at its earliest
+    val all = earliest.orderBy("rowName", "column").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getStruct(2).getDouble(0)))
+    assert(all === Seq(("row_1", "x", -1.0), ("row_1", "y", 1.0),
+      ("row_2", "x", -2.0), ("row_2", "y", 2.0)))
+    // and the timeline itself: three distinct timestamps per cell
+    val tl = core.Eav.distinctTimestamps(eav)
+      .filter(col("rowName") === "row_1" && col("column") === "x")
+      .head().getSeq[java.sql.Timestamp](2)
+    assert(tl === Seq(before, sometime, after))
+  }
+
+  // --- MLDB-1033 family: INTERVAL cell type --------------------------------
+
+  test("MLDB-1033: CAST AS interval and timestamp arithmetic") {
+    // numeric seconds → day-time interval
+    val r = one("SELECT CAST(90 AS interval) AS iv, " +
+      "TIMESTAMP '2015-02-02T00:00:00Z' + CAST(3600 AS interval) AS later")
+    assert(r.get(0) === java.time.Duration.ofSeconds(90))
+    assert(r.getAs[java.sql.Timestamp]("later")
+      === java.sql.Timestamp.valueOf("2015-02-02 01:00:00"))
+  }
+
   // --- MLDB-162-min-max-function.py ----------------------------------------
 
   test("MLDB-162: arithmetic over and between aggregates") {
