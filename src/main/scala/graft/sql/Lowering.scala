@@ -554,6 +554,11 @@ object Lowering {
       // which is the row's NAME, not one of its cells)
       val expanded: Seq[Column] = fields.flatMap {
         case ("*", Star(_, _, _)) =>
+          // reference validation (MLDB-1834): `{*}` has no row to
+          // expand against without a FROM
+          if (scope.frames.exists(_._2.columns.sameElements(Array("__dummy"))))
+            throw new IllegalArgumentException(
+              "Cannot use wildcards with no FROM clause")
           val seen = scala.collection.mutable.LinkedHashSet[String]()
           scope.allColumns.flatMap { case (alias, c) =>
             if (c.equalsIgnoreCase("rowName") || c.startsWith("__") ||
@@ -1243,6 +1248,12 @@ object Lowering {
   }
 
   private def lowerAggCall(scope: Scope, f: FnCall): Column = f match {
+    // reference arity validation (MLDB-1792: "function avg expected 1
+    // argument, got 2") — the single-argument aggregate family
+    case FnCall(n, args, false) if Set("avg", "sum", "min", "max",
+        "variance", "stddev", "earliest", "latest")(n) && args.size != 1 =>
+      throw new IllegalArgumentException(
+        s"function $n expected 1 argument, got ${args.size}")
     case FnCall("count", _, true) => count(lit(1))
     case FnCall("count", args, _) => count(lowerExpr(scope, args.head))
     case FnCall("count_distinct", args, _) =>
@@ -1461,8 +1472,15 @@ object Lowering {
 
     val projected: DataFrame = if (!isAggregated) {
       var out = filtered
-      // NAMED → rowName column
-      stmt.named.foreach(n => out = out.withColumn("rowName", lowerExpr(scope, n)))
+      // NAMED → rowName column; a NULL name is a runtime error like
+      // the reference's (MLDBFB-345) — checked in-row, zero extra passes
+      stmt.named.foreach { n =>
+        val c = lowerExpr(scope, n)
+        out = out.withColumn("rowName",
+          when(c.isNull,
+            raise_error(lit("Can't create a row with a null name")))
+            .otherwise(c.cast("string")))
+      }
       // `x IN (SELECT …)` as a VALUE — in a projection, CASE, ORDER BY
       // or the DISTINCT ON key (reference allows a sub-select anywhere
       // an expression goes, `sql_expression_operations.h:285-330`):

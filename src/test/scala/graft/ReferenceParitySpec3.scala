@@ -382,6 +382,36 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     assert(tl === Seq(before, sometime, after))
   }
 
+  // --- error-message parity: MLDB-1834 / MLDB-1792 / MLDBFB-345 ------------
+
+  test("MLDB-1834: {*} with no FROM raises the reference's error") {
+    val ex = intercept[IllegalArgumentException](q("SELECT {*} AS x"))
+    assert(ex.getMessage.contains("Cannot use wildcards with no FROM clause"))
+  }
+
+  test("MLDB-1792: aggregate arity errors use the reference's message") {
+    e.recordRows("ds1792", """[{"rowName":"row1","colA":1}]""")
+    val ex = intercept[IllegalArgumentException](
+      q("SELECT avg(colA, 2) AS v FROM ds1792").collect())
+    assert(ex.getMessage.contains("function avg expected 1 argument, got 2"))
+  }
+
+  test("MLDBFB-345: NAMED over a null name raises; works when filtered") {
+    e.recordRows("ds345",
+      """[{"rowName":"row1","behA":"a"},{"rowName":"row2","behB":"b"}]""")
+    // works: only rows with a non-null name survive the WHERE
+    assert(q("SELECT behA NAMED behA FROM ds345 WHERE behA IS NOT NULL")
+      .collect().length === 1)
+    // raises at runtime on the null name
+    val ex = intercept[Throwable] {
+      q("SELECT behA NAMED behA FROM ds345").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(ex).exists(_.contains("Can't create a row with a null name")))
+  }
+
   // --- MLDB-1033 family: INTERVAL cell type --------------------------------
 
   test("MLDB-1033: CAST AS interval and timestamp arithmetic") {
