@@ -329,6 +329,42 @@ class ProceduresSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(p_date"))
   }
 
+  test("continuous dataset: restart from checkpoint loses and duplicates nothing (MLDBFB-530)") {
+    val base = Files.createTempDirectory("graft_stream_restart").toString
+    val events = Tables.events(spark, sf).limit(2000).cache()
+    val half = events.count() / 2
+    val schema = events.schema
+    // stage batch 1, record it, stop — then stage batch 2 and restart
+    // the SAME stream (same checkpoint): the reference's continuous
+    // dataset survives restart; Structured Streaming's checkpoint is
+    // the analog, and the store must end up with every event exactly
+    // once
+    val b1 = events.limit(half.toInt)
+    val b2 = events.exceptAll(b1)
+    b1.write.parquet(s"$base/in/batch1")
+    def runOnce(): Unit = {
+      val streamIn = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/*")
+      val q = Continuous.record(streamIn, "ts", s"$base/store", s"$base/ckpt",
+        availableNowForTest = true)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(s"$base/store").count()
+    assert(afterFirst === b1.count())
+    b2.write.parquet(s"$base/in/batch2")
+    runOnce()
+    val store = spark.read.parquet(s"$base/store")
+    assert(store.count() === events.count(), "restart lost or duplicated events")
+    // exactly-once at the row level, not just counts
+    assert(store.select(col("event_id")).exceptAll(
+      events.select(col("event_id"))).count() === 0)
+    assert(events.select(col("event_id")).exceptAll(
+      store.select(col("event_id"))).count() === 0)
+    events.unpersist()
+  }
+
   test("temperatureSample: sqrt temperature flattens the mixture, rates capped and deterministic") {
     import spark.implicits._
     // skewed corpus: big source 400 rows, small source 25 rows

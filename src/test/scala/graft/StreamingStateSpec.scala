@@ -113,6 +113,49 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionize recovers its open sessions across a restart") {
+    // MLDBFB-530 analog for STATE: an open session recorded before a
+    // stop must survive into the restarted stream (checkpointed
+    // flatMapGroupsWithState), then close via the usual event-time
+    // timeout. A lost state would emit nothing (or a 1-event session).
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_restart").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def write(sub: String, rows: (Long, java.sql.Timestamp, Double)*): Unit =
+      rows.toSeq.toDF("key", "ts", "value")
+        .coalesce(1).write.parquet(s"$base/in/$sub")
+    val schema = Seq((1L, t("2024-01-01 00:00:00"), 1.0))
+      .toDF("key", "ts", "value").schema
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+      val sessions = Continuous.sessionizeStream(in, "ts", "key", "value",
+        gapMicros = 60L * 1000 * 1000, watermark = "0 seconds")
+      val q = sessions.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // phase 1: key 1's session opens (two events inside the gap)
+    write("p1", (1L, t("2024-01-01 00:00:00"), 1.0),
+      (1L, t("2024-01-01 00:00:30"), 2.0))
+    runOnce()
+    // phase 2 (after restart): key 2 events advance the watermark far
+    // past key 1's gap — the recovered key-1 state must emit via timeout
+    write("p2a", (2L, t("2024-01-01 01:00:00"), 5.0))
+    write("p2b", (2L, t("2024-01-01 01:00:01"), 5.0))
+    runOnce()
+    write("p3", (2L, t("2024-01-01 01:00:02"), 5.0))
+    runOnce()
+    val out = spark.read.parquet(s"$base/out").as[Continuous.SessionOut]
+      .collect().toSeq
+    assert(out.exists(r => r.key == 1L && r.nEvents == 2 && r.total == 3.0),
+      s"open session not recovered across restart: ${out.mkString(",")}")
+  }
+
   test("stateless pipeline ops run unchanged on a stream (quality gate + redaction)") {
     // gopherQuality / redactPii / langId are pure per-row Column math,
     // so the SAME operator code drives a streaming quality filter —
