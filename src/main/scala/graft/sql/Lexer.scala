@@ -18,6 +18,15 @@ object Lexer {
   private val multiOps = Seq("<=", ">=", "<>", "!=", "||")
   private val singleOps = "+-*/%<>=&|^~(),.[]{}:$@".toSet
 
+  /** 1-based line:column of a character offset — the reference's
+    * error-location convention (MLDB-1601: "1:9"). */
+  def lineCol(s: String, pos: Int): String = {
+    val upTo = s.take(pos)
+    val line = upTo.count(_ == '\n') + 1
+    val colPos = pos - (upTo.lastIndexOf('\n') + 1) + 1
+    s"$line:$colPos"
+  }
+
   def lex(s: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]
     var i = 0
@@ -38,7 +47,7 @@ object Lexer {
           else { sb += s(i); i += 1 }
         }
         if (!closed) throw new IllegalArgumentException(
-          s"unterminated string literal at $start")
+          s"unterminated string literal at ${lineCol(s, start)}")
         out += TStr(sb.toString, start)
       } else if (c == '"') {
         val sb = new StringBuilder
@@ -51,7 +60,7 @@ object Lexer {
           else { sb += s(i); i += 1 }
         }
         if (!closed) throw new IllegalArgumentException(
-          s"unterminated quoted identifier at $start")
+          s"unterminated quoted identifier at ${lineCol(s, start)}")
         out += TIdent(sb.toString, quoted = true, start)
       } else if (c.isDigit || (c == '.' && i + 1 < n && s(i + 1).isDigit)) {
         val start = i
@@ -76,7 +85,8 @@ object Lexer {
         val two = if (i + 1 < n) s.substring(i, i + 2) else ""
         if (multiOps.contains(two)) { out += TOp(two, i); i += 2 }
         else if (singleOps(c)) { out += TOp(c.toString, i); i += 1 }
-        else throw new IllegalArgumentException(s"unexpected character '$c' at $i")
+        else throw new IllegalArgumentException(
+          s"unexpected character '$c' at ${lineCol(s, i)}")
       }
     }
     out += TEnd(n)

@@ -11,7 +11,7 @@ import Lexer._
   * (level 3); comparisons (incl. LIKE/BETWEEN/IN/IS) bind looser,
   * then NOT, AND, OR.
   */
-final class Parser(tokens: Vector[Token]) {
+final class Parser(tokens: Vector[Token], source: String = "") {
 
   private var p = 0
   private var anonSub = 0
@@ -32,8 +32,13 @@ final class Parser(tokens: Vector[Token]) {
   }
   private def expectOp(op: String): Unit =
     if (!acceptOp(op)) fail(s"expected '$op'")
-  private def fail(msg: String): Nothing =
-    throw new IllegalArgumentException(s"parse error at ${peek.pos}: $msg (got $peek)")
+  private def fail(msg: String): Nothing = {
+    // report line:column like the reference (MLDB-1601)
+    val where =
+      if (source.nonEmpty) Lexer.lineCol(source, peek.pos) else s"${peek.pos}"
+    throw new IllegalArgumentException(
+      s"parse error at $where: $msg (got $peek)")
+  }
 
   private val reserved = Set(
     "select", "named", "from", "when", "where", "group", "having", "order",
@@ -612,5 +617,6 @@ final class Parser(tokens: Vector[Token]) {
 }
 
 object Parser {
-  def parse(sql: String): Select = new Parser(Lexer.lex(sql)).parseStatement()
+  def parse(sql: String): Select =
+    new Parser(Lexer.lex(sql), sql).parseStatement()
 }

@@ -412,6 +412,25 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("Can't create a row with a null name")))
   }
 
+  // --- MLDB-1601-unclosed-string-error-message.js --------------------------
+
+  test("MLDB-1601: parse errors locate the problem as line:column") {
+    val q1 = "SELECT 'this is an unclosed string \n" +
+      "        with lots of lines \n" +
+      "        but no closing quote"
+    val ex = intercept[IllegalArgumentException](graft.sql.Parser.parse(q1))
+    assert(ex.getMessage.contains("1:8"), ex.getMessage)
+    val q2 = "SELECT \"this is an unclosed identifier \n" +
+      "        with lots of lines \n" +
+      "        but no closing quote"
+    val ex2 = intercept[IllegalArgumentException](graft.sql.Parser.parse(q2))
+    assert(ex2.getMessage.contains("1:8"), ex2.getMessage)
+    // a mid-statement syntax error reports its own location
+    val ex3 = intercept[IllegalArgumentException](
+      graft.sql.Parser.parse("SELECT a FROM t\nWHERE (a + )"))
+    assert("\\d+:\\d+".r.findFirstIn(ex3.getMessage).isDefined, ex3.getMessage)
+  }
+
   // --- MLDB-1033 family: INTERVAL cell type --------------------------------
 
   test("MLDB-1033: CAST AS interval and timestamp arithmetic") {
