@@ -1133,6 +1133,11 @@ object Lowering {
     * (`sql/SelectExpression.md:43-96`): columnName(), string
     * concat/compare, lower/upper/length, regex_match, LIKE. */
   private object ColumnSetEval {
+    /** per-column non-null row counts, set by expandColumnExpr when an
+      * expression mentions rowCount() */
+    val stats = new scala.util.DynamicVariable[String => Long](
+      _ => throw new IllegalArgumentException(
+        "rowCount() needs column statistics"))
     def evalStr(e: Expr, name: String): String = String.valueOf(eval(e, name))
     def evalBool(e: Expr, name: String): Boolean = eval(e, name) match {
       case b: Boolean => b
@@ -1146,6 +1151,9 @@ object Lowering {
       case BoolLit(v) => v
       case NullLit() => null
       case FnCall("columnname" | "columnpath", _, _) => name
+      // rowCount(): rows having this column — needs the one data pass
+      // the caller precomputes (MLDB-1172 `ORDER BY rowCount() DESC`)
+      case FnCall("rowcount", _, _) => stats.value(name)
       case FnCall("lower", Seq(x), _) => evalStr(x, name).toLowerCase
       case FnCall("upper", Seq(x), _) => evalStr(x, name).toUpperCase
       case FnCall("length", Seq(x), _) => evalStr(x, name).length.toLong
@@ -1186,25 +1194,55 @@ object Lowering {
   /** Expand a COLUMN EXPR select item against the scope's column set:
     * filter / order / limit / rename the NAMES driver-side, emit plain
     * column references — zero data movement. */
+  private def mentionsRowCount(e: Expr): Boolean = e match {
+    case FnCall("rowcount", _, _) => true
+    case FnCall(_, args, _) => args.exists(mentionsRowCount)
+    case Binary(_, l, r) => mentionsRowCount(l) || mentionsRowCount(r)
+    case Unary(_, x) => mentionsRowCount(x)
+    case LikeExpr(x, pat, _) => mentionsRowCount(x) || mentionsRowCount(pat)
+    case _ => false
+  }
+
   private def expandColumnExpr(scope: Scope, ce: ColumnExprStar): Seq[Column] = {
     var names = scope.allColumns.map(_._2).distinct
-    ce.where.foreach(w => names = names.filter(n => ColumnSetEval.evalBool(w, n)))
-    if (ce.orderBy.nonEmpty) {
-      val ord = ce.orderBy.map { o =>
-        (n: String) => ColumnSetEval.evalStr(o.e, n)
+      .filterNot(n => n.equalsIgnoreCase("rowName") || n.startsWith("__"))
+    // one aggregate pass supplies rowCount() when mentioned — counts
+    // of non-null cells per column (sparse "rows having the column")
+    val needsCounts = ce.where.exists(mentionsRowCount) ||
+      ce.orderBy.exists(o => mentionsRowCount(o.e)) ||
+      ce.as.exists(mentionsRowCount)
+    val countFn: String => Long = if (needsCounts) {
+      val df = scope.frames.head._2
+      val counted = df.select(names.map(n =>
+        count(col(n)).as(n)): _*).head()
+      val m = names.map(n => n -> counted.getAs[Long](n)).toMap
+      m.apply _
+    } else ColumnSetEval.stats.value
+    ColumnSetEval.stats.withValue(countFn) {
+      ce.where.foreach(w => names = names.filter(n => ColumnSetEval.evalBool(w, n)))
+      if (ce.orderBy.nonEmpty) {
+        // numeric sort keys order numerically (rowCount()), strings
+        // lexicographically
+        val ord = ce.orderBy.map { o =>
+          (n: String) => ColumnSetEval.eval(o.e, n)
+        }
+        def lt(a: Any, b: Any): Int = (a, b) match {
+          case (x: Long, y: Long) => x.compareTo(y)
+          case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+        }
+        names = names.sortWith { (x, y) =>
+          ce.orderBy.zip(ord).collectFirst {
+            case (o, k) if lt(k(x), k(y)) != 0 =>
+              if (o.asc) lt(k(x), k(y)) < 0 else lt(k(x), k(y)) > 0
+          }.getOrElse(false)
+        }
       }
-      names = names.sortWith { (x, y) =>
-        ce.orderBy.zip(ord).collectFirst {
-          case (o, k) if k(x) != k(y) =>
-            if (o.asc) k(x) < k(y) else k(x) > k(y)
-        }.getOrElse(false)
+      ce.offset.foreach(o => names = names.drop(o.toInt))
+      ce.limit.foreach(l => names = names.take(l.toInt))
+      names.map { n =>
+        val outName = ce.as.map(a => ColumnSetEval.evalStr(a, n)).getOrElse(n)
+        col(n).as(outName)
       }
-    }
-    ce.offset.foreach(o => names = names.drop(o.toInt))
-    ce.limit.foreach(l => names = names.take(l.toInt))
-    names.map { n =>
-      val outName = ce.as.map(a => ColumnSetEval.evalStr(a, n)).getOrElse(n)
-      col(n).as(outName)
     }
   }
 

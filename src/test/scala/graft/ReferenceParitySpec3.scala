@@ -412,6 +412,24 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("Can't create a row with a null name")))
   }
 
+  // --- MLDB-1172_column_expr_fail.py ---------------------------------------
+
+  test("MLDB-1172: COLUMN EXPR ordered by rowCount()") {
+    e.recordRows("ds1172",
+      """[{"rowName":"rowA","feat1":1,"feat2":1,"feat3":1},
+        |{"rowName":"rowB","feat1":1,"feat2":1},
+        |{"rowName":"rowC","feat1":1}]""".stripMargin.replace("\n", ""))
+    val top2 = q("SELECT COLUMN EXPR (ORDER BY rowCount() DESC LIMIT 2) FROM ds1172")
+    assert(top2.columns.toSet === Set("feat1", "feat2"))
+    val filtered = q("""SELECT COLUMN EXPR (
+      |WHERE regex_match(columnName(), 'feat[0-9]')
+      |ORDER BY rowCount() DESC LIMIT 2) FROM ds1172""".stripMargin)
+    assert(filtered.columns.toSet === Set("feat1", "feat2"))
+    // ascending keeps the rarest columns
+    val rare = q("SELECT COLUMN EXPR (ORDER BY rowCount() ASC LIMIT 1) FROM ds1172")
+    assert(rare.columns.toSet === Set("feat3"))
+  }
+
   // --- MLDB-1601-unclosed-string-error-message.js --------------------------
 
   test("MLDB-1601: parse errors locate the problem as line:column") {
