@@ -63,6 +63,43 @@ object Lowering {
     case _ => None
   }
 
+  /** Statically string-valued shapes — the reference's `+` CONCATENATES
+    * when either operand is a string (`sql_expression_operations.cc`
+    * binaryPlus: `l.isString() || r.isString()` → utf8 concat;
+    * MLDB-410 `NAMED rowName() + '_transformed'`). */
+  private def stringShaped(scope: Scope, e: Expr): Boolean = e match {
+    case StrLit(_) => true
+    case CastExpr(_, "string") => true
+    case FnCall(n, _, _) => Set("rowname", "leftrowname", "rightrowname",
+      "lower", "upper", "trim", "ltrim", "rtrim", "substring", "substr",
+      "concat", "replace", "remove_prefix", "remove_suffix",
+      "stringify_path")(n)
+    case Binary("+" | "||", l, r) =>
+      stringShaped(scope, l) || stringShaped(scope, r)
+    case _ => staticType(scope, e)
+      .contains(org.apache.spark.sql.types.StringType)
+  }
+
+  /** Statically timestamp-valued shapes — `ts ± integer` counts DAYS
+    * in the reference (binaryPlusOnTimestamp). */
+  private def timestampShaped(scope: Scope, e: Expr): Boolean = e match {
+    case FnCall("to_timestamp" | "latest_timestamp" | "earliest_timestamp", _, _) => true
+    case CastExpr(_, "timestamp") => true
+    case _ => staticType(scope, e)
+      .contains(org.apache.spark.sql.types.TimestampType)
+  }
+
+  private def integerShaped(scope: Scope, e: Expr): Boolean = e match {
+    case NumLit(_, integral) => integral
+    case Unary("-", x) => integerShaped(scope, x)
+    case _ => staticType(scope, e).exists {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+  }
+
   def run(ctx: Context, stmt: Select): DataFrame =
     // DynamicVariable = thread-local: concurrent GraftSql.query calls
     // (RestServer scenario) each see their own params/macros.
@@ -484,7 +521,24 @@ object Lowering {
         val c = lowerExpr(scope, e)
         if (arith && boolShaped(e)) c.cast("int") else c
       }
-      binaryOp(op, side(l), side(r))
+      // reference binaryPlus (`sql_expression_operations.cc:968-1002`):
+      // a string on either side of + concatenates (MLDB-410), and
+      // ts ± integer counts DAYS (binaryPlusOnTimestamp)
+      if (op == "+" && (stringShaped(scope, l) || stringShaped(scope, r)))
+        concat(lowerExpr(scope, l).cast("string"),
+          lowerExpr(scope, r).cast("string"))
+      else if ((op == "+" || op == "-") && timestampShaped(scope, l) &&
+          integerShaped(scope, r)) {
+        val days = if (op == "+") lowerExpr(scope, r)
+          else -lowerExpr(scope, r)
+        lowerExpr(scope, l) + call_function("make_dt_interval",
+          days.cast("int"), lit(0), lit(0), lit(0))
+      }
+      else if (op == "+" && integerShaped(scope, l) &&
+          timestampShaped(scope, r)) // + is commutative on timestamps
+        lowerExpr(scope, r) + call_function("make_dt_interval",
+          lowerExpr(scope, l).cast("int"), lit(0), lit(0), lit(0))
+      else binaryOp(op, side(l), side(r))
 
     case FnCall(name, args, star) =>
       lowerFn(scope, name, args.map(lowerExpr(scope, _)), star, args)

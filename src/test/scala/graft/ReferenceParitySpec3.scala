@@ -430,6 +430,32 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     assert(rare.columns.toSet === Set("feat3"))
   }
 
+  // --- MLDB-410-set-output-rowname.js --------------------------------------
+
+  test("MLDB-410: string + concatenates; NAMED rowName() + suffix renames rows") {
+    e.recordRows("ds410",
+      """[{"rowName":"ex1","x":0,"y":0,"label":"cat"},
+        |{"rowName":"ex2","x":1,"y":1,"label":"dog"},
+        |{"rowName":"ex3","x":1,"y":2,"label":"cat"}]"""
+        .stripMargin.replace("\n", ""))
+    val rows = q("""SELECT x, y, label NAMED rowName() + '_transformed'
+      |FROM ds410 ORDER BY rowName() DESC""".stripMargin)
+      .collect().toSeq.map(r => r.getString(0))
+    assert(rows === Seq("ex3_transformed", "ex2_transformed", "ex1_transformed"))
+    // one-sided string + stringifies the other side (binaryPlus)
+    assert(one("SELECT 1 + 'a' AS v").getString(0) === "1a")
+    assert(one("SELECT 'a' + 2 AS v").getString(0) === "a2")
+  }
+
+  test("MLDB-410 family: timestamp plus integer counts days") {
+    val r = one("SELECT TIMESTAMP '2015-01-01T00:00:00Z' + 3 AS fwd, " +
+      "TIMESTAMP '2015-01-10T00:00:00Z' - 9 AS back")
+    assert(r.getAs[java.sql.Timestamp]("fwd")
+      === java.sql.Timestamp.valueOf("2015-01-04 00:00:00"))
+    assert(r.getAs[java.sql.Timestamp]("back")
+      === java.sql.Timestamp.valueOf("2015-01-01 00:00:00"))
+  }
+
   // --- MLDB-1601-unclosed-string-error-message.js --------------------------
 
   test("MLDB-1601: parse errors locate the problem as line:column") {
