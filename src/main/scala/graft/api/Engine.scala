@@ -30,6 +30,67 @@ final class GraftEngine(val spark: SparkSession) {
 
   def createDataset(name: String, df: DataFrame): Unit = datasets(name) = df
 
+  /** Typed virtual-dataset creation — the reference's
+    * `PUT /v1/datasets {type, params}` config model for the derived
+    * dataset types (`builtin/{merged,sampled,transposed,union,sub}_
+    * dataset.cc`). Mutable base types register an empty frame that
+    * `recordRows` then widens; derived types are immutable (the
+    * reference 400s on insertion — MLDB-1242). */
+  private val immutableDatasets = scala.collection.mutable.Set[String]()
+
+  def createDatasetTyped(name: String, tpe: String,
+      param: String => Option[String]): Unit = {
+    def req(k: String): String = param(k).getOrElse(
+      throw new IllegalArgumentException(s"dataset type '$tpe' needs param '$k'"))
+    def ids(k: String): Seq[String] = req(k)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    import org.apache.spark.sql.functions._
+    tpe match {
+      case "sparse.mutable" | "tabular" | "" =>
+        if (!datasets.contains(name)) datasets(name) = spark.emptyDataFrame
+        return
+      case "merged" =>
+        datasets(name) = ids("datasets").map(dataset)
+          .reduce(graft.operators.Reshape.merge(_, _, "rowName"))
+      case "union" =>
+        datasets(name) = ids("datasets").map(dataset)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      case "transposed" =>
+        datasets(name) = query(s"SELECT * FROM transpose(${req("dataset")})")
+      case "sub" =>
+        datasets(name) = query(req("query"))
+      case "sampled" =>
+        val base = dataset(req("dataset"))
+        val seed = param("seed").map(_.toLong).getOrElse(42L)
+        val withRepl = param("withReplacement").exists(_.toBoolean)
+        val df = (param("rows"), param("fraction")) match {
+          case (Some(nStr), _) =>
+            val n = nStr.toInt
+            val total = base.count()
+            if (!withRepl && n > total)
+              throw new IllegalArgumentException(
+                s"sampled dataset: $n rows requested without replacement " +
+                  s"but the dataset has only $total")
+            if (!withRepl)
+              // deterministic pseudo-random N rows via hash order
+              base.orderBy(xxhash64(base.columns.toSeq.map(col) :+ lit(seed): _*))
+                .limit(n)
+            else
+              base.sample(withReplacement = true,
+                math.max(2.0 * n / math.max(total, 1L), 0.1), seed).limit(n)
+          case (None, Some(f)) =>
+            base.sample(withRepl, f.toDouble, seed)
+          case _ => throw new IllegalArgumentException(
+            "sampled dataset needs rows or fraction")
+        }
+        datasets(name) = df
+      case other => throw new IllegalArgumentException(
+        s"unknown dataset type '$other'")
+    }
+    immutableDatasets += name
+  }
+
   /** dataset of type `tabular` backed by parquet at rest. */
   def createDatasetFromParquet(name: String, path: String): Unit =
     datasets(name) = spark.read.parquet(path)
@@ -49,11 +110,17 @@ final class GraftEngine(val spark: SparkSession) {
     * record API. */
   def recordRows(name: String, jsonRows: String): Long = {
     import spark.implicits._
+    if (immutableDatasets.contains(name))
+      throw new IllegalArgumentException(
+        s"dataset '$name' is a derived dataset and cannot be recorded into")
     val incoming = spark.read.json(Seq(jsonRows).toDS())
     if (incoming.columns.isEmpty)
       throw new IllegalArgumentException("no rows in body")
     val n = incoming.count()
     datasets.get(name) match {
+      case Some(existing) if existing.columns.isEmpty =>
+        // empty mutable seed (typed creation) — first record sets the schema
+        datasets(name) = incoming
       case Some(existing) =>
         datasets(name) = existing.unionByName(incoming, allowMissingColumns = true)
       case None => datasets(name) = incoming

@@ -52,9 +52,19 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val limit = queryParams(ex).get("limit").map(_.toInt).getOrElse(100)
           rowsJson(engine.dataset(name), limit)
         case ("PUT", name) =>
-          val p = queryParams(ex).getOrElse("path",
-            throw new IllegalArgumentException("missing path parameter"))
-          engine.createDatasetFromParquet(name, p)
+          queryParams(ex).get("path") match {
+            case Some(p) =>
+              engine.createDatasetFromParquet(name, p)
+            case None =>
+              // typed creation, the reference's config model:
+              // body {"type": "merged"|"sampled"|"transposed"|
+              // "union"|"sub"|"tabular"|"sparse.mutable", <params>}
+              val body = new String(ex.getRequestBody.readAllBytes,
+                StandardCharsets.UTF_8)
+              val tpe = extractFieldOpt(body, "type").getOrElse("")
+              engine.createDatasetTyped(name, tpe,
+                k => extractFieldOpt(body, k))
+          }
           s"""{"created": ${jsonStr(name)}}"""
         case ("POST", nameRows) if nameRows.endsWith("/rows") =>
           // record API (`core/dataset.h:417-539`): body = JSON array
@@ -344,7 +354,28 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
   private def extractFieldOpt(body: String, field: String): Option[String] = {
     val re = ("\"" + field + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
     re.findFirstMatchIn(body).map(_.group(1)
-      .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+        .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+      .orElse { // numeric / boolean scalar: "rows": 10
+        val scal = ("\"" + field + "\"\\s*:\\s*(-?[0-9.eE+]+|true|false)").r
+        scal.findFirstMatchIn(body).map(_.group(1))
+      }
+      .orElse { // {"id": "x"} object form: "dataset": {"id": "toy"}
+        val obj = ("\"" + field +
+          "\"\\s*:\\s*\\{[^}]*\"id\"\\s*:\\s*\"([^\"]+)\"").r
+        obj.findFirstMatchIn(body).map(_.group(1))
+      }
+      .orElse { // array form → comma list; elements may be bare
+        // strings or {"id": …} objects ("datasets": [{"id": "a"}, …])
+        val arr = ("\"" + field + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+        arr.findFirstMatchIn(body).map { m =>
+          val inner = m.group(1)
+          val ids = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+            .findAllMatchIn(inner).map(_.group(1)).toSeq
+          if (ids.nonEmpty) ids.mkString(",")
+          else "\"([^\"]*)\"".r.findAllMatchIn(inner)
+            .map(_.group(1)).mkString(",")
+        }
+      }
   }
 }
 

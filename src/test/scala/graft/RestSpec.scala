@@ -465,4 +465,69 @@ class RestSpec extends AnyFunSuite {
       assert(new java.io.File(shardDir + "/manifest").exists())
     } finally srv.stop()
   }
+
+  test("typed dataset creation: merged/sampled/transposed/sub via PUT config (MLDB-1242/2077)") {
+    val engine = new GraftEngine(spark)
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      def put(path: String, body: String): (Int, String) = {
+        val r = client.send(HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def post(path: String, body: String): (Int, String) = {
+        val r = client.send(HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // mutable base dataset via typed create + record
+      assert(put("/v1/datasets/toy",
+        """{"type": "sparse.mutable"}""")._1 === 200)
+      val rows = (0 until 50).map(i =>
+        s"""{"rowName":"u$i","feat1":${i % 7}}""").mkString(",")
+      assert(post("/v1/datasets/toy/rows", s"[$rows]")._1 === 200)
+      // sampled: exact row count without replacement (MLDB-1242)
+      assert(put("/v1/datasets/pwet",
+        """{"type": "sampled", "params": {"dataset": {"id": "toy"}, "rows": 10}}""")._1
+        === 200)
+      assert(engine.dataset("pwet").count() === 10)
+      // too many rows without replacement → 400; ok with replacement
+      assert(put("/v1/datasets/patate",
+        """{"type": "sampled", "params": {"dataset": "toy", "rows": 25000,
+          |"withReplacement": false}}""".stripMargin)._1 === 400)
+      assert(put("/v1/datasets/patate",
+        """{"type": "sampled", "params": {"dataset": "toy", "rows": 25000,
+          |"withReplacement": true}}""".stripMargin)._1 === 200)
+      // recording into a derived dataset → 400 (the reference's rule)
+      assert(post("/v1/datasets/patate/rows",
+        """[{"rowName":"patato","a":"b"}]""")._1 === 400)
+      // merged of two datasets — later wins per cell (MLDB-2077/2103)
+      engine.recordRows("m1", """[{"rowName":"1","colA":"A"}]""")
+      engine.recordRows("m2", """[{"rowName":"1","colB":"B"}]""")
+      assert(put("/v1/datasets/mat",
+        """{"type": "merged", "params": {"datasets": [{"id": "m1"}, {"id": "m2"}]}}""")._1
+        === 200)
+      val m = engine.query("SELECT colA, colB FROM mat").head()
+      assert(m.getString(0) === "A" && m.getString(1) === "B")
+      // single-dataset merge is legal (MLDB-2077)
+      assert(put("/v1/datasets/mat1",
+        """{"type": "merged", "params": {"datasets": ["m1"]}}""")._1 === 200)
+      assert(engine.dataset("mat1").count() === 1)
+      // sub dataset from a query
+      assert(put("/v1/datasets/subds",
+        """{"type": "sub", "params": {"query": "SELECT feat1 FROM toy WHERE feat1 > 3"}}""")._1
+        === 200)
+      assert(engine.dataset("subds").count() ===
+        engine.query("SELECT feat1 FROM toy WHERE feat1 > 3").count())
+      // transposed round-trip
+      assert(put("/v1/datasets/tr",
+        """{"type": "transposed", "params": {"dataset": "m1"}}""")._1 === 200)
+      assert(engine.dataset("tr").columns.length >= 1)
+    } finally srv.stop()
+  }
 }
