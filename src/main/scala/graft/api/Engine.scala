@@ -192,6 +192,47 @@ final class GraftEngine(val spark: SparkSession) {
       df.join(org.apache.spark.sql.functions.broadcast(lookup), joinCols, "left")
   }
 
+  /** Zero-argument `sql.query` usable INSIDE the dialect
+    * (`SELECT f()[output] AS *`, MLDB-1320/1841): the inner query
+    * runs at registration and its result lands as a literal row —
+    * `output = "FIRST_ROW"` takes the first row's columns,
+    * `"NAMED_COLUMNS"` pivots (column, value) result rows into one
+    * wide row keyed by the `column` cell. Registration-time snapshot
+    * (re-register to requery) — the reference re-executes per call,
+    * a documented divergence of the macro form; the join-parameter
+    * form above keeps live data. */
+  def createSqlQueryRowFunction(name: String, queryText: String,
+      output: String = "FIRST_ROW"): Unit = {
+    import graft.sql.Ast._
+    val result = query(queryText)
+    def toLit(v: Any): Expr = v match {
+      case null => NullLit()
+      case s: String => StrLit(s)
+      case b: Boolean => BoolLit(b)
+      case n: Number if n.longValue == n.doubleValue =>
+        NumLit(BigDecimal(n.longValue), isIntegral = true)
+      case n: Number => NumLit(BigDecimal(n.doubleValue), isIntegral = false)
+      case other => StrLit(String.valueOf(other))
+    }
+    val fields: Seq[(String, Expr)] = output.toUpperCase match {
+      case "NAMED_COLUMNS" =>
+        val colIdx = result.columns.indexWhere(_.equalsIgnoreCase("column"))
+        require(colIdx >= 0, "NAMED_COLUMNS output needs a 'column' column")
+        val valIdx = result.columns.indices.filter(i =>
+          i != colIdx && !result.columns(i).equalsIgnoreCase("rowName"))
+        require(valIdx.nonEmpty, "NAMED_COLUMNS output needs a value column")
+        result.collect().toSeq.map(r =>
+          String.valueOf(r.get(colIdx)) -> toLit(r.get(valIdx.head)))
+      case _ =>
+        val row = result.head()
+        result.columns.toSeq.zipWithIndex
+          .filter(!_._1.equalsIgnoreCase("rowName"))
+          .map { case (c, i) => c -> toLit(row.get(i)) }
+    }
+    sqlMacros(name) = Seq(SelectItem(StructLit(fields), Some("output")))
+    compiledApplies.clear()
+  }
+
   /** `script.apply` — a function entity backed by a JavaScript snippet
     * (`/root/reference/builtin/script_function.cc:147`): the script
     * runs per row on [[graft.plans.JsEval]] with the named input

@@ -540,6 +540,11 @@ object Lowering {
           lowerExpr(scope, l).cast("int"), lit(0), lit(0), lit(0))
       else binaryOp(op, side(l), side(r))
 
+    // zero-arg appliable function (sql.query macro form): `f()` /
+    // `f() AS *` — MLDB-1841 test_distincton_pipeline
+    case FnCall(name, Nil, false) if currentMacros.contains(name) =>
+      lowerExpr(scope, FnApply(name, Nil, None))
+
     case FnCall(name, args, star) =>
       lowerFn(scope, name, args.map(lowerExpr(scope, _)), star, args)
 

@@ -564,7 +564,15 @@ final class Parser(tokens: Vector[Token], source: String = "") {
         val name = parseIdentName()
         if (acceptOp("(")) {
           if (acceptOp("*")) { expectOp(")"); FnCall(name.toLowerCase, Nil, star = true) }
-          else if (acceptOp(")")) FnCall(name.toLowerCase, Nil)
+          else if (acceptOp(")")) {
+            // zero-arg appliable output access: `f()[output]`
+            // (MLDB-1320 `poil()[output] AS *`)
+            if (acceptOp("[")) {
+              val out = parseIdentName()
+              expectOp("]")
+              FnApply(name, Nil, Some(out))
+            } else FnCall(name.toLowerCase, Nil)
+          }
           else {
             val distinct = acceptKw("DISTINCT")
             val args = parseExprList()

@@ -430,6 +430,31 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     assert(rare.columns.toSet === Set("feat3"))
   }
 
+  // --- MLDB-1320-sql-query-whole-table.js / MLDB-1841 pipeline -------------
+
+  test("MLDB-1320: sql.query NAMED_COLUMNS pivots into one wide row") {
+    e.recordRows("t1320",
+      """[{"rowName":"all systems","value":"GO"},{"rowName":"hello","value":"world"}]""")
+    e.createSqlQueryRowFunction("poil",
+      "SELECT value, rowName() AS \"column\" FROM t1320 ORDER BY rowName()",
+      output = "NAMED_COLUMNS")
+    val df = q("SELECT poil()[output] as *")
+    assert(df.columns.toSet === Set("all systems", "hello"))
+    val r = df.head()
+    assert(r.getString(df.columns.indexOf("all systems")) === "GO")
+    assert(r.getString(df.columns.indexOf("hello")) === "world")
+  }
+
+  test("MLDB-1841: a DISTINCT ON sql.query function applies as a row") {
+    e.recordRows("t1841p",
+      """[{"rowName":"row1","x":1,"y":1},{"rowName":"row2","x":2,"y":2},
+        |{"rowName":"row3","x":1,"y":3}]""".stripMargin.replace("\n", ""))
+    e.createSqlQueryRowFunction("mydistinct",
+      "SELECT DISTINCT ON (x) x, y FROM t1841p ORDER BY x, y")
+    val r = q("SELECT mydistinct() as *").head()
+    assert(r === Row(1L, 1L))
+  }
+
   // --- MLDB-410-set-output-rowname.js --------------------------------------
 
   test("MLDB-410: string + concatenates; NAMED rowName() + suffix renames rows") {
