@@ -65,6 +65,7 @@ object Sources {
       where: String = "true",
       named: Option[String] = None,
       timestamp: Option[String] = None,
+      replaceInvalidCharactersWith: Option[String] = None,
       schema: Option[StructType] = None)
 
   /** Formats Spark cannot read natively (.lz4 frame, .zst, .zip) are
@@ -122,7 +123,8 @@ object Sources {
     // the skipped lines may not even parse (MLDB-1140's metadata line)
     val lineOffset = if (!hasHeaderRow0 && cfg.offset > 0) cfg.offset else 0
     val lineLevel = cfg.preHeaderOffset > 0 || cfg.skipLineRegex.nonEmpty ||
-      cfg.processExcelFormulas || lineOffset > 0
+      cfg.processExcelFormulas || lineOffset > 0 ||
+      cfg.replaceInvalidCharactersWith.nonEmpty
     require(!(lineLevel && cfg.allowMultiLines),
       "preHeaderOffset/skipLineRegex/processExcelFormulas are line-level " +
         "options and cannot combine with allowMultiLines (records span lines)")
@@ -169,6 +171,13 @@ object Sources {
       if (cfg.processExcelFormulas)
         lines = lines.select(regexp_replace(col("value"),
           "=(\"[^\"]*\")", "$1").as("value"))
+      // replaceInvalidCharactersWith (MLDB-1703): NULs and other
+      // control bytes swap for the configured character before parsing
+      cfg.replaceInvalidCharactersWith.foreach { repl =>
+        lines = lines.select(regexp_replace(col("value"),
+          "[\u0000-\u0008\u000B\u000C\u000E-\u001F\uFFFD]",
+          java.util.regex.Matcher.quoteReplacement(repl)).as("value"))
+      }
       r.csv(lines.as[String])
     }
     // a trailing comma in the header row yields an empty-named last
@@ -200,7 +209,9 @@ object Sources {
     else {
       val view = s"__graft_import_${java.util.UUID.randomUUID.toString.replace("-", "")}"
       df5.createOrReplaceTempView(view)
-      try spark.sql(s"SELECT ${cfg.select} FROM $view WHERE ${cfg.where}")
+      // the reference's star-exclusion spelling → Spark's
+      val select = cfg.select.replaceAll("(?i)\\*\\s*EXCLUDING\\s*\\(", "* EXCEPT(")
+      try spark.sql(s"SELECT $select FROM $view WHERE ${cfg.where}")
       finally spark.catalog.dropTempView(view)
     }
   }

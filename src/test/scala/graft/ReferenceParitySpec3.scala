@@ -511,6 +511,20 @@ class ReferenceParitySpec3 extends AnyFunSuite {
       === java.sql.Timestamp.valueOf("2015-02-02 01:00:00"))
   }
 
+  // --- MLDB-1703_null_char_import.py ---------------------------------------
+
+  test("MLDB-1703: control bytes replace with the configured character") {
+    val df = sources.Sources.importText(spark,
+      "/root/reference/testing/dataset/MDLB-1703_data.csv",
+      sources.Sources.TextImportConfig(
+        named = Some("rowName"), select = "* EXCLUDING(rowName)",
+        replaceInvalidCharactersWith = Some(" ")))
+    val name = df.select(org.apache.spark.sql.functions.col("name"))
+      .head().getString(0)
+    assert(!name.exists(c => c < ' ' && c != '\t'), s"control bytes survive: $name")
+    assert(name.contains("Mobi Hola b") && name.contains("Bouya Hoho"))
+  }
+
   // --- MLDB-162-min-max-function.py ----------------------------------------
 
   test("MLDB-162: arithmetic over and between aggregates") {
