@@ -113,7 +113,7 @@ object FunctionQueries {
     // --- distTable.train: sequential numeric rolling stats ---
     QueryDef("q29_dist_table",
       """SELECT event_id, user_id, dt_count,
-        |  round(dt_sum / dt_count, 6) AS dt_avg, dt_sum, dt_min, dt_max
+        |  dt_sum / dt_count AS dt_avg, dt_sum, dt_min, dt_max
         |FROM (
         |  SELECT event_id, user_id,
         |    count(value) OVER w AS dt_count,
@@ -125,9 +125,13 @@ object FunctionQueries {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t""".stripMargin) { (s, d) =>
       val base = StatsTable.distStats(Tables.events(s, d), "user_id",
         col("value"), "event_id")
+      // dt_avg: the SAME two values divided in the same operand order
+      // are bit-identical cross-engine (IEEE division is correctly
+      // rounded); an extra round(..., 6) would re-introduce the .5
+      // boundary that flipped one row at sf0.1 — the q89 lesson
       base.withColumn("dt_sum2", round(col("dt_sum"), 2))
         .select(col("event_id"), col("user_id"), col("dt_count"),
-          round(col("dt_sum2") / col("dt_count"), 6).as("dt_avg"),
+          (col("dt_sum2") / col("dt_count")).as("dt_avg"),
           col("dt_sum2").as("dt_sum"), col("dt_min"), col("dt_max"))
     },
 
