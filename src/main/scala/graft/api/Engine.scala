@@ -168,7 +168,13 @@ final class GraftEngine(val spark: SparkSession) {
     * macro whose select items are computed over the input rows,
     * expanded at parse time into the Catalyst plan (no interpretation,
     * no UDF). */
+  private def rejectBuiltinName(name: String): Unit =
+    if (graft.sql.GraftSql.builtinFunctionNames.contains(name.toLowerCase))
+      throw new IllegalArgumentException(
+        s"MLDB already has a built-in function named '$name'")
+
   def createSqlExpressionFunction(name: String, selectBody: String): Unit = {
+    rejectBuiltinName(name)
     val stmt = graft.sql.Parser.parse(s"SELECT $selectBody")
     sqlMacros(name) = stmt.items
     functions(name) = df =>
@@ -187,6 +193,7 @@ final class GraftEngine(val spark: SparkSession) {
     * ONCE, its result broadcasts, and application is a left join. */
   def createSqlQueryFunction(name: String, queryText: String,
       joinCols: Seq[String]): Unit = {
+    rejectBuiltinName(name)
     val lookup = query(queryText)
     functions(name) = df =>
       df.join(org.apache.spark.sql.functions.broadcast(lookup), joinCols, "left")
@@ -203,6 +210,7 @@ final class GraftEngine(val spark: SparkSession) {
     * form above keeps live data. */
   def createSqlQueryRowFunction(name: String, queryText: String,
       output: String = "FIRST_ROW"): Unit = {
+    rejectBuiltinName(name)
     import graft.sql.Ast._
     val result = query(queryText)
     def toLit(v: Any): Expr = v match {
@@ -243,6 +251,7 @@ final class GraftEngine(val spark: SparkSession) {
   def createScriptFunction(name: String, source: String,
       inputColumns: Seq[String], outputColumn: String = "result",
       mode: String = "num"): Unit = {
+    rejectBuiltinName(name)
     graft.js.JsInterp.compile(source) // fail registration on bad code
     functions(name) = df =>
       df.withColumn(outputColumn, org.apache.spark.sql.GraftColumnBridge

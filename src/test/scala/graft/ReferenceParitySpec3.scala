@@ -430,6 +430,17 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     assert(rare.columns.toSet === Set("feat3"))
   }
 
+  // --- MLDB-1661-function-name-conflict.py ---------------------------------
+
+  test("MLDB-1661: registering a function with a builtin's name raises") {
+    val ex = intercept[IllegalArgumentException](
+      e.createSqlExpressionFunction("temporal_earliest", "1 AS x"))
+    assert(ex.getMessage.contains("MLDB already has a built-in function named"))
+    val ex2 = intercept[IllegalArgumentException](
+      e.createScriptFunction("tokenize", "1", Nil))
+    assert(ex2.getMessage.contains("MLDB already has a built-in function named"))
+  }
+
   // --- MLDB-1320-sql-query-whole-table.js / MLDB-1841 pipeline -------------
 
   test("MLDB-1320: sql.query NAMED_COLUMNS pivots into one wide row") {
