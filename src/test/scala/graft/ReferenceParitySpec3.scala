@@ -430,6 +430,34 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     assert(rare.columns.toSet === Set("feat3"))
   }
 
+  // --- MLDBFB-401 / MLDB-1212 robustness -----------------------------------
+
+  test("MLDBFB-401: WHERE on an unknown column reads NULL, never errors") {
+    e.createDataset("ds401", spark.emptyDataFrame)
+    assert(q("SELECT rowName() AS rn FROM ds401 WHERE someCol IS NOT NULL")
+      .count() === 0)
+    e.recordRows("ds401b", """[{"rowName":"r1","x":1}]""")
+    assert(q("""SELECT rowName() AS rn FROM ds401b WHERE "someCol" IS NOT NULL""")
+      .count() === 0)
+    assert(q("SELECT rowName() AS rn FROM ds401b WHERE someCol IS NULL")
+      .count() === 1)
+  }
+
+  test("MLDB-1212: long quoted CSV fields import intact") {
+    val tmp = java.nio.file.Files.createTempFile("graft_1212", ".csv")
+    val w = new java.io.PrintWriter(tmp.toFile, "UTF-8")
+    w.println("a,b")
+    for (n <- Seq(50, 100, 1000, 10000))
+      w.println("1,\"" + Seq.fill(n)("word ").mkString(" ") + "\"")
+    w.close()
+    val df = sources.Sources.importText(spark, tmp.toString)
+    assert(df.count() === 4)
+    val maxLen = df.agg(org.apache.spark.sql.functions
+      .max(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("b")))).head().getInt(0)
+    assert(maxLen > 50000)
+  }
+
   // --- MLDB-1661-function-name-conflict.py ---------------------------------
 
   test("MLDB-1661: registering a function with a builtin's name raises") {
