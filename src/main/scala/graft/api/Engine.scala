@@ -28,7 +28,10 @@ final class GraftEngine(val spark: SparkSession) {
 
   private val datasets = TrieMap[String, DataFrame]()
 
-  def createDataset(name: String, df: DataFrame): Unit = datasets(name) = df
+  def createDataset(name: String, df: DataFrame): Unit = {
+    immutableDatasets -= name
+    datasets(name) = df
+  }
 
   /** Typed virtual-dataset creation — the reference's
     * `PUT /v1/datasets {type, params}` config model for the derived
@@ -48,6 +51,10 @@ final class GraftEngine(val spark: SparkSession) {
     import org.apache.spark.sql.functions._
     tpe match {
       case "sparse.mutable" | "tabular" | "" =>
+        // Re-creating a formerly derived name as a mutable type lifts
+        // the immutability mark — otherwise recordRows would reject a
+        // dataset that is now genuinely mutable.
+        immutableDatasets -= name
         if (!datasets.contains(name)) datasets(name) = spark.emptyDataFrame
         return
       case "merged" =>
@@ -92,8 +99,10 @@ final class GraftEngine(val spark: SparkSession) {
   }
 
   /** dataset of type `tabular` backed by parquet at rest. */
-  def createDatasetFromParquet(name: String, path: String): Unit =
+  def createDatasetFromParquet(name: String, path: String): Unit = {
+    immutableDatasets -= name
     datasets(name) = spark.read.parquet(path)
+  }
 
   def dataset(name: String): DataFrame =
     datasets.getOrElse(name,
@@ -518,6 +527,7 @@ final class GraftEngine(val spark: SparkSession) {
           offset = param("offset").map(_.toInt).getOrElse(0),
           preHeaderOffset = param("preHeaderOffset").map(_.toInt).getOrElse(0),
           skipLineRegex = param("skipLineRegex"),
+          replaceInvalidCharactersWith = param("replaceInvalidCharactersWith"),
           processExcelFormulas = flag("processExcelFormulas"),
           select = param("select").getOrElse("*"),
           where = param("where").getOrElse("true"),

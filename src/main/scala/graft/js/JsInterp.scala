@@ -17,8 +17,11 @@ import scala.collection.mutable
   *     abstract and strict equality, string-vs-numeric relationals),
   *   - Math / JSON / String / Array / Object.keys / RegExp / parseInt
   *     / parseFloat / isNaN / isFinite stdlib,
-  *   - NOT: prototype chains, getters/setters, Date, eval. Math.random
-  *     is a per-evaluation seeded PRNG so results stay deterministic.
+  *   - prototype chains (constructor functions, `new`, `instanceof`),
+  *     getters/setters via Object.defineProperty, and a deterministic
+  *     Date (fixed epoch unless constructed with arguments),
+  *   - NOT: eval. Math.random is a per-evaluation seeded PRNG and
+  *     Date.now is fixed, so results stay deterministic across runs.
   *
   * Every evaluation carries a step budget: a runaway script (e.g.
   * `while(true);` posted through the REST surface) raises a JsError

@@ -215,7 +215,12 @@ object TextAnalysis {
       val (c2, c1) = (r.getLong(0), r.getLong(1))
       (c2, c1, fpMicro(logFn(c2.toDouble / c1.toDouble)))
     }.sortBy(t => (t._1, t._2))
-    val backoff = uc.select(col("c")).distinct().collect().toSeq
+    val backoffRows = uc.select(col("c")).distinct()
+      .limit(maxPairs + 1).collect()
+    require(backoffRows.length <= maxPairs,
+      s"lmScoreTables: > $maxPairs distinct unigram counts — corpus count " +
+        "distribution is pathological; raise maxPairs explicitly")
+    val backoff = backoffRows.toSeq
       .map(_.getLong(0)).sorted
       .map(c => c -> fpMicro(logFn(alpha * c / n)))
     LmScoreTables(seen, backoff, fpMicro(logFn(alpha * 0.5 / n)), n)

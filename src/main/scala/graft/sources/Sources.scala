@@ -155,6 +155,7 @@ object Sources {
       case Some(s) => r = r.schema(s)
       case None => r = r.option("inferSchema", true)
     }
+    var preprocessedLines: Option[org.apache.spark.sql.Dataset[String]] = None
     val df0 = if (!lineLevel) r.csv(path) else {
       // line-level preprocessing: drop pre-header lines, skip lines by
       // (whole-line-anchored) regex, unwrap Excel ="..." formulas —
@@ -178,14 +179,33 @@ object Sources {
           "[\u0000-\u0008\u000B\u000C\u000E-\u001F\uFFFD]",
           java.util.regex.Matcher.quoteReplacement(repl)).as("value"))
       }
-      r.csv(lines.as[String])
+      val cleaned = lines.as[String]
+      preprocessedLines = Some(cleaned)
+      r.csv(cleaned)
     }
     // a trailing comma in the header row yields an empty-named last
     // column (Spark auto-names it _cN); the reference drops it with
-    // its (empty) values — MLDB-1649
+    // its (empty) values — MLDB-1649. The _cN auto-name alone is not
+    // proof (a file may genuinely name its last column "_c3"), so
+    // confirm against the RAW header line: it must end with the
+    // delimiter outside of any quoted field.
+    lazy val headerHasTrailingDelim: Boolean = {
+      import spark.implicits._
+      val firstLine = preprocessedLines match {
+        case Some(ds) => ds.limit(1).collect().headOption
+        case None => spark.read.option("encoding", encoding).text(path)
+          .limit(1).as[String].collect().headOption
+      }
+      firstLine.exists { h =>
+        h.endsWith(cfg.delimiter) &&
+          (cfg.quoteChar.isEmpty ||
+            h.count(_ == cfg.quoteChar.head) % 2 == 0)
+      }
+    }
     val df0t =
       if (hasHeaderRow && df0.columns.nonEmpty &&
-          df0.columns.last == s"_c${df0.columns.length - 1}")
+          df0.columns.last == s"_c${df0.columns.length - 1}" &&
+          headerHasTrailingDelim)
         df0.drop(df0.columns.last)
       else df0
     val df1 =

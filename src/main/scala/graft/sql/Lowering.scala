@@ -1271,10 +1271,20 @@ object Lowering {
       ce.orderBy.exists(o => mentionsRowCount(o.e)) ||
       ce.as.exists(mentionsRowCount)
     val countFn: String => Long = if (needsCounts) {
-      val df = scope.frames.head._2
-      val counted = df.select(names.map(n =>
-        count(col(n)).as(n)): _*).head()
-      val m = names.map(n => n -> counted.getAs[Long](n)).toMap
+      // Count each column FROM THE FRAME THAT OWNS IT: over a join the
+      // right side's columns don't exist on frames.head, and a single
+      // toMap would silently collapse duplicate names across frames.
+      // First-owner wins for a duplicated name (matching how an
+      // unqualified column reference resolves).
+      val m = scala.collection.mutable.Map[String, Long]()
+      scope.frames.foreach { case (_, df) =>
+        val owned = names.filter(df.columns.contains).filterNot(m.contains)
+        if (owned.nonEmpty) {
+          val counted = df.select(owned.map(n =>
+            count(col(n)).as(n)): _*).head()
+          owned.foreach(n => m(n) = counted.getAs[Long](n))
+        }
+      }
       m.apply _
     } else ColumnSetEval.stats.value
     ColumnSetEval.stats.withValue(countFn) {

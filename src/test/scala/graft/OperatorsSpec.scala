@@ -510,6 +510,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("lmScoreTables: pathological count distributions fail fast on " +
+      "both collects (pair table AND backoff table)") {
+    import spark.implicits._
+    // Doc i repeats its own bigram i times → the (c2,c1) table gets
+    // ~2 fresh rows per doc ((i,i) and (i-1,i)), far over a cap of 3.
+    val train = (1 to 10)
+      .map(i => Seq.fill(i)(s"a$i b$i").mkString(" ")).toDF("text")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.lmScoreTables(train, "text",
+        maxPairs = 3)
+    }
+    assert(e1.getMessage.contains("pathological"))
+    // A corpus whose PAIR table fits but whose distinct unigram counts
+    // exceed the cap exercises the backoff-side require specifically:
+    // one repeated bigram (tiny pair table), many distinct counts.
+    val skew = ((1 to 40).flatMap(i => Seq.fill(i)(s"t$i")) :+ "x y")
+      .toDF("text")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.lmScoreTables(skew, "text",
+        maxPairs = 5)
+    }
+    assert(e2.getMessage.contains("distinct unigram counts"))
+  }
+
   test("gopherQuality: each rule trips on its crafted offender only") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -321,6 +321,21 @@ class ReferenceParitySpec3 extends AnyFunSuite {
       === Seq((1, 2, 3)))
   }
 
+  test("MLDB-1649 guard: a last column GENUINELY named _cN keeps its data") {
+    // The drop must key off the raw header line's trailing delimiter,
+    // not off Spark's _cN auto-name — a file whose final column is
+    // literally called "_c2" is real data, not a trailing comma.
+    val f = java.nio.file.Files.createTempFile("graft_c2", ".csv")
+    java.nio.file.Files.write(f,
+      "a,b,_c2\n1,2,3\n".getBytes("UTF-8"))
+    try {
+      val df = sources.Sources.importText(spark, f.toString)
+      assert(df.columns.toSeq === Seq("a", "b", "_c2"))
+      assert(df.collect().toSeq.map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2))) === Seq((1, 2, 3)))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   // --- MLDB-1140-csv_reading_compression_test.py ---------------------------
 
   test("MLDB-1140: lz4 and zip CSVs import identically to the plain file") {
@@ -428,6 +443,22 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     // ascending keeps the rarest columns
     val rare = q("SELECT COLUMN EXPR (ORDER BY rowCount() ASC LIMIT 1) FROM ds1172")
     assert(rare.columns.toSet === Set("feat3"))
+  }
+
+  test("COLUMN EXPR rowCount() over a join counts each frame's own columns") {
+    // The stats pass used to count every in-scope name against
+    // frames.head only — right-side columns threw AnalysisException.
+    e.recordRows("ds1172L",
+      """[{"rowName":"r1","k":1,"lval":1},{"rowName":"r2","k":2,"lval":1},
+        |{"rowName":"r3","k":3}]""".stripMargin.replace("\n", ""))
+    e.recordRows("ds1172R",
+      """[{"rowName":"r1","k":1,"rval":1},{"rowName":"r2","k":2}]"""
+        .stripMargin.replace("\n", ""))
+    val out = q("""SELECT COLUMN EXPR (
+      |WHERE columnName() != 'k' ORDER BY rowCount() DESC LIMIT 1)
+      |FROM ds1172L AS l JOIN ds1172R AS r ON l.k = r.k""".stripMargin)
+    // lval has 2 non-null rows on its frame, rval 1 → lval wins
+    assert(out.columns.toSet === Set("lval"))
   }
 
   // --- MLDBFB-401 / MLDB-1212 robustness -----------------------------------

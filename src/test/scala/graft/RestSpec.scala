@@ -528,6 +528,14 @@ class RestSpec extends AnyFunSuite {
       assert(put("/v1/datasets/tr",
         """{"type": "transposed", "params": {"dataset": "m1"}}""")._1 === 200)
       assert(engine.dataset("tr").columns.length >= 1)
+      // re-creating a formerly derived name as a MUTABLE type lifts
+      // the immutability mark: recordRows must succeed again
+      assert(put("/v1/datasets/patate",
+        """{"type": "tabular", "params": {}}""")._1 === 200)
+      engine.createDataset("patate", spark.emptyDataFrame)
+      assert(post("/v1/datasets/patate/rows",
+        """[{"rowName":"patato","a":"b"}]""")._1 === 200)
+      assert(engine.query("SELECT a FROM patate").head().getString(0) === "b")
     } finally srv.stop()
   }
 }
