@@ -73,11 +73,69 @@ object Models {
         // dominates there) but each saved iteration is a full
         // treeAggregate pass at real data sizes
         .setTol(1e-4)
+      // the reference's remaining JML generator types
+      // (`plugins/jml/jml/stump_generator.cc`,
+      //  `boosted_stumps_generator.cc`, `onevsall_generator.cc`,
+      //  `fasttext_generator.cc`):
+      case "stump" => new DecisionTreeClassifier() // a stump IS a depth-1 tree
+        .setLabelCol(labelCol).setFeaturesCol("features")
+        .setMaxDepth(1).setSeed(seed)
+      case "boosted_stumps" => new GBTClassifier() // AdaBoost-over-stumps analog
+        .setLabelCol(labelCol).setFeaturesCol("features")
+        .setMaxDepth(1).setMaxIter(50).setSeed(seed)
+      case "onevsall" => new OneVsRest()
+        .setClassifier(new LogisticRegression().setMaxIter(50).setTol(1e-5))
+        .setLabelCol(labelCol).setFeaturesCol("features")
+      case "fasttext" =>
+        // fastText's classifier head is a linear (multinomial-softmax)
+        // model over averaged bag features; over an already-assembled
+        // numeric feature vector that head IS multinomial logistic
+        // regression. The text-specific hashed word+ngram front-end
+        // lives in [[fasttextTrain]] — documented approximation (no
+        // learned input embeddings; MLlib has no supervised fastText).
+        new LogisticRegression()
+          .setLabelCol(labelCol).setFeaturesCol("features")
+          .setFamily("multinomial").setMaxIter(50).setTol(1e-5)
       case other => throw new IllegalArgumentException(
-        s"unknown classifier type '$other' (expect glz|dt|bagging|boosting|naive_bayes|svm)")
+        s"unknown classifier type '$other' (expect glz|dt|stump|bagging|" +
+          "boosting|boosted_stumps|naive_bayes|svm|onevsall|fasttext)")
     }
     val standardize = algorithm == "glz" || algorithm == "svm"
     new Pipeline().setStages((assembler(featureCols, standardize) :+ clf).toArray)
+      .fit(train)
+  }
+
+  /** fastText-style TEXT classification
+    * (`plugins/jml/jml/fasttext_generator.cc:51-74` — config keys
+    * `epoch`, `dims`, default 5/100): tokenize → hashed bag of words +
+    * word bigrams (the fastText wordNgrams trick, hashing in place of
+    * a learned vocabulary) → multinomial logistic head. Documented
+    * approximation: real fastText learns input embeddings jointly;
+    * the hashed-bag linear model is the standard MLlib-native stand-in
+    * and matches fastText's accuracy on bag-separable tasks. `dims`
+    * maps to the hash-feature space (1 << ceil(log2(dims*1024)) keeps
+    * collisions rare), `epoch` to maxIter. */
+  def fasttextTrain(train: DataFrame, textCol: String, labelCol: String,
+      dims: Int = 100, epoch: Int = 5, seed: Long = 42L): PipelineModel = {
+    val tok = new RegexTokenizer().setInputCol(textCol)
+      .setOutputCol("__ft_words").setPattern("\\s+").setToLowercase(true)
+    val bigrams = new org.apache.spark.ml.feature.NGram()
+      .setN(2).setInputCol("__ft_words").setOutputCol("__ft_bigrams")
+    val numFeatures = Integer.highestOneBit(
+      math.max(1024, dims * 1024) - 1) << 1
+    val tfWords = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("__ft_words").setOutputCol("__ft_tf_w")
+      .setNumFeatures(numFeatures)
+    val tfBigrams = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("__ft_bigrams").setOutputCol("__ft_tf_b")
+      .setNumFeatures(numFeatures)
+    val asm = new VectorAssembler()
+      .setInputCols(Array("__ft_tf_w", "__ft_tf_b")).setOutputCol("features")
+    val head = new LogisticRegression()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setFamily("multinomial").setMaxIter(math.max(epoch * 4, 10))
+      .setTol(1e-5)
+    new Pipeline().setStages(Array(tok, bigrams, tfWords, tfBigrams, asm, head))
       .fit(train)
   }
 
@@ -105,6 +163,18 @@ object Models {
       case "svm" => new OneVsRest().setClassifier(
         new LinearSVC().setMaxIter(25).setTol(1e-4))
         .setLabelCol(labelCol).setFeaturesCol("features")
+      case "stump" => new DecisionTreeClassifier() // natively multiclass
+        .setLabelCol(labelCol).setFeaturesCol("features")
+        .setMaxDepth(1).setSeed(seed)
+      case "boosted_stumps" => new OneVsRest().setClassifier(
+        new GBTClassifier().setMaxDepth(1).setMaxIter(30).setSeed(seed))
+        .setLabelCol(labelCol).setFeaturesCol("features")
+      case "onevsall" => new OneVsRest()
+        .setClassifier(new LogisticRegression().setMaxIter(50).setTol(1e-5))
+        .setLabelCol(labelCol).setFeaturesCol("features")
+      case "fasttext" => new LogisticRegression()
+        .setLabelCol(labelCol).setFeaturesCol("features")
+        .setFamily("multinomial").setMaxIter(50).setTol(1e-5)
       case other => throw new IllegalArgumentException(
         s"unknown categorical classifier type '$other'")
     }

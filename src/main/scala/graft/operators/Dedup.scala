@@ -363,19 +363,31 @@ object Dedup {
     * orders of magnitude smaller than the corpus (only near-dup rows
     * appear), each iteration is one shuffle on the node id, and
     * convergence takes O(component diameter) ≤ maxIter rounds.
-    * `localCheckpoint` cuts the growing lineage each round so the plan
-    * stays bounded. */
+    * A checkpoint cuts the growing lineage each round so the plan
+    * stays bounded. By default that is `localCheckpoint` (executor
+    * block store — fine single-JVM and fastest), but on a real
+    * cluster a lost/preempted executor makes localCheckpoint blocks
+    * unrecoverable MID-ITERATION, killing the whole job. Pass
+    * `checkpointDir` (HDFS/S3/any shared FS) to switch every cut to
+    * RELIABLE `Dataset.checkpoint()` so the closure loop survives
+    * executor loss — the right mode for the 100 TB target. */
   def minHashDedupTransitive(docs: DataFrame, textCol: String, idCol: String,
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.7, maxIter: Int = 20,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        docs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val pairs = minHashPairs(docs, textCol, idCol, bands, rowsPerBand,
       shingleN, threshold, maxBucket).select(col("id_a"), col("id_b"))
-    val edges = pairs
+    val edges = cut(pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .distinct())
+    var labels = cut(edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
@@ -383,10 +395,9 @@ object Dedup {
         .join(labels.select(col("id").as("id_b"), col("label").as("nbr_label")),
           Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min(col("nbr_label")).as("nbr_label"))
-      val updated = labels.join(viaNbr, Seq("id"), "left")
+      val updated = cut(labels.join(viaNbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
       converged = updated
         .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
         .filter(col("label") =!= col("__old")).isEmpty

@@ -39,6 +39,54 @@ class MlLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("classifier tail types stump/boosted_stumps/onevsall/fasttext: " +
+      "train + apply per accepted reference type string") {
+    val feats = (0 until 8).map(i => s"f_$i")
+    val df = features
+    val n = df.count()
+    for (algo <- Seq("stump", "boosted_stumps", "onevsall", "fasttext")) {
+      val model = Models.classifierTrain(df, feats, "y", algo)
+      val scored = model.transform(df)
+      assert(scored.count() === n, s"$algo: apply lost rows")
+      val preds = scored.select("prediction").distinct()
+        .collect().map(_.getDouble(0)).toSet
+      assert(preds.subsetOf(Set(0.0, 1.0)), s"$algo: non-binary $preds")
+      val (_, acc) = Models.classifierTest(model, df, "y")
+      assert(acc > 0.5, s"$algo: train-set accuracy $acc at chance")
+    }
+    // a stump really is depth 1
+    val stump = Models.classifierTrain(df, feats, "y", "stump")
+    val tree = stump.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.DecisionTreeClassificationModel]
+    assert(tree.depth === 1)
+    // categorical mode accepts them too (3-class label)
+    val multi = df.withColumn("yc",
+      (col("label") % 3).cast("double"))
+    for (algo <- Seq("stump", "onevsall", "fasttext")) {
+      val m = Models.classifierTrainCategorical(multi, feats, "yc", algo)
+      assert(m.transform(multi).select("prediction").distinct().count() <= 3)
+    }
+  }
+
+  test("fasttextTrain: hashed word+bigram text classifier separates " +
+      "token-disjoint classes") {
+    import spark.implicits._
+    // two trivially bag-separable classes, fastText's home turf
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      val label = i % 2
+      val words = (0 until 12).map { _ =>
+        if (label == 0) s"alpha${rnd.nextInt(30)}" else s"beta${rnd.nextInt(30)}"
+      }
+      (words.mkString(" "), label.toDouble)
+    }
+    val df = rows.toDF("text", "y")
+    val model = Models.fasttextTrain(df, "text", "y", dims = 16, epoch = 5)
+    val acc = model.transform(df)
+      .filter(col("prediction") === col("y")).count().toDouble / rows.size
+    assert(acc > 0.95, s"fasttext accuracy $acc on separable bags")
+  }
+
   test("model save/load round-trip: the persisted-function lifecycle") {
     val dir = Files.createTempDirectory("graft_model").toString + "/m"
     val model = Models.classifierTrain(features,

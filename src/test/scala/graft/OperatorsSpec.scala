@@ -200,6 +200,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(1L))
   }
 
+  test("transitive dedup with RELIABLE checkpointing matches localCheckpoint " +
+      "exactly (cluster fault-tolerance mode)") {
+    import spark.implicits._
+    // localCheckpoint blocks die with a lost executor; checkpointDir
+    // switches every lineage cut to reliable Dataset.checkpoint().
+    // Same corpus, both modes, identical survivor set — and the
+    // checkpoint dir actually receives RDD checkpoint data.
+    val docs = graft.core.Tables.documents(spark, sf).limit(400)
+      .select(col("doc_id"), col("text"))
+    val base = Dedup.minHashDedupTransitive(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val reliable = Dedup.minHashDedupTransitive(docs, "text", "doc_id",
+        checkpointDir = Some(dir))
+        .select("doc_id").as[Long].collect().toSet
+      assert(reliable === base && base.nonEmpty)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable mode must write checkpoint files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("global ranking matches the single-window formulation exactly") {
     import graft.procedures.Procedures
     val orders = Tables.orders(spark, sf)
