@@ -816,11 +816,23 @@ final class GraftEngine(val spark: SparkSession) {
           rerankFactor = param("rerankFactor").map(_.toInt).getOrElse(4)))
       case "script.run" =>
         // language: scala (host-language snippet) | javascript (the
-        // reference's script_procedure language, on JsInterp/JsHost)
+        // reference's script_procedure language, on JsInterp/JsHost) |
+        // python (out-of-process python3, PyBridge — the reference's
+        // external-python path with the same mldb.query/args surface)
         if (param("language").contains("javascript")) {
           val result = JsHost.run(spark, dataset,
             req("source"), Map.empty)
           s"""{"result": ${JsHost.resultJson(result)}}"""
+        } else if (param("language").contains("python")) {
+          val scriptArgs = param("args") match {
+            case Some(json) =>
+              val (schema, row) = JsonRow.parseFlat(json)
+              schema.fieldNames.zipWithIndex
+                .map { case (n, i) => n -> String.valueOf(row.get(i)) }.toMap
+            case None => Map.empty[String, String]
+          }
+          PyBridge.resultJson(
+            PyBridge.run(spark, dataset, req("source"), scriptArgs))
         } else {
           val result = Scripting.run(spark, req("source"))
           (result, param("outputDataset")) match {

@@ -1,0 +1,220 @@
+package graft.api
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.{InetAddress, ServerSocket}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `script.run {language: "python"}` — out-of-process Python, the
+  * reference's external-python path (`builtin/external_python_procedure
+  * .cc:100-150`: spawn the interpreter on the script, capture
+  * stdout/stderr, parse the LAST stdout line as JSON into `return`).
+  *
+  * The child gets a small prelude defining the reference's scripting
+  * surface before the user source:
+  *
+  *   - `mldb.query(sql)` — the MLDB SQL dialect over the engine's
+  *     registered datasets, returning a list of dicts (one per row,
+  *     the reference's `mldb.query` shape). Implemented as a
+  *     line-JSON RPC back to the JVM over a loopback socket (port in
+  *     `GRAFT_PY_PORT`), so the Python process holds no Spark state.
+  *   - `mldb.log(...)` — forwarded to stderr (kept out of the stdout
+  *     return-value channel).
+  *   - `args` — the request parameters, from `GRAFT_PY_ARGS` JSON.
+  *
+  * `mldb.query` materializes rows driver-side by design — identical
+  * to the reference, where script queries land in the interpreter
+  * heap. The same row cap as the JS host bounds it; at scale scripts
+  * aggregate or LIMIT before collecting.
+  *
+  * Trust model: identical to the reference — scripts are engine-side
+  * code supplied by the operator, not sandboxed user input.
+  */
+object PyBridge {
+
+  final case class PyResult(returnJson: Option[String], stdout: String,
+      stderr: String, returnCode: Int)
+
+  val maxQueryRows: Int = JsHost.maxQueryRows
+
+  private val prelude = """
+import json as _graft_json, os as _graft_os, socket as _graft_socket, sys as _graft_sys
+
+class _GraftMldb(object):
+    def __init__(self):
+        self._f = None
+        port = _graft_os.environ.get("GRAFT_PY_PORT")
+        if port:
+            s = _graft_socket.create_connection(("127.0.0.1", int(port)))
+            self._f = s.makefile("rw", encoding="utf-8", newline="\n")
+    def query(self, sql):
+        if self._f is None:
+            raise RuntimeError("mldb.query: no engine connection")
+        self._f.write(_graft_json.dumps({"op": "query", "sql": sql}) + "\n")
+        self._f.flush()
+        line = self._f.readline()
+        if not line:
+            raise RuntimeError("mldb.query: engine closed the connection")
+        resp = _graft_json.loads(line)
+        if "error" in resp:
+            raise RuntimeError(resp["error"])
+        return resp.get("rows", [])
+    def log(self, *parts):
+        print(*parts, file=_graft_sys.stderr)
+
+mldb = _GraftMldb()
+args = _graft_json.loads(_graft_os.environ.get("GRAFT_PY_ARGS", "{}"))
+del _GraftMldb
+"""
+
+  /** JSON-escape a string (minimal, for building responses). */
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** Serve `mldb.query` requests from the child until EOF. One client,
+    * sequential requests — a script is single-threaded like the
+    * reference's interpreter. */
+  private def serve(server: ServerSocket, spark: SparkSession,
+      tables: String => DataFrame): Thread = {
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new BufferedReader(new InputStreamReader(
+          sock.getInputStream, StandardCharsets.UTF_8))
+        val out = new BufferedWriter(new OutputStreamWriter(
+          sock.getOutputStream, StandardCharsets.UTF_8))
+        var line = in.readLine()
+        while (line != null) {
+          val resp =
+            try {
+              // only {"op":"query","sql":...} exists today; parse with
+              // the flat-row parser (the request IS a flat object)
+              val (schema, row) = JsonRow.parseFlat(line)
+              val sql = row.getString(schema.fieldIndex("sql"))
+              val df = graft.sql.GraftSql.queryTables(spark, tables, sql)
+              val rows = df.limit(maxQueryRows + 1).toJSON.collect()
+              if (rows.length > maxQueryRows)
+                s"""{"error": ${jstr(s"mldb.query returned more than $maxQueryRows rows; add a LIMIT or aggregate before collecting into the script")}}"""
+              else rows.mkString("{\"rows\": [", ", ", "]}")
+            } catch {
+              case e: Throwable =>
+                s"""{"error": ${jstr(String.valueOf(e.getMessage))}}"""
+            }
+          out.write(resp)
+          out.write("\n")
+          out.flush()
+          line = in.readLine()
+        }
+        sock.close()
+      } catch { case _: Throwable => () /* child exited without connecting */ }
+    })
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Run a Python script with the `mldb`/`args` surface. */
+  def run(spark: SparkSession, tables: String => DataFrame, source: String,
+      args: Map[String, String] = Map.empty,
+      pythonExecutable: String = "python3",
+      timeoutSec: Long = 600): PyResult = {
+    val script = Files.createTempFile("graft_py", ".py")
+    Files.write(script, (prelude + "\n" + source).getBytes(StandardCharsets.UTF_8))
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    try {
+      serve(server, spark, tables)
+      val pb = new ProcessBuilder(pythonExecutable, script.toString)
+      pb.environment().put("GRAFT_PY_PORT", server.getLocalPort.toString)
+      pb.environment().put("GRAFT_PY_ARGS",
+        args.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+          .mkString("{", ", ", "}"))
+      val proc = pb.start()
+      proc.getOutputStream.close()
+      // drain both pipes concurrently — a chatty script would deadlock
+      // a sequential read on a full pipe buffer
+      def drain(is: java.io.InputStream): java.util.concurrent.Future[String] =
+        java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+          val t = new Thread(r); t.setDaemon(true); t
+        }).submit(() => new String(is.readAllBytes(), StandardCharsets.UTF_8))
+      val outF = drain(proc.getInputStream)
+      val errF = drain(proc.getErrorStream)
+      if (!proc.waitFor(timeoutSec, TimeUnit.SECONDS)) {
+        proc.destroyForcibly()
+        throw new IllegalStateException(
+          s"python script exceeded ${timeoutSec}s and was killed")
+      }
+      val rawOut = outF.get()
+      val stderr = errF.get()
+      val rc = proc.exitValue()
+      // reference behavior: strip the trailing newline, then if the
+      // LAST stdout line parses as JSON it becomes `return` and is
+      // removed from `stdout`
+      val trimmed =
+        if (rawOut.endsWith("\n")) rawOut.dropRight(1) else rawOut
+      val cut = trimmed.lastIndexOf('\n')
+      val (head, last) =
+        if (cut < 0) ("", trimmed) else (trimmed.substring(0, cut), trimmed.substring(cut + 1))
+      parseJsonOpt(last) match {
+        case Some(j) => PyResult(Some(j), head, stderr, rc)
+        case None => PyResult(None, trimmed, stderr, rc)
+      }
+    } finally {
+      server.close()
+      Files.deleteIfExists(script)
+    }
+  }
+
+  /** Validate that `s` is a standalone JSON value; return it verbatim. */
+  private def parseJsonOpt(s: String): Option[String] = {
+    val t = s.trim
+    if (t.isEmpty) None
+    else if (t.startsWith("{") || t.startsWith("[")) {
+      // cheap structural validation via Spark's JSON reader would cost
+      // a job; balance-check braces/brackets + quotes instead
+      if (balancedJson(t)) Some(t) else None
+    } else if (t == "null" || t == "true" || t == "false") Some(t)
+    else if (t.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) Some(t)
+    else if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
+      Some(t)
+    else None
+  }
+
+  private def balancedJson(t: String): Boolean = {
+    var depth = 0
+    var inStr = false
+    var esc = false
+    t.foreach { c =>
+      if (esc) esc = false
+      else if (inStr) {
+        if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case _ => ()
+      }
+      if (depth < 0) return false
+    }
+    depth == 0 && !inStr
+  }
+
+  /** The REST response shape (`external_python_procedure.cc:125-147`):
+    * `return` (last-line JSON), `stdout`, `stderr`, `runResult`. */
+  def resultJson(r: PyResult): String =
+    s"""{"return": ${r.returnJson.getOrElse("null")}, "stdout": ${jstr(r.stdout)}, "stderr": ${jstr(r.stderr)}, "runResult": {"returnCode": ${r.returnCode}}}"""
+}

@@ -385,6 +385,18 @@ class RestSpec extends AnyFunSuite {
       assert(fb.contains("a.txt") && fb.contains("\"size_bytes\":7"))
       // unknown type → 400
       assert(post("""{"type": "nope.nope"}""")._1 === 400)
+      // script.run with language=python: out-of-process python3 with
+      // the reference's mldb.query surface and last-line-JSON return
+      val pySrc = "rows = mldb.query(\\\"SELECT count(*) AS n FROM embeddings\\\")\\n" +
+        "print(\\\"working\\\")\\n" +
+        "import json\\n" +
+        "print(json.dumps({\\\"n\\\": rows[0][\\\"n\\\"]}))"
+      val (c6, b6) = post(
+        s"""{"type": "script.run", "language": "python", "source": "$pySrc"}""")
+      assert(c6 === 200, b6)
+      assert(b6.contains("\"return\": {\"n\": 500}"), b6)
+      assert(b6.contains("\"stdout\": \"working\""), b6)
+      assert(b6.contains("\"returnCode\": 0"), b6)
     } finally srv.stop()
   }
 
