@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch driver for reference-parity batch 4: run candidate dialect
+  * queries against small recorded datasets and print result or error.
+  * Dev tool only — not part of the driver contract. */
+object ProbeParity {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = new api.GraftEngine(spark)
+
+    // MLDB-770/809/702 fixture
+    e.recordRows("test",
+      """[{"rowName":"ex1","x":0,"y":0,"label":"cat"},
+        |{"rowName":"ex2","x":1,"y":1,"label":"dog"},
+        |{"rowName":"ex3","x":1,"y":2,"label":"cat"}]"""
+        .stripMargin.replace("\n", ""))
+    // MLDB-832 fixture
+    e.recordRows("d1",
+      """[{"rowName":"row_0","a":0,"b":1,"c":2,"x1":3,"x2":4,"x3":5}]""")
+    // MLDBFB-638 fixture (string values)
+    e.recordRows("dataset1",
+      """[{"rowName":"row1","x":"1","y":"1","z":"2"},
+        |{"rowName":"row2","x":"2","y":"2","z":"1"}]"""
+        .stripMargin.replace("\n", ""))
+    // MLDB-989 tokenize fixture
+    e.recordRows("str_test_data",
+      """[{"rowName":"row1","terms":"c++,python,c++,java,c++"},
+        |{"rowName":"row2","terms":"scala,scala,java,java,scala,java,scala,c++"},
+        |{"rowName":"row3","terms":"python,ada,ada"}]"""
+        .stripMargin.replace("\n", ""))
+
+
+    e.recordRows("cmt", """[{"rowName":"row1","x2":15}]""")
+    e.recordRows("dataset1x",
+      (0 until 10).map(i => s"""{"rowName":"row_$i","x":$i}""")
+        .mkString("[", ",", "]"))
+    e.recordRows("strts",
+      """[{"rowName":"r1","sc":"2015-01-01T15:14:39.123456Z"}]""")
+    e.recordRows("toy917",
+      """[{"rowName":"row1","feat1":54,"feat2":"NaN","label":"Infinity"}]""")
+    e.recordRows("kv", """[{"rowName":"1","who":"plum"},{"rowName":"2","who":"m"}]""")
+    try e.createSqlExpressionFunction("identity1563", "input")
+    catch { case t: Throwable => println("[note] fn create: " + t.getMessage) }
+    e.recordRows("x.y",
+      """[{"rowName":"row1","a.b":7,"z":11,"id":0},{"rowName":"row2","a.b":5,"z":13,"id":1}]""")
+
+    val probes: Seq[(String, String)] = Seq(
+      "638 orderby-agg-not-selected" ->
+        "SELECT min(x) FROM dataset1 GROUP BY y ORDER BY min(z), y",
+      "770 min-star-as-prefix" ->
+        "SELECT min({*}) AS min, max({*}) AS max FROM test GROUP BY label",
+      "770 whitespace" -> "\n\tselect min(x) from test group by y\t",
+      "809 named-group-key" ->
+        "SELECT min({*}) AS min NAMED label FROM test GROUP BY label",
+      "809 group_key_element" ->
+        "SELECT min({*}) AS min NAMED group_key_element(0) FROM test GROUP BY label",
+      "703 count-star-as-c" ->
+        "SELECT count({*}) AS c FROM test GROUP BY 1",
+      "703 count-x-vs-star" ->
+        "SELECT x, count(x) AS a FROM test WHERE x IS NOT NULL GROUP BY x",
+      "988 sum-group-by-x" ->
+        "SELECT sum(x) AS sum FROM test GROUP BY x",
+      "702 earliest-latest-global" ->
+        "SELECT earliest({*}) AS earliest, latest({*}) AS latest FROM test",
+      "832 star-nested" -> "SELECT {{*} as *} as * FROM d1",
+      "832 star-nested-nl" -> "SELECT {{*} as *\n} as * FROM d1",
+      "832 brace-as-z" -> "SELECT {*} as z FROM d1",
+      "832 brace-ab-as-z" -> "SELECT {a,b} as z FROM d1",
+      "832 brace-wild-as-z" -> "SELECT {x*} as z FROM d1",
+      "832 mixed" -> "SELECT a,b,c, {x*} as z FROM d1",
+      "832 dup-col" -> "SELECT a, a FROM d1",
+      "832 excl-wild-rename" -> "SELECT x* EXCLUDING(x3) AS y* FROM d1",
+      "989 tokenize-order" ->
+        "SELECT rowName() AS rn FROM str_test_data ORDER BY tokenize(terms)",
+      "989 tokenize-cmp-gt" ->
+        "SELECT tokenize('zoo string string string', {splitChars:' '}) > tokenize('zoo string string', {splitChars:' '}) AS comp",
+      "989 tokenize-cmp-eq" ->
+        "SELECT tokenize('zoo string string', {splitChars:' '}) = tokenize('string zoo string', {splitChars:' '}) AS comp",
+      "989 tokenize-cmp-lt" ->
+        "SELECT tokenize('string string zoo', {splitChars:' '}) < tokenize('string zoo', {splitChars:' '}) AS comp",
+      "956 block-comment" -> "select /*We choose*/ power(x2,2) AS p FROM cmt",
+      "956 line-comment" -> "select --comment\npower(x2, 2) AS p FROM cmt",
+      "956 tricky-comment" -> "select /***because -- and /*win, -- others.\n*/ power(x2,2) AS p FROM cmt",
+      "869 bare-words-error" -> "SELECT 5 golden rings, 3 french hens FROM d1",
+      "869 alias-star" -> "SELECT x.* FROM dataset1x AS x ORDER BY rowName() DESC LIMIT 3",
+      "724 interval-eq-1" -> "select INTERVAL '10 s' = INTERVAL '10second' as equal",
+      "724 interval-eq-2" -> "select INTERVAL '1Y2W' = INTERVAL '12MONTH14d' as equal",
+      "724 interval-ne" -> "select INTERVAL '1 day' = INTERVAL '24H' as equal",
+      "906 dp-second-str" -> "SELECT date_part('second', CAST('2015-01-01T15:14:39.123456Z' AS timestamp)) AS s",
+      "906 dp-ms" -> "SELECT date_part('millisecond', CAST('2015-01-01T15:14:39.123456Z' AS timestamp)) AS s",
+      "906 dp-dow" -> "SELECT date_part('dow', CAST('2015-01-01T15:14:39.123456Z' AS timestamp)) AS s",
+      "906 dp-doy" -> "SELECT date_part('doy', CAST('2015-01-01T15:14:39.123456Z' AS timestamp)) AS s",
+      "906 dp-isodoy" -> "SELECT date_part('isodoy', CAST('2015-01-01T15:14:39.123456Z' AS timestamp)) AS s",
+      "906 dp-week" -> "SELECT date_part('week', CAST('2014-12-31T15:14:39.123456Z' AS timestamp)) AS s",
+      "906 dp-isoweek" -> "SELECT date_part('isoweek', CAST('2014-12-31T15:14:39Z' AS timestamp)) AS s",
+      "906 dp-quarter-jul" -> "SELECT date_part('quarter', CAST('2015-07-01T00:00:00Z' AS timestamp)) AS s",
+      "906 dp-string-col" -> "SELECT date_part('second', sc) AS s FROM strts",
+      "917 replace-nan-row" -> "select replace_nan({0/0, 2, 6}, 5) AS r",
+      "917 replace-inf-emb" -> "select replace_inf([1/0, 5/0, 23], 98) AS r",
+      "917 replace-null-emb" -> "select replace_null([1/0, null, 23], 98) AS r",
+      "917 nested-star" -> "select replace_inf(replace_nan({*}, 0), 1) AS r from toy917",
+      "953 normalize-p1" -> "select norm(normalize({1, 2, 3, 4}, 1), 1) as x",
+      "953 normalize-p0" -> "select norm(normalize([1, 2, 3, 4], 0), 0) as x",
+      "953 normalize-inf" -> "select norm(normalize([1, 2, 3, 4], inf), inf) as x",
+      "953 norm-inf" -> "select norm([1,2,0,4],inf) AS n",
+      "953 array-div" -> "select horizontal_sum( normalize([1,2,3,4],2) - [1,2,3,4]/norm([1,2,3,4],2) ) AS h",
+      "1567 empty-emb" -> "select [] as x",
+      "1567 empty-row" -> "select {} as x",
+      "1563 keys-of-fn" -> "SELECT rowName() AS rn FROM kv WHERE rowName() IN (KEYS OF identity1563({input: {\"1\": 1}})[input])",
+      "835 quoted-ds" -> "SELECT a.b AS ab FROM \"x.y\"",
+      "835 prefix-quoted" -> "SELECT \"a.\"* FROM \"x.y\"",
+      "835 a-star" -> "SELECT a.* FROM \"x.y\"",
+      "835 excl-dotted" -> "select * excluding(a.*) from \"x.y\"",
+      "835 alias-deep" -> "SELECT q.r.a.b AS v FROM \"x.y\" as \"q.r\"",
+      "835 groupby-dotted" -> "SELECT count(1) AS c FROM \"x.y\" GROUP BY \"a.b\""
+
+    )
+    probes.foreach { case (name, sql) =>
+      try {
+        val df = e.query(sql)
+        val rows = df.collect()
+        println(s"[OK ] $name :: cols=${df.columns.mkString(",")} :: " +
+          rows.take(4).map(_.toString).mkString(" | "))
+      } catch {
+        case t: Throwable =>
+          println(s"[ERR] $name :: ${t.getClass.getSimpleName}: " +
+            String.valueOf(t.getMessage).linesIterator.take(2).mkString(" "))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -28,10 +28,11 @@ object VectorFunctions {
     * (`sql/builtin_functions.cc:1749`). */
   def norm(v: Column, p: Double = 2.0): Column = graft.plans.VectorExprs.norm(v, p)
 
-  /** Unit-normalize (L2); zero vector maps to itself. Reference
-    * `normalize` `sql/builtin_functions.cc:1704`. */
-  def normalize(v: Column): Column = {
-    val n = norm(v)
+  /** Unit-normalize in the p-norm (default L2); zero vector maps to
+    * itself. Reference `normalize` `sql/builtin_functions.cc:1704`
+    * (MLDB-953 exercises p = 0, 1, 2, 3.2, inf). */
+  def normalize(v: Column, p: Double = 2.0): Column = {
+    val n = norm(v, p)
     when(n === 0.0, asDouble(v)).otherwise(transform(asDouble(v), x => x / n))
   }
 

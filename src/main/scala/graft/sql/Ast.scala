@@ -68,6 +68,11 @@ object Ast {
   final case class QualifiedFn(qualifier: String, name: String) extends Expr
   /** `[a, b, c]` embedding literal. */
   final case class ArrayLit(items: Seq[Expr]) extends Expr
+  /** `INTERVAL '1Y2W'` literal (MLDB-724). The reference keeps months
+    * / days / seconds as SEPARATE components (1 day ≠ 24 H, 1 month ≠
+    * 30 days), so equality is component-wise. */
+  final case class IntervalLit(months: Int, days: Int,
+      seconds: Double) extends Expr
   /** `{a: x, b: y}` row literal (struct). */
   final case class StructLit(fields: Seq[(String, Expr)]) extends Expr
 

@@ -36,6 +36,15 @@ object Lexer {
       if (c.isWhitespace) i += 1
       else if (c == '-' && i + 1 < n && s(i + 1) == '-') {
         while (i < n && s(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s(i + 1) == '*') {
+        // block comment (MLDB-956): NON-nesting like the reference —
+        // an inner `/*` does not reopen; the first `*/` closes
+        val start = i
+        i += 2
+        while (i + 1 < n && !(s(i) == '*' && s(i + 1) == '/')) i += 1
+        if (i + 1 >= n) throw new IllegalArgumentException(
+          s"unterminated block comment at ${lineCol(s, start)}")
+        i += 2
       } else if (c == '\'') {
         val sb = new StringBuilder
         val start = i

@@ -63,6 +63,97 @@ object Lowering {
     case _ => None
   }
 
+  /** Resolve a lowered column's type by schema-only analysis against
+    * the scope's frames — no data pass, plan-time milliseconds. Used
+    * only where static typing can't answer (row-literal splats). */
+  private def resolvedTypeOf(scope: Scope,
+      c: Column): Option[org.apache.spark.sql.types.DataType] =
+    scope.frames.iterator.flatMap { case (_, df) =>
+      try Some(df.select(c).schema.head.dataType)
+      catch { case _: Throwable => None }
+    }.nextOption()
+
+  private def structFieldsOf(scope: Scope, c: Column): Option[Seq[String]] =
+    resolvedTypeOf(scope, c) match {
+      case Some(st: org.apache.spark.sql.types.StructType) =>
+        Some(st.fieldNames.toSeq)
+      case _ => None
+    }
+
+  /** Lift a scalar repair element-wise over rows/embeddings
+    * (MLDB-917). `floatOnly` repairs (nan/inf) touch only
+    * float-typed struct fields — an integer cell can't be NaN;
+    * replace_null applies to every field. */
+  private def shapewise(scope: Scope, c: Column, floatOnly: Boolean,
+      f: Column => Column): Column =
+    resolvedTypeOf(scope, c) match {
+      case Some(st: org.apache.spark.sql.types.StructType) =>
+        struct(st.fields.toSeq.map { fld =>
+          val g = c.getField(fld.name)
+          val out = fld.dataType match {
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType => f(g.cast("double"))
+            case _ if !floatOnly => f(g)
+            case _ => g
+          }
+          out.as(fld.name)
+        }: _*)
+      case Some(_: org.apache.spark.sql.types.ArrayType) =>
+        if (floatOnly) transform(c, x => f(x.cast("double")))
+        else transform(c, x => f(x))
+      case _ => f(c)
+    }
+
+  /** A row literal used where a vector is expected reads as the array
+    * of its field values (MLDB-953 `normalize({1,2,3,4}, 1)`). */
+  private def toVector(scope: Scope, c: Column): Column =
+    resolvedTypeOf(scope, c) match {
+      case Some(st: org.apache.spark.sql.types.StructType) =>
+        array(st.fieldNames.toSeq.map(f => c.getField(f).cast("double")): _*)
+      case _ => c
+    }
+
+  /** Literal p for norm/normalize: a number or `inf` (MLDB-953). */
+  private def pLiteral(e: Option[Expr]): Double = e match {
+    case None => 2.0
+    case Some(NumLit(v, _)) => v.toDouble
+    case Some(Unary("-", NumLit(v, _))) => -v.toDouble
+    case Some(Ident(Seq(n))) if n.equalsIgnoreCase("inf") =>
+      Double.PositiveInfinity
+    case Some(other) => throw new IllegalArgumentException(
+      s"norm/normalize p must be a numeric literal or inf, got $other")
+  }
+
+  /** Statically bag-valued (map-typed) shapes. Bags have no native
+    * Spark ordering; the reference compares rows/bags by their SORTED
+    * (column, value) entry list (MLDB-989's tokenize comparisons) —
+    * `array_sort(map_entries(x))` IS that list, and Spark orders
+    * arrays-of-structs lexicographically, so wrapping both operands
+    * reproduces the reference's ordering exactly. */
+  private def bagShaped(scope: Scope, e: Expr): Boolean = e match {
+    case FnCall("tokenize", _, _) => true
+    case CaseWhen(_, bs, oe) =>
+      (bs.map(_._2) ++ oe.toSeq).exists(bagShaped(scope, _))
+    case _ => staticType(scope, e)
+      .exists(_.isInstanceOf[org.apache.spark.sql.types.MapType])
+  }
+
+  private def bagEntries(c: Column): Column = array_sort(map_entries(c))
+
+  /** Statically embedding-valued (array-typed) shapes — embedding
+    * arithmetic is element-wise in the reference (MLDB-953). */
+  private def arrayShaped(scope: Scope, e: Expr): Boolean = e match {
+    case ArrayLit(_) => true
+    case FnCall("normalize", _, _) => true
+    case FnCall("replace_nan" | "replace_inf" | "replace_not_finite" |
+        "replace_null", args, _) =>
+      args.headOption.exists(arrayShaped(scope, _))
+    case Binary("+" | "-" | "*" | "/" | "%", l, r) =>
+      arrayShaped(scope, l) || arrayShaped(scope, r)
+    case _ => staticType(scope, e)
+      .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+  }
+
   /** Statically string-valued shapes — the reference's `+` CONCATENATES
     * when either operand is a string (`sql_expression_operations.cc`
     * binaryPlus: `l.isString() || r.isString()` → utf8 concat;
@@ -487,9 +578,21 @@ object Lowering {
     case BoolLit(v) => lit(v)
     case NumLit(v, integral) => if (integral) lit(v.toLong) else lit(v.toDouble)
     case StrLit(v) => lit(v)
+    case IntervalLit(months, days, seconds) =>
+      // components stay separate (MLDB-724: 1 day ≠ 24 H) → struct
+      // equality is the reference's component-wise interval equality
+      struct(lit(months).as("months"), lit(days).as("days"),
+        lit(seconds).as("seconds"))
 
     case Ident(Seq(one)) =>
-      if (scope.hasColumn(one)) col(one)
+      // a quoted name may contain dots ("a.b" the COLUMN, MLDB-835) —
+      // backtick it so Spark doesn't read a struct path
+      if (scope.hasColumn(one))
+        (if (one.contains(".")) col(s"`$one`") else col(one))
+      // `inf` / `nan` value literals (MLDB-953 `norm(x, inf)`) — a
+      // real column of that name wins, like any identifier
+      else if (one.equalsIgnoreCase("inf")) lit(Double.PositiveInfinity)
+      else if (one.equalsIgnoreCase("nan")) lit(Double.NaN)
       // no-FROM scope (the __dummy one-row seed): the reference raises
       // rather than reading NULL (MLDB-1430 test_error)
       else if (scope.frames.exists(_._2.columns.sameElements(Array("__dummy"))))
@@ -497,12 +600,21 @@ object Lowering {
           s"""Cannot read column "$one" with no FROM clause.""")
       else lit(null) // MLDB: unknown column reads as NULL
     case Ident(Seq(q, name)) =>
-      if (scope.hasQualified(q, name)) col(s"$q.$name")
+      if (scope.hasQualified(q, name)) col(s"`$q`.`$name`")
       else if (scope.hasColumn(s"$q.$name")) col(s"`$q.$name`")
       else lit(null)
-    case Ident(parts) => // deeper paths: flattened dotted column name
+    case Ident(parts) =>
+      // deeper paths: a flattened dotted column name, or an
+      // alias-qualified dotted column — try every alias/column split
+      // (MLDB-835: `q.r.a.b FROM "x.y" AS "q.r"` reads column "a.b")
       val flat = parts.mkString(".")
-      if (scope.hasColumn(flat)) col(s"`$flat`") else lit(null)
+      if (scope.hasColumn(flat)) col(s"`$flat`")
+      else (1 until parts.length).iterator.flatMap { k =>
+        val al = parts.take(k).mkString(".")
+        val rest = parts.drop(k).mkString(".")
+        if (scope.hasQualified(al, rest)) Some(col(s"`$al`.`$rest`"))
+        else None
+      }.nextOption().getOrElse(lit(null))
 
     case Star(_, _, _) =>
       throw new IllegalArgumentException("* only valid as a select item")
@@ -524,7 +636,14 @@ object Lowering {
       // reference binaryPlus (`sql_expression_operations.cc:968-1002`):
       // a string on either side of + concatenates (MLDB-410), and
       // ts ± integer counts DAYS (binaryPlusOnTimestamp)
-      if (op == "+" && (stringShaped(scope, l) || stringShaped(scope, r)))
+      if ((op == "+" || op == "-") && r.isInstanceOf[IntervalLit]) {
+        val IntervalLit(months, days, seconds) = r: @unchecked
+        val sign = if (op == "+") 1 else -1
+        lowerExpr(scope, l) + call_function("make_interval",
+          lit(0), lit(sign * months), lit(0), lit(sign * days),
+          lit(0), lit(0), lit(sign * seconds))
+      }
+      else if (op == "+" && (stringShaped(scope, l) || stringShaped(scope, r)))
         concat(lowerExpr(scope, l).cast("string"),
           lowerExpr(scope, r).cast("string"))
       else if ((op == "+" || op == "-") && timestampShaped(scope, l) &&
@@ -538,6 +657,26 @@ object Lowering {
           timestampShaped(scope, r)) // + is commutative on timestamps
         lowerExpr(scope, r) + call_function("make_dt_interval",
           lowerExpr(scope, l).cast("int"), lit(0), lit(0), lit(0))
+      else if (Set("=", "!=", "<>", "<", "<=", ">", ">=")(op) &&
+          (bagShaped(scope, l) || bagShaped(scope, r)))
+        // bag comparison → sorted-entry-list comparison (MLDB-989)
+        binaryOp(op, bagEntries(lowerExpr(scope, l)),
+          bagEntries(lowerExpr(scope, r)))
+      else if (arith && (arrayShaped(scope, l) || arrayShaped(scope, r))) {
+        // embedding arithmetic is element-wise; a scalar broadcasts
+        // over the vector (MLDB-953 `[1,2,3,4]/norm(...)`)
+        def asD(c: Column) = c.cast("array<double>")
+        val lc = lowerExpr(scope, l)
+        val rc = lowerExpr(scope, r)
+        (arrayShaped(scope, l), arrayShaped(scope, r)) match {
+          case (true, true) =>
+            zip_with(asD(lc), asD(rc), (x, y) => binaryOp(op, x, y))
+          case (true, false) =>
+            transform(asD(lc), x => binaryOp(op, x, rc.cast("double")))
+          case _ =>
+            transform(asD(rc), x => binaryOp(op, lc.cast("double"), x))
+        }
+      }
       else binaryOp(op, side(l), side(r))
 
     // zero-arg appliable function (sql.query macro form): `f()` /
@@ -595,7 +734,14 @@ object Lowering {
       if (neg) !pred else pred
     case InKeysOf(x, container, neg, keys) =>
       val c = lowerExpr(scope, container)
-      val arr = if (keys) map_keys(c) else map_values(c)
+      // a row (struct) container reads its field names/values
+      // (MLDB-1563: KEYS OF fn({input: {"1": 1}})[input])
+      val arr = resolvedTypeOf(scope, c) match {
+        case Some(st: org.apache.spark.sql.types.StructType) =>
+          if (keys) array(st.fieldNames.toSeq.map(lit): _*)
+          else array(st.fieldNames.toSeq.map(f => c.getField(f)): _*)
+        case _ => if (keys) map_keys(c) else map_values(c)
+      }
       val pred = array_contains(arr, lowerExpr(scope, x))
       if (neg) !pred else pred
     case ColumnExprStar(_, _, _, _, _) =>
@@ -609,27 +755,7 @@ object Lowering {
       if (neg) !c else c
     case ArrayLit(items) => array(items.map(lowerExpr(scope, _)): _*)
     case StructLit(fields) =>
-      // `{*}` expands to every scope column (minus the carried rowName,
-      // which is the row's NAME, not one of its cells)
-      val expanded: Seq[Column] = fields.flatMap {
-        case ("*", Star(_, _, _)) =>
-          // reference validation (MLDB-1834): `{*}` has no row to
-          // expand against without a FROM
-          if (scope.frames.exists(_._2.columns.sameElements(Array("__dummy"))))
-            throw new IllegalArgumentException(
-              "Cannot use wildcards with no FROM clause")
-          val seen = scala.collection.mutable.LinkedHashSet[String]()
-          scope.allColumns.flatMap { case (alias, c) =>
-            if (c.equalsIgnoreCase("rowName") || c.startsWith("__") ||
-                seen.contains(c.toLowerCase)) None
-            else {
-              seen += c.toLowerCase
-              Some(alias.map(al => col(s"$al.$c")).getOrElse(col(c)).as(c))
-            }
-          }
-        case (n, v) => Seq(lowerExpr(scope, v).as(n))
-      }
-      struct(expanded: _*)
+      struct(lowerStructFields(scope, fields): _*)
     // postfix extraction (reference ExtractExpression): string key →
     // row field / bag key, integer key → 0-based embedding element.
     // Spark's ExtractValue resolves struct/map/array uniformly at
@@ -647,11 +773,96 @@ object Lowering {
       }
   }
 
+  /** Shared wildcard expansion for `*`, `prefix*`, `alias.*`, with
+    * EXCLUDING patterns (exact names, `x*`, `a.*` — trailing '*' is a
+    * prefix match, MLDB-832/835). A dotted prefix whose head names a
+    * frame alias expands THAT frame's columns (`x.* FROM t AS x`,
+    * MLDB-869/1313); otherwise it prefix-matches column paths
+    * (`"a."*` matches column `a.b`). */
+  private def expandStarCols(scope: Scope, excl: Seq[String],
+      prefix: String, rename: Option[String],
+      skipRowName: Boolean): Seq[Column] = {
+    def excluded(c: String): Boolean = excl.exists { pat =>
+      val pl = pat.toLowerCase
+      if (pl.endsWith("*")) c.toLowerCase.startsWith(pl.dropRight(1))
+      else c.toLowerCase == pl
+    }
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    val aliasFrames =
+      if (prefix.endsWith("."))
+        scope.frames.filter(_._1.exists(
+          _.equalsIgnoreCase(prefix.dropRight(1))))
+      else Nil
+    if (aliasFrames.nonEmpty)
+      aliasFrames.flatMap { case (a, df) =>
+        df.columns.toSeq.flatMap { c =>
+          if (excluded(c) || c.startsWith("__") ||
+              (skipRowName && c.equalsIgnoreCase("rowName")) ||
+              seen.contains(c.toLowerCase)) None
+          else {
+            seen += c.toLowerCase
+            Some(col(s"`${a.get}`.`$c`").as(c))
+          }
+        }
+      }
+    else scope.allColumns.flatMap { case (alias, c) =>
+      val matches = prefix.isEmpty || c.startsWith(prefix)
+      if (!matches || excluded(c) || c.startsWith("__") ||
+          (skipRowName && c.equalsIgnoreCase("rowName")) ||
+          seen.contains(c.toLowerCase)) None
+      else {
+        seen += c.toLowerCase
+        val outName = rename match {
+          case Some(np) => np + c.stripPrefix(prefix)
+          case None => c
+        }
+        Some(alias.map(al => col(s"`$al`.`$c`")).getOrElse(col(s"`$c`"))
+          .as(outName))
+      }
+    }
+  }
+
+  /** Row-literal field expansion. `{*}` expands to every scope column
+    * (minus the carried rowName, which is the row's NAME, not one of
+    * its cells); `{x*}`/`{x* AS y*}` filter/rename by prefix
+    * (MLDB-832); `{inner AS *}` splices a nested literal's fields
+    * inline (recursing at the AST level) or, for a non-literal
+    * row-valued expr, reads fields out via its resolved schema. */
+  private def lowerStructFields(scope: Scope,
+      fields: Seq[(String, Expr)]): Seq[Column] = fields.flatMap {
+    case ("*", Star(excl, prefix, rename)) =>
+      // reference validation (MLDB-1834): `{*}` has no row to
+      // expand against without a FROM
+      if (scope.frames.exists(_._2.columns.sameElements(Array("__dummy"))))
+        throw new IllegalArgumentException(
+          "Cannot use wildcards with no FROM clause")
+      expandStarCols(scope, excl, prefix, rename, skipRowName = true)
+    case ("*", StructLit(inner)) =>
+      // `{{…} AS *}` (MLDB-832 `{{*} as *} as *`)
+      lowerStructFields(scope, inner)
+    case ("*", v) =>
+      val c = lowerExpr(scope, v)
+      structFieldsOf(scope, c) match {
+        case Some(names) => names.map(f => c.getField(f).as(f))
+        case None => throw new IllegalArgumentException(
+          "AS * inside a row literal needs a row-valued expression")
+      }
+    case (n, v) => Seq(lowerExpr(scope, v).as(n))
+  }
+
   private def binaryOp(op: String, lc: Column, rc: Column): Column = op match {
     case "+" => lc + rc
     case "-" => lc - rc
     case "*" => lc * rc
-    case "/" => lc / rc
+    case "/" =>
+      // Spark's non-ANSI division returns NULL on a zero divisor; the
+      // reference keeps IEEE semantics (MLDB-917: 0/0 = NaN,
+      // x/0 = ±Inf). Non-zero divisors take the plain Spark path.
+      when(rc.cast("double") === 0.0,
+        when(lc.cast("double") === 0.0, lit(Double.NaN))
+          .when(lc.cast("double") > 0.0, lit(Double.PositiveInfinity))
+          .when(lc.cast("double") < 0.0, lit(Double.NegativeInfinity)))
+        .otherwise(lc / rc)
     case "%" => lc % rc
     case "&" => lc.bitwiseAND(rc)
     case "|" => lc.bitwiseOR(rc)
@@ -722,10 +933,16 @@ object Lowering {
         a(0) =!= Double.NegativeInfinity
     case "quantize" => M.quantize(a(0), a(1))
     case "clamp" => M.clamp(a(0), a(1), a(2))
-    case "replace_nan" => M.replaceNan(a(0), a(1))
-    case "replace_inf" => M.replaceInf(a(0), a(1))
-    case "replace_not_finite" => M.replaceNotFinite(a(0), a(1))
-    case "replace_null" => M.replaceNull(a(0), a(1))
+    // repairs lift element-wise over rows and embeddings (MLDB-917:
+    // `replace_nan({*}, 0)`, `replace_inf([…], 98)`)
+    case "replace_nan" =>
+      shapewise(scope, a(0), floatOnly = true, x => M.replaceNan(x, a(1)))
+    case "replace_inf" =>
+      shapewise(scope, a(0), floatOnly = true, x => M.replaceInf(x, a(1)))
+    case "replace_not_finite" =>
+      shapewise(scope, a(0), floatOnly = true, x => M.replaceNotFinite(x, a(1)))
+    case "replace_null" =>
+      shapewise(scope, a(0), floatOnly = false, x => M.replaceNull(x, a(1)))
     case "binomial_ub_80" => M.binomialUb80(a(0), a(1))
     case "binomial_lb_80" => M.binomialLb80(a(0), a(1))
     case "pi" => lit(math.Pi)
@@ -796,12 +1013,32 @@ object Lowering {
     }
     // timestamp
     case "date_part" => raw(0) match {
-      case StrLit(unit) => unit.toLowerCase match {
-        case "isodow" => P.isoDow(a(1))
-        case "isoweek" => P.isoWeek(a(1))
-        case "isoyear" => date_part(lit("YEAROFWEEK"), a(1)).cast("long")
-        case u => date_part(lit(u), a(1)).cast("long")
-      }
+      // units per the reference's TimestampExpr
+      // (`sql/builtin_functions.cc` date_part; MLDB-906 pins them):
+      // dow 0=Sunday, doy 0-based, week = weeks since Jan 1,
+      // quarter = floor(month/4)+1 (sic — July is Q2 there),
+      // isodoy = day within the ISO year, ms/µs = within-second parts
+      case StrLit(unit) =>
+        val ts = a(1).cast("timestamp")
+        unit.toLowerCase match {
+          case "isodow" => P.isoDow(ts)
+          case "isoweek" => P.isoWeek(ts)
+          case "isoyear" => date_part(lit("YEAROFWEEK"), ts).cast("long")
+          case "isodoy" =>
+            ((P.isoWeek(ts) - 1L) * 7L + P.isoDow(ts)).cast("long")
+          case "dow" => (date_part(lit("DOW"), ts) - 1L).cast("long")
+          case "doy" => (date_part(lit("DOY"), ts) - 1L).cast("long")
+          case "week" => floor((date_part(lit("DOY"), ts) - 1L) / 7L).cast("long")
+          case "quarter" =>
+            (floor(date_part(lit("MONTH"), ts) / 4L) + 1L).cast("long")
+          case "second" => floor(date_part(lit("SECOND"), ts)).cast("long")
+          case "millisecond" =>
+            floor(pmod(call_function("unix_micros", ts), lit(1000000L)) / 1000L)
+              .cast("long")
+          case "microsecond" =>
+            pmod(call_function("unix_micros", ts), lit(1000000L)).cast("long")
+          case u => date_part(lit(u), ts).cast("long")
+        }
       case _ => throw new IllegalArgumentException("date_part unit must be literal")
     }
     case "date_trunc" => raw(0) match {
@@ -1046,8 +1283,10 @@ object Lowering {
         case _ => a(0)
       }
     // vector
-    case "norm" => V.norm(a(0), raw.lift(1).collect { case NumLit(v, _) => v.toDouble }.getOrElse(2.0))
-    case "normalize" => V.normalize(a(0))
+    // p may be a number or the `inf` literal (MLDB-953); a row literal
+    // argument reads as a vector of its field values
+    case "norm" => V.norm(toVector(scope, a(0)), pLiteral(raw.lift(1)))
+    case "normalize" => V.normalize(toVector(scope, a(0)), pLiteral(raw.lift(1)))
     case "vector_sum" => V.vectorSum(a(0), a(1))
     case "vector_diff" => V.vectorDiff(a(0), a(1))
     case "vector_product" => V.vectorProduct(a(0), a(1))
@@ -1080,6 +1319,10 @@ object Lowering {
             case _ => None
           }
           horizontalFn(n, cols, sep)
+        // an embedding argument aggregates its elements (MLDB-953
+        // `horizontal_sum(normalize(...) - [...]/norm(...))`)
+        case Some(arg) if a.size == 1 && arrayShaped(scope, arg) =>
+          horizontalArrayFn(n, a.head)
         case _ => horizontalFn(n, a)
       }
     case "rowname" => rowNameOf(scope)
@@ -1160,6 +1403,26 @@ object Lowering {
     * Column math — codegen'd, no UDF, no shuffle. In wide mode all of
     * a row's cells share the row timestamp, so earliest/latest take
     * the first/last non-null in column order. */
+  /** horizontal_* over an EMBEDDING argument: aggregate the array's
+    * elements (null elements skipped, like the column form). */
+  private def horizontalArrayFn(name: String, arr: Column): Column = {
+    def nn = filter(arr.cast("array<double>"), v => v.isNotNull)
+    name match {
+      case "horizontal_count" => size(nn).cast("long")
+      case "horizontal_sum" =>
+        when(size(nn) > 0, aggregate(nn, lit(0.0), _ + _))
+      case "horizontal_avg" =>
+        when(size(nn) > 0, aggregate(nn, lit(0.0), _ + _) / size(nn))
+      case "horizontal_min" => array_min(arr)
+      case "horizontal_max" => array_max(arr)
+      case "horizontal_string_agg" =>
+        array_join(filter(arr.cast("array<string>"), v => v.isNotNull), ",")
+      case "horizontal_earliest" => element_at(nn, 1)
+      case "horizontal_latest" => element_at(nn, -1)
+      case other => throw new IllegalArgumentException(s"unknown function $other")
+    }
+  }
+
   private def horizontalFn(name: String, cols: Seq[Column],
       sep: Option[String] = None): Column = {
     def nn = filter(array(cols.map(_.cast("double")): _*), v => v.isNotNull)
@@ -1487,11 +1750,20 @@ object Lowering {
     // `select {x: 5} as *`). Dynamic (map-typed) AS * stays
     // unsupported in the typed engine — columns must be knowable at
     // plan time.
-    val stmt1 = stmt0.copy(items = stmt0.items.flatMap {
-      case SelectItem(StructLit(fields), Some("*")) =>
-        fields.map { case (n, e) => SelectItem(e, Some(n)) }
-      case it => Seq(it)
-    })
+    // fixpoint: `{{*} as *} as *` (MLDB-832/1205) peels one literal
+    // layer per pass
+    @annotation.tailrec
+    def expandLiteralStar(items: Seq[SelectItem]): Seq[SelectItem] = {
+      val out = items.flatMap {
+        case SelectItem(StructLit(fields), Some("*")) =>
+          fields.map { case (n, e) => SelectItem(e, Some(n)) }
+        case it => Seq(it)
+      }
+      if (out != items) expandLiteralStar(out) else out
+    }
+    // `SELECT a, a` keeps ONE column in the reference (a row has one
+    // cell per name, MLDB-832) — exact duplicate items collapse
+    val stmt1 = stmt0.copy(items = expandLiteralStar(stmt0.items).distinct)
     val (fromDf0, scope0) = stmt1.from match {
       case Some(t) => lowerTable(ctx, t)
       case None =>
@@ -1529,6 +1801,9 @@ object Lowering {
             cols.map(c => SelectItem(FnCall(n, Seq(Ident(Seq(c)))), Some(c)))
           case (k, v) => Seq(SelectItem(FnCall(n, Seq(v)), Some(k)))
         }
+      // a Star that surfaced from literal expansion (`{*} as *`) is
+      // already a plain wildcard item — not a dynamic AS *
+      case SelectItem(s: Star, Some("*")) => Seq(SelectItem(s, None))
       case SelectItem(e, Some("*")) =>
         val c = lowerExpr(scope0, e)
         fromDf0.select(c.as("__asstar")).schema.head.dataType match {
@@ -1621,10 +1896,12 @@ object Lowering {
       }
       val extScope = Scope(scope.frames :+ (None -> extended))
       def sortCols = orderByNoSub.map { o =>
-        val c = o.e match {
+        val c0 = o.e match {
           case Ident(Seq(n)) if plainItems.exists(_._1 == n) => col(n)
           case other => lowerExpr(extScope, other)
         }
+        // ORDER BY a bag sorts by its entry list (MLDB-989)
+        val c = if (bagShaped(extScope, o.e)) bagEntries(c0) else c0
         if (o.asc) c.asc else c.desc
       }
       val sorted =
@@ -1656,20 +1933,7 @@ object Lowering {
         case (SelectItem(ce: ColumnExprStar, _), _) =>
           expandColumnExpr(scope, ce)
         case (SelectItem(Star(excl, prefix, rename), _), _) =>
-          val exclSet = excl.map(_.toLowerCase).toSet
-          val seen = scala.collection.mutable.LinkedHashSet[String]()
-          scope.allColumns.flatMap { case (alias, c) =>
-            val matches = prefix.isEmpty || c.startsWith(prefix)
-            if (!matches || exclSet(c.toLowerCase) || seen.contains(c.toLowerCase)) None
-            else {
-              seen += c.toLowerCase
-              val outName = rename match {
-                case Some(np) => np + c.stripPrefix(prefix)
-                case None => c
-              }
-              Some(alias.map(al => col(s"$al.$c")).getOrElse(col(c)).as(outName))
-            }
-          }
+          expandStarCols(scope, excl, prefix, rename, skipRowName = false)
         case (it, i) => Seq(outCol(itemName(it, i)))
       }
       val withName = stmt.named match {
@@ -1745,9 +2009,25 @@ object Lowering {
         else Seq(count(lit(1)).as("__gcnt"))
       val grouped = filtered.groupBy(keyCols: _*)
         .agg(aggCols.head, aggCols.tail: _*)
-      // outer scope: keys referenced via their original expression ASTs
+      // outer scope: keys referenced via their original expression
+      // ASTs, with idents CANONICALIZED so `"q.r"."a.b"`, `a.b` and
+      // `"a.b"` all name the same key (MLDB-835's alias-qualified
+      // GROUP BY references)
+      def canonIdent(e: Expr): Expr = e match {
+        case Ident(parts) if parts.nonEmpty =>
+          val flatAll = parts.mkString(".")
+          if (scope.hasColumn(flatAll)) Ident(Seq(flatAll))
+          else (1 until parts.length).iterator.map { k =>
+            (parts.take(k).mkString("."), parts.drop(k).mkString("."))
+          }.collectFirst {
+            case (al, rest) if scope.frames.exists(
+                _._1.exists(_.equalsIgnoreCase(al))) &&
+                scope.hasColumn(rest) => Ident(Seq(rest))
+          }.getOrElse(e)
+        case other => other
+      }
       val keyLookup: Map[Expr, Column] = stmtG.groupBy.zipWithIndex.map {
-        case (g, i) => (g, col(s"__key$i"))
+        case (g, i) => (canonIdent(g), col(s"__key$i"))
       }.toMap
       // the GROUP's row name: `[k1,k2]` over the key values, strings
       // JSON-quoted — the reference's group-row naming
@@ -1781,7 +2061,16 @@ object Lowering {
         // not the key's — even when rowName() is itself a group key
         case FnCall("rowname", Nil, _) => groupRowName
         case FnCall("rowhash", Nil, _) => xxhash64(groupRowName)
-        case _ => keyLookup.get(e) match {
+        // `group_key_element(n)` — the nth GROUP BY key value
+        // (MLDB-809: NAMED group_key_element(0))
+        case FnCall("group_key_element", Seq(NumLit(i, true)), _) =>
+          val idx = i.toInt
+          if (idx < 0 || idx >= stmtG.groupBy.size)
+            throw new IllegalArgumentException(
+              s"group_key_element($idx): query has ${stmtG.groupBy.size} " +
+                "group keys")
+          col(s"__key$idx")
+        case _ => keyLookup.get(canonIdent(e)) match {
         case Some(c) => c
         case None => e match {
           case Ident(Seq(n)) if aggMap.values.exists(_ == n) ||

@@ -153,26 +153,36 @@ final class Parser(tokens: Vector[Token], source: String = "") {
       expectOp(")")
       SelectItem(ColumnExprStar(as, where, orderBy, limit, offset), None)
     } else if (acceptOp("*")) {
-      val excl =
-        if (acceptKw("EXCLUDING")) {
-          expectOp("(")
-          val names = Vector.newBuilder[String]
-          var more = true
-          while (more) { names += parseIdentName(); more = acceptOp(",") }
-          expectOp(")")
-          names.result()
-        } else Nil
-      SelectItem(Star(excl), None)
+      SelectItem(Star(parseExclList()), None)
+    } else if (peekQualifiedStar()) {
+      // `a.*` / `"a."*` (MLDB-835/1313): a frame alias expands that
+      // side's columns; otherwise a column-path prefix (`a.` matches
+      // `a.b`). The lowering decides which by looking at the scope.
+      val prefix = advance() match {
+        case TIdent(v, true, _) => v // quoted: verbatim prefix ("a.")
+        case TIdent(v, false, _) => acceptOp("."); v + "."
+        case _ => fail("expected identifier")
+      }
+      expectOp("*")
+      val excl = parseExclList()
+      val rename =
+        if (acceptKw("AS")) {
+          val np = parseIdentName(); expectOp("*"); Some(np)
+        } else None
+      SelectItem(Star(excl, prefix, rename), None)
     } else if (peekPrefixWildcard()) {
       val prefix = parseIdentName()
       expectOp("*")
+      // `x* EXCLUDING (x3) AS y*` (MLDB-832): exclusion list applies
+      // before the prefix rename
+      val excl = parseExclList()
       val rename =
         if (acceptKw("AS")) {
           val np = parseIdentName()
           expectOp("*")
           Some(np)
         } else None
-      SelectItem(Star(Nil, prefix, rename), None)
+      SelectItem(Star(excl, prefix, rename), None)
     } else if (peekNameColon()) {
       // `SELECT x: 1` — the reference's name-first shorthand for
       // `SELECT 1 AS x` (MLDB-2111 uses `SELECT x:1` subselects)
@@ -200,6 +210,40 @@ final class Parser(tokens: Vector[Token], source: String = "") {
     case t => fail("expected identifier")
   }
 
+  /** `EXCLUDING (a, x*, b.*)` — entries are names or prefix patterns
+    * (trailing `*`, MLDB-832; dotted `a.*`, MLDB-835). Returns pattern
+    * strings; a trailing '*' means prefix-match. */
+  private def parseExclList(): Seq[String] =
+    if (!acceptKw("EXCLUDING")) Nil
+    else {
+      expectOp("(")
+      val names = Vector.newBuilder[String]
+      var more = true
+      while (more) {
+        var n = parseIdentName()
+        if (acceptOp(".")) { expectOp("*"); n = n + ".*" }
+        else if (acceptOp("*")) n = n + "*"
+        names += n
+        more = acceptOp(",")
+      }
+      expectOp(")")
+      names.result()
+    }
+
+  /** `alias.*` or `"prefix"*` select item (MLDB-835/1313). */
+  private def peekQualifiedStar(): Boolean = peek match {
+    case TIdent(_, true, _) => tokens.lift(p + 1) match {
+      case Some(TOp("*", _)) => true
+      case _ => false
+    }
+    case TIdent(v, false, _) if !reserved(v.toLowerCase) =>
+      (tokens.lift(p + 1), tokens.lift(p + 2)) match {
+        case (Some(TOp(".", _)), Some(TOp("*", _))) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
   /** `a*` (and `a* AS b*`) vs `a * b` multiplication: a prefix
     * wildcard is IDENT '*' followed by a list/clause boundary or AS. */
   private def peekNameColon(): Boolean = peek match {
@@ -215,10 +259,12 @@ final class Parser(tokens: Vector[Token], source: String = "") {
     case TIdent(v, false, _) if !reserved(v.toLowerCase) =>
       tokens.lift(p + 1) match {
         case Some(TOp("*", _)) => tokens.lift(p + 2) match {
-          case Some(TOp(",", _)) | Some(TEnd(_)) => true
+          // `}` closes a row-literal wildcard field (`{x*}`)
+          case Some(TOp(",", _)) | Some(TOp("}", _)) | Some(TEnd(_)) => true
           case Some(TIdent(w, false, _)) =>
-            w.equalsIgnoreCase("AS") || Seq("named", "from", "when", "where",
-              "group", "having", "order", "limit", "offset")
+            w.equalsIgnoreCase("AS") || w.equalsIgnoreCase("EXCLUDING") ||
+              Seq("named", "from", "when", "where",
+                "group", "having", "order", "limit", "offset")
               .contains(w.toLowerCase)
           case _ => false
         }
@@ -514,10 +560,22 @@ final class Parser(tokens: Vector[Token], source: String = "") {
               case (TIdent(_, _, _), Some(TOp(":", _))) => true
               case _ => false
             }
+            def exclList(): Seq[String] = parseExclList()
             if (acceptOp("*")) {
               // `{*}` — the whole row as a struct (the reference's
               // feature-vector idiom, e.g. classifier({features: {*}}))
-              fields += "*" -> Star(Nil)
+              fields += "*" -> Star(exclList())
+            } else if (peekPrefixWildcard()) {
+              // `{x*}` / `{x* AS y*}` — prefix wildcard inside a row
+              // literal (MLDB-832 `{x*} as z`)
+              val prefix = parseIdentName()
+              expectOp("*")
+              val excl = exclList()
+              val rename =
+                if (acceptKw("AS")) {
+                  val np = parseIdentName(); expectOp("*"); Some(np)
+                } else None
+              fields += "*" -> Star(excl, prefix, rename)
             } else if (named) {
               val name = parseIdentName()
               expectOp(":")
@@ -525,8 +583,11 @@ final class Parser(tokens: Vector[Token], source: String = "") {
             } else {
               val e = parseExpr()
               val name =
-                if (acceptKw("AS")) parseIdentName()
-                else e match {
+                if (acceptKw("AS")) {
+                  // `{expr AS *}` splices expr's row fields into this
+                  // literal (MLDB-832 `{{*} as *} as *`)
+                  if (acceptOp("*")) "*" else parseIdentName()
+                } else e match {
                   // a bare ident names its field after itself —
                   // `{who, what}` has columns who/what (MLDB-1554)
                   case Ident(parts) => parts.mkString(".")
@@ -540,6 +601,43 @@ final class Parser(tokens: Vector[Token], source: String = "") {
           expectOp("}")
         }
         StructLit(fields.result())
+      case TIdent(v, false, _) if v.equalsIgnoreCase("INTERVAL") &&
+          (tokens.lift(p + 1) match {
+            case Some(TStr(_, _)) => true
+            case _ => false
+          }) =>
+        // INTERVAL '<n><unit> …' literal (MLDB-724). Components stay
+        // separate: months (month/year), days (day/week), seconds
+        // (s/m/h) — the reference's Interval value type.
+        p += 1
+        val text = advance() match { case TStr(v2, _) => v2; case _ => fail("interval") }
+        var months = 0
+        var days = 0
+        var seconds = 0.0
+        val m = java.util.regex.Pattern
+          .compile("(\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)").matcher(text)
+        var any = false
+        var last = 0
+        while (m.find()) {
+          any = true
+          if (text.substring(last, m.start()).trim.nonEmpty)
+            fail(s"bad interval literal '$text'")
+          last = m.end()
+          val num = m.group(1).toDouble
+          m.group(2).toLowerCase match {
+            case "s" | "sec" | "second" | "seconds" => seconds += num
+            case "m" | "min" | "minute" | "minutes" => seconds += num * 60
+            case "h" | "hour" | "hours" => seconds += num * 3600
+            case "d" | "day" | "days" => days += num.toInt
+            case "w" | "week" | "weeks" => days += num.toInt * 7
+            case "month" | "months" | "mon" => months += num.toInt
+            case "y" | "year" | "years" => months += num.toInt * 12
+            case u => fail(s"unknown interval unit '$u'")
+          }
+        }
+        if (!any || text.substring(last).trim.nonEmpty)
+          fail(s"bad interval literal '$text'")
+        IntervalLit(months, days, seconds)
       case TIdent(v, false, _) if v.equalsIgnoreCase("TIMESTAMP") &&
           (tokens.lift(p + 1) match {
             case Some(TNum(_, _, _)) | Some(TStr(_, _)) => true

@@ -90,7 +90,9 @@ class SqlSpec extends AnyFunSuite {
     val r = q("""SELECT try(CAST('oops' AS number)) AS a,
                 |try(1 / 0) AS b, try(2 + 2) AS c""".stripMargin).head()
     assert(r.isNullAt(0))
-    assert(r.isNullAt(1))
+    // division keeps IEEE semantics in the reference (MLDB-917):
+    // 1/0 is Inf, not an error — try passes it through
+    assert(r.getDouble(1).isPosInfinity)
     assert(r.getLong(2) === 4L)
   }
 
