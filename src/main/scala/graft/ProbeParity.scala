@@ -53,6 +53,12 @@ object ProbeParity {
     e.recordRows("x.y",
       """[{"rowName":"row1","a.b":7,"z":11,"id":0},{"rowName":"row2","a.b":5,"z":13,"id":1}]""")
 
+
+    e.recordRows("dataset650",
+      """[{"rowName":"efgh","x":"1"},{"rowName":"abcd","x":"1"}]""")
+    e.recordRows("ds308", """[{"rowName":"userValid","behA":1}]""")
+    e.recordRows("sample573", """[{"rowName":"a","x":"{\"artist\": \"Champion\"}"}]""")
+
     val probes: Seq[(String, String)] = Seq(
       "638 orderby-agg-not-selected" ->
         "SELECT min(x) FROM dataset1 GROUP BY y ORDER BY min(z), y",
@@ -121,7 +127,26 @@ object ProbeParity {
       "835 a-star" -> "SELECT a.* FROM \"x.y\"",
       "835 excl-dotted" -> "select * excluding(a.*) from \"x.y\"",
       "835 alias-deep" -> "SELECT q.r.a.b AS v FROM \"x.y\" as \"q.r\"",
-      "835 groupby-dotted" -> "SELECT count(1) AS c FROM \"x.y\" GROUP BY \"a.b\""
+      "835 groupby-dotted" -> "SELECT count(1) AS c FROM \"x.y\" GROUP BY \"a.b\"",
+      "923 vecsum-row" -> "select vector_sum([1,2,3],{\"0\":3, \"1\":2, \"2\":1}) as x",
+      "923 arr-plus-arr" -> "select [1,2,3] + [3,2,1] as x",
+      "923 arr-plus-row" -> "select [1,2,3] + {\"0\":3, \"1\":2, \"2\":1} as x",
+      "923 numrow-as-x" -> "select {\"0\":3, \"1\":2, \"2\":1} as x",
+      "761 ds-star" -> "SELECT dataset1x.* from dataset1x",
+      "761 sub-alias-star" -> "SELECT blah.* FROM (SELECT * FROM dataset1x) AS blah",
+      "761 sub-where-outer" -> "SELECT blah.* FROM (SELECT * FROM dataset1x WHERE (x % 2) = 0) AS blah WHERE (x%4) = 0",
+      "761 select1-from-select1" -> "SELECT 1 AS one FROM (SELECT 1 AS i)",
+      "761 nested-brace" -> "SELECT x.* FROM (select {1 as y} as z ) as x",
+      "761 brace-star-sub" -> "SELECT * FROM (select {*} as y from dataset1x) as x",
+      "761 ln-equiv" -> "SELECT ln(t.x) as r FROM ( SELECT 10 as x ) as t",
+      "650 named-agg" -> "SELECT x AS x NAMED min(rowName()) FROM dataset650 GROUP BY x",
+      "308 outer-join-where" -> "SELECT 1 AS one FROM ds308 OUTER JOIN (SELECT 2 AS two FROM ds308) WHERE behA",
+      "573 parse-json-err" -> "select parse_json('{\"asdf:', {arrays: 'parse', ignoreErrors:1}) as * from sample573",
+      "573 parse-json-null" -> "select parse_json(y, {arrays: 'parse'}) as pwet from sample573",
+      "798 mod-1" -> "SELECT -2507820791313827470 % 1534 AS m",
+      "798 mod-2" -> "SELECT 2507820791313827470 % -1534 AS m",
+      "798 pow-prec" -> "SELECT 1.2345678901234567e-300 = exp(ln(1.2345678901234567e-300)) AS eq"
+
 
     )
     probes.foreach { case (name, sql) =>

@@ -666,9 +666,14 @@ object Lowering {
         // embedding arithmetic is element-wise; a scalar broadcasts
         // over the vector (MLDB-953 `[1,2,3,4]/norm(...)`)
         def asD(c: Column) = c.cast("array<double>")
-        val lc = lowerExpr(scope, l)
-        val rc = lowerExpr(scope, r)
-        (arrayShaped(scope, l), arrayShaped(scope, r)) match {
+        // a row literal beside an embedding reads as a vector too
+        // (MLDB-923: [1,2,3] + {"0":3, "1":2, "2":1})
+        val lc = toVector(scope, lowerExpr(scope, l))
+        val rc = toVector(scope, lowerExpr(scope, r))
+        def isArr(e: Expr, c: Column): Boolean =
+          arrayShaped(scope, e) || resolvedTypeOf(scope, c)
+            .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        (isArr(l, lc), isArr(r, rc)) match {
           case (true, true) =>
             zip_with(asD(lc), asD(rc), (x, y) => binaryOp(op, x, y))
           case (true, false) =>
@@ -1098,6 +1103,59 @@ object Lowering {
     // fail loudly rather than silently passing the string through).
     case "parse_json" => raw.lift(1) match {
       case Some(StrLit(ddl)) => from_json(a(0), ddl, Map.empty[String, String])
+      // the reference's options form (MLDBFB-573):
+      // parse_json(x, {arrays: 'parse'|'encode', ignoreErrors: 1}).
+      // The reference infers structure per value at runtime; the typed
+      // engine infers ONE schema with a capped plan-time pass over the
+      // column (the documented AS-*-style pattern), then parses with it.
+      case Some(StructLit(opts)) =>
+        val optMap = opts.map { case (k, v) => k.toLowerCase -> v }.toMap
+        val arrays = optMap.get("arrays") match {
+          case Some(StrLit(s)) => s.toLowerCase
+          case None => "parse"
+          case Some(_) => throw new IllegalArgumentException(
+            "parse_json: NULL value found for the arrays option — it " +
+              "must be the literal 'parse' or 'encode'")
+        }
+        require(arrays == "parse" || arrays == "encode",
+          s"parse_json: arrays must be 'parse' or 'encode', got '$arrays'")
+        val ignoreErrors = optMap.get("ignoreerrors").exists {
+          case NumLit(v, _) => v != 0
+          case BoolLit(b) => b
+          case _ => false
+        }
+        val frame = scope.frames.map(_._2).find(df =>
+          scala.util.Try(df.select(a(0))).isSuccess).getOrElse(
+          throw new IllegalArgumentException("parse_json: unresolvable input"))
+        val sparkSess = frame.sparkSession
+        import sparkSess.implicits._
+        val strs = frame.select(a(0).cast("string").as("__j"))
+          .filter(col("__j").isNotNull).limit(10000).as[String]
+        val inferred = sparkSess.read.json(strs).schema.fields.toSeq
+          .filterNot(f => f.name == "_corrupt_record" ||
+            f.dataType == org.apache.spark.sql.types.NullType ||
+            f.dataType == org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.NullType, true))
+        val schema = org.apache.spark.sql.types.StructType(inferred)
+        val parsed = from_json(a(0), schema, Map.empty[String, String])
+        val dataFields = inferred.map { f =>
+          val g = parsed.getField(f.name)
+          val v = f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.StructType
+                if arrays == "encode" => to_json(g)
+            case _ => g
+          }
+          v.as(f.name)
+        }
+        val allFields =
+          if (ignoreErrors)
+            dataFields :+ (a(0).isNotNull &&
+              (if (inferred.isEmpty) lit(true) else parsed.isNull))
+              .as("__parse_json_error__")
+          else dataFields
+        if (allFields.isEmpty) lit(null)
+        else when(a(0).isNull, lit(null)).otherwise(struct(allFields: _*))
       case _ => throw new IllegalArgumentException(
         "parse_json(x, '<schema ddl>') requires an explicit schema, e.g. " +
           "parse_json(j, 'a INT, b STRING'); for single fields use " +
@@ -1287,10 +1345,12 @@ object Lowering {
     // argument reads as a vector of its field values
     case "norm" => V.norm(toVector(scope, a(0)), pLiteral(raw.lift(1)))
     case "normalize" => V.normalize(toVector(scope, a(0)), pLiteral(raw.lift(1)))
-    case "vector_sum" => V.vectorSum(a(0), a(1))
-    case "vector_diff" => V.vectorDiff(a(0), a(1))
-    case "vector_product" => V.vectorProduct(a(0), a(1))
-    case "vector_quotient" => V.vectorQuotient(a(0), a(1))
+    // a numeric-named row literal reads as a vector (MLDB-923:
+    // vector_sum([1,2,3], {"0":3, "1":2, "2":1}))
+    case "vector_sum" => V.vectorSum(toVector(scope, a(0)), toVector(scope, a(1)))
+    case "vector_diff" => V.vectorDiff(toVector(scope, a(0)), toVector(scope, a(1)))
+    case "vector_product" => V.vectorProduct(toVector(scope, a(0)), toVector(scope, a(1)))
+    case "vector_quotient" => V.vectorQuotient(toVector(scope, a(0)), toVector(scope, a(1)))
     case "dot_product" => V.dot(a(0), a(1))
     case "cosine_similarity" => V.cosine(a(0), a(1))
     // shape: nested dims from the static AST when knowable (nested
@@ -2243,7 +2303,21 @@ object Lowering {
       if (plainRw.isEmpty) df
       else {
         val sc2 = Scope(scope.frames :+ (None -> df))
-        df.filter(plainRw.map(lowerExpr(sc2, _)).reduce(_ && _))
+        // MLDB truthiness (MLDBFB-308: `WHERE behA` on a numeric
+        // column): a non-boolean conjunct is true when non-null and
+        // non-zero
+        val conds = plainRw.map { e =>
+          val c = lowerExpr(sc2, e)
+          resolvedTypeOf(sc2, c) match {
+            case Some(org.apache.spark.sql.types.BooleanType) | None => c
+            case Some(org.apache.spark.sql.types.StringType) =>
+              c.isNotNull && c =!= ""
+            case Some(_: org.apache.spark.sql.types.NumericType) =>
+              c.isNotNull && c.cast("double") =!= 0.0
+            case Some(_) => c.isNotNull
+          }
+        }
+        df.filter(conds.reduce(_ && _))
       }
     val dropped = inSelMap.values.foldLeft(base)(_.drop(_))
     inSelects.foldLeft(dropped) { (d, e) =>

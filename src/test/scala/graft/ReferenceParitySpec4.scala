@@ -437,4 +437,111 @@ class ReferenceParitySpec4 extends AnyFunSuite {
       .select("colA").head().getLong(0)
     assert(c1 === c2)
   }
+
+  // --- MLDB-923-embedding-literal.py ---------------------------------------
+
+  test("MLDB-923: embedding literals, numeric-named rows as vectors, " +
+      "element-wise +") {
+    assert(q("select [3,2,1] as x").head().getSeq[Long](0) === Seq(3L, 2L, 1L))
+    assert(q("""select vector_sum([1,2,3],{"0":3, "1":2, "2":1}) as x""")
+      .head().getSeq[Double](0) === Seq(4.0, 4.0, 4.0))
+    assert(q("select [1,2,3] + [3,2,1] as x")
+      .head().getSeq[Double](0) === Seq(4.0, 4.0, 4.0))
+    assert(q("""select [1,2,3] + {"0":3, "1":2, "2":1} as x""")
+      .head().getSeq[Double](0) === Seq(4.0, 4.0, 4.0))
+  }
+
+  // --- MLDB-761-sub-queries.py ---------------------------------------------
+
+  test("MLDB-761: sub-select shapes, dataset-name star, no-dataset subqueries") {
+    e.recordRows("dataset761",
+      (0 until 10).map(i => s"""{"rowName":"row_$i","x":$i}""")
+        .mkString("[", ",", "]"))
+    def n(sql: String): Long = q(sql).count()
+    assert(n("SELECT * FROM dataset761") === 10)
+    assert(n("SELECT dataset761.* from dataset761") === 10)
+    assert(n("SELECT blah.* FROM dataset761 AS blah") === 10)
+    assert(n("SELECT blah.* FROM (SELECT * FROM dataset761) AS blah") === 10)
+    assert(n("SELECT blah.* FROM (SELECT * FROM dataset761 WHERE (x % 2) = 0) AS blah") === 5)
+    assert(n("""SELECT blah.* FROM (SELECT * FROM dataset761
+      |WHERE (x % 2) = 0) AS blah WHERE (x%4) = 0""".stripMargin) === 3)
+    assert(n("SELECT * FROM (SELECT * FROM dataset761 WHERE x > 4) ORDER BY x") === 5)
+    // MLDB-853: sub queries without a dataset
+    assert(n("SELECT 1 AS one FROM (SELECT 1 AS i)") === 1)
+    assert(n("SELECT x.* FROM (select {1 as y} as z ) as x") === 1)
+    // MLDB-855
+    assert(n("SELECT * FROM (select {*} as y from dataset761) as x") === 10)
+    // MLDB-1257: ln through subquery aliases = ln(10) everywhere
+    val expected = q("SELECT ln(10) as r").head().getDouble(0)
+    for (sql <- Seq(
+        "SELECT ln(x) as r FROM ( SELECT 10 as x )",
+        "SELECT ln(x) as r FROM ( SELECT 10 as x ) as t",
+        "SELECT ln(t.x) as r FROM ( SELECT 10 as x ) as t",
+        "SELECT * FROM ( SELECT ln(x) as r FROM ( SELECT 10 as x ) )"))
+      assert(q(sql).select("r").head().getDouble(0) === expected, sql)
+  }
+
+  // --- MLDBFB-650-names-aggregators.py -------------------------------------
+
+  test("MLDBFB-650: NAMED min(rowName()) under GROUP BY") {
+    e.recordRows("dataset650",
+      """[{"rowName":"efgh","x":"1"},{"rowName":"abcd","x":"1"}]""")
+    val rows = q("SELECT x AS x NAMED min(rowName()) FROM dataset650 GROUP BY x")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "abcd") // the file's expected rowName
+    assert(rows.head.getString(1) === "1")
+  }
+
+  // --- MLDBFB-308-where-outer-join-test.py ---------------------------------
+
+  test("MLDBFB-308: WHERE on a bare numeric column is truthiness, " +
+      "even over an ON-less outer join") {
+    e.recordRows("ds308",
+      """[{"rowName":"userValid","behA":1}]""")
+    assert(q("""SELECT 1 AS one FROM ds308 OUTER JOIN
+      |(SELECT 2 AS two FROM ds308) WHERE behA""".stripMargin).count() === 1)
+    // zero and NULL are falsy
+    e.recordRows("ds308b",
+      """[{"rowName":"r1","v":1},{"rowName":"r2","v":0},{"rowName":"r3"}]""")
+    assert(q("SELECT rowName() AS rn FROM ds308b WHERE v").count() === 1)
+  }
+
+  // --- MLDBFB-573_parse_json.py --------------------------------------------
+
+  test("MLDBFB-573: parse_json options form — ignoreErrors, null input, " +
+      "non-literal arrays option") {
+    e.recordRows("sample573",
+      """[{"rowName":"a","x":"{\"artist\": \"Champion Jack\", \"title\": \"No Meat Blues\"}"}]""")
+    // bad JSON + ignoreErrors → one __parse_json_error__=true column
+    for (arrays <- Seq("parse", "encode")) {
+      val r = q("select parse_json('{\"asdf:', " +
+        s"{arrays: '$arrays', ignoreErrors:1}) as * from sample573")
+      assert(r.columns.toSeq.contains("__parse_json_error__"), arrays)
+      assert(r.head().getAs[Boolean]("__parse_json_error__"), arrays)
+    }
+    // unknown column input → NULL result
+    assert(q("select parse_json(y, {arrays: 'parse'}) as pwet from sample573")
+      .head().isNullAt(0))
+    // non-literal arrays option raises the reference's NULL-value error
+    val ex = intercept[IllegalArgumentException] {
+      q("SELECT parse_json(x, {arrays: parse}) AS p from sample573")
+    }
+    assert(ex.getMessage.contains("NULL value found"))
+    // well-formed input round-trips the scalar fields
+    val ok = q("SELECT parse_json(x, {arrays: 'encode'}) AS p from sample573")
+      .head().getStruct(0)
+    assert(ok.getAs[String]("artist") === "Champion Jack")
+    assert(ok.getAs[String]("title") === "No Meat Blues")
+  }
+
+  // --- MLDB-798-sql-operation-precision.py ---------------------------------
+
+  test("MLDB-798: mod is C-style (sign of the dividend) at full precision") {
+    // the file's special cases (all exactly divisible) plus sign pins
+    assert(q("SELECT -2507820791313827470 % 1534 AS m").head().getLong(0) === 0L)
+    assert(q("SELECT 2507820791313827470 % -1534 AS m").head().getLong(0) === 0L)
+    assert(q("SELECT -7 % 3 AS m").head().getLong(0) === -1L)
+    assert(q("SELECT 7 % -3 AS m").head().getLong(0) === 1L)
+  }
 }
