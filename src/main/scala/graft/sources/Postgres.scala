@@ -28,9 +28,18 @@ import org.apache.spark.sql.types._
   * Supported auth: trust, cleartext password, md5 (the
   * `md5(md5(password ∥ user) ∥ salt)` double hash), and SCRAM-SHA-256
   * (RFC 5802/7677 — the postgres default since v10 — via the SASL
-  * exchange, including verification of the server signature; the
-  * channel-binding variant SCRAM-SHA-256-PLUS is not offered since the
-  * reader does not do TLS).
+  * exchange, including verification of the server signature).
+  *
+  * TLS: `ssl = true` sends the protocol's SSLRequest (code 80877103)
+  * before the startup message and, on the server's 'S' answer,
+  * upgrades the socket through the JDK's SSLSocketFactory — the same
+  * STARTTLS-style dance libpq performs for the reference. A server
+  * answering 'N' fails loudly (require semantics — no silent
+  * plaintext fallback). `sslVerify = false` accepts self-signed
+  * certificates (test/dev); the default verifies against the JVM
+  * trust store. Channel binding (SCRAM-SHA-256-PLUS) is still not
+  * offered — plain SCRAM inside TLS, like libpq without
+  * channel_binding=require.
   */
 object Postgres {
 
@@ -39,7 +48,9 @@ object Postgres {
       port: Int = 5432,
       database: String = "postgres",
       user: String = "postgres",
-      password: String = "")
+      password: String = "",
+      ssl: Boolean = false,
+      sslVerify: Boolean = true)
 
   /** OID → Spark type for the text-format columns we decode; anything
     * unknown imports as string (lossless — text protocol). */
@@ -53,8 +64,46 @@ object Postgres {
   // ---- protocol ----------------------------------------------------------
 
   private final class Conn(cfg: PgConfig) extends AutoCloseable {
-    private val sock = new Socket(cfg.host, cfg.port)
-    sock.setTcpNoDelay(true)
+    private val sock: Socket = {
+      val plain = new Socket(cfg.host, cfg.port)
+      plain.setTcpNoDelay(true)
+      if (!cfg.ssl) plain
+      else {
+        // SSLRequest: length 8, magic 80877103; 'S' = proceed with TLS
+        val pout = new DataOutputStream(plain.getOutputStream)
+        pout.writeInt(8)
+        pout.writeInt(80877103)
+        pout.flush()
+        plain.getInputStream.read() match {
+          case 'S' => ()
+          case 'N' => throw new IllegalStateException(
+            s"postgres at ${cfg.host}:${cfg.port} refused TLS (ssl=true " +
+              "has require semantics — no plaintext fallback)")
+          case other => throw new IllegalStateException(
+            s"unexpected SSLRequest answer byte $other")
+        }
+        val ctx =
+          if (cfg.sslVerify) javax.net.ssl.SSLContext.getDefault
+          else {
+            val c = javax.net.ssl.SSLContext.getInstance("TLS")
+            c.init(null, Array[javax.net.ssl.TrustManager](
+              new javax.net.ssl.X509TrustManager {
+                def getAcceptedIssuers = new Array[java.security.cert.X509Certificate](0)
+                def checkClientTrusted(
+                    c2: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+                def checkServerTrusted(
+                    c2: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+              }), new java.security.SecureRandom)
+            c
+          }
+        val ssl = ctx.getSocketFactory
+          .createSocket(plain, cfg.host, cfg.port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(true)
+        ssl.startHandshake()
+        ssl
+      }
+    }
     private val in = new DataInputStream(sock.getInputStream)
     private val out = new DataOutputStream(sock.getOutputStream)
 

@@ -41,7 +41,8 @@ class PostgresSpec extends AnyFunSuite {
     * the client must refuse it (anti-impersonation check). */
   private final class MockPg(requireMd5: Boolean = false,
       requireScram: Boolean = false, tamperScramSig: Boolean = false,
-      user: String = "u", pass: String = "pw") {
+      user: String = "u", pass: String = "pw",
+      tls: Boolean = false, tlsRefuse: Boolean = false) {
     val server = new ServerSocket(0, 16,
       java.net.InetAddress.getByName("127.0.0.1"))
     val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -65,7 +66,29 @@ class PostgresSpec extends AnyFunSuite {
     def port: Int = server.getLocalPort
     def stop(): Unit = { running = false; server.close() }
 
-    private def serve(sock: Socket): Unit = {
+    private def serve(sock0: Socket): Unit = {
+      // TLS upgrade: consume the SSLRequest, answer S/N, wrap the
+      // socket server-side with the spec's self-signed context —
+      // exactly the upgrade dance a real postgres performs
+      val sock: Socket =
+        if (!tls && !tlsRefuse) sock0
+        else {
+          val din = new DataInputStream(sock0.getInputStream)
+          val len = din.readInt()
+          val code = din.readInt()
+          val o = sock0.getOutputStream
+          if (tlsRefuse || len != 8 || code != 80877103) {
+            o.write('N'); o.flush()
+            if (tlsRefuse) return else { sock0.close(); return }
+          }
+          o.write('S'); o.flush()
+          val s = PostgresSpec.serverSslContext.getSocketFactory
+            .createSocket(sock0, "127.0.0.1", sock0.getPort, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          s.setUseClientMode(false)
+          s.startHandshake()
+          s
+        }
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
       def msg(tpe: Char, body: Array[Byte]): Unit = {
@@ -372,5 +395,56 @@ class PostgresSpec extends AnyFunSuite {
       assert(e.getMessage.contains("42P01") &&
         e.getMessage.contains("does not exist"))
     } finally pg.stop()
+  }
+
+  test("TLS: SSLRequest upgrade + SCRAM inside the encrypted channel") {
+    val pg = new MockPg(requireScram = true, tls = true)
+    try {
+      val df = Postgres.importQuery(spark,
+        PgConfig("127.0.0.1", pg.port, "db", "u", password = "pw",
+          ssl = true, sslVerify = false),
+        "SELECT * FROM items")
+      assert(df.count() === 4)
+      assert(df.select("name").collect().map(_.getString(0)).toSet
+        === Set("alice", "bob", null, "dave"))
+    } finally pg.stop()
+  }
+
+  test("TLS: a server answering N fails loudly — no plaintext fallback") {
+    val pg = new MockPg(tlsRefuse = true)
+    try {
+      val e = intercept[IllegalStateException] {
+        Postgres.importQuery(spark,
+          PgConfig("127.0.0.1", pg.port, "db", "u",
+            ssl = true, sslVerify = false),
+          "SELECT * FROM items")
+      }
+      assert(e.getMessage.contains("refused TLS"))
+    } finally pg.stop()
+  }
+}
+
+object PostgresSpec {
+  /** Self-signed server key material, generated once per JVM with the
+    * JDK's own keytool (no fixture files, no external deps). */
+  lazy val serverSslContext: javax.net.ssl.SSLContext = {
+    val ks = java.nio.file.Files.createTempFile("mockpg", ".p12")
+    java.nio.file.Files.delete(ks)
+    val keytool = new java.io.File(System.getProperty("java.home"),
+      "bin/keytool").getAbsolutePath
+    val rc = new ProcessBuilder(keytool, "-genkeypair", "-alias", "pg",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ks.toString, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-validity", "2")
+      .redirectErrorStream(true).start().waitFor()
+    require(rc == 0, s"keytool failed with $rc")
+    val kstore = java.security.KeyStore.getInstance("PKCS12")
+    val is = java.nio.file.Files.newInputStream(ks)
+    try kstore.load(is, "changeit".toCharArray) finally is.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance("SunX509")
+    kmf.init(kstore, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
   }
 }
