@@ -59,6 +59,17 @@ object ProbeParity {
     e.recordRows("ds308", """[{"rowName":"userValid","behA":1}]""")
     e.recordRows("sample573", """[{"rowName":"a","x":"{\"artist\": \"Champion\"}"}]""")
 
+
+    e.recordRows("ds1305",
+      """[{"rowName":"row1","col1":"a"},{"rowName":"row2","col2":"b"}]""")
+    try {
+      e.createSqlExpressionFunction("f1012a", "input.x*2 as x2, input.y*2 as y2")
+      e.createSqlExpressionFunction("f1012b", "input.x3*2 as x4, input.y3*2 as y4")
+      e.createSqlExpressionFunction("noIgnore1440", "a+b as rez")
+    } catch { case t: Throwable => println("[note] fn: " + t.getMessage) }
+    e.recordRows("noColDs", """[{"rowName":"row1"}]""")
+    e.recordRows("sample1490", """[{"rowName":"a","x":1}]""")
+
     val probes: Seq[(String, String)] = Seq(
       "638 orderby-agg-not-selected" ->
         "SELECT min(x) FROM dataset1 GROUP BY y ORDER BY min(z), y",
@@ -145,7 +156,23 @@ object ProbeParity {
       "573 parse-json-null" -> "select parse_json(y, {arrays: 'parse'}) as pwet from sample573",
       "798 mod-1" -> "SELECT -2507820791313827470 % 1534 AS m",
       "798 mod-2" -> "SELECT 2507820791313827470 % -1534 AS m",
-      "798 pow-prec" -> "SELECT 1.2345678901234567e-300 = exp(ln(1.2345678901234567e-300)) AS eq"
+      "798 pow-prec" -> "SELECT 1.2345678901234567e-300 = exp(ln(1.2345678901234567e-300)) AS eq",
+      "1305 qual-where-name" -> "SELECT * FROM ds1305 WHERE ds1305.col1 = 'a'",
+      "1305 qual-where-alias" -> "SELECT * FROM ds1305 AS blah WHERE blah.col1 = 'a'",
+      "1305 qual-rowname-name" -> "SELECT * FROM ds1305 WHERE ds1305.rowName() = 'row1'",
+      "1305 qual-rowname-alias" -> "SELECT * FROM ds1305 AS blah WHERE blah.rowName() = 'row1'",
+      "1012 nested-fn-1" -> "select f1012a( {input: {x: 1, y: 2}} ) as *",
+      "1012 nested-fn-2" -> "select f1012b( {input: f1012a( {input: {x: 1, y: 2}} )[{x3: x2, y3: y2}] }) as *",
+      "1440 unknown-param" -> "select noIgnore1440({a:1, b:2, c:5}) as *",
+      "440 sum-star-no-cols" -> "SELECT sum({*}) AS s FROM noColDs",
+      "768 missing-fn" -> "SELECT 1 AS one from d1 order by hello()",
+      "1490 agg-unknown" -> "select count(*) AS c, sum(deletions) AS s from sample1490 group by x",
+      "1490 ln-agg" -> "select count(*) AS c, ln(sum(deletions)+1) AS l from sample1490 group by x",
+      "1490 agg-ln" -> "select count(*) AS c, sum(ln(deletions+1)) AS s from sample1490 group by x",
+      "1490 global-ln-agg" -> "select count(*) AS c, ln(sum(deletions)+1) AS l from sample1490",
+      "1490 bad-bare" -> "select count(*) AS c, ln(deletions+1) AS l from sample1490 group by x",
+      "1490 bad-bare-global" -> "select count(*) AS c, ln(deletions+1) AS l from sample1490"
+
 
 
     )

@@ -376,6 +376,11 @@ object Lowering {
   /** substitute argument names for expressions inside a macro body. */
   private def substitute(e: Expr, args: Map[String, Expr]): Expr = e match {
     case Ident(Seq(n)) if args.contains(n) => args(n)
+    // `input.x` reads field x of the substituted row argument
+    // (MLDB-1012 nested sql.expression calls)
+    case Ident(parts) if parts.length > 1 && args.contains(parts.head) =>
+      parts.tail.foldLeft(args(parts.head))((acc, p) =>
+        Extract(acc, StrLit(p)))
     case FnCall(n, as, st) => FnCall(n, as.map(substitute(_, args)), st)
     case FnApply(n, as, o) =>
       FnApply(n, as.map { case (k, v) => k -> substitute(v, args) }, o)
@@ -528,7 +533,18 @@ object Lowering {
         output match {
           case Some(out) => lowerExpr(scope, substitute(itemFor(out), argMap))
           case None if items.size == 1 =>
-            lowerExpr(scope, substitute(items.head.e, argMap))
+            val v = lowerExpr(scope, substitute(items.head.e, argMap))
+            items.head.alias match {
+              // a single SCALAR-aliased item is a one-field row
+              // (MLDB-1440: `noIgnore({a:1,b:2}) as *` → column rez);
+              // a ROW-valued one IS the function's output row already
+              // (MLDB-1841: sql.query row functions alias `output`)
+              case Some(alias)
+                  if !resolvedTypeOf(scope, v).exists(
+                    _.isInstanceOf[org.apache.spark.sql.types.StructType]) =>
+                struct(v.as(alias))
+              case _ => v
+            }
           case None => struct(items.zipWithIndex.map { case (it, i) =>
             lowerExpr(scope, substitute(it.e, argMap))
               .as(it.alias.getOrElse(s"_c$i"))
@@ -765,6 +781,18 @@ object Lowering {
     // row field / bag key, integer key → 0-based embedding element.
     // Spark's ExtractValue resolves struct/map/array uniformly at
     // analysis time, so one getItem covers all three.
+    // A ROW-LITERAL key projects/renames within the extracted row:
+    // `f(…)[{x3: x2, y3: y2}]` builds {x3: f(…).x2, y3: f(…).y2}
+    // (MLDB-1012) — idents inside the literal resolve against the
+    // LHS row's fields first, then the outer scope.
+    case Extract(x, StructLit(keyFields)) =>
+      val c = lowerExpr(scope, x)
+      val lhsFields = structFieldsOf(scope, c).getOrElse(Seq.empty)
+      val fmap: Map[String, Expr] =
+        lhsFields.map(f => f -> (Extract(x, StrLit(f)): Expr)).toMap
+      struct(keyFields.map { case (n, v) =>
+        lowerExpr(scope, substitute(v, fmap)).as(n)
+      }: _*)
     case Extract(x, key) =>
       val c = lowerExpr(scope, x)
       key match {
@@ -1455,7 +1483,7 @@ object Lowering {
         a.drop(2).map(org.apache.spark.sql.GraftColumnBridge.expression),
         mode))
     case other =>
-      throw new IllegalArgumentException(s"unknown function $other")
+      throw new IllegalArgumentException(s"Unable to find function '$other'")
   }
 
   /** horizontal_* (`sql/builtin_functions.cc` horizontal battery):
@@ -1479,7 +1507,7 @@ object Lowering {
         array_join(filter(arr.cast("array<string>"), v => v.isNotNull), ",")
       case "horizontal_earliest" => element_at(nn, 1)
       case "horizontal_latest" => element_at(nn, -1)
-      case other => throw new IllegalArgumentException(s"unknown function $other")
+      case other => throw new IllegalArgumentException(s"Unable to find function '$other'")
     }
   }
 
@@ -1504,7 +1532,7 @@ object Lowering {
           v => v.isNotNull), sep.getOrElse(","))
       case "horizontal_earliest" => coalesce(cols: _*)
       case "horizontal_latest" => coalesce(cols.reverse: _*)
-      case other => throw new IllegalArgumentException(s"unknown function $other")
+      case other => throw new IllegalArgumentException(s"Unable to find function '$other'")
     }
   }
 

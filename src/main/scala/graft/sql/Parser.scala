@@ -677,14 +677,19 @@ final class Parser(tokens: Vector[Token], source: String = "") {
             expectOp(")")
             val fn = if (distinct) s"${name.toLowerCase}_distinct"
                      else name.toLowerCase
-            // appliable-function syntax: name({row})[output]
-            (args, peek) match {
-              case (Seq(StructLit(fields)), TOp("[", _)) =>
+            // appliable-function syntax: name({row})[output]. A `[{…}]`
+            // key is NOT an output name — it is the postfix
+            // project/rename extraction (MLDB-1012), left for
+            // parsePostfix's Extract.
+            (args, peek, tokens.lift(p + 1)) match {
+              case (Seq(StructLit(fields)), TOp("[", _), Some(TOp("{", _))) =>
+                FnApply(name, fields, None)
+              case (Seq(StructLit(fields)), TOp("[", _), _) =>
                 p += 1
                 val out = parseIdentName()
                 expectOp("]")
                 FnApply(name, fields, Some(out))
-              case (Seq(StructLit(fields)), _) if !distinct =>
+              case (Seq(StructLit(fields)), _, _) if !distinct =>
                 FnApply(name, fields, None)
               case _ => FnCall(fn, args)
             }
