@@ -70,6 +70,18 @@ object ProbeParity {
     e.recordRows("noColDs", """[{"rowName":"row1"}]""")
     e.recordRows("sample1490", """[{"rowName":"a","x":1}]""")
 
+
+    e.recordRows("ds813a",
+      (0 until 10).map(i => s"""{"rowName":"row_$i","x":$i}""").mkString("[", ",", "]"))
+    e.recordRows("ds813b",
+      (0 until 5).map(i => s"""{"rowName":"row_$i","ds1_row":"row_$i","y":$i}""").mkString("[", ",", "]"))
+    e.recordRows("ds784a",
+      (0 until 5).map(i => s"""{"rowName":"row_$i","x":$i,"y":${2*i}}""").mkString("[", ",", "]"))
+    e.recordRows("ds784b",
+      (0 until 5).map(i => s"""{"rowName":"row_$i","a":${3*i}}""").mkString("[", ",", "]"))
+    try e.createSqlQueryDialectFunction("patate784", "select * from ds784a where rowName() = $id")
+    catch { case t: Throwable => println("[note] patate784: " + t.getMessage) }
+
     val probes: Seq[(String, String)] = Seq(
       "638 orderby-agg-not-selected" ->
         "SELECT min(x) FROM dataset1 GROUP BY y ORDER BY min(z), y",
@@ -171,7 +183,11 @@ object ProbeParity {
       "1490 agg-ln" -> "select count(*) AS c, sum(ln(deletions+1)) AS s from sample1490 group by x",
       "1490 global-ln-agg" -> "select count(*) AS c, ln(sum(deletions)+1) AS l from sample1490",
       "1490 bad-bare" -> "select count(*) AS c, ln(deletions+1) AS l from sample1490 group by x",
-      "1490 bad-bare-global" -> "select count(*) AS c, ln(deletions+1) AS l from sample1490"
+      "1490 bad-bare-global" -> "select count(*) AS c, ln(deletions+1) AS l from sample1490",
+      "813 join-rowname-col" -> "SELECT d1.x, d2.y FROM ds813a AS d1 JOIN ds813b AS d2 ON d1.rowName() = d2.ds1_row ORDER BY rowName()",
+      "813 join-rowname-both" -> "SELECT ds813b.* FROM ds813b INNER JOIN ds813a ON ds813a.rowName() = ds813b.rowName() ORDER BY ds813b.rowName()",
+      "784 sqlquery-param-apply" -> "SELECT a, patate784({rowName() as id}) as * from ds784b where rowName() = 'row_2'"
+
 
 
 

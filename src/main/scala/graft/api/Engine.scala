@@ -148,7 +148,7 @@ final class GraftEngine(val spark: SparkSession) {
     * query as `name({arg: expr, …})[output]` (macro expansion). */
   def query(sql: String): DataFrame =
     graft.sql.GraftSql.queryTables(spark, dataset, sql,
-      macros = sqlMacros.toMap)
+      macros = sqlMacros.toMap, lookups = paramLookups.toMap)
 
   /** Run a Spark-SQL (ANSI) query against the registered datasets —
     * interop escape hatch: every registered dataset is exposed as a
@@ -206,6 +206,64 @@ final class GraftEngine(val spark: SparkSession) {
     val lookup = query(queryText)
     functions(name) = df =>
       df.join(org.apache.spark.sql.functions.broadcast(lookup), joinCols, "left")
+  }
+
+  private val paramLookups =
+    TrieMap[String, graft.sql.Lowering.ParamLookup]()
+
+  /** `$param`-ized `sql.query` callable INSIDE the dialect per row
+    * (MLDB-784: `patate({rowName() as id}) as *` against
+    * `select * from ds1 where rowName() = $id`). The reference
+    * re-executes the inner SELECT per outer row; here the
+    * `expr = $param` conjuncts become lookup KEYS, the inner query
+    * runs ONCE without them, and the bounded result ships as a
+    * plan-literal key→row map probed per row — broadcast-lookup
+    * semantics with zero shuffles. Registration-time snapshot, capped
+    * at [[JsHost.maxQueryRows]] like every driver-side materialization. */
+  def createSqlQueryDialectFunction(name: String, queryText: String): Unit = {
+    rejectBuiltinName(name)
+    import graft.sql.Ast._
+    val stmt = graft.sql.Parser.parse(queryText)
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case Binary("and", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val all = stmt.where.map(conjuncts).getOrElse(Nil)
+    val (paramEqs, rest) = all.partition {
+      case Binary("=", _, Param(_)) | Binary("=", Param(_), _) => true
+      case _ => false
+    }
+    require(paramEqs.nonEmpty,
+      "a dialect-callable sql.query needs `expr = $param` WHERE conjuncts")
+    val keys: Seq[(String, Expr)] = paramEqs.map {
+      case Binary("=", l, Param(p)) => p -> l
+      case Binary("=", Param(p), r) => p -> r
+      case other => throw new IllegalStateException(other.toString)
+    }
+    val stmt2 = stmt.copy(
+      where = rest.reduceOption((a, b) => Binary("and", a, b)),
+      items = stmt.items ++ keys.zipWithIndex.map { case ((_, e), i) =>
+        SelectItem(e, Some(s"__k_$i"))
+      })
+    val df = graft.sql.Lowering.run(
+      graft.sql.Lowering.Context(spark, dataset, Map.empty, sqlMacros.toMap),
+      stmt2)
+    val keep = df.columns.zipWithIndex.filterNot { case (c, _) =>
+      c.startsWith("__k_") || c.equalsIgnoreCase("rowName")
+    }
+    val keyIdx = keys.indices.map(i => df.columns.indexOf(s"__k_$i"))
+    val rows = df.limit(JsHost.maxQueryRows + 1).collect()
+    require(rows.length <= JsHost.maxQueryRows,
+      s"sql.query '$name': result exceeds ${JsHost.maxQueryRows} rows — " +
+        "restrict the inner query before registering it as a function")
+    val entries = rows.toSeq.map { r =>
+      val key = keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u0001")
+      key -> keep.map { case (_, i) => r.get(i) }.toSeq
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      keep.map { case (c, i) => df.schema.fields(i).copy(name = c) })
+    paramLookups(name) = graft.sql.Lowering.ParamLookup(
+      keys.map(_._1), entries, schema)
   }
 
   /** Zero-argument `sql.query` usable INSIDE the dialect

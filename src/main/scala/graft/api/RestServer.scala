@@ -92,6 +92,28 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         .stripPrefix("/")
       path match {
         case "" => engine.listFunctions.map(jsonStr).mkString("[", ",", "]")
+        case name if ex.getRequestMethod == "PUT" && !name.contains("/") =>
+          // typed creation (`PUT /v1/functions/<n> {type, params}`):
+          // sql.expression → dialect macro; sql.query → $param-ized
+          // per-row lookup (MLDB-784) or registration-time row
+          // function (MLDB-1320) when parameterless
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          val tpe = extractField(body, "type")
+          tpe match {
+            case "sql.expression" =>
+              engine.createSqlExpressionFunction(name,
+                extractField(body, "expression"))
+            case "sql.query" =>
+              val q = extractField(body, "query")
+              if (q.contains("$"))
+                engine.createSqlQueryDialectFunction(name, q)
+              else engine.createSqlQueryRowFunction(name, q,
+                extractFieldOpt(body, "output").getOrElse("FIRST_ROW"))
+            case other => throw new IllegalArgumentException(
+              s"unknown function type '$other'")
+          }
+          s"""{"created": ${jsonStr(name)}}"""
         case app if app.endsWith("/application") =>
           // single-row function application
           // (`server/mldb_server.cc` application route)

@@ -177,8 +177,9 @@ object GraftSql {
   /** Query over an arbitrary table resolver (the dataset registry). */
   def queryTables(spark: SparkSession, tables: String => DataFrame,
       sql: String, params: Map[String, Any] = Map.empty,
-      macros: Map[String, Seq[Ast.SelectItem]] = Map.empty): DataFrame =
-    Lowering.run(Lowering.Context(spark, tables, params, macros),
+      macros: Map[String, Seq[Ast.SelectItem]] = Map.empty,
+      lookups: Map[String, Lowering.ParamLookup] = Map.empty): DataFrame =
+    Lowering.run(Lowering.Context(spark, tables, params, macros, lookups),
       Parser.parse(sql))
 
   /** Parameterized query: `$name` placeholders bound from `params`. */

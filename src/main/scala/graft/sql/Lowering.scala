@@ -30,7 +30,20 @@ object Lowering {
 
   final case class Context(spark: SparkSession, tables: String => DataFrame,
       params: Map[String, Any] = Map.empty,
-      macros: Map[String, Seq[SelectItem]] = Map.empty)
+      macros: Map[String, Seq[SelectItem]] = Map.empty,
+      lookups: Map[String, ParamLookup] = Map.empty)
+
+  /** A $param-ized `sql.query` function made dialect-callable
+    * (MLDB-784: `patate({rowName() as id}) as *`). The reference
+    * re-executes the inner SELECT per outer row; the distributed
+    * equivalent ships the (bounded) inner result as a PLAN-LITERAL
+    * key→row map and applies it as a per-row map probe — a broadcast
+    * lookup with zero shuffles. `params` are the $names in
+    * registration order; `entries` key = param values joined with
+    * the \\u0001 separator; `schema` types the output row (null on no match). */
+  final case class ParamLookup(params: Seq[String],
+      entries: Seq[(String, Seq[Any])],
+      schema: org.apache.spark.sql.types.StructType)
 
   /** One FROM-scope frame: optional alias + the DataFrame. */
   private final case class Scope(frames: Seq[(Option[String], DataFrame)]) {
@@ -196,7 +209,9 @@ object Lowering {
     // (RestServer scenario) each see their own params/macros.
     dynParams.withValue(ctx.params) {
       dynMacros.withValue(ctx.macros) {
-        lowerSelect(ctx, stmt)
+        dynLookups.withValue(ctx.lookups) {
+          lowerSelect(ctx, stmt)
+        }
       }
     }
 
@@ -370,8 +385,10 @@ object Lowering {
 
   private val dynParams = new scala.util.DynamicVariable[Map[String, Any]](Map.empty)
   private val dynMacros = new scala.util.DynamicVariable[Map[String, Seq[SelectItem]]](Map.empty)
+  private val dynLookups = new scala.util.DynamicVariable[Map[String, ParamLookup]](Map.empty)
   private def currentParams = dynParams.value
   private def currentMacros = dynMacros.value
+  private def currentLookups = dynLookups.value
 
   /** substitute argument names for expressions inside a macro body. */
   private def substitute(e: Expr, args: Map[String, Expr]): Expr = e match {
@@ -549,6 +566,32 @@ object Lowering {
             lowerExpr(scope, substitute(it.e, argMap))
               .as(it.alias.getOrElse(s"_c$i"))
           }: _*)
+        }
+      case None if currentLookups.contains(name) =>
+        // $param-ized sql.query function applied per row (MLDB-784):
+        // probe the plan-literal key→row map
+        val lk = currentLookups(name)
+        val argMap = args.toMap
+        val keyCols = lk.params.map(p => argMap.getOrElse(p,
+          throw new IllegalArgumentException(
+            s"function $name needs argument '$p'")))
+        val keyCol = concat_ws("\u0001",
+          keyCols.map(e => lowerExpr(scope, e).cast("string")): _*)
+        val row =
+          if (lk.entries.isEmpty) lit(null).cast(lk.schema)
+          else {
+            val kvs = lk.entries.flatMap { case (k, vs) =>
+              Seq(lit(k), struct(vs.zip(lk.schema.fields).map {
+                case (v, f) =>
+                  (if (v == null) lit(null) else lit(v))
+                    .cast(f.dataType).as(f.name)
+              }: _*))
+            }
+            element_at(map(kvs: _*), keyCol)
+          }
+        output match {
+          case Some(out) => row.getField(out)
+          case None => row
         }
       case None => throw new IllegalArgumentException(
         s"unknown appliable function '$name' (register with " +

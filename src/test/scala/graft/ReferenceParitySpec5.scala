@@ -124,4 +124,53 @@ class ReferenceParitySpec5 extends AnyFunSuite {
     assert(q("SELECT * FROM mldbfb545merged WHERE converted='n'")
       .count() === 1)
   }
+
+  // --- MLDB-813-rowname_in_join.py -----------------------------------------
+
+  test("MLDB-813: joins keyed on rowName(), qualified outputs and " +
+      "composed [l]-[r] row names") {
+    e.recordRows("ds813a",
+      (0 until 10).map(i => s"""{"rowName":"row_$i","x":$i}""")
+        .mkString("[", ",", "]"))
+    e.recordRows("ds813b",
+      (0 until 5).map(i =>
+        s"""{"rowName":"row_$i","ds1_row":"row_$i","y":$i}""")
+        .mkString("[", ",", "]"))
+    val a = q("""SELECT rowName() AS rn, d1.x, d2.y
+      |FROM ds813a AS d1 JOIN ds813b AS d2 ON d1.rowName() = d2.ds1_row
+      |ORDER BY rowName()""".stripMargin).collect()
+    assert(a.length === 5)
+    assert(a.map(_.getString(0)).toSeq ===
+      (0 until 5).map(i => s"[row_$i]-[row_$i]"))
+    assert(a.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      (0 until 5).map(i => (i.toLong, i.toLong)))
+    val b = q("""SELECT ds813b.* FROM ds813b
+      |INNER JOIN ds813a ON ds813a.rowName() = ds813b.rowName()
+      |ORDER BY ds813b.rowName()""".stripMargin)
+    assert(b.count() === 5)
+    assert(b.columns.toSet.intersect(Set("ds1_row", "y")) === Set("ds1_row", "y"))
+  }
+
+  // --- MLDB-784_sqlquery_join.py -------------------------------------------
+
+  test("MLDB-784: a $param sql.query function applies per row inside " +
+      "the dialect as a broadcast-style lookup") {
+    e.recordRows("ds784a",
+      (0 until 5).map(i => s"""{"rowName":"row_$i","x":$i,"y":${2 * i}}""")
+        .mkString("[", ",", "]"))
+    e.recordRows("ds784b",
+      (0 until 5).map(i => s"""{"rowName":"row_$i","a":${3 * i}}""")
+        .mkString("[", ",", "]"))
+    e.createSqlQueryDialectFunction("patate784",
+      "select * from ds784a where rowName() = $id")
+    val r = q("""SELECT a, patate784({rowName() as id}) as *
+      |from ds784b where rowName() = 'row_2'""".stripMargin).head()
+    assert(r.getAs[Long]("a") === 6L)   // the file's expected a
+    assert(r.getAs[Long]("x") === 2L)
+    assert(r.getAs[Long]("y") === 4L)   // the file's expected y
+    // a non-matching key reads NULL (the reference's empty output row)
+    val miss = q("SELECT patate784({'nope' as id}) AS v FROM ds784b LIMIT 1")
+      .head()
+    assert(miss.isNullAt(0))
+  }
 }

@@ -478,6 +478,42 @@ class RestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("typed function creation over REST: sql.expression and $param " +
+      "sql.query (MLDB-784/800)") {
+    val engine = new GraftEngine(spark)
+    engine.recordRows("ds800",
+      (0 until 5).map(i => s"""{"rowName":"row_$i","x":"row_0","y":${2 * i}}""")
+        .mkString("[", ",", "]"))
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      def put(path: String, body: String): (Int, String) = {
+        val r = client.send(HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // MLDB-800's patate: $x-parameterized sql.query
+      assert(put("/v1/functions/patate800",
+        """{"type": "sql.query", "params": {
+          |"query": "select * from ds800 where rowName() = $x"}}"""
+          .stripMargin)._1 === 200)
+      // and poil: sql.expression calling it (the MLDB-800 chain)
+      assert(put("/v1/functions/poil800",
+        """{"type": "sql.expression", "params": {
+          |"expression": "patate800({x})"}}""".stripMargin)._1 === 200)
+      val out = engine.query(
+        "SELECT poil800({x}) AS v FROM ds800 WHERE rowName() = 'row_3'")
+        .head().getStruct(0)
+      // x='row_0' on every row → the lookup lands row_0's cells
+      assert(out.getAs[String]("x") === "row_0")
+      assert(out.getAs[Long]("y") === 0L)
+      // unknown type 400s
+      assert(put("/v1/functions/zz", """{"type": "nope"}""")._1 === 400)
+    } finally srv.stop()
+  }
+
   test("typed dataset creation: merged/sampled/transposed/sub via PUT config (MLDB-1242/2077)") {
     val engine = new GraftEngine(spark)
     val srv = new RestServer(engine)
