@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, regexp_replace}
+import org.apache.spark.sql.functions.{col, expr, from_csv, regexp_replace}
 import org.apache.spark.sql.types.StructType
 
 /** File sources/sinks (SURVEY §2.7 import/export procedures).
@@ -154,6 +154,39 @@ object Sources {
     cfg.schema match {
       case Some(s) => r = r.schema(s)
       case None => r = r.option("inferSchema", true)
+    }
+    // `named: lineNumber()` — the reference's DEFAULT row naming
+    // (rows named by source line, header = line 1, MLDBFB-192). Stays
+    // opt-in here (a typed import shouldn't always pay the line pass):
+    // text-with-index scan → from_csv per line, fully distributed.
+    val namedLineNumbers = cfg.named.exists(
+      _.replaceAll("\\s", "").equalsIgnoreCase("lineNumber()"))
+    if (namedLineNumbers) {
+      require(cfg.headerNames.isEmpty && !cfg.autoGenerateHeaders && !lineLevel,
+        "named: lineNumber() supports plain header-row imports only")
+      val schema = cfg.schema.getOrElse(
+        spark.read.option("sep", cfg.delimiter)
+          .option("quote", cfg.quoteChar).option("encoding", encoding)
+          .option("header", hasHeaderRow).option("inferSchema", true)
+          .csv(path).schema)
+      val lines = spark.read.option("encoding", encoding).text(path)
+        .rdd.zipWithIndex.map { case (row, i) =>
+          org.apache.spark.sql.Row(row.getString(0), i + 1L)
+        }
+      val withIdx = spark.createDataFrame(lines,
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("__line",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__lineno",
+            org.apache.spark.sql.types.LongType))))
+      val data =
+        if (hasHeaderRow) withIdx.filter(col("__lineno") > 1) else withIdx
+      val parsed = data.select(
+        from_csv(col("__line"), schema,
+          Map("sep" -> cfg.delimiter, "quote" -> cfg.quoteChar)).as("__r"),
+        col("__lineno"))
+        .select(col("__r.*"), col("__lineno").cast("string").as("rowName"))
+      return cfg.limit.map(parsed.limit).getOrElse(parsed)
     }
     var preprocessedLines: Option[org.apache.spark.sql.Dataset[String]] = None
     val df0 = if (!lineLevel) r.csv(path) else {

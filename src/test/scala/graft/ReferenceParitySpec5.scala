@@ -125,6 +125,90 @@ class ReferenceParitySpec5 extends AnyFunSuite {
       .count() === 1)
   }
 
+  // --- MLDB-668-object-column-name.py --------------------------------------
+
+  test("MLDB-668: { 1 as x } as y names the field y.x, with and without FROM") {
+    e.recordRows("ds668", """[{"rowName":"row_0","x":0}]""")
+    for (sql <- Seq("SELECT { 1 as x } as y FROM ds668",
+        "SELECT { 1 as x } as y")) {
+      val df = q(sql)
+      assert(df.columns.toSeq.contains("y"), sql)
+      val st = df.schema("y").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(st.fieldNames.toSeq === Seq("x"), sql)
+      assert(df.head().getStruct(df.columns.indexOf("y")).getLong(0) === 1L, sql)
+    }
+  }
+
+  // --- MLDB-902-non-ascii-row-names.py -------------------------------------
+
+  test("MLDB-902: non-ascii row names round-trip through SELECT *") {
+    e.recordRows("non-ascii-row",
+      """[{"rowName":"françois","x":1.5,"label":"0"}]""")
+    val r = q("""select * from "non-ascii-row"""").head()
+    assert(r.getAs[String]("rowName") === "françois")
+  }
+
+  // --- MLDB-1552-where-and-rowname-optim.py --------------------------------
+
+  test("MLDB-1552: combined column and rowName() predicates with " +
+      "DESC ordering") {
+    e.recordRows("ds1552",
+      (0 until 3).map(i => s"""{"rowName":"row_$i","x":$i}""")
+        .mkString("[", ",", "]"))
+    val rows = q("""SELECT * FROM ds1552
+      |WHERE (x IS NOT null) AND rowName() != 'row_1'
+      |order by rowName() desc""".stripMargin).collect()
+    assert(rows.map(_.getAs[String]("rowName")).toSeq === Seq("row_2", "row_0"))
+    assert(rows.map(_.getAs[Long]("x")).toSeq === Seq(2L, 0L))
+  }
+
+  // --- MLDB-1702_comparisons_test.py (EAV superposition comparisons) -------
+
+  test("MLDB-1702: comparisons against superposed cells read the " +
+      "latest value per cell") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t4 = java.sql.Timestamp.valueOf("1970-01-01 00:00:04")
+    val t5 = java.sql.Timestamp.valueOf("1970-01-01 00:00:05")
+    // the file's u1 row: b = (1@4, 1@5), d = (0@4, 1@5), e = (1@4, 0@5)
+    val cells = Seq(
+      ("u1", "a", 1.0, t4),
+      ("u1", "b", 1.0, t4), ("u1", "b", 1.0, t5),
+      ("u1", "c", 0.0, t4), ("u1", "c", 0.0, t5),
+      ("u1", "d", 0.0, t4), ("u1", "d", 1.0, t5),
+      ("u1", "e", 1.0, t4), ("u1", "e", 0.0, t5))
+      .toDF("rowName", "column", "num", "ts")
+      .select(col("rowName"), col("column"),
+        struct(col("num"), lit(null).cast("string").as("str"),
+          lit(null).cast("timestamp").as("tsv"),
+          lit(null).cast("boolean").as("flag")).as("value"), col("ts"))
+    val latest = core.Eav.latest(cells)
+      .select(col("column"), col("value.num").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the file's per-letter expectations under = / > against 1
+    assert(latest("a") === 1.0) // a = 1 → true
+    assert(latest("b") === 1.0) // two ones → still 1
+    assert(latest("c") === 0.0)
+    assert(latest("d") === 1.0) // 0@4 then 1@5 → latest wins
+    assert(latest("e") === 0.0) // 1@4 then 0@5 → latest wins
+  }
+
+  // --- MLDBFB-192_row_name_as_string_test.py -------------------------------
+
+  test("MLDBFB-192: CSV rows named by source line number (header = 1)") {
+    val f = java.nio.file.Files.createTempFile("graft_192", ".csv")
+    java.nio.file.Files.write(f, "header\nval1\nval2\n".getBytes("UTF-8"))
+    try {
+      val df = graft.sources.Sources.importText(spark, f.toString,
+        graft.sources.Sources.TextImportConfig(
+          named = Some("lineNumber()")))
+      val rows = df.orderBy("rowName").collect()
+        .map(r => (r.getAs[String]("rowName"), r.getAs[String]("header")))
+      assert(rows.toSeq === Seq(("2", "val1"), ("3", "val2")))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   // --- MLDB-813-rowname_in_join.py -----------------------------------------
 
   test("MLDB-813: joins keyed on rowName(), qualified outputs and " +
