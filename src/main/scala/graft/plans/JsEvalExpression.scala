@@ -112,11 +112,14 @@ object JsEval {
         }
         new JsObjV(m)
       case st: StructType =>
+        // MLDB rows carry only PRESENT cells — a null field means "no
+        // cell", so it is OMITTED from the JS object (MLDB-704:
+        // Object.keys({*}).length counts recorded cells)
         val row = v.asInstanceOf[InternalRow]
         val m = mutable.LinkedHashMap.empty[String, JsVal]
         st.fields.zipWithIndex.foreach { case (f, i) =>
-          m(f.name) =
-            if (row.isNullAt(i)) JsNull else toJs(row.get(i, f.dataType), f.dataType)
+          if (!row.isNullAt(i))
+            m(f.name) = toJs(row.get(i, f.dataType), f.dataType)
         }
         new JsObjV(m)
       case BinaryType =>

@@ -534,7 +534,9 @@ object Lowering {
         // fields alphabetically (MLDB-1554).
         horizontalFn(name.toLowerCase,
           args.sortBy(_._1).map { case (_, v) => lowerExpr(scope, v) })
-      case None if Set("print_json", "hash")(name.toLowerCase) =>
+      case None if Set("print_json", "hash", "value_timestamp",
+          "latest_timestamp", "earliest_timestamp",
+          "distinct_timestamps")(name.toLowerCase) =>
         // builtins whose single argument is a row literal parse as
         // FnApply; route them back to the registry
         val asStruct = StructLit(args)
@@ -926,6 +928,13 @@ object Lowering {
     case (n, v) => Seq(lowerExpr(scope, v).as(n))
   }
 
+  /** IEEE log-family domain handling (MLDB-781): x = 0 → -Inf,
+    * x < 0 → NaN, NULL → NULL; positive x takes the Spark path. */
+  private def ieeeLog(x: Column, sparkResult: Column): Column =
+    when(x.cast("double") === 0.0, lit(Double.NegativeInfinity))
+      .when(x.cast("double") < 0.0, lit(Double.NaN))
+      .otherwise(sparkResult)
+
   private def binaryOp(op: String, lc: Column, rc: Column): Column = op match {
     case "+" => lc + rc
     case "-" => lc - rc
@@ -989,10 +998,22 @@ object Lowering {
     case "round" => if (a.size > 1) round(a(0), raw(1).asInstanceOf[NumLit].v.toInt) else round(a(0), 0)
     case "sqrt" => sqrt(a(0))
     case "exp" => exp(a(0))
-    case "ln" => log(a(0))
+    // logarithms keep IEEE semantics like C's log() (MLDB-781:
+    // ln(0) = -Inf, ln(-1) = NaN) — Spark's null-on-nonpositive
+    // replaced; NULL input still reads NULL
+    case "ln" => ieeeLog(a(0), log(a(0)))
     // reference log(x) is base 10, log(base, x) is base-b
     // (`builtin_functions.cc:809-849`)
-    case "log" => if (a.size == 2) log(raw(0).asInstanceOf[NumLit].v.toDouble, a(1)) else log10(a(0))
+    case "log" =>
+      if (a.size > 2) throw new IllegalArgumentException(
+        s"Binding builtin function log: the log function expected 1 or 2 " +
+          s"arguments, got ${a.size}")
+      else if (a.size == 2) raw(0) match {
+        case NumLit(b, _) => ieeeLog(a(1), log(b.toDouble, a(1)))
+        case NullLit() => lit(null) // log(NULL, x) = NULL
+        case _ => ieeeLog(a(1), log(a(1)) / log(a(0))) // dynamic base
+      }
+      else ieeeLog(a(0), log10(a(0)))
     case "power" | "pow" => pow(a(0), a(1))
     case "mod" => a(0) % a(1)
     case "atan2" => atan2(a(0), a(1))
@@ -1950,6 +1971,22 @@ object Lowering {
               "AS *: more than 10000 dynamic columns")
             keys.sorted.toSeq.map(k =>
               SelectItem(Extract(e, StrLit(k)), Some(k)))
+          // `jseval(...) AS *` (MLDB-704): the script's object comes
+          // back as a JSON string — infer its schema with a capped
+          // pass (the parse_json options-form contract) and expand
+          case org.apache.spark.sql.types.StringType
+              if e.isInstanceOf[FnCall] &&
+                e.asInstanceOf[FnCall].name == "jseval" =>
+            import ctx.spark.implicits._
+            val strs = fromDf0.select(c.cast("string").as("__j"))
+              .filter(col("__j").isNotNull).limit(10000).as[String]
+            val schema = ctx.spark.read.json(strs).schema.fields.toSeq
+              .filterNot(f => f.name == "_corrupt_record" ||
+                f.dataType == org.apache.spark.sql.types.NullType)
+            val ddl = org.apache.spark.sql.types.StructType(schema).toDDL
+            schema.map(f => SelectItem(
+              Extract(FnCall("parse_json", Seq(e, StrLit(ddl))),
+                StrLit(f.name)), Some(f.name)))
           case other => throw new IllegalArgumentException(
             s"AS * requires a row-valued expression (got $other)")
         }
