@@ -21,8 +21,13 @@ object PathFunctions {
   /** stringify_path(['a','b']) → 'a.b'. */
   def stringifyPath(p: Column): Column = array_join(p, ".")
 
-  def pathElement(p: Column, n: Column): Column =
-    element_at(p, (n + 1).cast("int"))
+  /** 0-based path element; a NEGATIVE index counts from the end
+    * (rowPathElement(-1) = last element, MLDB-1636). Out-of-range
+    * reads NULL. */
+  def pathElement(p: Column, n: Column): Column = {
+    val idx = when(n >= 0, n + 1).otherwise(n).cast("int")
+    when(abs(idx) <= size(p), element_at(p, idx))
+  }
 
   def pathLength(p: Column): Column = size(p)
 

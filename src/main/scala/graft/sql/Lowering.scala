@@ -279,7 +279,11 @@ object Lowering {
           .limit(10001).collect().map(_.getString(0)).sorted.toSeq
         require(ids.size <= 10000,
           "transpose: more than 10000 rows would become columns")
+        // the transposed dataset's ROWS are the original columns — name
+        // them in the rowName slot so rowName() works downstream
+        // (MLDB-1631's join on x.rowName())
         val t = graft.operators.Reshape.transpose(keyed, idCol, ids, "string")
+          .withColumnRenamed("column", "rowName")
         (t, Scope(Seq(None -> t)))
       case "sample" =>
         val (df, _) = lowerTable(ctx, tables.head)

@@ -116,6 +116,50 @@ class ReferenceParitySpec6 extends AnyFunSuite {
     assert(nvals.toSeq === Seq(2.0, 3.0, 2.0, 3.0))
   }
 
+  // --- MLDB-1631-join-transpose-where-rowname.js ---------------------------
+
+  test("MLDB-1631: theta join against a transposed row literal with a " +
+      "dynamic regex built from rowName()") {
+    val rows = q("""select rowName() AS rn, y.title, x.rating
+      |from (select 'this is toy story time' as title) as y
+      |join transpose((select {"toy story": 1, "terminator": 5} as *
+      |named 'rating')) as x
+      |where regex_match(y.title, '.*'+x.rowName()+'.*')""".stripMargin)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getString(0) === "[result]-[toy story]")
+    assert(r.getString(1) === "this is toy story time")
+    assert(r.getString(2) === "1") // transposed cells read back as strings
+  }
+
+  // --- MLDB-1636-row-column-path.js ----------------------------------------
+
+  test("MLDB-1636: rowPath()/rowPathElement over structured row names") {
+    e.recordRows("test1636",
+      (0 until 5).map(i =>
+        s"""{"rowName":"examples.$i","who":"w$i"}""").mkString("[", ",", "]"))
+    // rowPathElement(-1) = rowPathElement(1) → all five rows
+    assert(q("""select who from test1636
+      |where rowPathElement(-1) = rowPathElement(1)""".stripMargin)
+      .count() === 5)
+    val top = q("""select rowPath() AS p, rowPathElement(2) AS x,
+      |rowPathElement(0) AS e0 from test1636
+      |order by rowPath() desc limit 1""".stripMargin).head()
+    assert(top.getSeq[String](0) === Seq("examples", "4"))
+    assert(top.isNullAt(1)) // out-of-range element is NULL
+    assert(top.getString(2) === "examples")
+  }
+
+  // --- MLDB-1648-path-values.js --------------------------------------------
+
+  test("MLDB-1648: stringify_path and parse_path round-trip") {
+    assert(q("select stringify_path([1,2,3]) AS p").head().getString(0)
+      === "1.2.3")
+    assert(q("select parse_path(stringify_path([1,2,3])) AS p").head()
+      .getSeq[String](0) === Seq("1", "2", "3"))
+  }
+
   // --- MLDB-998-get-timestamp-range.js -------------------------------------
 
   test("MLDB-998: min(earliest_timestamp({*})) / max(latest_timestamp({*}))") {
