@@ -555,7 +555,8 @@ object Lowering {
           s"function $name has no output '$out'"))
         output match {
           case Some(out) => lowerExpr(scope, substitute(itemFor(out), argMap))
-          case None if items.size == 1 =>
+          case None if items.size == 1 &&
+              !items.head.e.isInstanceOf[Star] =>
             val v = lowerExpr(scope, substitute(items.head.e, argMap))
             items.head.alias match {
               // a single SCALAR-aliased item is a one-field row
@@ -568,9 +569,28 @@ object Lowering {
                 struct(v.as(alias))
               case _ => v
             }
-          case None => struct(items.zipWithIndex.map { case (it, i) =>
-            lowerExpr(scope, substitute(it.e, argMap))
-              .as(it.alias.getOrElse(s"_c$i"))
+          case None => struct(items.zipWithIndex.flatMap {
+            // `input.*` in a function body expands the ARGUMENT row's
+            // fields, keeping the dotted names (MLDB-1707: columns
+            // input.xx, input.xy)
+            case (SelectItem(Star(excl, prefix, _), _), _)
+                if prefix.nonEmpty &&
+                  argMap.contains(prefix.stripSuffix(".")) =>
+              val argN = prefix.stripSuffix(".")
+              val exclSet = excl.map(_.toLowerCase).toSet
+              argMap(argN) match {
+                case StructLit(fs) => fs.collect {
+                  case (n, v) if !exclSet(n.toLowerCase) =>
+                    lowerExpr(scope, v).as(s"$argN.$n")
+                }
+                case other =>
+                  val c = lowerExpr(scope, other)
+                  structFieldsOf(scope, c).getOrElse(Seq.empty)
+                    .filterNot(f => exclSet(f.toLowerCase))
+                    .map(f => c.getField(f).as(s"$argN.$f"))
+              }
+            case (it, i) => Seq(lowerExpr(scope, substitute(it.e, argMap))
+              .as(it.alias.getOrElse(s"_c$i")))
           }: _*)
         }
       case None if currentLookups.contains(name) =>
@@ -1880,6 +1900,9 @@ object Lowering {
     // so `sum(x) IN (SELECT …)` registers its aggregate before the
     // grouped frame is built
     case InSelect(x, sub, n) => InSelect(extractAggs(x, acc), sub, n)
+    // `pivot(k, v) AS *` expands to per-key extracts of the ONE
+    // aggregate (MLDB-816)
+    case Extract(x, k) => Extract(extractAggs(x, acc), k)
     case other => other
   }
 
@@ -1960,6 +1983,19 @@ object Lowering {
       // a Star that surfaced from literal expansion (`{*} as *`) is
       // already a plain wildcard item — not a dynamic AS *
       case SelectItem(s: Star, Some("*")) => Seq(SelectItem(s, None))
+      // `pivot(k, v) AS *` (MLDB-816): one column per distinct key —
+      // the key set comes from a capped plan-time distinct pass (the
+      // dynamic AS * contract), each key read out of the pivot map
+      // post-aggregation
+      case SelectItem(f @ FnCall("pivot", Seq(k, _), _), Some("*")) =>
+        val keys = fromDf0
+          .select(lowerExpr(scope0, k).cast("string").as("__pk"))
+          .filter(col("__pk").isNotNull).distinct()
+          .limit(10001).collect().map(_.getString(0))
+        require(keys.length <= 10000,
+          "pivot AS *: more than 10000 distinct keys")
+        keys.sorted.toSeq.map(key =>
+          SelectItem(Extract(f, StrLit(key)), Some(key)))
       case SelectItem(e, Some("*")) =>
         val c = lowerExpr(scope0, e)
         fromDf0.select(c.as("__asstar")).schema.head.dataType match {

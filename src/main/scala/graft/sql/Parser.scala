@@ -210,6 +210,28 @@ final class Parser(tokens: Vector[Token], source: String = "") {
     case t => fail("expected identifier")
   }
 
+  /** Builtin names whose canonical spelling is camelCase. */
+  private val camelFns = Map(
+    "rowname" -> "rowName", "rowhash" -> "rowHash", "rowpath" -> "rowPath",
+    "rowpathelement" -> "rowPathElement", "leftrowname" -> "leftRowName",
+    "rightrowname" -> "rightRowName", "columncount" -> "columnCount",
+    "columnname" -> "columnName", "columnpath" -> "columnPath",
+    "rowcount" -> "rowCount", "linenumber" -> "lineNumber")
+
+  /** Function names are CASE-SENSITIVE in the reference (MLDB-957:
+    * `POWER(x,2)` errors while `power(x,2)` works; camelCase builtins
+    * like rowName() keep their canonical spelling). Dispatch stays
+    * lowercase internally; a mis-cased spelling of a KNOWN builtin is
+    * rejected here. Unknown (user-function) names pass through —
+    * their registries do their own exact-name lookup. */
+  private def fnName(surface: String): String = {
+    val lower = surface.toLowerCase
+    if (surface != lower && !camelFns.get(lower).contains(surface) &&
+        (GraftSql.builtinFunctionNames(lower) || camelFns.contains(lower)))
+      fail(s"Unable to find function '$surface'")
+    lower
+  }
+
   /** `EXCLUDING (a, x*, b.*)` — entries are names or prefix patterns
     * (trailing `*`, MLDB-832; dotted `a.*`, MLDB-835). Returns pattern
     * strings; a trailing '*' means prefix-match. */
@@ -661,7 +683,7 @@ final class Parser(tokens: Vector[Token], source: String = "") {
       case TIdent(_, _, _) =>
         val name = parseIdentName()
         if (acceptOp("(")) {
-          if (acceptOp("*")) { expectOp(")"); FnCall(name.toLowerCase, Nil, star = true) }
+          if (acceptOp("*")) { expectOp(")"); FnCall(fnName(name), Nil, star = true) }
           else if (acceptOp(")")) {
             // zero-arg appliable output access: `f()[output]`
             // (MLDB-1320 `poil()[output] AS *`)
@@ -669,14 +691,14 @@ final class Parser(tokens: Vector[Token], source: String = "") {
               val out = parseIdentName()
               expectOp("]")
               FnApply(name, Nil, Some(out))
-            } else FnCall(name.toLowerCase, Nil)
+            } else FnCall(fnName(name), Nil)
           }
           else {
             val distinct = acceptKw("DISTINCT")
             val args = parseExprList()
             expectOp(")")
-            val fn = if (distinct) s"${name.toLowerCase}_distinct"
-                     else name.toLowerCase
+            val fn = if (distinct) s"${fnName(name)}_distinct"
+                     else fnName(name)
             // appliable-function syntax: name({row})[output]. A `[{…}]`
             // key is NOT an output name — it is the postfix
             // project/rename extraction (MLDB-1012), left for

@@ -151,6 +151,81 @@ class ReferenceParitySpec6 extends AnyFunSuite {
     assert(top.getString(2) === "examples")
   }
 
+  // --- MLDB-816-scatter-aggregate.js ---------------------------------------
+
+  test("MLDB-816: pivot(k, v) AS * NAMED <key> under GROUP BY") {
+    e.recordRows("test816",
+      """[{"rowName":"0","who":"mustard","what":"moved","how":"kitchen"},
+        |{"rowName":"1","who":"plum","what":"moved","how":"kitchen"},
+        |{"rowName":"2","who":"mustard","what":"stabbed","how":"plum"},
+        |{"rowName":"3","who":"mustard","what":"killed","how":"plum"},
+        |{"rowName":"4","who":"plum","what":"died","how":"stabbed"}]"""
+        .stripMargin.replace("\n", ""))
+    val df = q("""SELECT pivot(what, how) AS * NAMED who FROM test816
+      |GROUP BY who ORDER BY who""".stripMargin)
+    assert(df.columns.toSet.intersect(Set("died", "killed", "moved", "stabbed"))
+      === Set("died", "killed", "moved", "stabbed"))
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("rowName")).toSeq === Seq("mustard", "plum"))
+    val mustard = rows(0)
+    assert(mustard.getAs[String]("killed") === "plum")
+    assert(mustard.getAs[String]("moved") === "kitchen")
+    assert(mustard.getAs[String]("stabbed") === "plum")
+    assert(mustard.getAs[String]("died") === null)
+    val plum = rows(1)
+    assert(plum.getAs[String]("died") === "stabbed")
+    assert(plum.getAs[String]("moved") === "kitchen")
+    assert(plum.getAs[String]("killed") === null)
+  }
+
+  // --- MLDB-1707-no-context-resolve-table.py -------------------------------
+
+  test("MLDB-1707: input.* in a sql.expression body expands the argument " +
+      "row with dotted names") {
+    e.createSqlExpressionFunction("f1707", "input.*")
+    val df = q("select f1707( {input: {xx: 1, xy: 2}} ) as *")
+    assert(df.columns.toSeq === Seq("input.xx", "input.xy"))
+    val r = df.head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+  }
+
+  // --- MLDB-1165-where-rowname-in-optim.py ---------------------------------
+
+  test("MLDB-1165/1615: rowName() IN / NOT IN lists, ordered by rowPath()") {
+    e.recordRows("ex1165",
+      (0 until 200).map(i => s"""{"rowName":"u$i","x":"whatever"}""")
+        .mkString("[", ",", "]"))
+    val hits = q("""select rowName() AS rn from ex1165 WHERE rowName() IN
+      |('u1', 'u12', 'u123', 'u199', 'u9999')""".stripMargin)
+      .collect().map(_.getString(0)).sorted
+    assert(hits.toSeq === Seq("u1", "u12", "u123", "u199"))
+    e.recordRows("ex1615",
+      (0 until 10).map(i => s"""{"rowName":"u$i","x":"whatever"}""")
+        .mkString("[", ",", "]"))
+    val rest = q("""select rowName() AS rn from ex1615 WHERE rowName() NOT IN
+      |('u1', 'u3', 'u5', 'u7') order by rowPath()""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rest.toSeq === Seq("u0", "u2", "u4", "u6", "u8", "u9"))
+  }
+
+  // --- MLDB-957-function-name.py -------------------------------------------
+
+  test("MLDB-957: builtin function names are case-sensitive") {
+    e.recordRows("example957", """[{"rowName":"row1","x":15}]""")
+    assert(q("select power(x, 2) AS p from example957").head().getDouble(0)
+      === 225.0)
+    val ex = intercept[IllegalArgumentException] {
+      q("select POWER(x, 2) AS p from example957")
+    }
+    assert(ex.getMessage.contains("POWER"))
+    // camelCase builtins keep their canonical spelling
+    assert(q("select rowName() AS rn from example957").head().getString(0)
+      === "row1")
+    intercept[IllegalArgumentException] {
+      q("select ROWNAME() AS rn from example957")
+    }
+  }
+
   // --- MLDB-1648-path-values.js --------------------------------------------
 
   test("MLDB-1648: stringify_path and parse_path round-trip") {
