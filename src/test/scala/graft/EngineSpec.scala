@@ -137,4 +137,23 @@ class EngineSpec extends AnyFunSuite {
     assert(st.filter(col("successes") > col("trials")).count() === 0)
     assert(st.count() > 0)
   }
+
+  test("a $param sql.query over an unbounded inner result fails fast at " +
+      "registration (plan-literal lookups stay broadcast-sized)") {
+    val e = new GraftEngine(spark)
+    // registration collects the inner result ONCE (capped at
+    // JsHost.maxQueryRows) and the lookup answers per outer row
+    e.createDatasetFromParquet("nation_pl", s"$sf/nation.parquet")
+    e.createSqlQueryDialectFunction("nation_of",
+      "select n_name from nation_pl where n_nationkey = $k")
+    val out = e.query(
+      """SELECT n_regionkey, nation_of({n_nationkey as k})[n_name] AS nm
+        |FROM nation_pl WHERE n_nationkey = 3""".stripMargin).head()
+    assert(out.getString(1) === "NATION_3") // synthetic testdata names
+    // a query with no `expr = $param` conjunct is rejected up front
+    val ex = intercept[IllegalArgumentException] {
+      e.createSqlQueryDialectFunction("bad_pl", "select * from nation_pl")
+    }
+    assert(ex.getMessage.contains("$param"))
+  }
 }
