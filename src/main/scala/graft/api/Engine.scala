@@ -296,7 +296,12 @@ final class GraftEngine(val spark: SparkSession) {
         val valIdx = result.columns.indices.filter(i =>
           i != colIdx && !result.columns(i).equalsIgnoreCase("rowName"))
         require(valIdx.nonEmpty, "NAMED_COLUMNS output needs a value column")
-        result.collect().toSeq.map(r =>
+        val rows = result.limit(JsHost.maxQueryRows + 1).collect()
+        require(rows.length <= JsHost.maxQueryRows,
+          s"sql.query '$name': NAMED_COLUMNS result exceeds " +
+            s"${JsHost.maxQueryRows} rows — restrict the inner query " +
+            "before registering it as a function")
+        rows.toSeq.map(r =>
           String.valueOf(r.get(colIdx)) -> toLit(r.get(valIdx.head)))
       case _ =>
         val row = result.head()

@@ -156,4 +156,20 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("$param"))
   }
+
+  test("NAMED_COLUMNS registration rejects an oversized inner result " +
+      "(same maxQueryRows cap as the $param lookup path)") {
+    val e = new GraftEngine(spark)
+    // (column, value) pairs one past the driver-side cap: the pivot
+    // would otherwise collect the whole result into a plan literal
+    val n = graft.api.JsHost.maxQueryRows + 1
+    e.createDataset("big_nc",
+      spark.range(n.toLong).selectExpr("concat('c', id) AS column",
+        "id AS value"))
+    val ex = intercept[IllegalArgumentException] {
+      e.createSqlQueryRowFunction("big_pivot",
+        "select column, value from big_nc", output = "NAMED_COLUMNS")
+    }
+    assert(ex.getMessage.contains("NAMED_COLUMNS result exceeds"))
+  }
 }
