@@ -148,7 +148,8 @@ final class GraftEngine(val spark: SparkSession) {
     * query as `name({arg: expr, …})[output]` (macro expansion). */
   def query(sql: String): DataFrame =
     graft.sql.GraftSql.queryTables(spark, dataset, sql,
-      macros = sqlMacros.toMap, lookups = paramLookups.toMap)
+      macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+      rowPivots = rowPivotFns.toMap)
 
   /** Run a Spark-SQL (ANSI) query against the registered datasets —
     * interop escape hatch: every registered dataset is exposed as a
@@ -210,6 +211,8 @@ final class GraftEngine(val spark: SparkSession) {
 
   private val paramLookups =
     TrieMap[String, graft.sql.Lowering.ParamLookup]()
+  private val rowPivotFns =
+    TrieMap[String, graft.sql.Lowering.RowPivot]()
 
   /** `$param`-ized `sql.query` callable INSIDE the dialect per row
     * (MLDB-784: `patate({rowName() as id}) as *` against
@@ -220,10 +223,21 @@ final class GraftEngine(val spark: SparkSession) {
     * plan-literal key→row map probed per row — broadcast-lookup
     * semantics with zero shuffles. Registration-time snapshot, capped
     * at [[JsHost.maxQueryRows]] like every driver-side materialization. */
-  def createSqlQueryDialectFunction(name: String, queryText: String): Unit = {
+  def createSqlQueryDialectFunction(name: String, queryText: String,
+      output: String = "FIRST_ROW"): Unit = {
     rejectBuiltinName(name)
     import graft.sql.Ast._
     val stmt = graft.sql.Parser.parse(queryText)
+    // `FROM row_dataset($arg)` (MLDB-1315): the inner query operates
+    // on the ARGUMENT row per call — no registration-time run is
+    // possible (or needed); the call site unrolls it per field
+    stmt.from match {
+      case Some(TableFn("row_dataset", Seq(), Seq(Param(p)), _)) =>
+        rowPivotFns(name) = graft.sql.Lowering.RowPivot(p, stmt, output)
+        compiledApplies.clear()
+        return
+      case _ => ()
+    }
     def conjuncts(e: Expr): Seq[Expr] = e match {
       case Binary("and", l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -252,10 +266,8 @@ final class GraftEngine(val spark: SparkSession) {
       c.startsWith("__k_") || c.equalsIgnoreCase("rowName")
     }
     val keyIdx = keys.indices.map(i => df.columns.indexOf(s"__k_$i"))
-    val rows = df.limit(JsHost.maxQueryRows + 1).collect()
-    require(rows.length <= JsHost.maxQueryRows,
-      s"sql.query '$name': result exceeds ${JsHost.maxQueryRows} rows — " +
-        "restrict the inner query before registering it as a function")
+    val rows = graft.sql.PlanTime.boundedRows(df, JsHost.maxQueryRows,
+      s"sql.query '$name'")
     val entries = rows.toSeq.map { r =>
       val key = keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u0001")
       key -> keep.map { case (_, i) => r.get(i) }.toSeq
@@ -296,11 +308,8 @@ final class GraftEngine(val spark: SparkSession) {
         val valIdx = result.columns.indices.filter(i =>
           i != colIdx && !result.columns(i).equalsIgnoreCase("rowName"))
         require(valIdx.nonEmpty, "NAMED_COLUMNS output needs a value column")
-        val rows = result.limit(JsHost.maxQueryRows + 1).collect()
-        require(rows.length <= JsHost.maxQueryRows,
-          s"sql.query '$name': NAMED_COLUMNS result exceeds " +
-            s"${JsHost.maxQueryRows} rows — restrict the inner query " +
-            "before registering it as a function")
+        val rows = graft.sql.PlanTime.boundedRows(result,
+          JsHost.maxQueryRows, s"sql.query '$name': NAMED_COLUMNS result")
         rows.toSeq.map(r =>
           String.valueOf(r.get(colIdx)) -> toLit(r.get(valIdx.head)))
       case _ =>

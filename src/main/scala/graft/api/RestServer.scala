@@ -106,10 +106,10 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
                 extractField(body, "expression"))
             case "sql.query" =>
               val q = extractField(body, "query")
+              val out = extractFieldOpt(body, "output").getOrElse("FIRST_ROW")
               if (q.contains("$"))
-                engine.createSqlQueryDialectFunction(name, q)
-              else engine.createSqlQueryRowFunction(name, q,
-                extractFieldOpt(body, "output").getOrElse("FIRST_ROW"))
+                engine.createSqlQueryDialectFunction(name, q, out)
+              else engine.createSqlQueryRowFunction(name, q, out)
             case other => throw new IllegalArgumentException(
               s"unknown function type '$other'")
           }
@@ -232,8 +232,17 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     * in the query itself). NaN/Inf follow the reference's cell
     * conventions: `{"num": "NaN"}` everywhere except `table`, which
     * stringifies. */
-  private def formatJson(df: org.apache.spark.sql.DataFrame, limit: Int,
+  private def formatJson(df0: org.apache.spark.sql.DataFrame, limit: Int,
       format: String, headers: Boolean): String = {
+    // the reference's row-oriented formats see nested rows FLATTENED
+    // to dotted columns (`y.x` — MLDB-668/832, `x() AS *` in
+    // MLDB-1315 yields columns `output.a`, `output.b`): the typed
+    // engine keeps struct columns internally, so the format layer —
+    // and only it — unnests them for table/sparse consumers
+    val df = format match {
+      case "table" | "sparse" | "full" => flattenStructs(df0)
+      case _ => df0
+    }
     val schema = df.schema
     val rows = df.take(limit)
     def cell(r: org.apache.spark.sql.Row, i: Int, table: Boolean): String =
@@ -268,6 +277,23 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
       case other =>
         throw new IllegalArgumentException(s"unknown format $other")
     }
+  }
+
+  /** Struct columns → dotted leaf columns, recursively (plan-time
+    * rename only — no data movement). */
+  private def flattenStructs(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def leaves(prefix: String, c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType): Seq[org.apache.spark.sql.Column] =
+      dt match {
+        case st: StructType => st.fields.toSeq.flatMap(f =>
+          leaves(s"$prefix.${f.name}", c.getField(f.name), f.dataType))
+        case _ => Seq(c.as(prefix))
+      }
+    if (!df.schema.fields.exists(_.dataType.isInstanceOf[StructType])) df
+    else df.select(df.schema.fields.toSeq.flatMap(f =>
+      leaves(f.name, df.col(s"`${f.name}`"), f.dataType)): _*)
   }
 
   /** valueJson plus the reference's non-finite-number convention. */

@@ -31,7 +31,19 @@ object Lowering {
   final case class Context(spark: SparkSession, tables: String => DataFrame,
       params: Map[String, Any] = Map.empty,
       macros: Map[String, Seq[SelectItem]] = Map.empty,
-      lookups: Map[String, ParamLookup] = Map.empty)
+      lookups: Map[String, ParamLookup] = Map.empty,
+      rowPivots: Map[String, RowPivot] = Map.empty)
+
+  /** A `sql.query` whose FROM is `row_dataset($arg)` (MLDB-1315):
+    * the inner query pivots the ARGUMENT row into (column, value)
+    * cells, transforms them, and `output` pivots the result back.
+    * The reference materializes a per-call dataset; here the argument
+    * row's schema is static at every call site, so the whole inner
+    * query unrolls PER FIELD at plan time — `column` binds to the
+    * field-name literal, `value` to the typed field expression, the
+    * WHERE becomes a per-field keep condition, and no dataset, shuffle
+    * or driver pass exists at runtime. */
+  final case class RowPivot(param: String, stmt: Select, output: String)
 
   /** A $param-ized `sql.query` function made dialect-callable
     * (MLDB-784: `patate({rowName() as id}) as *`). The reference
@@ -153,6 +165,155 @@ object Lowering {
 
   private def bagEntries(c: Column): Column = array_sort(map_entries(c))
 
+  // --- canonical mixed-type sort keys (MLDB-989) ---------------------------
+  //
+  // The reference defines ONE total order over every value
+  // (`sql/expression_value.cc:4578` ExpressionValue::operator<:
+  // NULL < atom < row < embedding, then `sql/cell_value.cc:1104`
+  // CellValue::operator<: numbers (NaN first) < strings < timestamps
+  // < blobs; rows/embeddings compare as their sorted (path, cell)
+  // entry lists). Spark's type system has no such cross-type order,
+  // so ORDER BY expressions whose CASE branches disagree on type (or
+  // are row-shaped) lower to a canonical SORT-KEY STRUCT instead:
+  // `(t, r, n, s, e)` = (value-kind rank, atom rank, numeric slot,
+  // string slot, entry-list slot). Struct and array ordering in Spark
+  // are both lexicographic, so sorting by this struct reproduces the
+  // reference's order exactly. Plan-time only — the key is built from
+  // each branch's STATIC type; nothing is interpreted per row.
+  private val entryKeyType = "array<struct<p:string,r:int,n:double,s:string>>"
+  private def noEntries: Column = lit(null).cast(entryKeyType)
+
+  /** Atom rank per `cell_value.cc:1104`: NaN(1) < number(2) <
+    * string(3) < timestamp(4) < blob(6). (EMPTY cells rank 0; rank 5
+    * is reserved for intervals, compared as rows of their fields.) */
+  private def atomKeyParts(c: Column,
+      dt: org.apache.spark.sql.types.DataType): (Column, Column, Column) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType =>
+        (when(isnan(c), lit(1)).otherwise(lit(2)),
+          when(isnan(c), lit(0.0)).otherwise(c.cast("double")), lit(""))
+      case _: NumericType => (lit(2), c.cast("double"), lit(""))
+      case BooleanType => (lit(2), c.cast("int").cast("double"), lit(""))
+      case StringType => (lit(3), lit(0.0), c)
+      case TimestampType | DateType | TimestampNTZType =>
+        (lit(4), c.cast("timestamp").cast("double"), lit(""))
+      case BinaryType => (lit(6), lit(0.0), hex(c)) // hex is byte-order-monotone
+      case _ => (lit(3), lit(0.0), c.cast("string"))
+    }
+  }
+
+  /** One (path, cell) entry of a row/embedding/bag entry list. */
+  private def cellEntryKey(path: Column, c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    val (r, n, s) = atomKeyParts(c, dt)
+    struct(path.as("p"),
+      when(c.isNull, lit(0)).otherwise(r).as("r"),
+      coalesce(n, lit(0.0)).as("n"),
+      coalesce(s, lit("")).as("s"))
+  }
+
+  /** Flatten a struct to its sorted dotted-path atom entries — the
+    * reference's `asRow` + sorted Structured storage
+    * (`expression_value.cc:4499`). Plan-time recursion: schemas are
+    * static, so nesting unrolls into a flat literal entry list. */
+  private def structEntries(c: Column,
+      st: org.apache.spark.sql.types.StructType,
+      prefix: String = ""): Seq[Column] =
+    st.fields.toSeq.sortBy(f => prefix + f.name).flatMap { f =>
+      val path = prefix + f.name
+      f.dataType match {
+        case nested: org.apache.spark.sql.types.StructType =>
+          structEntries(c.getField(f.name), nested, path + ".")
+        case dt => Seq(cellEntryKey(lit(path), c.getField(f.name), dt))
+      }
+    }
+
+  /** Canonical sort key for a value of static type `dt`. Total order:
+    * NULL(0) < atom(1) < row/bag(2) < embedding(3), per
+    * `expression_value.cc:4578`. */
+  private def sortKeyFor(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    val keyed = dt match {
+      case st: StructType =>
+        struct(lit(2).as("t"), lit(0).as("r"), lit(0.0).as("n"),
+          lit("").as("s"),
+          array(structEntries(c, st): _*).cast(entryKeyType).as("e"))
+      case at: ArrayType =>
+        struct(lit(3).as("t"), lit(0).as("r"), lit(0.0).as("n"),
+          lit("").as("s"),
+          transform(c, x => cellEntryKey(lit(""), x, at.elementType))
+            .cast(entryKeyType).as("e"))
+      case mt: MapType => // bags order as their sorted entry list
+        struct(lit(2).as("t"), lit(0).as("r"), lit(0.0).as("n"),
+          lit("").as("s"),
+          transform(array_sort(map_entries(c)),
+            kv => cellEntryKey(kv.getField("key").cast("string"),
+              kv.getField("value"), mt.valueType))
+            .cast(entryKeyType).as("e"))
+      case NullType => nullSortKey
+      case atom =>
+        val (r, n, s) = atomKeyParts(c, atom)
+        struct(lit(1).as("t"), r.as("r"), coalesce(n, lit(0.0)).as("n"),
+          coalesce(s, lit("")).as("s"), noEntries.as("e"))
+    }
+    when(c.isNull, nullSortKey).otherwise(keyed)
+  }
+
+  private def nullSortKey: Column =
+    struct(lit(0).as("t"), lit(0).as("r"), lit(0.0).as("n"),
+      lit("").as("s"), noEntries.as("e"))
+
+  /** An ORDER BY expression needs the canonical key when its CASE
+    * branches are row-shaped or disagree on static type — exactly the
+    * shapes Spark's per-type ordering can't express (MLDB-989). */
+  private def mixedTypeShaped(scope: Scope, e: Expr): Boolean = e match {
+    case CaseWhen(_, bs, oe) =>
+      val types = (bs.map(_._2) ++ oe.toSeq).filterNot {
+        case NullLit() => true
+        case _ => false
+      }.map(v => resolvedTypeOf(scope, lowerExpr(scope, v)))
+      val rowShaped = types.exists {
+        case Some(_: org.apache.spark.sql.types.StructType) => true
+        case _ => false
+      }
+      // numerics co-resolve natively and Spark's numeric order is the
+      // reference's; only genuinely cross-kind branches need the key
+      val kinds = types.flatten.map {
+        case _: org.apache.spark.sql.types.NumericType => "num"
+        case dt => dt.simpleString
+      }
+      rowShaped || kinds.distinct.size > 1
+    case _ => false
+  }
+
+  /** Lower a mixed-type CASE as a chain of per-branch canonical sort
+    * keys — each branch's key is built from its own static type, and
+    * all keys share one struct type, so the CASE unifies. */
+  private def mixedCaseSortKey(scope: Scope, cw: CaseWhen): Column = {
+    val CaseWhen(operand, branches, orElse) = cw
+    val cond: Expr => Column = operand match {
+      case Some(op) => c => lowerExpr(scope, op) === lowerExpr(scope, c)
+      case None => c => lowerExpr(scope, c)
+    }
+    def keyOf(v: Expr): Column = v match {
+      case NullLit() => nullSortKey
+      case other =>
+        val c = lowerExpr(scope, other)
+        resolvedTypeOf(scope, c) match {
+          case Some(dt) => sortKeyFor(c, dt)
+          case None => throw new IllegalArgumentException(
+            s"cannot order by CASE branch $other: unresolvable type")
+        }
+    }
+    val first = when(cond(branches.head._1), keyOf(branches.head._2))
+    val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
+      acc.when(cond(c), keyOf(v))
+    }
+    chained.otherwise(orElse.map(keyOf).getOrElse(nullSortKey))
+  }
+
   /** Statically embedding-valued (array-typed) shapes — embedding
     * arithmetic is element-wise in the reference (MLDB-953). */
   private def arrayShaped(scope: Scope, e: Expr): Boolean = e match {
@@ -210,7 +371,9 @@ object Lowering {
     dynParams.withValue(ctx.params) {
       dynMacros.withValue(ctx.macros) {
         dynLookups.withValue(ctx.lookups) {
-          lowerSelect(ctx, stmt)
+          dynRowPivots.withValue(ctx.rowPivots) {
+            lowerSelect(ctx, stmt)
+          }
         }
       }
     }
@@ -275,10 +438,7 @@ object Lowering {
         val idCol = if (df.columns.contains("rowName")) "rowName"
           else df.columns.head
         val keyed = df.withColumn(idCol, col(idCol).cast("string"))
-        val ids = keyed.select(col(idCol)).distinct()
-          .limit(10001).collect().map(_.getString(0)).sorted.toSeq
-        require(ids.size <= 10000,
-          "transpose: more than 10000 rows would become columns")
+        val ids = PlanTime.keys(keyed, col(idCol), "transpose")
         // the transposed dataset's ROWS are the original columns — name
         // them in the rowName slot so rowName() works downstream
         // (MLDB-1631's join on x.rowName())
@@ -390,9 +550,11 @@ object Lowering {
   private val dynParams = new scala.util.DynamicVariable[Map[String, Any]](Map.empty)
   private val dynMacros = new scala.util.DynamicVariable[Map[String, Seq[SelectItem]]](Map.empty)
   private val dynLookups = new scala.util.DynamicVariable[Map[String, ParamLookup]](Map.empty)
+  private val dynRowPivots = new scala.util.DynamicVariable[Map[String, RowPivot]](Map.empty)
   private def currentParams = dynParams.value
   private def currentMacros = dynMacros.value
   private def currentLookups = dynLookups.value
+  private def currentRowPivots = dynRowPivots.value
 
   /** substitute argument names for expressions inside a macro body. */
   private def substitute(e: Expr, args: Map[String, Expr]): Expr = e match {
@@ -593,6 +755,113 @@ object Lowering {
               .as(it.alias.getOrElse(s"_c$i")))
           }: _*)
         }
+      case None if currentRowPivots.contains(name) =>
+        // sql.query over `row_dataset($arg)` applied per row
+        // (MLDB-1315): the argument row's schema is static at this
+        // call site, so the inner query unrolls per FIELD — `column`
+        // binds to the field-name literal, `value` to the typed field
+        // expression, WHERE becomes a keep condition (evaluated at
+        // plan time when it doesn't touch the outer row). No per-call
+        // dataset, no shuffle, no driver pass.
+        val rp = currentRowPivots(name)
+        val argMap = args.toMap
+        val argE = argMap.getOrElse(rp.param,
+          throw new IllegalArgumentException(
+            s"function $name needs argument '${rp.param}'"))
+        val fields: Seq[(String, Expr)] = argE match {
+          case StructLit(fs) => fs
+          case other =>
+            val c = lowerExpr(scope, other)
+            structFieldsOf(scope, c).getOrElse(
+              throw new IllegalArgumentException(
+                s"function $name: argument '${rp.param}' must be row-shaped"))
+              .map(f => f -> (Extract(other, StrLit(f)): Expr))
+        }
+        // row_dataset cell order: numeric paths sort numerically,
+        // otherwise by name (MLDB-1639)
+        val sortedFields =
+          if (fields.forall(f => f._1.nonEmpty && f._1.forall(_.isDigit)))
+            fields.sortBy(_._1.toLong)
+          else fields.sortBy(_._1)
+        val sess = org.apache.spark.sql.SparkSession.active
+        // evaluate a plan-static expression driver-side (1 row, no data)
+        def evalStatic(c: Column): Option[Any] =
+          try Some(sess.range(1).select(c).head().get(0))
+          catch { case scala.util.control.NonFatal(_) => None }
+        require(rp.stmt.groupBy.isEmpty && rp.stmt.orderBy.isEmpty,
+          s"function $name: GROUP BY/ORDER BY over row_dataset($$" +
+            s"${rp.param}) is not supported")
+        def nameOf(it: SelectItem, i: Int): String =
+          it.alias.getOrElse(it.e match {
+            case Ident(ps) => ps.last
+            case _ => s"_c$i"
+          })
+        // keep condition per field: Left(static) or Right(per-row)
+        def keepOf(bind: Map[String, Expr]): Either[Boolean, Column] =
+          rp.stmt.where match {
+            case None => Left(true)
+            case Some(w) =>
+              val c = lowerExpr(scope, substitute(w, bind))
+              evalStatic(c) match {
+                case Some(b: java.lang.Boolean) => Left(b)
+                case Some(null) => Left(false)
+                case _ => Right(c)
+              }
+          }
+        val row: Column = rp.output.toUpperCase match {
+          case "NAMED_COLUMNS" =>
+            val nameIdx = rp.stmt.items.zipWithIndex.collectFirst {
+              case (it, i) if nameOf(it, i).equalsIgnoreCase("column") => i
+            }.getOrElse(throw new IllegalArgumentException(
+              s"function $name: NAMED_COLUMNS output needs a 'column' item"))
+            val valueItem = rp.stmt.items.zipWithIndex.collectFirst {
+              case (it, i) if !nameOf(it, i).equalsIgnoreCase("column") &&
+                  !nameOf(it, i).equalsIgnoreCase("rowName") => it
+            }.getOrElse(throw new IllegalArgumentException(
+              s"function $name: NAMED_COLUMNS output needs a value item"))
+            val outFields = sortedFields.flatMap { case (n, vE) =>
+              val bind = Map("column" -> (StrLit(n): Expr), "value" -> vE)
+              keepOf(bind) match {
+                case Left(false) => None
+                case keep =>
+                  val outName = evalStatic(lowerExpr(scope,
+                    substitute(rp.stmt.items(nameIdx).e, bind))) match {
+                    case Some(s) => String.valueOf(s)
+                    case None => throw new IllegalArgumentException(
+                      s"function $name: the output column name may not " +
+                        "depend on the outer row")
+                  }
+                  val v = lowerExpr(scope, substitute(valueItem.e, bind))
+                  Some(keep.fold(_ => v, cond => when(cond, v)).as(outName))
+              }
+            }
+            require(outFields.nonEmpty,
+              s"function $name: no cell of '${rp.param}' passes the WHERE")
+            struct(outFields: _*)
+          case _ => // FIRST_ROW: the first kept cell's select items
+            val firstKept = sortedFields.iterator.map { case (n, vE) =>
+              val bind = Map("column" -> (StrLit(n): Expr), "value" -> vE)
+              (bind, keepOf(bind))
+            }.collectFirst {
+              case (bind, Left(true)) => bind
+              case (_, Right(_)) => throw new IllegalArgumentException(
+                s"function $name: FIRST_ROW over a row-dependent WHERE " +
+                  "is not supported — use NAMED_COLUMNS")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"function $name: no cell of '${rp.param}' passes the WHERE"))
+            struct(rp.stmt.items.zipWithIndex.collect {
+              case (it, i) if !nameOf(it, i).equalsIgnoreCase("rowName") =>
+                lowerExpr(scope, substitute(it.e, firstKept))
+                  .as(nameOf(it, i))
+            }: _*)
+        }
+        output match {
+          case Some(out) if out.equalsIgnoreCase("output") => row
+          case Some(other) => throw new IllegalArgumentException(
+            s"function $name has no output '$other'")
+          case None => struct(row.as("output"))
+        }
+
       case None if currentLookups.contains(name) =>
         // $param-ized sql.query function applied per row (MLDB-784):
         // probe the plan-literal key→row map
@@ -1243,15 +1512,7 @@ object Lowering {
         val frame = scope.frames.map(_._2).find(df =>
           scala.util.Try(df.select(a(0))).isSuccess).getOrElse(
           throw new IllegalArgumentException("parse_json: unresolvable input"))
-        val sparkSess = frame.sparkSession
-        import sparkSess.implicits._
-        val strs = frame.select(a(0).cast("string").as("__j"))
-          .filter(col("__j").isNotNull).limit(10000).as[String]
-        val inferred = sparkSess.read.json(strs).schema.fields.toSeq
-          .filterNot(f => f.name == "_corrupt_record" ||
-            f.dataType == org.apache.spark.sql.types.NullType ||
-            f.dataType == org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.NullType, true))
+        val inferred = PlanTime.jsonSchema(frame, a(0), "parse_json")
         val schema = org.apache.spark.sql.types.StructType(inferred)
         val parsed = from_json(a(0), schema, Map.empty[String, String])
         val dataFields = inferred.map { f =>
@@ -1988,14 +2249,8 @@ object Lowering {
       // dynamic AS * contract), each key read out of the pivot map
       // post-aggregation
       case SelectItem(f @ FnCall("pivot", Seq(k, _), _), Some("*")) =>
-        val keys = fromDf0
-          .select(lowerExpr(scope0, k).cast("string").as("__pk"))
-          .filter(col("__pk").isNotNull).distinct()
-          .limit(10001).collect().map(_.getString(0))
-        require(keys.length <= 10000,
-          "pivot AS *: more than 10000 distinct keys")
-        keys.sorted.toSeq.map(key =>
-          SelectItem(Extract(f, StrLit(key)), Some(key)))
+        PlanTime.keys(fromDf0, lowerExpr(scope0, k), "pivot AS *")
+          .map(key => SelectItem(Extract(f, StrLit(key)), Some(key)))
       case SelectItem(e, Some("*")) =>
         val c = lowerExpr(scope0, e)
         fromDf0.select(c.as("__asstar")).schema.head.dataType match {
@@ -2005,24 +2260,17 @@ object Lowering {
               .fields.toSeq.map(f =>
                 SelectItem(Extract(e, StrLit(f.name)), Some(f.name)))
           case _: org.apache.spark.sql.types.MapType =>
-            val keys = fromDf0.select(explode(map_keys(c)).as("__k"))
-              .distinct().limit(10001).collect().map(_.get(0).toString)
-            require(keys.length <= 10000,
-              "AS *: more than 10000 dynamic columns")
-            keys.sorted.toSeq.map(k =>
-              SelectItem(Extract(e, StrLit(k)), Some(k)))
+            PlanTime.keys(
+              fromDf0.select(explode(map_keys(c)).as("__k")),
+              col("__k"), "AS *")
+              .map(k => SelectItem(Extract(e, StrLit(k)), Some(k)))
           // `jseval(...) AS *` (MLDB-704): the script's object comes
           // back as a JSON string — infer its schema with a capped
           // pass (the parse_json options-form contract) and expand
           case org.apache.spark.sql.types.StringType
               if e.isInstanceOf[FnCall] &&
                 e.asInstanceOf[FnCall].name == "jseval" =>
-            import ctx.spark.implicits._
-            val strs = fromDf0.select(c.cast("string").as("__j"))
-              .filter(col("__j").isNotNull).limit(10000).as[String]
-            val schema = ctx.spark.read.json(strs).schema.fields.toSeq
-              .filterNot(f => f.name == "_corrupt_record" ||
-                f.dataType == org.apache.spark.sql.types.NullType)
+            val schema = PlanTime.jsonSchema(fromDf0, c, "jseval AS *")
             val ddl = org.apache.spark.sql.types.StructType(schema).toDDL
             schema.map(f => SelectItem(
               Extract(FnCall("parse_json", Seq(e, StrLit(ddl))),
@@ -2104,12 +2352,27 @@ object Lowering {
       }
       val extScope = Scope(scope.frames :+ (None -> extended))
       def sortCols = orderByNoSub.map { o =>
-        val c0 = o.e match {
+        def c0 = o.e match {
           case Ident(Seq(n)) if plainItems.exists(_._1 == n) => col(n)
           case other => lowerExpr(extScope, other)
         }
-        // ORDER BY a bag sorts by its entry list (MLDB-989)
-        val c = if (bagShaped(extScope, o.e)) bagEntries(c0) else c0
+        // ORDER BY a bag sorts by its entry list; mixed-type or
+        // row-valued CASE keys sort by the canonical sort-key struct
+        // (MLDB-989 — reference total order NULL < atom < row <
+        // embedding); a row-typed key sorts by its sorted
+        // (path, cell) entries, not Spark's declared field order
+        val c = o.e match {
+          case _ if bagShaped(extScope, o.e) => bagEntries(c0)
+          case cw: CaseWhen if mixedTypeShaped(extScope, cw) =>
+            mixedCaseSortKey(extScope, cw)
+          case _ =>
+            val lowered = c0
+            resolvedTypeOf(extScope, lowered) match {
+              case Some(st: org.apache.spark.sql.types.StructType) =>
+                sortKeyFor(lowered, st)
+              case _ => lowered
+            }
+        }
         if (o.asc) c.asc else c.desc
       }
       val sorted =

@@ -170,6 +170,7 @@ class EngineSpec extends AnyFunSuite {
       e.createSqlQueryRowFunction("big_pivot",
         "select column, value from big_nc", output = "NAMED_COLUMNS")
     }
-    assert(ex.getMessage.contains("NAMED_COLUMNS result exceeds"))
+    assert(ex.getMessage.contains("NAMED_COLUMNS result") &&
+      ex.getMessage.contains("exceeds"))
   }
 }

@@ -164,6 +164,16 @@ class RestSpec extends AnyFunSuite {
         === """[["Inf","NaN"]]""")
       // unknown format → 400
       assert(get(port, s"/v1/query?q=$q&format=nope")._1 === 400)
+      // nested rows flatten to DOTTED columns in the table formats
+      // (MLDB-668/832, MLDB-1315's `x() AS *` → output.a, output.b):
+      // struct columns stay structs internally; the format layer
+      // unnests for table/sparse consumers
+      val qs = java.net.URLEncoder.encode(
+        "SELECT {x: 1, d: {y: 'two'}} AS z", "UTF-8")
+      assert(get(port, s"/v1/query?q=$qs&format=table")._2
+        === """[["z.x","z.d.y"],[1,"two"]]""")
+      assert(get(port, s"/v1/query?q=$qs&format=sparse")._2
+        === """[[["z.x",1],["z.d.y","two"]]]""")
     } finally srv.stop()
   }
 
