@@ -129,7 +129,26 @@ object Sources {
       "preHeaderOffset/skipLineRegex/processExcelFormulas are line-level " +
         "options and cannot combine with allowMultiLines (records span lines)")
     require(!(cfg.headerNames.nonEmpty && cfg.autoGenerateHeaders),
-      "headerNames and autoGenerateHeaders are mutually exclusive")
+      // the reference's exact message (import_text_test.py
+      // test_conflicting_header_config)
+      "autoGenerateHeaders cannot be true if headers is defined.")
+    // an EMPTY delimiter imports each line as one value (MLDB-1502:
+    // delimiter "" + quoteChar "" + headers ['customLine'])
+    if (cfg.delimiter.isEmpty) {
+      import spark.implicits._
+      val colName =
+        if (cfg.headerNames.nonEmpty) {
+          require(cfg.headerNames.length == 1,
+            "an empty delimiter yields exactly one column")
+          cfg.headerNames.head
+        } else if (cfg.autoGenerateHeaders) "0"
+        else "lineText"
+      var lines = spark.read
+        .option("encoding", cfg.encoding).text(path)
+        .toDF(colName)
+      if (cfg.offset > 0) lines = lines.offset(cfg.offset)
+      return cfg.limit.map(lines.limit).getOrElse(lines)
+    }
     val hasHeaderRow = hasHeaderRow0
     // the reference accepts latin1/utf8-style aliases
     // (`plugins/textual/importtext_procedure.cc` parse_encoding)
@@ -243,7 +262,9 @@ object Sources {
       else df0
     val df1 =
       if (cfg.autoGenerateHeaders)
-        df0t.toDF(df0t.columns.indices.map(i => s"c$i"): _*)
+        // the reference numbers generated headers 0..n-1
+        // (import_text_test.py test_gen_headers, MLDB-1741)
+        df0t.toDF(df0t.columns.indices.map(_.toString): _*)
       else if (cfg.headerNames.nonEmpty) {
         require(cfg.headerNames.length == df0t.columns.length,
           s"headerNames has ${cfg.headerNames.length} names but the file " +
@@ -264,8 +285,15 @@ object Sources {
       df5.createOrReplaceTempView(view)
       // the reference's star-exclusion spelling → Spark's
       val select = cfg.select.replaceAll("(?i)\\*\\s*EXCLUDING\\s*\\(", "* EXCEPT(")
-      try spark.sql(s"SELECT $select FROM $view WHERE ${cfg.where}")
-      finally spark.catalog.dropTempView(view)
+      try {
+        val out = spark.sql(s"SELECT $select FROM $view WHERE ${cfg.where}")
+        // the reference rejects row-valued import projections
+        // (MLDB-1891: tabular output cells are atoms)
+        require(!out.schema.fields.exists(
+          _.dataType.isInstanceOf[StructType]),
+          "Import select expression cannot have row-valued columns")
+        out
+      } finally spark.catalog.dropTempView(view)
     }
   }
 

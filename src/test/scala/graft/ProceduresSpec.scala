@@ -156,7 +156,8 @@ class ProceduresSpec extends AnyFunSuite {
     val cfg = Sources.TextImportConfig(headers = false,
       autoGenerateHeaders = true, limit = Some(3))
     val back = Sources.importText(spark, path, cfg)
-    assert(back.columns.toSeq === Seq("c0", "c1"))
+    // generated headers number 0..n-1 (reference MLDB-1741 naming)
+    assert(back.columns.toSeq === Seq("0", "1"))
     assert(back.count() === 3)
   }
 

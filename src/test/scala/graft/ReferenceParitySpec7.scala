@@ -114,6 +114,127 @@ class ReferenceParitySpec7 extends AnyFunSuite {
 
   // --- MLDB-238-sorting-missing-values.js ----------------------------------
 
+  // --- import.text parity battery ------------------------------------------
+  // Replays of the reference's import-side regression tests
+  // (`testing/import_text_test.py` and friends), exercising the
+  // Sources.importText header/encoding/line-level edges that the
+  // SQL-side batches never reach.
+
+  import java.nio.file.Files
+  private def tmpCsv(lines: String*): String = {
+    val f = Files.createTempFile("graft_import7", ".csv")
+    Files.writeString(f, lines.mkString)
+    f.toString
+  }
+  private val S = sources.Sources
+
+  test("import_text_test.py test_base: header row + lineNumber row names") {
+    val p = tmpCsv("a,b,c\n", "d,e,f\n")
+    val df = S.importText(spark, p,
+      S.TextImportConfig(named = Some("lineNumber()")))
+    val r = df.select("rowName", "a", "b", "c").head()
+    // the header is line 1; the single data row is named "2"
+    assert(r.getString(0) === "2")
+    assert(Seq(r.getString(1), r.getString(2), r.getString(3))
+      === Seq("d", "e", "f"))
+  }
+
+  test("import_text_test.py test_gen_headers: generated headers are 0..n-1 (MLDB-1741)") {
+    val p = tmpCsv("a,b,c\n", "d,e,f\n")
+    val df = S.importText(spark, p,
+      S.TextImportConfig(headers = false, autoGenerateHeaders = true))
+    assert(df.columns.toSeq === Seq("0", "1", "2"))
+    assert(df.count() === 2)
+  }
+
+  test("import_text_test.py test_conflicting_header_config: the reference's exact message") {
+    val p = tmpCsv("a,b,c\n")
+    val ex = intercept[IllegalArgumentException] {
+      S.importText(spark, p, S.TextImportConfig(
+        autoGenerateHeaders = true, headerNames = Seq("colA", "colB", "colC")))
+    }
+    assert(ex.getMessage.contains(
+      "autoGenerateHeaders cannot be true if headers is defined."))
+  }
+
+  test("import_text_test.py test_basea_irregular: too many columns fails the import") {
+    val p = tmpCsv("a,b,c\n", "d,e\n", "f,g,h,i\n")
+    val df = S.importText(spark, p, S.TextImportConfig())
+    assertThrows[Exception] { df.collect() }
+  }
+
+  test("import_text_test.py MLDB-1797: filename with whitespaces") {
+    val df = S.importText(spark,
+      "/root/reference/testing/filename with whitespaces.csv")
+    assert(df.columns.toSeq === Seq("a", "b"))
+    val r = df.head()
+    assert((r.getInt(0), r.getInt(1)) === ((1, 2)))
+  }
+
+  test("MLDB-1121: csv import produces no duplicate rows") {
+    val df = S.importText(spark,
+      "/root/reference/testing/MLDB-1121_test_set.csv",
+      S.TextImportConfig(headers = false,
+        headerNames = Seq("error_msg", "count")))
+    assert(df.count() === 9)
+    assert(df.select("error_msg").distinct().count() === 9)
+  }
+
+  test("MLDB-1155: a missing last value imports as null, not an error") {
+    val p = tmpCsv("a,b\n", "1.0,\n", "1.0,1.0\n", "1.0,\"hello\"\n")
+    val df = S.importText(spark, p,
+      S.TextImportConfig(named = Some("lineNumber()")))
+    assert(df.count() === 3)
+    val rows = df.orderBy(org.apache.spark.sql.functions
+      .col("rowName").cast("int")).collect()
+    assert(rows(0).getString(df.columns.indexOf("b")) === null)
+    assert(rows(2).getString(df.columns.indexOf("b")) === "hello")
+  }
+
+  test("MLDB-1155: DOS line endings import identically") {
+    val p = tmpCsv("a,b\r\n", "1.0,\r\n", "1.0,1.0\r\n", "1.0,\"hello\"\r\n")
+    val df = S.importText(spark, p)
+    assert(df.count() === 3)
+    assert(df.collect().map(r =>
+      Option(r.getString(df.columns.indexOf("b")))).toSet
+      === Set(None, Some("1.0"), Some("hello")))
+  }
+
+  test("MLDB-2168: skipLineRegex composes with a custom quoteChar") {
+    // the reference replays MLDB-1312-quotechar.csv with quoteChar '#'
+    // and skips the '#b#' line; survivors are (a,b) and ("a,b",c)
+    val df = S.importText(spark,
+      "/root/reference/testing/MLDB-1312-quotechar.csv",
+      S.TextImportConfig(quoteChar = "#", encoding = "latin1",
+        skipLineRegex = Some(".*#b#.*")))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("a", "b"), ("a,b", "c")))
+  }
+
+  test("MLDB-1502: an empty delimiter imports whole lines as one column") {
+    val p = tmpCsv("603,politics,trees,pics\n", "604,funny,AskReddit\n")
+    val df = S.importText(spark, p,
+      S.TextImportConfig(delimiter = "", quoteChar = "",
+        headers = false, headerNames = Seq("customLine")))
+    assert(df.columns.toSeq === Seq("customLine"))
+    assert(df.collect().map(_.getString(0)).toSet
+      === Set("603,politics,trees,pics", "604,funny,AskReddit"))
+  }
+
+  test("MLDB-1891: a row-valued import select is rejected with the reference's message") {
+    val p = tmpCsv("a,b\n", "patate,2\n")
+    val ex = intercept[IllegalArgumentException] {
+      S.importText(spark, p, S.TextImportConfig(
+        select = "CASE a WHEN 'patate' THEN named_struct('z', 0) ELSE named_struct('z', 1) END AS c"))
+    }
+    assert(ex.getMessage.contains(
+      "Import select expression cannot have row-valued columns"))
+    // the scalar CASE variant imports fine (test_case_import)
+    val ok = S.importText(spark, p, S.TextImportConfig(
+      select = "CASE a WHEN 'patate' THEN 0 ELSE 1 END AS c"))
+    assert(ok.head().getInt(0) === 0)
+  }
+
   test("MLDB-238: ORDER BY columns with missing values (null first)") {
     e.recordRows("ds238",
       """[{"rowName":"row1","Weight":1,"col2":2},
