@@ -143,9 +143,23 @@ object Sources {
           cfg.headerNames.head
         } else if (cfg.autoGenerateHeaders) "0"
         else "lineText"
-      var lines = spark.read
-        .option("encoding", cfg.encoding).text(path)
-        .toDF(colName)
+      // `named: lineNumber()` composes (MLDB-1503: rows named by
+      // source line, data starts at line 1 when no header row exists)
+      var lines: DataFrame =
+        if (cfg.named.exists(_.replaceAll("\\s", "")
+            .equalsIgnoreCase("lineNumber()"))) {
+          val numbered = spark.read.option("encoding", cfg.encoding)
+            .text(path).rdd.zipWithIndex.map { case (row, i) =>
+              org.apache.spark.sql.Row(row.getString(0),
+                String.valueOf(i + 1L))
+            }
+          spark.createDataFrame(numbered, StructType(Seq(
+            org.apache.spark.sql.types.StructField(colName,
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("rowName",
+              org.apache.spark.sql.types.StringType))))
+        } else spark.read
+          .option("encoding", cfg.encoding).text(path).toDF(colName)
       if (cfg.offset > 0) lines = lines.offset(cfg.offset)
       return cfg.limit.map(lines.limit).getOrElse(lines)
     }

@@ -1176,19 +1176,40 @@ object Lowering {
           }
         }
       }
-    else scope.allColumns.flatMap { case (alias, c) =>
-      val matches = prefix.isEmpty || c.startsWith(prefix)
-      if (!matches || excluded(c) || c.startsWith("__") ||
-          (skipRowName && c.equalsIgnoreCase("rowName")) ||
-          seen.contains(c.toLowerCase)) None
-      else {
-        seen += c.toLowerCase
-        val outName = rename match {
-          case Some(np) => np + c.stripPrefix(prefix)
-          case None => c
+    else {
+      // join context: `*` expands each side's columns QUALIFIED by its
+      // alias (the reference's joined dataset prefixes column paths
+      // with the table name — MLDB-1616's x.1/y.column/y.value), and
+      // the per-side rowName columns collapse into ONE composed
+      // [l]-[r] rowName instead of first-side-wins. Two or more
+      // ALIASED frames = a join (internal extended scopes append an
+      // anonymous frame and must not trigger qualification).
+      val joinCtx = scope.frames.count(_._1.isDefined) > 1
+      val composedRowName: Seq[Column] =
+        if (joinCtx && !skipRowName && prefix.isEmpty &&
+            scope.frames.exists(_._2.columns.exists(
+              _.equalsIgnoreCase("rowName"))))
+          Seq(rowNameOf(scope).as("rowName"))
+        else Nil
+      composedRowName ++ scope.allColumns.flatMap { case (alias, c) =>
+        val matches = prefix.isEmpty || c.startsWith(prefix)
+        val isRowName = c.equalsIgnoreCase("rowName")
+        if (!matches || excluded(c) || c.startsWith("__") ||
+            ((skipRowName || joinCtx) && isRowName) ||
+            (!(joinCtx && alias.isDefined) && seen.contains(c.toLowerCase)))
+          None
+        else {
+          seen += c.toLowerCase
+          val outName0 = rename match {
+            case Some(np) => np + c.stripPrefix(prefix)
+            case None => c
+          }
+          val outName =
+            if (joinCtx && alias.isDefined) s"${alias.get}.$outName0"
+            else outName0
+          Some(alias.map(al => col(s"`$al`.`$c`")).getOrElse(col(s"`$c`"))
+            .as(outName))
         }
-        Some(alias.map(al => col(s"`$al`.`$c`")).getOrElse(col(s"`$c`"))
-          .as(outName))
       }
     }
   }

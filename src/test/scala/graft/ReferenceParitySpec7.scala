@@ -114,6 +114,138 @@ class ReferenceParitySpec7 extends AnyFunSuite {
 
   // --- MLDB-238-sorting-missing-values.js ----------------------------------
 
+  // --- MLDB-1802-select-orderby.py -----------------------------------------
+
+  test("MLDB-1802: ORDER BY a qualified column is stable across select lists") {
+    e.recordRows("ds1802",
+      """[{"rowName":"row_c","x":1,"y":3},
+         |{"rowName":"row_b","x":2,"y":2},
+         |{"rowName":"row_a","x":3,"y":1}]""".stripMargin)
+    // (the reference file orders by dataset1.x, x.rowHash() — the
+    // x alias does not exist; rowHash() is the tiebreak intent)
+    val r1 = q("SELECT 1 AS one FROM ds1802 AS dataset1 " +
+      "ORDER BY dataset1.x, rowHash()").collect().toSeq
+    assert(r1.map(_.get(0).toString) === Seq("1", "1", "1"))
+    val r2 = q("SELECT dataset1.y AS y FROM ds1802 AS dataset1 " +
+      "ORDER BY dataset1.x, rowHash()").collect().toSeq
+    assert(r2.map(_.getLong(0)) === Seq(3L, 2L, 1L))
+  }
+
+  // --- MLDB-1616-row-dataset-segfault.js -----------------------------------
+
+  test("MLDB-1616: join with atom_dataset/row_dataset literals — " +
+      "qualified columns, composed rowName") {
+    val r = q("select * from (select 1 as v) as x " +
+      "join atom_dataset({x:1}) as y")
+    val row = r.head()
+    val get = (c: String) => row.get(r.columns.indexOf(c))
+    assert(String.valueOf(get("x.v")).toDouble === 1.0)
+    assert(String.valueOf(get("y.column")) === "x")
+    // atom_dataset over an all-numeric literal carries double cells
+    // (typed common-cast); the value itself is 1
+    assert(String.valueOf(get("y.value")).toDouble === 1.0)
+    assert(String.valueOf(get("rowName")) === "[result]-[0]")
+    // three-way join keeps every side's cells (the reference's
+    // segfault shape; row names compose FLAT here — [a]-[b]-[c] —
+    // where the reference brackets nested joins, a pinned divergence)
+    val r2 = q("select * from (select 1 as v) as x " +
+      "join atom_dataset({x:1}) as y join row_dataset({z:2}) as z")
+    val row2 = r2.head()
+    val get2 = (c: String) => row2.get(r2.columns.indexOf(c))
+    assert(String.valueOf(get2("x.v")).toDouble === 1.0)
+    assert(String.valueOf(get2("y.column")) === "x")
+    assert(String.valueOf(get2("z.column")) === "z")
+    assert(String.valueOf(get2("z.value")).toDouble === 2.0)
+  }
+
+  // --- MLDB-1911_horizontal_agg_no_from.py ---------------------------------
+
+  test("MLDB-1911: horizontal aggregates over literal rows, with and without FROM") {
+    e.recordRows("ds1911", """[{"rowName":"row1","A":1}]""")
+    assert(q("SELECT horizontal_sum({1 AS a, 2 AS b}) AS v FROM ds1911")
+      .head().get(0).toString.toDouble === 3.0)
+    assert(q("SELECT horizontal_count({1 AS a, 2 AS b}) AS v FROM ds1911")
+      .head().get(0).toString.toDouble === 2.0)
+    assert(q("SELECT horizontal_min({1 AS a, 2 AS b}) AS v FROM ds1911")
+      .head().get(0).toString.toDouble === 1.0)
+    // the reference marks the no-FROM form expectedFailure (its bug);
+    // the single-row no-FROM SELECT handles it here
+    assert(q("SELECT horizontal_sum({1 AS a, 2 AS b}) AS v")
+      .head().get(0).toString.toDouble === 3.0)
+  }
+
+  // --- MLDB-1239-utf8-literal.py -------------------------------------------
+
+  test("MLDB-1239: UTF-8 literals and column names round-trip") {
+    e.recordRows("ds1239",
+      """[{"rowName":"r1","ê":1,"b":2},{"rowName":"r2","a":3,"b":4},
+         |{"rowName":"rñ3","a":5,"b":6}]""".stripMargin)
+    val r = q("SELECT 'françois' AS s, b FROM ds1239 ORDER BY b")
+      .collect().toSeq
+    assert(r.map(_.getString(0)).distinct === Seq("françois"))
+    val withAccent = q("SELECT \"ê\" AS e FROM ds1239 WHERE \"ê\" IS NOT NULL")
+    assert(withAccent.head().getLong(0) === 1L)
+    val rn = q("SELECT rowName() AS rn FROM ds1239 WHERE a = 5").head()
+    assert(rn.getString(0) === "rñ3")
+  }
+
+  // --- MLDB-1586_colname_multivalue.py -------------------------------------
+
+  test("MLDB-1586: duplicate cell records superpose — reads see the latest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t0 = new java.sql.Timestamp(0L)
+    val t2 = new java.sql.Timestamp(2000L)
+    val cells = Seq(
+      ("r1", "a", 1.0, t0), ("r1", "a", 2.0, t2), ("r1", "b", 2.0, t0),
+      ("r2", "a", 3.0, t0), ("r2", "b", 4.0, t0))
+    val eav = cells.toDF("rowName", "column", "num", "ts")
+      .select(col("rowName"), col("column"),
+        struct(col("num"), lit(null).cast("string").as("str"),
+          lit(null).cast("timestamp").as("tsv"),
+          lit(null).cast("boolean").as("flag")).as("value"), col("ts"))
+    val a = core.Eav.latest(eav).filter(col("column") === "a")
+      .orderBy("rowName").collect().toSeq
+      .map(r => (r.getString(0), r.getStruct(2).getDouble(0)))
+    assert(a === Seq(("r1", 2.0), ("r2", 3.0)))
+  }
+
+  // --- MLDB-1921_merge_ds_strings.py ---------------------------------------
+
+  test("MLDB-1921: merge aligns same-named rows across datasets") {
+    e.recordRows("ds1921a", """[{"rowName":"row1","A":1}]""")
+    e.recordRows("ds1921b", """[{"rowName":"row1","B":2}]""")
+    val r = q("SELECT A, B FROM merge(ds1921a, ds1921b) ORDER BY rowName()")
+    val row = r.head()
+    assert((row.getLong(0), row.getLong(1)) === ((1L, 2L)))
+  }
+
+  // --- MLDB-1794-join-subselect.py -----------------------------------------
+
+  test("MLDB-1794: join against a GROUP BY subselect with theta condition") {
+    e.recordRows("ds1794",
+      """[{"rowName":"row1","x":"toy story","y":"1"},
+         |{"rowName":"row2","x":"terminator","y":"2"}]""".stripMargin)
+    val r = q("select a.x from ds1794 as a INNER JOIN " +
+      "(SELECT x from ds1794 GROUP BY x) as b " +
+      "ON a.x = b.x AND a.y != b.x ORDER BY a.x")
+    assert(r.collect().toSeq.map(_.getString(0))
+      === Seq("terminator", "toy story"))
+  }
+
+  // --- MLDB-1705-function-application-path.py ------------------------------
+
+  test("MLDB-1705: sql.expression with qualified arg paths over a join") {
+    e.recordRows("data1705a", """[{"rowName":"a","x":1}]""")
+    e.recordRows("data1705b", """[{"rowName":"a","y":2}]""")
+    e.createSqlExpressionFunction("func1705",
+      "horizontal_string_agg({data1.x, data2.y}, '-') AS agg")
+    val r = q("select func1705({*})[agg] as v " +
+      "from data1705a as data1 join data1705b as data2 " +
+      "on data1.rowName() = data2.rowName()")
+    assert(r.head().getString(0) === "1-2")
+  }
+
   // --- import.text parity battery ------------------------------------------
   // Replays of the reference's import-side regression tests
   // (`testing/import_text_test.py` and friends), exercising the
