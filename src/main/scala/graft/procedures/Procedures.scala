@@ -237,11 +237,17 @@ object Procedures {
       .withColumn("__pid", spark_partition_id())
     // ≤ nPart rows: the single-partition windows below are over a
     // partition-count-sized table, not the data.
+    // (a constant non-foldable partition key = the same bounded
+    // single-partition window with a NON-empty spec, so WindowExec's
+    // "no partition defined" warning — meant for data-sized windows —
+    // stays quiet; a foldable lit(0) would be optimized away)
     val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .withColumn("__offset", coalesce(sum(col("__n")).over(
-        Window.orderBy(col("__pid"))
+        Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__total", sum(col("__n")).over(Window.partitionBy()))
+      .withColumn("__total",
+        sum(col("__n")).over(
+          Window.partitionBy(pmod(col("__pid"), lit(1)))))
       .select(col("__pid"), col("__offset"), col("__total"))
     (ranged, offsets)
   }
@@ -336,7 +342,7 @@ object Procedures {
     val offsets = ranged.groupBy(col("__pid"))
       .agg(sum(col("__n")).as("__psum"))
       .withColumn("__toff", coalesce(sum(col("__psum")).over(
-        Window.orderBy(col("__pid"))
+        Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__toff"))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(idCol))

@@ -37,9 +37,11 @@ import org.apache.spark.sql.types._
   * answering 'N' fails loudly (require semantics — no silent
   * plaintext fallback). `sslVerify = false` accepts self-signed
   * certificates (test/dev); the default verifies against the JVM
-  * trust store. Channel binding (SCRAM-SHA-256-PLUS) is still not
-  * offered — plain SCRAM inside TLS, like libpq without
-  * channel_binding=require.
+  * trust store. Channel binding: over TLS the client selects
+  * SCRAM-SHA-256-PLUS with RFC 5929 tls-server-end-point binding
+  * whenever the server advertises it (gs2 `p=`), and otherwise flags
+  * binding support (`y`) so a stripped PLUS advertisement is
+  * detectable — libpq's channel_binding=prefer posture.
   */
 object Postgres {
 
@@ -155,6 +157,21 @@ object Postgres {
     private var scramClientFirstBare: String = null
     private var scramSaltedPassword: Array[Byte] = null
     private var scramAuthMessage: String = null
+    private var scramCbInput: Array[Byte] = null // gs2 header ++ cb data
+
+    /** RFC 5929 tls-server-end-point: hash of the server certificate
+      * using the cert's own signature hash (anything below SHA-256
+      * upgrades to SHA-256). */
+    private def tlsServerEndPoint(ssl: javax.net.ssl.SSLSocket): Array[Byte] = {
+      val cert = ssl.getSession.getPeerCertificates.head
+        .asInstanceOf[java.security.cert.X509Certificate]
+      val sig = cert.getSigAlgName.toUpperCase
+      val alg =
+        if (sig.contains("SHA384")) "SHA-384"
+        else if (sig.contains("SHA512")) "SHA-512"
+        else "SHA-256"
+      java.security.MessageDigest.getInstance(alg).digest(cert.getEncoded)
+    }
 
     private def scramAttrs(msg: String): Map[Char, String] =
       msg.split(",").filter(_.length >= 2).map(p => p.charAt(0) -> p.drop(2))
@@ -164,19 +181,34 @@ object Postgres {
       // AuthenticationSASL: NUL-separated mechanism list after the code
       val mechs = new String(body.drop(4), StandardCharsets.UTF_8)
         .split("\u0000").filter(_.nonEmpty)
-      if (!mechs.contains("SCRAM-SHA-256"))
-        throw new IllegalArgumentException(
+      // channel binding (RFC 7677 / RFC 5929 gs2 flags): over TLS
+      // prefer SCRAM-SHA-256-PLUS with tls-server-end-point binding
+      // when the server offers it; otherwise claim support with the
+      // `y` flag so a MITM stripping the PLUS advertisement is
+      // detected by the server. Plaintext uses `n` (no binding).
+      val (mechName, gs2, cbData) = sock match {
+        case ssl: javax.net.ssl.SSLSocket
+            if mechs.contains("SCRAM-SHA-256-PLUS") =>
+          ("SCRAM-SHA-256-PLUS", "p=tls-server-end-point,,",
+            tlsServerEndPoint(ssl))
+        case _: javax.net.ssl.SSLSocket if mechs.contains("SCRAM-SHA-256") =>
+          ("SCRAM-SHA-256", "y,,", Array.empty[Byte])
+        case _ if mechs.contains("SCRAM-SHA-256") =>
+          ("SCRAM-SHA-256", "n,,", Array.empty[Byte])
+        case _ => throw new IllegalArgumentException(
           s"server offers [${mechs.mkString(", ")}]; " +
-            "only SCRAM-SHA-256 is supported (no channel binding)")
+            "only SCRAM-SHA-256[-PLUS] is supported")
+      }
+      scramCbInput = utf8(gs2) ++ cbData
       val nonce = {
         val raw = new Array[Byte](18)
         new java.security.SecureRandom().nextBytes(raw)
         b64(raw)
       }
-      // n= is ignored by postgres (the startup user wins); gs2 = "n,,"
+      // n= is ignored by postgres (the startup user wins)
       scramClientFirstBare = s"n=,r=$nonce"
-      val initial = utf8("n,," + scramClientFirstBare)
-      val mech = utf8("SCRAM-SHA-256")
+      val initial = utf8(gs2 + scramClientFirstBare)
+      val mech = utf8(mechName)
       out.writeByte('p')
       out.writeInt(4 + mech.length + 1 + 4 + initial.length)
       out.write(mech); out.writeByte(0)
@@ -194,7 +226,9 @@ object Postgres {
       scramSaltedPassword = hi(cfg.password, salt, iters)
       val clientKey = hmac(scramSaltedPassword, utf8("Client Key"))
       val storedKey = sha256(clientKey)
-      val withoutProof = s"c=${b64(utf8("n,,"))},r=$serverNonce" // c=biws
+      // c= carries the gs2 header + channel-binding data (the cert
+      // hash under -PLUS; bare header otherwise — "biws"/"eSws")
+      val withoutProof = s"c=${b64(scramCbInput)},r=$serverNonce"
       scramAuthMessage =
         s"$scramClientFirstBare,$serverFirst,$withoutProof"
       val clientSig = hmac(storedKey, utf8(scramAuthMessage))

@@ -42,7 +42,8 @@ class PostgresSpec extends AnyFunSuite {
   private final class MockPg(requireMd5: Boolean = false,
       requireScram: Boolean = false, tamperScramSig: Boolean = false,
       user: String = "u", pass: String = "pw",
-      tls: Boolean = false, tlsRefuse: Boolean = false) {
+      tls: Boolean = false, tlsRefuse: Boolean = false,
+      scramPlus: Boolean = false) {
     val server = new ServerSocket(0, 16,
       java.net.InetAddress.getByName("127.0.0.1"))
     val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -121,8 +122,12 @@ class PostgresSpec extends AnyFunSuite {
             Array[Byte](0))
           out.flush(); sock.close()
         }
-        // AuthenticationSASL with the mechanism list
-        msg('R', i32(10) ++ "SCRAM-SHA-256\u0000\u0000".getBytes)
+        // AuthenticationSASL with the mechanism list (-PLUS first
+        // when this listener is TLS and advertises channel binding)
+        val mechList =
+          if (scramPlus) "SCRAM-SHA-256-PLUS\u0000SCRAM-SHA-256\u0000\u0000"
+          else "SCRAM-SHA-256\u0000\u0000"
+        msg('R', i32(10) ++ mechList.getBytes)
         out.flush()
         // SASLInitialResponse: mech cstring + i32 + client-first
         val t1 = in.readByte().toChar
@@ -131,9 +136,28 @@ class PostgresSpec extends AnyFunSuite {
         in.readFully(b1)
         if (t1 != 'p') { fail(); return }
         val mechEnd = b1.indexOf(0.toByte)
+        val chosenMech = new String(b1, 0, mechEnd, StandardCharsets.UTF_8)
         val clientFirst = new String(
           b1.drop(mechEnd + 1 + 4), StandardCharsets.UTF_8)
-        val clientFirstBare = clientFirst.stripPrefix("n,,")
+        // gs2 header = everything through the second comma
+        // ("n,," / "y,," / "p=tls-server-end-point,,")
+        val gs2End = clientFirst.indexOf(',', clientFirst.indexOf(',') + 1) + 1
+        val gs2 = clientFirst.substring(0, gs2End)
+        val clientFirstBare = clientFirst.substring(gs2End)
+        if (scramPlus && chosenMech != "SCRAM-SHA-256-PLUS") {
+          fail(); return // a binding-capable server rejects a downgrade
+        }
+        if (chosenMech == "SCRAM-SHA-256-PLUS" && !gs2.startsWith("p=")) {
+          fail(); return
+        }
+        // under -PLUS the client-final c= must bind THIS server's
+        // certificate: b64(gs2 bytes ++ SHA-256(cert DER))
+        val expectCb =
+          if (chosenMech == "SCRAM-SHA-256-PLUS")
+            Some(b64(gs2.getBytes(StandardCharsets.UTF_8) ++
+              java.security.MessageDigest.getInstance("SHA-256")
+                .digest(PostgresSpec.serverCert.getEncoded)))
+          else None
         val cnonce = clientFirstBare.split(",").find(_.startsWith("r="))
           .map(_.drop(2)).getOrElse("")
         val snonce = cnonce + "mockSrvNonce123"
@@ -150,6 +174,9 @@ class PostgresSpec extends AnyFunSuite {
         val clientFinal = new String(b2, 0, l2 - 1, StandardCharsets.UTF_8)
         val withoutProof = clientFinal.substring(0,
           clientFinal.lastIndexOf(",p="))
+        val cAttr = withoutProof.split(",").find(_.startsWith("c="))
+          .map(_.drop(2)).getOrElse("")
+        if (expectCb.exists(_ != cAttr)) { fail(); return }
         val proof = clientFinal.drop(clientFinal.lastIndexOf(",p=") + 3)
         val salted = javax.crypto.SecretKeyFactory
           .getInstance("PBKDF2WithHmacSHA256")
@@ -410,6 +437,20 @@ class PostgresSpec extends AnyFunSuite {
     } finally pg.stop()
   }
 
+  test("TLS: SCRAM-SHA-256-PLUS channel binding (tls-server-end-point)") {
+    // the mock advertises -PLUS, requires the client to pick it, and
+    // verifies the c= attribute binds ITS OWN certificate hash — a
+    // MITM with a different cert would produce a different binding
+    val pg = new MockPg(requireScram = true, tls = true, scramPlus = true)
+    try {
+      val df = Postgres.importQuery(spark,
+        PgConfig("127.0.0.1", pg.port, "db", "u", password = "pw",
+          ssl = true, sslVerify = false),
+        "SELECT * FROM items")
+      assert(df.count() === 4)
+    } finally pg.stop()
+  }
+
   test("TLS: a server answering N fails loudly — no plaintext fallback") {
     val pg = new MockPg(tlsRefuse = true)
     try {
@@ -427,7 +468,7 @@ class PostgresSpec extends AnyFunSuite {
 object PostgresSpec {
   /** Self-signed server key material, generated once per JVM with the
     * JDK's own keytool (no fixture files, no external deps). */
-  lazy val serverSslContext: javax.net.ssl.SSLContext = {
+  lazy val serverKeyStore: java.security.KeyStore = {
     val ks = java.nio.file.Files.createTempFile("mockpg", ".p12")
     java.nio.file.Files.delete(ks)
     val keytool = new java.io.File(System.getProperty("java.home"),
@@ -441,8 +482,17 @@ object PostgresSpec {
     val kstore = java.security.KeyStore.getInstance("PKCS12")
     val is = java.nio.file.Files.newInputStream(ks)
     try kstore.load(is, "changeit".toCharArray) finally is.close()
+    kstore
+  }
+
+  /** The mock's certificate — the channel-binding anchor. */
+  lazy val serverCert: java.security.cert.X509Certificate =
+    serverKeyStore.getCertificate("pg")
+      .asInstanceOf[java.security.cert.X509Certificate]
+
+  lazy val serverSslContext: javax.net.ssl.SSLContext = {
     val kmf = javax.net.ssl.KeyManagerFactory.getInstance("SunX509")
-    kmf.init(kstore, "changeit".toCharArray)
+    kmf.init(serverKeyStore, "changeit".toCharArray)
     val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
     ctx.init(kmf.getKeyManagers, null, null)
     ctx
