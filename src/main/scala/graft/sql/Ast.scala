@@ -56,7 +56,10 @@ object Ast {
     * The inner expressions see `columnName()`. */
   final case class ColumnExprStar(as: Option[Expr], where: Option[Expr],
       orderBy: Seq[OrderItem], limit: Option[Long],
-      offset: Option[Long]) extends Expr
+      offset: Option[Long],
+      // `(SELECT <expr>)` per-column value transform, value() bound
+      // to each column (MLDB-1933); None = identity
+      value: Option[Expr] = None) extends Expr
   final case class LikeExpr(e: Expr, pattern: Expr, negated: Boolean) extends Expr
   /** `e[key]` postfix extraction (reference ExtractExpression,
     * `sql/sql_expression.cc:1495-1506`): string key reads a row/bag

@@ -732,6 +732,19 @@ object Lowering {
               case _ => v
             }
           case None => struct(items.zipWithIndex.flatMap {
+            // a bare `*` body (MLDB-797's void sql.expression) selects
+            // every field of the argument row: `{*}` args expand to
+            // the scope's columns, named args pass through by name
+            case (SelectItem(Star(excl, "", rename), _), _) =>
+              val exclSet = excl.map(_.toLowerCase).toSet
+              args.flatMap {
+                case ("*", s: Star) =>
+                  expandStarCols(scope, (s.excluding ++ excl).distinct,
+                    s.prefix, rename.orElse(s.rename), skipRowName = true)
+                case (n, v) if !exclSet(n.toLowerCase) =>
+                  Seq(lowerExpr(scope, substitute(v, argMap)).as(n))
+                case _ => Nil
+              }
             // `input.*` in a function body expands the ARGUMENT row's
             // fields, keeping the dotted names (MLDB-1707: columns
             // input.xx, input.xy)
@@ -1103,7 +1116,7 @@ object Lowering {
       }
       val pred = array_contains(arr, lowerExpr(scope, x))
       if (neg) !pred else pred
-    case ColumnExprStar(_, _, _, _, _) =>
+    case ColumnExprStar(_, _, _, _, _, _) =>
       throw new IllegalArgumentException(
         "COLUMN EXPR is only valid as a top-level select item")
     case LikeExpr(x, StrLit(pat), neg) =>
@@ -1514,7 +1527,13 @@ object Lowering {
       // The reference infers structure per value at runtime; the typed
       // engine infers ONE schema with a capped plan-time pass over the
       // column (the documented AS-*-style pattern), then parses with it.
-      case Some(StructLit(opts)) =>
+      // the 1-arg form (MLDB-1840 `parse_json('{"": 5}') AS *`) is the
+      // options form with defaults — capped plan-time inference
+      case Some(StructLit(_)) | None =>
+        val opts = raw.lift(1) match {
+          case Some(StructLit(o)) => o
+          case _ => Nil
+        }
         val optMap = opts.map { case (k, v) => k.toLowerCase -> v }.toMap
         val arrays = optMap.get("arrays") match {
           case Some(StrLit(s)) => s.toLowerCase
@@ -2029,9 +2048,24 @@ object Lowering {
       }
       ce.offset.foreach(o => names = names.drop(o.toInt))
       ce.limit.foreach(l => names = names.take(l.toInt))
+      // `(SELECT <expr>)` value transform: value() reads the column
+      // itself (MLDB-1933); plan-time substitution, per-row execution
+      def valueSubst(e: Expr, n: String): Expr = e match {
+        case FnCall("value", Seq(), _) => Ident(Seq(n))
+        case FnCall(f, as, st) => FnCall(f, as.map(valueSubst(_, n)), st)
+        case Binary(op, l, r) =>
+          Binary(op, valueSubst(l, n), valueSubst(r, n))
+        case Unary(op, x) => Unary(op, valueSubst(x, n))
+        case CastExpr(x, t) => CastExpr(valueSubst(x, n), t)
+        case other => other
+      }
       names.map { n =>
         val outName = ce.as.map(a => ColumnSetEval.evalStr(a, n)).getOrElse(n)
-        col(n).as(outName)
+        val c = ce.value match {
+          case Some(v) => lowerExpr(scope, valueSubst(v, n))
+          case None => col(n)
+        }
+        c.as(outName)
       }
     }
   }

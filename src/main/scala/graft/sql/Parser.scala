@@ -126,7 +126,21 @@ final class Parser(tokens: Vector[Token], source: String = "") {
   private def parseSelectItem(): SelectItem = {
     if (isKw(peek, "COLUMN") && isKw(tokens(p + 1), "EXPR")) {
       p += 2
+      // STRUCTURED keeps nested column structure in the reference
+      // (MLDB-1933) — the typed engine's columns ARE structured, so
+      // the flag parses and is a no-op
+      acceptKw("STRUCTURED")
       expectOp("(")
+      // `(SELECT <value-expr> …)`: per-column VALUE transform with
+      // value() bound to each column (MLDB-1933); a bare SELECT * /
+      // SELECT value() is the identity
+      val value = if (acceptKw("SELECT")) {
+        if (acceptOp("*")) None
+        else Some(parseExpr()).filterNot {
+          case FnCall("value", Seq(), _) => true
+          case _ => false
+        }
+      } else None
       val as = if (acceptKw("AS")) Some(parseExpr()) else None
       val where = if (acceptKw("WHERE")) Some(parseExpr()) else None
       val orderBy =
@@ -151,7 +165,8 @@ final class Parser(tokens: Vector[Token], source: String = "") {
         else making = false
       }
       expectOp(")")
-      SelectItem(ColumnExprStar(as, where, orderBy, limit, offset), None)
+      SelectItem(ColumnExprStar(as, where, orderBy, limit, offset, value),
+        None)
     } else if (acceptOp("*")) {
       SelectItem(Star(parseExclList()), None)
     } else if (peekQualifiedStar()) {

@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Eighth batch of replays of the reference's OWN regression tests.
+  * Each test cites the `/root/reference/testing/` file it reproduces
+  * and asserts that file's expected values verbatim. */
+class ReferenceParitySpec8 extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val e = new api.GraftEngine(spark)
+  private def q(sql: String) = e.query(sql)
+
+  // --- MLDB-619_newlines_in_sql.py -----------------------------------------
+
+  test("MLDB-619: newlines inside query text parse") {
+    e.recordRows("x619", """[{"rowName":"rowname","colname":0}]""")
+    assert(q("select * from x619").count() === 1)
+    assert(q("select *\nfrom x619").count() === 1)
+  }
+
+  // --- MLDB-797-nested_sql_expressions.py ----------------------------------
+
+  test("MLDB-797: void sql.expression (*) nests through another") {
+    e.recordRows("ds797",
+      """[{"rowName":"row_0","x":1,"y":2},
+         |{"rowName":"row_1","x":1,"y":3},
+         |{"rowName":"row_2","y":4}]""".stripMargin)
+    e.createSqlExpressionFunction("patate797", "*")
+    e.createSqlExpressionFunction("poil797", "patate797({*})")
+    val r = q("SELECT poil797({*}) AS p from ds797")
+    assert(r.count() === 3)
+    // the void expression passes the whole input row through
+    val fields = r.schema("p").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(fields === Set("x", "y"))
+  }
+
+  // --- MLDB-1933-subselect-flatten.py --------------------------------------
+
+  test("MLDB-1933: COLUMN EXPR STRUCTURED (SELECT const) replaces values") {
+    val r = q("SELECT COLUMN EXPR STRUCTURED (SELECT 1) " +
+      "FROM (SELECT [2,3] as x, [4,5] as y)")
+    assert(r.columns.toSeq === Seq("x", "y"))
+    assert(r.head().toSeq === Seq(1, 1))
+  }
+
+  test("MLDB-1933: COLUMN EXPR STRUCTURED (SELECT norm(value(), 2))") {
+    val r = q("SELECT COLUMN EXPR STRUCTURED (SELECT norm(value(), 2)) " +
+      "FROM (SELECT [2,3] as x, [4,5] as y)")
+    assert(r.head().getDouble(0) === 3.605551275463989)
+    assert(r.head().getDouble(1) === 6.4031242374328485)
+  }
+
+  // --- MLDB-1840_empty_str_paths.py ----------------------------------------
+
+  test("MLDB-1840: 1-arg parse_json AS * infers the schema at plan time") {
+    // (the reference also yields an empty-named column for the "" key;
+    // Spark's JSON inference drops empty keys — pinned divergence)
+    val r = q("""SELECT parse_json('{"": 5, "pwet":10}') AS *""")
+    assert(r.columns.toSeq === Seq("pwet"))
+    assert(r.head().getLong(0) === 10L)
+    // named column through a subselect
+    val r2 = q("""SELECT pwet FROM (
+      SELECT parse_json('{"": 5, "pwet":10}') AS *)""")
+    assert(r2.head().getLong(0) === 10L)
+  }
+
+  // --- MLDB-915-pivot-transform.py -----------------------------------------
+
+  test("MLDB-915: pivot AS * with composed group row names") {
+    e.recordRows("ex915",
+      """[{"rowName":"r1","person":"nick","thing":"appl","has":1},
+         |{"rowName":"r2","person":"nick","thing":"goog","has":2},
+         |{"rowName":"r3","person":"francois","thing":"appl","has":3},
+         |{"rowName":"r4","person":"francois","thing":"tsla","has":4}]"""
+        .stripMargin)
+    val r = q("select rowName() as rowName, pivot(thing, has) as * " +
+      "from ex915 group by person")
+    assert(r.columns.filterNot(_ == "rowName").toSeq
+      === Seq("appl", "goog", "tsla"))
+    val rows = r.collect().map(x =>
+      x.getString(r.columns.indexOf("rowName")) ->
+        r.columns.filterNot(_ == "rowName").map(c =>
+          Option(x.get(r.columns.indexOf(c))).map(_.toString)).toSeq).toMap
+    // group rows are named by their quoted key (the reference's
+    // ["nick"] composition)
+    assert(rows.keySet === Set("[\"nick\"]", "[\"francois\"]"))
+    assert(rows("[\"nick\"]") === Seq(Some("1"), Some("2"), None))
+    assert(rows("[\"francois\"]") === Seq(Some("3"), None, Some("4")))
+  }
+
+  // --- MLDB-801-from-table-expression.js -----------------------------------
+
+  test("MLDB-801: join condition with IS NOT NULL prunes null sides") {
+    e.recordRows("t801a",
+      """[{"rowName":"ex1","x":1,"y":2},{"rowName":"ex2","x":2,"z":4},
+         |{"rowName":"ex3","z":3}]""".stripMargin)
+    e.recordRows("t801b",
+      """[{"rowName":"ex4","x":1,"z":2},{"rowName":"ex5","x":2,"z":2},
+         |{"rowName":"ex6","z":3}]""".stripMargin)
+    val r = q("select rowName() AS rn from t801a as a join t801b as b " +
+      "on a.x = b.x and a.y is not null")
+    assert(r.collect().toSeq.map(_.getString(0)) === Seq("[ex1]-[ex4]"))
+  }
+
+  // --- MLDB-995-sub-query-sparse.js ----------------------------------------
+
+  test("MLDB-995: a sub-query star select is the identity") {
+    e.recordRows("t995",
+      (0 until 50).map(i =>
+        s"""{"rowName":"r$i","a":$i,"b":"s$i"}""").mkString("[", ",", "]"))
+    val direct = q("select * from t995 order by rowName() limit 10")
+      .collect().toSeq.map(_.toSeq)
+    val nested = q("select * from (select * from t995) " +
+      "order by rowName() limit 10").collect().toSeq.map(_.toSeq)
+    assert(direct === nested)
+  }
+
+  // --- MLDB-1026-slow-not-in.js --------------------------------------------
+
+  test("MLDB-1026: rowName() NOT IN (subselect) plans as an anti join") {
+    e.recordRows("t1026a",
+      (0 until 500).map(i => s"""{"rowName":"r$i","v":$i}""")
+        .mkString("[", ",", "]"))
+    e.recordRows("t1026b",
+      (0 until 550).map(i => s"""{"rowName":"r$i","v":$i}""")
+        .mkString("[", ",", "]"))
+    val r = q("select count(*) as n from t1026b " +
+      "where rowName() not in (select rowName() from t1026a)")
+    assert(r.head().getLong(0) === 50L)
+    val plan = r.queryExecution.executedPlan.toString
+    // the reference's fix made this sub-second; the distributed analog
+    // is a hash anti join, never a cartesian product
+    assert(plan.contains("Anti"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // --- MLDB-618_rowcol_named_0.py ------------------------------------------
+
+  test("MLDB-618: numeric row and column names record and read back") {
+    val rows = (0 until 20).map(i =>
+      s"""{"rowName":"$i","0":${i * 2},"1":${i * 3}}""")
+      .mkString("[", ",", "]")
+    e.recordRows("t618", rows)
+    assert(q("select * from t618").count() === 20)
+    assert(q("""select "0" as a from t618 where rowName() = '3'""")
+      .head().getLong(0) === 6L)
+  }
+
+  // --- MLDB-605-timestamp-query.js -----------------------------------------
+
+  test("MLDB-605: per-cell latest_timestamp comparisons (EAV)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t1 = java.sql.Timestamp.valueOf("2015-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2015-01-02 00:00:00")
+    val cells = Seq(
+      ("row1_imp_then_click", "imp", t1), ("row1_imp_then_click", "click", t2),
+      ("row2_click_then_imp", "click", t1), ("row2_click_then_imp", "imp", t2),
+      ("row3_click_and_imp", "click", t1), ("row3_click_and_imp", "imp", t1))
+    val eav = cells.toDF("rowName", "column", "ts")
+      .select(col("rowName"), col("column"),
+        struct(lit(0.0).as("num"), lit(null).cast("string").as("str"),
+          lit(null).cast("timestamp").as("tsv"),
+          lit(null).cast("boolean").as("flag")).as("value"), col("ts"))
+    // latest_timestamp(col) = max cell ts; pivot per row and compare
+    val byRow = eav.groupBy("rowName")
+      .agg(max(when(col("column") === "imp", col("ts"))).as("imp_ts"),
+        max(when(col("column") === "click", col("ts"))).as("click_ts"))
+    def names(cond: org.apache.spark.sql.Column): Seq[String] =
+      byRow.filter(cond).select("rowName").collect().toSeq.map(_.getString(0))
+    assert(names(col("imp_ts") < col("click_ts"))
+      === Seq("row1_imp_then_click"))
+    assert(names(col("click_ts") < col("imp_ts"))
+      === Seq("row2_click_then_imp"))
+    assert(names(col("click_ts") === col("imp_ts"))
+      === Seq("row3_click_and_imp"))
+  }
+
+  // --- MLDB-909-simple-WHEN-expression.py ----------------------------------
+
+  test("MLDB-909: WHEN value_timestamp() BETWEEN two timestamps") {
+    import spark.implicits._
+    val rows = (0 until 10).map { i =>
+      val ts =
+        if (i == 9) java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+        else java.sql.Timestamp.valueOf("2015-06-01 00:00:00")
+      (i.toString, i.toString, ts)
+    }
+    e.createDataset("ds909", rows.toDF("rowName", "x", "ts"))
+    // the 2030 row falls outside the window and drops
+    val r = q("SELECT x FROM ds909 WHEN value_timestamp() BETWEEN " +
+      "CAST('2015-01-01' AS timestamp) AND CAST('2016-01-01' AS timestamp)")
+    assert(r.count() === 9)
+    // every surviving row keeps its x = rowName invariant
+    val all = q("SELECT rowName() AS rn, x FROM ds909 WHEN " +
+      "value_timestamp() BETWEEN CAST('2015-01-01' AS timestamp) AND " +
+      "CAST('2040-01-01' AS timestamp)").collect()
+    assert(all.length === 10)
+    all.foreach(row => assert(row.getString(0) === row.getString(1)))
+  }
+}

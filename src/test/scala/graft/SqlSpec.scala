@@ -296,14 +296,15 @@ class SqlSpec extends AnyFunSuite {
     assert(v === "AFRICA | AMERICA | ASIA | EUROPE | MIDDLE EAST")
   }
 
-  test("parse_json with a schema yields a structured row; without one it fails loudly") {
+  test("parse_json with a schema yields a structured row; without one it infers") {
     val row = q("""SELECT parse_json('{"a": 7, "b": "x"}', 'a INT, b STRING') AS j""")
       .select(col("j.a"), col("j.b")).head()
     assert(row.getInt(0) === 7 && row.getString(1) === "x")
-    val e = intercept[IllegalArgumentException] {
-      q("""SELECT parse_json('{"a": 1}') AS j""").collect()
-    }
-    assert(e.getMessage.contains("schema"))
+    // the 1-arg form infers with the capped plan-time pass (the
+    // reference's dynamic shape — MLDB-1840; was an error pre-round-7)
+    val inferred = q("""SELECT parse_json('{"a": 1}') AS j""")
+      .select(col("j.a")).head()
+    assert(inferred.getLong(0) === 1L)
   }
 
   test("columncount() counts per-row non-null cells, not schema width") {
