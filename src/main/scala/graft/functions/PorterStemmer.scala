@@ -62,8 +62,11 @@ object PorterStemmer {
 
   def stem(word: String): String = {
     if (word == null) return null
-    var w = word.toLowerCase
-    if (w.length <= 2) return w
+    // words too short to stem keep their case — the reference's
+    // stemmer leaves 'I' as 'I' (MLDB-1126 "I like have lot")
+    if (word.length <= 2) return word
+    val w0 = word.toLowerCase
+    var w = w0
 
     // Step 1a
     if (w.endsWith("sses")) w = w.dropRight(2)

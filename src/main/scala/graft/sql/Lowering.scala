@@ -875,6 +875,44 @@ object Lowering {
           case None => struct(row.as("output"))
         }
 
+      case None if Set("stem", "stemmer", "stemmerdoc")(name.toLowerCase) =>
+        // the stemmer function entities (`plugins/nlp/nlp.cc:213-284`,
+        // MLDB-1126/1322) as dialect builtins: `stemmer` stems each
+        // argument row's COLUMN NAMES and sums same-stem columns
+        // (potato + potatoes → potato); `stemmerdoc` stems the words
+        // of a string document. English (Porter) only — the
+        // reference's other Snowball languages are not implemented
+        // (documented divergence).
+        val row: Column =
+          if (name.equalsIgnoreCase("stemmerdoc"))
+            struct(args.map { case (n, v) =>
+              concat_ws(" ", transform(
+                split(lowerExpr(scope, v).cast("string"), " "),
+                t => graft.plans.PorterStem.column(t))).as(n)
+            }: _*)
+          else struct(args.map { case (argName, v) =>
+            val fields = rowFieldsOf(scope, v).getOrElse(
+              throw new IllegalArgumentException(
+                s"$name: argument '$argName' must be row-shaped"))
+            val grouped = fields.groupBy { case (f, _) =>
+              graft.functions.PorterStemmer.stem(f)
+            }.toSeq.sortBy(_._1)
+            struct(grouped.map { case (stemmed, members) =>
+              val vals = members.map(_._2.cast("double"))
+              when(vals.map(_.isNull).reduce(_ && _), lit(null))
+                .otherwise(vals.map(x => coalesce(x, lit(0.0)))
+                  .reduce(_ + _)).as(stemmed)
+            }: _*).as(argName)
+          }: _*)
+        output match {
+          case Some(out) =>
+            args.collectFirst { case (n, _) if n.equalsIgnoreCase(out) =>
+              row.getField(n)
+            }.getOrElse(throw new IllegalArgumentException(
+              s"function $name has no output '$out'"))
+          case None => row
+        }
+
       case None if currentLookups.contains(name) =>
         // $param-ized sql.query function applied per row (MLDB-784):
         // probe the plan-literal key→row map
@@ -1227,6 +1265,26 @@ object Lowering {
     }
   }
 
+  /** The named fields of a row-valued expression: struct fields by
+    * schema; bags (maps — `{tokenize(txt) as *}`, MLDB-1322) through
+    * the shared capped plan-time key pass. */
+  private def rowFieldsOf(scope: Scope,
+      v: Expr): Option[Seq[(String, Column)]] = {
+    val c = lowerExpr(scope, v)
+    resolvedTypeOf(scope, c) match {
+      case Some(st: org.apache.spark.sql.types.StructType) =>
+        Some(st.fieldNames.toSeq.map(f => f -> c.getField(f)))
+      case Some(_: org.apache.spark.sql.types.MapType) =>
+        val frame = scope.frames.map(_._2).find(df =>
+          scala.util.Try(df.select(c)).isSuccess).getOrElse(
+          throw new IllegalArgumentException(
+            "row expansion: unresolvable input"))
+        Some(PlanTime.keys(frame.select(explode(map_keys(c)).as("__k")),
+          col("__k"), "row expansion").map(k => k -> element_at(c, k)))
+      case _ => None
+    }
+  }
+
   /** Row-literal field expansion. `{*}` expands to every scope column
     * (minus the carried rowName, which is the row's NAME, not one of
     * its cells); `{x*}`/`{x* AS y*}` filter/rename by prefix
@@ -1246,12 +1304,9 @@ object Lowering {
       // `{{…} AS *}` (MLDB-832 `{{*} as *} as *`)
       lowerStructFields(scope, inner)
     case ("*", v) =>
-      val c = lowerExpr(scope, v)
-      structFieldsOf(scope, c) match {
-        case Some(names) => names.map(f => c.getField(f).as(f))
-        case None => throw new IllegalArgumentException(
-          "AS * inside a row literal needs a row-valued expression")
-      }
+      rowFieldsOf(scope, v).getOrElse(throw new IllegalArgumentException(
+        "AS * inside a row literal needs a row-valued expression"))
+        .map { case (n, c) => c.as(n) }
     case (n, v) => Seq(lowerExpr(scope, v).as(n))
   }
 
@@ -2306,6 +2361,18 @@ object Lowering {
       case SelectItem(f @ FnCall("pivot", Seq(k, _), _), Some("*")) =>
         PlanTime.keys(fromDf0, lowerExpr(scope0, k), "pivot AS *")
           .map(key => SelectItem(Extract(f, StrLit(key)), Some(key)))
+      // `sum(<row-expr>) AS *` over a NON-literal row argument
+      // (MLDB-1322 `sum(stem({words: …})[words]) as *`): the argument
+      // row's fields resolve at plan time; one aggregate per field
+      case SelectItem(FnCall(n, Seq(arg), st), Some("*"))
+          if aggNames(n) && !arg.isInstanceOf[StructLit] =>
+        rowFieldsOf(scope0, arg) match {
+          case Some(fields) => fields.map { case (f, _) =>
+            SelectItem(FnCall(n, Seq(Extract(arg, StrLit(f))), st), Some(f))
+          }
+          case None => throw new IllegalArgumentException(
+            s"$n(…) AS * needs a row-valued argument")
+        }
       case SelectItem(e, Some("*")) =>
         val c = lowerExpr(scope0, e)
         fromDf0.select(c.as("__asstar")).schema.head.dataType match {

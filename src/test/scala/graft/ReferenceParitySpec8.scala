@@ -186,6 +186,77 @@ class ReferenceParitySpec8 extends AnyFunSuite {
       === Seq("row3_click_and_imp"))
   }
 
+  // --- MLDB-1092_conf_interval.py ------------------------------------------
+
+  test("MLDB-1092: binomial confidence bounds pin the reference values") {
+    val r = q("SELECT binomial_ub_80(200, 35) as ub, " +
+      "binomial_lb_80(200, 35) as lb").head()
+    assert(math.abs(r.getDouble(0) - 0.2120410) < 0.001)
+    assert(math.abs(r.getDouble(1) - 0.143) < 0.001)
+    e.recordRows("toy1092",
+      """[{"rowName":"u1","trials":200,"succ":35},
+         |{"rowName":"u2","trials":500,"succ":35}]""".stripMargin)
+    val rows = q("SELECT binomial_ub_80(trials, succ) as ub, " +
+      "binomial_lb_80(trials, succ) as lb from toy1092 " +
+      "order by rowName() ASC").collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.212) < 0.001)
+    assert(math.abs(rows(0).getDouble(1) - 0.143) < 0.001)
+    assert(math.abs(rows(1).getDouble(1) - 0.0567) < 0.001)
+  }
+
+  // --- MLDB-1126_stemming.py -----------------------------------------------
+
+  test("MLDB-1126: stemmer merges same-stem columns; stemmerdoc keeps case") {
+    val r = q("SELECT stemmer({words: {tokenize('I like having lots', " +
+      "{splitChars:' '}) as *}}) as *")
+    // the typed engine keeps the output row as a struct column
+    // (the reference flattens to dotted words.* — MLDB-668/832 pin)
+    val wordsIdx = r.columns.indexOf("words")
+    val s = r.head().getStruct(wordsIdx)
+    val vals = s.schema.fieldNames.zip(s.toSeq).toMap
+    assert(vals("lot").toString.toDouble === 1.0)
+    assert(vals("have").toString.toDouble === 1.0)
+    assert(vals("I").toString.toDouble === 1.0)
+    // MLDB-1147: stemmerdoc stems a whole document, preserving 'I'
+    assert(q("SELECT stemmerdoc({document: 'I like having lots'})" +
+      "[document] AS s").head().getString(0) === "I like have lot")
+  }
+
+  // --- MLDB-1322-sum_stem_token.py -----------------------------------------
+
+  test("MLDB-1322: the tokenize → stem → sum staircase") {
+    e.recordRows("veggies",
+      """[{"rowName":"row_0","txt":"potato,carrots","label":0},
+         |{"rowName":"row_1","txt":"potato,potatoes,potato","label":0},
+         |{"rowName":"row_2","txt":"carrot,carrots","label":1}]"""
+        .stripMargin)
+    // step 1: tokenize AS *
+    val t1 = q("SELECT tokenize(txt) as *, label FROM veggies " +
+      "ORDER BY rowName()")
+    assert(t1.columns.toSet ===
+      Set("carrot", "carrots", "potato", "potatoes", "label"))
+    // step 2: stem merges potato+potatoes per row
+    val t2 = q("SELECT stem({words: {tokenize(txt) as *}})[words] as *, " +
+      "label FROM veggies ORDER BY rowName()")
+    assert(t2.columns.toSeq === Seq("carrot", "potato", "label"))
+    assert(t2.collect().map(_.toSeq).toSeq === Seq(
+      Seq(1.0, 1.0, 0L), Seq(null, 3.0, 0L), Seq(2.0, null, 1L)))
+    // step 3: sum over the whole corpus
+    val t3 = q("SELECT sum(stem({words: {tokenize(txt) as *}})[words]) " +
+      "as * FROM veggies")
+    assert(t3.columns.toSeq === Seq("carrot", "potato"))
+    assert(t3.head().toSeq === Seq(3.0, 4.0))
+    // step 4: grouped by label
+    val t4 = q("SELECT sum(stem({words: {tokenize(txt) as *}})[words]) " +
+      "as * FROM veggies GROUP BY label ORDER BY label")
+    assert(t4.collect().map(_.toSeq).toSeq
+      === Seq(Seq(1.0, 4.0), Seq(2.0, null)))
+    // step 6 shape: a direct bag argument (no literal wrapper)
+    val t6 = q("SELECT sum(stem({words: tokenize(txt)})[words]) as * " +
+      "FROM veggies")
+    assert(t6.head().toSeq === Seq(3.0, 4.0))
+  }
+
   // --- MLDB-909-simple-WHEN-expression.py ----------------------------------
 
   test("MLDB-909: WHEN value_timestamp() BETWEEN two timestamps") {
