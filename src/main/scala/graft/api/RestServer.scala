@@ -110,6 +110,19 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               if (q.contains("$"))
                 engine.createSqlQueryDialectFunction(name, q, out)
               else engine.createSqlQueryRowFunction(name, q, out)
+            // NLP function entities (plugins/nlp) alias the dialect
+            // builtins with the reference's pinned input names
+            // (MLDB-1030/1126). Language: english only (Porter) —
+            // other Snowball languages are a documented divergence.
+            case "stemmer" =>
+              engine.createSqlExpressionFunction(name,
+                "stemmer({words: words})[words] AS words")
+            case "stemmerdoc" =>
+              engine.createSqlExpressionFunction(name,
+                "stemmerdoc({document: document})[document] AS document")
+            case "filter_stopwords" =>
+              engine.createSqlExpressionFunction(name,
+                "filter_stopwords({words: words})[words] AS words")
             case other => throw new IllegalArgumentException(
               s"unknown function type '$other'")
           }

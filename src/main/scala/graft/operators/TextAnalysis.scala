@@ -21,7 +21,15 @@ object TextAnalysis {
   val stopwordsEn: Seq[String] = Seq(
     "the", "a", "an", "of", "and", "or", "to", "in", "is", "are", "was",
     "be", "been", "that", "this", "it", "for", "on", "with", "as", "at",
-    "by", "from", "not", "but", "they", "he", "she", "we", "you", "i")
+    "by", "from", "not", "but", "they", "he", "she", "we", "you", "i",
+    "what", "which", "who", "whom", "where", "when", "why", "how",
+    "while", "will", "would", "can", "could", "should", "shall", "may",
+    "might", "must", "do", "does", "did", "have", "has", "had", "am",
+    "were", "being", "its", "his", "her", "their", "our", "your", "my",
+    "me", "him", "them", "us", "if", "then", "else", "so", "than",
+    "too", "very", "just", "about", "into", "over", "under", "again",
+    "there", "here", "all", "any", "both", "each", "no", "nor", "only",
+    "own", "same", "such", "up", "down", "out", "off")
 
   /** `filter_stopwords` over a token array column. */
   def filterStopwords(tokens: Column,

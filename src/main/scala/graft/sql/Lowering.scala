@@ -676,6 +676,11 @@ object Lowering {
         concat(lit("["), body, lit("]"))
       }.reduce((x, y) => concat(x, lit("-"), y))
     else if (scope.hasColumn("rowName")) col("rowName")
+    // the no-FROM single-row select names its row 'result'
+    // (MLDB-871/1616 — the reference's constant-select row name)
+    else if (scope.frames.nonEmpty && scope.frames.forall(
+        _._2.columns.sameElements(Array("__dummy"))))
+      lit("result")
     else lit(null)
   }
 
@@ -873,6 +878,30 @@ object Lowering {
           case Some(other) => throw new IllegalArgumentException(
             s"function $name has no output '$other'")
           case None => struct(row.as("output"))
+        }
+
+      case None if Set("filter_stopwords", "stopwords")(name.toLowerCase) =>
+        // filter_stopwords function entity over a bag row
+        // (`plugins/nlp/nlp.cc:108`, MLDB-1030): drop the fields whose
+        // NAME is a stopword — plan-time, the field set is static
+        val row = struct(args.map { case (argName, v) =>
+          val fields = rowFieldsOf(scope, v).getOrElse(
+            throw new IllegalArgumentException(
+              s"$name: argument '$argName' must be row-shaped"))
+          val kept = fields.filterNot { case (f, _) =>
+            graft.operators.TextAnalysis.stopwordsEn.contains(f.toLowerCase)
+          }
+          require(kept.nonEmpty,
+            s"$name: every column of '$argName' is a stopword")
+          struct(kept.map { case (f, c) => c.as(f) }: _*).as(argName)
+        }: _*)
+        output match {
+          case Some(out) =>
+            args.collectFirst { case (n, _) if n.equalsIgnoreCase(out) =>
+              row.getField(n)
+            }.getOrElse(throw new IllegalArgumentException(
+              s"function $name has no output '$out'"))
+          case None => row
         }
 
       case None if Set("stem", "stemmer", "stemmerdoc")(name.toLowerCase) =>

@@ -257,6 +257,65 @@ class ReferenceParitySpec8 extends AnyFunSuite {
     assert(t6.head().toSeq === Seq(3.0, 4.0))
   }
 
+  // --- MLDB-1030_apply_stopwords.py ----------------------------------------
+
+  test("MLDB-1030: filter_stopwords drops stopword-named bag columns") {
+    e.recordRows("toy1030",
+      """[{"rowName":"elem1","title":"patate where when poire when"},
+         |{"rowName":"elem2","title":"allo where what he a allo"}]"""
+        .stripMargin)
+    e.runTransform("select tokenize(title, {splitChars:' ', " +
+      "quoteChar:'', minTokenLength: 2}) as * from toy1030", "bow1030")
+    val r = q("select filter_stopwords({words: {*}})[words] as w " +
+      "from bow1030 order by rowName() ASC")
+    val rows = r.collect()
+    def liveFields(row: org.apache.spark.sql.Row): Set[String] = {
+      val s = row.getStruct(0)
+      s.schema.fieldNames.zipWithIndex.collect {
+        case (f, i) if !s.isNullAt(i) => f
+      }.toSet
+    }
+    assert(liveFields(rows(0)) === Set("patate", "poire"))
+    assert(liveFields(rows(1)) === Set("allo"))
+  }
+
+  // --- MLDB-1808_precision_loss_issue.py -----------------------------------
+
+  test("MLDB-1808: doubles keep full precision through storage and aggregates") {
+    val n1 = 71218.50311678024
+    val n2 = 255650.6226198759
+    e.recordRows("ds1808",
+      s"""[{"rowName":"1","a":$n1},{"rowName":"2","a":$n2}]""")
+    assert(q("SELECT a FROM ds1808 WHERE rowName() = '1'")
+      .head().getDouble(0) === n1)
+    assert(q(s"SELECT $n2 AS v").head().getDouble(0) === n2)
+    assert(q("SELECT sum(a) AS s FROM ds1808").head().getDouble(0)
+      === n1 + n2)
+    assert(q("SELECT avg(a) AS s FROM ds1808").head().getDouble(0)
+      === (n1 + n2) / 2)
+  }
+
+  // --- MLDB-871-json-non-ascii-keys.js -------------------------------------
+
+  test("MLDB-871: non-ASCII literals survive the no-FROM select") {
+    val r = q("select 'ç' AS c")
+    assert(r.head().getString(0) === "ç")
+    val rn = q("select rowName() AS rn, 'ç' AS c").head()
+    assert(rn.getString(0) === "result")
+  }
+
+  // --- MLDB-788_rowname_date_in_transform.py -------------------------------
+
+  test("MLDB-788: rowName() selected into a transform re-reads cleanly") {
+    e.recordRows("ds788", """[{"rowName":"row_0","x":0}]""")
+    e.runTransform(
+      "SELECT x, 1 as y, rowName() as rowname FROM ds788", "ds788out")
+    val r = q("select x, y, rowname from ds788out").head()
+    assert(r.getLong(0) === 0L)
+    assert(r.get(1).toString === "1")
+    assert(r.getString(2) === "row_0")
+  }
+
   // --- MLDB-909-simple-WHEN-expression.py ----------------------------------
 
   test("MLDB-909: WHEN value_timestamp() BETWEEN two timestamps") {
