@@ -1145,7 +1145,16 @@ object Lowering {
       val c = lowerExpr(scope, x).between(lowerExpr(scope, lo), lowerExpr(scope, hi))
       if (neg) !c else c
     case InList(x, items, neg) =>
-      val c = lowerExpr(scope, x).isin(items.map(lowerExpr(scope, _)): _*)
+      // boolean-shaped list members coerce to 1/0 cells when mixed
+      // with numerics — the reference's everything-is-a-cell
+      // comparison (MLDB-895 `2 IN (…, 1 IN (…), …, 1%1<1%1, 11)`)
+      val mixed = items.exists(boolShaped) && !items.forall(boolShaped) &&
+        !boolShaped(x)
+      val lowered = items.map { it =>
+        val c = lowerExpr(scope, it)
+        if (mixed && boolShaped(it)) c.cast("int") else c
+      }
+      val c = lowerExpr(scope, x).isin(lowered: _*)
       if (neg) !c else c
     case InSelect(_, _, _) =>
       throw new IllegalArgumentException(

@@ -316,6 +316,27 @@ class ReferenceParitySpec8 extends AnyFunSuite {
     assert(r.getString(2) === "row_0")
   }
 
+  // --- MLDB-895-fuzz-cases.py ----------------------------------------------
+
+  test("MLDB-895: fuzzer-derived precedence and tokenizer pins") {
+    // % binds tighter than IN: 1 % 2 IN (4) ≡ (1%2) IN (4) = false,
+    // and `2IN` lexes as the number 2 then the keyword IN
+    assert(q("select 1 % 2IN (4) as v").head().getBoolean(0) === false)
+    // `--` starts a comment: select 01--… ≡ select 1
+    assert(q("select 01--1%0e83^ 2 + (9)").head().get(0).toString === "1")
+    // boolean members of an IN list coerce to 1/0 cells:
+    // 2 IN (-12, true, true, false, 11) = 2 IN (-12,1,1,0,11) = false
+    assert(q("select 2IN (-1%1-11,1IN (21%1,11),1%1%1IN (31%1,11)," +
+      "1%1<1%1,11) as v").head().getBoolean(0) === false)
+    // `{~9as*}` is an error there and here
+    assertThrows[Exception] { q("select {~9as*}").collect() }
+    // CAST of the mod-by-zero NaN to timestamp: the reference fails
+    // the query; IEEE semantics here carry it as NULL (error-as-data
+    // posture — documented divergence, same family as try(1/0) = Inf)
+    assert(q("select CAST (61971-71%0 AS timestamp) as v")
+      .head().isNullAt(0))
+  }
+
   // --- MLDB-909-simple-WHEN-expression.py ----------------------------------
 
   test("MLDB-909: WHEN value_timestamp() BETWEEN two timestamps") {
