@@ -1964,8 +1964,48 @@ object Lowering {
         script, names,
         a.drop(2).map(org.apache.spark.sql.GraftColumnBridge.expression),
         mode))
+    // static-binding introspection (`sql/sql_expression.cc`
+    // getUnbound — MLDB-1935 `__isconst`, MLDB-1984
+    // `static_expression_info`): constancy is a PLAN-TIME fact here
+    // exactly as in the reference's bind phase
+    case "__isconst" => lit(isConstExpr(raw(0)))
+    case "static_expression_info" =>
+      struct(struct(lit(isConstExpr(raw(0))).as("isConstant")).as("info"))
     case other =>
       throw new IllegalArgumentException(s"Unable to find function '$other'")
+  }
+
+  /** Plan-time constancy of an expression (MLDB-1935): no column
+    * references and no row-context functions. */
+  private def isConstExpr(e: Expr): Boolean = e match {
+    case Ident(Seq(n))
+        if n.equalsIgnoreCase("inf") || n.equalsIgnoreCase("nan") => true
+    case Ident(_) => false
+    case Star(_, _, _) | ColumnExprStar(_, _, _, _, _, _) => false
+    case Param(_) => true // bound to a literal at plan time
+    case NullLit() | BoolLit(_) | NumLit(_, _) | StrLit(_) |
+         IntervalLit(_, _, _) => true
+    case FnCall(n, as, _) =>
+      !Set("rowname", "rowhash", "rowpath", "rowpathelement",
+        "value_timestamp", "latest_timestamp", "earliest_timestamp",
+        "linenumber", "rowcount", "columncount", "fetcher", "fetch",
+        "now", "random", "rand")(n.toLowerCase) && as.forall(isConstExpr)
+    case FnApply(_, as, _) => as.forall(kv => isConstExpr(kv._2))
+    case Binary(_, l, r) => isConstExpr(l) && isConstExpr(r)
+    case Unary(_, x) => isConstExpr(x)
+    case CastExpr(x, _) => isConstExpr(x)
+    case StructLit(fs) => fs.forall(f => isConstExpr(f._2))
+    case ArrayLit(xs) => xs.forall(isConstExpr)
+    case CaseWhen(op, br, oe) =>
+      (op.toSeq ++ br.flatMap(b => Seq(b._1, b._2)) ++ oe.toSeq)
+        .forall(isConstExpr)
+    case Between(x, lo, hi, _) => Seq(x, lo, hi).forall(isConstExpr)
+    case InList(x, its, _) => (x +: its).forall(isConstExpr)
+    case IsNull(x, _) => isConstExpr(x)
+    case IsType(x, _, _) => isConstExpr(x)
+    case LikeExpr(x, p2, _) => isConstExpr(x) && isConstExpr(p2)
+    case Extract(x, k) => isConstExpr(x) && isConstExpr(k)
+    case _ => false
   }
 
   /** horizontal_* (`sql/builtin_functions.cc` horizontal battery):
@@ -2385,6 +2425,27 @@ object Lowering {
           else { seen += c.toLowerCase; Some(c) }
         }
         args.flatMap {
+          // `sum({labels.* AS *}) AS *` (MLDB-2186): the prefix names a
+          // container column — its fields (bag keys via the shared
+          // plan-time pass) become one aggregate each
+          case ("*", Star(excl, prefix, rename)) if prefix.nonEmpty =>
+            val exclSet = excl.map(_.toLowerCase).toSet
+            val base = prefix.stripSuffix(".")
+            val dotted = cols.filter(_.startsWith(prefix))
+            val fields: Seq[(String, Expr)] =
+              if (dotted.nonEmpty)
+                dotted.map(c => c.stripPrefix(prefix) ->
+                  (Ident(Seq(c)): Expr))
+              else rowFieldsOf(scope0, Ident(Seq(base))).getOrElse(
+                throw new IllegalArgumentException(
+                  s"$prefix* matched no columns")).map { case (f, _) =>
+                f -> (Extract(Ident(Seq(base)), StrLit(f)): Expr)
+              }
+            fields.filterNot(f => exclSet(f._1.toLowerCase)).map {
+              case (f, ex) =>
+                val out = rename.map(_ + f).getOrElse(prefix + f)
+                SelectItem(FnCall(n, Seq(ex)), Some(out))
+            }
           case ("*", Star(_, _, _)) =>
             cols.map(c => SelectItem(FnCall(n, Seq(Ident(Seq(c)))), Some(c)))
           case (k, v) => Seq(SelectItem(FnCall(n, Seq(v)), Some(k)))
@@ -2602,6 +2663,28 @@ object Lowering {
       def expandAggRowStar(e: Expr): Expr = e match {
         case FnApply(n, args, o) if aggNames(n) && args.exists(_._1 == "*") =>
           FnApply(n, args.flatMap {
+            case ("*", Star(excl, prefix, rename)) if prefix.nonEmpty =>
+              // `sum({labels.* AS *})` (MLDB-2186): the prefix names a
+              // container column — its fields (bag keys via the shared
+              // plan-time pass) become one aggregate each, renamed by
+              // stripping/replacing the prefix
+              val exclSet = excl.map(_.toLowerCase).toSet
+              val base = prefix.stripSuffix(".")
+              val dotted = scope.allColumns.map(_._2)
+                .filter(_.startsWith(prefix)).distinct
+              val fields: Seq[(String, Expr)] =
+                if (dotted.nonEmpty)
+                  dotted.map(c => c.stripPrefix(prefix) ->
+                    (Ident(Seq(c)): Expr))
+                else rowFieldsOf(scope, Ident(Seq(base))).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"$prefix* matched no columns")).map { case (f, _) =>
+                  f -> (Extract(Ident(Seq(base)), StrLit(f)): Expr)
+                }
+              fields.filterNot(f => exclSet(f._1.toLowerCase)).map {
+                case (f, ex) =>
+                  (rename.map(_ + f).getOrElse(prefix + f)) -> ex
+              }
             case ("*", Star(_, _, _)) =>
               rowStarCols.map(c => c -> (Ident(Seq(c)): Expr))
             case kv => Seq(kv)

@@ -602,6 +602,23 @@ final class Parser(tokens: Vector[Token], source: String = "") {
               // `{*}` — the whole row as a struct (the reference's
               // feature-vector idiom, e.g. classifier({features: {*}}))
               fields += "*" -> Star(exclList())
+            } else if ((peek, tokens.lift(p + 1), tokens.lift(p + 2)) match {
+                case (TIdent(v, false, _), Some(TOp(".", _)),
+                    Some(TOp("*", _))) => !reserved(v.toLowerCase)
+                case _ => false
+              }) {
+              // `{labels.* [AS *|AS y*]}` — qualified star inside a
+              // row literal expands the container's fields
+              // (MLDB-2186 `sum({labels.* AS *})`)
+              val prefix = parseIdentName()
+              expectOp("."); expectOp("*")
+              val excl = exclList()
+              val rename =
+                if (acceptKw("AS")) {
+                  if (acceptOp("*")) Some("")
+                  else { val np = parseIdentName(); expectOp("*"); Some(np) }
+                } else None
+              fields += "*" -> Star(excl, prefix + ".", rename)
             } else if (peekPrefixWildcard()) {
               // `{x*}` / `{x* AS y*}` — prefix wildcard inside a row
               // literal (MLDB-832 `{x*} as z`)

@@ -337,6 +337,55 @@ class ReferenceParitySpec8 extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  // --- MLDB-2186-empty-array.py --------------------------------------------
+
+  test("MLDB-2186: sum over a prefixed bag survives empty bags") {
+    e.recordRows("d2186",
+      """[{"rowName":"row2","text":"one,two"},
+         |{"rowName":"row4","text":""}]""".stripMargin)
+    // the reference crashed on the empty tokenize bag; the prefixed
+    // star expands the bag's keys (plan-time pass) and the empty row
+    // contributes nulls
+    val r = q("SELECT sum({labels.* AS *}) AS * FROM (SELECT " +
+      "tokenize(text, {splitChars:',',quoteChar:''}) AS labels FROM d2186)")
+    assert(r.columns.toSeq === Seq("one", "two"))
+    assert(r.head().toSeq.map(_.toString.toDouble) === Seq(1.0, 1.0))
+  }
+
+  // --- MLDB-327-sum-aggregate.js -------------------------------------------
+
+  test("MLDB-327: sum and vertical_sum group identically with composed names") {
+    e.recordRows("t327",
+      """[{"rowName":"ex1","x":0,"y":0,"label":"cat"},
+         |{"rowName":"ex2","x":1,"y":1,"label":"dog"},
+         |{"rowName":"ex3","x":1,"y":2,"label":"cat"}]""".stripMargin)
+    val rows = q("select rowName() as rn, label, sum(x) as sx, " +
+      "vertical_sum(y) as sy from t327 group by label order by label")
+      .collect().toSeq.map(_.toSeq)
+    assert(rows === Seq(
+      Seq("[\"cat\"]", "cat", 1L, 2L), Seq("[\"dog\"]", "dog", 1L, 1L)))
+  }
+
+  // --- MLDB-1935-const-binding.py / MLDB-1984-constant-functions.js --------
+
+  test("MLDB-1935/1984: static constancy introspection") {
+    e.recordRows("ds1935", """[{"rowName":"row1","a":1}]""")
+    def isconst(expr: String): Boolean =
+      q(s"SELECT __isconst($expr) as isconst FROM ds1935")
+        .head().getBoolean(0)
+    assert(isconst("a") === false)
+    assert(isconst("1") === true)
+    assert(isconst("a < 1") === false)
+    assert(isconst("1 < 2") === true)
+    assert(isconst("a + 1") === false)
+    assert(isconst("1 + 2") === true)
+    assert(isconst("-a") === false)
+    assert(isconst("-1") === true)
+    // MLDB-1984: the structured form
+    assert(q("SELECT static_expression_info(pi())[\"info\"][isConstant] " +
+      "as isRow").head().getBoolean(0) === true)
+  }
+
   // --- MLDB-909-simple-WHEN-expression.py ----------------------------------
 
   test("MLDB-909: WHEN value_timestamp() BETWEEN two timestamps") {
