@@ -579,7 +579,13 @@ final class GraftEngine(val spark: SparkSession) {
     }
     tpe match {
       case "transform" =>
-        registerOut(query(req("inputQuery")))
+        // the reference's config key is inputData; inputQuery stays as
+        // an accepted alias. Missing input uses the reference's
+        // message (MLDB-2119).
+        val input = param("inputQuery").orElse(param("inputData"))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define inputData"))
+        registerOut(query(input))
       case "import.text" =>
         // full ImportTextConfig surface over REST params
         // (`plugins/textual/importtext_procedure.cc:43-115`)

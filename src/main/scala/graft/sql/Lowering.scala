@@ -2625,7 +2625,11 @@ object Lowering {
         case (SelectItem(ce: ColumnExprStar, _), _) =>
           expandColumnExpr(scope, ce)
         case (SelectItem(Star(excl, prefix, rename), _), _) =>
-          expandStarCols(scope, excl, prefix, rename, skipRowName = false)
+          // NAMED replaces the row name — the star must not re-emit
+          // the ORIGINAL rowName beside it (MLDB-1950
+          // `SELECT * NAMED 'name'`)
+          expandStarCols(scope, excl, prefix, rename,
+            skipRowName = stmt.named.isDefined)
         case (it, i) => Seq(outCol(itemName(it, i)))
       }
       val withName = stmt.named match {

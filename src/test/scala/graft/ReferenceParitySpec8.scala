@@ -386,6 +386,50 @@ class ReferenceParitySpec8 extends AnyFunSuite {
       "as isRow").head().getBoolean(0) === true)
   }
 
+  // --- MLDB-1950-crash-in-merge.py -----------------------------------------
+
+  test("MLDB-1950: merge of subselects with duplicate row names survives") {
+    // the reference SKIPS this (open crash); the typed merge aligns
+    // the duplicate 'name' rows instead
+    e.recordRows("d1950",
+      """[{"rowName":"rowname0","col":1},{"rowName":"rowname1","col":1}]""")
+    val r = q("SELECT * from merge(" +
+      "(SELECT * NAMED 'name' FROM d1950), " +
+      "(SELECT * NAMED 'name' FROM d1950))")
+    assert(r.count() >= 1) // no crash; rows align on the shared name
+  }
+
+  // --- MLDB-2043_tabular_big_int.py ----------------------------------------
+
+  test("MLDB-2043: 64-bit integers round-trip through record and query") {
+    e.recordRows("d2043",
+      """[{"rowName":"first row","first column":9936626511},
+         |{"rowName":"second row","first column":0}]""".stripMargin)
+    val rows = q("select \"first column\" as c from d2043 " +
+      "order by rowName() ASC").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(9936626511L, 0L))
+  }
+
+  // --- MLDB-2064_transform_proc_row_expr.py --------------------------------
+
+  test("MLDB-2064: transform over row_dataset with a quoted space name") {
+    val query2064 = "SELECT * FROM row_dataset({\"My Value\": 1})"
+    val good = q(query2064).collect().map(_.toSeq).toSeq
+    e.runTransform(query2064, "keywords2064")
+    val back = q("select * from keywords2064").collect().map(_.toSeq).toSeq
+    assert(back === good)
+    assert(good.head.contains("My Value"))
+  }
+
+  // --- MLDB-2119_segfault_transform_no_input.py ----------------------------
+
+  test("MLDB-2119: a transform without inputData raises the reference's message") {
+    val ex = intercept[IllegalArgumentException] {
+      e.runProcedure("transform", _ => None)
+    }
+    assert(ex.getMessage.contains("You need to define inputData"))
+  }
+
   // --- MLDB-909-simple-WHEN-expression.py ----------------------------------
 
   test("MLDB-909: WHEN value_timestamp() BETWEEN two timestamps") {
