@@ -123,6 +123,12 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
             case "filter_stopwords" =>
               engine.createSqlExpressionFunction(name,
                 "filter_stopwords({words: words})[words] AS words")
+            case "feature_hasher" =>
+              val bits = extractFieldOpt(body, "numBits").getOrElse("8")
+              val mode = extractFieldOpt(body, "mode").getOrElse("columns")
+              engine.createSqlExpressionFunction(name,
+                s"feature_hasher({columns: columns, numBits: $bits, " +
+                  s"mode: '$mode'})[hash] AS hash")
             case other => throw new IllegalArgumentException(
               s"unknown function type '$other'")
           }

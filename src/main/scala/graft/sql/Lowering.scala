@@ -880,6 +880,67 @@ object Lowering {
           case None => struct(row.as("output"))
         }
 
+      case None if name.equalsIgnoreCase("feature_hasher") =>
+        // feature_hasher function entity
+        // (`plugins/feature_gen/feature_generators.cc:155`, MLDB-775):
+        // hash the argument row's columns into 2^numBits buckets named
+        // hashColumn0..N-1. mode 'columns' buckets by COLUMN NAME
+        // (static → grouped at plan time, pure sums); mode
+        // 'columnsAndValues' buckets by name=value (runtime hash,
+        // codegen'd, contribution 1 per non-null cell).
+        val argMap = args.toMap
+        val bits = argMap.get("numBits") match {
+          case Some(NumLit(v, _)) => v.toInt
+          case None => 8
+          case _ => throw new IllegalArgumentException(
+            "feature_hasher: numBits must be an integer literal")
+        }
+        require(bits >= 1 && bits <= 16,
+          "feature_hasher: numBits must be in [1, 16]")
+        val mode = argMap.get("mode") match {
+          case Some(StrLit(s)) => s
+          case None => "columns"
+          case _ => throw new IllegalArgumentException(
+            "feature_hasher: mode must be a string literal")
+        }
+        val rowArg = argMap.getOrElse("columns", args.collectFirst {
+          case (k, v) if !Set("numBits", "mode")(k) => v
+        }.getOrElse(throw new IllegalArgumentException(
+          "feature_hasher needs a 'columns' row argument")))
+        val fields = rowFieldsOf(scope, rowArg).getOrElse(
+          throw new IllegalArgumentException(
+            "feature_hasher: 'columns' must be row-shaped"))
+        val n = 1 << bits
+        val buckets: Seq[Column] = mode match {
+          case "columns" =>
+            val grouped = fields.groupBy { case (f, _) =>
+              (scala.util.hashing.MurmurHash3.stringHash(f) & Int.MaxValue) % n
+            }
+            (0 until n).map { i =>
+              grouped.get(i).map(_.map { case (_, c) =>
+                coalesce(c.cast("double"), lit(0.0))
+              }.reduce(_ + _)).getOrElse(lit(0.0)).as(s"hashColumn$i")
+            }
+          case "columnsAndValues" =>
+            (0 until n).map { i =>
+              fields.map { case (f, c) =>
+                when(c.isNotNull && pmod(xxhash64(
+                  concat(lit(f), lit("="), c.cast("string"))),
+                  lit(n)) === i, lit(1.0)).otherwise(lit(0.0))
+              }.reduce(_ + _).as(s"hashColumn$i")
+            }
+          case other => throw new IllegalArgumentException(
+            s"feature_hasher: unknown mode '$other'")
+        }
+        val row = struct(struct(buckets: _*).as("hash"))
+        output match {
+          case Some(out) if out.equalsIgnoreCase("hash") =>
+            row.getField("hash")
+          case Some(other) => throw new IllegalArgumentException(
+            s"function $name has no output '$other'")
+          case None => row
+        }
+
       case None if Set("filter_stopwords", "stopwords")(name.toLowerCase) =>
         // filter_stopwords function entity over a bag row
         // (`plugins/nlp/nlp.cc:108`, MLDB-1030): drop the fields whose
@@ -1307,6 +1368,48 @@ object Lowering {
     * schema; bags (maps — `{tokenize(txt) as *}`, MLDB-1322) through
     * the shared capped plan-time key pass. */
   private def rowFieldsOf(scope: Scope,
+      v: Expr): Option[Seq[(String, Column)]] = v match {
+    // literals resolve at the AST level — no schema probe (which
+    // would mis-resolve alias-qualified columns against the per-frame
+    // dfs), and names come for free
+    case StructLit(fs) => Some(fs.flatMap {
+      case ("*", Star(excl, "", rename)) =>
+        val exclSet = excl.map(_.toLowerCase).toSet
+        val seen = scala.collection.mutable.LinkedHashSet[String]()
+        scope.allColumns.flatMap { case (_, n) =>
+          if (n.equalsIgnoreCase("rowName") || n.startsWith("__") ||
+              exclSet(n.toLowerCase) || seen.contains(n.toLowerCase)) None
+          else {
+            seen += n.toLowerCase
+            Some(rename.map(_ + n).getOrElse(n) ->
+              lowerExpr(scope, Ident(Seq(n))))
+          }
+        }
+      case ("*", Star(excl, prefix, rename)) =>
+        val exclSet = excl.map(_.toLowerCase).toSet
+        val dotted = scope.allColumns.map(_._2)
+          .filter(_.startsWith(prefix)).distinct
+        val base = prefix.stripSuffix(".")
+        val pairs: Seq[(String, Column)] =
+          if (dotted.nonEmpty)
+            dotted.map(n => n.stripPrefix(prefix) ->
+              lowerExpr(scope, Ident(Seq(n))))
+          else rowFieldsOf(scope, Ident(Seq(base))).getOrElse(
+            throw new IllegalArgumentException(
+              s"$prefix* matched no columns"))
+        pairs.collect { case (f, c) if !exclSet(f.toLowerCase) =>
+          rename.map(_ + f).getOrElse(prefix + f) -> c
+        }
+      case ("*", inner) =>
+        rowFieldsOf(scope, inner).getOrElse(
+          throw new IllegalArgumentException(
+            "AS * inside a row literal needs a row-valued expression"))
+      case (n, e) => Seq(n -> lowerExpr(scope, e))
+    })
+    case _ => rowFieldsOfResolved(scope, v)
+  }
+
+  private def rowFieldsOfResolved(scope: Scope,
       v: Expr): Option[Seq[(String, Column)]] = {
     val c = lowerExpr(scope, v)
     resolvedTypeOf(scope, c) match {

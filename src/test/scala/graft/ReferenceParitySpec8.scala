@@ -430,6 +430,42 @@ class ReferenceParitySpec8 extends AnyFunSuite {
     assert(ex.getMessage.contains("You need to define inputData"))
   }
 
+  // --- MLDB-775_hashbucket_feat_gen.py -------------------------------------
+
+  test("MLDB-775: feature_hasher buckets by columns or columnsAndValues") {
+    e.recordRows("toy775",
+      (0 until 5).map(i =>
+        s"""{"rowName":"example-$i","fwin":$i,"fwine":${i * 2},""" +
+          s""""fwinette":${Seq(0, 1, 16, 81, 256)(i)}}""")
+        .mkString("[", ",", "]"))
+    // 2^numBits buckets named hashColumn0..3
+    val r = q("select feature_hasher({columns: {*}, numBits: 2, " +
+      "mode: 'columns'})[hash] as * from toy775 order by rowName()")
+    assert(r.columns.toSeq ===
+      (0 until 4).map(i => s"hashColumn$i"))
+    // column→bucket assignment is static, so each row's bucket sums
+    // equal the row's total cell sum
+    val sums = r.collect().map(_.toSeq.map(_.toString.toDouble).sum)
+    assert(sums.toSeq === Seq(0.0, 4.0, 22.0, 90.0, 268.0))
+    // columnsAndValues buckets differ from columns mode for some row
+    val both = q("select feature_hasher({columns: {*}, numBits: 2, " +
+      "mode: 'columns'})[hash] as a, feature_hasher({columns: {*}, " +
+      "numBits: 2, mode: 'columnsAndValues'})[hash] as b from toy775")
+      .collect()
+    assert(both.exists(row =>
+      row.getStruct(0).toSeq != row.getStruct(1).toSeq))
+  }
+
+  // --- MLDB-865-javascript-unicode.js --------------------------------------
+
+  test("MLDB-865: unicode dataset ids register, query and drop") {
+    e.recordRows("hellô", """[{"rowName":"r","x":1}]""")
+    assert(q("select * from \"hellô\"").count() === 1)
+    assert(e.listDatasets.contains("hellô"))
+    e.dropDataset("hellô")
+    assert(!e.listDatasets.contains("hellô"))
+  }
+
   // --- MLDB-909-simple-WHEN-expression.py ----------------------------------
 
   test("MLDB-909: WHEN value_timestamp() BETWEEN two timestamps") {
