@@ -466,6 +466,32 @@ class ReferenceParitySpec8 extends AnyFunSuite {
     assert(!e.listDatasets.contains("hellô"))
   }
 
+  // --- MLDB-505-in-expression.py -------------------------------------------
+
+  test("MLDB-505: IN / NOT IN lists and subselects count exactly") {
+    e.recordRows("ds505",
+      (0 until 5).map(i => s"""{"rowName":"row_$i","x":$i,"y":${i * 2}}""")
+        .mkString("[", ",", "]"))
+    assert(q("SELECT * FROM ds505 WHERE y IN (4,8)").count() === 2)
+    assert(q("SELECT * FROM ds505 WHERE y NOT IN (4,8)").count() === 3)
+    assert(q("SELECT x FROM ds505 WHERE x IN (SELECT y from ds505)")
+      .count() === 3)
+    assert(q("SELECT x FROM ds505 WHERE x NOT IN (SELECT y from ds505)")
+      .count() === 2)
+  }
+
+  // --- MLDB-974-slow-subquery.js -------------------------------------------
+
+  test("MLDB-974: aggregates over a grouped subselect on cast rowName") {
+    e.recordRows("ds974",
+      (0 until 60).map(i =>
+        s"""{"rowName":"${i % 20}","v":$i}""").mkString("[", ",", "]"))
+    val r = q("select min(cnt) as mn, max(cnt) as mx from " +
+      "(select count(*) as cnt from ds974 " +
+      "group by cast (rowName() as number)) limit 10").head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+  }
+
   // --- MLDB-909-simple-WHEN-expression.py ----------------------------------
 
   test("MLDB-909: WHEN value_timestamp() BETWEEN two timestamps") {
