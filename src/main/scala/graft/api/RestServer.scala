@@ -123,6 +123,13 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
             case "filter_stopwords" =>
               engine.createSqlExpressionFunction(name,
                 "filter_stopwords({words: words})[words] AS words")
+            case "pooling" =>
+              val ds = extractField(body, "embeddingDataset")
+              val ag = extractFieldOpt(body, "aggregators")
+                .getOrElse("""["avg"]""")
+              engine.createSqlExpressionFunction(name,
+                s"pooling({words: words, embeddingDataset: '$ds', " +
+                  s"aggregators: $ag})[embedding] AS embedding")
             case "feature_hasher" =>
               val bits = extractFieldOpt(body, "numBits").getOrElse("8")
               val mode = extractFieldOpt(body, "mode").getOrElse("columns")

@@ -372,7 +372,9 @@ object Lowering {
       dynMacros.withValue(ctx.macros) {
         dynLookups.withValue(ctx.lookups) {
           dynRowPivots.withValue(ctx.rowPivots) {
-            lowerSelect(ctx, stmt)
+            dynTables.withValue(ctx.tables) {
+              lowerSelect(ctx, stmt)
+            }
           }
         }
       }
@@ -551,6 +553,9 @@ object Lowering {
   private val dynMacros = new scala.util.DynamicVariable[Map[String, Seq[SelectItem]]](Map.empty)
   private val dynLookups = new scala.util.DynamicVariable[Map[String, ParamLookup]](Map.empty)
   private val dynRowPivots = new scala.util.DynamicVariable[Map[String, RowPivot]](Map.empty)
+  private val dynTables =
+    new scala.util.DynamicVariable[String => DataFrame](name =>
+      throw new IllegalArgumentException(s"no table resolver for '$name'"))
   private def currentParams = dynParams.value
   private def currentMacros = dynMacros.value
   private def currentLookups = dynLookups.value
@@ -878,6 +883,91 @@ object Lowering {
           case Some(other) => throw new IllegalArgumentException(
             s"function $name has no output '$other'")
           case None => struct(row.as("output"))
+        }
+
+      case None if name.equalsIgnoreCase("pooling") =>
+        // pooling function entity (`builtin/pooling_function.cc:182`,
+        // MLDB-1119): aggregate the word embeddings of a bag of words.
+        // The embedding table is vocab-sized and registered — it ships
+        // as PLAN LITERALS (the word2vec broadcast pattern); per-row
+        // work is pure column math over the bag's (static) fields.
+        // Unmatched words are ignored; a row with no matches pools to
+        // ZEROS (the reference's MLDB-1733 contract).
+        val argMap = args.toMap
+        val dsName = argMap.get("embeddingDataset") match {
+          case Some(StrLit(s)) => s
+          case _ => throw new IllegalArgumentException(
+            "pooling needs embeddingDataset: '<name>'")
+        }
+        val aggs: Seq[String] = argMap.get("aggregators") match {
+          case Some(ArrayLit(items)) => items.map {
+            case StrLit(s) => s.toLowerCase
+            case other => throw new IllegalArgumentException(
+              s"pooling aggregator must be a string literal, got $other")
+          }
+          case None => Seq("avg")
+          case _ => throw new IllegalArgumentException(
+            "pooling aggregators must be an array of string literals")
+        }
+        val emb = dynTables.value(dsName)
+        val embCols = emb.columns.filterNot(_.equalsIgnoreCase("rowName"))
+        val rowNameIdx = emb.columns.indexWhere(_.equalsIgnoreCase("rowName"))
+        require(rowNameIdx >= 0,
+          s"pooling: embedding dataset '$dsName' needs a rowName column")
+        val vectors: Map[String, Seq[Double]] =
+          graft.sql.PlanTime.boundedRows(emb, graft.api.JsHost.maxQueryRows,
+            s"pooling embedding dataset '$dsName'").map { r =>
+            String.valueOf(r.get(rowNameIdx)) -> embCols.toSeq.map(c =>
+              Option(r.get(emb.columns.indexOf(c)))
+                .map(_.toString.toDouble).getOrElse(0.0))
+          }.toMap
+        val dims = embCols.length
+        val wordsArg = argMap.getOrElse("words",
+          throw new IllegalArgumentException(
+            "pooling needs a 'words' row argument"))
+        val fields = rowFieldsOf(scope, wordsArg).getOrElse(
+          throw new IllegalArgumentException(
+            "pooling: 'words' must be row-shaped"))
+        val matched = fields.filter(f => vectors.contains(f._1))
+        val zero = lit(0.0)
+        val outDims: Seq[Column] =
+          if (matched.isEmpty) Seq.fill(aggs.size * dims)(zero)
+          else {
+            val present = matched.map { case (w, c) =>
+              (vectors(w), when(c.isNotNull, lit(1)).otherwise(lit(0)))
+            }
+            val cnt = present.map(_._2).reduce(_ + _)
+            aggs.flatMap { agg =>
+              (0 until dims).map { d =>
+                val terms = present.map { case (vec, flag) =>
+                  (vec(d), flag)
+                }
+                val body: Column = agg match {
+                  case "avg" | "sum" =>
+                    val s = terms.map { case (v, flag) =>
+                      flag.cast("double") * lit(v)
+                    }.reduce(_ + _)
+                    if (agg == "avg") s / cnt.cast("double") else s
+                  case "max" => greatest(terms.map { case (v, flag) =>
+                    when(flag === 1, lit(v))
+                  }: _*)
+                  case "min" => least(terms.map { case (v, flag) =>
+                    when(flag === 1, lit(v))
+                  }: _*)
+                  case other => throw new IllegalArgumentException(
+                    s"pooling: unknown aggregator '$other'")
+                }
+                when(cnt === 0, zero).otherwise(body)
+              }
+            }
+          }
+        val row = struct(array(outDims: _*).as("embedding"))
+        output match {
+          case Some(out) if out.equalsIgnoreCase("embedding") =>
+            row.getField("embedding")
+          case Some(other) => throw new IllegalArgumentException(
+            s"function $name has no output '$other'")
+          case None => row
         }
 
       case None if name.equalsIgnoreCase("feature_hasher") =>

@@ -492,6 +492,30 @@ class ReferenceParitySpec8 extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
   }
 
+  // --- MLDB-1119_pooling_function.py ---------------------------------------
+
+  test("MLDB-1119: pooling aggregates word embeddings of a bag of words") {
+    e.recordRows("wordEmbedding",
+      """[{"rowName":"allo","x":0.2,"y":0},{"rowName":"mon","x":0.8,"y":0.95},
+         |{"rowName":"beau","x":0.4,"y":0.01},{"rowName":"coco","x":0,"y":0.5}]"""
+        .stripMargin)
+    e.recordRows("bag_o_words",
+      """[{"rowName":"doc1","allo":1,"coco":1},
+         |{"rowName":"doc2","allo":1,"mon":1,"beau":1},
+         |{"rowName":"doc3","patate":1},{"rowName":"doc4","j'ai":1}]"""
+        .stripMargin)
+    val rows = q("select pooling({words: {*}, embeddingDataset: " +
+      "'wordEmbedding', aggregators: ['avg','max']})[embedding] " +
+      "as word2vec from bag_o_words order by rowName()")
+      .collect().map(_.getSeq[Double](0))
+    // [avg x, avg y, max x, max y] — the reference's assert_val pins
+    assert(math.abs(rows(0)(2) - 0.2) < 0.0001)  // doc1 max x
+    assert(math.abs(rows(1)(1) - 0.32) < 0.0001) // doc2 avg y
+    // unmatched words pool to ZEROS, not null (MLDB-1733)
+    assert(rows(2) === Seq(0.0, 0.0, 0.0, 0.0))
+    assert(rows(3) === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   // --- MLDB-909-simple-WHEN-expression.py ----------------------------------
 
   test("MLDB-909: WHEN value_timestamp() BETWEEN two timestamps") {
