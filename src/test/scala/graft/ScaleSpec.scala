@@ -160,4 +160,32 @@ class ScaleSpec extends AnyFunSuite {
       "exact copies must collapse onto the base transitive survivor set")
     assert(sec < 300, f"transitive dedup blew the wall-time budget: $sec%.1f s")
   }
+
+  test("mixed-type ORDER BY sort key at 10×: one range exchange, no data pass") {
+    // the canonical sort-key struct (MLDB-989) is a pure projection —
+    // at 10× the plan must stay ONE range-partitioned Sort over the
+    // scan, with no plan-time data pass and no extra exchange
+    val big = blowup(base, 10)
+    big.createOrReplaceTempView("__scale_docs")
+    val e = new api.GraftEngine(spark)
+    e.createDataset("scale_docs", big)
+    val q = e.query("select doc_id from scale_docs order by " +
+      "case when doc_id % 3 = 0 then {a: doc_id, b: 1} " +
+      "when doc_id % 3 = 1 then doc_id else null end, doc_id limit 5")
+    val plan = q.queryExecution.executedPlan.toString
+    // with LIMIT Spark picks TakeOrderedAndProject (zero exchanges —
+    // per-partition top-k then driver merge); without it, one range
+    // exchange. Either is the right 100× shape; anything more is not.
+    assert(plan.contains("TakeOrderedAndProject") ||
+      "Exchange rangepartitioning".r.findAllIn(plan).size == 1,
+      s"unexpected global-sort shape:\n${plan.take(400)}")
+    assert(!plan.contains("Window"))
+    val (rows, sec) = timed("mixed-type ORDER BY at 10×") {
+      q.collect()
+    }
+    // nulls (doc_id % 3 = 2) sort first, then atoms ascending
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(0)).forall(_ % 3 == 2))
+    assert(sec < 120, f"mixed-type sort blew the budget: $sec%.1f s")
+  }
 }
