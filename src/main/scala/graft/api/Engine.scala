@@ -580,9 +580,23 @@ final class GraftEngine(val spark: SparkSession) {
     tpe match {
       case "transform" =>
         // the reference's config key is inputData; inputQuery stays as
-        // an accepted alias. Missing input uses the reference's
-        // message (MLDB-2119).
-        val input = param("inputQuery").orElse(param("inputData"))
+        // an accepted alias. The STRUCTURED form
+        // ({select, from: {id}, where, orderBy, limit, offset} —
+        // MLDB-1104/788) assembles the dialect text from its parts.
+        // Missing input uses the reference's message (MLDB-2119).
+        val structured = for {
+          sel <- param("select")
+          frm <- param("from")
+        } yield {
+          val sb = new StringBuilder(s"""SELECT $sel FROM "$frm"""")
+          param("where").foreach(w => sb ++= s" WHERE $w")
+          param("orderBy").foreach(o => sb ++= s" ORDER BY $o")
+          param("limit").foreach(l => sb ++= s" LIMIT $l")
+          param("offset").foreach(o => sb ++= s" OFFSET $o")
+          sb.toString
+        }
+        val input = param("inputQuery").orElse(structured)
+          .orElse(param("inputData"))
           .getOrElse(throw new IllegalArgumentException(
             "You need to define inputData"))
         registerOut(query(input))

@@ -516,6 +516,25 @@ class ReferenceParitySpec8 extends AnyFunSuite {
     assert(rows(3) === Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  // --- MLDB-1104-input-data-spec.py / MLDB-788 structured inputData --------
+
+  test("MLDB-1104: transform accepts the structured inputData form") {
+    e.recordRows("ds1104",
+      (0 until 10).map(i => s"""{"rowName":"r$i","x":$i}""")
+        .mkString("[", ",", "]"))
+    val out = e.runProcedure("transform", Map(
+      "select" -> "x, x * 2 as y",
+      "from" -> "ds1104",
+      "where" -> "x >= 4",
+      "orderBy" -> "x",
+      "limit" -> "3",
+      "outputDataset" -> "ds1104out").get _)
+    assert(out.contains("\"rowCount\": 3"))
+    val rows = q("select x, y from ds1104out order by x").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((4L, 8L), (5L, 10L), (6L, 12L)))
+  }
+
   // --- MLDB-909-simple-WHEN-expression.py ----------------------------------
 
   test("MLDB-909: WHEN value_timestamp() BETWEEN two timestamps") {
