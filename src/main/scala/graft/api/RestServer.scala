@@ -125,11 +125,17 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
                 "filter_stopwords({words: words})[words] AS words")
             case "pooling" =>
               val ds = extractField(body, "embeddingDataset")
-              val ag = extractFieldOpt(body, "aggregators")
-                .getOrElse("""["avg"]""")
+              // extractFieldOpt flattens a JSON array to a bare comma
+              // list (avg,max); rebuild a dialect array of SINGLE-quoted
+              // string literals — double quotes would lex as quoted
+              // identifiers and the pooling handler requires StrLits.
+              val aggs = extractFieldOpt(body, "aggregators")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(Seq("avg"))
+              val arr = aggs.map(a => s"'$a'").mkString("[", ",", "]")
               engine.createSqlExpressionFunction(name,
                 s"pooling({words: words, embeddingDataset: '$ds', " +
-                  s"aggregators: $ag})[embedding] AS embedding")
+                  s"aggregators: $arr})[embedding] AS embedding")
             case "feature_hasher" =>
               val bits = extractFieldOpt(body, "numBits").getOrElse("8")
               val mode = extractFieldOpt(body, "mode").getOrElse("columns")

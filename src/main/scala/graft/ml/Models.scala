@@ -273,19 +273,69 @@ object Models {
   }
 
   /** `svd.train` / `svd.embedRow`: truncated orthogonal projection of
-    * the vector column (PCA basis = right singular vectors). */
+    * the vector column (PCA basis = right singular vectors).
+    *
+    * An EMPTY training selection (no rows, or every vector null — e.g.
+    * a select list naming columns the dataset doesn't have) must still
+    * produce a usable model, not an error: the reference's
+    * `testing/MLDB-417-empty-svd.js` trains an svd over a selection
+    * that matches nothing and expects success; applying such a model
+    * embeds everything to zeros (the legitimate face of
+    * MLDB-485's title). We fit the zero model on two all-zero rows of
+    * dimension k — zero covariance, orthonormal basis, zero
+    * projections. */
   def svdTrain(df: DataFrame, vecCol: String, k: Int): PCAApplied = {
-    val prepared = df.withColumn("features", array_to_vector(col(vecCol)))
+    val nonNull = df.filter(col(vecCol).isNotNull)
+    if (nonNull.isEmpty) {
+      // zero model: fit on two all-zero rows only to obtain a valid
+      // PCAModel shell of dimension k; `empty = true` makes both apply
+      // paths emit zeros regardless of the shell's arbitrary basis
+      val spark = df.sparkSession
+      import spark.implicits._
+      val zeros = Seq.fill(2)(Array.fill(k)(0.0f)).toDF(vecCol)
+      val prepared = zeros.withColumn("features", array_to_vector(col(vecCol)))
+      val model = new PCA().setK(k).setInputCol("features")
+        .setOutputCol("svd").fit(prepared)
+      return PCAApplied(model, vecCol, empty = true)
+    }
+    val prepared = nonNull.withColumn("features", array_to_vector(col(vecCol)))
     val model = new PCA().setK(k).setInputCol("features").setOutputCol("svd")
       .fit(prepared)
     PCAApplied(model, vecCol)
   }
 
   final case class PCAApplied(model: org.apache.spark.ml.feature.PCAModel,
-      vecCol: String) {
+      vecCol: String, empty: Boolean = false) {
     def apply(df: DataFrame): DataFrame =
-      model.transform(df.withColumn("features", array_to_vector(col(vecCol))))
-        .drop("features")
+      if (empty)
+        df.withColumn("svd", array_to_vector(
+          array(Seq.fill(model.getK)(lit(0.0)): _*)))
+      else
+        model.transform(df.withColumn("features", array_to_vector(col(vecCol))))
+          .drop("features")
+
+    /** `svd.embedRow` single-row application
+      * (`plugins/embedding/svd.cc:1023` — the svd function entity
+      * embeds one argument row; `testing/MLDB-498-svd-apply-function.js`
+      * pins the output shape = numSingularValues). Values beyond the
+      * trained dimensionality are ignored, missing trailing columns
+      * read as 0 — the reference's sparse-row contract. Same linear map
+      * as the whole-column apply (x' · PC), driver-side for the
+      * function-application path. An empty-trained model embeds
+      * everything to zeros (MLDB-417 + the legitimate face of
+      * MLDB-485's title). */
+    def embedRow(values: Seq[Double]): Array[Double] = {
+      if (empty) return Array.fill(model.getK)(0.0)
+      val pc = model.pc
+      val x = values.toArray
+      Array.tabulate(pc.numCols) { j =>
+        var s = 0.0
+        var i = 0
+        val d = math.min(pc.numRows, x.length)
+        while (i < d) { s += x(i) * pc(i, j); i += 1 }
+        s
+      }
+    }
   }
 
   /** `tfidf.train` + the `tfidf` appliable function: token counts →

@@ -132,8 +132,38 @@ object Sources {
       // the reference's exact message (import_text_test.py
       // test_conflicting_header_config)
       "autoGenerateHeaders cannot be true if headers is defined.")
+    // Shared post-import tail (named/timestamp/select/where) — both the
+    // empty-delimiter path and the normal CSV path route through it, so
+    // select/where/named behave identically whatever the delimiter.
+    def postImport(df: DataFrame, applyNamed: Boolean): DataFrame = {
+      val d4 =
+        if (applyNamed) cfg.named.foldLeft(df)((d, e) =>
+          d.withColumn("rowName", expr(e).cast("string")))
+        else df
+      val d5 = cfg.timestamp.foldLeft(d4)((d, e) =>
+        d.withColumn("ts", expr(e).cast("timestamp")))
+      if (cfg.select == "*" && cfg.where == "true") d5
+      else {
+        val view =
+          s"__graft_import_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        d5.createOrReplaceTempView(view)
+        // the reference's star-exclusion spelling → Spark's
+        val select =
+          cfg.select.replaceAll("(?i)\\*\\s*EXCLUDING\\s*\\(", "* EXCEPT(")
+        try {
+          val out = spark.sql(s"SELECT $select FROM $view WHERE ${cfg.where}")
+          // the reference rejects row-valued import projections
+          // (MLDB-1891: tabular output cells are atoms)
+          require(!out.schema.fields.exists(
+            _.dataType.isInstanceOf[StructType]),
+            "Import select expression cannot have row-valued columns")
+          out
+        } finally spark.catalog.dropTempView(view)
+      }
+    }
     // an EMPTY delimiter imports each line as one value (MLDB-1502:
-    // delimiter "" + quoteChar "" + headers ['customLine'])
+    // delimiter "" + quoteChar "" + headers ['customLine']). quoteChar
+    // is a no-op here — there is no field splitting to quote against.
     if (cfg.delimiter.isEmpty) {
       import spark.implicits._
       val colName =
@@ -142,26 +172,38 @@ object Sources {
             "an empty delimiter yields exactly one column")
           cfg.headerNames.head
         } else if (cfg.autoGenerateHeaders) "0"
+        else if (hasHeaderRow0)
+          // headers: true without explicit names — the first line IS the
+          // (single) column name, like the CSV path's header row
+          spark.read.option("encoding", cfg.encoding).text(path)
+            .limit(1).as[String].collect().headOption.getOrElse("lineText")
         else "lineText"
+      val namedIsLineNumber = cfg.named.exists(_.replaceAll("\\s", "")
+        .equalsIgnoreCase("lineNumber()"))
       // `named: lineNumber()` composes (MLDB-1503: rows named by
-      // source line, data starts at line 1 when no header row exists)
+      // source line, data starts at line 1 when no header row exists;
+      // with one, the header keeps line 1 and data starts at 2)
       var lines: DataFrame =
-        if (cfg.named.exists(_.replaceAll("\\s", "")
-            .equalsIgnoreCase("lineNumber()"))) {
+        if (namedIsLineNumber) {
           val numbered = spark.read.option("encoding", cfg.encoding)
             .text(path).rdd.zipWithIndex.map { case (row, i) =>
               org.apache.spark.sql.Row(row.getString(0),
                 String.valueOf(i + 1L))
             }
-          spark.createDataFrame(numbered, StructType(Seq(
+          val df = spark.createDataFrame(numbered, StructType(Seq(
             org.apache.spark.sql.types.StructField(colName,
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("rowName",
               org.apache.spark.sql.types.StringType))))
-        } else spark.read
-          .option("encoding", cfg.encoding).text(path).toDF(colName)
+          if (hasHeaderRow0) df.filter(col("rowName") =!= "1") else df
+        } else {
+          val df = spark.read
+            .option("encoding", cfg.encoding).text(path).toDF(colName)
+          if (hasHeaderRow0) df.offset(1) else df
+        }
       if (cfg.offset > 0) lines = lines.offset(cfg.offset)
-      return cfg.limit.map(lines.limit).getOrElse(lines)
+      val bounded = cfg.limit.map(lines.limit).getOrElse(lines)
+      return postImport(bounded, applyNamed = !namedIsLineNumber)
     }
     val hasHeaderRow = hasHeaderRow0
     // the reference accepts latin1/utf8-style aliases
@@ -219,7 +261,8 @@ object Sources {
           Map("sep" -> cfg.delimiter, "quote" -> cfg.quoteChar)).as("__r"),
         col("__lineno"))
         .select(col("__r.*"), col("__lineno").cast("string").as("rowName"))
-      return cfg.limit.map(parsed.limit).getOrElse(parsed)
+      return postImport(cfg.limit.map(parsed.limit).getOrElse(parsed),
+        applyNamed = false)
     }
     var preprocessedLines: Option[org.apache.spark.sql.Dataset[String]] = None
     val df0 = if (!lineLevel) r.csv(path) else {
@@ -289,26 +332,7 @@ object Sources {
       if (cfg.offset > 0 && lineOffset == 0) df1.offset(cfg.offset) else df1
     val df3 = cfg.limit.map(df2.limit).getOrElse(df2)
     // post-import expressions (reference select/where/named/timestamp)
-    val df4 = cfg.named.foldLeft(df3)((d, e) =>
-      d.withColumn("rowName", expr(e).cast("string")))
-    val df5 = cfg.timestamp.foldLeft(df4)((d, e) =>
-      d.withColumn("ts", expr(e).cast("timestamp")))
-    if (cfg.select == "*" && cfg.where == "true") df5
-    else {
-      val view = s"__graft_import_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-      df5.createOrReplaceTempView(view)
-      // the reference's star-exclusion spelling → Spark's
-      val select = cfg.select.replaceAll("(?i)\\*\\s*EXCLUDING\\s*\\(", "* EXCEPT(")
-      try {
-        val out = spark.sql(s"SELECT $select FROM $view WHERE ${cfg.where}")
-        // the reference rejects row-valued import projections
-        // (MLDB-1891: tabular output cells are atoms)
-        require(!out.schema.fields.exists(
-          _.dataType.isInstanceOf[StructType]),
-          "Import select expression cannot have row-valued columns")
-        out
-      } finally spark.catalog.dropTempView(view)
-    }
+    postImport(df3, applyNamed = true)
   }
 
   /** `import.json` — line-JSON import

@@ -807,9 +807,14 @@ object Lowering {
             fields.sortBy(_._1.toLong)
           else fields.sortBy(_._1)
         val sess = org.apache.spark.sql.SparkSession.active
-        // evaluate a plan-static expression driver-side (1 row, no data)
+        // evaluate a plan-static expression driver-side (1 row, no
+        // data). The eval frame's single column carries a reserved name
+        // (NOT range's default 'id') so an outer dataset column that
+        // happens to be called 'id' fails resolution here and correctly
+        // falls back to the per-row path instead of silently evaluating
+        // with id=0.
         def evalStatic(c: Column): Option[Any] =
-          try Some(sess.range(1).select(c).head().get(0))
+          try Some(sess.range(1).toDF("__pt_eval").select(c).head().get(0))
           catch { case scala.util.control.NonFatal(_) => None }
         require(rp.stmt.groupBy.isEmpty && rp.stmt.orderBy.isEmpty,
           s"function $name: GROUP BY/ORDER BY over row_dataset($$" +
@@ -948,12 +953,17 @@ object Lowering {
                       flag.cast("double") * lit(v)
                     }.reduce(_ + _)
                     if (agg == "avg") s / cnt.cast("double") else s
-                  case "max" => greatest(terms.map { case (v, flag) =>
-                    when(flag === 1, lit(v))
-                  }: _*)
-                  case "min" => least(terms.map { case (v, flag) =>
-                    when(flag === 1, lit(v))
-                  }: _*)
+                  // greatest/least need >= 2 args in Spark; a bag whose
+                  // single word matches the vocabulary uses the lone
+                  // conditional column directly.
+                  case "max" =>
+                    val ts = terms.map { case (v, flag) =>
+                      when(flag === 1, lit(v)) }
+                    if (ts.length == 1) ts.head else greatest(ts: _*)
+                  case "min" =>
+                    val ts = terms.map { case (v, flag) =>
+                      when(flag === 1, lit(v)) }
+                    if (ts.length == 1) ts.head else least(ts: _*)
                   case other => throw new IllegalArgumentException(
                     s"pooling: unknown aggregator '$other'")
                 }
@@ -2376,13 +2386,35 @@ object Lowering {
       ce.limit.foreach(l => names = names.take(l.toInt))
       // `(SELECT <expr>)` value transform: value() reads the column
       // itself (MLDB-1933); plan-time substitution, per-row execution
+      // full AST traversal (mirrors substitute()'s node coverage) so
+      // value() nested under CASE / BETWEEN / IN / extraction /
+      // row-array literals substitutes too
       def valueSubst(e: Expr, n: String): Expr = e match {
         case FnCall("value", Seq(), _) => Ident(Seq(n))
         case FnCall(f, as, st) => FnCall(f, as.map(valueSubst(_, n)), st)
+        case FnApply(f, as, o) =>
+          FnApply(f, as.map { case (k, v) => k -> valueSubst(v, n) }, o)
         case Binary(op, l, r) =>
           Binary(op, valueSubst(l, n), valueSubst(r, n))
         case Unary(op, x) => Unary(op, valueSubst(x, n))
+        case CaseWhen(op, br, oe) => CaseWhen(op.map(valueSubst(_, n)),
+          br.map(b => (valueSubst(b._1, n), valueSubst(b._2, n))),
+          oe.map(valueSubst(_, n)))
         case CastExpr(x, t) => CastExpr(valueSubst(x, n), t)
+        case Between(x, lo, hi, neg) => Between(valueSubst(x, n),
+          valueSubst(lo, n), valueSubst(hi, n), neg)
+        case InList(x, items, neg) =>
+          InList(valueSubst(x, n), items.map(valueSubst(_, n)), neg)
+        case IsNull(x, neg) => IsNull(valueSubst(x, n), neg)
+        case IsType(x, t, neg) => IsType(valueSubst(x, n), t, neg)
+        case InKeysOf(x, c, neg, k) =>
+          InKeysOf(valueSubst(x, n), valueSubst(c, n), neg, k)
+        case LikeExpr(x, p, neg) =>
+          LikeExpr(valueSubst(x, n), valueSubst(p, n), neg)
+        case Extract(x, k) => Extract(valueSubst(x, n), valueSubst(k, n))
+        case ArrayLit(items) => ArrayLit(items.map(valueSubst(_, n)))
+        case StructLit(fs) =>
+          StructLit(fs.map { case (k, v) => k -> valueSubst(v, n) })
         case other => other
       }
       names.map { n =>

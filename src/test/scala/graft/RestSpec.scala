@@ -524,6 +524,46 @@ class RestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("typed function creation over REST: pooling (MLDB-1119) with and " +
+      "without aggregators") {
+    val engine = new GraftEngine(spark)
+    engine.recordRows("restWordEmb",
+      """[{"rowName":"allo","x":0.2,"y":0},
+         |{"rowName":"mon","x":0.8,"y":0.9}]""".stripMargin)
+    engine.recordRows("restBag",
+      """[{"rowName":"doc1","allo":1,"mon":1}]""")
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      def put(path: String, body: String): (Int, String) = {
+        val r = client.send(HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // JSON array aggregators must survive the round-trip into the
+      // dialect (['avg','max'], single-quoted string literals — the
+      // advisor's r8 finding: the raw comma list lexed as identifiers)
+      assert(put("/v1/functions/pool2",
+        """{"type": "pooling", "params": {
+          |"embeddingDataset": "restWordEmb",
+          |"aggregators": ["avg", "max"]}}""".stripMargin)._1 === 200)
+      val v = engine.query(
+        "SELECT pool2({words: {*}}) AS p FROM restBag").head()
+        .getStruct(0).getSeq[Double](0)
+      assert(v === Seq(0.5, 0.45, 0.8, 0.9))
+      // default aggregators = ['avg'] (not a double-quoted identifier)
+      assert(put("/v1/functions/pool1",
+        """{"type": "pooling", "params": {
+          |"embeddingDataset": "restWordEmb"}}""".stripMargin)._1 === 200)
+      val v1 = engine.query(
+        "SELECT pool1({words: {*}}) AS p FROM restBag").head()
+        .getStruct(0).getSeq[Double](0)
+      assert(v1 === Seq(0.5, 0.45))
+    } finally srv.stop()
+  }
+
   test("typed dataset creation: merged/sampled/transposed/sub via PUT config (MLDB-1242/2077)") {
     val engine = new GraftEngine(spark)
     val srv = new RestServer(engine)
