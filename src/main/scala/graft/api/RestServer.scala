@@ -112,15 +112,27 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               else engine.createSqlQueryRowFunction(name, q, out)
             // NLP function entities (plugins/nlp) alias the dialect
             // builtins with the reference's pinned input names
-            // (MLDB-1030/1126). Language: english only (Porter) —
-            // other Snowball languages are a documented divergence.
+            // (MLDB-1030/1126). `language` selects the Snowball
+            // algorithm (english/french/german/spanish) and is
+            // validated at CREATION time like the reference
+            // (`nlp.cc:277` sb_stemmer_new check).
             case "stemmer" =>
+              val lang = extractFieldOpt(body, "language").getOrElse("english")
+              graft.functions.SnowballStemmer.validate(lang)
               engine.createSqlExpressionFunction(name,
-                "stemmer({words: words})[words] AS words")
+                s"stemmer({words: words, language: '$lang'})[words] AS words")
             case "stemmerdoc" =>
+              val lang = extractFieldOpt(body, "language").getOrElse("english")
+              graft.functions.SnowballStemmer.validate(lang)
               engine.createSqlExpressionFunction(name,
-                "stemmerdoc({document: document})[document] AS document")
+                s"stemmerdoc({document: document, language: '$lang'})" +
+                  "[document] AS document")
             case "filter_stopwords" =>
+              // the reference ships an english-only stopword table and
+              // rejects anything else at creation (`nlp.cc:73-76`)
+              val lang = extractFieldOpt(body, "language").getOrElse("english")
+              if (lang != "english") throw new IllegalArgumentException(
+                s"Unsupported language: $lang")
               engine.createSqlExpressionFunction(name,
                 "filter_stopwords({words: words})[words] AS words")
             case "pooling" =>

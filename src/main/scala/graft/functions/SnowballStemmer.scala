@@ -1,0 +1,671 @@
+package graft.functions
+
+/** Snowball stemmers for the reference's non-English languages
+  * (M.F. Porter's Snowball algorithm family, snowballstem.org —
+  * public-domain algorithm descriptions). The reference wraps
+  * libstemmer and accepts any of its languages at function-creation
+  * time (`plugins/nlp/nlp.cc:213-284`); this port implements the three
+  * most-used European languages beyond English — French, German,
+  * Spanish — implemented from the published algorithm descriptions and
+  * differential-tested against libstemmer's output on curated
+  * vocabularies (FunctionsSpec pins the pairs).
+  *
+  * Pure String → String functions; `plans.SnowballStem` wraps them as
+  * a native Catalyst expression for the per-row hot path.
+  */
+object SnowballStemmer {
+
+  /** Languages creatable as stemmer function entities. */
+  val supported: Set[String] = Set("english", "porter", "french", "german", "spanish")
+
+  /** Creation-time validation — the reference's exact error shape
+    * (`nlp.cc:277`: sb_stemmer_new failure). */
+  def validate(language: String): Unit =
+    if (!supported(language.toLowerCase))
+      throw new IllegalArgumentException(
+        s"language `$language' not available for stemming in encoding `utf8'")
+
+  def stem(language: String, word: String): String =
+    language.toLowerCase match {
+      case "english" | "porter" => PorterStemmer.stem(word)
+      case "french" => french(word)
+      case "german" => german(word)
+      case "spanish" => spanish(word)
+      case other => throw new IllegalArgumentException(
+        s"language `$other' not available for stemming in encoding `utf8'")
+    }
+
+  // ---- shared region helpers ----------------------------------------------
+
+  /** standard R1: region after the first non-vowel following a vowel. */
+  private def standardR(w: String, from: Int, vowels: Set[Char]): Int = {
+    var i = from
+    while (i < w.length && !vowels(w.charAt(i))) i += 1    // to first vowel
+    while (i < w.length && vowels(w.charAt(i))) i += 1     // through vowels
+    if (i < w.length) i + 1 else w.length                  // past the non-vowel
+  }
+
+  // =========================================================================
+  // GERMAN (snowball "german" algorithm)
+  // =========================================================================
+
+  private val deVowels = "aeiouyäöü".toSet
+
+  def german(word0: String): String = {
+    var w = word0.toLowerCase.replace("ß", "ss")
+    if (w.isEmpty) return w
+    // mark consonantal u/y between vowels as upper case
+    val sb = new StringBuilder(w)
+    var i = 1
+    while (i < sb.length - 1) {
+      val c = sb.charAt(i)
+      if ((c == 'u' || c == 'y') && deVowels(sb.charAt(i - 1)) &&
+          deVowels(sb.charAt(i + 1)))
+        sb.setCharAt(i, c.toUpper)
+      i += 1
+    }
+    w = sb.toString
+    var r1 = standardR(w, 0, deVowels)
+    if (r1 < 3) r1 = math.min(3, w.length)  // region before R1 has >= 3 letters
+    val r2 = standardR(w, standardR(w, 0, deVowels), deVowels)
+    def inR1(pos: Int) = pos >= r1
+    def inR2(pos: Int) = pos >= r2
+    val sEnding = "bdfghklmnrt".toSet
+    val stEnding = "bdfghklmnt".toSet
+
+    // step 1 (longest-match groups)
+    locally {
+      val g_a = Seq("ern", "em", "er")
+      val g_b = Seq("en", "es", "e")
+      val a = g_a.filter(w.endsWith).sortBy(-_.length).headOption
+      val b = g_b.filter(w.endsWith).sortBy(-_.length).headOption
+      // across groups, the longest suffix present decides the rule
+      val pick = (a.map(s => (s, 'a')).toSeq ++ b.map(s => (s, 'b')).toSeq ++
+        (if (w.endsWith("s")) Seq(("s", 'c')) else Nil))
+        .sortBy(-_._1.length).headOption
+      pick match {
+        case Some((suf, 'a')) =>
+          if (inR1(w.length - suf.length)) w = w.dropRight(suf.length)
+        case Some((suf, 'b')) =>
+          if (inR1(w.length - suf.length)) {
+            w = w.dropRight(suf.length)
+            if (w.endsWith("niss")) w = w.dropRight(1)
+          }
+        case Some((_, 'c')) =>
+          if (inR1(w.length - 1) && w.length >= 2 &&
+              sEnding(w.charAt(w.length - 2)))
+            w = w.dropRight(1)
+        case _ => ()
+      }
+    }
+    // step 2
+    locally {
+      val g_a = Seq("est", "en", "er")
+      val a = g_a.filter(w.endsWith).sortBy(-_.length).headOption
+      val pick = (a.map(s => (s, 'a')).toSeq ++
+        (if (w.endsWith("st")) Seq(("st", 'b')) else Nil))
+        .sortBy(-_._1.length).headOption
+      pick match {
+        case Some((suf, 'a')) =>
+          if (inR1(w.length - suf.length)) w = w.dropRight(suf.length)
+        case Some((_, 'b')) =>
+          if (inR1(w.length - 2) && w.length >= 6 &&
+              stEnding(w.charAt(w.length - 3)))
+            w = w.dropRight(2)
+        case _ => ()
+      }
+    }
+    // step 3 (d-suffixes)
+    locally {
+      val suffixes = Seq("end", "ung", "isch", "lich", "heit", "keit",
+        "ig", "ik").sortBy(-_.length)
+      suffixes.find(w.endsWith) match {
+        case Some(suf @ ("end" | "ung")) =>
+          if (inR2(w.length - suf.length)) {
+            w = w.dropRight(suf.length)
+            if (w.endsWith("ig") && inR2(w.length - 2) &&
+                !(w.length >= 3 && w.charAt(w.length - 3) == 'e'))
+              w = w.dropRight(2)
+          }
+        case Some(suf @ ("ig" | "ik" | "isch")) =>
+          if (inR2(w.length - suf.length) &&
+              !(w.length > suf.length &&
+                w.charAt(w.length - suf.length - 1) == 'e'))
+            w = w.dropRight(suf.length)
+        case Some(suf @ ("lich" | "heit")) =>
+          if (inR2(w.length - suf.length)) {
+            w = w.dropRight(suf.length)
+            val pre = Seq("er", "en").find(w.endsWith)
+            pre.foreach { p =>
+              if (inR1(w.length - p.length)) w = w.dropRight(p.length)
+            }
+          }
+        case Some("keit") =>
+          if (inR2(w.length - 4)) {
+            w = w.dropRight(4)
+            val pre = Seq("lich", "ig").find(w.endsWith)
+            pre.foreach { p =>
+              if (inR2(w.length - p.length)) w = w.dropRight(p.length)
+            }
+          }
+        case _ => ()
+      }
+    }
+    w.map {
+      case 'U' => 'u'; case 'Y' => 'y'
+      case 'ä' => 'a'; case 'ö' => 'o'; case 'ü' => 'u'
+      case c => c
+    }
+  }
+
+  // =========================================================================
+  // SPANISH (snowball "spanish" algorithm)
+  // =========================================================================
+
+  private val esVowels = "aeiouáéíóúü".toSet
+
+  private def esRV(w: String): Int = {
+    if (w.length < 3) return w.length
+    if (!esVowels(w.charAt(1))) {
+      // second letter consonant: after the next following vowel
+      var i = 2
+      while (i < w.length && !esVowels(w.charAt(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    } else if (esVowels(w.charAt(0)) && esVowels(w.charAt(1))) {
+      // first two letters vowels: after the next consonant
+      var i = 2
+      while (i < w.length && esVowels(w.charAt(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    } else 3  // consonant-vowel: after the third letter
+  }
+
+  private def esUnaccent(c: Char): Char = c match {
+    case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+    case 'ó' => 'o'; case 'ú' => 'u'; case other => other
+  }
+
+  def spanish(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.isEmpty) return w
+    val rv = esRV(w)
+    val r1 = standardR(w, 0, esVowels)
+    val r2 = standardR(w, r1, esVowels)
+    def inRV(pos: Int) = pos >= rv
+    def inR1(pos: Int) = pos >= r1
+    def inR2(pos: Int) = pos >= r2
+
+    // step 0: attached pronoun
+    locally {
+      val pronouns = Seq("selas", "selos", "sela", "selo", "las", "les",
+        "los", "nos", "me", "se", "la", "le", "lo")
+      pronouns.find(w.endsWith).foreach { p =>
+        val base = w.dropRight(p.length)
+        val gA = Seq("iéndo", "ándo", "ár", "ér", "ír")
+        val gB = Seq("iendo", "ando", "ar", "er", "ir")
+        val a = gA.filter(base.endsWith).sortBy(-_.length).headOption
+        val b = gB.filter(base.endsWith).sortBy(-_.length).headOption
+        (a, b) match {
+          case (Some(s), _) if inRV(base.length - s.length) =>
+            // only the matched suffix loses its acute accent
+            // (iéndo → iendo); accents elsewhere in the word stay
+            w = base.dropRight(s.length) + s.map(esUnaccent)
+          case (_, Some(s)) if inRV(base.length - s.length) =>
+            w = base
+          case _ =>
+            if (base.endsWith("yendo") && base.length > 5 &&
+                base.charAt(base.length - 6) == 'u' &&
+                inRV(base.length - 5))
+              w = base
+        }
+      }
+    }
+    val beforeStep1 = w
+    // step 1: standard suffixes (longest match governs)
+    locally {
+      case class Rule(sufs: Seq[String], apply: String => Option[String])
+      def del(pos: Int, cond: Int => Boolean)(s: String, n: Int) =
+        if (cond(s.length - n)) Some(s.dropRight(n)) else None
+      val allSufs: Seq[(String, String => Option[String])] = {
+        val simple = Seq("amientos", "imientos", "amiento", "imiento",
+          "anzas", "anza", "icos", "icas", "ico", "ica", "ismos", "ismo",
+          "ables", "able", "ibles", "ible", "istas", "ista", "osos",
+          "osas", "oso", "osa").map { s =>
+          s -> ((x: String) => del(0, inR2)(x, s.length))
+        }
+        val adora = Seq("adoras", "adores", "aciones", "adora", "ación",
+          "antes", "ancias", "ador", "ante", "ancia").map { s =>
+          s -> ((x: String) => del(0, inR2)(x, s.length).map { y =>
+            if (y.endsWith("ic") && inR2(y.length - 2)) y.dropRight(2) else y
+          })
+        }
+        val logia = Seq("logías", "logía").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "log") else None)
+        }
+        val ucion = Seq("uciones", "ución").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "u") else None)
+        }
+        val encia = Seq("encias", "encia").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "ente") else None)
+        }
+        val amente = Seq("amente").map { s =>
+          s -> ((x: String) =>
+            if (inR1(x.length - 6)) Some {
+              var y = x.dropRight(6)
+              if (y.endsWith("iv") && inR2(y.length - 2)) {
+                y = y.dropRight(2)
+                if (y.endsWith("at") && inR2(y.length - 2)) y = y.dropRight(2)
+              } else {
+                val p = Seq("os", "ic", "ad").find(y.endsWith)
+                p.foreach { q =>
+                  if (inR2(y.length - q.length)) y = y.dropRight(q.length) }
+              }
+              y
+            } else None)
+        }
+        val mente = Seq("mente").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - 5)) Some {
+              var y = x.dropRight(5)
+              val p = Seq("ante", "able", "ible").find(y.endsWith)
+              p.foreach { q =>
+                if (inR2(y.length - q.length)) y = y.dropRight(q.length) }
+              y
+            } else None)
+        }
+        val idad = Seq("idades", "idad").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some {
+              var y = x.dropRight(s.length)
+              val p = Seq("abil", "ic", "iv").find(y.endsWith)
+              p.foreach { q =>
+                if (inR2(y.length - q.length)) y = y.dropRight(q.length) }
+              y
+            } else None)
+        }
+        val iva = Seq("ivas", "ivos", "iva", "ivo").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some {
+              var y = x.dropRight(s.length)
+              if (y.endsWith("at") && inR2(y.length - 2)) y = y.dropRight(2)
+              y
+            } else None)
+        }
+        simple ++ adora ++ logia ++ ucion ++ encia ++ amente ++ mente ++
+          idad ++ iva
+      }
+      allSufs.filter { case (s, _) => w.endsWith(s) }
+        .sortBy { case (s, _) => -s.length }.headOption
+        .foreach { case (_, f) => f(w).foreach(w = _) }
+    }
+    // Steps 2a/2b/3 "search for the longest among the following
+    // suffixes IN RV" — the suffix must lie entirely inside RV to be a
+    // candidate at all (a longer match straddling the RV boundary does
+    // NOT shadow a shorter in-RV one: amábamos keeps ábamos out of the
+    // running and drops amos).
+    def inRvCandidates(sufs: Seq[String]): Option[String] =
+      sufs.filter(s => w.endsWith(s) && inRV(w.length - s.length))
+        .sortBy(-_.length).headOption
+    // step 2a: verb suffixes beginning y (only if step 1 removed nothing)
+    var did2a = false
+    if (w == beforeStep1) {
+      val ys = Seq("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+        "yes", "ya", "ye", "yo", "yó")
+      inRvCandidates(ys).foreach { s =>
+        if (w.length > s.length && w.charAt(w.length - s.length - 1) == 'u') {
+          w = w.dropRight(s.length)
+          did2a = true
+        }
+      }
+    }
+    // step 2b: other verb suffixes (if neither 1 nor 2a fired)
+    if (w == beforeStep1 && !did2a) {
+      val gGu = Seq("emos", "éis", "en", "es")
+      val gAll = Seq("aríamos", "eríamos", "iríamos", "iéramos", "iésemos",
+        "aremos", "eremos", "iremos",
+        "aríais", "aseis", "eríais", "iríais", "ieseis", "asteis", "isteis",
+        "ábamos", "áramos", "ásemos", "arían", "arías", "aréis", "erían",
+        "erías", "eréis", "irían", "irías", "iréis", "ieran", "iesen",
+        "ieron", "iendo", "ieras", "ieses", "abais", "arais", "aseis",
+        "íamos", "arán", "arás", "aría", "erán", "erás", "ería", "irán",
+        "irás", "iría", "iera", "iese", "aste", "iste", "aban", "aran",
+        "asen", "aron", "ando", "abas", "adas", "idas", "aras", "ases",
+        "íais", "ados", "idos", "amos", "imos", "ará", "aré", "erá",
+        "eré", "irá", "iré", "aba", "ada", "ida", "ara", "ase", "ían",
+        "ado", "ido", "ías", "áis", "ía", "ad", "ed", "id", "an", "ió",
+        "ar", "er", "ir", "as", "ís")
+      val pickGu = inRvCandidates(gGu)
+      val pickAll = inRvCandidates(gAll)
+      (pickGu.map(s => (s, true)).toSeq ++ pickAll.map(s => (s, false)).toSeq)
+        .sortBy(-_._1.length).headOption.foreach { case (s, isGu) =>
+          w = w.dropRight(s.length)
+          if (isGu && w.endsWith("gu")) w = w.dropRight(1)
+        }
+    }
+    // step 3: residual suffix
+    locally {
+      val g1 = Seq("os", "a", "o", "á", "í", "ó")
+      val g2 = Seq("e", "é")
+      val p1 = inRvCandidates(g1)
+      val p2 = inRvCandidates(g2)
+      (p1.map(s => (s, false)).toSeq ++ p2.map(s => (s, true)).toSeq)
+        .sortBy(-_._1.length).headOption.foreach { case (s, isE) =>
+          w = w.dropRight(s.length)
+          if (isE && w.endsWith("gu") && inRV(w.length - 1))
+            w = w.dropRight(1)
+        }
+    }
+    w.map(esUnaccent)
+  }
+
+  // =========================================================================
+  // FRENCH (snowball "french" algorithm)
+  // =========================================================================
+
+  private val frVowels = "aeiouyâàëéêèïîôûù".toSet
+
+  def french(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.isEmpty) return w
+    // Mark consonantal u/i between vowels, y next to a vowel, u after
+    // q — reproducing the Snowball prelude's POSITIONAL scan: at each
+    // cursor c, (v [u|i] v) is tried FIRST with the not-yet-marked
+    // left neighbor counting as a vowel, so in 'yiè' the i is marked I
+    // (y is its preceding vowel) and the y then stays a vowel. That
+    // ordering shifts R1/R2 (yièreable → yière, not yièreabl).
+    val sb = new StringBuilder(w)
+    var c = 0
+    def v(j: Int) = j >= 0 && j < sb.length && frVowels(sb.charAt(j))
+    var marked = true
+    while (c < sb.length) {
+      marked = false
+      if (v(c) && c + 1 < sb.length) {
+        sb.charAt(c + 1) match {
+          case 'u' if v(c + 2) => sb.setCharAt(c + 1, 'U'); marked = true
+          case 'i' if v(c + 2) => sb.setCharAt(c + 1, 'I'); marked = true
+          case 'y' => sb.setCharAt(c + 1, 'Y'); marked = true
+          case _ => ()
+        }
+      }
+      if (!marked && sb.charAt(c) == 'y' && v(c + 1)) {
+        sb.setCharAt(c, 'Y'); marked = true
+      }
+      if (!marked && sb.charAt(c) == 'q' && c + 1 < sb.length &&
+          sb.charAt(c + 1) == 'u') {
+        sb.setCharAt(c + 1, 'U'); marked = true
+      }
+      if (!marked) c += 1  // on a mark, rescan from the same cursor
+    }
+    w = sb.toString
+    def isV(c: Char) = frVowels(c)  // marked U/I/Y are consonants now
+    // RV: start par/col/tap, or two initial vowels → after third letter;
+    // else after the first vowel not at the start
+    val rv: Int = {
+      if (w.length >= 3 && (isV(w.charAt(0)) && isV(w.charAt(1)))) 3
+      else if (w.startsWith("par") || w.startsWith("col") ||
+        w.startsWith("tap")) 3
+      else {
+        var j = 1
+        while (j < w.length && !isV(w.charAt(j))) j += 1
+        if (j < w.length) j + 1 else w.length
+      }
+    }
+    val r1 = standardR(w, 0, frVowels)
+    val r2 = standardR(w, r1, frVowels)
+    def inRV(pos: Int) = pos >= rv
+    def inR1(pos: Int) = pos >= r1
+    def inR2(pos: Int) = pos >= r2
+
+    val original = w
+    var step1Changed = false
+    var foundMent = false
+
+    // ---- step 1: standard suffixes ----
+    locally {
+      type Res = Option[String]
+      val rules: Seq[(String, String => Res)] = {
+        val simple = Seq("ances", "iqUes", "ismes", "ables", "istes",
+          "ance", "iqUe", "isme", "able", "iste", "eux").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some(x.dropRight(s.length))
+            else None)
+        }
+        val atrice = Seq("atrices", "ateurs", "ations", "atrice", "ateur",
+          "ation").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some {
+              var y = x.dropRight(s.length)
+              if (y.endsWith("ic")) {
+                if (inR2(y.length - 2)) y = y.dropRight(2)
+                else y = y.dropRight(2) + "iqU"
+              }
+              y
+            } else None)
+        }
+        val logie = Seq("logies", "logie").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "log") else None)
+        }
+        val usion = Seq("usions", "utions", "usion", "ution").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "u") else None)
+        }
+        val ence = Seq("ences", "ence").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "ent") else None)
+        }
+        val ement = Seq("ements", "ement").map { s =>
+          s -> ((x: String) =>
+            if (inRV(x.length - s.length)) Some {
+              var y = x.dropRight(s.length)
+              if (y.endsWith("iv") && inR2(y.length - 2)) {
+                y = y.dropRight(2)
+                if (y.endsWith("at") && inR2(y.length - 2)) y = y.dropRight(2)
+              } else if (y.endsWith("eus")) {
+                if (inR2(y.length - 3)) y = y.dropRight(3)
+                else if (inR1(y.length - 3)) y = y.dropRight(3) + "eux"
+              } else if (y.endsWith("abl") && inR2(y.length - 3))
+                y = y.dropRight(3)
+              else if (y.endsWith("iqU") && inR2(y.length - 3))
+                y = y.dropRight(3)
+              else if (y.endsWith("ièr") && inRV(y.length - 3))
+                y = y.dropRight(3) + "i"
+              else if (y.endsWith("Ièr") && inRV(y.length - 3))
+                y = y.dropRight(3) + "i"
+              y
+            } else None)
+        }
+        val ite = Seq("ités", "ité").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some {
+              var y = x.dropRight(s.length)
+              if (y.endsWith("abil")) {
+                if (inR2(y.length - 4)) y = y.dropRight(4)
+                else y = y.dropRight(4) + "abl"
+              } else if (y.endsWith("ic")) {
+                if (inR2(y.length - 2)) y = y.dropRight(2)
+                else y = y.dropRight(2) + "iqU"
+              } else if (y.endsWith("iv") && inR2(y.length - 2))
+                y = y.dropRight(2)
+              y
+            } else None)
+        }
+        val if_ = Seq("ives", "ifs", "ive", "if").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some {
+              var y = x.dropRight(s.length)
+              if (y.endsWith("at") && inR2(y.length - 2)) {
+                y = y.dropRight(2)
+                if (y.endsWith("ic")) {
+                  if (inR2(y.length - 2)) y = y.dropRight(2)
+                  else y = y.dropRight(2) + "iqU"
+                }
+              }
+              y
+            } else None)
+        }
+        val eaux = Seq("eaux").map { s =>
+          s -> ((x: String) => Some(x.dropRight(4) + "eau"))
+        }
+        val aux = Seq("aux").map { s =>
+          s -> ((x: String) =>
+            if (inR1(x.length - 3)) Some(x.dropRight(3) + "al") else None)
+        }
+        val euse = Seq("euses", "euse").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some(x.dropRight(s.length))
+            else if (inR1(x.length - s.length))
+              Some(x.dropRight(s.length) + "eux")
+            else None)
+        }
+        val issement = Seq("issements", "issement").map { s =>
+          s -> ((x: String) =>
+            if (inR1(x.length - s.length) && x.length > s.length &&
+                !isV(x.charAt(x.length - s.length - 1)))
+              Some(x.dropRight(s.length)) else None)
+        }
+        val amment = Seq("amment").map { s =>
+          s -> ((x: String) =>
+            if (inRV(x.length - 6)) Some(x.dropRight(6) + "ant") else None)
+        }
+        val emment = Seq("emment").map { s =>
+          s -> ((x: String) =>
+            if (inRV(x.length - 6)) Some(x.dropRight(6) + "ent") else None)
+        }
+        val ment = Seq("ments", "ment").map { s =>
+          s -> ((x: String) =>
+            if (x.length > s.length && inRV(x.length - s.length - 1) &&
+                isV(x.charAt(x.length - s.length - 1)))
+              Some(x.dropRight(s.length)) else None)
+        }
+        simple ++ atrice ++ logie ++ usion ++ ence ++ ement ++ ite ++
+          if_ ++ eaux ++ aux ++ euse ++ issement ++ amment ++ emment ++ ment
+      }
+      val cand = rules.filter { case (s, _) => w.endsWith(s) }
+        .sortBy { case (s, _) => -s.length }.headOption
+      cand.foreach { case (s, f) =>
+        val mentFamily = Set("amment", "emment", "ment", "ments")(s)
+        f(w) match {
+          case Some(y) =>
+            if (y != w) { w = y; step1Changed = true }
+            if (mentFamily) foundMent = true
+          case None =>
+            if (mentFamily) foundMent = true
+        }
+      }
+    }
+
+    var step2Changed = false
+    // ---- step 2a: verb suffixes beginning i ----
+    val do2 = !step1Changed || foundMent
+    if (do2) {
+      val sufs = Seq("issaIent", "issantes", "issions", "issants",
+        "issante", "issent", "issant", "issais", "issait", "issiez",
+        "issons", "issez", "isses", "irent", "irais", "irait", "iraIent",
+        "irions", "irons", "iront", "iriez", "isse", "îtes", "îmes",
+        "irez", "iras", "ira", "irai", "ies", "ît", "is", "ie", "it",
+        "ir", "i")
+      // "search for the longest suffix IN RV": a match straddling the
+      // RV boundary is not a candidate and must not shadow a shorter
+      // in-RV suffix
+      def inRvCands(ss: Seq[String]): Seq[String] =
+        ss.filter(s => w.endsWith(s) && inRV(w.length - s.length))
+      inRvCands(sufs).sortBy(-_.length).headOption.foreach { s =>
+        val pos = w.length - s.length
+        if (pos > 0 && !isV(w.charAt(pos - 1)) && inRV(pos - 1)) {
+          w = w.dropRight(s.length)
+          step2Changed = true
+        }
+      }
+      // ---- step 2b (only if 2a removed nothing) ----
+      if (!step2Changed) {
+        val gIons = Seq("ions")
+        val gE = Seq("eraIent", "erions", "èrent", "erais", "erait",
+          "eriez", "erons", "eront", "erai", "eras", "erez", "ées",
+          "era", "iez", "ée", "és", "er", "ez", "é")
+        val gA = Seq("assions", "assiez", "assent", "asses", "antes",
+          "aIent", "asse", "ants", "ante", "âmes", "âtes", "ais", "ait",
+          "ant", "ât", "ai", "as", "a")
+        val cands =
+          inRvCands(gIons).map(s => (s, 'i')) ++
+            inRvCands(gE).map(s => (s, 'e')) ++
+            inRvCands(gA).map(s => (s, 'a'))
+        cands.sortBy(-_._1.length).headOption.foreach { case (s, g) =>
+          val pos = w.length - s.length
+          g match {
+            case 'i' =>
+              if (inR2(pos)) { w = w.dropRight(4); step2Changed = true }
+            case 'e' =>
+              w = w.dropRight(s.length); step2Changed = true
+            case 'a' =>
+              w = w.dropRight(s.length)
+              step2Changed = true
+              if (w.endsWith("e") && inRV(w.length - 1)) w = w.dropRight(1)
+          }
+        }
+      }
+    }
+
+    // "If the LAST step to be obeyed altered the word, do step 3, else
+    // step 4": when a ment-family suffix routed us into 2a/2b and those
+    // removed nothing, the last step obeyed (2a/2b) did NOT alter —
+    // step 4 runs even though step 1 changed the word.
+    val lastAltered = if (do2) step2Changed else step1Changed
+    if (lastAltered) {
+      // ---- step 3 ----
+      if (w.endsWith("Y")) w = w.dropRight(1) + "i"
+      else if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+    } else {
+      // ---- step 4: residual suffixes ----
+      if (w.endsWith("s") && w.length >= 2) {
+        val p = w.charAt(w.length - 2)
+        if (!"aiouès".contains(p) && p != 'I')
+          w = w.dropRight(1)
+      }
+      locally {
+        // longest suffix IN RV (straddling matches are not candidates)
+        val cands = Seq("ion", "ière", "Ière", "ier", "Ier", "e", "ë")
+          .filter(s => w.endsWith(s) && inRV(w.length - s.length))
+          .sortBy(-_.length).headOption
+        cands.foreach {
+          case "ion" =>
+            val pos = w.length - 3
+            if (inR2(pos) && pos > 0 &&
+                (w.charAt(pos - 1) == 's' || w.charAt(pos - 1) == 't') &&
+                inRV(pos - 1))
+              w = w.dropRight(3)
+          case s @ ("ière" | "Ière" | "ier" | "Ier") =>
+            w = w.dropRight(s.length) + "i"
+          case "e" =>
+            w = w.dropRight(1)
+          case "ë" =>
+            // the preceding 'gu' must itself lie inside RV (the
+            // backward-mode limit): ciguë → cigu but aiguë stays
+            if (w.endsWith("guë") && inRV(w.length - 3)) w = w.dropRight(1)
+          case _ => ()
+        }
+      }
+    }
+    // ---- step 5: undouble ----
+    if (Seq("enn", "onn", "ett", "ell", "eill").exists(w.endsWith))
+      w = w.dropRight(1)
+    // ---- step 6: un-accent ----
+    locally {
+      var j = w.length - 1
+      var nonV = 0
+      while (j >= 0 && !isV(w.charAt(j)) &&
+          w.charAt(j) != 'é' && w.charAt(j) != 'è') { nonV += 1; j -= 1 }
+      if (nonV >= 1 && j >= 0 && (w.charAt(j) == 'é' || w.charAt(j) == 'è'))
+        w = w.substring(0, j) + "e" + w.substring(j + 1)
+    }
+    w.map { case 'I' => 'i'; case 'U' => 'u'; case 'Y' => 'y'; case c => c }
+  }
+}

@@ -383,6 +383,29 @@ object Dedup {
     }
     val pairs = minHashPairs(docs, textCol, idCol, bands, rowsPerBand,
       shingleN, threshold, maxBucket).select(col("id_a"), col("id_b"))
+    val (labels, _) = connectedComponents(pairs, maxIter, cut)
+    val dupIds = labels.filter(col("label") =!= col("id"))
+      .select(col("id").as("__dup_id"))
+    docs.join(dupIds, docs(idCol) === col("__dup_id"), "left_anti")
+  }
+
+  /** Connected components over an (id_a, id_b) edge list: min-label
+    * propagation PLUS pointer jumping. Plain neighbor-min propagation
+    * moves a label one hop per round — O(component diameter) Spark
+    * jobs, which a pathological duplicate CHAIN (boilerplate pages
+    * each near-dup of the next) turns into thousands of rounds. The
+    * pointer-jumping step (label ← label(label), the classic
+    * path-doubling trick from the MapReduce connected-components
+    * literature — Kiveris et al.'s large-star/small-star converges for
+    * the same reason) HALVES the label-tree depth each round, so
+    * convergence is O(log diameter): a 1000-link chain closes in ~10
+    * rounds instead of 1000 (ScaleSpec pins this). Each round is two
+    * shuffles on the node id over the (small) near-dup graph, and the
+    * label set is closed under both steps (labels are always existing
+    * node ids, monotonically non-increasing), so pointer jumps always
+    * resolve. Returns (labels(id, label), rounds). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      cut: DataFrame => DataFrame = _.localCheckpoint()): (DataFrame, Int) = {
     val edges = cut(pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct())
@@ -391,22 +414,27 @@ object Dedup {
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
+      // one-hop neighbor minimum
       val viaNbr = edges
         .join(labels.select(col("id").as("id_b"), col("label").as("nbr_label")),
           Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min(col("nbr_label")).as("nbr_label"))
-      val updated = cut(labels.join(viaNbr, Seq("id"), "left")
+      val l1 = labels.join(viaNbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: label ← label(label); labels only ever shrink,
+      // so the parent's label is ≤ ours and the join always lands
+      val parents = l1.select(col("id").as("label"), col("label").as("__plabel"))
+      val updated = cut(l1.join(parents, Seq("label"), "left")
+        .select(col("id"),
+          coalesce(col("__plabel"), col("label")).as("label")))
       converged = updated
         .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
         .filter(col("label") =!= col("__old")).isEmpty
       labels = updated
       i += 1
     }
-    val dupIds = labels.filter(col("label") =!= col("id"))
-      .select(col("id").as("__dup_id"))
-    docs.join(dupIds, docs(idCol) === col("__dup_id"), "left_anti")
+    (labels, i)
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates =

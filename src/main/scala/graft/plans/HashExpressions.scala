@@ -151,6 +151,33 @@ object PorterStem {
     GraftColumnBridge.column(PorterStem(GraftColumnBridge.expression(s)))
 }
 
+/** Snowball stemmer for a configured language as a native expression
+  * (the stemmerdoc per-word hot path for french/german/spanish —
+  * `functions.SnowballStemmer`, differential-tested against the
+  * reference's vendored libstemmer). The language is validated at
+  * construction, mirroring the reference's creation-time check
+  * (`plugins/nlp/nlp.cc:277`). */
+case class SnowballStem(child: Expression, language: String)
+    extends UnaryExpression with CodegenFallback {
+  graft.functions.SnowballStemmer.validate(language)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_snowball_stem"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.functions.SnowballStemmer.stem(
+      language, input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(c: Expression): SnowballStem =
+    copy(child = c)
+}
+
+object SnowballStem {
+  def column(s: Column, language: String): Column =
+    GraftColumnBridge.column(
+      SnowballStem(GraftColumnBridge.expression(s), language))
+}
+
 /** Token counting in ONE pass: array<string> → map<string,int> via a
   * JVM hash map, O(tokens) per row. The Column formulation it replaces
   * (`filter(toks, _ === t)` per distinct token) was O(tokens×distinct)

@@ -37,15 +37,24 @@ object Word2Vec {
     } finally in.close()
   }
 
+  /** The output is one driver-local binary file, but the vocabulary
+    * does NOT have to materialize on the driver to produce it: a real
+    * word2vec table (3M words x 300 float32 ≈ 3.6 GB) would OOM a
+    * `collect()`. `toLocalIterator` streams one partition at a time —
+    * bounded driver memory at the cost of two extra tiny jobs (count
+    * for the header, head for the dimension). */
   def write(df: DataFrame, path: String): Unit = {
-    val rows = df.select("word", "embedding").collect()
-    val dim = if (rows.isEmpty) 0
-      else rows.head.getAs[scala.collection.Seq[Float]]("embedding").size
+    val proj = df.select("word", "embedding")
+    val n = proj.count()
+    val dim = if (n == 0) 0
+      else proj.head().getAs[scala.collection.Seq[Float]]("embedding").size
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(path)))
     try {
-      out.writeBytes(s"${rows.length} $dim\n")
-      rows.foreach { r =>
+      out.writeBytes(s"$n $dim\n")
+      val it = proj.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
         out.writeBytes(r.getAs[String]("word"))
         out.writeByte(' ')
         r.getAs[scala.collection.Seq[Float]]("embedding").foreach(f =>

@@ -1070,22 +1070,28 @@ object Lowering {
         // MLDB-1126/1322) as dialect builtins: `stemmer` stems each
         // argument row's COLUMN NAMES and sums same-stem columns
         // (potato + potatoes → potato); `stemmerdoc` stems the words
-        // of a string document. English (Porter) only — the
-        // reference's other Snowball languages are not implemented
-        // (documented divergence).
+        // of a string document. An optional `language: '<lang>'`
+        // argument selects the Snowball algorithm (english/french/
+        // german/spanish — SnowballStemmer); unknown languages fail at
+        // plan time with the reference's creation-time error shape.
+        val language = args.collectFirst {
+          case (n, StrLit(l)) if n.equalsIgnoreCase("language") => l
+        }.getOrElse("english")
+        graft.functions.SnowballStemmer.validate(language)
+        val args2 = args.filterNot(_._1.equalsIgnoreCase("language"))
         val row: Column =
           if (name.equalsIgnoreCase("stemmerdoc"))
-            struct(args.map { case (n, v) =>
+            struct(args2.map { case (n, v) =>
               concat_ws(" ", transform(
                 split(lowerExpr(scope, v).cast("string"), " "),
-                t => graft.plans.PorterStem.column(t))).as(n)
+                t => graft.plans.SnowballStem.column(t, language))).as(n)
             }: _*)
-          else struct(args.map { case (argName, v) =>
+          else struct(args2.map { case (argName, v) =>
             val fields = rowFieldsOf(scope, v).getOrElse(
               throw new IllegalArgumentException(
                 s"$name: argument '$argName' must be row-shaped"))
             val grouped = fields.groupBy { case (f, _) =>
-              graft.functions.PorterStemmer.stem(f)
+              graft.functions.SnowballStemmer.stem(language, f)
             }.toSeq.sortBy(_._1)
             struct(grouped.map { case (stemmed, members) =>
               val vals = members.map(_._2.cast("double"))
@@ -1171,7 +1177,15 @@ object Lowering {
       }
     case NullLit() => lit(null)
     case BoolLit(v) => lit(v)
-    case NumLit(v, integral) => if (integral) lit(v.toLong) else lit(v.toDouble)
+    case NumLit(v, integral) =>
+      // uint64 beyond the int64 range (`sql/cell_value.h:497-499`
+      // ST_UNSIGNED; SURVEY §1.2): BigDecimal.toLong would silently
+      // wrap 2^63+1 negative — carry big integrals as DecimalType(20,0)
+      if (integral && (v > BigDecimal(Long.MaxValue) ||
+          v < BigDecimal(Long.MinValue)))
+        lit(v.underlying())
+      else if (integral) lit(v.toLong)
+      else lit(v.toDouble)
     case StrLit(v) => lit(v)
     case IntervalLit(months, days, seconds) =>
       // components stay separate (MLDB-724: 1 day ≠ 24 H) → struct

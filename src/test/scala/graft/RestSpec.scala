@@ -564,6 +564,36 @@ class RestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("typed stemmer creation over REST honors the language param") {
+    val engine = new GraftEngine(spark)
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    try {
+      def put(path: String, body: String): (Int, String) = {
+        val r = client.send(HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      assert(put("/v1/functions/stemfr",
+        """{"type": "stemmerdoc", "params": {"language": "french"}}""")._1
+        === 200)
+      val out = engine.query(
+        "SELECT stemfr({document: 'continuation nationale'})[document] AS d")
+        .head().getString(0)
+      assert(out === "continu national")
+      // unknown stemmer language → 400 at creation (nlp.cc:277 shape)
+      val (code, body) = put("/v1/functions/stemko",
+        """{"type": "stemmer", "params": {"language": "klingon"}}""")
+      assert(code === 400 && body.contains("not available for stemming"))
+      // filter_stopwords is english-only in the reference (nlp.cc:73)
+      val (c2, b2) = put("/v1/functions/stopfr",
+        """{"type": "filter_stopwords", "params": {"language": "french"}}""")
+      assert(c2 === 400 && b2.contains("Unsupported language: french"))
+    } finally srv.stop()
+  }
+
   test("typed dataset creation: merged/sampled/transposed/sub via PUT config (MLDB-1242/2077)") {
     val engine = new GraftEngine(spark)
     val srv = new RestServer(engine)

@@ -674,4 +674,44 @@ class SqlSpec extends AnyFunSuite {
     assert(rows(0).getAs[String]("rowName") === rows(0).getAs[String]("rn"))
     assert(!rows(0).isNullAt(1))
   }
+
+  test("uint64 beyond int64: 2^63+1 survives literal, import, query, REST") {
+    // SURVEY §1.2 / sql/cell_value.h:497-499 ST_UNSIGNED: values above
+    // Long.MaxValue must not wrap negative
+    val big = "9223372036854775809" // 2^63 + 1
+    val r = q(s"SELECT $big AS big, $big + 1 AS big1")
+    assert(r.schema("big").dataType
+      .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    val row = r.head()
+    assert(row.getDecimal(0).toPlainString === big)
+    assert(row.getDecimal(1).toPlainString === "9223372036854775810")
+    // CSV import round-trip (Spark's inference promotes to decimal)
+    val tmp = java.io.File.createTempFile("graft_uint64", ".csv")
+    tmp.deleteOnExit()
+    java.nio.file.Files.write(tmp.toPath,
+      s"id,v\n1,$big\n2,42\n".getBytes("UTF-8"))
+    val imported = graft.sources.Sources.importText(spark, tmp.getAbsolutePath)
+    val vs = imported.orderBy("id").collect()
+    assert(String.valueOf(vs(0).get(1)) === big,
+      s"imported as ${vs(0).get(1)} (${imported.schema("v").dataType})")
+    // comparisons still work across the 2^63 boundary
+    val e = new api.GraftEngine(spark)
+    e.createDataset("bigu64", imported)
+    assert(e.query(s"SELECT id FROM bigu64 WHERE v = $big").count() === 1)
+    assert(e.query("SELECT id FROM bigu64 WHERE v > 9223372036854775808")
+      .count() === 1)
+    // REST output keeps all digits
+    val srv = new api.RestServer(e)
+    val port = srv.start()
+    try {
+      val qs = java.net.URLEncoder.encode(
+        s"SELECT v FROM bigu64 WHERE id = 1", "UTF-8")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port/v1/query?q=$qs")).GET.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200 && resp.body().contains(big),
+        resp.body())
+    } finally srv.stop()
+  }
 }
