@@ -569,6 +569,115 @@ final class GraftEngine(val spark: SparkSession) {
     * config model (`{type, params}`) for every batch procedure this
     * engine ships. Returns a small JSON summary; dataset-producing
     * types register their result under `outputDataset`. */
+  /** Parse + validate a `percentileBuckets` config object
+    * (`plugins/feature_gen/bucketize_procedure.cc` config: named
+    * [lower, upper] percentile ranges, each within [0, 100],
+    * non-inverted, mutually non-overlapping — the reference 400s a bad
+    * config at procedure CREATION, before any run: MLDB-1043 tests
+    * 2/6/7/8). */
+  private def parsePercentileBuckets(raw: String): Seq[(String, Double, Double)] = {
+    val re = ("\"([^\"]+)\"\\s*:\\s*\\[\\s*(-?[0-9.eE+]+)\\s*," +
+      "\\s*(-?[0-9.eE+]+)\\s*\\]").r
+    val buckets = re.findAllMatchIn(raw)
+      .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toSeq
+    require(buckets.nonEmpty,
+      "percentileBuckets must define at least one bucket")
+    buckets.foreach { case (n, lo, hi) =>
+      require(lo >= 0 && hi <= 100 && lo <= hi,
+        s"percentile range of bucket '$n' must satisfy 0 <= lower <= upper <= 100")
+    }
+    buckets.sortBy(_._2).sliding(2).foreach {
+      case Seq(a, b) => require(a._3 <= b._2,
+        s"percentile ranges of buckets '${a._1}' and '${b._1}' overlap")
+      case _ => ()
+    }
+    buckets
+  }
+
+  /** Procedure types whose input query must name a source dataset —
+    * the reference 400s a FROM-less trainingData at config-validation
+    * time (MLDB-1258's battery of 11). */
+  private val fromRequired = Set("classifier.train", "probabilizer.train",
+    "classifier.test", "tsne.train", "kmeans.train", "svm.train",
+    "bucketize", "export.csv", "ranking", "statsTable.train",
+    "statsTable.bagOfWords.train", "svd.train", "tfidf.train")
+
+  /** Creation-time config validation for named procedures (PUT
+    * /v1/procedures/<name>): the reference validates the config object
+    * itself before any run. */
+  def validateProcedure(tpe: String, param: String => Option[String]): Unit = {
+    if (fromRequired(tpe)) {
+      val q = param("trainingData").orElse(param("inputData"))
+        .orElse(param("testingData")).orElse(param("exportData"))
+        .orElse(param("inputQuery"))
+      q.foreach { text =>
+        val parsed = scala.util.Try(graft.sql.Parser.parse(text)).toOption
+        if (parsed.exists(_.from.isEmpty)) throw new IllegalArgumentException(
+          s"procedure '$tpe' input query must contain a FROM clause")
+      }
+    }
+    tpe match {
+      case "bucketize" =>
+        require(param("inputData").orElse(param("inputQuery")).nonEmpty,
+          "You need to define inputData")
+        parsePercentileBuckets(param("percentileBuckets").getOrElse(
+          throw new IllegalArgumentException(
+            "bucketize needs percentileBuckets")))
+        ()
+      case _ => ()
+    }
+  }
+
+  /** trained svd models by modelFileUrl: (trained columns, model,
+    * effective singular values kept). */
+  private val svdModels =
+    TrieMap[String, (Seq[String], graft.ml.Models.PCAApplied, Int)]()
+
+  /** The structured inputData form ({select, named, from: {id}, when,
+    * where, groupBy, having, orderBy, limit, offset} —
+    * MLDB-1104/788/1127/409, MLDBFB-332) assembled from flat params
+    * into dialect text; shared by transform / svd.train /
+    * kmeans.train. A FROM-less form (`select` with no `from`) is legal
+    * for constant transforms (MLDB-409's no-FROM battery). */
+  private def structuredInput(param: String => Option[String]): Option[String] =
+    param("select").map { sel =>
+      val sb = new StringBuilder(s"SELECT $sel")
+      param("named").foreach(n => sb ++= s" NAMED $n")
+      param("from").foreach(frm => sb ++= s""" FROM "$frm"""")
+      param("when").foreach(w => sb ++= s" WHEN $w")
+      param("where").foreach(w => sb ++= s" WHERE $w")
+      param("groupBy").foreach(g => sb ++= s" GROUP BY $g")
+      param("having").foreach(h => sb ++= s" HAVING $h")
+      param("orderBy").foreach(o => sb ++= s" ORDER BY $o")
+      param("limit").foreach(l => sb ++= s" LIMIT $l")
+      param("offset").foreach(o => sb ++= s" OFFSET $o")
+      sb.toString
+    }
+
+  /** `svd.embedRow` as a REST-creatable function (MLDB-805/498):
+    * resolves the trained model at modelFileUrl and expands to a pure
+    * dialect expression — each output dimension is the dot product of
+    * the argument row's trained columns with that basis vector, as
+    * plan literals (zero UDFs, codegen'd; missing columns read 0, the
+    * sparse-row contract MLDB-485 exercises). */
+  def createSvdEmbedFunction(name: String, modelUrl: String,
+      maxSingularValues: Int = Int.MaxValue): Unit = {
+    val (cols, svd, kept) = svdModels.getOrElse(modelUrl,
+      throw new NoSuchElementException(s"no svd model trained at '$modelUrl'"))
+    val pc = svd.model.pc
+    val n = math.min(kept, maxSingularValues)
+    def ref(c: String): String =
+      if (c.forall(ch => ch.isLetterOrDigit || ch == '_')) s"row.$c"
+      else "row.\"" + c + "\""
+    val dims = (0 until n).map { j =>
+      cols.zipWithIndex.map { case (c, i) =>
+        s"(CASE WHEN ${ref(c)} IS NULL THEN 0 ELSE ${ref(c)} END) * ${pc(i, j)}"
+      }.mkString("(", " + ", ")")
+    }
+    createSqlExpressionFunction(name,
+      dims.mkString("[", ", ", "] AS embedding"))
+  }
+
   def runProcedure(tpe: String, param: String => Option[String]): String = {
     def req(k: String): String = param(k).getOrElse(
       throw new IllegalArgumentException(s"procedure '$tpe' needs param '$k'"))
@@ -578,28 +687,125 @@ final class GraftEngine(val spark: SparkSession) {
       s"""{"outputDataset": "$name", "rowCount": ${df.count()}}"""
     }
     tpe match {
+      case "bucketize" =>
+        // `bucketize` with the reference's NAMED percentile ranges
+        // (`bucketize_procedure.cc:120-240`): rows of the inputData in
+        // its ORDER BY order are assigned buckets by index range; rows
+        // outside every range are dropped; the bucket cell is stamped
+        // with the input's latest timestamp. The input query is
+        // augmented with `rowName() AS rowName` when absent so output
+        // rows keep their names.
+        val input = param("inputData").orElse(param("inputQuery"))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define inputData"))
+        val buckets = parsePercentileBuckets(
+          param("percentileBuckets").getOrElse(
+            throw new IllegalArgumentException(
+              "bucketize needs percentileBuckets")))
+        import graft.sql.Ast._
+        val stmt = graft.sql.Parser.parse(input)
+        val hasRn = stmt.items.exists {
+          case SelectItem(_, Some(a)) => a.equalsIgnoreCase("rowName")
+          case SelectItem(Star(_, _, _), _) => true // * carries rowName
+          case _ => false
+        }
+        val stmt2 =
+          if (hasRn) stmt
+          else stmt.copy(items = stmt.items :+
+            // builtin names are matched lowercase at lowering
+            SelectItem(FnCall("rowname", Seq.empty), Some("rowName")))
+        val df0b = graft.sql.GraftSql.queryStmtTables(spark, dataset, stmt2,
+          macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+          rowPivots = rowPivotFns.toMap)
+        // a `*` over a dataset created without a rowName column (a
+        // registered query result) expands to no rowName — synthesize
+        // one from the sort position (MLDB-1043 test 9's empty input)
+        val df =
+          if (df0b.columns.exists(_.equalsIgnoreCase("rowName"))) df0b
+          else df0b.withColumn("rowName",
+            org.apache.spark.sql.functions.monotonically_increasing_id()
+              .cast("string"))
+        registerOut(graft.procedures.Procedures.bucketizeNamed(
+          df, "rowName", buckets))
       case "transform" =>
         // the reference's config key is inputData; inputQuery stays as
         // an accepted alias. The STRUCTURED form
         // ({select, from: {id}, where, orderBy, limit, offset} —
         // MLDB-1104/788) assembles the dialect text from its parts.
         // Missing input uses the reference's message (MLDB-2119).
-        val structured = for {
-          sel <- param("select")
-          frm <- param("from")
-        } yield {
-          val sb = new StringBuilder(s"""SELECT $sel FROM "$frm"""")
-          param("where").foreach(w => sb ++= s" WHERE $w")
-          param("orderBy").foreach(o => sb ++= s" ORDER BY $o")
-          param("limit").foreach(l => sb ++= s" LIMIT $l")
-          param("offset").foreach(o => sb ++= s" OFFSET $o")
-          sb.toString
-        }
-        val input = param("inputQuery").orElse(structured)
+        val input = param("inputQuery").orElse(structuredInput(param))
           .orElse(param("inputData"))
           .getOrElse(throw new IllegalArgumentException(
             "You need to define inputData"))
-        registerOut(query(input))
+        val out1 = query(input)
+        // a no-FROM transform names its constant row 'result' unless
+        // NAMED overrode it (MLDB-409's no-FROM battery)
+        val out0 =
+          if (out1.columns.exists(_.equalsIgnoreCase("rowName"))) out1
+          else if (scala.util.Try(graft.sql.Parser.parse(input)).toOption
+              .exists(_.from.isEmpty))
+            out1.withColumn("rowName", org.apache.spark.sql.functions.lit("result"))
+          else out1
+        // skipEmptyRows drops rows whose every value cell is null
+        // (`plugins/transform_procedure.cc`; MLDB-409's sparse test2)
+        val out =
+          if (!param("skipEmptyRows").exists(_.toBoolean)) out0
+          else {
+            import org.apache.spark.sql.functions._
+            val valueCols = out0.columns.filterNot(c =>
+              c.equalsIgnoreCase("rowName") || c.startsWith("__"))
+            if (valueCols.isEmpty) out0
+            else out0.filter(valueCols.map(c =>
+              col(s"`$c`").isNotNull).reduce(_ || _))
+          }
+        registerOut(out)
+      case "melt" =>
+        // `melt` over REST (`builtin/melt_procedure.cc:205`;
+        // MLDB-1275): inputData selects a {to_fix} row carried on
+        // every output row and a {to_melt} row whose cells become
+        // (key, value) pairs — one output row per present cell, named
+        // `<origRowName>.<key>`. keyColumnName / valueColumnName
+        // rename the pair columns. A single explode over plan-literal
+        // field names: no shuffle, no driver data pass.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.StructType
+        val input = param("inputData").orElse(structuredInput(param))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define inputData"))
+        val keyName = param("keyColumnName").getOrElse("key")
+        val valName = param("valueColumnName").getOrElse("value")
+        val stmt = graft.sql.Parser.parse(input)
+        val stmt2 = stmt.copy(items = stmt.items :+ graft.sql.Ast.SelectItem(
+          graft.sql.Ast.FnCall("rowname", Seq.empty), Some("__origRow")))
+        val df0 = graft.sql.GraftSql.queryStmtTables(spark, dataset, stmt2,
+          macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+          rowPivots = rowPivotFns.toMap)
+        def structFields(name: String): Seq[org.apache.spark.sql.types.StructField] =
+          df0.schema.fields.find(_.name == name).map(_.dataType) match {
+            case Some(st: StructType) => st.fields.toSeq
+            case _ => Seq.empty
+          }
+        val meltFields = structFields("to_melt")
+        require(meltFields.nonEmpty,
+          "melt inputData must select a {to_melt} row to melt")
+        val fixFields = structFields("to_fix")
+        val vTypes = meltFields.map(_.dataType).distinct
+        def vCast(c: org.apache.spark.sql.Column) =
+          if (vTypes.length == 1) c else c.cast("string")
+        val pairs = meltFields.map(f => struct(lit(f.name).as("__k"),
+          vCast(col("to_melt").getField(f.name)).as("__v")))
+        val fixCols = fixFields.map(f =>
+          col("to_fix").getField(f.name).as(f.name))
+        val exploded = df0.select(
+          (col("__origRow") +: fixCols :+
+            explode(array(pairs: _*)).as("__kv")): _*)
+        registerOut(exploded
+          .filter(col("__kv.__v").isNotNull)
+          .select((concat(col("__origRow").cast("string"), lit("."),
+            col("__kv.__k")).as("rowName") +:
+            fixFields.map(f => col(s"`${f.name}`")) :+
+            col("__kv.__k").as(keyName) :+
+            col("__kv.__v").as(valName)): _*))
       case "import.text" =>
         // full ImportTextConfig surface over REST params
         // (`plugins/textual/importtext_procedure.cc:43-115`)
@@ -682,8 +888,15 @@ final class GraftEngine(val spark: SparkSession) {
           param("partitionField"),
           param("numPartitions").map(_.toInt).getOrElse(1)))
       case "export.csv" =>
-        val path = req("dataFileUrl")
-        graft.sources.Sources.exportCsv(dataset(req("inputDataset")), path)
+        // full surface (`plugins/textual/csv_export_procedure.cc`,
+        // MLDB-1098): exportData QUERY (or a plain inputDataset),
+        // headers / delimiter options; file:// URLs accepted
+        val path = req("dataFileUrl").stripPrefix("file://")
+        val df = param("exportData").map(query)
+          .getOrElse(dataset(req("inputDataset")))
+        graft.sources.Sources.exportCsv(df, path,
+          delimiter = param("delimiter").getOrElse(","),
+          headers = param("headers").forall(_.toBoolean))
         s"""{"exported": "$path"}"""
       case "export.shards" =>
         // training-data delivery: token-budget shards + manifest
@@ -700,6 +913,98 @@ final class GraftEngine(val spark: SparkSession) {
           param("idColumn").getOrElse("rowName"),
           param("vectorColumn").getOrElse("embedding"))
         registerOut(emb)
+      case "svd.train" =>
+        // `svd.train` (`plugins/embedding/svd.cc`): trainingData (text
+        // or the structured {select, from, where, orderBy, offset,
+        // limit} form — MLDB-1127) over the registered datasets; the
+        // model persists under modelFileUrl for `svd.embedRow`
+        // functions; rowOutputDataset / columnOutputDataset register
+        // the projected rows/columns. Only singular dimensions with
+        // non-negligible variance are KEPT — the reference emits the
+        // effective rank, which MLDB-1127 pins (3 vs 2 independent
+        // columns).
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.Column
+        val structured = structuredInput(param)
+        val input = param("trainingData").orElse(param("inputData"))
+          .orElse(structured).getOrElse(throw new IllegalArgumentException(
+            "You need to define inputData"))
+        val df0 = query(input)
+        import org.apache.spark.sql.types._
+        val feats = df0.schema.fields.filter { f =>
+          f.dataType.isInstanceOf[NumericType] &&
+            !f.name.equalsIgnoreCase("rowName") && !f.name.startsWith("__")
+        }.map(_.name).toSeq
+        // the reference's error shape for a selection matching nothing
+        // numeric (MLDB-119's 'matched no columns')
+        require(feats.nonEmpty, "svd training data matched no columns")
+        val kReq = math.min(
+          param("numSingularValues").map(_.toInt).getOrElse(100),
+          param("numDenseBasisVectors").map(_.toInt).getOrElse(2000))
+        val k = math.max(1, math.min(kReq, feats.length))
+        val rnCol: Column =
+          if (df0.columns.exists(_.equalsIgnoreCase("rowName")))
+            col("rowName").cast("string")
+          else monotonically_increasing_id().cast("string")
+        val vecDf = df0.select(rnCol.as("rowName"),
+          array(feats.map(c => coalesce(col(s"`$c`").cast("double"),
+            lit(0.0))): _*).as("__vec"))
+        val svd = graft.ml.Models.svdTrain(vecDf.select(col("rowName"),
+          col("__vec")), "__vec", k)
+        val kept = math.max(1,
+          svd.model.explainedVariance.toArray.count(_ > 1e-9))
+        val url = param("modelFileUrl").getOrElse(s"__svd_model")
+        svdModels(url) = (feats, svd, kept)
+        param("rowOutputDataset").foreach { id =>
+          val proj = svd(vecDf)
+          val rows = proj.select(col("rowName") +:
+            (0 until kept).map(j => element_at(
+              org.apache.spark.ml.functions.vector_to_array(col("svd")),
+              j + 1).as(s"embedding.$j")): _*)
+          createDataset(id, rows)
+        }
+        param("columnOutputDataset").foreach { id =>
+          val pc = svd.model.pc
+          val rows = feats.zipWithIndex.map { case (c, i) =>
+            org.apache.spark.sql.Row.fromSeq(
+              c +: (0 until kept).map(j => pc(i, j)))
+          }
+          val schema = StructType(StructField("rowName", StringType) +:
+            (0 until kept).map(j => StructField(s"embedding.$j", DoubleType)))
+          createDataset(id, spark.createDataFrame(
+            spark.sparkContext.parallelize(rows), schema))
+        }
+        s"""{"trained": "$url", "numSingularValues": $kept}"""
+      case "kmeans.train" =>
+        // `kmeans.train` with centroidsDataset registration
+        // (MLDB-1025's default-output contract: running the procedure
+        // creates exactly the centroids dataset)
+        import org.apache.spark.sql.functions._
+        val input = param("trainingData").orElse(structuredInput(param))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define inputData"))
+        val df0 = query(input)
+        import org.apache.spark.sql.types._
+        val feats = df0.schema.fields.filter { f =>
+          f.dataType.isInstanceOf[NumericType] &&
+            !f.name.equalsIgnoreCase("rowName") && !f.name.startsWith("__")
+        }.map(_.name).toSeq
+        require(feats.nonEmpty, "kmeans training data matched no columns")
+        val kk = param("numClusters").map(_.toInt).getOrElse(10)
+        val vecDf = df0.select(array(feats.map(c =>
+          coalesce(col(s"`$c`").cast("double"), lit(0.0))): _*).as("__vec"))
+        val model = graft.ml.Models.kmeansTrain(vecDf, "__vec", kk)
+        param("centroidsDataset").foreach { id =>
+          val rows = model.model.clusterCenters.zipWithIndex.map {
+            case (ctr, i) => org.apache.spark.sql.Row.fromSeq(
+              i.toString +: ctr.toArray.toSeq)
+          }
+          val schema = StructType(StructField("rowName", StringType) +:
+            feats.indices.map(j => StructField(s"c.$j", DoubleType)))
+          createDataset(id, spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq), schema))
+        }
+        s"""{"trained": true, "numClusters": $kk}"""
       case "dataset.stats" =>
         // pro-plugin utility (`plugins/pro/*.cc:124-201`): per-column
         // type/null/distinct profile of a registered dataset. One

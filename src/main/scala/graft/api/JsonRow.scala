@@ -114,7 +114,36 @@ object JsonRow {
       case 'f' => literal("false", BooleanType, false)
       case 'n' => literal("null", StringType, null)
       case '[' => array()
+      case '{' => obj()
       case _ => number()
+    }
+
+    /** nested object → struct (the reference's row-valued function
+      * arguments: `input={"row": {"x": .5}}` — MLDB-805). */
+    private def obj(): (DataType, Any) = {
+      expect('{')
+      ws()
+      val fields = Seq.newBuilder[StructField]
+      val values = Seq.newBuilder[Any]
+      if (peek() == '}') next()
+      else {
+        var more = true
+        while (more) {
+          ws()
+          val key = string()
+          ws(); expect(':'); ws()
+          val (dt, v) = value()
+          fields += StructField(key, dt)
+          values += v
+          ws()
+          next() match {
+            case ',' => ()
+            case '}' => more = false
+            case c => throw bad(s"expected ',' or '}', got '$c'")
+          }
+        }
+      }
+      (StructType(fields.result()), Row.fromSeq(values.result()))
     }
 
     private def array(): (DataType, Any) = {

@@ -31,6 +31,9 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
 
   RestServer.ensureNoDelay()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // named procedure configs (PUT /v1/procedures/<name> → POST …/runs)
+  private val procedures =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   def start(): Int = {
     server.createContext("/v1/query", (ex: HttpExchange) => handle(ex) {
@@ -40,7 +43,18 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
       val limit = params.get("limit").map(_.toInt).getOrElse(1000)
       val format = params.getOrElse("format", "aos")
       val headers = params.get("headers").forall(_.toBoolean)
-      formatJson(engine.query(q), limit, format, headers)
+      val df0 = engine.query(q)
+      // a no-FROM select carries the reference's constant 'result'
+      // row name (MLDB-871/102) unless the query already names rows
+      val df =
+        if (df0.columns.exists(_.equalsIgnoreCase("rowName"))) df0
+        else scala.util.Try(graft.sql.Parser.parse(q)).toOption match {
+          case Some(stmt) if stmt.from.isEmpty =>
+            df0.select(org.apache.spark.sql.functions.lit("result")
+              .as("rowName") +: df0.columns.map(c => df0.col(s"`$c`")): _*)
+          case _ => df0
+        }
+      formatJson(df, limit, format, headers)
     })
     server.createContext("/v1/datasets", (ex: HttpExchange) => handle(ex) {
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/datasets")
@@ -66,14 +80,33 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
                 k => extractFieldOpt(body, k))
           }
           s"""{"created": ${jsonStr(name)}}"""
+        case ("POST", "") =>
+          // id-less creation auto-generates one with the reference's
+          // `auto_` prefix (MLDB-983)
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          val name = extractFieldOpt(body, "id").getOrElse(
+            "auto_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+          val tpe = extractFieldOpt(body, "type").getOrElse("")
+          engine.createDatasetTyped(name, tpe, k => extractFieldOpt(body, k))
+          Created(s"""{"id": ${jsonStr(name)}}""")
         case ("POST", nameRows) if nameRows.endsWith("/rows") =>
           // record API (`core/dataset.h:417-539`): body = JSON array
-          // of flat row objects
+          // of flat row objects, or the reference's columns form
+          // {rowName, columns: [[col, val, ts], …]} (cell timestamps
+          // in epoch seconds or ISO; wide mode keeps the row's max as
+          // its ts column)
           val name = nameRows.stripSuffix("/rows")
           val body = new String(ex.getRequestBody.readAllBytes,
             StandardCharsets.UTF_8)
-          val n = engine.recordRows(name, body)
+          val flat =
+            if (body.contains("\"columns\"")) columnsFormToFlat(body) else body
+          val n = engine.recordRows(name, flat)
           s"""{"recorded": $n}"""
+        case ("POST", nameCommit) if nameCommit.endsWith("/commit") =>
+          // commit is a no-op in wide mode (recordRows is immediate);
+          // accepted for reference-API compatibility
+          """{"committed": true}"""
         case (m, _) => throw new IllegalArgumentException(s"unsupported $m")
       }
     })
@@ -148,6 +181,13 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               engine.createSqlExpressionFunction(name,
                 s"pooling({words: words, embeddingDataset: '$ds', " +
                   s"aggregators: $arr})[embedding] AS embedding")
+            case "svd.embedRow" =>
+              // MLDB-805/498: embed one argument row with a model
+              // trained by the svd.train procedure
+              engine.createSvdEmbedFunction(name,
+                extractField(body, "modelFileUrl"),
+                extractFieldOpt(body, "maxSingularValues").map(_.toInt)
+                  .getOrElse(Int.MaxValue))
             case "feature_hasher" =>
               val bits = extractFieldOpt(body, "numBits").getOrElse("8")
               val mode = extractFieldOpt(body, "mode").getOrElse("columns")
@@ -218,9 +258,22 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
       }
     })
+    // generic named/typed procedure handling, shared by the
+    // /v1/procedures context and the /v1/procedures/transform
+    // context's fallthrough (the JDK HttpServer matches contexts by
+    // STRING prefix, so /v1/procedures/transform_procedure lands in
+    // the transform context — MLDB-1025's procedure name)
+    def proceduresGeneric(ex: HttpExchange): String = {
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/procedures")
+        .stripPrefix("/")
+      proceduresDispatch(ex, path)
+    }
     server.createContext("/v1/procedures/transform", (ex: HttpExchange) => handle(ex) {
-      val path = ex.getRequestURI.getPath
-        .stripPrefix("/v1/procedures/transform").stripPrefix("/")
+      val raw = ex.getRequestURI.getPath
+        .stripPrefix("/v1/procedures/transform")
+      if (raw.nonEmpty && !raw.startsWith("/")) proceduresGeneric(ex)
+      else {
+      val path = raw.stripPrefix("/")
       (ex.getRequestMethod, path) match {
         case ("POST", "") =>
           val body = new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
@@ -231,32 +284,80 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val out = engine.runTransform(input, outName)
           s"""{"outputDataset": ${jsonStr(outName)}, "rowCount": ${out.count()}}"""
         case ("POST", "runs") =>
-          // async run: returns immediately with a pollable run id
+          // a NAMED procedure registered as literally 'transform'
+          // (MLDB-409 does exactly this) owns …/transform/runs; the
+          // legacy async-run body carries inputQuery and disambiguates
           val body = new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
-          val input = extractField(body, "inputQuery")
-          val outName = extractField(body, "outputDataset")
-          val id = engine.startTransformRun(input, outName)
-          s"""{"runId": ${jsonStr(id)}, "state": "executing"}"""
+          extractFieldOpt(body, "inputQuery") match {
+            case Some(input) =>
+              val outName = extractField(body, "outputDataset")
+              val id = engine.startTransformRun(input, outName)
+              s"""{"runId": ${jsonStr(id)}, "state": "executing"}"""
+            case None if procedures.contains("transform") =>
+              proceduresDispatch(ex, "transform/runs")
+            case None =>
+              throw new IllegalArgumentException("missing field inputQuery")
+          }
         case ("GET", runPath) if runPath.startsWith("runs/") =>
           val run = engine.runStatus(runPath.stripPrefix("runs/"))
           val err = run.error.map(e => s""", "error": ${jsonStr(e)}""").getOrElse("")
           s"""{"runId": ${jsonStr(run.id)}, "state": ${jsonStr(run.state)}, "rowCount": ${run.rowCount}$err}"""
-        case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
+        // PUT /v1/procedures/transform (a named procedure literally
+        // called 'transform') registers like any other name
+        case _ => proceduresDispatch(ex, "transform" +
+          (if (path.isEmpty) "" else s"/$path"))
+      }
       }
     })
     server.createContext("/v1/procedures", (ex: HttpExchange) => handle(ex) {
-      // typed procedure dispatch: POST /v1/procedures
-      // body {"type": "...", <flat params>} — longer-prefix contexts
-      // (/v1/procedures/transform) keep their dedicated routes
-      val path = ex.getRequestURI.getPath.stripPrefix("/v1/procedures")
+      // typed procedure dispatch: POST /v1/procedures runs anonymously;
+      // PUT /v1/procedures/<name> registers a NAMED procedure config
+      // (validated at creation — the reference 400s a bad bucketize
+      // range at PUT time, MLDB-1043) and POST <name>/runs executes it.
+      proceduresGeneric(ex)
+    })
+    def proceduresDispatch(ex: HttpExchange, path: String): String = {
+      def readBody(): String = {
+        val body = new String(ex.getRequestBody.readAllBytes,
+          StandardCharsets.UTF_8)
+        // the reference's message for bodyless PUT/POST (MLDB-1010)
+        if (body.trim.isEmpty)
+          throw new IllegalArgumentException("empty payload")
+        body
+      }
       (ex.getRequestMethod, path) match {
-        case ("POST", "" | "/") =>
-          val body = new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
+        case ("GET", "") => procedures.keys.toSeq.sorted
+          .map(jsonStr).mkString("[", ",", "]")
+        case ("POST", "") =>
+          // anonymous creation also answers 201 like the reference's
+          // PolyCollection POST (MLDBFB-332 asserts it on /v1/procedures)
+          val body = readBody()
           val tpe = extractField(body, "type")
-          engine.runProcedure(tpe, k => extractFieldOpt(body, k))
+          Created(engine.runProcedure(tpe, k => extractFieldOpt(body, k)))
+        case ("PUT", name) if !name.contains("/") =>
+          val body = readBody()
+          val tpe = extractField(body, "type")
+          // creation-time config validation (the reference rejects the
+          // config itself, before any run)
+          engine.validateProcedure(tpe, k => extractFieldOpt(body, k))
+          procedures(name) = (tpe, body)
+          // MLDB-951: with runOnCreation the response carries the
+          // first run under status.firstRun; without it there is NO
+          // status field at all
+          val out =
+            if (extractFieldOpt(body, "runOnCreation").exists(_.toBoolean)) {
+              val run = engine.runProcedure(tpe, k => extractFieldOpt(body, k))
+              s"""{"id": ${jsonStr(name)}, "status": {"firstRun": $run}}"""
+            } else s"""{"id": ${jsonStr(name)}}"""
+          Created(out) // the reference answers 201 on entity creation
+        case ("POST", runPath) if runPath.endsWith("/runs") =>
+          val name = runPath.stripSuffix("/runs")
+          val (tpe, body) = procedures.getOrElse(name,
+            throw new NoSuchElementException(s"unknown procedure '$name'"))
+          Created(engine.runProcedure(tpe, k => extractFieldOpt(body, k)))
         case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
       }
-    })
+    }
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -283,18 +384,53 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     // MLDB-1315 yields columns `output.a`, `output.b`): the typed
     // engine keeps struct columns internally, so the format layer —
     // and only it — unnests them for table/sparse consumers
-    val df = format match {
+    val df1 = format match {
       case "table" | "sparse" | "full" => flattenStructs(df0)
       case _ => df0
     }
-    val schema = df.schema
-    val rows = df.take(limit)
+    // A carried rowName column renders as the reference's `_rowName`,
+    // FIRST (MLDB-102/1120 pin the key and its position in every
+    // format); atom extracts the single VALUE, so there it is dropped.
+    val rnIdx = df1.columns.indexWhere(_.equalsIgnoreCase("rowName"))
+    val df = if (rnIdx < 0) df1 else {
+      val cols = df1.columns
+      if (format == "atom")
+        df1.select(cols.filterNot(_.equalsIgnoreCase("rowName"))
+          .map(c => df1.col(s"`$c`")): _*)
+      else
+        df1.select((df1.col(s"`${cols(rnIdx)}`").as("_rowName") +:
+          cols.filterNot(_.equalsIgnoreCase("rowName"))
+            .map(c => df1.col(s"`$c`")).toSeq): _*)
+    }
+    // positional formats render value columns in SORTED name order —
+    // the reference's row model keeps cells path-sorted (MLDB-409 pins
+    // q,x,y,z for a SELECT of x,y,z,q; `runHttpQuery`'s sparse encoder
+    // re-sorts explicitly, `engine/dataset_collection.cc:92`); object
+    // formats (aos/soa) have no observable key order and keep the
+    // projection order
+    val dfS = format match {
+      case "table" | "sparse" | "full" =>
+        val names = df.columns
+        val value = names.filterNot(_ == "_rowName").sorted
+        val ordered = names.filter(_ == "_rowName") ++ value
+        if (ordered.sameElements(names)) df
+        else df.select(ordered.map(c => df.col(s"`$c`")).toSeq: _*)
+      case _ => df
+    }
+    val schema = dfS.schema
+    val rows = dfS.take(limit)
     def cell(r: org.apache.spark.sql.Row, i: Int, table: Boolean): String =
       if (r.isNullAt(i)) "null"
       else valueJsonFmt(r.get(i), schema.fields(i).dataType, table)
     format match {
       case "aos" =>
-        rows.iterator.map(r => structJson(r, schema)).mkString("[", ",", "]")
+        // explicit nulls: the result is rectangular (the SELECT list),
+        // so a selected-but-missing cell renders as `"z": null`
+        // (MLDB-102's aos battery)
+        rows.iterator.map(r =>
+          schema.fields.indices.map(i =>
+            s"${jsonStr(schema.fields(i).name)}:${cell(r, i, table = false)}")
+            .mkString("{", ",", "}")).mkString("[", ",", "]")
       case "table" =>
         val header = if (headers)
           Seq(schema.fields.map(f => jsonStr(f.name)).mkString("[", ",", "]"))
@@ -307,16 +443,54 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           s"${jsonStr(schema.fields(i).name)}:${
             rows.iterator.map(cell(_, i, table = false)).mkString("[", ",", "]")}"
         }.mkString("{", ",", "}")
-      case "sparse" | "full" =>
+      case "sparse" =>
+        // null cells are OMITTED: in wide mode the rectangular result
+        // can't distinguish an absent sparse cell from an explicit
+        // null, and SELECT * over sparse data (the common case,
+        // MLDB-1120) expects only present cells. Documented
+        // divergence: a column explicitly selected but absent
+        // (MLDB-102's z) is omitted here, not rendered null.
         rows.iterator.map(r =>
-          schema.fields.indices.filterNot(r.isNullAt).map { i =>
+          schema.fields.indices.filterNot(i =>
+            r.isNullAt(i) && schema.fields(i).name != "_rowName").map { i =>
             s"[${jsonStr(schema.fields(i).name)},${cell(r, i, table = false)}]"
           }.mkString("[", ",", "]")).mkString("[", ",", "]")
+      case "full" =>
+        // the reference's default format: one object per row with
+        // rowName and [column, value, ts] cells. Wide mode carries at
+        // most one row-level ts column — it stamps every cell; null
+        // cells (and ts-less results) read "-Inf" like the reference's
+        // never-recorded cells.
+        val tsIdx = schema.fields.indexWhere(f =>
+          f.name.equalsIgnoreCase("ts") &&
+            (f.dataType == org.apache.spark.sql.types.TimestampType ||
+              f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+        rows.iterator.map { r =>
+          val rn = schema.fields.indexWhere(_.name == "_rowName")
+          val rowTs =
+            if (tsIdx >= 0 && !r.isNullAt(tsIdx))
+              jsonStr(isoUtc(r.get(tsIdx)))
+            else jsonStr("-Inf")
+          val cells = schema.fields.indices
+            .filter(i => i != rn && i != tsIdx).map { i =>
+              val ts = if (r.isNullAt(i)) jsonStr("-Inf") else rowTs
+              s"[${jsonStr(schema.fields(i).name)},${cell(r, i, table = false)},$ts]"
+            }.mkString("[", ",", "]")
+          val rnPart =
+            if (rn >= 0 && !r.isNullAt(rn)) jsonStr(r.getString(rn))
+            else "null"
+          s"""{"rowName":$rnPart,"columns":$cells}"""
+        }.mkString("[", ",", "]")
       case "atom" =>
-        if (rows.length != 1 || schema.fields.length != 1)
-          throw new IllegalArgumentException(
-            s"format=atom needs exactly one row and one column, got ${
-              rows.length} rows x ${schema.fields.length} cols")
+        // the reference's four distinct diagnostics (MLDB-2107)
+        if (schema.fields.length > 1) throw new IllegalArgumentException(
+          "Query with atom format returned multiple columns")
+        if (schema.fields.isEmpty) throw new IllegalArgumentException(
+          "Query with atom format returned no column")
+        if (rows.length > 1) throw new IllegalArgumentException(
+          "Query with atom format returning multiple rows")
+        if (rows.isEmpty) throw new IllegalArgumentException(
+          "Query with atom format returned no rows.")
         cell(rows(0), 0, table = false)
       case other =>
         throw new IllegalArgumentException(s"unknown format $other")
@@ -338,6 +512,18 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     if (!df.schema.fields.exists(_.dataType.isInstanceOf[StructType])) df
     else df.select(df.schema.fields.toSeq.flatMap(f =>
       leaves(f.name, df.col(s"`${f.name}`"), f.dataType)): _*)
+  }
+
+  /** ISO-8601 UTC with the reference's `Z` suffix and no zero
+    * fraction (`2015-12-25T00:00:00Z`; sub-second survives —
+    * MLDB-409's no-FROM timestamp pin). `Instant.toString` renders in
+    * true UTC regardless of the JVM default zone. */
+  private def isoUtc(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case t: java.time.Instant => t.toString
+    case t: java.time.LocalDateTime =>
+      t.atOffset(java.time.ZoneOffset.UTC).toInstant.toString
+    case other => String.valueOf(other).replace(' ', 'T')
   }
 
   /** valueJson plus the reference's non-finite-number convention. */
@@ -380,8 +566,7 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
       case StringType => jsonStr(v.toString)
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType | BooleanType | _: DecimalType => v.toString
-      case TimestampType | TimestampNTZType =>
-        jsonStr(v.toString.replace(' ', 'T'))
+      case TimestampType | TimestampNTZType => jsonStr(isoUtc(v))
       case DateType => jsonStr(v.toString)
       case BinaryType => jsonStr(java.util.Base64.getEncoder
         .encodeToString(v.asInstanceOf[Array[Byte]]))
@@ -398,10 +583,17 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     }
   }
 
+  /** control-flow marker: a handler result that must answer 201
+    * (entity creation, matching the reference's REST codes). */
+  private final case class CreatedResponse(json: String)
+    extends RuntimeException
+  private def Created(json: String): Nothing = throw CreatedResponse(json)
+
   private def handle(ex: HttpExchange)(body: => String): Unit = {
     val (code, payload) =
       try (200, body)
       catch {
+        case CreatedResponse(j) => (201, j)
         case e: IllegalArgumentException => (400, errJson(e))
         case e: NoSuchElementException => (404, errJson(e))
         // Throwable, not Exception: a handler error that escapes here
@@ -439,6 +631,42 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
   }
 
   /** extract "field": "value" (with escaped quotes) from a flat JSON body. */
+  /** The reference's row-recording body shape → flat row objects:
+    * `{"rowName": "r", "columns": [["score", 5, 6], …]}` becomes
+    * `{"rowName": "r", "score": 5, "ts": "1970-01-01T00:00:06Z"}`.
+    * Numeric cell timestamps are epoch SECONDS (the reference's
+    * convention); the row keeps the max of its cells' timestamps as
+    * its single wide-mode ts. */
+  private def columnsFormToFlat(body: String): String = {
+    val rowRe = ("\\{[^{}]*\"rowName\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"" +
+      "[^{}\\[]*\"columns\"\\s*:\\s*\\[(.*?)\\]\\s*\\}").r
+    val cellRe = ("\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
+      "(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9.eE+]+|true|false|null)" +
+      "(?:\\s*,\\s*(\"[^\"]*\"|-?[0-9.eE+]+))?\\s*\\]").r
+    def tsJson(raw: String): Option[String] =
+      if (raw == null) None
+      else if (raw.startsWith("\"")) Some(raw)
+      else {
+        val secs = raw.toDouble
+        val inst = java.time.Instant.ofEpochMilli((secs * 1000).toLong)
+        Some(jsonStr(java.time.format.DateTimeFormatter.ISO_INSTANT
+          .format(inst)))
+      }
+    val rows = rowRe.findAllMatchIn(body).map { m =>
+      val rn = m.group(1)
+      val cells = cellRe.findAllMatchIn(m.group(2)).map { c =>
+        (c.group(1), c.group(2), tsJson(c.group(3)))
+      }.toSeq
+      val maxTs = cells.flatMap(_._3).sorted.lastOption
+      val fields = Seq(s""""rowName":${jsonStr(rn)}""") ++
+        cells.map { case (c, v, _) => s"${jsonStr(c)}:$v" } ++
+        maxTs.map(t => s""""ts":$t""")
+      fields.mkString("{", ",", "}")
+    }.toSeq
+    require(rows.nonEmpty, "no rows in body")
+    rows.mkString("[", ",", "]")
+  }
+
   private def extractField(body: String, field: String): String =
     extractFieldOpt(body, field).getOrElse(
       throw new IllegalArgumentException(s"missing field $field"))
@@ -467,6 +695,12 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           else "\"([^\"]*)\"".r.findAllMatchIn(inner)
             .map(_.group(1)).mkString(",")
         }
+      }
+      .orElse { // object WITHOUT an id → raw JSON text, for params the
+        // receiver parses itself (bucketize's percentileBuckets
+        // {name: [lo, hi], …} — no nested objects there)
+        val obj = ("\"" + field + "\"\\s*:\\s*(\\{[^{}]*\\})").r
+        obj.findFirstMatchIn(body).map(_.group(1))
       }
   }
 }

@@ -290,6 +290,55 @@ object Procedures {
     }
   }
 
+  /** `bucketize` with NAMED percentile ranges — the reference's
+    * primary config form (`bucketize_procedure.cc:192-240`,
+    * MLDB-1043/1267): each row of the ALREADY-ORDERED input gets the
+    * bucket whose [lower, upper) percentile range covers its position;
+    * rows outside every range are dropped; the output is
+    * (rowName, bucket [, ts]) with every bucket cell stamped by the
+    * input's latest timestamp (the reference stamps with the order-by
+    * clause's latest_timestamp — wide mode's analog is the max of the
+    * input's ts column). The global index comes from zipWithIndex on
+    * the sorted frame — order-preserving and distributed (no
+    * single-partition window); bucket assignment is a map-side
+    * when-chain over the (few) ranges. */
+  def bucketizeNamed(ordered: DataFrame, rowNameCol: String,
+      buckets: Seq[(String, Double, Double)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = ordered.sparkSession
+    val rnIdx = ordered.schema.fieldNames
+      .indexWhere(_.equalsIgnoreCase(rowNameCol))
+    require(rnIdx >= 0, s"bucketize input needs a '$rowNameCol' column")
+    val tsIdx = ordered.schema.fieldNames.indexWhere(_.equalsIgnoreCase("ts"))
+    val maxTs: Option[Any] =
+      if (tsIdx < 0) None
+      else Option(ordered.agg(max(col(ordered.columns(tsIdx)))).head().get(0))
+    val total = ordered.count()
+    val indexed = spark.createDataFrame(
+      ordered.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(String.valueOf(r.get(rnIdx)), i)
+      },
+      StructType(Seq(StructField("rowName", StringType),
+        StructField("__idx", LongType))))
+    // reference bounds: lower = floor(lo/100*n); upper = n when
+    // hi == 100 exactly (so numerical issues can't drop the last row)
+    val assign = buckets.foldLeft(lit(null).cast("string")) {
+      case (acc, (n, lo, hi)) =>
+        val lower = math.floor(lo / 100.0 * total).toLong
+        val upper =
+          if (hi == 100.0) total else math.floor(hi / 100.0 * total).toLong
+        when(col("__idx") >= lower && col("__idx") < upper, lit(n))
+          .otherwise(acc)
+    }
+    val out = indexed.withColumn("bucket", assign)
+      .filter(col("bucket").isNotNull)
+      .select(col("rowName"), col("bucket"))
+    maxTs match {
+      case Some(t) => out.withColumn("ts", lit(t))
+      case None => out
+    }
+  }
+
   /** `ranking` (`builtin/ranking_procedure.cc:199`). With partition
     * keys this is a plain partitioned window; the GLOBAL case (empty
     * partitionBy) reconstructs exact rank()/percent_rank() from

@@ -27,12 +27,16 @@ object SqlDialectQueries {
     // row literal becomes one row per atom, numeric atoms unify to
     // double. ---
     QueryDef("q110_sql_row_dataset",
-      """SELECT * FROM (VALUES ('a', CAST(1.0 AS DOUBLE)),
-        |  ('b', CAST(2.5 AS DOUBLE)), ('c', CAST(7.0 AS DOUBLE)))
-        |  t("column", "value")
+      """SELECT * FROM (VALUES ('0', 'a', CAST(1.0 AS DOUBLE)),
+        |  ('1', 'b', CAST(2.5 AS DOUBLE)), ('2', 'c', CAST(7.0 AS DOUBLE)))
+        |  t("rowName", "column", "value")
         |ORDER BY "column"""".stripMargin) { (s, d) =>
+      // row names are part of the reference's row_dataset contract
+      // (rows named 0..n-1) — selected explicitly so the oracle pins
+      // them too
       GraftSql.query(s, d,
-        """SELECT "column", value FROM row_dataset({a: 1, b: 2.5, c: 7})
+        """SELECT rowName() AS rowName, "column", value
+          |FROM row_dataset({a: 1, b: 2.5, c: 7})
           |ORDER BY "column"""".stripMargin)
     },
 

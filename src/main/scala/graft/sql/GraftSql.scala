@@ -207,6 +207,18 @@ object GraftSql {
       Lowering.Context(spark, tables, params, macros, lookups, rowPivots),
       Parser.parse(sql))
 
+  /** Same, from an already-parsed (possibly rewritten) statement —
+    * procedures that augment the user's query AST (bucketize's
+    * implicit `rowName() AS rowName`) enter here. */
+  def queryStmtTables(spark: SparkSession, tables: String => DataFrame,
+      stmt: Ast.Select, params: Map[String, Any] = Map.empty,
+      macros: Map[String, Seq[Ast.SelectItem]] = Map.empty,
+      lookups: Map[String, Lowering.ParamLookup] = Map.empty,
+      rowPivots: Map[String, Lowering.RowPivot] = Map.empty): DataFrame =
+    Lowering.run(
+      Lowering.Context(spark, tables, params, macros, lookups, rowPivots),
+      stmt)
+
   /** Parameterized query: `$name` placeholders bound from `params`. */
   def query(spark: SparkSession, dir: String, sql: String,
       params: Map[String, Any]): DataFrame =

@@ -1271,6 +1271,36 @@ object Lowering {
         // bag comparison → sorted-entry-list comparison (MLDB-989)
         binaryOp(op, bagEntries(lowerExpr(scope, l)),
           bagEntries(lowerExpr(scope, r)))
+      else if (Set("=", "!=", "<>", "<", "<=", ">", ">=")(op) && {
+        // a timestamp difference is a Spark day-time interval; compared
+        // against the dialect's (months, days, seconds) INTERVAL value
+        // both sides normalize to seconds (months at the reference's
+        // calendar rate — MLDB-409's `now() - ts > INTERVAL '454D'`).
+        // Struct-vs-struct comparisons stay component-wise (MLDB-724:
+        // 1 day ≠ 24 H), so this only fires when ONE side is a real
+        // day-time interval.
+        def isDt(e: Expr): Boolean = resolvedTypeOf(scope,
+          lowerExpr(scope, e)).exists(
+          _.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType])
+        isDt(l) || isDt(r)
+      }) {
+        def secs(e: Expr): Column = {
+          val c = lowerExpr(scope, e)
+          resolvedTypeOf(scope, c) match {
+            case Some(_: org.apache.spark.sql.types.DayTimeIntervalType) =>
+              // ANSI interval → integral cast counts the END field
+              // (seconds for DAY TO SECOND) — then widen
+              c.cast("long").cast("double")
+            case Some(st: org.apache.spark.sql.types.StructType)
+                if st.fieldNames.sameElements(
+                  Array("months", "days", "seconds")) =>
+              c.getField("months") * 2592000.0 +
+                c.getField("days") * 86400.0 + c.getField("seconds")
+            case _ => c.cast("double")
+          }
+        }
+        binaryOp(op, secs(l), secs(r))
+      }
       else if (arith && (arrayShaped(scope, l) || arrayShaped(scope, r))) {
         // embedding arithmetic is element-wise; a scalar broadcasts
         // over the vector (MLDB-953 `[1,2,3,4]/norm(...)`)
@@ -1428,6 +1458,18 @@ object Lowering {
         scope.frames.filter(_._1.exists(
           _.equalsIgnoreCase(prefix.dropRight(1))))
       else Nil
+    // `x.a.*` (MLDBFB-634): head segment names a frame alias, the
+    // remainder is a column-path prefix WITHIN that frame. Output
+    // keeps the full qualified path (`x.a.b`), matching the
+    // reference's joined virtual-table column naming.
+    val nestedAliasFrames =
+      if (aliasFrames.isEmpty && prefix.endsWith(".") &&
+          prefix.dropRight(1).contains('.')) {
+        val head = prefix.takeWhile(_ != '.')
+        val rest = prefix.drop(head.length + 1)
+        scope.frames.filter(_._1.exists(_.equalsIgnoreCase(head)))
+          .map { case (a, df) => (a, df, rest) }
+      } else Nil
     if (aliasFrames.nonEmpty)
       aliasFrames.flatMap { case (a, df) =>
         df.columns.toSeq.flatMap { c =>
@@ -1437,6 +1479,21 @@ object Lowering {
           else {
             seen += c.toLowerCase
             Some(col(s"`${a.get}`.`$c`").as(c))
+          }
+        }
+      }
+    else if (nestedAliasFrames.nonEmpty)
+      nestedAliasFrames.flatMap { case (a, df, rest) =>
+        df.columns.toSeq.flatMap { c =>
+          if (!c.startsWith(rest) || excluded(c) || c.startsWith("__") ||
+              seen.contains(c.toLowerCase)) None
+          else {
+            seen += c.toLowerCase
+            val outName = rename match {
+              case Some(np) => np + c.stripPrefix(rest)
+              case None => s"${a.get}.$c"
+            }
+            Some(col(s"`${a.get}`.`$c`").as(outName))
           }
         }
       }
@@ -1571,6 +1628,36 @@ object Lowering {
     when(x.cast("double") === 0.0, lit(Double.NegativeInfinity))
       .when(x.cast("double") < 0.0, lit(Double.NaN))
       .otherwise(sparkResult)
+
+  /** Strip an implicitly carried row-name column (metadata-marked by
+    * the MLDB-409 passthrough) — value-position subqueries
+    * (`x IN (SELECT y FROM …)`) read the SELECTED column, not the
+    * carried name. */
+  private def dropImplicitRowName(df: DataFrame): DataFrame =
+    if (df.schema.headOption.exists(f =>
+        f.name.equalsIgnoreCase("rowName") &&
+          f.metadata.contains("graft.implicitRowName")))
+      df.drop("rowName")
+    else df
+
+  /** Column metadata distinguishing an IMPLICITLY carried row name
+    * (MLDB-409 passthrough / default group names) from one the query
+    * selected via NAMED or a star — consumers that predate the
+    * passthrough (positional test pins) can tell them apart. */
+  val implicitRowNameMd: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.implicitRowName", true).build()
+
+  /** String-shaped in the POST-aggregation outer scope, where
+    * `rowName()` is the (string) group row name: literals, row names,
+    * and `+`-chains over them — enough for the reference's
+    * concatenating `+` (`sql_expression_operations.cc:968-974`). */
+  private def outerStringShaped(e: Expr): Boolean = e match {
+    case StrLit(_) => true
+    case FnCall("rowname", Nil, _) => true
+    case Binary("+", l, r) => outerStringShaped(l) || outerStringShaped(r)
+    case _ => false
+  }
 
   private def binaryOp(op: String, lc: Column, rc: Column): Column = op match {
     case "+" => lc + rc
@@ -2055,16 +2142,25 @@ object Lowering {
     case "static_type" => typeof(a(0))
     // implicit_cast (`sql/builtin_functions.cc:949`): string values
     // that parse as numbers become numbers, the empty string becomes
-    // NULL, non-strings pass through. Typed-engine divergence
-    // (documented): a string input lowers to its NUMERIC
-    // interpretation — non-numeric strings become NULL here, where
-    // the dynamically-typed reference keeps them as strings. When the
-    // static type cannot be resolved (computed expression), the input
-    // passes through unchanged.
+    // NULL, non-strings (and non-numeric strings) pass through.
     case "implicit_cast" =>
-      staticType(scope, raw(0)) match {
+      staticType(scope, raw(0)).orElse(resolvedTypeOf(scope, a(0))) match {
         case Some(org.apache.spark.sql.types.StringType) =>
-          when(a(0) === "", lit(null)).otherwise(a(0).cast("double"))
+          // column type from a capped plan-time sample: all-integer
+          // strings become longs (MLDB-1275's implicit_cast(rowName())
+          // renders 0, not 0.0), all-numeric become doubles, mixed
+          // stay strings (per-cell conversion is not expressible in a
+          // single typed column — documented divergence)
+          val kind = scope.frames.map(_._2)
+            .find(f => scala.util.Try(f.select(a(0))).isSuccess)
+            .map(f => PlanTime.stringNumericKind(f, a(0), "implicit_cast"))
+            .getOrElse("double")
+          kind match {
+            case "long" => a(0).cast("long")
+            case "double" => when(a(0) === "", lit(null))
+              .otherwise(a(0).cast("double"))
+            case _ => when(a(0) === "", lit(null)).otherwise(a(0))
+          }
         case _ => a(0)
       }
     // vector
@@ -2602,6 +2698,9 @@ object Lowering {
       // reference's join projections (MLDB-2040: `SELECT a.one` names
       // the output column `a.one`) — single-part idents stay bare
       case Ident(parts) => parts.mkString(".")
+      // a row-star aggregate keeps its surface text so its per-column
+      // expansion flattens to `sum({*}).colA` (MLDBFB-332)
+      case FnApply(n, args, _) if args.exists(_._1 == "*") => s"$n({*})"
       case FnCall(n, _, _) => n
       case _ => s"_c$idx"
     })
@@ -2871,8 +2970,29 @@ object Lowering {
             skipRowName = stmt.named.isDefined)
         case (it, i) => Seq(outCol(itemName(it, i)))
       }
+      // implicit row-name passthrough (MLDB-409): every reference row
+      // keeps its name through an explicit select list (`SELECT x,y,z,q
+      // FROM transformed` still renders _rowName). A source frame that
+      // carries a rowName column forwards it unless NAMED replaced it,
+      // a star already re-emitted it, or an item shadows the name.
+      val outNames = stmtItems.zipWithIndex.collect {
+        case (it @ SelectItem(e, _), i)
+            if !e.isInstanceOf[Star] && !e.isInstanceOf[ColumnExprStar] =>
+          itemName(it, i)
+      }
+      val hasStarItem = stmtItems.exists(it => it.e.isInstanceOf[Star] ||
+        it.e.isInstanceOf[ColumnExprStar])
       val withName = stmt.named match {
         case Some(_) => col("rowName") +: cols
+        case None if !hasStarItem &&
+            !stmt.from.exists(_.isInstanceOf[JoinExpr]) &&
+            distincted.columns.count(_.equalsIgnoreCase("rowName")) == 1 &&
+            !outNames.exists(_.equalsIgnoreCase("rowName")) =>
+          // (JOINs are excluded: each side carries its own rowName —
+          // the composed [l]-[r] name is built only when the query
+          // asks for rowName() explicitly). Metadata marks the column
+          // as implicitly carried (vs NAMED/star-selected).
+          col("rowName").as("rowName", implicitRowNameMd) +: cols
         case None => cols
       }
       distincted.select(withName: _*)
@@ -3039,6 +3159,11 @@ object Lowering {
             throw new IllegalArgumentException(
               s"variable '$n' must appear in the GROUP BY clause or " +
                 "be used in an aggregate function")
+          // reference binaryPlus: a string on either side concatenates
+          // (`sql_expression_operations.cc:968-974`; MLDB-409's
+          // NAMED rowName() + '_transformed' over GROUP BY)
+          case Binary("+", l, r) if outerStringShaped(l) || outerStringShaped(r) =>
+            concat(lowerOuter(l).cast("string"), lowerOuter(r).cast("string"))
           case Binary(op, l, r) => binaryOp(op, lowerOuter(l), lowerOuter(r))
           case Unary("-", x) => -lowerOuter(x)
           case Unary("not", x) => !lowerOuter(x)
@@ -3077,9 +3202,24 @@ object Lowering {
         lowerOuter(it.e).as(itemName(stmt.items(i), i))
       }
       // NAMED in the aggregate path — a rowName column ahead of the
-      // projection, like the non-agg path (MLDB-2111 test_groupby_named)
-      val namedPrefix = rewrittenNamed.map(n =>
-        lowerOuter(n).cast("string").as("rowName")).toSeq
+      // projection, like the non-agg path (MLDB-2111 test_groupby_named).
+      // Without NAMED, a named-rows source (it carries a rowName
+      // column) keeps the reference's DEFAULT group row name `[keys]`
+      // (MLDBFB-332: `[]` for a whole-table aggregate, `[1]` for
+      // GROUP BY 1) — plain tabular sources stay name-free so ANSI
+      // aggregation output shapes are unchanged.
+      val outItemNames = rewrittenItems.zipWithIndex.map { case (_, i) =>
+        itemName(stmt.items(i), i)
+      }
+      val namedPrefix = rewrittenNamed match {
+        case Some(n) => Seq(lowerOuter(n).cast("string").as("rowName"))
+        case None
+            if !stmt.from.exists(_.isInstanceOf[JoinExpr]) &&
+              filtered.columns.count(_.equalsIgnoreCase("rowName")) == 1 &&
+              !outItemNames.exists(_.equalsIgnoreCase("rowName")) =>
+          Seq(groupRowName.as("rowName", implicitRowNameMd))
+        case None => Seq.empty
+      }
       if (stmt.distinctOn.nonEmpty) {
           val keys = stmt.distinctOn
           // DISTINCT ON over a grouped projection (MLDB-1841
@@ -3219,7 +3359,7 @@ object Lowering {
     val dropped = inSelMap.values.foldLeft(base)(_.drop(_))
     inSelects.foldLeft(dropped) { (d, e) =>
       val InSelect(x, sub, negated) = e: @unchecked // partitioned above
-      val subDf = lowerSelect(ctx, sub)
+      val subDf = dropImplicitRowName(lowerSelect(ctx, sub))
       val probe = subDf.select(col(subDf.columns.head).as("__in_probe"))
       d.join(probe, lowerExpr(scope, x) === col("__in_probe"),
         if (negated) "left_anti" else "left_semi")
@@ -3244,7 +3384,7 @@ object Lowering {
   private def addInSelectMarkerCol(ctx: Context, out: DataFrame,
       xe: Column, is: InSelect, name: String): DataFrame = {
     val InSelect(_, sub, neg) = is
-    val subDf = lowerSelect(ctx, sub)
+    val subDf = dropImplicitRowName(lowerSelect(ctx, sub))
     val vcol = subDf.columns.head
     val probe = subDf.select(col(vcol).as(s"${name}_v"))
       .filter(col(s"${name}_v").isNotNull)

@@ -175,7 +175,19 @@ final class Parser(tokens: Vector[Token], source: String = "") {
       // `a.b`). The lowering decides which by looking at the scope.
       val prefix = advance() match {
         case TIdent(v, true, _) => v // quoted: verbatim prefix ("a.")
-        case TIdent(v, false, _) => acceptOp("."); v + "."
+        case TIdent(v, false, _) =>
+          acceptOp(".")
+          // further dotted segments before the `*` (MLDBFB-634:
+          // `x.a.*` = frame alias x, column prefix a.)
+          var s = v + "."
+          var cont = true
+          while (cont) peek match {
+            case TIdent(w, false, _) if tokens.lift(p + 1).exists {
+                  case TOp(".", _) => true; case _ => false } =>
+              p += 2; s = s + w + "."
+            case _ => cont = false
+          }
+          s
         case _ => fail("expected identifier")
       }
       expectOp("*")
@@ -274,10 +286,17 @@ final class Parser(tokens: Vector[Token], source: String = "") {
       case _ => false
     }
     case TIdent(v, false, _) if !reserved(v.toLowerCase) =>
-      (tokens.lift(p + 1), tokens.lift(p + 2)) match {
-        case (Some(TOp(".", _)), Some(TOp("*", _))) => true
-        case _ => false
+      // scan `ident(.ident)*.` followed by `*` (multi-segment:
+      // `x.a.*`, MLDBFB-634); `x.a.b * 2` has no dot before the star
+      var k = p
+      var ok = false
+      var done = false
+      while (!done) (tokens.lift(k + 1), tokens.lift(k + 2)) match {
+        case (Some(TOp(".", _)), Some(TOp("*", _))) => ok = true; done = true
+        case (Some(TOp(".", _)), Some(TIdent(_, false, _))) => k += 2
+        case _ => done = true
       }
+      ok
     case _ => false
   }
 

@@ -64,6 +64,30 @@ object PlanTime {
           org.apache.spark.sql.types.NullType, true))
   }
 
+  /** Numeric kind of the string expression `c` over `df`: "long" when
+    * every sampled non-empty value is an integer literal, "double"
+    * when all are numeric, else "string". Backs `implicit_cast`'s
+    * typed lowering (`sql/builtin_functions.cc:949` converts per
+    * CELL; a Spark column commits to one type, chosen from the capped
+    * sample — mixed columns stay strings, documented divergence). */
+  def stringNumericKind(df: DataFrame, c: Column, what: String): String = {
+    val sample = df.select(c.cast("string").as("__ptv"))
+      .filter(col("__ptv").isNotNull && col("__ptv") =!= "")
+      .limit(cap(df.sparkSession))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__ptv").rlike("^-?[0-9]+$"), 1)).as("ints"),
+        count(when(col("__ptv").rlike(
+          "^-?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"), 1))
+          .as("nums"))
+      .head()
+    val (total, ints, nums) =
+      (sample.getLong(0), sample.getLong(1), sample.getLong(2))
+    if (total == 0L) "string"
+    else if (ints == total) "long"
+    else if (nums == total) "double"
+    else "string"
+  }
+
   /** Materialize a registration-time result, bounded by `maxRows`
     * (the driver-materialization cap, not the key cap). */
   def boundedRows(df: DataFrame, maxRows: Int,

@@ -405,7 +405,7 @@ class PostgresSpec extends AnyFunSuite {
         .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port/v1/procedures"))
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
-      assert(r.statusCode() === 200 && r.body().contains("\"rowCount\": 4"),
+      assert(r.statusCode() === 201 && r.body().contains("\"rowCount\": 4"),
         r.body())
       assert(engine.dataset("pg_items").count() === 4)
     } finally { srv.stop(); pg.stop() }

@@ -18,7 +18,17 @@ class ReferenceParitySpec3 extends AnyFunSuite {
     .getOrCreate()
 
   lazy val e = new api.GraftEngine(spark)
-  private def q(sql: String) = e.query(sql)
+  private def q(sql: String) = {
+    val df = e.query(sql)
+    // positional value pins predate the MLDB-409 implicit row-name
+    // passthrough (round 8); the engine marks the implicitly carried
+    // column with metadata — NAMED/star-selected row names stay
+    if (df.schema.headOption.exists(f =>
+        f.name.equalsIgnoreCase("rowName") &&
+          f.metadata.contains("graft.implicitRowName")))
+      df.drop("rowName")
+    else df
+  }
   private def one(sql: String): Row = q(sql).head()
 
   // --- MLDB-2074-empty-join.py ---------------------------------------------

@@ -17,7 +17,17 @@ class ReferenceParitySpec5 extends AnyFunSuite {
     .getOrCreate()
 
   lazy val e = new api.GraftEngine(spark)
-  private def q(sql: String) = e.query(sql)
+  private def q(sql: String) = {
+    val df = e.query(sql)
+    // positional value pins predate the MLDB-409 implicit row-name
+    // passthrough (round 8); the engine marks the implicitly carried
+    // column with metadata — NAMED/star-selected row names stay
+    if (df.schema.headOption.exists(f =>
+        f.name.equalsIgnoreCase("rowName") &&
+          f.metadata.contains("graft.implicitRowName")))
+      df.drop("rowName")
+    else df
+  }
 
   // --- MLDB-1305_rowNames_join.py (the MLDB-1454 WHERE battery) ------------
 

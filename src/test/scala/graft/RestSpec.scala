@@ -135,20 +135,23 @@ class RestSpec extends AnyFunSuite {
       val q = java.net.URLEncoder.encode(
         "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2 " +
           "ORDER BY r_regionkey", "UTF-8")
-      // table: header row then positional arrays
+      // table: header row then positional arrays — value columns in
+      // SORTED name order like the reference's path-sorted row cells
+      // (MLDB-409 pins q,x,y,z for a SELECT of x,y,z,q)
       val (tc, tb) = get(port, s"/v1/query?q=$q&format=table")
       assert(tc === 200 &&
-        tb === """[["r_regionkey","r_name"],[0,"AFRICA"],[1,"AMERICA"]]""")
+        tb === """[["r_name","r_regionkey"],["AFRICA",0],["AMERICA",1]]""")
       // headers=false drops the header row
       assert(get(port, s"/v1/query?q=$q&format=table&headers=false")._2
-        === """[[0,"AFRICA"],[1,"AMERICA"]]""")
+        === """[["AFRICA",0],["AMERICA",1]]""")
       // soa: one array per column
       val (_, sb) = get(port, s"/v1/query?q=$q&format=soa")
       assert(sb === """{"r_regionkey":[0,1],"r_name":["AFRICA","AMERICA"]}""")
-      // sparse: rows as [column, value] pairs
+      // sparse: rows as [column, value] pairs, sorted per row (the
+      // reference sorts explicitly — `dataset_collection.cc:92`)
       val (_, pb) = get(port, s"/v1/query?q=$q&format=sparse")
-      assert(pb === """[[["r_regionkey",0],["r_name","AFRICA"]],""" +
-        """[["r_regionkey",1],["r_name","AMERICA"]]]""")
+      assert(pb === """[[["r_name","AFRICA"],["r_regionkey",0]],""" +
+        """[["r_name","AMERICA"],["r_regionkey",1]]]""")
       // atom: exactly one cell, bare value
       val qa = java.net.URLEncoder.encode(
         "SELECT count(*) AS n FROM region", "UTF-8")
@@ -161,19 +164,22 @@ class RestSpec extends AnyFunSuite {
       val (_, nb) = get(port, s"/v1/query?q=$qn&format=soa")
       assert(nb === """{"inf":[{"num":"Inf"}],"nan":[{"num":"NaN"}]}""")
       assert(get(port, s"/v1/query?q=$qn&format=table&headers=false")._2
-        === """[["Inf","NaN"]]""")
+        === """[["Inf","NaN"]]""") // inf < nan in sorted column order too
       // unknown format → 400
       assert(get(port, s"/v1/query?q=$q&format=nope")._1 === 400)
       // nested rows flatten to DOTTED columns in the table formats
       // (MLDB-668/832, MLDB-1315's `x() AS *` → output.a, output.b):
       // struct columns stay structs internally; the format layer
       // unnests for table/sparse consumers
+      // (a no-FROM select carries its 'result' row name, rendered as
+      // the reference's leading _rowName — MLDB-102/871)
       val qs = java.net.URLEncoder.encode(
         "SELECT {x: 1, d: {y: 'two'}} AS z", "UTF-8")
+      // dotted columns sort path-wise: z.d.y < z.x
       assert(get(port, s"/v1/query?q=$qs&format=table")._2
-        === """[["z.x","z.d.y"],[1,"two"]]""")
+        === """[["_rowName","z.d.y","z.x"],["result","two",1]]""")
       assert(get(port, s"/v1/query?q=$qs&format=sparse")._2
-        === """[[["z.x",1],["z.d.y","two"]]]""")
+        === """[[["_rowName","result"],["z.d.y","two"],["z.x",1]]]""")
     } finally srv.stop()
   }
 
@@ -360,7 +366,7 @@ class RestSpec extends AnyFunSuite {
       // script.run returning a scalar
       val (c1, b1) = post(
         """{"type": "script.run", "source": "(s: org.apache.spark.sql.SparkSession, a: Map[String, Any]) => 6 * 7"}""")
-      assert(c1 === 200 && b1.contains("42"), b1)
+      assert(c1 === 201 && b1.contains("42"), b1) // POST creation answers 201
       // import.sqlite from the fixture, registered as a dataset
       val dbPath = {
         val in = getClass.getResourceAsStream("/graft/generic.db")
@@ -371,17 +377,17 @@ class RestSpec extends AnyFunSuite {
       }
       val (c2, b2) = post(
         s"""{"type": "import.sqlite", "dataFileUrl": "$dbPath", "table": "items", "outputDataset": "sqlite_items"}""")
-      assert(c2 === 200 && b2.contains("\"rowCount\": 300"), b2)
+      assert(c2 === 201 && b2.contains("\"rowCount\": 300"), b2)
       assert(get(port, "/v1/datasets/sqlite_items")._1 === 200)
       // tsne.train over the registered embeddings table
       val (c3, b3) = post(
         """{"type": "tsne.train", "trainingDataset": "embeddings", "idColumn": "vec_id", "vectorColumn": "embedding", "outputDataset": "tsne_out"}""")
-      assert(c3 === 200 && b3.contains("tsne_out"), b3)
+      assert(c3 === 201 && b3.contains("tsne_out"), b3)
       assert(get(port, "/v1/datasets/tsne_out")._1 === 200)
       // dataset.stats: per-column profile of a registered dataset
       val (c4, b4) = post(
         """{"type": "dataset.stats", "inputDataset": "embeddings"}""")
-      assert(c4 === 200 && b4.contains("\"rowCount\": 500") &&
+      assert(c4 === 201 && b4.contains("\"rowCount\": 500") &&
         b4.contains("\"column\": \"vec_id\"") &&
         b4.contains("\"nulls\": 0"), b4)
       // list.files: directory listing as a dataset
@@ -390,7 +396,7 @@ class RestSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(dir.resolve("b.txt"), "world!!")
       val (c5, b5) = post(
         s"""{"type": "list.files", "dataFileUrl": "$dir", "outputDataset": "files"}""")
-      assert(c5 === 200 && b5.contains("\"rowCount\": 2"), b5)
+      assert(c5 === 201 && b5.contains("\"rowCount\": 2"), b5)
       val (_, fb) = get(port, "/v1/datasets/files")
       assert(fb.contains("a.txt") && fb.contains("\"size_bytes\":7"))
       // unknown type → 400
@@ -403,7 +409,7 @@ class RestSpec extends AnyFunSuite {
         "print(json.dumps({\\\"n\\\": rows[0][\\\"n\\\"]}))"
       val (c6, b6) = post(
         s"""{"type": "script.run", "language": "python", "source": "$pySrc"}""")
-      assert(c6 === 200, b6)
+      assert(c6 === 201, b6)
       assert(b6.contains("\"return\": {\"n\": 500}"), b6)
       assert(b6.contains("\"stdout\": \"working\""), b6)
       assert(b6.contains("\"returnCode\": 0"), b6)
@@ -426,51 +432,51 @@ class RestSpec extends AnyFunSuite {
       }
       val (c1, b1) = post(
         """{"type": "dedup.exact", "inputDataset": "documents", "outputDataset": "deduped"}""")
-      assert(c1 === 200 && b1.contains("deduped"), b1)
+      assert(c1 === 201 && b1.contains("deduped"), b1) // 201 on creation
       val (c2, b2) = post(
         """{"type": "quality.gopher", "inputDataset": "documents", "outputDataset": "quality"}""")
-      assert(c2 === 200, b2)
+      assert(c2 === 201, b2)
       val (_, qb) = get(port, "/v1/datasets/quality")
       assert(qb.contains("mean_word_len") && qb.contains("\"pass\""))
       val (c3, b3) = post(
         """{"type": "pack.sequence", "inputDataset": "documents", "budget": "512", "outputDataset": "packed"}""")
-      assert(c3 === 200, b3)
+      assert(c3 === 201, b3)
       val (_, pb) = get(port, "/v1/datasets/packed")
       assert(pb.contains("first_pack") && pb.contains("n_packs"))
       val (c3g, b3g) = post(
         """{"type": "pack.sequence", "inputDataset": "documents", "groupColumn": "source", "budget": "512", "outputDataset": "packed_by_src"}""")
-      assert(c3g === 200 && b3g.contains("packed_by_src"), b3g)
+      assert(c3g === 201 && b3g.contains("packed_by_src"), b3g)
       val (c4, b4) = post(
         """{"type": "ann.quantized", "inputDataset": "embeddings", "queriesDataset": "embeddings", "k": "3", "outputDataset": "nbrs"}""")
-      assert(c4 === 200, b4)
+      assert(c4 === 201, b4)
       val (_, nb) = get(port, "/v1/datasets/nbrs")
       assert(nb.contains("neighbor_id") && nb.contains("cosine"))
       val (c5, b5) = post(
         """{"type": "dedup.winnow", "inputDataset": "documents", "k": "3", "w": "4", "outputDataset": "winnowed"}""")
-      assert(c5 === 200 && b5.contains("winnowed"), b5)
+      assert(c5 === 201 && b5.contains("winnowed"), b5)
       // bpe.train registers an appliable tokenizer function
       val (c6, b6) = post(
         """{"type": "bpe.train", "trainingDataset": "documents", "numMerges": "40", "functionName": "tok"}""")
-      assert(c6 === 200 && b6.contains("\"merges\": 40"), b6)
+      assert(c6 === 201 && b6.contains("\"merges\": 40"), b6)
       val (c7, b7) = post(
         """{"type": "dedup.semantic", "inputDataset": "embeddings", "k": "8", "minCosine": "0.99", "outputDataset": "semdeduped"}""")
-      assert(c7 === 200 && b7.contains("semdeduped"), b7)
+      assert(c7 === 201 && b7.contains("semdeduped"), b7)
       val (c8, b8) = post(
         """{"type": "sample.temperature", "inputDataset": "documents", "budgetFraction": "0.25", "outputDataset": "balanced"}""")
-      assert(c8 === 200 && b8.contains("balanced"), b8)
+      assert(c8 === 201 && b8.contains("balanced"), b8)
       val (c9, b9) = post(
         """{"type": "sample.dsir", "inputDataset": "documents", "targetDataset": "documents", "k": "50", "outputDataset": "dsir_sel"}""")
-      assert(c9 === 200 && b9.contains("\"rowCount\": 50"), b9)
+      assert(c9 === 201 && b9.contains("\"rowCount\": 50"), b9)
       val (c10, b10) = post(
         """{"type": "quality.repetition", "inputDataset": "documents", "outputDataset": "rep"}""")
-      assert(c10 === 200 && b10.contains("rep"), b10)
+      assert(c10 === 201 && b10.contains("rep"), b10)
       val (c11, b11) = post(
         """{"type": "quality.c4", "inputDataset": "documents", "outputDataset": "c4"}""")
-      assert(c11 === 200 && b11.contains("c4"), b11)
+      assert(c11 === 201 && b11.contains("c4"), b11)
       // whole curation chain in one call: gates + dedup + rebalance
       val (c12, b12) = post(
         """{"type": "pipeline.curate", "inputDataset": "documents", "keepColumns": "source", "quality": "true", "stopwords": "the,a,table,value", "minStop": "3", "repetition": "true", "dedupExact": "true", "budgetFraction": "0.5", "outputDataset": "curated"}""")
-      assert(c12 === 200 && b12.contains("curated"), b12)
+      assert(c12 === 201 && b12.contains("curated"), b12)
       val m12 = "\"rowCount\": (\\d+)".r.findFirstMatchIn(b12)
       assert(m12.exists(m => m.group(1).toInt > 0 && m.group(1).toInt < 500), b12)
       val input = java.net.URLEncoder.encode("""{"text": "the quick fox"}""", "UTF-8")
@@ -480,7 +486,7 @@ class RestSpec extends AnyFunSuite {
       val shardDir = java.nio.file.Files.createTempDirectory("graft_rest_shards").toString
       val (c13, b13) = post(
         s"""{"type": "export.shards", "inputDataset": "documents", "tokensPerShard": "5000", "outputUrl": "$shardDir"}""")
-      assert(c13 === 200 && b13.contains("\"shards\""), b13)
+      assert(c13 === 201 && b13.contains("\"shards\""), b13)
       val nShards = "\"shards\": (\\d+)".r.findFirstMatchIn(b13).get.group(1).toInt
       assert(nShards > 1, b13)
       assert(new java.io.File(shardDir + "/data").exists())
@@ -515,7 +521,7 @@ class RestSpec extends AnyFunSuite {
           |"expression": "patate800({x})"}}""".stripMargin)._1 === 200)
       val out = engine.query(
         "SELECT poil800({x}) AS v FROM ds800 WHERE rowName() = 'row_3'")
-        .head().getStruct(0)
+        .select("v").head().getStruct(0)
       // x='row_0' on every row → the lookup lands row_0's cells
       assert(out.getAs[String]("x") === "row_0")
       assert(out.getAs[Long]("y") === 0L)
@@ -550,7 +556,7 @@ class RestSpec extends AnyFunSuite {
           |"embeddingDataset": "restWordEmb",
           |"aggregators": ["avg", "max"]}}""".stripMargin)._1 === 200)
       val v = engine.query(
-        "SELECT pool2({words: {*}}) AS p FROM restBag").head()
+        "SELECT pool2({words: {*}}) AS p FROM restBag").select("p").head()
         .getStruct(0).getSeq[Double](0)
       assert(v === Seq(0.5, 0.45, 0.8, 0.9))
       // default aggregators = ['avg'] (not a double-quoted identifier)
@@ -558,7 +564,7 @@ class RestSpec extends AnyFunSuite {
         """{"type": "pooling", "params": {
           |"embeddingDataset": "restWordEmb"}}""".stripMargin)._1 === 200)
       val v1 = engine.query(
-        "SELECT pool1({words: {*}}) AS p FROM restBag").head()
+        "SELECT pool1({words: {*}}) AS p FROM restBag").select("p").head()
         .getStruct(0).getSeq[Double](0)
       assert(v1 === Seq(0.5, 0.45))
     } finally srv.stop()
@@ -640,7 +646,8 @@ class RestSpec extends AnyFunSuite {
       assert(put("/v1/datasets/mat",
         """{"type": "merged", "params": {"datasets": [{"id": "m1"}, {"id": "m2"}]}}""")._1
         === 200)
-      val m = engine.query("SELECT colA, colB FROM mat").head()
+      val m = engine.query("SELECT colA, colB FROM mat")
+        .select("colA", "colB").head()
       assert(m.getString(0) === "A" && m.getString(1) === "B")
       // single-dataset merge is legal (MLDB-2077)
       assert(put("/v1/datasets/mat1",
@@ -663,7 +670,7 @@ class RestSpec extends AnyFunSuite {
       engine.createDataset("patate", spark.emptyDataFrame)
       assert(post("/v1/datasets/patate/rows",
         """[{"rowName":"patato","a":"b"}]""")._1 === 200)
-      assert(engine.query("SELECT a FROM patate").head().getString(0) === "b")
+      assert(engine.query("SELECT a FROM patate").select("a").head().getString(0) === "b")
     } finally srv.stop()
   }
 }

@@ -21,7 +21,17 @@ class SqlSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val sf = "/root/testdata/sf0.001"
-  private def q(sql: String) = GraftSql.query(spark, sf, sql)
+  private def q(sql: String) = {
+    val df = GraftSql.query(spark, sf, sql)
+    // positional value pins predate the MLDB-409 implicit row-name
+    // passthrough (round 8); the engine marks the implicitly carried
+    // column with metadata — NAMED/star-selected row names stay
+    if (df.schema.headOption.exists(f =>
+        f.name.equalsIgnoreCase("rowName") &&
+          f.metadata.contains("graft.implicitRowName")))
+      df.drop("rowName")
+    else df
+  }
 
   test("scan + where + projection + order + limit") {
     val rows = q("""SELECT r_regionkey, r_name FROM region
@@ -97,15 +107,15 @@ class SqlSpec extends AnyFunSuite {
   }
 
   test("implicit_cast: string column to numeric interpretation, non-string identity") {
-    // r_name is a string column: non-numeric → NULL (documented typed
-    // divergence), and the function is identity on numeric columns
+    // r_name is a non-numeric string column: the reference keeps the
+    // string (CellValue::parse); identity on numeric columns; '' → NULL
     val rows = q("""SELECT implicit_cast(r_regionkey) AS k,
                    |implicit_cast(r_name) AS n,
                    |implicit_cast('') AS e,
                    |implicit_cast('2.5') AS v
                    |FROM region ORDER BY r_regionkey LIMIT 1""".stripMargin).head()
     assert(rows.getInt(0) === 0)
-    assert(rows.isNullAt(1))
+    assert(rows.getString(1) === "AFRICA")
     assert(rows.isNullAt(2))
     assert(rows.getDouble(3) === 2.5)
   }
