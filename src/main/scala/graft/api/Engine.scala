@@ -61,8 +61,18 @@ final class GraftEngine(val spark: SparkSession) {
         datasets(name) = ids("datasets").map(dataset)
           .reduce(graft.operators.Reshape.merge(_, _, "rowName"))
       case "union" =>
-        datasets(name) = ids("datasets").map(dataset)
-          .reduce(_.unionByName(_, allowMissingColumns = true))
+        // the reference's union dataset prefixes each constituent's
+        // row names with its index — `0.row1`, `1.row1`
+        // (union_dataset_test; `plugins/union_dataset.cc`)
+        datasets(name) = ids("datasets").map(dataset).zipWithIndex.map {
+          case (df, i) =>
+            if (df.columns.exists(_.equalsIgnoreCase("rowName")))
+              df.withColumn("rowName",
+                org.apache.spark.sql.functions.concat(
+                  org.apache.spark.sql.functions.lit(s"$i."),
+                  df.col("rowName")))
+            else df
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
       case "transposed" =>
         datasets(name) = query(s"SELECT * FROM transpose(${req("dataset")})")
       case "sub" =>

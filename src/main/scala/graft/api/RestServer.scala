@@ -36,13 +36,21 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   def start(): Int = {
-    server.createContext("/v1/query", (ex: HttpExchange) => handle(ex) {
-      val params = queryParams(ex)
-      val q = params.getOrElse("q",
-        throw new IllegalArgumentException("missing q parameter"))
-      val limit = params.get("limit").map(_.toInt).getOrElse(1000)
-      val format = params.getOrElse("format", "aos")
-      val headers = params.get("headers").forall(_.toBoolean)
+    // the query route's work, shared by /v1/query (query string OR
+    // JSON body — MLDB-1717 "q may be defined either as a query string
+    // parameter or the JSON body") and /v1/redirect/get
+    def runQueryRoute(params: Map[String, String], body: String): String = {
+      def bodyField(k: String): Option[String] =
+        extractFieldOpt(body, k)
+      val q = params.get("q").filter(_.nonEmpty)
+        .orElse(bodyField("q")).getOrElse(
+          throw new IllegalArgumentException("missing q parameter"))
+      val limit = params.get("limit").orElse(bodyField("limit"))
+        .map(_.toInt).getOrElse(1000)
+      val format = params.get("format").orElse(bodyField("format"))
+        .getOrElse("aos")
+      val headers = params.get("headers").orElse(bodyField("headers"))
+        .forall(_.toBoolean)
       val df0 = engine.query(q)
       // a no-FROM select carries the reference's constant 'result'
       // row name (MLDB-871/102) unless the query already names rows
@@ -55,6 +63,26 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           case _ => df0
         }
       formatJson(df, limit, format, headers)
+    }
+    server.createContext("/v1/query", (ex: HttpExchange) => handle(ex) {
+      val body = new String(ex.getRequestBody.readAllBytes,
+        StandardCharsets.UTF_8)
+      runQueryRoute(queryParams(ex), body)
+    })
+    // POST {target, body} re-dispatched as GET-with-body, for clients
+    // that cannot send one (MLDB-1717 test_as_POST_body;
+    // `server/mldb_server.cc` /v1/redirect/get)
+    server.createContext("/v1/redirect/get", (ex: HttpExchange) => handle(ex) {
+      val body = new String(ex.getRequestBody.readAllBytes,
+        StandardCharsets.UTF_8)
+      val target = extractFieldOpt(body, "target").getOrElse(
+        throw new IllegalArgumentException("missing target"))
+      if (!target.startsWith("/v1/query"))
+        throw new IllegalArgumentException(
+          s"redirect target '$target' not supported")
+      val inner = ("\"body\"\\s*:\\s*(\\{.*\\})\\s*\\}\\s*$").r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse("{}")
+      runQueryRoute(Map.empty, inner)
     })
     server.createContext("/v1/datasets", (ex: HttpExchange) => handle(ex) {
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/datasets")
@@ -63,8 +91,17 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         case ("GET", "") =>
           engine.listDatasets.map(jsonStr).mkString("[", ",", "]")
         case ("GET", name) =>
-          val limit = queryParams(ex).get("limit").map(_.toInt).getOrElse(100)
-          rowsJson(engine.dataset(name), limit)
+          // without ?limit, the reference returns the dataset's STATUS
+          // object ({status: {rowCount}} — null_column_test asserts
+          // it); ?limit=N keeps this server's row-sampling shape
+          queryParams(ex).get("limit") match {
+            case Some(l) => rowsJson(engine.dataset(name), l.toInt)
+            case None =>
+              val df = engine.dataset(name)
+              s"""{"id": ${jsonStr(name)}, "state": "ok", "status": """ +
+                s"""{"rowCount": ${df.count()}, """ +
+                s""""columnCount": ${df.columns.length}}}"""
+          }
         case ("PUT", name) =>
           queryParams(ex).get("path") match {
             case Some(p) =>
@@ -432,11 +469,20 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
             s"${jsonStr(schema.fields(i).name)}:${cell(r, i, table = false)}")
             .mkString("{", ",", "}")).mkString("[", ",", "]")
       case "table" =>
+        // the reference derives table columns from the ROWS: only
+        // columns with at least one present cell appear — an empty
+        // result prints just the _rowName header
+        // (where-without-dataset.py pins [["_rowName"]];
+        // union_dataset_test's LIMIT 1 drops the other side's column)
+        val live = schema.fields.indices.filter(i =>
+          schema.fields(i).name == "_rowName" ||
+            rows.exists(r => !r.isNullAt(i)))
         val header = if (headers)
-          Seq(schema.fields.map(f => jsonStr(f.name)).mkString("[", ",", "]"))
+          Seq(live.map(i => jsonStr(schema.fields(i).name))
+            .mkString("[", ",", "]"))
         else Seq.empty
         (header ++ rows.iterator.map(r =>
-          schema.fields.indices.map(cell(r, _, table = true))
+          live.map(cell(r, _, table = true))
             .mkString("[", ",", "]"))).mkString("[", ",", "]")
       case "soa" =>
         schema.fields.indices.map { i =>

@@ -56,7 +56,7 @@ object Sources {
       ignoreBadLines: Boolean = false,
       ignoreExtraColumns: Boolean = false,
       allowMultiLines: Boolean = false,
-      limit: Option[Int] = None,
+      limit: Option[Int] = None, // negative = unlimited (MLDB-749 passes -1)
       offset: Int = 0,
       preHeaderOffset: Int = 0,
       skipLineRegex: Option[String] = None,
@@ -202,7 +202,7 @@ object Sources {
           if (hasHeaderRow0) df.offset(1) else df
         }
       if (cfg.offset > 0) lines = lines.offset(cfg.offset)
-      val bounded = cfg.limit.map(lines.limit).getOrElse(lines)
+      val bounded = cfg.limit.filter(_ >= 0).map(lines.limit).getOrElse(lines)
       return postImport(bounded, applyNamed = !namedIsLineNumber)
     }
     val hasHeaderRow = hasHeaderRow0
@@ -261,7 +261,7 @@ object Sources {
           Map("sep" -> cfg.delimiter, "quote" -> cfg.quoteChar)).as("__r"),
         col("__lineno"))
         .select(col("__r.*"), col("__lineno").cast("string").as("rowName"))
-      return postImport(cfg.limit.map(parsed.limit).getOrElse(parsed),
+      return postImport(cfg.limit.filter(_ >= 0).map(parsed.limit).getOrElse(parsed),
         applyNamed = false)
     }
     var preprocessedLines: Option[org.apache.spark.sql.Dataset[String]] = None
@@ -330,7 +330,7 @@ object Sources {
       } else df0t
     val df2 =
       if (cfg.offset > 0 && lineOffset == 0) df1.offset(cfg.offset) else df1
-    val df3 = cfg.limit.map(df2.limit).getOrElse(df2)
+    val df3 = cfg.limit.filter(_ >= 0).map(df2.limit).getOrElse(df2)
     // post-import expressions (reference select/where/named/timestamp)
     postImport(df3, applyNamed = true)
   }

@@ -1321,6 +1321,45 @@ object Lowering {
             transform(asD(rc), x => binaryOp(op, lc.cast("double"), x))
         }
       }
+      else if (arith && {
+        def isStruct(e: Expr): Boolean = resolvedTypeOf(scope,
+          lowerExpr(scope, e)).exists(
+          _.isInstanceOf[org.apache.spark.sql.types.StructType])
+        isStruct(l) || isStruct(r)
+      }) {
+        // row arithmetic (column_name_test test_object_arith,
+        // MLDB-1836): row op scalar applies per FIELD, recursing into
+        // nested rows; row op row applies on the union of field names
+        // (a field absent on one side reads NULL)
+        import org.apache.spark.sql.types.{DataType, StructType}
+        def typOf(c: Column): DataType = resolvedTypeOf(scope, c).getOrElse(
+          org.apache.spark.sql.types.NullType)
+        def structOp(lc: Column, lt: DataType, rc: Column, rt: DataType): Column =
+          (lt, rt) match {
+            case (ls: StructType, rs: StructType) =>
+              val names = (ls.fieldNames ++ rs.fieldNames).distinct.toSeq
+              struct(names.map { n =>
+                (ls.find(_.name == n), rs.find(_.name == n)) match {
+                  case (Some(a), Some(b)) =>
+                    structOp(lc.getField(n), a.dataType,
+                      rc.getField(n), b.dataType).as(n)
+                  case _ => lit(null).as(n)
+                }
+              }: _*)
+            case (ls: StructType, _) =>
+              struct(ls.fields.toSeq.map(f =>
+                structOp(lc.getField(f.name), f.dataType, rc, rt)
+                  .as(f.name)): _*)
+            case (_, rs: StructType) =>
+              struct(rs.fields.toSeq.map(f =>
+                structOp(lc, lt, rc.getField(f.name), f.dataType)
+                  .as(f.name)): _*)
+            case _ => binaryOp(op, lc, rc)
+          }
+        val lc = lowerExpr(scope, l)
+        val rc = lowerExpr(scope, r)
+        structOp(lc, typOf(lc), rc, typOf(rc))
+      }
       else binaryOp(op, side(l), side(r))
 
     // zero-arg appliable function (sql.query macro form): `f()` /
@@ -1744,7 +1783,10 @@ object Lowering {
     case "sin" => sin(a(0));   case "cos" => cos(a(0));   case "tan" => tan(a(0))
     case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
     case "sinh" => sinh(a(0)); case "cosh" => cosh(a(0)); case "tanh" => tanh(a(0))
-    case "sign" => signum(a(0))
+    // sign of a non-number is NaN; NULL passes through
+    // (sign_function_test: sign('octosanchez') = NaN, sign(NULL) = NULL)
+    case "sign" => when(a(0).isNull, lit(null))
+      .otherwise(signum(coalesce(a(0).cast("double"), lit(Double.NaN))))
     case "asinh" => asinh(a(0)); case "acosh" => acosh(a(0)); case "atanh" => atanh(a(0))
     case "isnan" => isnan(a(0))
     case "isinf" =>
@@ -1910,7 +1952,13 @@ object Lowering {
     case "language_id" => T.langId(a(0))
     case "quality_score" => T.qualityScore(a(0))
     case "fingerprint" => T.fingerprint(a(0))
-    case "hash" => xxhash64(a: _*)
+    // hash(NULL) is NULL and hashes ignore timestamps
+    // (builtin_hash_fct_test; VALUES diverge — xxhash64, not the
+    // reference's highwayhash — documented since r2)
+    case "hash" =>
+      if (a.isEmpty) xxhash64()
+      else when(a.map(_.isNull).reduce(_ || _), lit(null))
+        .otherwise(xxhash64(a: _*))
     case "base64_encode" => base64(a(0).cast("binary"))
     case "base64_decode" => unbase64(a(0))
     // parse_json(x, 'schema-ddl') → structured row. The reference infers
@@ -2136,7 +2184,20 @@ object Lowering {
     case "try" if a.size < 2 => a(0)
     case "try" =>
       val inputs = collectIdents(raw(0)).filter(scope.hasColumn).map(col)
-      if (inputs.isEmpty) coalesce(a(0), a(1))
+      // a row-valued expression beside an atom fallback can't share a
+      // column type; the expression lowered without error, so the
+      // fallback (which only fires on error) is dropped —
+      // try(parse_json('{"a": 5}'), 'err') reads the parsed row
+      // (try_except_builtin_fct)
+      val rowBesideAtom = (resolvedTypeOf(scope, a(0)),
+        resolvedTypeOf(scope, a(1))) match {
+        case (Some(x), Some(y)) =>
+          x.isInstanceOf[org.apache.spark.sql.types.StructType] !=
+            y.isInstanceOf[org.apache.spark.sql.types.StructType]
+        case _ => false
+      }
+      if (rowBesideAtom) a(0)
+      else if (inputs.isEmpty) coalesce(a(0), a(1))
       else when(inputs.map(_.isNull).reduce(_ || _), a(0))
         .otherwise(coalesce(a(0), a(1)))
     case "static_type" => typeof(a(0))
@@ -2601,8 +2662,13 @@ object Lowering {
     case FnCall("avg", args, _) => avg(lowerExpr(scope, args.head))
     case FnCall("min", args, _) => min(lowerExpr(scope, args.head))
     case FnCall("max", args, _) => max(lowerExpr(scope, args.head))
-    case FnCall("variance", args, _) => var_samp(lowerExpr(scope, args.head))
-    case FnCall("stddev", args, _) => stddev_samp(lowerExpr(scope, args.head))
+    // sample variance; NO qualifying values (all-null / unknown column
+    // / single row) reads NaN like the reference, not SQL NULL
+    // (stddev_builtin_fct_test test_nan)
+    case FnCall("variance", args, _) =>
+      coalesce(var_samp(lowerExpr(scope, args.head)), lit(Double.NaN))
+    case FnCall("stddev", args, _) =>
+      coalesce(stddev_samp(lowerExpr(scope, args.head)), lit(Double.NaN))
     // likelihood_ratio(expr, outcome) (`builtin_aggregators.cc:947`):
     // add-one-smoothed log ratio of P(expr|outcome) / P(expr|¬outcome)
     case FnCall("likelihood_ratio", Seq(x, o), _) =>
@@ -2692,6 +2758,78 @@ object Lowering {
 
   // ---- SELECT --------------------------------------------------------------
 
+  /** Canonical surface text of an expression — the reference names an
+    * un-aliased select item by printing it (column_name_test:
+    * `SELECT 1 + 10` → column `1 + 10`, `SELECT {x:1}` → `{x:1}.x`
+    * after flattening). Returns None for shapes with no stable
+    * canonical print (they keep the `_cN` fallback). */
+  private def exprText(e: Expr): Option[String] = e match {
+    case NumLit(v, integral) =>
+      Some(if (integral) v.toBigInt.toString else v.toString)
+    case StrLit(s) => Some(s"'$s'")
+    case BoolLit(b) => Some(b.toString)
+    case NullLit() => Some("NULL")
+    case Ident(parts) => Some(parts.mkString("."))
+    case Binary(op, l, r) =>
+      for (a <- exprText(l); b <- exprText(r)) yield s"$a $op $b"
+    case Unary(op, x) => exprText(x).map(t => s"$op$t")
+    case StructLit(Seq(("*", Star(Nil, "", None)))) => Some("{*}")
+    case StructLit(fields) =>
+      val fs = fields.map { case (k, v) => exprText(v).map(t => s"$k:$t") }
+      if (fs.forall(_.isDefined)) Some(fs.flatten.mkString("{", ",", "}"))
+      else None
+    case Extract(x, k) =>
+      for (a <- exprText(x); b <- exprText(k)) yield s"$a[$b]"
+    case _ => None
+  }
+
+  /** `rowNumber()` / `totalRows()` mentions in an expression
+    * (row_number/total_rows_builtin_fct_test): both are legal ONLY in
+    * SELECT expressions — any other clause raises the reference's
+    * "function X is only available in SELECT expressions." */
+  private def seqFnName(e: Expr): Option[String] = e match {
+    case FnCall("rownumber", Nil, _) => Some("rowNumber")
+    case FnCall("totalrows", Nil, _) => Some("totalRows")
+    case FnCall(_, as, _) => as.flatMap(seqFnName).headOption
+    case FnApply(_, as, _) => as.flatMap(kv => seqFnName(kv._2)).headOption
+    case Binary(_, l, r) => seqFnName(l).orElse(seqFnName(r))
+    case Unary(_, x) => seqFnName(x)
+    case CaseWhen(op, br, oe) =>
+      (op.toSeq ++ br.flatMap(b => Seq(b._1, b._2)) ++ oe.toSeq)
+        .flatMap(seqFnName).headOption
+    case CastExpr(x, _) => seqFnName(x)
+    case Between(x, lo, hi, _) => Seq(x, lo, hi).flatMap(seqFnName).headOption
+    case InList(x, items, _) => (x +: items).flatMap(seqFnName).headOption
+    case IsNull(x, _) => seqFnName(x)
+    case Extract(x, k) => seqFnName(x).orElse(seqFnName(k))
+    case ArrayLit(items) => items.flatMap(seqFnName).headOption
+    case StructLit(fs) => fs.flatMap(kv => seqFnName(kv._2)).headOption
+    case _ => None
+  }
+
+  /** Replace rowNumber()/totalRows() with their hidden columns. */
+  private def seqFnSubst(e: Expr): Expr = e match {
+    case FnCall("rownumber", Nil, _) => Ident(Seq("__rowNumber"))
+    case FnCall("totalrows", Nil, _) => Ident(Seq("__totalRows"))
+    case FnCall(f, as, st) => FnCall(f, as.map(seqFnSubst), st)
+    case FnApply(f, as, o) =>
+      FnApply(f, as.map { case (k, v) => k -> seqFnSubst(v) }, o)
+    case Binary(op, l, r) => Binary(op, seqFnSubst(l), seqFnSubst(r))
+    case Unary(op, x) => Unary(op, seqFnSubst(x))
+    case CaseWhen(op, br, oe) => CaseWhen(op.map(seqFnSubst),
+      br.map(b => (seqFnSubst(b._1), seqFnSubst(b._2))), oe.map(seqFnSubst))
+    case CastExpr(x, t) => CastExpr(seqFnSubst(x), t)
+    case Between(x, lo, hi, neg) =>
+      Between(seqFnSubst(x), seqFnSubst(lo), seqFnSubst(hi), neg)
+    case InList(x, items, neg) =>
+      InList(seqFnSubst(x), items.map(seqFnSubst), neg)
+    case IsNull(x, neg) => IsNull(seqFnSubst(x), neg)
+    case Extract(x, k) => Extract(seqFnSubst(x), seqFnSubst(k))
+    case ArrayLit(items) => ArrayLit(items.map(seqFnSubst))
+    case StructLit(fs) => StructLit(fs.map { case (k, v) => k -> seqFnSubst(v) })
+    case other => other
+  }
+
   private def itemName(item: SelectItem, idx: Int): String =
     item.alias.getOrElse(item.e match {
       // a qualified ident keeps its dotted surface form, like the
@@ -2702,7 +2840,16 @@ object Lowering {
       // expansion flattens to `sum({*}).colA` (MLDBFB-332)
       case FnApply(n, args, _) if args.exists(_._1 == "*") => s"$n({*})"
       case FnCall(n, _, _) => n
-      case _ => s"_c$idx"
+      // un-aliased expressions keep their surface text, like the
+      // reference's expression-print naming (column_name_test:
+      // `SELECT 1 + 10` → `1 + 10`; where-without-dataset: `SELECT 1`
+      // → `1`). A printed name containing a dot is ONE path element —
+      // rendered double-quoted like the reference's Path printer
+      // (`1 + 1.1` → `"1 + 1.1"`).
+      case other => exprText(other) match {
+        case Some(t) => if (t.contains(".")) "\"" + t + "\"" else t
+        case None => s"_c$idx"
+      }
     })
 
   /** col() for a literal output-column name (dots are NOT struct
@@ -2842,6 +2989,16 @@ object Lowering {
     val fromDf = fromDf0
     val scope = scope0
 
+    // rowNumber()/totalRows() are SELECT-expression-only — the
+    // reference rejects them in WHERE/ORDER BY/GROUP BY/NAMED/HAVING
+    // (row_number/total_rows_builtin_fct_test error batteries)
+    (stmt.where.toSeq ++ stmt.when.toSeq ++ stmt.groupBy ++
+      stmt.having.toSeq ++ stmt.orderBy.map(_.e) ++ stmt.distinctOn ++
+      stmt.named.toSeq).flatMap(seqFnName).headOption.foreach { fn =>
+      throw new IllegalArgumentException(
+        s"function $fn is only available in SELECT expressions.")
+    }
+
     // WHERE then WHEN (both row filters in wide mode). Top-level
     // `x IN (SELECT …)` conjuncts become semi-joins (the reference
     // materializes the subquery, `sql_expression_operations.h:285-330`;
@@ -2895,15 +3052,53 @@ object Lowering {
       inSelMap.foreach { case (is, name) =>
         out = addInSelectMarker(ctx, scope, out, is, name)
       }
-      val stmtItems = itemsNoSub
+      // rowNumber()/totalRows() in the select list: hidden columns on
+      // the post-WHERE frame. rowNumber numbers the ORDER BY stream
+      // (1-based, before OFFSET/LIMIT) via a global row_number window —
+      // numbering is inherently sequential, exactly like the
+      // reference's; totalRows is a plan-time pushed-down count of the
+      // post-WHERE frame (no single-partition window for a scalar).
+      val seqUsed: Set[String] = itemsNoSub.flatMap(it =>
+        if (it.e.isInstanceOf[Star] || it.e.isInstanceOf[ColumnExprStar]) None
+        else seqFnName(it.e)).toSet
+      val itemsSeq =
+        if (seqUsed.isEmpty) itemsNoSub
+        else itemsNoSub.map { it =>
+          if (it.e.isInstanceOf[Star] || it.e.isInstanceOf[ColumnExprStar]) it
+          else it.copy(e = seqFnSubst(it.e))
+        }
+      if (seqUsed("rowNumber")) {
+        val baseScope = Scope(scope.frames :+ (None -> out))
+        val aliasEx: Map[String, Expr] = itemsNoSub.collect {
+          case SelectItem(e, Some(a))
+              if !e.isInstanceOf[Star] && seqFnName(e).isEmpty => a -> e
+        }.toMap
+        val w =
+          if (stmt.orderBy.nonEmpty)
+            Window.orderBy(stmt.orderBy.map { o =>
+              val c = o.e match {
+                case Ident(Seq(n)) if aliasEx.contains(n) =>
+                  lowerExpr(baseScope, aliasEx(n))
+                case other => lowerExpr(baseScope, other)
+              }
+              if (o.asc) c.asc else c.desc
+            }: _*)
+          else Window.orderBy(monotonically_increasing_id())
+        out = out.withColumn("__rowNumber", row_number().over(w).cast("long"))
+      }
+      if (seqUsed("totalRows"))
+        out = out.withColumn("__totalRows", lit(filtered.count()))
+      val stmtItems = itemsSeq
       val namedScope = Scope(scope.frames :+ (None -> out))
       // materialize every non-star item as a column BEFORE sorting so
       // ORDER BY can reference select aliases; stars expand at the
       // final select
+      // (names come from the PRE-substitution items so an un-aliased
+      // rowNumber() isn't named after its hidden column)
       val plainItems: Seq[(String, Expr)] = stmtItems.zipWithIndex.collect {
         case (it @ SelectItem(e, _), i)
             if !e.isInstanceOf[Star] && !e.isInstanceOf[ColumnExprStar] =>
-          itemName(it, i) -> e
+          itemName(itemsNoSub(i), i) -> e
       }
       var extended = out
       plainItems.foreach { case (n, e) =>
@@ -2968,7 +3163,7 @@ object Lowering {
           // `SELECT * NAMED 'name'`)
           expandStarCols(scope, excl, prefix, rename,
             skipRowName = stmt.named.isDefined)
-        case (it, i) => Seq(outCol(itemName(it, i)))
+        case (_, i) => Seq(outCol(itemName(itemsNoSub(i), i)))
       }
       // implicit row-name passthrough (MLDB-409): every reference row
       // keeps its name through an explicit select list (`SELECT x,y,z,q
@@ -2976,9 +3171,9 @@ object Lowering {
       // carries a rowName column forwards it unless NAMED replaced it,
       // a star already re-emitted it, or an item shadows the name.
       val outNames = stmtItems.zipWithIndex.collect {
-        case (it @ SelectItem(e, _), i)
+        case (SelectItem(e, _), i)
             if !e.isInstanceOf[Star] && !e.isInstanceOf[ColumnExprStar] =>
-          itemName(it, i)
+          itemName(itemsNoSub(i), i)
       }
       val hasStarItem = stmtItems.exists(it => it.e.isInstanceOf[Star] ||
         it.e.isInstanceOf[ColumnExprStar])
@@ -3125,9 +3320,17 @@ object Lowering {
           }
           when(k.isNull, lit("null")).otherwise(body)
         }
-        concat(lit("[") +: (if (rendered.isEmpty) Seq(lit(""))
+        val inner = concat(lit("[") +: (if (rendered.isEmpty) Seq(lit(""))
           else rendered.init.flatMap(c => Seq(c, lit(","))) :+ rendered.last)
           :+ lit("]"): _*)
+        // the FLAT name is the reference's Path print: an element
+        // containing quotes renders CSV-style, doubled and wrapped
+        // (MLDB-2111 test_groupby_rowname pins `"[""0""]"` for the
+        // string key "0"; integer keys stay raw `[2]`)
+        when(inner.contains(lit("\"")),
+          concat(lit("\""),
+            regexp_replace(inner, lit("\""), lit("\"\"")), lit("\"")))
+          .otherwise(inner)
       }
       val outScope = Scope(Seq(None -> grouped))
       // tri-logic markers for IN (SELECT …) inside post-aggregation

@@ -168,7 +168,15 @@ final class Parser(tokens: Vector[Token], source: String = "") {
       SelectItem(ColumnExprStar(as, where, orderBy, limit, offset, value),
         None)
     } else if (acceptOp("*")) {
-      SelectItem(Star(parseExclList()), None)
+      val excl = parseExclList()
+      // `* AS *` is the identity rename (column_name_test); a non-star
+      // rename after `*` keeps the column names prefixed by it
+      val rename =
+        if (acceptKw("AS")) {
+          if (acceptOp("*")) Some("")
+          else { val np = parseIdentName(); expectOp("*"); Some(np) }
+        } else None
+      SelectItem(Star(excl, "", rename), None)
     } else if (peekQualifiedStar()) {
       // `a.*` / `"a."*` (MLDB-835/1313): a frame alias expands that
       // side's columns; otherwise a column-path prefix (`a.` matches
@@ -212,16 +220,24 @@ final class Parser(tokens: Vector[Token], source: String = "") {
       SelectItem(Star(excl, prefix, rename), None)
     } else if (peekNameColon()) {
       // `SELECT x: 1` — the reference's name-first shorthand for
-      // `SELECT 1 AS x` (MLDB-2111 uses `SELECT x:1` subselects)
-      val name = parseIdentName()
+      // `SELECT 1 AS x` (MLDB-2111 uses `SELECT x:1` subselects);
+      // dotted `x.y:` names the item x.y (column_name_test)
+      var name = parseIdentName()
+      while (acceptOp(".")) name = name + "." + parseIdentName()
       expectOp(":")
       SelectItem(parseExpr(), Some(name))
     } else {
       val e = parseExpr()
       val alias =
         if (acceptKw("AS")) {
-          // `expr AS *` expands a row literal's fields into columns
-          if (acceptOp("*")) Some("*") else Some(parseIdentName())
+          // `expr AS *` expands a row literal's fields into columns;
+          // `AS x.y` is a dotted output name (column_name_test)
+          if (acceptOp("*")) Some("*")
+          else {
+            var n = parseIdentName()
+            while (acceptOp(".")) n = n + "." + parseIdentName()
+            Some(n)
+          }
         } else peek match {
           // bare alias (ident that is not a clause keyword)
           case TIdent(v, q, _) if q || !reserved(v.toLowerCase) =>
@@ -304,10 +320,17 @@ final class Parser(tokens: Vector[Token], source: String = "") {
     * wildcard is IDENT '*' followed by a list/clause boundary or AS. */
   private def peekNameColon(): Boolean = peek match {
     case TIdent(v, q, _) if q || !reserved(v.toLowerCase) =>
-      tokens.lift(p + 1) match {
-        case Some(TOp(":", _)) => true
-        case _ => false
+      // `a:` or a DOTTED `x.y:` item name (column_name_test
+      // `SELECT x.y:1 + 1` names the item x.y)
+      var k = p + 1
+      var done = false
+      var ok = false
+      while (!done) (tokens.lift(k), tokens.lift(k + 1)) match {
+        case (Some(TOp(":", _)), _) => ok = true; done = true
+        case (Some(TOp(".", _)), Some(TIdent(_, _, _))) => k += 2
+        case _ => done = true
       }
+      ok
     case _ => false
   }
 
@@ -612,9 +635,19 @@ final class Parser(tokens: Vector[Token], source: String = "") {
           var more = true
           var i = 0
           while (more) {
-            val named = (peek, tokens.lift(p + 1)) match {
-              case (TIdent(_, _, _), Some(TOp(":", _))) => true
-              case _ => false
+            // `name:` or a DOTTED `a.b.c:` field name (column_name_test
+            // `{x.y: 1 + 1}` — the name is the nested path x.y)
+            val named = {
+              var k = p
+              var sawIdent = false
+              var done = false
+              while (!done) (tokens.lift(k), tokens.lift(k + 1)) match {
+                case (Some(TIdent(_, _, _)), Some(TOp(":", _))) =>
+                  sawIdent = true; done = true
+                case (Some(TIdent(_, _, _)), Some(TOp(".", _))) => k += 2
+                case _ => done = true
+              }
+              sawIdent
             }
             def exclList(): Seq[String] = parseExclList()
             if (acceptOp("*")) {
@@ -650,7 +683,8 @@ final class Parser(tokens: Vector[Token], source: String = "") {
                 } else None
               fields += "*" -> Star(excl, prefix, rename)
             } else if (named) {
-              val name = parseIdentName()
+              var name = parseIdentName()
+              while (acceptOp(".")) name = name + "." + parseIdentName()
               expectOp(":")
               fields += name -> parseExpr()
             } else {

@@ -287,9 +287,12 @@ class ReferenceParitySpec2 extends AnyFunSuite {
 
   test("MLDB-2111: rowName()/rowHash() under GROUP BY are the group row's") {
     ds2111
+    // string keys render Path-printed: quotes doubled and wrapped
+    // (the reference test pins "[""0""]")
     val names = q("SELECT rowName() AS rn FROM ds2111 GROUP BY rowName()")
       .collect().map(_.getString(0)).toSet
-    assert(names === Set("[\"0\"]", "[\"1\"]", "[\"2\"]", "[\"3\"]"))
+    assert(names === Set("\"[\"\"0\"\"]\"", "\"[\"\"1\"\"]\"",
+      "\"[\"\"2\"\"]\"", "\"[\"\"3\"\"]\""))
     // rowHash() = hash of the composed name, 4 distinct groups
     assert(q("SELECT rowHash() AS h FROM ds2111 GROUP BY rowHash()")
       .collect().map(_.getLong(0)).distinct.length === 4)

@@ -101,11 +101,13 @@ class ReferenceParitySpec8 extends AnyFunSuite {
       x.getString(r.columns.indexOf("rowName")) ->
         r.columns.filterNot(_ == "rowName").map(c =>
           Option(x.get(r.columns.indexOf(c))).map(_.toString)).toSeq).toMap
-    // group rows are named by their quoted key (the reference's
-    // ["nick"] composition)
-    assert(rows.keySet === Set("[\"nick\"]", "[\"francois\"]"))
-    assert(rows("[\"nick\"]") === Seq(Some("1"), Some("2"), None))
-    assert(rows("[\"francois\"]") === Seq(Some("3"), None, Some("4")))
+    // group rows are named by their quoted key, Path-printed with
+    // doubled quotes (the reference pins "[""nick""]" — MLDB-363)
+    val nick = "\"[\"\"nick\"\"]\""
+    val francois = "\"[\"\"francois\"\"]\""
+    assert(rows.keySet === Set(nick, francois))
+    assert(rows(nick) === Seq(Some("1"), Some("2"), None))
+    assert(rows(francois) === Seq(Some("3"), None, Some("4")))
   }
 
   // --- MLDB-801-from-table-expression.js -----------------------------------
@@ -372,8 +374,10 @@ class ReferenceParitySpec8 extends AnyFunSuite {
     val rows = q("select rowName() as rn, label, sum(x) as sx, " +
       "vertical_sum(y) as sy from t327 group by label order by label")
       .collect().toSeq.map(_.toSeq)
+    // Path-printed group names with doubled quotes (MLDB-363 pin)
     assert(rows === Seq(
-      Seq("[\"cat\"]", "cat", 1L, 2L), Seq("[\"dog\"]", "dog", 1L, 1L)))
+      Seq("\"[\"\"cat\"\"]\"", "cat", 1L, 2L),
+      Seq("\"[\"\"dog\"\"]\"", "dog", 1L, 1L)))
   }
 
   // --- MLDB-1935-const-binding.py / MLDB-1984-constant-functions.js --------

@@ -397,7 +397,7 @@ class RestSpec extends AnyFunSuite {
       val (c5, b5) = post(
         s"""{"type": "list.files", "dataFileUrl": "$dir", "outputDataset": "files"}""")
       assert(c5 === 201 && b5.contains("\"rowCount\": 2"), b5)
-      val (_, fb) = get(port, "/v1/datasets/files")
+      val (_, fb) = get(port, "/v1/datasets/files?limit=100")
       assert(fb.contains("a.txt") && fb.contains("\"size_bytes\":7"))
       // unknown type → 400
       assert(post("""{"type": "nope.nope"}""")._1 === 400)
@@ -436,12 +436,12 @@ class RestSpec extends AnyFunSuite {
       val (c2, b2) = post(
         """{"type": "quality.gopher", "inputDataset": "documents", "outputDataset": "quality"}""")
       assert(c2 === 201, b2)
-      val (_, qb) = get(port, "/v1/datasets/quality")
+      val (_, qb) = get(port, "/v1/datasets/quality?limit=100")
       assert(qb.contains("mean_word_len") && qb.contains("\"pass\""))
       val (c3, b3) = post(
         """{"type": "pack.sequence", "inputDataset": "documents", "budget": "512", "outputDataset": "packed"}""")
       assert(c3 === 201, b3)
-      val (_, pb) = get(port, "/v1/datasets/packed")
+      val (_, pb) = get(port, "/v1/datasets/packed?limit=100")
       assert(pb.contains("first_pack") && pb.contains("n_packs"))
       val (c3g, b3g) = post(
         """{"type": "pack.sequence", "inputDataset": "documents", "groupColumn": "source", "budget": "512", "outputDataset": "packed_by_src"}""")
@@ -449,7 +449,7 @@ class RestSpec extends AnyFunSuite {
       val (c4, b4) = post(
         """{"type": "ann.quantized", "inputDataset": "embeddings", "queriesDataset": "embeddings", "k": "3", "outputDataset": "nbrs"}""")
       assert(c4 === 201, b4)
-      val (_, nb) = get(port, "/v1/datasets/nbrs")
+      val (_, nb) = get(port, "/v1/datasets/nbrs?limit=100")
       assert(nb.contains("neighbor_id") && nb.contains("cosine"))
       val (c5, b5) = post(
         """{"type": "dedup.winnow", "inputDataset": "documents", "k": "3", "w": "4", "outputDataset": "winnowed"}""")
