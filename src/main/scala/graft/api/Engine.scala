@@ -58,7 +58,17 @@ final class GraftEngine(val spark: SparkSession) {
         if (!datasets.contains(name)) datasets(name) = spark.emptyDataFrame
         return
       case "merged" =>
-        datasets(name) = ids("datasets").map(dataset)
+        // creation-time validation (mldb_merged_dataset_test): an
+        // empty list and a non-existent constituent both 400
+        val members = ids("datasets")
+        require(members.nonEmpty,
+          "merged dataset requires at least one dataset")
+        val frames = members.map(d =>
+          try dataset(d)
+          catch { case _: NoSuchElementException =>
+            throw new IllegalArgumentException(s"dataset '$d' not found")
+          })
+        datasets(name) = frames
           .reduce(graft.operators.Reshape.merge(_, _, "rowName"))
       case "union" =>
         // the reference's union dataset prefixes each constituent's
@@ -243,7 +253,15 @@ final class GraftEngine(val spark: SparkSession) {
     // possible (or needed); the call site unrolls it per field
     stmt.from match {
       case Some(TableFn("row_dataset", Seq(), Seq(Param(p)), _)) =>
-        rowPivotFns(name) = graft.sql.Lowering.RowPivot(p, stmt, output)
+        // `select *` over the pivot table IS its (column, value) pair
+        // (MLDB-2163's `select * from row_dataset($row)`)
+        val stmtN =
+          if (stmt.items.exists(_.e.isInstanceOf[Star]))
+            stmt.copy(items = Seq(
+              SelectItem(Ident(Seq("column")), Some("column")),
+              SelectItem(Ident(Seq("value")), Some("value"))))
+          else stmt
+        rowPivotFns(name) = graft.sql.Lowering.RowPivot(p, stmtN, output)
         compiledApplies.clear()
         return
       case _ => ()
@@ -353,8 +371,27 @@ final class GraftEngine(val spark: SparkSession) {
   }
 
   def applyFunction(name: String, input: DataFrame): DataFrame =
-    functions.getOrElse(name,
-      throw new NoSuchElementException(s"function '$name' not found"))(input)
+    functions.get(name) match {
+      case Some(f) => f(input)
+      case None
+          if rowPivotFns.contains(name) || paramLookups.contains(name) ||
+            sqlMacros.contains(name) =>
+        // dialect-registered sql.query forms (row_dataset($row) pivots,
+        // $param lookups) apply through their dialect call — the input
+        // frame's columns become the named arguments, the result lands
+        // under the reference's 'output' column (MLDB-2163's
+        // output.output)
+        val args = input.columns
+          .map(c => s""""$c": "$c"""").mkString("{", ", ", "}")
+        val stmt = graft.sql.Parser.parse(
+          s"""SELECT $name($args) AS * FROM __input""")
+        graft.sql.Lowering.run(
+          graft.sql.Lowering.Context(spark, _ => input,
+            macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+            rowPivots = rowPivotFns.toMap), stmt)
+      case None =>
+        throw new NoSuchElementException(s"function '$name' not found")
+    }
 
   // ---- sensors (/v1/sensors) ----------------------------------------------
 
@@ -642,6 +679,38 @@ final class GraftEngine(val spark: SparkSession) {
     * effective singular values kept). */
   private val svdModels =
     TrieMap[String, (Seq[String], graft.ml.Models.PCAApplied, Int)]()
+
+  /** trained kmeans models by modelFileUrl: (trained columns,
+    * centroids). */
+  private val kmeansModels =
+    TrieMap[String, (Seq[String], Array[Array[Double]])]()
+
+  /** `kmeans` as a REST-creatable function (MLDB-285): assigns the
+    * nearest trained centroid to the argument row — expanded to a pure
+    * dialect CASE over plan-literal squared distances (zero UDFs,
+    * codegen'd; missing dimensions read 0 like svd.embedRow). */
+  def createKmeansFunction(name: String, modelUrl: String): Unit = {
+    val (cols, centers) = kmeansModels.getOrElse(modelUrl,
+      throw new NoSuchElementException(
+        s"no kmeans model trained at '$modelUrl'"))
+    def ref(c: String): String =
+      if (c.forall(ch => ch.isLetterOrDigit || ch == '_')) s"embedding.$c"
+      else "embedding.\"" + c + "\""
+    def z(c: String): String =
+      s"(CASE WHEN ${ref(c)} IS NULL THEN 0 ELSE ${ref(c)} END)"
+    val dists = centers.map { ctr =>
+      cols.zip(ctr).map { case (c, v) =>
+        s"(${z(c)} - $v) * (${z(c)} - $v)"
+      }.mkString("(", " + ", ")")
+    }
+    val whens = (0 until centers.length - 1).map { j =>
+      "WHEN " + (0 until centers.length).filter(_ != j)
+        .map(o => s"${dists(j)} <= ${dists(o)}").mkString(" AND ") +
+        s" THEN $j"
+    }.mkString(" ")
+    createSqlExpressionFunction(name,
+      s"CASE $whens ELSE ${centers.length - 1} END AS cluster")
+  }
 
   /** The structured inputData form ({select, named, from: {id}, when,
     * where, groupBy, having, orderBy, limit, offset} —
@@ -1004,6 +1073,11 @@ final class GraftEngine(val spark: SparkSession) {
         val vecDf = df0.select(array(feats.map(c =>
           coalesce(col(s"`$c`").cast("double"), lit(0.0))): _*).as("__vec"))
         val model = graft.ml.Models.kmeansTrain(vecDf, "__vec", kk)
+        // modelFileUrl keys the trained centroids for the `kmeans`
+        // FUNCTION entity (MLDB-285)
+        param("modelFileUrl").foreach(url =>
+          kmeansModels(url) =
+            (feats, model.model.clusterCenters.map(_.toArray)))
         param("centroidsDataset").foreach { id =>
           val rows = model.model.clusterCenters.zipWithIndex.map {
             case (ctr, i) => org.apache.spark.sql.Row.fromSeq(

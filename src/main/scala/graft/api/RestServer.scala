@@ -77,12 +77,20 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         StandardCharsets.UTF_8)
       val target = extractFieldOpt(body, "target").getOrElse(
         throw new IllegalArgumentException("missing target"))
-      if (!target.startsWith("/v1/query"))
-        throw new IllegalArgumentException(
-          s"redirect target '$target' not supported")
       val inner = ("\"body\"\\s*:\\s*(\\{.*\\})\\s*\\}\\s*$").r
         .findFirstMatchIn(body).map(_.group(1)).getOrElse("{}")
-      runQueryRoute(Map.empty, inner)
+      val appRe = "^/v1/functions/([^/]+)/application$".r
+      target match {
+        case t if t.startsWith("/v1/query") => runQueryRoute(Map.empty, inner)
+        case appRe(fn) =>
+          // {"input": {...}} — the input OBJECT verbatim (MLDB-2163)
+          val in = ("\"input\"\\s*:\\s*(\\{.*\\})\\s*\\}\\s*$").r
+            .findFirstMatchIn(inner).map(_.group(1)).getOrElse(
+              throw new IllegalArgumentException("missing input"))
+          applicationJson(fn, in)
+        case other => throw new IllegalArgumentException(
+          s"redirect target '$other' not supported")
+      }
     })
     server.createContext("/v1/datasets", (ex: HttpExchange) => handle(ex) {
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/datasets")
@@ -119,11 +127,16 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           s"""{"created": ${jsonStr(name)}}"""
         case ("POST", "") =>
           // id-less creation auto-generates one with the reference's
-          // `auto_` prefix (MLDB-983)
+          // `auto_` prefix (MLDB-983); POST-creating an EXISTING id is
+          // the reference's duplicate-entry error (MLDB-312 — PUT
+          // keeps overwrite semantics, MLDB-748)
           val body = new String(ex.getRequestBody.readAllBytes,
             StandardCharsets.UTF_8)
           val name = extractFieldOpt(body, "id").getOrElse(
             "auto_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+          if (engine.listDatasets.contains(name))
+            throw new IllegalArgumentException(
+              s"dataset entry '$name' already exists")
           val tpe = extractFieldOpt(body, "type").getOrElse("")
           engine.createDatasetTyped(name, tpe, k => extractFieldOpt(body, k))
           Created(s"""{"id": ${jsonStr(name)}}""")
@@ -218,6 +231,11 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               engine.createSqlExpressionFunction(name,
                 s"pooling({words: words, embeddingDataset: '$ds', " +
                   s"aggregators: $arr})[embedding] AS embedding")
+            case "kmeans" =>
+              // MLDB-285: nearest-centroid assignment with a model
+              // trained by the kmeans.train procedure
+              engine.createKmeansFunction(name,
+                extractField(body, "modelFileUrl"))
             case "svd.embedRow" =>
               // MLDB-805/498: embed one argument row with a model
               // trained by the svd.train procedure
@@ -241,11 +259,7 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val name = app.stripSuffix("/application")
           val input = queryParams(ex).getOrElse("input",
             throw new IllegalArgumentException("missing input parameter"))
-          // rows come straight from the compiled projection (no
-          // Dataset, no planning) — the thousands-of-calls/s path
-          val (schema, rows) = engine.applyFunctionJsonRows(name, input)
-          rows.iterator.map(r => structJson(r, schema))
-            .mkString("[", ",", "]")
+          applicationJson(name, input)
         case other => throw new IllegalArgumentException(s"unsupported $other")
       }
     })
@@ -558,6 +572,37 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     if (!df.schema.fields.exists(_.dataType.isInstanceOf[StructType])) df
     else df.select(df.schema.fields.toSeq.flatMap(f =>
       leaves(f.name, df.col(s"`${f.name}`"), f.dataType)): _*)
+  }
+
+  /** Single-row function application, rendered in the reference's
+    * envelope: `{"output": {...}}` with atom cells plain and
+    * ROW-valued cells as `[[column, [value, ts]], …]` pair lists
+    * (MLDB-390's output.z = 3; MLDB-2163's NAMED_COLUMNS row as
+    * [["x", [1, "NaD"]], …] — "NaD" is the reference's never-recorded
+    * timestamp, which value-less applications always carry). Rows come
+    * straight from the compiled projection (no Dataset, no planning) —
+    * the thousands-of-calls/s path. */
+  private def applicationJson(name: String, input: String): String = {
+    val (schema, rows) = engine.applyFunctionJsonRows(name, input)
+    require(rows.nonEmpty, s"function '$name' returned no row")
+    val r = rows.head
+    import org.apache.spark.sql.types.StructType
+    val fields = schema.fields.indices.map { i =>
+      val f = schema.fields(i)
+      val v = f.dataType match {
+        case st: StructType if !r.isNullAt(i) =>
+          val sr = r.getStruct(i)
+          st.fields.indices.map { j =>
+            val cell =
+              if (sr.isNullAt(j)) "null"
+              else valueJson(sr.get(j), st.fields(j).dataType)
+            s"[${jsonStr(st.fields(j).name)},[$cell,${jsonStr("NaD")}]]"
+          }.mkString("[", ",", "]")
+        case dt => if (r.isNullAt(i)) "null" else valueJson(r.get(i), dt)
+      }
+      s"${jsonStr(f.name)}:$v"
+    }
+    s"""{"output": ${fields.mkString("{", ",", "}")}}"""
   }
 
   /** ISO-8601 UTC with the reference's `Z` suffix and no zero

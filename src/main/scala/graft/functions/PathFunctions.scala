@@ -15,11 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object PathFunctions {
 
-  /** parse_path('a.b.c') → ['a','b','c']. */
-  def parsePath(s: Column): Column = split(s, "\\.")
+  /** parse_path('a.b.c') → ['a','b','c']. QUOTE-AWARE like the
+    * reference's Path parser: a double-quoted element keeps its dots
+    * and unescapes doubled quotes (`"region.0"` is ONE element —
+    * MLDB-1678's printed NAMED names round-trip). */
+  def parsePath(s: Column): Column = {
+    val toks = call_function("regexp_extract_all", s,
+      lit("(\"(?:[^\"]|\"\")*\"|[^.]+)"), lit(1))
+    transform(toks, t =>
+      when(t.startsWith("\"") && t.endsWith("\"") && length(t) >= 2,
+        regexp_replace(t.substr(lit(2), length(t) - 2),
+          lit("\"\""), lit("\"")))
+        .otherwise(t))
+  }
 
-  /** stringify_path(['a','b']) → 'a.b'. */
-  def stringifyPath(p: Column): Column = array_join(p, ".")
+  /** stringify_path(['a','b']) → 'a.b' — re-quoting elements that
+    * contain dots or quotes, so printed paths round-trip. */
+  def stringifyPath(p: Column): Column =
+    array_join(transform(p, e =>
+      when(e.rlike("[.\"]"),
+        concat(lit("\""), regexp_replace(e, lit("\""), lit("\"\"")),
+          lit("\"")))
+        .otherwise(e)), ".")
 
   /** 0-based path element; a NEGATIVE index counts from the end
     * (rowPathElement(-1) = last element, MLDB-1636). Out-of-range

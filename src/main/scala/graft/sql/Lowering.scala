@@ -1551,7 +1551,8 @@ object Lowering {
               _.equalsIgnoreCase("rowName"))))
           Seq(rowNameOf(scope).as("rowName"))
         else Nil
-      composedRowName ++ scope.allColumns.flatMap { case (alias, c) =>
+      val generic = composedRowName ++ scope.allColumns.flatMap {
+        case (alias, c) =>
         val matches = prefix.isEmpty || c.startsWith(prefix)
         val isRowName = c.equalsIgnoreCase("rowName")
         if (!matches || excluded(c) || c.startsWith("__") ||
@@ -1570,6 +1571,18 @@ object Lowering {
           Some(alias.map(al => col(s"`$al`.`$c`")).getOrElse(col(s"`$c`"))
             .as(outName))
         }
+      }
+      // `tok.*` over a ROW-VALUED column named tok (map or struct —
+      // MLDB-1843's f3 `SELECT tok.* as *`): no dotted columns match,
+      // so expand the column's fields
+      if (generic.size > composedRowName.size || prefix.isEmpty) generic
+      else rowFieldsOf(scope, Ident(Seq(prefix.stripSuffix(".")))) match {
+        case Some(fields) => composedRowName ++ fields.flatMap {
+          case (f, c) =>
+            if (excluded(f)) None
+            else Some(c.as(rename.map(_ + f).getOrElse(prefix + f)))
+        }
+        case None => generic
       }
     }
   }
@@ -1667,6 +1680,16 @@ object Lowering {
     when(x.cast("double") === 0.0, lit(Double.NegativeInfinity))
       .when(x.cast("double") < 0.0, lit(Double.NaN))
       .otherwise(sparkResult)
+
+  /** Path-print ONE path element: a name containing a dot or a quote
+    * is wrapped in double quotes with embedded quotes doubled —
+    * `NAMED 'msnbc.com'` reads back as `"msnbc.com"` (MLDB-1678's
+    * fast-path battery; MLDB-363 for group names). */
+  private def pathPrintElement(c: Column): Column =
+    when(c.rlike("[.\"]"),
+      concat(lit("\""), regexp_replace(c, lit("\""), lit("\"\"")),
+        lit("\"")))
+      .otherwise(c)
 
   /** Strip an implicitly carried row-name column (metadata-marked by
     * the MLDB-409 passthrough) — value-position subqueries
@@ -2457,6 +2480,25 @@ object Lowering {
       case BoolLit(v) => v
       case NullLit() => null
       case FnCall("columnname" | "columnpath", _, _) => name
+      // nth dot-path element; negative counts from the end — NULL when
+      // out of range (MLDB-1779: columnPathElement(-2) = '0')
+      case FnCall("columnpathelement", Seq(ix), _) =>
+        val parts = name.split("\\.")
+        val i0 = eval(ix, name) match {
+          case l: Long => l.toInt
+          case d: Double => d.toInt
+          case s => String.valueOf(s).toInt
+        }
+        val i = if (i0 < 0) parts.length + i0 else i0
+        if (i < 0 || i >= parts.length) null else parts(i)
+      case Unary("-", x) => eval(x, name) match {
+        case l: Long => -l
+        case d: Double => -d
+        case other => throw new IllegalArgumentException(
+          s"COLUMN EXPR: cannot negate $other")
+      }
+      case FnCall("columnpathlength", _, _) =>
+        name.split("\\.").length.toLong
       // rowCount(): rows having this column — needs the one data pass
       // the caller precomputes (MLDB-1172 `ORDER BY rowCount() DESC`)
       case FnCall("rowcount", _, _) => stats.value(name)
@@ -2510,8 +2552,32 @@ object Lowering {
   }
 
   private def expandColumnExpr(scope: Scope, ce: ColumnExprStar): Seq[Column] = {
-    var names = scope.allColumns.map(_._2).distinct
-      .filterNot(n => n.equalsIgnoreCase("rowName") || n.startsWith("__"))
+    // the reference's column set is LEAF cells: a struct-typed column
+    // contributes its dotted leaf paths (MLDB-1779's
+    // columnPathElement(-2) over parse_json's friends.0.name)
+    val leafCols: Seq[(String, Column)] = {
+      def leaves(name: String, c: Column,
+          dt: org.apache.spark.sql.types.DataType): Seq[(String, Column)] =
+        dt match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fields.toSeq.flatMap(f =>
+              leaves(s"$name.${f.name}", c.getField(f.name), f.dataType))
+          case _ => Seq(name -> c)
+        }
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      scope.frames.flatMap { case (_, df) =>
+        df.schema.fields.toSeq.flatMap { f =>
+          if (f.name.equalsIgnoreCase("rowName") || f.name.startsWith("__") ||
+              seen.contains(f.name.toLowerCase)) Nil
+          else {
+            seen += f.name.toLowerCase
+            leaves(f.name, df.col(s"`${f.name}`"), f.dataType)
+          }
+        }
+      }
+    }
+    val byName = leafCols.toMap
+    var names = leafCols.map(_._1)
     // one aggregate pass supplies rowCount() when mentioned — counts
     // of non-null cells per column (sparse "rows having the column")
     val needsCounts = ce.where.exists(mentionsRowCount) ||
@@ -2589,10 +2655,18 @@ object Lowering {
         case other => other
       }
       names.map { n =>
-        val outName = ce.as.map(a => ColumnSetEval.evalStr(a, n)).getOrElse(n)
+        // the reference 400s a NULL output name (MLDB-1779's
+        // columnPathElement(1) over a one-element path)
+        val outName = ce.as.map(a => ColumnSetEval.eval(a, n) match {
+          case null => throw new IllegalArgumentException(
+            "Cannot have a NULL column name")
+          case v => String.valueOf(v)
+        }).getOrElse(n)
         val c = ce.value match {
           case Some(v) => lowerExpr(scope, valueSubst(v, n))
-          case None => col(n)
+          // leaf reference: a struct path reads via getField, a plain
+          // (possibly dotted) column via its backticked name
+          case None => byName.getOrElse(n, outCol(n))
         }
         c.as(outName)
       }
@@ -2960,11 +3034,23 @@ object Lowering {
       case SelectItem(e, Some("*")) =>
         val c = lowerExpr(scope0, e)
         fromDf0.select(c.as("__asstar")).schema.head.dataType match {
-          case _: org.apache.spark.sql.types.StructType =>
-            fromDf0.select(c.as("__asstar")).schema.head.dataType
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-              .fields.toSeq.map(f =>
-                SelectItem(Extract(e, StrLit(f.name)), Some(f.name)))
+          case st: org.apache.spark.sql.types.StructType =>
+            // arrays:'parse' default: an ARRAY field expands to the
+            // reference's NUMBERED sub-paths (`friends.0.name` —
+            // MLDB-1779), its width from one capped plan-time pass
+            st.fields.toSeq.flatMap { f =>
+              f.dataType match {
+                case _: org.apache.spark.sql.types.ArrayType =>
+                  val len = PlanTime.maxArrayLen(fromDf0,
+                    c.getField(f.name), "AS * array field")
+                  (0 until len).map(i => SelectItem(
+                    Extract(Extract(e, StrLit(f.name)),
+                      NumLit(BigDecimal(i), isIntegral = true)),
+                    Some(s"${f.name}.$i")))
+                case _ =>
+                  Seq(SelectItem(Extract(e, StrLit(f.name)), Some(f.name)))
+              }
+            }
           case _: org.apache.spark.sql.types.MapType =>
             PlanTime.keys(
               fromDf0.select(explode(map_keys(c)).as("__k")),
@@ -3033,7 +3119,7 @@ object Lowering {
         out = out.withColumn("rowName",
           when(c.isNull,
             raise_error(lit("Can't create a row with a null name")))
-            .otherwise(c.cast("string")))
+            .otherwise(pathPrintElement(c.cast("string"))))
       }
       // `x IN (SELECT …)` as a VALUE — in a projection, CASE, ORDER BY
       // or the DISTINCT ON key (reference allows a sub-select anywhere
@@ -3175,8 +3261,10 @@ object Lowering {
             if !e.isInstanceOf[Star] && !e.isInstanceOf[ColumnExprStar] =>
           itemName(itemsNoSub(i), i)
       }
-      val hasStarItem = stmtItems.exists(it => it.e.isInstanceOf[Star] ||
-        it.e.isInstanceOf[ColumnExprStar])
+      // (COLUMN EXPR items do NOT suppress the passthrough — their
+      // column set never includes the row name, yet the reference
+      // keeps it: MLDB-1779 renders _rowName result)
+      val hasStarItem = stmtItems.exists(it => it.e.isInstanceOf[Star])
       val withName = stmt.named match {
         case Some(_) => col("rowName") +: cols
         case None if !hasStarItem &&
@@ -3415,7 +3503,8 @@ object Lowering {
         itemName(stmt.items(i), i)
       }
       val namedPrefix = rewrittenNamed match {
-        case Some(n) => Seq(lowerOuter(n).cast("string").as("rowName"))
+        case Some(n) =>
+          Seq(pathPrintElement(lowerOuter(n).cast("string")).as("rowName"))
         case None
             if !stmt.from.exists(_.isInstanceOf[JoinExpr]) &&
               filtered.columns.count(_.equalsIgnoreCase("rowName")) == 1 &&

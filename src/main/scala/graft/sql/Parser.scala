@@ -202,7 +202,9 @@ final class Parser(tokens: Vector[Token], source: String = "") {
       val excl = parseExclList()
       val rename =
         if (acceptKw("AS")) {
-          val np = parseIdentName(); expectOp("*"); Some(np)
+          // `tok.* AS *` strips the qualifier (MLDB-1843's f3)
+          if (acceptOp("*")) Some("")
+          else { val np = parseIdentName(); expectOp("*"); Some(np) }
         } else None
       SelectItem(Star(excl, prefix, rename), None)
     } else if (peekPrefixWildcard()) {

@@ -88,6 +88,15 @@ object PlanTime {
     else "string"
   }
 
+  /** Max sampled length of array expression `c` — sizes the
+    * numbered-path expansion of parse_json's arrays:'parse'
+    * (MLDB-1779's friends.0.name). One capped, pruned pass. */
+  def maxArrayLen(df: DataFrame, c: Column, what: String): Int = {
+    val r = df.select(c.as("__pta")).limit(cap(df.sparkSession))
+      .agg(max(size(col("__pta")))).head()
+    if (r.isNullAt(0)) 0 else math.max(r.getInt(0), 0)
+  }
+
   /** Materialize a registration-time result, bounded by `maxRows`
     * (the driver-materialization cap, not the key cap). */
   def boundedRows(df: DataFrame, maxRows: Int,

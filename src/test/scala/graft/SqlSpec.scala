@@ -667,12 +667,18 @@ class SqlSpec extends AnyFunSuite {
   }
 
   test("rowpath()/rowpathelement() decompose the row name") {
+    // a NAMED string is ONE path element — dots survive inside it and
+    // the printed form quotes them (MLDB-1678), so rowPath() has one
+    // element, rowPathElement(1) is NULL, and stringify round-trips
     val r = q(
-      """SELECT rowpathelement(1) AS e, stringify_path(rowpath()) AS p
+      """SELECT rowpathelement(0) AS e0, rowpathelement(1) AS e1,
+        |  stringify_path(rowpath()) AS p
         |FROM (SELECT r_regionkey, r_name NAMED 'region.' || r_regionkey
         |      FROM region ORDER BY r_regionkey LIMIT 1) AS t""".stripMargin)
       .head()
-    assert(r.getString(0) === "0" && r.getString(1) === "region.0")
+    assert(r.getString(0) === "region.0")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) === "\"region.0\"")
   }
 
   test("offset/limit and rowname()/rowhash() context functions") {
