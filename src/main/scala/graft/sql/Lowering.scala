@@ -3116,10 +3116,19 @@ object Lowering {
       // the reference's (MLDBFB-345) — checked in-row, zero extra passes
       stmt.named.foreach { n =>
         val c = lowerExpr(scope, n)
+        // an ARRAY-valued name is a structured multi-element path
+        // (MLDB-1810: `named ['hello', 'world']` → hello.world); a
+        // string is ONE element, quoted when it holds dots/quotes
+        val printed = resolvedTypeOf(Scope(scope.frames :+ (None -> out)), c)
+          match {
+          case Some(_: org.apache.spark.sql.types.ArrayType) =>
+            P.stringifyPath(c.cast("array<string>"))
+          case _ => pathPrintElement(c.cast("string"))
+        }
         out = out.withColumn("rowName",
           when(c.isNull,
             raise_error(lit("Can't create a row with a null name")))
-            .otherwise(pathPrintElement(c.cast("string"))))
+            .otherwise(printed))
       }
       // `x IN (SELECT …)` as a VALUE — in a projection, CASE, ORDER BY
       // or the DISTINCT ON key (reference allows a sub-select anywhere

@@ -132,6 +132,21 @@ class ReferenceParitySpec14 extends AnyFunSuite {
     assert(nums.toSet === (2L to 892L).toSet) // header is line 1
   }
 
+  // --- MLDB-1810-new-executor-rowpath.js -----------------------------------------
+
+  test("MLDB-1810: an array-valued NAMED is a structured path") {
+    val r = e.query(
+      "select * named ['hello', 'world'] from row_dataset({x:1})")
+    val rn = r.select("rowName").head().getString(0)
+    assert(rn === "hello.world")
+    // and it decomposes back into two elements
+    val parts = e.query(
+      "select rowpathelement(0) as a, rowpathelement(1) as b " +
+        "from (select * named ['hello', 'world'] from row_dataset({x:1}))")
+      .select("a", "b").head()
+    assert(parts.getString(0) === "hello" && parts.getString(1) === "world")
+  }
+
   // --- MLDB-312_cant_overwrite_dataset.py + MLDB-748 ----------------------------
 
   test("MLDB-312/748: POST-create of an existing dataset 400s; PUT overwrites") {
