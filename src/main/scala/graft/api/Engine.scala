@@ -145,6 +145,19 @@ final class GraftEngine(val spark: SparkSession) {
     val incoming = spark.read.json(Seq(jsonRows).toDS())
     if (incoming.columns.isEmpty)
       throw new IllegalArgumentException("no rows in body")
+    // the reference rejects empty names at record time (MLDB-460;
+    // a QUOTED "" — the two-quote-char name `\"\"` — is non-empty and
+    // legal). Spark's JSON reader silently DROPS empty keys, so the
+    // check runs on the raw payload: `""` directly after { or , and
+    // before : is an empty KEY (a string VALUE is never
+    // colon-followed in valid JSON).
+    if (incoming.columns.exists(_.isEmpty) ||
+        """[,{]\s*""\s*:""".r.findFirstIn(jsonRows).isDefined)
+      throw new IllegalArgumentException("empty column names are not allowed")
+    if (incoming.columns.exists(_.equalsIgnoreCase("rowName")) &&
+        incoming.filter(org.apache.spark.sql.functions
+          .col("rowName") === "").limit(1).count() > 0)
+      throw new IllegalArgumentException("empty row names are not allowed")
     val n = incoming.count()
     datasets.get(name) match {
       case Some(existing) if existing.columns.isEmpty =>
@@ -664,6 +677,13 @@ final class GraftEngine(val spark: SparkSession) {
       }
     }
     tpe match {
+      case "transform" =>
+        // the config's query must PARSE at creation — a broken
+        // inputData 400s the PUT (MLDB-2112's 'SELECT x:BUG:1'),
+        // though the entity itself still registers
+        param("inputQuery").orElse(structuredInput(param))
+          .orElse(param("inputData").filterNot(_.trim.startsWith("{")))
+          .foreach(q => graft.sql.Parser.parse(q))
       case "bucketize" =>
         require(param("inputData").orElse(param("inputQuery")).nonEmpty,
           "You need to define inputData")

@@ -34,6 +34,9 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
   // named procedure configs (PUT /v1/procedures/<name> → POST …/runs)
   private val procedures =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  // completed runs per named procedure: (runId, started) in run order
+  private val procRuns = scala.collection.concurrent.TrieMap
+    .empty[String, Vector[(String, java.time.Instant)]]
 
   def start(): Int = {
     // the query route's work, shared by /v1/query (query string OR
@@ -376,6 +379,18 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           throw new IllegalArgumentException("empty payload")
         body
       }
+      def recordRun(name: String, id: String): String = {
+        procRuns.updateWith(name) {
+          case Some(rs) => Some(rs :+ (id, java.time.Instant.now()))
+          case None => Some(Vector((id, java.time.Instant.now())))
+        }
+        id
+      }
+      def runNamed(name: String): String = {
+        val (tpe, body) = procedures.getOrElse(name,
+          throw new NoSuchElementException(s"unknown procedure '$name'"))
+        engine.runProcedure(tpe, k => extractFieldOpt(body, k))
+      }
       (ex.getRequestMethod, path) match {
         case ("GET", "") => procedures.keys.toSeq.sorted
           .map(jsonStr).mkString("[", ",", "]")
@@ -389,23 +404,60 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val body = readBody()
           val tpe = extractField(body, "type")
           // creation-time config validation (the reference rejects the
-          // config itself, before any run)
-          engine.validateProcedure(tpe, k => extractFieldOpt(body, k))
+          // config itself, before any run). A BROKEN config still
+          // registers the entity (MLDB-2112: the failed PUT leaves a
+          // GETtable procedure with no runs).
           procedures(name) = (tpe, body)
+          engine.validateProcedure(tpe, k => extractFieldOpt(body, k))
           // MLDB-951: with runOnCreation the response carries the
           // first run under status.firstRun; without it there is NO
           // status field at all
           val out =
             if (extractFieldOpt(body, "runOnCreation").exists(_.toBoolean)) {
               val run = engine.runProcedure(tpe, k => extractFieldOpt(body, k))
+              recordRun(name, java.util.UUID.randomUUID().toString.take(8))
               s"""{"id": ${jsonStr(name)}, "status": {"firstRun": $run}}"""
             } else s"""{"id": ${jsonStr(name)}}"""
           Created(out) // the reference answers 201 on entity creation
+        case ("GET", name) if !name.contains("/") =>
+          val (tpe, _) = procedures.getOrElse(name,
+            throw new NoSuchElementException(s"procedure '$name' not found"))
+          s"""{"id": ${jsonStr(name)}, "type": ${jsonStr(tpe)}}"""
+        case ("GET", latestPath) if latestPath.endsWith("/latestrun") =>
+          // MLDB-1359: the most recent run's id + start time; 404 when
+          // the procedure never ran (or does not exist)
+          val name = latestPath.stripSuffix("/latestrun")
+          if (!procedures.contains(name))
+            throw new NoSuchElementException(s"procedure '$name' not found")
+          procRuns.get(name).flatMap(_.lastOption) match {
+            case Some((id, at)) =>
+              s"""{"id": ${jsonStr(id)}, "runStarted": ${jsonStr(
+                at.toString)}, "state": "finished"}"""
+            case None => throw new NoSuchElementException(
+              s"procedure '$name' has no runs")
+          }
+        case ("GET", runPath) if runPath.endsWith("/runs") =>
+          // 404 when the procedure has no runs (MLDB-2112's broken
+          // proc), else the run-id list
+          val name = runPath.stripSuffix("/runs")
+          procRuns.get(name).filter(_.nonEmpty) match {
+            case Some(rs) =>
+              rs.map(r => jsonStr(r._1)).mkString("[", ",", "]")
+            case None => throw new NoSuchElementException(
+              s"procedure '$name' has no runs")
+          }
+        case ("PUT", runPath) if runPath.contains("/runs/") =>
+          // named run: PUT <proc>/runs/<id> executes the stored config
+          // under that id (MLDB-1359 asserts id '000' round-trips)
+          val Array(name, runId) = runPath.split("/runs/", 2)
+          val run = runNamed(name)
+          recordRun(name, runId)
+          Created(run)
         case ("POST", runPath) if runPath.endsWith("/runs") =>
           val name = runPath.stripSuffix("/runs")
-          val (tpe, body) = procedures.getOrElse(name,
-            throw new NoSuchElementException(s"unknown procedure '$name'"))
-          Created(engine.runProcedure(tpe, k => extractFieldOpt(body, k)))
+          val run = runNamed(name)
+          recordRun(name, java.util.UUID.randomUUID().toString.take(8))
+          Created(run)
         case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
       }
     }

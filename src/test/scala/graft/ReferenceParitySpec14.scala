@@ -25,11 +25,13 @@ class ReferenceParitySpec14 extends AnyFunSuite {
   private val client = HttpClient.newHttpClient()
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
 
+  @volatile private var curPort: Int = 0
   private def withServer[T](engine: api.GraftEngine)(
       body: ((String => (Int, String)),
         ((String, String) => (Int, String))) => T): T = {
     val srv = new api.RestServer(engine)
     val port = srv.start()
+    curPort = port
     def get(path: String): (Int, String) = {
       val r = client.send(HttpRequest.newBuilder(
         URI.create(s"http://127.0.0.1:$port$path")).GET.build(),
@@ -130,6 +132,86 @@ class ReferenceParitySpec14 extends AnyFunSuite {
       .select("n").collect().map(_.getDouble(0).toLong)
     assert(nums.length === 891)
     assert(nums.toSet === (2L to 892L).toSet) // header is line 1
+  }
+
+  // --- MLDB-1359_procedure_latest_run.py -----------------------------------------
+
+  test("MLDB-1359: latestrun tracks named, auto and creation runs") {
+    val eng = new api.GraftEngine(spark)
+    eng.recordRows("ds1359", """[{"rowName":"row1","colA":1}]""")
+    withServer(eng) { (get, put) =>
+      def post(path: String, b: String): (Int, String) = {
+        val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${curPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(b)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      assert(put("/v1/procedures/testProc",
+        """{"type": "transform", "params": {
+          |"inputData": "SELECT *, coco AS sanchez FROM ds1359",
+          |"outputDataset": {"id": "dsOut1359"},
+          |"runOnCreation": true}}""".stripMargin)._1 === 201)
+      val (c1, b1) = get("/v1/procedures/testProc/latestrun")
+      assert(c1 === 200 && b1.contains("runStarted"), b1)
+      def started(b: String): String =
+        "\"runStarted\": \"([^\"]+)\"".r.findFirstMatchIn(b).get.group(1)
+      val t1 = started(b1)
+      Thread.sleep(15)
+      assert(put("/v1/procedures/testProc/runs/999", "{}")._1 === 201)
+      val b2 = get("/v1/procedures/testProc/latestrun")._2
+      assert(started(b2) > t1, s"$b2 vs $t1")
+      Thread.sleep(15)
+      assert(post("/v1/procedures/testProc/runs", "{}")._1 === 201)
+      val b3 = get("/v1/procedures/testProc/latestrun")._2
+      assert(started(b3) > started(b2))
+      Thread.sleep(15)
+      assert(put("/v1/procedures/testProc/runs/000", "{}")._1 === 201)
+      val b4 = get("/v1/procedures/testProc/latestrun")._2
+      assert(started(b4) > started(b3))
+      assert(b4.contains("\"id\": \"000\""), b4)
+      // no runs -> 404; unknown proc -> 404
+      assert(put("/v1/procedures/testProcNoLatest",
+        """{"type": "transform", "params": {
+          |"inputData": "SELECT *, coco AS sanchez FROM ds1359",
+          |"outputDataset": {"id": "dsOutNL"},
+          |"runOnCreation": false}}""".stripMargin)._1 === 201)
+      assert(get("/v1/procedures/testProcNoLatest/latestrun")._1 === 404)
+      assert(get("/v1/procedures/unexisting/latestrun")._1 === 404)
+    }
+  }
+
+  // --- MLDB-2112_500_on_broken_proc_test.py ----------------------------------
+
+  test("MLDB-2112: a broken config 400s the PUT but still registers") {
+    val eng = new api.GraftEngine(spark)
+    withServer(eng) { (get, put) =>
+      val (c1, _) = put("/v1/procedures/proc2112",
+        """{"type": "transform", "params": {
+          |"inputData": "SELECT x:BUG:1",
+          |"outputDataset": "perruche"}}""".stripMargin)
+      assert(c1 === 400)
+      // the entity exists (GETtable) but has no runs
+      assert(get("/v1/procedures/proc2112")._1 === 200)
+      assert(get("/v1/procedures/proc2112/runs")._1 === 404)
+    }
+  }
+
+  // --- MLDB-460-disallow-empty-name.py + MLDB-301 ------------------------------
+
+  test("MLDB-460/301: empty names are rejected; empty commits are fine") {
+    val eng = new api.GraftEngine(spark)
+    // quoted "" (a two-quote-char name) is non-empty and legal
+    eng.recordRows("ds460", """[{"rowName":"row_name","\"\"":4}]""")
+    val e1 = intercept[IllegalArgumentException](
+      eng.recordRows("ds460", """[{"rowName":"row_name","":4}]"""))
+    assert(e1.getMessage.contains("empty column names are not allowed"))
+    val e2 = intercept[IllegalArgumentException](
+      eng.recordRows("ds460", """[{"rowName":"","column_name":5}]"""))
+    assert(e2.getMessage.contains("empty row names are not allowed"))
+    // MLDB-301: committing an empty mutable dataset works
+    eng.createDatasetTyped("empty301", "sparse.mutable", _ => None)
+    withServer(eng) { (_, _) => () }
   }
 
   // --- MLDB-1810-new-executor-rowpath.js -----------------------------------------
