@@ -386,10 +386,13 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         }
         id
       }
-      def runNamed(name: String): String = {
+      def runNamed(name: String, runBody: String): String = {
         val (tpe, body) = procedures.getOrElse(name,
           throw new NoSuchElementException(s"unknown procedure '$name'"))
-        engine.runProcedure(tpe, k => extractFieldOpt(body, k))
+        // params in the RUN body override the stored config's
+        // (MLDB-894: runs can override conf)
+        engine.runProcedure(tpe, k =>
+          extractFieldOpt(runBody, k).orElse(extractFieldOpt(body, k)))
       }
       (ex.getRequestMethod, path) match {
         case ("GET", "") => procedures.keys.toSeq.sorted
@@ -448,14 +451,19 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           }
         case ("PUT", runPath) if runPath.contains("/runs/") =>
           // named run: PUT <proc>/runs/<id> executes the stored config
-          // under that id (MLDB-1359 asserts id '000' round-trips)
+          // under that id (MLDB-1359 asserts id '000' round-trips);
+          // the run body's params override the config's (MLDB-894)
           val Array(name, runId) = runPath.split("/runs/", 2)
-          val run = runNamed(name)
+          val runBody = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          val run = runNamed(name, runBody)
           recordRun(name, runId)
           Created(run)
         case ("POST", runPath) if runPath.endsWith("/runs") =>
           val name = runPath.stripSuffix("/runs")
-          val run = runNamed(name)
+          val runBody = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          val run = runNamed(name, runBody)
           recordRun(name, java.util.UUID.randomUUID().toString.take(8))
           Created(run)
         case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")

@@ -181,6 +181,26 @@ class ReferenceParitySpec14 extends AnyFunSuite {
     }
   }
 
+  // --- MLDB-894_runs_can_override_conf.py ----------------------------------------
+
+  test("MLDB-894: a run body's params override the stored config") {
+    val eng = new api.GraftEngine(spark)
+    eng.recordRows("ds894", """[{"rowName":"r1","x":1}]""")
+    withServer(eng) { (get, put) =>
+      assert(put("/v1/procedures/proc894",
+        """{"type": "transform", "params": {
+          |"inputData": "SELECT x FROM ds894",
+          |"outputDataset": "out894a",
+          |"runOnCreation": false}}""".stripMargin)._1 === 201)
+      assert(put("/v1/procedures/proc894/runs/1", "{}")._1 === 201)
+      assert(eng.dataset("out894a").count() === 1)
+      // run 2 overrides the output dataset
+      assert(put("/v1/procedures/proc894/runs/2",
+        """{"params": {"outputDataset": "out894b"}}""")._1 === 201)
+      assert(eng.dataset("out894b").count() === 1)
+    }
+  }
+
   // --- MLDB-2112_500_on_broken_proc_test.py ----------------------------------
 
   test("MLDB-2112: a broken config 400s the PUT but still registers") {
