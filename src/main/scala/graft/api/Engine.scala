@@ -154,11 +154,18 @@ final class GraftEngine(val spark: SparkSession) {
     if (incoming.columns.exists(_.isEmpty) ||
         """[,{]\s*""\s*:""".r.findFirstIn(jsonRows).isDefined)
       throw new IllegalArgumentException("empty column names are not allowed")
-    if (incoming.columns.exists(_.equalsIgnoreCase("rowName")) &&
-        incoming.filter(org.apache.spark.sql.functions
-          .col("rowName") === "").limit(1).count() > 0)
-      throw new IllegalArgumentException("empty row names are not allowed")
-    val n = incoming.count()
+    // the row-name validation RIDES the row-count action — one Spark
+    // job per record call, not a filter+count job plus a count job
+    val F = org.apache.spark.sql.functions
+    val n =
+      if (incoming.columns.exists(_.equalsIgnoreCase("rowName"))) {
+        val stats = incoming.agg(
+          F.count(F.lit(1)),
+          F.count(F.when(F.col("rowName") === "", 1))).head()
+        if (stats.getLong(1) > 0)
+          throw new IllegalArgumentException("empty row names are not allowed")
+        stats.getLong(0)
+      } else incoming.count()
     datasets.get(name) match {
       case Some(existing) if existing.columns.isEmpty =>
         // empty mutable seed (typed creation) — first record sets the schema
@@ -705,6 +712,69 @@ final class GraftEngine(val spark: SparkSession) {
   private val kmeansModels =
     TrieMap[String, (Seq[String], Array[Array[Double]])]()
 
+  /** trained gaussian-mixture models by modelFileUrl: (trained
+    * columns, plan-literal model). */
+  private val gmmModels =
+    TrieMap[String, (Seq[String], graft.ml.Models.GmmApplied)]()
+
+  /** `gaussianclustering` as a REST-creatable function (MLDB-1353):
+    * max-posterior cluster of the argument row — expanded to a pure
+    * dialect CASE over plan-literal log-densities (same shape as the
+    * kmeans function entity; missing dimensions read 0). */
+  def createGaussianClusteringFunction(name: String, modelUrl: String): Unit = {
+    val (cols, m) = gmmModels.getOrElse(modelUrl,
+      throw new NoSuchElementException(
+        s"no gaussianclustering model trained at '$modelUrl'"))
+    def ref(c: String): String =
+      if (c.forall(ch => ch.isLetterOrDigit || ch == '_')) s"embedding.$c"
+      else "embedding.\"" + c + "\""
+    def z(c: String): String =
+      s"(CASE WHEN ${ref(c)} IS NULL THEN 0 ELSE ${ref(c)} END)"
+    val k = m.weights.length
+    val dim = cols.length
+    // log-density as an expanded polynomial:
+    //   logp_c(x) = C_c + L_c·x − ½ x'A_c x,
+    //   L_c = A_c m_c,  C_c = logNorm_c − ½ m_c'A_c m_c.
+    // Cluster comparisons then reduce to DIFFERENCE polynomials —
+    // one coefficient per (i ≤ j) pair instead of the full quadratic
+    // form twice, keeping the generated CASE text (and the lowered
+    // plan) small.
+    def lin(c: Int): Array[Double] = Array.tabulate(dim)(i =>
+      (0 until dim).map(j => m.invCovs(c)(i)(j) * m.means(c)(j)).sum)
+    def const(c: Int): Double = m.logNorms(c) -
+      0.5 * (for (i <- 0 until dim; j <- 0 until dim)
+        yield m.means(c)(i) * m.invCovs(c)(i)(j) * m.means(c)(j)).sum
+    // diff text for logp_j − logp_o
+    def diff(j: Int, o: Int): String = {
+      val terms = Seq.newBuilder[String]
+      terms += (const(j) - const(o)).toString
+      val lj = lin(j); val lo = lin(o)
+      for (i <- 0 until dim) {
+        val cf = lj(i) - lo(i)
+        if (math.abs(cf) > 1e-300) terms += s"$cf * ${z(cols(i))}"
+      }
+      for (i <- 0 until dim; jj <- i until dim) {
+        val a = m.invCovs(j)(i)(jj) - m.invCovs(o)(i)(jj)
+        val cf = if (i == jj) -0.5 * a else -a // symmetric fold
+        if (math.abs(cf) > 1e-300)
+          terms += s"$cf * ${z(cols(i))} * ${z(cols(jj))}"
+      }
+      terms.result().mkString("(", " + ", ")")
+    }
+    val diffs = (for (j <- 0 until k; o <- j + 1 until k)
+      yield (j, o) -> diff(j, o)).toMap
+    if (k == 1) createSqlExpressionFunction(name, "0 AS cluster")
+    else {
+      val whens = (0 until k - 1).map { j =>
+        "WHEN " + (0 until k).filter(_ != j).map { o =>
+          if (j < o) s"${diffs((j, o))} >= 0" else s"${diffs((o, j))} <= 0"
+        }.mkString(" AND ") + s" THEN $j"
+      }.mkString(" ")
+      createSqlExpressionFunction(name,
+        s"CASE $whens ELSE ${k - 1} END AS cluster")
+    }
+  }
+
   /** `kmeans` as a REST-creatable function (MLDB-285): assigns the
     * nearest trained centroid to the argument row — expanded to a pure
     * dialect CASE over plan-literal squared distances (zero UDFs,
@@ -723,13 +793,19 @@ final class GraftEngine(val spark: SparkSession) {
         s"(${z(c)} - $v) * (${z(c)} - $v)"
       }.mkString("(", " + ", ")")
     }
-    val whens = (0 until centers.length - 1).map { j =>
-      "WHEN " + (0 until centers.length).filter(_ != j)
-        .map(o => s"${dists(j)} <= ${dists(o)}").mkString(" AND ") +
-        s" THEN $j"
-    }.mkString(" ")
-    createSqlExpressionFunction(name,
-      s"CASE $whens ELSE ${centers.length - 1} END AS cluster")
+    // k = 1 has zero WHEN branches — a bare `CASE ELSE 0 END` is not
+    // parseable; every row is cluster 0 by definition.
+    if (centers.length == 1)
+      createSqlExpressionFunction(name, "0 AS cluster")
+    else {
+      val whens = (0 until centers.length - 1).map { j =>
+        "WHEN " + (0 until centers.length).filter(_ != j)
+          .map(o => s"${dists(j)} <= ${dists(o)}").mkString(" AND ") +
+          s" THEN $j"
+      }.mkString(" ")
+      createSqlExpressionFunction(name,
+        s"CASE $whens ELSE ${centers.length - 1} END AS cluster")
+    }
   }
 
   /** The structured inputData form ({select, named, from: {id}, when,
@@ -929,7 +1005,8 @@ final class GraftEngine(val spark: SparkSession) {
           select = param("select").getOrElse("*"),
           where = param("where").getOrElse("true"),
           named = param("named"),
-          timestamp = param("timestamp"))
+          timestamp = param("timestamp"),
+          structuredColumnNames = flag("structuredColumnNames"))
         registerOut(graft.sources.Sources.importText(spark,
           req("dataFileUrl"), cfg))
       case "import.json" =>
@@ -1008,10 +1085,57 @@ final class GraftEngine(val spark: SparkSession) {
         val n = man.count()
         s"""{"exported": "$path", "shards": $n}"""
       case "tsne.train" =>
-        val (emb, _) = graft.ml.Tsne.train(dataset(req("trainingDataset")),
-          param("idColumn").getOrElse("rowName"),
-          param("vectorColumn").getOrElse("embedding"))
-        registerOut(emb)
+        // two input surfaces: the embedding-table form
+        // (trainingDataset + vectorColumn) and the reference's
+        // structured form ({from, limit, offset} over wide numeric
+        // columns — testing/MLDB-1081 pins that limit/offset are
+        // honored, deterministic, and validated)
+        if (param("trainingDataset").nonEmpty) {
+          val (emb, _) = graft.ml.Tsne.train(dataset(req("trainingDataset")),
+            param("idColumn").getOrElse("rowName"),
+            param("vectorColumn").getOrElse("embedding"))
+          registerOut(emb)
+        } else {
+          import org.apache.spark.sql.functions._
+          import org.apache.spark.sql.types._
+          param("limit").foreach(l => require(l.toLong > 0,
+            "tsne.train: limit must be a positive number of rows"))
+          val baseQ = param("trainingData").getOrElse(
+            s"""select ${param("select").getOrElse("*")} from "${req("from")}"""")
+          val df0 = query(baseQ)
+          val rnCol =
+            if (df0.columns.exists(_.equalsIgnoreCase("rowName")))
+              col("rowName").cast("string")
+            else monotonically_increasing_id().cast("string")
+          // a stable order makes runs reproducible (the reference
+          // iterates its dataset in stored order; parquet scans have
+          // no such guarantee, so sort on the row name)
+          val sorted = df0.withColumn("__rn", rnCol).orderBy(col("__rn"))
+          val off = param("offset").map(_.toLong).getOrElse(0L)
+          if (off > 0) {
+            val total = sorted.count()
+            require(off < total,
+              s"tsne.train: offset $off is beyond the input row count $total")
+          }
+          val windowed0 = if (off > 0) sorted.offset(off.toInt) else sorted
+          val windowed = param("limit").map(l => windowed0.limit(l.toInt))
+            .getOrElse(windowed0)
+          val feats = df0.schema.fields.filter { f =>
+            f.dataType.isInstanceOf[NumericType] &&
+              !f.name.equalsIgnoreCase("rowName") && !f.name.startsWith("__")
+          }.map(_.name).toSeq
+          require(feats.nonEmpty, "tsne training data matched no columns")
+          val vecDf = windowed.select(col("__rn").as("rowName"),
+            array(feats.map(c => coalesce(col(s"`$c`").cast("double"),
+              lit(0.0))): _*).as("__vec"))
+          val (emb, _) = graft.ml.Tsne.train(vecDf, "rowName", "__vec")
+          val outName = param("rowOutputDataset")
+            .orElse(param("outputDataset")).getOrElse(
+              throw new IllegalArgumentException(
+                "tsne.train needs rowOutputDataset"))
+          createDataset(outName, emb)
+          s"""{"outputDataset": "$outName", "rowCount": ${emb.count()}}"""
+        }
       case "svd.train" =>
         // `svd.train` (`plugins/embedding/svd.cc`): trainingData (text
         // or the structured {select, from, where, orderBy, offset,
@@ -1028,12 +1152,41 @@ final class GraftEngine(val spark: SparkSession) {
         val input = param("trainingData").orElse(param("inputData"))
           .orElse(structured).getOrElse(throw new IllegalArgumentException(
             "You need to define inputData"))
-        val df0 = query(input)
+        val df0raw = query(input)
         import org.apache.spark.sql.types._
-        val feats = df0.schema.fields.filter { f =>
+        // string columns train as one-hot indicators named
+        // `<col>.stringEquals.<value>` — the reference creates a sparse
+        // column per string value seen (`plugins/embedding/svd.cc:815`,
+        // pinned by testing/MLDB-1937-svd-with-complex-select.py); the
+        // value set is a capped plan-time pass like every other
+        // data-dependent schema
+        val stringCols = df0raw.schema.fields.filter { f =>
+          f.dataType == StringType &&
+            !f.name.equalsIgnoreCase("rowName") && !f.name.startsWith("__")
+        }.map(_.name).toSeq
+        // (name, expression) pairs — the one-hots are NEVER
+        // materialized as named columns because two values differing
+        // only by case ('test' vs 'TEST') are distinct columns in the
+        // reference but collide under Spark's case-insensitive
+        // resolution; expressions sidestep name resolution entirely
+        val oneHots: Seq[(String, org.apache.spark.sql.Column)] =
+          stringCols.flatMap { c =>
+            graft.sql.PlanTime.keys(df0raw, col(s"`$c`"),
+              s"svd.train stringEquals($c)").map(v =>
+              s"$c.stringEquals.$v" ->
+                when(col(s"`$c`") === v, 1.0).otherwise(0.0))
+          }
+        val numericFeats = df0raw.schema.fields.filter { f =>
           f.dataType.isInstanceOf[NumericType] &&
             !f.name.equalsIgnoreCase("rowName") && !f.name.startsWith("__")
         }.map(_.name).toSeq
+        val featCols: Seq[(String, org.apache.spark.sql.Column)] =
+          numericFeats.map(n =>
+            n -> coalesce(col(s"`$n`").cast("double"), lit(0.0))) ++
+          oneHots
+        val feats = featCols.map(_._1)
+        val oneHotNames = oneHots.map(_._1).toSet
+        val df0 = df0raw
         // the reference's error shape for a selection matching nothing
         // numeric (MLDB-119's 'matched no columns')
         require(feats.nonEmpty, "svd training data matched no columns")
@@ -1046,8 +1199,7 @@ final class GraftEngine(val spark: SparkSession) {
             col("rowName").cast("string")
           else monotonically_increasing_id().cast("string")
         val vecDf = df0.select(rnCol.as("rowName"),
-          array(feats.map(c => coalesce(col(s"`$c`").cast("double"),
-            lit(0.0))): _*).as("__vec"))
+          array(featCols.map(_._2): _*).as("__vec"))
         val svd = graft.ml.Models.svdTrain(vecDf.select(col("rowName"),
           col("__vec")), "__vec", k)
         val kept = math.max(1,
@@ -1064,9 +1216,14 @@ final class GraftEngine(val spark: SparkSession) {
         }
         param("columnOutputDataset").foreach { id =>
           val pc = svd.model.pc
+          // row names carry the reference's operation suffix
+          // (`plugins/embedding/svd.cc:836`): a raw numeric column reads
+          // `<col>.numericValue`; one-hot indicators already ARE the
+          // `<col>.stringEquals.<value>` name
           val rows = feats.zipWithIndex.map { case (c, i) =>
+            val rn = if (oneHotNames.contains(c)) c else s"$c.numericValue"
             org.apache.spark.sql.Row.fromSeq(
-              c +: (0 until kept).map(j => pc(i, j)))
+              rn +: (0 until kept).map(j => pc(i, j)))
           }
           val schema = StructType(StructField("rowName", StringType) +:
             (0 until kept).map(j => StructField(s"embedding.$j", DoubleType)))
@@ -1092,21 +1249,88 @@ final class GraftEngine(val spark: SparkSession) {
         val kk = param("numClusters").map(_.toInt).getOrElse(10)
         val vecDf = df0.select(array(feats.map(c =>
           coalesce(col(s"`$c`").cast("double"), lit(0.0))): _*).as("__vec"))
-        val model = graft.ml.Models.kmeansTrain(vecDf, "__vec", kk)
+        // k = 1 is below MLlib's k floor but legal in the reference:
+        // the single centroid is the feature mean (one aggregate pass)
+        val centers: Array[Array[Double]] =
+          if (kk == 1) {
+            val r = vecDf.agg(
+              avg(element_at(col("__vec"), 1)),
+              feats.indices.tail.map(i =>
+                avg(element_at(col("__vec"), i + 1))): _*).head()
+            Array(feats.indices.map(i =>
+              if (r.isNullAt(i)) 0.0 else r.getDouble(i)).toArray)
+          } else graft.ml.Models.kmeansTrain(vecDf, "__vec", kk)
+            .model.clusterCenters.map(_.toArray)
         // modelFileUrl keys the trained centroids for the `kmeans`
         // FUNCTION entity (MLDB-285)
         param("modelFileUrl").foreach(url =>
-          kmeansModels(url) =
-            (feats, model.model.clusterCenters.map(_.toArray)))
+          kmeansModels(url) = (feats, centers))
         param("centroidsDataset").foreach { id =>
-          val rows = model.model.clusterCenters.zipWithIndex.map {
+          val rows = centers.zipWithIndex.map {
             case (ctr, i) => org.apache.spark.sql.Row.fromSeq(
-              i.toString +: ctr.toArray.toSeq)
+              i.toString +: ctr.toSeq)
           }
           val schema = StructType(StructField("rowName", StringType) +:
             feats.indices.map(j => StructField(s"c.$j", DoubleType)))
           createDataset(id, spark.createDataFrame(
             spark.sparkContext.parallelize(rows.toSeq), schema))
+        }
+        // outputDataset: per-row nearest-centroid assignment
+        // (`kmeans_procedure`'s outputDataset — MLDB-1323's pipeline).
+        // Plan-literal argmin over the trained centers: codegen'd
+        // expression, no shuffle, every partition assigns in parallel.
+        param("outputDataset").foreach { id =>
+          val dists = centers.map { ctr =>
+            feats.zip(ctr).map { case (c, v) =>
+              val z = coalesce(col(s"`$c`").cast("double"), lit(0.0))
+              (z - v) * (z - v)
+            }.reduce(_ + _)
+          }
+          val cluster = (0 until centers.length - 1)
+            .foldRight(lit(centers.length - 1)) { (j, rest) =>
+              when(centers.indices.filter(_ != j)
+                .map(o => dists(j) <= dists(o)).reduce(_ && _), lit(j))
+                .otherwise(rest)
+            }
+          val rnCol =
+            if (df0.columns.exists(_.equalsIgnoreCase("rowName")))
+              col("rowName").cast("string")
+            else monotonically_increasing_id().cast("string")
+          createDataset(id, df0.select(rnCol.as("rowName"),
+            cluster.cast("long").as("cluster")))
+        }
+        s"""{"trained": true, "numClusters": $kk}"""
+      case "gaussianclustering.train" =>
+        // `gaussianclustering.train` (EM over gaussians,
+        // `plugins/jml/em_interface.cc` / `em.cc`; pinned by
+        // testing/MLDB-1353-EM.py): kmeans-seeded EM (see
+        // Models.gmmTrain), outputDataset = per-row max-posterior
+        // cluster, modelFileUrl keys the `gaussianclustering`
+        // function entity.
+        import org.apache.spark.sql.functions._
+        val input = param("trainingData").orElse(structuredInput(param))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define inputData"))
+        val df0 = query(input)
+        import org.apache.spark.sql.types._
+        val feats = df0.schema.fields.filter { f =>
+          f.dataType.isInstanceOf[NumericType] &&
+            !f.name.equalsIgnoreCase("rowName") && !f.name.startsWith("__")
+        }.map(_.name).toSeq
+        require(feats.nonEmpty,
+          "gaussianclustering training data matched no columns")
+        val kk = param("numClusters").map(_.toInt).getOrElse(10)
+        val withVec = df0.withColumn("__vec", array(feats.map(c =>
+          coalesce(col(s"`$c`").cast("double"), lit(0.0))): _*))
+        val m = graft.ml.Models.gmmTrain(withVec, "__vec", kk)
+        param("modelFileUrl").foreach(url => gmmModels(url) = (feats, m))
+        param("outputDataset").foreach { id =>
+          val rnCol =
+            if (df0.columns.exists(_.equalsIgnoreCase("rowName")))
+              col("rowName").cast("string")
+            else monotonically_increasing_id().cast("string")
+          createDataset(id, m(withVec).select(rnCol.as("rowName"),
+            col("cluster").cast("long").as("cluster")))
         }
         s"""{"trained": true, "numClusters": $kk}"""
       case "dataset.stats" =>
@@ -1226,10 +1450,15 @@ final class GraftEngine(val spark: SparkSession) {
         val minCos = param("minCosine").map(_.toDouble).getOrElse(0.95)
         registerOut(param("centroidsDataset") match {
           case Some(cds) =>
-            val cents = dataset(cds)
-              .select(org.apache.spark.sql.functions
-                .col(vecCol).cast("array<double>"))
-              .collect().map(_.getSeq[Double](0).toArray)
+            // Centroids are conventionally k-sized, but this is a
+            // user-supplied dataset — bound the driver materialization
+            // like every other plan-time collect (fail fast, named site).
+            val cents = graft.sql.PlanTime.boundedRows(
+              dataset(cds).select(org.apache.spark.sql.functions
+                .col(vecCol).cast("array<double>")),
+              graft.sql.PlanTime.cap(in.sparkSession),
+              "dedup.semantic centroidsDataset")
+              .map(_.getSeq[Double](0).toArray)
             graft.operators.Dedup.semanticDedup(in, vecCol, idCol, cents, minCos)
           case None =>
             graft.operators.Dedup.semanticDedupAuto(in, vecCol, idCol,

@@ -789,33 +789,98 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     * convention); the row keeps the max of its cells' timestamps as
     * its single wide-mode ts. */
   private def columnsFormToFlat(body: String): String = {
-    val rowRe = ("\\{[^{}]*\"rowName\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"" +
-      "[^{}\\[]*\"columns\"\\s*:\\s*\\[(.*?)\\]\\s*\\}").r
+    // rowName and columns are matched INDEPENDENTLY within each
+    // top-level row object — JSON key order is insignificant, so
+    // {"columns": […], "rowName": "r"} must work too.
+    val nameRe = "\"rowName\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
     val cellRe = ("\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
       "(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9.eE+]+|true|false|null)" +
       "(?:\\s*,\\s*(\"[^\"]*\"|-?[0-9.eE+]+))?\\s*\\]").r
-    def tsJson(raw: String): Option[String] =
+    def tsInstant(raw: String): Option[java.time.Instant] =
       if (raw == null) None
-      else if (raw.startsWith("\"")) Some(raw)
-      else {
+      else if (raw.startsWith("\"")) {
+        val s = raw.substring(1, raw.length - 1)
+        try Some(java.time.Instant.parse(s))
+        catch { case _: Exception =>
+          try Some(java.time.OffsetDateTime.parse(s).toInstant)
+          catch { case _: Exception => None }
+        }
+      } else {
         val secs = raw.toDouble
-        val inst = java.time.Instant.ofEpochMilli((secs * 1000).toLong)
-        Some(jsonStr(java.time.format.DateTimeFormatter.ISO_INSTANT
-          .format(inst)))
+        Some(java.time.Instant.ofEpochMilli((secs * 1000).toLong))
       }
-    val rows = rowRe.findAllMatchIn(body).map { m =>
-      val rn = m.group(1)
-      val cells = cellRe.findAllMatchIn(m.group(2)).map { c =>
-        (c.group(1), c.group(2), tsJson(c.group(3)))
-      }.toSeq
-      val maxTs = cells.flatMap(_._3).sorted.lastOption
-      val fields = Seq(s""""rowName":${jsonStr(rn)}""") ++
-        cells.map { case (c, v, _) => s"${jsonStr(c)}:$v" } ++
-        maxTs.map(t => s""""ts":$t""")
-      fields.mkString("{", ",", "}")
-    }.toSeq
+    val rows = jsonTopLevelObjects(body).flatMap { rt =>
+      for {
+        nm <- nameRe.findFirstMatchIn(rt)
+        colsBody <- jsonBracketValue(rt, "columns")
+      } yield {
+        val cells = cellRe.findAllMatchIn(colsBody).map { c =>
+          (c.group(1), c.group(2), tsInstant(c.group(3)))
+        }.toSeq
+        val maxTs = cells.flatMap(_._3)
+          .reduceOption((a, b) => if (a.isAfter(b)) a else b)
+          .map(i => jsonStr(java.time.format.DateTimeFormatter.ISO_INSTANT
+            .format(i)))
+        val fields = Seq(s""""rowName":${jsonStr(nm.group(1))}""") ++
+          cells.map { case (c, v, _) => s"${jsonStr(c)}:$v" } ++
+          maxTs.map(t => s""""ts":$t""")
+        fields.mkString("{", ",", "}")
+      }
+    }
     require(rows.nonEmpty, "no rows in body")
     rows.mkString("[", ",", "]")
+  }
+
+  /** Top-level `{…}` objects of a JSON text (string-aware brace scan);
+    * a bare `{…}` body yields itself, an array body its elements. */
+  private def jsonTopLevelObjects(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = -1
+    var inStr = false; var esc = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => if (depth == 0) start = i; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) { out += s.substring(start, i + 1) }
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Inner text of the bracket-balanced `"field": [ … ]` value within
+    * a JSON object text, tolerant of nested arrays and strings. */
+  private def jsonBracketValue(s: String, field: String): Option[String] = {
+    ("\"" + field + "\"\\s*:\\s*\\[").r.findFirstMatchIn(s).flatMap { m =>
+      val open = m.end - 1
+      var depth = 0; var inStr = false; var esc = false; var i = open
+      var close = -1
+      while (close < 0 && i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '[' => depth += 1
+          case ']' =>
+            depth -= 1
+            if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) None else Some(s.substring(open + 1, close))
+    }
   }
 
   private def extractField(body: String, field: String): String =

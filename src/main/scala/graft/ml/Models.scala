@@ -265,11 +265,84 @@ object Models {
         .drop("features")
   }
 
-  /** `gaussianclustering.train` (EM / GMM). */
-  def gmmTrain(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L) = {
-    val prepared = df.withColumn("features", array_to_vector(col(vecCol)))
-    new GaussianMixture().setK(k).setSeed(seed).setFeaturesCol("features")
+  /** `gaussianclustering.train` (EM / GMM,
+    * `plugins/jml/em.cc:125-160`): the reference seeds EM with a
+    * kmeans++-style farthest-point pass — random initialization (what
+    * `ml.GaussianMixture` does) routinely lands in a worse local
+    * optimum on well-separated data (on iris it merges half of
+    * versicolor into virginica instead of the classic 45/5+50 split
+    * `testing/MLDB-1353-EM.py` pins). The Spark analog: fit k-means
+    * (kmeans|| init, deterministic under the seed), hand its centers
+    * to EM as the initial model (diagonal global-variance
+    * covariances), run `mllib.GaussianMixture` (the MLlib EM that
+    * accepts an initial model). Returns plan-literal cluster
+    * parameters — applying the model is a codegen'd expression, no
+    * UDF, no RDD in the scoring path. */
+  def gmmTrain(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+      maxIter: Int = 200, tol: Double = 1e-3): GmmApplied = {
+    import org.apache.spark.mllib.linalg.{Matrices => OldMatrices, Vectors => OldVectors}
+    import org.apache.spark.mllib.stat.distribution.MultivariateGaussian
+    val vecs = df.select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+    val prepared = vecs.withColumn("features", array_to_vector(col("__v")))
+    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
       .fit(prepared)
+    val centers = km.clusterCenters.map(_.toArray)
+    val dim = centers.head.length
+    val varRow = vecs.select((0 until dim).map(j =>
+      var_pop(element_at(col("__v"), j + 1))): _*).head()
+    val gvar = (0 until dim).map(j =>
+      math.max(if (varRow.isNullAt(j)) 1.0 else varRow.getDouble(j), 1e-6))
+    val init = new org.apache.spark.mllib.clustering.GaussianMixtureModel(
+      Array.fill(k)(1.0 / k),
+      centers.map(c => new MultivariateGaussian(
+        OldVectors.dense(c), OldMatrices.diag(OldVectors.dense(gvar.toArray)))))
+    val rdd = vecs.rdd.map(r =>
+      OldVectors.dense(r.getSeq[Double](0).toArray))
+    val m = new org.apache.spark.mllib.clustering.GaussianMixture()
+      .setK(k).setSeed(seed).setConvergenceTol(tol)
+      .setMaxIterations(maxIter).setInitialModel(init).run(rdd)
+    val means = m.gaussians.map(_.mu.toArray)
+    val (invCovs, logNorms) = m.gaussians.zipWithIndex.map { case (g, i) =>
+      val cov = breeze.linalg.DenseMatrix.create(dim, dim, g.sigma.toArray)
+      // regularize before inverting — EM can collapse a dimension
+      val reg = cov + breeze.linalg.DenseMatrix.eye[Double](dim) * 1e-9
+      val inv = breeze.linalg.inv(reg)
+      val (_, logDet) = breeze.linalg.logdet(reg)
+      val ic = Array.tabulate(dim, dim)((r, c) => inv(r, c))
+      val ln = math.log(m.weights(i)) -
+        0.5 * (dim * math.log(2 * math.Pi) + logDet)
+      (ic, ln)
+    }.unzip
+    GmmApplied(m.weights, means, invCovs.toArray, logNorms.toArray, vecCol)
+  }
+
+  /** A trained gaussian-mixture model as plan literals: `apply` adds a
+    * `cluster` column (max-posterior assignment) via a pure expression
+    * — the quadratic forms codegen into the scan stage, every
+    * partition scores in parallel, nothing shuffles. */
+  final case class GmmApplied(weights: Array[Double],
+      means: Array[Array[Double]], invCovs: Array[Array[Array[Double]]],
+      logNorms: Array[Double], vecCol: String) {
+    def apply(df: DataFrame): DataFrame = {
+      val k = weights.length
+      val dim = means.head.length
+      def x(i: Int) = element_at(col(vecCol).cast("array<double>"), i + 1)
+      val logp = (0 until k).map { c =>
+        val quad = (for (i <- 0 until dim; j <- 0 until dim)
+          yield lit(invCovs(c)(i)(j)) *
+            (x(i) - means(c)(i)) * (x(j) - means(c)(j))).reduce(_ + _)
+        lit(logNorms(c)) - quad * 0.5
+      }
+      // nearest = the first cluster whose log-density dominates all
+      // others (same CASE shape as the kmeans function entity)
+      val cluster = (0 until k - 1).foldRight(lit(k - 1)) { (c, rest) =>
+        when((0 until k).filter(_ != c)
+          .map(o => logp(c) >= logp(o)).reduce(_ && _), lit(c))
+          .otherwise(rest)
+      }
+      df.withColumn("cluster", cluster)
+    }
   }
 
   /** `svd.train` / `svd.embedRow`: truncated orthogonal projection of
@@ -376,16 +449,30 @@ object Models {
     * feature→contribution. */
   def classifierExplain(model: PipelineModel, df: DataFrame,
       featureCols: Seq[String], maxExplainLeaves: Int = 4096): DataFrame = {
-    val lr = model.stages.last match {
-      case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
+    // features must match what the classifier trained on — the
+    // reference's exact message (testing/MLDB-174-regression.py
+    // test_mldb_1712_failure_on_non_matching_features)
+    val trained = model.stages.collectFirst {
+      case a: VectorAssembler => a.getInputCols.toSeq
+    }.getOrElse(Seq.empty)
+    if (trained.nonEmpty && !featureCols.forall(trained.contains))
+      throw new IllegalArgumentException(
+        "The specified features couldn't be found in the classifier.")
+    val (weights, intercept) = model.stages.last match {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel =>
+        (m.coefficients.toArray, m.intercept)
+      case m: org.apache.spark.ml.regression.LinearRegressionModel =>
+        (m.coefficients.toArray, m.intercept)
       case _: org.apache.spark.ml.classification.DecisionTreeClassificationModel |
            _: org.apache.spark.ml.classification.RandomForestClassificationModel |
-           _: org.apache.spark.ml.classification.GBTClassificationModel =>
+           _: org.apache.spark.ml.classification.GBTClassificationModel |
+           _: org.apache.spark.ml.regression.DecisionTreeRegressionModel |
+           _: org.apache.spark.ml.regression.RandomForestRegressionModel |
+           _: org.apache.spark.ml.regression.GBTRegressionModel =>
         return treeExplain(model, df, featureCols, maxExplainLeaves)
       case other => throw new IllegalArgumentException(
-        s"explain supports glz (logistic) and tree models, got ${other.getClass.getSimpleName}")
+        s"explain supports glz (logistic/linear) and tree models, got ${other.getClass.getSimpleName}")
     }
-    val weights = lr.coefficients.toArray
     val scaler = model.stages.collectFirst {
       case s: org.apache.spark.ml.feature.StandardScalerModel => s
     }
@@ -397,7 +484,7 @@ object Models {
       val scaled = (col(c) - means(i)) / (if (stds(i) == 0) 1.0 else stds(i))
       struct(lit(c).as("feature"), (scaled * weights(i)).as("contribution"))
     }
-    df.withColumn("bias", lit(lr.intercept))
+    df.withColumn("bias", lit(intercept))
       .withColumn("explanation", map_from_entries(array(contribs: _*)))
   }
 
@@ -427,6 +514,13 @@ object Models {
         (m.trees.map(_.rootNode).toSeq,
           Seq.fill(m.trees.length)(1.0 / m.trees.length))
       case m: org.apache.spark.ml.classification.GBTClassificationModel =>
+        (m.trees.map(_.rootNode).toSeq, m.treeWeights.toSeq)
+      case m: org.apache.spark.ml.regression.DecisionTreeRegressionModel =>
+        (Seq(m.rootNode), Seq(1.0))
+      case m: org.apache.spark.ml.regression.RandomForestRegressionModel =>
+        (m.trees.map(_.rootNode).toSeq,
+          Seq.fill(m.trees.length)(1.0 / m.trees.length))
+      case m: org.apache.spark.ml.regression.GBTRegressionModel =>
         (m.trees.map(_.rootNode).toSeq, m.treeWeights.toSeq)
       case other => throw new IllegalArgumentException(
         s"not a tree model: ${other.getClass.getSimpleName}")
@@ -614,6 +708,146 @@ object Models {
         transform(pool(_ + _), x => x / size(vs)).as("pool_avg"),
         pool(least(_, _)).as("pool_min"),
         pool(greatest(_, _)).as("pool_max"))
+  }
+
+  /** regression-mode `classifier.test` over PRE-SCORED rows — the
+    * reference's r² including its zero-variance conventions
+    * (`plugins/jml/accuracy.cc` scoring of `{score, label}` inputs,
+    * pinned by `testing/MLDB-174-regression.py` test_r2/test_r2_edge):
+    * when the labels have zero variance, r² is 1 for a perfect score
+    * column and 0 otherwise (the naive formula would divide by zero).
+    * One aggregate pass. */
+  def r2Score(df: DataFrame, scoreCol: String, labelCol: String): Double = {
+    val r = df.agg(
+      sum(pow(col(scoreCol).cast("double") - col(labelCol).cast("double"), 2)),
+      sum(pow(col(labelCol).cast("double"), 2)),
+      sum(col(labelCol).cast("double")),
+      count(lit(1))).head()
+    val (ssres, ssy, sy, n) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+    val sstot = ssy - sy * sy / n
+    if (sstot <= 1e-12) { if (ssres <= 1e-12) 1.0 else 0.0 }
+    else 1.0 - ssres / sstot
+  }
+
+  /** Per-label statistics of categorical `classifier.test`
+    * (`plugins/jml/accuracy.cc:499-515` — one-vs-rest confusion per
+    * label): accuracy = (tp+tn)/total, precision = tp/(tp+fp),
+    * recall = tp/support, f1, support = tp+fn. x/0 reads 0 like the
+    * reference's xdiv. One groupBy over (label, prediction) pairs —
+    * #labels² counts on the driver, rows never leave the cluster. */
+  final case class LabelStats(accuracy: Double, precision: Double,
+    recall: Double, f1Score: Double, support: Double)
+
+  def categoricalLabelStats(scored: DataFrame, labelCol: String,
+      predictionCol: String): Map[String, LabelStats] = {
+    def xdiv(a: Double, b: Double): Double = if (b == 0) 0.0 else a / b
+    val counts = scored.groupBy(
+        col(labelCol).cast("string").as("__l"),
+        col(predictionCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = counts.map(_._3).sum.toDouble
+    val labels = (counts.map(_._1) ++ counts.map(_._2)).distinct
+    labels.map { l =>
+      val tp = counts.collect { case (`l`, `l`, n) => n }.sum.toDouble
+      val fn = counts.collect { case (`l`, p, n) if p != l => n }.sum.toDouble
+      val fp = counts.collect { case (a, `l`, n) if a != l => n }.sum.toDouble
+      val tn = total - tp - fn - fp
+      val precision = xdiv(tp, tp + fp)
+      val recall = xdiv(tp, tp + fn)
+      l -> LabelStats(xdiv(tp + tn, total), precision, recall,
+        2 * xdiv(precision * recall, precision + recall), tp + fn)
+    }.toMap
+  }
+
+  /** categorical `classifier.test`: per-label statistics of an applied
+    * model whose label indexing ran through [[classifierTrainCategorical]]
+    * (prediction is the decoded string label column `predictedLabel`
+    * when an IndexToString stage is present, else raw `prediction`). */
+  def classifierTestCategorical(model: PipelineModel, test: DataFrame,
+      labelCol: String): Map[String, LabelStats] = {
+    val scored = model.transform(test)
+    val predCol =
+      if (scored.columns.contains("predictedLabel")) "predictedLabel"
+      else "prediction"
+    categoricalLabelStats(scored, labelCol, predCol)
+  }
+
+  /** `classifier.train` algorithm=naive_bayes with the reference's
+    * missing-feature semantics (`plugins/jml/jml/naive_bayes.cc:88-111`
+    * keeps an explicit MISSING probability bucket per rule; a feature
+    * absent from the input row contributes its missing bucket, not a
+    * zero value). The Spark analog trains per-class Gaussian
+    * likelihoods (the reference learns threshold rules — documented
+    * divergence; on the canonical Wikipedia gender example both give
+    * the same confident posteriors) and SKIPS absent features at
+    * score time, which is the balanced-priors limit of the missing
+    * bucket. Training is one groupBy(label) aggregate; whole-frame
+    * scoring is a plan-literal expression (codegen'd, no UDF). */
+  final case class GaussianNbModel(priors: Map[String, Double],
+      featureCols: Seq[String],
+      stats: Map[String, Seq[(Double, Double)]]) {
+
+    /** posterior per label for a single (possibly partial) feature map —
+      * absent keys are skipped. Driver-side: the single-row function
+      * application path. */
+    def score(features: Map[String, Double]): Map[String, Double] = {
+      val logPost = priors.map { case (l, pr) =>
+        val ll = featureCols.zipWithIndex.collect {
+          case (f, i) if features.contains(f) =>
+            val (m, v) = stats(l)(i)
+            val vv = math.max(v, 1e-9)
+            -0.5 * math.log(2 * math.Pi * vv) -
+              math.pow(features(f) - m, 2) / (2 * vv)
+        }.sum
+        l -> (math.log(pr) + ll)
+      }
+      val mx = logPost.values.max
+      val exp = logPost.map { case (l, lp) => l -> math.exp(lp - mx) }
+      val z = exp.values.sum
+      exp.map { case (l, e) => l -> e / z }
+    }
+
+    /** whole-frame scoring: posterior columns `score_<label>`; NULL
+      * cells skip their likelihood term like absent features. */
+    def apply(df: DataFrame): DataFrame = {
+      val labels = priors.keys.toSeq.sorted
+      val logPost = labels.map { l =>
+        val terms = featureCols.zipWithIndex.map { case (f, i) =>
+          val (m, v) = stats(l)(i)
+          val vv = math.max(v, 1e-9)
+          when(col(f).isNull, lit(0.0)).otherwise(
+            lit(-0.5 * math.log(2 * math.Pi * vv)) -
+              pow(col(f).cast("double") - m, 2) / (2 * vv))
+        }
+        terms.foldLeft(lit(math.log(priors(l))))(_ + _)
+      }
+      val mx = logPost.reduce(greatest(_, _))
+      val exps = logPost.map(lp => exp(lp - mx))
+      val z = exps.reduce(_ + _)
+      labels.zip(exps).foldLeft(df) { case (acc, (l, e)) =>
+        acc.withColumn(s"score_$l", e / z)
+      }
+    }
+  }
+
+  def gaussianNbTrain(train: DataFrame, featureCols: Seq[String],
+      labelCol: String): GaussianNbModel = {
+    val aggs = featureCols.flatMap(f => Seq(
+      avg(col(f).cast("double")).as(s"__m_$f"),
+      coalesce(var_pop(col(f).cast("double")), lit(0.0)).as(s"__v_$f"))) :+
+      count(lit(1)).as("__n")
+    val rows = train.groupBy(col(labelCol).cast("string").as("__l"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val total = rows.map(_.getAs[Long]("__n")).sum.toDouble
+    val priors = rows.map(r =>
+      r.getString(0) -> r.getAs[Long]("__n") / total).toMap
+    val stats = rows.map { r =>
+      r.getString(0) -> featureCols.map(f =>
+        (r.getAs[Double](s"__m_$f"), r.getAs[Double](s"__v_$f")))
+    }.toMap
+    GaussianNbModel(priors, featureCols, stats)
   }
 
   /** Word2Vec TRAINING (the reference only imports pre-trained

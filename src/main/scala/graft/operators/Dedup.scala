@@ -420,18 +420,20 @@ object Dedup {
           Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min(col("nbr_label")).as("nbr_label"))
       val l1 = labels.join(viaNbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: label ← label(label); labels only ever shrink,
-      // so the parent's label is ≤ ours and the join always lands
+      // so the parent's label is ≤ ours and the join always lands.
+      // The change flag rides the same select, so convergence detection
+      // is a limit-1 scan of the frame the checkpoint just materialized
+      // — no extra join-against-old-labels job per round.
       val parents = l1.select(col("id").as("label"), col("label").as("__plabel"))
       val updated = cut(l1.join(parents, Seq("label"), "left")
         .select(col("id"),
-          coalesce(col("__plabel"), col("label")).as("label")))
-      converged = updated
-        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
-        .filter(col("label") =!= col("__old")).isEmpty
-      labels = updated
+          coalesce(col("__plabel"), col("label")).as("label"),
+          (coalesce(col("__plabel"), col("label")) =!= col("__old")).as("__chg")))
+      converged = updated.filter(col("__chg")).isEmpty
+      labels = updated.select(col("id"), col("label"))
       i += 1
     }
     (labels, i)

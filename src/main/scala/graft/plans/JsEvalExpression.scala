@@ -19,9 +19,11 @@ import graft.js.JsInterp._
   *
   * The reference's jseval is dynamically typed; Catalyst needs a static
   * type, so the surface is four variants:
-  *   - `jseval`      → JSON encoding of the result (string; objects and
-  *                     arrays survive structurally — pair with the
-  *                     engine's JSON accessors to decompose),
+  *   - `jseval`      → scalar results read as their plain atom text
+  *                     (a string result is the string itself, NOT its
+  *                     JSON quoting — MLDB-1323 names rows with one);
+  *                     objects and arrays encode as JSON — pair with
+  *                     the engine's JSON accessors to decompose,
   *   - `jseval_num`  → ToNumber of the result (double),
   *   - `jseval_str`  → ToString of the result (string),
   *   - `jseval_bool` → ToBoolean of the result (boolean).
@@ -63,7 +65,16 @@ case class JsEval(script: String, argNames: Seq[String],
       case "num" => JsInterp.toNum(result)
       case "str" => UTF8String.fromString(toStr(result))
       case "bool" => JsInterp.toBool(result)
-      case _ => jsonStringify(result).map(UTF8String.fromString).orNull
+      case _ => result match {
+        // atoms read as their plain value — the reference's jseval
+        // returns a typed CellValue, not JSON text; only structural
+        // results need the JSON encoding
+        case JsStr(s) => UTF8String.fromString(s)
+        case JsNull | JsUndef => null
+        case _: JsNum | _: JsBool =>
+          jsonStringify(result).map(UTF8String.fromString).orNull
+        case _ => jsonStringify(result).map(UTF8String.fromString).orNull
+      }
     }
   }
 

@@ -39,8 +39,14 @@ object Sources {
     *    nulls rather than erroring;
     *  - a trailing empty header cell and its (empty) values drop,
     *    like the reference's trailing-comma handling (MLDB-1649);
-    *  - `structuredColumnNames` is not implemented (Spark columns
-    *    are flat).
+    *  - `structuredColumnNames` (MLDB-1638): header cells hold PATH
+    *    text. false (default) treats each header as ONE path element —
+    *    a header containing dots/quotes gets element-quoted (`c.a` →
+    *    `"c.a"`); true parses the header as a structured path and
+    *    re-prints it canonically (`c.a` stays `c.a`, a quoted `"d.a"`
+    *    stays one element). Spark columns are flat strings, so the
+    *    choice is applied to the NAME at import time — exactly the
+    *    printed form the reference's table format shows.
     * uint64 note (SURVEY §1.2): with inference, integers beyond
     * int64 (e.g. 2^64-1) import as DECIMAL(20,0) — Spark's CSV
     * inference tries int → bigint → decimal — so the reference's full
@@ -66,7 +72,27 @@ object Sources {
       named: Option[String] = None,
       timestamp: Option[String] = None,
       replaceInvalidCharactersWith: Option[String] = None,
-      schema: Option[StructType] = None)
+      schema: Option[StructType] = None,
+      structuredColumnNames: Boolean = false)
+
+  /** Header text → stored column name per `structuredColumnNames`
+    * (driver-side twins of PathFunctions.parsePath/stringifyPath). */
+  private[sources] def headerToColumnName(h: String,
+      structured: Boolean): String = {
+    def printElem(e: String): String =
+      if (e.exists(c => c == '.' || c == '"'))
+        "\"" + e.replace("\"", "\"\"") + "\"" else e
+    if (!structured) printElem(h)
+    else {
+      val tok = "(\"(?:[^\"]|\"\")*\"|[^.]+)".r
+      val elems = tok.findAllMatchIn(h).map(_.group(1)).map { t =>
+        if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+          t.substring(1, t.length - 1).replace("\"\"", "\"")
+        else t
+      }.toSeq
+      if (elems.isEmpty) h else elems.map(printElem).mkString(".")
+    }
+  }
 
   /** Formats Spark cannot read natively (.lz4 frame, .zst, .zip) are
     * decompressed once driver-side to a temp file, then parsed
@@ -237,13 +263,25 @@ object Sources {
     val namedLineNumbers = cfg.named.exists(
       _.replaceAll("\\s", "").equalsIgnoreCase("lineNumber()"))
     if (namedLineNumbers) {
-      require(cfg.headerNames.isEmpty && !cfg.autoGenerateHeaders && !lineLevel,
+      require(!cfg.autoGenerateHeaders && !lineLevel,
         "named: lineNumber() supports plain header-row imports only")
-      val schema = cfg.schema.getOrElse(
+      // supplied headerNames mean the file has NO header row — data
+      // starts at line 1 (MLDB-1428's iris rowName '1')
+      val schema0 = cfg.schema.getOrElse(
         spark.read.option("sep", cfg.delimiter)
           .option("quote", cfg.quoteChar).option("encoding", encoding)
           .option("header", hasHeaderRow).option("inferSchema", true)
           .csv(path).schema)
+      val schema =
+        if (cfg.headerNames.isEmpty) schema0
+        else {
+          require(cfg.headerNames.length == schema0.fields.length,
+            s"headerNames has ${cfg.headerNames.length} names but the " +
+              s"file has ${schema0.fields.length} columns")
+          StructType(schema0.fields.zip(cfg.headerNames).map {
+            case (f, n) => f.copy(name = n)
+          })
+        }
       val lines = spark.read.option("encoding", encoding).text(path)
         .rdd.zipWithIndex.map { case (row, i) =>
           org.apache.spark.sql.Row(row.getString(0), i + 1L)
@@ -254,8 +292,13 @@ object Sources {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("__lineno",
             org.apache.spark.sql.types.LongType))))
-      val data =
+      val data0 =
         if (hasHeaderRow) withIdx.filter(col("__lineno") > 1) else withIdx
+      // blank lines don't parse as rows (Spark's CSV reader drops them;
+      // the numbered path must too — a trailing newline otherwise
+      // fabricates an all-null row)
+      val data = data0.filter(
+        org.apache.spark.sql.functions.length(col("__line")) > 0)
       val parsed = data.select(
         from_csv(col("__line"), schema,
           Map("sep" -> cfg.delimiter, "quote" -> cfg.quoteChar)).as("__r"),
@@ -328,8 +371,27 @@ object Sources {
             s"has ${df0t.columns.length} columns")
         df0t.toDF(cfg.headerNames: _*)
       } else df0t
+    // structuredColumnNames (MLDB-1638): header text → path-printed
+    // name. Only renames when a header carries dots/quotes, so plain
+    // imports are untouched; schema-supplied names are authoritative.
+    // Spark hands back header CELLS verbatim (no CSV quote
+    // processing), so names read from the file unescape first.
+    val df1n =
+      if (cfg.schema.nonEmpty || cfg.autoGenerateHeaders) df1
+      else {
+        val fromFile = cfg.headerNames.isEmpty
+        def csvUnescape(h: String): String =
+          if (fromFile && cfg.quoteChar.nonEmpty && h.length >= 2 &&
+              h.startsWith(cfg.quoteChar) && h.endsWith(cfg.quoteChar))
+            h.substring(1, h.length - 1)
+              .replace(cfg.quoteChar + cfg.quoteChar, cfg.quoteChar)
+          else h
+        val renamed = df1.columns.map(h =>
+          headerToColumnName(csvUnescape(h), cfg.structuredColumnNames))
+        if (renamed.sameElements(df1.columns)) df1 else df1.toDF(renamed: _*)
+      }
     val df2 =
-      if (cfg.offset > 0 && lineOffset == 0) df1.offset(cfg.offset) else df1
+      if (cfg.offset > 0 && lineOffset == 0) df1n.offset(cfg.offset) else df1n
     val df3 = cfg.limit.filter(_ >= 0).map(df2.limit).getOrElse(df2)
     // post-import expressions (reference select/where/named/timestamp)
     postImport(df3, applyNamed = true)

@@ -42,9 +42,13 @@ object Word2Vec {
     * word2vec table (3M words x 300 float32 ≈ 3.6 GB) would OOM a
     * `collect()`. `toLocalIterator` streams one partition at a time —
     * bounded driver memory at the cost of two extra tiny jobs (count
-    * for the header, head for the dimension). */
+    * for the header, head for the dimension). The projection is PINNED
+    * (localCheckpoint) before counting so the header count and the
+    * streamed rows come from one materialization — a non-deterministic
+    * input (sampled / limited / shuffled) must not disagree between
+    * the count job and the iterator job. */
   def write(df: DataFrame, path: String): Unit = {
-    val proj = df.select("word", "embedding")
+    val proj = df.select("word", "embedding").localCheckpoint()
     val n = proj.count()
     val dim = if (n == 0) 0
       else proj.head().getAs[scala.collection.Seq[Float]]("embedding").size
@@ -60,7 +64,10 @@ object Word2Vec {
         r.getAs[scala.collection.Seq[Float]]("embedding").foreach(f =>
           out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(f))))
       }
-    } finally out.close()
+    } finally {
+      out.close()
+      proj.unpersist()
+    }
   }
 
   private def readLine(in: DataInputStream): String = {

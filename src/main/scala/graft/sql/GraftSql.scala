@@ -41,6 +41,8 @@ object GraftSql {
     "value_timestamp",
     "__isconst",
     "static_expression_info",
+    "static_type",
+    "static_known_columns",
     "acos",
     "acosh",
     "amplitude",

@@ -691,6 +691,25 @@ object Lowering {
 
   /** Statically boolean-valued AST shapes (for the arithmetic
     * boolean→int coercion above). */
+  /** Syntactically certain plain-numeric-scalar shapes — the fast
+    * gate that lets arithmetic over literals / numeric columns / CASE
+    * over them skip every type-resolution probe in Binary lowering
+    * (a generated polynomial would otherwise pay one Catalyst
+    * analysis per node). */
+  private def numericScalarShaped(scope: Scope, e: Expr): Boolean = e match {
+    case NumLit(_, _) => true
+    case Unary("-" | "+", x) => numericScalarShaped(scope, x)
+    case Binary("+" | "-" | "*" | "/" | "%", l, r) =>
+      numericScalarShaped(scope, l) && numericScalarShaped(scope, r)
+    case Ident(_) => staticType(scope, e)
+      .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    case CaseWhen(_, bs, oe) =>
+      (bs.map(_._2) ++ oe.toSeq).forall(numericScalarShaped(scope, _))
+    case CastExpr(_, t) => Set("int", "integer", "bigint", "long",
+      "double", "float", "tinyint", "smallint")(t.toLowerCase)
+    case _ => false
+  }
+
   private def boolShaped(e: Expr): Boolean = e match {
     case BoolLit(_) | IsNull(_, _) | IsType(_, _, _) | LikeExpr(_, _, _) |
         Between(_, _, _, _) | InList(_, _, _) | InKeysOf(_, _, _, _) |
@@ -1271,96 +1290,111 @@ object Lowering {
         // bag comparison → sorted-entry-list comparison (MLDB-989)
         binaryOp(op, bagEntries(lowerExpr(scope, l)),
           bagEntries(lowerExpr(scope, r)))
-      else if (Set("=", "!=", "<>", "<", "<=", ">", ">=")(op) && {
-        // a timestamp difference is a Spark day-time interval; compared
-        // against the dialect's (months, days, seconds) INTERVAL value
-        // both sides normalize to seconds (months at the reference's
-        // calendar rate — MLDB-409's `now() - ts > INTERVAL '454D'`).
-        // Struct-vs-struct comparisons stay component-wise (MLDB-724:
-        // 1 day ≠ 24 H), so this only fires when ONE side is a real
-        // day-time interval.
-        def isDt(e: Expr): Boolean = resolvedTypeOf(scope,
-          lowerExpr(scope, e)).exists(
-          _.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType])
-        isDt(l) || isDt(r)
-      }) {
-        def secs(e: Expr): Column = {
-          val c = lowerExpr(scope, e)
-          resolvedTypeOf(scope, c) match {
-            case Some(_: org.apache.spark.sql.types.DayTimeIntervalType) =>
-              // ANSI interval → integral cast counts the END field
-              // (seconds for DAY TO SECOND) — then widen
-              c.cast("long").cast("double")
-            case Some(st: org.apache.spark.sql.types.StructType)
-                if st.fieldNames.sameElements(
-                  Array("months", "days", "seconds")) =>
-              c.getField("months") * 2592000.0 +
-                c.getField("days") * 86400.0 + c.getField("seconds")
-            case _ => c.cast("double")
+      else if (numericScalarShaped(scope, l) && numericScalarShaped(scope, r))
+        // FAST PATH: both sides are syntactically plain numeric
+        // scalars (literals, numeric columns, arithmetic/CASE over
+        // them) — skip every resolution probe below. Without this, a
+        // generated polynomial (the gaussianclustering CASE) pays a
+        // full Catalyst analysis PER NODE and re-lowers each subtree
+        // several times — exponential in chain depth.
+        binaryOp(op, side(l), side(r))
+      else {
+        val cmp = Set("=", "!=", "<>", "<", "<=", ">", ">=")(op)
+        // lower each side ONCE and resolve its type ONCE — the
+        // interval / embedding / row dispatch below branches on the
+        // same two resolved types
+        lazy val lc0 = lowerExpr(scope, l)
+        lazy val rc0 = lowerExpr(scope, r)
+        lazy val lt0 = resolvedTypeOf(scope, lc0)
+        lazy val rt0 = resolvedTypeOf(scope, rc0)
+        def isDtT(t: Option[org.apache.spark.sql.types.DataType]) =
+          t.exists(_.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType])
+        def isStructT(t: Option[org.apache.spark.sql.types.DataType]) =
+          t.exists(_.isInstanceOf[org.apache.spark.sql.types.StructType])
+        def isArrT(t: Option[org.apache.spark.sql.types.DataType]) =
+          t.exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        if (cmp && (isDtT(lt0) || isDtT(rt0))) {
+          // a timestamp difference is a Spark day-time interval;
+          // compared against the dialect's (months, days, seconds)
+          // INTERVAL value both sides normalize to seconds (months at
+          // the reference's calendar rate — MLDB-409's
+          // `now() - ts > INTERVAL '454D'`). Struct-vs-struct
+          // comparisons stay component-wise (MLDB-724: 1 day ≠ 24 H),
+          // so this only fires when ONE side is a real interval.
+          def secs(c: Column,
+              t: Option[org.apache.spark.sql.types.DataType]): Column =
+            t match {
+              case Some(_: org.apache.spark.sql.types.DayTimeIntervalType) =>
+                // ANSI interval → integral cast counts the END field
+                // (seconds for DAY TO SECOND) — then widen
+                c.cast("long").cast("double")
+              case Some(st: org.apache.spark.sql.types.StructType)
+                  if st.fieldNames.sameElements(
+                    Array("months", "days", "seconds")) =>
+                c.getField("months") * 2592000.0 +
+                  c.getField("days") * 86400.0 + c.getField("seconds")
+              case _ => c.cast("double")
+            }
+          binaryOp(op, secs(lc0, lt0), secs(rc0, rt0))
+        }
+        else if (arith && (arrayShaped(scope, l) || arrayShaped(scope, r) ||
+            isArrT(lt0) || isArrT(rt0))) {
+          // embedding arithmetic is element-wise; a scalar broadcasts
+          // over the vector (MLDB-953 `[1,2,3,4]/norm(...)`)
+          def asD(c: Column) = c.cast("array<double>")
+          // a row literal beside an embedding reads as a vector too
+          // (MLDB-923: [1,2,3] + {"0":3, "1":2, "2":1})
+          val lc = toVector(scope, lc0)
+          val rc = toVector(scope, rc0)
+          def isArr(e: Expr, c: Column): Boolean =
+            arrayShaped(scope, e) || resolvedTypeOf(scope, c)
+              .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          (isArr(l, lc), isArr(r, rc)) match {
+            case (true, true) =>
+              zip_with(asD(lc), asD(rc), (x, y) => binaryOp(op, x, y))
+            case (true, false) =>
+              transform(asD(lc), x => binaryOp(op, x, rc.cast("double")))
+            case _ =>
+              transform(asD(rc), x => binaryOp(op, lc.cast("double"), x))
           }
         }
-        binaryOp(op, secs(l), secs(r))
-      }
-      else if (arith && (arrayShaped(scope, l) || arrayShaped(scope, r))) {
-        // embedding arithmetic is element-wise; a scalar broadcasts
-        // over the vector (MLDB-953 `[1,2,3,4]/norm(...)`)
-        def asD(c: Column) = c.cast("array<double>")
-        // a row literal beside an embedding reads as a vector too
-        // (MLDB-923: [1,2,3] + {"0":3, "1":2, "2":1})
-        val lc = toVector(scope, lowerExpr(scope, l))
-        val rc = toVector(scope, lowerExpr(scope, r))
-        def isArr(e: Expr, c: Column): Boolean =
-          arrayShaped(scope, e) || resolvedTypeOf(scope, c)
-            .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-        (isArr(l, lc), isArr(r, rc)) match {
-          case (true, true) =>
-            zip_with(asD(lc), asD(rc), (x, y) => binaryOp(op, x, y))
-          case (true, false) =>
-            transform(asD(lc), x => binaryOp(op, x, rc.cast("double")))
-          case _ =>
-            transform(asD(rc), x => binaryOp(op, lc.cast("double"), x))
+        else if (arith && (isStructT(lt0) || isStructT(rt0))) {
+          // row arithmetic (column_name_test test_object_arith,
+          // MLDB-1836): row op scalar applies per FIELD, recursing into
+          // nested rows; row op row applies on the union of field names
+          // (a field absent on one side reads NULL)
+          import org.apache.spark.sql.types.{DataType, StructType}
+          def structOp(lc: Column, lt: DataType, rc: Column, rt: DataType): Column =
+            (lt, rt) match {
+              case (ls: StructType, rs: StructType) =>
+                val names = (ls.fieldNames ++ rs.fieldNames).distinct.toSeq
+                struct(names.map { n =>
+                  (ls.find(_.name == n), rs.find(_.name == n)) match {
+                    case (Some(a), Some(b)) =>
+                      structOp(lc.getField(n), a.dataType,
+                        rc.getField(n), b.dataType).as(n)
+                    case _ => lit(null).as(n)
+                  }
+                }: _*)
+              case (ls: StructType, _) =>
+                struct(ls.fields.toSeq.map(f =>
+                  structOp(lc.getField(f.name), f.dataType, rc, rt)
+                    .as(f.name)): _*)
+              case (_, rs: StructType) =>
+                struct(rs.fields.toSeq.map(f =>
+                  structOp(lc, lt, rc.getField(f.name), f.dataType)
+                    .as(f.name)): _*)
+              case _ => binaryOp(op, lc, rc)
+            }
+          structOp(lc0, lt0.getOrElse(org.apache.spark.sql.types.NullType),
+            rc0, rt0.getOrElse(org.apache.spark.sql.types.NullType))
+        }
+        else {
+          def sideC(e: Expr, c: Column): Column =
+            if (arith && boolShaped(e)) c.cast("int") else c
+          binaryOp(op, sideC(l, lc0), sideC(r, rc0))
         }
       }
-      else if (arith && {
-        def isStruct(e: Expr): Boolean = resolvedTypeOf(scope,
-          lowerExpr(scope, e)).exists(
-          _.isInstanceOf[org.apache.spark.sql.types.StructType])
-        isStruct(l) || isStruct(r)
-      }) {
-        // row arithmetic (column_name_test test_object_arith,
-        // MLDB-1836): row op scalar applies per FIELD, recursing into
-        // nested rows; row op row applies on the union of field names
-        // (a field absent on one side reads NULL)
-        import org.apache.spark.sql.types.{DataType, StructType}
-        def typOf(c: Column): DataType = resolvedTypeOf(scope, c).getOrElse(
-          org.apache.spark.sql.types.NullType)
-        def structOp(lc: Column, lt: DataType, rc: Column, rt: DataType): Column =
-          (lt, rt) match {
-            case (ls: StructType, rs: StructType) =>
-              val names = (ls.fieldNames ++ rs.fieldNames).distinct.toSeq
-              struct(names.map { n =>
-                (ls.find(_.name == n), rs.find(_.name == n)) match {
-                  case (Some(a), Some(b)) =>
-                    structOp(lc.getField(n), a.dataType,
-                      rc.getField(n), b.dataType).as(n)
-                  case _ => lit(null).as(n)
-                }
-              }: _*)
-            case (ls: StructType, _) =>
-              struct(ls.fields.toSeq.map(f =>
-                structOp(lc.getField(f.name), f.dataType, rc, rt)
-                  .as(f.name)): _*)
-            case (_, rs: StructType) =>
-              struct(rs.fields.toSeq.map(f =>
-                structOp(lc, lt, rc.getField(f.name), f.dataType)
-                  .as(f.name)): _*)
-            case _ => binaryOp(op, lc, rc)
-          }
-        val lc = lowerExpr(scope, l)
-        val rc = lowerExpr(scope, r)
-        structOp(lc, typOf(lc), rc, typOf(rc))
-      }
-      else binaryOp(op, side(l), side(r))
 
     // zero-arg appliable function (sql.query macro form): `f()` /
     // `f() AS *` — MLDB-1841 test_distincton_pipeline
@@ -1464,6 +1498,25 @@ object Lowering {
       struct(keyFields.map { case (n, v) =>
         lowerExpr(scope, substitute(v, fmap)).as(n)
       }: _*)
+    // extract-of-row-literal simplifies to the named field alone —
+    // macro substitution (sql.expression function entities) can
+    // replicate the literal HUNDREDS of times (the gaussianclustering
+    // CASE); lowering only the referenced field keeps plan size linear
+    // instead of materializing the whole struct per mention
+    case Extract(StructLit(fields), StrLit(s))
+        if fields.exists {
+          case (k, _) if k.equalsIgnoreCase(s) => true
+          case ("*", Star(excl, "", None)) =>
+            !excl.exists { pat =>
+              if (pat.endsWith("*"))
+                s.toLowerCase.startsWith(pat.toLowerCase.dropRight(1))
+              else pat.equalsIgnoreCase(s)
+            }
+          case _ => false
+        } =>
+      fields.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(s) => lowerExpr(scope, v)
+      }.getOrElse(lowerExpr(scope, Ident(Seq(s))))
     case Extract(x, key) =>
       val c = lowerExpr(scope, x)
       key match {
@@ -1817,7 +1870,10 @@ object Lowering {
     case "isfinite" =>
       !isnan(a(0)) && a(0) =!= Double.PositiveInfinity &&
         a(0) =!= Double.NegativeInfinity
-    case "quantize" => M.quantize(a(0), a(1))
+    // quantize lifts element-wise over embeddings too (MLDB-1972
+    // quantizes an fft round-trip)
+    case "quantize" =>
+      shapewise(scope, a(0), floatOnly = false, x => M.quantize(x, a(1)))
     case "clamp" => M.clamp(a(0), a(1), a(2))
     // repairs lift element-wise over rows and embeddings (MLDB-917:
     // `replace_nan({*}, 0)`, `replace_inf([…], 98)`)
@@ -2059,8 +2115,18 @@ object Lowering {
       case _ => throw new IllegalArgumentException(
         "extract_column needs a literal column name")
     }
-    // signal battery (`sql/builtin_signal_functions.cc:214`)
-    case "fft" => graft.functions.SignalFunctions.fft(a(0))
+    // signal battery (`sql/builtin_signal_functions.cc:214`). The
+    // 2-arg form takes the reference's direction literal:
+    // fft(x, 'forward') / fft(x, 'backward') (MLDB-1972)
+    case "fft" => raw.lift(1) match {
+      case Some(StrLit(d)) if d.equalsIgnoreCase("backward") =>
+        graft.functions.SignalFunctions.ifft(a(0))
+      case Some(StrLit(d)) if d.equalsIgnoreCase("forward") =>
+        graft.functions.SignalFunctions.fft(a(0))
+      case Some(_) => throw new IllegalArgumentException(
+        "fft direction must be 'forward' or 'backward'")
+      case None => graft.functions.SignalFunctions.fft(a(0))
+    }
     case "ifft" => graft.functions.SignalFunctions.ifft(a(0))
     case "amplitude" => graft.functions.SignalFunctions.amplitude(a(0))
     case "phase" => graft.functions.SignalFunctions.phase(a(0))
@@ -2223,7 +2289,6 @@ object Lowering {
       else if (inputs.isEmpty) coalesce(a(0), a(1))
       else when(inputs.map(_.isNull).reduce(_ || _), a(0))
         .otherwise(coalesce(a(0), a(1)))
-    case "static_type" => typeof(a(0))
     // implicit_cast (`sql/builtin_functions.cc:949`): string values
     // that parse as numbers become numbers, the empty string becomes
     // NULL, non-strings (and non-numeric strings) pass through.
@@ -2365,6 +2430,44 @@ object Lowering {
     // getUnbound — MLDB-1935 `__isconst`, MLDB-1984
     // `static_expression_info`): constancy is a PLAN-TIME fact here
     // exactly as in the reference's bind phase
+    // static_type / static_known_columns (MLDB-1486,
+    // `sql/builtin_functions.cc:2979/3028`): plan-time type
+    // reflection rendered with the reference's ValueInfo class names
+    case "static_type" => {
+      import org.apache.spark.sql.types._
+      val isConst = if (isConstExpr(raw(0))) 1 else 0
+      val (kind, scalar, tn) = resolvedTypeOf(scope, a(0)) match {
+        case Some(LongType | IntegerType | ShortType | ByteType) =>
+          ("scalar", "i64", "MLDB::IntegerValueInfo")
+        case Some(DoubleType) => ("scalar", "f64", "MLDB::Float64ValueInfo")
+        case Some(FloatType) => ("scalar", "f32", "MLDB::Float32ValueInfo")
+        case Some(BooleanType) => ("scalar", "u8", "MLDB::BooleanValueInfo")
+        case Some(StringType) =>
+          ("scalar", "Utf8String", "MLDB::Utf8StringValueInfo")
+        case Some(TimestampType) => ("scalar", "Date", "MLDB::TimestampValueInfo")
+        case Some(_: ArrayType) => ("embedding", "", "MLDB::EmbeddingValueInfo")
+        case Some(_: StructType) => ("row", "", "MLDB::RowValueInfo")
+        case _ => ("scalar", "MLDB::CellValue", "MLDB::AtomValueInfo")
+      }
+      struct(lit(isConst).as("isConstant"), lit(kind).as("kind"),
+        lit(scalar).as("scalar"), lit(tn).as("type"))
+    }
+    case "static_known_columns" => raw(0) match {
+      case ArrayLit(items) =>
+        // an embedding literal's columns: one dense CellValue slot per
+        // element, named by its index (the MLDB-1486 table shape)
+        struct(items.indices.map { i =>
+          struct(lit(i.toString).as("columnName"),
+            lit(i).as("offset"),
+            lit("dense").as("sparsity"),
+            struct(lit(0).as("isConstant"), lit("scalar").as("kind"),
+              lit("MLDB::CellValue").as("scalar"),
+              lit("MLDB::AtomValueInfo").as("type")).as("valueInfo"))
+            .as(i.toString)
+        }: _*)
+      case _ => throw new IllegalArgumentException(
+        "static_known_columns needs an embedding literal")
+    }
     case "__isconst" => lit(isConstExpr(raw(0)))
     case "static_expression_info" =>
       struct(struct(lit(isConstExpr(raw(0))).as("isConstant")).as("info"))
@@ -2854,6 +2957,10 @@ object Lowering {
       else None
     case Extract(x, k) =>
       for (a <- exprText(x); b <- exprText(k)) yield s"$a[$b]"
+    case FnCall(n, args, _) =>
+      val as = args.map(exprText)
+      if (as.forall(_.isDefined)) Some(s"$n(${as.flatten.mkString(",")})")
+      else None
     case _ => None
   }
 
@@ -2913,7 +3020,13 @@ object Lowering {
       // a row-star aggregate keeps its surface text so its per-column
       // expansion flattens to `sum({*}).colA` (MLDBFB-332)
       case FnApply(n, args, _) if args.exists(_._1 == "*") => s"$n({*})"
-      case FnCall(n, _, _) => n
+      // an un-aliased call is named by its full surface text —
+      // `lower(b)` stays `lower(b)` (the reference's expression-print
+      // naming; MLDB-1937's svd columns depend on it)
+      case fc @ FnCall(n, _, _) => exprText(fc) match {
+        case Some(t) => if (t.contains(".")) "\"" + t + "\"" else t
+        case None => n
+      }
       // un-aliased expressions keep their surface text, like the
       // reference's expression-print naming (column_name_test:
       // `SELECT 1 + 10` → `1 + 10`; where-without-dataset: `SELECT 1`
@@ -3067,6 +3180,14 @@ object Lowering {
             schema.map(f => SelectItem(
               Extract(FnCall("parse_json", Seq(e, StrLit(ddl))),
                 StrLit(f.name)), Some(f.name)))
+          // a TOP-LEVEL embedding expands to numbered columns 0..n-1
+          // (MLDB-1694: `flatten(…[softmax]) as *` names its columns
+          // by the dimension index alone)
+          case _: org.apache.spark.sql.types.ArrayType =>
+            val len = PlanTime.maxArrayLen(fromDf0, c, "AS * embedding")
+            (0 until len).map(i => SelectItem(
+              Extract(e, NumLit(BigDecimal(i), isIntegral = true)),
+              Some(i.toString)))
           case other => throw new IllegalArgumentException(
             s"AS * requires a row-valued expression (got $other)")
         }
@@ -3077,10 +3198,21 @@ object Lowering {
 
     // rowNumber()/totalRows() are SELECT-expression-only — the
     // reference rejects them in WHERE/ORDER BY/GROUP BY/NAMED/HAVING
-    // (row_number/total_rows_builtin_fct_test error batteries)
+    // (row_number/total_rows_builtin_fct_test error batteries). An
+    // alias bound to a seqFn item counts too: `SELECT rowNumber() AS n
+    // … ORDER BY n` smuggles the call through an Ident.
+    val seqAliases: Map[String, String] = stmt.items.flatMap {
+      case SelectItem(e, Some(a))
+          if !e.isInstanceOf[Star] && !e.isInstanceOf[ColumnExprStar] =>
+        seqFnName(e).map(a -> _)
+      case _ => None
+    }.toMap
     (stmt.where.toSeq ++ stmt.when.toSeq ++ stmt.groupBy ++
       stmt.having.toSeq ++ stmt.orderBy.map(_.e) ++ stmt.distinctOn ++
-      stmt.named.toSeq).flatMap(seqFnName).headOption.foreach { fn =>
+      stmt.named.toSeq).flatMap(e => seqFnName(e).orElse(e match {
+        case Ident(Seq(n)) => seqAliases.get(n)
+        case _ => None
+      })).headOption.foreach { fn =>
       throw new IllegalArgumentException(
         s"function $fn is only available in SELECT expressions.")
     }
@@ -3149,9 +3281,12 @@ object Lowering {
       }
       // rowNumber()/totalRows() in the select list: hidden columns on
       // the post-WHERE frame. rowNumber numbers the ORDER BY stream
-      // (1-based, before OFFSET/LIMIT) via a global row_number window —
-      // numbering is inherently sequential, exactly like the
-      // reference's; totalRows is a plan-time pushed-down count of the
+      // (1-based, before OFFSET/LIMIT) WITHOUT a single-partition
+      // window: sort (range-partitioned), pin, count per partition
+      // (one #partitions-sized collect), then number each row as its
+      // partition's prefix offset + its index within the partition —
+      // the same global numbering, computed with every partition in
+      // parallel. totalRows is a plan-time pushed-down count of the
       // post-WHERE frame (no single-partition window for a scalar).
       val seqUsed: Set[String] = itemsNoSub.flatMap(it =>
         if (it.e.isInstanceOf[Star] || it.e.isInstanceOf[ColumnExprStar]) None
@@ -3168,9 +3303,9 @@ object Lowering {
           case SelectItem(e, Some(a))
               if !e.isInstanceOf[Star] && seqFnName(e).isEmpty => a -> e
         }.toMap
-        val w =
+        val ordered =
           if (stmt.orderBy.nonEmpty)
-            Window.orderBy(stmt.orderBy.map { o =>
+            out.orderBy(stmt.orderBy.map { o =>
               val c = o.e match {
                 case Ident(Seq(n)) if aliasEx.contains(n) =>
                   lowerExpr(baseScope, aliasEx(n))
@@ -3178,8 +3313,36 @@ object Lowering {
               }
               if (o.asc) c.asc else c.desc
             }: _*)
-          else Window.orderBy(monotonically_increasing_id())
-        out = out.withColumn("__rowNumber", row_number().over(w).cast("long"))
+          else out
+        // monotonically_increasing_id encodes (partition << 33 | index
+        // within partition); after the range-partitioned sort the
+        // partitions are globally ordered, so prefix-summing the
+        // per-partition counts gives each row offset + index + 1 — the
+        // exact global row_number, no SinglePartition exchange. The
+        // frame is pinned so the count job and the output job see the
+        // same rows; the collect is #partitions-sized.
+        val withMid = ordered
+          .withColumn("__seqMid", monotonically_increasing_id())
+          .localCheckpoint()
+        val counts = withMid
+          .groupBy(shiftrightunsigned(col("__seqMid"), 33).as("__pid"))
+          .agg(count(lit(1)).as("__n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var seqAcc = 0L
+        val offsets = counts.map { case (pid, n) =>
+          val o = seqAcc; seqAcc += n; (pid, o)
+        }
+        val offExpr =
+          if (offsets.isEmpty) lit(0L)
+          else element_at(
+            map(offsets.flatMap { case (p, o) =>
+              Seq(lit(p), lit(o))
+            }.toSeq: _*),
+            shiftrightunsigned(col("__seqMid"), 33))
+        out = withMid.withColumn("__rowNumber",
+          (col("__seqMid").bitwiseAND(lit((1L << 33) - 1)) + offExpr +
+            lit(1L)).cast("long"))
+          .drop("__seqMid")
       }
       if (seqUsed("totalRows"))
         out = out.withColumn("__totalRows", lit(filtered.count()))

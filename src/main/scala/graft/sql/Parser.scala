@@ -837,6 +837,13 @@ final class Parser(tokens: Vector[Token], source: String = "") {
 }
 
 object Parser {
-  def parse(sql: String): Select =
+  def parse(sql: String): Select = {
+    // a NUL byte anywhere in the query text is rejected like the
+    // reference's UTF-8 validation (testing/MLDB-1603: other control
+    // characters are legal in string literals, \0 is not)
+    if (sql.indexOf('\u0000') >= 0)
+      throw new IllegalArgumentException(
+        "query string contains an embedded null character")
     new Parser(Lexer.lex(sql), sql).parseStatement()
+  }
 }

@@ -103,8 +103,8 @@ object PlanTime {
       what: String): Array[org.apache.spark.sql.Row] = {
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
-      s"$what: result exceeds $maxRows rows — restrict the inner " +
-        "query before registering it as a function")
+      s"$what: result exceeds $maxRows rows — restrict the input " +
+        "before materializing it on the driver")
     rows
   }
 }

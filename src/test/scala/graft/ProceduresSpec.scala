@@ -21,6 +21,32 @@ class ProceduresSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("dedup.semantic centroidsDataset collect is capped, fail-fast") {
+    val e = new graft.api.GraftEngine(spark)
+    val vecs = spark.range(20).selectExpr(
+      "cast(id as string) as vec_id",
+      "array(cast(id as double), 1.0d) as embedding")
+    e.createDataset("capEmbs", vecs)
+    e.createDataset("capCents", vecs) // 20 "centroids"
+    spark.conf.set("spark.graft.planTimeKeyCap", "5")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        e.runProcedure("dedup.semantic", Map(
+          "inputDataset" -> "capEmbs",
+          "centroidsDataset" -> "capCents",
+          "outputDataset" -> "capOut").get _))
+      assert(ex.getMessage.contains("dedup.semantic centroidsDataset"),
+        ex.getMessage)
+    } finally spark.conf.unset("spark.graft.planTimeKeyCap")
+    // a conventionally k-sized centroids table still works
+    e.createDataset("capCents3", vecs.limit(3))
+    e.runProcedure("dedup.semantic", Map(
+      "inputDataset" -> "capEmbs",
+      "centroidsDataset" -> "capCents3",
+      "outputDataset" -> "capOut").get _)
+    assert(e.dataset("capOut").count() > 0)
+  }
+
   test("split is deterministic, disjoint, covering, ~fraction sized") {
     val orders = Tables.orders(spark, sf)
     val (train, test) = Procedures.split(orders, "o_orderkey", 0.2)

@@ -87,7 +87,9 @@ class ReferenceParitySpec13 extends AnyFunSuite {
         "SELECT * FROM dsSeq WHERE rowNumber() < 2",
         "SELECT * FROM dsSeq ORDER BY rowNumber()",
         "SELECT 'coco' FROM dsSeq GROUP BY rowNumber()",
-        "SELECT rowName() NAMED rowNumber() FROM dsSeq")) {
+        "SELECT rowName() NAMED rowNumber() FROM dsSeq",
+        // an alias bound to a rowNumber() item is the same smuggle
+        "SELECT rowNumber() AS n FROM dsSeq ORDER BY n")) {
       val ex = intercept[IllegalArgumentException](q(bad).collect())
       assert(ex.getMessage.contains(msg), bad)
     }
@@ -111,7 +113,8 @@ class ReferenceParitySpec13 extends AnyFunSuite {
         "SELECT * FROM dsSeq WHERE totalRows() < 2",
         "SELECT * FROM dsSeq ORDER BY totalRows()",
         "SELECT 'coco' FROM dsSeq GROUP BY totalRows()",
-        "SELECT rowName() NAMED totalRows() FROM dsSeq")) {
+        "SELECT rowName() NAMED totalRows() FROM dsSeq",
+        "SELECT totalRows() AS t FROM dsSeq ORDER BY t")) {
       val ex = intercept[IllegalArgumentException](q(bad).collect())
       assert(ex.getMessage.contains(msg), bad)
     }

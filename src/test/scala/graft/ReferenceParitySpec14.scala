@@ -319,6 +319,22 @@ class ReferenceParitySpec14 extends AnyFunSuite {
     self.foreach(r => assert(r.getString(0) === r.getLong(1).toString))
   }
 
+  test("kmeans function with a single centroid (k=1) is constant cluster 0") {
+    val eng = new api.GraftEngine(spark)
+    eng.recordRows("gauss1",
+      """[{"rowName":"a","x":0.1,"y":0.2},{"rowName":"b","x":-0.1,"y":0.0},
+        |{"rowName":"c","x":0.0,"y":-0.2}]""".stripMargin)
+    eng.runProcedure("kmeans.train", Map(
+      "numClusters" -> "1",
+      "trainingData" -> "select x, y from gauss1",
+      "modelFileUrl" -> "file://tmp/kmeans-k1.kms").get _)
+    eng.createKmeansFunction("kmeansK1", "file://tmp/kmeans-k1.kms")
+    val out = eng.query(
+      "select kmeansK1({{*} as embedding})[cluster] as c from gauss1")
+      .select("c").collect().map(_.getLong(0)).toSet
+    assert(out === Set(0L))
+  }
+
   // --- MLDB-390-sql-expression-function.js + MLDB-2163 -------------------------
 
   test("MLDB-390/2163: application envelope — plain atoms, paired rows") {

@@ -259,6 +259,48 @@ class RestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("columns-form recording: JSON key order insignificant, Instant max ts") {
+    val engine = new GraftEngine(spark)
+    val srv = new RestServer(engine)
+    val port = srv.start()
+    def post(path: String, body: String): (Int, String) = {
+      val r = client.send(HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      // "columns" BEFORE "rowName" — key order is insignificant JSON
+      assert(post("/v1/datasets/kord/rows",
+        """{"columns": [["score", 5, 6]], "rowName": "r1"}""")._1 === 200)
+      // an extra field between them must not defeat the row match
+      assert(post("/v1/datasets/kord/rows",
+        """{"rowName": "r2", "note": {"k": [1]}, "columns": [["score", 7, 5]]}""")
+        ._1 === 200)
+      val q = java.net.URLEncoder.encode(
+        "SELECT rowName() AS rn, score FROM kord ORDER BY rn", "UTF-8")
+      val (qc, qb) = get(port, s"/v1/query?q=$q")
+      assert(qc === 200 && qb.contains("\"score\":5") &&
+        qb.contains("\"score\":7"), qb)
+      // the row ts is the MAX cell instant — 6.5 s beats 6 s even
+      // though "…06.500Z" sorts lexicographically before "…06Z"
+      assert(post("/v1/datasets/tsub/rows",
+        """{"rowName": "r", "columns": [["a", 1, 6.5], ["b", 2, 6]]}""")
+        ._1 === 200)
+      val tq = java.net.URLEncoder.encode("SELECT ts FROM tsub", "UTF-8")
+      val (tc, tb) = get(port, s"/v1/query?q=$tq")
+      assert(tc === 200 && tb.contains("1970-01-01T00:00:06.500Z"), tb)
+      // explicit string timestamps with offsets parse and compare as instants
+      assert(post("/v1/datasets/tstr/rows",
+        """{"rowName": "r", "columns": [["a", 1, "1970-01-01T01:00:00+01:00"],
+          |["b", 2, "1970-01-01T00:00:30Z"]]}""".stripMargin)._1 === 200)
+      val sq = java.net.URLEncoder.encode("SELECT ts FROM tstr", "UTF-8")
+      val (sc2, sb2) = get(port, s"/v1/query?q=$sq")
+      assert(sc2 === 200 && sb2.contains("1970-01-01T00:00:30Z"), sb2)
+    } finally srv.stop()
+  }
+
   test("plugins: fifth entity kind — register, serve a custom route, delete") {
     val engine = new GraftEngine(spark)
     val srv = new RestServer(engine)

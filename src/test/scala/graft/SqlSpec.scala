@@ -410,7 +410,7 @@ class SqlSpec extends AnyFunSuite {
         |  path_element(parse_path('a.b.c'), 1) AS i,
         |  CAST(path_length(parse_path('a.b.c')) AS integer) AS j,
         |  extract_domain('https://docs.example.com/x?y=1') AS k,
-        |  static_type(1.5) AS l,
+        |  static_type(1.5)[scalar] AS l,
         |  try(CAST('oops' AS number), -1) AS m""".stripMargin).head()
     assert(r.getString(0) === "7" && r.getString(1) === "file" &&
       r.getString(2) === "zebra")
@@ -418,7 +418,9 @@ class SqlSpec extends AnyFunSuite {
     assert(r.getString(5) === "beta" && r.getString(6) === "gamma")
     assert(r.getString(7) === "a.b.c" && r.getString(8) === "b" && r.getLong(9) === 3L)
     assert(r.getString(10) === "docs.example.com")
-    assert(r.getString(11) === "double")
+    // static_type now returns the reference's ValueInfo row
+    // (MLDB-1486); 1.5 is an f64 scalar
+    assert(r.getString(11) === "f64")
     assert(r.getDouble(12) === -1.0)
   }
 
