@@ -189,7 +189,7 @@ final class GraftEngine(val spark: SparkSession) {
   def query(sql: String): DataFrame =
     graft.sql.GraftSql.queryTables(spark, dataset, sql,
       macros = sqlMacros.toMap, lookups = paramLookups.toMap,
-      rowPivots = rowPivotFns.toMap)
+      rowPivots = rowPivotFns.toMap, columnFns = columnFnRegistry.toMap)
 
   /** Run a Spark-SQL (ANSI) query against the registered datasets —
     * interop escape hatch: every registered dataset is exposed as a
@@ -698,6 +698,12 @@ final class GraftEngine(val spark: SparkSession) {
           throw new IllegalArgumentException(
             "bucketize needs percentileBuckets")))
         ()
+      case "classifier.test" =>
+        // creation-time config validation (MLDB-804: an empty config
+        // 400s with the reference's message)
+        require(param("testingData").nonEmpty,
+          "classifier.test expects a scalar named 'score' and a " +
+            "scalar named 'label'")
       case _ => ()
     }
   }
@@ -716,6 +722,86 @@ final class GraftEngine(val spark: SparkSession) {
     * columns, plan-literal model). */
   private val gmmModels =
     TrieMap[String, (Seq[String], graft.ml.Models.GmmApplied)]()
+
+  /** natively-lowered dialect functions (model entities) — handed to
+    * every dialect query as Lowering.ColumnFn. */
+  private val columnFnRegistry =
+    TrieMap[String, graft.sql.Lowering.ColumnFn]()
+
+  /** GET /v1/functions/<name>/details payloads (model introspection —
+    * MLDB-174/961 read the trained feature list out of it). */
+  private val functionDetailsMap = TrieMap[String, String]()
+
+  def functionDetails(name: String): String =
+    functionDetailsMap.getOrElse(name,
+      throw new NoSuchElementException(
+        s"function '$name' has no details"))
+
+  /** trained classifiers by modelFileUrl: (feature names, mode,
+    * label names in index order, pipeline). */
+  private val clsModels = TrieMap[String,
+    (Seq[String], String, Seq[String], org.apache.spark.ml.PipelineModel)]()
+
+  /** `classifier` as a REST-creatable function (MLDB-647/MLDB-173):
+    * applies a trained model to the argument row. Boolean /
+    * regression modes output `{score}`; categorical outputs
+    * `{scores.<label>}` per class — all plan-literal expressions
+    * ([[graft.ml.Models.classProbColumns]]), codegen'd, no UDF. A
+    * feature absent from the argument row reads 0 like the other
+    * model entities. */
+  def createClassifierFunction(name: String, modelUrl: String): Unit = {
+    rejectBuiltinName(name)
+    val (featNames, mode, labels, model) = clsModels.getOrElse(modelUrl,
+      throw new NoSuchElementException(
+        s"no classifier trained at '$modelUrl'"))
+    import org.apache.spark.sql.functions._
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (fc, ft) = args.getOrElse("features",
+        throw new IllegalArgumentException(
+          s"function '$name' expects a {features: {…}} argument row"))
+      def feat(n: String): org.apache.spark.sql.Column = ft match {
+        case Some(st) => st.fields.find(_.name.equalsIgnoreCase(n)) match {
+          case Some(f) =>
+            coalesce(fc.getField(f.name).cast("double"), lit(0.0))
+          case None => lit(0.0)
+        }
+        case None => lit(0.0)
+      }
+      mode match {
+        case "regression" =>
+          struct(graft.ml.Models
+            .regressionValueColumn(model, featNames, feat).as("score"))
+        case "categorical" =>
+          val probs = graft.ml.Models.classProbColumns(model, featNames, feat)
+          struct(struct(labels.zip(probs).map { case (l, p) =>
+            p.as(l)
+          }: _*).as("scores"))
+        case _ => // boolean: score = P(true)
+          val probs = graft.ml.Models.classProbColumns(model, featNames, feat)
+          struct(probs.last.as("score"))
+      }
+    }
+    // /details: the reference's model introspection shape — features
+    // with their extraction ops and the model family
+    val family = model.stages.last.getClass.getSimpleName match {
+      case n if n.contains("Logistic") || n.contains("LinearRegression") =>
+        "GLZ"
+      case n if n.contains("DecisionTree") => "DECISION_TREE"
+      case n if n.contains("RandomForest") => "BAGGING"
+      case n if n.contains("GBT") => "BOOSTING"
+      case n => n
+    }
+    val featsJson = featNames.map(f =>
+      s"""{"extract": "VALUE", "feature": ${jsonQ(f)}}""").mkString("[", ",", "]")
+    functionDetailsMap(name) =
+      s"""{"model": {"params": {"features": $featsJson, """ +
+        s""""labels": ${labels.map(jsonQ).mkString("[", ",", "]")}}, """ +
+        s""""type": "$family", "mode": "$mode"}}"""
+    compiledApplies.clear()
+  }
+
+  private def jsonQ(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** `gaussianclustering` as a REST-creatable function (MLDB-1353):
     * max-posterior cluster of the argument row — expanded to a pure
@@ -891,7 +977,7 @@ final class GraftEngine(val spark: SparkSession) {
             SelectItem(FnCall("rowname", Seq.empty), Some("rowName")))
         val df0b = graft.sql.GraftSql.queryStmtTables(spark, dataset, stmt2,
           macros = sqlMacros.toMap, lookups = paramLookups.toMap,
-          rowPivots = rowPivotFns.toMap)
+          rowPivots = rowPivotFns.toMap, columnFns = columnFnRegistry.toMap)
         // a `*` over a dataset created without a rowName column (a
         // registered query result) expands to no rowName — synthesize
         // one from the sort position (MLDB-1043 test 9's empty input)
@@ -954,7 +1040,7 @@ final class GraftEngine(val spark: SparkSession) {
           graft.sql.Ast.FnCall("rowname", Seq.empty), Some("__origRow")))
         val df0 = graft.sql.GraftSql.queryStmtTables(spark, dataset, stmt2,
           macros = sqlMacros.toMap, lookups = paramLookups.toMap,
-          rowPivots = rowPivotFns.toMap)
+          rowPivots = rowPivotFns.toMap, columnFns = columnFnRegistry.toMap)
         def structFields(name: String): Seq[org.apache.spark.sql.types.StructField] =
           df0.schema.fields.find(_.name == name).map(_.dataType) match {
             case Some(st: StructType) => st.fields.toSeq
@@ -1333,6 +1419,252 @@ final class GraftEngine(val spark: SparkSession) {
             col("cluster").cast("long").as("cluster")))
         }
         s"""{"trained": true, "numClusters": $kk}"""
+      case "classifier.train" =>
+        // `classifier.train` as a REST procedure
+        // (`plugins/jml/classifier.cc`): trainingData selects
+        // `{…} as features, <expr> as label`; mode ∈ boolean |
+        // categorical | regression; modelFileUrl keys the model for
+        // the `classifier` function entity; functionName auto-creates
+        // it (MLDB-647's whole flow).
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        val input = param("trainingData").orElse(structuredInput(param))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define trainingData"))
+        // a column cannot be both the label and a feature
+        // (testing/MLDB-2188-label_feature_validation.py's message)
+        scala.util.Try(graft.sql.Parser.parse(input)).toOption.foreach { stmt =>
+          import graft.sql.Ast._
+          val feats0 = stmt.items.collectFirst {
+            case SelectItem(StructLit(fs), Some(a))
+                if a.equalsIgnoreCase("features") => fs
+          }.getOrElse(Nil)
+          val label0 = stmt.items.collectFirst {
+            case SelectItem(Ident(Seq(l)), Some(a))
+                if a.equalsIgnoreCase("label") => l
+          }
+          label0.foreach { l =>
+            val clash = feats0.exists {
+              case (_, Ident(Seq(n))) => n.equalsIgnoreCase(l)
+              case (n, _) => n.equalsIgnoreCase(l)
+            }
+            require(!clash, s"Dataset column '$l' cannot be used in " +
+              "both label and feature")
+          }
+        }
+        val df0 = query(input)
+        val mode = param("mode").getOrElse("boolean")
+        val featField = df0.schema.fields
+          .find(_.name.equalsIgnoreCase("features"))
+          .filter(_.dataType.isInstanceOf[StructType])
+          .getOrElse(throw new IllegalArgumentException(
+            "classifier.train expects a row named 'features' and a " +
+              "scalar named 'label' in trainingData"))
+        require(df0.columns.exists(_.equalsIgnoreCase("label")),
+          "classifier.train expects a row named 'features' and a " +
+            "scalar named 'label' in trainingData")
+        val featNames = featField.dataType.asInstanceOf[StructType]
+          .fieldNames.toSeq
+        // algorithm from the explicit param or the configuration's type
+        val algo = param("algorithm").getOrElse {
+          val cfg = param("configuration").getOrElse("")
+          if (cfg.contains("decision_tree")) "dt"
+          else if (cfg.contains("random_forest") || cfg.contains("bagg"))
+            "bagging"
+          else if (cfg.contains("naive_bayes")) "naive_bayes"
+          else if (cfg.contains("boost")) "boosting"
+          else "glz"
+        }
+        // rows with a NULL label don't train (MLDB-429 records one
+        // and expects training to succeed)
+        val flat = df0.select(featNames.map(n =>
+          coalesce(col("features").getField(n).cast("double"), lit(0.0))
+            .as(n)) :+ col("label"): _*)
+          .filter(col("label").isNotNull)
+        val (labels, model) = mode match {
+          case "regression" =>
+            val train = flat.withColumn("__y", col("label").cast("double"))
+            (Seq.empty[String],
+              graft.ml.Models.regressionTrain(train, featNames, "__y", algo))
+          case "categorical" =>
+            val ls = graft.sql.PlanTime.keys(flat,
+              col("label").cast("string"), "classifier.train labels").sorted
+            val idx = ls.zipWithIndex.foldLeft(lit(-1.0)) {
+              case (acc, (l, i)) =>
+                when(col("label").cast("string") === l, i.toDouble)
+                  .otherwise(acc)
+            }
+            val train = flat.withColumn("__y", idx)
+            (ls, graft.ml.Models.classifierTrainCategorical(
+              train, featNames, "__y", algo))
+          case _ =>
+            val train = flat.withColumn("__y",
+              col("label").cast("boolean").cast("double"))
+            (Seq("false", "true"),
+              graft.ml.Models.classifierTrain(train, featNames, "__y", algo))
+        }
+        val url = param("modelFileUrl").getOrElse("__cls_model")
+        clsModels(url) = (featNames, mode, labels, model)
+        param("functionName").foreach(createClassifierFunction(_, url))
+        s"""{"trained": "$url", "mode": "$mode", "algorithm": "$algo"}"""
+      case "classifier.test" =>
+        // `classifier.test` (`plugins/jml/accuracy.cc`): testingData
+        // selects `<score expr> as score, <label expr> as label`
+        // (boolean/regression) or a classifier-output row as score
+        // (categorical). Returns the reference's status fields: auc,
+        // r2, labelStatistics.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        val input = param("testingData").getOrElse(
+          throw new IllegalArgumentException("classifier.test expects a " +
+            "scalar named 'score' and a scalar named 'label'"))
+        val df0 = query(input)
+        val mode = param("mode").getOrElse("boolean")
+        def need(c: String): StructField = df0.schema.fields
+          .find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException("classifier.test expects " +
+              "a scalar named 'score' and a scalar named 'label'"))
+        mode match {
+          case "regression" =>
+            need("score"); need("label")
+            val r2 = graft.ml.Models.r2Score(df0, "score", "label")
+            s"""{"r2": $r2}"""
+          case "categorical" =>
+            // score is the classifier function's output row
+            // ({scores.<label>: p}); prediction = the max-probability
+            // label
+            val st = need("score").dataType match {
+              case s: StructType =>
+                s.fields.find(_.name.equalsIgnoreCase("scores"))
+                  .map(_.dataType) match {
+                  case Some(inner: StructType) => ("score.scores", inner)
+                  case _ => ("score", s)
+                }
+              case _ => throw new IllegalArgumentException(
+                "categorical classifier.test expects a row of scores " +
+                  "named 'score'")
+            }
+            val (path, inner) = st
+            val labels2 = inner.fieldNames.toSeq
+            val pred = labels2.tail.foldLeft(
+              (lit(labels2.head), col(s"$path.`${labels2.head}`"))) {
+              case ((bestL, bestP), l) =>
+                val p = col(s"$path.`$l`")
+                (when(p > bestP, lit(l)).otherwise(bestL),
+                  greatest(p, bestP))
+            }._1
+            val scored = df0.withColumn("__pred", pred)
+            val stats = graft.ml.Models.categoricalLabelStats(
+              scored, "label", "__pred")
+            val statsJson = stats.toSeq.sortBy(_._1).map { case (l, s) =>
+              val ln = l.replace("\"", "\\\"")
+              s""""$ln": {"accuracy": ${s.accuracy}, "precision": ${s.precision}, """ +
+                s""""recall": ${s.recall}, "f1Score": ${s.f1Score}, """ +
+                s""""support": ${s.support}}"""
+            }.mkString("{", ", ", "}")
+            s"""{"labelStatistics": $statsJson}"""
+          case _ =>
+            need("score"); need("label")
+            val prepared = df0.select(
+              col("score").cast("double").as("__s"),
+              col("label").cast("boolean").cast("double").as("__l"))
+            val auc = new org.apache.spark.ml.evaluation
+              .BinaryClassificationEvaluator()
+              .setLabelCol("__l").setRawPredictionCol("__s")
+              .setMetricName("areaUnderROC").evaluate(prepared)
+            s"""{"auc": $auc}"""
+        }
+      case "split" =>
+        // `split` (`builtin/datasetsplit_procedure.cc`): distribute
+        // rows among output datasets keeping each LABEL represented in
+        // every split and the label/row proportions near the requested
+        // fractions (greedy, row at a time — the reference's algorithm
+        // is inherently sequential, so it runs on the driver under the
+        // maxQueryRows bound; row ORDER is a deterministic seeded hash
+        // shuffle rather than the reference's mt19937 stream —
+        // documented divergence, the distribution properties its tests
+        // assert are preserved).
+        import org.apache.spark.sql.functions._
+        val labelsQ = param("labels").getOrElse(
+          throw new IllegalArgumentException("split needs a labels query"))
+        val splits = param("splits").getOrElse(
+          throw new IllegalArgumentException("split needs splits"))
+          .split(",").map(_.trim.toDouble).toSeq
+        val outs = req("outputDatasets").split(",").map(_.trim).toSeq
+        require(splits.size == outs.size, "Number of splits requested " +
+          "is different than the number of datasets provided")
+        require(splits.size >= 2, "Insufficient number of splits")
+        val df0 = query(labelsQ)
+        val rnCol =
+          if (df0.columns.exists(_.equalsIgnoreCase("rowName")))
+            col("rowName").cast("string")
+          else monotonically_increasing_id().cast("string")
+        val labelCols = df0.columns.filterNot(c =>
+          c.equalsIgnoreCase("rowName") || c.startsWith("__")).toSeq
+        val rows = graft.sql.PlanTime.boundedRows(
+          df0.select(rnCol.as("__rn") +:
+            labelCols.map(c => col(s"`$c`")): _*),
+          JsHost.maxQueryRows, "split procedure labels")
+        val seed = param("randomSeed").map(_.toInt).getOrElse(1)
+        val ordered = rows.sortBy(r =>
+          (scala.util.hashing.MurmurHash3.stringHash(r.getString(0), seed),
+            r.getString(0)))
+        val foldImportance =
+          param("foldImportance").map(_.toDouble).getOrElse(1.0)
+        val k = splits.size
+        val distributions = Array.fill(k)(0L)
+        val sums = scala.collection.mutable.Map[String, Array[Long]]()
+        val assign = Array.newBuilder[(String, Int)]
+        var numAdded = 0L
+        ordered.foreach { r =>
+          var bestFold = 0
+          var diff = 0.0
+          if (numAdded > 0) for (f <- 0 until k) {
+            val prop = distributions(f).toDouble / numAdded
+            val splitDiff = foldImportance * (splits(f) - prop)
+            if (splitDiff > diff) { diff = splitDiff; bestFold = f }
+          }
+          var unknown = false
+          val present = labelCols.zipWithIndex.collect {
+            case (l, i) if !r.isNullAt(i + 1) => l
+          }
+          present.foreach { l =>
+            sums.get(l) match {
+              case None =>
+                sums(l) = Array.fill(k)(0L); unknown = true; bestFold = 0
+              case Some(dist) if !unknown =>
+                val zero = dist.indexWhere(_ == 0L)
+                if (zero >= 0) { bestFold = zero; unknown = true }
+                else {
+                  val labelSum = dist.sum.toDouble
+                  var worstError = 0.0; var worstFold = 0
+                  for (i <- 0 until k) {
+                    val d = splits(i) - dist(i) / labelSum
+                    if (d > worstError) { worstError = d; worstFold = i }
+                  }
+                  if (worstError > diff) { diff = worstError; bestFold = worstFold }
+                }
+              case _ => ()
+            }
+          }
+          present.foreach(l => sums(l)(bestFold) += 1)
+          distributions(bestFold) += 1
+          assign += r.getString(0) -> bestFold
+          numAdded += 1
+        }
+        import spark.implicits._
+        val assignDf = assign.result().toSeq.toDF("__rn", "__fold")
+        val withRn = df0.withColumn("__rn", rnCol)
+        val hasRowName = df0.columns.exists(_.equalsIgnoreCase("rowName"))
+        outs.zipWithIndex.foreach { case (id, f) =>
+          val joined = withRn.join(
+            broadcast(assignDf.filter(col("__fold") === f).select("__rn")),
+            Seq("__rn"))
+          createDataset(id,
+            if (hasRowName) joined.drop("__rn")
+            else joined.withColumnRenamed("__rn", "rowName"))
+        }
+        s"""{"splits": ${distributions.mkString("[", ", ", "]")}}"""
       case "dataset.stats" =>
         // pro-plugin utility (`plugins/pro/*.cc:124-201`): per-column
         // type/null/distinct profile of a registered dataset. One

@@ -239,6 +239,14 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               // trained by the kmeans.train procedure
               engine.createKmeansFunction(name,
                 extractField(body, "modelFileUrl"))
+            case "classifier" =>
+              // MLDB-647/173: apply a model trained by classifier.train
+              engine.createClassifierFunction(name,
+                extractField(body, "modelFileUrl"))
+            case "gaussianclustering" =>
+              // MLDB-1353: max-posterior cluster of the argument row
+              engine.createGaussianClusteringFunction(name,
+                extractField(body, "modelFileUrl"))
             case "svd.embedRow" =>
               // MLDB-805/498: embed one argument row with a model
               // trained by the svd.train procedure
@@ -263,6 +271,10 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val input = queryParams(ex).getOrElse("input",
             throw new IllegalArgumentException("missing input parameter"))
           applicationJson(name, input)
+        case det if det.endsWith("/details") =>
+          // model introspection (MLDB-174/961 read the trained
+          // feature list out of /details)
+          engine.functionDetails(det.stripSuffix("/details"))
         case other => throw new IllegalArgumentException(s"unsupported $other")
       }
     })

@@ -7,7 +7,7 @@ import org.apache.spark.ml.clustering.{GaussianMixture, KMeans}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.feature.{CountVectorizer, IDF, PCA, RegexTokenizer, StandardScaler, VectorAssembler}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ML procedures & appliable functions (SURVEY §2.7/§2.8) on MLlib.
@@ -708,6 +708,124 @@ object Models {
         transform(pool(_ + _), x => x / size(vs)).as("pool_avg"),
         pool(least(_, _)).as("pool_min"),
         pool(greatest(_, _)).as("pool_max"))
+  }
+
+  /** Plan-literal per-class probability columns for a trained
+    * classification PipelineModel — the `classifier` FUNCTION entity
+    * (`plugins/jml/classifier.cc` apply; pinned by
+    * testing/MLDB-647_multiclass_apply_function_pins.py). `feat(name)`
+    * supplies the input expression for each trained feature (the
+    * function-application argument row's field; absent → the caller's
+    * 0 default). The output is pure expression text — glz scores are
+    * the sigmoid/softmax of plan-literal margins, trees walk their
+    * splits as nested WHENs reading leaf class distributions
+    * (`update_alg: prob` semantics via GraftMlBridge) — codegen'd,
+    * zero UDF, every partition scores in parallel. */
+  def classProbColumns(model: PipelineModel, featureCols: Seq[String],
+      feat: String => Column): Seq[Column] = {
+    val scaler = model.stages.collectFirst {
+      case s: org.apache.spark.ml.feature.StandardScalerModel => s
+    }
+    def x(i: Int): Column = scaler match {
+      case Some(s) =>
+        val std = if (s.std(i) == 0) 1.0 else s.std(i)
+        (feat(featureCols(i)) - s.mean(i)) / std
+      case None => feat(featureCols(i))
+    }
+    import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, LeafNode, Node}
+    def treeProbArray(root: Node, numClasses: Int): Column = {
+      def walk(n: Node): Column = n match {
+        case l: LeafNode =>
+          val counts = org.apache.spark.ml.GraftMlBridge.leafClassCounts(l)
+            .padTo(numClasses, 0.0)
+          val total = math.max(counts.sum, 1e-12)
+          array(counts.take(numClasses).map(c => lit(c / total)): _*)
+        case in: InternalNode =>
+          val f = in.split.featureIndex
+          val cond = in.split match {
+            case cs: ContinuousSplit => x(f) <= cs.threshold
+            case cs: CategoricalSplit => x(f).isin(
+              cs.leftCategories.toIndexedSeq.map(_.asInstanceOf[Any]): _*)
+          }
+          when(cond, walk(in.leftChild)).otherwise(walk(in.rightChild))
+      }
+      walk(root)
+    }
+    model.stages.last match {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel
+          if m.numClasses == 2 =>
+        val margin = featureCols.indices
+          .map(i => x(i) * m.coefficients(i))
+          .foldLeft(lit(m.intercept): Column)(_ + _)
+        val p1 = lit(1.0) / (lit(1.0) + exp(-margin))
+        Seq(lit(1.0) - p1, p1)
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel =>
+        val mat = m.coefficientMatrix
+        val margins = (0 until m.numClasses).map(c =>
+          featureCols.indices.map(i => x(i) * mat(c, i))
+            .foldLeft(lit(m.interceptVector(c)): Column)(_ + _))
+        val mx = margins.reduce(greatest(_, _))
+        val exps = margins.map(mg => exp(mg - mx))
+        val z = exps.reduce(_ + _)
+        exps.map(_ / z)
+      case m: org.apache.spark.ml.classification.DecisionTreeClassificationModel =>
+        val arr = treeProbArray(m.rootNode, m.numClasses)
+        (0 until m.numClasses).map(c => element_at(arr, c + 1))
+      case m: org.apache.spark.ml.classification.RandomForestClassificationModel =>
+        val summed = m.trees.map(t =>
+            treeProbArray(t.rootNode, m.numClasses): Column)
+          .reduce((a, b) => zip_with(a, b, _ + _))
+        (0 until m.numClasses).map(c =>
+          element_at(summed, c + 1) / m.trees.length.toDouble)
+      case other => throw new IllegalArgumentException(
+        "the classifier function supports glz (logistic) and tree " +
+          s"models, got ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** Plan-literal predicted value for a trained REGRESSION
+    * PipelineModel — the regression face of the classifier function
+    * entity (same contract as [[classProbColumns]]). */
+  def regressionValueColumn(model: PipelineModel, featureCols: Seq[String],
+      feat: String => Column): Column = {
+    val scaler = model.stages.collectFirst {
+      case s: org.apache.spark.ml.feature.StandardScalerModel => s
+    }
+    def x(i: Int): Column = scaler match {
+      case Some(s) =>
+        val std = if (s.std(i) == 0) 1.0 else s.std(i)
+        (feat(featureCols(i)) - s.mean(i)) / std
+      case None => feat(featureCols(i))
+    }
+    import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, LeafNode, Node}
+    def walk(n: Node): Column = n match {
+      case l: LeafNode => lit(l.prediction)
+      case in: InternalNode =>
+        val f = in.split.featureIndex
+        val cond = in.split match {
+          case cs: ContinuousSplit => x(f) <= cs.threshold
+          case cs: CategoricalSplit => x(f).isin(
+            cs.leftCategories.toIndexedSeq.map(_.asInstanceOf[Any]): _*)
+        }
+        when(cond, walk(in.leftChild)).otherwise(walk(in.rightChild))
+    }
+    model.stages.last match {
+      case m: org.apache.spark.ml.regression.LinearRegressionModel =>
+        featureCols.indices.map(i => x(i) * m.coefficients(i))
+          .foldLeft(lit(m.intercept): Column)(_ + _)
+      case m: org.apache.spark.ml.regression.DecisionTreeRegressionModel =>
+        walk(m.rootNode)
+      case m: org.apache.spark.ml.regression.RandomForestRegressionModel =>
+        m.trees.map(t => walk(t.rootNode): Column)
+          .reduce(_ + _) / m.trees.length.toDouble
+      case m: org.apache.spark.ml.regression.GBTRegressionModel =>
+        m.trees.zip(m.treeWeights).map { case (t, w) =>
+          walk(t.rootNode) * w: Column
+        }.reduce(_ + _)
+      case other => throw new IllegalArgumentException(
+        "the regression function supports glz (linear) and tree " +
+          s"models, got ${other.getClass.getSimpleName}")
+    }
   }
 
   /** regression-mode `classifier.test` over PRE-SCORED rows — the

@@ -204,9 +204,11 @@ object GraftSql {
       sql: String, params: Map[String, Any] = Map.empty,
       macros: Map[String, Seq[Ast.SelectItem]] = Map.empty,
       lookups: Map[String, Lowering.ParamLookup] = Map.empty,
-      rowPivots: Map[String, Lowering.RowPivot] = Map.empty): DataFrame =
+      rowPivots: Map[String, Lowering.RowPivot] = Map.empty,
+      columnFns: Map[String, Lowering.ColumnFn] = Map.empty): DataFrame =
     Lowering.run(
-      Lowering.Context(spark, tables, params, macros, lookups, rowPivots),
+      Lowering.Context(spark, tables, params, macros, lookups, rowPivots,
+        columnFns),
       Parser.parse(sql))
 
   /** Same, from an already-parsed (possibly rewritten) statement —
@@ -216,9 +218,11 @@ object GraftSql {
       stmt: Ast.Select, params: Map[String, Any] = Map.empty,
       macros: Map[String, Seq[Ast.SelectItem]] = Map.empty,
       lookups: Map[String, Lowering.ParamLookup] = Map.empty,
-      rowPivots: Map[String, Lowering.RowPivot] = Map.empty): DataFrame =
+      rowPivots: Map[String, Lowering.RowPivot] = Map.empty,
+      columnFns: Map[String, Lowering.ColumnFn] = Map.empty): DataFrame =
     Lowering.run(
-      Lowering.Context(spark, tables, params, macros, lookups, rowPivots),
+      Lowering.Context(spark, tables, params, macros, lookups, rowPivots,
+        columnFns),
       stmt)
 
   /** Parameterized query: `$name` placeholders bound from `params`. */

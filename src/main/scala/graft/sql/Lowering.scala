@@ -32,7 +32,16 @@ object Lowering {
       params: Map[String, Any] = Map.empty,
       macros: Map[String, Seq[SelectItem]] = Map.empty,
       lookups: Map[String, ParamLookup] = Map.empty,
-      rowPivots: Map[String, RowPivot] = Map.empty)
+      rowPivots: Map[String, RowPivot] = Map.empty,
+      columnFns: Map[String, ColumnFn] = Map.empty)
+
+  /** A NATIVELY-lowered appliable function (model entities like
+    * `classifier`): receives the application's lowered arguments —
+    * each with its resolved row type when the argument is row-valued —
+    * and returns the function's output ROW column. The plan stays a
+    * pure expression; nothing re-parses, nothing substitutes. */
+  final case class ColumnFn(build: Map[String,
+    (Column, Option[org.apache.spark.sql.types.StructType])] => Column)
 
   /** A `sql.query` whose FROM is `row_dataset($arg)` (MLDB-1315):
     * the inner query pivots the ARGUMENT row into (column, value)
@@ -372,8 +381,10 @@ object Lowering {
       dynMacros.withValue(ctx.macros) {
         dynLookups.withValue(ctx.lookups) {
           dynRowPivots.withValue(ctx.rowPivots) {
-            dynTables.withValue(ctx.tables) {
-              lowerSelect(ctx, stmt)
+            dynColumnFns.withValue(ctx.columnFns) {
+              dynTables.withValue(ctx.tables) {
+                lowerSelect(ctx, stmt)
+              }
             }
           }
         }
@@ -558,8 +569,11 @@ object Lowering {
       throw new IllegalArgumentException(s"no table resolver for '$name'"))
   private def currentParams = dynParams.value
   private def currentMacros = dynMacros.value
+  private val dynColumnFns =
+    new scala.util.DynamicVariable[Map[String, ColumnFn]](Map.empty)
   private def currentLookups = dynLookups.value
   private def currentRowPivots = dynRowPivots.value
+  private def currentColumnFns = dynColumnFns.value
 
   /** substitute argument names for expressions inside a macro body. */
   private def substitute(e: Expr, args: Map[String, Expr]): Expr = e match {
@@ -745,6 +759,18 @@ object Lowering {
         }.getOrElse(throw new IllegalArgumentException(
           s"function $name has no output '$out'"))
         output match {
+          case Some(out) if out.contains(".") =>
+            // a dotted output path reads deeper fields of the named
+            // output (`f({…})[scores."Iris-setosa"]`, MLDB-647)
+            val tok = "(\"(?:[^\"]|\"\")*\"|[^.]+)".r
+            val segs = tok.findAllMatchIn(out).map(_.group(1)).map { t =>
+              if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+                t.substring(1, t.length - 1).replace("\"\"", "\"")
+              else t
+            }.toSeq
+            segs.tail.foldLeft(
+              lowerExpr(scope, substitute(itemFor(segs.head), argMap)))(
+              (c, f) => c.getField(f))
           case Some(out) => lowerExpr(scope, substitute(itemFor(out), argMap))
           case None if items.size == 1 &&
               !items.head.e.isInstanceOf[Star] =>
@@ -796,6 +822,34 @@ object Lowering {
             case (it, i) => Seq(lowerExpr(scope, substitute(it.e, argMap))
               .as(it.alias.getOrElse(s"_c$i")))
           }: _*)
+        }
+      case None if currentColumnFns.contains(name) =>
+        // a natively-lowered model function (classifier /
+        // classifier.explain entities): lower each argument once,
+        // hand it to the builder with its resolved row type, and
+        // extract the requested output field if the `[out]` form
+        // was used
+        val lowered = args.map { case (k, v) =>
+          val c = lowerExpr(scope, v)
+          val st = resolvedTypeOf(scope, c) match {
+            case Some(s: org.apache.spark.sql.types.StructType) => Some(s)
+            case _ => None
+          }
+          k -> (c, st)
+        }.toMap
+        val outRow = currentColumnFns(name).build(lowered)
+        output match {
+          case Some(out) =>
+            // the output name is a PATH (`[scores."Iris-setosa"]`
+            // reads field Iris-setosa of row scores — MLDB-647)
+            val tok = "(\"(?:[^\"]|\"\")*\"|[^.]+)".r
+            val elems = tok.findAllMatchIn(out).map(_.group(1)).map { t =>
+              if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+                t.substring(1, t.length - 1).replace("\"\"", "\"")
+              else t
+            }.toSeq
+            elems.foldLeft(outRow)((c, f) => c.getField(f))
+          case None => outRow
         }
       case None if currentRowPivots.contains(name) =>
         // sql.query over `row_dataset($arg)` applied per row

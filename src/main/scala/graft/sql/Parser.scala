@@ -255,6 +255,21 @@ final class Parser(tokens: Vector[Token], source: String = "") {
     case t => fail("expected identifier")
   }
 
+  /** A dotted output PATH inside `f({…})[scores."Iris-setosa"]`
+    * (MLDB-647): segments re-quote when they carry dots/quotes so the
+    * lowered extraction can split them back. */
+  private def parseOutputPath(): String = {
+    def seg(): String = {
+      val s = parseIdentName()
+      if (s.exists(c => c == '.' || c == '"'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    var out = seg()
+    while (acceptOp(".")) out = out + "." + seg()
+    out
+  }
+
   /** Builtin names whose canonical spelling is camelCase. */
   private val camelFns = Map(
     "rowname" -> "rowName", "rowhash" -> "rowHash", "rowpath" -> "rowPath",
@@ -795,7 +810,7 @@ final class Parser(tokens: Vector[Token], source: String = "") {
                 FnApply(name, fields, None)
               case (Seq(StructLit(fields)), TOp("[", _), _) =>
                 p += 1
-                val out = parseIdentName()
+                val out = parseOutputPath()
                 expectOp("]")
                 FnApply(name, fields, Some(out))
               case (Seq(StructLit(fields)), _, _) if !distinct =>
