@@ -756,7 +756,7 @@ final class GraftEngine(val spark: SparkSession) {
         s"no classifier trained at '$modelUrl'"))
     import org.apache.spark.sql.functions._
     columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
-      val (fc, ft) = args.getOrElse("features",
+      val (fc, ft, _) = args.getOrElse("features",
         throw new IllegalArgumentException(
           s"function '$name' expects a {features: {…}} argument row"))
       def feat(n: String): org.apache.spark.sql.Column = ft match {
@@ -802,6 +802,198 @@ final class GraftEngine(val spark: SparkSession) {
 
   private def jsonQ(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** trained tfidf models by modelFileUrl: (word → document
+    * frequency, corpus size). */
+  private val tfidfModels = TrieMap[String, (Map[String, Long], Long)]()
+
+  /** `tfidf` as a REST-creatable function
+    * (`plugins/nlp/tfidf.cc:289-440`; testing/MLDB-1101-tf-idf.py):
+    * scores the argument row's term counts as tf(term) · idf(term)
+    * with the reference's tfType (raw | log | augmented) and idfType
+    * (inverse | inverseSmooth | inverseMax | probabilistic_inverse)
+    * formulas. The argument row's fields are static at the call site,
+    * so the whole scoring is plan-literal — df lookups resolve at
+    * lowering, maxFrequency/maxNt fold into greatest() chains. */
+  def createTfidfFunction(name: String, modelUrl: String,
+      tfType: String = "raw", idfType: String = "inverseSmooth"): Unit = {
+    rejectBuiltinName(name)
+    val (dfs, n) = tfidfModels.getOrElse(modelUrl,
+      throw new NoSuchElementException(
+        s"no tfidf model trained at '$modelUrl'"))
+    import org.apache.spark.sql.functions._
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (ic, it, _) = args.getOrElse("input",
+        throw new IllegalArgumentException(
+          s"function '$name' expects an {input: {…}} argument row"))
+      it match {
+        case Some(st) =>
+          // STRUCT input: the term set is static at the call site —
+          // dfs fold to scalars, the whole row is plan-literal
+          val terms = st.fieldNames.toSeq
+          def cnt(t: String) =
+            coalesce(ic.getField(t).cast("double"), lit(0.0))
+          val maxFreq = terms.map(cnt).reduce(greatest(_, _))
+          val maxNt = terms.map(t => dfs.getOrElse(t, 0L)).max.toDouble
+          def tf(c: org.apache.spark.sql.Column) = tfType match {
+            case "log" => log(lit(1.0) + c)
+            case "augmented" => lit(0.5) + (lit(0.5) * c) / maxFreq
+            case _ => c
+          }
+          def idf(docFreq: Double): Double = idfType match {
+            case "inverse" => math.log(n / (1.0 + docFreq))
+            case "inverseMax" => math.log(1.0 + maxNt / (1.0 + docFreq))
+            case "probabilistic_inverse" =>
+              math.log((n - docFreq) / (1.0 + docFreq))
+            case _ => math.log(1.0 + n / (1.0 + docFreq)) // inverseSmooth
+          }
+          struct(struct(terms.map { t =>
+            (tf(cnt(t)) * idf(dfs.getOrElse(t, 0L).toDouble)).as(t)
+          }: _*).as("output"))
+        case None =>
+          // MAP input (a tokenize bag): terms vary per row — the df
+          // table embeds as a plan-literal map (vocabulary-sized; a
+          // 100 TB-scale vocabulary belongs in a broadcast-join
+          // pipeline, not a per-row function, so the embed is capped)
+          require(dfs.size <= graft.sql.PlanTime.cap(spark),
+            s"function '$name': vocabulary of ${dfs.size} words is too " +
+              "large to inline — join against the tfidf outputDataset " +
+              "instead")
+          val dfMap =
+            if (dfs.isEmpty) map()
+            else map(dfs.toSeq.sortBy(_._1).flatMap { case (w, c) =>
+              Seq(lit(w), lit(c.toDouble))
+            }: _*)
+          val keys = map_keys(ic)
+          def dfOf(k: org.apache.spark.sql.Column) =
+            coalesce(element_at(dfMap, k), lit(0.0))
+          val maxFreq = array_max(transform(map_values(ic),
+            v => v.cast("double")))
+          val maxNt = coalesce(
+            array_max(transform(keys, k => dfOf(k))), lit(0.0))
+          def tf(c: org.apache.spark.sql.Column) = tfType match {
+            case "log" => log(lit(1.0) + c)
+            case "augmented" => lit(0.5) + (lit(0.5) * c) / maxFreq
+            case _ => c
+          }
+          def idf(d: org.apache.spark.sql.Column) = idfType match {
+            case "inverse" => log(lit(n.toDouble) / (lit(1.0) + d))
+            case "inverseMax" => log(lit(1.0) + maxNt / (lit(1.0) + d))
+            case "probabilistic_inverse" =>
+              log((lit(n.toDouble) - d) / (lit(1.0) + d))
+            case _ => log(lit(1.0) + lit(n.toDouble) / (lit(1.0) + d))
+          }
+          struct(map_from_entries(transform(keys, k =>
+            struct(k.as("key"),
+              (tf(element_at(ic, k).cast("double")) * idf(dfOf(k)))
+                .as("value")))).as("output"))
+      }
+    }
+    compiledApplies.clear()
+  }
+
+  /** `embedding.neighbors` as a REST-creatable function
+    * (`plugins/embedding/embedding.cc:1420`;
+    * testing/MLDB-283-embedding-nearest-neighbours.py): nearest
+    * points of the configured embedding dataset. `coords` is either a
+    * row of dimension values or a ROW NAME of the dataset;
+    * numNeighbors / maxDistance are literal parameters. Output
+    * `{distances: {<rowName>: dist}}` — the k nearest survive, like
+    * the reference's dynamic columns. The point set embeds as plan
+    * literals (PlanTime-capped — the function form is for
+    * configuration-sized sets; corpus-scale kNN is
+    * [[graft.operators.Similarity]]'s two-phase top-k). */
+  def createEmbeddingNeighborsFunction(name: String,
+      datasetName: String, defaultNum: Int = 100): Unit = {
+    rejectBuiltinName(name)
+    import org.apache.spark.sql.functions._
+    val src0 = dataset(datasetName)
+    val dims = src0.columns.filterNot(c =>
+      c.equalsIgnoreCase("rowName") || c.startsWith("__")).toSeq
+    val rnCol =
+      if (src0.columns.exists(_.equalsIgnoreCase("rowName")))
+        col("rowName").cast("string")
+      else monotonically_increasing_id().cast("string")
+    val pts = graft.sql.PlanTime.boundedRows(
+      src0.select(rnCol.as("__rn") +:
+        dims.map(c => col(s"`$c`").cast("double")): _*),
+      graft.sql.PlanTime.cap(spark), s"embedding.neighbors($datasetName)")
+      .map(r => r.getString(0) ->
+        dims.indices.map(i => r.getDouble(i + 1)).toArray)
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (cc, ct, _) = args.getOrElse("coords",
+        throw new IllegalArgumentException(
+          s"function '$name' expects a {coords: …} argument"))
+      import graft.sql.Ast._
+      val k: org.apache.spark.sql.Column = args.get("numneighbors")
+        .orElse(args.get("numNeighbors"))
+        .map(_._1.cast("int")).getOrElse(lit(defaultNum))
+      val maxDist = args.get("maxdistance").orElse(args.get("maxDistance"))
+        .map(_._1.cast("double"))
+      // the query point: a row of named dims, or a row NAME resolved
+      // against the stored points via a literal CASE
+      val qp: Seq[org.apache.spark.sql.Column] = ct match {
+        case Some(st) => dims.map(d =>
+          st.fields.find(_.name.equalsIgnoreCase(d)) match {
+            case Some(f) =>
+              coalesce(cc.getField(f.name).cast("double"), lit(0.0))
+            case None => lit(0.0)
+          })
+        case None => dims.indices.map { i =>
+          pts.foldRight(lit(Double.NaN): org.apache.spark.sql.Column) {
+            case ((rn, v), rest) =>
+              when(cc.cast("string") === rn, lit(v(i))).otherwise(rest)
+          }
+        }
+      }
+      val entries = pts.map { case (rn, v) =>
+        val d2 = dims.indices.map(i =>
+          (qp(i) - v(i)) * (qp(i) - v(i))).reduce(_ + _)
+        struct(sqrt(d2).as("dist"), lit(rn).as("name"))
+      }
+      val sorted = array_sort(array(entries: _*))
+      val kept0 = slice(sorted, lit(1), k)
+      val kept = maxDist match {
+        case Some(m) => filter(kept0, s => s.getField("dist") <= m)
+        case None => kept0
+      }
+      struct(map_from_entries(transform(kept, s =>
+        struct(s.getField("name").as("key"),
+          s.getField("dist").as("value")))).as("distances"))
+    }
+    compiledApplies.clear()
+  }
+
+  /** `tokensplit` as a REST-creatable function
+    * (`plugins/textual/tokensplit.cc`; testing/MLDB-1116-tokensplit.py):
+    * the config's `tokens` QUERY supplies the special-token list
+    * (emoticons — arbitrary UTF-8, so the list is bound natively
+    * rather than round-tripped through dialect text); application
+    * re-tokenizes the argument `text` so each configured token stands
+    * alone, longest first. */
+  def createTokensplitFunction(name: String, tokensQuery: String): Unit = {
+    rejectBuiltinName(name)
+    val df0 = query(tokensQuery)
+    val df =
+      if (df0.schema.headOption.exists(f =>
+          f.name.equalsIgnoreCase("rowName") &&
+            f.metadata.contains("graft.implicitRowName")))
+        df0.drop(df0.columns.head)
+      else df0
+    val toks = graft.sql.PlanTime.boundedRows(df,
+      JsHost.maxQueryRows, "tokensplit tokens")
+      .flatMap(_.toSeq).collect { case s: String if s.nonEmpty => s }
+      .distinct.toSeq
+    import org.apache.spark.sql.functions._
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (tc, _, _) = args.getOrElse("text",
+        throw new IllegalArgumentException(
+          s"function '$name' expects a {text: …} argument row"))
+      struct(graft.operators.TextAnalysis
+        .tokensplit(tc.cast("string"), toks).as("text"))
+    }
+    compiledApplies.clear()
+  }
 
   /** `gaussianclustering` as a REST-creatable function (MLDB-1353):
     * max-posterior cluster of the argument row — expanded to a pure
@@ -1665,6 +1857,49 @@ final class GraftEngine(val spark: SparkSession) {
             else joined.withColumnRenamed("__rn", "rowName"))
         }
         s"""{"splits": ${distributions.mkString("[", ", ", "]")}}"""
+      case "tfidf.train" =>
+        // `tfidf.train` (`plugins/nlp/tfidf.cc:136-190`;
+        // testing/MLDB-1101-tf-idf.py): count the documents each WORD
+        // (column of the bag-of-words input) appears in — one
+        // aggregate pass — and register the df table under
+        // modelFileUrl for the `tfidf` function entity. outputDataset
+        // = one row per word with its document count.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        val input = param("trainingData").orElse(structuredInput(param))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define trainingData"))
+        val df0raw = query(input)
+        val dfr =
+          if (df0raw.schema.headOption.exists(f =>
+              f.name.equalsIgnoreCase("rowName") &&
+                f.metadata.contains("graft.implicitRowName")))
+            df0raw.drop(df0raw.columns.head)
+          else df0raw
+        val words = dfr.columns.filterNot(c =>
+          c.equalsIgnoreCase("rowName") || c.startsWith("__")).toSeq
+        require(words.nonEmpty, "tfidf training data matched no columns")
+        val aggExprs = words.map(w => count(col(s"`$w`")).as(w)) :+
+          count(lit(1)).as("__n")
+        val row = dfr.agg(aggExprs.head, aggExprs.tail: _*).head()
+        val dfs = words.zipWithIndex.map { case (w, i) =>
+          w -> row.getLong(i)
+        }.toMap
+        val n = row.getAs[Long]("__n")
+        val url = param("modelFileUrl").getOrElse("__tfidf_model")
+        tfidfModels(url) = (dfs, n)
+        param("outputDataset").foreach { id =>
+          val rows = words.sorted.map(w =>
+            org.apache.spark.sql.Row(w, dfs(w)))
+          createDataset(id, spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            StructType(Seq(StructField("rowName", StringType),
+              StructField("count", LongType)))))
+        }
+        param("functionName").foreach(createTfidfFunction(_, url,
+          param("tfType").getOrElse("raw"),
+          param("idfType").getOrElse("inverseSmooth")))
+        s"""{"trained": "$url", "corpusSize": $n}"""
       case "dataset.stats" =>
         // pro-plugin utility (`plugins/pro/*.cc:124-201`): per-column
         // type/null/distinct profile of a registered dataset. One

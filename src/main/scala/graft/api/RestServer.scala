@@ -247,6 +247,25 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               // MLDB-1353: max-posterior cluster of the argument row
               engine.createGaussianClusteringFunction(name,
                 extractField(body, "modelFileUrl"))
+            case "tokensplit" =>
+              // MLDB-1116: special-token re-tokenizer configured by a
+              // tokens query
+              engine.createTokensplitFunction(name,
+                extractField(body, "tokens"))
+            case "embedding.neighbors" =>
+              // MLDB-283: nearest points of a configured embedding
+              // dataset
+              engine.createEmbeddingNeighborsFunction(name,
+                extractField(body, "dataset"),
+                extractFieldOpt(body, "defaultNumNeighbors")
+                  .map(_.toInt).getOrElse(100))
+            case "tfidf" =>
+              // MLDB-1101: tf·idf scoring with a model trained by
+              // tfidf.train
+              engine.createTfidfFunction(name,
+                extractField(body, "modelFileUrl"),
+                extractFieldOpt(body, "tfType").getOrElse("raw"),
+                extractFieldOpt(body, "idfType").getOrElse("inverseSmooth"))
             case "svd.embedRow" =>
               // MLDB-805/498: embed one argument row with a model
               // trained by the svd.train procedure
@@ -757,12 +776,12 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
       try (200, body)
       catch {
         case CreatedResponse(j) => (201, j)
-        case e: IllegalArgumentException => (400, errJson(e))
-        case e: NoSuchElementException => (404, errJson(e))
+        case e: IllegalArgumentException => (400, errJson(e, 400))
+        case e: NoSuchElementException => (404, errJson(e, 404))
         // Throwable, not Exception: a handler error that escapes here
         // (e.g. a scripting ToolBoxError) would otherwise close the
         // connection with no response at all
-        case e: Throwable => (500, errJson(e))
+        case e: Throwable => (500, errJson(e, 500))
       }
     val bytes = payload.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -771,8 +790,11 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     ex.close()
   }
 
-  private def errJson(e: Throwable): String =
-    s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}"""
+  // every error body carries error + httpCode — the reference's
+  // uniform envelope (testing/MLDB-1260-json-errors.py)
+  private def errJson(e: Throwable, code: Int): String =
+    s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}, """ +
+      s""""httpCode": $code}"""
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {

@@ -37,11 +37,14 @@ object Lowering {
 
   /** A NATIVELY-lowered appliable function (model entities like
     * `classifier`): receives the application's lowered arguments —
-    * each with its resolved row type when the argument is row-valued —
-    * and returns the function's output ROW column. The plan stays a
-    * pure expression; nothing re-parses, nothing substitutes. */
+    * each with its resolved row type when the argument is row-valued
+    * and its raw AST (literal parameters like numNeighbors read off
+    * it) — and returns the function's output ROW column. The plan
+    * stays a pure expression; nothing re-parses, nothing
+    * substitutes. */
   final case class ColumnFn(build: Map[String,
-    (Column, Option[org.apache.spark.sql.types.StructType])] => Column)
+    (Column, Option[org.apache.spark.sql.types.StructType],
+      Ast.Expr)] => Column)
 
   /** A `sql.query` whose FROM is `row_dataset($arg)` (MLDB-1315):
     * the inner query pivots the ARGUMENT row into (column, value)
@@ -835,7 +838,7 @@ object Lowering {
             case Some(s: org.apache.spark.sql.types.StructType) => Some(s)
             case _ => None
           }
-          k -> (c, st)
+          k -> ((c, st, v))
         }.toMap
         val outRow = currentColumnFns(name).build(lowered)
         output match {
@@ -1882,7 +1885,29 @@ object Lowering {
   }
 
   /** MLDB builtin name → Column. SURVEY §2.5 registry. */
+  /** Builtins whose arity is fixed — mismatches raise the reference's
+    * binding error (testing/MLDB-1336-builtin-checks.py:
+    * "Binding builtin function sqrt: expected 1 argument, got 3"). */
+  private val fixedArity: Map[String, Int] = Map(
+    "exp" -> 1, "sqrt" -> 1, "ln" -> 1, "abs" -> 1, "ceil" -> 1,
+    "ceiling" -> 1, "floor" -> 1, "sin" -> 1, "cos" -> 1, "tan" -> 1,
+    "asin" -> 1, "acos" -> 1, "atan" -> 1, "sinh" -> 1, "cosh" -> 1,
+    "tanh" -> 1, "asinh" -> 1, "acosh" -> 1, "atanh" -> 1, "sign" -> 1,
+    "isnan" -> 1, "isinf" -> 1, "isfinite" -> 1, "quantize" -> 2,
+    "power" -> 2, "pow" -> 2, "mod" -> 2, "atan2" -> 2, "clamp" -> 3,
+    "lower" -> 1, "upper" -> 1, "trim" -> 1, "ltrim" -> 1, "rtrim" -> 1)
+
   private def lowerFn(scope: Scope, name: String, a: Seq[Column],
+      star: Boolean, raw: Seq[Expr]): Column = {
+    fixedArity.get(name).foreach { n =>
+      if (a.size != n) throw new IllegalArgumentException(
+        s"Binding builtin function $name: expected $n argument" +
+          (if (n == 1) "" else "s") + s", got ${a.size}")
+    }
+    lowerFnDispatch(scope, name, a, star, raw)
+  }
+
+  private def lowerFnDispatch(scope: Scope, name: String, a: Seq[Column],
       star: Boolean, raw: Seq[Expr]): Column = name match {
     // math
     case "abs" => abs(a(0))
