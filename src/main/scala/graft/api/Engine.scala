@@ -1288,7 +1288,18 @@ final class GraftEngine(val spark: SparkSession) {
         registerOut(graft.sources.Sources.importText(spark,
           req("dataFileUrl"), cfg))
       case "import.json" =>
-        registerOut(graft.sources.Sources.importJson(spark, req("dataFileUrl")))
+        // full surface (testing/MLDB-1266-import_json.py): line-number
+        // row names, select/where/named post-expressions, bad-line
+        // handling, arrays encode|parse
+        require(param("dataFileUrl").exists(_.nonEmpty),
+          "dataFileUrl is a required property and must not be empty")
+        registerOut(graft.sources.Sources.importJsonFull(spark,
+          req("dataFileUrl"),
+          select = param("select").getOrElse("*"),
+          where = param("where").getOrElse("true"),
+          named = param("named"),
+          ignoreBadLines = param("ignoreBadLines").exists(_.toBoolean),
+          arrays = param("arrays").getOrElse("encode")))
       case "import.xlsx" =>
         registerOut(graft.sources.Xlsx.importXlsx(spark, req("dataFileUrl"),
           param("sheet").map(Seq(_))))

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, from_csv, regexp_replace}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{array_contains, coalesce, col, element_at, explode, expr, from_csv, from_json, length, lit, regexp_replace, to_json, transform, when}
 import org.apache.spark.sql.types.StructType
 
 /** File sources/sinks (SURVEY §2.7 import/export procedures).
@@ -402,6 +402,148 @@ object Sources {
   def importJson(spark: SparkSession, path: String,
       schema: Option[StructType] = None): DataFrame =
     schema.map(spark.read.schema).getOrElse(spark.read).json(path)
+
+  /** `import.json` full surface
+    * (testing/MLDB-1266-import_json.py): rows named by LINE NUMBER
+    * (1-based; `named` overrides, with `lineNumber()` available),
+    * select/where post-expressions, invalid lines error unless
+    * `ignoreBadLines`, nested objects keep their structure (dotted
+    * leaves at the format layer), and `arrays`:
+    *  - "encode" (the importer default): OBJECT elements become
+    *    numbered columns holding their JSON text (`colD.0` =
+    *    `{"a":1}`); SCALAR elements become set-member columns
+    *    (`colD.abc` = 1) — the value set from one capped plan-time
+    *    pass;
+    *  - "parse": elements expand to numbered columns
+    *    (arrays-of-struct → `colD.0.a`), the MLDB-1779 convention.
+    * Fully distributed: text scan → from_json; only the schema
+    * passes are bounded driver work. */
+  def importJsonFull(spark: SparkSession, path0: String,
+      select: String = "*", where: String = "true",
+      named: Option[String] = None, ignoreBadLines: Boolean = false,
+      arrays: String = "encode"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = maybeDecompress(path0)
+    val numbered0 = spark.read.text(path).rdd.zipWithIndex.map {
+      case (row, i) => org.apache.spark.sql.Row(row.getString(0), i + 1L)
+    }
+    val numbered = spark.createDataFrame(numbered0, StructType(Seq(
+      StructField("__line", StringType), StructField("__lineno", LongType))))
+      .filter(org.apache.spark.sql.functions.length(col("__line")) > 0)
+    // schema from the valid lines; a corrupt line errors at run unless
+    // ignoreBadLines (the reference's contract). from_json is
+    // PERMISSIVE (a bad line parses to an all-null row), so corruption
+    // detection rides an explicit corrupt-record channel.
+    import spark.implicits._
+    val schema = spark.read.json(
+      numbered.select(col("__line")).as[String]).schema
+    val dataSchema =
+      StructType(schema.fields.filterNot(_.name == "_corrupt_record"))
+    val withCorrupt = StructType(dataSchema.fields :+
+      StructField("__bad", StringType))
+    val parsedAll = numbered.withColumn("__r",
+      from_json(col("__line"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "__bad")))
+    if (!ignoreBadLines) {
+      val bad = parsedAll.filter(col("__r.__bad").isNotNull)
+        .select(col("__lineno"), col("__line")).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"import.json: could not parse line ${bad.head.getLong(0)}: " +
+          bad.head.getString(1))
+    }
+    var df = parsedAll
+      .filter(col("__r.__bad").isNull)
+      .select(col("__lineno") +: dataSchema.fieldNames.toSeq.map(f =>
+        col(s"__r.`$f`").as(f)): _*)
+    // array handling
+    val arrayCols = dataSchema.fields.filter(
+      _.dataType.isInstanceOf[ArrayType]).toSeq
+    arrayCols.foreach { f =>
+      val at = f.dataType.asInstanceOf[ArrayType]
+      val maxLen = graft.sql.PlanTime.maxArrayLen(df, col(s"`${f.name}`"),
+        s"import.json arrays(${f.name})")
+      val asStr: Column => Column = at.elementType match {
+        case _: StructType => e => to_json(e)
+        case _ => e => e.cast("string")
+      }
+      val strArr = transform(col(s"`${f.name}`"), asStr)
+      def isObj(e: Column) = e.startsWith("{")
+      if (arrays == "parse") {
+        // numbered columns; OBJECT elements expand one level deeper
+        // (colD.0.a — the MLDB-1779 convention). A column can mix
+        // object and scalar elements across rows (json_dataset's
+        // colD), so both shapes emit.
+        val objSchema: Option[StructType] = {
+          val objs = df.select(explode(strArr).as("__v"))
+            .filter(isObj(col("__v")))
+          val fields = graft.sql.PlanTime.jsonSchema(objs, col("__v"),
+            s"import.json arrays(${f.name}) parse")
+          if (fields.isEmpty) None else Some(StructType(fields.toArray))
+        }
+        (0 until maxLen).foreach { i =>
+          val e = element_at(strArr, i + 1)
+          objSchema match {
+            case Some(st) =>
+              df = df.withColumn(s"${f.name}.$i", when(!isObj(e), e))
+              st.fieldNames.foreach(sf =>
+                df = df.withColumn(s"${f.name}.$i.$sf",
+                  from_json(e, st).getField(sf)))
+            case None =>
+              df = df.withColumn(s"${f.name}.$i", e)
+          }
+        }
+        df = df.drop(f.name)
+      } else { // encode
+        // numbered columns for object elements, set-member columns for
+        // scalar elements (capped value set). A VALUE that collides
+        // with an index ("1") shares its column — typed engines hold
+        // ONE type per column, so the merged column reads as text
+        // (documented divergence from the reference's per-cell types).
+        val vals = graft.sql.PlanTime.keys(
+          df.select(explode(strArr).as("__v")).filter(!isObj(col("__v"))),
+          col("__v"), s"import.json arrays(${f.name}) values")
+        val numbered: Seq[(String, Column)] = (0 until maxLen).map { i =>
+          val e = element_at(strArr, i + 1)
+          s"${f.name}.$i" -> when(isObj(e), e)
+        }
+        val members: Seq[(String, Column)] = vals.map(v =>
+          s"${f.name}.$v" ->
+            when(array_contains(strArr, v), lit(1)))
+        (numbered ++ members).groupBy(_._1).foreach { case (n, cs) =>
+          val merged =
+            if (cs.size == 1) cs.head._2
+            else coalesce(cs.map(_._2.cast("string")): _*)
+          df = df.withColumn(n, merged)
+        }
+        df = df.drop(f.name)
+      }
+    }
+    // named: a SQL expression over the row; lineNumber() reads the
+    // source line. A row-valued name is the reference's error.
+    named.foreach { n =>
+      val ex = expr(n.replaceAll("(?i)lineNumber\\(\\)", "__lineno"))
+      val tpe = df.select(ex.as("__nm")).schema.head.dataType
+      if (tpe.isInstanceOf[StructType] || tpe.isInstanceOf[ArrayType] ||
+          tpe.isInstanceOf[MapType])
+        throw new IllegalArgumentException(
+          s"Cannot convert value of type '${tpe.simpleString}' to row name")
+      df = df.withColumn("rowName", ex.cast("string"))
+    }
+    if (named.isEmpty)
+      df = df.withColumn("rowName", col("__lineno").cast("string"))
+    df = df.drop("__lineno")
+    if (select == "*" && where == "true") df
+    else {
+      val view = s"__graft_json_${java.util.UUID.randomUUID.toString
+        .replace("-", "")}"
+      df.createOrReplaceTempView(view)
+      val sel = select.replaceAll("(?i)\\*\\s*EXCLUDING\\s*\\(", "* EXCEPT(")
+      val keep = if (sel.trim == "*") "*"
+        else s"rowName, $sel" // the name column rides along
+      try spark.sql(s"SELECT $keep FROM $view WHERE $where")
+      finally spark.catalog.dropTempView(view)
+    }
+  }
 
   /** `export.csv` (`plugins/textual/csv_export_procedure.cc:238`). */
   def exportCsv(df: DataFrame, path: String, delimiter: String = ",",
