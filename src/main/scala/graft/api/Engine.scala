@@ -1551,9 +1551,15 @@ final class GraftEngine(val spark: SparkSession) {
           } else graft.ml.Models.kmeansTrain(vecDf, "__vec", kk)
             .model.clusterCenters.map(_.toArray)
         // modelFileUrl keys the trained centroids for the `kmeans`
-        // FUNCTION entity (MLDB-285)
+        // FUNCTION entity (MLDB-285); functionName auto-creates it
+        // (MLDB-665's config shape)
         param("modelFileUrl").foreach(url =>
           kmeansModels(url) = (feats, centers))
+        param("functionName").foreach { fn =>
+          val url = param("modelFileUrl").getOrElse("__kmeans_model")
+          kmeansModels(url) = (feats, centers)
+          createKmeansFunction(fn, url)
+        }
         param("centroidsDataset").foreach { id =>
           val rows = centers.zipWithIndex.map {
             case (ctr, i) => org.apache.spark.sql.Row.fromSeq(
