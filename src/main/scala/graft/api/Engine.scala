@@ -1423,6 +1423,17 @@ final class GraftEngine(val spark: SparkSession) {
               throw new IllegalArgumentException(
                 "tsne.train needs rowOutputDataset"))
           createDataset(outName, emb)
+          // a t-SNE "function" exists but cannot embed NEW points —
+          // applying it is a clear failure, exactly the reference's
+          // behavior (testing/MLDB-284-tsne-apply-function.py expects
+          // a 500, not a silent answer)
+          param("functionName").foreach { fn =>
+            columnFnRegistry(fn) = graft.sql.Lowering.ColumnFn { _ =>
+              throw new IllegalArgumentException(
+                "t-SNE functions cannot be applied to new points: the " +
+                  "embedding is only defined for its training rows")
+            }
+          }
           s"""{"outputDataset": "$outName", "rowCount": ${emb.count()}}"""
         }
       case "svd.train" =>

@@ -66,4 +66,22 @@ class ReferenceParitySpec22 extends AnyFunSuite {
         [distances] as d""").head().getMap[String, Double](0).toMap
     assert(nearest.keySet === Set("0") && nearest("0") === 0.0, nearest)
   }
+
+  // --- MLDB-284-tsne-apply-function.py ----------------------------------------
+
+  test("MLDB-284: applying a tsne function is a clear failure") {
+    val rng = new scala.util.Random(284)
+    e.recordRows("toy284", (0 until 60).map { i =>
+      s"""{"rowName":"u$i","f1":${rng.nextGaussian()},"f2":${rng.nextGaussian()}}"""
+    }.mkString("[", ",", "]"))
+    e.runProcedure("tsne.train", Map(
+      "from" -> "toy284", "limit" -> "50",
+      "rowOutputDataset" -> "toy_tsne284",
+      "functionName" -> "tsne_embed284").get _)
+    assert(e.dataset("toy_tsne284").count() === 50)
+    val ex = intercept[IllegalArgumentException](
+      q("select tsne_embed284({embedding: {f1: 0.5, f2: 0.5}}) as o")
+        .collect())
+    assert(ex.getMessage.contains("cannot be applied"), ex.getMessage)
+  }
 }
