@@ -361,10 +361,14 @@ final class GraftEngine(val spark: SparkSession) {
         rows.toSeq.map(r =>
           String.valueOf(r.get(colIdx)) -> toLit(r.get(valIdx.head)))
       case _ =>
-        val row = result.head()
-        result.columns.toSeq.zipWithIndex
-          .filter(!_._1.equalsIgnoreCase("rowName"))
-          .map { case (c, i) => c -> toLit(row.get(i)) }
+        // an EMPTY result is an empty output row, not an error
+        // (MLDB-945's WHEN-windowed sql.query returning nothing)
+        result.limit(1).collect().headOption match {
+          case Some(row) => result.columns.toSeq.zipWithIndex
+            .filter(!_._1.equalsIgnoreCase("rowName"))
+            .map { case (c, i) => c -> toLit(row.get(i)) }
+          case None => Seq.empty
+        }
     }
     sqlMacros(name) = Seq(SelectItem(StructLit(fields), Some("output")))
     compiledApplies.clear()
@@ -393,6 +397,36 @@ final class GraftEngine(val spark: SparkSession) {
   def applyFunction(name: String, input: DataFrame): DataFrame =
     functions.get(name) match {
       case Some(f) => f(input)
+      case None if columnFnRegistry.contains(name) =>
+        // a natively-lowered model entity (classifier / svd.embedRow /
+        // probabilizer / …): regroup the input frame's flattened
+        // columns into the named argument rows (`row.n0` →
+        // {row: {n0: …}}) and hand them to the builder directly —
+        // arrays stay arrays (the reference's embedding values), no
+        // dialect round-trip
+        import org.apache.spark.sql.functions.{col, struct => structFn}
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val grouped = input.columns.toSeq.groupBy(c =>
+          if (c.contains('.')) c.takeWhile(_ != '.') else c)
+        val args = grouped.map { case (k, cs) =>
+          if (cs == Seq(k)) {
+            val st = input.schema(k).dataType match {
+              case s: StructType => Some(s)
+              case _ => None
+            }
+            k -> ((col(s"`$k`"), st, (graft.sql.Ast.NullLit(): graft.sql.Ast.Expr)))
+          } else {
+            val fields = cs.map(c =>
+              col(s"`$c`").as(c.stripPrefix(s"$k.")))
+            val st = StructType(cs.map(c => StructField(
+              c.stripPrefix(s"$k."), input.schema(c).dataType,
+              nullable = true)).toArray)
+            k -> ((structFn(fields: _*), Some(st),
+              (graft.sql.Ast.NullLit(): graft.sql.Ast.Expr)))
+          }
+        }
+        val out = columnFnRegistry(name).build(args)
+        input.select(out.as("__out")).select(col("__out.*"))
       case None
           if rowPivotFns.contains(name) || paramLookups.contains(name) ||
             sqlMacros.contains(name) =>
@@ -555,7 +589,10 @@ final class GraftEngine(val spark: SparkSession) {
     try {
       val template = spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), inSchema)
-      val out = functions(name)(template)
+      // applyFunction (not the raw map) so natively-lowered entities
+      // (classifier / svd.embedRow / probabilizer) compile to the same
+      // zero-job projection as sql.expression macros
+      val out = applyFunction(name, template)
       var p: LogicalPlan =
         org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
           out.queryExecution.analyzed)
@@ -586,6 +623,13 @@ final class GraftEngine(val spark: SparkSession) {
   }
 
   def listFunctions: Seq[String] = functions.keys.toSeq.sorted
+
+  /** Does ANY function registry hold this name (the flat map, the
+    * natively-lowered entities, macros, lookups, pivots)? */
+  def functionExists(name: String): Boolean =
+    functions.contains(name) || columnFnRegistry.contains(name) ||
+      sqlMacros.contains(name) || paramLookups.contains(name) ||
+      rowPivotFns.contains(name)
 
   // ---- procedures (/v1/procedures + /runs) --------------------------------
 
@@ -708,10 +752,13 @@ final class GraftEngine(val spark: SparkSession) {
     }
   }
 
-  /** trained svd models by modelFileUrl: (trained columns, model,
-    * effective singular values kept). */
+  /** trained svd models by modelFileUrl: (trained columns with their
+    * extraction ops — VALUE reads the column, VALUE_EQUALS is a
+    * string one-hot re-applied at embed time like the reference's
+    * COL_EQUAL (`plugins/embedding/svd.cc:836`) —, model, effective
+    * singular values kept). */
   private val svdModels =
-    TrieMap[String, (Seq[String], graft.ml.Models.PCAApplied, Int)]()
+    TrieMap[String, (Seq[FeatSpec], graft.ml.Models.PCAApplied, Int)]()
 
   /** trained kmeans models by modelFileUrl: (trained columns,
     * centroids). */
@@ -737,10 +784,53 @@ final class GraftEngine(val spark: SparkSession) {
       throw new NoSuchElementException(
         s"function '$name' has no details"))
 
-  /** trained classifiers by modelFileUrl: (feature names, mode,
-    * label names in index order, pipeline). */
+  /** GET /v1/functions/<name>/info payloads (ValueInfo reflection of
+    * the function's input/output rows — MLDB-654 pins the exact
+    * shape). */
+  private val functionInfoMap = TrieMap[String, String]()
+
+  def functionInfo(name: String): String =
+    functionInfoMap.getOrElse(name,
+      throw new NoSuchElementException(
+        s"function '$name' has no info"))
+
+  /** One trained classifier feature: extract = VALUE (numeric read) or
+    * VALUE_EQUALS (string one-hot against `category`) — the
+    * reference's feature-extraction ops
+    * (`plugins/jml/dataset_feature_space.cc`; MLDB-961 pins both kinds
+    * in `/details`). */
+  case class FeatSpec(column: String, extract: String, category: Option[String]) {
+    /** display key for details/info JSON */
+    def key: String = category match {
+      case Some(c) => s"$column=$c"
+      case None => column
+    }
+  }
+
+  /** trained classifiers by modelFileUrl: (feature specs in trained
+    * order, mode, label names in index order, pipeline). The model's
+    * vector slots are `__f<i>` internally — spec i owns slot i. */
   private val clsModels = TrieMap[String,
-    (Seq[String], String, Seq[String], org.apache.spark.ml.PipelineModel)]()
+    (Seq[FeatSpec], String, Seq[String], org.apache.spark.ml.PipelineModel)]()
+
+  /** The function-application input expression for one trained feature
+    * slot, reading the argument row `fc` (type `ft`): VALUE reads the
+    * column as double (absent/null → 0 like the other model
+    * entities); VALUE_EQUALS reads 1/0 on string match — an UNSEEN
+    * category reads 0 everywhere (MLDB-2181's 'c' over a_or_b). */
+  private def featSpecExpr(spec: FeatSpec, fc: org.apache.spark.sql.Column,
+      ft: Option[org.apache.spark.sql.types.StructType]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val field = ft.flatMap(_.fields.find(_.name.equalsIgnoreCase(spec.column)))
+    (field, spec.category) match {
+      case (None, _) => lit(0.0)
+      case (Some(f), Some(cat)) =>
+        when(fc.getField(f.name).cast("string") === cat, lit(1.0))
+          .otherwise(lit(0.0))
+      case (Some(f), None) =>
+        coalesce(fc.getField(f.name).cast("double"), lit(0.0))
+    }
+  }
 
   /** `classifier` as a REST-creatable function (MLDB-647/MLDB-173):
     * applies a trained model to the argument row. Boolean /
@@ -751,57 +841,409 @@ final class GraftEngine(val spark: SparkSession) {
     * model entities. */
   def createClassifierFunction(name: String, modelUrl: String): Unit = {
     rejectBuiltinName(name)
-    val (featNames, mode, labels, model) = clsModels.getOrElse(modelUrl,
+    val (specs, mode, labels, model) = clsModels.getOrElse(modelUrl,
       throw new NoSuchElementException(
         s"no classifier trained at '$modelUrl'"))
+    if (mode != "regression" && !graft.ml.Models.classProbSupported(model))
+      throw new IllegalArgumentException(
+        s"cannot create classifier function '$name': model at " +
+          s"'$modelUrl' (${model.stages.last.getClass.getSimpleName}) " +
+          "is not supported for plan-literal scoring — supported " +
+          "algorithms: glz, dt, bagging, boosting, naive_bayes")
     import org.apache.spark.sql.functions._
+    val internal = specs.indices.map(i => s"__f$i")
     columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
       val (fc, ft, _) = args.getOrElse("features",
         throw new IllegalArgumentException(
           s"function '$name' expects a {features: {…}} argument row"))
-      def feat(n: String): org.apache.spark.sql.Column = ft match {
-        case Some(st) => st.fields.find(_.name.equalsIgnoreCase(n)) match {
-          case Some(f) =>
-            coalesce(fc.getField(f.name).cast("double"), lit(0.0))
-          case None => lit(0.0)
-        }
-        case None => lit(0.0)
-      }
+      def feat(n: String): org.apache.spark.sql.Column =
+        featSpecExpr(specs(internal.indexOf(n)), fc, ft)
       mode match {
         case "regression" =>
           struct(graft.ml.Models
-            .regressionValueColumn(model, featNames, feat).as("score"))
+            .regressionValueColumn(model, internal, feat).as("score"))
         case "categorical" =>
-          val probs = graft.ml.Models.classProbColumns(model, featNames, feat)
+          val probs = graft.ml.Models.classProbColumns(model, internal, feat)
           struct(struct(labels.zip(probs).map { case (l, p) =>
             p.as(l)
           }: _*).as("scores"))
         case _ => // boolean: score = P(true)
-          val probs = graft.ml.Models.classProbColumns(model, featNames, feat)
+          val probs = graft.ml.Models.classProbColumns(model, internal, feat)
           struct(probs.last.as("score"))
       }
     }
-    // /details: the reference's model introspection shape — features
-    // with their extraction ops and the model family
+    functionDetailsMap(name) = classifierDetailsJson(specs, mode, labels, model)
+    functionInfoMap(name) = classifierInfoJson(specs, mode, labels)
+    compiledApplies.clear()
+  }
+
+  /** `/v1/functions/<name>/details` body — the reference's model
+    * introspection (`MLDB-565/961` pin the GLZ shape: addBias, the
+    * feature-extraction list with VALUE/VALUE_EQUALS ops, link, and
+    * per-output `[coef…, bias]` weight rows in ORIGINAL feature
+    * space). Tree families keep features + labels. */
+  private def classifierDetailsJson(specs: Seq[FeatSpec], mode: String,
+      labels: Seq[String], model: org.apache.spark.ml.PipelineModel): String = {
     val family = model.stages.last.getClass.getSimpleName match {
       case n if n.contains("Logistic") || n.contains("LinearRegression") =>
         "GLZ"
       case n if n.contains("DecisionTree") => "DECISION_TREE"
       case n if n.contains("RandomForest") => "BAGGING"
       case n if n.contains("GBT") => "BOOSTING"
+      case n if n.contains("NaiveBayes") => "NAIVE_BAYES"
       case n => n
     }
-    val featsJson = featNames.map(f =>
-      s"""{"extract": "VALUE", "feature": ${jsonQ(f)}}""").mkString("[", ",", "]")
-    functionDetailsMap(name) =
-      s"""{"model": {"params": {"features": $featsJson, """ +
-        s""""labels": ${labels.map(jsonQ).mkString("[", ",", "]")}}, """ +
-        s""""type": "$family", "mode": "$mode"}}"""
-    compiledApplies.clear()
+    val featsJson = specs.map { s =>
+      val cat = s.category.map(c => s""""category": ${jsonQ(c)}, """)
+        .getOrElse("")
+      s"""{$cat"extract": "${s.extract}", "feature": ${jsonQ(s.column)}}"""
+    }.mkString("[", ",", "]")
+    val glzParams = graft.ml.Models.glzWeightRows(model) match {
+      case Some((rows, link)) =>
+        val w = rows.map(_.map(v =>
+          if (v.isNaN) "null" else v.toString).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+        s""""addBias": true, "features": $featsJson, "link": "$link", """ +
+          s""""weights": $w"""
+      case None =>
+        s""""features": $featsJson, """ +
+          s""""labels": ${labels.map(jsonQ).mkString("[", ",", "]")}"""
+    }
+    s"""{"model": {"params": {$glzParams}, """ +
+      s""""type": "$family", "mode": "$mode"}}"""
+  }
+
+  /** `/v1/functions/<name>/info` body — ValueInfo reflection of the
+    * classifier function's input/output rows, the exact shape of
+    * `testing/MLDB-654-classifier-function-info.js`: input is
+    * `[{features: {<column>: Float32}}]` (columns alphabetical,
+    * one-hot columns folded back to their source column), output is
+    * `{scores: {<label>: Float32}}` for categorical or
+    * `{score: Float32}` otherwise, score columns carrying their
+    * vector offsets. */
+  private def classifierInfoJson(specs: Seq[FeatSpec], mode: String,
+      labels: Seq[String]): String = {
+    def f32 = """{"isConstant": false, "kind": "scalar", """ +
+      """"scalar": "float", "type": "MLDB::Float32ValueInfo"}"""
+    def knownCol(cn: String, off: Option[Int], vi: String): String = {
+      val offJson = off.map(o => s""""offset": $o, """).getOrElse("")
+      s"""{"columnName": ${jsonQ(cn)}, $offJson"sparsity": "dense", """ +
+        s""""valueInfo": $vi}"""
+    }
+    def rowInfo(cols: Seq[String]): String =
+      s"""{"hasUnknownColumns": false, "hasUnknownColumnsRecursive": false, """ +
+        s""""isConstant": false, "kind": "row", """ +
+        s""""knownColumns": [${cols.mkString(",")}], """ +
+        s""""type": "MLDB::RowValueInfo"}"""
+    val featCols = specs.map(_.column).distinct.sorted
+      .map(c => knownCol(c, None, f32))
+    val input = s"[${rowInfo(Seq(knownCol("features", None,
+      rowInfo(featCols))))}]"
+    val output = mode match {
+      case "categorical" =>
+        val scoreCols = labels.zipWithIndex.map { case (l, i) =>
+          knownCol(l, Some(i), f32)
+        }
+        rowInfo(Seq(knownCol("scores", Some(0), rowInfo(scoreCols))))
+      case _ =>
+        rowInfo(Seq(knownCol("score", Some(0), f32)))
+    }
+    s"""{"input": $input, "output": $output}"""
   }
 
   private def jsonQ(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** trained probabilizers by modelFileUrl: prob = σ(A·score + B)
+    * (Platt scaling — `plugins/jml/probabilizer.cc:292`'s glz over
+    * `[score, 1]`). */
+  private val probModels = TrieMap[String, (Double, Double)]()
+
+  /** `probabilizer` as a REST-creatable function (MLDB-59/573):
+    * calibrate a raw classifier score into a probability. Application
+    * is the plan-literal logistic σ(A·score + B) — codegen'd, zero
+    * driver participation. Input `{score}`, output `{prob}`. */
+  def createProbabilizerFunction(name: String, modelUrl: String): Unit = {
+    rejectBuiltinName(name)
+    val (a, b) = probModels.getOrElse(modelUrl,
+      throw new NoSuchElementException(
+        s"no probabilizer trained at '$modelUrl'"))
+    import org.apache.spark.sql.functions._
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (sc, st, _) = args.getOrElse("score",
+        throw new IllegalArgumentException(
+          s"function '$name' expects a {score: …} argument"))
+      // accept both a scalar score and a classifier-output row
+      // holding one ({score} — MLDB-573 pipes classifier() straight
+      // in)
+      val raw = st match {
+        case Some(t) => t.fields.find(_.name.equalsIgnoreCase("score"))
+          .map(f => sc.getField(f.name).cast("double"))
+          .getOrElse(sc.cast("double"))
+        case None => sc.cast("double")
+      }
+      struct((lit(1.0) / (lit(1.0) +
+        exp(-(raw * a + b)))).as("prob"))
+    }
+    compiledApplies.clear()
+  }
+
+  /** trained statsTables by statsTableFileUrl: (key columns in
+    * trained order, outcome names in config order, per-column value
+    * table value → (trials, per-outcome counts)) —
+    * `plugins/feature_gen/stats_table_procedure.cc`'s StatsTablesMap. */
+  private val statsTableModels = TrieMap[String,
+    (Seq[String], Seq[String], Map[String, Seq[(String, Long, Seq[Long])]])]()
+
+  /** trained bagOfWords statsTables by statsTableFileUrl:
+    * (outcome names, word → (trials, per-outcome counts)). */
+  private val bowStatsModels = TrieMap[String,
+    (Seq[String], Map[String, (Long, Seq[Long])])]()
+
+  /** `[["name", "expr"], …]` outcome pairs (the statsTable procedures'
+    * config shape). */
+  private def parseOutcomePairs(raw: String): Seq[(String, String)] = {
+    val pairRe = ("\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
+      "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\]").r
+    pairRe.findAllMatchIn(raw).map(m =>
+      m.group(1) -> m.group(2).replace("\\\"", "\"")).toSeq
+  }
+
+  /** `statsTable.getCounts` as a function entity (MLDB-873's `mySt`;
+    * `stats_table_procedure.cc:986`): `{keys: {col: val}}` → `{counts:
+    * {<outcome>: {col: n}, …, trial: {col: n}}}` reading the FINAL
+    * trained table. The value tables embed as plan-literal maps
+    * (config-sized, PlanTime-capped at training) — lookups are
+    * codegen'd element_at, zero shuffle. */
+  def createStatsTableFunction(name: String, modelUrl: String): Unit = {
+    rejectBuiltinName(name)
+    val (keyCols, outcomeNames, tables) = statsTableModels.getOrElse(modelUrl,
+      throw new NoSuchElementException(
+        s"no stats table trained at '$modelUrl'"))
+    import org.apache.spark.sql.functions._
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (kc, kt, _) = args.getOrElse("keys",
+        throw new IllegalArgumentException(
+          s"function '$name' expects a {keys: {…}} argument row"))
+      // only TRAINED key columns present in the argument row count;
+      // unknown columns ('prout') drop — the reference's contract
+      val present = keyCols.sorted.filter(c =>
+        kt.exists(_.fields.exists(_.name.equalsIgnoreCase(c))))
+      def fieldOf(c: String) = kt.flatMap(
+        _.fields.find(_.name.equalsIgnoreCase(c)))
+        .map(f => kc.getField(f.name).cast("string")).get
+      def lookup(c: String, pick: ((String, Long, Seq[Long])) => Long)
+          : org.apache.spark.sql.Column = {
+        val entries = tables.getOrElse(c, Seq.empty)
+        if (entries.isEmpty) lit(0L)
+        else coalesce(element_at(
+          map(entries.flatMap(e => Seq(lit(e._1), lit(pick(e)))): _*),
+          fieldOf(c)), lit(0L))
+      }
+      val outcomeStructs = outcomeNames.zipWithIndex.map { case (o, i) =>
+        struct(present.map(c => lookup(c, _._3(i)).as(c)): _*).as(o)
+      } :+ struct(present.map(c => lookup(c, _._2).as(c)): _*).as("trial")
+      struct(struct(outcomeStructs: _*).as("counts"))
+    }
+    compiledApplies.clear()
+  }
+
+  /** `statsTable.bagOfWords.posneg` as a function entity
+    * (`stats_table_procedure.cc:816-896`; MLDB-873/MLDBFB-506):
+    * select the top-`numPos` / bottom-`numNeg` words by
+    * P(outcome|word) among words with ≥ minTrials trials —
+    * reproducing the reference's exact selection quirks (reverse sort
+    * of (name, p) PAIRS, fixed-pivot tie expansion) — and emit
+    * `{probs: {<word>.<outcome>: p}}` for argument words in the
+    * selected set. */
+  def createStatsTablePosNegFunction(name: String, modelUrl: String,
+      outcomeToUse: String, numPos: Int = 50, numNeg: Int = 50,
+      minTrials: Int = 50): Unit = {
+    rejectBuiltinName(name)
+    val (outcomeNames, words) = bowStatsModels.getOrElse(modelUrl,
+      throw new NoSuchElementException(
+        s"no bagOfWords stats table trained at '$modelUrl'"))
+    val oIdx = outcomeNames.indexWhere(_ == outcomeToUse)
+    if (oIdx < 0) throw new IllegalArgumentException(
+      s"Outcome '$outcomeToUse' not found in stats table!")
+    val accum: Seq[(String, Double)] = words.toSeq.collect {
+      case (w, (trials, ocs)) if trials >= minTrials =>
+        w -> ocs(oIdx).toDouble / trials
+    }
+    val selected: Map[String, Double] =
+      if (accum.size < numPos + numNeg) accum.toMap
+      else {
+        // the reference sorts the (name, p) PAIRS in reverse — name
+        // first — and expands ties against the FIXED pivot at it+n
+        val desc = accum.sorted(
+          Ordering.Tuple2(Ordering.String,
+            Ordering.Double.TotalOrdering: Ordering[Double]).reverse)
+        def take(n: Int, seq: Seq[(String, Double)]): Seq[(String, Double)] = {
+          val pivot = seq.lift(n)
+          seq.zipWithIndex.takeWhile { case ((_, p), i) =>
+            i < n || pivot.exists(_._2 == p)
+          }.map(_._1)
+        }
+        (take(numPos, desc) ++ take(numNeg, desc.reverse)).toMap
+      }
+    import org.apache.spark.sql.functions._
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (wc, wt, _) = args.getOrElse("words",
+        throw new IllegalArgumentException(
+          "statsTable.bagOfWords.posneg : expect 'keys' as a row"))
+      val probs = wt match {
+        case Some(st) =>
+          // struct argument: the word set is static at the call site
+          st.fieldNames.toSeq.filter(selected.contains).sorted.map(w =>
+            lit(selected(w)).as(s"$w.$outcomeToUse"))
+        case None =>
+          // map argument (a tokenize bag): emit each SELECTED word's
+          // probability when the row's bag holds it, null otherwise —
+          // the selected set is model-sized and static
+          selected.keys.toSeq.sorted.map(w =>
+            when(element_at(wc, lit(w)).isNotNull, lit(selected(w)))
+              .as(s"$w.$outcomeToUse"))
+      }
+      struct(struct(probs: _*).as("probs"))
+    }
+    compiledApplies.clear()
+  }
+
+  /** One cell of a trained distribution table: the running stats the
+    * reference keeps per (key column, value)
+    * (`plugins/feature_gen/dist_table_procedure.cc`). All seven stats
+    * are always STORED; the `statistics` config only selects which to
+    * EMIT (MLDB-1750's get_stats_non_default reads max from a table
+    * trained with ['last','min','sum']). */
+  case class DistStats(count: Long, sum: Double, avg: Double, std: Double,
+    min: Double, max: Double, last: Double)
+
+  private object DistStats {
+    val empty: DistStats = DistStats(0L, 0.0, Double.NaN, Double.NaN,
+      Double.NaN, Double.NaN, Double.NaN)
+    val known: Seq[String] =
+      Seq("count", "avg", "std", "min", "max", "last", "sum")
+    def pick(s: DistStats, stat: String): Double = stat match {
+      case "count" => s.count.toDouble
+      case "avg" => s.avg
+      case "std" => s.std
+      case "min" => s.min
+      case "max" => s.max
+      case "last" => s.last
+      case "sum" => s.sum
+    }
+  }
+
+  /** Validate a distTable `statistics` list — the reference's
+    * "Unknown distribution table statistic" error. */
+  private def validateDistStats(stats: Seq[String]): Seq[String] = {
+    stats.foreach(s => if (!DistStats.known.contains(s))
+      throw new IllegalArgumentException(
+        s"Unknown distribution table statistic '$s'"))
+    stats
+  }
+
+  /** trained dist tables by distTableFileUrl: (mode, outcome names,
+    * key columns, per-column value table — None key = the NULL value
+    * (MLDB-1750 test_null_col treats NULL as a value); bagOfWords
+    * tables key word columns by presence). */
+  private val distTableModels = TrieMap[String, (String, Seq[String],
+    Seq[String], Map[String, Map[Option[String], Seq[DistStats]]])]()
+
+  /** `experimental.distTable.getStats` as a function entity
+    * (MLDB-1750): `{features: {col: val}}` → `{stats:
+    * {<outcome>.<col>.<stat>}}` reading the FINAL table. Unknown
+    * values (and, in bagOfWords mode, unknown words) read the empty
+    * stats (count 0, NaN elsewhere, sum 0). Plan-literal CASE folds —
+    * config-sized tables, codegen'd lookups. */
+  def createDistTableGetStatsFunction(name: String, modelUrl: String,
+      statistics: Option[Seq[String]] = None): Unit = {
+    rejectBuiltinName(name)
+    val (mode, outcomeNames, keyCols, tables) =
+      distTableModels.getOrElse(modelUrl,
+        throw new NoSuchElementException(
+          s"no dist table trained at '$modelUrl'"))
+    val stats = validateDistStats(statistics.getOrElse(
+      Seq("count", "avg", "std", "min", "max")))
+    import org.apache.spark.sql.functions._
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (fc, ft, _) = args.getOrElse("features",
+        throw new IllegalArgumentException(
+          s"function '$name' expects a {features: {…}} argument row"))
+      val argFields = ft.map(_.fields.toSeq).getOrElse(Seq.empty)
+      // default mode reads only TRAINED columns present in the arg;
+      // bagOfWords emits every arg word, trained or not (tag_z → NaN)
+      val cols: Seq[(String, Option[org.apache.spark.sql.types.StructField])] =
+        if (mode == "bagOfWords")
+          argFields.map(f => f.name -> Some(f)).sortBy(_._1)
+        else keyCols.filter(c =>
+          argFields.exists(_.name.equalsIgnoreCase(c)))
+          .map(c => c -> argFields.find(_.name.equalsIgnoreCase(c)))
+      val outCols = for {
+        (o, oi) <- outcomeNames.zipWithIndex
+        (c, fld) <- cols
+        stat <- stats
+      } yield {
+        val table = tables.getOrElse(c, Map.empty)
+        val expr: org.apache.spark.sql.Column =
+          if (mode == "bagOfWords") {
+            // presence keyed: the word's single entry or empty stats
+            val st = table.get(None).map(_(oi)).getOrElse(DistStats.empty)
+            lit(DistStats.pick(st, stat))
+          } else {
+            val nullStat = table.get(None).map(_(oi))
+              .getOrElse(DistStats.empty)
+            val valued = table.collect { case (Some(v), ss) => v -> ss(oi) }
+            val field = fld.map(f => fc.getField(f.name).cast("string"))
+            val base =
+              if (valued.isEmpty) lit(DistStats.pick(DistStats.empty, stat))
+              else coalesce(element_at(
+                map(valued.toSeq.flatMap { case (v, st) =>
+                  Seq(lit(v), lit(DistStats.pick(st, stat)))
+                }: _*), field.get),
+                lit(DistStats.pick(DistStats.empty, stat)))
+            field match {
+              case Some(f) =>
+                when(f.isNull, lit(DistStats.pick(nullStat, stat)))
+                  .otherwise(base)
+              case None => lit(DistStats.pick(nullStat, stat))
+            }
+          }
+        expr.as(s"$o.$c.$stat")
+      }
+      struct(struct(outCols: _*).as("stats"))
+    }
+    compiledApplies.clear()
+  }
+
+  /** `classifier.explain` as a REST-creatable function (MLDB-573):
+    * per-feature contributions of one argument row —
+    * `{bias, explanation: {<feature>: contribution}}`
+    * (`plugins/jml/classifier.cc:1374-1446`). All plan-literal via
+    * [[graft.ml.Models.explainColumns]]: glz credits w·x, trees
+    * credit each split's prediction delta along the row's path. */
+  def createClassifierExplainFunction(name: String, modelUrl: String): Unit = {
+    rejectBuiltinName(name)
+    val (specs, _, _, model) = clsModels.getOrElse(modelUrl,
+      throw new NoSuchElementException(
+        s"no classifier trained at '$modelUrl'"))
+    import org.apache.spark.sql.functions._
+    val internal = specs.indices.map(i => s"__f$i")
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (fc, ft, _) = args.getOrElse("features",
+        throw new IllegalArgumentException(
+          s"function '$name' expects a {features: {…}} argument row"))
+      def feat(n: String): org.apache.spark.sql.Column =
+        featSpecExpr(specs(internal.indexOf(n)), fc, ft)
+      val (bias, contribs) =
+        graft.ml.Models.explainColumns(model, internal, feat)
+      struct(bias.as("bias"),
+        struct(specs.zip(contribs).map { case (s, c) =>
+          c.as(s.key)
+        }: _*).as("explanation"))
+    }
+    compiledApplies.clear()
+  }
 
   /** trained tfidf models by modelFileUrl: (word → document
     * frequency, corpus size). */
@@ -811,13 +1253,25 @@ final class GraftEngine(val spark: SparkSession) {
     * (`plugins/nlp/tfidf.cc:289-440`; testing/MLDB-1101-tf-idf.py):
     * scores the argument row's term counts as tf(term) · idf(term)
     * with the reference's tfType (raw | log | augmented) and idfType
-    * (inverse | inverseSmooth | inverseMax | probabilistic_inverse)
-    * formulas. The argument row's fields are static at the call site,
-    * so the whole scoring is plan-literal — df lookups resolve at
-    * lowering, maxFrequency/maxNt fold into greatest() chains. */
+    * (unary | inverse | inverseSmooth | inverseMax |
+    * probabilisticInverse — `plugins/nlp/tfidf.cc:112-124` enum
+    * spellings) formulas. The argument row's fields are static at the
+    * call site, so the whole scoring is plan-literal — df lookups
+    * resolve at lowering, maxFrequency/maxNt fold into greatest()
+    * chains. */
   def createTfidfFunction(name: String, modelUrl: String,
       tfType: String = "raw", idfType: String = "inverseSmooth"): Unit = {
     rejectBuiltinName(name)
+    if (!Set("raw", "log", "augmented").contains(tfType))
+      throw new IllegalArgumentException(
+        s"tfidf function '$name': unknown tfType '$tfType' " +
+          "(expected raw | log | augmented)")
+    if (!Set("unary", "inverse", "inverseSmooth", "inverseMax",
+        "probabilisticInverse").contains(idfType))
+      throw new IllegalArgumentException(
+        s"tfidf function '$name': unknown idfType '$idfType' (expected " +
+          "unary | inverse | inverseSmooth | inverseMax | " +
+          "probabilisticInverse)")
     val (dfs, n) = tfidfModels.getOrElse(modelUrl,
       throw new NoSuchElementException(
         s"no tfidf model trained at '$modelUrl'"))
@@ -841,9 +1295,10 @@ final class GraftEngine(val spark: SparkSession) {
             case _ => c
           }
           def idf(docFreq: Double): Double = idfType match {
+            case "unary" => 1.0
             case "inverse" => math.log(n / (1.0 + docFreq))
             case "inverseMax" => math.log(1.0 + maxNt / (1.0 + docFreq))
-            case "probabilistic_inverse" =>
+            case "probabilisticInverse" =>
               math.log((n - docFreq) / (1.0 + docFreq))
             case _ => math.log(1.0 + n / (1.0 + docFreq)) // inverseSmooth
           }
@@ -877,9 +1332,10 @@ final class GraftEngine(val spark: SparkSession) {
             case _ => c
           }
           def idf(d: org.apache.spark.sql.Column) = idfType match {
+            case "unary" => lit(1.0)
             case "inverse" => log(lit(n.toDouble) / (lit(1.0) + d))
             case "inverseMax" => log(lit(1.0) + maxNt / (lit(1.0) + d))
-            case "probabilistic_inverse" =>
+            case "probabilisticInverse" =>
               log((lit(n.toDouble) - d) / (lit(1.0) + d))
             case _ => log(lit(1.0) + lit(n.toDouble) / (lit(1.0) + d))
           }
@@ -946,10 +1402,23 @@ final class GraftEngine(val spark: SparkSession) {
           }
         }
       }
+      // a row-NAME coords that matches no stored row must error, not
+      // return a map of NaN distances (ADVICE r9)
+      val unresolved: Option[org.apache.spark.sql.Column] = ct match {
+        case None if pts.nonEmpty => Some(
+          !pts.map(p => cc.cast("string") <=> p._1).reduce(_ || _))
+        case _ => None
+      }
       val entries = pts.map { case (rn, v) =>
         val d2 = dims.indices.map(i =>
           (qp(i) - v(i)) * (qp(i) - v(i))).reduce(_ + _)
-        struct(sqrt(d2).as("dist"), lit(rn).as("name"))
+        val dist = unresolved match {
+          case Some(u) => when(u, raise_error(concat(
+            lit(s"function '$name': unknown row '"), cc.cast("string"),
+            lit(s"' in dataset '$datasetName'")))).otherwise(sqrt(d2))
+          case None => sqrt(d2)
+        }
+        struct(dist.as("dist"), lit(rn).as("name"))
       }
       val sorted = array_sort(array(entries: _*))
       val kept0 = slice(sorted, lit(1), k)
@@ -1000,6 +1469,7 @@ final class GraftEngine(val spark: SparkSession) {
     * dialect CASE over plan-literal log-densities (same shape as the
     * kmeans function entity; missing dimensions read 0). */
   def createGaussianClusteringFunction(name: String, modelUrl: String): Unit = {
+    rejectBuiltinName(name)
     val (cols, m) = gmmModels.getOrElse(modelUrl,
       throw new NoSuchElementException(
         s"no gaussianclustering model trained at '$modelUrl'"))
@@ -1112,23 +1582,86 @@ final class GraftEngine(val spark: SparkSession) {
     * dialect expression — each output dimension is the dot product of
     * the argument row's trained columns with that basis vector, as
     * plan literals (zero UDFs, codegen'd; missing columns read 0, the
-    * sparse-row contract MLDB-485 exercises). */
+    * sparse-row contract MLDB-485 exercises). A string column trained
+    * as one-hots re-applies its COL_EQUAL ops at embed time — the
+    * argument row carries the RAW string, and `petalCat = 'long'`
+    * reads 1/0 like the reference (`plugins/embedding/svd.cc:836`,
+    * MLDB-1937). */
   def createSvdEmbedFunction(name: String, modelUrl: String,
       maxSingularValues: Int = Int.MaxValue): Unit = {
+    rejectBuiltinName(name)
     val (cols, svd, kept) = svdModels.getOrElse(modelUrl,
       throw new NoSuchElementException(s"no svd model trained at '$modelUrl'"))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val pc = svd.model.pc
     val n = math.min(kept, maxSingularValues)
-    def ref(c: String): String =
-      if (c.forall(ch => ch.isLetterOrDigit || ch == '_')) s"row.$c"
-      else "row.\"" + c + "\""
-    val dims = (0 until n).map { j =>
-      cols.zipWithIndex.map { case (c, i) =>
-        s"(CASE WHEN ${ref(c)} IS NULL THEN 0 ELSE ${ref(c)} END) * ${pc(i, j)}"
-      }.mkString("(", " + ", ")")
+    // trained source columns: the one-hot specs fold back onto their
+    // string column for the reference's input-type validation
+    // (`plugins/embedding/svd.cc:255-298`, MLDB-534's error battery)
+    val catsByCol: Map[String, Set[String]] = cols
+      .filter(_.category.isDefined)
+      .groupBy(_.column.toLowerCase)
+      .map { case (c, ss) => c -> ss.flatMap(_.category).toSet }
+    val numericCols: Set[String] = cols.filter(_.category.isEmpty)
+      .map(_.column.toLowerCase).toSet
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (rc, rt, raw) = args.getOrElse("row",
+        throw new IllegalArgumentException(
+          s"function '$name' expects a {row: {…}} argument"))
+      // reference validation at bind time: a string value for a
+      // numeric-trained column / a number for a string-trained one is
+      // a 400, not a silent 0 (MLDB-534)
+      def litValueOf(fieldName: String): Option[String] = raw match {
+        case graft.sql.Ast.StructLit(fs) => fs.collectFirst {
+          case (k, graft.sql.Ast.StrLit(s)) if k.equalsIgnoreCase(fieldName) => s
+        }
+        case _ => None
+      }
+      rt.foreach(_.fields.foreach { f =>
+        val key = f.name.toLowerCase
+        val isStringInput = f.dataType == StringType
+        val isNumericInput = f.dataType.isInstanceOf[NumericType] ||
+          f.dataType == BooleanType
+        if (numericCols.contains(key) && isStringInput)
+          throw new IllegalArgumentException(
+            s"Column '${f.name}' passed as a string value" +
+              litValueOf(f.name).map(v => s" \"$v\"").getOrElse("") +
+              " but only numbers were seen in training")
+        catsByCol.get(key).foreach { cats =>
+          if (isNumericInput && !numericCols.contains(key))
+            throw new IllegalArgumentException(
+              s"Column '${f.name}' was a string in training but has " +
+                "numeric value when passed to SVD")
+          litValueOf(f.name).filterNot(cats).foreach { v =>
+            throw new IllegalArgumentException(
+              s"Column '${f.name}' passed a value \"$v\" that was " +
+                "never seen in training when passed to SVD")
+          }
+        }
+      })
+      def fieldOf(cn: String): Option[org.apache.spark.sql.Column] =
+        rt.flatMap(_.fields.find(_.name.equalsIgnoreCase(cn)))
+          .map(f => rc.getField(f.name))
+      // COL_EQUAL ops re-apply at embed time: the argument row carries
+      // the RAW string column, and the one-hot dimension reads
+      // `col = 'value'` as 1/0 (`svd.cc:836`; closes the NOTES_r9
+      // string-one-hot divergence)
+      def term(s: FeatSpec): org.apache.spark.sql.Column = s.category match {
+        case Some(v) => fieldOf(s.column)
+          .map(c => when(c.cast("string") === v, 1.0).otherwise(0.0))
+          .getOrElse(lit(0.0))
+        case None => fieldOf(s.column)
+          .map(c => coalesce(c.cast("double"), lit(0.0)))
+          .getOrElse(lit(0.0))
+      }
+      val terms = cols.map(term)
+      val dims = (0 until n).map { j =>
+        cols.indices.map(i => terms(i) * pc(i, j)).reduce(_ + _)
+      }
+      struct(array(dims: _*).as("embedding"))
     }
-    createSqlExpressionFunction(name,
-      dims.mkString("[", ", ", "] AS embedding"))
+    compiledApplies.clear()
   }
 
   def runProcedure(tpe: String, param: String => Option[String]): String = {
@@ -1304,7 +1837,10 @@ final class GraftEngine(val spark: SparkSession) {
         registerOut(graft.sources.Xlsx.importXlsx(spark, req("dataFileUrl"),
           param("sheet").map(Seq(_))))
       case "import.git" =>
-        registerOut(graft.sources.Git.importGit(spark, req("repository"),
+        // the reference takes file:// repository URLs (MLDB-1128's
+        // config shape); the CLI walker wants the plain path
+        registerOut(graft.sources.Git.importGit(spark,
+          req("repository").stripPrefix("file://"),
           limit = param("limit").map(_.toInt)))
       case "import.sqlite" =>
         registerOut(param("table") match {
@@ -1357,8 +1893,17 @@ final class GraftEngine(val spark: SparkSession) {
         // MLDB-1098): exportData QUERY (or a plain inputDataset),
         // headers / delimiter options; file:// URLs accepted
         val path = req("dataFileUrl").stripPrefix("file://")
-        val df = param("exportData").map(query)
+        val df0csv = param("exportData").map(query)
           .getOrElse(dataset(req("inputDataset")))
+        // an implicitly carried row name doesn't export (the
+        // reference's export writes the selection alone — MLDB-2126's
+        // x.a,x.b header pin)
+        val df =
+          if (df0csv.schema.headOption.exists(f =>
+              f.name.equalsIgnoreCase("rowName") &&
+                f.metadata.contains("graft.implicitRowName")))
+            df0csv.drop(df0csv.columns.head)
+          else df0csv
         graft.sources.Sources.exportCsv(df, path,
           delimiter = param("delimiter").getOrElse(","),
           headers = param("headers").forall(_.toBoolean))
@@ -1418,11 +1963,16 @@ final class GraftEngine(val spark: SparkSession) {
             array(feats.map(c => coalesce(col(s"`$c`").cast("double"),
               lit(0.0))): _*).as("__vec"))
           val (emb, _) = graft.ml.Tsne.train(vecDf, "rowName", "__vec")
-          val outName = param("rowOutputDataset")
-            .orElse(param("outputDataset")).getOrElse(
-              throw new IllegalArgumentException(
-                "tsne.train needs rowOutputDataset"))
-          createDataset(outName, emb)
+          // rowOutputDataset is optional when the run only registers a
+          // model/function (MLDB-926's functionName-only config)
+          val outName0 = param("rowOutputDataset")
+            .orElse(param("outputDataset"))
+          if (outName0.isEmpty && param("functionName").isEmpty &&
+              param("modelFileUrl").isEmpty)
+            throw new IllegalArgumentException(
+              "tsne.train needs rowOutputDataset")
+          outName0.foreach(createDataset(_, emb))
+          val outName = outName0.getOrElse("")
           // a t-SNE "function" exists but cannot embed NEW points —
           // applying it is a clear failure, exactly the reference's
           // behavior (testing/MLDB-284-tsne-apply-function.py expects
@@ -1469,23 +2019,23 @@ final class GraftEngine(val spark: SparkSession) {
         // only by case ('test' vs 'TEST') are distinct columns in the
         // reference but collide under Spark's case-insensitive
         // resolution; expressions sidestep name resolution entirely
-        val oneHots: Seq[(String, org.apache.spark.sql.Column)] =
+        val oneHots: Seq[(FeatSpec, org.apache.spark.sql.Column)] =
           stringCols.flatMap { c =>
             graft.sql.PlanTime.keys(df0raw, col(s"`$c`"),
               s"svd.train stringEquals($c)").map(v =>
-              s"$c.stringEquals.$v" ->
+              FeatSpec(c, "VALUE_EQUALS", Some(v)) ->
                 when(col(s"`$c`") === v, 1.0).otherwise(0.0))
           }
         val numericFeats = df0raw.schema.fields.filter { f =>
           f.dataType.isInstanceOf[NumericType] &&
             !f.name.equalsIgnoreCase("rowName") && !f.name.startsWith("__")
         }.map(_.name).toSeq
-        val featCols: Seq[(String, org.apache.spark.sql.Column)] =
+        val featCols: Seq[(FeatSpec, org.apache.spark.sql.Column)] =
           numericFeats.map(n =>
-            n -> coalesce(col(s"`$n`").cast("double"), lit(0.0))) ++
+            FeatSpec(n, "VALUE", None) ->
+              coalesce(col(s"`$n`").cast("double"), lit(0.0))) ++
           oneHots
         val feats = featCols.map(_._1)
-        val oneHotNames = oneHots.map(_._1).toSet
         val df0 = df0raw
         // the reference's error shape for a selection matching nothing
         // numeric (MLDB-119's 'matched no columns')
@@ -1506,6 +2056,9 @@ final class GraftEngine(val spark: SparkSession) {
           svd.model.explainedVariance.toArray.count(_ > 1e-9))
         val url = param("modelFileUrl").getOrElse(s"__svd_model")
         svdModels(url) = (feats, svd, kept)
+        // functionName auto-creates the svd.embedRow function
+        // (MLDB-926's per-procedure convention)
+        param("functionName").foreach(createSvdEmbedFunction(_, url))
         param("rowOutputDataset").foreach { id =>
           val proj = svd(vecDf)
           val rows = proj.select(col("rowName") +:
@@ -1520,8 +2073,11 @@ final class GraftEngine(val spark: SparkSession) {
           // (`plugins/embedding/svd.cc:836`): a raw numeric column reads
           // `<col>.numericValue`; one-hot indicators already ARE the
           // `<col>.stringEquals.<value>` name
-          val rows = feats.zipWithIndex.map { case (c, i) =>
-            val rn = if (oneHotNames.contains(c)) c else s"$c.numericValue"
+          val rows = feats.zipWithIndex.map { case (s, i) =>
+            val rn = s.category match {
+              case Some(v) => s"${s.column}.stringEquals.$v"
+              case None => s"${s.column}.numericValue"
+            }
             org.apache.spark.sql.Row.fromSeq(
               rn +: (0 until kept).map(j => pc(i, j)))
           }
@@ -1564,11 +2120,24 @@ final class GraftEngine(val spark: SparkSession) {
         // modelFileUrl keys the trained centroids for the `kmeans`
         // FUNCTION entity (MLDB-285); functionName auto-creates it
         // (MLDB-665's config shape)
-        param("modelFileUrl").foreach(url =>
-          kmeansModels(url) = (feats, centers))
-        param("functionName").foreach { fn =>
-          val url = param("modelFileUrl").getOrElse("__kmeans_model")
+        param("modelFileUrl").foreach { url =>
+          // an unwritable scheme is the reference's 400 (MLDB-926's
+          // "not://a/valid/path" pin) — the registry accepts file://
+          // URLs and bare keys only
+          if ("^[a-z+]+://".r.findFirstIn(url).exists(
+              _ != "file://"))
+            throw new IllegalArgumentException(
+              s"kmeans.train: cannot write model to '$url' " +
+                "(unknown URL scheme)")
           kmeansModels(url) = (feats, centers)
+        }
+        param("functionName").foreach { fn =>
+          // creating the function needs a persisted model — the
+          // reference 400s a functionName without modelFileUrl
+          // (MLDB-926)
+          val url = param("modelFileUrl").getOrElse(
+            throw new IllegalArgumentException(
+              "kmeans.train: functionName requires a modelFileUrl"))
           createKmeansFunction(fn, url)
         }
         param("centroidsDataset").foreach { id =>
@@ -1683,8 +2252,35 @@ final class GraftEngine(val spark: SparkSession) {
         require(df0.columns.exists(_.equalsIgnoreCase("label")),
           "classifier.train expects a row named 'features' and a " +
             "scalar named 'label' in trainingData")
-        val featNames = featField.dataType.asInstanceOf[StructType]
-          .fieldNames.toSeq
+        // feature specs: numeric columns read as VALUE; STRING columns
+        // one-hot as VALUE_EQUALS per observed category (the
+        // reference's feature-extraction ops — MLDB-961 pins both in
+        // /details, MLDB-2181 pins unseen-category robustness). The
+        // category sets are PlanTime-capped driver collects
+        // (config-sized — corpus-scale categorical features belong in
+        // feature_hasher pipelines).
+        val featStruct = featField.dataType.asInstanceOf[StructType]
+        val specs: Seq[FeatSpec] = featStruct.fields.toSeq.flatMap { f =>
+          f.dataType match {
+            case StringType =>
+              val cats = graft.sql.PlanTime.keys(
+                df0.select(col("features").getField(f.name).as("__c"))
+                  .filter(col("__c").isNotNull),
+                col("__c"), s"classifier.train one-hot(${f.name})").sorted
+              if (cats.isEmpty) Seq(FeatSpec(f.name, "VALUE", None))
+              else cats.map(c => FeatSpec(f.name, "VALUE_EQUALS", Some(c)))
+            case _ => Seq(FeatSpec(f.name, "VALUE", None))
+          }
+        }
+        def trainExpr(s: FeatSpec): org.apache.spark.sql.Column =
+          s.category match {
+            case Some(c) =>
+              when(col("features").getField(s.column).cast("string") === c,
+                lit(1.0)).otherwise(lit(0.0))
+            case None => coalesce(
+              col("features").getField(s.column).cast("double"), lit(0.0))
+          }
+        val internal = specs.indices.map(i => s"__f$i")
         // algorithm from the explicit param or the configuration's type
         val algo = param("algorithm").getOrElse {
           val cfg = param("configuration").getOrElse("")
@@ -1695,17 +2291,41 @@ final class GraftEngine(val spark: SparkSession) {
           else if (cfg.contains("boost")) "boosting"
           else "glz"
         }
+        // the optional example-weight column (`weight` sub-select —
+        // MLDB-198 varies it and pins the score ordering)
+        val weightCol = df0.schema.fields
+          .find(_.name.equalsIgnoreCase("weight")).map(_.name)
         // rows with a NULL label don't train (MLDB-429 records one
         // and expects training to succeed)
-        val flat = df0.select(featNames.map(n =>
-          coalesce(col("features").getField(n).cast("double"), lit(0.0))
-            .as(n)) :+ col("label"): _*)
+        val flat = df0.select(specs.zip(internal).map { case (s, n) =>
+          trainExpr(s).as(n)
+        } ++ weightCol.map(w => col(s"`$w`").cast("double").as("__w"))
+          :+ col("label"): _*)
           .filter(col("label").isNotNull)
+        val wOpt = weightCol.map(_ => "__w")
+        // the reference's two distinct empty-training errors
+        // (`plugins/jml/classifier.cc:799-820`; MLDB-587 pins both)
+        if (flat.limit(1).isEmpty) {
+          val srcEmpty = scala.util.Try(graft.sql.Parser.parse(input))
+            .toOption.flatMap(_.from)
+            .collect { case graft.sql.Ast.TableRef(n, _) => n }
+            .exists(n => scala.util.Try(
+              dataset(n).limit(1).isEmpty).getOrElse(false))
+          if (srcEmpty) throw new IllegalArgumentException(
+            "Error training classifier: No feature vectors were " +
+              "produced as dataset was empty")
+          else throw new IllegalArgumentException(
+            "Error training classifier: No feature vectors were " +
+              "produced as all rows were filtered by WHEN, WHERE, " +
+              "OFFSET or LIMIT, or all labels were NULL (or label " +
+              "column doesn't exist)")
+        }
         val (labels, model) = mode match {
           case "regression" =>
             val train = flat.withColumn("__y", col("label").cast("double"))
             (Seq.empty[String],
-              graft.ml.Models.regressionTrain(train, featNames, "__y", algo))
+              graft.ml.Models.regressionTrain(train, internal, "__y", algo,
+                weightCol = wOpt))
           case "categorical" =>
             val ls = graft.sql.PlanTime.keys(flat,
               col("label").cast("string"), "classifier.train labels").sorted
@@ -1716,15 +2336,16 @@ final class GraftEngine(val spark: SparkSession) {
             }
             val train = flat.withColumn("__y", idx)
             (ls, graft.ml.Models.classifierTrainCategorical(
-              train, featNames, "__y", algo))
+              train, internal, "__y", algo, weightCol = wOpt))
           case _ =>
             val train = flat.withColumn("__y",
               col("label").cast("boolean").cast("double"))
             (Seq("false", "true"),
-              graft.ml.Models.classifierTrain(train, featNames, "__y", algo))
+              graft.ml.Models.classifierTrain(train, internal, "__y", algo,
+                weightCol = wOpt))
         }
         val url = param("modelFileUrl").getOrElse("__cls_model")
-        clsModels(url) = (featNames, mode, labels, model)
+        clsModels(url) = (specs, mode, labels, model)
         param("functionName").foreach(createClassifierFunction(_, url))
         s"""{"trained": "$url", "mode": "$mode", "algorithm": "$algo"}"""
       case "classifier.test" =>
@@ -1792,8 +2413,411 @@ final class GraftEngine(val spark: SparkSession) {
               .BinaryClassificationEvaluator()
               .setLabelCol("__l").setRawPredictionCol("__s")
               .setMetricName("areaUnderROC").evaluate(prepared)
+            // outputDataset: per-row score/label/weight with the
+            // reference's `index` rank (score descending —
+            // MLDB-59/592 read it back ordered by index)
+            param("outputDataset").foreach { id =>
+              import org.apache.spark.sql.expressions.Window
+              val w = Window.orderBy(col("score").cast("double").desc)
+              createDataset(id, df0.select(
+                col("score").cast("double").as("score"),
+                col("label").cast("boolean").as("label"))
+                .withColumn("weight", lit(1.0))
+                .withColumn("index", row_number().over(w).cast("long")))
+            }
             s"""{"auc": $auc}"""
         }
+      case "probabilizer.train" =>
+        // `probabilizer.train` (`plugins/jml/probabilizer.cc:292`):
+        // fit Platt scaling σ(A·score + B) over `<expr> as score,
+        // <expr> as label` rows; modelFileUrl keys the model for the
+        // `probabilizer` function entity; functionName auto-creates it
+        // (MLDB-59/573's flow).
+        import org.apache.spark.sql.functions._
+        val input = param("trainingData").orElse(structuredInput(param))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define trainingData"))
+        val df0 = query(input)
+        def needP(c: String): String = df0.schema.fields
+          .find(_.name.equalsIgnoreCase(c)).map(_.name).getOrElse(
+            throw new IllegalArgumentException("probabilizer.train " +
+              "expects a scalar named 'score' and a scalar named " +
+              "'label' in trainingData"))
+        val scored = df0.select(
+          col(s"`${needP("score")}`").cast("double").as("__s"),
+          col(s"`${needP("label")}`").cast("boolean").cast("double")
+            .as("__l"))
+          .filter(col("__s").isNotNull && col("__l").isNotNull)
+        val cal = graft.ml.Models.probabilizerTrain(scored, "__s", "__l")
+        val (a, b) = cal.stages.last match {
+          case m: org.apache.spark.ml.classification.LogisticRegressionModel =>
+            (m.coefficients(0), m.intercept)
+          case other => throw new IllegalStateException(
+            s"unexpected probabilizer stage ${other.getClass.getSimpleName}")
+        }
+        val url = param("modelFileUrl").getOrElse("__prob_model")
+        probModels(url) = (a, b)
+        param("functionName").foreach(createProbabilizerFunction(_, url))
+        s"""{"trained": "$url", "params": {"A": $a, "B": $b}}"""
+      case "statsTable.train" =>
+        // `statsTable.train` (`plugins/feature_gen/
+        // stats_table_procedure.cc`; MLDB-873): per key column and
+        // value, count trials and outcome hits. outputDataset holds
+        // each row's PRIOR counts in the query's order (the online-
+        // learning feature shape) — windows partitioned by value,
+        // ordered by row name, rows unbounded-preceding→-1: map-side
+        // partial aggregation, one shuffle per key column, no driver
+        // loop. The FINAL table registers for the getCounts function.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val input = param("trainingData").orElse(structuredInput(param))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define trainingData"))
+        val outcomes = parseOutcomePairs(param("outcomes").getOrElse(
+          throw new IllegalArgumentException(
+            "statsTable.train needs outcomes")))
+        require(outcomes.nonEmpty, "statsTable.train needs outcomes")
+        // the outcome expressions read the SOURCE row (CLICK is
+        // excluded from the keys selection but drives the outcomes) —
+        // append them to the parsed statement
+        val stmt0 = graft.sql.Parser.parse(input)
+        val outcomeItems = outcomes.zipWithIndex.map { case ((_, ex), i) =>
+          graft.sql.Parser.parse(s"SELECT ($ex) AS __oc$i").items.head
+        }
+        val df0 = graft.sql.GraftSql.queryStmtTables(spark, dataset,
+          stmt0.copy(items = stmt0.items ++ outcomeItems),
+          macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+          rowPivots = rowPivotFns.toMap, columnFns = columnFnRegistry.toMap)
+        val keyCols = df0.columns.filterNot(c =>
+          c.equalsIgnoreCase("rowName") || c.startsWith("__") ||
+            c.equalsIgnoreCase("ts")).toSeq
+        require(keyCols.nonEmpty, "statsTable.train matched no key columns")
+        require(df0.columns.exists(_.equalsIgnoreCase("rowName")),
+          "statsTable.train needs named rows")
+        val ocCols = outcomes.indices.map(i =>
+          col(s"__oc$i").cast("boolean").cast("int"))
+        // prior counts per (column, value): window ordered by row name
+        val priorCols = keyCols.flatMap { c =>
+          val w = Window.partitionBy(col(s"`$c`"))
+            .orderBy(col("rowName").cast("string"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          outcomes.zipWithIndex.map { case ((o, _), i) =>
+            coalesce(sum(ocCols(i)).over(w), lit(0L)).as(s"$o.$c")
+          } :+ count(lit(1)).over(w).as(s"trial.$c")
+        }
+        val out = df0.select(col("rowName") +: priorCols: _*)
+        param("outputDataset").foreach(createDataset(_, out))
+        // the FINAL value tables (config-sized, capped)
+        val tables: Map[String, Seq[(String, Long, Seq[Long])]] =
+          keyCols.map { c =>
+            val aggs = count(lit(1)).as("__t") +:
+              outcomes.indices.map(i => sum(ocCols(i)).as(s"__s$i"))
+            val rows = graft.sql.PlanTime.boundedRows(
+              df0.filter(col(s"`$c`").isNotNull)
+                .groupBy(col(s"`$c`").cast("string").as("__v"))
+                .agg(aggs.head, aggs.tail: _*),
+              graft.sql.PlanTime.cap(spark), s"statsTable.train($c)")
+            c -> rows.toSeq.map(r => (r.getString(0), r.getLong(1),
+              outcomes.indices.map(i => r.getLong(2 + i)): Seq[Long]))
+          }.toMap
+        val url = param("statsTableFileUrl").getOrElse("__stats_table")
+        statsTableModels(url) = (keyCols, outcomes.map(_._1), tables)
+        param("functionName").foreach(createStatsTableFunction(_, url))
+        s"""{"trained": "$url", "keyColumns": ${keyCols.size}}"""
+      case "statsTable.bagOfWords.train" =>
+        // `statsTable.bagOfWords.train` (`stats_table_procedure.cc:
+        // 600-698`; MLDB-873/MLDBFB-506): the trainingData's columns
+        // are WORDS (a tokenize bag per row); per word count the rows
+        // holding it (trials) and the outcome hits. One aggregate
+        // pass, two aggregates per word column — the vocabulary is the
+        // (already-capped) dynamic schema.
+        import org.apache.spark.sql.functions._
+        val input = param("trainingData").orElse(structuredInput(param))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define trainingData"))
+        val outcomes = parseOutcomePairs(param("outcomes").getOrElse(
+          throw new IllegalArgumentException(
+            "statsTable.bagOfWords.train needs outcomes")))
+        require(outcomes.nonEmpty, "statsTable.bagOfWords.train needs outcomes")
+        val stmt0 = graft.sql.Parser.parse(input)
+        val outcomeItems = outcomes.zipWithIndex.map { case ((_, ex), i) =>
+          graft.sql.Parser.parse(s"SELECT ($ex) AS __oc$i").items.head
+        }
+        val df0 = graft.sql.GraftSql.queryStmtTables(spark, dataset,
+          stmt0.copy(items = stmt0.items ++ outcomeItems),
+          macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+          rowPivots = rowPivotFns.toMap, columnFns = columnFnRegistry.toMap)
+        val wordCols = df0.columns.filterNot(c =>
+          c.equalsIgnoreCase("rowName") || c.startsWith("__") ||
+            c.equalsIgnoreCase("ts")).toSeq
+        require(wordCols.nonEmpty,
+          "statsTable.bagOfWords.train matched no word columns")
+        val ocCols = outcomes.indices.map(i =>
+          col(s"__oc$i").cast("boolean").cast("int"))
+        val aggs = wordCols.flatMap { w =>
+          count(col(s"`$w`")).as(s"__t_$w") +:
+            outcomes.indices.map(i =>
+              sum(when(col(s"`$w`").isNotNull, ocCols(i))
+                .otherwise(lit(0))).as(s"__s${i}_$w"))
+        }
+        val row = df0.agg(aggs.head, aggs.tail: _*).head()
+        val words: Map[String, (Long, Seq[Long])] = wordCols.map { w =>
+          w -> ((row.getAs[Long](s"__t_$w"),
+            outcomes.indices.map(i =>
+              Option(row.getAs[Any](s"__s${i}_$w"))
+                .map(_.asInstanceOf[Number].longValue).getOrElse(0L))))
+        }.toMap
+        val url = param("statsTableFileUrl").getOrElse("__bow_stats_table")
+        bowStatsModels(url) = (outcomes.map(_._1), words)
+        param("outputDataset").foreach { id =>
+          import org.apache.spark.sql.types._
+          val schema = StructType(
+            StructField("rowName", StringType) +:
+              StructField("trials", LongType) +:
+              outcomes.map { case (o, _) =>
+                StructField(s"outcome.$o", LongType) })
+          val rows = words.toSeq.sortBy(_._1).map { case (w, (t, os)) =>
+            org.apache.spark.sql.Row.fromSeq(w +: t +: os)
+          }
+          createDataset(id, spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema))
+        }
+        param("functionName").foreach { fn =>
+          // functionName + functionOutcomeToUse auto-create a posneg
+          // function with the reference's 50/50/50 defaults
+          param("functionOutcomeToUse").foreach(o =>
+            createStatsTablePosNegFunction(fn, url, o))
+        }
+        s"""{"trained": "$url", "words": ${words.size}}"""
+      case "experimental.distTable.train" =>
+        // `experimental.distTable.train` (`plugins/feature_gen/
+        // dist_table_procedure.cc`; MLDB-1750): per key column and
+        // value, track the distribution of each NUMERIC outcome.
+        // outputDataset holds each row's PRIOR stats in the query's
+        // ORDER BY order (windows, map-side partials, one shuffle per
+        // key column); all seven stats are stored, `statistics` picks
+        // the emitted subset. mode=bagOfWords keys columns by PRESENCE
+        // (word bags) instead of by value.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val input = param("trainingData").orElse(structuredInput(param))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define trainingData"))
+        val outcomes = parseOutcomePairs(param("outcomes").getOrElse(
+          throw new IllegalArgumentException(
+            "distTable.train needs outcomes")))
+        require(outcomes.nonEmpty, "distTable.train needs outcomes")
+        val mode = param("mode").getOrElse("keyValue")
+        val stats = validateDistStats(param("statistics")
+          .map(_.stripPrefix("[").stripSuffix("]").split(",")
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq("count", "avg", "std", "min", "max")))
+        val stmt0 = graft.sql.Parser.parse(input)
+        val outcomeItems = outcomes.zipWithIndex.map { case ((_, ex), i) =>
+          graft.sql.Parser.parse(s"SELECT ($ex) AS __oc$i").items.head
+        }
+        // the training ORDER comes from the query's ORDER BY — surface
+        // its keys as hidden columns for the windows
+        val ordItems = stmt0.orderBy.zipWithIndex.map { case (ob, i) =>
+          graft.sql.Ast.SelectItem(ob.e, Some(s"__ord$i"))
+        }
+        // keep row names through a bare-column selection (`SELECT tag*`)
+        val rnItem =
+          if (stmt0.items.exists {
+              case graft.sql.Ast.SelectItem(_, Some(a)) =>
+                a.equalsIgnoreCase("rowName")
+              case graft.sql.Ast.SelectItem(
+                  graft.sql.Ast.Star(_, prefix, _), _) =>
+                prefix.isEmpty // `tag*` does NOT carry rowName, `*` does
+              case _ => false
+            }) Nil
+          else Seq(graft.sql.Ast.SelectItem(
+            graft.sql.Ast.FnCall("rowname", Seq.empty), Some("rowName")))
+        val df0 = graft.sql.GraftSql.queryStmtTables(spark, dataset,
+          stmt0.copy(items = stmt0.items ++ rnItem ++ outcomeItems ++ ordItems),
+          macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+          rowPivots = rowPivotFns.toMap, columnFns = columnFnRegistry.toMap)
+        val keyCols = df0.columns.filterNot(c =>
+          c.equalsIgnoreCase("rowName") || c.startsWith("__") ||
+            c.equalsIgnoreCase("ts")).toSeq
+        require(keyCols.nonEmpty, "distTable.train matched no key columns")
+        val ordCols =
+          if (stmt0.orderBy.nonEmpty)
+            stmt0.orderBy.zipWithIndex.map { case (ob, i) =>
+              if (ob.asc) col(s"__ord$i").asc else col(s"__ord$i").desc
+            }
+          else Seq(col("rowName").cast("string").asc)
+        val bow = mode == "bagOfWords"
+        def priorStat(c: String, oi: Int, stat: String)
+            : org.apache.spark.sql.Column = {
+          val part = if (bow) col(s"`$c`").isNotNull else col(s"`$c`")
+          val w = Window.partitionBy(part).orderBy(ordCols: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val oc = col(s"__oc$oi").cast("double")
+          val raw = stat match {
+            case "count" => count(lit(1)).over(w).cast("double")
+            case "avg" => coalesce(avg(oc).over(w), lit(Double.NaN))
+            case "std" =>
+              coalesce(stddev_samp(oc).over(w), lit(Double.NaN))
+            case "min" => coalesce(min(oc).over(w), lit(Double.NaN))
+            case "max" => coalesce(max(oc).over(w), lit(Double.NaN))
+            case "last" => coalesce(last(oc).over(w), lit(Double.NaN))
+            case "sum" => coalesce(sum(oc).over(w), lit(0.0))
+          }
+          // bagOfWords: a row without the word has NO cell (null)
+          if (bow) when(col(s"`$c`").isNotNull, raw) else raw
+        }
+        val priorCols = for {
+          ((o, _), oi) <- outcomes.zipWithIndex
+          c <- keyCols
+          stat <- stats
+        } yield priorStat(c, oi, stat).as(s"$o.$c.$stat")
+        param("outputDataset").foreach(id =>
+          createDataset(id, df0.select(col("rowName") +: priorCols: _*)))
+        // FINAL tables: full seven-stat summaries per (column, value)
+        val ordRaw: Seq[org.apache.spark.sql.Column] =
+          if (stmt0.orderBy.nonEmpty)
+            stmt0.orderBy.indices.map(i => col(s"__ord$i"))
+          else Seq(col("rowName").cast("string"))
+        val tables: Map[String, Map[Option[String], Seq[DistStats]]] =
+          keyCols.map { c =>
+            val grp =
+              if (bow) df0.filter(col(s"`$c`").isNotNull)
+                .groupBy(lit("__present").as("__v"))
+              else df0.groupBy(col(s"`$c`").cast("string").as("__v"))
+            val aggs = outcomes.indices.flatMap { i =>
+              val oc = col(s"__oc$i").cast("double")
+              // 'last' = the value at the max order key (exact for the
+              // ascending training orders the reference uses)
+              Seq(count(lit(1)).cast("long"), sum(oc), avg(oc),
+                stddev_samp(oc), min(oc), max(oc),
+                max_by(oc, struct(ordRaw: _*)))
+            }
+            val rows = graft.sql.PlanTime.boundedRows(
+              grp.agg(aggs.head, aggs.tail: _*),
+              graft.sql.PlanTime.cap(spark), s"distTable.train($c)")
+            c -> rows.toSeq.map { r =>
+              val key: Option[String] =
+                if (bow) None else Option(r.getString(0))
+              val ss: Seq[DistStats] = outcomes.indices.map { i =>
+                val off = 1 + i * 7
+                def d(j: Int): Double =
+                  if (r.isNullAt(off + j)) Double.NaN
+                  else r.get(off + j).asInstanceOf[Number].doubleValue
+                DistStats(r.getLong(off), d(1), d(2), d(3), d(4), d(5),
+                  d(6))
+              }
+              key -> ss
+            }.toMap
+          }.toMap
+        val url = param("distTableFileUrl").getOrElse("__dist_table")
+        distTableModels(url) =
+          (if (bow) "bagOfWords" else "keyValue", outcomes.map(_._1),
+            keyCols, tables)
+        param("functionName").foreach(fn =>
+          createDistTableGetStatsFunction(fn, url, Some(stats)))
+        s"""{"trained": "$url", "keyColumns": ${keyCols.size}}"""
+      case "experimental.statsTable.derivedColumnsGenerator" =>
+        // `experimental.statsTable.derivedColumnsGenerator`
+        // (`stats_table_procedure.cc:523-592`): expand the expression
+        // template once per trained key column — replace "trial" and
+        // each outcome name with its per-column path, then $tbl with
+        // the column — and register the assembled sql.expression.
+        val template = req("expression")
+        val url = req("statsTableFileUrl")
+        val fnId = param("functionId").orElse(param("functionName"))
+          .getOrElse(throw new IllegalArgumentException(
+            "derivedColumnsGenerator needs functionId"))
+        val (keyCols, outcomeNames, _) = statsTableModels.getOrElse(url,
+          throw new NoSuchElementException(
+            s"no stats table trained at '$url'"))
+        val stNames = keyCols.sorted // the reference's std::map order
+        val temp = scala.collection.mutable.ArrayBuffer.fill(
+          stNames.size)(template)
+        def doReplace(token: String): Unit = {
+          for (i <- temp.indices) {
+            if (!temp(i).contains(token)) return
+            temp(i) = temp(i).replace(token, s"$token.${stNames(i)}")
+          }
+        }
+        doReplace("trial")
+        outcomeNames.foreach(doReplace)
+        for (i <- temp.indices)
+          temp(i) = temp(i).replace("$tbl", stNames(i))
+        createSqlExpressionFunction(fnId, temp.mkString(","))
+        s"""{"functionId": "$fnId"}"""
+      case "classifier.experiment" =>
+        // `classifier.experiment` (`plugins/jml/
+        // experiment_procedure.cc`; MLDB-878): train/test fold battery
+        // over the classifier.train/test procedures, auto-creating a
+        // `<experimentName>_scorer_<i>` function per fold.
+        val expName = param("experimentName").getOrElse(
+          throw new IllegalArgumentException(
+            "classifier.experiment needs experimentName"))
+        val input = param("inputData").orElse(param("trainingData"))
+          .getOrElse(throw new IllegalArgumentException(
+            "Training data must be specified."))
+        val testOverride = param("testingDataOverride")
+        val kfold = param("kfold").map(_.toInt).getOrElse(0)
+        val foldPairs: Seq[(String, String)] = param("datasetFolds")
+          .map { raw =>
+            "\\{[^{}]*\\}".r.findAllIn(raw).toSeq.map { o =>
+              def f(k: String) =
+                ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+                  .findFirstMatchIn(o).map(_.group(1)).getOrElse("true")
+              (f("trainingWhere"), f("testingWhere"))
+            }
+          }.getOrElse(Seq.empty)
+        if (foldPairs.nonEmpty && kfold != 0)
+          throw new IllegalArgumentException("The datasetFolds and kfold " +
+            "parameters cannot be specified at the same time.")
+        if (kfold == 1)
+          throw new IllegalArgumentException(
+            "When using the kfold parameter, it must be >= 2.")
+        if (kfold >= 2 && testOverride.isDefined)
+          throw new IllegalArgumentException(
+            "Should not use a k-fold cross-validation if testing " +
+              "dataset is specified.")
+        val folds: Seq[(String, String)] =
+          if (foldPairs.nonEmpty) foldPairs
+          else if (kfold >= 2) (0 until kfold).map(k =>
+            (s"rowHash() % $kfold != $k", s"rowHash() % $kfold = $k"))
+          else if (testOverride.isDefined) Seq(("true", "true"))
+          else Seq(("rowHash() % 2 != 1", "rowHash() % 2 = 1"))
+        val urlPattern = param("modelFileUrlPattern").getOrElse(
+          throw new IllegalArgumentException(
+            "classifier.experiment needs modelFileUrlPattern"))
+        val mode = param("mode").getOrElse("boolean")
+        val outputAccuracy = param("outputAccuracyDataset")
+          .forall(_.toBoolean)
+        val foldsJson = folds.zipWithIndex.map { case ((trainW, testW), i) =>
+          val modelUrl = urlPattern.replace("$runid", s"$expName-$i")
+          val scorer = s"${expName}_scorer_$i"
+          val trainParams: Map[String, String] = Map(
+            "trainingData" -> s"select * from ($input) where ($trainW)",
+            "modelFileUrl" -> modelUrl,
+            "functionName" -> scorer,
+            "mode" -> mode) ++
+            param("algorithm").map("algorithm" -> _) ++
+            param("configuration").map("configuration" -> _)
+          runProcedure("classifier.train", trainParams.get _)
+          val testInput = testOverride.getOrElse(input)
+          val testQ = s"select $scorer({features: features})[score] " +
+            s"as score, label from (select * from ($testInput) " +
+            s"where ($testW))"
+          val testRes = runProcedure("classifier.test", Map(
+            "mode" -> mode, "testingData" -> testQ).get _)
+          val accJson = if (outputAccuracy && mode == "boolean") {
+            val id = s"${expName}_results_$i"
+            createDataset(id, query(testQ))
+            s""", "accuracyDataset": ${jsonQ(id)}"""
+          } else ""
+          s"""{"fold": $i, "modelFileUrl": ${jsonQ(modelUrl)}, """ +
+            s""""functionName": ${jsonQ(scorer)}, """ +
+            s""""resultsTest": $testRes$accJson}"""
+        }
+        s"""{"status": {"folds": ${foldsJson.mkString("[", ",", "]")}}}"""
       case "split" =>
         // `split` (`builtin/datasetsplit_procedure.cc`): distribute
         // rows among output datasets keeping each LABEL represented in

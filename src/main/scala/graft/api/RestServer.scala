@@ -243,6 +243,26 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               // MLDB-647/173: apply a model trained by classifier.train
               engine.createClassifierFunction(name,
                 extractField(body, "modelFileUrl"))
+            case "classifier.explain" =>
+              // MLDB-573: per-feature contribution explanations
+              engine.createClassifierExplainFunction(name,
+                extractField(body, "modelFileUrl"))
+            case "probabilizer" =>
+              // MLDB-59: calibrate a raw score into a probability
+              engine.createProbabilizerFunction(name,
+                extractField(body, "modelFileUrl"))
+            case "statsTable.getCounts" =>
+              // MLDB-873: per-key counts from a trained stats table
+              engine.createStatsTableFunction(name,
+                extractField(body, "statsTableFileUrl"))
+            case "statsTable.bagOfWords.posneg" =>
+              // MLDB-873/MLDBFB-506: top/bottom word probabilities
+              engine.createStatsTablePosNegFunction(name,
+                extractField(body, "statsTableFileUrl"),
+                extractField(body, "outcomeToUse"),
+                extractFieldOpt(body, "numPos").map(_.toInt).getOrElse(50),
+                extractFieldOpt(body, "numNeg").map(_.toInt).getOrElse(50),
+                extractFieldOpt(body, "minTrials").map(_.toInt).getOrElse(50))
             case "gaussianclustering" =>
               // MLDB-1353: max-posterior cluster of the argument row
               engine.createGaussianClusteringFunction(name,
@@ -294,6 +314,16 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           // model introspection (MLDB-174/961 read the trained
           // feature list out of /details)
           engine.functionDetails(det.stripSuffix("/details"))
+        case inf if inf.endsWith("/info") =>
+          // ValueInfo reflection of the function's input/output rows
+          // (MLDB-654 pins the exact shape)
+          engine.functionInfo(inf.stripSuffix("/info"))
+        case name if ex.getRequestMethod == "GET" && !name.contains("/") =>
+          // single-function status (MLDB-926 GETs each auto-created
+          // function)
+          if (!engine.functionExists(name))
+            throw new NoSuchElementException(s"function '$name' not found")
+          s"""{"id": ${jsonStr(name)}, "state": "ok"}"""
         case other => throw new IllegalArgumentException(s"unsupported $other")
       }
     })
@@ -934,16 +964,23 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           "\"\\s*:\\s*\\{[^}]*\"id\"\\s*:\\s*\"([^\"]+)\"").r
         obj.findFirstMatchIn(body).map(_.group(1))
       }
-      .orElse { // array form → comma list; elements may be bare
-        // strings or {"id": …} objects ("datasets": [{"id": "a"}, …])
-        val arr = ("\"" + field + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
-        arr.findFirstMatchIn(body).map { m =>
-          val inner = m.group(1)
-          val ids = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
-            .findAllMatchIn(inner).map(_.group(1)).toSeq
-          if (ids.nonEmpty) ids.mkString(",")
-          else "\"([^\"]*)\"".r.findAllMatchIn(inner)
-            .map(_.group(1)).mkString(",")
+      .orElse { // array form. A NESTED array/object payload (outcomes
+        // [["label", expr], …], datasetFolds [{…}, …]) passes through
+        // as raw balanced JSON for the receiver to parse; a flat array
+        // flattens to the comma list ("aggregators": ["avg","max"] →
+        // avg,max), with {"id": …} elements contributing their ids.
+        jsonBracketValue(body, field).map { inner =>
+          if (inner.contains('[') ||
+              (inner.contains('{') &&
+                !"\"id\"\\s*:".r.findFirstIn(inner).isDefined))
+            s"[$inner]"
+          else {
+            val ids = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+              .findAllMatchIn(inner).map(_.group(1)).toSeq
+            if (ids.nonEmpty) ids.mkString(",")
+            else "\"([^\"]*)\"".r.findAllMatchIn(inner)
+              .map(_.group(1)).mkString(",")
+          }
         }
       }
       .orElse { // object WITHOUT an id → raw JSON text, for params the

@@ -66,17 +66,21 @@ object PathFunctions {
 
   /** mime_type(blob): magic-byte sniffing for common formats
     * (reference uses libmagic; we cover the usual suspects). */
+  /** The reference renders libmagic DESCRIPTIONS, not MIME ids
+    * (`sql/builtin_functions.cc:3562` magic_holder;
+    * testing/MLDB-2166_mime_type.py greps 'JPEG image data'). */
   def mimeType(blob: Column): Column = {
     val hexHead = hex(substring(blob, 1, 8))
-    when(hexHead.startsWith("FFD8FF"), "image/jpeg")
-      .when(hexHead.startsWith("89504E47"), "image/png")
-      .when(hexHead.startsWith("47494638"), "image/gif")
-      .when(hexHead.startsWith("25504446"), "application/pdf")
-      .when(hexHead.startsWith("504B0304"), "application/zip")
-      .when(hexHead.startsWith("1F8B"), "application/gzip")
-      .when(hexHead.startsWith("494433"), "audio/mpeg")
-      .when(substring(blob, 5, 4).cast("string") === "ftyp", "video/mp4")
-      .otherwise("application/octet-stream")
+    when(hexHead.startsWith("FFD8FF"), "JPEG image data")
+      .when(hexHead.startsWith("89504E47"), "PNG image data")
+      .when(hexHead.startsWith("47494638"), "GIF image data")
+      .when(hexHead.startsWith("25504446"), "PDF document")
+      .when(hexHead.startsWith("504B0304"), "Zip archive data")
+      .when(hexHead.startsWith("1F8B"), "gzip compressed data")
+      .when(hexHead.startsWith("494433"), "Audio file with ID3")
+      .when(substring(blob, 5, 4).cast("string") === "ftyp",
+        "ISO Media, MP4")
+      .otherwise("data")
   }
 
   /** blob_length (`sql/builtin_functions.cc:2479`). */

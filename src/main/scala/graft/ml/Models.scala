@@ -49,10 +49,13 @@ object Models {
   }
 
   /** `classifier.train`. `algorithm` ∈ glz | dt | bagging | boosting |
-    * naive_bayes (reference names). Returns the fitted PipelineModel —
-    * the appliable `classifier` function. */
+    * naive_bayes (reference names). `weightCol` is the optional
+    * example-weight column (the reference's `weight` sub-select,
+    * `classifier.cc:281`). Returns the fitted PipelineModel — the
+    * appliable `classifier` function. */
   def classifierTrain(train: DataFrame, featureCols: Seq[String],
-      labelCol: String, algorithm: String = "glz", seed: Long = 42L): PipelineModel = {
+      labelCol: String, algorithm: String = "glz", seed: Long = 42L,
+      weightCol: Option[String] = None): PipelineModel = {
     val clf = algorithm match {
       case "glz" => new LogisticRegression()
         .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(50)
@@ -100,6 +103,7 @@ object Models {
         s"unknown classifier type '$other' (expect glz|dt|stump|bagging|" +
           "boosting|boosted_stumps|naive_bayes|svm|onevsall|fasttext)")
     }
+    weightCol.foreach(org.apache.spark.ml.GraftMlBridge.setWeightCol(clf, _))
     val standardize = algorithm == "glz" || algorithm == "svm"
     new Pipeline().setStages((assembler(featureCols, standardize) :+ clf).toArray)
       .fit(train)
@@ -145,7 +149,8 @@ object Models {
     * directly; binary-only ones (boosting/GBT, svm) go through one-vs-all
     * decomposition — the reference's strategy for the same case. */
   def classifierTrainCategorical(train: DataFrame, featureCols: Seq[String],
-      labelCol: String, algorithm: String = "glz", seed: Long = 42L): PipelineModel = {
+      labelCol: String, algorithm: String = "glz", seed: Long = 42L,
+      weightCol: Option[String] = None): PipelineModel = {
     val clf = algorithm match {
       case "glz" => new LogisticRegression() // multinomial when >2 classes
         .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(50)
@@ -178,6 +183,7 @@ object Models {
       case other => throw new IllegalArgumentException(
         s"unknown categorical classifier type '$other'")
     }
+    weightCol.foreach(org.apache.spark.ml.GraftMlBridge.setWeightCol(clf, _))
     val standardize = algorithm == "glz" || algorithm == "svm"
     new Pipeline().setStages((assembler(featureCols, standardize) :+ clf).toArray)
       .fit(train)
@@ -206,7 +212,8 @@ object Models {
   /** `classifier.train` mode = regression (`classifier.cc:60` — predicting
     * real values). Same algorithm names, regressor implementations. */
   def regressionTrain(train: DataFrame, featureCols: Seq[String],
-      labelCol: String, algorithm: String = "glz", seed: Long = 42L): PipelineModel = {
+      labelCol: String, algorithm: String = "glz", seed: Long = 42L,
+      weightCol: Option[String] = None): PipelineModel = {
     val reg = algorithm match {
       case "glz" => new LinearRegression()
         .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(100)
@@ -221,6 +228,7 @@ object Models {
       case other => throw new IllegalArgumentException(
         s"unknown regression type '$other' (expect glz|dt|bagging|boosting)")
     }
+    weightCol.foreach(org.apache.spark.ml.GraftMlBridge.setWeightCol(reg, _))
     new Pipeline().setStages((assembler(featureCols, standardize = false) :+ reg).toArray)
       .fit(train)
   }
@@ -777,11 +785,171 @@ object Models {
           .reduce((a, b) => zip_with(a, b, _ + _))
         (0 until m.numClasses).map(c =>
           element_at(summed, c + 1) / m.trees.length.toDouble)
+      case m: org.apache.spark.ml.classification.GBTClassificationModel =>
+        // boosting: weighted sum of regression-tree margins; Spark's
+        // LogLoss probability is sigmoid(2·margin)
+        def treeValue(n: org.apache.spark.ml.tree.Node): Column = n match {
+          case l: LeafNode => lit(l.prediction)
+          case in: InternalNode =>
+            val f = in.split.featureIndex
+            val cond = in.split match {
+              case cs: ContinuousSplit => x(f) <= cs.threshold
+              case cs: CategoricalSplit => x(f).isin(
+                cs.leftCategories.toIndexedSeq.map(_.asInstanceOf[Any]): _*)
+            }
+            when(cond, treeValue(in.leftChild))
+              .otherwise(treeValue(in.rightChild))
+        }
+        val margin = m.trees.zip(m.treeWeights).map { case (t, w) =>
+          treeValue(t.rootNode) * w: Column
+        }.reduce(_ + _)
+        val p1 = lit(1.0) / (lit(1.0) + exp(lit(-2.0) * margin))
+        Seq(lit(1.0) - p1, p1)
+      case m: org.apache.spark.ml.classification.NaiveBayesModel =>
+        // multinomial NB: raw(c) = log π_c + Σ_i x_i·log θ_ci, softmax'd
+        val raws = (0 until m.numClasses).map(c =>
+          featureCols.indices.map(i => x(i) * m.theta(c, i))
+            .foldLeft(lit(m.pi(c)): Column)(_ + _))
+        val mx = raws.reduce(greatest(_, _))
+        val exps = raws.map(r => exp(r - mx))
+        val z = exps.reduce(_ + _)
+        exps.map(_ / z)
       case other => throw new IllegalArgumentException(
-        "the classifier function supports glz (logistic) and tree " +
+        "the classifier function supports glz (logistic), tree, " +
+          "boosting (GBT) and naive_bayes models, got " +
+          other.getClass.getSimpleName)
+    }
+  }
+
+  /** Original-feature-space GLZ weight rows for `/details` model
+    * introspection (`testing/MLDB-565-classifier-details.js` pins
+    * `weights: [[1, 0]]` for the x=y regression — per-output rows of
+    * `[coef…, bias]`). Our glz pipelines standardize internally, so
+    * the trained (w, b) un-standardize back:
+    * coef_i = w_i/σ_i, bias = b − Σ w_i·μ_i/σ_i. Returns None for
+    * non-GLZ models (trees have no weight rows). */
+  def glzWeightRows(model: PipelineModel): Option[(Seq[Seq[Double]], String)] = {
+    val scaler = model.stages.collectFirst {
+      case s: org.apache.spark.ml.feature.StandardScalerModel => s
+    }
+    def unscale(w: Array[Double], b: Double): Seq[Double] = scaler match {
+      case Some(s) =>
+        val coefs = w.indices.map(i =>
+          if (s.std(i) == 0) 0.0 else w(i) / s.std(i))
+        val bias = b - w.indices.map(i =>
+          if (s.std(i) == 0) 0.0 else w(i) * s.mean(i) / s.std(i)).sum
+        coefs.toSeq :+ bias
+      case None => w.toSeq :+ b
+    }
+    model.stages.last match {
+      case m: org.apache.spark.ml.regression.LinearRegressionModel =>
+        Some((Seq(unscale(m.coefficients.toArray, m.intercept)), "LINEAR"))
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel
+          if m.numClasses == 2 =>
+        Some((Seq(unscale(m.coefficients.toArray, m.intercept)), "LOGIT"))
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel =>
+        val mat = m.coefficientMatrix
+        Some(((0 until m.numClasses).map(c => unscale(
+          Array.tabulate(mat.numCols)(i => mat(c, i)),
+          m.interceptVector(c))), "LOGIT"))
+      case _ => None
+    }
+  }
+
+  /** Plan-literal per-argument-row explain for the `classifier.explain`
+    * FUNCTION entity (`plugins/jml/classifier.cc:1374-1446` —
+    * output `{bias, explanation: {<feature>: contribution}}`). Same
+    * attribution semantics as [[classifierExplain]] but over a
+    * function-argument accessor instead of frame columns: glz credits
+    * w_i·x_std_i, trees credit each split's prediction delta along the
+    * row's path. Returns (bias, per-feature contributions) — pure
+    * codegen'd expressions. */
+  def explainColumns(model: PipelineModel, featureCols: Seq[String],
+      feat: String => Column, maxExplainLeaves: Int = 4096): (Column, Seq[Column]) = {
+    import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, LeafNode, Node}
+    val scaler = model.stages.collectFirst {
+      case s: org.apache.spark.ml.feature.StandardScalerModel => s
+    }
+    def xs(i: Int): Column = scaler match {
+      case Some(s) =>
+        val std = if (s.std(i) == 0) 1.0 else s.std(i)
+        (feat(featureCols(i)) - s.mean(i)) / std
+      case None => feat(featureCols(i))
+    }
+    def glz(weights: Array[Double], intercept: Double) =
+      (lit(intercept): Column,
+        featureCols.indices.map(i => xs(i) * weights(i)): Seq[Column])
+    def treeEnsemble(trees: Seq[Node], weights: Seq[Double]) = {
+      def leaves(n: Node): Int = n match {
+        case in: InternalNode => leaves(in.leftChild) + leaves(in.rightChild)
+        case _ => 1
+      }
+      require(trees.map(leaves).sum <= maxExplainLeaves,
+        s"classifier.explain function: ensemble has more than " +
+          s"$maxExplainLeaves leaves — use the classifier.explain " +
+          "procedure form over a dataset instead")
+      def walk(node: Node, acc: Vector[Double], w: Double): Column = node match {
+        case _: LeafNode => array(acc.map(lit): _*)
+        case in: InternalNode =>
+          val f = in.split.featureIndex
+          val cond = in.split match {
+            case cs: ContinuousSplit => feat(featureCols(f)) <= cs.threshold
+            case cs: CategoricalSplit => feat(featureCols(f)).isin(
+              cs.leftCategories.toIndexedSeq.map(_.asInstanceOf[Any]): _*)
+          }
+          val lAcc = acc.updated(f,
+            acc(f) + (in.leftChild.prediction - in.prediction) * w)
+          val rAcc = acc.updated(f,
+            acc(f) + (in.rightChild.prediction - in.prediction) * w)
+          when(cond, walk(in.leftChild, lAcc, w))
+            .otherwise(walk(in.rightChild, rAcc, w))
+      }
+      val zero = Vector.fill(featureCols.size)(0.0)
+      val total = trees.zip(weights)
+        .map { case (t, w) => walk(t, zero, w) }
+        .reduce((a, b) => zip_with(a, b, _ + _))
+      val bias = trees.zip(weights).map { case (t, w) => t.prediction * w }.sum
+      (lit(bias): Column,
+        featureCols.indices.map(i => element_at(total, i + 1)): Seq[Column])
+    }
+    model.stages.last match {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel
+          if m.numClasses == 2 =>
+        glz(m.coefficients.toArray, m.intercept)
+      case m: org.apache.spark.ml.regression.LinearRegressionModel =>
+        glz(m.coefficients.toArray, m.intercept)
+      case m: org.apache.spark.ml.classification.DecisionTreeClassificationModel =>
+        treeEnsemble(Seq(m.rootNode), Seq(1.0))
+      case m: org.apache.spark.ml.classification.RandomForestClassificationModel =>
+        treeEnsemble(m.trees.map(_.rootNode).toSeq,
+          Seq.fill(m.trees.length)(1.0 / m.trees.length))
+      case m: org.apache.spark.ml.classification.GBTClassificationModel =>
+        treeEnsemble(m.trees.map(_.rootNode).toSeq, m.treeWeights.toSeq)
+      case m: org.apache.spark.ml.regression.DecisionTreeRegressionModel =>
+        treeEnsemble(Seq(m.rootNode), Seq(1.0))
+      case m: org.apache.spark.ml.regression.RandomForestRegressionModel =>
+        treeEnsemble(m.trees.map(_.rootNode).toSeq,
+          Seq.fill(m.trees.length)(1.0 / m.trees.length))
+      case m: org.apache.spark.ml.regression.GBTRegressionModel =>
+        treeEnsemble(m.trees.map(_.rootNode).toSeq, m.treeWeights.toSeq)
+      case other => throw new IllegalArgumentException(
+        "classifier.explain supports glz (logistic/linear) and tree " +
           s"models, got ${other.getClass.getSimpleName}")
     }
   }
+
+  /** True iff [[classProbColumns]] can lower this model — used by the
+    * classifier-function entry point to FAIL FAST at creation rather
+    * than at first application. */
+  def classProbSupported(model: PipelineModel): Boolean =
+    model.stages.last match {
+      case _: org.apache.spark.ml.classification.LogisticRegressionModel |
+           _: org.apache.spark.ml.classification.DecisionTreeClassificationModel |
+           _: org.apache.spark.ml.classification.RandomForestClassificationModel |
+           _: org.apache.spark.ml.classification.GBTClassificationModel |
+           _: org.apache.spark.ml.classification.NaiveBayesModel => true
+      case _ => false
+    }
 
   /** Plan-literal predicted value for a trained REGRESSION
     * PipelineModel — the regression face of the classifier function

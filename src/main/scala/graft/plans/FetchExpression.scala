@@ -54,6 +54,16 @@ case class Fetcher(child: Expression, timeoutMs: Int, maxBytes: Int)
         else InternalRow(out.toByteArray, null)
       } finally in.close()
     } catch {
+      // the reference surfaces libcurl's message texts
+      // (testing/MLDB-2100 greps "Timeout was reached", MLDB-2166
+      // greps "No such file")
+      case _: java.net.SocketTimeoutException =>
+        err("Timeout was reached")
+      case e: java.io.FileNotFoundException =>
+        err(s"No such file or directory: ${String.valueOf(e.getMessage)}")
+      case _: IllegalArgumentException | _: java.net.MalformedURLException |
+           _: java.net.URISyntaxException =>
+        err(s"No such file or directory: $url")
       case e: Exception =>
         err(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
     }

@@ -51,7 +51,14 @@ case class JsEval(script: String, argNames: Seq[String],
   }
 
   // parse once per executor; not serialized with the expression
-  @transient private lazy val program = JsInterp.compile(script)
+  @transient private lazy val program =
+    try JsInterp.compile(script)
+    catch {
+      // the reference's compile-error shape (MLDB-723:
+      // "Exception compiling")
+      case e: Exception => throw new IllegalArgumentException(
+        s"Exception compiling jseval script: ${e.getMessage}", e)
+    }
 
   override def eval(input: InternalRow): Any = {
     val jsArgs = args.map(e => JsEval.toJs(e.eval(input), e.dataType))
@@ -59,7 +66,7 @@ case class JsEval(script: String, argNames: Seq[String],
       try JsInterp.run(program, argNames, jsArgs)
       catch {
         case e: JsError => throw new IllegalArgumentException(
-          s"jseval: script threw: ${toStr(e.value)}", e)
+          s"jseval script threw exception: ${toStr(e.value)}", e)
       }
     mode match {
       case "num" => JsInterp.toNum(result)

@@ -135,6 +135,27 @@ object FunctionQueries {
           col("dt_sum2").as("dt_sum"), col("dt_min"), col("dt_max"))
     },
 
+    // --- distTable.train r10 stats (std + last + the NULL-empty
+    // conventions the getStats entity reads) ---
+    QueryDef("q122_dist_table_std_last",
+      """SELECT event_id, user_id,
+        |  round(coalesce(stddev_samp(value) OVER w, 0), 4) AS dt_std,
+        |  round(coalesce(last_value(value) OVER w, 0), 2) AS dt_last
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // single-sample stddev is NaN in Spark but NULL in DuckDB — both
+      // normalize to 0 (nanvl then coalesce)
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        round(coalesce(nanvl(stddev_samp(col("value")).over(w),
+          lit(0.0)), lit(0.0)), 4).as("dt_std"),
+        round(coalesce(last(col("value")).over(w), lit(0.0)), 2)
+          .as("dt_last"))
+    },
+
     // --- JSON extraction (parse_json surface) ---
     QueryDef("q30_json",
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

@@ -142,6 +142,13 @@ object Sources {
   /** `import.text` — CSV/TSV import. */
   def importText(spark: SparkSession, path0: String,
       cfg: TextImportConfig = TextImportConfig()): DataFrame = {
+    // the reference's open error, verbatim shape
+    // (testing/MLDB-1395-error-message-file-doesnt-exist.js)
+    val raw0 = path0.stripPrefix("file://")
+    if (!raw0.contains("*") &&
+        !new java.io.File(raw0).exists())
+      throw new IllegalArgumentException(
+        s"Opening file $raw0: No such file or directory")
     val path = maybeDecompress(path0)
     val hasHeaderRow0 =
       cfg.headers && !cfg.autoGenerateHeaders && cfg.headerNames.isEmpty
@@ -263,15 +270,43 @@ object Sources {
     val namedLineNumbers = cfg.named.exists(
       _.replaceAll("\\s", "").equalsIgnoreCase("lineNumber()"))
     if (namedLineNumbers) {
-      require(!cfg.autoGenerateHeaders && !lineLevel,
+      require(!cfg.autoGenerateHeaders && cfg.preHeaderOffset == 0 &&
+          lineOffset == 0,
         "named: lineNumber() supports plain header-row imports only")
+      // line-level transforms compose with line numbering (the
+      // MLDB-2170 formulas file names rows by SOURCE line): number
+      // first, then clean each line
+      val lines = spark.read.option("encoding", encoding).text(path)
+        .rdd.zipWithIndex.map { case (row, i) =>
+          org.apache.spark.sql.Row(row.getString(0), i + 1L)
+        }
+      var withIdx = spark.createDataFrame(lines,
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("__line",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__lineno",
+            org.apache.spark.sql.types.LongType))))
+      cfg.skipLineRegex.foreach { re =>
+        withIdx = withIdx.filter(!col("__line").rlike("^(?:" + re + ")$"))
+      }
+      if (cfg.processExcelFormulas)
+        withIdx = withIdx.withColumn("__line", regexp_replace(
+          col("__line"), "=(\"[^\"]*\")", "$1"))
+      cfg.replaceInvalidCharactersWith.foreach { repl =>
+        withIdx = withIdx.withColumn("__line", regexp_replace(
+          col("__line"),
+          "[\u0000-\u0008\u000B\u000C\u000E-\u001F\uFFFD]",
+          java.util.regex.Matcher.quoteReplacement(repl)))
+      }
       // supplied headerNames mean the file has NO header row — data
       // starts at line 1 (MLDB-1428's iris rowName '1')
-      val schema0 = cfg.schema.getOrElse(
+      val schema0 = cfg.schema.getOrElse {
+        import spark.implicits._
         spark.read.option("sep", cfg.delimiter)
-          .option("quote", cfg.quoteChar).option("encoding", encoding)
+          .option("quote", cfg.quoteChar)
           .option("header", hasHeaderRow).option("inferSchema", true)
-          .csv(path).schema)
+          .csv(withIdx.select(col("__line")).as[String]).schema
+      }
       val schema =
         if (cfg.headerNames.isEmpty) schema0
         else {
@@ -282,16 +317,6 @@ object Sources {
             case (f, n) => f.copy(name = n)
           })
         }
-      val lines = spark.read.option("encoding", encoding).text(path)
-        .rdd.zipWithIndex.map { case (row, i) =>
-          org.apache.spark.sql.Row(row.getString(0), i + 1L)
-        }
-      val withIdx = spark.createDataFrame(lines,
-        StructType(Seq(
-          org.apache.spark.sql.types.StructField("__line",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("__lineno",
-            org.apache.spark.sql.types.LongType))))
       val data0 =
         if (hasHeaderRow) withIdx.filter(col("__lineno") > 1) else withIdx
       // blank lines don't parse as rows (Spark's CSV reader drops them;
@@ -509,7 +534,13 @@ object Sources {
         val members: Seq[(String, Column)] = vals.map(v =>
           s"${f.name}.$v" ->
             when(array_contains(strArr, v), lit(1)))
-        (numbered ++ members).groupBy(_._1).foreach { case (n, cs) =>
+        // group preserving a deterministic order: numbered columns by
+        // index, then member columns by value (Map iteration order is
+        // unspecified across JVMs)
+        (numbered ++ members).groupBy(_._1).toSeq.sortBy { case (n, _) =>
+          val idx = numbered.indexWhere(_._1 == n)
+          (if (idx >= 0) 0 else 1, if (idx >= 0) f"$idx%09d" else n)
+        }.foreach { case (n, cs) =>
           val merged =
             if (cs.size == 1) cs.head._2
             else coalesce(cs.map(_._2.cast("string")): _*)
@@ -547,10 +578,23 @@ object Sources {
 
   /** `export.csv` (`plugins/textual/csv_export_procedure.cc:238`). */
   def exportCsv(df: DataFrame, path: String, delimiter: String = ",",
-      headers: Boolean = true, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+      headers: Boolean = true, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.types.StructType
+    // ROW-valued columns export as their dotted leaf cells
+    // (testing/MLDB-2126-export-structured.py: `select x as x` over
+    // x.a/x.b writes headers x.a,x.b) — CSV has no struct encoding
+    def leaves(name: String, c: Column,
+        dt: org.apache.spark.sql.types.DataType): Seq[Column] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap(f =>
+        leaves(s"$name.${f.name}", c.getField(f.name), f.dataType))
+      case _ => Seq(c.as(name))
+    }
+    val flat = df.select(df.schema.fields.toSeq.flatMap(f =>
+      leaves(f.name, df.col(s"`${f.name}`"), f.dataType)): _*)
+    flat.write.mode(mode)
       .option("sep", delimiter).option("header", headers)
       .csv(path)
+  }
 
   /** JSON export (reference writes JSON over REST; as a file sink). */
   def exportJson(df: DataFrame, path: String,

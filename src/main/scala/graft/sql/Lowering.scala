@@ -105,9 +105,19 @@ object Lowering {
     * only where static typing can't answer (row-literal splats). */
   private def resolvedTypeOf(scope: Scope,
       c: Column): Option[org.apache.spark.sql.types.DataType] =
-    scope.frames.iterator.flatMap { case (_, df) =>
+    scope.frames.iterator.flatMap { case (a, df) =>
       try Some(df.select(c).schema.head.dataType)
-      catch { case _: Throwable => None }
+      catch {
+        case _: Throwable =>
+          // alias-qualified references (`alias`.`col` from star
+          // expansion) need the frame's alias re-attached — a frame
+          // that went through filter/projection rebuilds may have
+          // dropped its SubqueryAlias (the MLDB-961 agg-context probe)
+          a.flatMap { al =>
+            try Some(df.as(al).select(c).schema.head.dataType)
+            catch { case _: Throwable => None }
+          }
+      }
     }.nextOption()
 
   private def structFieldsOf(scope: Scope, c: Column): Option[Seq[String]] =
@@ -743,9 +753,15 @@ object Lowering {
         // horizontal_sum({a: x, b: y}) — row-literal argument form.
         // MLDB rows keep columns in name order, so order-sensitive
         // horizontal aggs (string_agg, earliest/latest) see the
-        // fields alphabetically (MLDB-1554).
+        // fields alphabetically (MLDB-1554). A `{*}` argument expands
+        // the scope's columns (MLDB-1500's
+        // `sum(horizontal_count({*})) … from transpose(…)`).
         horizontalFn(name.toLowerCase,
-          args.sortBy(_._1).map { case (_, v) => lowerExpr(scope, v) })
+          args.sortBy(_._1).flatMap {
+            case ("*", s: Star) => expandStarCols(scope, s.excluding,
+              s.prefix, s.rename, skipRowName = true)
+            case (_, v) => Seq(lowerExpr(scope, v))
+          })
       case None if Set("print_json", "hash", "value_timestamp",
           "latest_timestamp", "earliest_timestamp",
           "distinct_timestamps")(name.toLowerCase) =>
@@ -755,7 +771,17 @@ object Lowering {
         lowerFn(scope, name.toLowerCase,
           Seq(lowerExpr(scope, asStruct)), star = false, Seq(asStruct))
       case Some(items) =>
-        val argMap = args.toMap
+        // a `{<rowexpr> as *}` argument spreads the row's FIELDS as
+        // named arguments (MLDB-873's derived-columns composition
+        // `getDerived({mySt({keys: {*}}) as *})` — `counts.…` inside
+        // the macro body must bind to the spread field)
+        val spread: Seq[(String, Expr)] = args.collect {
+          case ("*", v) if !v.isInstanceOf[Star] &&
+              !v.isInstanceOf[StructLit] =>
+            structFieldsOf(scope, lowerExpr(scope, v)).getOrElse(Seq.empty)
+              .map(f => f -> (Extract(v, StrLit(f)): Expr))
+        }.flatten
+        val argMap = spread.toMap ++ args.toMap
         def itemFor(out: String): Expr = items.zipWithIndex.collectFirst {
           case (it, i) if it.alias.contains(out) => it.e
           case (it @ SelectItem(Ident(parts), None), _) if parts.last == out => it.e
@@ -1283,6 +1309,14 @@ object Lowering {
       else if (scope.frames.exists(_._2.columns.sameElements(Array("__dummy"))))
         throw new IllegalArgumentException(
           s"""Cannot read column "$one" with no FROM clause.""")
+      // a PATH PREFIX names the subtree as a row (MLDB-2126:
+      // `select x as x` over columns x.a/x.b reads {a, b})
+      else if (scope.allColumns.exists(_._2.startsWith(one + "."))) {
+        val subs = scope.allColumns.map(_._2)
+          .filter(_.startsWith(one + ".")).distinct
+        struct(subs.map(n =>
+          col(s"`$n`").as(n.stripPrefix(one + "."))): _*)
+      }
       else lit(null) // MLDB: unknown column reads as NULL
     case Ident(Seq(q, name)) =>
       if (scope.hasQualified(q, name)) col(s"`$q`.`$name`")
@@ -1457,6 +1491,26 @@ object Lowering {
     // `f() AS *` — MLDB-1841 test_distincton_pipeline
     case FnCall(name, Nil, false) if currentMacros.contains(name) =>
       lowerExpr(scope, FnApply(name, Nil, None))
+
+    // applying a registered function entity to a ROW-VALUED positional
+    // argument binds the row's columns to the function's input names —
+    // the reference's function-composition form (MLDB-1314
+    // `cls(feats2({*}))`, MLDB-59 `probabilizer(classifier(…))[prob]`)
+    case FnCall(name, Seq(arg), false) if currentColumnFns.contains(name) =>
+      val c = lowerExpr(scope, arg)
+      resolvedTypeOf(scope, c) match {
+        case Some(st: org.apache.spark.sql.types.StructType) =>
+          val lowered = st.fields.map { f =>
+            val ft = f.dataType match {
+              case s: org.apache.spark.sql.types.StructType => Some(s)
+              case _ => None
+            }
+            f.name -> ((c.getField(f.name), ft, (NullLit(): Expr)))
+          }.toMap
+          currentColumnFns(name).build(lowered)
+        case _ => throw new IllegalArgumentException(
+          s"function '$name' expects a row argument")
+      }
 
     case FnCall(name, args, star) =>
       lowerFn(scope, name, args.map(lowerExpr(scope, _)), star, args)
@@ -2310,7 +2364,17 @@ object Lowering {
       }
       P.extractDomain(a(0), removeSub)
     case "blob_length" => P.blobLength(a(0))
-    case "mime_type" => P.mimeType(a(0))
+    case "mime_type" =>
+      // the reference rejects non-atomic arguments at bind time
+      // (`sql/builtin_functions.cc:3590`; MLDB-2166's not-blob pin)
+      resolvedTypeOf(scope, a(0)) match {
+        case Some(_: org.apache.spark.sql.types.StructType) |
+             Some(_: org.apache.spark.sql.types.MapType) =>
+          throw new IllegalArgumentException(
+            "Mime type extraction requires that an atomic value " +
+              "of type BLOB is passed to it.")
+        case _ => P.mimeType(a(0))
+      }
     // fetcher(url [, timeoutMs]) (`builtin/fetcher.cc:188`): url →
     // {content, error}; failures travel as data, never abort the query
     case "fetcher" | "fetch" =>
@@ -2490,6 +2554,8 @@ object Lowering {
       // script + arg names come from the dialect's own AST literals
       // (the bridge's Column→Expression conversion is lazy and not
       // foldable before analysis, so JsEval.build can't inspect it)
+      if (raw.size < 2) throw new IllegalArgumentException(
+        "jseval expected at least 2 arguments, got " + raw.size)
       val script = raw.headOption match {
         case Some(StrLit(s)) => s
         case _ => throw new IllegalArgumentException(
@@ -2684,6 +2750,14 @@ object Lowering {
       // rowCount(): rows having this column — needs the one data pass
       // the caller precomputes (MLDB-1172 `ORDER BY rowCount() DESC`)
       case FnCall("rowcount", _, _) => stats.value(name)
+      // parse_path / unflatten_path normalize a path's PRINT: a whole
+      // quoted single element unwraps ("x.y.z" → x.y.z — MLDBFB-646's
+      // rename battery); an already-plain name passes through
+      case FnCall("parse_path" | "unflatten_path", Seq(x), _) =>
+        val s = evalStr(x, name)
+        if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
+          s.substring(1, s.length - 1).replace("\"\"", "\"")
+        else s
       case FnCall("lower", Seq(x), _) => evalStr(x, name).toLowerCase
       case FnCall("upper", Seq(x), _) => evalStr(x, name).toUpperCase
       case FnCall("length", Seq(x), _) => evalStr(x, name).length.toLong
@@ -3261,12 +3335,25 @@ object Lowering {
                 StrLit(f.name)), Some(f.name)))
           // a TOP-LEVEL embedding expands to numbered columns 0..n-1
           // (MLDB-1694: `flatten(…[softmax]) as *` names its columns
-          // by the dimension index alone)
-          case _: org.apache.spark.sql.types.ArrayType =>
-            val len = PlanTime.maxArrayLen(fromDf0, c, "AS * embedding")
-            (0 until len).map(i => SelectItem(
-              Extract(e, NumLit(BigDecimal(i), isIntegral = true)),
-              Some(i.toString)))
+          // by the dimension index alone); NESTED embeddings recurse
+          // with dotted indices (`[[1,2],[3,4]] as *` → 0.0, 0.1,
+          // 1.0, 1.1 — MLDB-1317's tensor naming)
+          case at: org.apache.spark.sql.types.ArrayType =>
+            def expand(e2: Expr, c2: Column,
+                dt: org.apache.spark.sql.types.DataType,
+                prefix: String): Seq[SelectItem] = dt match {
+              case a2: org.apache.spark.sql.types.ArrayType =>
+                val len = PlanTime.maxArrayLen(fromDf0, c2, "AS * embedding")
+                (0 until len).flatMap { i =>
+                  val name = if (prefix.isEmpty) i.toString
+                             else s"$prefix.$i"
+                  expand(Extract(e2, NumLit(BigDecimal(i),
+                    isIntegral = true)), c2.getItem(i), a2.elementType,
+                    name)
+                }
+              case _ => Seq(SelectItem(e2, Some(prefix)))
+            }
+            expand(e, c, at, "")
           case other => throw new IllegalArgumentException(
             s"AS * requires a row-valued expression (got $other)")
         }

@@ -765,10 +765,23 @@ final class Parser(tokens: Vector[Token], source: String = "") {
       case TIdent(v, false, _) if v.equalsIgnoreCase("TIMESTAMP") &&
           (tokens.lift(p + 1) match {
             case Some(TNum(_, _, _)) | Some(TStr(_, _)) => true
+            case Some(TIdent(_, true, _)) => true
+            case Some(TIdent(w, false, _)) =>
+              // TIMESTAMP <variable> (MLDBFB-335: `WHEN
+              // value_timestamp() <= TIMESTAMP time`) — a bare
+              // identifier casts like the literal forms, unless it is
+              // a clause keyword (so a COLUMN named timestamp still
+              // parses: `timestamp AS t`, `timestamp, x`)
+              !Set("as", "from", "where", "when", "group", "order",
+                "limit", "offset", "having", "named", "and", "or",
+                "not", "is", "in", "between", "like", "then", "else",
+                "end", "asc", "desc", "union", "join", "inner", "left",
+                "right", "outer", "full", "cross", "on", "null", "case",
+                "by").contains(w.toLowerCase)
             case _ => false
           }) =>
-        // TIMESTAMP <seconds> / TIMESTAMP '<iso>' literal (the
-        // reference's timestamp constant syntax, MLDB-1706)
+        // TIMESTAMP <seconds> / TIMESTAMP '<iso>' / TIMESTAMP <column>
+        // (the reference's timestamp constant syntax, MLDB-1706)
         p += 1
         FnCall("to_timestamp", Seq(parsePrimary()))
       case TIdent(v, false, _) if v.equalsIgnoreCase("NULL") => p += 1; NullLit()

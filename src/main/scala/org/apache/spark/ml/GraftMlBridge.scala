@@ -15,4 +15,15 @@ object GraftMlBridge {
     * classification trees). */
   def leafClassCounts(n: LeafNode): Array[Double] =
     n.impurityStats.stats.clone()
+
+  /** Set the example-weight column on any estimator that supports one
+    * (`HasWeightCol` is `private[ml]`). The reference's
+    * `classifier.train` accepts an optional `weight` sub-select
+    * (`plugins/jml/classifier.cc:281-282`); this is the MLlib hook for
+    * the same semantics. Returns true iff the estimator took it. */
+  def setWeightCol(est: PipelineStage, colName: String): Boolean = est match {
+    case w: org.apache.spark.ml.param.shared.HasWeightCol =>
+      w.set(w.weightCol, colName); true
+    case _ => false
+  }
 }

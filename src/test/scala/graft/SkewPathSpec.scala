@@ -69,8 +69,8 @@ class SkewPathSpec extends AnyFunSuite {
     val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 0, 0, 0, 0)
     val df = Seq((png, jpg)).toDF("png", "jpg")
     val r = df.select(P.mimeType(col("png")), P.mimeType(col("jpg"))).head()
-    assert(r.getString(0) === "image/png")
-    assert(r.getString(1) === "image/jpeg")
+    assert(r.getString(0) === "PNG image data")
+    assert(r.getString(1) === "JPEG image data")
   }
 
   test("isodow: 2024-01-01 is a Monday") {
