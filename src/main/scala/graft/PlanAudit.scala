@@ -38,7 +38,10 @@ object PlanAudit {
       // (window partitioned BY THE KEY — never SinglePartition),
       // expression group keys, ordered string_agg, sum({*}) expansion
       "q118_sql_distinct_on_multi", "q119_sql_group_expr",
-      "q120_sql_string_agg_ordered", "q121_sql_sum_row_star")
+      "q120_sql_string_agg_ordered", "q121_sql_sum_row_star",
+      // round-10: the distTable prior-stats window — partitioned by
+      // the key value, NEVER SinglePartition
+      "q122_dist_table_std_last")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every

@@ -177,6 +177,38 @@ final class GraftEngine(val spark: SparkSession) {
     n
   }
 
+  /** Column-oriented recording (`core/dataset.h` recordColumn /
+    * recordColumns; MLDB-541's /columns and /multicolumns routes):
+    * cells MERGE onto named rows — a column posted later lands on the
+    * rows earlier columns created (full outer join on rowName,
+    * incoming cells win). One driver-side payload per call, like the
+    * reference's route. */
+  def recordColumnsJson(name: String, jsonRows: String): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val incoming = spark.read.json(Seq(jsonRows).toDS())
+    require(incoming.columns.contains("rowName"),
+      "recordColumns needs rowName cells")
+    val n = incoming.count()
+    datasets.get(name) match {
+      case Some(existing) if existing.columns.nonEmpty &&
+          existing.columns.exists(_.equalsIgnoreCase("rowName")) =>
+        val exCols = existing.columns.filterNot(_ == "rowName").toSeq
+        val inCols = incoming.columns.filterNot(_ == "rowName").toSeq
+        val shared = exCols.toSet.intersect(inCols.toSet)
+        val joined = existing.alias("l")
+          .join(incoming.alias("r"), Seq("rowName"), "full_outer")
+        val outCols = col("rowName") +:
+          (exCols.filterNot(shared).map(c => col(s"l.`$c`").as(c)) ++
+            inCols.filterNot(shared).map(c => col(s"r.`$c`").as(c)) ++
+            shared.toSeq.sorted.map(c =>
+              coalesce(col(s"r.`$c`"), col(s"l.`$c`")).as(c)))
+        datasets(name) = joined.select(outCols: _*)
+      case _ => datasets(name) = incoming
+    }
+    n
+  }
+
   def listDatasets: Seq[String] = datasets.keys.toSeq.sorted
 
   def dropDataset(name: String): Unit = datasets.remove(name)
@@ -954,6 +986,49 @@ final class GraftEngine(val spark: SparkSession) {
   private def jsonQ(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** trained SVMs by modelFileUrl: (feature columns, label VALUES by
+    * class index, per-class (weights, intercept)). */
+  private val svmModels = TrieMap[String,
+    (Seq[String], Seq[String], Seq[(Array[Double], Double)])]()
+
+  /** `svm` as a REST-creatable function (MLDB-991):
+    * `{embedding: {col: val}}` → `{output: <label>}` — the argmax of
+    * the one-vs-rest margins, all plan-literal. An integral label set
+    * answers integers (the reference's 39/72 pins). */
+  def createSvmFunction(name: String, modelUrl: String): Unit = {
+    rejectBuiltinName(name)
+    val (featCols, labels, margins) = svmModels.getOrElse(modelUrl,
+      throw new NoSuchElementException(
+        s"no svm model trained at '$modelUrl'"))
+    import org.apache.spark.sql.functions._
+    val integral = labels.forall(_.matches("-?\\d+(\\.0+)?"))
+    def labelLit(l: String): org.apache.spark.sql.Column =
+      if (integral) lit(l.takeWhile(c => c == '-' || c.isDigit).toLong)
+      else lit(l)
+    columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
+      val (ec, et, _) = args.getOrElse("embedding",
+        throw new IllegalArgumentException(
+          s"function '$name' expects an {embedding: {…}} argument row"))
+      def feat(c: String): org.apache.spark.sql.Column =
+        et.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+          .map(f => coalesce(ec.getField(f.name).cast("double"), lit(0.0)))
+          .getOrElse(lit(0.0))
+      val ms = margins.map { case (w, b) =>
+        featCols.zipWithIndex.map { case (c, i) => feat(c) * w(i) }
+          .foldLeft(lit(b): org.apache.spark.sql.Column)(_ + _)
+      }
+      // two-class OneVsRest still yields one model per class; argmax
+      // over the margin chain picks the label
+      val best = labels.indices.tail.foldLeft(
+        (labelLit(labels.head), ms.head)) { case ((bl, bm), i) =>
+        (when(ms(i) > bm, labelLit(labels(i))).otherwise(bl),
+          greatest(ms(i), bm))
+      }._1
+      struct(best.as("output"))
+    }
+    compiledApplies.clear()
+  }
+
   /** trained probabilizers by modelFileUrl: prob = σ(A·score + B)
     * (Platt scaling — `plugins/jml/probabilizer.cc:292`'s glz over
     * `[score, 1]`). */
@@ -1165,6 +1240,7 @@ final class GraftEngine(val spark: SparkSession) {
           s"no dist table trained at '$modelUrl'"))
     val stats = validateDistStats(statistics.getOrElse(
       Seq("count", "avg", "std", "min", "max")))
+    distFnConfigs(name) = (modelUrl, stats)
     import org.apache.spark.sql.functions._
     columnFnRegistry(name) = graft.sql.Lowering.ColumnFn { args =>
       val (fc, ft, _) = args.getOrElse("features",
@@ -1214,6 +1290,60 @@ final class GraftEngine(val spark: SparkSession) {
       struct(struct(outCols: _*).as("stats"))
     }
     compiledApplies.clear()
+  }
+
+  /** getStats functions by NAME → (modelFileUrl, emitted statistics) —
+    * the realtime increment/persist routes re-register through this. */
+  private val distFnConfigs = TrieMap[String, (String, Seq[String])]()
+
+  /** POST /v1/functions/<fn>/routes/increment (MLDB-1750
+    * test_real_time): fold new outcome observations into the dist
+    * table behind a getStats function and re-register it. Driver-side
+    * by design — the realtime route is the reference's single-node
+    * online-update surface; bulk updates belong in
+    * experimental.distTable.train. */
+  def distTableIncrement(fnName: String, keys: Seq[(String, String)],
+      outcomes: Seq[Double]): Unit = {
+    val (url, stats) = distFnConfigs.getOrElse(fnName,
+      throw new NoSuchElementException(
+        s"function '$fnName' is not a distTable.getStats function"))
+    val (mode, outcomeNames, keyCols, tables) = distTableModels(url)
+    require(outcomes.size == outcomeNames.size,
+      s"expected ${outcomeNames.size} outcomes, got ${outcomes.size}")
+    def add(s: DistStats, v: Double): DistStats = {
+      val n = s.count + 1
+      val avg0 = if (s.count == 0) 0.0 else s.avg
+      val avg = avg0 + (v - avg0) / n
+      // rebuild M2 from the stored sample std (NaN below 2 samples)
+      val m2prev = if (s.count < 2) 0.0 else s.std * s.std * (s.count - 1)
+      val m2 = m2prev + (v - avg0) * (v - avg)
+      DistStats(n, (if (s.count == 0) 0.0 else s.sum) + v, avg,
+        if (n < 2) Double.NaN else math.sqrt(m2 / (n - 1)),
+        if (s.count == 0 || s.min.isNaN) v else math.min(s.min, v),
+        if (s.count == 0 || s.max.isNaN) v else math.max(s.max, v),
+        v)
+    }
+    val updated = keys.foldLeft(tables) { case (acc, (c, v)) =>
+      val table = acc.getOrElse(c, throw new IllegalArgumentException(
+        s"Unknown dist table '$c'"))
+      val key = if (mode == "bagOfWords") None else Some(v)
+      val prev = table.getOrElse(key,
+        outcomeNames.map(_ => DistStats.empty): Seq[DistStats])
+      acc.updated(c, table.updated(key,
+        prev.zip(outcomes).map { case (s, o) => add(s, o) }))
+    }
+    distTableModels(url) = (mode, outcomeNames, keyCols, updated)
+    createDistTableGetStatsFunction(fnName, url, Some(stats))
+  }
+
+  /** POST /v1/functions/<fn>/routes/persist: snapshot the function's
+    * CURRENT table under another modelFileUrl so a new getStats can
+    * load the updated counts (MLDB-1750's persist/reload pin). */
+  def distTablePersist(fnName: String, newUrl: String): Unit = {
+    val (url, _) = distFnConfigs.getOrElse(fnName,
+      throw new NoSuchElementException(
+        s"function '$fnName' is not a distTable.getStats function"))
+    distTableModels(newUrl) = distTableModels(url)
   }
 
   /** `classifier.explain` as a REST-creatable function (MLDB-573):
@@ -2427,6 +2557,67 @@ final class GraftEngine(val spark: SparkSession) {
             }
             s"""{"auc": $auc}"""
         }
+      case "null" | "mock" =>
+        // `null` / `mock` procedures (`builtin/basic_procedures.cc`):
+        // do nothing, successfully (MLDB-326's run-id battery runs
+        // against the null procedure)
+        """{"status": "done"}"""
+      case "createEntity" =>
+        // `createEntity` (`builtin/basic_procedures.cc:182-272`;
+        // MLDB-985): create an entity from a procedure run and answer
+        // its kind/config/status
+        val kind = req("kind")
+        val tpe = req("type")
+        kind match {
+          case "dataset" =>
+            val id = param("id").getOrElse("auto_" +
+              java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+            createDatasetTyped(id, tpe, param)
+            val df = dataset(id)
+            val rc = scala.util.Try(df.count()).getOrElse(0L)
+            s"""{"status": {"config": {"type": ${jsonQ(tpe)}}, """ +
+              s""""kind": "dataset", "status": {"rowCount": $rc, """ +
+              s""""columnCount": ${df.columns.length}}}, """ +
+              s""""id": ${jsonQ(id)}}"""
+          case other => throw new IllegalArgumentException(
+            s"createEntity kind '$other' is not supported (dataset only)")
+        }
+      case "svm.train" =>
+        // `svm.train` (`plugins/svm/svm.cc:464`; MLDB-991): the
+        // trainingData's numeric columns minus `label` are the
+        // embedding; labels are arbitrary values. One-vs-rest linear
+        // SVMs stand in for libsvm (configuration.kernel accepted,
+        // linear substitutes — documented divergence).
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        val input = param("trainingData").orElse(structuredInput(param))
+          .getOrElse(throw new IllegalArgumentException(
+            "You need to define trainingData"))
+        val df0 = query(input)
+        require(df0.columns.exists(_.equalsIgnoreCase("label")),
+          "svm.train expects a 'label' column in trainingData")
+        val feats = df0.schema.fields.filter { f =>
+          f.dataType.isInstanceOf[NumericType] &&
+            !f.name.equalsIgnoreCase("rowName") &&
+            !f.name.equalsIgnoreCase("label") && !f.name.startsWith("__")
+        }.map(_.name).toSeq
+        require(feats.nonEmpty, "svm training data matched no columns")
+        val flat = df0.filter(col("label").isNotNull)
+        val ls = graft.sql.PlanTime.keys(flat,
+          col("label").cast("string"), "svm.train labels").sorted
+        val idx = ls.zipWithIndex.foldLeft(lit(-1.0)) {
+          case (acc, (l, i)) =>
+            when(col("label").cast("string") === l, i.toDouble)
+              .otherwise(acc)
+        }
+        val train = flat.select(feats.map(c =>
+          coalesce(col(s"`$c`").cast("double"), lit(0.0)).as(c)) :+
+          idx.as("__y"): _*)
+        val model = graft.ml.Models.svmTrain(train, feats, "__y")
+        val url = param("modelFileUrl").getOrElse("__svm_model")
+        svmModels(url) = (feats, ls, graft.ml.Models.svmMargins(model))
+        param("functionName").foreach(createSvmFunction(_, url))
+        s"""{"trained": "$url", "classes": ${ls.size}}"""
       case "probabilizer.train" =>
         // `probabilizer.train` (`plugins/jml/probabilizer.cc:292`):
         // fit Platt scaling σ(A·score + B) over `<expr> as score,

@@ -114,6 +114,15 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
                 s""""columnCount": ${df.columns.length}}}"""
           }
         case ("PUT", name) =>
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          // a TOP-LEVEL body id that CONTRADICTS the path name is the
+          // reference's 400 (MLDB-348) — nested ids (params.dataset.id)
+          // are config references, not the entity id
+          topLevelId(body).foreach { id =>
+            if (id != name) throw new IllegalArgumentException(
+              s"dataset config id '$id' does not match the PUT path '$name'")
+          }
           queryParams(ex).get("path") match {
             case Some(p) =>
               engine.createDatasetFromParquet(name, p)
@@ -121,13 +130,11 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               // typed creation, the reference's config model:
               // body {"type": "merged"|"sampled"|"transposed"|
               // "union"|"sub"|"tabular"|"sparse.mutable", <params>}
-              val body = new String(ex.getRequestBody.readAllBytes,
-                StandardCharsets.UTF_8)
               val tpe = extractFieldOpt(body, "type").getOrElse("")
               engine.createDatasetTyped(name, tpe,
                 k => extractFieldOpt(body, k))
           }
-          s"""{"created": ${jsonStr(name)}}"""
+          Created(s"""{"created": ${jsonStr(name)}, "state": "ok"}""")
         case ("POST", "") =>
           // id-less creation auto-generates one with the reference's
           // `auto_` prefix (MLDB-983); POST-creating an EXISTING id is
@@ -156,6 +163,52 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
             if (body.contains("\"columns\"")) columnsFormToFlat(body) else body
           val n = engine.recordRows(name, flat)
           s"""{"recorded": $n}"""
+        case ("POST", nameCols) if nameCols.endsWith("/columns") =>
+          // column-oriented record (MLDB-541): body {columnName,
+          // rows: [[rowName, value, ts], …]} — cells merge onto
+          // named rows
+          val name = nameCols.stripSuffix("/columns")
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          val colName = extractField(body, "columnName")
+          val n = engine.recordColumnsJson(name,
+            columnCellsToFlat(colName, jsonBracketValue(body, "rows")
+              .getOrElse(throw new IllegalArgumentException(
+                "recordColumn needs rows"))))
+          s"""{"recorded": $n}"""
+        case ("POST", nameCols) if nameCols.endsWith("/multicolumns") =>
+          // body [[columnName, [[rowName, value, ts], …]], …]
+          val name = nameCols.stripSuffix("/multicolumns")
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          var total = 0L
+          val colRe = ("\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\\[").r
+          val ms = colRe.findAllMatchIn(body).toSeq
+          require(ms.nonEmpty, "recordColumns needs [[columnName, rows]] pairs")
+          ms.foreach { m =>
+            // balanced-scan the rows array that starts at the inner [
+            val open = m.end - 1
+            var depth = 0; var inStr = false; var esc = false
+            var i = open; var close = -1
+            while (close < 0 && i < body.length) {
+              val c = body.charAt(i)
+              if (inStr) {
+                if (esc) esc = false
+                else if (c == '\\') esc = true
+                else if (c == '"') inStr = false
+              } else c match {
+                case '"' => inStr = true
+                case '[' => depth += 1
+                case ']' => depth -= 1; if (depth == 0) close = i
+                case _ =>
+              }
+              i += 1
+            }
+            require(close > 0, "unbalanced rows array")
+            total += engine.recordColumnsJson(name, columnCellsToFlat(
+              m.group(1), body.substring(open + 1, close)))
+          }
+          s"""{"recorded": $total}"""
         case ("POST", nameCommit) if nameCommit.endsWith("/commit") =>
           // commit is a no-op in wide mode (recordRows is immediate);
           // accepted for reference-API compatibility
@@ -251,6 +304,19 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               // MLDB-59: calibrate a raw score into a probability
               engine.createProbabilizerFunction(name,
                 extractField(body, "modelFileUrl"))
+            case "svm" =>
+              // MLDB-991: one-vs-rest margins argmax over a model
+              // trained by svm.train
+              engine.createSvmFunction(name,
+                extractField(body, "modelFileUrl"))
+            case "experimental.distTable.getStats" =>
+              // MLDB-1750: final dist-table stats per argument key
+              engine.createDistTableGetStatsFunction(name,
+                extractField(body, "distTableFileUrl"),
+                extractFieldOpt(body, "statistics").map(
+                  _.stripPrefix("[").stripSuffix("]").split(",")
+                    .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+                    .filter(_.nonEmpty).toSeq))
             case "statsTable.getCounts" =>
               // MLDB-873: per-key counts from a trained stats table
               engine.createStatsTableFunction(name,
@@ -303,6 +369,31 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               s"unknown function type '$other'")
           }
           s"""{"created": ${jsonStr(name)}}"""
+        case rt if ex.getRequestMethod == "POST" &&
+            rt.endsWith("/routes/increment") =>
+          // realtime dist-table update (MLDB-1750 test_real_time):
+          // body {keys: [[table, value], …], outcomes: [n, …]}
+          val fn = rt.stripSuffix("/routes/increment")
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          val pairRe = ("\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
+            "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\]").r
+          val keys = jsonBracketValue(body, "keys").toSeq.flatMap(inner =>
+            pairRe.findAllMatchIn(inner).map(m =>
+              m.group(1) -> m.group(2)))
+          val outcomes = jsonBracketValue(body, "outcomes").toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)
+              .map(_.toDouble))
+          engine.distTableIncrement(fn, keys, outcomes)
+          """{"incremented": true}"""
+        case rt if ex.getRequestMethod == "POST" &&
+            rt.endsWith("/routes/persist") =>
+          // snapshot the updated table under a new modelFileUrl
+          val fn = rt.stripSuffix("/routes/persist")
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          engine.distTablePersist(fn, extractField(body, "modelFileUrl"))
+          """{"persisted": true}"""
         case app if app.endsWith("/application") =>
           // single-row function application
           // (`server/mldb_server.cc` application route)
@@ -510,6 +601,11 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
             case None => throw new NoSuchElementException(
               s"procedure '$name' has no runs")
           }
+        case ("PUT", runPath) if runPath.endsWith("/runs") =>
+          // a PUT needs the run NAME in the path (MLDB-326's 404)
+          throw new NoSuchElementException(
+            "PUT of a run needs a run id in the path; POST to /runs " +
+              "for an auto-generated one")
         case ("PUT", runPath) if runPath.contains("/runs/") =>
           // named run: PUT <proc>/runs/<id> executes the stored config
           // under that id (MLDB-1359 asserts id '000' round-trips);
@@ -517,6 +613,11 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val Array(name, runId) = runPath.split("/runs/", 2)
           val runBody = new String(ex.getRequestBody.readAllBytes,
             StandardCharsets.UTF_8)
+          // a body id contradicting the path id is a 400 (MLDB-326)
+          topLevelId(runBody).foreach { id =>
+            if (id != runId) throw new IllegalArgumentException(
+              s"run config id '$id' does not match the PUT path '$runId'")
+          }
           val run = runNamed(name, runBody)
           recordRun(name, runId)
           Created(run)
@@ -852,6 +953,47 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     * Numeric cell timestamps are epoch SECONDS (the reference's
     * convention); the row keeps the max of its cells' timestamps as
     * its single wide-mode ts. */
+  /** The TOP-LEVEL `"id"` field of a JSON object, ignoring nested
+    * objects (string-aware depth scan). */
+  private def topLevelId(body: String): Option[String] = {
+    var depth = 0; var inStr = false; var esc = false; var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' =>
+          if (depth == 1 && body.startsWith("\"id\"", i)) {
+            val m = "\"id\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+              .findFirstMatchIn(body.substring(i))
+            if (m.exists(_.start == 0)) return m.map(_.group(1))
+          }
+          inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `[[rowName, value, ts], …]` cells of ONE column → flat row JSON
+    * (`{"rowName": rn, "<col>": value}` per cell) for
+    * recordColumnsJson. */
+  private def columnCellsToFlat(colName: String, cellsBody: String): String = {
+    val cellRe = ("\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
+      "(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9.eE+]+|true|false|null)" +
+      "(?:\\s*,\\s*(\"[^\"]*\"|-?[0-9.eE+]+))?\\s*\\]").r
+    val rows = cellRe.findAllMatchIn(cellsBody).map { m =>
+      s"""{"rowName":${jsonStr(m.group(1))},${jsonStr(colName)}:${m.group(2)}}"""
+    }.toSeq
+    require(rows.nonEmpty, "no cells in rows body")
+    rows.mkString("[", ",", "]")
+  }
+
   private def columnsFormToFlat(body: String): String = {
     // rowName and columns are matched INDEPENDENTLY within each
     // top-level row object — JSON key order is insignificant, so

@@ -189,6 +189,38 @@ object Models {
       .fit(train)
   }
 
+  /** `svm.train` (`plugins/svm/svm.cc:464` — libsvm wrapper): the
+    * trainingData's numeric columns (minus `label`) are the embedding;
+    * labels are arbitrary values. One-vs-rest linear SVMs (MLlib has
+    * no kernel SVM — `configuration.kernel` is accepted and the
+    * linear model substitutes, a documented divergence; MLDB-991's
+    * separable fixtures classify identically). Returns the fitted
+    * pipeline whose last stage is the OneVsRestModel. */
+  def svmTrain(train: DataFrame, featureCols: Seq[String],
+      labelCol: String): PipelineModel = {
+    val asm = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val ovr = new OneVsRest()
+      .setClassifier(new LinearSVC().setMaxIter(50).setTol(1e-5))
+      .setLabelCol(labelCol).setFeaturesCol("features")
+    new Pipeline().setStages(Array(asm, ovr)).fit(train)
+  }
+
+  /** Per-class (weights, intercept) rows of a trained one-vs-rest
+    * linear-SVM pipeline — the `svm` function entity's plan literals. */
+  def svmMargins(model: PipelineModel): Seq[(Array[Double], Double)] =
+    model.stages.last match {
+      case ovr: org.apache.spark.ml.classification.OneVsRestModel =>
+        ovr.models.toSeq.map {
+          case m: org.apache.spark.ml.classification.LinearSVCModel =>
+            (m.coefficients.toArray, m.intercept)
+          case other => throw new IllegalStateException(
+            s"unexpected OneVsRest submodel ${other.getClass.getSimpleName}")
+        }
+      case other => throw new IllegalStateException(
+        s"not an svm model: ${other.getClass.getSimpleName}")
+    }
+
   /** `classifier.train` mode = multilabel (`classifier.cc:63` — each
     * example can carry several labels, given as one 0/1 column per
     * label): independent binary decomposition, one model per label —

@@ -2344,8 +2344,18 @@ object Lowering {
     // path functions (`sql/builtin_functions.cc` path battery)
     case "parse_path" => P.parsePath(a(0))
     case "stringify_path" | "print_path" => P.stringifyPath(a(0))
-    case "path_element" => P.pathElement(a(0), a(1))
-    case "path_length" => P.pathLength(a(0))
+    // a STRING path (`CAST ('1.2.3' AS path)` — paths are printed
+    // text in wide mode) parses before element reads (MLDB-2063)
+    case "path_element" => resolvedTypeOf(scope, a(0)) match {
+      case Some(org.apache.spark.sql.types.StringType) =>
+        P.pathElement(P.parsePath(a(0)), a(1))
+      case _ => P.pathElement(a(0), a(1))
+    }
+    case "path_length" => resolvedTypeOf(scope, a(0)) match {
+      case Some(org.apache.spark.sql.types.StringType) =>
+        P.pathLength(P.parsePath(a(0)))
+      case _ => P.pathLength(a(0))
+    }
     // identity pair in our dotted-string path convention
     case "flatten_path" | "unflatten_path" => P.flattenPath(a(0))
     // web / blob

@@ -240,7 +240,7 @@ class ReferenceParitySpec10 extends AnyFunSuite {
     val engine = new api.GraftEngine(spark)
     withServer(engine) { (_, get, put, post) =>
       assert(put("/v1/datasets/input1267",
-        """{"type": "sparse.mutable"}""")._1 === 200)
+        """{"type": "sparse.mutable"}""")._1 === 201)
       // the reference's columns-form row recording, cell ts in epoch
       // seconds
       assert(post("/v1/datasets/input1267/rows",

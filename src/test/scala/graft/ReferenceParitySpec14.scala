@@ -271,7 +271,7 @@ class ReferenceParitySpec14 extends AnyFunSuite {
         b2.contains("dataset entry 'dontCreateTwice' already exists"), b2)
       // PUT has overwrite semantics (MLDB-748)
       assert(send("PUT", "/v1/datasets/dontCreateTwice",
-        """{"type": "sparse.mutable"}""")._1 === 200)
+        """{"type": "sparse.mutable"}""")._1 === 201)
     } finally srv.stop()
   }
 

@@ -110,7 +110,7 @@ class RestSpec extends AnyFunSuite {
             java.net.URLEncoder.encode(s"$sf/customer.parquet", "UTF-8")))
         .PUT(HttpRequest.BodyPublishers.noBody()).build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(put.statusCode() === 200)
+      assert(put.statusCode() === 201)
       assert(get(port, "/v1/datasets")._2.contains("customer"))
       // transform procedure via POST
       val post = client.send(HttpRequest
@@ -663,14 +663,14 @@ class RestSpec extends AnyFunSuite {
       }
       // mutable base dataset via typed create + record
       assert(put("/v1/datasets/toy",
-        """{"type": "sparse.mutable"}""")._1 === 200)
+        """{"type": "sparse.mutable"}""")._1 === 201)
       val rows = (0 until 50).map(i =>
         s"""{"rowName":"u$i","feat1":${i % 7}}""").mkString(",")
       assert(post("/v1/datasets/toy/rows", s"[$rows]")._1 === 200)
       // sampled: exact row count without replacement (MLDB-1242)
       assert(put("/v1/datasets/pwet",
         """{"type": "sampled", "params": {"dataset": {"id": "toy"}, "rows": 10}}""")._1
-        === 200)
+        === 201)
       assert(engine.dataset("pwet").count() === 10)
       // too many rows without replacement → 400; ok with replacement
       assert(put("/v1/datasets/patate",
@@ -678,7 +678,7 @@ class RestSpec extends AnyFunSuite {
           |"withReplacement": false}}""".stripMargin)._1 === 400)
       assert(put("/v1/datasets/patate",
         """{"type": "sampled", "params": {"dataset": "toy", "rows": 25000,
-          |"withReplacement": true}}""".stripMargin)._1 === 200)
+          |"withReplacement": true}}""".stripMargin)._1 === 201)
       // recording into a derived dataset → 400 (the reference's rule)
       assert(post("/v1/datasets/patate/rows",
         """[{"rowName":"patato","a":"b"}]""")._1 === 400)
@@ -687,28 +687,28 @@ class RestSpec extends AnyFunSuite {
       engine.recordRows("m2", """[{"rowName":"1","colB":"B"}]""")
       assert(put("/v1/datasets/mat",
         """{"type": "merged", "params": {"datasets": [{"id": "m1"}, {"id": "m2"}]}}""")._1
-        === 200)
+        === 201)
       val m = engine.query("SELECT colA, colB FROM mat")
         .select("colA", "colB").head()
       assert(m.getString(0) === "A" && m.getString(1) === "B")
       // single-dataset merge is legal (MLDB-2077)
       assert(put("/v1/datasets/mat1",
-        """{"type": "merged", "params": {"datasets": ["m1"]}}""")._1 === 200)
+        """{"type": "merged", "params": {"datasets": ["m1"]}}""")._1 === 201)
       assert(engine.dataset("mat1").count() === 1)
       // sub dataset from a query
       assert(put("/v1/datasets/subds",
         """{"type": "sub", "params": {"query": "SELECT feat1 FROM toy WHERE feat1 > 3"}}""")._1
-        === 200)
+        === 201)
       assert(engine.dataset("subds").count() ===
         engine.query("SELECT feat1 FROM toy WHERE feat1 > 3").count())
       // transposed round-trip
       assert(put("/v1/datasets/tr",
-        """{"type": "transposed", "params": {"dataset": "m1"}}""")._1 === 200)
+        """{"type": "transposed", "params": {"dataset": "m1"}}""")._1 === 201)
       assert(engine.dataset("tr").columns.length >= 1)
       // re-creating a formerly derived name as a MUTABLE type lifts
       // the immutability mark: recordRows must succeed again
       assert(put("/v1/datasets/patate",
-        """{"type": "tabular", "params": {}}""")._1 === 200)
+        """{"type": "tabular", "params": {}}""")._1 === 201)
       engine.createDataset("patate", spark.emptyDataFrame)
       assert(post("/v1/datasets/patate/rows",
         """[{"rowName":"patato","a":"b"}]""")._1 === 200)
