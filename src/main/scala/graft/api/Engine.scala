@@ -126,7 +126,10 @@ final class GraftEngine(val spark: SparkSession) {
 
   def dataset(name: String): DataFrame =
     datasets.getOrElse(name,
-      throw new NoSuchElementException(s"dataset '$name' not found"))
+      // the reference's message shape
+      // (MLDBFB-208 greps "dataset entry 'bar' doesn't exist")
+      throw new NoSuchElementException(
+        s"dataset entry '$name' doesn't exist"))
 
   /** `POST /v1/datasets/<n>/rows` — the reference's primary ingest
     * path (`core/dataset.h:417-539` recordRow/recordRows). Body is a
@@ -423,6 +426,71 @@ final class GraftEngine(val spark: SparkSession) {
         .column(graft.plans.JsEval(source, inputColumns,
           inputColumns.map(c => org.apache.spark.sql.GraftColumnBridge
             .expression(df(c))), mode)))
+    compiledApplies.clear()
+  }
+
+  /** `script.apply` with `language: python` (MLDB-643,
+    * `builtin/script_function.cc`): the argument row's cells arrive as
+    * the reference's tuple form `[[col, [value, ts]], …]` in
+    * `mldb.script.args[0]`; the script's `request.set_return` rows
+    * land under `return.<col>` columns, plus the raw array as
+    * `return`. DRIVER-side python per input row (the reference also
+    * pays an interpreter per call) — capped at maxQueryRows; per-row
+    * scoring at scale belongs in the JS script.apply (a codegen'd
+    * expression) or a native entity. */
+  def createPythonScriptFunction(name: String, source: String): Unit = {
+    rejectBuiltinName(name)
+    import org.apache.spark.sql.types._
+    functions(name) = df => {
+      val rows = graft.sql.PlanTime.boundedRows(df,
+        JsHost.maxQueryRows, s"script.apply($name)")
+      def cellJson(v: Any): String = v match {
+        case null => "null"
+        case s: String => jsonQ(s)
+        case b: Boolean => b.toString
+        case n: Number => n.toString
+        case other => jsonQ(String.valueOf(other))
+      }
+      val cols = df.schema.fields.zipWithIndex
+        .filterNot(_._1.name.equalsIgnoreCase("rowName"))
+      val outRows = rows.toSeq.map { r =>
+        // the `args` argument row's CELLS are the tuples — a struct
+        // column expands its fields, flat dotted columns strip the
+        // args. prefix
+        val tuples = cols.flatMap { case (f, i) =>
+          f.dataType match {
+            case st: StructType =>
+              val sub = r.getStruct(i)
+              st.fields.zipWithIndex.map { case (sf, j) =>
+                s"""[${jsonQ(sf.name)}, [${cellJson(
+                  if (sub == null || sub.isNullAt(j)) null
+                  else sub.get(j))}, "1970-01-01T00:00:00Z"]]"""
+              }.toSeq
+            case _ => Seq(
+              s"""[${jsonQ(f.name.stripPrefix("args."))}, [${cellJson(
+                r.get(i))}, "1970-01-01T00:00:00Z"]]""")
+          }
+        }.mkString("[", ",", "]")
+        val res = PyBridge.run(spark, dataset, source,
+          scriptArgsJson = Some(s"[$tuples]"))
+        res.returnJson.getOrElse("[]")
+      }
+      // return rows: [[col, value, ts], …] → stringified 2-D array
+      val cellRe = ("\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
+        "(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9.eE+]+|true|false|null)").r
+      val data = outRows.map { rj =>
+        val cells = cellRe.findAllMatchIn(rj).map { m =>
+          val v = m.group(2)
+          Seq(m.group(1),
+            if (v.startsWith("\"")) v.substring(1, v.length - 1) else v)
+        }.toSeq
+        org.apache.spark.sql.Row(cells.map(_.toArray).toArray: Any)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1),
+        StructType(Seq(StructField("return",
+          ArrayType(ArrayType(StringType))))))
+    }
     compiledApplies.clear()
   }
 

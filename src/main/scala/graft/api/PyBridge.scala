@@ -67,6 +67,36 @@ class _GraftMldb(object):
 
 mldb = _GraftMldb()
 args = _graft_json.loads(_graft_os.environ.get("GRAFT_PY_ARGS", "{}"))
+
+# reference scripts spell `from mldb import mldb` — register a module
+# alias so both the bare global and the import work
+import types as _graft_types
+_graft_mod = _graft_types.ModuleType("mldb")
+_graft_mod.mldb = mldb
+_graft_sys.modules["mldb"] = _graft_mod
+
+class _GraftNS(object):
+    pass
+
+# the reference's script surface: mldb.script.args (the function
+# application's argument tuples) and request.set_return
+mldb.script = _GraftNS()
+mldb.script.args = _graft_json.loads(
+    _graft_os.environ.get("GRAFT_PY_SCRIPT_ARGS", "null"))
+
+class _GraftRequest(object):
+    def __init__(self):
+        self._rtn = None
+    def set_return(self, v):
+        self._rtn = v
+
+request = _GraftRequest()
+
+import atexit as _graft_atexit
+def _graft_flush_return():
+    if request._rtn is not None:
+        print(_graft_json.dumps(request._rtn))
+_graft_atexit.register(_graft_flush_return)
 del _GraftMldb
 """
 
@@ -127,11 +157,14 @@ del _GraftMldb
     t
   }
 
-  /** Run a Python script with the `mldb`/`args` surface. */
+  /** Run a Python script with the `mldb`/`args` surface.
+    * `scriptArgsJson` lands verbatim as `mldb.script.args` (the
+    * script.apply function surface — MLDB-643's tuple form). */
   def run(spark: SparkSession, tables: String => DataFrame, source: String,
       args: Map[String, String] = Map.empty,
       pythonExecutable: String = "python3",
-      timeoutSec: Long = 600): PyResult = {
+      timeoutSec: Long = 600,
+      scriptArgsJson: Option[String] = None): PyResult = {
     val script = Files.createTempFile("graft_py", ".py")
     Files.write(script, (prelude + "\n" + source).getBytes(StandardCharsets.UTF_8))
     val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
@@ -142,6 +175,8 @@ del _GraftMldb
       pb.environment().put("GRAFT_PY_ARGS",
         args.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
           .mkString("{", ", ", "}"))
+      scriptArgsJson.foreach(j =>
+        pb.environment().put("GRAFT_PY_SCRIPT_ARGS", j))
       val proc = pb.start()
       proc.getOutputStream.close()
       // drain both pipes concurrently — a chatty script would deadlock

@@ -304,6 +304,17 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               // MLDB-59: calibrate a raw score into a probability
               engine.createProbabilizerFunction(name,
                 extractField(body, "modelFileUrl"))
+            case "script.apply" =>
+              // MLDB-643: a function backed by a script. python runs
+              // driver-side per call; the JS flavor is the per-row
+              // executor path (createScriptFunction)
+              val lang = extractFieldOpt(body, "language")
+                .getOrElse("javascript")
+              require(lang == "python",
+                "script.apply REST creation supports language: python " +
+                  "(JS script functions register via script expressions)")
+              engine.createPythonScriptFunction(name,
+                extractField(body, "source"))
             case "svm" =>
               // MLDB-991: one-vs-rest margins argmax over a model
               // trained by svm.train
@@ -1000,8 +1011,32 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     // {"columns": […], "rowName": "r"} must work too.
     val nameRe = "\"rowName\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
     val cellRe = ("\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*" +
-      "(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9.eE+]+|true|false|null)" +
+      "(\\{[^{}]*\\}|\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9.eE+]+|true|false|null)" +
       "(?:\\s*,\\s*(\"[^\"]*\"|-?[0-9.eE+]+))?\\s*\\]").r
+    // typed-object cell values (MLDB-986's {"num": "NaN"} /
+    // {"num": "Inf"} / {"ts": …} forms): non-finite numbers emit as
+    // bare NaN/Infinity tokens (the JSON reader accepts them via
+    // allowNonNumericNumbers); other typed wrappers record their
+    // inner value
+    def cellValue(raw: String): String =
+      if (!raw.startsWith("{")) raw
+      else {
+        val inner = "\"(num|ts|interval)\"\\s*:\\s*(\"[^\"]*\"|-?[0-9.eE+]+)"
+          .r.findFirstMatchIn(raw)
+        inner match {
+          case Some(m) =>
+            val v = m.group(2)
+            val s = if (v.startsWith("\"")) v.substring(1, v.length - 1) else v
+            (m.group(1), s) match {
+              case ("num", "NaN") => "NaN"
+              case ("num", "Inf" | "Infinity") => "Infinity"
+              case ("num", "-Inf" | "-Infinity") => "-Infinity"
+              case ("num", n) => n
+              case _ => v
+            }
+          case None => "null"
+        }
+      }
     def tsInstant(raw: String): Option[java.time.Instant] =
       if (raw == null) None
       else if (raw.startsWith("\"")) {
@@ -1021,7 +1056,7 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         colsBody <- jsonBracketValue(rt, "columns")
       } yield {
         val cells = cellRe.findAllMatchIn(colsBody).map { c =>
-          (c.group(1), c.group(2), tsInstant(c.group(3)))
+          (c.group(1), cellValue(c.group(2)), tsInstant(c.group(3)))
         }.toSeq
         val maxTs = cells.flatMap(_._3)
           .reduceOption((a, b) => if (a.isAfter(b)) a else b)

@@ -1909,8 +1909,12 @@ object Lowering {
     case "<=" => lc <= rc
     case ">" => lc > rc
     case ">=" => lc >= rc
-    case "and" => lc && rc
-    case "or" => lc || rc
+    // AND/OR read cell TRUTHINESS (MLDBFB-404's
+    // `CASE (behA AND behC) …` over numeric cells): a non-boolean
+    // side casts — non-ANSI bigint→boolean is nonzero-is-true, and
+    // NULLs keep their tri-logic
+    case "and" => lc.cast("boolean") && rc.cast("boolean")
+    case "or" => lc.cast("boolean") || rc.cast("boolean")
     // `expr @ ts` re-timestamps a value (`sql_expression_operations.h`
     // at/@ operator). Wide mode stores one timestamp per ROW, not per
     // cell, so the value itself is unchanged — same degenerate
