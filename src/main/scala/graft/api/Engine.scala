@@ -2613,15 +2613,16 @@ final class GraftEngine(val spark: SparkSession) {
               .setMetricName("areaUnderROC").evaluate(prepared)
             // outputDataset: per-row score/label/weight with the
             // reference's `index` rank (score descending —
-            // MLDB-59/592 read it back ordered by index)
+            // MLDB-59/592 read it back ordered by index). The rank is
+            // partition-offset numbering (DfOps.globalRowNumber), not
+            // Window.orderBy — no SinglePartition exchange.
             param("outputDataset").foreach { id =>
-              import org.apache.spark.sql.expressions.Window
-              val w = Window.orderBy(col("score").cast("double").desc)
-              createDataset(id, df0.select(
+              val base = df0.select(
                 col("score").cast("double").as("score"),
                 col("label").cast("boolean").as("label"))
                 .withColumn("weight", lit(1.0))
-                .withColumn("index", row_number().over(w).cast("long")))
+              createDataset(id, graft.core.DfOps.globalRowNumber(
+                base, Seq(col("score").desc), "index"))
             }
             s"""{"auc": $auc}"""
         }

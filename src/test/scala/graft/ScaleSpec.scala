@@ -220,4 +220,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).forall(_ % 3 == 2))
     assert(sec < 120, f"mixed-type sort blew the budget: $sec%.1f s")
   }
+
+  test("no global window anywhere: source guard + DfOps.globalRowNumber plan/values") {
+    // 1. STATIC GUARD: a bare `Window.orderBy(` (no partitionBy) plans
+    //    as Exchange SinglePartition — every row through one task. All
+    //    legitimate window uses in this engine go through
+    //    Window.partitionBy(...).orderBy(...); global ranks go through
+    //    DfOps.globalRowNumber. Fail the build if the bare form comes
+    //    back (r10 verdict: classifier.test outputDataset regression).
+    def scalaFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) scalaFiles(f)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+      }
+    val offenders = scalaFiles(new java.io.File("src/main/scala"))
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val lines = try src.getLines().toVector finally src.close()
+        lines.zipWithIndex.collect {
+          case (l, i) if l.contains("Window.orderBy(") &&
+            !l.trim.startsWith("//") && !l.trim.startsWith("*") =>
+            s"${f.getPath}:${i + 1}: ${l.trim}"
+        }
+      }
+    assert(offenders.isEmpty,
+      "bare Window.orderBy (SinglePartition) in src/main:\n" +
+        offenders.mkString("\n"))
+    // 2. BEHAVIOR: globalRowNumber ranks like a global sort would,
+    //    with zero Window in the executed plan
+    val df = spark.range(0, 10000, 1, 16).toDF("id")
+      .withColumn("score", (col("id") * 2654435761L % 100003).cast("double"))
+    val ranked = core.DfOps.globalRowNumber(
+      df, Seq(col("score").desc, col("id").asc), "index")
+    assert(!ranked.queryExecution.executedPlan.toString.contains("Window"))
+    val got = ranked.select("id", "index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got === want)
+  }
 }
