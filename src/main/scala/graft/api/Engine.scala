@@ -848,6 +848,24 @@ final class GraftEngine(val spark: SparkSession) {
         require(param("testingData").nonEmpty,
           "classifier.test expects a scalar named 'score' and a " +
             "scalar named 'label'")
+      case "serial" =>
+        // the reference rejects self-containment at CONSTRUCTION
+        // (basic_procedures.cc:113; MLDB-621's deadlock PUT) — a step
+        // whose id names the procedure being created is a 400
+        import graft.js.JsInterp.{JsArrV, JsStr}
+        for {
+          body <- param("__body")
+          selfId <- param("__id")
+          steps <- scala.util.Try(ProcJson.field(ProcJson.parse(body),
+            "params").flatMap(ProcJson.field(_, "steps"))).toOption.flatten
+        } steps match {
+          case a: JsArrV => a.elems.foreach { s =>
+            if (ProcJson.field(s, "id").contains(JsStr(selfId)))
+              throw new IllegalArgumentException(
+                "Procedure contains itself as a child")
+          }
+          case _ => ()
+        }
       case _ => ()
     }
   }
@@ -3063,7 +3081,13 @@ final class GraftEngine(val spark: SparkSession) {
             param("configuration").map("configuration" -> _)
           runProcedure("classifier.train", trainParams.get _)
           val testInput = testOverride.getOrElse(input)
-          val testQ = s"select $scorer({features: features})[score] " +
+          // a scorer name with non-identifier chars (a permuted
+          // experimentName like "my_test-exp_permutation_1") must be
+          // quoted in the generated test query
+          val scorerRef =
+            if (scorer.forall(ch => ch.isLetterOrDigit || ch == '_')) scorer
+            else "\"" + scorer + "\""
+          val testQ = s"select $scorerRef({features: features})[score] " +
             s"as score, label from (select * from ($testInput) " +
             s"where ($testW))"
           val testRes = runProcedure("classifier.test", Map(
@@ -3077,7 +3101,21 @@ final class GraftEngine(val spark: SparkSession) {
             s""""functionName": ${jsonQ(scorer)}, """ +
             s""""resultsTest": $testRes$accJson}"""
         }
-        s"""{"status": {"folds": ${foldsJson.mkString("[", ",", "]")}}}"""
+        // reference run output shape (experiment_procedure.cc:605):
+        // {folds, aggregatedTest} — aggregatedTest carries mean/std/
+        // min/max over the folds' test metrics (here: auc)
+        val aucVals = foldsJson.flatMap(f =>
+          "\"auc\": ?([0-9.eE+-]+)".r.findFirstMatchIn(f)
+            .map(_.group(1).toDouble))
+        val agg = if (aucVals.isEmpty) "" else {
+          val mean = aucVals.sum / aucVals.size
+          val std = if (aucVals.size <= 1) 0.0 else math.sqrt(
+            aucVals.map(a => (a - mean) * (a - mean)).sum /
+              (aucVals.size - 1))
+          s""", "aggregatedTest": {"auc": {"max": ${aucVals.max}, """ +
+            s""""mean": $mean, "min": ${aucVals.min}, "std": $std}}"""
+        }
+        s"""{"folds": ${foldsJson.mkString("[", ",", "]")}$agg}"""
       case "split" =>
         // `split` (`builtin/datasetsplit_procedure.cc`): distribute
         // rows among output datasets keeping each LABEL represented in
@@ -3451,8 +3489,301 @@ final class GraftEngine(val spark: SparkSession) {
             case _ => s"""{"result": ${JsonRow.scalarJson(result)}}"""
           }
         }
+      case "ranking" =>
+        // `ranking` (`builtin/ranking_procedure.cc:199`;
+        // testing/ranking_test.py): rank the inputData's rows by its
+        // ORDER BY clause; the output dataset maps each rowName to a
+        // 0-based index under `rankingColumnName` (default "rank").
+        // `index` is the only rankingType the reference's enum
+        // accepts. The global index is partition-offset numbering
+        // (DfOps.globalRowNumber) — no SinglePartition window. The
+        // reference stamps cells with the max ORDER BY cell timestamp;
+        // wide mode's analog is the input's max row ts (documented
+        // divergence: per-cell timestamps collapse to the row max).
+        param("rankingType").foreach { t =>
+          if (t != "index") throw new IllegalArgumentException(
+            s"rankingType '$t' is not supported; the only accepted " +
+              "value is 'index'")
+        }
+        import graft.sql.Ast._
+        import org.apache.spark.sql.functions._
+        val stmt = graft.sql.Parser.parse(req("inputData"))
+        if (stmt.from.isEmpty) throw new IllegalArgumentException(
+          "ranking input query must contain a FROM clause")
+        val ordItems = stmt.orderBy.zipWithIndex.map { case (o, i) =>
+          SelectItem(o.e, Some(s"__ord$i")) }
+        val stmt2 = stmt.copy(items =
+          SelectItem(FnCall("rowname", Seq.empty), Some("rowName")) +:
+            SelectItem(Ident(Seq("ts")), Some("__ts")) +: ordItems)
+        val df0 = graft.sql.GraftSql.queryStmtTables(spark, dataset, stmt2,
+          macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+          rowPivots = rowPivotFns.toMap, columnFns = columnFnRegistry.toMap)
+        val ordCols = stmt.orderBy.zipWithIndex.map { case (o, i) =>
+          if (o.asc) col(s"__ord$i").asc else col(s"__ord$i").desc }
+        val ranked = graft.core.DfOps.globalRowNumber(df0, ordCols, "__idx")
+        val rankCol = param("rankingColumnName").getOrElse("rank")
+        val maxTs = Option(df0.agg(max(col("__ts"))).head().get(0))
+        val base = ranked.select(col("rowName"),
+          (col("__idx") - 1L).as(rankCol))
+        registerOut(maxTs match {
+          case Some(t) => base.withColumn("ts", lit(t))
+          case None => base
+        })
+
+      case "summary.statistics" =>
+        // `summary.statistics` (`builtin/summary_statistics_proc.cc:516`;
+        // testing/summary_stats_proc_test.py): one output row per
+        // selected column with the reference's value.* cells. The
+        // select may only name plain columns or wildcards.
+        import graft.sql.Ast._
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        val stmt = graft.sql.Parser.parse(req("inputData"))
+        if (stmt.from.isEmpty) throw new IllegalArgumentException(
+          "summary.statistics input query must contain a FROM clause")
+        stmt.items.foreach {
+          case SelectItem(_: Star, _) => ()
+          case SelectItem(Ident(_), _) => ()
+          case SelectItem(e, _) => throw new IllegalArgumentException(
+            s"'${e}' is not a supported SELECT value expression for " +
+              "summary.statistics")
+        }
+        val df0 = graft.sql.GraftSql.queryStmtTables(spark, dataset, stmt,
+          macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+          rowPivots = rowPivotFns.toMap, columnFns = columnFnRegistry.toMap)
+        // flatten struct (row-valued) columns to dotted leaves, like
+        // the reference's path-flattened column set; drop the carried
+        // rowName / ts bookkeeping columns
+        def leaves(prefix: String,
+            dt: DataType): Seq[(String, org.apache.spark.sql.Column)] =
+          dt match {
+            case st: StructType => st.fields.toSeq.flatMap(f =>
+              leaves(s"$prefix.${f.name}", f.dataType).map {
+                case (n, _) => (n, col(s"`$prefix`").getField(f.name))
+              })
+            case _ => Seq((prefix, col(s"`$prefix`")))
+          }
+        val statCols = df0.schema.fields.toSeq
+          .filterNot(f => f.name.equalsIgnoreCase("rowName") ||
+            f.name.equalsIgnoreCase("ts") || f.name.startsWith("__"))
+          .flatMap(f => leaves(f.name, f.dataType))
+        if (statCols.isEmpty) throw new IllegalArgumentException(
+          "summary.statistics input selects no columns")
+        val flat = df0.select(statCols.map { case (n, c) => c.as(n) }: _*)
+        val sums = graft.procedures.Procedures
+          .summaryStatisticsReference(flat, statCols.map(_._1))
+        // assemble the output: fixed value.* stats + the union of
+        // most-frequent item columns (≤ 10 per input column)
+        val statFields = Seq(
+          ("value.data_type", StringType), ("value.num_null", LongType),
+          ("value.num_unique", LongType), ("value.min", DoubleType),
+          ("value.max", DoubleType), ("value.avg", DoubleType),
+          ("value.stddev", DoubleType), ("value.1st_quartile", DoubleType),
+          ("value.median", DoubleType), ("value.3rd_quartile", DoubleType))
+        val freqNames = sums.flatMap(_.mostFrequent.map(_._1)).distinct
+        val schema = StructType(
+          StructField("rowName", StringType) +:
+            statFields.map { case (n, t) => StructField(n, t) } ++:
+            freqNames.map(n =>
+              StructField(s"value.most_frequent_items.$n", LongType)))
+        val rows = sums.map { s =>
+          val rn = if (s.column.contains('.')) "\"" + s.column + "\""
+            else s.column
+          val freq = s.mostFrequent.toMap
+          org.apache.spark.sql.Row.fromSeq(
+            rn +: statFields.map { case (n, _) =>
+              s.stats.get(n.stripPrefix("value.")).orNull
+            } ++: freqNames.map(n =>
+              freq.get(n).map(Long.box).orNull))
+        }
+        registerOut(spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema))
+
+      case "serial" =>
+        // `serial` (`builtin/basic_procedures.cc:64-180`;
+        // testing/serial_procedure_test.py): run child procedure
+        // CONFIGS in order through this same dispatch; a step that
+        // names this procedure's own id is the reference's
+        // "Procedure contains itself as a child" 400 (MLDB-621).
+        import graft.js.JsInterp.{JsArrV, JsStr}
+        val root = ProcJson.parse(param("__body").getOrElse(
+          throw new IllegalArgumentException("serial needs steps")))
+        val steps = ProcJson.field(root, "params")
+          .flatMap(ProcJson.field(_, "steps"))
+          .orElse(ProcJson.field(root, "steps")) match {
+          case Some(a: JsArrV) => a.elems.toSeq
+          case _ => throw new IllegalArgumentException("serial needs steps")
+        }
+        val selfId = param("__id")
+        val results = steps.map { s =>
+          val stepType = ProcJson.field(s, "type") match {
+            case Some(JsStr(t)) => t
+            case _ => throw new IllegalArgumentException(
+              "serial step needs a type")
+          }
+          val stepId = ProcJson.field(s, "id")
+            .collect { case JsStr(i) => i }
+          if (stepId.isDefined && stepId == selfId)
+            throw new IllegalArgumentException(
+              "Procedure contains itself as a child")
+          runProcedure(stepType, ProcJson.childParamFn(
+            stepType, ProcJson.field(s, "params"), stepId))
+        }
+        s"""{"steps": ${results.mkString("[", ",", "]")}}"""
+
+      case "permuter.run" =>
+        // `permuter.run` (`builtin/permuter_procedure.cc:143-230`;
+        // testing/MLDB-991_permuter_procedure.py): cartesian sweep of
+        // the `permutations` grid over the child `procedure` config —
+        // each leaf list contributes one axis; "$permutation" in any
+        // string expands to "permutation_<n>". Returns one
+        // {configuration, results} entry per combination, like the
+        // reference's RunOutput array.
+        import graft.js.JsInterp.{JsArrV, JsObjV, JsStr, JsVal}
+        val root = ProcJson.parse(param("__body").getOrElse(
+          throw new IllegalArgumentException(
+            "permuter.run needs procedure and permutations")))
+        val p = ProcJson.field(root, "params").getOrElse(root)
+        val procCfg = ProcJson.field(p, "procedure").getOrElse(
+          throw new IllegalArgumentException("permuter.run needs procedure"))
+        val perms = ProcJson.field(p, "permutations").getOrElse(
+          throw new IllegalArgumentException(
+            "permuter.run needs permutations"))
+        val childType = ProcJson.field(procCfg, "type") match {
+          case Some(JsStr(t)) => t
+          case _ => throw new IllegalArgumentException(
+            "permuter.run child procedure needs a type")
+        }
+        val baseJson = ProcJson.field(procCfg, "params")
+          .map(ProcJson.stringify).getOrElse("{}")
+        // flatten the grid to (path, values) axes, reference order
+        val axes = scala.collection.mutable.ArrayBuffer
+          .empty[(Seq[String], Seq[JsVal])]
+        def flattenGrid(v: JsVal, path: Seq[String]): Unit = v match {
+          case o: JsObjV => o.fields.foreach { case (k, inner) =>
+            inner match {
+              case a: JsArrV => axes += ((path :+ k, a.elems.toSeq))
+              case _: JsStr => throw new IllegalArgumentException(
+                "Invalid data type for permutation")
+              case nested: JsObjV => flattenGrid(nested, path :+ k)
+              case _ => throw new IllegalArgumentException(
+                "unsupported type!")
+            }
+          }
+          case _ => throw new IllegalArgumentException(
+            "permutations must be an object")
+        }
+        flattenGrid(perms, Seq.empty)
+        var permNum = 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        def setPath(conf: JsVal, path: Seq[String], v: JsVal): Unit = {
+          var loc = conf
+          path.init.foreach { k =>
+            val o = loc.asInstanceOf[JsObjV]
+            loc = o.fields.getOrElseUpdate(k,
+              new JsObjV(scala.collection.mutable.LinkedHashMap.empty))
+          }
+          loc.asInstanceOf[JsObjV].fields(path.last) = v
+        }
+        def runOne(choices: Seq[JsVal]): Unit = {
+          permNum += 1
+          val conf = ProcJson.parse(baseJson)
+          axes.zip(choices).foreach { case ((path, _), v) =>
+            setPath(conf, path, v) }
+          val confJson = ProcJson.stringify(conf)
+            .replace("$permutation", s"permutation_$permNum")
+          val permuted = ProcJson.parse(confJson)
+          val res = runProcedure(childType, ProcJson.childParamFn(
+            childType, Some(permuted), None))
+          out += s"""{"configuration": $confJson, "results": $res}"""
+        }
+        def recur(axis: Int, acc: Seq[JsVal]): Unit =
+          if (axis == axes.size) runOne(acc)
+          else axes(axis)._2.foreach(v => recur(axis + 1, acc :+ v))
+        if (axes.isEmpty) runOne(Seq.empty) else recur(0, Seq.empty)
+        out.mkString("[", ",", "]")
+
+      case "import.word2vec" =>
+        // `import.word2vec` (`plugins/nlp/word2vec.cc:248`;
+        // testing/MLDB-1019-word2vec.js): load the word2vec binary
+        // into an embedding dataset — rowName from the `named`
+        // expression over {word} (default `word`), columns "0".."d-1".
+        import org.apache.spark.sql.functions._
+        val url = req("dataFileUrl")
+        val path = url.stripPrefix("file://")
+        val outId = param("outputDataset").getOrElse(
+          throw new IllegalArgumentException(
+            "import.word2vec needs outputDataset"))
+        val offset = param("offset").map(_.toLong).getOrElse(0L)
+        val limit = param("limit").map(_.toLong).getOrElse(-1L)
+        val raw = graft.sources.Word2Vec.read(spark, path, offset, limit)
+        val namedExpr = param("named").getOrElse("word")
+        val named = graft.sql.GraftSql.queryTables(spark,
+          n => if (n == "__w2v_src") raw else dataset(n),
+          s"select ($namedExpr) as rowName, embedding from __w2v_src",
+          macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+          rowPivots = rowPivotFns.toMap, columnFns = columnFnRegistry.toMap)
+        val dim = named.select(col("embedding")).limit(1).collect()
+          .headOption.map(_.getAs[scala.collection.Seq[Float]](0).size)
+          .getOrElse(0)
+        val wide = named.select(col("rowName").cast("string").as("rowName") +:
+          (0 until dim).map(i =>
+            element_at(col("embedding"), i + 1).cast("double")
+              .as(i.toString)): _*)
+        registerOut(wide)
+
       case other =>
         throw new IllegalArgumentException(s"unknown procedure type '$other'")
     }
+  }
+}
+
+/** Nested-procedure-config navigation for the composite procedure
+  * types (`serial`, `permuter.run` — `builtin/basic_procedures.cc:64`,
+  * `builtin/permuter_procedure.cc:143`): the REST layer's flat key
+  * extraction can't express a child {type, params} config, so these
+  * procedures receive the raw config JSON (the `__body` param) and
+  * walk it with the engine's own JSON parser. */
+private[api] object ProcJson {
+  import graft.js.JsInterp
+  import graft.js.JsInterp._
+
+  def parse(s: String): JsVal = JsInterp.jsonParse(s)
+  def field(v: JsVal, k: String): Option[JsVal] = v match {
+    case o: JsObjV => o.fields.get(k)
+    case _ => None
+  }
+  def stringify(v: JsVal): String =
+    JsInterp.jsonStringify(v).getOrElse("null")
+
+  /** Render a config value the way `RestServer.extractFieldOpt` would
+    * deliver it to a procedure: scalars plain, `{"id": …}` objects as
+    * their id, other objects and arrays as raw JSON text for the
+    * receiving procedure to parse itself. */
+  def paramString(v: JsVal): String = v match {
+    case JsStr(s) => s
+    case JsNum(d) =>
+      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    case JsBool(b) => b.toString
+    case JsNull => "null"
+    case o: JsObjV => o.fields.get("id") match {
+      case Some(JsStr(id)) => id
+      case _ => stringify(o)
+    }
+    case other => stringify(other)
+  }
+
+  /** A param lookup over a parsed child config's `params` object,
+    * with `__body` reconstituting a {type, params} body so composite
+    * children (a serial inside a serial) keep working. */
+  def childParamFn(tpe: String, params: Option[JsVal],
+      id: Option[String]): String => Option[String] = {
+    val bodyJson = s"""{"type": ${JsInterp.jsonStringify(JsStr(tpe))
+      .getOrElse("\"\"")}, "params": ${params.map(stringify)
+      .getOrElse("{}")}}"""
+    k =>
+      if (k == "__body") Some(bodyJson)
+      else if (k == "__id") id
+      else params.flatMap(field(_, k)).map(paramString)
   }
 }

@@ -555,7 +555,9 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         // params in the RUN body override the stored config's
         // (MLDB-894: runs can override conf)
         engine.runProcedure(tpe, k =>
-          extractFieldOpt(runBody, k).orElse(extractFieldOpt(body, k)))
+          if (k == "__body") Some(body)
+          else if (k == "__id") Some(name)
+          else extractFieldOpt(runBody, k).orElse(extractFieldOpt(body, k)))
       }
       (ex.getRequestMethod, path) match {
         case ("GET", "") => procedures.keys.toSeq.sorted
@@ -565,7 +567,11 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           // PolyCollection POST (MLDBFB-332 asserts it on /v1/procedures)
           val body = readBody()
           val tpe = extractField(body, "type")
-          Created(engine.runProcedure(tpe, k => extractFieldOpt(body, k)))
+          // `__body`/`__id` carry the raw config JSON and entity id to
+          // procedures with NESTED child configs (serial, permuter.run)
+          // that a flat key lookup can't express
+          Created(engine.runProcedure(tpe, k =>
+            if (k == "__body") Some(body) else extractFieldOpt(body, k)))
         case ("PUT", name) if !name.contains("/") =>
           val body = readBody()
           val tpe = extractField(body, "type")
@@ -574,13 +580,17 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           // registers the entity (MLDB-2112: the failed PUT leaves a
           // GETtable procedure with no runs).
           procedures(name) = (tpe, body)
-          engine.validateProcedure(tpe, k => extractFieldOpt(body, k))
+          val paramFn: String => Option[String] = k =>
+            if (k == "__body") Some(body)
+            else if (k == "__id") Some(name)
+            else extractFieldOpt(body, k)
+          engine.validateProcedure(tpe, paramFn)
           // MLDB-951: with runOnCreation the response carries the
           // first run under status.firstRun; without it there is NO
           // status field at all
           val out =
             if (extractFieldOpt(body, "runOnCreation").exists(_.toBoolean)) {
-              val run = engine.runProcedure(tpe, k => extractFieldOpt(body, k))
+              val run = engine.runProcedure(tpe, paramFn)
               recordRun(name, java.util.UUID.randomUUID().toString.take(8))
               s"""{"id": ${jsonStr(name)}, "status": {"firstRun": $run}}"""
             } else s"""{"id": ${jsonStr(name)}}"""

@@ -504,4 +504,148 @@ object Procedures {
   def permuter[T](grid: Seq[(String, Seq[Any])],
       run: Map[String, Any] => T): Seq[(Map[String, Any], T)] =
     permutations(grid).map(p => p -> run(p))
+
+  /** One column's summary-statistics row, reference-shaped
+    * (`builtin/summary_statistics_proc.cc:160-420`;
+    * testing/summary_stats_proc_test.py): `stats` maps the reference's
+    * `value.<stat>` cell names to values, `mostFrequent` the top-10
+    * `value.most_frequent_items.<item>` cells. */
+  final case class ColSummary(column: String, stats: Map[String, Any],
+      mostFrequent: Seq[(String, Long)])
+
+  /** `summary.statistics` with the reference's exact output shape.
+    *
+    * The reference runs 2 queries per column; here ALL columns share
+    * three distributed passes regardless of width: (1) one aggregate
+    * row with every column's count/min/max/avg/stddev/distinct, (2)
+    * one melt → groupBy(column, value) count for the numeric columns'
+    * quartiles + most-frequent (cumulative counts via a window
+    * PARTITIONED BY column — never SinglePartition; a column's
+    * distinct-value count bounds its partition), (3) the same for
+    * categorical columns. Driver collects are #columns-sized (3
+    * quartiles + ≤10 frequent items per column).
+    *
+    * Numeric/categorical per the reference's probe: a column is
+    * numeric when it has ≥1 non-null value and every non-null value
+    * reads as a number (their numeric aggregate query would throw on a
+    * non-numeric cell). Quartiles use the reference's rule: the first
+    * value (ascending) whose cumulative count strictly exceeds
+    * n*{0.25, 0.5, 0.75}. Most-frequent keeps the top 10 by (count,
+    * value) pair order — count first, larger value on ties — exactly
+    * like their `MostFrequents` heap. */
+  def summaryStatisticsReference(df: DataFrame,
+      cols: Seq[String]): Seq[ColSummary] = {
+    import org.apache.spark.sql.types._
+    val total = df.count()
+    def numExpr(c: String): Column = df.schema(c).dataType match {
+      case BooleanType => col(s"`$c`").cast("int").cast("double")
+      case _: NumericType => col(s"`$c`").cast("double")
+      case _ => col(s"`$c`").cast("double") // strings: null when non-numeric
+    }
+    def strExpr(c: String): Column = col(s"`$c`").cast("string")
+    // pass 1: one aggregate row across every column
+    val aggs = cols.flatMap { c =>
+      val n = numExpr(c); val s = strExpr(c)
+      Seq(
+        count(s).as(s"${c}__nNotNull"),
+        count(n).as(s"${c}__nNum"),
+        countDistinct(s).as(s"${c}__nUnique"),
+        min(n).as(s"${c}__min"), max(n).as(s"${c}__max"),
+        avg(n).as(s"${c}__avg"), stddev_samp(n).as(s"${c}__std"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def g[T](c: String, st: String): T =
+      row.getAs[T](s"${c}__$st")
+    val numericCols = cols.filter { c =>
+      val nn = g[Long](c, "nNotNull")
+      nn > 0 && g[Long](c, "nNum") == nn
+    }
+    val catCols = cols.filterNot(numericCols.contains)
+    // pass 2: numeric grouped counts → quartiles + most frequent
+    val numStats: Map[String, (Array[Double], Seq[(String, Long)])] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val melted = df.select(explode(array(numericCols.map(c =>
+          struct(lit(c).as("c"), numExpr(c).as("v"))): _*)).as("cv"))
+          .select(col("cv.c").as("c"), col("cv.v").as("v"))
+          .filter(col("v").isNotNull)
+        val grouped = melted.groupBy(col("c"), col("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy(col("c")).orderBy(col("v"))
+        val wTop = Window.partitionBy(col("c"))
+          .orderBy(col("cnt").desc, col("v").desc)
+        val collected = grouped
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("rk", row_number().over(wTop))
+          .collect()
+        numericCols.map { c =>
+          val mine = collected.filter(_.getString(0) == c)
+          val nn = g[Long](c, "nNotNull").toDouble
+          val thresholds = Array(nn * 0.25, nn * 0.5, nn * 0.75)
+          val asc = mine.sortBy(_.getDouble(1))
+          val qs = thresholds.map { t =>
+            asc.find(r => t < r.getAs[Long]("cum"))
+              .map(_.getDouble(1)).getOrElse(Double.NaN)
+          }
+          val top = mine.filter(_.getAs[Int]("rk") <= 10)
+            .sortBy(_.getAs[Int]("rk"))
+            .map(r => numItemName(r.getDouble(1)) -> r.getAs[Long]("cnt"))
+            .toSeq
+          c -> (qs, top)
+        }.toMap
+      }
+    // pass 3: categorical grouped counts → most frequent
+    val catTops: Map[String, Seq[(String, Long)]] =
+      if (catCols.isEmpty) Map.empty
+      else {
+        val melted = df.select(explode(array(catCols.map(c =>
+          struct(lit(c).as("c"), strExpr(c).as("v"))): _*)).as("cv"))
+          .select(col("cv.c").as("c"), col("cv.v").as("v"))
+          .filter(col("v").isNotNull)
+        val wTop = Window.partitionBy(col("c"))
+          .orderBy(col("cnt").desc, col("v").desc)
+        val collected = melted.groupBy(col("c"), col("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 10)
+          .collect()
+        catCols.map { c =>
+          c -> collected.filter(_.getString(0) == c)
+            .sortBy(_.getAs[Int]("rk"))
+            .map(r => r.getString(1) -> r.getAs[Long]("cnt")).toSeq
+        }.toMap
+      }
+    cols.map { c =>
+      if (numericCols.contains(c)) {
+        val (qs, top) = numStats(c)
+        val nn = g[Long](c, "nNotNull")
+        val std = Option(g[java.lang.Double](c, "std"))
+          .map(_.doubleValue).getOrElse(Double.NaN)
+        ColSummary(c, Map(
+          "data_type" -> "number",
+          "num_null" -> (total - nn),
+          "num_unique" -> g[Long](c, "nUnique"),
+          "min" -> g[java.lang.Double](c, "min").doubleValue,
+          "max" -> g[java.lang.Double](c, "max").doubleValue,
+          "avg" -> g[java.lang.Double](c, "avg").doubleValue,
+          "stddev" -> (if (nn <= 1) Double.NaN else std),
+          "1st_quartile" -> qs(0), "median" -> qs(1),
+          "3rd_quartile" -> qs(2)), top)
+      } else {
+        val nn = g[Long](c, "nNotNull")
+        ColSummary(c, Map(
+          "data_type" -> "categorical",
+          "num_null" -> (total - nn),
+          "num_unique" -> g[Long](c, "nUnique")),
+          catTops.getOrElse(c, Seq.empty))
+      }
+    }
+  }
+
+  /** The reference renders numeric most-frequent item names through
+    * `CellValue::toString` — integers without a decimal point
+    * (summary_statistics_proc.cc:309's "1", not "1.00000"). */
+  private def numItemName(d: Double): String =
+    if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
 }

@@ -16,19 +16,30 @@ import org.apache.spark.sql.types._
   */
 object Word2Vec {
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val in = new DataInputStream(new java.io.BufferedInputStream(
-      new FileInputStream(path)))
+  /** `offset`/`limit` follow the reference's config (word2vec.cc:128):
+    * skip the first `offset` words, keep at most `limit` (-1 =
+    * unbounded) — applied in FILE order while streaming, so a limited
+    * read never materializes the skipped tail. `.gz` files decompress
+    * transparently like the reference's filter_istream. */
+  def read(spark: SparkSession, path: String, offset: Long = 0L,
+      limit: Long = -1L): DataFrame = {
+    val base: java.io.InputStream = new FileInputStream(path)
+    val stream = if (path.endsWith(".gz"))
+      new java.util.zip.GZIPInputStream(base) else base
+    val in = new DataInputStream(new java.io.BufferedInputStream(stream))
     try {
       val header = readLine(in)
       val parts = header.trim.split("\\s+")
       val (vocab, dim) = (parts(0).toInt, parts(1).toInt)
-      val rows = (0 until vocab).map { _ =>
+      val from = math.min(offset, Int.MaxValue.toLong).toInt
+      val until = if (limit < 0) Int.MaxValue
+        else math.min(offset + limit, Int.MaxValue.toLong).toInt
+      val rows = (0 until vocab).iterator.map { _ =>
         val word = readToken(in)
         val vec = Array.fill(dim)(java.lang.Float.intBitsToFloat(
           Integer.reverseBytes(in.readInt())))
         Row(word, vec.toSeq)
-      }
+      }.slice(from, until).toVector
       val schema = StructType(Seq(
         StructField("word", StringType),
         StructField("embedding", ArrayType(FloatType, containsNull = false))))
