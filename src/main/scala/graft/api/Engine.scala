@@ -50,13 +50,66 @@ final class GraftEngine(val spark: SparkSession) {
       .filter(_.nonEmpty).toSeq
     import org.apache.spark.sql.functions._
     tpe match {
-      case "sparse.mutable" | "tabular" | "" =>
+      case "sparse.mutable" | "tabular" | "" | "embedding" |
+          "beh.binary.mutable" | "beh.mutable" =>
         // Re-creating a formerly derived name as a mutable type lifts
         // the immutability mark — otherwise recordRows would reject a
         // dataset that is now genuinely mutable.
         immutableDatasets -= name
         if (!datasets.contains(name)) datasets(name) = spark.emptyDataFrame
         return
+      case "sqliteSparse" =>
+        // `sqliteSparse` (`plugins/sqlite/sqlite_dataset.cc`;
+        // MLDB-574): a mutable dataset persisted to a SQLite file in
+        // the reference's rows/cols/vals layout — commit writes the
+        // file (Sqlite.writeSparse), creation over an EXISTING file
+        // loads it back (EAV → wide pivot)
+        immutableDatasets -= name
+        val path = req("dataFileUrl").stripPrefix("file://")
+        sqliteBacked(name) = path
+        datasets(name) =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+            sqliteSparseWide(path)
+          else spark.emptyDataFrame
+        return
+      case "continuous" =>
+        // `continuous` (`builtin/continuous_dataset.cc`; MLDB-825): a
+        // mutable recording head whose saves rotate into immutable
+        // storage datasets tracked by a metadata dataset. Wide-mode
+        // analog: POST <name>/routes/saves snapshots the current rows
+        // to parquet and records {uri, earliest, latest, rowCount} in
+        // the metadata dataset, then resets the head.
+        immutableDatasets -= name
+        val metaId = param("metadataDataset").getOrElse(s"$name-metadata")
+        continuousCfg(name) = metaId
+        immutableDatasets -= metaId
+        if (!datasets.contains(metaId)) datasets(metaId) = spark.emptyDataFrame
+        if (!datasets.contains(name)) datasets(name) = spark.emptyDataFrame
+        return
+      case "continuous.window" =>
+        // `continuous.window` (`builtin/continuous_dataset.cc:448`):
+        // an immutable view over the saves whose [earliest, latest]
+        // overlaps [from, to] — partition pruning over snapshot files
+        val metaId = req("metadataDataset")
+        val from = param("from")
+        val to = param("to")
+        val meta = dataset(metaId)
+        val fields = meta.schema.fieldNames
+        def f(r: org.apache.spark.sql.Row, n: String): Option[String] = {
+          val i = fields.indexWhere(_.equalsIgnoreCase(n))
+          if (i < 0 || r.isNullAt(i)) None else Some(String.valueOf(r.get(i)))
+        }
+        // metadata is save-count-sized: one row per rotation
+        val saves = meta.collect().toSeq.filter { r =>
+          val e = f(r, "earliest"); val l = f(r, "latest")
+          from.forall(fr => l.forall(_ >= fr)) &&
+            to.forall(t => e.forall(_ <= t))
+        }.flatMap(r => f(r, "uri"))
+        val frames = saves.map(u =>
+          spark.read.parquet(u.stripPrefix("file://")))
+        datasets(name) =
+          if (frames.isEmpty) spark.emptyDataFrame
+          else frames.reduce(_.unionByName(_, allowMissingColumns = true))
       case "merged" =>
         // creation-time validation (mldb_merged_dataset_test): an
         // empty list and a non-existent constituent both 400
@@ -116,6 +169,80 @@ final class GraftEngine(val spark: SparkSession) {
         s"unknown dataset type '$other'")
     }
     immutableDatasets += name
+  }
+
+  /** sqliteSparse-backed dataset names → their file path. */
+  private val sqliteBacked = TrieMap[String, String]()
+
+  /** continuous dataset names → their metadata dataset id. */
+  private val continuousCfg = TrieMap[String, String]()
+
+  /** Load a sqliteSparse file back to the wide shape: EAV cells pivot
+    * to one column per distinct colName, numeric when every cell of
+    * the column is numeric. The pivot width is the file's column
+    * count — a single-node store by construction. */
+  private def sqliteSparseWide(path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val eav = graft.sources.Sqlite.importSqliteSparse(spark, path)
+    val numericCols = eav.groupBy(col("column"))
+      .agg(min(col("value.num").isNotNull.cast("int")).as("allNum"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1) == 1)).toMap
+    if (numericCols.isEmpty) return spark.emptyDataFrame
+    val wide = eav
+      .withColumn("__cell", coalesce(col("value.num").cast("string"),
+        col("value.str")))
+      .groupBy(col("rowName"))
+      .pivot("column", numericCols.keys.toSeq.sorted)
+      .agg(first(col("__cell"), ignoreNulls = true))
+    wide.select(col("rowName") +: numericCols.keys.toSeq.sorted.map { c =>
+      if (numericCols(c)) col(s"`$c`").cast("double").as(c)
+      else col(s"`$c`")
+    }: _*)
+  }
+
+  /** POST /v1/datasets/<n>/commit — persists file-backed mutable
+    * datasets (sqliteSparse); a no-op for plain wide datasets
+    * (recordRows is immediate). */
+  def commitDataset(name: String): Unit =
+    sqliteBacked.get(name).foreach { path =>
+      graft.sources.Sqlite.writeSparse(dataset(name), path)
+    }
+
+  /** POST /v1/datasets/<n>/routes/saves — the continuous dataset's
+    * rotation (`builtin/continuous_dataset.cc:188-290`): snapshot the
+    * recording head to `dataFileUrl`, record {uri, earliest, latest,
+    * rowCount} in the metadata dataset, reset the head. */
+  def saveContinuous(name: String, dataFileUrl: String): String = {
+    import org.apache.spark.sql.functions._
+    val metaId = continuousCfg.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"dataset '$name' is not a continuous dataset"))
+    val df = dataset(name)
+    val path = dataFileUrl.stripPrefix("file://")
+    val n = df.count()
+    df.write.mode("overwrite").parquet(path)
+    val tsIdx = df.schema.fieldNames.indexWhere(_.equalsIgnoreCase("ts"))
+    val (earliest, latest) =
+      if (tsIdx >= 0 && n > 0) {
+        val mm = df.agg(
+          min(col(df.columns(tsIdx)).cast("string")),
+          max(col(df.columns(tsIdx)).cast("string"))).head()
+        (Option(mm.getString(0)), Option(mm.getString(1)))
+      } else {
+        val now = java.time.Instant.now().toString
+        (Some(now), Some(now))
+      }
+    val saveId = name + "-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    recordRows(metaId,
+      s"""[{"rowName": ${jsonQ(saveId)}, "uri": ${jsonQ(dataFileUrl)},
+         |"earliest": ${jsonQ(earliest.getOrElse(""))},
+         |"latest": ${jsonQ(latest.getOrElse(""))},
+         |"rowCount": $n}]""".stripMargin)
+    datasets(name) = spark.emptyDataFrame
+    s"""{"saved": ${jsonQ(dataFileUrl)}, "rowCount": $n, """ +
+      s""""earliest": ${jsonQ(earliest.getOrElse(""))}, """ +
+      s""""latest": ${jsonQ(latest.getOrElse(""))}}"""
   }
 
   /** dataset of type `tabular` backed by parquet at rest. */
@@ -596,7 +723,7 @@ final class GraftEngine(val spark: SparkSession) {
         RawJson(JsHost.resultJson(graft.js.JsInterp.run(
           program, Nil, Nil,
           extraGlobals = Map(
-            "mldb" -> JsHost.mldbObject(spark, dataset),
+            "mldb" -> JsHost.mldbObject(spark, dataset, this),
             "args" -> JsHost.fromAny(
               Map("route" -> route) ++ params)))))
       }
@@ -2049,9 +2176,18 @@ final class GraftEngine(val spark: SparkSession) {
           named = param("named"),
           ignoreBadLines = param("ignoreBadLines").exists(_.toBoolean),
           arrays = param("arrays").getOrElse("encode")))
-      case "import.xlsx" =>
-        registerOut(graft.sources.Xlsx.importXlsx(spark, req("dataFileUrl"),
-          param("sheet").map(Seq(_))))
+      case "import.xlsx" | "experimental.import.xlsx" =>
+        // the reference registers the type as experimental.import.xlsx
+        // (`plugins/tabular/xlsx_importer.cc`; MLDB-1011); the output
+        // dataset id arrives as `output` there, `outputDataset` here
+        val outId = param("outputDataset").orElse(param("output"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"procedure '$tpe' needs param 'outputDataset'"))
+        val df = graft.sources.Xlsx.importXlsx(spark,
+          req("dataFileUrl").stripPrefix("file://"),
+          param("sheet").map(Seq(_)))
+        createDataset(outId, df)
+        s"""{"outputDataset": "$outId", "rowCount": ${df.count()}}"""
       case "import.git" =>
         // the reference takes file:// repository URLs (MLDB-1128's
         // config shape); the CLI walker wants the plain path
@@ -3468,7 +3604,7 @@ final class GraftEngine(val spark: SparkSession) {
         // external-python path with the same mldb.query/args surface)
         if (param("language").contains("javascript")) {
           val result = JsHost.run(spark, dataset,
-            req("source"), Map.empty)
+            req("source"), Map.empty, engine = this)
           s"""{"result": ${JsHost.resultJson(result)}}"""
         } else if (param("language").contains("python")) {
           val scriptArgs = param("args") match {

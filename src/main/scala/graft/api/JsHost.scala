@@ -77,27 +77,164 @@ object JsHost {
     new JsArrV(mutable.ArrayBuffer.from(rows.map(fromAny(_): JsVal)))
   }
 
-  /** The `mldb` host object over a dataset resolver. */
+  /** The `mldb` host object over a dataset resolver. With an engine,
+    * the reference's plugin-script surface grows to `createDataset`
+    * (returning a dataset handle with `recordRow`/`commit` —
+    * `builtin/js/dataset_js.cc`), `openStream` (gz-aware line reader —
+    * `builtin/js/mldb_js.cc:360`), and `get('/v1/query', {q, format})`.
+    * Recorded rows buffer driver-side and flush as ONE recordRows JSON
+    * payload at commit — a script's row loop is configuration-sized by
+    * the same argument as the reference, whose JS runs in-process. */
   def mldbObject(spark: SparkSession,
-      tables: String => DataFrame): JsObjV = {
+      tables: String => DataFrame,
+      engine: GraftEngine = null): JsObjV = {
     val o = mutable.LinkedHashMap.empty[String, JsVal]
     o("query") = new JsNativeV("query", (_, as) => {
       val sql = toStr(as.headOption.getOrElse(JsUndef))
       rowsToJs(graft.sql.GraftSql.queryTables(spark, tables, sql))
     })
     o("log") = new JsNativeV("log", (_, _) => JsUndef)
+    if (engine != null) {
+      o("createDataset") = new JsNativeV("createDataset", (_, as) => {
+        val cfg = as.headOption.getOrElse(JsInterp.error(
+          "createDataset needs a config object"))
+        val cfgObj = cfg match {
+          case ob: JsObjV => ob
+          case _ => JsInterp.error("createDataset needs a config object")
+        }
+        val id = cfgObj.fields.get("id") match {
+          case Some(JsStr(s)) => s
+          case _ => "auto_" + java.util.UUID.randomUUID().toString
+            .replace("-", "").take(12)
+        }
+        // typed creation routes through the dataset-type registry
+        // (sqliteSparse / continuous / merged …); params look up in
+        // the config's params object
+        val tpe = cfgObj.fields.get("type") match {
+          case Some(JsStr(t)) => t
+          case _ => ""
+        }
+        val params = cfgObj.fields.get("params")
+        engine.createDatasetTyped(id, tpe, k => params.flatMap {
+          case p: JsObjV => p.fields.get(k).map {
+            case JsStr(s) => s
+            case ob: JsObjV => ob.fields.get("id") match {
+              case Some(JsStr(s2)) => s2
+              case _ => jsonStringify(ob).getOrElse("null")
+            }
+            case other2 => jsonStringify(other2).getOrElse("null")
+          }
+          case _ => None
+        })
+        val buffered =
+          mutable.ArrayBuffer.empty[(String, Seq[(String, JsVal)])]
+        def cellJson(v: JsVal): String = jsonStringify(v).getOrElse("null")
+        def flush(): Unit = {
+          if (buffered.nonEmpty) {
+            val json = buffered.map { case (rn, cells) =>
+              (Seq("\"rowName\": " + cellJson(JsStr(rn))) ++ cells.map {
+                case (c, v) => cellJson(JsStr(c)) + ": " + cellJson(v)
+              }).mkString("{", ", ", "}")
+            }.mkString("[", ",", "]")
+            engine.recordRows(id, json)
+            buffered.clear()
+          }
+        }
+        def cellsOf(v: JsVal): Seq[(String, JsVal)] = v match {
+          case a: JsArrV => a.elems.toSeq.collect {
+            case t: JsArrV if t.elems.nonEmpty =>
+              // [column, value, ts] — wide mode drops the cell ts
+              toStr(t.elems(0)) -> t.elems.lift(1).getOrElse(JsNull)
+          }
+          case _ => Seq.empty
+        }
+        val ds = mutable.LinkedHashMap.empty[String, JsVal]
+        ds("recordRow") = new JsNativeV("recordRow", (_, rs) => {
+          buffered += ((toStr(rs.headOption.getOrElse(JsUndef)),
+            cellsOf(rs.lift(1).getOrElse(JsUndef))))
+          JsUndef
+        })
+        ds("recordRows") = new JsNativeV("recordRows", (_, rs) => {
+          rs.headOption match {
+            case Some(a: JsArrV) => a.elems.foreach {
+              case pair: JsArrV if pair.elems.nonEmpty =>
+                buffered += ((toStr(pair.elems(0)),
+                  cellsOf(pair.elems.lift(1).getOrElse(JsUndef))))
+              case _ => ()
+            }
+            case _ => ()
+          }
+          JsUndef
+        })
+        ds("commit") = new JsNativeV("commit", (_, _) => {
+          flush()
+          engine.commitDataset(id)
+          JsUndef
+        })
+        ds("status") = new JsNativeV("status", (_, _) => {
+          flush()
+          val df = engine.dataset(id)
+          val st = mutable.LinkedHashMap.empty[String, JsVal]
+          st("rowCount") = JsNum(scala.util.Try(df.count())
+            .getOrElse(0L).toDouble)
+          st("columnCount") = JsNum(df.columns.length.toDouble)
+          new JsObjV(st)
+        })
+        new JsObjV(ds)
+      })
+      o("openStream") = new JsNativeV("openStream", (_, as) => {
+        val url = toStr(as.headOption.getOrElse(JsUndef))
+        val path = url.stripPrefix("file://")
+        val base: java.io.InputStream = new java.io.FileInputStream(path)
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(base)
+          else base, java.nio.charset.StandardCharsets.UTF_8))
+        var nextLine: String = in.readLine()
+        val st = mutable.LinkedHashMap.empty[String, JsVal]
+        st("readLine") = new JsNativeV("readLine", (_, _) => {
+          val l = nextLine
+          if (l == null) JsInterp.error("readLine past end of stream")
+          nextLine = in.readLine()
+          if (nextLine == null) in.close()
+          JsStr(l)
+        })
+        st("eof") = new JsNativeV("eof", (_, _) => JsBool(nextLine == null))
+        new JsObjV(st)
+      })
+      o("get") = new JsNativeV("get", (_, as) => {
+        val path = toStr(as.headOption.getOrElse(JsUndef))
+        if (path != "/v1/query") JsInterp.error(
+          s"mldb.get: only /v1/query is routable in-script (got $path)")
+        val params = as.lift(1) match {
+          case Some(ob: JsObjV) => ob.fields
+          case _ => mutable.LinkedHashMap.empty[String, JsVal]
+        }
+        val sql = params.get("q").map(toStr).getOrElse(
+          JsInterp.error("mldb.get /v1/query needs q"))
+        val res = mutable.LinkedHashMap.empty[String, JsVal]
+        res("responseCode") = JsNum(200)
+        res("json") = rowsToJs(engine.query(sql))
+        new JsObjV(res)
+      })
+    }
     new JsObjV(o)
   }
 
   /** Run an engine-side JS script: returns the script's result (its
-    * `return` value or last expression). */
+    * `return` value or last expression). With an engine, the script
+    * also sees the dataset-creation surface and the reference's
+    * `plugin.log` global. */
   def run(spark: SparkSession, tables: String => DataFrame,
-      source: String, params: Map[String, String]): JsVal = {
+      source: String, params: Map[String, String],
+      engine: GraftEngine = null): JsVal = {
     val argsObj = new JsObjV(mutable.LinkedHashMap.from(
       params.map { case (k, v) => k -> (JsStr(v): JsVal) }))
+    val pluginObj = new JsObjV(mutable.LinkedHashMap(
+      "log" -> (new JsNativeV("log", (_, _) => JsUndef): JsVal)))
     JsInterp.run(JsInterp.compile(source), Nil, Nil,
       extraGlobals = Map(
-        "mldb" -> mldbObject(spark, tables),
+        "mldb" -> mldbObject(spark, tables, engine),
+        "plugin" -> pluginObj,
         "args" -> argsObj))
   }
 

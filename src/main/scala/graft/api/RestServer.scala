@@ -209,9 +209,17 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               m.group(1), body.substring(open + 1, close)))
           }
           s"""{"recorded": $total}"""
+        case ("POST", nameSaves) if nameSaves.endsWith("/routes/saves") =>
+          // continuous dataset rotation (MLDB-825 /routes/saves):
+          // snapshot to dataFileUrl + metadata entry
+          val name = nameSaves.stripSuffix("/routes/saves")
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          engine.saveContinuous(name, extractField(body, "dataFileUrl"))
         case ("POST", nameCommit) if nameCommit.endsWith("/commit") =>
-          // commit is a no-op in wide mode (recordRows is immediate);
-          // accepted for reference-API compatibility
+          // persists file-backed mutable datasets (sqliteSparse);
+          // a no-op in plain wide mode (recordRows is immediate)
+          engine.commitDataset(nameCommit.stripSuffix("/commit"))
           """{"committed": true}"""
         case (m, _) => throw new IllegalArgumentException(s"unsupported $m")
       }
@@ -902,8 +910,30 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
            DoubleType | BooleanType | _: DecimalType => v.toString
       case TimestampType | TimestampNTZType => jsonStr(isoUtc(v))
       case DateType => jsonStr(v.toString)
-      case BinaryType => jsonStr(java.util.Base64.getEncoder
-        .encodeToString(v.asInstanceOf[Array[Byte]]))
+      case BinaryType =>
+        // the reference's blob cell JSON (`sql/cell_value.cc:1542`):
+        // {"blob": […]} — runs of ≥2 printable-ASCII (incl \n\r\t)
+        // bytes write as a string, everything else as integers
+        val bytes = v.asInstanceOf[Array[Byte]]
+        def isStr(b: Byte): Boolean = {
+          val c = b & 0xFF
+          (c >= ' ' && c < 127) || c == '\n' || c == '\r' || c == '\t'
+        }
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < bytes.length) {
+          var j = i
+          while (j < bytes.length && isStr(bytes(j))) j += 1
+          if (j - i == 1) parts += (bytes(i) & 0xFF).toString
+          else if (j - i >= 2) parts += jsonStr(
+            new String(bytes, i, j - i, StandardCharsets.US_ASCII))
+          i = j
+          while (i < bytes.length && !isStr(bytes(i))) {
+            parts += (bytes(i) & 0xFF).toString
+            i += 1
+          }
+        }
+        parts.mkString("{\"blob\": [", ",", "]}")
       case ArrayType(et, _) => v.asInstanceOf[scala.collection.Seq[_]]
         .map(e => if (e == null) "null" else valueJson(e, et))
         .mkString("[", ",", "]")

@@ -195,3 +195,67 @@ object ExifMeta {
   def column(binary: Column): Column =
     GraftColumnBridge.column(ExifMeta(GraftColumnBridge.expression(binary)))
 }
+
+/** `tf_EncodePng` (reference TensorFlow plugin,
+  * `plugins/tensorflow/tensorflow_plugin.cc`;
+  * testing/MLDB-1979-structure-embedding.py): encode an H×W×C pixel
+  * embedding (C = 1 grayscale, 3 RGB, 4 RGBA) into a PNG blob. The
+  * JDK's ImageIO PNG writer stands in for TF's libpng call — the
+  * decoded pixels round-trip identically; the compressed byte stream
+  * differs from TF's (documented divergence: different zlib
+  * filter/window heuristics, same image). */
+case class PngEncode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_png_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rows = input.asInstanceOf[ArrayData]
+    val h = rows.numElements()
+    if (h == 0) return null
+    val row0 = rows.getArray(0)
+    val w = row0.numElements()
+    if (w == 0) return null
+    val c = row0.getArray(0).numElements()
+    val imgType = c match {
+      case 1 => java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      case 3 => java.awt.image.BufferedImage.TYPE_INT_RGB
+      case 4 => java.awt.image.BufferedImage.TYPE_INT_ARGB
+      case other => throw new IllegalArgumentException(
+        s"tf_EncodePng: $other channels (want 1, 3 or 4)")
+    }
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    var y = 0
+    while (y < h) {
+      val rowArr = rows.getArray(y)
+      var x = 0
+      while (x < w) {
+        val px = rowArr.getArray(x)
+        def ch(i: Int): Int =
+          math.max(0, math.min(255, math.round(px.getDouble(i)).toInt))
+        val rgb = c match {
+          case 1 => val g = ch(0); (g << 16) | (g << 8) | g
+          case 3 => (ch(0) << 16) | (ch(1) << 8) | ch(2)
+          case 4 => (ch(3) << 24) | (ch(0) << 16) | (ch(1) << 8) | ch(2)
+        }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  override protected def withNewChildInternal(c: Expression): PngEncode =
+    copy(child = c)
+}
+
+object PngEncode {
+  def column(pixels: Column): Column =
+    GraftColumnBridge.column(PngEncode(
+      GraftColumnBridge.expression(pixels)))
+}

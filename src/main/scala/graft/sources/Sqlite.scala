@@ -350,4 +350,252 @@ object Sqlite {
           lit(null).cast("boolean").as("flag")).as("value"),
         timestamp_millis(col("ts").cast("long")).as("ts"))
   }
+
+  // ---------- writer (the persistence side of sqliteSparse) ----------
+
+  /** Minimal SQLite 3 file writer for the reference's sqliteSparse
+    * rows/cols/vals EAV layout (`plugins/sqlite/sqlite_dataset.cc:682,
+    * 732-751`): page-1 header + sqlite_master, one table b-tree per
+    * table (leaf pages, one interior page when rows span several
+    * leaves), record serial types per the published format
+    * (https://www.sqlite.org/fileformat2.html). Differentially tested
+    * against this file's own reader — which was itself validated on
+    * genuine libsqlite-produced fixtures — so the bytes round-trip.
+    *
+    * Driver-side by design: a SQLite file is one node's data (the
+    * reference uses it as a local persistent store). Values must fit
+    * in-page (payload ≤ ~4000 bytes/cell) — cell text in this layout
+    * is row/column names and atom values.
+    */
+  def writeSparse(df: DataFrame, path: String): Unit = {
+    import scala.collection.mutable
+    val pageSize = 4096
+
+    // wide row frame → EAV triples (rowName, colName, value, tsMillis)
+    val rnIdx = df.schema.fieldNames.indexWhere(_.equalsIgnoreCase("rowName"))
+    require(rnIdx >= 0, "writeSparse input needs a rowName column")
+    val tsIdx = df.schema.fieldNames.indexWhere(_.equalsIgnoreCase("ts"))
+    val dataCols = df.schema.fields.zipWithIndex.filter { case (f, i) =>
+      i != rnIdx && i != tsIdx && !f.name.startsWith("__")
+    }
+    val rowNames = mutable.LinkedHashMap.empty[String, Long]
+    val colNames = mutable.LinkedHashMap.empty[String, Long]
+    val cells = mutable.ArrayBuffer.empty[(Long, Long, Any, Long)]
+    df.toLocalIterator().forEachRemaining { r =>
+      val rn = String.valueOf(r.get(rnIdx))
+      val rid = rowNames.getOrElseUpdate(rn, rowNames.size + 1L)
+      val ts: Long =
+        if (tsIdx < 0 || r.isNullAt(tsIdx)) 0L
+        else r.get(tsIdx) match {
+          case t: java.sql.Timestamp => t.getTime
+          case t: java.time.Instant => t.toEpochMilli
+          case t: java.time.LocalDateTime =>
+            t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          case n: java.lang.Number => n.longValue()
+          case _ => 0L
+        }
+      dataCols.foreach { case (f, i) =>
+        if (!r.isNullAt(i)) {
+          val cid = colNames.getOrElseUpdate(f.name, colNames.size + 1L)
+          cells += ((rid, cid, r.get(i), ts))
+        }
+      }
+    }
+
+    def varint(v: Long): Array[Byte] = {
+      if (v >= 0 && v < 128) Array(v.toByte)
+      else {
+        val groups = mutable.ArrayBuffer.empty[Byte]
+        var x = v
+        // up to 8 7-bit groups + final 8-bit; negative → full 9 bytes
+        if (v < 0) {
+          val out = new Array[Byte](9)
+          out(8) = (x & 0xFF).toByte; x >>= 8
+          var i = 7
+          while (i >= 0) { out(i) = ((x & 0x7F) | 0x80).toByte; x >>= 7; i -= 1 }
+          out
+        } else {
+          while (x > 0) { groups.prepend((x & 0x7F).toByte); x >>= 7 }
+          val out = groups.toArray
+          (0 until out.length - 1).foreach(i =>
+            out(i) = (out(i) | 0x80).toByte)
+          out
+        }
+      }
+    }
+
+    /** (serialType, body bytes) of one dynamically-typed value. */
+    def serial(v: Any): (Long, Array[Byte]) = v match {
+      case null => (0L, Array.empty[Byte])
+      case b: java.lang.Boolean => serial(if (b) 1L else 0L)
+      case n: java.lang.Byte => serial(n.longValue())
+      case n: java.lang.Short => serial(n.longValue())
+      case n: java.lang.Integer => serial(n.longValue())
+      case n: java.lang.Long =>
+        val x = n.longValue()
+        if (x >= Byte.MinValue && x <= Byte.MaxValue)
+          (1L, Array(x.toByte))
+        else if (x >= Short.MinValue && x <= Short.MaxValue)
+          (2L, Array((x >> 8).toByte, x.toByte))
+        else if (x >= -8388608L && x <= 8388607L)
+          (3L, Array((x >> 16).toByte, (x >> 8).toByte, x.toByte))
+        else if (x >= Int.MinValue && x <= Int.MaxValue)
+          (4L, Array((x >> 24).toByte, (x >> 16).toByte, (x >> 8).toByte,
+            x.toByte))
+        else
+          (6L, (0 until 8).map(i => ((x >> (56 - 8 * i)) & 0xFF).toByte)
+            .toArray)
+      case d: java.lang.Float => serial(java.lang.Double.valueOf(d.toDouble))
+      case d: java.lang.Double =>
+        val bits = java.lang.Double.doubleToLongBits(d)
+        (7L, (0 until 8).map(i => ((bits >> (56 - 8 * i)) & 0xFF).toByte)
+          .toArray)
+      case d: java.math.BigDecimal => serial(
+        java.lang.Double.valueOf(d.doubleValue()))
+      case d: BigDecimal => serial(java.lang.Double.valueOf(d.toDouble))
+      case b: Array[Byte] => (12L + 2L * b.length, b)
+      case s: String =>
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (13L + 2L * b.length, b)
+      case other => serial(String.valueOf(other))
+    }
+
+    /** One table record (row of values) per the record format. */
+    def record(values: Seq[Any]): Array[Byte] = {
+      val parts = values.map(serial)
+      val typeBytes = parts.flatMap(p => varint(p._1))
+      // header size includes its own varint; sizes here are < 128
+      val hdr = varint(typeBytes.size + 1L)
+      require(hdr.length == 1, "record header too large for writer")
+      hdr ++ typeBytes ++ parts.flatMap(p => p._2)
+    }
+
+    /** Pack (rowid, record) cells into leaf pages; returns the pages'
+      * bytes and each page's max rowid. */
+    def leafPages(rows: Seq[(Long, Array[Byte])]):
+        Seq[(Array[Byte], Long)] = {
+      val pages = mutable.ArrayBuffer.empty[(Array[Byte], Long)]
+      var i = 0
+      while (i < rows.length || pages.isEmpty) {
+        val cells = mutable.ArrayBuffer.empty[Array[Byte]]
+        var used = 8 // page header
+        var maxRowid = 0L
+        var fits = true
+        while (i < rows.length && fits) {
+          val (rowid, rec) = rows(i)
+          require(rec.length <= pageSize - 35,
+            s"writeSparse cell too large (${rec.length} bytes)")
+          val cell = varint(rec.length.toLong) ++ varint(rowid) ++ rec
+          if (used + 2 + cell.length <= pageSize) {
+            cells += cell; used += 2 + cell.length; maxRowid = rowid; i += 1
+          } else fits = false
+        }
+        val page = new Array[Byte](pageSize)
+        val bb = ByteBuffer.wrap(page).order(ByteOrder.BIG_ENDIAN)
+        page(0) = 13 // table leaf
+        bb.putShort(3, cells.size.toShort)
+        var off = pageSize
+        val ptrs = cells.map { c => off -= c.length; System.arraycopy(
+          c, 0, page, off, c.length); off }
+        bb.putShort(5, off.toShort)
+        ptrs.zipWithIndex.foreach { case (p, j) =>
+          bb.putShort(8 + 2 * j, p.toShort) }
+        pages += ((page, maxRowid))
+        if (rows.isEmpty) i = 1 // emitted the one empty page
+      }
+      pages.toSeq
+    }
+
+    /** One interior page over the leaves (enough for this layout's
+      * sizes: 4-byte child + ≤9-byte key ≈ 300 leaves/page). */
+    def interiorPage(children: Seq[(Int, Long)], rightmost: Int):
+        Array[Byte] = {
+      val page = new Array[Byte](pageSize)
+      val bb = ByteBuffer.wrap(page).order(ByteOrder.BIG_ENDIAN)
+      page(0) = 5 // table interior
+      bb.putShort(3, children.size.toShort)
+      bb.putInt(8, rightmost)
+      var off = pageSize
+      val ptrs = children.map { case (child, key) =>
+        val cell = ByteBuffer.allocate(4).putInt(child).array() ++ varint(key)
+        off -= cell.length
+        System.arraycopy(cell, 0, page, off, cell.length)
+        off
+      }
+      bb.putShort(5, off.toShort)
+      ptrs.zipWithIndex.foreach { case (p, j) =>
+        bb.putShort(12 + 2 * j, p.toShort) }
+      page
+    }
+
+    // build the three tables' pages; page numbers assigned sequentially
+    // after page 1 (sqlite_master)
+    final case class Table(name: String, sql: String,
+        rows: Seq[(Long, Array[Byte])])
+    val tables = Seq(
+      Table("rows", "CREATE TABLE rows (rowNum INTEGER, rowName TEXT)",
+        rowNames.toSeq.map { case (n, id) =>
+          id -> record(Seq(java.lang.Long.valueOf(id), n)) }),
+      Table("cols", "CREATE TABLE cols (colNum INTEGER, colName TEXT)",
+        colNames.toSeq.map { case (n, id) =>
+          id -> record(Seq(java.lang.Long.valueOf(id), n)) }),
+      Table("vals",
+        "CREATE TABLE vals (rowNum INTEGER, colNum INTEGER, val, ts INTEGER)",
+        cells.toSeq.zipWithIndex.map { case ((rid, cid, v, ts), j) =>
+          (j + 1L) -> record(Seq(java.lang.Long.valueOf(rid),
+            java.lang.Long.valueOf(cid), v, java.lang.Long.valueOf(ts))) }))
+
+    val filePages = mutable.ArrayBuffer.empty[Array[Byte]]
+    filePages += new Array[Byte](pageSize) // page 1 placeholder
+    val rootOf = tables.map { t =>
+      val leaves = leafPages(t.rows)
+      val leafNums = leaves.map { case (pg, _) =>
+        filePages += pg; filePages.size }
+      val root =
+        if (leaves.size == 1) leafNums.head
+        else {
+          val children = leafNums.init.zip(leaves.init.map(_._2))
+          filePages += interiorPage(children, leafNums.last)
+          filePages.size
+        }
+      t.name -> root
+    }.toMap
+
+    // page 1: header + sqlite_master leaf
+    val master = filePages(0)
+    val mbb = ByteBuffer.wrap(master).order(ByteOrder.BIG_ENDIAN)
+    val magic = "SQLite format 3".getBytes("ASCII") :+ 0.toByte
+    System.arraycopy(magic, 0, master, 0, 16)
+    mbb.putShort(16, pageSize.toShort)
+    master(18) = 1; master(19) = 1 // write/read format
+    master(21) = 64; master(22) = 32; master(23) = 32
+    mbb.putInt(24, 1) // change counter
+    mbb.putInt(28, filePages.size) // page count
+    mbb.putInt(40, 1) // schema cookie
+    mbb.putInt(44, 1) // schema format
+    mbb.putInt(56, 1) // text encoding UTF-8
+    mbb.putInt(92, 1) // version-valid-for
+    mbb.putInt(96, 3045001) // library version stamp
+    // master b-tree leaf: rows (type, name, tbl_name, rootpage, sql)
+    val masterRows = tables.zipWithIndex.map { case (t, j) =>
+      (j + 1L) -> record(Seq("table", t.name, t.name,
+        java.lang.Long.valueOf(rootOf(t.name).toLong), t.sql))
+    }
+    master(100) = 13
+    mbb.putShort(103, masterRows.size.toShort)
+    var moff = pageSize
+    val mptrs = masterRows.map { case (rowid, rec) =>
+      val cell = varint(rec.length.toLong) ++ varint(rowid) ++ rec
+      moff -= cell.length
+      System.arraycopy(cell, 0, master, moff, cell.length)
+      moff
+    }
+    mbb.putShort(105, moff.toShort)
+    mptrs.zipWithIndex.foreach { case (p, j) =>
+      mbb.putShort(108 + 2 * j, p.toShort) }
+
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path))
+    try filePages.foreach(out.write) finally out.close()
+  }
 }

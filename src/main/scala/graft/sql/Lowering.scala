@@ -762,6 +762,15 @@ object Lowering {
               s.prefix, s.rename, skipRowName = true)
             case (_, v) => Seq(lowerExpr(scope, v))
           })
+      case None if name.toLowerCase == "tf_encodepng" =>
+        // tf_EncodePng({image: …}) (MLDB-1979): named-argument form of
+        // the pixel-embedding → PNG-blob encoder
+        val img = args.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("image") => v
+        }.getOrElse(throw new IllegalArgumentException(
+          "tf_EncodePng expects an {image: …} argument"))
+        lowerFn(scope, "tf_encodepng", Seq(lowerExpr(scope, img)),
+          star = false, Seq(img))
       case None if Set("print_json", "hash", "value_timestamp",
           "latest_timestamp", "earliest_timestamp",
           "distinct_timestamps")(name.toLowerCase) =>
@@ -1498,19 +1507,66 @@ object Lowering {
     // `cls(feats2({*}))`, MLDB-59 `probabilizer(classifier(…))[prob]`)
     case FnCall(name, Seq(arg), false) if currentColumnFns.contains(name) =>
       val c = lowerExpr(scope, arg)
+      // a composed macro with ONE aliased row-valued output lowers to
+      // the bare row (MLDB-1841 convention) — the receiving function
+      // still binds it under the OUTPUT'S NAME (`feats2({*})` aliased
+      // `features` feeds cls's features argument — MLDB-1273/1314)
+      val singleAlias: Option[String] = arg match {
+        case FnApply(n, _, None) => currentMacros.get(n) match {
+          case Some(Seq(SelectItem(e, Some(al))))
+              if !e.isInstanceOf[Star] => Some(al)
+          case _ => None
+        }
+        case _ => None
+      }
       resolvedTypeOf(scope, c) match {
+        case Some(st: org.apache.spark.sql.types.StructType)
+            if singleAlias.isDefined =>
+          currentColumnFns(name).build(Map(
+            singleAlias.get -> ((c, Some(st), (NullLit(): Expr)))))
         case Some(st: org.apache.spark.sql.types.StructType) =>
-          val lowered = st.fields.map { f =>
+          // DOTTED field names group under their head segment — a
+          // composed row like {features.a, features.b} binds the
+          // receiving function's `features` argument as a row
+          // (MLDB-1273/1314 `cls(feats2({*}))`)
+          val (dotted, plain) = st.fields.toSeq.partition(_.name.contains('.'))
+          val grouped = dotted.groupBy(_.name.takeWhile(_ != '.')).map {
+            case (head, fs) =>
+              val sub = org.apache.spark.sql.types.StructType(fs.map(f =>
+                org.apache.spark.sql.types.StructField(
+                  f.name.drop(head.length + 1), f.dataType)))
+              head -> ((struct(fs.map(f => c.getField(f.name)
+                .as(f.name.drop(head.length + 1))): _*),
+                Some(sub), (NullLit(): Expr)))
+          }
+          val lowered = plain.map { f =>
             val ft = f.dataType match {
               case s: org.apache.spark.sql.types.StructType => Some(s)
               case _ => None
             }
             f.name -> ((c.getField(f.name), ft, (NullLit(): Expr)))
-          }.toMap
+          }.toMap ++ grouped
           currentColumnFns(name).build(lowered)
         case _ => throw new IllegalArgumentException(
           s"function '$name' expects a row argument")
       }
+
+    // join-analysis debug builtins (MLDB-1562;
+    // sql/builtin_functions.cc:3308-3339): expression TEXT arguments,
+    // analyzed at plan time, returning the reference's print() strings
+    case FnCall("_remove_table_name", Seq(StrLit(exprText), StrLit(table)), _) =>
+      lit(JoinAnalysis.removeTableNamePrint(exprText, table))
+    case FnCall("_analyze_join",
+        Seq(StrLit(l), StrLit(r), StrLit(on), StrLit(w)), _) =>
+      val a = JoinAnalysis.analyze(l, r, on, w)
+      struct(
+        lit(a.crossWhere).as("crossWhere"),
+        lit(a.constantWhere).as("constantWhere"),
+        struct(lit(a.leftWhere).as("where")).as("left"),
+        struct(lit(a.rightWhere).as("where")).as("right"),
+        lit(a.on).as("on"),
+        lit(a.style).as("style"),
+        lit(a.where).as("where"))
 
     case FnCall(name, args, star) =>
       lowerFn(scope, name, args.map(lowerExpr(scope, _)), star, args)
@@ -2407,6 +2463,11 @@ object Lowering {
     // http.useragent (`plugins/html/useragent_function.cc:106`)
     case "parse_useragent" =>
       graft.functions.UserAgentFunctions.parseUserAgent(a(0))
+    // tf_EncodePng (TensorFlow plugin surface; MLDB-1979): H×W×C pixel
+    // embedding → PNG blob via the JDK encoder
+    case "tf_encodepng" =>
+      graft.plans.PngEncode.column(
+        a(0).cast("array<array<array<double>>>"))
     // temporal_* over a wide-mode cell: each cell holds ONE timestamped
     // value, so the per-cell history aggregate degenerates to the value
     // itself (count is 0/1). Multi-version cells live in EAV mode

@@ -270,13 +270,7 @@ final class Parser(tokens: Vector[Token], source: String = "") {
     out
   }
 
-  /** Builtin names whose canonical spelling is camelCase. */
-  private val camelFns = Map(
-    "rowname" -> "rowName", "rowhash" -> "rowHash", "rowpath" -> "rowPath",
-    "rowpathelement" -> "rowPathElement", "leftrowname" -> "leftRowName",
-    "rightrowname" -> "rightRowName", "columncount" -> "columnCount",
-    "columnname" -> "columnName", "columnpath" -> "columnPath",
-    "rowcount" -> "rowCount", "linenumber" -> "lineNumber")
+  private def camelFns = Parser.camelFns
 
   /** Function names are CASE-SENSITIVE in the reference (MLDB-957:
     * `POWER(x,2)` errors while `power(x,2)` works; camelCase builtins
@@ -669,8 +663,28 @@ final class Parser(tokens: Vector[Token], source: String = "") {
             def exclList(): Seq[String] = parseExclList()
             if (acceptOp("*")) {
               // `{*}` — the whole row as a struct (the reference's
-              // feature-vector idiom, e.g. classifier({features: {*}}))
-              fields += "*" -> Star(exclList())
+              // feature-vector idiom, e.g. classifier({features: {*}}));
+              // `{* AS row.*}` prefixes every column (MLDB-1273)
+              val excl = exclList()
+              val rename =
+                if (acceptKw("AS")) {
+                  if (acceptOp("*")) Some("")
+                  else {
+                    // `row.*` / `a.b.*` nest under the dotted prefix;
+                    // `y*` is a plain prefix rename
+                    var np = parseIdentName()
+                    var dotted = false
+                    var cont = true
+                    while (cont && acceptOp(".")) {
+                      dotted = true
+                      if (acceptOp("*")) cont = false
+                      else np = np + "." + parseIdentName()
+                    }
+                    if (cont) expectOp("*")
+                    Some(if (dotted) np + "." else np)
+                  }
+                } else None
+              fields += "*" -> Star(excl, "", rename)
             } else if ((peek, tokens.lift(p + 1), tokens.lift(p + 2)) match {
                 case (TIdent(v, false, _), Some(TOp(".", _)),
                     Some(TOp("*", _))) => !reserved(v.toLowerCase)
@@ -709,8 +723,14 @@ final class Parser(tokens: Vector[Token], source: String = "") {
               val name =
                 if (acceptKw("AS")) {
                   // `{expr AS *}` splices expr's row fields into this
-                  // literal (MLDB-832 `{{*} as *} as *`)
-                  if (acceptOp("*")) "*" else parseIdentName()
+                  // literal (MLDB-832 `{{*} as *} as *`); a DOTTED
+                  // alias nests the field (`{a AS row.a}` — MLDB-1273)
+                  if (acceptOp("*")) "*"
+                  else {
+                    var nm = parseIdentName()
+                    while (acceptOp(".")) nm = nm + "." + parseIdentName()
+                    nm
+                  }
                 } else e match {
                   // a bare ident names its field after itself —
                   // `{who, what}` has columns who/what (MLDB-1554)
@@ -865,6 +885,16 @@ final class Parser(tokens: Vector[Token], source: String = "") {
 }
 
 object Parser {
+  /** Builtin names whose canonical spelling is camelCase — dispatch is
+    * lowercase internally; the canonical form is what prints back out
+    * (expression print(), /details introspection). */
+  private[sql] val camelFns = Map(
+    "rowname" -> "rowName", "rowhash" -> "rowHash", "rowpath" -> "rowPath",
+    "rowpathelement" -> "rowPathElement", "leftrowname" -> "leftRowName",
+    "rightrowname" -> "rightRowName", "columncount" -> "columnCount",
+    "columnname" -> "columnName", "columnpath" -> "columnPath",
+    "rowcount" -> "rowCount", "linenumber" -> "lineNumber")
+
   def parse(sql: String): Select = {
     // a NUL byte anywhere in the query text is rejected like the
     // reference's UTF-8 validation (testing/MLDB-1603: other control
@@ -873,5 +903,15 @@ object Parser {
       throw new IllegalArgumentException(
         "query string contains an embedded null character")
     new Parser(Lexer.lex(sql), sql).parseStatement()
+  }
+
+  /** Parse a standalone value expression (the reference's
+    * `SqlExpression::parse` — used by the join-analysis debug
+    * builtins, which receive expression TEXT as arguments). */
+  def parseExpression(text: String): Ast.Expr = {
+    if (text.indexOf('\u0000') >= 0)
+      throw new IllegalArgumentException(
+        "expression string contains an embedded null character")
+    new Parser(Lexer.lex(text), text).parseExpr()
   }
 }
