@@ -145,9 +145,15 @@ object Lowering {
           }
           out.as(fld.name)
         }: _*)
-      case Some(_: org.apache.spark.sql.types.ArrayType) =>
-        if (floatOnly) transform(c, x => f(x.cast("double")))
-        else transform(c, x => f(x))
+      case Some(at: org.apache.spark.sql.types.ArrayType) =>
+        // recurse into NESTED embeddings (MLDB-1317 2-D quantize)
+        def rec(cc: Column,
+            dt: org.apache.spark.sql.types.DataType): Column = dt match {
+          case a2: org.apache.spark.sql.types.ArrayType =>
+            transform(cc, x => rec(x, a2.elementType))
+          case _ => if (floatOnly) f(cc.cast("double")) else f(cc)
+        }
+        rec(c, at)
       case _ => f(c)
     }
 
@@ -1439,24 +1445,33 @@ object Lowering {
         }
         else if (arith && (arrayShaped(scope, l) || arrayShaped(scope, r) ||
             isArrT(lt0) || isArrT(rt0))) {
-          // embedding arithmetic is element-wise; a scalar broadcasts
-          // over the vector (MLDB-953 `[1,2,3,4]/norm(...)`)
-          def asD(c: Column) = c.cast("array<double>")
+          // embedding arithmetic is element-wise, recursing into
+          // NESTED (2-D+) embeddings (MLDB-1317 `[[1],[2]] + [[3],[4]]`);
+          // a scalar broadcasts over the vector (MLDB-953
+          // `[1,2,3,4]/norm(...)`); a string element beside + keeps
+          // the reference's binaryPlus concat ('1three' — MLDB-1317)
+          import org.apache.spark.sql.types._
           // a row literal beside an embedding reads as a vector too
           // (MLDB-923: [1,2,3] + {"0":3, "1":2, "2":1})
           val lc = toVector(scope, lc0)
           val rc = toVector(scope, rc0)
-          def isArr(e: Expr, c: Column): Boolean =
-            arrayShaped(scope, e) || resolvedTypeOf(scope, c)
-              .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-          (isArr(l, lc), isArr(r, rc)) match {
-            case (true, true) =>
-              zip_with(asD(lc), asD(rc), (x, y) => binaryOp(op, x, y))
-            case (true, false) =>
-              transform(asD(lc), x => binaryOp(op, x, rc.cast("double")))
+          def tOf(c: Column): DataType =
+            resolvedTypeOf(scope, c).getOrElse(NullType)
+          def elemOp(lcx: Column, lt: DataType, rcx: Column,
+              rt: DataType): Column = (lt, rt) match {
+            case (la: ArrayType, ra: ArrayType) =>
+              zip_with(lcx, rcx,
+                (x, y) => elemOp(x, la.elementType, y, ra.elementType))
+            case (la: ArrayType, _) =>
+              transform(lcx, x => elemOp(x, la.elementType, rcx, rt))
+            case (_, ra: ArrayType) =>
+              transform(rcx, x => elemOp(lcx, lt, x, ra.elementType))
             case _ =>
-              transform(asD(rc), x => binaryOp(op, lc.cast("double"), x))
+              if (op == "+" && (lt == StringType || rt == StringType))
+                concat(lcx.cast("string"), rcx.cast("string"))
+              else binaryOp(op, lcx.cast("double"), rcx.cast("double"))
           }
+          elemOp(lc, tOf(lc), rc, tOf(rc))
         }
         else if (arith && (isStructT(lt0) || isStructT(rt0))) {
           // row arithmetic (column_name_test test_object_arith,
@@ -2534,7 +2549,31 @@ object Lowering {
     // p may be a number or the `inf` literal (MLDB-953); a row literal
     // argument reads as a vector of its field values
     case "norm" => V.norm(toVector(scope, a(0)), pLiteral(raw.lift(1)))
-    case "normalize" => V.normalize(toVector(scope, a(0)), pLiteral(raw.lift(1)))
+    case "normalize" =>
+      // a NESTED (2-D+) embedding normalizes over its FLATTENED
+      // elements, keeping the shape (MLDB-1317
+      // `normalize([[10,20],[30,40]], 1)` → each / 100)
+      import org.apache.spark.sql.types._
+      val v0 = toVector(scope, a(0))
+      val p = pLiteral(raw.lift(1))
+      resolvedTypeOf(scope, v0) match {
+        case Some(at: ArrayType) if at.elementType.isInstanceOf[ArrayType] =>
+          var flat = v0
+          var dt: DataType = at
+          while (dt.isInstanceOf[ArrayType] &&
+              dt.asInstanceOf[ArrayType].elementType.isInstanceOf[ArrayType]) {
+            flat = flatten(flat)
+            dt = dt.asInstanceOf[ArrayType].elementType
+          }
+          val n = V.norm(flat.cast("array<double>"), p)
+          def rec(cc: Column, d: DataType): Column = d match {
+            case a2: ArrayType => transform(cc, x => rec(x, a2.elementType))
+            case _ => when(n === 0.0, cc.cast("double"))
+              .otherwise(cc.cast("double") / n)
+          }
+          rec(v0, at)
+        case _ => V.normalize(v0, p)
+      }
     // a numeric-named row literal reads as a vector (MLDB-923:
     // vector_sum([1,2,3], {"0":3, "1":2, "2":1}))
     case "vector_sum" => V.vectorSum(toVector(scope, a(0)), toVector(scope, a(1)))
@@ -2690,7 +2729,56 @@ object Lowering {
     }
     case "__isconst" => lit(isConstExpr(raw(0)))
     case "static_expression_info" =>
-      struct(struct(lit(isConstExpr(raw(0))).as("isConstant")).as("info"))
+      // MLDB-1984/1317: isConstant + kind, and for embeddings the
+      // static shape (from the literal AST, like the reference's
+      // EmbeddingValueInfo) and the element storage type. The
+      // reference's quantize binds NON-constant (MLDB-1317 pins
+      // isConstant 0 on quantize(normalize(...))) — mirrored.
+      import org.apache.spark.sql.types._
+      def quirkNonConst(e: Expr): Boolean = e match {
+        case FnCall(n, _, _) if n.equalsIgnoreCase("quantize") => true
+        case _ => false
+      }
+      val isConst = isConstExpr(raw(0)) && !quirkNonConst(raw(0))
+      def staticShape(e: Expr): Option[Seq[Int]] = e match {
+        case ArrayLit(items) =>
+          val inner = items.map(staticShape)
+          if (items.isEmpty) Some(Seq(0))
+          else if (inner.forall(_ == inner.head))
+            Some(items.size +: inner.head.getOrElse(Seq.empty))
+          else Some(Seq(items.size))
+        case FnCall(n, as2, _) if as2.nonEmpty && Set("normalize",
+            "quantize", "replace_nan", "replace_inf",
+            "replace_not_finite", "replace_null")(n.toLowerCase) =>
+          staticShape(as2.head)
+        case _ => None
+      }
+      def leafType(dt: DataType): String = dt match {
+        case at: ArrayType => leafType(at.elementType)
+        case LongType | IntegerType | ShortType | ByteType => "INT64"
+        case DoubleType | _: DecimalType => "FLOAT64"
+        case FloatType => "FLOAT32"
+        case StringType => "UTF8STRING"
+        case BooleanType => "BOOLEAN"
+        case TimestampType => "TIMESTAMP"
+        case other2 => other2.simpleString.toUpperCase
+      }
+      val t = resolvedTypeOf(scope, a(0))
+      val kind = t match {
+        case Some(_: ArrayType) => "embedding"
+        case Some(_: StructType) => "row"
+        case _ => "scalar"
+      }
+      val infoFields: Seq[Column] =
+        Seq(lit(if (isConst) 1 else 0).as("isConstant"),
+          lit(kind).as("kind")) ++
+          (if (kind == "embedding") {
+            val shape = staticShape(raw(0)).getOrElse(Seq.empty)
+            shape.zipWithIndex.map { case (d, i) =>
+              lit(d).as(s"shape.$i") } :+
+              lit(t.map(leafType).getOrElse("ATOM")).as("type")
+          } else Seq.empty)
+      struct(struct(infoFields: _*).as("info"))
     case other =>
       throw new IllegalArgumentException(s"Unable to find function '$other'")
   }

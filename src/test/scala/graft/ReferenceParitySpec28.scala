@@ -191,4 +191,58 @@ class ReferenceParitySpec28 extends AnyFunSuite {
     assert(r2.getAs[Number](r2.fieldIndex("x")).longValue === 2L)
     assert(r2.getAs[Number](r2.fieldIndex("y")).longValue === 3L)
   }
+
+  test("MLDB-1317 tail: 2-D embedding arithmetic, number+string concat, row union") {
+    // [[1],[2]] + [[3],[4]] → element-wise into the nested shape
+    val add = q("select [ [1], [2] ] + [ [3], [4] ] as *").head()
+    assert(add.schema.fieldNames.toSeq === Seq("0.0", "1.0"))
+    assert(add.getAs[Number](0).doubleValue === 4.0)
+    assert(add.getAs[Number](1).doubleValue === 6.0)
+    // + with a string element CONCATENATES (binaryPlus — '1three')
+    val cat = q("select [ [1], [2] ] + [ ['three'], ['four'] ] as *").head()
+    assert(cat.getString(0) === "1three")
+    assert(cat.getString(1) === "2four")
+    // row * row takes the union of field names; a one-sided field is
+    // NULL
+    val u = q("select { x: 1, y: 2} * { x: 3, y: 4, z: 5 } as *").head()
+    assert(u.getAs[Number](u.fieldIndex("x")).longValue === 3L)
+    assert(u.getAs[Number](u.fieldIndex("y")).longValue === 8L)
+    assert(u.isNullAt(u.fieldIndex("z")))
+  }
+
+  test("MLDB-1317 tail: 2-D normalize/quantize and static_expression_info") {
+    // normalize over the FLATTENED 2-D embedding (p=1: sum = 100)
+    val nr = q("select normalize([ [ 10, 20 ], [ 30, 40 ] ], 1) as *").head()
+    assert(nr.schema.fieldNames.toSeq === Seq("0.0", "0.1", "1.0", "1.1"))
+    assert((0 until 4).map(nr.getDouble) === Seq(0.1, 0.2, 0.3, 0.4))
+    // quantize lifts element-wise into the nested shape — including
+    // the reference's pinned 0.30000000000000004 double artifact
+    val qr = q("select quantize(normalize([ [ 10, 20 ], [ 30, 40 ] ], 1)" +
+      ", 0.1) as *").head()
+    assert((0 until 4).map(qr.getDouble) ===
+      Seq(0.1, 0.2, 0.30000000000000004, 0.4))
+    // static_expression_info: embedding kind, 2×2 shape, INT64 storage
+    val si = q("select static_expression_info([ [ 10, 20 ], [ 30, 40 ] ])" +
+      "[info] as i").select("i.*").head()
+    assert(si.getAs[Int]("isConstant") === 1)
+    assert(si.getAs[String]("kind") === "embedding")
+    assert(si.getAs[Int]("shape.0") === 2)
+    assert(si.getAs[Int]("shape.1") === 2)
+    assert(si.getAs[String]("type") === "INT64")
+    // normalize keeps the shape; storage becomes float (the engine
+    // computes float64 where the reference stores float32 — divergence)
+    val sn = q("select static_expression_info(normalize(" +
+      "[ [ 10, 20 ], [ 30, 40 ] ], 1))[info] as i").select("i.*").head()
+    assert(sn.getAs[Int]("isConstant") === 1)
+    assert(sn.getAs[String]("kind") === "embedding")
+    assert(sn.getAs[Int]("shape.0") === 2)
+    assert(sn.getAs[String]("type").startsWith("FLOAT"))
+    // the reference binds quantize NON-constant (quirk mirrored)
+    val sq = q("select static_expression_info(quantize(normalize(" +
+      "[ [ 10, 20 ], [ 30, 40 ] ], 1), 0.1))[info] as i")
+      .select("i.*").head()
+    assert(sq.getAs[Int]("isConstant") === 0)
+    assert(sq.getAs[String]("kind") === "embedding")
+    assert(sq.getAs[String]("type") === "FLOAT64")
+  }
 }
