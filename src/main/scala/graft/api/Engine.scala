@@ -881,8 +881,50 @@ final class GraftEngine(val spark: SparkSession) {
     @volatile var state: String = "executing"
     @volatile var error: Option[String] = None
     @volatile var rowCount: Long = -1
+    /** progress steps as (name, type, percent) — the reference's
+      * Progress shape (MLDB-1570). */
+    @volatile var progress: Seq[(String, String, Double)] = Seq.empty
+    /** the run's result JSON once finished. */
+    @volatile var result: Option[String] = None
   }
   private val runs = TrieMap[String, Run]()
+
+  /** The reference's per-procedure progress step names (MLDB-1570
+    * pins bucketize's iterating/bucketizing, both type 'percentile';
+    * MLDB-2110 polls merge/transform steps). */
+  private def progressStepsFor(tpe: String): Seq[(String, String)] =
+    tpe match {
+      case "bucketize" =>
+        Seq(("iterating", "percentile"), ("bucketizing", "percentile"))
+      case "transform" => Seq(("iterating", "percentile"))
+      case other => Seq(("executing", other))
+    }
+
+  /** POST …/runs with the async header (MLDB-1570/2110, MLDB-305):
+    * run the procedure on a background thread; the returned id is
+    * GETtable at /v1/procedures/<n>/runs/<id> with state +
+    * monotonically increasing progress. */
+  def startProcedureRunAsync(tpe: String,
+      param: String => Option[String]): String = {
+    val run = new Run(java.util.UUID.randomUUID().toString.take(8))
+    run.progress = progressStepsFor(tpe).map { case (n, t) => (n, t, 0.0) }
+    runs(run.id) = run
+    val t = new Thread(() => {
+      try {
+        val res = runProcedure(tpe, param)
+        run.progress = run.progress.map { case (n, tt, _) => (n, tt, 100.0) }
+        run.result = Some(res)
+        run.state = "finished"
+      } catch { case e: Throwable =>
+        run.error = Some(String.valueOf(e.getMessage)); run.state = "error"
+      }
+    }, s"graft-procrun-${run.id}")
+    t.setDaemon(true)
+    t.start()
+    run.id
+  }
+
+  def runStatusOpt(id: String): Option[Run] = runs.get(id)
 
   def startTransformRun(inputQuery: String, outputDataset: String): String = {
     val run = new Run(java.util.UUID.randomUUID().toString.take(8))

@@ -37,6 +37,12 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
   // completed runs per named procedure: (runId, started) in run order
   private val procRuns = scala.collection.concurrent.TrieMap
     .empty[String, Vector[(String, java.time.Instant)]]
+  // async plugin construction (MLDB-305/881): state per plugin and a
+  // latch a DELETE can wait on
+  private val pluginStates =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val pluginBuilds = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.CountDownLatch]
 
   def start(): Int = {
     // the query route's work, shared by /v1/query (query string OR
@@ -450,23 +456,53 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         case ("PUT", name) if !name.contains("/") =>
           val body = new String(ex.getRequestBody.readAllBytes,
             StandardCharsets.UTF_8)
-          // the script toolbox signals compile failures as a bare
-          // Throwable (ToolBoxError), not an Exception — surface as 400
-          try engine.createPlugin(name, extractField(body, "source"),
-            extractFieldOpt(body, "language").getOrElse("scala"))
-          catch {
-            case e: IllegalArgumentException => throw e
-            case e: Throwable => throw new IllegalArgumentException(
-              s"plugin did not compile: ${e.getMessage}")
+          def create(): Unit =
+            // the script toolbox signals compile failures as a bare
+            // Throwable (ToolBoxError), not an Exception — surface as 400
+            try engine.createPlugin(name, extractField(body, "source"),
+              extractFieldOpt(body, "language").getOrElse("scala"))
+            catch {
+              case e: IllegalArgumentException => throw e
+              case e: Throwable => throw new IllegalArgumentException(
+                s"plugin did not compile: ${e.getMessage}")
+            }
+          if (isAsync(ex)) {
+            // MLDB-305: async creation answers state "initializing";
+            // construction completes on a background thread
+            val latch = new java.util.concurrent.CountDownLatch(1)
+            pluginBuilds(name) = latch
+            pluginStates(name) = "initializing"
+            val t = new Thread(() => {
+              try { create(); pluginStates(name) = "ok" }
+              catch { case _: Throwable => pluginStates(name) = "error" }
+              finally latch.countDown()
+            }, s"graft-plugin-$name")
+            t.setDaemon(true)
+            t.start()
+            s"""{"created": ${jsonStr(name)}, "state": "initializing"}"""
+          } else {
+            create()
+            pluginStates(name) = "ok"
+            s"""{"created": ${jsonStr(name)}, "state": "ok"}"""
           }
-          s"""{"created": ${jsonStr(name)}}"""
         case ("DELETE", name) if !name.contains("/") =>
+          // MLDB-881: a DELETE on an in-construction entity WAITS for
+          // the construction, then deletes; the reference answers 204
+          // (rest_collection_impl.h:1705)
+          pluginBuilds.get(name).foreach(_.await())
+          pluginBuilds.remove(name)
+          pluginStates.remove(name)
           engine.deletePlugin(name)
-          s"""{"deleted": ${jsonStr(name)}}"""
+          NoContent()
         case ("GET", name) if !name.contains("/") =>
-          if (!engine.listPlugins.contains(name))
-            throw new NoSuchElementException(s"plugin '$name' not found")
-          s"""{"name": ${jsonStr(name)}, "state": "loaded"}"""
+          pluginStates.get(name) match {
+            case Some(st) =>
+              s"""{"name": ${jsonStr(name)}, "state": ${jsonStr(st)}}"""
+            case None =>
+              if (!engine.listPlugins.contains(name))
+                throw new NoSuchElementException(s"plugin '$name' not found")
+              s"""{"name": ${jsonStr(name)}, "state": "ok"}"""
+          }
         case ("GET", routed) if routed.contains("/routes/") =>
           val Array(name, route) = routed.split("/routes/", 2)
           engine.pluginRoute(name, route, queryParams(ex)) match {
@@ -650,13 +686,54 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val run = runNamed(name, runBody)
           recordRun(name, runId)
           Created(run)
+        case ("GET", runPath) if runPath.contains("/runs/") =>
+          // run status by id (MLDB-1570/2110 poll the POST's Location):
+          // state + the reference's progress steps, and the result
+          // under `status` once finished
+          val Array(name, runId) = runPath.split("/runs/", 2)
+          engine.runStatusOpt(runId) match {
+            case Some(r) =>
+              val prog =
+                if (r.progress.isEmpty) ""
+                else ", \"progress\": {\"steps\": [" + r.progress.map {
+                  case (n, t, v) =>
+                    s"""{"name": ${jsonStr(n)}, "type": ${jsonStr(t)}, """ +
+                      s""""value": $v}"""
+                }.mkString(",") + "]}"
+              val status = r.result.map(j => s""", "status": $j""")
+                .getOrElse("")
+              val err = r.error.map(e => s""", "error": ${jsonStr(e)}""")
+                .getOrElse("")
+              s"""{"id": ${jsonStr(r.id)}, "state": ${jsonStr(r.state)}""" +
+                s"""$prog$status$err}"""
+            case None =>
+              // a sync run recorded by name only: it has finished
+              if (procRuns.get(name).exists(_.exists(_._1 == runId)))
+                s"""{"id": ${jsonStr(runId)}, "state": "finished"}"""
+              else throw new NoSuchElementException(
+                s"run '$runId' not found")
+          }
         case ("POST", runPath) if runPath.endsWith("/runs") =>
           val name = runPath.stripSuffix("/runs")
           val runBody = new String(ex.getRequestBody.readAllBytes,
             StandardCharsets.UTF_8)
-          val run = runNamed(name, runBody)
-          recordRun(name, java.util.UUID.randomUUID().toString.take(8))
-          Created(run)
+          if (isAsync(ex)) {
+            // async run (MLDB-1570): 201 + Location of the run status
+            val (tpe, body) = procedures.getOrElse(name,
+              throw new NoSuchElementException(s"unknown procedure '$name'"))
+            val id = engine.startProcedureRunAsync(tpe, k =>
+              if (k == "__body") Some(body)
+              else if (k == "__id") Some(name)
+              else extractFieldOpt(runBody, k)
+                .orElse(extractFieldOpt(body, k)))
+            recordRun(name, id)
+            CreatedAt(s"""{"id": ${jsonStr(id)}, "state": "initializing"}""",
+              s"/v1/procedures/$name/runs/$id")
+          } else {
+            val run = runNamed(name, runBody)
+            recordRun(name, java.util.UUID.randomUUID().toString.take(8))
+            Created(run)
+          }
         case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
       }
     }
@@ -949,15 +1026,24 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
 
   /** control-flow marker: a handler result that must answer 201
     * (entity creation, matching the reference's REST codes). */
-  private final case class CreatedResponse(json: String)
+  private final case class CreatedResponse(json: String,
+      location: Option[String] = None)
     extends RuntimeException
   private def Created(json: String): Nothing = throw CreatedResponse(json)
+  private def CreatedAt(json: String, location: String): Nothing =
+    throw CreatedResponse(json, Some(location))
+  /** The reference's entity DELETE answer (rest_collection_impl.h:1705). */
+  private final case class NoContentResponse() extends RuntimeException
+  private def NoContent(): Nothing = throw NoContentResponse()
 
   private def handle(ex: HttpExchange)(body: => String): Unit = {
     val (code, payload) =
       try (200, body)
       catch {
-        case CreatedResponse(j) => (201, j)
+        case CreatedResponse(j, loc) =>
+          loc.foreach(l => ex.getResponseHeaders.set("Location", l))
+          (201, j)
+        case NoContentResponse() => (204, "")
         case e: IllegalArgumentException => (400, errJson(e, 400))
         case e: NoSuchElementException => (404, errJson(e, 404))
         // Throwable, not Exception: a handler error that escapes here
@@ -965,12 +1051,20 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         // connection with no response at all
         case e: Throwable => (500, errJson(e, 500))
       }
-    val bytes = payload.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length)
-    ex.getResponseBody.write(bytes)
+    if (code == 204) ex.sendResponseHeaders(204, -1)
+    else {
+      val bytes = payload.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+    }
     ex.close()
   }
+
+  /** The reference's async opt-in: an `async: true` request header
+    * (MLDB-305's putAsync / {async: true} option). */
+  private def isAsync(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("async")).exists(_.trim == "true")
 
   // every error body carries error + httpCode — the reference's
   // uniform envelope (testing/MLDB-1260-json-errors.py)

@@ -330,7 +330,7 @@ class RestSpec extends AnyFunSuite {
       assert(c1 === 200 && b1.contains("demo"), b1)
       assert(get(port, "/v1/plugins")._2.contains("\"demo\""))
       val (cs, bs) = get(port, "/v1/plugins/demo")
-      assert(cs === 200 && bs.contains("loaded"), bs)
+      assert(cs === 200 && bs.contains("\"ok\""), bs)
       val (c2, b2) = get(port, "/v1/plugins/demo/routes/hello?who=graft")
       assert(c2 === 200 && b2 === "\"hello graft\"", b2)
       val (c3, b3) = get(port, "/v1/plugins/demo/routes/rows")
@@ -338,7 +338,8 @@ class RestSpec extends AnyFunSuite {
       // a plugin that does not compile is rejected at registration
       assert(put("/v1/plugins/bad", """{"source": "not scala ]["}""")._1 === 400)
       // delete unloads: routes 404 afterwards
-      assert(delete("/v1/plugins/demo")._1 === 200)
+      // the reference answers 204 on entity DELETE (MLDB-881)
+      assert(delete("/v1/plugins/demo")._1 === 204)
       assert(get(port, "/v1/plugins/demo/routes/hello")._1 === 404)
       assert(delete("/v1/plugins/demo")._1 === 404)
     } finally srv.stop()
