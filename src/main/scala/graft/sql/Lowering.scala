@@ -2024,7 +2024,20 @@ object Lowering {
     "tanh" -> 1, "asinh" -> 1, "acosh" -> 1, "atanh" -> 1, "sign" -> 1,
     "isnan" -> 1, "isinf" -> 1, "isfinite" -> 1, "quantize" -> 2,
     "power" -> 2, "pow" -> 2, "mod" -> 2, "atan2" -> 2, "clamp" -> 3,
-    "lower" -> 1, "upper" -> 1, "trim" -> 1, "ltrim" -> 1, "rtrim" -> 1)
+    "lower" -> 1, "upper" -> 1, "trim" -> 1, "ltrim" -> 1, "rtrim" -> 1,
+    // the rest of the reference's checkArgsSize battery
+    // (`sql/builtin_functions.cc`, swept r11 — norm/normalize REQUIRE
+    // the p argument there, MLDB-1336 pattern)
+    "norm" -> 2, "normalize" -> 2, "levenshtein_distance" -> 2,
+    "regex_replace" -> 3, "regex_match" -> 2, "regex_search" -> 2,
+    "remove_prefix" -> 2, "remove_suffix" -> 2, "at" -> 2,
+    "extract_column" -> 2, "cardinality" -> 1, "shape" -> 1,
+    "flatten" -> 1, "blob_length" -> 1, "base64_encode" -> 1,
+    "base64_decode" -> 1, "hash" -> 1, "print_json" -> 1,
+    "mime_type" -> 1, "length" -> 1, "to_timestamp" -> 1,
+    "implicit_cast" -> 1, "parse_path" -> 1, "stringify_path" -> 1,
+    "flatten_path" -> 1, "unflatten_path" -> 1, "path_element" -> 2,
+    "path_length" -> 1, "binomial_ub_80" -> 2, "binomial_lb_80" -> 2)
 
   private def lowerFn(scope: Scope, name: String, a: Seq[Column],
       star: Boolean, raw: Seq[Expr]): Column = {
@@ -3274,8 +3287,13 @@ object Lowering {
     case Extract(x, k) =>
       for (a <- exprText(x); b <- exprText(k)) yield s"$a[$b]"
     case FnCall(n, args, _) =>
+      // dispatch names are lowercase internally; camelCase builtins
+      // print back canonically (`rowName()`, not `rowname()` — the
+      // reference's surface, carried since r8 as a cosmetic gap)
+      val canonical = Parser.camelFns.getOrElse(n, n)
       val as = args.map(exprText)
-      if (as.forall(_.isDefined)) Some(s"$n(${as.flatten.mkString(",")})")
+      if (as.forall(_.isDefined))
+        Some(s"$canonical(${as.flatten.mkString(",")})")
       else None
     case _ => None
   }

@@ -197,6 +197,31 @@ class ReferenceParitySpec43 extends AnyFunSuite {
     }
   }
 
+  // --- MLDB-1336 pattern: the rest of the checkArgsSize battery --------------------
+
+  test("builtin arity errors match the reference's checkArgsSize sweep") {
+    val e = new api.GraftEngine(spark)
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](e.query(sql).collect()).getMessage
+    // norm/normalize REQUIRE p in the reference (builtin_functions.cc)
+    assert(err("select norm([1,2])").contains(
+      "Binding builtin function norm: expected 2 arguments, got 1"))
+    assert(err("select normalize([1,2])").contains(
+      "expected 2 arguments, got 1"))
+    assert(err("select levenshtein_distance('a')").contains(
+      "expected 2 arguments, got 1"))
+    assert(err("select regex_replace('a', 'b')").contains(
+      "expected 3 arguments, got 2"))
+    assert(err("select blob_length('a', 'b')").contains(
+      "expected 1 argument, got 2"))
+    assert(err("select to_timestamp(1, 2)").contains(
+      "expected 1 argument, got 2"))
+    // and the happy paths still bind
+    assert(e.query("select norm([3, 4], 2) as n").head().getDouble(0) === 5.0)
+    assert(e.query("select regex_replace('abc', 'b', 'x') as r")
+      .head().getString(0) === "axc")
+  }
+
   // --- MLDBFB-505_mldb_query_json_error.py -------------------------------------------
 
   test("MLDBFB-505: dataset/query failures keep the uniform JSON error envelope") {

@@ -395,9 +395,10 @@ class ReferenceParitySpec8 extends AnyFunSuite {
     assert(isconst("1 + 2") === true)
     assert(isconst("-a") === false)
     assert(isconst("-1") === true)
-    // MLDB-1984: the structured form
+    // MLDB-1984: the structured form — the reference's JSON carries
+    // isConstant as 1/0 (MLDB-1317's pinned table)
     assert(q("SELECT static_expression_info(pi())[\"info\"][isConstant] " +
-      "as isRow").head().getBoolean(0) === true)
+      "as isRow").head().getInt(0) === 1)
   }
 
   // --- MLDB-1950-crash-in-merge.py -----------------------------------------

@@ -290,7 +290,7 @@ class SqlSpec extends AnyFunSuite {
       """SELECT round(sqrt(16.0), 1) AS a, upper('x') AS b,
         |  date_part('year', CAST('2024-03-05' AS timestamp)) AS c,
         |  clamp(15, 0, 10) AS d,
-        |  norm([3.0, 4.0]) AS e,
+        |  norm([3.0, 4.0], 2) AS e,
         |  levenshtein_distance('kitten', 'sitting') AS f""".stripMargin).head()
     assert(r.getDouble(0) === 4.0)
     assert(r.getString(1) === "X")
