@@ -56,7 +56,32 @@ final class GraftEngine(val spark: SparkSession) {
         // the immutability mark — otherwise recordRows would reject a
         // dataset that is now genuinely mutable.
         immutableDatasets -= name
+        // recorded cell timestamps quantize (`types/date.cc:437`
+        // Date::quantize; MLDB-987): default 1 s, sub-second quanta
+        // ROUND the fraction, multi-second quanta FLOOR whole seconds
+        datasetQuantum(name) =
+          param("timeQuantumSeconds").map(_.toDouble).getOrElse(1.0)
+        // beh files live at a dataFileUrl; the reference rejects a
+        // url without a protocol (MLDB-696)
+        if (tpe.startsWith("beh")) param("dataFileUrl").foreach { u =>
+          if (!u.contains("://")) throw new IllegalArgumentException(
+            s"dataFileUrl '$u' has no protocol (file:// expected)")
+          behBacked(name) = u.stripPrefix("file://")
+        }
         if (!datasets.contains(name)) datasets(name) = spark.emptyDataFrame
+        return
+      case "beh" | "beh.binary" =>
+        // immutable beh reader: reload a committed beh.mutable
+        // snapshot by url (MLDB-1254's save → reload cycle)
+        val u = req("dataFileUrl")
+        if (!u.contains("://")) throw new IllegalArgumentException(
+          s"dataFileUrl '$u' has no protocol (file:// expected)")
+        val path = u.stripPrefix("file://")
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+          throw new IllegalArgumentException(
+            s"beh file '$u' does not exist")
+        datasets(name) = spark.read.parquet(path)
+        immutableDatasets += name
         return
       case "sqliteSparse" =>
         // `sqliteSparse` (`plugins/sqlite/sqlite_dataset.cc`;
@@ -173,6 +198,16 @@ final class GraftEngine(val spark: SparkSession) {
 
   /** sqliteSparse-backed dataset names → their file path. */
   private val sqliteBacked = TrieMap[String, String]()
+  // beh.mutable persistence targets (dataFileUrl paths — MLDB-563)
+  private val behBacked = TrieMap[String, String]()
+  // per-dataset record-time timestamp quantum in seconds
+  // (`timeQuantumSeconds`, default 1 — MLDB-987)
+  private val datasetQuantum = TrieMap[String, Double]()
+
+  /** Record-time timestamp quantum for a dataset (1 s for datasets
+    * created without the param — the reference's default). */
+  def timeQuantum(name: String): Double =
+    datasetQuantum.getOrElse(name, 1.0)
 
   /** continuous dataset names → their metadata dataset id. */
   private val continuousCfg = TrieMap[String, String]()
@@ -203,10 +238,25 @@ final class GraftEngine(val spark: SparkSession) {
   /** POST /v1/datasets/<n>/commit — persists file-backed mutable
     * datasets (sqliteSparse); a no-op for plain wide datasets
     * (recordRows is immediate). */
-  def commitDataset(name: String): Unit =
+  def commitDataset(name: String): Unit = {
     sqliteBacked.get(name).foreach { path =>
       graft.sources.Sqlite.writeSparse(dataset(name), path)
     }
+    // beh.mutable commit persists to its dataFileUrl; `beh` reads it
+    // back (MLDB-563/1254). On-disk encoding is parquet — the
+    // reference's .beh binary layout is an internal format; the API
+    // surface (save at commit, reload by url, overwrite on re-commit)
+    // is what its tests pin.
+    behBacked.get(name).foreach { path =>
+      val p = java.nio.file.Paths.get(path)
+      // a pre-existing plain FILE at the target (tempfile handles —
+      // MLDB-1254) gives way to the dataset directory
+      if (java.nio.file.Files.isRegularFile(p))
+        java.nio.file.Files.delete(p)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      dataset(name).write.mode("overwrite").parquet(path)
+    }
+  }
 
   /** POST /v1/datasets/<n>/routes/saves — the continuous dataset's
     * rotation (`builtin/continuous_dataset.cc:188-290`): snapshot the
@@ -385,13 +435,57 @@ final class GraftEngine(val spark: SparkSession) {
       throw new IllegalArgumentException(
         s"MLDB already has a built-in function named '$name'")
 
-  def createSqlExpressionFunction(name: String, selectBody: String): Unit = {
+  /** `raw` / `autoInput` creation-time options
+    * (`builtin/sql_functions.cc` SqlExpressionFunctionConfig): with
+    * `autoInput` the function's single input pin feeds the
+    * expression's one free variable directly, and with `raw` the one
+    * output value returns unwrapped — together they make the function
+    * applicable over a bare JSON value, which is what the /batch route
+    * consumes (MLDB-2022). */
+  final case class SqlExprMeta(raw: Boolean, autoInput: Boolean,
+      inputVar: Option[String])
+  private val sqlExprMeta = TrieMap[String, SqlExprMeta]()
+  def sqlExpressionMeta(name: String): Option[SqlExprMeta] =
+    sqlExprMeta.get(name)
+
+  /** Free variable names of an expression tree (generic product walk —
+    * FnCall carries its name as a String, so only column/variable
+    * references collect). */
+  private def freeIdents(a: Any): Set[String] = a match {
+    case graft.sql.Ast.Ident(parts) => parts.headOption.toSet
+    case p: Product => p.productIterator.flatMap(freeIdents).toSet
+    case s: Iterable[_] => s.iterator.flatMap(freeIdents).toSet
+    case _ => Set.empty
+  }
+
+  def createSqlExpressionFunction(name: String, selectBody: String,
+      raw: Boolean = false, autoInput: Boolean = false): Unit = {
     rejectBuiltinName(name)
     val stmt = graft.sql.Parser.parse(s"SELECT $selectBody")
+    if (raw) require(stmt.items.size == 1,
+      s"sql.expression function '$name': raw output needs exactly one " +
+        s"select item, got ${stmt.items.size}")
+    val inputVar =
+      if (!autoInput) None
+      else {
+        val ids = freeIdents(stmt.items)
+        require(ids.size == 1,
+          s"sql.expression function '$name': autoInput needs exactly one " +
+            s"input variable, got {${ids.toSeq.sorted.mkString(", ")}}")
+        Some(ids.head)
+      }
+    sqlExprMeta(name) = SqlExprMeta(raw, autoInput, inputVar)
     sqlMacros(name) = stmt.items
+    // application context carries the FULL function registries so a
+    // macro body can call other registered functions — sql.query
+    // row-pivots (MLDB-2022's score_many), other macros, model
+    // entities. Snapshot at APPLY time (.toMap inside the closure):
+    // functions registered after this one stay callable.
     functions(name) = df =>
       graft.sql.Lowering.run(
-        graft.sql.Lowering.Context(spark, _ => df),
+        graft.sql.Lowering.Context(spark, _ => df,
+          macros = sqlMacros.toMap, lookups = paramLookups.toMap,
+          rowPivots = rowPivotFns.toMap, columnFns = columnFnRegistry.toMap),
         stmt.copy(from = Some(graft.sql.Ast.TableRef("__input", None))))
     compiledApplies.clear()
   }
@@ -710,6 +804,14 @@ final class GraftEngine(val spark: SparkSession) {
   private val plugins =
     TrieMap[String, (String, Map[String, String]) => Any]()
 
+  import GraftEngine.{PluginReq, PluginHttp}
+
+  /** Python plugin route scripts, run per-request out-of-process
+    * (the reference's python plugin model — `builtin/python/
+    * python_plugin_loader.cc`: `params.source.routes` executes per
+    * route call with a `request` object). */
+  private val pythonRoutes = TrieMap[String, String]()
+
   /** `language`: "scala" (a [[Scripting]] snippet — the host-language
     * substitute) or "javascript" (the reference's native plugin
     * language, run on [[graft.js.JsInterp]] with the [[JsHost]]
@@ -719,6 +821,30 @@ final class GraftEngine(val spark: SparkSession) {
       language: String = "scala"): Unit = language match {
     case "javascript" =>
       val program = graft.js.JsInterp.compile(source) // parse → 400
+      if (source.contains("setRequestHandler")) {
+        // the reference's plugin lifecycle (`builtin/js/
+        // js_plugin_loader.cc`): the script runs ONCE at load and
+        // registers a request handler; each route call invokes it with
+        // (relpath, verb, resource, params-as-pairs, payload,
+        // contentType, contentLength, headers) — MLDB-2022's /predict.
+        val handler = JsHost.loadPlugin(spark, dataset, source, this)
+          .getOrElse(throw new IllegalArgumentException(
+            s"plugin '$name' calls setRequestHandler with no function"))
+        plugins(name) = { (route, params) =>
+          import graft.js.JsInterp._
+          val pairs = new JsArrV(scala.collection.mutable.ArrayBuffer.from(
+            params.toSeq.map { case (k, v) =>
+              new JsArrV(scala.collection.mutable.ArrayBuffer(
+                JsStr(k): JsVal, JsStr(v): JsVal)): JsVal
+            }))
+          val res = graft.js.JsInterp.callFunctionValue(handler, Seq(
+            JsStr("/" + route), JsStr("GET"),
+            JsStr(s"/v1/plugins/$name/routes/$route"), pairs,
+            JsUndef, JsStr(""), JsNum(0),
+            new JsArrV(scala.collection.mutable.ArrayBuffer.empty)))
+          RawJson(JsHost.resultJson(res))
+        }
+      } else
       plugins(name) = { (route, params) =>
         RawJson(JsHost.resultJson(graft.js.JsInterp.run(
           program, Nil, Nil,
@@ -732,9 +858,69 @@ final class GraftEngine(val spark: SparkSession) {
       plugins(name) = { (route, params) =>
         handler(spark, Map("route" -> route) ++ params)
       }
+    case "python" =>
+      // `params.source.routes` (MLDB-2114/444): the routes script runs
+      // once PER REQUEST in a fresh interpreter — the reference's
+      // python plugin model, where handler state lives in the entity,
+      // not the interpreter. `source` here is the routes script.
+      pythonRoutes(name) = source
+      plugins(name) = { (route, params) =>
+        pythonRouteCall(name, PluginReq(route, "GET",
+          params.toSeq, "null\n"))
+      }
     case other => throw new IllegalArgumentException(
-      s"unknown plugin language '$other' (scala | javascript)")
+      s"unknown plugin language '$other' (scala | javascript | python)")
   }
+
+  /** Run a python plugin's routes script for one request. The script
+    * sees `request.verb/rest_params/payload/remaining` and must call
+    * `request.set_return(value[, code])` — not calling it is a 500
+    * ("Return value is required for route handlers but not set",
+    * MLDB-2114), as is a code outside [200, 599]. */
+  private def pythonRouteCall(name: String, req: PluginReq): PluginHttp = {
+    val src = pythonRoutes.getOrElse(name,
+      throw new NoSuchElementException(s"python plugin '$name' not found"))
+    val reqJson = {
+      def js(s: String) = PyBridge.jstr(s)
+      val pairs = req.params.map { case (k, v) => s"[${js(k)}, ${js(v)}]" }
+        .mkString("[", ", ", "]")
+      s"""{"verb": ${js(req.verb)}, "remaining": ${js("/" + req.route)},
+         |"rest_params": $pairs, "payload": ${js(req.payload)}}"""
+        .stripMargin.replace("\n", " ")
+    }
+    val r = PyBridge.run(spark, dataset, src, requestJson = Some(reqJson))
+    if (r.returnCode != 0)
+      throw new IllegalArgumentException(
+        s"python route handler failed: ${r.stderr}")
+    r.returnJson match {
+      case Some(j) =>
+        // wrapper {"code": N, "value": <json>} from the request-mode
+        // prelude; code 0 (or anything non-HTTP) is a handler bug
+        val codeRe = "^\\s*\\{\\s*\"code\"\\s*:\\s*(-?\\d+)\\s*,\\s*\"value\"\\s*:".r
+        codeRe.findFirstMatchIn(j) match {
+          case Some(m) =>
+            val code = m.group(1).toInt
+            if (code < 200 || code > 599) throw new IllegalStateException(
+              s"route handler returned invalid HTTP code $code")
+            val value = j.substring(m.end).trim.stripSuffix("}").trim
+            PluginHttp(code, value)
+          case None => PluginHttp(200, j)
+        }
+      case None => throw new IllegalStateException(
+        "Return value is required for route handlers but not set")
+    }
+  }
+
+  /** Full-envelope route dispatch (all verbs + payload + ordered
+    * params). Python plugins get the request object; JS and scala
+    * handlers receive the legacy (route, params) shape. */
+  def pluginRouteFull(name: String, req: PluginReq): Any =
+    if (pythonRoutes.contains(name)) pythonRouteCall(name, req)
+    else {
+      val handler = plugins.getOrElse(name,
+        throw new NoSuchElementException(s"plugin '$name' not found"))
+      handler(req.route, req.params.toMap)
+    }
 
   def listPlugins: Seq[String] = plugins.keys.toSeq.sorted
 
@@ -3963,5 +4149,34 @@ private[api] object ProcJson {
       if (k == "__body") Some(bodyJson)
       else if (k == "__id") id
       else params.flatMap(field(_, k)).map(paramString)
+  }
+}
+
+/** Request/response envelopes for plugin route dispatch
+  * (`builtin/plugin.h` handleRequest: verb, resource, ORDERED rest
+  * params, payload; `request.set_return(v, code)` picks the status —
+  * MLDB-2114/444). */
+object GraftEngine {
+  final case class PluginReq(route: String, verb: String,
+      params: Seq[(String, String)], payload: String)
+  final case class PluginHttp(status: Int, json: String)
+
+  /** `Date::quantize` (`types/date.cc:437`; MLDB-987): quanta ≤ 1 s
+    * ROUND the sub-second fraction to the nearest period; quanta > 1 s
+    * FLOOR whole seconds to the quantum (must be integral). */
+  def quantizeInstant(inst: java.time.Instant,
+      quantum: Double): java.time.Instant = {
+    require(quantum > 0.0, "timeQuantumSeconds must be positive")
+    if (quantum <= 1.0) {
+      val pps = math.round(1.0 / quantum).toDouble
+      val partial = math.round(inst.getNano / 1e9 * pps) / pps
+      java.time.Instant.ofEpochSecond(inst.getEpochSecond)
+        .plusNanos(math.round(partial * 1e9))
+    } else {
+      val f = quantum.toLong
+      if (f.toDouble != quantum) throw new IllegalArgumentException(
+        "non-integral numbers of seconds not supported")
+      java.time.Instant.ofEpochSecond(inst.getEpochSecond / f * f)
+    }
   }
 }

@@ -201,6 +201,45 @@ object JsHost {
         st("eof") = new JsNativeV("eof", (_, _) => JsBool(nextLine == null))
         new JsObjV(st)
       })
+      o("createFunction") = new JsNativeV("createFunction", (_, as) => {
+        // `builtin/js/function_js.cc`: create a function entity from a
+        // config object and return a handle whose `callJson(row)`
+        // applies it to one JSON-shaped input row (MLDB-2022's
+        // predictfn). sql.expression configs lower to the same macro
+        // registration as the REST route.
+        val cfg = as.headOption match {
+          case Some(ob: JsObjV) => ob
+          case _ => JsInterp.error("createFunction needs a config object")
+        }
+        val id = cfg.fields.get("id") match {
+          case Some(JsStr(s)) => s
+          case _ => "auto_" + java.util.UUID.randomUUID().toString
+            .replace("-", "").take(12)
+        }
+        val params = cfg.fields.get("params") match {
+          case Some(p: JsObjV) => p.fields
+          case _ => mutable.LinkedHashMap.empty[String, JsVal]
+        }
+        cfg.fields.get("type") match {
+          case Some(JsStr("sql.expression")) =>
+            val expr = params.get("expression").map(toStr).getOrElse(
+              JsInterp.error("sql.expression needs params.expression"))
+            engine.createSqlExpressionFunction(id, expr,
+              raw = params.get("raw").exists(toBool),
+              autoInput = params.get("autoInput").exists(toBool))
+          case Some(JsStr(other)) => JsInterp.error(
+            s"createFunction: unsupported in-script type '$other'")
+          case _ => JsInterp.error("createFunction needs a type")
+        }
+        val h = mutable.LinkedHashMap.empty[String, JsVal]
+        h("callJson") = new JsNativeV("callJson", (_, cas) => {
+          val json = jsonStringify(cas.headOption.getOrElse(JsUndef))
+            .getOrElse("null")
+          val (schema, rows) = engine.applyFunctionJsonRows(id, json)
+          rowToJs(schema, rows.head)
+        })
+        new JsObjV(h)
+      })
       o("get") = new JsNativeV("get", (_, as) => {
         val path = toStr(as.headOption.getOrElse(JsUndef))
         if (path != "/v1/query") JsInterp.error(
@@ -218,6 +257,42 @@ object JsHost {
       })
     }
     new JsObjV(o)
+  }
+
+  /** A typed output row as a JS object — schema-driven (the rows off
+    * the compiled-apply path carry no Row.schema). */
+  def rowToJs(schema: org.apache.spark.sql.types.StructType,
+      r: Row): JsVal = {
+    val o = mutable.LinkedHashMap.empty[String, JsVal]
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      o(f.name) = (f.dataType, if (r.isNullAt(i)) null else r.get(i)) match {
+        case (st: org.apache.spark.sql.types.StructType, sr: Row) =>
+          rowToJs(st, sr)
+        case (_, v) => fromAny(v)
+      }
+    }
+    new JsObjV(o)
+  }
+
+  /** Load a JS PLUGIN: run its program once with the plugin-lifecycle
+    * globals and return the request handler it registered through
+    * `plugin.setRequestHandler`, if any (`builtin/js/
+    * js_plugin_loader.cc` — the script body is the plugin's
+    * constructor). */
+  def loadPlugin(spark: SparkSession, tables: String => DataFrame,
+      source: String, engine: GraftEngine): Option[JsVal] = {
+    var handler: Option[JsVal] = None
+    val pluginObj = new JsObjV(mutable.LinkedHashMap(
+      "log" -> (new JsNativeV("log", (_, _) => JsUndef): JsVal),
+      "setRequestHandler" -> (new JsNativeV("setRequestHandler", (_, as) => {
+        handler = as.headOption
+        JsUndef
+      }): JsVal)))
+    JsInterp.run(JsInterp.compile(source), Nil, Nil,
+      extraGlobals = Map(
+        "mldb" -> mldbObject(spark, tables, engine),
+        "plugin" -> pluginObj))
+    handler
   }
 
   /** Run an engine-side JS script: returns the script's result (its

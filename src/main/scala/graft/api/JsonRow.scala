@@ -166,8 +166,15 @@ object JsonRow {
       }
       val es = elems.result()
       // element type like read.json: any double → array<double> (longs
-      // widen); any string → array<string>; empty → array<string>
-      if (es.isEmpty) (ArrayType(StringType), Seq.empty[String])
+      // widen); any string → array<string>; empty → array<string>.
+      // An array of OBJECTS is the dialect's row-of-rows — a struct
+      // with index-named fields, each keeping its own element schema
+      // (MLDB-2022's rowsToScore: [{x,y}, {a,b,c}] pivots per field).
+      if (es.exists(_._1.isInstanceOf[StructType]))
+        (StructType(es.zipWithIndex.map { case ((dt, _), i) =>
+          StructField(i.toString, dt) }),
+          Row.fromSeq(es.map(_._2)))
+      else if (es.isEmpty) (ArrayType(StringType), Seq.empty[String])
       else if (es.exists(_._1 == StringType))
         (ArrayType(StringType), es.map(e => String.valueOf(e._2)))
       else if (es.exists(_._1 == DoubleType))

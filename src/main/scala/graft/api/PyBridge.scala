@@ -87,21 +87,40 @@ mldb.script.args = _graft_json.loads(
 class _GraftRequest(object):
     def __init__(self):
         self._rtn = None
-    def set_return(self, v):
+        self._code = None
+        self._called = False
+        req = _graft_os.environ.get("GRAFT_PY_REQUEST")
+        self._route_mode = req is not None
+        if req:
+            r = _graft_json.loads(req)
+            self.verb = r.get("verb")
+            self.remaining = r.get("remaining")
+            self.rest_params = r.get("rest_params", [])
+            self.payload = r.get("payload")
+    def set_return(self, v, code=None):
         self._rtn = v
+        self._code = code
+        self._called = True
 
 request = _GraftRequest()
 
 import atexit as _graft_atexit
 def _graft_flush_return():
-    if request._rtn is not None:
+    if request._route_mode:
+        # route handlers: wrap value + HTTP code; not calling
+        # set_return at all is detected JVM-side (no last-line JSON)
+        if request._called:
+            print(_graft_json.dumps(
+                {"code": request._code if request._code is not None else 200,
+                 "value": request._rtn}, separators=(",", ":")))
+    elif request._rtn is not None:
         print(_graft_json.dumps(request._rtn))
 _graft_atexit.register(_graft_flush_return)
 del _GraftMldb
 """
 
   /** JSON-escape a string (minimal, for building responses). */
-  private def jstr(s: String): String = {
+  def jstr(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '"' => sb.append("\\\"")
@@ -164,7 +183,8 @@ del _GraftMldb
       args: Map[String, String] = Map.empty,
       pythonExecutable: String = "python3",
       timeoutSec: Long = 600,
-      scriptArgsJson: Option[String] = None): PyResult = {
+      scriptArgsJson: Option[String] = None,
+      requestJson: Option[String] = None): PyResult = {
     val script = Files.createTempFile("graft_py", ".py")
     Files.write(script, (prelude + "\n" + source).getBytes(StandardCharsets.UTF_8))
     val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
@@ -177,6 +197,8 @@ del _GraftMldb
           .mkString("{", ", ", "}"))
       scriptArgsJson.foreach(j =>
         pb.environment().put("GRAFT_PY_SCRIPT_ARGS", j))
+      requestJson.foreach(j =>
+        pb.environment().put("GRAFT_PY_REQUEST", j))
       val proc = pb.start()
       proc.getOutputStream.close()
       // drain both pipes concurrently — a chatty script would deadlock

@@ -43,6 +43,10 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val pluginBuilds = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.CountDownLatch]
+  // datasets whose typed creation FAILED: (type, error) per entity —
+  // the reference keeps the collection entry in error state (MLDB-572)
+  private val datasetErrors = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String)]
 
   def start(): Int = {
     // the query route's work, shared by /v1/query (query string OR
@@ -51,6 +55,12 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     def runQueryRoute(params: Map[String, String], body: String): String = {
       def bodyField(k: String): Option[String] =
         extractFieldOpt(body, k)
+      // MLDB-1893: parameters come from the query string OR the JSON
+      // body, never both in one request
+      if (params.nonEmpty && body.trim.nonEmpty && body.trim != "{}" &&
+          body.trim != "null")
+        throw new IllegalArgumentException(
+          "You cannot mix query string and body parameters")
       val q = params.get("q").filter(_.nonEmpty)
         .orElse(bodyField("q")).getOrElse(
           throw new IllegalArgumentException("missing q parameter"))
@@ -107,17 +117,37 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
       (ex.getRequestMethod, path) match {
         case ("GET", "") =>
           engine.listDatasets.map(jsonStr).mkString("[", ",", "]")
+        case ("GET", routed) if routed.contains("/routes/") =>
+          // MLDB-572/630: route calls on an entity that failed
+          // creation answer 404 naming the creation error
+          val base = routed.split("/routes/", 2)(0)
+          datasetErrors.get(base) match {
+            case Some((_, err)) => throw new NoSuchElementException(
+              s"dataset '$base' is not available due to error in " +
+                s"creation: $err")
+            case None => throw new NoSuchElementException(
+              s"no route '${routed.split("/routes/", 2)(1)}' on " +
+                s"dataset '$base'")
+          }
         case ("GET", name) =>
           // without ?limit, the reference returns the dataset's STATUS
           // object ({status: {rowCount}} — null_column_test asserts
           // it); ?limit=N keeps this server's row-sampling shape
-          queryParams(ex).get("limit") match {
-            case Some(l) => rowsJson(engine.dataset(name), l.toInt)
-            case None =>
-              val df = engine.dataset(name)
-              s"""{"id": ${jsonStr(name)}, "state": "ok", "status": """ +
-                s"""{"rowCount": ${df.count()}, """ +
-                s""""columnCount": ${df.columns.length}}}"""
+          datasetErrors.get(name) match {
+            case Some((tpe, err)) =>
+              // MLDB-572: the errored entity's config stays readable
+              s"""{"id": ${jsonStr(name)}, "state": "error", """ +
+                s""""type": ${jsonStr(tpe)}, "error": ${jsonStr(err)}, """ +
+                s""""config": {"id": ${jsonStr(name)}, """ +
+                s""""type": ${jsonStr(tpe)}}}"""
+            case None => queryParams(ex).get("limit") match {
+              case Some(l) => rowsJson(engine.dataset(name), l.toInt)
+              case None =>
+                val df = engine.dataset(name)
+                s"""{"id": ${jsonStr(name)}, "state": "ok", "status": """ +
+                  s"""{"rowCount": ${df.count()}, """ +
+                  s""""columnCount": ${df.columns.length}}}"""
+            }
           }
         case ("PUT", name) =>
           val body = new String(ex.getRequestBody.readAllBytes,
@@ -137,8 +167,18 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               // body {"type": "merged"|"sampled"|"transposed"|
               // "union"|"sub"|"tabular"|"sparse.mutable", <params>}
               val tpe = extractFieldOpt(body, "type").getOrElse("")
-              engine.createDatasetTyped(name, tpe,
+              try engine.createDatasetTyped(name, tpe,
                 k => extractFieldOpt(body, k))
+              catch {
+                // MLDB-572: a failed creation still registers the
+                // entity, in error state, with its config readable —
+                // the reference keeps the collection entry so the
+                // client can inspect what failed
+                case e: Exception =>
+                  datasetErrors(name) = (tpe, String.valueOf(e.getMessage))
+                  throw e
+              }
+              datasetErrors.remove(name)
           }
           Created(s"""{"created": ${jsonStr(name)}, "state": "ok"}""")
         case ("POST", "") =>
@@ -255,8 +295,15 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val tpe = extractField(body, "type")
           tpe match {
             case "sql.expression" =>
+              // `prepared` is accepted as a no-op performance hint —
+              // every application here compiles to a bound projection
+              // already. raw/autoInput change the application shape
+              // (MLDB-2022's /batch route).
               engine.createSqlExpressionFunction(name,
-                extractField(body, "expression"))
+                extractField(body, "expression"),
+                raw = extractFieldOpt(body, "raw").contains("true"),
+                autoInput = extractFieldOpt(body, "autoInput")
+                  .contains("true"))
             case "sql.query" =>
               val q = extractField(body, "query")
               val out = extractFieldOpt(body, "output").getOrElse("FIRST_ROW")
@@ -425,7 +472,16 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val name = app.stripSuffix("/application")
           val input = queryParams(ex).getOrElse("input",
             throw new IllegalArgumentException("missing input parameter"))
-          applicationJson(name, input)
+          if (queryParams(ex).get("outputFormat").contains("json"))
+            applicationPlainJson(name, input)
+          else applicationJson(name, input)
+        case b if b.endsWith("/batch") =>
+          // apply a raw/autoInput sql.expression to EACH element of a
+          // JSON array (MLDB-2022's score_one over [[1,2,3],[4,5],…])
+          val name = b.stripSuffix("/batch")
+          val input = queryParams(ex).getOrElse("input",
+            throw new IllegalArgumentException("missing input parameter"))
+          batchJson(name, input)
         case det if det.endsWith("/details") =>
           // model introspection (MLDB-174/961 read the trained
           // feature list out of /details)
@@ -458,9 +514,26 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
             StandardCharsets.UTF_8)
           def create(): Unit =
             // the script toolbox signals compile failures as a bare
-            // Throwable (ToolBoxError), not an Exception — surface as 400
-            try engine.createPlugin(name, extractField(body, "source"),
-              extractFieldOpt(body, "language").getOrElse("scala"))
+            // Throwable (ToolBoxError), not an Exception — surface as 400.
+            // The reference's config carries `type: "javascript"` and a
+            // source OBJECT ({main: "…"}) — both accepted here
+            // (MLDB-2022's myapi plugin).
+            try {
+              val lang = extractFieldOpt(body, "language")
+                .orElse(extractFieldOpt(body, "type")
+                  .filter(t => t == "javascript" || t == "python"))
+                .getOrElse("scala")
+              val source =
+                if (lang == "python")
+                  // python plugins carry `params.source.routes` (the
+                  // per-request route script — MLDB-2114/444)
+                  extractFieldOpt(body, "routes")
+                    .orElse(extractFieldOpt(body, "main"))
+                    .getOrElse(extractField(body, "source"))
+                else extractFieldOpt(body, "main")
+                  .getOrElse(extractField(body, "source"))
+              engine.createPlugin(name, source, lang)
+            }
             catch {
               case e: IllegalArgumentException => throw e
               case e: Throwable => throw new IllegalArgumentException(
@@ -503,9 +576,20 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
                 throw new NoSuchElementException(s"plugin '$name' not found")
               s"""{"name": ${jsonStr(name)}, "state": "ok"}"""
           }
-        case ("GET", routed) if routed.contains("/routes/") =>
+        case (verb, routed) if routed.contains("/routes/") =>
+          // all verbs reach the handler (MLDB-2114: a python route
+          // answers GET/POST/PUT/DELETE with its own status code);
+          // params stay ORDERED (the reference's [name, value] pairs —
+          // MLDB-444 mirrors them back verbatim)
           val Array(name, route) = routed.split("/routes/", 2)
-          engine.pluginRoute(name, route, queryParams(ex)) match {
+          val rawBody = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          val payload =
+            if (rawBody.trim.isEmpty) "null\n" else rawBody + "\n"
+          engine.pluginRouteFull(name, GraftEngine.PluginReq(
+            route, verb, orderedParams(ex), payload)) match {
+            case GraftEngine.PluginHttp(status, json) =>
+              WithStatus(status, json)
             // any Dataset (typed or Row) renders as rows — a script's
             // s.range(n) without .toDF must not ClassCast
             case ds: org.apache.spark.sql.Dataset[_] => rowsJson(ds.toDF(), 100)
@@ -517,6 +601,48 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
             case other => jsonStr(String.valueOf(other))
           }
         case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
+      }
+    })
+    // ---- /v1/types + /v1/typeInfo (`server/mldb_server.cc` type
+    // collections: per-kind type listings, per-type config info, and
+    // the javascript/python TYPE-level `routes/run` script runner —
+    // MLDB-255/1000/497/251/980) -------------------------------------
+    server.createContext("/v1/typeInfo", (ex: HttpExchange) => handle(ex) {
+      val t = queryParams(ex).getOrElse("type",
+        throw new IllegalArgumentException("missing type parameter"))
+      typeInfoJson(t)
+    })
+    server.createContext("/v1/types", (ex: HttpExchange) => handle(ex) {
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/types")
+        .stripPrefix("/")
+      (ex.getRequestMethod, path) match {
+        case ("GET", "") =>
+          RestServer.typeCatalog.keys.toSeq.sorted
+            .map(jsonStr).mkString("[", ",", "]")
+        case ("GET", kind) if !kind.contains("/") =>
+          val types = RestServer.typeCatalog.getOrElse(kind,
+            throw new NoSuchElementException(s"unknown kind '$kind'"))
+          types.map(jsonStr).mkString("[", ",", "]")
+        case ("GET", kindType) if kindType.endsWith("/info") =>
+          val parts = kindType.stripSuffix("/info").split("/", 2)
+          if (parts.length != 2) throw new IllegalArgumentException(
+            s"bad type info path '$kindType'")
+          val (kind, tpe) = (parts(0), parts(1))
+          if (!RestServer.typeCatalog.get(kind).exists(_.contains(tpe)))
+            throw new NoSuchElementException(
+              s"unknown $kind type '$tpe'")
+          s"""{"configType": {"typeName": ${jsonStr(
+            RestServer.configTypeName(tpe))}, "kind": "STRUCTURE"}}"""
+        case ("POST", "plugins/javascript/routes/run") =>
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          runScriptRoute("javascript", body)
+        case ("POST", "plugins/python/routes/run") =>
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          runScriptRoute("python", body)
+        case (m, p) => throw new IllegalArgumentException(
+          s"unsupported $m /v1/types/$p")
       }
     })
     // generic named/typed procedure handling, shared by the
@@ -933,6 +1059,66 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     s"""{"output": ${fields.mkString("{", ",", "}")}}"""
   }
 
+  /** `outputFormat=json` application rendering (MLDB-2022's scorer):
+    * bare values, no output envelope — a row whose columns are the
+    * contiguous integers 0..n-1 renders as a JSON ARRAY, anything else
+    * as an object, recursively. */
+  private def applicationPlainJson(name: String, input: String): String = {
+    val (schema, rows) = engine.applyFunctionJsonRows(name, input)
+    require(rows.nonEmpty, s"function '$name' returned no row")
+    renderPlain(schema, rows.head)
+  }
+
+  private def renderPlain(schema: org.apache.spark.sql.types.StructType,
+      r: org.apache.spark.sql.Row): String = {
+    import org.apache.spark.sql.types.StructType
+    def cell(dt: org.apache.spark.sql.types.DataType, v: Any): String =
+      (dt, v) match {
+        case (_, null) => "null"
+        case (st: StructType, sr: org.apache.spark.sql.Row) =>
+          renderPlain(st, sr)
+        case (dt2, v2) => valueJson(v2, dt2)
+      }
+    val names = schema.fields.map(_.name)
+    val vals = schema.fields.indices.map(i =>
+      cell(schema.fields(i).dataType, if (r.isNullAt(i)) null else r.get(i)))
+    if (names.nonEmpty &&
+        names.zipWithIndex.forall { case (n, i) => n == i.toString })
+      vals.mkString("[", ",", "]")
+    else names.zip(vals).map { case (n, v) => s"${jsonStr(n)}:$v" }
+      .mkString("{", ",", "}")
+  }
+
+  /** `GET /v1/functions/<n>/batch?input=[…]` — MLDB-2022: apply a
+    * raw/autoInput sql.expression to each element of the array. The
+    * payload is request-sized by definition; each element applies
+    * through the same compiled zero-job projection as /application. */
+  private def batchJson(name: String, inputJson: String): String = {
+    import graft.js.JsInterp._
+    val meta = engine.sqlExpressionMeta(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$name' is not a sql.expression function — /batch applies " +
+          "prepared sql.expression functions only"))
+    val elems = eval("(" + inputJson + ")") match {
+      case a: JsArrV => a.elems.toSeq
+      case _ => throw new IllegalArgumentException(
+        "batch input must be a JSON array")
+    }
+    elems.map { elem =>
+      val body = meta.inputVar match {
+        case Some(v) =>
+          s"""{${jsonStr(v)}: ${jsonStringify(elem).getOrElse("null")}}"""
+        case None => jsonStringify(elem).getOrElse("null")
+      }
+      val (schema, rows) = engine.applyFunctionJsonRows(name, body)
+      val r = rows.head
+      if (meta.raw)
+        if (r.isNullAt(0)) "null"
+        else valueJson(r.get(0), schema.fields(0).dataType)
+      else renderPlain(schema, r)
+    }.mkString("[", ",", "]")
+  }
+
   /** ISO-8601 UTC with the reference's `Z` suffix and no zero
     * fraction (`2015-12-25T00:00:00Z`; sub-second survives —
     * MLDB-409's no-FROM timestamp pin). `Instant.toString` renders in
@@ -1035,6 +1221,81 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
   /** The reference's entity DELETE answer (rest_collection_impl.h:1705). */
   private final case class NoContentResponse() extends RuntimeException
   private def NoContent(): Nothing = throw NoContentResponse()
+  // a handler-chosen status + body (plugin routes: set_return's code)
+  private final case class WithStatusResponse(code: Int, json: String)
+    extends RuntimeException
+  private def WithStatus(code: Int, json: String): Nothing =
+    throw WithStatusResponse(code, json)
+
+  /** `POST /v1/types/plugins/<lang>/routes/run` — run a one-shot
+    * script (`builtin/js/js_plugin_loader.cc` handleTypeRoute /
+    * python equivalent): body carries `source` (inline) or `address`
+    * (file:// only — remote URLs fail the load, MLDB-251). Response
+    * is the reference's ScriptOutput: `{result}` on success, 400 with
+    * `{exception: {message}}` on compile/run errors (MLDB-980 pins
+    * the V8 syntax-error message). */
+  private def runScriptRoute(language: String, body: String): String = {
+    val source = extractFieldOpt(body, "source").getOrElse {
+      val addr = extractFieldOpt(body, "address").getOrElse(
+        throw new IllegalArgumentException(
+          "script config needs source or address"))
+      if (addr.startsWith("http://") || addr.startsWith("https://"))
+        throw new IllegalArgumentException(
+          s"couldn't fetch script from '$addr': remote URL loading " +
+            "is not available")
+      val p = addr.stripPrefix("file://")
+      val path = java.nio.file.Paths.get(
+        if (p.startsWith("/")) p else p)
+      if (!java.nio.file.Files.exists(path))
+        throw new IllegalArgumentException(
+          s"script file '$addr' not found")
+      new String(java.nio.file.Files.readAllBytes(path),
+        StandardCharsets.UTF_8)
+    }
+    def exceptionJson(message: String): Nothing =
+      WithStatus(400, s"""{"exception": {"message": ${jsonStr(message)}, """ +
+        s""""httpCode": 400}, "error": ${jsonStr(message)}, "httpCode": 400}""")
+    language match {
+      case "javascript" =>
+        val program =
+          try graft.js.JsInterp.compile(source)
+          catch {
+            case e: Throwable =>
+              val m = String.valueOf(e.getMessage)
+              exceptionJson(
+                if (m.contains("unterminated string") ||
+                    m.contains("unexpected character"))
+                  "Uncaught SyntaxError: Invalid or unexpected token"
+                else s"Uncaught SyntaxError: $m")
+          }
+        val _ = program
+        val result =
+          try JsHost.run(engine.spark, engine.dataset, source,
+            Map.empty, engine = engine)
+          catch {
+            case w: WithStatusResponse => throw w
+            case e: Throwable =>
+              exceptionJson(String.valueOf(e.getMessage))
+          }
+        s"""{"result": ${JsHost.resultJson(result)}}"""
+      case "python" =>
+        val r = PyBridge.run(engine.spark, engine.dataset, source)
+        if (r.returnCode != 0) exceptionJson(r.stderr)
+        s"""{"result": ${r.returnJson.getOrElse("null")}, """ +
+          s""""stdout": ${jsonStr(r.stdout)}, "stderr": ${jsonStr(r.stderr)}}"""
+      case other => throw new IllegalArgumentException(
+        s"unknown script language '$other'")
+    }
+  }
+
+  /** `GET /v1/typeInfo?type=<t>` — value-description introspection
+    * (MLDB-497: `MLDB::ValueKind` is an ENUM). */
+  private def typeInfoJson(t: String): String = {
+    val kind = RestServer.valueKinds.getOrElse(t,
+      if (t.endsWith("Config")) "STRUCTURE"
+      else throw new NoSuchElementException(s"unknown type '$t'"))
+    s"""{"typeName": ${jsonStr(t)}, "kind": ${jsonStr(kind)}}"""
+  }
 
   private def handle(ex: HttpExchange)(body: => String): Unit = {
     val (code, payload) =
@@ -1044,6 +1305,7 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           loc.foreach(l => ex.getResponseHeaders.set("Location", l))
           (201, j)
         case NoContentResponse() => (204, "")
+        case WithStatusResponse(c, j) => (c, j)
         case e: IllegalArgumentException => (400, errJson(e, 400))
         case e: NoSuchElementException => (404, errJson(e, 404))
         // Throwable, not Exception: a handler error that escapes here
@@ -1083,12 +1345,17 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
       case c => c.toString
     } + "\""
 
-  private def queryParams(ex: HttpExchange): Map[String, String] = {
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    orderedParams(ex).toMap
+
+  /** Query parameters in REQUEST ORDER with duplicates kept — the
+    * reference's rest_params pair array (MLDB-444 mirrors it back). */
+  private def orderedParams(ex: HttpExchange): Seq[(String, String)] = {
     val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-    raw.split("&").filter(_.contains("=")).map { kv =>
+    raw.split("&").filter(_.contains("=")).toSeq.map { kv =>
       val Array(k, v) = kv.split("=", 2)
       k -> java.net.URLDecoder.decode(v, "UTF-8")
-    }.toMap
+    }
   }
 
   /** extract "field": "value" (with escaped quotes) from a flat JSON body. */
@@ -1315,4 +1582,64 @@ object RestServer {
       System.setProperty("sun.net.httpserver.nodelay", "true")
   }
   private[api] def ensureNoDelay(): Unit = ensured
+
+  /** The per-kind type registry behind `/v1/types/<kind>`
+    * (`server/mldb_server.cc` type collections). Names mirror the
+    * engine's dispatch cases — the listing is what a reference client
+    * enumerates before PUTting a config of that type. */
+  private[api] val typeCatalog: Map[String, Seq[String]] = Map(
+    "datasets" -> Seq("tabular", "sparse.mutable", "beh", "beh.mutable",
+      "beh.binary", "beh.binary.mutable", "merged", "transposed",
+      "sampled", "union", "embedding", "continuous", "continuous.window",
+      "sqliteSparse", "text.csv.tabular", "text.line"),
+    "procedures" -> Seq("transform", "import.text", "import.json",
+      "import.git", "import.sqlite", "import.xlsx",
+      "experimental.import.xlsx", "import.sentiwordnet",
+      "import.word2vec", "export.csv", "melt", "split", "bucketize",
+      "ranking", "summary.statistics", "serial", "permuter.run",
+      "createEntity", "null", "mock", "classifier.train",
+      "classifier.test", "classifier.experiment", "probabilizer.train",
+      "kmeans.train", "gaussianclustering.train", "svm.train",
+      "svd.train", "tsne.train", "tfidf.train", "bpe.train",
+      "statsTable.train", "statsTable.bagOfWords.train",
+      "experimental.statsTable.derivedColumnsGenerator",
+      "experimental.distTable.train", "randomforest.binary.train",
+      "script.run", "dataset.stats", "list.files",
+      "mongodb.import", "mongodb.export", "postgresql.import",
+      "postgresql.export"),
+    "functions" -> Seq("sql.expression", "sql.query", "classifier",
+      "classifier.explain", "probabilizer", "svm", "kmeans",
+      "gaussianclustering", "svd.embedRow", "tfidf", "tokensplit",
+      "embedding.neighbors", "statsTable.getCounts", "posneg",
+      "experimental.distTable.getStats", "pooling", "feature_hasher",
+      "stemmer", "stemmerdoc", "filter_stopwords", "fetcher",
+      "http.useragent", "melt", "import.word2vec.embed"),
+    "plugins" -> Seq("javascript", "python", "scala"))
+
+  /** Reference config struct name for `/v1/types/<kind>/<t>/info`
+    * (e.g. `plugins/embedding/svd.cc` SvdConfig). Pinned names for
+    * the types the reference's tests introspect; the rest derive
+    * mechanically. */
+  private[api] def configTypeName(tpe: String): String = tpe match {
+    case "svd.train" => "MLDB::SvdConfig"
+    case "kmeans.train" => "MLDB::KmeansConfig"
+    case "tsne.train" => "MLDB::TsneConfig"
+    case "classifier.train" => "MLDB::ClassifierConfig"
+    case "classifier.test" => "MLDB::AccuracyConfig"
+    case "transform" => "MLDB::TransformDatasetConfig"
+    case "import.text" => "MLDB::ImportTextConfig"
+    case other =>
+      "MLDB::" + other.split("[._]").map(_.capitalize).mkString + "Config"
+  }
+
+  /** `/v1/typeInfo` kinds for the value descriptions the reference's
+    * tests ask about (MLDB-497). */
+  private[api] val valueKinds: Map[String, String] = Map(
+    "std::string" -> "STRING",
+    "MLDB::Utf8String" -> "STRING",
+    "MLDB::ValueKind" -> "ENUM",
+    "MLDB::CellValue" -> "ATOM",
+    "MLDB::PolyConfig" -> "STRUCTURE",
+    "float" -> "FLOAT", "double" -> "FLOAT",
+    "int" -> "INTEGER", "bool" -> "BOOLEAN")
 }

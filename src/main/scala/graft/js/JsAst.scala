@@ -161,7 +161,11 @@ object JsAst {
         var closed = false
         while (i < n && !closed) {
           val ch = src.charAt(i)
-          if (ch == '\\' && i + 1 < n) {
+          if (ch == '\\' && i + 1 < n && src.charAt(i + 1) == '\n') {
+            // ES5 line continuation: backslash-newline contributes
+            // nothing to the string (MLDB-980's inner script)
+            line += 1; i += 2
+          } else if (ch == '\\' && i + 1 < n) {
             val e = src.charAt(i + 1)
             sb.append(e match {
               case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'

@@ -244,6 +244,19 @@ object JsInterp {
   def eval(src: String, argNames: Seq[String] = Nil,
       args: Seq[JsVal] = Nil): JsVal = run(compile(src), argNames, args)
 
+  /** Invoke a captured JS function value from host code — the plugin
+    * request-handler path (`builtin/js/js_plugin_loader.cc`
+    * setRequestHandler): the plugin script runs once at registration
+    * and returns its handler, which the REST layer calls per request.
+    * The closure keeps its defining environment; each call gets a
+    * fresh step budget. */
+  def callFunctionValue(f: JsVal, args: Seq[JsVal],
+      maxSteps: Long = 20000000L): JsVal = {
+    val ev = new Evaluator(maxSteps)
+    try ev.callValue(f, JsUndef, args.toList, "request handler")
+    catch { case r: ReturnEx => r.v }
+  }
+
   private final class Evaluator(maxSteps: Long) {
     import JsAst._
     private var steps = 0L

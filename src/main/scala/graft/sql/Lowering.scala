@@ -2625,6 +2625,18 @@ object Lowering {
         // `horizontal_sum(normalize(...) - [...]/norm(...))`)
         case Some(arg) if a.size == 1 && arrayShaped(scope, arg) =>
           horizontalArrayFn(n, a.head)
+        // a STRUCT-typed argument is a row cell (MLDB-2022's
+        // horizontal_sum(value) over one nested row of the pivoted
+        // input) — its fields aggregate in name order like the
+        // row-literal form
+        case Some(_) if a.nonEmpty
+            && structFieldsOf(scope, a.head).isDefined =>
+          val fs = structFieldsOf(scope, a.head).get.sorted
+          val sep = raw.lift(1) match {
+            case Some(StrLit(s)) => Some(s)
+            case _ => None
+          }
+          horizontalFn(n, fs.map(f => a.head.getField(f)), sep)
         case _ => horizontalFn(n, a)
       }
     case "rowname" => rowNameOf(scope)
@@ -2841,7 +2853,11 @@ object Lowering {
     name match {
       case "horizontal_count" => size(nn).cast("long")
       case "horizontal_sum" =>
-        when(size(nn) > 0, aggregate(nn, lit(0.0), _ + _))
+        // the reference accumulates from 0 and always returns — an
+        // empty/all-null row sums to 0 (`builtin_functions.cc:2030`,
+        // MLDB-2022's horizontal_sum([]) = 0); avg stays NULL on empty
+        // (`:2121` returns null when num_cols == 0)
+        coalesce(aggregate(nn, lit(0.0), _ + _), lit(0.0))
       case "horizontal_avg" =>
         when(size(nn) > 0, aggregate(nn, lit(0.0), _ + _) / size(nn))
       case "horizontal_min" => array_min(arr)
@@ -2860,7 +2876,8 @@ object Lowering {
     name match {
       case "horizontal_count" => size(nn).cast("long")
       case "horizontal_sum" =>
-        when(size(nn) > 0, aggregate(nn, lit(0.0), _ + _))
+        // 0 on empty/all-null, like the reference (see horizontalArrayFn)
+        coalesce(aggregate(nn, lit(0.0), _ + _), lit(0.0))
       case "horizontal_avg" =>
         when(size(nn) > 0, aggregate(nn, lit(0.0), _ + _) / size(nn))
       // min/max are TYPE-PRESERVING (strings, timestamps — the

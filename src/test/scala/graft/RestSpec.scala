@@ -29,7 +29,7 @@ class RestSpec extends AnyFunSuite {
   test("single-row application parses flat JSON driver-side (scalars + arrays)") {
     val engine = new GraftEngine(spark)
     engine.createSqlExpressionFunction("jsonrow_f",
-      "a + b AS s, upper(name) AS u, norm(v) AS n, flag AS fl")
+      "a + b AS s, upper(name) AS u, norm(v, 2) AS n, flag AS fl")
     val out = engine.applyFunctionJson("jsonrow_f",
       """{"a": 2, "b": 3.5, "name": "x", "v": [3, 4], "flag": true}""").head()
     assert(out.getDouble(0) === 5.5)
