@@ -1072,6 +1072,29 @@ final class GraftEngine(val spark: SparkSession) {
     @volatile var progress: Seq[(String, String, Double)] = Seq.empty
     /** the run's result JSON once finished. */
     @volatile var result: Option[String] = None
+    /** run lifecycle (MLDB-525 asserts runStarted <= runFinished). */
+    @volatile var started: java.time.Instant = java.time.Instant.now()
+    @volatile var finished: Option[java.time.Instant] = None
+    /** the executing thread + cancel mark (MLDB-408: PUT state
+      * 'cancelled' interrupts the run and cancels its Spark jobs). */
+    @volatile var thread: Option[Thread] = None
+    @volatile var cancelled: Boolean = false
+  }
+
+  /** `PUT /v1/procedures/<n>/runs/<id>/state {"state": "cancelled"}`
+    * (MLDB-408): mark, cancel the run's Spark job group (jobs
+    * interrupt mid-stage), interrupt the thread. A finished run stays
+    * finished. */
+  def cancelRun(id: String): String = {
+    val run = runs.getOrElse(id,
+      throw new NoSuchElementException(s"run '$id' not found"))
+    if (run.state == "executing" || run.state == "initializing") {
+      run.cancelled = true
+      spark.sparkContext.cancelJobGroup(s"graft-run-$id")
+      run.thread.foreach(_.interrupt())
+      run.state = "cancelled"
+    }
+    run.state
   }
   private val runs = TrieMap[String, Run]()
 
@@ -1097,14 +1120,24 @@ final class GraftEngine(val spark: SparkSession) {
     runs(run.id) = run
     val t = new Thread(() => {
       try {
+        // the run's Spark jobs share a cancellable group (MLDB-408)
+        spark.sparkContext.setJobGroup(s"graft-run-${run.id}",
+          s"procedure run ${run.id}", interruptOnCancel = true)
         val res = runProcedure(tpe, param)
         run.progress = run.progress.map { case (n, tt, _) => (n, tt, 100.0) }
         run.result = Some(res)
-        run.state = "finished"
+        run.finished = Some(java.time.Instant.now())
+        if (!run.cancelled) run.state = "finished"
       } catch { case e: Throwable =>
-        run.error = Some(String.valueOf(e.getMessage)); run.state = "error"
-      }
+        run.finished = Some(java.time.Instant.now())
+        if (run.cancelled) run.state = "cancelled"
+        else {
+          run.error = Some(String.valueOf(e.getMessage))
+          run.state = "error"
+        }
+      } finally spark.sparkContext.clearJobGroup()
     }, s"graft-procrun-${run.id}")
+    run.thread = Some(t)
     t.setDaemon(true)
     t.start()
     run.id
@@ -1200,7 +1233,7 @@ final class GraftEngine(val spark: SparkSession) {
       case "classifier.test" =>
         // creation-time config validation (MLDB-804: an empty config
         // 400s with the reference's message)
-        require(param("testingData").nonEmpty,
+        require(param("testingData").nonEmpty || param("select").nonEmpty,
           "classifier.test expects a scalar named 'score' and a " +
             "scalar named 'label'")
       case "serial" =>
@@ -2239,8 +2272,52 @@ final class GraftEngine(val spark: SparkSession) {
     def req(k: String): String = param(k).getOrElse(
       throw new IllegalArgumentException(s"procedure '$tpe' needs param '$k'"))
     def registerOut(df: DataFrame): String = {
-      val name = req("outputDataset")
+      // outputDataset may be a plain id, an {id} object (both land as
+      // the id string), or an id-LESS typed object ({type:
+      // "beh.mutable", params: {dataFileUrl}} — MLDB-1254's anonymous
+      // output): parse the raw config for the type/params then
+      val fromBody: Option[(String, Option[String], Option[String])] =
+        param("__body").flatMap { b =>
+          import graft.js.JsInterp._
+          val cfg = ProcJson.parse(b)
+          val od = ProcJson.field(cfg, "params")
+            .flatMap(ProcJson.field(_, "outputDataset"))
+            .orElse(ProcJson.field(cfg, "outputDataset"))
+          od.collect { case o: JsObjV =>
+            val id = o.fields.get("id") match {
+              case Some(JsStr(s)) => s
+              case _ => "auto_" + java.util.UUID.randomUUID().toString
+                .replace("-", "").take(12)
+            }
+            val tpe2 = o.fields.get("type") match {
+              case Some(JsStr(s)) => Some(s); case _ => None
+            }
+            val url = o.fields.get("params") match {
+              case Some(p: JsObjV) => p.fields.get("dataFileUrl") match {
+                case Some(JsStr(u)) => Some(u); case _ => None
+              }
+              case _ => None
+            }
+            (id, tpe2, url)
+          }
+        }
+      val name = param("outputDataset")
+        .filterNot(s => s.startsWith("{") || s.startsWith("["))
+        .orElse(fromBody.map(_._1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"procedure '$tpe' needs param 'outputDataset'"))
       createDataset(name, df)
+      // a beh.mutable output with a dataFileUrl persists at once —
+      // the reference's procedure commit (MLDB-1254's save → reload)
+      fromBody.foreach { case (_, t, u) =>
+        if (t.exists(_.startsWith("beh")) && u.isDefined) {
+          val url = u.get
+          if (!url.contains("://")) throw new IllegalArgumentException(
+            s"dataFileUrl '$url' has no protocol (file:// expected)")
+          behBacked(name) = url.stripPrefix("file://")
+          commitDataset(name)
+        }
+      }
       s"""{"outputDataset": "$name", "rowCount": ${df.count()}}"""
     }
     tpe match {
@@ -2861,8 +2938,12 @@ final class GraftEngine(val spark: SparkSession) {
               col("features").getField(s.column).cast("double"), lit(0.0))
           }
         val internal = specs.indices.map(i => s"__f$i")
-        // algorithm from the explicit param or the configuration's type
-        val algo = param("algorithm").getOrElse {
+        // algorithm from the explicit param or the configuration's
+        // type. When `algorithm` names a KEY of the configuration
+        // object (the reference's model: algorithm selects a config
+        // entry whose `type` is the learner — MLDB-779's bdt/bs
+        // entries), that entry's type wins over the key name.
+        val algo0 = param("algorithm").getOrElse {
           val cfg = param("configuration").getOrElse("")
           if (cfg.contains("decision_tree")) "dt"
           else if (cfg.contains("random_forest") || cfg.contains("bagg"))
@@ -2871,6 +2952,17 @@ final class GraftEngine(val spark: SparkSession) {
           else if (cfg.contains("boost")) "boosting"
           else "glz"
         }
+        val algo = param("__body").flatMap { b =>
+          import graft.js.JsInterp._
+          val root = ProcJson.parse(b)
+          ProcJson.field(root, "params").orElse(Some(root))
+            .flatMap(ProcJson.field(_, "configuration"))
+            .flatMap(ProcJson.field(_, algo0))
+            .flatMap(ProcJson.field(_, "type")) match {
+            case Some(JsStr(t)) => Some(t)
+            case _ => None
+          }
+        }.getOrElse(algo0)
         // the optional example-weight column (`weight` sub-select —
         // MLDB-198 varies it and pins the score ordering)
         val weightCol = df0.schema.fields
@@ -2936,9 +3028,12 @@ final class GraftEngine(val spark: SparkSession) {
         // r2, labelStatistics.
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.types._
-        val input = param("testingData").getOrElse(
-          throw new IllegalArgumentException("classifier.test expects a " +
-            "scalar named 'score' and a scalar named 'label'"))
+        val input = param("testingData")
+          .filterNot(_.trim.startsWith("{"))
+          .orElse(structuredInput(param))
+          .getOrElse(
+            throw new IllegalArgumentException("classifier.test expects a " +
+              "scalar named 'score' and a scalar named 'label'"))
         val df0 = query(input)
         val mode = param("mode").getOrElse("boolean")
         def need(c: String): StructField = df0.schema.fields
@@ -4160,6 +4255,16 @@ object GraftEngine {
   final case class PluginReq(route: String, verb: String,
       params: Seq[(String, String)], payload: String)
   final case class PluginHttp(status: Int, json: String)
+
+  /** ISO-8601 UTC with MINIMAL fractional digits — the reference's
+    * Date::print ("…20.96Z", never java's 3-digit group "…20.960Z";
+    * whole seconds carry no fraction). */
+  def isoMinimal(i: java.time.Instant): String = {
+    val s = i.toString
+    if (!s.contains('.')) s
+    else s.stripSuffix("Z").reverse.dropWhile(_ == '0').reverse
+      .stripSuffix(".") + "Z"
+  }
 
   /** `Date::quantize` (`types/date.cc:437`; MLDB-987): quanta ≤ 1 s
     * ROUND the sub-second fraction to the nearest period; quanta > 1 s

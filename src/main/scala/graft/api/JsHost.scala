@@ -182,9 +182,38 @@ object JsHost {
         })
         new JsObjV(ds)
       })
+      o("ls") = new JsNativeV("ls", (_, as) => {
+        // `mldb.ls` (`builtin/js/mldb_js.cc`): directory/archive
+        // listing as {objects: {uri: {exists: true}}} (MLDB-900 reads
+        // archive members out of `objects`)
+        val url = toStr(as.headOption.getOrElse(JsUndef))
+        val objects = mutable.LinkedHashMap.empty[String, JsVal]
+        val uris =
+          if (graft.sources.Sources.isArchiveUrl(url))
+            graft.sources.Sources.listArchive(url)
+          else {
+            val dir = java.nio.file.Paths.get(url.stripPrefix("file://"))
+            if (!java.nio.file.Files.isDirectory(dir))
+              JsInterp.error(s"ls: '$url' is not a directory or archive")
+            val s = java.nio.file.Files.list(dir)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.map(p => s"file://$p").toList
+            } finally s.close()
+          }
+        uris.foreach { u =>
+          objects(u) = new JsObjV(mutable.LinkedHashMap(
+            "exists" -> (JsBool(true): JsVal)))
+        }
+        new JsObjV(mutable.LinkedHashMap(
+          "objects" -> (new JsObjV(objects): JsVal)))
+      })
       o("openStream") = new JsNativeV("openStream", (_, as) => {
         val url = toStr(as.headOption.getOrElse(JsUndef))
-        val path = url.stripPrefix("file://")
+        val path =
+          if (graft.sources.Sources.isArchiveUrl(url))
+            graft.sources.Sources.resolveArchiveMember(url)
+          else url.stripPrefix("file://")
         val base: java.io.InputStream = new java.io.FileInputStream(path)
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
           if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(base)
@@ -231,12 +260,78 @@ object JsHost {
             s"createFunction: unsupported in-script type '$other'")
           case _ => JsInterp.error("createFunction needs a type")
         }
+        val declaredType = cfg.fields.get("type") match {
+          case Some(JsStr(t)) => t
+          case _ => ""
+        }
         val h = mutable.LinkedHashMap.empty[String, JsVal]
         h("callJson") = new JsNativeV("callJson", (_, cas) => {
           val json = jsonStringify(cas.headOption.getOrElse(JsUndef))
             .getOrElse("null")
           val (schema, rows) = engine.applyFunctionJsonRows(id, json)
           rowToJs(schema, rows.head)
+        })
+        h("type") = new JsNativeV("type", (_, _) => JsStr(declaredType))
+        h("call") = new JsNativeV("call", (_, cas) => {
+          // `function_js.cc` call(): the reference's expression-value
+          // pair format — [[ [column, [value, ts]], … ], ts]; a
+          // literal-valued result with no input timestamp renders its
+          // ts as -Inf (MLDB-1192 asserts res[0][0] ==
+          // ["y", [100, "-Inf"]])
+          val json = jsonStringify(cas.headOption.getOrElse(JsUndef))
+            .getOrElse("null")
+          val (schema, rows) = engine.applyFunctionJsonRows(id, json)
+          val r = rows.head
+          val pairs = new JsArrV(mutable.ArrayBuffer.from(
+            schema.fields.zipWithIndex.map { case (f, i) =>
+              val v: JsVal =
+                if (r.isNullAt(i)) JsNull else fromAny(r.get(i))
+              new JsArrV(mutable.ArrayBuffer(
+                JsStr(f.name): JsVal,
+                new JsArrV(mutable.ArrayBuffer(v,
+                  JsStr("-Inf"): JsVal)): JsVal)): JsVal
+            }))
+          new JsArrV(mutable.ArrayBuffer(pairs: JsVal,
+            JsStr("-Inf"): JsVal))
+        })
+        new JsObjV(h)
+      })
+      o("createProcedure") = new JsNativeV("createProcedure", (_, as) => {
+        // `builtin/js/procedure_js.cc`: create a procedure entity from
+        // a {type, params} config; the handle runs it (MLDB-1192's
+        // null-procedure run returns the empty run output)
+        val cfg = as.headOption match {
+          case Some(ob: JsObjV) => ob
+          case _ => JsInterp.error("createProcedure needs a config object")
+        }
+        val tpe = cfg.fields.get("type") match {
+          case Some(JsStr(t)) => t
+          case _ => JsInterp.error("createProcedure needs a type")
+        }
+        val bodyJson = jsonStringify(cfg).getOrElse("{}")
+        val h = mutable.LinkedHashMap.empty[String, JsVal]
+        h("type") = new JsNativeV("type", (_, _) => JsStr(tpe))
+        h("run") = new JsNativeV("run", (_, ras) => {
+          val runParams = ras.headOption match {
+            case Some(ob: JsObjV) => ob.fields
+            case _ => mutable.LinkedHashMap.empty[String, JsVal]
+          }
+          val cfgParams = cfg.fields.get("params") match {
+            case Some(p: JsObjV) => p.fields
+            case _ => mutable.LinkedHashMap.empty[String, JsVal]
+          }
+          def lookup(k: String): Option[String] =
+            if (k == "__body") Some(bodyJson)
+            else runParams.get(k).orElse(cfgParams.get(k)).map {
+              case JsStr(s) => s
+              case other2 => jsonStringify(other2).getOrElse("null")
+            }
+          val res = engine.runProcedure(tpe, lookup)
+          // the run OUTPUT: a bare done-status is the reference's
+          // empty run details
+          if (res.replaceAll("\\s", "") == """{"status":"done"}""")
+            new JsObjV(mutable.LinkedHashMap.empty[String, JsVal])
+          else JsInterp.jsonParse(res)
         })
         new JsObjV(h)
       })

@@ -206,7 +206,9 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           val body = new String(ex.getRequestBody.readAllBytes,
             StandardCharsets.UTF_8)
           val flat =
-            if (body.contains("\"columns\"")) columnsFormToFlat(body) else body
+            if (body.contains("\"columns\""))
+              columnsFormToFlat(body, engine.timeQuantum(name))
+            else body
           val n = engine.recordRows(name, flat)
           s"""{"recorded": $n}"""
         case ("POST", nameCols) if nameCols.endsWith("/columns") =>
@@ -724,10 +726,21 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           throw new NoSuchElementException(s"unknown procedure '$name'"))
         // params in the RUN body override the stored config's
         // (MLDB-894: runs can override conf)
-        engine.runProcedure(tpe, k =>
+        val started = java.time.Instant.now()
+        val res = engine.runProcedure(tpe, k =>
           if (k == "__body") Some(body)
           else if (k == "__id") Some(name)
           else extractFieldOpt(runBody, k).orElse(extractFieldOpt(body, k)))
+        val finished = java.time.Instant.now()
+        // run responses carry the lifecycle instants (MLDB-525
+        // asserts runStarted <= runFinished on the PUT's json)
+        if (res.trim.startsWith("{")) {
+          val prefix = s"""{"runStarted": ${jsonStr(started.toString)}, """ +
+            s""""runFinished": ${jsonStr(finished.toString)}, """ +
+            s""""state": "finished""""
+          val inner = res.trim.drop(1).trim
+          if (inner == "}") prefix + "}" else prefix + ", " + inner
+        } else res
       }
       (ex.getRequestMethod, path) match {
         case ("GET", "") => procedures.keys.toSeq.sorted
@@ -797,6 +810,36 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           throw new NoSuchElementException(
             "PUT of a run needs a run id in the path; POST to /runs " +
               "for an auto-generated one")
+        case ("GET", detPath) if detPath.contains("/runs/") &&
+            detPath.endsWith("/details") =>
+          // run details (MLDB-779 reads them after classifier.train):
+          // the stored run result for async runs, {} for sync runs
+          // recorded by name only
+          val Array(nm, rest) = detPath.split("/runs/", 2)
+          val runId = rest.stripSuffix("/details")
+          engine.runStatusOpt(runId).flatMap(_.result).getOrElse {
+            if (procRuns.get(nm).exists(_.exists(_._1 == runId))) "{}"
+            else throw new NoSuchElementException(s"run '$runId' not found")
+          }
+        case ("GET", statePath) if statePath.contains("/runs/") &&
+            statePath.endsWith("/state") =>
+          // MLDB-408: poll a run's lifecycle state
+          val runId = statePath.split("/runs/", 2)(1).stripSuffix("/state")
+          engine.runStatusOpt(runId) match {
+            case Some(r) => s"""{"state": ${jsonStr(r.state)}}"""
+            case None => throw new NoSuchElementException(
+              s"run '$runId' not found")
+          }
+        case ("PUT", statePath) if statePath.contains("/runs/") &&
+            statePath.endsWith("/state") =>
+          // MLDB-408: {"state": "cancelled"} interrupts the run and
+          // cancels its Spark job group; any other target state is 400
+          val runId = statePath.split("/runs/", 2)(1).stripSuffix("/state")
+          val target = extractField(readBody(), "state")
+          if (target != "cancelled") throw new IllegalArgumentException(
+            s"cannot set run state to '$target'; only 'cancelled' is " +
+              "accepted")
+          s"""{"state": ${jsonStr(engine.cancelRun(runId))}}"""
         case ("PUT", runPath) if runPath.contains("/runs/") =>
           // named run: PUT <proc>/runs/<id> executes the stored config
           // under that id (MLDB-1359 asserts id '000' round-trips);
@@ -830,8 +873,11 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
                 .getOrElse("")
               val err = r.error.map(e => s""", "error": ${jsonStr(e)}""")
                 .getOrElse("")
+              val times = s""", "runStarted": ${jsonStr(
+                r.started.toString)}""" + r.finished.map(f =>
+                s""", "runFinished": ${jsonStr(f.toString)}""").getOrElse("")
               s"""{"id": ${jsonStr(r.id)}, "state": ${jsonStr(r.state)}""" +
-                s"""$prog$status$err}"""
+                s"""$times$prog$status$err}"""
             case None =>
               // a sync run recorded by name only: it has finished
               if (procRuns.get(name).exists(_.exists(_._1 == runId)))
@@ -1123,12 +1169,24 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     * fraction (`2015-12-25T00:00:00Z`; sub-second survives —
     * MLDB-409's no-FROM timestamp pin). `Instant.toString` renders in
     * true UTC regardless of the JVM default zone. */
-  private def isoUtc(v: Any): String = v match {
-    case t: java.sql.Timestamp => t.toInstant.toString
-    case t: java.time.Instant => t.toString
-    case t: java.time.LocalDateTime =>
-      t.atOffset(java.time.ZoneOffset.UTC).toInstant.toString
-    case other => String.valueOf(other).replace(' ', 'T')
+  private def isoUtc(v: Any): String = {
+    // the reference prints MINIMAL fractional digits ("…20.96Z", not
+    // java's 3-digit group "…20.960Z" — MLDB-987's hundredth-second
+    // render); whole seconds carry no fraction at all
+    def minimalFraction(s: String): String =
+      if (!s.contains('.')) s
+      else {
+        val t = s.stripSuffix("Z")
+        val trimmed = t.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        trimmed + "Z"
+      }
+    v match {
+      case t: java.sql.Timestamp => minimalFraction(t.toInstant.toString)
+      case t: java.time.Instant => minimalFraction(t.toString)
+      case t: java.time.LocalDateTime => minimalFraction(
+        t.atOffset(java.time.ZoneOffset.UTC).toInstant.toString)
+      case other => String.valueOf(other).replace(' ', 'T')
+    }
   }
 
   /** valueJson plus the reference's non-finite-number convention. */
@@ -1306,6 +1364,12 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           (201, j)
         case NoContentResponse() => (204, "")
         case WithStatusResponse(c, j) => (c, j)
+        case e: graft.sql.OomSimulated =>
+          // MLDB-1355: allocation failures carry the error again under
+          // details.context.error (the reference's annotated exception)
+          (400, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}, """ +
+            s""""httpCode": 400, "details": {"context": {"error": ${jsonStr(
+              String.valueOf(e.getMessage))}}}}""")
         case e: IllegalArgumentException => (400, errJson(e, 400))
         case e: NoSuchElementException => (404, errJson(e, 404))
         // Throwable, not Exception: a handler error that escapes here
@@ -1406,7 +1470,8 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     rows.mkString("[", ",", "]")
   }
 
-  private def columnsFormToFlat(body: String): String = {
+  private def columnsFormToFlat(body: String,
+      quantum: Double = 1.0): String = {
     // rowName and columns are matched INDEPENDENTLY within each
     // top-level row object — JSON key order is insignificant, so
     // {"columns": […], "rowName": "r"} must work too.
@@ -1457,15 +1522,20 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         colsBody <- jsonBracketValue(rt, "columns")
       } yield {
         val cells = cellRe.findAllMatchIn(colsBody).map { c =>
-          (c.group(1), cellValue(c.group(2)), tsInstant(c.group(3)))
+          // record-time quantization (Date::quantize — MLDB-987)
+          (c.group(1), cellValue(c.group(2)), tsInstant(c.group(3))
+            .map(GraftEngine.quantizeInstant(_, quantum)))
         }.toSeq
         val maxTs = cells.flatMap(_._3)
           .reduceOption((a, b) => if (a.isAfter(b)) a else b)
-          .map(i => jsonStr(java.time.format.DateTimeFormatter.ISO_INSTANT
-            .format(i)))
+          .map(i => jsonStr(GraftEngine.isoMinimal(i)))
+        // a user cell literally named "ts" keeps its value — wide
+        // mode's implicit row-ts column yields rather than duplicate
+        // the name (MLDBFB-320's `SELECT ds.ts`)
+        val hasUserTs = cells.exists(_._1 == "ts")
         val fields = Seq(s""""rowName":${jsonStr(nm.group(1))}""") ++
           cells.map { case (c, v, _) => s"${jsonStr(c)}:$v" } ++
-          maxTs.map(t => s""""ts":$t""")
+          (if (hasUserTs) None else maxTs.map(t => s""""ts":$t"""))
         fields.mkString("{", ",", "}")
       }
     }

@@ -139,9 +139,63 @@ object Sources {
     else path
   }
 
+  /** `archive+file://<archive>#<member>` URIs (`vfs_handlers/
+    * archive.cc` — MLDB-900): any zip-layout archive (zip/jar) opens
+    * by member name. The member extracts to a temp file so the
+    * splittable readers downstream see a plain path. */
+  def isArchiveUrl(url: String): Boolean = url.startsWith("archive+")
+
+  private def archiveParts(url: String): (String, String) = {
+    val noScheme = url.stripPrefix("archive+").stripPrefix("file://")
+    noScheme.split("#", 2) match {
+      case Array(a, m) => (a, m)
+      case _ => throw new IllegalArgumentException(
+        s"archive url '$url' has no #member part")
+    }
+  }
+
+  /** Member names of an archive, as full `archive+…#member` URIs
+    * (the shape `mldb.ls` returns). */
+  def listArchive(url: String): Seq[String] = {
+    val path = url.stripPrefix("archive+").stripPrefix("file://")
+      .split("#", 2)(0)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val es = zf.entries()
+      val out = Seq.newBuilder[String]
+      while (es.hasMoreElements) {
+        val e = es.nextElement()
+        if (!e.isDirectory)
+          out += s"archive+file://$path#${e.getName}"
+      }
+      out.result()
+    } finally zf.close()
+  }
+
+  /** Extract one member to a temp file; returns its path. */
+  def resolveArchiveMember(url: String): String = {
+    val (path, member) = archiveParts(url)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val entry = Option(zf.getEntry(member)).getOrElse(
+        throw new IllegalArgumentException(
+          s"archive '$path' has no member '$member'"))
+      val suffix = "." + (member.split('.').lastOption.getOrElse("dat"))
+      val tmp = java.io.File.createTempFile("graft_archive_", suffix)
+      tmp.deleteOnExit()
+      val in = zf.getInputStream(entry)
+      try java.nio.file.Files.copy(in, tmp.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.getAbsolutePath
+    } finally zf.close()
+  }
+
   /** `import.text` — CSV/TSV import. */
-  def importText(spark: SparkSession, path0: String,
+  def importText(spark: SparkSession, path00: String,
       cfg: TextImportConfig = TextImportConfig()): DataFrame = {
+    val path0 =
+      if (isArchiveUrl(path00)) resolveArchiveMember(path00) else path00
     // the reference's open error, verbatim shape
     // (testing/MLDB-1395-error-message-file-doesnt-exist.js)
     val raw0 = path0.stripPrefix("file://")

@@ -26,6 +26,12 @@ import graft.functions.{MathFunctions => M, PathFunctions => P, TextFunctions =>
   *    (`sql/sql_expression.cc:3087-3100`);
   *  - equality `=` is null-safe-NOT: null = null → null (tri-logic).
   */
+/** The reference's simulated allocation failure
+  * (`_fail_memory_allocation()` — testing/MLDB-1355): binding the
+  * builtin throws this, and the REST layer renders it with the
+  * `details.context.error` envelope the test asserts. */
+final class OomSimulated(msg: String) extends RuntimeException(msg)
+
 object Lowering {
 
   final case class Context(spark: SparkSession, tables: String => DataFrame,
@@ -2639,6 +2645,12 @@ object Lowering {
           horizontalFn(n, fs.map(f => a.head.getField(f)), sep)
         case _ => horizontalFn(n, a)
       }
+    case "_fail_memory_allocation" =>
+      // test-only builtin (`plugins/testing` — MLDB-1355/1010): fails
+      // the bind with the std::bad_alloc message shape
+      throw new OomSimulated(
+        "Out of memory.  To attempt to determine the cause, the malloc " +
+          "debugging environment variable may be set")
     case "rowname" => rowNameOf(scope)
     case "rowhash" =>
       if (scope.hasColumn("rowName")) xxhash64(rowNameOf(scope)) else lit(null)
@@ -3140,6 +3152,35 @@ object Lowering {
     case _ => false
   }
 
+  /** A `{*}`-consuming call below GROUP BY that is not an aggregator
+    * (MLDB-1491). Stars under an aggregate (`sum({*})`,
+    * `min(earliest_timestamp({*}))` — the star feeds the aggregate's
+    * row argument) are legal; a bare `temporal_earliest({*})` is not. */
+  private def nonAggStarCall(e: Expr): Option[Expr] = {
+    def hasStar(x: Expr): Boolean = x match {
+      case Star(_, _, _) => true
+      case StructLit(fs) => fs.exists(kv => kv._1 == "*" || hasStar(kv._2))
+      case FnCall(_, as, _) => as.exists(hasStar)
+      case FnApply(_, as, _) => as.exists(kv => kv._1 == "*" || hasStar(kv._2))
+      case _ => false
+    }
+    e match {
+      case FnCall(n, _, _) if aggNames(n) => None
+      case FnApply(n, _, _) if aggNames(n) => None
+      case FnCall(n, as, _) if !aggNames(n) && as.exists(hasStar) => Some(e)
+      case FnApply(n, as, _) if !aggNames(n) &&
+        as.exists(kv => kv._1 == "*" || hasStar(kv._2)) => Some(e)
+      case FnCall(_, as, _) => as.flatMap(nonAggStarCall).headOption
+      case FnApply(_, as, _) =>
+        as.flatMap(kv => nonAggStarCall(kv._2)).headOption
+      case Binary(_, l, r) =>
+        nonAggStarCall(l).orElse(nonAggStarCall(r))
+      case Unary(_, x) => nonAggStarCall(x)
+      case CastExpr(x, _) => nonAggStarCall(x)
+      case _ => None
+    }
+  }
+
   private def containsAgg(e: Expr): Boolean = e match {
     case FnCall(n, args, _) => aggNames(n) || args.exists(containsAgg)
     case FnApply(n, args, _) =>
@@ -3311,6 +3352,16 @@ object Lowering {
       val as = args.map(exprText)
       if (as.forall(_.isDefined))
         Some(s"$canonical(${as.flatten.mkString(",")})")
+      else None
+    case FnApply(n, Seq(("*", Star(Nil, "", None))), _) =>
+      // the row-argument apply form (`temporal_earliest({*})` —
+      // MLDB-1491's error print)
+      Some(s"${Parser.camelFns.getOrElse(n, n)}({*})")
+    case FnApply(n, args, _) =>
+      val fs = args.map { case (k, v) => exprText(v).map(t => s"$k: $t") }
+      if (fs.forall(_.isDefined))
+        Some(s"${Parser.camelFns.getOrElse(n, n)}" +
+          s"({${fs.flatten.mkString(", ")}})")
       else None
     case _ => None
   }
@@ -3823,6 +3874,16 @@ object Lowering {
           i.e.isInstanceOf[ColumnExprStar]))
         throw new IllegalArgumentException(
           "Wildcard cannot be used with GROUP BY")
+      // a star-consuming call that is NOT an aggregator cannot run
+      // below GROUP BY (MLDB-1491: temporal_earliest({*}) — the
+      // reference names the offending print text)
+      stmt.items.foreach { i =>
+        nonAggStarCall(i.e).foreach { bad =>
+          throw new IllegalArgumentException(
+            s"Non-aggregator '${exprText(bad).getOrElse("?")}' with " +
+              "GROUP BY clause is not allowed")
+        }
+      }
       val aggMap = scala.collection.mutable.LinkedHashMap[FnCall, String]()
       // post-aggregation value positions for IN (SELECT …): projection
       // items and HAVING get tri-logic markers joined onto the grouped
