@@ -209,6 +209,11 @@ final class GraftEngine(val spark: SparkSession) {
   def timeQuantum(name: String): Double =
     datasetQuantum.getOrElse(name, 1.0)
 
+  /** The REST façade's port once one is serving this engine — scripts
+    * reach the full API back through it (`mldb.perform` in python
+    * plugins/scripts, MLDB-538/444). */
+  @volatile var restPort: Option[Int] = None
+
   /** continuous dataset names → their metadata dataset id. */
   private val continuousCfg = TrieMap[String, String]()
 
@@ -693,7 +698,7 @@ final class GraftEngine(val spark: SparkSession) {
           }
         }.mkString("[", ",", "]")
         val res = PyBridge.run(spark, dataset, source,
-          scriptArgsJson = Some(s"[$tuples]"))
+          scriptArgsJson = Some(s"[$tuples]"), httpPort = restPort)
         res.returnJson.getOrElse("[]")
       }
       // return rows: [[col, value, ts], …] → stringified 2-D array
@@ -888,7 +893,8 @@ final class GraftEngine(val spark: SparkSession) {
          |"rest_params": $pairs, "payload": ${js(req.payload)}}"""
         .stripMargin.replace("\n", " ")
     }
-    val r = PyBridge.run(spark, dataset, src, requestJson = Some(reqJson))
+    val r = PyBridge.run(spark, dataset, src, requestJson = Some(reqJson),
+      httpPort = restPort)
     if (r.returnCode != 0)
       throw new IllegalArgumentException(
         s"python route handler failed: ${r.stderr}")
@@ -3938,7 +3944,8 @@ final class GraftEngine(val spark: SparkSession) {
             case None => Map.empty[String, String]
           }
           PyBridge.resultJson(
-            PyBridge.run(spark, dataset, req("source"), scriptArgs))
+            PyBridge.run(spark, dataset, req("source"), scriptArgs,
+              httpPort = restPort))
         } else {
           val result = Scripting.run(spark, req("source"))
           (result, param("outputDataset")) match {
@@ -3948,6 +3955,19 @@ final class GraftEngine(val spark: SparkSession) {
             case _ => s"""{"result": ${JsonRow.scalarJson(result)}}"""
           }
         }
+      case "experimental.external.procedure" =>
+        // `experimental.external.procedure`
+        // (`builtin/external_python_procedure.cc`; MLDB-694): run an
+        // external python script, piping `stdInData` to its stdin; the
+        // run's status carries the script's last-line JSON as `return`
+        val src = param("source").orElse(param("scriptConfig")).getOrElse(
+          throw new IllegalArgumentException(
+            "external procedure needs scriptConfig.source"))
+        val r = PyBridge.run(spark, dataset, src,
+          stdinData = param("stdInData"), httpPort = restPort)
+        if (r.returnCode != 0) throw new IllegalArgumentException(
+          s"external procedure failed: ${r.stderr}")
+        s"""{"status": ${PyBridge.resultJson(r)}}"""
       case "ranking" =>
         // `ranking` (`builtin/ranking_procedure.cc:199`;
         // testing/ranking_test.py): rank the inputData's rows by its

@@ -64,6 +64,40 @@ class _GraftMldb(object):
         return resp.get("rows", [])
     def log(self, *parts):
         print(*parts, file=_graft_sys.stderr)
+    def perform(self, verb, path, params=None, payload=None):
+        # full REST round-trip back into the serving engine
+        # (`mldb.perform` — MLDB-538 route sub-requests); returns the
+        # reference's {statusCode, response} shape with .json()
+        port = _graft_os.environ.get("GRAFT_PY_HTTP_PORT")
+        if not port:
+            raise RuntimeError("mldb.perform: no REST server is serving "
+                               "this engine")
+        import urllib.request as _rq, urllib.parse as _p, urllib.error as _e
+        url = "http://127.0.0.1:" + port + path
+        if params:
+            url += "?" + _p.urlencode([(k, v) for k, v in params])
+        data = None
+        if payload is not None:
+            data = _graft_json.dumps(payload).encode("utf-8")
+        req = _rq.Request(url, data=data, method=verb)
+        req.add_header("Content-Type", "application/json")
+        try:
+            with _rq.urlopen(req) as resp:
+                body = resp.read().decode("utf-8")
+                code = resp.status
+        except _e.HTTPError as err:
+            body = err.read().decode("utf-8")
+            code = err.code
+        out = {"statusCode": code, "response": body}
+        return out
+    def get(self, path, params=None):
+        return self.perform("GET", path, params)
+    def post(self, path, payload=None):
+        return self.perform("POST", path, None, payload)
+    def put(self, path, payload=None):
+        return self.perform("PUT", path, None, payload)
+    def delete(self, path):
+        return self.perform("DELETE", path)
 
 mldb = _GraftMldb()
 args = _graft_json.loads(_graft_os.environ.get("GRAFT_PY_ARGS", "{}"))
@@ -184,7 +218,9 @@ del _GraftMldb
       pythonExecutable: String = "python3",
       timeoutSec: Long = 600,
       scriptArgsJson: Option[String] = None,
-      requestJson: Option[String] = None): PyResult = {
+      requestJson: Option[String] = None,
+      stdinData: Option[String] = None,
+      httpPort: Option[Int] = None): PyResult = {
     val script = Files.createTempFile("graft_py", ".py")
     Files.write(script, (prelude + "\n" + source).getBytes(StandardCharsets.UTF_8))
     val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
@@ -199,7 +235,13 @@ del _GraftMldb
         pb.environment().put("GRAFT_PY_SCRIPT_ARGS", j))
       requestJson.foreach(j =>
         pb.environment().put("GRAFT_PY_REQUEST", j))
+      httpPort.foreach(p =>
+        pb.environment().put("GRAFT_PY_HTTP_PORT", p.toString))
       val proc = pb.start()
+      // stdInData pipes to the child before EOF (the reference's
+      // experimental.external.procedure — MLDB-694)
+      stdinData.foreach(d =>
+        proc.getOutputStream.write(d.getBytes(StandardCharsets.UTF_8)))
       proc.getOutputStream.close()
       // drain both pipes concurrently — a chatty script would deadlock
       // a sequential read on a full pipe buffer

@@ -909,9 +909,16 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
       }
     }
-    server.setExecutor(null)
+    // a CACHED pool, not the single dispatch thread: a route handler
+    // that calls back into the API (a python plugin performing a
+    // sub-request — MLDB-538's /deadlock → /deadlock2) must not wait
+    // on its own thread
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      r => { val t = new Thread(r, "graft-rest"); t.setDaemon(true); t }))
     server.start()
-    server.getAddress.getPort
+    val port = server.getAddress.getPort
+    engine.restPort = Some(port)
+    port
   }
 
   def stop(): Unit = server.stop(0)
@@ -1337,7 +1344,8 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           }
         s"""{"result": ${JsHost.resultJson(result)}}"""
       case "python" =>
-        val r = PyBridge.run(engine.spark, engine.dataset, source)
+        val r = PyBridge.run(engine.spark, engine.dataset, source,
+          httpPort = engine.restPort)
         if (r.returnCode != 0) exceptionJson(r.stderr)
         s"""{"result": ${r.returnJson.getOrElse("null")}, """ +
           s""""stdout": ${jsonStr(r.stdout)}, "stderr": ${jsonStr(r.stderr)}}"""
@@ -1674,7 +1682,8 @@ object RestServer {
       "statsTable.train", "statsTable.bagOfWords.train",
       "experimental.statsTable.derivedColumnsGenerator",
       "experimental.distTable.train", "randomforest.binary.train",
-      "script.run", "dataset.stats", "list.files",
+      "script.run", "experimental.external.procedure",
+      "dataset.stats", "list.files",
       "mongodb.import", "mongodb.export", "postgresql.import",
       "postgresql.export"),
     "functions" -> Seq("sql.expression", "sql.query", "classifier",
