@@ -351,16 +351,29 @@ final class GraftEngine(val spark: SparkSession) {
           throw new IllegalArgumentException("empty row names are not allowed")
         stats.getLong(0)
       } else incoming.count()
-    datasets.get(name) match {
-      case Some(existing) if existing.columns.isEmpty =>
-        // empty mutable seed (typed creation) — first record sets the schema
-        datasets(name) = incoming
-      case Some(existing) =>
-        datasets(name) = existing.unionByName(incoming, allowMissingColumns = true)
-      case None => datasets(name) = incoming
+    // the read-union-replace below must be atomic per dataset —
+    // concurrent record calls would otherwise drop each other's rows
+    // (the reference's multithreaded-insert contract, MLDB-1360)
+    recordLock(name).synchronized {
+      datasets.get(name) match {
+        case Some(existing) if existing.columns.isEmpty =>
+          // empty mutable seed (typed creation) — first record sets
+          // the schema
+          datasets(name) = incoming
+        case Some(existing) =>
+          datasets(name) =
+            existing.unionByName(incoming, allowMissingColumns = true)
+        case None => datasets(name) = incoming
+      }
     }
     n
   }
+
+  /** Per-dataset record lock (plain monitor objects; contention is
+    * REST-record-rate, not query-rate). */
+  private val recordLocks = TrieMap[String, AnyRef]()
+  private def recordLock(name: String): AnyRef =
+    recordLocks.getOrElseUpdate(name, new AnyRef)
 
   /** Column-oriented recording (`core/dataset.h` recordColumn /
     * recordColumns; MLDB-541's /columns and /multicolumns routes):
@@ -375,7 +388,7 @@ final class GraftEngine(val spark: SparkSession) {
     require(incoming.columns.contains("rowName"),
       "recordColumns needs rowName cells")
     val n = incoming.count()
-    datasets.get(name) match {
+    recordLock(name).synchronized { datasets.get(name) match {
       case Some(existing) if existing.columns.nonEmpty &&
           existing.columns.exists(_.equalsIgnoreCase("rowName")) =>
         val exCols = existing.columns.filterNot(_ == "rowName").toSeq
@@ -390,7 +403,7 @@ final class GraftEngine(val spark: SparkSession) {
               coalesce(col(s"r.`$c`"), col(s"l.`$c`")).as(c)))
         datasets(name) = joined.select(outCols: _*)
       case _ => datasets(name) = incoming
-    }
+    } }
     n
   }
 
@@ -3932,20 +3945,49 @@ final class GraftEngine(val spark: SparkSession) {
         // python (out-of-process python3, PyBridge — the reference's
         // external-python path with the same mldb.query/args surface)
         if (param("language").contains("javascript")) {
+          // logs + status mirror the reference's ScriptOutput
+          // (MLDB-642: run body `status` = the script's return value,
+          // details `logs[i].c` = mldb.log/plugin.log lines); the
+          // `result` key stays for this engine's earlier surface
+          val sink = scala.collection.mutable.ArrayBuffer.empty[String]
+          val jsArgs = param("args").map { a =>
+            scala.util.Try(graft.js.JsInterp.jsonParse(a))
+              .getOrElse(graft.js.JsInterp.JsStr(a): graft.js.JsInterp.JsVal)
+          }
           val result = JsHost.run(spark, dataset,
-            req("source"), Map.empty, engine = this)
-          s"""{"result": ${JsHost.resultJson(result)}}"""
+            req("source"), Map.empty, engine = this, logSink = sink,
+            pluginArgs = jsArgs)
+          val logs = sink.map(l =>
+            s"""{"c": ${PyBridge.jstr(l)}}""").mkString("[", ",", "]")
+          s"""{"result": ${JsHost.resultJson(result)}, """ +
+            s""""status": ${JsHost.resultJson(result)}, "logs": $logs}"""
         } else if (param("language").contains("python")) {
           val scriptArgs = param("args") match {
-            case Some(json) =>
+            case Some(json) if json.trim.startsWith("{") =>
               val (schema, row) = JsonRow.parseFlat(json)
               schema.fieldNames.zipWithIndex
                 .map { case (n, i) => n -> String.valueOf(row.get(i)) }.toMap
-            case None => Map.empty[String, String]
+            case _ => Map.empty[String, String]
           }
-          PyBridge.resultJson(
-            PyBridge.run(spark, dataset, req("source"), scriptArgs,
-              httpPort = restPort))
+          // `args` lands as mldb.script.args verbatim (MLDB-642 logs
+          // a bare string arg)
+          val argsJson = param("args").map { a =>
+            val t = a.trim
+            if (t.startsWith("{") || t.startsWith("[") || t == "null" ||
+                t == "true" || t == "false" ||
+                t.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) t
+            else PyBridge.jstr(a)
+          }
+          val r = PyBridge.run(spark, dataset, req("source"), scriptArgs,
+            scriptArgsJson = argsJson, httpPort = restPort)
+          val logLines =
+            r.stdout.split("\n").filter(_.nonEmpty) ++
+              r.stderr.split("\n").filter(_.nonEmpty)
+          val logs = logLines.map(l =>
+            s"""{"c": ${PyBridge.jstr(l)}}""").mkString("[", ",", "]")
+          val core = PyBridge.resultJson(r)
+          s"""{"status": ${r.returnJson.getOrElse("null")}, """ +
+            s""""logs": $logs, """ + core.trim.drop(1)
         } else {
           val result = Scripting.run(spark, req("source"))
           (result, param("outputDataset")) match {

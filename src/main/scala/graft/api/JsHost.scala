@@ -396,14 +396,30 @@ object JsHost {
     * `plugin.log` global. */
   def run(spark: SparkSession, tables: String => DataFrame,
       source: String, params: Map[String, String],
-      engine: GraftEngine = null): JsVal = {
+      engine: GraftEngine = null,
+      logSink: mutable.ArrayBuffer[String] = null,
+      pluginArgs: Option[JsVal] = None): JsVal = {
     val argsObj = new JsObjV(mutable.LinkedHashMap.from(
       params.map { case (k, v) => k -> (JsStr(v): JsVal) }))
-    val pluginObj = new JsObjV(mutable.LinkedHashMap(
-      "log" -> (new JsNativeV("log", (_, _) => JsUndef): JsVal)))
+    // mldb.log / plugin.log append to the sink when one is given —
+    // script.run surfaces them as the run details' `logs` entries
+    // (MLDB-642 asserts logs[i].c)
+    val logFn: JsVal = new JsNativeV("log", (_, as) => {
+      if (logSink != null)
+        logSink += as.map(a => a match {
+          case JsStr(s) => s
+          case other => jsonStringify(other).getOrElse(toStr(other))
+        }).mkString(" ")
+      JsUndef
+    })
+    val pluginFields = mutable.LinkedHashMap("log" -> logFn)
+    pluginArgs.foreach(a => pluginFields("args") = a)
+    val pluginObj = new JsObjV(pluginFields)
+    val mldb = mldbObject(spark, tables, engine)
+    mldb.fields("log") = logFn
     JsInterp.run(JsInterp.compile(source), Nil, Nil,
       extraGlobals = Map(
-        "mldb" -> mldbObject(spark, tables, engine),
+        "mldb" -> mldb,
         "plugin" -> pluginObj,
         "args" -> argsObj))
   }

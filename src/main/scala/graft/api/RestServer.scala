@@ -47,6 +47,13 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
   // the reference keeps the collection entry in error state (MLDB-572)
   private val datasetErrors = scala.collection.concurrent.TrieMap
     .empty[String, (String, String)]
+  // sync run results by run id, served by /runs/<id>/details
+  // (MLDB-642 reads the logs back)
+  private val syncRunResults = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+  // named credential rules (MLDB-1468) — raw config JSON per name
+  private val credentials = scala.collection.concurrent.TrieMap
+    .empty[String, String]
 
   def start(): Int = {
     // the query route's work, shared by /v1/query (query string OR
@@ -609,6 +616,40 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     // collections: per-kind type listings, per-type config info, and
     // the javascript/python TYPE-level `routes/run` script runner —
     // MLDB-255/1000/497/251/980) -------------------------------------
+    // ---- /v1/credentials (`rest/in_process_rest_connection` cred
+    // collection; MLDB-1468): named credential rules, CRUD only — the
+    // stored secrets would feed s3/http fetchers, none of which this
+    // engine reaches in an egress-free deployment --------------------
+    server.createContext("/v1/credentials", (ex: HttpExchange) => handle(ex) {
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/credentials")
+        .stripPrefix("/")
+      (ex.getRequestMethod, path) match {
+        case ("GET", "") =>
+          credentials.keys.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")
+        case ("GET", name) =>
+          credentials.getOrElse(name, throw new NoSuchElementException(
+            s"credentials '$name' doesn't exist"))
+        case ("PUT", name) =>
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          credentials(name) = body
+          Created(s"""{"id": ${jsonStr(name)}}""")
+        case ("POST", "") =>
+          val body = new String(ex.getRequestBody.readAllBytes,
+            StandardCharsets.UTF_8)
+          val name = "auto_" + java.util.UUID.randomUUID().toString
+            .replace("-", "").take(12)
+          credentials(name) = body
+          Created(s"""{"id": ${jsonStr(name)}}""")
+        case ("DELETE", name) =>
+          if (credentials.remove(name).isEmpty)
+            throw new NoSuchElementException(
+              s"credentials '$name' doesn't exist")
+          NoContent()
+        case (m, p) => throw new IllegalArgumentException(
+          s"unsupported $m /v1/credentials/$p")
+      }
+    })
     server.createContext("/v1/typeInfo", (ex: HttpExchange) => handle(ex) {
       val t = queryParams(ex).getOrElse("type",
         throw new IllegalArgumentException("missing type parameter"))
@@ -817,10 +858,11 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           // recorded by name only
           val Array(nm, rest) = detPath.split("/runs/", 2)
           val runId = rest.stripSuffix("/details")
-          engine.runStatusOpt(runId).flatMap(_.result).getOrElse {
-            if (procRuns.get(nm).exists(_.exists(_._1 == runId))) "{}"
-            else throw new NoSuchElementException(s"run '$runId' not found")
-          }
+          engine.runStatusOpt(runId).flatMap(_.result)
+            .orElse(syncRunResults.get(runId)).getOrElse {
+              if (procRuns.get(nm).exists(_.exists(_._1 == runId))) "{}"
+              else throw new NoSuchElementException(s"run '$runId' not found")
+            }
         case ("GET", statePath) if statePath.contains("/runs/") &&
             statePath.endsWith("/state") =>
           // MLDB-408: poll a run's lifecycle state
@@ -854,7 +896,9 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           }
           val run = runNamed(name, runBody)
           recordRun(name, runId)
-          Created(run)
+          syncRunResults(runId) = run
+          // created "in the right place" (MLDB-642 checks the header)
+          CreatedAt(run, s"/v1/procedures/$name/runs/$runId")
         case ("GET", runPath) if runPath.contains("/runs/") =>
           // run status by id (MLDB-1570/2110 poll the POST's Location):
           // state + the reference's progress steps, and the result
@@ -903,8 +947,10 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
               s"/v1/procedures/$name/runs/$id")
           } else {
             val run = runNamed(name, runBody)
-            recordRun(name, java.util.UUID.randomUUID().toString.take(8))
-            Created(run)
+            val id = java.util.UUID.randomUUID().toString.take(8)
+            recordRun(name, id)
+            syncRunResults(id) = run
+            CreatedAt(run, s"/v1/procedures/$name/runs/$id")
           }
         case (m, p) => throw new IllegalArgumentException(s"unsupported $m /$p")
       }

@@ -390,7 +390,9 @@ class RestSpec extends AnyFunSuite {
         "source" -> ("var xs = [1, 2, 3, 4]; var s = 0; " +
           "for (var i = 0; i < xs.length; i++) s += xs[i]; s * 10;")
       ).get _)
-      assert(r === """{"result": 100}""", r)
+      // result + the reference's ScriptOutput fields (status carries
+      // the return value, logs the mldb.log lines — MLDB-642)
+      assert(r === """{"result": 100, "status": 100, "logs": []}""", r)
     } finally srv.stop()
   }
 
