@@ -162,7 +162,34 @@ final class GraftEngine(val spark: SparkSession) {
             else df
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       case "transposed" =>
-        datasets(name) = query(s"SELECT * FROM transpose(${req("dataset")})")
+        // params.dataset may be an id, an {id} reference, or a NESTED
+        // typed config ({type: "transposed", params: {dataset: …}} —
+        // MLDB-494's double transposition): nested configs create an
+        // anonymous dataset recursively, then transpose it
+        val d = req("dataset").trim
+        val baseName =
+          if (!d.startsWith("{")) d
+          else {
+            import graft.js.JsInterp._
+            val cfg = ProcJson.parse(d)
+            (ProcJson.field(cfg, "type"), ProcJson.field(cfg, "id")) match {
+              case (Some(JsStr(t)), idOpt) =>
+                val nm = idOpt match {
+                  case Some(JsStr(s)) => s
+                  case _ => "auto_" + java.util.UUID.randomUUID().toString
+                    .replace("-", "").take(12)
+                }
+                createDatasetTyped(nm, t, k =>
+                  ProcJson.field(cfg, "params")
+                    .flatMap(ProcJson.field(_, k))
+                    .map(ProcJson.paramString))
+                nm
+              case (None, Some(JsStr(id))) => id
+              case _ => throw new IllegalArgumentException(
+                s"transposed: cannot resolve dataset config $d")
+            }
+          }
+        datasets(name) = query(s"SELECT * FROM transpose($baseName)")
       case "sub" =>
         datasets(name) = query(req("query"))
       case "sampled" =>
@@ -829,6 +856,9 @@ final class GraftEngine(val spark: SparkSession) {
     * python_plugin_loader.cc`: `params.source.routes` executes per
     * route call with a `request` object). */
   private val pythonRoutes = TrieMap[String, String]()
+  // handlers that consume the FULL request envelope (JS
+  // setRequestHandler plugins get verb + payload — `builtin/plugin.h`)
+  private val fullHandlers = TrieMap[String, PluginReq => Any]()
 
   /** `language`: "scala" (a [[Scripting]] snippet — the host-language
     * substitute) or "javascript" (the reference's native plugin
@@ -848,19 +878,27 @@ final class GraftEngine(val spark: SparkSession) {
         val handler = JsHost.loadPlugin(spark, dataset, source, this)
           .getOrElse(throw new IllegalArgumentException(
             s"plugin '$name' calls setRequestHandler with no function"))
-        plugins(name) = { (route, params) =>
+        def invoke(req2: PluginReq): Any = {
           import graft.js.JsInterp._
           val pairs = new JsArrV(scala.collection.mutable.ArrayBuffer.from(
-            params.toSeq.map { case (k, v) =>
+            req2.params.map { case (k, v) =>
               new JsArrV(scala.collection.mutable.ArrayBuffer(
                 JsStr(k): JsVal, JsStr(v): JsVal)): JsVal
             }))
+          val payload = req2.payload.stripSuffix("\n")
           val res = graft.js.JsInterp.callFunctionValue(handler, Seq(
-            JsStr("/" + route), JsStr("GET"),
-            JsStr(s"/v1/plugins/$name/routes/$route"), pairs,
-            JsUndef, JsStr(""), JsNum(0),
+            JsStr("/" + req2.route), JsStr(req2.verb),
+            JsStr(s"/v1/plugins/$name/routes/${req2.route}"), pairs,
+            if (payload == "null" || payload.isEmpty) JsUndef
+            else scala.util.Try(graft.js.JsInterp.jsonParse(payload))
+              .getOrElse(JsStr(payload): JsVal),
+            JsStr("application/json"), JsNum(payload.length.toDouble),
             new JsArrV(scala.collection.mutable.ArrayBuffer.empty)))
           RawJson(JsHost.resultJson(res))
+        }
+        fullHandlers(name) = invoke
+        plugins(name) = { (route, params) =>
+          invoke(PluginReq(route, "GET", params.toSeq, "null\n"))
         }
       } else
       plugins(name) = { (route, params) =>
@@ -935,17 +973,22 @@ final class GraftEngine(val spark: SparkSession) {
     * handlers receive the legacy (route, params) shape. */
   def pluginRouteFull(name: String, req: PluginReq): Any =
     if (pythonRoutes.contains(name)) pythonRouteCall(name, req)
-    else {
-      val handler = plugins.getOrElse(name,
-        throw new NoSuchElementException(s"plugin '$name' not found"))
-      handler(req.route, req.params.toMap)
+    else fullHandlers.get(name) match {
+      case Some(h) => h(req)
+      case None =>
+        val handler = plugins.getOrElse(name,
+          throw new NoSuchElementException(s"plugin '$name' not found"))
+        handler(req.route, req.params.toMap)
     }
 
   def listPlugins: Seq[String] = plugins.keys.toSeq.sorted
 
-  def deletePlugin(name: String): Unit =
+  def deletePlugin(name: String): Unit = {
+    fullHandlers.remove(name)
+    pythonRoutes.remove(name)
     if (plugins.remove(name).isEmpty)
       throw new NoSuchElementException(s"plugin '$name' not found")
+  }
 
   def pluginRoute(name: String, route: String,
       params: Map[String, String]): Any = {
@@ -1137,9 +1180,39 @@ final class GraftEngine(val spark: SparkSession) {
     val run = new Run(java.util.UUID.randomUUID().toString.take(8))
     run.progress = progressStepsFor(tpe).map { case (n, t) => (n, t, 0.0) }
     runs(run.id) = run
+    // the listener bridge (MLDB-2110): Spark task completions in this
+    // run's job group drive the progress percent — fine-grained and
+    // monotone, not a coarse 0 → 100 jump
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val stages = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[Int]()
+      private val total = new java.util.concurrent.atomic.AtomicLong(0)
+      private val done = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null && s"graft-run-${run.id}" ==
+            js.properties.getProperty("spark.jobGroup.id")) {
+          js.stageInfos.foreach { si =>
+            if (stages.add(si.stageId)) total.addAndGet(si.numTasks.toLong)
+          }
+        }
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (stages.contains(te.stageId)) {
+          val d = done.incrementAndGet()
+          val t = total.get()
+          if (t > 0) {
+            val pct = math.min(99.0, d * 100.0 / t)
+            run.progress = run.progress.map { case (n, tt, v) =>
+              (n, tt, math.max(v, pct))
+            }
+          }
+        }
+    }
     val t = new Thread(() => {
       try {
         // the run's Spark jobs share a cancellable group (MLDB-408)
+        spark.sparkContext.addSparkListener(listener)
         spark.sparkContext.setJobGroup(s"graft-run-${run.id}",
           s"procedure run ${run.id}", interruptOnCancel = true)
         val res = runProcedure(tpe, param)
@@ -1154,7 +1227,10 @@ final class GraftEngine(val spark: SparkSession) {
           run.error = Some(String.valueOf(e.getMessage))
           run.state = "error"
         }
-      } finally spark.sparkContext.clearJobGroup()
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(listener)
+      }
     }, s"graft-procrun-${run.id}")
     run.thread = Some(t)
     t.setDaemon(true)

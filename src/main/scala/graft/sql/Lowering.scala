@@ -480,7 +480,23 @@ object Lowering {
         // the transposed dataset's ROWS are the original columns — name
         // them in the rowName slot so rowName() works downstream
         // (MLDB-1631's join on x.rowName())
-        val t = graft.operators.Reshape.transpose(keyed, idCol, ids, "string")
+        // melt unions the value columns into ONE — its type must hold
+        // them all. A schema-time decision: all-numeric sources keep
+        // numbers (double transposition stays the identity on types —
+        // MLDB-494); anything mixed falls back to string
+        val valueTypes = keyed.schema.fields
+          .filterNot(_.name == idCol).map(_.dataType).toSet
+        val castTo =
+          if (valueTypes.forall(_.isInstanceOf[
+              org.apache.spark.sql.types.NumericType])) {
+            if (valueTypes.forall(t2 =>
+                t2 == org.apache.spark.sql.types.LongType ||
+                t2 == org.apache.spark.sql.types.IntegerType ||
+                t2 == org.apache.spark.sql.types.ShortType ||
+                t2 == org.apache.spark.sql.types.ByteType)) "long"
+            else "double"
+          } else "string"
+        val t = graft.operators.Reshape.transpose(keyed, idCol, ids, castTo)
           .withColumnRenamed("column", "rowName")
         (t, Scope(Seq(None -> t)))
       case "sample" =>

@@ -140,7 +140,9 @@ class ReferenceParitySpec6 extends AnyFunSuite {
     val r = rows.head
     assert(r.getString(0) === "[result]-[toy story]")
     assert(r.getString(1) === "this is toy story time")
-    assert(r.getString(2) === "1") // transposed cells read back as strings
+    // transposed cells keep NUMBERS when the source is all-numeric
+    // (the reference's expected row is ["x.rating", 1, "-Inf"])
+    assert(String.valueOf(r.get(2)) === "1")
   }
 
   // --- MLDB-1636-row-column-path.js ----------------------------------------
