@@ -66,13 +66,16 @@ final class GraftEngine(val spark: SparkSession) {
         if (tpe.startsWith("beh")) param("dataFileUrl").foreach { u =>
           if (!u.contains("://")) throw new IllegalArgumentException(
             s"dataFileUrl '$u' has no protocol (file:// expected)")
-          behBacked(name) = u.stripPrefix("file://")
+          behBacked(name) = (u.stripPrefix("file://"),
+            tpe.stripSuffix(".mutable"))
         }
         if (!datasets.contains(name)) datasets(name) = spark.emptyDataFrame
         return
       case "beh" | "beh.binary" =>
         // immutable beh reader: reload a committed beh.mutable
-        // snapshot by url (MLDB-1254's save → reload cycle)
+        // snapshot by url (MLDB-1254's save → reload cycle). The file
+        // carries its beh type — loading under the other type is the
+        // reference's error (beh_type_check_on_load_test)
         val u = req("dataFileUrl")
         if (!u.contains("://")) throw new IllegalArgumentException(
           s"dataFileUrl '$u' has no protocol (file:// expected)")
@@ -80,6 +83,13 @@ final class GraftEngine(val spark: SparkSession) {
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
           throw new IllegalArgumentException(
             s"beh file '$u' does not exist")
+        val marker = java.nio.file.Paths.get(path, "_graft_beh_type")
+        if (java.nio.file.Files.exists(marker)) {
+          val stored = new String(java.nio.file.Files.readAllBytes(marker),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (stored != tpe) throw new IllegalArgumentException(
+            s"The loaded dataset is not of type $tpe")
+        }
         datasets(name) = spark.read.parquet(path)
         immutableDatasets += name
         return
@@ -225,8 +235,10 @@ final class GraftEngine(val spark: SparkSession) {
 
   /** sqliteSparse-backed dataset names → their file path. */
   private val sqliteBacked = TrieMap[String, String]()
-  // beh.mutable persistence targets (dataFileUrl paths — MLDB-563)
-  private val behBacked = TrieMap[String, String]()
+  // beh.mutable persistence targets: (dataFileUrl path, beh type) —
+  // MLDB-563; the type persists with the file so loads can check it
+  // (beh_type_check_on_load_test)
+  private val behBacked = TrieMap[String, (String, String)]()
   // per-dataset record-time timestamp quantum in seconds
   // (`timeQuantumSeconds`, default 1 — MLDB-987)
   private val datasetQuantum = TrieMap[String, Double]()
@@ -279,7 +291,7 @@ final class GraftEngine(val spark: SparkSession) {
     // reference's .beh binary layout is an internal format; the API
     // surface (save at commit, reload by url, overwrite on re-commit)
     // is what its tests pin.
-    behBacked.get(name).foreach { path =>
+    behBacked.get(name).foreach { case (path, behType) =>
       val p = java.nio.file.Paths.get(path)
       // a pre-existing plain FILE at the target (tempfile handles —
       // MLDB-1254) gives way to the dataset directory
@@ -287,6 +299,9 @@ final class GraftEngine(val spark: SparkSession) {
         java.nio.file.Files.delete(p)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       dataset(name).write.mode("overwrite").parquet(path)
+      // the beh type rides with the file — loads type-check it
+      java.nio.file.Files.write(p.resolve("_graft_beh_type"),
+        behType.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
 
@@ -394,6 +409,17 @@ final class GraftEngine(val spark: SparkSession) {
       }
     }
     n
+  }
+
+  /** DELETE /v1/datasets/<n> — drop the entity and its side state. */
+  def deleteDataset(name: String): Unit = {
+    behBacked.remove(name)
+    sqliteBacked.remove(name)
+    continuousCfg.remove(name)
+    datasetQuantum.remove(name)
+    immutableDatasets -= name
+    if (datasets.remove(name).isEmpty)
+      throw new NoSuchElementException(s"dataset '$name' not found")
   }
 
   /** Per-dataset record lock (plain monitor objects; contention is
@@ -859,6 +885,12 @@ final class GraftEngine(val spark: SparkSession) {
   // handlers that consume the FULL request envelope (JS
   // setRequestHandler plugins get verb + payload — `builtin/plugin.h`)
   private val fullHandlers = TrieMap[String, PluginReq => Any]()
+  // plugin status handlers (`plugin.setStatusHandler` — GET
+  // /v1/plugins/<id> invokes them; mldb_js_plugin_statusexc)
+  private val pluginStatusFns = TrieMap[String, () => String]()
+
+  def pluginStatus(name: String): Option[String] =
+    pluginStatusFns.get(name).map(_())
 
   /** `language`: "scala" (a [[Scripting]] snippet — the host-language
     * substitute) or "javascript" (the reference's native plugin
@@ -869,15 +901,30 @@ final class GraftEngine(val spark: SparkSession) {
       language: String = "scala"): Unit = language match {
     case "javascript" =>
       val program = graft.js.JsInterp.compile(source) // parse → 400
-      if (source.contains("setRequestHandler")) {
+      if (source.contains("setRequestHandler") ||
+          source.contains("setStatusHandler")) {
         // the reference's plugin lifecycle (`builtin/js/
         // js_plugin_loader.cc`): the script runs ONCE at load and
         // registers a request handler; each route call invokes it with
         // (relpath, verb, resource, params-as-pairs, payload,
         // contentType, contentLength, headers) — MLDB-2022's /predict.
-        val handler = JsHost.loadPlugin(spark, dataset, source, this)
-          .getOrElse(throw new IllegalArgumentException(
-            s"plugin '$name' calls setRequestHandler with no function"))
+        val (handlerOpt, statusOpt) =
+          JsHost.loadPluginFull(spark, dataset, source, this)
+        statusOpt.foreach(h => pluginStatusFns(name) = { () =>
+          JsHost.resultJson(graft.js.JsInterp.callFunctionValue(h, Seq.empty))
+        })
+        val handler = handlerOpt.getOrElse {
+          if (statusOpt.isDefined) {
+            // status-only plugin: routes answer 404
+            plugins(name) = { (route, _) =>
+              throw new NoSuchElementException(
+                s"plugin '$name' serves no route '$route'")
+            }
+            return
+          }
+          throw new IllegalArgumentException(
+            s"plugin '$name' calls setRequestHandler with no function")
+        }
         def invoke(req2: PluginReq): Any = {
           import graft.js.JsInterp._
           val pairs = new JsArrV(scala.collection.mutable.ArrayBuffer.from(
@@ -919,6 +966,21 @@ final class GraftEngine(val spark: SparkSession) {
       // once PER REQUEST in a fresh interpreter — the reference's
       // python plugin model, where handler state lives in the entity,
       // not the interpreter. `source` here is the routes script.
+      // Bad code fails the PUT like the other languages
+      // (mldb_py_plugin_nocompile): a compile() pass in a scratch
+      // interpreter, no execution.
+      val check = new ProcessBuilder("python3", "-c",
+        "import sys; compile(sys.stdin.read(), '<plugin>', 'exec')")
+      val proc = check.start()
+      proc.getOutputStream.write(
+        source.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      proc.getOutputStream.close()
+      val err = new String(proc.getErrorStream.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8)
+      proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      if (proc.exitValue() != 0) throw new IllegalArgumentException(
+        s"python plugin did not compile: ${err.linesIterator.toSeq
+          .lastOption.getOrElse(err)}")
       pythonRoutes(name) = source
       plugins(name) = { (route, params) =>
         pythonRouteCall(name, PluginReq(route, "GET",
@@ -986,6 +1048,7 @@ final class GraftEngine(val spark: SparkSession) {
   def deletePlugin(name: String): Unit = {
     fullHandlers.remove(name)
     pythonRoutes.remove(name)
+    pluginStatusFns.remove(name)
     if (plugins.remove(name).isEmpty)
       throw new NoSuchElementException(s"plugin '$name' not found")
   }
@@ -2409,7 +2472,8 @@ final class GraftEngine(val spark: SparkSession) {
           val url = u.get
           if (!url.contains("://")) throw new IllegalArgumentException(
             s"dataFileUrl '$url' has no protocol (file:// expected)")
-          behBacked(name) = url.stripPrefix("file://")
+          behBacked(name) = (url.stripPrefix("file://"),
+            t.get.stripSuffix(".mutable"))
           commitDataset(name)
         }
       }
@@ -2751,8 +2815,14 @@ final class GraftEngine(val spark: SparkSession) {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.Column
         val structured = structuredInput(param)
-        val input = param("trainingData").orElse(param("inputData"))
-          .orElse(structured).getOrElse(throw new IllegalArgumentException(
+        // the structured {select, from} form wins when its parts are
+        // present — a flat trainingData lookup on that shape yields
+        // just the from-id, which is not a query (procedure_409_test)
+        val input = structured
+          .orElse(param("trainingData").filter(
+            _.trim.toLowerCase.startsWith("select")))
+          .orElse(param("trainingData")).orElse(param("inputData"))
+          .getOrElse(throw new IllegalArgumentException(
             "You need to define inputData"))
         val df0raw = query(input)
         import org.apache.spark.sql.types._
@@ -3130,6 +3200,11 @@ final class GraftEngine(val spark: SparkSession) {
             throw new IllegalArgumentException("classifier.test expects a " +
               "scalar named 'score' and a scalar named 'label'"))
         val df0 = query(input)
+        // the reference refuses an empty test set up front
+        // (classifier_test_err_on_empty_sets: LIMIT 0, large OFFSET,
+        // unmatched WHERE all raise the same message)
+        if (df0.isEmpty) throw new IllegalArgumentException(
+          "Cannot run classifier.test procedure on empty test set")
         val mode = param("mode").getOrElse("boolean")
         def need(c: String): StructField = df0.schema.fields
           .find(_.name.equalsIgnoreCase(c)).getOrElse(
@@ -4056,9 +4131,11 @@ final class GraftEngine(val spark: SparkSession) {
           }
           val r = PyBridge.run(spark, dataset, req("source"), scriptArgs,
             scriptArgsJson = argsJson, httpPort = restPort)
+          // logs = stdout prints then mldb.log entries (the entries
+          // also echo on stderr; the log-file channel keeps multi-line
+          // pretty-printed values whole — python_mldb_log)
           val logLines =
-            r.stdout.split("\n").filter(_.nonEmpty) ++
-              r.stderr.split("\n").filter(_.nonEmpty)
+            r.stdout.split("\n").filter(_.nonEmpty).toSeq ++ r.logs
           val logs = logLines.map(l =>
             s"""{"c": ${PyBridge.jstr(l)}}""").mkString("[", ",", "]")
           val core = PyBridge.resultJson(r)

@@ -375,19 +375,33 @@ object JsHost {
     * js_plugin_loader.cc` — the script body is the plugin's
     * constructor). */
   def loadPlugin(spark: SparkSession, tables: String => DataFrame,
-      source: String, engine: GraftEngine): Option[JsVal] = {
+      source: String, engine: GraftEngine): Option[JsVal] =
+    loadPluginFull(spark, tables, source, engine)._1
+
+  /** Full plugin load: (requestHandler, statusHandler) — the
+    * reference's plugin lifecycle registers either or both
+    * (`builtin/js/js_plugin_loader.cc`; mldb_js_plugin_statusexc
+    * exercises a throwing status handler). */
+  def loadPluginFull(spark: SparkSession, tables: String => DataFrame,
+      source: String, engine: GraftEngine)
+      : (Option[JsVal], Option[JsVal]) = {
     var handler: Option[JsVal] = None
+    var statusHandler: Option[JsVal] = None
     val pluginObj = new JsObjV(mutable.LinkedHashMap(
       "log" -> (new JsNativeV("log", (_, _) => JsUndef): JsVal),
       "setRequestHandler" -> (new JsNativeV("setRequestHandler", (_, as) => {
         handler = as.headOption
+        JsUndef
+      }): JsVal),
+      "setStatusHandler" -> (new JsNativeV("setStatusHandler", (_, as) => {
+        statusHandler = as.headOption
         JsUndef
       }): JsVal)))
     JsInterp.run(JsInterp.compile(source), Nil, Nil,
       extraGlobals = Map(
         "mldb" -> mldbObject(spark, tables, engine),
         "plugin" -> pluginObj))
-    handler
+    (handler, statusHandler)
   }
 
   /** Run an engine-side JS script: returns the script's result (its

@@ -36,7 +36,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PyBridge {
 
   final case class PyResult(returnJson: Option[String], stdout: String,
-      stderr: String, returnCode: Int)
+      stderr: String, returnCode: Int, logs: Seq[String] = Seq.empty)
 
   val maxQueryRows: Int = JsHost.maxQueryRows
 
@@ -63,7 +63,19 @@ class _GraftMldb(object):
             raise RuntimeError(resp["error"])
         return resp.get("rows", [])
     def log(self, *parts):
-        print(*parts, file=_graft_sys.stderr)
+        # the reference's log formatting (python_mldb_log): dicts and
+        # lists pretty-print 4-space-indented, scalars str(), multiple
+        # args join with a space
+        def fmt(v):
+            if isinstance(v, (dict, list)):
+                return _graft_json.dumps(v, indent=4)
+            return str(v)
+        entry = " ".join(fmt(v) for v in parts)
+        print(entry, file=_graft_sys.stderr)
+        lf = _graft_os.environ.get("GRAFT_PY_LOG")
+        if lf:
+            with open(lf, "a", encoding="utf-8") as f:
+                f.write(_graft_json.dumps(entry) + "\n")
     def perform(self, verb, path, params=None, payload=None):
         # full REST round-trip back into the serving engine
         # (`mldb.perform` — MLDB-538 route sub-requests); returns the
@@ -138,11 +150,28 @@ class _GraftRequest(object):
 
 request = _GraftRequest()
 
+# `mldb.plugin.set_request_handler` (plugin_delete_test's source-form
+# python plugins): the registered handler answers the route when the
+# script itself never calls request.set_return
+class _GraftPluginNS(object):
+    def __init__(self):
+        self._handler = None
+    def set_request_handler(self, f):
+        self._handler = f
+
+mldb.plugin = _GraftPluginNS()
+
 import atexit as _graft_atexit
 def _graft_flush_return():
     if request._route_mode:
         # route handlers: wrap value + HTTP code; not calling
         # set_return at all is detected JVM-side (no last-line JSON)
+        if not request._called and mldb.plugin._handler is not None:
+            v = mldb.plugin._handler(
+                mldb, request.remaining, request.verb, request.remaining,
+                request.rest_params, request.payload, "application/json",
+                len(request.payload or ""), [])
+            request.set_return(v, 200)
         if request._called:
             print(_graft_json.dumps(
                 {"code": request._code if request._code is not None else 200,
@@ -152,6 +181,18 @@ def _graft_flush_return():
 _graft_atexit.register(_graft_flush_return)
 del _GraftMldb
 """
+
+  /** One log-file line (a JSON string literal) → the entry text. */
+  private def parseLogLine(l: String): Option[String] = {
+    val t = l.trim
+    if (!t.startsWith("\"")) None
+    else scala.util.Try {
+      graft.js.JsInterp.jsonParse(t) match {
+        case graft.js.JsInterp.JsStr(s) => s
+        case _ => t
+      }
+    }.toOption
+  }
 
   /** JSON-escape a string (minimal, for building responses). */
   def jstr(s: String): String = {
@@ -223,6 +264,9 @@ del _GraftMldb
       httpPort: Option[Int] = None): PyResult = {
     val script = Files.createTempFile("graft_py", ".py")
     Files.write(script, (prelude + "\n" + source).getBytes(StandardCharsets.UTF_8))
+    // mldb.log entries land here as one JSON string per line — the
+    // run's ScriptOutput logs (python_mldb_log pins the formatting)
+    val logFile = Files.createTempFile("graft_py_log", ".jsonl")
     val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
     try {
       serve(server, spark, tables)
@@ -237,6 +281,7 @@ del _GraftMldb
         pb.environment().put("GRAFT_PY_REQUEST", j))
       httpPort.foreach(p =>
         pb.environment().put("GRAFT_PY_HTTP_PORT", p.toString))
+      pb.environment().put("GRAFT_PY_LOG", logFile.toString)
       val proc = pb.start()
       // stdInData pipes to the child before EOF (the reference's
       // experimental.external.procedure — MLDB-694)
@@ -267,13 +312,19 @@ del _GraftMldb
       val cut = trimmed.lastIndexOf('\n')
       val (head, last) =
         if (cut < 0) ("", trimmed) else (trimmed.substring(0, cut), trimmed.substring(cut + 1))
+      val logs = scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(logFile, StandardCharsets.UTF_8).asScala.toSeq
+          .flatMap(l => parseLogLine(l))
+      }.getOrElse(Seq.empty)
       parseJsonOpt(last) match {
-        case Some(j) => PyResult(Some(j), head, stderr, rc)
-        case None => PyResult(None, trimmed, stderr, rc)
+        case Some(j) => PyResult(Some(j), head, stderr, rc, logs)
+        case None => PyResult(None, trimmed, stderr, rc, logs)
       }
     } finally {
       server.close()
       Files.deleteIfExists(script)
+      Files.deleteIfExists(logFile)
     }
   }
 

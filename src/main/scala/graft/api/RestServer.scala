@@ -90,6 +90,9 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         }
       formatJson(df, limit, format, headers)
     }
+    // liveness probe (`server/mldb_server.cc` /ping;
+    // python_mldb_interface_test's mldb.get('/ping'))
+    server.createContext("/ping", (ex: HttpExchange) => handle(ex) { "null" })
     server.createContext("/v1/query", (ex: HttpExchange) => handle(ex) {
       val body = new String(ex.getRequestBody.readAllBytes,
         StandardCharsets.UTF_8)
@@ -124,6 +127,14 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
       (ex.getRequestMethod, path) match {
         case ("GET", "") =>
           engine.listDatasets.map(jsonStr).mkString("[", ",", "]")
+        case ("DELETE", name) if !name.contains("/") =>
+          // entity delete (python_mldb_interface_test's mldb.delete;
+          // the reference's collection DELETE answers 204). An
+          // error-state entity deletes cleanly too.
+          val wasErrored = datasetErrors.remove(name).isDefined
+          try engine.deleteDataset(name)
+          catch { case _: NoSuchElementException if wasErrored => () }
+          NoContent()
         case ("GET", routed) if routed.contains("/routes/") =>
           // MLDB-572/630: route calls on an entity that failed
           // creation answer 404 naming the creation error
@@ -577,13 +588,18 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           engine.deletePlugin(name)
           NoContent()
         case ("GET", name) if !name.contains("/") =>
+          // a registered status handler contributes `status` (a
+          // throwing handler surfaces its error — statusexc)
+          val status = engine.pluginStatus(name)
+            .map(j => s""", "status": $j""").getOrElse("")
           pluginStates.get(name) match {
             case Some(st) =>
-              s"""{"name": ${jsonStr(name)}, "state": ${jsonStr(st)}}"""
+              s"""{"name": ${jsonStr(name)}, "state": ${jsonStr(st)}""" +
+                s"""$status}"""
             case None =>
               if (!engine.listPlugins.contains(name))
                 throw new NoSuchElementException(s"plugin '$name' not found")
-              s"""{"name": ${jsonStr(name)}, "state": "ok"}"""
+              s"""{"name": ${jsonStr(name)}, "state": "ok"$status}"""
           }
         case (verb, routed) if routed.contains("/routes/") =>
           // all verbs reach the handler (MLDB-2114: a python route
@@ -1393,7 +1409,9 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
         val r = PyBridge.run(engine.spark, engine.dataset, source,
           httpPort = engine.restPort)
         if (r.returnCode != 0) exceptionJson(r.stderr)
-        s"""{"result": ${r.returnJson.getOrElse("null")}, """ +
+        val logs = (r.stdout.split("\n").filter(_.nonEmpty).toSeq ++ r.logs)
+          .map(l => s"""{"c": ${jsonStr(l)}}""").mkString("[", ",", "]")
+        s"""{"result": ${r.returnJson.getOrElse("null")}, "logs": $logs, """ +
           s""""stdout": ${jsonStr(r.stdout)}, "stderr": ${jsonStr(r.stderr)}}"""
       case other => throw new IllegalArgumentException(
         s"unknown script language '$other'")

@@ -1724,6 +1724,9 @@ object Lowering {
     case Extract(x, key) =>
       val c = lowerExpr(scope, x)
       key match {
+        // user-written `['foo']` — the reference's MLDB-2105 quirk:
+        // the bracket is the string VALUE, not an accessor
+        case Unary("__bracketstr", StrLit(s)) => val _ = c; lit(s)
         case StrLit(s) => c.getItem(s)
         case NumLit(v, true) => c.getItem(v.toInt)
         // a bare/quoted identifier inside [] is a FIELD NAME of the
@@ -3358,6 +3361,8 @@ object Lowering {
       val fs = fields.map { case (k, v) => exprText(v).map(t => s"$k:$t") }
       if (fs.forall(_.isDefined)) Some(fs.flatten.mkString("{", ",", "}"))
       else None
+    case Extract(x, Unary("__bracketstr", s: StrLit)) =>
+      for (a <- exprText(x); b <- exprText(s)) yield s"$a[$b]"
     case Extract(x, k) =>
       for (a <- exprText(x); b <- exprText(k)) yield s"$a[$b]"
     case FnCall(n, args, _) =>

@@ -598,7 +598,16 @@ final class Parser(tokens: Vector[Token], source: String = "") {
         p += 1
         val key = parseExpr()
         expectOp("]")
-        l = Extract(l, key)
+        // a SINGLE-QUOTED string inside user-written brackets is the
+        // reference's MLDB-2105 quirk: `a['foo']` evaluates to the
+        // STRING 'foo' itself, match or not
+        // (testing/square_bracket_accessor_test.py — "It doesn't
+        // matter that it matches, it's a string"). Marked so the
+        // lowering can tell it from internal field extraction.
+        l = key match {
+          case s: StrLit => Extract(l, Unary("__bracketstr", s))
+          case _ => Extract(l, key)
+        }
       } else if (isKw(peek, "IS")) {
         p += 1
         val neg = acceptKw("NOT")
