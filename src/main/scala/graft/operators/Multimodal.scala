@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   * are REAL, on the JDK's own codecs (javax.imageio handles
   * PNG/JPEG/GIF/BMP; javax.sound.sampled handles WAV/PCM) — no
   * external library. Video: the AVI/RIFF container walk is real
-  * (codec/dims/fps/frame chunks), and MJPEG frames — whole JPEGs —
-  * decode end to end via ImageIO; inter-frame codecs (H264…) have no
-  * JDK decoder and surface per-frame errors (documented divergence).
-  * Decode errors
+  * (codec/dims/fps/frame chunks), MJPEG frames — whole JPEGs —
+  * decode end to end via ImageIO, and MS-RLE8 (BI_RLE8) decodes as a
+  * true INTER-frame codec (delta/skip escapes inherit the previous
+  * frame's pixels — `rleApply`); codecs with no public pure-JVM
+  * decode path (H264…) surface per-frame errors (documented
+  * divergence). Decode errors
   * travel as data (null result + error string), never as task
   * failures: one corrupt file in a 100 TB corpus must not kill a
   * stage.
@@ -385,16 +387,23 @@ object Multimodal {
 
   // ---- video: AVI/RIFF container walk + MJPEG frame decode ---------------
 
-  /** Parsed AVI: (codec fourcc, width, height, fps, frame chunks as
-    * (offset, length) into the original byte array). RIFF is a plain
-    * chunk grammar — fourcc + u32le size (+ 'LIST' subtype) — so the
-    * walk is ~40 lines of pure JVM; no codec needed to FIND frames.
-    * MJPEG frames are then whole JPEGs, which ImageIO CAN decode — so
-    * for the one codec the JVM genuinely handles, video decode is
-    * real end to end. Other codecs (H264…) surface per-frame errors
-    * instead of silently stubbing. */
-  private def parseAvi(b: Array[Byte]):
-      (String, Int, Int, Double, IndexedSeq[(Int, Int)]) = {
+  /** Parsed AVI stream facts: codec fourcc, dimensions, fps, frame
+    * chunks as (offset, length) into the original byte array, plus
+    * the video `strf` BITMAPINFOHEADER facts needed to decode
+    * paletted codecs (biBitCount, biCompression, the RGBQUAD palette
+    * as 0xRRGGBB ints). */
+  private case class AviInfo(codec: String, width: Int, height: Int,
+      fps: Double, frames: IndexedSeq[(Int, Int)],
+      bitCount: Int, compression: Int, palette: Array[Int])
+
+  /** RIFF is a plain chunk grammar — fourcc + u32le size (+ 'LIST'
+    * subtype) — so the walk is ~40 lines of pure JVM; no codec needed
+    * to FIND frames. MJPEG frames are then whole JPEGs, which ImageIO
+    * CAN decode, and MS-RLE8 (BI_RLE8 / fourcc 'mrle') is decoded by
+    * `rleApply` below — so both an intra-frame and a true inter-frame
+    * codec are real end to end. Other codecs (H264…) surface
+    * per-frame errors instead of silently stubbing. */
+  private def parseAvi(b: Array[Byte]): AviInfo = {
     def u32(off: Int): Long =
       ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
@@ -406,6 +415,10 @@ object Multimodal {
     var width = 0
     var height = 0
     var usPerFrame = 0L
+    var bitCount = 0
+    var compression = 0
+    var palette = Array.emptyIntArray
+    var wantVidsStrf = false
     val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     def walk(off0: Int, end: Int): Unit = {
       var off = off0
@@ -420,7 +433,30 @@ object Multimodal {
             width = u32(off + 8 + 32).toInt
             height = u32(off + 8 + 36).toInt
           case "strh" if cc(off + 8) == "vids" =>
-            if (codec.isEmpty) codec = cc(off + 12).trim
+            if (codec.isEmpty) { codec = cc(off + 12).trim; wantVidsStrf = true }
+          case "strf" if wantVidsStrf =>
+            // BITMAPINFOHEADER: biSize, biWidth, biHeight, planes+bits,
+            // biCompression @+16; RGBQUAD palette (b,g,r,0) follows the
+            // header at biSize bytes in, biClrUsed entries (0 → 2^bits)
+            wantVidsStrf = false
+            if (size >= 40) {
+              val h0 = off + 8
+              bitCount = (u32(h0 + 12) >> 16).toInt & 0xffff
+              compression = u32(h0 + 16).toInt
+              val clrUsed = u32(h0 + 32).toInt
+              val biSize = u32(h0).toInt
+              val entries =
+                if (clrUsed > 0) clrUsed
+                else if (bitCount > 0 && bitCount <= 8) 1 << bitCount
+                else 0
+              val pStart = h0 + biSize
+              if (entries > 0 && pStart + entries * 4 <= off + 8 + size)
+                palette = Array.tabulate(entries) { i =>
+                  val p = pStart + i * 4
+                  ((b(p + 2) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) |
+                    (b(p) & 0xff)
+                }
+            }
           case f if f.length == 4 && f(0).isDigit && f(1).isDigit &&
               (f.endsWith("dc") || f.endsWith("db")) =>
             frames += ((off + 8, size))
@@ -431,7 +467,106 @@ object Multimodal {
     }
     walk(12, b.length)
     val fps = if (usPerFrame > 0) 1e6 / usPerFrame else 0.0
-    (codec, width, height, fps, frames.toIndexedSeq)
+    AviInfo(codec, width, height, fps, frames.toIndexedSeq,
+      bitCount, compression, palette)
+  }
+
+  /** Apply one MS-RLE8 frame (BI_RLE8 — the format Windows BMP/AVI
+    * document publicly) onto the persistent 8-bit `surface`. This IS
+    * an inter-frame codec: any pixel the frame's commands do not
+    * write — regions jumped over by the delta escape (00 02 dx dy),
+    * lines ended early (00 00), or everything after an early
+    * end-of-bitmap (00 01) — keeps the PREVIOUS frame's value, so
+    * delta frames carry only what changed. Rows run bottom-up as in
+    * BMP; `surface` is kept top-down (row-major from the top) so the
+    * stats pass reads it naturally. */
+  private def rleApply(b: Array[Byte], off0: Int, len: Int,
+      surface: Array[Byte], w: Int, h: Int): Unit = {
+    var off = off0
+    val end = off0 + len
+    var x = 0
+    var row = 0 // 0 = bottom row
+    def put(v: Byte): Unit = {
+      if (row < h && x < w) surface((h - 1 - row) * w + x) = v
+      x += 1
+    }
+    var done = false
+    while (!done && off + 2 <= end) {
+      val n = b(off) & 0xff
+      val v = b(off + 1) & 0xff
+      off += 2
+      if (n > 0) {
+        var i = 0
+        while (i < n) { put(v.toByte); i += 1 }
+      } else v match {
+        case 0 => row += 1; x = 0 // end of line
+        case 1 => done = true     // end of bitmap — rest unchanged
+        case 2 =>                 // delta: skip right dx, up dy
+          if (off + 2 > end) done = true
+          else { x += b(off) & 0xff; row += b(off + 1) & 0xff; off += 2 }
+        case cnt =>               // absolute: cnt literal pixels, word-padded
+          var i = 0
+          while (i < cnt && off + i < end) { put(b(off + i)); i += 1 }
+          off += cnt + (cnt & 1)
+      }
+    }
+  }
+
+  /** True when the stream decodes with `rleApply` — BI_RLE8 in the
+    * strf header, or the 'mrle'/'RLE' fourccs some muxers write. */
+  private def isRle8(info: AviInfo): Boolean =
+    info.compression == 1 || info.codec.equalsIgnoreCase("mrle") ||
+      info.codec.equalsIgnoreCase("rle")
+
+  /** Decode an MS-RLE8 stream SEQUENTIALLY from frame 0 (the
+    * inter-frame state lives in the surface) and emit the stats row
+    * at each sampled index. A corrupt frame poisons every later
+    * frame's state, so decode stops there and the remaining samples
+    * carry the error. Cost is bounded by the last sampled frame, not
+    * by k. */
+  private def rleSampleStats(bytes: Array[Byte], info: AviInfo,
+      wanted: Seq[Int]): Seq[Row] = {
+    val w = info.width
+    val h = info.height
+    val surface = new Array[Byte](w * h)
+    val wantSet = wanted.toSet
+    val out = scala.collection.mutable.ArrayBuffer[Row]()
+    var fi = 0
+    var failed: String = null
+    val maxIdx = if (wanted.isEmpty) -1 else wanted.max
+    while (fi <= maxIdx) {
+      if (failed == null) {
+        val (off, len) = info.frames(fi)
+        try rleApply(bytes, off, len, surface, w, h)
+        catch { case e: Exception =>
+          failed = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
+      }
+      if (wantSet(fi)) {
+        if (failed != null)
+          out += Row(fi, null, null, null, null, null, null, failed)
+        else {
+          val pal = info.palette
+          var (sr, sg, sb) = (0.0, 0.0, 0.0)
+          var i = 0
+          while (i < surface.length) {
+            val pi = surface(i) & 0xff
+            // no palette → treat the index itself as gray
+            val rgb = if (pi < pal.length) pal(pi)
+              else (pi << 16) | (pi << 8) | pi
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            i += 1
+          }
+          val n = surface.length.toDouble
+          val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+          out += Row(fi, w, h, 0.299 * mr + 0.587 * mg + 0.114 * mb,
+            mr, mg, mb, null)
+        }
+      }
+      fi += 1
+    }
+    out.toSeq
   }
 
   /** Container-level video metadata: codec, dimensions, fps, REAL
@@ -452,8 +587,9 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val out = try {
-          val (codec, w, h, fps, frames) = parseAvi(r.getAs[Array[Byte]](idx))
-          Row("avi", codec, w, h, fps, frames.length, null)
+          val info = parseAvi(r.getAs[Array[Byte]](idx))
+          Row("avi", info.codec, info.width, info.height, info.fps,
+            info.frames.length, null)
         } catch {
           case e: Exception => Row(null, null, null, null, null, null,
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -489,8 +625,18 @@ object Multimodal {
       rows.map { r =>
         val frames: Seq[Row] = try {
           val bytes = r.getAs[Array[Byte]](idx)
-          val (_, _, _, _, chunks) = parseAvi(bytes)
+          val info = parseAvi(bytes)
+          val chunks = info.frames
           if (chunks.isEmpty) Seq.empty
+          else if (isRle8(info) && info.width > 0 && info.height > 0) {
+            // inter-frame path: state lives in the surface, so decode
+            // runs sequentially from frame 0 up to the last sample
+            val wanted = (0 until math.min(k, chunks.length)).map { i =>
+              if (k >= chunks.length) i
+              else (i.toLong * chunks.length / k).toInt
+            }
+            rleSampleStats(bytes, info, wanted)
+          }
           else (0 until math.min(k, chunks.length)).map { i =>
             // k ≥ frames → every frame once; otherwise evenly strided
             // (i·len/k collapses to repeated index 0 when k > len)
@@ -502,7 +648,7 @@ object Multimodal {
               if (len < 2 || (bytes(off) & 0xff) != 0xff ||
                   (bytes(off + 1) & 0xff) != 0xd8)
                 Row(fi, null, null, null, null, null, null,
-                  "codec not decodable in the JVM (MJPEG only)")
+                  "codec not decodable in the JVM (MJPEG/MS-RLE8 only)")
               else {
                 val img = javax.imageio.ImageIO.read(
                   new java.io.ByteArrayInputStream(bytes, off, len))

@@ -209,4 +209,73 @@ class CodecSpec extends AnyFunSuite {
     // non-MJPEG codec: per-frame error, not a crash
     assert(fr(2L).forall(_.getString(7) != null))
   }
+
+  test("video: MS-RLE8 inter-frame decode — delta frames inherit pixels") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le32(v: Int): Array[Byte] = ByteBuffer.allocate(4)
+      .order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0)
+        else Array.emptyByteArray
+      id.getBytes("ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("ASCII") ++ le32(body.length + 4) ++
+        tpe.getBytes("ASCII") ++ body
+    val (w, h, fps) = (4, 2, 10)
+    // palette: 0=red 1=green 2=blue 3=white (RGBQUADs are b,g,r,0)
+    val palette = Array[Byte](
+      0, 0, -1, 0, /* red */ 0, -1, 0, 0, /* green */
+      -1, 0, 0, 0, /* blue */ -1, -1, -1, 0 /* white */)
+    // frame 0 (key): bottom row = run mode, top row = absolute mode, all red
+    val f0 = Array[Byte](4, 0, 0, 0, /* run 4×idx0, EOL */
+      0, 4, 0, 0, 0, 0, /* absolute 4 literal idx0 */
+      0, 0, 0, 1) /* EOL, EOF */
+    // frame 1 (delta): skip right 2, paint 2 blue on the bottom row;
+    // everything else inherits frame 0
+    val f1 = Array[Byte](0, 2, 2, 0, /* delta dx=2 dy=0 */
+      2, 2, /* run 2×idx2 (blue) */ 0, 0, 0, 1)
+    // frame 2 (delta): jump UP one row, paint 1 green; the bottom
+    // row's blues must survive from frame 1 — the inter-frame proof
+    val f2 = Array[Byte](0, 2, 0, 1, /* delta dx=0 dy=1 */
+      1, 1, /* run 1×idx1 (green) */ 0, 0, 0, 1)
+    val avih = le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(3) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("ASCII") ++ "mrle".getBytes("ASCII") ++
+      le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(fps) ++ le32(0) ++ le32(3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ Array.fill(8)(0.toByte)
+    // BITMAPINFOHEADER: 8-bit, biCompression=1 (BI_RLE8), 4 palette entries
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 8, 0) ++ le32(1) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(4) ++ le32(0) ++ palette
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", chunk("00dc", f0) ++ chunk("00dc", f1) ++
+      chunk("00dc", f2))
+    val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+    val aviBytes = "RIFF".getBytes("ASCII") ++ le32(body.length) ++ body
+
+    val rows = Seq((1L, aviBytes)).toDF("id", "content")
+    val meta = Multimodal.videoMeta(rows).select("video.*").head()
+    assert(meta.getAs[String]("codec") === "mrle")
+    assert(meta.getAs[Int]("n_frames") === 3)
+
+    val fr = Multimodal.videoSampleFrames(rows, 3)
+      .select(col("frames")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(fr.map(_.getInt(0)) === Seq(0, 1, 2))
+    assert(fr.forall(_.getString(7) == null), fr.mkString("; "))
+    def rgb(r: org.apache.spark.sql.Row) =
+      (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    // frame 0: 8/8 red
+    assert(rgb(fr(0)) === ((255.0, 0.0, 0.0)))
+    // frame 1: 6 red + 2 blue
+    assert(rgb(fr(1)) === ((6 * 255.0 / 8, 0.0, 2 * 255.0 / 8)))
+    // frame 2: 5 red + 1 green + 2 blue — the blues were painted in
+    // frame 1 and never re-encoded, so only inter-frame state
+    // produces this value
+    assert(rgb(fr(2)) === ((5 * 255.0 / 8, 255.0 / 8, 2 * 255.0 / 8)))
+  }
 }
