@@ -595,6 +595,78 @@ object PipelineQueries {
           col("image.mean_b").as("mean_b"))
     },
 
+    // --- MS-RLE8 inter-frame video decode, oracle-checked: per-row
+    // 3-frame delta AVIs are synthesized with planted run lengths as
+    // pure functions of doc_id, decoded through the real rleApply
+    // surface path on executors, and the per-frame channel means must
+    // equal the planted pixel counts EXACTLY (255/32 is dyadic, so the
+    // doubles are exact) — DuckDB recomputes everything from id
+    // arithmetic. Frames 1 and 2 are DELTA frames: frame 2's blue mass
+    // was painted in frame 1 and never re-encoded, so only true
+    // inter-frame inheritance produces the oracle's values. ---
+    QueryDef("q123_video_rle_decode",
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 7 AS a, 1 + doc_id % 3 AS b
+        |  FROM documents WHERE doc_id BETWEEN 1 AND 40)
+        |SELECT doc_id, 0 AS frame_idx, CAST(255 AS DOUBLE) AS mean_r,
+        |  CAST(0 AS DOUBLE) AS mean_g, CAST(0 AS DOUBLE) AS mean_b FROM p
+        |UNION ALL
+        |SELECT doc_id, 1, (32 - a) * 255.0 / 32, CAST(0 AS DOUBLE),
+        |  a * 255.0 / 32 FROM p
+        |UNION ALL
+        |SELECT doc_id, 2, (32 - a - b) * 255.0 / 32, b * 255.0 / 32,
+        |  a * 255.0 / 32 FROM p""".stripMargin) { (s, d) =>
+      val s2 = s
+      import s2.implicits._
+      import java.nio.{ByteBuffer, ByteOrder}
+      def le32(v: Int): Array[Byte] = ByteBuffer.allocate(4)
+        .order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array[Byte](0)
+          else Array.emptyByteArray
+        id.getBytes("ASCII") ++ le32(body.length) ++ body ++ pad
+      }
+      def list(tpe: String, body: Array[Byte]): Array[Byte] =
+        "LIST".getBytes("ASCII") ++ le32(body.length + 4) ++
+          tpe.getBytes("ASCII") ++ body
+      val (w, h) = (8, 4) // 32 px — dyadic denominator keeps means exact
+      // palette: 0=red 1=green 2=blue 3=white (RGBQUADs are b,g,r,0)
+      val palette = Array[Byte](0, 0, -1, 0, 0, -1, 0, 0,
+        -1, 0, 0, 0, -1, -1, -1, 0)
+      def rleAvi(a: Int, b: Int): Array[Byte] = {
+        // key frame: every row a full run of red, then end-of-bitmap
+        val f0 = Array.tabulate(h)(_ =>
+          Array[Byte](w.toByte, 0, 0, 0)).flatten ++ Array[Byte](0, 1)
+        // delta: paint a blue pixels on the bottom row, rest inherits
+        val f1 = Array[Byte](a.toByte, 2, 0, 0, 0, 1)
+        // delta: jump UP one row, paint b green — frame 1's blues survive
+        val f2 = Array[Byte](0, 2, 0, 1, b.toByte, 1, 0, 0, 0, 1)
+        val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+          le32(3) ++ le32(0) ++ le32(1) ++ le32(0) ++
+          le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+        val strh = "vids".getBytes("ASCII") ++ "mrle".getBytes("ASCII") ++
+          le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(10) ++
+          le32(0) ++ le32(3) ++ le32(0) ++ le32(0) ++ le32(0) ++
+          Array.fill(8)(0.toByte)
+        val strf = le32(40) ++ le32(w) ++ le32(h) ++
+          Array[Byte](1, 0, 8, 0) ++ le32(1) ++ le32(0) ++
+          le32(0) ++ le32(0) ++ le32(4) ++ le32(0) ++ palette
+        val hdrl = list("hdrl", chunk("avih", avih) ++
+          list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+        val movi = list("movi", chunk("00dc", f0) ++ chunk("00dc", f1) ++
+          chunk("00dc", f2))
+        val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+        "RIFF".getBytes("ASCII") ++ le32(body.length) ++ body
+      }
+      val vids = (1 to 40).map { i =>
+        (i.toLong, rleAvi(1 + i % 7, 1 + i % 3))
+      }.toDF("doc_id", "content")
+      graft.operators.Multimodal.videoSampleFrames(vids, 3)
+        .select(col("doc_id"), explode(col("frames")).as("f"))
+        .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+          col("f.mean_r").as("mean_r"), col("f.mean_g").as("mean_g"),
+          col("f.mean_b").as("mean_b"))
+    },
+
     // --- HTML extraction (the html.parse capability), hash-matched
     // cross-engine: both engines wrap each document in the same
     // synthetic page (title with an entity, style/script bodies, two
