@@ -460,6 +460,24 @@ object TextAnalysis {
     * `n_kept`, `n_sentences`, and the `keep` verdict — so the caller
     * chooses between filtering (C4 proper) and auditing. Pure per-row
     * Column math: no shuffle, no window, composes with any scan. */
+  /** zlib compression-ratio quality signal (deflated bytes / raw
+    * UTF-8 bytes — the boilerplate gate corpus-curation pipelines run
+    * beside the Gopher repetition checks): adds `compression_ratio`
+    * and a `pass` verdict for minRatio ≤ ratio ≤ maxRatio. Templated
+    * or machine-generated text compresses far below natural prose;
+    * the ratio is computed by a native expression
+    * ([[graft.plans.DeflateRatio]]) in one tight eval per row — scan
+    * speed, no shuffle, null ratio (→ pass false) on empty text. */
+  def compressionRatio(docs: DataFrame, textCol: String,
+      minRatio: Double = 0.25, maxRatio: Double = 0.95,
+      level: Int = 6): DataFrame = {
+    val ratio = graft.plans.DeflateRatio.column(col(textCol), level)
+    docs.withColumn("compression_ratio", ratio)
+      .withColumn("pass",
+        coalesce(col("compression_ratio").between(minRatio, maxRatio),
+          lit(false)))
+  }
+
   def c4Clean(docs: DataFrame, idCol: String, textCol: String,
       minWordsPerLine: Int = 5, minSentences: Int = 3,
       keep: Seq[String] = Nil): DataFrame = {

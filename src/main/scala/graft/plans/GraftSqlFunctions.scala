@@ -27,6 +27,9 @@ object GraftSqlFunctions {
       es => MinHashSig(es(0), intLit(es(1), "signature length k")))
     GraftColumnBridge.registerFunction(spark, "graft_nfc_normalize",
       es => NfcNormalize(es.head))
+    GraftColumnBridge.registerFunction(spark, "graft_deflate_ratio",
+      es => DeflateRatio(es(0),
+        if (es.length > 1) intLit(es(1), "deflate level") else 6))
     GraftColumnBridge.registerFunction(spark, "jseval",
       es => JsEval.build("json", es))
     GraftColumnBridge.registerFunction(spark, "jseval_num",

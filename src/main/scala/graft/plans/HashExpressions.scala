@@ -393,3 +393,46 @@ object WinnowPrints {
     GraftColumnBridge.column(WinnowPrints(
       GraftColumnBridge.expression(tokenHashes), k, w, mod))
 }
+
+/** zlib compression-ratio quality signal: deflated length / raw UTF-8
+  * length. The classic corpus-curation heuristic — templated or
+  * repetitive documents compress far below natural prose, so a
+  * low-ratio gate removes boilerplate that per-gram repetition checks
+  * miss. Deterministic per (input, level): java.util.zip.Deflater is
+  * the JDK's bundled zlib with a fixed strategy, and the RATIO is
+  * additionally insensitive to buffer chunking. Empty/blank text
+  * yields null (no information to measure), keeping gate expressions
+  * tri-logic like the other quality signals. */
+case class DeflateRatio(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(level >= 1 && level <= 9, s"deflate level must be 1..9, got $level")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_deflate_ratio"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.isEmpty) null
+    else {
+      val d = new java.util.zip.Deflater(level, false)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total.toDouble / bytes.length
+      } finally d.end()
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): DeflateRatio =
+    copy(child = c)
+}
+
+object DeflateRatio {
+  def column(text: Column, level: Int = 6): Column =
+    GraftColumnBridge.column(DeflateRatio(
+      GraftColumnBridge.expression(text), level))
+}

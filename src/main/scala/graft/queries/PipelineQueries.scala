@@ -667,6 +667,36 @@ object PipelineQueries {
           col("f.mean_b").as("mean_b"))
     },
 
+    // --- character-entropy quality signal, hash-matched cross-engine:
+    // per-doc Shannon entropy over characters, H = log2(n) −
+    // Σ c·log2(c)/n — the low-information gate pipelines run beside
+    // the repetition checks. Both engines count characters and take
+    // log2 of INTEGERS only, so after round(·, 6) the doubles agree
+    // bit-exactly. Two-level aggregation, both shuffles keyed by
+    // doc_id(+char) — scale-safe at any corpus size. ---
+    QueryDef("q124_char_entropy",
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 300 AND length(text) > 0),
+        |c AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+        |  FROM d),
+        |k AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  round(log2(CAST(sum(cnt) AS DOUBLE))
+        |    - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt), 6) AS entropy
+        |FROM k GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .filter(col("doc_id") < 300 && length(col("text")) > 0)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        // Java split keeps a trailing "" element; DuckDB's per-char
+        // regex does not — drop it on this side
+        .filter(col("ch") =!= "")
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("doc_id").agg(
+        round(log2(sum("cnt"))
+          - sum(col("cnt") * log2(col("cnt"))) / sum("cnt"), 6)
+          .as("entropy"))
+    },
+
     // --- HTML extraction (the html.parse capability), hash-matched
     // cross-engine: both engines wrap each document in the same
     // synthetic page (title with an entity, style/script bodies, two
@@ -2005,7 +2035,17 @@ object PipelineQueries {
   val benchOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q47_simhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simHashPairs(doubledDocs(s, d), "text", "doc_id", maxHamming = 3)
-        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))))
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))),
+    // compression-ratio gate over the full corpus: the ratio comes
+    // from a native Deflater expression with no DuckDB analog, so its
+    // value semantics are pinned in OperatorsSpec (determinism,
+    // repetition monotonicity, tri-logic) and the bench times the
+    // scan-speed claim
+    "q125_compression_ratio" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.compressionRatio(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+        .agg(count(when(col("pass"), 1)).as("n_pass"),
+          round(avg(col("compression_ratio")), 4).as("avg_ratio"))))
 
   // the capstone body is hoisted out only to keep the QueryDef list
   // readable; see the q105 oracle SQL above for the stage-by-stage map

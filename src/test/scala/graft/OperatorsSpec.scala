@@ -946,4 +946,48 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("compressionRatio: repetition compresses below prose, deterministic, tri-logic") {
+    import spark.implicits._
+    val prose = "The quick brown fox jumps over the lazy dog while " +
+      "seventeen jackdaws quiz a sphinx about vexing waltzes and " +
+      "amazingly few discotheques provide jukeboxes for the patrons."
+    val boiler = "click here to subscribe\n" * 40
+    val df = Seq((1L, prose), (2L, boiler), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .compressionRatio(df, "text")
+      .select("doc_id", "compression_ratio", "pass")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    // natural prose sits in the keep band; 40 identical lines compress
+    // far below it and fail the min-ratio gate
+    assert(got(1L)._1 > 0.25 && got(1L)._1 < 0.95 && got(1L)._2,
+      got(1L).toString)
+    assert(got(2L)._1 < 0.15 && !got(2L)._2, got(2L).toString)
+    assert(got(2L)._1 < got(1L)._1)
+    // empty and null text → null ratio, pass false (never a crash)
+    assert(got(3L)._1.isNaN && !got(3L)._2)
+    assert(got(4L)._1.isNaN && !got(4L)._2)
+    // determinism: two independent evaluations agree bit-exactly
+    val again = graft.operators.TextAnalysis.compressionRatio(df, "text")
+      .select("compression_ratio").collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    val first = graft.operators.TextAnalysis.compressionRatio(df, "text")
+      .select("compression_ratio").collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    assert(again.zip(first).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b })
+    // registered for plain SQL too
+    graft.plans.GraftSqlFunctions.registerAll(spark)
+    val sql = spark.sql(
+      "SELECT graft_deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS r")
+      .head().getDouble(0)
+    assert(sql > 0.0 && sql < 0.5)
+    // per-row column math only — no shuffle in the plan
+    val plan2 = graft.operators.TextAnalysis.compressionRatio(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"), s"unexpected shuffle:\n$plan2")
+  }
 }
