@@ -3403,18 +3403,9 @@ final class GraftEngine(val spark: SparkSession) {
           "statsTable.train needs named rows")
         val ocCols = outcomes.indices.map(i =>
           col(s"__oc$i").cast("boolean").cast("int"))
-        // prior counts per (column, value): window ordered by row name
-        val priorCols = keyCols.flatMap { c =>
-          val w = Window.partitionBy(col(s"`$c`"))
-            .orderBy(col("rowName").cast("string"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-          outcomes.zipWithIndex.map { case ((o, _), i) =>
-            coalesce(sum(ocCols(i)).over(w), lit(0L)).as(s"$o.$c")
-          } :+ count(lit(1)).over(w).as(s"trial.$c")
-        }
-        val out = df0.select(col("rowName") +: priorCols: _*)
-        param("outputDataset").foreach(createDataset(_, out))
-        // the FINAL value tables (config-sized, capped)
+        // the FINAL value tables (config-sized, capped) — computed
+        // FIRST because the per-value trial counts double as the skew
+        // probe for the prior-count pass below
         val tables: Map[String, Seq[(String, Long, Seq[Long])]] =
           keyCols.map { c =>
             val aggs = count(lit(1)).as("__t") +:
@@ -3427,6 +3418,46 @@ final class GraftEngine(val spark: SparkSession) {
             c -> rows.toSeq.map(r => (r.getString(0), r.getLong(1),
               outcomes.indices.map(i => r.getLong(2 + i)): Seq[Long]))
           }.toMap
+        // prior counts per (column, value), exclusive of the row, in
+        // row-name order. Two constructions with IDENTICAL (integer)
+        // results:
+        //  - well-distributed values: a window partitioned by the
+        //    value — one shuffle, map-side partials;
+        //  - a value whose row count crosses the skew threshold would
+        //    funnel that window's partition into ONE task, so the
+        //    column switches to DfOps.groupedRunningSums (the
+        //    range-partitioned prefix sum of SURVEY §7.3 — group
+        //    slices bounded by the range partitioner, never by the hot
+        //    value's count).
+        val skewThreshold = spark.conf
+          .getOption("graft.statsTable.skewThreshold")
+          .map(_.toLong).getOrElse(5000000L)
+        val ordCol = col("rowName").cast("string")
+        val skewedCols = keyCols.filter { c =>
+          tables(c).exists(_._2 > skewThreshold)
+        }.toSet
+        val windowedPrior = (keyCols.filterNot(skewedCols)).flatMap { c =>
+          val w = Window.partitionBy(col(s"`$c`"))
+            .orderBy(ordCol)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          outcomes.zipWithIndex.map { case ((o, _), i) =>
+            coalesce(sum(ocCols(i)).over(w), lit(0L)).as(s"$o.$c")
+          } :+ count(lit(1)).over(w).as(s"trial.$c")
+        }
+        var acc = df0.select(col("*") +: windowedPrior: _*)
+        keyCols.filter(skewedCols).foreach { c =>
+          acc = graft.core.DfOps.groupedRunningSums(acc, col(s"`$c`"),
+            ordCol,
+            outcomes.zipWithIndex.map { case ((o, _), i) =>
+              s"$o.$c" -> ocCols(i).cast("long")
+            }, s"trial.$c")
+        }
+        val outCols = keyCols.flatMap { c =>
+          outcomes.map { case (o, _) => col(s"`$o.$c`") } :+
+            col(s"`trial.$c`")
+        }
+        val out = acc.select(col("rowName") +: outCols: _*)
+        param("outputDataset").foreach(createDataset(_, out))
         val url = param("statsTableFileUrl").getOrElse("__stats_table")
         statsTableModels(url) = (keyCols, outcomes.map(_._1), tables)
         param("functionName").foreach(createStatsTableFunction(_, url))

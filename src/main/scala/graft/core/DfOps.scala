@@ -49,4 +49,77 @@ object DfOps {
         .cast("long"))
       .drop("__gMid")
   }
+
+  /** Exclusive grouped running sums that survive a SKEWED group: for
+    * each row, the sum of every `sums` expression (and a count,
+    * `countAlias`) over rows with the same `group` value and strictly
+    * smaller `order` — the "statistics so far" shape of
+    * statsTable.train — computed WITHOUT `Window.partitionBy(group)`,
+    * whose hot value funnels into one task.
+    *
+    * Construction (the range-partitioned prefix sum of SURVEY §7.3):
+    *
+    *  1. range-partition by `order` — slice sizes are bounded by the
+    *     partitioner regardless of the group distribution;
+    *  2. local exclusive prefix within (partition, group) — a window
+    *     whose partitions are capped by the range-slice size, never by
+    *     a group's row count;
+    *  3. per-(partition, group) totals (one aggregation row each),
+    *     exclusive-prefix-summed over partitions within the group — a
+    *     window whose partitions hold at most #partitions rows;
+    *  4. null-safe join of the offsets back on (partition, group) and
+    *     a map-side add.
+    *
+    * Costs two more exchanges than the naive window, so callers keep
+    * the window for well-distributed groups and switch here when a
+    * value's row count crosses their skew threshold. Sums should be
+    * integer expressions (prefix-merging reorders float addition).
+    * `order` must be unique per row for a deterministic exclusive
+    * frame.
+    */
+  def groupedRunningSums(df: DataFrame, group: Column, order: Column,
+      sums: Seq[(String, Column)], countAlias: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // checkpoint so the totals branch and the local-prefix branch see
+    // the SAME physical partitioning (the globalRowNumber discipline)
+    val ranged = df
+      .withColumn("__grs_g", group).withColumn("__grs_o", order)
+      .repartitionByRange(p, col("__grs_o"))
+      .withColumn("__grs_pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy(col("__grs_pid"), col("__grs_g"))
+      .orderBy(col("__grs_o"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localCols = sums.map { case (a, e) =>
+      coalesce(sum(e).over(wLocal), lit(0L)).as(s"__grs_l_$a")
+    } :+ count(lit(1)).over(wLocal).as("__grs_l_cnt")
+    val withLocal = ranged.select(col("*") +: localCols: _*)
+    val totAggs = sums.map { case (a, e) => sum(e).as(s"__grs_t_$a") } :+
+      count(lit(1)).as("__grs_t_cnt")
+    val totals = ranged.groupBy(col("__grs_pid"), col("__grs_g"))
+      .agg(totAggs.head, totAggs.tail: _*)
+    val wOff = Window.partitionBy(col("__grs_g")).orderBy(col("__grs_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // aliases may carry dots ('click.host') — backtick every reference
+    val offsets = totals.select(
+      Seq(col("__grs_pid").as("__grs_opid"), col("__grs_g").as("__grs_og")) ++
+        sums.map { case (a, _) =>
+          coalesce(sum(col(s"`__grs_t_$a`")).over(wOff), lit(0L))
+            .as(s"__grs_o_$a")
+        } :+
+        coalesce(sum(col("__grs_t_cnt")).over(wOff), lit(0L))
+          .as("__grs_o_cnt"): _*)
+    val joined = withLocal.join(offsets,
+      withLocal("__grs_pid") === offsets("__grs_opid") &&
+        withLocal("__grs_g") <=> offsets("__grs_og"), "left")
+    val outCols = sums.map { case (a, _) =>
+      (col(s"`__grs_l_$a`") + coalesce(col(s"`__grs_o_$a`"), lit(0L))).as(a)
+    } :+
+      (col("__grs_l_cnt") + coalesce(col("__grs_o_cnt"), lit(0L)))
+        .as(countAlias)
+    val keep = df.columns.map(c => col(s"`$c`"))
+    joined.select(keep ++ outCols: _*)
+  }
 }

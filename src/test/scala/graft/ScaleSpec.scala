@@ -260,4 +260,72 @@ class ScaleSpec extends AnyFunSuite {
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
     assert(got === want)
   }
+
+  test("groupedRunningSums: skew-proof prior counts equal the window " +
+      "formulation on a 99%-hot group") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 20000L
+    // ~99% of rows share one group value; a sprinkle of small groups
+    // and nulls — the degenerate key distribution that serializes a
+    // Window.partitionBy(group) into one task
+    val df = spark.range(n).toDF("id").repartition(16)
+      .withColumn("k",
+        when(col("id") % 997 === 0, lit(null).cast("string"))
+          .when(col("id") % 100 === 0,
+            concat(lit("v"), (col("id") % 5).cast("string")))
+          .otherwise(lit("hot")))
+      .withColumn("oc", (col("id") % 3 === 0).cast("int"))
+      .withColumn("ord", format_string("r%08d", col("id")))
+    val got = core.DfOps.groupedRunningSums(df, col("k"), col("ord"),
+      Seq("s" -> col("oc").cast("long")), "cnt")
+    // the exact construction being replaced — correct, skew-fragile
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.select(col("id"),
+      coalesce(sum(col("oc")).over(w), lit(0L)).as("s"),
+      count(lit(1)).over(w).as("cnt"))
+    val gm = got.select("id", "s", "cnt").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val em = want.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gm.size === em.size)
+    assert(gm === em)
+    // plan shape: every window is keyed by (partition id, group) —
+    // never by the group alone, so the hot value's rows stay spread
+    // across tasks (the range exchange itself sits behind the
+    // checkpoint cut); the offsets side rides a broadcast join
+    val plan = got.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("windowspecdefinition(__grs_pid"), plan.take(2000))
+    assert(!plan.contains("hashpartitioning(k#"),
+      "group-only exchange found — the skew path lost its point:\n" +
+        plan.take(2000))
+  }
+
+  test("statsTable.train past the skew threshold: prefix-sum path, " +
+      "identical prior counts") {
+    val e = new api.GraftEngine(spark)
+    val rows = (0 until 400).map { i =>
+      val host = if (i % 50 == 0) s"rare$i.com" else "hot.com"
+      val click = if (i % 3 == 0) """, "CLICK": "1"""" else ""
+      s"""{"rowName": "r${"%04d".format(i)}", "host": "$host"$click}"""
+    }
+    e.recordRows("skewst", rows.mkString("[", ",", "]"))
+    def train(out: String): Unit =
+      e.runProcedure("statsTable.train", Map(
+        "trainingData" ->
+          "select * EXCLUDING(CLICK) from skewst order by rowName() ASC",
+        "outputDataset" -> out,
+        "outcomes" -> """[["label", "CLICK IS NOT NULL"]]""",
+        "statsTableFileUrl" -> s"__skew_$out").get _)
+    train("out_window")
+    spark.conf.set("graft.statsTable.skewThreshold", "10")
+    try train("out_prefix")
+    finally spark.conf.unset("graft.statsTable.skewThreshold")
+    val a = e.dataset("out_window").orderBy("rowName").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = e.dataset("out_prefix").orderBy("rowName").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.length === 400)
+    assert(a.toSeq === b.toSeq)
+  }
 }
