@@ -134,11 +134,39 @@ final class GraftEngine(val spark: SparkSession) {
           val i = fields.indexWhere(_.equalsIgnoreCase(n))
           if (i < 0 || r.isNullAt(i)) None else Some(String.valueOf(r.get(i)))
         }
+        // boundary strings arrive in two formats — the save metadata
+        // holds Spark cast-to-string ('yyyy-MM-dd HH:mm:ss', UTC
+        // sessions) while window configs use ISO 'yyyy-MM-ddTHH:mm:ssZ'
+        // — so a lexical compare would order ' ' before 'T' and skip
+        // same-day saves; normalize both to instants (string compare
+        // only as the last resort for unparseable values)
+        def tsKey(s: String): Option[java.time.Instant] = {
+          val t = s.trim.replace(' ', 'T')
+          if (t.isEmpty) None
+          else try Some(java.time.Instant.parse(t))
+          catch { case _: Exception =>
+            try Some(java.time.OffsetDateTime.parse(t).toInstant)
+            catch { case _: Exception =>
+              try Some(java.time.LocalDateTime.parse(t)
+                .toInstant(java.time.ZoneOffset.UTC))
+              catch { case _: Exception =>
+                try Some(java.time.LocalDate.parse(s.trim)
+                  .atStartOfDay.toInstant(java.time.ZoneOffset.UTC))
+                catch { case _: Exception => None }
+              }
+            }
+          }
+        }
+        def le(a: String, b: String): Boolean =
+          (tsKey(a), tsKey(b)) match {
+            case (Some(x), Some(y)) => !x.isAfter(y)
+            case _ => a <= b
+          }
         // metadata is save-count-sized: one row per rotation
         val saves = meta.collect().toSeq.filter { r =>
           val e = f(r, "earliest"); val l = f(r, "latest")
-          from.forall(fr => l.forall(_ >= fr)) &&
-            to.forall(t => e.forall(_ <= t))
+          from.forall(fr => l.forall(lv => le(fr, lv))) &&
+            to.forall(t => e.forall(ev => le(ev, t)))
         }.flatMap(r => f(r, "uri"))
         val frames = saves.map(u =>
           spark.read.parquet(u.stripPrefix("file://")))
@@ -4527,7 +4555,10 @@ object GraftEngine {
       val f = quantum.toLong
       if (f.toDouble != quantum) throw new IllegalArgumentException(
         "non-integral numbers of seconds not supported")
-      java.time.Instant.ofEpochSecond(inst.getEpochSecond / f * f)
+      // floorDiv, not /: pre-epoch seconds must floor toward -∞, or a
+      // negative timestamp lands in the LATER quantum bucket
+      java.time.Instant.ofEpochSecond(
+        java.lang.Math.floorDiv(inst.getEpochSecond, f) * f)
     }
   }
 }

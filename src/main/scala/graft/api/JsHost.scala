@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import scala.collection.mutable
 
-import graft.js.JsInterp
+import graft.js.{JsAst, JsInterp}
 import graft.js.JsInterp._
 
 /** Host bindings for engine-side JavaScript — the reference's native
@@ -412,7 +412,8 @@ object JsHost {
       source: String, params: Map[String, String],
       engine: GraftEngine = null,
       logSink: mutable.ArrayBuffer[String] = null,
-      pluginArgs: Option[JsVal] = None): JsVal = {
+      pluginArgs: Option[JsVal] = None,
+      precompiled: Option[List[JsAst.Stmt]] = None): JsVal = {
     val argsObj = new JsObjV(mutable.LinkedHashMap.from(
       params.map { case (k, v) => k -> (JsStr(v): JsVal) }))
     // mldb.log / plugin.log append to the sink when one is given —
@@ -431,7 +432,7 @@ object JsHost {
     val pluginObj = new JsObjV(pluginFields)
     val mldb = mldbObject(spark, tables, engine)
     mldb.fields("log") = logFn
-    JsInterp.run(JsInterp.compile(source), Nil, Nil,
+    JsInterp.run(precompiled.getOrElse(JsInterp.compile(source)), Nil, Nil,
       extraGlobals = Map(
         "mldb" -> mldb,
         "plugin" -> pluginObj,

@@ -584,8 +584,15 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           // (rest_collection_impl.h:1705)
           pluginBuilds.get(name).foreach(_.await())
           pluginBuilds.remove(name)
-          pluginStates.remove(name)
-          engine.deletePlugin(name)
+          val prevState = pluginStates.remove(name)
+          // an async construction that FAILED left tracked state but
+          // no engine entity — its DELETE is still the entity 204,
+          // not a 404 (the dataset path's wasErrored rule)
+          try engine.deletePlugin(name)
+          catch {
+            case _: NoSuchElementException
+              if prevState.exists(_ != "ok") => ()
+          }
           NoContent()
         case ("GET", name) if !name.contains("/") =>
           // a registered status handler contributes `status` (a
@@ -1214,7 +1221,10 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
       throw new IllegalArgumentException(
         s"'$name' is not a sql.expression function — /batch applies " +
           "prepared sql.expression functions only"))
-    val elems = eval("(" + inputJson + ")") match {
+    // strict JSON parse — request data is DATA; evaluating it as a
+    // script would run arbitrary user expressions against the step
+    // budget (and accept non-JSON like [1,,2])
+    val elems = jsonParse(inputJson) match {
       case a: JsArrV => a.elems.toSeq
       case _ => throw new IllegalArgumentException(
         "batch input must be a JSON array")
@@ -1395,10 +1405,9 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
                   "Uncaught SyntaxError: Invalid or unexpected token"
                 else s"Uncaught SyntaxError: $m")
           }
-        val _ = program
         val result =
           try JsHost.run(engine.spark, engine.dataset, source,
-            Map.empty, engine = engine)
+            Map.empty, engine = engine, precompiled = Some(program))
           catch {
             case w: WithStatusResponse => throw w
             case e: Throwable =>

@@ -227,6 +227,10 @@ case class PngEncode(child: Expression)
         s"tf_EncodePng: $other channels (want 1, 3 or 4)")
     }
     val img = new java.awt.image.BufferedImage(w, h, imgType)
+    // grayscale writes go through the raster: setRGB on TYPE_BYTE_GRAY
+    // would run an sRGB→linear-gray colorspace conversion and store a
+    // DIFFERENT sample (128 → ~55), breaking the round-trip contract
+    val grayRaster = if (c == 1) img.getRaster else null
     var y = 0
     while (y < h) {
       val rowArr = rows.getArray(y)
@@ -235,12 +239,12 @@ case class PngEncode(child: Expression)
         val px = rowArr.getArray(x)
         def ch(i: Int): Int =
           math.max(0, math.min(255, math.round(px.getDouble(i)).toInt))
-        val rgb = c match {
-          case 1 => val g = ch(0); (g << 16) | (g << 8) | g
-          case 3 => (ch(0) << 16) | (ch(1) << 8) | ch(2)
-          case 4 => (ch(3) << 24) | (ch(0) << 16) | (ch(1) << 8) | ch(2)
+        c match {
+          case 1 => grayRaster.setSample(x, y, 0, ch(0))
+          case 3 => img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+          case 4 => img.setRGB(x, y,
+            (ch(3) << 24) | (ch(0) << 16) | (ch(1) << 8) | ch(2))
         }
-        img.setRGB(x, y, rgb)
         x += 1
       }
       y += 1

@@ -506,8 +506,10 @@ object Sqlite {
       pages.toSeq
     }
 
-    /** One interior page over the leaves (enough for this layout's
-      * sizes: 4-byte child + ≤9-byte key ≈ 300 leaves/page). */
+    /** One interior page over a bounded child group (4-byte child +
+      * ≤9-byte varint key per cell + 2-byte pointer; callers chunk to
+      * `maxInteriorKids` so cells can never collide with the pointer
+      * array). */
     def interiorPage(children: Seq[(Int, Long)], rightmost: Int):
         Array[Byte] = {
       val page = new Array[Byte](pageSize)
@@ -522,11 +524,17 @@ object Sqlite {
         System.arraycopy(cell, 0, page, off, cell.length)
         off
       }
+      require(off >= 12 + 2 * children.size,
+        s"interior page overflow (${children.size} children)")
       bb.putShort(5, off.toShort)
       ptrs.zipWithIndex.foreach { case (p, j) =>
         bb.putShort(12 + 2 * j, p.toShort) }
       page
     }
+
+    // worst-case interior cell: 2-byte pointer + 4-byte child +
+    // 9-byte varint key
+    val maxInteriorKids = (pageSize - 12) / 15
 
     // build the three tables' pages; page numbers assigned sequentially
     // after page 1 (sqlite_master)
@@ -551,13 +559,17 @@ object Sqlite {
       val leaves = leafPages(t.rows)
       val leafNums = leaves.map { case (pg, _) =>
         filePages += pg; filePages.size }
-      val root =
-        if (leaves.size == 1) leafNums.head
-        else {
-          val children = leafNums.init.zip(leaves.init.map(_._2))
-          filePages += interiorPage(children, leafNums.last)
-          filePages.size
+      // interior LEVELS until one root remains — a single interior
+      // page caps out around 270 leaves (~35k cells), so big sparse
+      // commits need a real multi-level b-tree, not a require()
+      var level: Seq[(Int, Long)] = leafNums.zip(leaves.map(_._2))
+      while (level.size > 1) {
+        level = level.grouped(maxInteriorKids).toSeq.map { g =>
+          filePages += interiorPage(g.init, g.last._1)
+          (filePages.size, g.last._2)
         }
+      }
+      val root = level.head._1
       t.name -> root
     }.toMap
 

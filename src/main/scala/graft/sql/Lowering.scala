@@ -3176,19 +3176,23 @@ object Lowering {
     * `min(earliest_timestamp({*}))` — the star feeds the aggregate's
     * row argument) are legal; a bare `temporal_earliest({*})` is not. */
   private def nonAggStarCall(e: Expr): Option[Expr] = {
-    def hasStar(x: Expr): Boolean = x match {
+    // a star argument fed DIRECTLY to the call (possibly through row
+    // literals) — a star nested below ANOTHER call is that inner
+    // call's business, judged on its own recursion step, so an
+    // aggregate anywhere between the star and this call legalizes it
+    // (`horizontal_sum(sum({*}))` is fine; `abs(temporal_earliest({*}))`
+    // reports the inner temporal_earliest)
+    def directStar(x: Expr): Boolean = x match {
       case Star(_, _, _) => true
-      case StructLit(fs) => fs.exists(kv => kv._1 == "*" || hasStar(kv._2))
-      case FnCall(_, as, _) => as.exists(hasStar)
-      case FnApply(_, as, _) => as.exists(kv => kv._1 == "*" || hasStar(kv._2))
+      case StructLit(fs) => fs.exists(kv => kv._1 == "*" || directStar(kv._2))
       case _ => false
     }
     e match {
       case FnCall(n, _, _) if aggNames(n) => None
       case FnApply(n, _, _) if aggNames(n) => None
-      case FnCall(n, as, _) if !aggNames(n) && as.exists(hasStar) => Some(e)
-      case FnApply(n, as, _) if !aggNames(n) &&
-        as.exists(kv => kv._1 == "*" || hasStar(kv._2)) => Some(e)
+      case FnCall(_, as, _) if as.exists(directStar) => Some(e)
+      case FnApply(_, as, _)
+        if as.exists(kv => kv._1 == "*" || directStar(kv._2)) => Some(e)
       case FnCall(_, as, _) => as.flatMap(nonAggStarCall).headOption
       case FnApply(_, as, _) =>
         as.flatMap(kv => nonAggStarCall(kv._2)).headOption
