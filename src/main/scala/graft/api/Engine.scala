@@ -140,25 +140,8 @@ final class GraftEngine(val spark: SparkSession) {
         // — so a lexical compare would order ' ' before 'T' and skip
         // same-day saves; normalize both to instants (string compare
         // only as the last resort for unparseable values)
-        def tsKey(s: String): Option[java.time.Instant] = {
-          val t = s.trim.replace(' ', 'T')
-          if (t.isEmpty) None
-          else try Some(java.time.Instant.parse(t))
-          catch { case _: Exception =>
-            try Some(java.time.OffsetDateTime.parse(t).toInstant)
-            catch { case _: Exception =>
-              try Some(java.time.LocalDateTime.parse(t)
-                .toInstant(java.time.ZoneOffset.UTC))
-              catch { case _: Exception =>
-                try Some(java.time.LocalDate.parse(s.trim)
-                  .atStartOfDay.toInstant(java.time.ZoneOffset.UTC))
-                catch { case _: Exception => None }
-              }
-            }
-          }
-        }
         def le(a: String, b: String): Boolean =
-          (tsKey(a), tsKey(b)) match {
+          (GraftEngine.lenientInstant(a), GraftEngine.lenientInstant(b)) match {
             case (Some(x), Some(y)) => !x.isAfter(y)
             case _ => a <= b
           }
@@ -4543,6 +4526,29 @@ object GraftEngine {
   /** `Date::quantize` (`types/date.cc:437`; MLDB-987): quanta ≤ 1 s
     * ROUND the sub-second fraction to the nearest period; quanta > 1 s
     * FLOOR whole seconds to the quantum (must be integral). */
+  /** Lenient string → instant: ISO instant, offset datetime, a
+    * space-or-'T' local datetime (read as UTC), or a bare date. The
+    * ONE parser for every surface that must order mixed-format
+    * timestamp strings (continuous.window boundaries, record-route ts
+    * cells). */
+  def lenientInstant(s: String): Option[java.time.Instant] = {
+    val t = s.trim.replace(' ', 'T')
+    if (t.isEmpty) None
+    else try Some(java.time.Instant.parse(t))
+    catch { case _: Exception =>
+      try Some(java.time.OffsetDateTime.parse(t).toInstant)
+      catch { case _: Exception =>
+        try Some(java.time.LocalDateTime.parse(t)
+          .toInstant(java.time.ZoneOffset.UTC))
+        catch { case _: Exception =>
+          try Some(java.time.LocalDate.parse(s.trim)
+            .atStartOfDay.toInstant(java.time.ZoneOffset.UTC))
+          catch { case _: Exception => None }
+        }
+      }
+    }
+  }
+
   def quantizeInstant(inst: java.time.Instant,
       quantum: Double): java.time.Instant = {
     require(quantum > 0.0, "timeQuantumSeconds must be positive")

@@ -1223,8 +1223,13 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
           "prepared sql.expression functions only"))
     // strict JSON parse — request data is DATA; evaluating it as a
     // script would run arbitrary user expressions against the step
-    // budget (and accept non-JSON like [1,,2])
-    val elems = jsonParse(inputJson) match {
+    // budget (and accept non-JSON like [1,,2]). Parse failures are the
+    // CLIENT's mistake → IllegalArgumentException → 400, not 500
+    val parsedIn =
+      try jsonParse(inputJson)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"batch input must be a JSON array: ${e.getMessage}") }
+    val elems = parsedIn match {
       case a: JsArrV => a.elems.toSeq
       case _ => throw new IllegalArgumentException(
         "batch input must be a JSON array")
@@ -1587,12 +1592,7 @@ final class RestServer(engine: GraftEngine, port: Int = 0) {
     def tsInstant(raw: String): Option[java.time.Instant] =
       if (raw == null) None
       else if (raw.startsWith("\"")) {
-        val s = raw.substring(1, raw.length - 1)
-        try Some(java.time.Instant.parse(s))
-        catch { case _: Exception =>
-          try Some(java.time.OffsetDateTime.parse(s).toInstant)
-          catch { case _: Exception => None }
-        }
+        GraftEngine.lenientInstant(raw.substring(1, raw.length - 1))
       } else {
         val secs = raw.toDouble
         Some(java.time.Instant.ofEpochMilli((secs * 1000).toLong))

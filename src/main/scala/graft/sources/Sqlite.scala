@@ -561,10 +561,25 @@ object Sqlite {
         filePages += pg; filePages.size }
       // interior LEVELS until one root remains — a single interior
       // page caps out around 270 leaves (~35k cells), so big sparse
-      // commits need a real multi-level b-tree, not a require()
+      // commits need a real multi-level b-tree, not a require().
+      // Groups are BALANCED (sizes differ by ≤1): a naive
+      // grouped(maxKids) can leave a singleton remainder, and a
+      // 1-child group writes a zero-cell interior page — which real
+      // sqlite3 readers reject as corruption
       var level: Seq[(Int, Long)] = leafNums.zip(leaves.map(_._2))
       while (level.size > 1) {
-        level = level.grouped(maxInteriorKids).toSeq.map { g =>
+        val size = level.size
+        val numGroups = (size + maxInteriorKids - 1) / maxInteriorKids
+        val base = size / numGroups
+        val extra = size % numGroups // the first `extra` groups get +1
+        val groups = Iterator.unfold((level, 0)) {
+          case (rest, gi) if rest.nonEmpty =>
+            val take = base + (if (gi < extra) 1 else 0)
+            val (g, tail) = rest.splitAt(take)
+            Some((g, (tail, gi + 1)))
+          case _ => None
+        }.toSeq
+        level = groups.map { g =>
           filePages += interiorPage(g.init, g.last._1)
           (filePages.size, g.last._2)
         }

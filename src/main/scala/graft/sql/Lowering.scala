@@ -3200,6 +3200,13 @@ object Lowering {
         nonAggStarCall(l).orElse(nonAggStarCall(r))
       case Unary(_, x) => nonAggStarCall(x)
       case CastExpr(x, _) => nonAggStarCall(x)
+      // a star-consuming call hiding inside a row literal
+      // (`horizontal_sum({a: temporal_earliest({*})})`) is still that
+      // inner call's violation
+      case StructLit(fs) =>
+        fs.flatMap(kv => nonAggStarCall(kv._2)).headOption
+      case Extract(x, k) =>
+        nonAggStarCall(x).orElse(nonAggStarCall(k))
       case _ => None
     }
   }

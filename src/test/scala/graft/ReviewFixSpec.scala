@@ -74,6 +74,11 @@ class ReviewFixSpec extends AnyFunSuite {
       e.query("SELECT temporal_earliest({*}) FROM gbstar GROUP BY k")
         .collect())
     assert(err.getMessage.contains("Non-aggregator"), err.getMessage)
+    // and one HIDING inside a row literal is still caught
+    val err2 = intercept[Exception](
+      e.query("SELECT horizontal_sum({a: temporal_earliest({*})}) " +
+        "FROM gbstar GROUP BY k").collect())
+    assert(err2.getMessage.contains("Non-aggregator"), err2.getMessage)
   }
 
   test("continuous.window includes a same-day save across timestamp formats") {
@@ -126,10 +131,13 @@ class ReviewFixSpec extends AnyFunSuite {
     assert(raster.getSample(1, 1, 0) === 0)
   }
 
-  test("SQLite sparse writer: 40k cells build a multi-level tree that reloads") {
+  test("SQLite sparse writer: 90k cells build a multi-level tree that reloads") {
     val s2 = spark
     import s2.implicits._
-    val n = 40000
+    // ~215 cells/leaf -> ~420 leaves, past the ~272-kid interior-page
+    // capacity, so the writer must emit a genuine two-level interior
+    // tree (the 40k size the first version used still fit ONE page)
+    val n = 90000
     val df = (0 until n).map(i => (f"r$i%06d", i.toLong))
       .toDF("rowName", "v")
     val path = java.nio.file.Files.createTempDirectory("bigsqlite")
@@ -137,11 +145,11 @@ class ReviewFixSpec extends AnyFunSuite {
     sources.Sqlite.writeSparse(df, path)
     val back = sources.Sqlite.importSqliteSparse(spark, path)
     assert(back.count() === n)
-    val got = back.filter(col("rowName") === "r039999")
+    val got = back.filter(col("rowName") === "r089999")
       .select(col("column"), col("value.num")).collect()
     assert(got.length === 1)
     assert(got(0).getString(0) === "v")
-    assert(got(0).getDouble(1) === 39999.0)
+    assert(got(0).getDouble(1) === 89999.0)
   }
 
   test("DELETE of an async plugin whose construction failed answers 204") {
@@ -181,11 +189,12 @@ class ReviewFixSpec extends AnyFunSuite {
       // a JS IIFE is not JSON — it must be rejected, not executed
       val js = req(port, "GET", s"/v1/functions/score_fix/batch?input=" +
         enc("(function(){return [1]})()"))
-      assert(js.statusCode() >= 400, s"${js.statusCode()} ${js.body()}")
-      // elisions are JS-tolerated but not JSON
+      assert(js.statusCode() === 400, s"${js.statusCode()} ${js.body()}")
+      // elisions are JS-tolerated but not JSON; malformed input is the
+      // CLIENT's mistake — 400, never 500
       val elide = req(port, "GET",
         s"/v1/functions/score_fix/batch?input=${enc("[1,,2]")}")
-      assert(elide.statusCode() >= 400,
+      assert(elide.statusCode() === 400,
         s"${elide.statusCode()} ${elide.body()}")
     }
   }
