@@ -216,4 +216,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("groupedRunningSums equals the window formulation on arbitrary " +
+      "group distributions") {
+    import org.apache.spark.sql.expressions.Window
+    // group-key pools from near-constant (hot) through uniform to
+    // all-distinct, with nulls mixed in — the prefix-sum construction
+    // must agree with the window on EVERY distribution, not just the
+    // skewed one it exists for
+    val poolGen: Gen[Int] = Gen.oneOf(1, 3, 40, 2000)
+    forSamples(poolGen, 4) { pool =>
+      val rnd = new scala.util.Random(pool * 7 + 13)
+      val rows = (0 until 2000).map { i =>
+        val k = if (rnd.nextInt(10) == 0) null
+          else "g" + rnd.nextInt(pool)
+        (i.toLong, k, rnd.nextInt(5).toLong, f"o$i%05d")
+      }
+      val s2 = spark
+      import s2.implicits._
+      val df = rows.toDF("id", "k", "v", "ord").repartition(7)
+      val got = core.DfOps.groupedRunningSums(df, col("k"), col("ord"),
+        Seq("s" -> col("v")), "cnt")
+        .select("id", "s", "cnt").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = df.select(col("id"),
+        coalesce(sum(col("v")).over(w), lit(0L)).as("s"),
+        count(lit(1)).over(w).as("cnt")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === want, s"pool=$pool")
+    }
+  }
 }
