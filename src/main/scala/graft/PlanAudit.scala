@@ -41,7 +41,11 @@ object PlanAudit {
       "q120_sql_string_agg_ordered", "q121_sql_sum_row_star",
       // round-10: the distTable prior-stats window — partitioned by
       // the key value, NEVER SinglePartition
-      "q122_dist_table_std_last")
+      "q122_dist_table_std_last",
+      // round-11: the entropy gate (two-level doc_id-keyed agg — both
+      // exchanges fine-grained) and the compression-ratio gate (pure
+      // per-row native expression over the scan)
+      "q124_char_entropy", "q125_compression_ratio")
     // LSH dedup plans must carry NO window at all: the hot-bucket
     // guard counts via groupBy + broadcast anti-join (round 3) — a
     // Window.partitionBy(bucket) would funnel a hot bucket's every
@@ -58,6 +62,9 @@ object PlanAudit {
       // BPE apply is a native per-row expression over the scan;
       // KL divergence is pure groupBy/join aggregation
       "q98_bpe_tokenize", "q99_kl_divergence",
+      // entropy is two-level aggregation, compression-ratio pure
+      // per-row — neither may plan a window
+      "q124_char_entropy", "q125_compression_ratio",
       // SemDeDup assigns clusters map-side from literal centroids and
       // dedups via anti-join; DSIR scores map-side against the literal
       // weight table and selects via TakeOrdered — no windows anywhere
