@@ -39,11 +39,16 @@ object DfOps {
     }
     val offExpr =
       if (offsets.isEmpty) lit(0L)
-      else element_at(
-        map(offsets.flatMap { case (p, o) =>
-          Seq(lit(p), lit(o))
-        }.toSeq: _*),
-        shiftrightunsigned(col("__gMid"), 33))
+      else {
+        // pids are DENSE partition indexes (mid >> 33), so an array
+        // literal indexed by pid makes the per-row lookup O(1) — the
+        // map form scanned up to #partitions entries per row. Gaps
+        // (empty partitions) never appear on any row; 0 is fine.
+        val byPid = new Array[Long](offsets.map(_._1).max.toInt + 1)
+        offsets.foreach { case (p, o) => byPid(p.toInt) = o }
+        element_at(array(byPid.map(lit(_)).toSeq: _*),
+          (shiftrightunsigned(col("__gMid"), 33) + 1).cast("int"))
+      }
     withMid.withColumn(outCol,
       (col("__gMid").bitwiseAND(lit((1L << 33) - 1)) + offExpr + lit(1L))
         .cast("long"))

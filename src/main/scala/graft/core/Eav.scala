@@ -23,14 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object Eav {
 
-  val valueSchema = "struct<num:double,str:string,tsv:timestamp,flag:boolean>"
-
-  private def variant(c: Column): Column = {
-    // runtime type dispatch is static here: we build from typed wide
-    // columns, so each melt source column maps to exactly one slot
-    c
-  }
-
   /** Wide → EAV: one output row per non-null cell. `tsCol` supplies
     * the cell timestamp (MLDB: every atom is timestamped; wide tables
     * have a single row timestamp — TabularDataset.md:33-35). */
@@ -39,7 +31,11 @@ object Eav {
     val cells = cols.map { c =>
       val dt = df.schema(c).dataType.typeName
       val slot = dt match {
-        case "double" | "float" | "long" | "integer" | "short" | "byte" | "decimal" =>
+        // DecimalType.typeName is "decimal(p,s)", so prefix-match it
+        case "double" | "float" | "long" | "integer" | "short" | "byte" =>
+          struct(col(c).cast("double").as("num"), lit(null).cast("string").as("str"),
+            lit(null).cast("timestamp").as("tsv"), lit(null).cast("boolean").as("flag"))
+        case d if d.startsWith("decimal") =>
           struct(col(c).cast("double").as("num"), lit(null).cast("string").as("str"),
             lit(null).cast("timestamp").as("tsv"), lit(null).cast("boolean").as("flag"))
         case "string" =>
@@ -51,6 +47,14 @@ object Eav {
         case "boolean" =>
           struct(lit(null).cast("double").as("num"), lit(null).cast("string").as("str"),
             lit(null).cast("timestamp").as("tsv"), col(c).as("flag"))
+        case "binary" =>
+          // a silent cast("string") would mangle the bytes (UTF-8
+          // replacement) with no way back — binary payloads stay
+          // BESIDE the EAV cells (the Multimodal contract) or get
+          // base64-encoded explicitly by the caller
+          throw new IllegalArgumentException(
+            s"toEav: binary column '$c' has no EAV variant slot; " +
+              "keep blobs beside the cells or base64-encode them first")
         case other =>
           struct(lit(null).cast("double").as("num"), col(c).cast("string").as("str"),
             lit(null).cast("timestamp").as("tsv"), lit(null).cast("boolean").as("flag"))

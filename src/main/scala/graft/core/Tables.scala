@@ -69,7 +69,11 @@ object Tables {
     import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // `div` truncates toward zero; subtracting pmod first gives
+        // true floor division, so (hypothetical) pre-epoch nanos would
+        // still match DuckDB's epoch_us flooring bit-for-bit
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampType => raw
       case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
     }

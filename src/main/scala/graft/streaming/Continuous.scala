@@ -30,7 +30,14 @@ object Continuous {
     * events/s; day granularity restores bulk write throughput while
     * pruning still touches only the days in range). */
   private def dayKey(tsCol: String) =
-    date_format(col(tsCol), "yyyy-MM-dd").as("p_date")
+    // UTC calendar day regardless of the session timezone:
+    // date_format renders in the SESSION zone, but the read side
+    // (window) formats its partition bounds in UTC — both sides of
+    // the p_date pruning contract must agree or boundary events
+    // silently fall outside the pruned range
+    date_from_unix_date(
+      floor(unix_micros(col(tsCol)) / lit(86400000000.0)).cast("int"))
+      .cast("string").as("p_date")
 
   /** `continuous` dataset: record a stream into the store.
     * `commitInterval` ≈ the reference's commitInterval rotation. */
@@ -78,18 +85,49 @@ object Continuous {
   final case class SessionState(start: Long, last: Long, n: Long,
       total: Double)
 
-  /** Gap-based sessionization with explicit state
-    * (flatMapGroupsWithState): a session closes when no event arrives
-    * within `gapMicros`. State per key is O(1). This variant is the
-    * BATCH formulation: it flushes the trailing session at end of
-    * input. In a streaming run it closes sessions only when a
-    * subsequent event for the key arrives — for watermark-driven
-    * eviction of idle keys use `sessionizeStream`, which emits the
-    * open session on event-time timeout. */
+  /** Gap-based sessionization: a session closes when no event arrives
+    * within `gapMicros`.
+    *
+    * BATCH runs use a SECONDARY SORT — repartition by key, sort
+    * (key, ts) within partitions, one streaming fold per partition —
+    * so a hot key holds ONE open-session accumulator at a time, never
+    * its whole history (the flatMapGroups formulation buffered a
+    * key's full row set in one task: exactly the skewed-key funnel
+    * that breaks at 100 TB).
+    *
+    * STREAMING runs keep the explicit-state formulation (a
+    * micro-batch's per-key slice is watermark-bounded); sessions
+    * close when a later event arrives — for watermark-driven eviction
+    * of idle keys use `sessionizeStream`. */
   def sessionize(events: Dataset[SessionEvent], gapMicros: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val isStreamingRun = events.isStreaming
-    events.groupByKey(_.key)
+    if (!events.isStreaming) {
+      events.repartition(col("key"))
+        .sortWithinPartitions(col("key"), col("tsMicros"))
+        .mapPartitions { it =>
+          var cur: SessionOut = null
+          def step(e: SessionEvent): Option[SessionOut] =
+            if (cur == null) {
+              cur = SessionOut(e.key, e.tsMicros, e.tsMicros, 1, e.value)
+              None
+            } else if (e.key == cur.key &&
+                e.tsMicros - cur.endMicros <= gapMicros) {
+              cur = SessionOut(cur.key, cur.startMicros, e.tsMicros,
+                cur.nEvents + 1, cur.total + e.value)
+              None
+            } else {
+              val closed = cur
+              cur = SessionOut(e.key, e.tsMicros, e.tsMicros, 1, e.value)
+              Some(closed)
+            }
+          // the trailing iterator flushes the last open session AFTER
+          // the fold exhausts the partition (Iterator ++ is by-name)
+          it.flatMap(e => step(e).iterator) ++ new Iterator[SessionOut] {
+            def hasNext: Boolean = cur != null
+            def next(): SessionOut = { val c = cur; cur = null; c }
+          }
+        }
+    } else events.groupByKey(_.key)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[SessionState]) =>
@@ -98,8 +136,12 @@ object Continuous {
           var cur = state.getOption
           sorted.foreach { e =>
             cur match {
+              // late-but-kept events (flatMapGroupsWithState does not
+              // drop rows behind the watermark) may arrive with
+              // ts < state.last: min/max keep start <= last
               case Some(s) if e.tsMicros - s.last <= gapMicros =>
-                cur = Some(SessionState(s.start, e.tsMicros, s.n + 1,
+                cur = Some(SessionState(math.min(s.start, e.tsMicros),
+                  math.max(s.last, e.tsMicros), s.n + 1,
                   s.total + e.value))
               case Some(s) =>
                 out += SessionOut(key, s.start, s.last, s.n, s.total)
@@ -108,13 +150,7 @@ object Continuous {
                 cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
             }
           }
-          // batch mode: flush the trailing session; streaming keeps it
-          // open in state for the next micro-batch
           cur.foreach(s => state.update(s))
-          if (!isStreamingRun) {
-            cur.foreach(s => out += SessionOut(key, s.start, s.last, s.n, s.total))
-            state.remove()
-          }
           out.iterator
       }
   }
@@ -131,6 +167,14 @@ object Continuous {
       valueCol: String, gapMicros: Long,
       watermark: String = "10 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    // fail at PLAN time, not mid-stream: a non-numeric key/value would
+    // cast to NULL (ANSI off) and kill the query's first micro-batch
+    // on the non-nullable encoder fields
+    import org.apache.spark.sql.types.NumericType
+    for ((c, what) <- Seq(keyCol -> "key", valueCol -> "value"))
+      require(events.schema(c).dataType.isInstanceOf[NumericType],
+        s"sessionizeStream $what column '$c' must be numeric, got " +
+          events.schema(c).dataType.simpleString)
     val ds = events
       .select(col(keyCol).cast("long").as("key"),
         col(tsCol).cast("timestamp").as("ts"),
@@ -154,8 +198,13 @@ object Continuous {
             sorted.foreach { e =>
               val ts = micros(e.ts)
               cur match {
+                // late-but-kept events (not yet behind the watermark)
+                // may carry ts < state.last from a previous batch:
+                // min/max keep start <= last instead of regressing the
+                // session end onto the straggler
                 case Some(s) if ts - s.last <= gapMicros =>
-                  cur = Some(SessionState(s.start, ts, s.n + 1, s.total + e.value))
+                  cur = Some(SessionState(math.min(s.start, ts),
+                    math.max(s.last, ts), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   out += SessionOut(key, s.start, s.last, s.n, s.total)
                   cur = Some(SessionState(ts, ts, 1, e.value))

@@ -113,6 +113,46 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: a late event merges without regressing " +
+      "the session end") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("key", "ts", "value")
+    // the 1-hour watermark DELAY keeps the straggler ahead of the
+    // watermark (a row behind it is filtered before the operator), so
+    // the out-of-order merge branch genuinely runs
+    val sessions = Continuous.sessionizeStream(df, "ts", "key", "value",
+      gapMicros = 300L * 1000 * 1000, watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((1L, t("2024-01-01 00:01:40"), 1.0),
+        (1L, t("2024-01-01 00:02:40"), 2.0))
+      q.processAllAvailable()
+      // a STRAGGLER behind the session's last event but within the
+      // watermark delay: it must merge as min(start)/max(last), not
+      // rewrite last=50s and emit an end < start session
+      input.addData((1L, t("2024-01-01 00:00:50"), 4.0))
+      q.processAllAvailable()
+      // advance the watermark far past key 1's last+gap via key 2
+      input.addData((2L, t("2024-01-01 02:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData((2L, t("2024-01-01 02:00:01"), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_late").as[Continuous.SessionOut]
+        .collect().filter(_.key == 1L)
+      assert(rows.length === 1, rows.mkString(","))
+      val s = rows.head
+      assert(s.nEvents === 3 && s.total === 7.0, s.toString)
+      assert(s.endMicros >= s.startMicros, s.toString)
+      // end stayed at 00:02:40, start absorbed the straggler — 110 s
+      assert(s.endMicros - s.startMicros === 110L * 1000 * 1000, s.toString)
+    } finally q.stop()
+  }
+
   test("stateful sessionize recovers its open sessions across a restart") {
     // MLDBFB-530 analog for STATE: an open session recorded before a
     // stop must survive into the restarted stream (checkpointed
