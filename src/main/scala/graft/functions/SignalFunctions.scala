@@ -42,19 +42,26 @@ object SignalFunctions {
     * pure column math (no UDF). */
   private def half(c: Column): Column = (size(c) / 2).cast("int") - 1
 
+  /** Guard for empty inputs: sequence(0, -1) DESCENDS to [0, -1]
+    * (Spark sequence steps toward the stop), so an empty complex
+    * array would otherwise yield [null, null] instead of []. */
+  private def overPairs(c: Column, f: Column => Column): Column =
+    when(size(c) < 2, array().cast("array<double>"))
+      .otherwise(transform(sequence(lit(0), half(c)), f))
+
   def amplitude(c: Column): Column =
-    transform(sequence(lit(0), half(c)), i =>
+    overPairs(c, i =>
       sqrt(pow(element_at(c, i * 2 + 1), 2) + pow(element_at(c, i * 2 + 2), 2)))
 
   def phase(c: Column): Column =
-    transform(sequence(lit(0), half(c)), i =>
+    overPairs(c, i =>
       atan2(element_at(c, i * 2 + 2), element_at(c, i * 2 + 1)))
 
   def realPart(c: Column): Column =
-    transform(sequence(lit(0), half(c)), i => element_at(c, i * 2 + 1))
+    overPairs(c, i => element_at(c, i * 2 + 1))
 
   def imagPart(c: Column): Column =
-    transform(sequence(lit(0), half(c)), i => element_at(c, i * 2 + 2))
+    overPairs(c, i => element_at(c, i * 2 + 2))
 
   /** impulse(n, k): length-n array with 1.0 at index k. */
   def impulse(n: Column, k: Column): Column =

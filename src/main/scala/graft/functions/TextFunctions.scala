@@ -402,6 +402,11 @@ object TextFunctions {
       splitChars: String = ",", quoteChar: String = "",
       minTokenLength: Int = 1, offset: Int = 0, limit: Int = -1): Column = {
     val toks = tokensRef(text, splitChars, quoteChar, minTokenLength)
+    // positive nth deliberately ignores `limit`: the reference's
+    // aggregate_positive (sql/tokenize.cc:335-351) returns the first
+    // NON-EMPTY token past offset+nth even when that index exceeds
+    // limit — limit only bounds the onward search across empty tokens,
+    // which tokensRef already filters out
     val positive = element_at(toks, (nth + lit(offset) + 1).cast("int"))
     val windowed = slice(toks, lit(offset + 1),
       if (limit >= 0) lit(limit) else size(toks))

@@ -295,6 +295,31 @@ object Mongo {
             val b = new Array[Byte](elen - 1); reply.get(b); reply.get()
             throw new IllegalArgumentException(
               "mongo error: " + new String(b, StandardCharsets.UTF_8))
+          case ("writeErrors", 0x04) =>
+            // per-document failures (duplicate key, validation) come
+            // back with ok:1.0 — a write reply carrying this array is
+            // an ERROR, not an acknowledgement; read the first
+            // entry's errmsg for the message
+            val aStart = reply.position()
+            reply.position(aStart + 4)
+            var msg = "write error"
+            var aDone = false
+            while (!aDone) {
+              val at = reply.get()
+              if (at == 0) aDone = true
+              else {
+                readCstr(reply)
+                if (at == 0x03) {
+                  val eJson = bsonToJson(reply)
+                  val m = "\"errmsg\"\\s*:\\s*\"([^\"]*)\"".r
+                    .findFirstMatchIn(eJson)
+                  m.foreach(mm => msg = mm.group(1))
+                  aDone = true // first error carries the story
+                } else skipValue(reply, at)
+              }
+            }
+            throw new IllegalArgumentException(
+              s"mongo write error: $msg")
           case (_, t) => skipValue(reply, t)
         }
       }
@@ -402,8 +427,16 @@ object Mongo {
         spark.sparkContext
           .parallelize(0 until numPartitions, numPartitions)
           .flatMap { i =>
+            // $mod returns NEGATIVE remainders for negative dividends,
+            // so partition i also claims remainder i−n — otherwise
+            // documents with negative field values match no partition
+            // and silently vanish (Postgres.importTable normalizes the
+            // same way with ((col % n) + n) % n)
+            val mods = (Seq(i) ++ (if (i > 0) Seq(i - numPartitions) else Nil))
+              .map(r => Map(field -> Map("$mod" -> Seq(numPartitions, r))))
             findAll(cfg, db, coll,
-              Map(field -> Map("$mod" -> Seq(numPartitions, i))), batchSize)
+              if (mods.size == 1) mods.head else Map("$or" -> mods),
+              batchSize)
           }.toDS()
     }
     schema.map(spark.read.schema(_)).getOrElse(spark.read).json(lines)

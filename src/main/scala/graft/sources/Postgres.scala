@@ -102,6 +102,15 @@ object Postgres {
           .createSocket(plain, cfg.host, cfg.port, true)
           .asInstanceOf[javax.net.ssl.SSLSocket]
         ssl.setUseClientMode(true)
+        if (cfg.sslVerify) {
+          // chain validation alone accepts ANY CA-signed cert — raw
+          // SSLSockets do no endpoint identification unless asked, so
+          // verify-mode must also pin the hostname (libpq's
+          // sslmode=verify-full contract)
+          val sp = ssl.getSSLParameters
+          sp.setEndpointIdentificationAlgorithm("HTTPS")
+          ssl.setSSLParameters(sp)
+        }
         ssl.startHandshake()
         ssl
       }
@@ -523,12 +532,18 @@ object Postgres {
       dt: org.apache.spark.sql.types.DataType): String =
     if (v == null) "NULL"
     else dt match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        // postgres accepts special float values only as quoted
+        // literals ('NaN' / 'Infinity' / '-Infinity'); bare tokens are
+        // parsed as identifiers and error the whole INSERT
+        val s = v.toString
+        if (s == "NaN" || s == "Infinity" || s == "-Infinity") s"'$s'"
+        else s
       case org.apache.spark.sql.types.BooleanType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DoubleType |
            _: org.apache.spark.sql.types.DecimalType => v.toString
       case org.apache.spark.sql.types.BinaryType =>
         "'\\x" + v.asInstanceOf[Array[Byte]]

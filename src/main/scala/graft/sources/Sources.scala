@@ -373,10 +373,18 @@ object Sources {
         }
       val data0 =
         if (hasHeaderRow) withIdx.filter(col("__lineno") > 1) else withIdx
+      // `offset` skips the first N data LINES here (row names ARE line
+      // numbers in this mode) — previously it was silently ignored on
+      // the headered path
+      val data1 =
+        if (cfg.offset > 0) {
+          val base = if (hasHeaderRow) 1 else 0
+          data0.filter(col("__lineno") > base + cfg.offset)
+        } else data0
       // blank lines don't parse as rows (Spark's CSV reader drops them;
       // the numbered path must too — a trailing newline otherwise
       // fabricates an all-null row)
-      val data = data0.filter(
+      val data = data1.filter(
         org.apache.spark.sql.functions.length(col("__line")) > 0)
       val parsed = data.select(
         from_csv(col("__line"), schema,

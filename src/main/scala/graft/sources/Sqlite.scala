@@ -316,6 +316,12 @@ object Sqlite {
           case (x: java.lang.Long, 2) => Double.box(x.toDouble)
           case (x: java.lang.Long, 3) => x.toString
           case (x: java.lang.Double, 3) => x.toString
+          // a column whose LUB is BLOB may still hold non-blob values
+          // (SQLite's dynamic typing) — encode them, or the BinaryType
+          // row fails on 'String is not a valid external type'
+          case (x: Array[Byte], 4) => x
+          case (x, 4) => String.valueOf(x)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           case (x, _) => x
         }
       })

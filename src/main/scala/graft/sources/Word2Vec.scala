@@ -70,7 +70,10 @@ object Word2Vec {
       val it = proj.toLocalIterator()
       while (it.hasNext) {
         val r = it.next()
-        out.writeBytes(r.getAs[String]("word"))
+        // UTF-8 bytes — writeBytes drops each char's high byte, which
+        // would mangle non-ASCII vocabulary on disk
+        out.write(r.getAs[String]("word")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.writeByte(' ')
         r.getAs[scala.collection.Seq[Float]]("embedding").foreach(f =>
           out.writeInt(Integer.reverseBytes(java.lang.Float.floatToIntBits(f))))
@@ -82,18 +85,22 @@ object Word2Vec {
   }
 
   private def readLine(in: DataInputStream): String = {
-    val sb = new StringBuilder
+    // collect BYTES and decode UTF-8 once — appending each byte as a
+    // char would read multi-byte words as Latin-1 mojibake ('café' →
+    // 'cafÃ©'), silently unmatchable against real text columns
+    val bb = new java.io.ByteArrayOutputStream
     var c = in.read()
-    while (c != -1 && c != '\n') { sb += c.toChar; c = in.read() }
-    if (c == -1 && sb.isEmpty) throw new EOFException("empty word2vec file")
-    sb.toString
+    while (c != -1 && c != '\n') { bb.write(c); c = in.read() }
+    if (c == -1 && bb.size == 0)
+      throw new EOFException("empty word2vec file")
+    new String(bb.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   private def readToken(in: DataInputStream): String = {
-    val sb = new StringBuilder
+    val bb = new java.io.ByteArrayOutputStream
     var c = in.read()
     while (c == '\n' || c == ' ') c = in.read() // skip separators
-    while (c != -1 && c != ' ') { sb += c.toChar; c = in.read() }
-    sb.toString
+    while (c != -1 && c != ' ') { bb.write(c); c = in.read() }
+    new String(bb.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 }

@@ -333,7 +333,11 @@ object Xlsx {
               pendingV = null; pendingIs = null
             case "v" if cells != null => pendingV = elementText(r)
             case "t" if cells != null && cellType == "inlineStr" =>
-              pendingIs = elementText(r)
+              // rich-text inline strings carry one <t> per run —
+              // APPEND runs (like parseSharedStrings), or every run
+              // but the last is silently dropped
+              val t = elementText(r)
+              pendingIs = if (pendingIs == null) t else pendingIs + t
             case _ =>
           }
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {

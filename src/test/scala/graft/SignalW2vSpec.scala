@@ -34,6 +34,20 @@ class SignalW2vSpec extends AnyFunSuite {
     x1.zip(b1).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("amplitude/phase of an empty complex array are empty, not [null, null]") {
+    import spark.implicits._
+    // sequence(0, -1) descends, so the unguarded form fabricated two
+    // null entries per empty signal
+    val r = Seq(Seq.empty[Double]).toDF("f")
+      .select(S.amplitude(col("f")).as("a"), S.phase(col("f")).as("p"),
+        S.realPart(col("f")).as("re"), S.imagPart(col("f")).as("im"))
+      .head()
+    assert(r.getAs[scala.collection.Seq[Double]]("a").isEmpty)
+    assert(r.getAs[scala.collection.Seq[Double]]("p").isEmpty)
+    assert(r.getAs[scala.collection.Seq[Double]]("re").isEmpty)
+    assert(r.getAs[scala.collection.Seq[Double]]("im").isEmpty)
+  }
+
   test("impulse() builds a one-hot signal") {
     import spark.implicits._
     val r = Seq(1).toDF("i").select(S.impulse(lit(5), lit(2)).as("s")).head()
@@ -43,14 +57,17 @@ class SignalW2vSpec extends AnyFunSuite {
   test("word2vec binary round-trip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("w2v").toString
+    // non-ASCII vocabulary must survive the byte round-trip (UTF-8 on
+    // both sides — byte-per-char IO mojibakes 'caf\u00e9' into 'caf\u00c3\u00a9')
     val vecs = Seq(
       ("alpha", Seq(1.0f, 2.0f, 3.0f)),
-      ("beta", Seq(-1.5f, 0.25f, 4.0f)),
-      ("gamma", Seq(0.0f, 0.0f, 1.0f))).toDF("word", "embedding")
+      ("caf\u00e9", Seq(-1.5f, 0.25f, 4.0f)),
+      ("\u65e5\u672c\u8a9e", Seq(0.0f, 0.0f, 1.0f))).toDF("word", "embedding")
     Word2Vec.write(vecs, s"$dir/model.bin")
     val back = Word2Vec.read(spark, s"$dir/model.bin")
     assert(back.count() === 3)
     assert(back.join(vecs, Seq("word", "embedding")).count() === 3)
+    assert(back.filter(col("word") === "caf\u00e9").count() === 1)
   }
 
   test("COLUMN EXPR meta-projection: filter/order/limit/rename columns") {

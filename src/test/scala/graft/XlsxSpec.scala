@@ -74,6 +74,7 @@ class XlsxSpec extends AnyFunSuite {
            |<c r="B1" t="s"><v>0</v></c>
            |<c r="C1" s="1"><v>45000</v></c>
            |<c r="D1" t="inlineStr"><is><t>inline</t></is></c>
+           |<c r="G1" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r></is></c>
            |</row>
            |<row r="3">
            |<c r="B3" t="s"><v>1</v></c>
@@ -109,6 +110,8 @@ class XlsxSpec extends AnyFunSuite {
     assert(cells.contains(("data:01", "C", None, None,
       Some("2023-03-15 00:00:00"), None)))
     assert(cells.contains(("data:01", "D", None, Some("inline"), None, None)))
+    // rich-text INLINE string also concatenates runs (one <t> per run)
+    assert(cells.contains(("data:01", "G", None, Some("Hello World"), None, None)))
     // rich-text shared string concatenates runs
     assert(cells.contains(("data:03", "B", None, Some("rich text"), None, None)))
     // cell with no r= follows its predecessor (B → C)
@@ -121,7 +124,7 @@ class XlsxSpec extends AnyFunSuite {
     assert(cells.contains(("data:03", "AA", Some(7.0), None, None, None)))
     assert(cells.contains(("data:12", "A", Some(1.0), None, None, None)))
     assert(cells.contains(("extra:1", "A", Some(9.0), None, None, None)))
-    assert(cells.size == 11)
+    assert(cells.size == 12)
   }
 
   test("xlsx import: sheet filter and column letter round-trip") {
