@@ -20,45 +20,39 @@ object Probe {
     }
     val d = "/root/testdata/sf0.1"
     import graft.core.Tables
-    import graft.operators.{Dedup, TextAnalysis}
-    import graft.functions.{TextFunctions => T}
-    // warm
-    SparkEntry.queries("q105_curation_capstone")(spark, "/root/testdata/sf0.001").count()
-    val docs = Tables.documents(spark, d)
-      .select(col("doc_id"), col("source"), col("text"))
-    val doubled = docs.unionByName(docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
-    val ded = Dedup.exact(doubled, "text", "doc_id")
-    time("exact dedup")(ded.count())
-    val pages = ded.select(col("doc_id"), col("source"), concat(
-      lit("PROMO click here to subscribe\n"),
-      lit("shared quote block "),
-      floor(col("doc_id") / lit(7.0)).cast("long").cast("string"),
-      lit("\n"), col("text")).as("text"))
-    val cleaned = TextAnalysis.lineDedup(pages, "doc_id", "text",
-      dropThreshold = 50L)
-      .join(pages.select(col("doc_id"), col("source")), Seq("doc_id"))
-    time("+ lineDedup")(cleaned.count())
-    val qualGated = TextAnalysis.gopherQuality(cleaned, "doc_id", "text",
-        keep = Seq("text", "source"),
-        stopwords = Seq("the", "a", "table", "value"), minStop = 3)
-      .filter(col("pass")).select("doc_id", "text", "source")
-    time("+ quality gate")(qualGated.count())
-    val gated = TextAnalysis.gopherRepetition(qualGated, "doc_id", "text",
-        keep = Seq("text", "source"))
-      .filter(col("pass")).select("doc_id", "text", "source")
-    time("+ gated (both)")(gated.count())
-    val bench = Tables.documents(spark, d).filter(col("doc_id") < 50)
-    val keepIds = TextAnalysis
-      .contamination(gated, "doc_id", "text", bench, "text")
-      .filter(col("contamination") < 0.8)
-      .select(col("id").as("doc_id"))
-    time("+ contamination")(keepIds.count())
-    val fin = gated.join(keepIds, Seq("doc_id"))
-      .groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"))
-    time("full chain")(fin.count())
+    import graft.procedures.Procedures
+    // warm: JIT + parquet footers
+    SparkEntry.queries("q126_summary_quartiles")(spark, "/root/testdata/sf0.001").count()
+    val li = Tables.lineitem(spark, d).select("l_extendedprice", "l_quantity")
+    li.count()
+    time("pass1 agg only") {
+      val aggs = Seq("l_extendedprice", "l_quantity").flatMap { c =>
+        Seq(count(col(c)).as(s"${c}__n"),
+          countDistinct(col(c).cast("string")).as(s"${c}__u"),
+          min(col(c)).as(s"${c}__mn"), max(col(c)).as(s"${c}__mx"),
+          avg(col(c)).as(s"${c}__av"), stddev_samp(col(c)).as(s"${c}__sd"))
+      }
+      li.agg(aggs.head, aggs.tail: _*).head(); 1
+    }
+    time("summaryStatisticsReference") {
+      Procedures.summaryStatisticsReference(li,
+        Seq("l_extendedprice", "l_quantity")).size
+    }
+    time("ssr again (warm)") {
+      Procedures.summaryStatisticsReference(li,
+        Seq("l_extendedprice", "l_quantity")).size
+    }
+    val grouped = li.select(explode(array(
+      struct(lit("l_extendedprice").as("c"), col("l_extendedprice").as("v")),
+      struct(lit("l_quantity").as("c"), col("l_quantity").as("v")))).as("cv"))
+      .select(col("cv.c").as("c"), col("cv.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
+    time("grouped count table")(grouped.count())
+    val pinned = graft.core.DfOps.cut(grouped)
+    val nn = Map("l_extendedprice" -> 600572L, "l_quantity" -> 600572L)
+    time("quartile frame")(Procedures.numericQuartileFrame(pinned, nn).collect().length)
+    time("top-10 frame")(Procedures.topFrequentFrame(pinned).collect().length)
     spark.stop()
   }
 }

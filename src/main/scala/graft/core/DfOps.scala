@@ -16,19 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object DfOps {
 
+  /** The engine's ONE checkpoint policy. Every multi-job construction
+    * in the engine (partition-offset numbering, prefix sums, closure
+    * loops) must pin its frame so separate jobs see the same physical
+    * rows; this helper decides HOW. Default is `localCheckpoint`
+    * (executor block store — fastest, and fine single-JVM), but on a
+    * real cluster a lost/preempted executor makes localCheckpoint
+    * blocks unrecoverable MID-JOB. Setting the session conf
+    * `graft.checkpointDir` to a shared filesystem (HDFS/S3) switches
+    * every cut in the engine to RELIABLE `Dataset.checkpoint()` — the
+    * right mode for the 100 TB target, mirroring
+    * `Dedup.minHashDedupTransitive`'s per-call `checkpointDir` option.
+    */
+  def cut(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+
   /** Adds `outCol` = global 1-based row number of `df` under the total
     * order given by `order`. Scale-safe: the sort is a range exchange
     * (parallel), the only collect is one long per partition, and the
     * numbering itself is a map-side expression. The frame is
-    * localCheckpoint'ed so the count job and the output job see the
-    * same physical rows.
+    * checkpointed (policy: [[cut]]) so the count job and the output
+    * job see the same physical rows.
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
       outCol: String): DataFrame = {
     val ordered = if (order.isEmpty) df else df.orderBy(order: _*)
-    val withMid = ordered
-      .withColumn("__gMid", monotonically_increasing_id())
-      .localCheckpoint()
+    val withMid = cut(ordered
+      .withColumn("__gMid", monotonically_increasing_id()))
     val counts = withMid
       .groupBy(shiftrightunsigned(col("__gMid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__n"))
@@ -89,11 +108,10 @@ object DfOps {
     val p = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // checkpoint so the totals branch and the local-prefix branch see
     // the SAME physical partitioning (the globalRowNumber discipline)
-    val ranged = df
+    val ranged = cut(df
       .withColumn("__grs_g", group).withColumn("__grs_o", order)
       .repartitionByRange(p, col("__grs_o"))
-      .withColumn("__grs_pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("__grs_pid", spark_partition_id()))
     val wLocal = Window.partitionBy(col("__grs_pid"), col("__grs_g"))
       .orderBy(col("__grs_o"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -126,5 +144,34 @@ object DfOps {
         .as(countAlias)
     val keep = df.columns.map(c => col(s"`$c`"))
     joined.select(keep ++ outCols: _*)
+  }
+
+  /** Top-k rows per `group` under `order`, adding a 1-based `rkCol`,
+    * WITHOUT a group-keyed window over the full data. A plain
+    * `Window.partitionBy(group)` funnels every row of a group through
+    * ONE task — for a group with ~|table| rows (a high-cardinality
+    * value melted under one column name) that task IS the table.
+    * Instead the classic two-stage top-k: rows are salted into
+    * `saltBuckets` deterministic sub-groups (hash of the whole row),
+    * a per-(group, salt) window keeps each bucket's top-k (partitions
+    * are ~|group|/saltBuckets), and a second window over the ≤
+    * k·saltBuckets survivors per group picks the final top-k. `order`
+    * must be a total order within a group (e.g. carry a unique
+    * tiebreak column) or bucket boundaries make the result
+    * nondeterministic. */
+  def topKPerGroup(df: DataFrame, group: Column, order: Seq[Column],
+      k: Int, rkCol: String = "rk", saltBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && saltBuckets > 0)
+    val salt = pmod(hash(df.columns.map(c => col(s"`$c`")): _*),
+      lit(saltBuckets))
+    val w1 = Window.partitionBy(group, col("__tk_salt")).orderBy(order: _*)
+    val w2 = Window.partitionBy(group).orderBy(order: _*)
+    df.withColumn("__tk_salt", salt)
+      .withColumn("__tk_rk1", row_number().over(w1))
+      .filter(col("__tk_rk1") <= k)
+      .withColumn(rkCol, row_number().over(w2))
+      .filter(col(s"`$rkCol`") <= k)
+      .drop("__tk_salt", "__tk_rk1")
   }
 }

@@ -185,7 +185,7 @@ object Dedup {
       // would otherwise accumulate executor memory/disk until eviction.
       // localCheckpoint also cuts the 3-consumer lineage, so downstream
       // reuse (dedup / transitive closure) never re-runs the LSH.
-      val out = verified.localCheckpoint(true)
+      val out = graft.core.DfOps.cut(verified)
       base.unpersist(false)
       out
     } else verified
@@ -224,12 +224,12 @@ object Dedup {
       .join(oldBase.select(col("id").as("id_old"), col("sh").as("sh_old")), Seq("id_old"))
       .filter(T.jaccardArrays(col("sh_new"), col("sh_old")) >= threshold)
       .select(col("id_new").as("__dup_id")).distinct()
-      // materialize, then release both signature caches (same
-      // session-leak fix as minHashPairs)
-      .localCheckpoint(true)
+    // materialize (policy: DfOps.cut), then release both signature
+    // caches (same session-leak fix as minHashPairs)
+    val dupNewPinned = graft.core.DfOps.cut(dupNew)
     newBase.unpersist(false)
     oldBase.unpersist(false)
-    newDocs.join(dupNew, newDocs(idCol) === col("__dup_id"), "left_anti")
+    newDocs.join(dupNewPinned, newDocs(idCol) === col("__dup_id"), "left_anti")
   }
 
   /** A reusable LSH index over a kept corpus: signatures + banded
@@ -304,11 +304,11 @@ object Dedup {
       .join(index.base.select(col("id").as("id_old"), col("sh").as("sh_old")), Seq("id_old"))
       .filter(T.jaccardArrays(col("sh_new"), col("sh_old")) >= threshold)
       .select(col("id_new").as("__dup_id")).distinct()
-      .localCheckpoint(true)
+    val dupNew2 = graft.core.DfOps.cut(dupNew)
     newBase.unpersist(false)
     // no broadcast hint: the dup set is batch-sized in the worst case
     // (a fully-duplicated batch); AQE picks broadcast when it is small
-    newDocs.join(dupNew, newDocs(idCol) === col("__dup_id"), "left_anti")
+    newDocs.join(dupNew2, newDocs(idCol) === col("__dup_id"), "left_anti")
   }
 
   /** The candidate-generation front of `minHashDedupAgainst`, exposed
@@ -379,7 +379,9 @@ object Dedup {
       case Some(dir) =>
         docs.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      // no explicit dir: the engine-wide policy (session conf
+      // `graft.checkpointDir` → reliable, else localCheckpoint)
+      case None => graft.core.DfOps.cut
     }
     val pairs = minHashPairs(docs, textCol, idCol, bands, rowsPerBand,
       shingleN, threshold, maxBucket).select(col("id_a"), col("id_b"))
@@ -405,7 +407,7 @@ object Dedup {
     * node ids, monotonically non-increasing), so pointer jumps always
     * resolve. Returns (labels(id, label), rounds). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      cut: DataFrame => DataFrame = _.localCheckpoint()): (DataFrame, Int) = {
+      cut: DataFrame => DataFrame = graft.core.DfOps.cut): (DataFrame, Int) = {
     val edges = cut(pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct())

@@ -196,7 +196,7 @@ object Procedures {
   private def pinRanged(ranged: DataFrame): DataFrame =
     if (ranged.sparkSession.conf
         .getOption("spark.sql.exchange.reuse").contains("false"))
-      ranged.localCheckpoint()
+      graft.core.DfOps.cut(ranged)
     else ranged
 
   /** `summary.statistics` (`builtin/summary_statistics_proc.cc:516`):
@@ -519,11 +519,18 @@ object Procedures {
     * three distributed passes regardless of width: (1) one aggregate
     * row with every column's count/min/max/avg/stddev/distinct, (2)
     * one melt → groupBy(column, value) count for the numeric columns'
-    * quartiles + most-frequent (cumulative counts via a window
-    * PARTITIONED BY column — never SinglePartition; a column's
-    * distinct-value count bounds its partition), (3) the same for
-    * categorical columns. Driver collects are #columns-sized (3
-    * quartiles + ≤10 frequent items per column).
+    * quartiles + most-frequent, (3) the same for categorical columns.
+    * Scale shape: a window partitioned by column NAME would put a
+    * continuous column's ENTIRE distinct-value set (≈ row count)
+    * through one task and one driver collect, so instead quartiles
+    * ride the range-partitioned prefix sum
+    * ([[graft.core.DfOps.groupedRunningSums]]) folded into a
+    * per-column `min(v) WHERE cum > nn·t` aggregate
+    * ([[numericQuartileFrame]] — one output row per column), and
+    * most-frequent rides the salted two-stage top-k
+    * ([[graft.core.DfOps.topKPerGroup]], [[topFrequentFrame]] —
+    * rk ≤ 10 BEFORE the collect). Driver collects are #columns-sized
+    * by construction (3 quartiles + ≤10 frequent items per column).
     *
     * Numeric/categorical per the reference's probe: a column is
     * numeric when it has ≥1 non-null value and every non-null value
@@ -543,15 +550,27 @@ object Procedures {
       case _ => col(s"`$c`").cast("double") // strings: null when non-numeric
     }
     def strExpr(c: String): Column = col(s"`$c`").cast("string")
+    // num_unique is the reference's distinct count over the STRING
+    // rendering. For statically-typed numeric/bool columns that equals
+    // the distinct count of the (c, v) count table pass 2 builds anyway
+    // (double→string is injective), so the expensive per-column
+    // countDistinct in pass 1 is only paid for columns whose string
+    // values could conflate under the double cast ('1' vs '1.0').
+    val staticNum: Set[String] = cols.filter(c =>
+      df.schema(c).dataType match {
+        case BooleanType | _: NumericType => true
+        case _ => false
+      }).toSet
     // pass 1: one aggregate row across every column
     val aggs = cols.flatMap { c =>
-      val n = numExpr(c); val s = strExpr(c)
+      val n = numExpr(c)
       Seq(
-        count(s).as(s"${c}__nNotNull"),
+        count(col(s"`$c`")).as(s"${c}__nNotNull"),
         count(n).as(s"${c}__nNum"),
-        countDistinct(s).as(s"${c}__nUnique"),
         min(n).as(s"${c}__min"), max(n).as(s"${c}__max"),
-        avg(n).as(s"${c}__avg"), stddev_samp(n).as(s"${c}__std"))
+        avg(n).as(s"${c}__avg"), stddev_samp(n).as(s"${c}__std")) ++
+        (if (staticNum(c)) Nil
+         else Seq(countDistinct(strExpr(c)).as(s"${c}__nUnique")))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     def g[T](c: String, st: String): T =
@@ -561,7 +580,16 @@ object Procedures {
       nn > 0 && g[Long](c, "nNum") == nn
     }
     val catCols = cols.filterNot(numericCols.contains)
-    // pass 2: numeric grouped counts → quartiles + most frequent
+    // distinct-value counts derived from the grouped tables for
+    // statically-numeric columns (one #columns-sized collect each)
+    val derivedUnique = scala.collection.mutable.Map.empty[String, Long]
+    // pass 2: numeric grouped counts → quartiles + most frequent.
+    // BOTH driver collects here are #columns-bounded BY CONSTRUCTION:
+    // the quartile frame is one groupBy(c) row per column and the
+    // top-10 frame is rk<=10-filtered BEFORE the collect. Neither uses
+    // a Window partitioned by column NAME over the full distinct-value
+    // table (cardinality = #columns — a continuous column's whole
+    // value set through one task, and a driver-sized collect at 100 TB).
     val numStats: Map[String, (Array[Double], Seq[(String, Long)])] =
       if (numericCols.isEmpty) Map.empty
       else {
@@ -569,32 +597,32 @@ object Procedures {
           struct(lit(c).as("c"), numExpr(c).as("v"))): _*)).as("cv"))
           .select(col("cv.c").as("c"), col("cv.v").as("v"))
           .filter(col("v").isNotNull)
-        val grouped = melted.groupBy(col("c"), col("v"))
-          .agg(count(lit(1)).as("cnt"))
-        val wCum = Window.partitionBy(col("c")).orderBy(col("v"))
-        val wTop = Window.partitionBy(col("c"))
-          .orderBy(col("cnt").desc, col("v").desc)
-        val collected = grouped
-          .withColumn("cum", sum(col("cnt")).over(wCum))
-          .withColumn("rk", row_number().over(wTop))
-          .collect()
+        // pinned: the count table feeds TWO actions (quartile collect,
+        // top-10 collect) — without the cut the melt + groupBy would
+        // run twice
+        val grouped = graft.core.DfOps.cut(melted
+          .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt")))
+        grouped.groupBy(col("c")).agg(count(lit(1)).as("u")).collect()
+          .foreach(r => derivedUnique(r.getString(0)) = r.getLong(1))
+        val nn = numericCols.map(c => c -> g[Long](c, "nNotNull")).toMap
+        val qRows = numericQuartileFrame(grouped, nn).collect()
+        val qs = qRows.map { r =>
+          def q(i: Int): Double =
+            if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+          r.getString(0) -> Array(q(1), q(2), q(3))
+        }.toMap
+        val topRows = topFrequentFrame(grouped).collect()
         numericCols.map { c =>
-          val mine = collected.filter(_.getString(0) == c)
-          val nn = g[Long](c, "nNotNull").toDouble
-          val thresholds = Array(nn * 0.25, nn * 0.5, nn * 0.75)
-          val asc = mine.sortBy(_.getDouble(1))
-          val qs = thresholds.map { t =>
-            asc.find(r => t < r.getAs[Long]("cum"))
-              .map(_.getDouble(1)).getOrElse(Double.NaN)
-          }
-          val top = mine.filter(_.getAs[Int]("rk") <= 10)
+          val top = topRows.filter(_.getString(0) == c)
             .sortBy(_.getAs[Int]("rk"))
             .map(r => numItemName(r.getDouble(1)) -> r.getAs[Long]("cnt"))
             .toSeq
-          c -> (qs, top)
+          c -> (qs.getOrElse(c, Array(Double.NaN, Double.NaN, Double.NaN)),
+            top)
         }.toMap
       }
-    // pass 3: categorical grouped counts → most frequent
+    // pass 3: categorical grouped counts → most frequent (same
+    // two-stage top-k; the collect is rk<=10-filtered first)
     val catTops: Map[String, Seq[(String, Long)]] =
       if (catCols.isEmpty) Map.empty
       else {
@@ -602,19 +630,21 @@ object Procedures {
           struct(lit(c).as("c"), strExpr(c).as("v"))): _*)).as("cv"))
           .select(col("cv.c").as("c"), col("cv.v").as("v"))
           .filter(col("v").isNotNull)
-        val wTop = Window.partitionBy(col("c"))
-          .orderBy(col("cnt").desc, col("v").desc)
-        val collected = melted.groupBy(col("c"), col("v"))
+        val grouped = melted.groupBy(col("c"), col("v"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") <= 10)
-          .collect()
+        val collected = topFrequentFrame(grouped).collect()
         catCols.map { c =>
           c -> collected.filter(_.getString(0) == c)
             .sortBy(_.getAs[Int]("rk"))
             .map(r => r.getString(1) -> r.getAs[Long]("cnt")).toSeq
         }.toMap
       }
+    // static-numeric: from the grouped table (an all-null static
+    // column melts to zero rows → 0, matching countDistinct); other
+    // columns keep pass 1's string-distinct (the '1' vs '1.0' case)
+    def uniqueOf(c: String): Long =
+      if (staticNum(c)) derivedUnique.getOrElse(c, 0L)
+      else g[Long](c, "nUnique")
     cols.map { c =>
       if (numericCols.contains(c)) {
         val (qs, top) = numStats(c)
@@ -624,7 +654,7 @@ object Procedures {
         ColSummary(c, Map(
           "data_type" -> "number",
           "num_null" -> (total - nn),
-          "num_unique" -> g[Long](c, "nUnique"),
+          "num_unique" -> uniqueOf(c),
           "min" -> g[java.lang.Double](c, "min").doubleValue,
           "max" -> g[java.lang.Double](c, "max").doubleValue,
           "avg" -> g[java.lang.Double](c, "avg").doubleValue,
@@ -636,11 +666,46 @@ object Procedures {
         ColSummary(c, Map(
           "data_type" -> "categorical",
           "num_null" -> (total - nn),
-          "num_unique" -> g[Long](c, "nUnique")),
+          "num_unique" -> uniqueOf(c)),
           catTops.getOrElse(c, Seq.empty))
       }
     }
   }
+
+  /** One row per column: (c, q1, q2, q3) where each quartile is the
+    * reference's "first value (ascending) whose cumulative count
+    * strictly exceeds nn·t" (summary_statistics_proc.cc:516). Input is
+    * the per-(column, value) count table `(c, v: double, cnt)`; `nn`
+    * maps each column to its non-null count (known from pass 1).
+    * Distributed end to end: cumulative counts come from the
+    * range-partitioned prefix sum (never a column-name-keyed window),
+    * and the quartile selection folds into one `min(when(...))`
+    * aggregate per threshold, so the output — and any collect of it —
+    * is exactly #columns rows. */
+  private[graft] def numericQuartileFrame(grouped: DataFrame,
+      nn: Map[String, Long]): DataFrame = {
+    val withCum = graft.core.DfOps.groupedRunningSums(grouped,
+      col("c"), col("v"), Seq("__cumEx" -> col("cnt")), "__cntEx")
+    val nnExpr = element_at(
+      map(nn.toSeq.flatMap { case (c, n) =>
+        Seq(lit(c), lit(n.toDouble)) }: _*), col("c"))
+    val cum = col("__cumEx") + col("cnt") // inclusive cumulative count
+    withCum.withColumn("__nn", nnExpr)
+      .groupBy(col("c")).agg(
+        min(when(cum > col("__nn") * 0.25, col("v"))).as("q1"),
+        min(when(cum > col("__nn") * 0.5, col("v"))).as("q2"),
+        min(when(cum > col("__nn") * 0.75, col("v"))).as("q3"))
+  }
+
+  /** Top-`k` most-frequent values per column over the `(c, v, cnt)`
+    * count table, ordered like the reference's `MostFrequents` heap
+    * (count first, larger value on ties), with the `rk <= k` filter
+    * applied BEFORE any collect. Rides the salted two-stage top-k so
+    * no task ever holds a whole column's distinct-value set. */
+  private[graft] def topFrequentFrame(grouped: DataFrame,
+      k: Int = 10): DataFrame =
+    graft.core.DfOps.topKPerGroup(grouped, col("c"),
+      Seq(col("cnt").desc, col("v").desc), k)
 
   /** The reference renders numeric most-frequent item names through
     * `CellValue::toString` — integers without a decimal point

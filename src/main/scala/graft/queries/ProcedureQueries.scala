@@ -157,6 +157,56 @@ object ProcedureQueries {
         .select(col("column_name"), col("stat"), round(col("value"), 4).as("value"))
     },
 
+    // --- summary.statistics EXACT quartiles + top-10 over a
+    // high-cardinality numeric column (the reference rule: first
+    // ascending value whose cumulative count strictly exceeds nn·t;
+    // top-10 by count desc, value desc). This pins the scale-safe
+    // shape — range-partitioned prefix sums + salted two-stage top-k,
+    // #columns-bounded collects — against a DuckDB recomputation. No
+    // rounding: every output value is a raw data value or an integer
+    // count, so both engines hash bit-identical doubles. ---
+    QueryDef("q126_summary_quartiles",
+      """WITH counts AS (
+        |  SELECT 'l_extendedprice' AS c, l_extendedprice AS v, count(*) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'l_quantity', l_quantity, count(*)
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 2
+        |), cum AS (
+        |  SELECT c, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY c ORDER BY v) AS cum,
+        |    sum(cnt) OVER (PARTITION BY c) AS nn,
+        |    row_number() OVER (PARTITION BY c ORDER BY cnt DESC, v DESC) AS rk
+        |  FROM counts
+        |)
+        |SELECT c AS column_name, '1st_quartile' AS stat,
+        |       min(CASE WHEN cum > nn*0.25 THEN v END) AS value FROM cum GROUP BY 1
+        |UNION ALL SELECT c, 'median',
+        |       min(CASE WHEN cum > nn*0.5 THEN v END) FROM cum GROUP BY 1
+        |UNION ALL SELECT c, '3rd_quartile',
+        |       min(CASE WHEN cum > nn*0.75 THEN v END) FROM cum GROUP BY 1
+        |UNION ALL SELECT c, 'mf_item_' || CAST(rk AS VARCHAR), v
+        |       FROM cum WHERE rk <= 10
+        |UNION ALL SELECT c, 'mf_cnt_' || CAST(rk AS VARCHAR),
+        |       CAST(cnt AS DOUBLE) FROM cum WHERE rk <= 10""".stripMargin) { (s, d) =>
+      val sums = Procedures.summaryStatisticsReference(
+        Tables.lineitem(s, d).select("l_extendedprice", "l_quantity"),
+        Seq("l_extendedprice", "l_quantity"))
+      val rows = sums.flatMap { cs =>
+        Seq(
+          (cs.column, "1st_quartile", cs.stats("1st_quartile").asInstanceOf[Double]),
+          (cs.column, "median", cs.stats("median").asInstanceOf[Double]),
+          (cs.column, "3rd_quartile", cs.stats("3rd_quartile").asInstanceOf[Double])) ++
+          cs.mostFrequent.zipWithIndex.flatMap { case ((item, cnt), i) =>
+            Seq((cs.column, s"mf_item_${i + 1}", item.toDouble),
+              (cs.column, s"mf_cnt_${i + 1}", cnt.toDouble))
+          }
+      }
+      val s2 = s
+      import s2.implicits._
+      rows.toDF("column_name", "stat", "value")
+    },
+
     // --- deterministic cross-engine split (md5 first hex digit) ---
     QueryDef("q54_split",
       """SELECT 'test' AS fold, count(*) AS n,

@@ -54,12 +54,12 @@ object Word2Vec {
     * `collect()`. `toLocalIterator` streams one partition at a time —
     * bounded driver memory at the cost of two extra tiny jobs (count
     * for the header, head for the dimension). The projection is PINNED
-    * (localCheckpoint) before counting so the header count and the
+    * (policy: DfOps.cut) before counting so the header count and the
     * streamed rows come from one materialization — a non-deterministic
     * input (sampled / limited / shuffled) must not disagree between
     * the count job and the iterator job. */
   def write(df: DataFrame, path: String): Unit = {
-    val proj = df.select("word", "embedding").localCheckpoint()
+    val proj = graft.core.DfOps.cut(df.select("word", "embedding"))
     val n = proj.count()
     val dim = if (n == 0) 0
       else proj.head().getAs[scala.collection.Seq[Float]]("embedding").size

@@ -3768,9 +3768,8 @@ object Lowering {
         // exact global row_number, no SinglePartition exchange. The
         // frame is pinned so the count job and the output job see the
         // same rows; the collect is #partitions-sized.
-        val withMid = ordered
-          .withColumn("__seqMid", monotonically_increasing_id())
-          .localCheckpoint()
+        val withMid = graft.core.DfOps.cut(ordered
+          .withColumn("__seqMid", monotonically_increasing_id()))
         val counts = withMid
           .groupBy(shiftrightunsigned(col("__seqMid"), 33).as("__pid"))
           .agg(count(lit(1)).as("__n"))

@@ -328,4 +328,106 @@ class ScaleSpec extends AnyFunSuite {
     assert(a.length === 400)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("summary.statistics quartiles/top-10 are #columns-bounded on a " +
+      "continuous column: frame cardinality, plan shape, brute-force equality") {
+    import graft.procedures.Procedures
+    // a CONTINUOUS column (every value distinct — the shape whose
+    // distinct-value table ≈ the corpus, where a driver collect or a
+    // column-name-keyed window is the 100 TB killer), plus a
+    // low-cardinality numeric and a categorical
+    val n = 150000L
+    val df = spark.range(n).toDF("id").repartition(16)
+      .withColumn("cont",
+        ((col("id") * 2654435761L) % 1000003L).cast("double") +
+          col("id").cast("double") / 1e9) // all distinct, not pre-sorted
+      .withColumn("lowcard", (col("id") % 7).cast("double"))
+      .withColumn("cat", concat(lit("s"), (col("id") % 13).cast("string")))
+      .drop("id")
+    // 1. END TO END equals a brute-force local recomputation of the
+    //    reference rule (first ascending value whose cumulative count
+    //    strictly exceeds nn*t; top-10 by (count desc, value desc))
+    val sums = Procedures.summaryStatisticsReference(
+      df, Seq("cont", "lowcard", "cat"))
+    val local = df.collect()
+    def brute(vals: Seq[Double]): (Array[Double], Seq[(String, Long)]) = {
+      val nn = vals.size.toDouble
+      val counts = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val asc = counts.keys.toSeq.sorted
+      var cum = Map.empty[Double, Long]; var acc = 0L
+      asc.foreach { v => acc += counts(v); cum += v -> acc }
+      val qs = Array(0.25, 0.5, 0.75).map(t =>
+        asc.find(v => nn * t < cum(v)).get)
+      val top = counts.toSeq.sortBy { case (v, c) => (-c, -v) }.take(10)
+        .map { case (v, c) =>
+          (if (v.isWhole) v.toLong.toString else v.toString) -> c }
+      (qs, top)
+    }
+    Seq("cont", "lowcard").foreach { c =>
+      val (qs, top) = brute(local.map(_.getAs[Double](c)))
+      val got = sums.find(_.column == c).get
+      assert(got.stats("1st_quartile") === qs(0), c)
+      assert(got.stats("median") === qs(1), c)
+      assert(got.stats("3rd_quartile") === qs(2), c)
+      assert(got.mostFrequent === top, c)
+    }
+    val catTop = local.map(_.getAs[String]("cat"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortWith { case ((v1, c1), (v2, c2)) =>
+        c1 > c2 || (c1 == c2 && v1 > v2) }.take(10)
+    assert(sums.find(_.column == "cat").get.mostFrequent === catTop)
+    // 2. CARDINALITY: the frames feeding the driver collects are
+    //    #columns-bounded BY CONSTRUCTION — count them at 150k distinct
+    val grouped = df.select(explode(array(Seq("cont", "lowcard").map(c =>
+      struct(lit(c).as("c"), col(c).as("v"))): _*)).as("cv"))
+      .select(col("cv.c").as("c"), col("cv.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
+    val nnMap = Map("cont" -> n, "lowcard" -> n)
+    val qFrame = Procedures.numericQuartileFrame(grouped, nnMap)
+    assert(qFrame.count() === 2L, "quartile frame must be one row per column")
+    val tFrame = Procedures.topFrequentFrame(grouped)
+    assert(tFrame.count() <= 20L, "top-10 frame must be rk<=10 per column")
+    // 3. PLAN SHAPE: the cumulative side rides the (pid, group)-keyed
+    //    prefix sum — no window keyed by the column NAME over the full
+    //    value table (the windowed top-k stage is salted: its first
+    //    window is (c, salt)-keyed, and the c-only window sees ≤
+    //    k·saltBuckets rows per column)
+    val qPlan = qFrame.queryExecution.executedPlan.toString.toLowerCase
+    assert(qPlan.contains("windowspecdefinition(__grs_pid"), qPlan.take(2000))
+    assert(!qPlan.contains("windowspecdefinition(c#"),
+      "column-name-keyed window in the quartile path:\n" + qPlan.take(2000))
+    val tPlan = tFrame.queryExecution.executedPlan.toString.toLowerCase
+    assert(tPlan.contains("__tk_salt"), tPlan.take(2000))
+  }
+
+  test("graft.checkpointDir switches every DfOps.cut to reliable " +
+      "checkpoints: correctness + files on the shared dir") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_").toString
+    spark.conf.set("graft.checkpointDir", dir)
+    try {
+      val df = spark.range(0, 5000, 1, 8).toDF("id")
+        .withColumn("score", (col("id") * 48271L % 9973L).cast("double"))
+      val ranked = core.DfOps.globalRowNumber(
+        df, Seq(col("score").asc, col("id").asc), "index")
+      val got = ranked.select("id", "index").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, s) => (s, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      assert(got === want)
+      // the cut must have landed on the RELIABLE dir (rdd-* content),
+      // not the executor block store
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) c +: walk(c) else Seq(c))
+      assert(walk(new java.io.File(dir)).exists(_.getName.startsWith("rdd-")),
+        s"no reliable checkpoint written under $dir")
+    } finally {
+      spark.conf.unset("graft.checkpointDir")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
