@@ -411,19 +411,28 @@ case class DeflateRatio(child: Expression, level: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_deflate_ratio"
 
+  // One native Deflater per executor thread, reset() between rows: a
+  // new/end per evaluation allocates and frees a native zlib stream
+  // per ROW, which dominates the cost of deflating short documents on
+  // the 100 TB-scan path this gate targets. Thread-bound streams are
+  // safe under Spark's task threading (one task per thread) and their
+  // native memory is bounded by the executor pool size.
+  @transient private lazy val localDeflater =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(level, false))
+
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     if (bytes.isEmpty) null
     else {
-      val d = new java.util.zip.Deflater(level, false)
-      try {
-        d.setInput(bytes)
-        d.finish()
-        val buf = new Array[Byte](8192)
-        var total = 0L
-        while (!d.finished()) total += d.deflate(buf)
-        total.toDouble / bytes.length
-      } finally d.end()
+      val d = localDeflater.get()
+      d.reset()
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
     }
   }
 

@@ -671,19 +671,25 @@ object PipelineQueries {
     // per-doc Shannon entropy over characters, H = log2(n) −
     // Σ c·log2(c)/n — the low-information gate pipelines run beside
     // the repetition checks. Both engines count characters and take
-    // log2 of INTEGERS only, so after round(·, 6) the doubles agree
-    // bit-exactly. Two-level aggregation, both shuffles keyed by
-    // doc_id(+char) — scale-safe at any corpus size. ---
+    // log2 of INTEGERS only, AND fold the Σ c·log2(c) terms in
+    // ch-sorted order via an explicit sequential list fold — a plain
+    // sum's partition-merge order is nondeterministic, so a document
+    // whose entropy lands within ~1 ulp of a 0.5e-6 rounding boundary
+    // could otherwise flip the 6th decimal intermittently. The
+    // collect_list is per-document and charset-bounded (≤ a few
+    // hundred distinct chars) — scale-safe at any corpus size. ---
     QueryDef("q124_char_entropy",
       """WITH d AS (SELECT doc_id, text FROM documents
         |  WHERE doc_id < 300 AND length(text) > 0),
         |c AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
         |  FROM d),
-        |k AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2)
-        |SELECT doc_id,
-        |  round(log2(CAST(sum(cnt) AS DOUBLE))
-        |    - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt), 6) AS entropy
-        |FROM k GROUP BY doc_id""".stripMargin) { (s, d) =>
+        |k AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n,
+        |  list_sum(list_transform(
+        |    list_sort(list(struct_pack(ch := ch, cnt := cnt))),
+        |    x -> x.cnt * log2(CAST(x.cnt AS DOUBLE)))) AS ssum
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id, round(log2(n) - ssum / n, 6) AS entropy FROM s""".stripMargin) { (s, d) =>
       val counts = Tables.documents(s, d)
         .filter(col("doc_id") < 300 && length(col("text")) > 0)
         .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
@@ -693,7 +699,12 @@ object PipelineQueries {
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
       counts.groupBy("doc_id").agg(
         round(log2(sum("cnt"))
-          - sum(col("cnt") * log2(col("cnt"))) / sum("cnt"), 6)
+          - aggregate(
+              array_sort(collect_list(struct(col("ch"), col("cnt")))),
+              lit(0.0),
+              (acc, x) => acc +
+                x.getField("cnt") * log2(x.getField("cnt")))
+            / sum("cnt"), 6)
           .as("entropy"))
     },
 

@@ -126,6 +126,32 @@ object Mongo {
     new String(sb.toByteArray, StandardCharsets.UTF_8)
   }
 
+  /** Walks an embedded BSON document and returns its `errmsg` string
+    * field, leaving the buffer positioned past the document. Decoding
+    * straight off the wire (not a regex over re-serialized JSON) keeps
+    * messages with escaped quotes/backslashes intact. */
+  private def readDocErrmsg(buf: ByteBuffer): Option[String] = {
+    val dStart = buf.position()
+    val dLen = buf.getInt(dStart)
+    buf.position(dStart + 4)
+    var res: Option[String] = None
+    var done = false
+    while (!done) {
+      val t = buf.get()
+      if (t == 0) done = true
+      else {
+        val name = readCstr(buf)
+        if (name == "errmsg" && t == 0x02) {
+          val sl = buf.getInt
+          val b = new Array[Byte](sl - 1); buf.get(b); buf.get()
+          res = Some(new String(b, StandardCharsets.UTF_8))
+        } else skipValue(buf, t)
+      }
+    }
+    buf.position(dStart + dLen)
+    res
+  }
+
   private def readValueJson(buf: ByteBuffer, tpe: Byte): String = tpe match {
     case 0x01 =>
       val d = java.lang.Double.longBitsToDouble(buf.getLong)
@@ -297,12 +323,16 @@ object Mongo {
               "mongo error: " + new String(b, StandardCharsets.UTF_8))
           case ("writeErrors", 0x04) =>
             // per-document failures (duplicate key, validation) come
-            // back with ok:1.0 — a write reply carrying this array is
-            // an ERROR, not an acknowledgement; read the first
-            // entry's errmsg for the message
+            // back with ok:1.0 — a write reply carrying a NON-EMPTY
+            // array here is an ERROR, not an acknowledgement; read the
+            // first entry's errmsg (from the decoded BSON document —
+            // a regex over serialized JSON truncated at escaped
+            // quotes). A present-but-empty array is an acknowledgement.
             val aStart = reply.position()
+            val aLen = reply.getInt(aStart)
             reply.position(aStart + 4)
-            var msg = "write error"
+            var msg: Option[String] = None
+            var hasError = false
             var aDone = false
             while (!aDone) {
               val at = reply.get()
@@ -310,16 +340,15 @@ object Mongo {
               else {
                 readCstr(reply)
                 if (at == 0x03) {
-                  val eJson = bsonToJson(reply)
-                  val m = "\"errmsg\"\\s*:\\s*\"([^\"]*)\"".r
-                    .findFirstMatchIn(eJson)
-                  m.foreach(mm => msg = mm.group(1))
-                  aDone = true // first error carries the story
+                  hasError = true
+                  if (msg.isEmpty) msg = readDocErrmsg(reply)
+                  else skipValue(reply, at)
                 } else skipValue(reply, at)
               }
             }
-            throw new IllegalArgumentException(
-              s"mongo write error: $msg")
+            reply.position(aStart + aLen)
+            if (hasError) throw new IllegalArgumentException(
+              s"mongo write error: ${msg.getOrElse("write error")}")
           case (_, t) => skipValue(reply, t)
         }
       }

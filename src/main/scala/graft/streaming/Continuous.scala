@@ -34,9 +34,14 @@ object Continuous {
     // date_format renders in the SESSION zone, but the read side
     // (window) formats its partition bounds in UTC — both sides of
     // the p_date pruning contract must agree or boundary events
-    // silently fall outside the pruned range
-    date_from_unix_date(
-      floor(unix_micros(col(tsCol)) / lit(86400000000.0)).cast("int"))
+    // silently fall outside the pruned range. EXACT integer floor
+    // (the Tables.events pmod trick): double division is only exact
+    // while micros stay under 2^53, and a boundary event bucketed one
+    // day off would be silently dropped by window()'s pruning even
+    // though its ts passes the range filter.
+    date_from_unix_date(expr(
+      s"(unix_micros(`$tsCol`) - pmod(unix_micros(`$tsCol`), " +
+        "86400000000)) div 86400000000").cast("int"))
       .cast("string").as("p_date")
 
   /** `continuous` dataset: record a stream into the store.

@@ -150,6 +150,24 @@ class ReviewFixSpec extends AnyFunSuite {
     assert(got.length === 1)
     assert(got(0).getString(0) === "v")
     assert(got(0).getDouble(1) === 89999.0)
+    // on-disk format proof: run the REAL sqlite3 binary's
+    // integrity_check against the written file, so the b-tree layout
+    // claim is regression-pinned, not just round-trippable through our
+    // own importer. Skipped (not silently passed) when no sqlite3
+    // binary is installed.
+    val sqlite3 = Seq("/usr/bin/sqlite3", "/usr/local/bin/sqlite3",
+      "/root/miniconda/bin/sqlite3").find(p => new java.io.File(p).canExecute)
+      .orElse(sys.env.get("PATH").flatMap(_.split(':')
+        .map(d => s"$d/sqlite3").find(p => new java.io.File(p).canExecute)))
+    assume(sqlite3.nonEmpty, "no sqlite3 binary on this host")
+    val pb = new ProcessBuilder(sqlite3.get, path, "pragma integrity_check;")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    val rc = proc.waitFor()
+    assert(rc === 0, s"sqlite3 exited $rc: $out")
+    assert(out === "ok", s"integrity_check said: $out")
   }
 
   test("DELETE of an async plugin whose construction failed answers 204") {
