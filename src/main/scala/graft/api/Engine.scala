@@ -3617,14 +3617,9 @@ final class GraftEngine(val spark: SparkSession) {
           // bagOfWords: a row without the word has NO cell (null)
           if (bow) when(col(s"`$c`").isNotNull, raw) else raw
         }
-        val priorCols = for {
-          ((o, _), oi) <- outcomes.zipWithIndex
-          c <- keyCols
-          stat <- stats
-        } yield priorStat(c, oi, stat).as(s"$o.$c.$stat")
-        param("outputDataset").foreach(id =>
-          createDataset(id, df0.select(col("rowName") +: priorCols: _*)))
         // FINAL tables: full seven-stat summaries per (column, value)
+        // (computed BEFORE the prior columns so their per-value counts
+        // drive the skew-path decision below)
         val ordRaw: Seq[org.apache.spark.sql.Column] =
           if (stmt0.orderBy.nonEmpty)
             stmt0.orderBy.indices.map(i => col(s"__ord$i"))
@@ -3660,6 +3655,70 @@ final class GraftEngine(val spark: SparkSession) {
               key -> ss
             }.toMap
           }.toMap
+        // prior columns for outputDataset. Same two-construction
+        // discipline as statsTable.train: a value whose row count
+        // crosses the skew threshold would funnel its
+        // Window.partitionBy(value) partition into ONE task, so that
+        // column's count/sum/min/max priors switch to
+        // DfOps.groupedRunningStats (range-partitioned prefix combine;
+        // min/max merge exactly via least/greatest, count exactly,
+        // sum exactly for integer-valued outcomes). avg/std/last stay
+        // windowed even past the threshold — prefix-merging reorders
+        // float accumulation and would silently change low-order bits
+        // (the q122 exactness contract); a workload that needs skew-
+        // proof avg/std should derive them from sum/count downstream.
+        // The switch needs an all-ASC training order (the range
+        // partitioner's frame); DESC keys keep the window.
+        val skewThreshold = spark.conf
+          .getOption("graft.distTable.skewThreshold")
+          .map(_.toLong).getOrElse(5000000L)
+        val prefixable = Set("count", "sum", "min", "max")
+        val allAsc = stmt0.orderBy.isEmpty || stmt0.orderBy.forall(_.asc)
+        val skewedCols: Set[String] =
+          if (!allAsc) Set.empty
+          else keyCols.filter { c =>
+            tables(c).values.exists(_.headOption.exists(
+              _.count > skewThreshold))
+          }.toSet
+        val windowedPrior = for {
+          ((o, _), oi) <- outcomes.zipWithIndex
+          c <- keyCols
+          stat <- stats
+          if !(skewedCols(c) && prefixable(stat))
+        } yield priorStat(c, oi, stat).as(s"$o.$c.$stat")
+        var acc = df0.select(col("*") +: windowedPrior: _*)
+        keyCols.filter(skewedCols).foreach { c =>
+          val grp = if (bow) col(s"`$c`").isNotNull else col(s"`$c`")
+          // unique per row (grs contract): the training order plus the
+          // row name as a tiebreak — window ROWS frames break order
+          // ties nondeterministically anyway
+          val ordStruct =
+            struct(ordRaw :+ col("rowName").cast("string"): _*)
+          val specs = for {
+            ((o, _), oi) <- outcomes.zipWithIndex
+            stat <- stats if stat != "count" && prefixable(stat)
+          } yield (s"$o.$c.$stat", col(s"__oc$oi").cast("double"), stat)
+          acc = graft.core.DfOps.groupedRunningStats(acc, grp, ordStruct,
+            specs,
+            if (stats.contains("count")) Some(s"__cnt.$c") else None)
+        }
+        val priorCols = for {
+          ((o, _), oi) <- outcomes.zipWithIndex
+          c <- keyCols
+          stat <- stats
+        } yield {
+          val name = s"$o.$c.$stat"
+          if (skewedCols(c) && prefixable(stat)) {
+            val raw = stat match {
+              case "count" => col(s"`__cnt.$c`").cast("double")
+              case "sum" => coalesce(col(s"`$name`"), lit(0.0))
+              case _ => coalesce(col(s"`$name`"), lit(Double.NaN))
+            }
+            (if (bow) when(col(s"`$c`").isNotNull, raw) else raw).as(name)
+          } else col(s"`$name`")
+        }
+        param("outputDataset").foreach(id =>
+          createDataset(id, acc.select(col("rowName") +: priorCols: _*)))
         val url = param("distTableFileUrl").getOrElse("__dist_table")
         distTableModels(url) =
           (if (bow) "bagOfWords" else "keyValue", outcomes.map(_._1),

@@ -146,6 +146,77 @@ object DfOps {
     joined.select(keep ++ outCols: _*)
   }
 
+  /** Exclusive grouped running count/sum/min/max that survive a SKEWED
+    * group — [[groupedRunningSums]] generalized to the stat set
+    * distTable.train's prior columns need. Same construction (range
+    * partition by `order`, local exclusive window within (partition,
+    * group), per-(partition, group) totals exclusive-combined over
+    * partitions, null-safe join back); each spec is (alias, expr,
+    * kind) with kind ∈ sum | min | max, and `countAlias` optionally
+    * adds the running row count. Exclusive-empty prefixes yield null
+    * for sum/min/max (callers coalesce to their defaults) and 0 for
+    * count — the same nullability as the window formulation. min/max
+    * merge via least/greatest, which are order-insensitive even for
+    * doubles; sum is bit-identical to the window for integer-valued
+    * expressions and regrouped (not reordered-within-partition) for
+    * fractional doubles — the [[groupedRunningSums]] caveat. `order`
+    * must be unique per row. */
+  def groupedRunningStats(df: DataFrame, group: Column, order: Column,
+      specs: Seq[(String, Column, String)],
+      countAlias: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(specs.forall(s => Set("sum", "min", "max")(s._3)),
+      "kind must be sum|min|max")
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val ranged = cut(df
+      .withColumn("__grt_g", group).withColumn("__grt_o", order)
+      .repartitionByRange(p, col("__grt_o"))
+      .withColumn("__grt_pid", spark_partition_id()))
+    val wLocal = Window.partitionBy(col("__grt_pid"), col("__grt_g"))
+      .orderBy(col("__grt_o"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def aggOf(kind: String, e: Column): Column = kind match {
+      case "sum" => sum(e); case "min" => min(e); case "max" => max(e)
+    }
+    val localCols = specs.map { case (a, e, k) =>
+      aggOf(k, e).over(wLocal).as(s"__grt_l_$a")
+    } ++ countAlias.map(_ => count(lit(1)).over(wLocal).as("__grt_l_cnt"))
+    val withLocal = ranged.select(col("*") +: localCols: _*)
+    val totAggs = specs.map { case (a, e, k) =>
+      aggOf(k, e).as(s"__grt_t_$a")
+    } ++ countAlias.map(_ => count(lit(1)).as("__grt_t_cnt"))
+    val totals = ranged.groupBy(col("__grt_pid"), col("__grt_g"))
+      .agg(totAggs.head, totAggs.tail: _*)
+    val wOff = Window.partitionBy(col("__grt_g")).orderBy(col("__grt_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(
+      Seq(col("__grt_pid").as("__grt_opid"),
+        col("__grt_g").as("__grt_og")) ++
+        specs.map { case (a, _, k) =>
+          aggOf(k, col(s"`__grt_t_$a`")).over(wOff).as(s"__grt_o_$a")
+        } ++
+        countAlias.map(_ =>
+          coalesce(sum(col("__grt_t_cnt")).over(wOff), lit(0L))
+            .as("__grt_o_cnt")): _*)
+    val joined = withLocal.join(offsets,
+      withLocal("__grt_pid") === offsets("__grt_opid") &&
+        withLocal("__grt_g") <=> offsets("__grt_og"), "left")
+    val outCols = specs.map { case (a, _, k) =>
+      val l = col(s"`__grt_l_$a`"); val o = col(s"`__grt_o_$a`")
+      (k match {
+        // both-null → null; one-null → the other; else combine — the
+        // exact nullability of the windowed exclusive frame
+        case "sum" => coalesce(l + o, l, o)
+        case "min" => least(l, o) // least/greatest skip nulls
+        case "max" => greatest(l, o)
+      }).as(a)
+    } ++ countAlias.map(ca =>
+      (col("__grt_l_cnt") + coalesce(col("__grt_o_cnt"), lit(0L))).as(ca))
+    val keep = df.columns.map(c => col(s"`$c`"))
+    joined.select(keep ++ outCols: _*)
+  }
+
   /** Top-k rows per `group` under `order`, adding a 1-based `rkCol`,
     * WITHOUT a group-keyed window over the full data. A plain
     * `Window.partitionBy(group)` funnels every row of a group through
