@@ -248,4 +248,76 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want, s"pool=$pool")
     }
   }
+
+  test("groupedRunningStats (sum/min/max/count) equals the window " +
+      "formulation on arbitrary group distributions with null values") {
+    import org.apache.spark.sql.expressions.Window
+    val poolGen: Gen[Int] = Gen.oneOf(1, 3, 40, 2000)
+    forSamples(poolGen, 4) { pool =>
+      val rnd = new scala.util.Random(pool * 11 + 5)
+      // null GROUPS and null VALUES both appear: min/max must stay
+      // null through an all-null prefix, sum must skip nulls — the
+      // same nullability as the window frame
+      val rows = (0 until 2000).map { i =>
+        val k = if (rnd.nextInt(10) == 0) null
+          else "g" + rnd.nextInt(pool)
+        val v: java.lang.Double =
+          if (rnd.nextInt(7) == 0) null
+          else rnd.nextInt(9).toDouble
+        (i.toLong, k, v, f"o$i%05d")
+      }
+      val s2 = spark
+      import s2.implicits._
+      val df = rows.toDF("id", "k", "v", "ord").repartition(7)
+      val got = core.DfOps.groupedRunningStats(df, col("k"), col("ord"),
+        Seq(("s", col("v"), "sum"), ("mn", col("v"), "min"),
+          ("mx", col("v"), "max")), Some("cnt"))
+        .select("id", "s", "mn", "mx", "cnt").collect()
+        .map(r => r.getLong(0) -> (
+          Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4))).toMap
+      val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = df.select(col("id"),
+        sum(col("v")).over(w).as("s"), min(col("v")).over(w).as("mn"),
+        max(col("v")).over(w).as("mx"), count(lit(1)).over(w).as("cnt"))
+        .collect()
+        .map(r => r.getLong(0) -> (
+          Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4))).toMap
+      assert(got === want, s"pool=$pool")
+    }
+  }
+
+  test("topKPerGroup equals the window top-k on arbitrary count " +
+      "distributions, across salt-bucket settings") {
+    import org.apache.spark.sql.expressions.Window
+    val poolGen: Gen[Int] = Gen.oneOf(1, 4, 64)
+    forSamples(poolGen, 3) { salts =>
+      val rnd = new scala.util.Random(salts * 31 + 7)
+      val rows = (0 until 1500).map { i =>
+        ("c" + rnd.nextInt(5), rnd.nextInt(400).toDouble,
+          (1 + rnd.nextInt(50)).toLong)
+      }
+      val s2 = spark
+      import s2.implicits._
+      // dedup (c, v) so the (cnt desc, v desc) order is total within a
+      // group — the helper's documented contract
+      val df = rows.toDF("c", "v", "cnt")
+        .groupBy("c", "v").agg(max("cnt").as("cnt")).repartition(5)
+      val got = core.DfOps.topKPerGroup(df, col("c"),
+        Seq(col("cnt").desc, col("v").desc), 10, saltBuckets = salts)
+        .select("c", "v", "cnt", "rk").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getInt(3))).toSet
+      val w = Window.partitionBy(col("c"))
+        .orderBy(col("cnt").desc, col("v").desc)
+      val want = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("c", "v", "cnt", "rk").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getInt(3))).toSet
+      assert(got === want, s"salts=$salts")
+    }
+  }
 }
