@@ -602,16 +602,27 @@ object Procedures {
         // run twice
         val grouped = graft.core.DfOps.cut(melted
           .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt")))
-        grouped.groupBy(col("c")).agg(count(lit(1)).as("u")).collect()
-          .foreach(r => derivedUnique(r.getString(0)) = r.getLong(1))
         val nn = numericCols.map(c => c -> g[Long](c, "nNotNull")).toMap
-        val qRows = numericQuartileFrame(grouped, nn).collect()
+        // the pinned count table feeds three INDEPENDENT #columns-sized
+        // outputs (unique counts, quartiles, top-10) — submit the jobs
+        // concurrently so their stages interleave on the executors
+        // instead of running back to back
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val uniqF = Future(grouped.groupBy(col("c"))
+          .agg(count(lit(1)).as("u")).collect())
+        val qF = Future(numericQuartileFrame(grouped, nn).collect())
+        val topF = Future(topFrequentFrame(grouped).collect())
+        Await.result(uniqF, Duration.Inf)
+          .foreach(r => derivedUnique(r.getString(0)) = r.getLong(1))
+        val qRows = Await.result(qF, Duration.Inf)
         val qs = qRows.map { r =>
           def q(i: Int): Double =
             if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
           r.getString(0) -> Array(q(1), q(2), q(3))
         }.toMap
-        val topRows = topFrequentFrame(grouped).collect()
+        val topRows = Await.result(topF, Duration.Inf)
         numericCols.map { c =>
           val top = topRows.filter(_.getString(0) == c)
             .sortBy(_.getAs[Int]("rk"))
