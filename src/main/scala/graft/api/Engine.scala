@@ -3997,6 +3997,23 @@ final class GraftEngine(val spark: SparkSession) {
             s""""nulls": ${row.getLong(2 * i)}, "approxDistinct": ${row.getLong(2 * i + 1)}}"""
         }.mkString("[", ",", "]")
         s"""{"rowCount": $n, "columnCount": ${df.schema.fields.length}, "columns": $cols}"""
+      case "dataset.compact" =>
+        // beyond-reference maintenance procedure: rewrite a
+        // partitioned parquet store's accumulated small files into
+        // ~targetBytes-sized ones (see graft.procedures.Compact — the
+        // operational fix for streaming-ingest file explosion; data,
+        // layout, and partition pruning unchanged).
+        val path = req("storeUrl").stripPrefix("file://")
+        val target = param("targetBytes").map(_.toLong)
+          .getOrElse(128L << 20)
+        val retire = param("retireStreamMetadata").exists(v =>
+          v == "true" || v == "1")
+        val rep = graft.procedures.Compact.compactStore(spark, path,
+          targetBytes = target, retireStreamMetadata = retire)
+        s"""{"partitionsScanned": ${rep.partitionsScanned}, """ +
+          s""""partitionsCompacted": ${rep.partitionsCompacted}, """ +
+          s""""filesBefore": ${rep.filesBefore}, """ +
+          s""""filesAfter": ${rep.filesAfter}}"""
       case "list.files" =>
         // pro-plugin `list.files`: a directory listing as a dataset
         // (path, size, modified) — driver-side walk, listing-sized.

@@ -207,6 +207,31 @@ object ProcedureQueries {
       rows.toDF("column_name", "stat", "value")
     },
 
+    // --- store compaction round-trip: events written day-partitioned
+    // as many small files, compacted to one file per day, re-read and
+    // aggregated per day — DuckDB recomputes the same aggregates from
+    // the source table, so any row lost/duplicated/mis-partitioned by
+    // the move-in/delete file swap breaks the hash. Integer aggregates
+    // only (count + id sum), so the compare is exact by construction. ---
+    QueryDef("q127_compact_store",
+      """SELECT strftime(ts, '%Y-%m-%d') AS p_date,
+        |  count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val path = tmpDir(d, "compact")
+      val ev = Tables.events(s, d)
+        .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+      ev.repartition(8).write.mode("overwrite")
+        .partitionBy("p_date").parquet(path)
+      val rep = graft.procedures.Compact.compactStore(s, path,
+        targetBytes = 1L << 30)
+      require(rep.partitionsCompacted > 0,
+        s"compaction was a no-op: $rep")
+      s.read.parquet(path)
+        .groupBy(col("p_date").cast("string").as("p_date"))
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+    },
+
     // --- deterministic cross-engine split (md5 first hex digit) ---
     QueryDef("q54_split",
       """SELECT 'test' AS fold, count(*) AS n,

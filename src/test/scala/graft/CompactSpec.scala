@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.procedures.Compact
+
+/** Store compaction: small files per partition rewrite to target-sized
+  * ones, data and partition layout (pruning) unchanged, re-runs are
+  * no-ops, and a streaming sink's _spark_metadata is handled
+  * explicitly (refusal by default; retirement on request, after which
+  * batch readers see ALL files again — including compacted ones the
+  * log would have hidden). */
+class CompactSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_compact_$tag").toString
+
+  private def leafFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  test("partitioned store: files drop to the byte target, data and " +
+      "pruning unchanged, rerun is a no-op") {
+    val store = tmpDir("part") + "/store"
+    val df = spark.range(0, 3000, 1, 1).toDF("id")
+      .withColumn("p_date",
+        concat(lit("2026-01-0"), (col("id") % 3 + 1).cast("string")))
+      .withColumn("v", col("id") * 7 % 101)
+    // force many small files: 12 tasks × 3 partition values
+    df.repartition(12).write.partitionBy("p_date").parquet(store)
+    val dirs = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("p_date="))
+    assert(dirs.length === 3)
+    val before = dirs.map(d => leafFiles(d).length)
+    assert(before.forall(_ > 1), before.toSeq.toString)
+    val wantBefore = spark.read.parquet(store)
+      .select(col("id"), col("v"), col("p_date").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val rep = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    assert(rep.partitionsScanned === 3)
+    assert(rep.partitionsCompacted === 3)
+    assert(rep.filesBefore === before.sum)
+    assert(rep.filesAfter === 3)
+    dirs.foreach(d => assert(leafFiles(d).length === 1, d.toString))
+
+    val after = spark.read.parquet(store)
+      .select(col("id"), col("v"), col("p_date").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(after === wantBefore)
+    // partition pruning still works: the directory layout is intact
+    val oneDay = spark.read.parquet(store)
+      .filter(col("p_date") === "2026-01-02")
+    assert(oneDay.count() === wantBefore.count(_._3 == "2026-01-02"))
+    assert(oneDay.queryExecution.executedPlan.toString
+      .contains("p_date"), "partition filter lost")
+    // idempotent: a second run touches nothing
+    val rep2 = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    assert(rep2.partitionsCompacted === 0)
+    assert(rep2.filesAfter === 3)
+  }
+
+  test("byte target controls the output file count") {
+    val store = tmpDir("bytes") + "/store"
+    spark.range(0, 20000, 1, 16).toDF("id")
+      .withColumn("pad", md5(col("id").cast("string")))
+      .write.parquet(store)
+    val root = new java.io.File(store)
+    val bytes = leafFiles(root).map(_.length).sum
+    assert(leafFiles(root).length === 16)
+    // pick a target that lands strictly between 1 and 16 files
+    val target = bytes / 4
+    val rep = Compact.compactStore(spark, store, targetBytes = target)
+    val want = ((bytes + target - 1) / target).toInt
+    assert(rep.partitionsCompacted === 1)
+    assert(leafFiles(root).length === want)
+    assert(spark.read.parquet(store).count() === 20000)
+  }
+
+  test("nested leaves compact independently: a parent leaf's rewrite " +
+      "never absorbs its children's rows") {
+    val store = tmpDir("nest") + "/store"
+    spark.range(0, 100, 1, 4).toDF("id").write.parquet(store)
+    spark.range(100, 200, 1, 4).toDF("id").write.parquet(s"$store/sub=1")
+    val rep = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    assert(rep.partitionsScanned === 2)
+    assert(rep.partitionsCompacted === 2)
+    val root = new java.io.File(store)
+    val sub = new java.io.File(s"$store/sub=1")
+    assert(leafFiles(root).length === 1)
+    assert(leafFiles(sub).length === 1)
+    // the parent's single compacted file holds ONLY the parent rows —
+    // a directory-based rewrite would have recursed into sub=1 and
+    // duplicated its rows at this level
+    val rootIds = spark.read
+      .parquet(leafFiles(root).map(_.getAbsolutePath): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(rootIds === (0L until 100L).toSet)
+    val subIds = spark.read.parquet(s"$store/sub=1")
+      .collect().map(_.getLong(0)).toSet
+    assert(subIds === (100L until 200L).toSet)
+  }
+
+  test("dataset.compact dispatches as a procedure type") {
+    val e = new api.GraftEngine(spark)
+    val store = tmpDir("proc") + "/store"
+    spark.range(0, 1000, 1, 8).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .write.partitionBy("p").parquet(store)
+    val res = e.runProcedure("dataset.compact", Map(
+      "storeUrl" -> s"file://$store",
+      "targetBytes" -> (1L << 30).toString).get _)
+    assert(res.contains("\"partitionsCompacted\": 2"), res)
+    assert(spark.read.parquet(store).count() === 1000)
+    val dirs = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("p="))
+    dirs.foreach(d => assert(leafFiles(d).length === 1))
+  }
+
+  test("streaming store: refuses without retireStreamMetadata, then " +
+      "retires the sink log and keeps continuous.window reads intact") {
+    import graft.streaming.Continuous
+    val base = tmpDir("stream")
+    val events = spark.range(0, 500, 1, 4).toDF("id")
+      .withColumn("ts", timestamp_micros(
+        lit(1767225600000000L) + col("id") * 60000000L)) // 2026-01-01+
+      .withColumn("user_id", col("id") % 7)
+    events.select("id", "ts", "user_id").write
+      .mode("overwrite").parquet(s"$base/in")
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(s"$base/in").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = Continuous.record(streamIn, "ts", s"$base/store",
+      s"$base/ckpt", availableNowForTest = true)
+    q.awaitTermination(120000)
+    assert(new java.io.File(s"$base/store/_spark_metadata").exists())
+    val from = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1767225600L))
+    val to = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1767225600L + 86400L * 5))
+    val want = Continuous.window(spark, s"$base/store", "ts", from, to)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty)
+
+    val refused = intercept[IllegalArgumentException] {
+      Compact.compactStore(spark, s"$base/store")
+    }
+    assert(refused.getMessage.contains("_spark_metadata"))
+
+    val rep = Compact.compactStore(spark, s"$base/store",
+      targetBytes = 1L << 30, retireStreamMetadata = true)
+    assert(!new java.io.File(s"$base/store/_spark_metadata").exists())
+    assert(rep.partitionsCompacted >= 1)
+    val after = Continuous.window(spark, s"$base/store", "ts", from, to)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(after === want)
+  }
+}
