@@ -15,20 +15,31 @@ import org.apache.spark.sql.SparkSession
   * into ~target-sized ones.
   *
   * Mechanics, per leaf directory (a partition dir like
-  * `p_date=2026-01-07`, or the store root when unpartitioned):
+  * `p_date=2026-01-07`, or the store root when unpartitioned) — a
+  * marker-file write-ahead protocol, so a crash at ANY point loses no
+  * rows and duplicates none:
   *
+  *  0. RECOVER: a pending marker from an interrupted run means its
+  *     hidden tmp generation was fully written — finish that swap
+  *     first (delete the old files the marker lists, move the
+  *     remaining tmp files in, clear the marker);
   *  1. list the parquet data files; skip the leaf when
   *     `ceil(bytes / targetBytes)` already matches the file count
   *     (re-running is a no-op);
-  *  2. read ONLY that leaf and rewrite it as `ceil(bytes/targetBytes)`
+  *  2. rewrite the CAPTURED file list as `ceil(bytes/targetBytes)`
   *     files into a hidden sibling dir (dot-prefixed, so a concurrent
   *     lister never sees it);
-  *  3. move the new files in, THEN delete the old ones (captured in
-  *     step 1). A crash between 3's halves can leave both
-  *     generations visible — a RERUN SELF-HEALS: it compacts
-  *     old+new together and deletes both. The brief double-read
-  *     window makes this an offline/maintenance operation by
-  *     contract, like every parquet compactor.
+  *  3. COMMIT: atomically rename a marker file into place listing the
+  *     old generation's names; only then delete the old files and
+  *     move the new ones in, and finally clear the marker.
+  *
+  * Crash matrix: before 3's marker → old generation intact, stale tmp
+  * ignored and rebuilt on rerun; after the marker → step 0 completes
+  * the swap on the next run. At no point are both generations visible
+  * (old files are deleted BEFORE new ones move in; in that window the
+  * data lives only in the hidden tmp — invisible to a concurrent
+  * reader, which is why this is an offline/maintenance operation by
+  * contract, like every parquet compactor).
   *
   * A store written by a STREAMING sink carries `_spark_metadata`;
   * batch readers then trust that log and would not see compacted
@@ -67,7 +78,12 @@ object Compact {
     def walk(dir: Path): Seq[Path] = {
       val entries = fs.listStatus(dir).toSeq
       val subdirs = entries.filter(e => e.isDirectory && !isHidden(e.getPath))
-      val hasData = entries.exists(e => e.isFile && isDataFile(e.getPath))
+      // a pending commit marker counts as data: the crash it records
+      // may have deleted every visible file, and recovery must still
+      // find the leaf
+      val hasData = entries.exists(e =>
+        e.isFile && isDataFile(e.getPath)) ||
+        entries.exists(e => e.getPath.getName == ".compact_commit")
       (if (hasData) Seq(dir) else Nil) ++ subdirs.flatMap(e => walk(e.getPath))
     }
     walk(root)
@@ -94,7 +110,61 @@ object Compact {
       require(fs.rename(meta, dest),
         s"could not retire $meta to $dest")
     }
+    // tmp and marker live INSIDE the leaf (hidden, so listers skip
+    // them): a crash that already deleted the leaf's data files must
+    // still leave the leaf discoverable for recovery, and the store
+    // root has no usable parent
+    def tmpOf(leaf: Path) = new Path(leaf, ".compact_tmp")
+    def markerOf(leaf: Path) = new Path(leaf, ".compact_commit")
+
+    /** Delete the old generation, move the tmp generation in, clear
+      * the marker — each half idempotent, so this is both the normal
+      * step-3 swap and the step-0 crash recovery. */
+    def completeSwap(leaf: Path, oldNames: Seq[String]): Int = {
+      val tmp = tmpOf(leaf); val marker = markerOf(leaf)
+      oldNames.foreach(n => fs.delete(new Path(leaf, n), false))
+      val moved =
+        if (fs.exists(tmp))
+          fs.listStatus(tmp).toSeq
+            .filter(e => e.isFile && isDataFile(e.getPath))
+            .map { f =>
+              require(fs.rename(f.getPath,
+                new Path(leaf, f.getPath.getName)),
+                s"could not move ${f.getPath} into $leaf")
+              f.getPath.getName
+            }
+        else Nil
+      fs.delete(marker, false)
+      fs.delete(tmp, true)
+      moved.size
+    }
+
+    def readMarker(marker: Path): Seq[String] = {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split('\n').toSeq.filter(_.nonEmpty)
+      finally in.close()
+    }
+
+    def writeMarker(leaf: Path, oldNames: Seq[String]): Unit = {
+      // stage the content under a different hidden name, then RENAME
+      // into place — rename is the atomic primitive, so a half-written
+      // marker can never be mistaken for a commit
+      val marker = markerOf(leaf)
+      val staging = new Path(leaf, ".compact_commit_staging")
+      val out = fs.create(staging, true)
+      try out.write(oldNames.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(staging, marker), s"could not commit $marker")
+    }
+
     def compactLeaf(leaf: Path): LeafReport = {
+      // step 0: a pending marker means a prior run crashed after its
+      // commit point — its tmp generation is complete; finish the swap
+      val marker = markerOf(leaf)
+      if (fs.exists(marker)) completeSwap(leaf, readMarker(marker))
       val old = fs.listStatus(leaf).toSeq
         .filter(e => e.isFile && isDataFile(e.getPath))
       val bytes = old.map(_.getLen).sum
@@ -104,8 +174,9 @@ object Compact {
           compacted = false)
       else {
         // hidden sibling: dot-prefixed paths are invisible to Spark's
-        // file listing, so a crash can never expose a half-written dir
-        val tmp = new Path(leaf.getParent, s".compact_tmp_${leaf.getName}")
+        // file listing, so a crash can never expose a half-written dir.
+        // A stale tmp with NO marker is a pre-commit crash — rebuild.
+        val tmp = tmpOf(leaf)
         if (fs.exists(tmp)) fs.delete(tmp, true)
         // read the CAPTURED file list, not the directory: a directory
         // read would recurse into nested partition subdirs and the
@@ -113,17 +184,9 @@ object Compact {
         spark.read.parquet(old.map(_.getPath.toString): _*)
           .repartition(want)
           .write.parquet(tmp.toString)
-        val fresh = fs.listStatus(tmp).toSeq
-          .filter(e => e.isFile && isDataFile(e.getPath))
-        // move in, then delete the captured old generation — see the
-        // crash-window contract in the class doc
-        fresh.foreach { f =>
-          require(fs.rename(f.getPath, new Path(leaf, f.getPath.getName)),
-            s"could not move ${f.getPath} into $leaf")
-        }
-        old.foreach(f => fs.delete(f.getPath, false))
-        fs.delete(tmp, true)
-        LeafReport(leaf.toString, old.size, fresh.size, bytes,
+        writeMarker(leaf, old.map(_.getPath.getName))
+        val after = completeSwap(leaf, old.map(_.getPath.getName))
+        LeafReport(leaf.toString, old.size, after, bytes,
           compacted = true)
       }
     }

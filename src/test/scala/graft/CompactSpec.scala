@@ -113,6 +113,51 @@ class CompactSpec extends AnyFunSuite {
     assert(subIds === (100L until 200L).toSet)
   }
 
+  test("crash AFTER the commit marker: recovery completes the swap — " +
+      "new generation only, no duplicates, marker cleared") {
+    val store = tmpDir("crash_post") + "/store"
+    // generation 1 visible in the leaf
+    spark.range(0, 100, 1, 4).toDF("id").write.parquet(store)
+    val root = new java.io.File(store)
+    val gen1 = leafFiles(root).map(_.getName)
+    assert(gen1.size === 4)
+    // generation 2 fully staged in the hidden tmp (as step 2 leaves it)
+    spark.read.parquet(store).repartition(1)
+      .write.parquet(s"$store/.compact_tmp")
+    // the commit marker names generation 1 (as step 3 writes it) —
+    // this is the exact on-disk state of a crash after the commit
+    // point, before any delete/move
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/.compact_commit"),
+      gen1.mkString("\n").getBytes("UTF-8"))
+    val rep = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    // recovery ran: exactly the staged generation, nothing doubled
+    assert(leafFiles(root).length === 1)
+    assert(spark.read.parquet(store).count() === 100)
+    assert(spark.read.parquet(store).select("id").distinct().count() === 100)
+    assert(!new java.io.File(s"$store/.compact_commit").exists())
+    assert(!new java.io.File(s"$store/.compact_tmp").exists())
+    assert(rep.partitionsScanned === 1)
+  }
+
+  test("crash BEFORE the commit marker: the stale tmp is discarded " +
+      "and the old generation compacts normally") {
+    val store = tmpDir("crash_pre") + "/store"
+    spark.range(0, 100, 1, 4).toDF("id").write.parquet(store)
+    // a stale, possibly half-written tmp with NO marker — the exact
+    // state of a crash before the commit point. Plant WRONG rows in
+    // it to prove recovery never trusts an uncommitted generation.
+    spark.range(500, 600, 1, 2).toDF("id")
+      .write.parquet(s"$store/.compact_tmp")
+    val rep = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    val root = new java.io.File(store)
+    assert(rep.partitionsCompacted === 1)
+    assert(leafFiles(root).length === 1)
+    val ids = spark.read.parquet(store).collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 100L).toSet, "uncommitted tmp leaked in")
+    assert(!new java.io.File(s"$store/.compact_tmp").exists())
+  }
+
   test("dataset.compact dispatches as a procedure type") {
     val e = new api.GraftEngine(spark)
     val store = tmpDir("proc") + "/store"
