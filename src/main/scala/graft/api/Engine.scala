@@ -3687,21 +3687,26 @@ final class GraftEngine(val spark: SparkSession) {
           if !(skewedCols(c) && prefixable(stat))
         } yield priorStat(c, oi, stat).as(s"$o.$c.$stat")
         var acc = df0.select(col("*") +: windowedPrior: _*)
-        keyCols.filter(skewedCols).foreach { c =>
-          val grp = if (bow) col(s"`$c`").isNotNull else col(s"`$c`")
-          // unique per row (grs contract): the training order plus the
-          // row name as a tiebreak — window ROWS frames break order
-          // ties nondeterministically anyway
-          val ordStruct =
-            struct(ordRaw :+ col("rowName").cast("string"): _*)
-          val specs = for {
-            ((o, _), oi) <- outcomes.zipWithIndex
-            stat <- stats if stat != "count" && prefixable(stat)
-          } yield (s"$o.$c.$stat", col(s"__oc$oi").cast("double"), stat)
-          acc = graft.core.DfOps.groupedRunningStats(acc, grp, ordStruct,
-            specs,
-            if (stats.contains("count")) Some(s"__cnt.$c") else None)
-        }
+        // the switch only fires when at least one requested stat is
+        // prefixable — statistics=["avg","std"] alone must keep the
+        // window even past the threshold, not call the helper with an
+        // empty spec list
+        if (stats.exists(prefixable))
+          keyCols.filter(skewedCols).foreach { c =>
+            val grp = if (bow) col(s"`$c`").isNotNull else col(s"`$c`")
+            // unique per row (grs contract): the training order plus
+            // the row name as a tiebreak — window ROWS frames break
+            // order ties nondeterministically anyway
+            val ordStruct =
+              struct(ordRaw :+ col("rowName").cast("string"): _*)
+            val specs = for {
+              ((o, _), oi) <- outcomes.zipWithIndex
+              stat <- stats if stat != "count" && prefixable(stat)
+            } yield (s"$o.$c.$stat", col(s"__oc$oi").cast("double"), stat)
+            acc = graft.core.DfOps.groupedRunningStats(acc, grp, ordStruct,
+              specs,
+              if (stats.contains("count")) Some(s"__cnt.$c") else None)
+          }
         val priorCols = for {
           ((o, _), oi) <- outcomes.zipWithIndex
           c <- keyCols

@@ -31,7 +31,17 @@ object DfOps {
   def cut(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir mints a fresh UUID subdir (an FS round-trip
+        // and a new directory) on EVERY call — iterative callers
+        // (closure loops, prefix sums) would leak one per cut. Set it
+        // only when the configured root actually changed. Reliable
+        // checkpoint files persist until context stop by default; set
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true to
+        // have the ContextCleaner reap them as their frames are GC'd.
+        if (!sc.getCheckpointDir.exists(
+            _.startsWith(dir.stripSuffix("/") + "/")))
+          sc.setCheckpointDir(dir)
         df.checkpoint()
       case _ => df.localCheckpoint()
     }
@@ -167,6 +177,8 @@ object DfOps {
     import org.apache.spark.sql.expressions.Window
     require(specs.forall(s => Set("sum", "min", "max")(s._3)),
       "kind must be sum|min|max")
+    require(specs.nonEmpty || countAlias.nonEmpty,
+      "groupedRunningStats needs at least one spec or a countAlias")
     val spark = df.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val ranged = cut(df

@@ -411,21 +411,11 @@ case class DeflateRatio(child: Expression, level: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_deflate_ratio"
 
-  // One native Deflater per executor thread, reset() between rows: a
-  // new/end per evaluation allocates and frees a native zlib stream
-  // per ROW, which dominates the cost of deflating short documents on
-  // the 100 TB-scan path this gate targets. Thread-bound streams are
-  // safe under Spark's task threading (one task per thread) and their
-  // native memory is bounded by the executor pool size.
-  @transient private lazy val localDeflater =
-    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
-      new java.util.zip.Deflater(level, false))
-
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     if (bytes.isEmpty) null
     else {
-      val d = localDeflater.get()
+      val d = DeflateRatio.deflaterFor(level)
       d.reset()
       d.setInput(bytes)
       d.finish()
@@ -441,6 +431,26 @@ case class DeflateRatio(child: Expression, level: Int)
 }
 
 object DeflateRatio {
+  // One native Deflater per (executor thread, level), reset() between
+  // rows: a new/end per evaluation allocates and frees a native zlib
+  // stream per ROW, which dominates the cost of deflating short
+  // documents on the 100 TB-scan path this gate targets. The pool is
+  // STATIC (not per expression instance) so its native footprint is
+  // bounded by threads × 9 levels for the life of the executor, no
+  // matter how many queries deserialize fresh expression trees —
+  // per-instance ThreadLocals would strand un-end()'d native streams
+  // until GC collected each dead query's expressions.
+  private val pool =
+    ThreadLocal.withInitial[Array[java.util.zip.Deflater]](() =>
+      new Array[java.util.zip.Deflater](10))
+
+  private[plans] def deflaterFor(level: Int): java.util.zip.Deflater = {
+    val slot = pool.get()
+    if (slot(level) == null)
+      slot(level) = new java.util.zip.Deflater(level, false)
+    slot(level)
+  }
+
   def column(text: Column, level: Int = 6): Column =
     GraftColumnBridge.column(DeflateRatio(
       GraftColumnBridge.expression(text), level))

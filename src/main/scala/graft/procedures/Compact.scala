@@ -191,17 +191,20 @@ object Compact {
       }
     }
     // leaves are independent (distinct dirs) and each rewrite is a
-    // small job, so submit a bounded window of them concurrently —
-    // a 90-day store compacts as ~8 parallel streams of tiny jobs
-    // instead of 90 back-to-back driver round-trips
-    import scala.concurrent.{Await, Future}
+    // small job, so run them through a FIXED 8-thread pool — 8 leaves
+    // stay in flight continuously (a batched barrier would gate each
+    // batch on its slowest leaf; one fat partition per batch would
+    // idle the other seven slots)
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val reports = leafDirs(fs, root).grouped(8).flatMap { batch =>
-      Await.result(
-        Future.sequence(batch.map(l => Future(compactLeaf(l)))),
-        Duration.Inf)
-    }.toSeq
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(exec)
+    val reports =
+      try Await.result(
+        Future.sequence(leafDirs(fs, root).map(l =>
+          Future(compactLeaf(l)))), Duration.Inf)
+      finally exec.shutdown()
     CompactReport(reports)
   }
 }

@@ -550,15 +550,30 @@ object Procedures {
       case _ => col(s"`$c`").cast("double") // strings: null when non-numeric
     }
     def strExpr(c: String): Column = col(s"`$c`").cast("string")
-    // num_unique is the reference's distinct count over the STRING
-    // rendering. For statically-typed numeric/bool columns that equals
-    // the distinct count of the (c, v) count table pass 2 builds anyway
-    // (double→string is injective), so the expensive per-column
-    // countDistinct in pass 1 is only paid for columns whose string
-    // values could conflate under the double cast ('1' vs '1.0').
-    val staticNum: Set[String] = cols.filter(c =>
+    // num_unique strategy per static type. The cheap path derives it
+    // from the (c, v) count table pass 2 builds anyway — but ONLY
+    // where value→double is injective: int-like types always, and
+    // float/double with a pass-1 correction for the one pair the
+    // groupBy normalizes away (-0.0 vs 0.0; NaNs already agree — all
+    // bit patterns render "NaN" and group as one). LONG and DECIMAL
+    // must NOT derive (values past 2^53 collapse under the double
+    // cast) — they keep a pass-1 countDistinct on the NATIVE value
+    // (bijective with the string rendering, cheaper than casting).
+    // Everything else (strings…) keeps the string countDistinct.
+    val fpCols: Set[String] = cols.filter(c =>
       df.schema(c).dataType match {
-        case BooleanType | _: NumericType => true
+        case FloatType | DoubleType => true
+        case _ => false
+      }).toSet
+    val deriveUnique: Set[String] = cols.filter(c =>
+      df.schema(c).dataType match {
+        case BooleanType | ByteType | ShortType | IntegerType => true
+        case FloatType | DoubleType => true
+        case _ => false
+      }).toSet
+    val nativeDistinct: Set[String] = cols.filter(c =>
+      df.schema(c).dataType match {
+        case LongType | _: DecimalType => true
         case _ => false
       }).toSet
     // pass 1: one aggregate row across every column
@@ -569,7 +584,18 @@ object Procedures {
         count(n).as(s"${c}__nNum"),
         min(n).as(s"${c}__min"), max(n).as(s"${c}__max"),
         avg(n).as(s"${c}__avg"), stddev_samp(n).as(s"${c}__std")) ++
-        (if (staticNum(c)) Nil
+        (if (fpCols(c)) Seq(
+          // non-ANSI division by zero is NULL, so the sign of 1/x
+          // can't probe the zero's sign — the string rendering can:
+          // exactly "-0.0" / "0.0", and only for true zeros
+          max(when(n.cast("string") === "-0.0", 1L).otherwise(0L))
+            .as(s"${c}__negZero"),
+          max(when(n.cast("string") === "0.0", 1L).otherwise(0L))
+            .as(s"${c}__posZero"))
+        else Nil) ++
+        (if (deriveUnique(c)) Nil
+         else if (nativeDistinct(c))
+           Seq(countDistinct(col(s"`$c`")).as(s"${c}__nUnique"))
          else Seq(countDistinct(strExpr(c)).as(s"${c}__nUnique")))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -610,8 +636,13 @@ object Procedures {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val uniqF = Future(grouped.groupBy(col("c"))
-          .agg(count(lit(1)).as("u")).collect())
+        val uniqF =
+          if (numericCols.exists(deriveUnique))
+            Future(grouped.groupBy(col("c"))
+              .agg(count(lit(1)).as("u")).collect())
+          else // nothing reads it: every numeric column here has a
+               // pass-1 countDistinct
+            Future.successful(Array.empty[org.apache.spark.sql.Row])
         val qF = Future(numericQuartileFrame(grouped, nn).collect())
         val topF = Future(topFrequentFrame(grouped).collect())
         Await.result(uniqF, Duration.Inf)
@@ -650,12 +681,18 @@ object Procedures {
             .map(r => r.getString(1) -> r.getAs[Long]("cnt")).toSeq
         }.toMap
       }
-    // static-numeric: from the grouped table (an all-null static
-    // column melts to zero rows → 0, matching countDistinct); other
-    // columns keep pass 1's string-distinct (the '1' vs '1.0' case)
+    // derive-eligible types: from the grouped table (an all-null
+    // column melts to zero rows → 0, matching countDistinct), plus one
+    // for a float column holding BOTH zero signs (the groupBy
+    // normalized them into one row; the string rendering — and the
+    // previous behavior — counts two). Everything else reads its
+    // pass-1 countDistinct.
     def uniqueOf(c: String): Long =
-      if (staticNum(c)) derivedUnique.getOrElse(c, 0L)
-      else g[Long](c, "nUnique")
+      if (deriveUnique(c)) {
+        val negZeroPair = fpCols(c) && numericCols.contains(c) &&
+          g[Long](c, "negZero") == 1L && g[Long](c, "posZero") == 1L
+        derivedUnique.getOrElse(c, 0L) + (if (negZeroPair) 1L else 0L)
+      } else g[Long](c, "nUnique")
     cols.map { c =>
       if (numericCols.contains(c)) {
         val (qs, top) = numStats(c)

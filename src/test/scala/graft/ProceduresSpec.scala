@@ -270,6 +270,26 @@ class ProceduresSpec extends AnyFunSuite {
     assert(avgQ > 20 && avgQ < 30)
   }
 
+  test("summary statistics num_unique is exact at the double-cast " +
+      "edges: 2^53-adjacent longs stay distinct, both zero signs count") {
+    val s2 = spark
+    import s2.implicits._
+    // 2^53 and 2^53+1 collapse to ONE double — a derived-from-the-
+    // double-grouped-table count would undercount the long column;
+    // -0.0 and 0.0 group as one double but render as two values
+    val df = Seq(
+      (9007199254740992L, 0.0),
+      (9007199254740993L, -0.0),
+      (9007199254740993L, 1.5)).toDF("l", "d")
+    val sums = Procedures.summaryStatisticsReference(df, Seq("l", "d"))
+    assert(sums.find(_.column == "l").get.stats("num_unique") === 2L)
+    assert(sums.find(_.column == "d").get.stats("num_unique") === 3L)
+    // and an int column still rides the cheap derived path correctly
+    val di = Seq(1, 1, 2, 3).toDF("i")
+    val si = Procedures.summaryStatisticsReference(di, Seq("i"))
+    assert(si.head.stats("num_unique") === 3L)
+  }
+
   test("bucketize approx matches exact within one bucket at the edges") {
     val exact = Procedures.bucketize(Tables.orders(spark, sf),
       "o_totalprice", "o_orderkey", 10)

@@ -384,6 +384,28 @@ class ScaleSpec extends AnyFunSuite {
     // (same values, different construction) via the conf flip above.
   }
 
+  test("distTable.train past the skew threshold with ONLY windowed " +
+      "statistics trains fine (no empty prefix-helper call)") {
+    val e = new api.GraftEngine(spark)
+    val rows = (0 until 60).map { i =>
+      s"""{"rowName": "w${"%03d".format(i)}", "host": "hot.com",
+         | "price": ${i % 5}, "order_": $i}""".stripMargin
+    }
+    e.recordRows("skewdt_w", rows.mkString("[", ",", "]"))
+    spark.conf.set("graft.distTable.skewThreshold", "10")
+    try e.runProcedure("experimental.distTable.train", Map(
+      "trainingData" -> "select host from skewdt_w order by order_ ASC",
+      "outputDataset" -> "dt_winonly",
+      "outcomes" -> """[["price", "price"]]""",
+      "statistics" -> """["avg", "std"]""",
+      "distTableFileUrl" -> "__skewdt_winonly").get _)
+    finally spark.conf.unset("graft.distTable.skewThreshold")
+    val out = e.dataset("dt_winonly")
+    assert(out.count() === 60)
+    val r5 = out.filter(col("rowName") === "w005").head()
+    assert(r5.getAs[Double]("price.host.avg") === 2.0) // (0+1+2+3+4)/5
+  }
+
   test("summary.statistics quartiles/top-10 are #columns-bounded on a " +
       "continuous column: frame cardinality, plan shape, brute-force equality") {
     import graft.procedures.Procedures
