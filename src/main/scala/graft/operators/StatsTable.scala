@@ -18,9 +18,18 @@ import org.apache.spark.sql.functions._
   * order. Partitioning by the feature key distributes the state: each
   * key's timeline sorts independently, so there is no global ordered
   * partition bottleneck — the scale path the reference (single
-  * sequential pass) cannot take. Heavy-hitter keys are the skew risk;
-  * AQE skew handling plus key salting (with a second merge pass) is
-  * the 100 TB mitigation.
+  * sequential pass) cannot take. Heavy-hitter keys are the skew risk:
+  * pass `skewSafe = true` to switch to the range-partitioned prefix
+  * construction ([[graft.core.DfOps.groupedRunningSums]] /
+  * [[graft.core.DfOps.groupedRunningStats]]) whose task sizes are
+  * bounded by the range partitioner regardless of the key
+  * distribution — identical results (bit-exact for the integer
+  * trials/successes; `distStats`' float avg/std stay windowed even
+  * under the flag, the same float-ordering contract as the engine
+  * procedures). The engine-level statsTable.train / distTable.train
+  * procedures flip the same switch automatically past their
+  * `graft.*.skewThreshold` confs; the flag is the operator-level
+  * equivalent for callers who know their key distribution.
   */
 object StatsTable {
 
@@ -29,28 +38,62 @@ object StatsTable {
     * statsTable.getCounts applied during training
     * (`stats_table_procedure.cc:986`). */
   def counts(df: DataFrame, featureCol: String, outcomeCol: Column,
-      orderCol: String, prefix: String = "st"): DataFrame = {
-    val w = Window.partitionBy(col(featureCol)).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn(s"${prefix}_trials",
-        coalesce(count(lit(1)).over(w), lit(0L)))
-      .withColumn(s"${prefix}_successes",
-        coalesce(sum(outcomeCol.cast("long")).over(w), lit(0L)))
-  }
+      orderCol: String, prefix: String = "st",
+      skewSafe: Boolean = false): DataFrame =
+    if (skewSafe) {
+      // bit-identical (integer sums) to the window below, but task
+      // sizes bounded by the range partitioner, not the hottest key
+      val out = graft.core.DfOps.groupedRunningSums(df, col(featureCol),
+        col(orderCol),
+        Seq(s"${prefix}_successes" -> outcomeCol.cast("long")),
+        s"${prefix}_trials")
+      out.select(df.columns.map(c => col(s"`$c`")) ++ Seq(
+        col(s"`${prefix}_trials`"), col(s"`${prefix}_successes`")): _*)
+    } else {
+      val w = Window.partitionBy(col(featureCol)).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn(s"${prefix}_trials",
+          coalesce(count(lit(1)).over(w), lit(0L)))
+        .withColumn(s"${prefix}_successes",
+          coalesce(sum(outcomeCol.cast("long")).over(w), lit(0L)))
+    }
 
   /** Numeric-outcome rolling stats over previous same-key rows:
     * count/avg/std/min/max — distTable.train's stats set
     * (`dist_table_procedure.cc:842`). */
   def distStats(df: DataFrame, featureCol: String, valueCol: Column,
-      orderCol: String, prefix: String = "dt"): DataFrame = {
+      orderCol: String, prefix: String = "dt",
+      skewSafe: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(featureCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn(s"${prefix}_count", coalesce(count(valueCol).over(w), lit(0L)))
-      .withColumn(s"${prefix}_sum", sum(valueCol).over(w))
-      .withColumn(s"${prefix}_avg", avg(valueCol).over(w))
-      .withColumn(s"${prefix}_std", stddev_samp(valueCol).over(w))
-      .withColumn(s"${prefix}_min", min(valueCol).over(w))
-      .withColumn(s"${prefix}_max", max(valueCol).over(w))
+    if (skewSafe) {
+      // count (an indicator SUM — the windowed count is of non-null
+      // values, not rows), sum, min, max ride the prefix combine;
+      // avg/std stay windowed even under the flag (prefix-merging
+      // reorders float accumulation — the engine procedures' contract)
+      val pre = graft.core.DfOps.groupedRunningStats(df, col(featureCol),
+        col(orderCol),
+        Seq((s"${prefix}_cnt_nn",
+            when(valueCol.isNotNull, 1L).otherwise(0L), "sum"),
+          (s"${prefix}_sum", valueCol, "sum"),
+          (s"${prefix}_min", valueCol, "min"),
+          (s"${prefix}_max", valueCol, "max")), None)
+      pre.withColumn(s"${prefix}_count",
+          coalesce(col(s"`${prefix}_cnt_nn`"), lit(0L)))
+        .withColumn(s"${prefix}_avg", avg(valueCol).over(w))
+        .withColumn(s"${prefix}_std", stddev_samp(valueCol).over(w))
+        .select(df.columns.map(c => col(s"`$c`")) ++ Seq(
+          col(s"`${prefix}_count`"), col(s"`${prefix}_sum`"),
+          col(s"`${prefix}_avg`"), col(s"`${prefix}_std`"),
+          col(s"`${prefix}_min`"), col(s"`${prefix}_max`")): _*)
+    } else {
+      df.withColumn(s"${prefix}_count", coalesce(count(valueCol).over(w), lit(0L)))
+        .withColumn(s"${prefix}_sum", sum(valueCol).over(w))
+        .withColumn(s"${prefix}_avg", avg(valueCol).over(w))
+        .withColumn(s"${prefix}_std", stddev_samp(valueCol).over(w))
+        .withColumn(s"${prefix}_min", min(valueCol).over(w))
+        .withColumn(s"${prefix}_max", max(valueCol).over(w))
+    }
   }
 
   /** Final aggregated stats table (the persisted artifact of

@@ -289,6 +289,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("StatsTable counts/distStats skewSafe path equals the windowed " +
+      "path on arbitrary key distributions with nulls") {
+    import graft.operators.StatsTable
+    val poolGen: Gen[Int] = Gen.oneOf(1, 5, 500)
+    forSamples(poolGen, 3) { pool =>
+      val rnd = new scala.util.Random(pool * 17 + 3)
+      val rows = (0 until 1200).map { i =>
+        val k = if (rnd.nextInt(12) == 0) null else "k" + rnd.nextInt(pool)
+        val v: java.lang.Double =
+          if (rnd.nextInt(9) == 0) null else rnd.nextInt(7).toDouble
+        val outcome = rnd.nextInt(2) == 0
+        (i.toLong, k, v, outcome, f"r$i%05d")
+      }
+      val s2 = spark
+      import s2.implicits._
+      val df = rows.toDF("id", "k", "v", "oc", "ord").repartition(6)
+      def bits(d: Any): Any = d match {
+        case x: Double => java.lang.Double.doubleToLongBits(x)
+        case other => other
+      }
+      def snap(out: org.apache.spark.sql.DataFrame, cs: Seq[String]) =
+        out.select((Seq("id") ++ cs).map(c => col(s"`$c`")): _*)
+          .collect().map(r => r.getLong(0) ->
+            cs.indices.map(i => bits(r.get(i + 1))).toVector).toMap
+      val cCols = Seq("st_trials", "st_successes")
+      val a1 = snap(StatsTable.counts(df, "k", col("oc"), "ord"), cCols)
+      val b1 = snap(StatsTable.counts(df, "k", col("oc"), "ord",
+        skewSafe = true), cCols)
+      assert(a1 === b1, s"counts diverged, pool=$pool")
+      val dCols = Seq("dt_count", "dt_sum", "dt_avg", "dt_std",
+        "dt_min", "dt_max")
+      val a2 = snap(StatsTable.distStats(df, "k", col("v"), "ord"), dCols)
+      val b2 = snap(StatsTable.distStats(df, "k", col("v"), "ord",
+        skewSafe = true), dCols)
+      assert(a2 === b2, s"distStats diverged, pool=$pool")
+    }
+  }
+
   test("topKPerGroup equals the window top-k on arbitrary count " +
       "distributions, across salt-bucket settings") {
     import org.apache.spark.sql.expressions.Window
