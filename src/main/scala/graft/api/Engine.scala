@@ -3663,16 +3663,24 @@ final class GraftEngine(val spark: SparkSession) {
         // DfOps.groupedRunningStats (range-partitioned prefix combine;
         // min/max merge exactly via least/greatest, count exactly,
         // sum exactly for integer-valued outcomes). avg/std/last stay
-        // windowed even past the threshold — prefix-merging reorders
-        // float accumulation and would silently change low-order bits
-        // (the q122 exactness contract); a workload that needs skew-
-        // proof avg/std should derive them from sum/count downstream.
+        // windowed even past the threshold BY DEFAULT — prefix-merging
+        // reorders float accumulation and would silently change
+        // low-order bits (the q122 exactness contract). Setting
+        // graft.distTable.skewSafeFloat=true opts avg/std into the
+        // Chan pairwise prefix merge (DfOps.groupedRunningStats kinds
+        // avg/std) — rounding-level agreement, documented bit-
+        // divergent, but NO hot-key window task remains for them;
+        // 'last' always stays windowed (no order-insensitive merge).
         // The switch needs an all-ASC training order (the range
         // partitioner's frame); DESC keys keep the window.
         val skewThreshold = spark.conf
           .getOption("graft.distTable.skewThreshold")
           .map(_.toLong).getOrElse(5000000L)
-        val prefixable = Set("count", "sum", "min", "max")
+        val skewSafeFloat = spark.conf
+          .getOption("graft.distTable.skewSafeFloat").exists(_.toBoolean)
+        val prefixable =
+          if (skewSafeFloat) Set("count", "sum", "min", "max", "avg", "std")
+          else Set("count", "sum", "min", "max")
         val allAsc = stmt0.orderBy.isEmpty || stmt0.orderBy.forall(_.asc)
         val skewedCols: Set[String] =
           if (!allAsc) Set.empty
@@ -4013,8 +4021,11 @@ final class GraftEngine(val spark: SparkSession) {
           .getOrElse(128L << 20)
         val retire = param("retireStreamMetadata").exists(v =>
           v == "true" || v == "1")
+        val allowNar = param("allowNonAtomicRename").exists(v =>
+          v == "true" || v == "1")
         val rep = graft.procedures.Compact.compactStore(spark, path,
-          targetBytes = target, retireStreamMetadata = retire)
+          targetBytes = target, retireStreamMetadata = retire,
+          allowNonAtomicRename = allowNar)
         s"""{"partitionsScanned": ${rep.partitionsScanned}, """ +
           s""""partitionsCompacted": ${rep.partitionsCompacted}, """ +
           s""""filesBefore": ${rep.filesBefore}, """ +

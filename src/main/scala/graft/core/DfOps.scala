@@ -28,6 +28,12 @@ object DfOps {
     * right mode for the 100 TB target, mirroring
     * `Dedup.minHashDedupTransitive`'s per-call `checkpointDir` option.
     */
+  // the last root handed to setCheckpointDir (raw conf value, not the
+  // qualified form Spark stores — comparing against getCheckpointDir
+  // fails for unqualified confs like /tmp/ckpt, which Spark stores as
+  // file:/tmp/ckpt/<uuid>, and every cut would then mint a new subdir)
+  @volatile private var lastCheckpointRoot: String = null
+
   def cut(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
@@ -35,13 +41,18 @@ object DfOps {
         // setCheckpointDir mints a fresh UUID subdir (an FS round-trip
         // and a new directory) on EVERY call — iterative callers
         // (closure loops, prefix sums) would leak one per cut. Set it
-        // only when the configured root actually changed. Reliable
-        // checkpoint files persist until context stop by default; set
+        // only when the configured root actually changed (or a fresh
+        // context has no dir yet). Reliable checkpoint files persist
+        // until context stop by default; set
         // spark.cleaner.referenceTracking.cleanCheckpoints=true to
         // have the ContextCleaner reap them as their frames are GC'd.
-        if (!sc.getCheckpointDir.exists(
-            _.startsWith(dir.stripSuffix("/") + "/")))
-          sc.setCheckpointDir(dir)
+        if (lastCheckpointRoot != dir || sc.getCheckpointDir.isEmpty)
+          synchronized {
+            if (lastCheckpointRoot != dir || sc.getCheckpointDir.isEmpty) {
+              sc.setCheckpointDir(dir)
+              lastCheckpointRoot = dir
+            }
+          }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }
@@ -156,27 +167,57 @@ object DfOps {
     joined.select(keep ++ outCols: _*)
   }
 
-  /** Exclusive grouped running count/sum/min/max that survive a SKEWED
-    * group — [[groupedRunningSums]] generalized to the stat set
-    * distTable.train's prior columns need. Same construction (range
+  /** Pairwise merge of two (n, m, m2) central-moment states — T.F.
+    * Chan, G.H. Golub, R.J. LeVeque, "Updating Formulae and a Pairwise
+    * Algorithm for Computing Sample Variances" (Stanford STAN-CS-79-773,
+    * 1979). n is the non-null count, m the mean, m2 the sum of squared
+    * deviations from the mean; an empty side (n = 0, null m/m2) passes
+    * the other side through unchanged. */
+  private def chanMerge(a: Column, b: Column): Column = {
+    val n = a("n") + b("n")
+    val delta = b("m") - a("m")
+    struct(
+      n.as("n"),
+      when(a("n") === 0, b("m")).when(b("n") === 0, a("m"))
+        .otherwise(a("m") + delta * b("n") / n).as("m"),
+      when(a("n") === 0, b("m2")).when(b("n") === 0, a("m2"))
+        .otherwise(a("m2") + b("m2") + delta * delta *
+          a("n").cast("double") * (b("n").cast("double") / n)).as("m2"))
+  }
+
+  private def emptyMoments: Column = struct(lit(0L).as("n"),
+    lit(null).cast("double").as("m"), lit(null).cast("double").as("m2"))
+
+  /** Exclusive grouped running count/sum/min/max/avg/std that survive
+    * a SKEWED group — [[groupedRunningSums]] generalized to the stat
+    * set distTable.train's prior columns need. Same construction (range
     * partition by `order`, local exclusive window within (partition,
     * group), per-(partition, group) totals exclusive-combined over
     * partitions, null-safe join back); each spec is (alias, expr,
-    * kind) with kind ∈ sum | min | max, and `countAlias` optionally
-    * adds the running row count. Exclusive-empty prefixes yield null
-    * for sum/min/max (callers coalesce to their defaults) and 0 for
-    * count — the same nullability as the window formulation. min/max
-    * merge via least/greatest, which are order-insensitive even for
-    * doubles; sum is bit-identical to the window for integer-valued
-    * expressions and regrouped (not reordered-within-partition) for
-    * fractional doubles — the [[groupedRunningSums]] caveat. `order`
+    * kind) with kind ∈ sum | min | max | avg | std, and `countAlias`
+    * optionally adds the running row count. Exclusive-empty prefixes
+    * yield null for sum/min/max/avg (callers coalesce to their
+    * defaults), null for std below two values, and 0 for count — the
+    * same nullability as the window formulation. min/max merge via
+    * least/greatest, which are order-insensitive even for doubles; sum
+    * is bit-identical to the window for integer-valued expressions and
+    * regrouped (not reordered-within-partition) for fractional doubles
+    * — the [[groupedRunningSums]] caveat. avg/std merge per-slice
+    * (count, mean, M2) states with [[chanMerge]] — the numerically
+    * stable pairwise update, but REGROUPED float accumulation: results
+    * agree with the windowed formulation to rounding, NOT bit-exactly.
+    * Callers that owe a bit-exact oracle keep the window for avg/std
+    * and opt into these kinds explicitly (the engine procedures'
+    * `skewSafeFloat` switch). The per-slice states ride the same two
+    * exchanges as the other kinds — no value-partitioned window
+    * anywhere, so a 99%-hot group still spreads across tasks. `order`
     * must be unique per row. */
   def groupedRunningStats(df: DataFrame, group: Column, order: Column,
       specs: Seq[(String, Column, String)],
       countAlias: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(specs.forall(s => Set("sum", "min", "max")(s._3)),
-      "kind must be sum|min|max")
+    require(specs.forall(s => Set("sum", "min", "max", "avg", "std")(s._3)),
+      "kind must be sum|min|max|avg|std")
     require(specs.nonEmpty || countAlias.nonEmpty,
       "groupedRunningStats needs at least one spec or a countAlias")
     val spark = df.sparkSession
@@ -191,12 +232,26 @@ object DfOps {
     def aggOf(kind: String, e: Column): Column = kind match {
       case "sum" => sum(e); case "min" => min(e); case "max" => max(e)
     }
+    def isMoment(kind: String) = kind == "avg" || kind == "std"
+    // (n, m, m2) state for one slice: n/m from count/avg, m2 recovered
+    // from var_samp (Spark's stable central-moment aggregate) — null
+    // when the slice is empty, 0 for a single value (var_samp is null
+    // below two values)
+    def momentsOf(n: Column, m: Column, v: Column): Column =
+      struct(n.as("n"), m.as("m"),
+        when(n === 0, lit(null).cast("double"))
+          .when(n === 1, lit(0.0))
+          .otherwise(v * (n - 1).cast("double")).as("m2"))
     val localCols = specs.map { case (a, e, k) =>
-      aggOf(k, e).over(wLocal).as(s"__grt_l_$a")
+      (if (isMoment(k))
+        momentsOf(count(e).over(wLocal), avg(e).over(wLocal),
+          var_samp(e).over(wLocal))
+      else aggOf(k, e).over(wLocal)).as(s"__grt_l_$a")
     } ++ countAlias.map(_ => count(lit(1)).over(wLocal).as("__grt_l_cnt"))
     val withLocal = ranged.select(col("*") +: localCols: _*)
     val totAggs = specs.map { case (a, e, k) =>
-      aggOf(k, e).as(s"__grt_t_$a")
+      (if (isMoment(k)) momentsOf(count(e), avg(e), var_samp(e))
+      else aggOf(k, e)).as(s"__grt_t_$a")
     } ++ countAlias.map(_ => count(lit(1)).as("__grt_t_cnt"))
     val totals = ranged.groupBy(col("__grt_pid"), col("__grt_g"))
       .agg(totAggs.head, totAggs.tail: _*)
@@ -206,7 +261,16 @@ object DfOps {
       Seq(col("__grt_pid").as("__grt_opid"),
         col("__grt_g").as("__grt_og")) ++
         specs.map { case (a, _, k) =>
-          aggOf(k, col(s"`__grt_t_$a`")).over(wOff).as(s"__grt_o_$a")
+          (if (isMoment(k))
+            // exclusive prefix Chan-merge over the preceding
+            // partitions' states: the frame holds at most #partitions
+            // rows per group, collected in pid order and folded with
+            // the pairwise update — never a data-sized list
+            aggregate(
+              collect_list(col(s"`__grt_t_$a`")).over(wOff),
+              emptyMoments, (acc, x) => chanMerge(acc, x))
+          else aggOf(k, col(s"`__grt_t_$a`")).over(wOff))
+            .as(s"__grt_o_$a")
         } ++
         countAlias.map(_ =>
           coalesce(sum(col("__grt_t_cnt")).over(wOff), lit(0L))
@@ -222,6 +286,16 @@ object DfOps {
         case "sum" => coalesce(l + o, l, o)
         case "min" => least(l, o) // least/greatest skip nulls
         case "max" => greatest(l, o)
+        case "avg" | "std" =>
+          // merge the exclusive cross-partition state with this row's
+          // local exclusive state; avg is the merged mean (null on an
+          // empty prefix), std the merged sample deviation (null below
+          // two values — the windowed stddev_samp nullability). m2 is
+          // clamped at 0: the pairwise update can go epsilon-negative.
+          val st = chanMerge(coalesce(o, emptyMoments), l)
+          if (k == "avg") st("m")
+          else when(st("n") >= 2,
+            sqrt(greatest(st("m2"), lit(0.0)) / (st("n") - 1).cast("double")))
       }).as(a)
     } ++ countAlias.map(ca =>
       (col("__grt_l_cnt") + coalesce(col("__grt_o_cnt"), lit(0L))).as(ca))

@@ -60,28 +60,46 @@ object StatsTable {
 
   /** Numeric-outcome rolling stats over previous same-key rows:
     * count/avg/std/min/max — distTable.train's stats set
-    * (`dist_table_procedure.cc:842`). */
+    * (`dist_table_procedure.cc:842`).
+    *
+    * Under `skewSafe = true`, avg/std stay windowed by default — the
+    * hot key's one remaining window task — because the prefix combine
+    * regroups float accumulation and would break bit-exact oracles.
+    * `skewSafeFloat = true` opts those two into the Chan pairwise
+    * prefix merge ([[graft.core.DfOps.groupedRunningStats]] kinds
+    * avg/std): NO window keyed by the feature value remains anywhere,
+    * at the documented cost of rounding-level (not bit-exact)
+    * agreement with the windowed formulation. */
   def distStats(df: DataFrame, featureCol: String, valueCol: Column,
       orderCol: String, prefix: String = "dt",
-      skewSafe: Boolean = false): DataFrame = {
+      skewSafe: Boolean = false,
+      skewSafeFloat: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(featureCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     if (skewSafe) {
       // count (an indicator SUM — the windowed count is of non-null
       // values, not rows), sum, min, max ride the prefix combine;
-      // avg/std stay windowed even under the flag (prefix-merging
-      // reorders float accumulation — the engine procedures' contract)
+      // avg/std stay windowed unless skewSafeFloat opts them into the
+      // Chan merge (prefix-merging regroups float accumulation — the
+      // engine procedures' bit-exactness contract)
+      val floatSpecs =
+        if (skewSafeFloat)
+          Seq((s"${prefix}_avg", valueCol, "avg"),
+            (s"${prefix}_std", valueCol, "std"))
+        else Nil
       val pre = graft.core.DfOps.groupedRunningStats(df, col(featureCol),
         col(orderCol),
         Seq((s"${prefix}_cnt_nn",
             when(valueCol.isNotNull, 1L).otherwise(0L), "sum"),
           (s"${prefix}_sum", valueCol, "sum"),
           (s"${prefix}_min", valueCol, "min"),
-          (s"${prefix}_max", valueCol, "max")), None)
-      pre.withColumn(s"${prefix}_count",
+          (s"${prefix}_max", valueCol, "max")) ++ floatSpecs, None)
+      val withFloats =
+        if (skewSafeFloat) pre
+        else pre.withColumn(s"${prefix}_avg", avg(valueCol).over(w))
+          .withColumn(s"${prefix}_std", stddev_samp(valueCol).over(w))
+      withFloats.withColumn(s"${prefix}_count",
           coalesce(col(s"`${prefix}_cnt_nn`"), lit(0L)))
-        .withColumn(s"${prefix}_avg", avg(valueCol).over(w))
-        .withColumn(s"${prefix}_std", stddev_samp(valueCol).over(w))
         .select(df.columns.map(c => col(s"`$c`")) ++ Seq(
           col(s"`${prefix}_count`"), col(s"`${prefix}_sum`"),
           col(s"`${prefix}_avg`"), col(s"`${prefix}_std`"),

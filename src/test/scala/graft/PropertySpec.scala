@@ -289,6 +289,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("groupedRunningStats avg/std (Chan prefix merge) match the window " +
+      "formulation to rounding on arbitrary distributions with nulls") {
+    import org.apache.spark.sql.expressions.Window
+    // pool=1 is the 100%-hot key; large offsets (values ~1e3 with ~1e2
+    // spread) stress the cancellation the pairwise update exists for
+    val poolGen: Gen[Int] = Gen.oneOf(1, 3, 40, 2000)
+    forSamples(poolGen, 4) { pool =>
+      val rnd = new scala.util.Random(pool * 19 + 29)
+      val rows = (0 until 2000).map { i =>
+        val k = if (rnd.nextInt(10) == 0) null else "g" + rnd.nextInt(pool)
+        val v: java.lang.Double =
+          if (rnd.nextInt(7) == 0) null
+          else 1000.0 + rnd.nextDouble() * 100
+        (i.toLong, k, v, f"o$i%05d")
+      }
+      val s2 = spark
+      import s2.implicits._
+      val df = rows.toDF("id", "k", "v", "ord").repartition(7)
+      val got = core.DfOps.groupedRunningStats(df, col("k"), col("ord"),
+        Seq(("a", col("v"), "avg"), ("sd", col("v"), "std")), None)
+        .select("id", "a", "sd").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = df.select(col("id"), avg(col("v")).over(w).as("a"),
+        stddev_samp(col("v")).over(w).as("sd")).collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(got.keySet === want.keySet)
+      def close(x: Option[Any], y: Option[Any], what: String, id: Long): Unit =
+        (x, y) match {
+          case (None, None) => ()
+          case (Some(a: Double), Some(b: Double)) =>
+            assert(math.abs(a - b) <= 1e-8 * math.max(1.0, math.abs(b)),
+              s"pool=$pool id=$id $what: chan=$a window=$b")
+          case other =>
+            fail(s"pool=$pool id=$id $what null-pattern diverged: $other")
+        }
+      want.foreach { case (id, (a, sd)) =>
+        close(got(id)._1, a, "avg", id)
+        close(got(id)._2, sd, "std", id)
+      }
+    }
+  }
+
   test("StatsTable counts/distStats skewSafe path equals the windowed " +
       "path on arbitrary key distributions with nulls") {
     import graft.operators.StatsTable
@@ -324,6 +368,28 @@ class PropertySpec extends AnyFunSuite {
       val b2 = snap(StatsTable.distStats(df, "k", col("v"), "ord",
         skewSafe = true), dCols)
       assert(a2 === b2, s"distStats diverged, pool=$pool")
+      // skewSafeFloat: count/sum/min/max stay bit-exact (integer-valued
+      // data), avg/std ride the Chan merge and agree to rounding
+      val exactCols = Seq("dt_count", "dt_sum", "dt_min", "dt_max")
+      val cFrame = StatsTable.distStats(df, "k", col("v"), "ord",
+        skewSafe = true, skewSafeFloat = true)
+      assert(snap(cFrame, exactCols) ===
+        snap(StatsTable.distStats(df, "k", col("v"), "ord"), exactCols),
+        s"skewSafeFloat exact stats diverged, pool=$pool")
+      val cf = cFrame.select("id", "dt_avg", "dt_std").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      val wf = StatsTable.distStats(df, "k", col("v"), "ord")
+        .select("id", "dt_avg", "dt_std").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      wf.foreach { case (id, (a, sd)) =>
+        Seq((cf(id)._1, a, "avg"), (cf(id)._2, sd, "std")).foreach {
+          case (None, None, _) => ()
+          case (Some(x: Double), Some(y: Double), what) =>
+            assert(math.abs(x - y) <= 1e-8 * math.max(1.0, math.abs(y)),
+              s"pool=$pool id=$id $what: chan=$x window=$y")
+          case other => fail(s"pool=$pool id=$id null-pattern: $other")
+        }
+      }
     }
   }
 

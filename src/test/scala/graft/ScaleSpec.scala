@@ -384,6 +384,101 @@ class ScaleSpec extends AnyFunSuite {
     // (same values, different construction) via the conf flip above.
   }
 
+  test("groupedRunningStats avg/std on a 99%-hot group: Chan prefix " +
+      "merge matches the window to rounding, plans NO value-keyed window") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 20000L
+    val df = spark.range(n).toDF("id").repartition(16)
+      .withColumn("k",
+        when(col("id") % 997 === 0, lit(null).cast("string"))
+          .when(col("id") % 100 === 0,
+            concat(lit("v"), (col("id") % 5).cast("string")))
+          .otherwise(lit("hot")))
+      .withColumn("v",
+        when(col("id") % 13 === 0, lit(null).cast("double"))
+          .otherwise(lit(1000.0) + (col("id") % 251).cast("double") / 3.0))
+      .withColumn("ord", format_string("r%08d", col("id")))
+    val got = core.DfOps.groupedRunningStats(df, col("k"), col("ord"),
+      Seq(("a", col("v"), "avg"), ("sd", col("v"), "std")), None)
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.select(col("id"), avg(col("v")).over(w).as("a"),
+      stddev_samp(col("v")).over(w).as("sd"))
+    val gm = got.select("id", "a", "sd").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    val em = want.collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(gm.size === em.size)
+    def close(x: Option[Any], y: Option[Any], id: Long): Unit = (x, y) match {
+      case (None, None) => ()
+      case (Some(a: Double), Some(b: Double)) =>
+        assert(math.abs(a - b) <= 1e-8 * math.max(1.0, math.abs(b)),
+          s"id=$id chan=$a window=$b")
+      case other => fail(s"id=$id null-pattern diverged: $other")
+    }
+    em.foreach { case (id, (a, sd)) =>
+      close(gm(id)._1, a, id); close(gm(id)._2, sd, id)
+    }
+    // plan shape — the round-13 ask: with avg/std on the flagged path
+    // there is NO window partitioned by the group value anywhere; every
+    // window is keyed by (partition id, group) or rides the
+    // #partitions-sized totals frame, so the 99%-hot key never funnels
+    // its data rows into one task
+    val plan = got.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("windowspecdefinition(__grt_pid"), plan.take(2000))
+    assert(!plan.contains("hashpartitioning(k#"),
+      "group-only exchange found — the skew path lost its point:\n" +
+        plan.take(2000))
+  }
+
+  test("distTable.train with graft.distTable.skewSafeFloat: avg/std " +
+      "take the prefix path and agree with the windowed run to rounding") {
+    val e = new api.GraftEngine(spark)
+    val rows = (0 until 400).map { i =>
+      val host =
+        if (i % 97 == 0) "null"
+        else if (i % 50 == 0) s""""rare$i.com""""
+        else "\"hot.com\""
+      s"""{"rowName": "r${"%04d".format(i)}", "host": $host,
+         | "price": ${i % 23}.25, "order_": $i}""".stripMargin
+    }
+    e.recordRows("skewdtf", rows.mkString("[", ",", "]"))
+    def train(out: String): Unit =
+      e.runProcedure("experimental.distTable.train", Map(
+        "trainingData" -> "select host from skewdtf order by order_ ASC",
+        "outputDataset" -> out,
+        "outcomes" -> """[["price", "price"]]""",
+        "statistics" -> """["count", "avg", "std"]""",
+        "distTableFileUrl" -> s"__skewdtf_$out").get _)
+    train("dtf_window")
+    spark.conf.set("graft.distTable.skewThreshold", "10")
+    spark.conf.set("graft.distTable.skewSafeFloat", "true")
+    try train("dtf_prefix")
+    finally {
+      spark.conf.unset("graft.distTable.skewThreshold")
+      spark.conf.unset("graft.distTable.skewSafeFloat")
+    }
+    def grab(name: String) = e.dataset(name).collect().map { r =>
+      r.getAs[String]("rowName") ->
+        (r.getAs[Double]("price.host.count"),
+          r.getAs[Double]("price.host.avg"),
+          r.getAs[Double]("price.host.std"))
+    }.sortBy(_._1)
+    val a = grab("dtf_window"); val b = grab("dtf_prefix")
+    assert(a.length === 400)
+    def close(x: Double, y: Double, rn: String, what: String): Unit =
+      if (x.isNaN || y.isNaN)
+        assert(x.isNaN && y.isNaN, s"$rn $what NaN-pattern: window=$x prefix=$y")
+      else assert(math.abs(x - y) <= 1e-8 * math.max(1.0, math.abs(x)),
+        s"$rn $what: window=$x prefix=$y")
+    a.zip(b).foreach { case ((rn1, s1), (rn2, s2)) =>
+      assert(rn1 === rn2)
+      assert(s1._1 === s2._1, s"$rn1 count")  // count stays bit-exact
+      close(s1._2, s2._2, rn1, "avg")
+      close(s1._3, s2._3, rn1, "std")
+    }
+  }
+
   test("distTable.train past the skew threshold with ONLY windowed " +
       "statistics trains fine (no empty prefix-helper call)") {
     val e = new api.GraftEngine(spark)
