@@ -158,6 +158,195 @@ class CompactSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$store/.compact_tmp").exists())
   }
 
+  test("reader-concurrent swap: readStore sees exactly one complete " +
+      "generation at every crash/interleave point") {
+    val store = tmpDir("reader") + "/store"
+    spark.range(0, 100, 1, 4).toDF("id").write.parquet(store)
+    val root = new java.io.File(store)
+    val gen1 = leafFiles(root).map(_.getName).sorted
+    assert(gen1.size === 4)
+    // stage generation 2 (two files) in the hidden tmp, tagged cg1- —
+    // the exact state step 2 leaves behind
+    spark.read.parquet(store).repartition(2)
+      .write.parquet(s"$store/.compact_tmp")
+    val tmpF = new java.io.File(s"$store/.compact_tmp")
+    val staged = Option(tmpF.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(staged.size === 2)
+    staged.foreach { f =>
+      assert(f.renameTo(new java.io.File(tmpF, s"cg1-${f.getName}")))
+    }
+    def readState() = {
+      val df = Compact.readStore(spark, store)
+      (df.collect().map(_.getLong(0)).toSeq.sorted,
+        df.inputFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet)
+    }
+    // state A: tmp complete, NO marker → the OLD generation is live
+    val (idsA, filesA) = readState()
+    assert(idsA === (0L until 100L))
+    assert(filesA.forall(!_.startsWith("cg1-")), filesA)
+    // state B: marker committed, nothing moved → the NEW generation is
+    // live, served straight from the hidden tmp
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/.compact_commit"),
+      ("gen=1\n" + gen1.mkString("\n")).getBytes("UTF-8"))
+    val (idsB, filesB) = readState()
+    assert(idsB === (0L until 100L))
+    assert(filesB.forall(_.startsWith("cg1-")), filesB)
+    // state C: HALF the new generation moved in, old fully present —
+    // a plain reader double-counts here; readStore must not. Plus a
+    // concurrent INGEST file landing mid-swap (not in the marker):
+    // always visible.
+    val newNames = tmpF.listFiles().filter(_.getName.startsWith("cg1-"))
+      .map(_.getName).sorted
+    assert(new java.io.File(tmpF, newNames.head)
+      .renameTo(new java.io.File(root, newNames.head)))
+    spark.range(100, 110, 1, 1).toDF("id")
+      .write.parquet(s"$store/.ingest_stage")
+    val ing = new java.io.File(s"$store/.ingest_stage").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_")).head
+    assert(ing.renameTo(new java.io.File(root, "part-ingest-mid.parquet")))
+    val (idsC, filesC) = readState()
+    assert(idsC === (0L until 110L))
+    assert(filesC.filterNot(_ == "part-ingest-mid.parquet")
+      .forall(_.startsWith("cg1-")), filesC)
+    // state D: new generation fully moved in, old fully present
+    assert(new java.io.File(tmpF, newNames.last)
+      .renameTo(new java.io.File(root, newNames.last)))
+    assert(readState()._1 === (0L until 110L))
+    // state E: some old deleted
+    gen1.take(2).foreach(n => assert(new java.io.File(root, n).delete()))
+    assert(readState()._1 === (0L until 110L))
+    // state F: all old deleted, marker still pending
+    gen1.drop(2).foreach(n => assert(new java.io.File(root, n).delete()))
+    assert(readState()._1 === (0L until 110L))
+    // state G: marker cleared — swap complete; readStore and a PLAIN
+    // reader agree again
+    assert(new java.io.File(s"$store/.compact_commit").delete())
+    assert(readState()._1 === (0L until 110L))
+    assert(spark.read.parquet(store).collect().map(_.getLong(0))
+      .toSeq.sorted === (0L until 110L))
+  }
+
+  test("readStore on a PARTITIONED store mid-swap keeps partition " +
+      "columns and per-leaf generation isolation") {
+    val store = tmpDir("reader_part") + "/store"
+    spark.range(0, 300, 1, 4).toDF("id")
+      .withColumn("p", (col("id") % 3).cast("string"))
+      .write.partitionBy("p").parquet(store)
+    // freeze the swap inside leaf p=1 only: stage + commit marker,
+    // move nothing
+    val leaf = new java.io.File(s"$store/p=1")
+    val old1 = leafFiles(leaf).map(_.getName).sorted
+    assert(old1.nonEmpty)
+    spark.read.parquet(leaf.getAbsolutePath).repartition(1)
+      .write.parquet(s"$store/p=1/.compact_tmp")
+    val tmpF = new java.io.File(s"$store/p=1/.compact_tmp")
+    tmpF.listFiles().filter(f => f.isFile &&
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .foreach(f =>
+        assert(f.renameTo(new java.io.File(tmpF, s"cg1-${f.getName}"))))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/p=1/.compact_commit"),
+      ("gen=1\n" + old1.mkString("\n")).getBytes("UTF-8"))
+    val df = Compact.readStore(spark, store)
+    assert(df.columns.toSet === Set("id", "p"))
+    // partition values are INFERRED on read ("1" → int) — stringify
+    val byP = df.groupBy("p").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(byP === Map("0" -> 100L, "1" -> 100L, "2" -> 100L))
+    // the p=1 rows came from the staged generation (inputFiles lists
+    // the whole relation, so inspect per-leaf paths directly)
+    val p1Files = df.inputFiles.filter(_.contains("/p=1/"))
+    assert(p1Files.nonEmpty && p1Files.forall(_.contains("cg1-")),
+      p1Files.toSeq)
+    // and the untouched leaves read their normal files
+    assert(df.inputFiles.filter(_.contains("/p=0/"))
+      .forall(!_.contains("cg1-")))
+    // p=1 id set is exactly the original rows
+    val p1 = df.filter(col("p") === "1").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(p1 === (0L until 300L).filter(_ % 3 == 1).toSet)
+  }
+
+  test("compaction lock: a held .compact_lock fails fast; a completed " +
+      "run releases it") {
+    val store = tmpDir("lock") + "/store"
+    spark.range(0, 100, 1, 4).toDF("id").write.parquet(store)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/.compact_lock"),
+      "pid=held\n".getBytes("UTF-8"))
+    val err = intercept[IllegalStateException] {
+      Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    }
+    assert(err.getMessage.contains(".compact_lock"))
+    // the held lock was not touched by the failed attempt
+    assert(new java.io.File(s"$store/.compact_lock").exists())
+    assert(new java.io.File(s"$store/.compact_lock").delete())
+    val rep = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    assert(rep.partitionsCompacted === 1)
+    assert(!new java.io.File(s"$store/.compact_lock").exists(),
+      "lock not released after a successful run")
+    assert(spark.read.parquet(store).count() === 100)
+  }
+
+  test("non-atomic-rename schemes refuse unless acknowledged") {
+    // the guard itself (package-visible): object-store schemes refuse…
+    val err = intercept[IllegalArgumentException] {
+      Compact.checkRenameAtomicity("s3a", allowNonAtomicRename = false)
+    }
+    assert(err.getMessage.contains("atomic rename"))
+    assert(err.getMessage.contains("allowNonAtomicRename"))
+    // …unless explicitly acknowledged; atomic schemes always pass
+    Compact.checkRenameAtomicity("s3a", allowNonAtomicRename = true)
+    Seq("file", "hdfs", "viewfs").foreach(
+      Compact.checkRenameAtomicity(_, allowNonAtomicRename = false))
+  }
+
+  test("compacted leaves re-read and recompact across generations " +
+      "(cg tags increment, reruns stay no-ops)") {
+    val store = tmpDir("gens") + "/store"
+    spark.range(0, 5000, 1, 8).toDF("id")
+      .withColumn("pad", md5(col("id").cast("string")))
+      .write.parquet(store)
+    val root = new java.io.File(store)
+    val bytes = leafFiles(root).map(_.length).sum
+    // first compaction: 8 → ~2 files, tagged cg1-
+    val rep1 = Compact.compactStore(spark, store, targetBytes = bytes / 2)
+    assert(rep1.partitionsCompacted === 1)
+    assert(leafFiles(root).forall(_.getName.startsWith("cg1-")))
+    assert(spark.read.parquet(store).count() === 5000)
+    // second compaction with a bigger target: cg1 → one cg2 file
+    val rep2 = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    assert(rep2.partitionsCompacted === 1)
+    val after = leafFiles(root)
+    assert(after.length === 1 && after.head.getName.startsWith("cg2-"),
+      after.map(_.getName).toSeq)
+    assert(spark.read.parquet(store).count() === 5000)
+    assert(spark.read.parquet(store).select("id").distinct().count() === 5000)
+    // and a rerun is a no-op
+    val rep3 = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    assert(rep3.partitionsCompacted === 0)
+  }
+
+  test("schema evolution across a leaf's files survives compaction " +
+      "(footers merged, not sampled)") {
+    val store = tmpDir("schema") + "/store"
+    spark.range(0, 50, 1, 1).toDF("id").write.parquet(store)
+    spark.range(50, 100, 1, 1).toDF("id")
+      .withColumn("extra", col("id") * 2)
+      .write.mode("append").parquet(store)
+    val rep = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    assert(rep.partitionsCompacted === 1)
+    val df = spark.read.option("mergeSchema", "true").parquet(store)
+    assert(df.columns.toSet === Set("id", "extra"),
+      "evolved column dropped by the rewrite")
+    assert(df.count() === 100)
+    assert(df.filter(col("extra").isNotNull).count() === 50)
+  }
+
   test("dataset.compact dispatches as a procedure type") {
     val e = new api.GraftEngine(spark)
     val store = tmpDir("proc") + "/store"
