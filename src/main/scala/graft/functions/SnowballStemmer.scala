@@ -4,11 +4,12 @@ package graft.functions
   * (M.F. Porter's Snowball algorithm family, snowballstem.org —
   * public-domain algorithm descriptions). The reference wraps
   * libstemmer and accepts any of its languages at function-creation
-  * time (`plugins/nlp/nlp.cc:213-284`); this port implements the three
-  * most-used European languages beyond English — French, German,
-  * Spanish — implemented from the published algorithm descriptions and
-  * differential-tested against libstemmer's output on curated
-  * vocabularies (FunctionsSpec pins the pairs).
+  * time (`plugins/nlp/nlp.cc:213-284`); this port implements the
+  * high-traffic European languages beyond English — French, German,
+  * Spanish, Portuguese, Italian, Dutch, Russian — implemented from the
+  * published algorithm descriptions and differential-tested against
+  * libstemmer's output on curated and fuzzed vocabularies
+  * (FunctionsSpec pins representative pairs).
   *
   * Pure String → String functions; `plans.SnowballStem` wraps them as
   * a native Catalyst expression for the per-row hot path.
@@ -16,7 +17,8 @@ package graft.functions
 object SnowballStemmer {
 
   /** Languages creatable as stemmer function entities. */
-  val supported: Set[String] = Set("english", "porter", "french", "german", "spanish")
+  val supported: Set[String] = Set("english", "porter", "french", "german",
+    "spanish", "portuguese", "italian", "dutch", "russian")
 
   /** Creation-time validation — the reference's exact error shape
     * (`nlp.cc:277`: sb_stemmer_new failure). */
@@ -31,6 +33,10 @@ object SnowballStemmer {
       case "french" => french(word)
       case "german" => german(word)
       case "spanish" => spanish(word)
+      case "portuguese" => portuguese(word)
+      case "italian" => italian(word)
+      case "dutch" => dutch(word)
+      case "russian" => russian(word)
       case other => throw new IllegalArgumentException(
         s"language `$other' not available for stemming in encoding `utf8'")
     }
@@ -164,20 +170,25 @@ object SnowballStemmer {
 
   private val esVowels = "aeiouáéíóúü".toSet
 
-  private def esRV(w: String): Int = {
+  /** The Spanish/Portuguese/Italian RV definition: second letter
+    * consonant → after the next vowel; two initial vowels → after the
+    * next consonant; consonant-vowel → after the third letter. */
+  private def romanceRV(w: String, vowels: Set[Char]): Int = {
     if (w.length < 3) return w.length
-    if (!esVowels(w.charAt(1))) {
+    if (!vowels(w.charAt(1))) {
       // second letter consonant: after the next following vowel
       var i = 2
-      while (i < w.length && !esVowels(w.charAt(i))) i += 1
+      while (i < w.length && !vowels(w.charAt(i))) i += 1
       if (i < w.length) i + 1 else w.length
-    } else if (esVowels(w.charAt(0)) && esVowels(w.charAt(1))) {
+    } else if (vowels(w.charAt(0)) && vowels(w.charAt(1))) {
       // first two letters vowels: after the next consonant
       var i = 2
-      while (i < w.length && esVowels(w.charAt(i))) i += 1
+      while (i < w.length && vowels(w.charAt(i))) i += 1
       if (i < w.length) i + 1 else w.length
     } else 3  // consonant-vowel: after the third letter
   }
+
+  private def esRV(w: String): Int = romanceRV(w, esVowels)
 
   private def esUnaccent(c: Char): Char = c match {
     case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
@@ -328,7 +339,8 @@ object SnowballStemmer {
       val gGu = Seq("emos", "éis", "en", "es")
       val gAll = Seq("aríamos", "eríamos", "iríamos", "iéramos", "iésemos",
         "aremos", "eremos", "iremos",
-        "aríais", "aseis", "eríais", "iríais", "ieseis", "asteis", "isteis",
+        "aríais", "aseis", "eríais", "iríais", "ierais", "ieseis",
+        "asteis", "isteis",
         "ábamos", "áramos", "ásemos", "arían", "arías", "aréis", "erían",
         "erías", "eréis", "irían", "irías", "iréis", "ieran", "iesen",
         "ieron", "iendo", "ieras", "ieses", "abais", "arais", "aseis",
@@ -667,5 +679,544 @@ object SnowballStemmer {
         w = w.substring(0, j) + "e" + w.substring(j + 1)
     }
     w.map { case 'I' => 'i'; case 'U' => 'u'; case 'Y' => 'y'; case c => c }
+  }
+
+  // =========================================================================
+  // PORTUGUESE (snowball "portuguese" algorithm)
+  // =========================================================================
+
+  private val ptVowels = "aeiouáéíóúâêô".toSet
+
+  def portuguese(word0: String): String = {
+    // prelude: nasalised vowels become vowel + consonant '~'
+    var w = word0.toLowerCase.replace("ã", "a~").replace("õ", "o~")
+    if (w.isEmpty) return w
+    val rv = romanceRV(w, ptVowels)
+    val r1 = standardR(w, 0, ptVowels)
+    val r2 = standardR(w, r1, ptVowels)
+    def inRV(pos: Int) = pos >= rv
+    def inR1(pos: Int) = pos >= r1
+    def inR2(pos: Int) = pos >= r2
+    val original = w
+
+    // ---- step 1: standard suffixes (longest match governs) ----
+    locally {
+      def del(cond: Int => Boolean)(s: String, n: Int): Option[String] =
+        if (cond(s.length - n)) Some(s.dropRight(n)) else None
+      val rules: Seq[(String, String => Option[String])] = {
+        val simple = Seq("amentos", "imentos", "amento", "imento",
+          "adoras", "adores", "aço~es", "ismos", "istas", "adora",
+          "aça~o", "antes", "ância", "ezas", "icos", "icas", "ismo",
+          "ável", "ível", "ista", "osos", "osas", "ador", "ante", "eza",
+          "ico", "ica", "oso", "osa").map { s =>
+          s -> ((x: String) => del(inR2)(x, s.length))
+        }
+        // the published algorithm keeps the Spanish-accented spellings
+        // for these two families (logía/ución), not the Portuguese ones
+        val logia = Seq("logías", "logía").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "log") else None)
+        }
+        val ucao = Seq("uciones", "ución").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "u") else None)
+        }
+        val encia = Seq("ências", "ência").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "ente") else None)
+        }
+        val amente = Seq("amente").map { s =>
+          s -> ((x: String) =>
+            if (inR1(x.length - 6)) Some {
+              var y = x.dropRight(6)
+              if (y.endsWith("iv") && inR2(y.length - 2)) {
+                y = y.dropRight(2)
+                if (y.endsWith("at") && inR2(y.length - 2)) y = y.dropRight(2)
+              } else {
+                val p = Seq("os", "ic", "ad").find(y.endsWith)
+                p.foreach { q =>
+                  if (inR2(y.length - q.length)) y = y.dropRight(q.length) }
+              }
+              y
+            } else None)
+        }
+        val mente = Seq("mente").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - 5)) Some {
+              var y = x.dropRight(5)
+              val p = Seq("ante", "avel", "ível").find(y.endsWith)
+              p.foreach { q =>
+                if (inR2(y.length - q.length)) y = y.dropRight(q.length) }
+              y
+            } else None)
+        }
+        val idade = Seq("idades", "idade").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some {
+              var y = x.dropRight(s.length)
+              val p = Seq("abil", "ic", "iv").find(y.endsWith)
+              p.foreach { q =>
+                if (inR2(y.length - q.length)) y = y.dropRight(q.length) }
+              y
+            } else None)
+        }
+        val iva = Seq("ivas", "ivos", "iva", "ivo").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some {
+              var y = x.dropRight(s.length)
+              if (y.endsWith("at") && inR2(y.length - 2)) y = y.dropRight(2)
+              y
+            } else None)
+        }
+        val ira = Seq("iras", "ira").map { s =>
+          s -> ((x: String) => {
+            val pos = x.length - s.length
+            if (inRV(pos) && pos > 0 && x.charAt(pos - 1) == 'e')
+              Some(x.dropRight(s.length) + "ir") else None
+          })
+        }
+        simple ++ logia ++ ucao ++ encia ++ amente ++ mente ++ idade ++
+          iva ++ ira
+      }
+      rules.filter { case (s, _) => w.endsWith(s) }
+        .sortBy { case (s, _) => -s.length }.headOption
+        .foreach { case (_, f) => f(w).foreach(w = _) }
+    }
+
+    // ---- step 2: verb suffixes (only if step 1 changed nothing);
+    // longest suffix IN RV (straddling matches are not candidates) ----
+    if (w == original) {
+      val verbs = Seq("aríamos", "eríamos", "iríamos", "ássemos",
+        "êssemos", "íssemos", "aríeis", "eríeis", "iríeis", "ásseis",
+        "ésseis", "ísseis", "áramos", "éramos", "íramos", "ávamos",
+        "aremos", "eremos", "iremos", "ariam", "eriam", "iriam",
+        "assem", "essem", "issem", "ara~o", "era~o", "ira~o", "arias",
+        "erias", "irias", "ardes", "erdes", "irdes", "asses", "esses",
+        "isses", "astes", "estes", "istes", "áreis", "areis", "éreis",
+        "ereis", "íreis", "ireis", "ásteis", "ésteis", "ísteis",
+        "áveis", "íamos", "armos", "ermos", "irmos", "aria", "eria",
+        "iria", "asse", "esse", "isse", "aste", "este", "iste", "arei",
+        "erei", "irei", "aram", "eram", "iram", "avam", "arem", "erem",
+        "irem", "ando", "endo", "indo", "adas", "idas", "arás", "aras",
+        "erás", "eras", "irás", "avas", "ares", "eres", "ires", "íeis",
+        "ados", "idos", "ámos", "amos", "emos", "imos", "iras", "ada",
+        "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam", "ado",
+        "ido", "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar",
+        "er", "ir", "as", "es", "is", "eu", "iu", "ou")
+      verbs.filter(s => w.endsWith(s) && inRV(w.length - s.length))
+        .sortBy(-_.length).headOption
+        .foreach(s => w = w.dropRight(s.length))
+    }
+
+    if (w != original) {
+      // ---- step 3: delete i if in RV and preceded by c ----
+      if (w.endsWith("ci") && inRV(w.length - 1)) w = w.dropRight(1)
+    } else {
+      // ---- step 4: residual suffix ----
+      Seq("os", "a", "i", "o", "á", "í", "ó")
+        .filter(s => w.endsWith(s) && inRV(w.length - s.length))
+        .sortBy(-_.length).headOption
+        .foreach(s => w = w.dropRight(s.length))
+    }
+
+    // ---- step 5: final e/é/ê, trailing gu/ci undouble, ç → c ----
+    if (Seq("e", "é", "ê").exists(w.endsWith) && inRV(w.length - 1)) {
+      w = w.dropRight(1)
+      if ((w.endsWith("gu") || w.endsWith("ci")) && inRV(w.length - 1))
+        w = w.dropRight(1)
+    } else if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+
+    w.replace("a~", "ã").replace("o~", "õ")
+  }
+
+  // =========================================================================
+  // ITALIAN (snowball "italian" algorithm)
+  // =========================================================================
+
+  private val itVowels = "aeiouàèìòù".toSet
+
+  def italian(word0: String): String = {
+    // prelude: acute → grave accents, qu → qU, u/i between vowels → U/I
+    var w = word0.toLowerCase
+      .map { case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
+             case 'ó' => 'ò'; case 'ú' => 'ù'; case c => c }
+      .replace("qu", "qU")
+    if (w.isEmpty) return w
+    locally {
+      val sb = new StringBuilder(w)
+      def v(j: Int) = j >= 0 && j < sb.length && itVowels(sb.charAt(j))
+      var c = 0
+      while (c + 2 < sb.length + 1 && c < sb.length - 2) {
+        val m = sb.charAt(c + 1)
+        if (v(c) && (m == 'u' || m == 'i') && v(c + 2)) {
+          sb.setCharAt(c + 1, m.toUpper); c += 2
+        } else c += 1
+      }
+      w = sb.toString
+    }
+    val rv = romanceRV(w, itVowels)
+    val r1 = standardR(w, 0, itVowels)
+    val r2 = standardR(w, r1, itVowels)
+    def inRV(pos: Int) = pos >= rv
+    def inR1(pos: Int) = pos >= r1
+    def inR2(pos: Int) = pos >= r2
+
+    // ---- step 0: attached pronoun ----
+    locally {
+      val pronouns = Seq("gliela", "gliele", "glieli", "glielo", "gliene",
+        "sene", "mela", "mele", "meli", "melo", "mene", "tela", "tele",
+        "teli", "telo", "tene", "cela", "cele", "celi", "celo", "cene",
+        "vela", "vele", "veli", "velo", "vene", "gli", "ci", "la", "le",
+        "li", "lo", "mi", "ne", "si", "ti", "vi")
+      pronouns.filter(w.endsWith).sortBy(-_.length).headOption.foreach { p =>
+        val base = w.dropRight(p.length)
+        val a = Seq("ando", "endo").find(base.endsWith)
+        val b = Seq("ar", "er", "ir").find(base.endsWith)
+        (a, b) match {
+          case (Some(s), _) if inRV(base.length - s.length) => w = base
+          case (_, Some(s)) if inRV(base.length - s.length) => w = base + "e"
+          case _ => ()
+        }
+      }
+    }
+
+    val beforeStep1 = w
+    // ---- step 1: standard suffixes (longest match governs) ----
+    locally {
+      val rules: Seq[(String, String => Option[String])] = {
+        val simple = Seq("atrice", "atrici", "abile", "abili", "ibile",
+          "ibili", "mente", "anza", "anze", "iche", "ichi", "ismo",
+          "ismi", "ista", "iste", "isti", "istà", "istè", "istì",
+          "ante", "anti", "ico", "ici", "ica", "ice", "oso", "osi",
+          "osa", "ose").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some(x.dropRight(s.length))
+            else None)
+        }
+        val azione = Seq("azione", "azioni", "atore", "atori").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some {
+              var y = x.dropRight(s.length)
+              if (y.endsWith("ic") && inR2(y.length - 2)) y = y.dropRight(2)
+              y
+            } else None)
+        }
+        val logia = Seq("logia", "logie").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "log") else None)
+        }
+        val uzione = Seq("uzione", "uzioni", "usione", "usioni").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "u") else None)
+        }
+        val enza = Seq("enza", "enze").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length))
+              Some(x.dropRight(s.length) + "ente") else None)
+        }
+        val amento = Seq("amento", "amenti", "imento", "imenti").map { s =>
+          s -> ((x: String) =>
+            if (inRV(x.length - s.length)) Some(x.dropRight(s.length))
+            else None)
+        }
+        val amente = Seq("amente").map { s =>
+          s -> ((x: String) =>
+            if (inR1(x.length - 6)) Some {
+              var y = x.dropRight(6)
+              if (y.endsWith("iv") && inR2(y.length - 2)) {
+                y = y.dropRight(2)
+                if (y.endsWith("at") && inR2(y.length - 2)) y = y.dropRight(2)
+              } else {
+                val p = Seq("os", "ic", "abil").find(y.endsWith)
+                p.foreach { q =>
+                  if (inR2(y.length - q.length)) y = y.dropRight(q.length) }
+              }
+              y
+            } else None)
+        }
+        val ita = Seq("ità").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - 3)) Some {
+              var y = x.dropRight(3)
+              val p = Seq("abil", "ic", "iv").find(y.endsWith)
+              p.foreach { q =>
+                if (inR2(y.length - q.length)) y = y.dropRight(q.length) }
+              y
+            } else None)
+        }
+        val ivo = Seq("ivo", "ivi", "iva", "ive").map { s =>
+          s -> ((x: String) =>
+            if (inR2(x.length - s.length)) Some {
+              var y = x.dropRight(s.length)
+              if (y.endsWith("at") && inR2(y.length - 2)) {
+                y = y.dropRight(2)
+                if (y.endsWith("ic") && inR2(y.length - 2)) y = y.dropRight(2)
+              }
+              y
+            } else None)
+        }
+        simple ++ azione ++ logia ++ uzione ++ enza ++ amento ++ amente ++
+          ita ++ ivo
+      }
+      rules.filter { case (s, _) => w.endsWith(s) }
+        .sortBy { case (s, _) => -s.length }.headOption
+        .foreach { case (_, f) => f(w).foreach(w = _) }
+    }
+
+    // ---- step 2: verb suffixes (only if step 1 removed nothing) ----
+    if (w == beforeStep1) {
+      val verbs = Seq("erebbero", "irebbero", "assero", "assimo",
+        "eranno", "erebbe", "eremmo", "ereste", "eresti", "essero",
+        "iranno", "irebbe", "iremmo", "ireste", "iresti", "iscano",
+        "iscono", "issero", "arono", "avamo", "avano", "avate",
+        "eremo", "erete", "erono", "evamo", "evano", "evate", "iremo",
+        "irete", "irono", "ivamo", "ivano", "ivate", "ammo", "ando",
+        "asse", "assi", "emmo", "enda", "ende", "endi", "endo", "erai",
+        "erei", "Yamo", "iamo", "immo", "irai", "irei", "isca", "isce",
+        "isci", "isco", "ano", "are", "ata", "ate", "ati", "ato",
+        "ava", "avi", "avo", "erà", "ere", "erò", "ete", "eva", "evi",
+        "evo", "irà", "ire", "irò", "ita", "ite", "iti", "ito", "iva",
+        "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir")
+      verbs.filter(s => w.endsWith(s) && inRV(w.length - s.length))
+        .sortBy(-_.length).headOption
+        .foreach(s => w = w.dropRight(s.length))
+    }
+
+    // ---- step 3a: final vowel (and a preceding i) in RV ----
+    locally {
+      val fin = "aeioàèìò"
+      if (w.nonEmpty && fin.contains(w.last) && inRV(w.length - 1)) {
+        w = w.dropRight(1)
+        if (w.endsWith("i") && inRV(w.length - 1)) w = w.dropRight(1)
+      }
+    }
+    // ---- step 3b: ch → c, gh → g (in RV) ----
+    if ((w.endsWith("ch") || w.endsWith("gh")) && inRV(w.length - 2))
+      w = w.dropRight(1)
+
+    w.map { case 'U' => 'u'; case 'I' => 'i'; case c => c }
+  }
+
+  // =========================================================================
+  // DUTCH (snowball "dutch" algorithm)
+  // =========================================================================
+
+  private val nlVowels = "aeiouyè".toSet
+
+  def dutch(word0: String): String = {
+    var w = word0.toLowerCase.map {
+      case 'ä' | 'á' => 'a'; case 'ë' | 'é' => 'e'; case 'ï' | 'í' => 'i'
+      case 'ö' | 'ó' => 'o'; case 'ü' | 'ú' => 'u'; case c => c
+    }
+    if (w.isEmpty) return w
+    // mark initial y, y after a vowel, i between vowels as consonants
+    locally {
+      val sb = new StringBuilder(w)
+      if (sb.charAt(0) == 'y') sb.setCharAt(0, 'Y')
+      var i = 1
+      while (i < sb.length) {
+        val ch = sb.charAt(i)
+        if (ch == 'y' && nlVowels(sb.charAt(i - 1))) sb.setCharAt(i, 'Y')
+        else if (ch == 'i' && nlVowels(sb.charAt(i - 1)) &&
+            i + 1 < sb.length && nlVowels(sb.charAt(i + 1)))
+          sb.setCharAt(i, 'I')
+        i += 1
+      }
+      w = sb.toString
+    }
+    // the "region before R1 has at least 3 letters" adjustment counts
+    // UTF-8 BYTES in the reference implementation (è weighs 2), so
+    // compare R1 in byte offsets
+    val byteOff = w.scanLeft(0)((acc, c) =>
+      acc + String.valueOf(c).getBytes("UTF-8").length)
+    var r1b = byteOff(standardR(w, 0, nlVowels))
+    if (r1b < 3) r1b = 3
+    val r2 = standardR(w, standardR(w, 0, nlVowels), nlVowels)
+    def inR1(pos: Int) = byteOff(pos) >= r1b
+    def inR2(pos: Int) = pos >= r2
+    def undouble(s: String): String =
+      if (Seq("kk", "dd", "tt").exists(s.endsWith)) s.dropRight(1) else s
+    def validEn(base: String): Boolean =
+      base.nonEmpty && !nlVowels(base.last) && !base.endsWith("gem")
+    def enEnding(): Unit =
+      Seq("ene", "en").find(w.endsWith).foreach { s =>
+        val base = w.dropRight(s.length)
+        if (inR1(base.length) && validEn(base)) w = undouble(base)
+      }
+
+    // ---- step 1 (longest among heden / ene en / se s) ----
+    locally {
+      val cands = Seq("heden", "ene", "en", "se", "s").filter(w.endsWith)
+      cands.sortBy(-_.length).headOption.foreach {
+        case "heden" =>
+          if (inR1(w.length - 5)) w = w.dropRight(5) + "heid"
+        case s @ ("ene" | "en") =>
+          val base = w.dropRight(s.length)
+          if (inR1(base.length) && validEn(base)) w = undouble(base)
+        case s @ ("se" | "s") =>
+          val base = w.dropRight(s.length)
+          if (inR1(base.length) && base.nonEmpty &&
+              !nlVowels(base.last) && base.last != 'j')
+            w = base
+        case _ => ()
+      }
+    }
+
+    // ---- step 2: delete e in R1 after a non-vowel; undouble ----
+    var eFound = false
+    def step2(): Unit =
+      if (w.endsWith("e") && inR1(w.length - 1) && w.length >= 2 &&
+          !nlVowels(w.charAt(w.length - 2))) {
+        eFound = true
+        w = undouble(w.dropRight(1))
+      }
+    step2()
+
+    // ---- step 3a: heid (R2, not after c), then the en treatment ----
+    if (w.endsWith("heid") && inR2(w.length - 4) &&
+        (w.length < 5 || w.charAt(w.length - 5) != 'c')) {
+      w = w.dropRight(4)
+      enEnding()
+    }
+
+    // ---- step 3b: d-suffixes (longest match governs) ----
+    locally {
+      val cands = Seq("baar", "lijk", "end", "ing", "bar", "ig")
+        .filter(w.endsWith)
+      cands.sortBy(-_.length).headOption.foreach {
+        case s @ ("end" | "ing") =>
+          if (inR2(w.length - s.length)) {
+            w = w.dropRight(s.length)
+            if (w.endsWith("ig") && inR2(w.length - 2) &&
+                (w.length < 3 || w.charAt(w.length - 3) != 'e'))
+              w = w.dropRight(2)
+            else w = undouble(w)
+          }
+        case "ig" =>
+          if (inR2(w.length - 2) &&
+              (w.length < 3 || w.charAt(w.length - 3) != 'e'))
+            w = w.dropRight(2)
+        case "lijk" =>
+          if (inR2(w.length - 4)) { w = w.dropRight(4); step2() }
+        case "baar" =>
+          if (inR2(w.length - 4)) w = w.dropRight(4)
+        case "bar" =>
+          if (inR2(w.length - 3) && eFound) w = w.dropRight(3)
+        case _ => ()
+      }
+    }
+
+    // ---- step 4: undouble vowel (CVD with V in {aa,ee,oo,uu}) ----
+    if (w.length >= 4) {
+      val d = w.last; val v2 = w.charAt(w.length - 2)
+      val v3 = w.charAt(w.length - 3); val c0 = w.charAt(w.length - 4)
+      if (!nlVowels(d) && d != 'I' && v2 == v3 && "aeou".contains(v2) &&
+          !nlVowels(c0))
+        w = w.substring(0, w.length - 2) + d
+    }
+
+    w.map { case 'Y' => 'y'; case 'I' => 'i'; case c => c }
+  }
+
+  // =========================================================================
+  // RUSSIAN (snowball "russian" algorithm)
+  // =========================================================================
+
+  private val ruVowels = "аеиоуыэюя".toSet
+
+  def russian(word0: String): String = {
+    // NOTE: the reference's vendored libstemmer does NOT fold ё → е
+    // (that mapping is left to the caller), so neither do we
+    var w = word0.toLowerCase
+    if (w.isEmpty) return w
+    val rv = { // region after the first vowel
+      val i = w.indexWhere(ruVowels)
+      if (i < 0) w.length else i + 1
+    }
+    val r1 = standardR(w, 0, ruVowels)
+    val r2 = standardR(w, r1, ruVowels)
+    def inRV(pos: Int) = pos >= rv
+    def inR2(pos: Int) = pos >= r2
+    def rvLongest(sufs: Seq[String]): Option[String] =
+      sufs.filter(s => w.endsWith(s) && inRV(w.length - s.length))
+        .sortBy(-_.length).headOption
+    /** Longest in-RV match across both groups; group-1 suffixes must
+      * directly follow an а/я that is itself in RV. A longest match
+      * whose precondition fails ends the among (no shorter fallback —
+      * the snowball `among` semantics). */
+    def amongDelete(g1: Seq[String], g2: Seq[String]): Boolean = {
+      val cands = (g1.map(s => (s, true)) ++ g2.map(s => (s, false)))
+        .filter { case (s, _) =>
+          w.endsWith(s) && inRV(w.length - s.length) }
+      cands.sortBy { case (s, _) => -s.length }.headOption match {
+        case Some((s, needsAYa)) =>
+          val pos = w.length - s.length
+          if (!needsAYa || (pos - 1 >= rv &&
+              (w.charAt(pos - 1) == 'а' || w.charAt(pos - 1) == 'я'))) {
+            w = w.dropRight(s.length); true
+          } else false
+        case None => false
+      }
+    }
+
+    // ---- step 1 ----
+    val gerund = amongDelete(Seq("вшись", "вши", "в"),
+      Seq("ившись", "ывшись", "ивши", "ывши", "ив", "ыв"))
+    if (!gerund) {
+      rvLongest(Seq("ся", "сь")).foreach(s => w = w.dropRight(s.length))
+      val adjective = Seq("ими", "ыми", "его", "ого", "ему", "ому",
+        "ее", "ие", "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им",
+        "ым", "ом", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+      val adjectival = rvLongest(adjective) match {
+        case Some(s) =>
+          w = w.dropRight(s.length)
+          // optionally a participle before the adjective ending
+          amongDelete(Seq("ем", "нн", "вш", "ющ", "щ"),
+            Seq("ивш", "ывш", "ующ"))
+          true
+        case None => false
+      }
+      if (!adjectival) {
+        val verb = amongDelete(
+          Seq("ете", "йте", "ешь", "нно", "ла", "на", "ли", "ем", "ло",
+            "но", "ет", "ют", "ны", "ть", "й", "л", "н"),
+          Seq("ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли",
+            "ило", "ыло", "ено", "ует", "уют", "ены", "ить", "ыть",
+            "ишь", "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят",
+            "ит", "ыт", "ую", "ю"))
+        if (!verb)
+          rvLongest(Seq("иями", "ями", "ами", "ией", "иям", "ием",
+            "иях", "ию", "ью", "ия", "ья", "ие", "ье", "еи", "ии",
+            "ей", "ой", "ий", "ям", "ем", "ам", "ом", "ах", "ях",
+            "ев", "ов", "а", "е", "и", "й", "о", "у", "ы", "ь", "ю",
+            "я")).foreach(s => w = w.dropRight(s.length))
+      }
+    }
+
+    // ---- step 2: final и ----
+    if (w.endsWith("и") && inRV(w.length - 1)) w = w.dropRight(1)
+
+    // ---- step 3: derivational (in R2) ----
+    Seq("ость", "ост")
+      .filter(s => w.endsWith(s) && inR2(w.length - s.length))
+      .sortBy(-_.length).headOption
+      .foreach(s => w = w.dropRight(s.length))
+
+    // ---- step 4: undouble н / superlative / soft sign ----
+    if (w.endsWith("нн") && w.length - 2 >= rv - 1 && inRV(w.length - 1))
+      w = w.dropRight(1)
+    else {
+      rvLongest(Seq("ейше", "ейш")).foreach { s =>
+        w = w.dropRight(s.length)
+        if (w.endsWith("нн") && inRV(w.length - 1)) w = w.dropRight(1)
+      }
+      if (w.endsWith("ь") && inRV(w.length - 1)) w = w.dropRight(1)
+    }
+    w
   }
 }
