@@ -19,7 +19,8 @@ object SnowballStemmer {
   /** Languages creatable as stemmer function entities. */
   val supported: Set[String] = Set("english", "porter", "french", "german",
     "spanish", "portuguese", "italian", "dutch", "russian", "danish",
-    "norwegian", "swedish")
+    "norwegian", "swedish", "romanian", "hungarian", "finnish",
+    "turkish")
 
   /** Creation-time validation — the reference's exact error shape
     * (`nlp.cc:277`: sb_stemmer_new failure). */
@@ -41,6 +42,10 @@ object SnowballStemmer {
       case "danish" => danish(word)
       case "norwegian" => norwegian(word)
       case "swedish" => swedish(word)
+      case "romanian" => romanian(word)
+      case "hungarian" => hungarian(word)
+      case "finnish" => finnish(word)
+      case "turkish" => turkish(word)
       case other => throw new IllegalArgumentException(
         s"language `$other' not available for stemming in encoding `utf8'")
     }
@@ -1333,6 +1338,782 @@ object SnowballStemmer {
       .sortBy(-_.length).headOption
       .foreach(s => w = w.dropRight(s.length))
     w
+  }
+
+  // =========================================================================
+  // TURKISH (snowball "turkish" algorithm, E. Kapusuz Çilden)
+  // =========================================================================
+
+  private val trVowels = "aeıioöuü".toSet
+  private val trU = "ıiuü".toSet
+
+  def turkish(word0: String): String = {
+    var w = word0.toLowerCase
+    // a word with fewer than two vowels is returned unstemmed
+    if (w.count(trVowels) < 2) return w
+
+    // ---- backward-mode primitives. Marks compute positions on the
+    // CURRENT w without mutating it; every suffix delete truncates w
+    // at the mark (the bracket is always at the live end). ----
+    def among(p: Int, sufs: String*): Option[Int] =
+      sufs.filter(s => p >= s.length &&
+          w.regionMatches(p - s.length, s, 0, s.length))
+        .sortBy(-_.length).headOption.map(p - _.length)
+    /** vowel harmony at p: the last vowel before p must be echoed by
+      * some earlier vowel of its harmony class. */
+    def harmony(p: Int): Boolean = {
+      var i = p - 1
+      while (i >= 0 && !trVowels(w.charAt(i))) i -= 1
+      if (i < 0) return false
+      val cls = w.charAt(i) match {
+        case 'a' => "aıou"; case 'e' => "eiöü"; case 'ı' => "aı"
+        case 'i' => "ei"; case 'o' | 'u' => "ou"; case _ => "öü"
+      }
+      var j = i - 1
+      while (j >= 0 && cls.indexOf(w.charAt(j)) < 0) j -= 1
+      j >= 0
+    }
+    /** optional suffix consonant (n/s/y): consumed when present after
+      * a vowel; when absent the next char back must still be preceded
+      * by a vowel; present-but-not-after-a-vowel fails the mark. */
+    def optCons(p: Int, letter: Char): Option[Int] =
+      if (p >= 1 && w.charAt(p - 1) == letter)
+        if (p >= 2 && trVowels(w.charAt(p - 2))) Some(p - 1) else None
+      else if (p >= 2 && trVowels(w.charAt(p - 2))) Some(p)
+      else None
+    /** optional suffix high vowel (ı/i/u/ü): consumed when present
+      * after a non-vowel; mirror shape to [[optCons]]. */
+    def optU(p: Int): Option[Int] =
+      if (p >= 1 && trU(w.charAt(p - 1)))
+        if (p >= 2 && !trVowels(w.charAt(p - 2))) Some(p - 1) else None
+      else if (p >= 2 && !trVowels(w.charAt(p - 2))) Some(p)
+      else None
+    def harm(p: Int)(body: => Option[Int]): Option[Int] =
+      if (harmony(p)) body else None
+
+    // ---- the suffix marks ----
+    def possessives(p: Int) = among(p, "miz", "niz", "muz", "nuz",
+      "mız", "nız", "müz", "nüz", "m", "n").flatMap(optU)
+    def sU(p: Int) = harm(p) {
+      if (p >= 1 && trU(w.charAt(p - 1))) optCons(p - 1, 's') else None
+    }
+    def lArI(p: Int) = among(p, "leri", "ları")
+    def yU(p: Int) = harm(p) {
+      if (p >= 1 && trU(w.charAt(p - 1))) optCons(p - 1, 'y') else None
+    }
+    def nU(p: Int) = harm(p)(among(p, "ni", "nu", "nı", "nü"))
+    def nUn(p: Int) =
+      harm(p)(among(p, "in", "un", "ın", "ün").flatMap(optCons(_, 'n')))
+    def yA(p: Int) = harm(p)(among(p, "a", "e").flatMap(optCons(_, 'y')))
+    def nA(p: Int) = harm(p)(among(p, "na", "ne"))
+    def dA(p: Int) = harm(p)(among(p, "da", "ta", "de", "te"))
+    def ndA(p: Int) = harm(p)(among(p, "nda", "nde"))
+    def dAn(p: Int) = harm(p)(among(p, "dan", "tan", "den", "ten"))
+    def ndAn(p: Int) = harm(p)(among(p, "ndan", "nden"))
+    def ylA(p: Int) =
+      harm(p)(among(p, "la", "le").flatMap(optCons(_, 'y')))
+    def ki(p: Int) = among(p, "ki")
+    def ncA(p: Int) =
+      harm(p)(among(p, "ca", "ce").flatMap(optCons(_, 'n')))
+    def yUm(p: Int) =
+      harm(p)(among(p, "im", "um", "ım", "üm").flatMap(optCons(_, 'y')))
+    def sUn(p: Int) = harm(p)(among(p, "sin", "sun", "sın", "sün"))
+    def yUz(p: Int) =
+      harm(p)(among(p, "iz", "uz", "ız", "üz").flatMap(optCons(_, 'y')))
+    def sUnUz(p: Int) = among(p, "siniz", "sunuz", "sınız", "sünüz")
+    def lAr(p: Int) = harm(p)(among(p, "lar", "ler"))
+    def nUz(p: Int) = harm(p)(among(p, "niz", "nuz", "nız", "nüz"))
+    def dUr(p: Int) = harm(p)(among(p, "dir", "tir", "dur", "tur",
+      "dır", "tır", "dür", "tür"))
+    def cAsInA(p: Int) = among(p, "casına", "cesine")
+    def yDU(p: Int) = harm(p)(among(p, "dik", "tik", "duk", "tuk",
+      "dık", "tık", "dük", "tük", "dim", "tim", "dum", "tum", "dım",
+      "tım", "düm", "tüm", "din", "tin", "dun", "tun", "dın", "tın",
+      "dün", "tün", "di", "ti", "du", "tu", "dı", "tı", "dü", "tü")
+      .flatMap(optCons(_, 'y')))
+    def ysA(p: Int) = among(p, "sak", "sek", "sam", "sem", "san",
+      "sen", "sa", "se").flatMap(optCons(_, 'y'))
+    def ymUs(p: Int) = harm(p)(
+      among(p, "miş", "muş", "mış", "müş").flatMap(optCons(_, 'y')))
+    def yken(p: Int) = among(p, "ken").flatMap(optCons(_, 'y'))
+
+    def cut(p: Int): Unit = w = w.substring(0, p)
+    def end = w.length
+
+    // ---- ki chain: ki after a case suffix restarts the noun chain.
+    // The chain can be entered with a PENDING (marked, not yet
+    // deleted) suffix beyond p0, so its deletes remove the segment
+    // [c, bracket) and keep the tail — a local bracket that moves to
+    // each delete's position, exactly the reference's cursor model. ----
+    def chainBeforeKi(p0: Int): Boolean = {
+      var ket = p0
+      def cutAt(c: Int): Unit = { // slice [c, ket), keep the tail
+        w = w.substring(0, c) + w.substring(ket)
+        ket = c
+      }
+      ki(p0) match {
+        case None => false
+        case Some(p1) =>
+          dA(p1) match {
+            case Some(c) =>
+              cutAt(c)
+              lAr(ket) match {
+                case Some(c2) => cutAt(c2); chainBeforeKi(ket); ()
+                case None =>
+                  possessives(ket).foreach { c2 =>
+                    cutAt(c2)
+                    lAr(ket).foreach { c3 =>
+                      cutAt(c3); chainBeforeKi(ket) }
+                  }
+              }
+              true
+            case None => nUn(p1) match {
+              case Some(c) =>
+                cutAt(c)
+                lArI(ket) match {
+                  case Some(c2) => cutAt(c2)
+                  case None =>
+                    possessives(ket).orElse(sU(ket)) match {
+                      case Some(c2) =>
+                        cutAt(c2)
+                        lAr(ket).foreach { c3 =>
+                          cutAt(c3); chainBeforeKi(ket) }
+                      case None => chainBeforeKi(ket); ()
+                    }
+                }
+                true
+              case None => ndA(p1) match {
+                case Some(c) =>
+                  lArI(c) match {
+                    case Some(c2) => cutAt(c2); true
+                    case None => sU(c) match {
+                      case Some(c2) =>
+                        cutAt(c2)
+                        lAr(ket).foreach { c3 =>
+                          cutAt(c3); chainBeforeKi(ket) }
+                        true
+                      case None => chainBeforeKi(c)
+                    }
+                  }
+                case None => false
+              }
+            }
+          }
+      }
+    }
+
+    // ---- nominal verb suffixes (continueNoun gates the noun pass) ----
+    var continueNoun = true
+    def stemNominalVerb(): Unit = {
+      val p = end
+      ymUs(p).orElse(yDU(p)).orElse(ysA(p)).orElse(yken(p)) match {
+        case Some(c) => cut(c); return
+        case None => ()
+      }
+      cAsInA(p).foreach { c1 => // cAsInA (person)? ymUş
+        val c2 = sUnUz(c1).orElse(lAr(c1)).orElse(yUm(c1))
+          .orElse(sUn(c1)).orElse(yUz(c1)).getOrElse(c1)
+        ymUs(c2) match {
+          case Some(c3) => cut(c3); return
+          case None => ()
+        }
+      }
+      lAr(p) match { // lAr then optionally DUr/yDU/ysA/ymUş; stop nouns
+        case Some(c1) =>
+          cut(c1)
+          val p2 = end
+          val c2 = dUr(p2).orElse(yDU(p2)).orElse(ysA(p2))
+            .orElse(ymUs(p2))
+          continueNoun = false
+          cut(c2.getOrElse(p2))
+          return
+        case None => ()
+      }
+      nUz(p).foreach { c1 =>
+        yDU(c1).orElse(ysA(c1)) match {
+          case Some(c2) => cut(c2); return
+          case None => ()
+        }
+      }
+      sUnUz(p).orElse(yUz(p)).orElse(sUn(p)).orElse(yUm(p)) match {
+        case Some(c1) =>
+          cut(c1)
+          val p2 = end
+          cut(ymUs(p2).getOrElse(p2))
+          return
+        case None => ()
+      }
+      dUr(p).foreach { c1 =>
+        cut(c1)
+        val p2 = end
+        val c2 = sUnUz(p2).orElse(lAr(p2)).orElse(yUm(p2))
+          .orElse(sUn(p2)).orElse(yUz(p2)).getOrElse(p2)
+        ymUs(c2).foreach(cut)
+      }
+    }
+
+    // ---- noun suffixes ----
+    def stemNoun(): Unit = {
+      val p = end
+      lAr(p) match {
+        case Some(c) => cut(c); chainBeforeKi(end); return
+        case None => ()
+      }
+      ncA(p) match {
+        case Some(c) =>
+          cut(c)
+          lArI(end) match {
+            case Some(c2) => cut(c2)
+            case None =>
+              possessives(end).orElse(sU(end)) match {
+                case Some(c2) =>
+                  cut(c2)
+                  lAr(end).foreach { c3 => cut(c3); chainBeforeKi(end) }
+                case None =>
+                  lAr(end).foreach { c2 => cut(c2); chainBeforeKi(end) }
+              }
+          }
+          return
+        case None => ()
+      }
+      ndA(p).orElse(nA(p)) match {
+        case Some(c) =>
+          val done = lArI(c) match {
+            case Some(c2) => cut(c2); true
+            case None => sU(c) match {
+              case Some(c2) =>
+                cut(c2)
+                lAr(end).foreach { c3 => cut(c3); chainBeforeKi(end) }
+                true
+              case None => chainBeforeKi(c) // chain behind the pending mark
+            }
+          }
+          if (done) return
+        case None => ()
+      }
+      ndAn(p).orElse(nU(p)) match {
+        case Some(c) =>
+          val done = sU(c) match {
+            case Some(c2) =>
+              cut(c2)
+              lAr(end).foreach { c3 => cut(c3); chainBeforeKi(end) }
+              true
+            case None => lArI(c).isDefined // marked, nothing deleted
+          }
+          if (done) return
+        case None => ()
+      }
+      dAn(p) match {
+        case Some(c) =>
+          cut(c)
+          possessives(end) match {
+            case Some(c2) =>
+              cut(c2)
+              lAr(end).foreach { c3 => cut(c3); chainBeforeKi(end) }
+            case None =>
+              lAr(end) match {
+                case Some(c2) => cut(c2); chainBeforeKi(end); ()
+                case None => chainBeforeKi(end); ()
+              }
+          }
+          return
+        case None => ()
+      }
+      nUn(p).orElse(ylA(p)) match {
+        case Some(c) =>
+          cut(c)
+          // lAr+chain, else possessive/sU(+lAr+chain), else chain
+          val viaLar = lAr(end) match {
+            case Some(c2) => cut(c2); chainBeforeKi(end)
+            case None => false
+          }
+          if (!viaLar) {
+            possessives(end).orElse(sU(end)) match {
+              case Some(c2) =>
+                cut(c2)
+                lAr(end).foreach { c3 => cut(c3); chainBeforeKi(end) }
+              case None => chainBeforeKi(end); ()
+            }
+          }
+          return
+        case None => ()
+      }
+      lArI(p) match {
+        case Some(c) => cut(c); return
+        case None => ()
+      }
+      if (chainBeforeKi(end)) return
+      dA(p).orElse(yU(p)).orElse(yA(p)) match {
+        case Some(c) =>
+          cut(c)
+          possessives(end) match {
+            case Some(c2) =>
+              cut(c2)
+              lAr(end).foreach(cut) // optional lAr after the possessive
+              chainBeforeKi(end); () // chain runs either way (swallowed)
+            case None =>
+              lAr(end) match {
+                case Some(c2) => cut(c2); chainBeforeKi(end); ()
+                case None => () // neither → the whole try is swallowed
+              }
+          }
+          return
+        case None => ()
+      }
+      possessives(p).orElse(sU(p)).foreach { c =>
+        cut(c)
+        lAr(end).foreach { c2 => cut(c2); chainBeforeKi(end) }
+      }
+    }
+
+    // ---- pipeline ----
+    stemNominalVerb()
+    if (!continueNoun) return w // nominal lAr branch ends stemming
+    stemNoun()
+    // postlude — skipped entirely for the reserved words
+    if (w != "ad" && w != "soyad") {
+      if (w.endsWith("d") || w.endsWith("g")) {
+        // append the high vowel harmonizing with the last vowel
+        var i = w.length - 1
+        while (i >= 0 && !trVowels(w.charAt(i))) i -= 1
+        if (i >= 0) w += (w.charAt(i) match {
+          case 'a' | 'ı' => "ı"
+          case 'e' | 'i' => "i"
+          case 'o' | 'u' => "u"
+          case _ => "ü"
+        })
+      }
+      if (w.nonEmpty) w.last match {
+        case 'b' => w = w.dropRight(1) + "p"
+        case 'c' => w = w.dropRight(1) + "ç"
+        case 'd' => w = w.dropRight(1) + "t"
+        case 'ğ' => w = w.dropRight(1) + "k"
+        case _ => ()
+      }
+    }
+    w
+  }
+
+  // =========================================================================
+  // FINNISH (snowball "finnish" algorithm)
+  // =========================================================================
+
+  private val fiV1 = "aeiouyäö".toSet
+  private val fiV2 = "aeiouäö".toSet
+  private val fiAEI = "aeiä".toSet
+  private val fiLong = Seq("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+  def finnish(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.isEmpty) return w
+    val r1 = standardR(w, 0, fiV1)
+    val r2 = standardR(w, r1, fiV1)
+    def inR1(pos: Int) = pos >= r1
+    def inR2(pos: Int) = pos >= r2
+    var endingRemoved = false
+    // suffix matching is limited to the region (a straddling longer
+    // suffix is not a candidate), but preceded-by tests are not
+    def longestIn(sufs: Seq[String], region: Int => Boolean,
+        all: Boolean = false): Seq[String] = {
+      val cands = sufs.filter(s =>
+        w.endsWith(s) && region(w.length - s.length)).sortBy(-_.length)
+      if (all) cands else cands.take(1)
+    }
+
+    // ---- particle etc. ----
+    longestIn(Seq("kaan", "kään", "sti", "kin", "han", "hän", "ko",
+      "kö", "pa", "pä"), inR1).foreach { s =>
+      val pos = w.length - s.length
+      val ok =
+        if (s == "sti") inR2(pos)
+        else pos > 0 && (fiV1(w.charAt(pos - 1)) ||
+          w.charAt(pos - 1) == 'n' || w.charAt(pos - 1) == 't')
+      if (ok) w = w.dropRight(s.length)
+    }
+
+    // ---- possessive ----
+    longestIn(Seq("nsa", "nsä", "mme", "nne", "ni", "si", "an", "än",
+      "en"), inR1).foreach { s =>
+      val base = w.dropRight(s.length)
+      s match {
+        case "si" =>
+          if (!base.endsWith("k")) w = base
+        case "ni" =>
+          w = base
+          if (w.endsWith("kse")) w = w.dropRight(1) + "i"
+        case "nsa" | "nsä" | "mme" | "nne" => w = base
+        case "an" =>
+          if (Seq("lla", "ssa", "sta", "lta", "ta", "na")
+              .exists(base.endsWith)) w = base
+        case "än" =>
+          if (Seq("llä", "ssä", "stä", "ltä", "tä", "nä")
+              .exists(base.endsWith)) w = base
+        case _ => // "en"
+          if (Seq("lle", "ine").exists(base.endsWith)) w = base
+      }
+    }
+
+    // ---- case endings. seen/siin/den/tten carry their precondition
+    // INSIDE the among (a failed gate falls back to the next-longest
+    // candidate); the other conditions live in the action (a failure
+    // ends the step with no fallback) ----
+    val caseCands = longestIn(Seq("han", "hen", "hin", "hon", "hän",
+      "hön", "lla", "llä", "ssa", "ssä", "sta", "stä", "lta", "ltä",
+      "tta", "ttä", "lle", "ine", "ksi", "na", "nä", "ta", "tä", "a",
+      "ä", "n", "seen", "siin", "den", "tten"), inR1, all = true)
+    caseCands.find { s =>
+      val base = w.dropRight(s.length)
+      s match {
+        case "seen" => fiLong.exists(base.endsWith) // after a long vowel
+        case "siin" | "den" | "tten" => // after Vi (a V2 vowel then i)
+          base.length >= 2 && base.endsWith("i") &&
+            fiV2(base.charAt(base.length - 2))
+        case _ => true
+      }
+    }.foreach { s =>
+      val pos = w.length - s.length
+      val base = w.dropRight(s.length)
+      s match {
+        case "seen" | "siin" | "den" | "tten" =>
+          w = base; endingRemoved = true
+        case "han" | "hen" | "hin" | "hon" | "hän" | "hön" =>
+          // the harmonizing vowel must precede: ahan, ehen, ihin, …
+          val want = Map("han" -> "a", "hen" -> "e", "hin" -> "i",
+            "hon" -> "o", "hän" -> "ä", "hön" -> "ö")(s)
+          if (base.endsWith(want)) { w = base; endingRemoved = true }
+        case "a" | "ä" =>
+          // preceded by consonant + vowel
+          if (pos >= 2 && fiV1(w.charAt(pos - 1)) &&
+              !fiV1(w.charAt(pos - 2))) {
+            w = base; endingRemoved = true
+          }
+        case "tta" | "ttä" =>
+          if (base.endsWith("e")) { w = base; endingRemoved = true }
+        case "n" =>
+          // delete n; a preceding long vowel or "ie" loses its last
+          // letter too
+          val extra =
+            if (fiLong.exists(base.endsWith) || base.endsWith("ie")) 1
+            else 0
+          w = w.substring(0, pos - extra)
+          endingRemoved = true
+        case _ =>
+          w = base; endingRemoved = true
+      }
+    }
+
+    // ---- other endings (in R2) ----
+    longestIn(Seq("impi", "impa", "impä", "immi", "imma", "immä",
+      "mpi", "mpa", "mpä", "mmi", "mma", "mmä", "eja", "ejä"), inR2)
+      .foreach { s =>
+        val base = w.dropRight(s.length)
+        val comparative = Set("mpi", "mpa", "mpä", "mmi", "mma", "mmä")
+        if (!comparative(s) || !base.endsWith("po")) w = base
+      }
+
+    // ---- plurals ----
+    if (endingRemoved) {
+      // i_plural: final i or j in R1
+      if (w.nonEmpty && (w.last == 'i' || w.last == 'j') &&
+          inR1(w.length - 1))
+        w = w.dropRight(1)
+    } else {
+      // t_plural: final t in R1 after a vowel …
+      if (w.endsWith("t") && inR1(w.length - 1) && w.length >= 2 &&
+          fiV1(w.charAt(w.length - 2))) {
+        w = w.dropRight(1)
+        // … then a final mma/imma in R2 (mma not after po)
+        longestIn(Seq("imma", "mma"), inR2).foreach { s =>
+          val base = w.dropRight(s.length)
+          if (s == "imma" || !base.endsWith("po")) w = base
+        }
+      }
+    }
+
+    // ---- tidying up (each sub-step within R1) ----
+    if (fiLong.exists(s => w.endsWith(s) && inR1(w.length - 2)))
+      w = w.dropRight(1)
+    if (w.length >= 2 && fiAEI(w.last) && inR1(w.length - 2) &&
+        !fiV1(w.charAt(w.length - 2)))
+      w = w.dropRight(1)
+    if ((w.endsWith("oj") || w.endsWith("uj")) && inR1(w.length - 2))
+      w = w.dropRight(1)
+    if (w.endsWith("jo") && inR1(w.length - 2))
+      w = w.dropRight(1)
+    // undouble a final double consonant followed by zero or more vowels
+    locally {
+      var i = w.length - 1
+      while (i >= 0 && fiV1(w.charAt(i))) i -= 1
+      if (i >= 1 && !fiV1(w.charAt(i)) && w.charAt(i - 1) == w.charAt(i))
+        w = w.substring(0, i) + w.substring(i + 1)
+    }
+    w
+  }
+
+  // =========================================================================
+  // HUNGARIAN (snowball "hungarian" algorithm)
+  // =========================================================================
+
+  private val huVowels = "aáeéiíoóöőuúüű".toSet
+  private val huDigraphs = Seq("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+  private val huDoubles = Seq("ccs", "ggy", "lly", "nny", "ssz", "tty",
+    "zzs", "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+    "pp", "rr", "ss", "tt", "vv", "zz")
+
+  def hungarian(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.isEmpty) return w
+    // R1: after the first consonant (or consonant digraph) when the
+    // word starts with a vowel; after the first vowel otherwise
+    val r1 = {
+      if (huVowels(w.charAt(0))) {
+        val c = w.indexWhere(ch => !huVowels(ch))
+        if (c < 0) w.length
+        else huDigraphs.find(d => w.startsWith(d, c)) match {
+          case Some(d) => c + d.length
+          case None => c + 1
+        }
+      } else {
+        val v = w.indexWhere(huVowels)
+        if (v < 0) w.length else v + 1
+      }
+    }
+    def inR1(pos: Int) = pos >= r1
+    def endsDouble(s: String) = huDoubles.exists(s.endsWith)
+    // "remove one of the double consonant": deleting the second-to-last
+    // character handles both plain doubles (ll → l) and doubled
+    // digraphs (nny → ny, ssz → sz)
+    def undouble(s: String) =
+      if (s.length >= 2) s.substring(0, s.length - 2) + s.last else s
+    def vEnding(): Unit =
+      if (w.endsWith("á") && inR1(w.length - 1)) w = w.dropRight(1) + "a"
+      else if (w.endsWith("é") && inR1(w.length - 1)) w = w.dropRight(1) + "e"
+    /** longest suffix of `m` matching; if in R1, apply: Some(repl) →
+      * replace, None → delete. Suffixes carrying á/é revert them. */
+    def among(m: Seq[(String, Option[String])]): Unit =
+      m.filter { case (s, _) => w.endsWith(s) }
+        .sortBy { case (s, _) => -s.length }.headOption
+        .foreach { case (s, act) =>
+          if (inR1(w.length - s.length))
+            w = w.dropRight(s.length) + act.getOrElse("")
+        }
+    def D = None: Option[String]
+    def A = Some("a"); def E = Some("e")
+
+    // instrumental case: al/el in R1 after a double consonant
+    Seq("al", "el").find(s => w.endsWith(s) && inR1(w.length - 2))
+      .foreach { _ =>
+        val base = w.dropRight(2)
+        if (endsDouble(base)) w = undouble(base)
+      }
+    // frequent cases, then revert a lengthened final vowel
+    locally {
+      val cases = Seq("ba", "ra", "be", "re", "ig", "nak", "nek", "val",
+        "vel", "ul", "ből", "ről", "től", "nál", "nél", "ból", "ról",
+        "tól", "ül", "n", "an", "ban", "en", "ben", "képpen", "on",
+        "ön", "képp", "kor", "t", "at", "et", "ként", "anként",
+        "enként", "onként", "ot", "ért", "öt", "hez", "hoz", "höz",
+        "vá", "vé")
+      val before = w
+      among(cases.map(s => (s, D)))
+      if (w != before) vEnding()
+    }
+    // special and other case forms
+    among(Seq(("én", E), ("án", A), ("ánként", A)))
+    among(Seq(("astul", D), ("estül", D), ("stul", D), ("stül", D),
+      ("ástul", A), ("éstül", E)))
+    // factive case: á/é in R1 after a double consonant
+    Seq("á", "é").find(s => w.endsWith(s) && inR1(w.length - 1))
+      .foreach { _ =>
+        val base = w.dropRight(1)
+        if (endsDouble(base)) w = undouble(base)
+      }
+    // owned, singular owner, plural owner, plural
+    among(Seq(("aké", D), ("eké", D), ("oké", D), ("öké", D),
+      ("éké", E), ("áké", A), ("ké", D), ("ééi", E), ("áéi", A),
+      ("éi", D), ("éé", E), ("é", D)))
+    among(Seq(("unk", D), ("ünk", D), ("ánk", A), ("énk", E),
+      ("nk", D), ("ájuk", A), ("éjük", E), ("juk", D), ("jük", D),
+      ("uk", D), ("ük", D), ("am", D), ("em", D), ("om", D),
+      ("ám", A), ("ém", E), ("m", D), ("ad", D), ("ed", D),
+      ("od", D), ("öd", D), ("ád", A), ("éd", E), ("d", D),
+      ("ja", D), ("je", D), ("a", D), ("e", D), ("o", D),
+      ("á", A), ("é", E)))
+    among(Seq(("jaim", D), ("jeim", D), ("aim", D), ("eim", D),
+      ("áim", A), ("éim", E), ("im", D), ("jaid", D), ("jeid", D),
+      ("aid", D), ("eid", D), ("áid", A), ("éid", E), ("id", D),
+      ("jai", D), ("jei", D), ("ai", D), ("ei", D), ("ái", A),
+      ("éi", E), ("i", D), ("jaink", D), ("jeink", D), ("aink", D),
+      ("eink", D), ("áink", A), ("éink", E), ("ink", D),
+      ("jaitok", D), ("jeitek", D), ("aitok", D), ("eitek", D),
+      ("áitok", A), ("éitek", E), ("itek", D), ("jaik", D),
+      ("jeik", D), ("aik", D), ("eik", D), ("áik", A), ("éik", E),
+      ("ik", D)))
+    among(Seq(("ák", A), ("ék", E), ("ök", D), ("ok", D), ("ek", D),
+      ("ak", D), ("k", D)))
+    w
+  }
+
+  // =========================================================================
+  // ROMANIAN (snowball "romanian" algorithm; cedilla forms ş/ţ as in
+  // the reference's vendored tables)
+  // =========================================================================
+
+  private val roVowels = "aăâeiîou".toSet
+
+  def romanian(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.isEmpty) return w
+    // prelude: i/u between vowels become consonants I/U
+    locally {
+      val sb = new StringBuilder(w)
+      def v(j: Int) = j >= 0 && j < sb.length && roVowels(sb.charAt(j))
+      var c = 0
+      while (c < sb.length - 2) {
+        val m = sb.charAt(c + 1)
+        if (v(c) && (m == 'u' || m == 'i') && v(c + 2)) {
+          sb.setCharAt(c + 1, m.toUpper); c += 2
+        } else c += 1
+      }
+      w = sb.toString
+    }
+    val rv = romanceRV(w, roVowels)
+    val r1 = standardR(w, 0, roVowels)
+    val r2 = standardR(w, r1, roVowels)
+    def inRV(pos: Int) = pos >= rv
+    def inR1(pos: Int) = pos >= r1
+    def inR2(pos: Int) = pos >= r2
+
+    // ---- step 0: removal of plurals (in R1; longest match) ----
+    locally {
+      val rules: Seq[(String, String => Option[String])] = {
+        def repl(to: String)(sufs: String*) = sufs.map { s =>
+          s -> ((x: String) =>
+            if (inR1(x.length - s.length))
+              Some(x.dropRight(s.length) + to) else None)
+        }
+        repl("")("ul", "ului") ++ repl("a")("aua") ++
+          repl("e")("ea", "ele", "elor") ++
+          repl("i")("ii", "iua", "iei", "iile", "ilor", "iilor") ++
+          Seq("ile" -> ((x: String) =>
+            if (inR1(x.length - 3) &&
+                !(x.length >= 5 && x.regionMatches(x.length - 5, "ab", 0, 2)))
+              Some(x.dropRight(3) + "i") else None)) ++
+          repl("at")("atei") ++ repl("aţi")("aţie", "aţia")
+      }
+      rules.filter { case (s, _) => w.endsWith(s) }
+        .sortBy { case (s, _) => -s.length }.headOption
+        .foreach { case (_, f) => f(w).foreach(w = _) }
+    }
+
+    // ---- steps 1+2: combining suffixes (repeat) then standard ----
+    var suffixRemoved = false
+    locally {
+      // step 1: reduce combining suffixes in R1 until none replaces
+      val combos: Seq[(String, String)] = Seq(
+        "abilitate" -> "abil", "abilitati" -> "abil",
+        "abilităi" -> "abil", "abilităţi" -> "abil",
+        "ibilitate" -> "ibil",
+        "ivitate" -> "iv", "ivitati" -> "iv", "ivităi" -> "iv",
+        "ivităţi" -> "iv",
+        "icitate" -> "ic", "icitati" -> "ic", "icităi" -> "ic",
+        "icităţi" -> "ic", "icator" -> "ic", "icatori" -> "ic",
+        "iciv" -> "ic", "iciva" -> "ic", "icive" -> "ic",
+        "icivi" -> "ic", "icivă" -> "ic", "ical" -> "ic",
+        "icala" -> "ic", "icale" -> "ic", "icali" -> "ic",
+        "icală" -> "ic",
+        "ativ" -> "at", "ativa" -> "at", "ative" -> "at",
+        "ativi" -> "at", "ativă" -> "at", "aţiune" -> "at",
+        "atoare" -> "at", "ator" -> "at", "atori" -> "at",
+        "ătoare" -> "at", "ător" -> "at", "ători" -> "at",
+        "itiv" -> "it", "itiva" -> "it", "itive" -> "it",
+        "itivi" -> "it", "itivă" -> "it", "iţiune" -> "it",
+        "itoare" -> "it", "itor" -> "it", "itori" -> "it")
+      var changed = true
+      while (changed) {
+        changed = false
+        combos.filter { case (s, _) => w.endsWith(s) }
+          .sortBy { case (s, _) => -s.length }.headOption
+          .foreach { case (s, to) =>
+            if (inR1(w.length - s.length)) {
+              w = w.dropRight(s.length) + to
+              suffixRemoved = true
+              changed = true
+            }
+          }
+      }
+      // step 2: standard suffixes in R2 (longest match)
+      val del = Seq("abila", "abile", "abili", "abilă", "ibila", "ibile",
+        "ibili", "ibilă", "itate", "itati", "ităţi", "atori", "oasa",
+        "oasă", "oase", "abil", "ibil", "ator", "ităi", "anta", "ante",
+        "anti", "antă", "ata", "ate", "ati", "ată", "ica", "ice", "ici",
+        "ică", "ita", "ite", "iti", "ită", "osi", "oşi", "uta", "ute",
+        "uti", "ută", "iva", "ive", "ivi", "ivă", "ant", "os", "at",
+        "it", "ut", "iv", "ic")
+      val ist = Seq("isme", "ista", "iste", "isti", "istă", "işti",
+        "ism", "ist")
+      val iune = Seq("iune", "iuni")
+      val cands =
+        (del.map(s => (s, 'd')) ++ ist.map(s => (s, 'i')) ++
+          iune.map(s => (s, 't'))).filter { case (s, _) => w.endsWith(s) }
+      cands.sortBy { case (s, _) => -s.length }.headOption.foreach {
+        case (s, 'd') =>
+          if (inR2(w.length - s.length)) {
+            w = w.dropRight(s.length); suffixRemoved = true
+          }
+        case (s, 'i') =>
+          if (inR2(w.length - s.length)) {
+            w = w.dropRight(s.length) + "ist"; suffixRemoved = true
+          }
+        case (s, _) =>
+          // iune/iuni: delete if in R2 and preceded by ţ → replace ţ by t
+          val pos = w.length - s.length
+          if (inR2(pos) && pos > 0 && w.charAt(pos - 1) == 'ţ') {
+            w = w.dropRight(s.length + 1) + "t"; suffixRemoved = true
+          }
+      }
+    }
+
+    // ---- step 3: verb suffixes (only if steps 1-2 removed nothing);
+    // longest in RV; group 1 also needs a consonant or u before it
+    // (that character itself inside RV) ----
+    if (!suffixRemoved) {
+      val g1 = Seq("aserăţi", "iserăţi", "userăţi",
+        "âserăţi", "aserăm", "iserăm", "userăm", "âserăm",
+        "ească", "aseră", "iseră", "useră", "âseră",
+        "aseşi", "iseşi", "useşi", "âseşi", "arăţi",
+        "irăţi", "urăţi", "ârăţi", "eaţi", "iaţi", "arăm", "irăm",
+        "urăm", "ârăm", "asem", "isem", "usem", "âsem",
+        "ează", "eşte", "ăşte", "eşti", "ăşti", "indu", "ându",
+        "ară", "iră", "ură", "âră", "ase", "ise", "use", "âse",
+        "eai", "iai", "aşi", "işi", "uşi", "âşi", "eam", "iam",
+        "eau", "iau", "esc", "ăsc", "ind", "ând", "are", "ere",
+        "ire", "âre", "eze", "ezi", "ea", "ia", "ai", "ui", "âi",
+        "am", "au", "ez")
+      val g2 = Seq("seserăţi", "serăţi", "seserăm", "serăm", "seseră",
+        "seră", "seseşi", "seşi", "sesem", "sese", "aţi", "eţi",
+        "iţi", "âţi", "sei", "ăm", "em", "im", "âm", "se")
+      val cands = (g1.map(s => (s, true)) ++ g2.map(s => (s, false)))
+        .filter { case (s, _) =>
+          w.endsWith(s) && inRV(w.length - s.length) }
+      cands.sortBy { case (s, _) => -s.length }.headOption.foreach {
+        case (s, needsCons) =>
+          val pos = w.length - s.length
+          if (!needsCons || (pos - 1 >= rv && {
+            val p = w.charAt(pos - 1)
+            !roVowels(p) || p == 'u'
+          })) w = w.dropRight(s.length)
+      }
+    }
+
+    // ---- step 4: final vowel — the LONGEST of a/e/ie/i/ă is matched
+    // first and only then tested against RV (a longest match outside
+    // RV ends the step; no fallback to a shorter suffix) ----
+    Seq("ie", "a", "e", "i", "ă")
+      .filter(w.endsWith).sortBy(-_.length).headOption
+      .foreach(s => if (inRV(w.length - s.length)) w = w.dropRight(s.length))
+
+    w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
   }
 
   def swedish(word0: String): String = {
