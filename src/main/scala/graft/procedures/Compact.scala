@@ -141,9 +141,13 @@ object Compact {
 
   /** Leaf dirs = directories that directly contain parquet data files.
     * The walk is driver-side but #files-sized — the same cost every
-    * Spark read of the store already pays in its file index. */
-  private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
-    def walk(dir: Path): Seq[Path] = {
+    * Spark read of the store already pays in its file index. `prune`
+    * stops the walk BEFORE descending into (or listing) a directory —
+    * the partition-pruning hook for windowed readers. */
+  private def leafDirs(fs: FileSystem, root: Path,
+      prune: Path => Boolean = _ => true): Seq[Path] = {
+    def walk(dir: Path, isRoot: Boolean): Seq[Path] = {
+      if (!isRoot && !prune(dir)) return Nil
       val entries = fs.listStatus(dir).toSeq
       val subdirs = entries.filter(e => e.isDirectory && !isHidden(e.getPath))
       // a pending commit marker counts as data: the crash it records
@@ -152,9 +156,10 @@ object Compact {
       val hasData = entries.exists(e =>
         e.isFile && isDataFile(e.getPath)) ||
         entries.exists(e => e.getPath.getName == ".compact_commit")
-      (if (hasData) Seq(dir) else Nil) ++ subdirs.flatMap(e => walk(e.getPath))
+      (if (hasData) Seq(dir) else Nil) ++
+        subdirs.flatMap(e => walk(e.getPath, isRoot = false))
     }
-    walk(root)
+    walk(root, isRoot = true)
   }
 
   /** Reader-concurrent store read: per leaf, resolve the LIVE file set
@@ -178,8 +183,15 @@ object Compact {
     * when its state changed mid-read. Residual assumption: a reader's
     * metadata reads are not separated by an ENTIRE compaction cycle
     * (marker write → swap → clear spans a Spark rewrite job; the
-    * listings span milliseconds). */
-  def readStore(spark: SparkSession, storePath: String): DataFrame = {
+    * listings span milliseconds).
+    *
+    * `leafFilter` prunes the driver-side walk BEFORE any file listing
+    * — at 100 TB a windowed reader passes the partition-directory
+    * predicate here so only the relevant day leaves are ever listed,
+    * the same pruning a plain partition-filtered read gets from its
+    * file index. */
+  def readStore(spark: SparkSession, storePath: String,
+      leafFilter: Path => Boolean = _ => true): DataFrame = {
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no store at $storePath")
@@ -222,7 +234,8 @@ object Compact {
         s"marker at $leaf kept changing across 5 read attempts — " +
           "a compactor is racing faster than metadata reads")
     }
-    val files = leafDirs(fs, root).flatMap(liveFiles).map(_.toString)
+    val files = leafDirs(fs, root, leafFilter)
+      .flatMap(liveFiles).map(_.toString)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.option("basePath", storePath).parquet(files: _*)
   }

@@ -299,13 +299,43 @@ object Continuous {
   /** `continuous.window`: a committed time range as a batch dataset.
     * The p_date predicate is a pure partition filter (no file content
     * read outside the range); the ts predicate trims the boundary
-    * days. */
+    * days.
+    *
+    * While the store still carries the streaming sink's
+    * `_spark_metadata`, that log is authoritative (it hides
+    * uncommitted writer files) and the read goes through it. Once the
+    * log is retired — the archived/compactable state — the read goes
+    * through [[graft.procedures.Compact.readStore]] instead, so a
+    * window stays correct even while `dataset.compact` is mid-swap on
+    * some leaf; the day-range predicate is ALSO pushed into the
+    * driver-side walk as a leaf filter, preserving the plain read's
+    * partition pruning (out-of-range day directories are never
+    * listed). */
   def window(spark: SparkSession, path: String, tsCol: String,
       from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     val (lo, hi) = (fmt.format(from), fmt.format(to))
-    spark.read.parquet(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasSinkLog =
+      fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata"))
+    val base =
+      if (hasSinkLog) spark.read.parquet(path)
+      else {
+        val pruned = graft.procedures.Compact.readStore(spark, path, leaf => {
+          val n = leaf.getName
+          !n.startsWith("p_date=") || {
+            val d = n.substring("p_date=".length)
+            d >= lo && d <= hi
+          }
+        })
+        // a fully-pruned range yields a schema-less empty frame; read
+        // the store's schema unpruned so the filters still resolve
+        if (pruned.schema.nonEmpty) pruned
+        else graft.procedures.Compact.readStore(spark, path).limit(0)
+      }
+    base
       .filter(col("p_date") >= lo && col("p_date") <= hi)
       .filter(col(tsCol) >= lit(from) && col(tsCol) < lit(to))
       .drop("p_date")

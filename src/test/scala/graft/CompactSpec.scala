@@ -347,6 +347,60 @@ class CompactSpec extends AnyFunSuite {
     assert(df.filter(col("extra").isNotNull).count() === 50)
   }
 
+  test("continuous.window on a retired store reads through readStore: " +
+      "correct mid-swap, day leaves outside the range never listed") {
+    import graft.streaming.Continuous
+    val store = tmpDir("window") + "/store"
+    // three day partitions, several files each, NO sink log (the
+    // archived/compactable state)
+    val events = spark.range(0, 300, 1, 4).toDF("id")
+      .withColumn("ts", timestamp_micros(
+        lit(1767225600000000L) + col("id") * 600000000L)) // 2026-01-01+
+      .withColumn("p_date", date_format(col("ts"), "yyyy-MM-dd"))
+    events.repartition(4).write.partitionBy("p_date").parquet(store)
+    val days = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("p_date=")).map(_.getName).sorted
+    assert(days.length >= 3)
+    // freeze a swap inside the SECOND day: stage cg1, commit marker,
+    // move nothing — a plain reader would see an empty leaf after the
+    // deletes; readStore must serve the staged generation
+    val leaf = new java.io.File(s"$store/${days(1)}")
+    val old = leafFiles(leaf).map(_.getName).sorted
+    spark.read.parquet(leaf.getAbsolutePath).repartition(1)
+      .write.parquet(s"${leaf.getAbsolutePath}/.compact_tmp")
+    val tmpF = new java.io.File(leaf, ".compact_tmp")
+    tmpF.listFiles().filter(f => f.isFile &&
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .foreach(f =>
+        assert(f.renameTo(new java.io.File(tmpF, s"cg1-${f.getName}"))))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${leaf.getAbsolutePath}/.compact_commit"),
+      ("gen=1\n" + old.mkString("\n")).getBytes("UTF-8"))
+    old.foreach(n => assert(new java.io.File(leaf, n).delete()))
+
+    // window ends MID day 2, so day 3 is outside even the inclusive
+    // partition-date range and must be pruned from the walk entirely
+    val from = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1767225600L))
+    val to = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1767225600L + 129600L))
+    val win = Continuous.window(spark, store, "ts", from, to)
+    val ids = win.select("id").collect().map(_.getLong(0)).toSet
+    // exactly the in-range rows — including the mid-swap day, whose
+    // visible leaf is EMPTY right now
+    val want = (0L until 300L).filter(_ * 600 < 129600L).toSet
+    assert(ids === want, s"got ${ids.size}, want ${want.size}")
+    // pruning: the third day's files are not part of the relation
+    assert(win.inputFiles.forall(p => !p.contains(days(2))),
+      win.inputFiles.filter(_.contains(days(2))).toSeq)
+    // and a window over a range with no matching day is empty, not an
+    // error (the schema-resolution fallback)
+    val none = Continuous.window(spark, store, "ts",
+      java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2030-01-02 00:00:00"))
+    assert(none.count() === 0)
+  }
+
   test("dataset.compact dispatches as a procedure type") {
     val e = new api.GraftEngine(spark)
     val store = tmpDir("proc") + "/store"
