@@ -3662,15 +3662,17 @@ final class GraftEngine(val spark: SparkSession) {
         // column's count/sum/min/max priors switch to
         // DfOps.groupedRunningStats (range-partitioned prefix combine;
         // min/max merge exactly via least/greatest, count exactly,
-        // sum exactly for integer-valued outcomes). avg/std/last stay
+        // sum exactly for integer-valued outcomes, and 'last' exactly
+        // — prefix-last is the value at the max order key, and
+        // max-by-order merges by SELECTION (DfOps.groupedRunningStats
+        // kind last), bit-exact with no flag needed). avg/std stay
         // windowed even past the threshold BY DEFAULT — prefix-merging
         // reorders float accumulation and would silently change
         // low-order bits (the q122 exactness contract). Setting
         // graft.distTable.skewSafeFloat=true opts avg/std into the
         // Chan pairwise prefix merge (DfOps.groupedRunningStats kinds
         // avg/std) — rounding-level agreement, documented bit-
-        // divergent, but NO hot-key window task remains for them;
-        // 'last' always stays windowed (no order-insensitive merge).
+        // divergent, but NO hot-key window task remains for them.
         // The switch needs an all-ASC training order (the range
         // partitioner's frame); DESC keys keep the window.
         val skewThreshold = spark.conf
@@ -3679,8 +3681,9 @@ final class GraftEngine(val spark: SparkSession) {
         val skewSafeFloat = spark.conf
           .getOption("graft.distTable.skewSafeFloat").exists(_.toBoolean)
         val prefixable =
-          if (skewSafeFloat) Set("count", "sum", "min", "max", "avg", "std")
-          else Set("count", "sum", "min", "max")
+          if (skewSafeFloat)
+            Set("count", "sum", "min", "max", "last", "avg", "std")
+          else Set("count", "sum", "min", "max", "last")
         val allAsc = stmt0.orderBy.isEmpty || stmt0.orderBy.forall(_.asc)
         val skewedCols: Set[String] =
           if (!allAsc) Set.empty

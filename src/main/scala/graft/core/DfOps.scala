@@ -53,9 +53,16 @@ object DfOps {
               lastCheckpointRoot = dir
             }
           }
-        df.checkpoint()
-      case _ => df.localCheckpoint()
+        statsSafe(df.checkpoint())
+      case _ => statsSafe(df.localCheckpoint())
     }
+
+  /** Checkpoints carry the origin plan's stats into the new leaf;
+    * iterative callers (closure loops) compound those join-multiplied
+    * estimates into a BigInteger-overflowing tower — clamp them at the
+    * cut (see [[org.apache.spark.sql.GraftColumnBridge.clampCarriedStats]]). */
+  def statsSafe(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.clampCarriedStats(df)
 
   /** Adds `outCol` = global 1-based row number of `df` under the total
     * order given by `order`. Scale-safe: the sort is a range exchange
@@ -188,36 +195,44 @@ object DfOps {
   private def emptyMoments: Column = struct(lit(0L).as("n"),
     lit(null).cast("double").as("m"), lit(null).cast("double").as("m2"))
 
-  /** Exclusive grouped running count/sum/min/max/avg/std that survive
-    * a SKEWED group — [[groupedRunningSums]] generalized to the stat
-    * set distTable.train's prior columns need. Same construction (range
-    * partition by `order`, local exclusive window within (partition,
-    * group), per-(partition, group) totals exclusive-combined over
-    * partitions, null-safe join back); each spec is (alias, expr,
-    * kind) with kind ∈ sum | min | max | avg | std, and `countAlias`
-    * optionally adds the running row count. Exclusive-empty prefixes
-    * yield null for sum/min/max/avg (callers coalesce to their
-    * defaults), null for std below two values, and 0 for count — the
-    * same nullability as the window formulation. min/max merge via
-    * least/greatest, which are order-insensitive even for doubles; sum
-    * is bit-identical to the window for integer-valued expressions and
-    * regrouped (not reordered-within-partition) for fractional doubles
-    * — the [[groupedRunningSums]] caveat. avg/std merge per-slice
-    * (count, mean, M2) states with [[chanMerge]] — the numerically
-    * stable pairwise update, but REGROUPED float accumulation: results
-    * agree with the windowed formulation to rounding, NOT bit-exactly.
+  /** Exclusive grouped running count/sum/min/max/avg/std/last that
+    * survive a SKEWED group — [[groupedRunningSums]] generalized to the
+    * stat set distTable.train's prior columns need. Same construction
+    * (range partition by `order`, local exclusive window within
+    * (partition, group), per-(partition, group) totals
+    * exclusive-combined over partitions, null-safe join back); each
+    * spec is (alias, expr, kind) with kind ∈ sum | min | max | avg |
+    * std | last, and `countAlias` optionally adds the running row
+    * count. Exclusive-empty prefixes yield null for
+    * sum/min/max/avg/last (callers coalesce to their defaults), null
+    * for std below two values, and 0 for count — the same nullability
+    * as the window formulation. min/max merge via least/greatest,
+    * which are order-insensitive even for doubles; sum is bit-identical
+    * to the window for integer-valued expressions and regrouped (not
+    * reordered-within-partition) for fractional doubles — the
+    * [[groupedRunningSums]] caveat. avg/std merge per-slice (count,
+    * mean, M2) states with [[chanMerge]] — the numerically stable
+    * pairwise update, but REGROUPED float accumulation: results agree
+    * with the windowed formulation to rounding, NOT bit-exactly.
     * Callers that owe a bit-exact oracle keep the window for avg/std
     * and opt into these kinds explicitly (the engine procedures'
-    * `skewSafeFloat` switch). The per-slice states ride the same two
-    * exchanges as the other kinds — no value-partitioned window
-    * anywhere, so a 99%-hot group still spreads across tasks. `order`
-    * must be unique per row. */
+    * `skewSafeFloat` switch). `last` needs no such flag: prefix-last is
+    * the value at the MAX ORDER KEY among preceding rows, and
+    * max-by-order is order-insensitively mergeable by SELECTION — the
+    * state is a `struct(order, value)` whose slice aggregate and
+    * cross-slice combine are plain `max`/`greatest` (order keys are
+    * unique, so the comparison never reaches the value), which is
+    * bit-exact vs the windowed `last()` by construction. The per-slice
+    * states ride the same two exchanges as the other kinds — no
+    * value-partitioned window anywhere, so a 99%-hot group still
+    * spreads across tasks. `order` must be unique per row. */
   def groupedRunningStats(df: DataFrame, group: Column, order: Column,
       specs: Seq[(String, Column, String)],
       countAlias: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(specs.forall(s => Set("sum", "min", "max", "avg", "std")(s._3)),
-      "kind must be sum|min|max|avg|std")
+    require(specs.forall(s =>
+      Set("sum", "min", "max", "avg", "std", "last")(s._3)),
+      "kind must be sum|min|max|avg|std|last")
     require(specs.nonEmpty || countAlias.nonEmpty,
       "groupedRunningStats needs at least one spec or a countAlias")
     val spark = df.sparkSession
@@ -231,6 +246,10 @@ object DfOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     def aggOf(kind: String, e: Column): Column = kind match {
       case "sum" => sum(e); case "min" => min(e); case "max" => max(e)
+      // prefix-last state: (order, value) of the max-order row in the
+      // slice — `order` is unique, so the struct max never compares the
+      // value field and a null value rides along unchanged
+      case "last" => max(struct(col("__grt_o").as("o"), e.as("v")))
     }
     def isMoment(kind: String) = kind == "avg" || kind == "std"
     // (n, m, m2) state for one slice: n/m from count/avg, m2 recovered
@@ -269,6 +288,10 @@ object DfOps {
             aggregate(
               collect_list(col(s"`__grt_t_$a`")).over(wOff),
               emptyMoments, (acc, x) => chanMerge(acc, x))
+          else if (k == "last")
+            // the slice states are already (order, value) structs; the
+            // cross-slice combine is their plain max (selection)
+            max(col(s"`__grt_t_$a`")).over(wOff)
           else aggOf(k, col(s"`__grt_t_$a`")).over(wOff))
             .as(s"__grt_o_$a")
         } ++
@@ -286,6 +309,12 @@ object DfOps {
         case "sum" => coalesce(l + o, l, o)
         case "min" => least(l, o) // least/greatest skip nulls
         case "max" => greatest(l, o)
+        case "last" =>
+          // later of the two (order, value) states wins — greatest
+          // compares the unique order key first; an empty prefix (both
+          // null) yields a null struct, whose .v is null, matching the
+          // windowed last()'s empty-frame null
+          greatest(l, o).getField("v")
         case "avg" | "std" =>
           // merge the exclusive cross-partition state with this row's
           // local exclusive state; avg is the merged mean (null on an

@@ -431,6 +431,92 @@ class ScaleSpec extends AnyFunSuite {
         plan.take(2000))
   }
 
+  test("groupedRunningStats last on a 99%-hot group: selection prefix " +
+      "merge is BIT-EXACT vs the window, plans NO value-keyed window") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 20000L
+    // the avg/std test's degenerate distribution, plus nulls IN THE
+    // VALUE column: windowed last() (ignoreNulls=false) returns the
+    // preceding row's value even when null, and the (order, value)
+    // selection state must reproduce that exactly
+    val df = spark.range(n).toDF("id").repartition(16)
+      .withColumn("k",
+        when(col("id") % 997 === 0, lit(null).cast("string"))
+          .when(col("id") % 100 === 0,
+            concat(lit("v"), (col("id") % 5).cast("string")))
+          .otherwise(lit("hot")))
+      .withColumn("v",
+        when(col("id") % 13 === 0, lit(null).cast("double"))
+          .otherwise(lit(1000.0) + (col("id") % 251).cast("double") / 3.0))
+      .withColumn("ord", format_string("r%08d", col("id")))
+    val got = core.DfOps.groupedRunningStats(df, col("k"), col("ord"),
+      Seq(("lv", col("v"), "last")), None)
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.select(col("id"), last(col("v")).over(w).as("lv"))
+    val gm = got.select("id", "lv").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val em = want.collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gm.size === em.size)
+    // selection, not arithmetic → BIT-exact equality including the
+    // null pattern (empty prefix AND null-valued predecessor)
+    em.foreach { case (id, e) =>
+      (gm(id), e) match {
+        case (None, None) => ()
+        case (Some(a: Double), Some(b: Double)) =>
+          assert(java.lang.Double.doubleToLongBits(a) ==
+            java.lang.Double.doubleToLongBits(b), s"id=$id got=$a want=$b")
+        case other => fail(s"id=$id null-pattern diverged: $other")
+      }
+    }
+    val plan = got.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("windowspecdefinition(__grt_pid"), plan.take(2000))
+    assert(!plan.contains("hashpartitioning(k#"),
+      "group-only exchange found — the skew path lost its point:\n" +
+        plan.take(2000))
+  }
+
+  test("distTable.train past the skew threshold: 'last' takes the " +
+      "prefix path (no flag) and is bit-identical to the window") {
+    val e = new api.GraftEngine(spark)
+    val rows = (0 until 400).map { i =>
+      val host =
+        if (i % 97 == 0) "null"
+        else if (i % 50 == 0) s""""rare$i.com""""
+        else "\"hot.com\""
+      s"""{"rowName": "r${"%04d".format(i)}", "host": $host,
+         | "price": ${i % 23}.25, "order_": $i}""".stripMargin
+    }
+    e.recordRows("skewdtl", rows.mkString("[", ",", "]"))
+    def train(out: String): Unit =
+      e.runProcedure("experimental.distTable.train", Map(
+        "trainingData" -> "select host from skewdtl order by order_ ASC",
+        "outputDataset" -> out,
+        "outcomes" -> """[["price", "price"]]""",
+        "statistics" -> """["count", "last"]""",
+        "distTableFileUrl" -> s"__skewdtl_$out").get _)
+    train("dtl_window")
+    spark.conf.set("graft.distTable.skewThreshold", "10")
+    try train("dtl_prefix")
+    finally spark.conf.unset("graft.distTable.skewThreshold")
+    def grab(name: String) = e.dataset(name).collect().map { r =>
+      r.getAs[String]("rowName") ->
+        (r.getAs[Double]("price.host.count"),
+          r.getAs[Double]("price.host.last"))
+    }.sortBy(_._1)
+    val a = grab("dtl_window"); val b = grab("dtl_prefix")
+    assert(a.length === 400)
+    def same(x: Double, y: Double) =
+      java.lang.Double.doubleToLongBits(x) ==
+        java.lang.Double.doubleToLongBits(y)
+    a.zip(b).foreach { case ((rn1, s1), (rn2, s2)) =>
+      assert(rn1 === rn2)
+      assert(same(s1._1, s2._1) && same(s1._2, s2._2),
+        s"$rn1: window=$s1 prefix=$s2")
+    }
+  }
+
   test("distTable.train with graft.distTable.skewSafeFloat: avg/std " +
       "take the prefix path and agree with the windowed run to rounding") {
     val e = new api.GraftEngine(spark)
