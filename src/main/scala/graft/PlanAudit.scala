@@ -200,15 +200,15 @@ object PlanAudit {
     // runtime re-planning: broadcast joins stay broadcast, no window
     // lands on a SinglePartition exchange, parquet pushdown persists.
     {
+      // save the caller's AQE setting — the audit must not clobber it
+      // (restored in the finally below, set/unset to its prior state)
+      val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
-      val aqeSet = Seq(
-        "q01_agg_groupby", "q02_filter_project", "q05_join_inner",
-        "q09_join_semi", "q21_ranking", "q22_bucketize",
-        "q46_dedup_minhash", "q48_ann_bruteforce", "q60_sql_agg",
-        "q68_asof_join", "q72_global_rank", "q79_sql_orderby_inselect",
-        "q85_bm25", "q100_semantic_dedup", "q114_dedup_transitive",
-        "q122_dist_table_std_last", "q124_char_entropy",
-        "q126_summary_quartiles")
+      try {
+      // FULL battery (every registered query, not a sampled family
+      // set): the invariant re-check is cheap and Bench already runs
+      // the whole suite under AQE
+      val aqeSet = SparkEntry.queries.keys.toSeq.sorted
       var failures = 0
       for (name <- aqeSet) {
         val df = SparkEntry.queries(name)(spark, d)
@@ -237,7 +237,12 @@ object PlanAudit {
           println("  Y broadcast join present (BroadcastHashJoin/QueryStage)")
       }
       println(s"=== AQE summary: ${aqeSet.size} queries, $failures failed checks")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      } finally {
+        prevAqe match {
+          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+          case None => spark.conf.unset("spark.sql.adaptive.enabled")
+        }
+      }
     }
     spark.stop()
   }

@@ -125,8 +125,16 @@ object Compact {
   private def markerOf(leaf: Path) = new Path(leaf, ".compact_commit")
 
   /** Marker payload: first line `gen=<N>`, then one old-generation
-    * file name per line. */
-  private def readMarker(fs: FileSystem, marker: Path): (Int, Seq[String]) = {
+    * file name per line. `legacy` flags a pre-generation marker (older
+    * layout with no `gen=` header): its tmp files are UNTAGGED
+    * (generation 0), so a reader must include ALL tmp data files for
+    * such a leaf instead of filtering by generation tag — the old
+    * protocol deleted old files before moving tmp in, and a gen filter
+    * would silently drop the whole new generation. */
+  private final case class MarkerState(gen: Int, oldNames: Seq[String],
+      legacy: Boolean)
+
+  private def readMarker(fs: FileSystem, marker: Path): MarkerState = {
     val in = fs.open(marker)
     val lines =
       try new String(in.readAllBytes(),
@@ -134,8 +142,9 @@ object Compact {
         .split('\n').toSeq.filter(_.nonEmpty)
       finally in.close()
     lines.headOption match {
-      case Some(h) if h.startsWith("gen=") => (h.drop(4).toInt, lines.tail)
-      case _ => (1, lines) // pre-generation marker (older layout)
+      case Some(h) if h.startsWith("gen=") =>
+        MarkerState(h.drop(4).toInt, lines.tail, legacy = false)
+      case _ => MarkerState(1, lines, legacy = true)
     }
   }
 
@@ -143,23 +152,47 @@ object Compact {
     * The walk is driver-side but #files-sized — the same cost every
     * Spark read of the store already pays in its file index. `prune`
     * stops the walk BEFORE descending into (or listing) a directory —
-    * the partition-pruning hook for windowed readers. */
+    * the partition-pruning hook for windowed readers.
+    *
+    * The walk is listStatus-LATENCY-bound on remote filesystems (one
+    * RPC per directory), so each BFS frontier's directories are listed
+    * concurrently through a 16-thread pool — a store with thousands of
+    * day partitions lists in depth·RTT instead of #dirs·RTT. Output is
+    * path-sorted for determinism. */
   private def leafDirs(fs: FileSystem, root: Path,
       prune: Path => Boolean = _ => true): Seq[Path] = {
-    def walk(dir: Path, isRoot: Boolean): Seq[Path] = {
-      if (!isRoot && !prune(dir)) return Nil
-      val entries = fs.listStatus(dir).toSeq
-      val subdirs = entries.filter(e => e.isDirectory && !isHidden(e.getPath))
-      // a pending commit marker counts as data: the crash it records
-      // may have deleted every visible file, and recovery must still
-      // find the leaf
-      val hasData = entries.exists(e =>
-        e.isFile && isDataFile(e.getPath)) ||
-        entries.exists(e => e.getPath.getName == ".compact_commit")
-      (if (hasData) Seq(dir) else Nil) ++
-        subdirs.flatMap(e => walk(e.getPath, isRoot = false))
-    }
-    walk(root, isRoot = true)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(exec)
+    try {
+      val leaves = scala.collection.mutable.ArrayBuffer.empty[Path]
+      var frontier: Seq[Path] = Seq(root)
+      var isRoot = true
+      while (frontier.nonEmpty) {
+        val keep = if (isRoot) frontier else frontier.filter(prune)
+        val listed = Await.result(
+          Future.sequence(keep.map(d =>
+            Future(d -> fs.listStatus(d).toSeq))), Duration.Inf)
+        val next = scala.collection.mutable.ArrayBuffer.empty[Path]
+        listed.foreach { case (dir, entries) =>
+          // a pending commit marker counts as data: the crash it
+          // records may have deleted every visible file, and recovery
+          // must still find the leaf
+          val hasData = entries.exists(e =>
+            e.isFile && isDataFile(e.getPath)) ||
+            entries.exists(e => e.getPath.getName == ".compact_commit")
+          if (hasData) leaves += dir
+          next ++= entries
+            .filter(e => e.isDirectory && !isHidden(e.getPath))
+            .map(_.getPath)
+        }
+        frontier = next.toSeq
+        isRoot = false
+      }
+      leaves.sortBy(_.toString).toSeq
+    } finally exec.shutdown()
   }
 
   /** Reader-concurrent store read: per leaf, resolve the LIVE file set
@@ -195,7 +228,7 @@ object Compact {
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no store at $storePath")
-    def markerState(leaf: Path): Option[(Int, Seq[String])] = {
+    def markerState(leaf: Path): Option[MarkerState] = {
       val m = markerOf(leaf)
       if (fs.exists(m))
         try Some(readMarker(fs, m))
@@ -207,11 +240,17 @@ object Compact {
       while (attempt < 5) {
         val before = markerState(leaf)
         val tmpFiles = before match {
-          case Some((gen, _)) =>
+          case Some(ms) =>
             val t = tmpOf(leaf)
             if (fs.exists(t))
+              // legacy (pre-generation) marker: the tmp generation is
+              // untagged, so take EVERY tmp data file — filtering by
+              // gen would exclude them all and silently serve
+              // leaf-minus-oldNames (possibly nothing: the legacy
+              // protocol deleted old files before moving tmp in)
               fs.listStatus(t).toSeq.map(_.getPath)
-                .filter(p => isDataFile(p) && genOf(p.getName) == gen)
+                .filter(p => isDataFile(p) &&
+                  (ms.legacy || genOf(p.getName) == ms.gen))
             else Nil
           case None => Nil
         }
@@ -220,8 +259,8 @@ object Compact {
         val after = markerState(leaf)
         if (before == after) {
           return before match {
-            case Some((_, oldNames)) =>
-              val dead = oldNames.toSet
+            case Some(ms) =>
+              val dead = ms.oldNames.toSet
               val vis = leafFiles.filterNot(p => dead(p.getName))
               val visNames = vis.map(_.getName).toSet
               vis ++ tmpFiles.filterNot(p => visNames(p.getName))
@@ -237,7 +276,17 @@ object Compact {
     val files = leafDirs(fs, root, leafFilter)
       .flatMap(liveFiles).map(_.toString)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("basePath", storePath).parquet(files: _*)
+    // ignoreMissingFiles is pinned OFF for this read: the file list is
+    // resolved NOW but the parquet scan runs at action time, and a
+    // compactor finishing a swap in between moves/deletes the resolved
+    // paths — with the conf on, that would silently drop rows; off, it
+    // fails loudly (FileNotFoundException) and the caller re-reads.
+    // Contract: consume (or materialize) the returned DataFrame
+    // promptly — its correctness window is one compaction cycle on the
+    // busiest leaf, not the DataFrame's lifetime.
+    else spark.read
+      .option("ignoreMissingFiles", "false")
+      .option("basePath", storePath).parquet(files: _*)
   }
 
   def compactStore(spark: SparkSession, storePath: String,
@@ -261,22 +310,33 @@ object Compact {
     }
     // one compactor per store: create-exclusive lock at the root. A
     // crashed run leaves the lock behind — deleting it is the explicit
-    // operator acknowledgment that no compactor is alive.
+    // operator acknowledgment that no compactor is alive. On HDFS,
+    // create(overwrite=false) is an atomic namenode op; on the LOCAL
+    // (checksum) filesystem it decomposes into exists-check-then-create
+    // — two racing compactors could both pass — so the local scheme
+    // drops to the raw OS primitive (O_CREAT|O_EXCL via
+    // Files.createFile), which IS atomic.
     val lock = new Path(root, ".compact_lock")
-    val lockOut =
-      try fs.create(lock, false)
+    def lockHeld(e: Exception): Nothing =
+      throw new IllegalStateException(
+        s"compaction lock $lock already held — another compactStore " +
+          "is running on this store (or a previous one crashed; " +
+          "delete the lock file once certain it is dead)", e)
+    val pidLine = s"pid=${ProcessHandle.current().pid()}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (scheme == "file") {
+      val p = java.nio.file.Paths.get(lock.toUri.getPath)
+      try java.nio.file.Files.write(java.nio.file.Files.createFile(p),
+        pidLine)
       catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"compaction lock $lock already held — another compactStore " +
-              "is running on this store (or a previous one crashed; " +
-              "delete the lock file once certain it is dead)", e)
+        case e: java.nio.file.FileAlreadyExistsException => lockHeld(e)
       }
-    try {
-      lockOut.write(
-        s"pid=${ProcessHandle.current().pid()}\n".getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-    } finally lockOut.close()
+    } else {
+      val lockOut =
+        try fs.create(lock, false)
+        catch { case e: java.io.IOException => lockHeld(e) }
+      try lockOut.write(pidLine) finally lockOut.close()
+    }
 
     try {
       if (fs.exists(meta)) {
@@ -330,8 +390,17 @@ object Compact {
         // commit point — its tmp generation is complete; finish the swap
         val marker = markerOf(leaf)
         if (fs.exists(marker)) {
-          val (_, oldNames) = readMarker(fs, marker)
-          completeSwap(leaf, oldNames)
+          completeSwap(leaf, readMarker(fs, marker).oldNames)
+        }
+        // janitor: with no marker, a leftover tmp dir or staging file
+        // is pre-commit crash garbage (the committed protocol clears
+        // both) — reap it even on the no-op path below, or orphans
+        // from crashed runs accumulate forever
+        else {
+          val tmp = tmpOf(leaf)
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          val staging = new Path(leaf, ".compact_commit_staging")
+          if (fs.exists(staging)) fs.delete(staging, false)
         }
         val old = dataFilesIn(leaf)
         val bytes = old.map(_.getLen).sum

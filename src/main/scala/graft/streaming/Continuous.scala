@@ -335,7 +335,12 @@ object Continuous {
         if (pruned.schema.nonEmpty) pruned
         else graft.procedures.Compact.readStore(spark, path).limit(0)
       }
-    base
+    // a retired store with ZERO data files has no schema at all (even
+    // the unpruned fallback is column-less) — short-circuit to the
+    // empty frame instead of letting the p_date/ts filters throw an
+    // unresolved-column AnalysisException
+    if (base.schema.isEmpty) base
+    else base
       .filter(col("p_date") >= lo && col("p_date") <= hi)
       .filter(col(tsCol) >= lit(from) && col(tsCol) < lit(to))
       .drop("p_date")

@@ -456,4 +456,92 @@ class CompactSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(after === want)
   }
+
+  test("legacy (pre-generation) marker: readStore serves the complete " +
+      "UNTAGGED tmp generation, even after the old protocol's deletes") {
+    val store = tmpDir("legacy") + "/store"
+    spark.range(0, 100, 1, 4).toDF("id").write.parquet(store)
+    val root = new java.io.File(store)
+    val gen1 = leafFiles(root).map(_.getName).sorted
+    // the OLD protocol: tmp generation written with PLAIN (untagged,
+    // gen-0) names, marker has no gen= header
+    spark.read.parquet(store).repartition(1)
+      .write.parquet(s"$store/.compact_tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/.compact_commit"),
+      gen1.mkString("\n").getBytes("UTF-8"))
+    // mid-crash with marker committed: a gen-filtering reader would
+    // drop the whole untagged tmp and serve leaf-minus-oldNames
+    val dfA = Compact.readStore(spark, store)
+    assert(dfA.collect().map(_.getLong(0)).toSeq.sorted === (0L until 100L))
+    // worst case — the legacy protocol deleted old files FIRST: the
+    // leaf is empty except the marker; everything must come from tmp
+    gen1.foreach(n => assert(new java.io.File(root, n).delete()))
+    val dfB = Compact.readStore(spark, store)
+    assert(dfB.collect().map(_.getLong(0)).toSeq.sorted === (0L until 100L))
+    // and compactStore recovery completes the legacy swap for real
+    val rep = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    assert(rep.partitionsScanned === 1)
+    assert(spark.read.parquet(store).collect().map(_.getLong(0))
+      .toSeq.sorted === (0L until 100L))
+    assert(!new java.io.File(s"$store/.compact_commit").exists())
+  }
+
+  test("janitor: stale tmp/staging orphans with no marker are reaped " +
+      "even on the already-compact no-op path") {
+    val store = tmpDir("janitor") + "/store"
+    // ONE file — already compact, so the rewrite branch never runs
+    spark.range(0, 50, 1, 1).toDF("id").write.parquet(store)
+    // crash garbage from a dead run: uncommitted tmp + staging marker
+    spark.range(900, 950, 1, 1).toDF("id")
+      .write.parquet(s"$store/.compact_tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/.compact_commit_staging"),
+      "gen=9\nwhatever.parquet".getBytes("UTF-8"))
+    val rep = Compact.compactStore(spark, store, targetBytes = 1L << 30)
+    assert(rep.partitionsCompacted === 0, "no-op leaf must stay no-op")
+    assert(!new java.io.File(s"$store/.compact_tmp").exists(),
+      "orphaned tmp generation not reaped")
+    assert(!new java.io.File(s"$store/.compact_commit_staging").exists(),
+      "orphaned staging marker not reaped")
+    assert(spark.read.parquet(store).collect().map(_.getLong(0))
+      .toSeq.sorted === (0L until 50L))
+  }
+
+  test("continuous.window on a retired store with ZERO data files " +
+      "returns an empty frame instead of throwing") {
+    import graft.streaming.Continuous
+    val store = tmpDir("emptywin") + "/store"
+    assert(new java.io.File(store).mkdirs())
+    val from = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1767225600L))
+    val to = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1767225600L + 86400L))
+    val df = Continuous.window(spark, store, "ts", from, to)
+    assert(df.count() === 0L)
+  }
+
+  test("concurrent local compactors: the raw-FS O_EXCL lock admits " +
+      "exactly one") {
+    val store = tmpDir("race") + "/store"
+    spark.range(0, 2000, 1, 8).toDF("id").write.parquet(store)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val attempts = Await.result(Future.sequence((1 to 4).map(_ =>
+      Future(
+        try Right(Compact.compactStore(spark, store,
+          targetBytes = 1L << 30))
+        catch { case e: IllegalStateException => Left(e) }))),
+      Duration.Inf)
+    val winners = attempts.collect { case Right(r) => r }
+    // at least one run wins; losers fail FAST on the lock, and the
+    // store is intact and fully compacted afterwards
+    assert(winners.nonEmpty)
+    attempts.collect { case Left(e) => e }.foreach(e =>
+      assert(e.getMessage.contains(".compact_lock")))
+    assert(!new java.io.File(s"$store/.compact_lock").exists())
+    assert(spark.read.parquet(store).collect().map(_.getLong(0))
+      .toSeq.sorted === (0L until 2000L))
+  }
 }
