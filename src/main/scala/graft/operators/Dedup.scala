@@ -378,34 +378,56 @@ object Dedup {
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         docs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
+        // statsSafe: clamp the carried origin stats, or the closure
+        // loop's per-round join products compound into a
+        // BigInteger-overflowing tower (DfOps.cut does the same)
+        df => graft.core.DfOps.statsSafe(df.checkpoint())
       // no explicit dir: the engine-wide policy (session conf
       // `graft.checkpointDir` → reliable, else localCheckpoint)
       case None => graft.core.DfOps.cut
     }
     val pairs = minHashPairs(docs, textCol, idCol, bands, rowsPerBand,
       shingleN, threshold, maxBucket).select(col("id_a"), col("id_b"))
-    val (labels, _) = connectedComponents(pairs, maxIter, cut)
+    // session conf `graft.cc.algorithm`: "star" (default — Kiveris et
+    // al. large-star/small-star, O(log n) rounds GUARANTEED regardless
+    // of how ids are laid out along the graph) or "jump" (min-label
+    // propagation + pointer jumping, 2 shuffles/round, but O(graph
+    // diameter) rounds when ids are value-scrambled relative to
+    // adjacency — see [[connectedComponents]]'s caveat; measured
+    // non-converged at 50 rounds on a 332-node scrambled cycle that
+    // star closes in 8). Both converge to the same labels (component
+    // min id) — OperatorsSpec proves bit-equality where both converge.
+    val algo = docs.sparkSession.conf
+      .getOption("graft.cc.algorithm").getOrElse("star")
+    val (labels, _) =
+      if (algo == "jump") connectedComponents(pairs, maxIter, cut)
+      else connectedComponentsStar(pairs, maxIter, cut)
     val dupIds = labels.filter(col("label") =!= col("id"))
       .select(col("id").as("__dup_id"))
     docs.join(dupIds, docs(idCol) === col("__dup_id"), "left_anti")
   }
 
   /** Connected components over an (id_a, id_b) edge list: min-label
-    * propagation PLUS pointer jumping. Plain neighbor-min propagation
-    * moves a label one hop per round — O(component diameter) Spark
-    * jobs, which a pathological duplicate CHAIN (boilerplate pages
-    * each near-dup of the next) turns into thousands of rounds. The
-    * pointer-jumping step (label ← label(label), the classic
-    * path-doubling trick from the MapReduce connected-components
-    * literature — Kiveris et al.'s large-star/small-star converges for
-    * the same reason) HALVES the label-tree depth each round, so
-    * convergence is O(log diameter): a 1000-link chain closes in ~10
-    * rounds instead of 1000 (ScaleSpec pins this). Each round is two
-    * shuffles on the node id over the (small) near-dup graph, and the
-    * label set is closed under both steps (labels are always existing
-    * node ids, monotonically non-increasing), so pointer jumps always
-    * resolve. Returns (labels(id, label), rounds). */
+    * propagation PLUS pointer jumping (label ← label(label), the
+    * classic path-doubling trick). Each round is two shuffles on the
+    * node id over the (small) near-dup graph, and the label set is
+    * closed under both steps (labels are always existing node ids,
+    * monotonically non-increasing), so pointer jumps always resolve.
+    *
+    * CONVERGENCE CAVEAT (found round 14): path doubling collapses the
+    * LABEL TREES, and those only get deep when node ids decrease along
+    * graph paths — an ORDERED chain (ids 0-1-2-…) closes in ~10
+    * rounds (ScaleSpec pins this), but when ids are VALUE-SCRAMBLED
+    * relative to adjacency (a multiplicative 332-cycle mod 997 —
+    * OperatorsSpec's random graph; or real corpora whose near-dup
+    * chains carry hash-assigned ids) every label tree stays shallow,
+    * the min still travels ONE HOP per round, and convergence
+    * degrades to O(component diameter): measured NOT converged after
+    * 50 rounds where [[connectedComponentsStar]] closes in 8. Star
+    * contraction is therefore the default in minHashDedupTransitive;
+    * this formulation remains for ordered-id graphs where its 2
+    * shuffles/round are cheaper. Returns (labels(id, label),
+    * rounds). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       cut: DataFrame => DataFrame = graft.core.DfOps.cut): (DataFrame, Int) = {
     val edges = cut(pairs
@@ -439,6 +461,82 @@ object Dedup {
       i += 1
     }
     (labels, i)
+  }
+
+  /** Connected components via ALTERNATING STAR CONTRACTION — the
+    * large-star/small-star algorithm of Kiveris, Lattanzi, Mirrokni,
+    * Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+    * Beyond" (SoCC'14). Each round:
+    *
+    *  - LARGE-STAR: every node u connects each strictly-LARGER
+    *    neighbor to m(u) = min(Γ(u) ∪ {u}) — long tails collapse
+    *    toward small ids in parallel;
+    *  - SMALL-STAR: every node u connects itself and each
+    *    smaller-or-equal neighbor to the minimum among them — local
+    *    stars re-root onto their true minimum.
+    *
+    * Both operations preserve connectivity and only ever lower the ids
+    * a node touches, so the fixpoint is a forest of stars rooted at
+    * each component's MINIMUM id — exactly [[connectedComponents]]'
+    * labels, bit-for-bit (OperatorsSpec proves equality on chain /
+    * star / mixed graphs, and against a union-find oracle on the
+    * scrambled cycle where jump does not converge). Convergence is
+    * O(log n) rounds REGARDLESS of id layout — the property that made
+    * it the default (`graft.cc.algorithm`, minHashDedupTransitive):
+    * on an ordered 500-link chain it matches pointer jumping (10 vs 9
+    * rounds; ours already path-doubles), and on a value-scrambled
+    * 332-cycle it closes in 8 rounds where pointer jumping is still
+    * wrong after 50 (labels only travel one hop per round there — see
+    * [[connectedComponents]]'s caveat). The trade is ~4 shuffles/round
+    * vs jump's 2, against never carrying a separate label frame
+    * (state lives IN the shrinking edge set). Returns (labels(id,
+    * label), rounds). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
+      cut: DataFrame => DataFrame = graft.core.DfOps.cut): (DataFrame, Int) = {
+    // canonical (larger u, smaller v) edges, self-loops dropped
+    val e0 = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var edges = cut(e0)
+    var i = 0
+    var done = edges.isEmpty
+    while (!done && i < maxIter) {
+      // LARGE-STAR over the symmetric view: for each node a,
+      // m = min(neighbors ∪ {a}); every neighbor b > a re-attaches to m
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy(col("a"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR: large's edges are already (larger u, smaller v);
+      // per node u, attach u and every smaller neighbor to their min
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withMin = large.join(smins, Seq("u"))
+      val rewired = withMin.filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val next = cut(rewired)
+      // fixpoint: the canonical edge set is unchanged (a converged
+      // forest of stars maps to itself under both operations)
+      done = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    // converged: every non-root has exactly one (u, root) edge (a
+    // maxIter cutoff can leave several — min keeps labels well-defined
+    // and monotone); roots label themselves
+    val nonRoots = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("label"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(nonRoots.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    (nonRoots.union(roots), i)
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates =

@@ -200,6 +200,91 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(1L))
   }
 
+  test("star contraction: bit-equal to pointer jumping on ordered " +
+      "graphs; union-find-exact in O(log n) on the scrambled cycle " +
+      "where jump stalls") {
+    import spark.implicits._
+    def labelsOf(res: (org.apache.spark.sql.DataFrame, Int)) =
+      (res._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, res._2)
+    // chain 0-1-2-…-N: the long-diameter worst case
+    val n = 500L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    // star: hub 0 to 1..N
+    val star = spark.range(1, n)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    // mixed: two chains, a star, a triangle, singleton edges — several
+    // components of different shapes
+    val mixed = (
+      (0L until 99L).map(i => (i, i + 1)) ++              // chain A
+      (1000L until 1040L).map(i => (i, i + 1)) ++         // chain B
+      (2001L until 2050L).map(i => (2000L, i)) ++         // star
+      Seq((3000L, 3001L), (3001L, 3002L), (3002L, 3000L), // triangle
+        (4000L, 4001L), (5000L, 5001L))                   // pairs
+      ).toDF("id_a", "id_b")
+    for ((g, tag) <- Seq((chain, "chain"), (star, "star"),
+        (mixed, "mixed"))) {
+      val (jump, rJump) = labelsOf(Dedup.connectedComponents(g, maxIter = 50))
+      val (starL, rStar) =
+        labelsOf(Dedup.connectedComponentsStar(g, maxIter = 50))
+      assert(starL === jump, s"$tag labels diverged")
+      // both formulations path-double on ORDERED ids, so star lands
+      // within one round of jump on the chain (measured 10 vs 9 at
+      // n=500 — the +1 is the fixpoint-confirmation round its
+      // set-equality test needs)
+      if (tag == "chain")
+        assert(rStar <= rJump + 1,
+          s"star contraction took MORE rounds on the chain: $rStar > $rJump+1")
+    }
+    // VALUE-SCRAMBLED cycle (multiplicative cosets mod 997: three
+    // 332-node cycles whose ids are shuffled relative to adjacency) —
+    // the layout where pointer jumping degrades to one hop per round.
+    // Star must close it fast and match a local union-find oracle;
+    // jump at the same budget is still wrong — the measured caveat
+    // that made star the default.
+    val rand = spark.range(2000)
+      .select((col("id") * 2654435761L % 997L).as("id_a"),
+        (col("id") * 40503L % 997L).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val truth = {
+      val parent = Array.tabulate(997)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }; r
+      }
+      val es = rand.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      es.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => (n.toLong, find(n).toLong)).toSet
+    }
+    val (starR, rStarR) = labelsOf(Dedup.connectedComponentsStar(rand, maxIter = 50))
+    assert(starR === truth, "star diverged from union-find on the scrambled cycle")
+    assert(rStarR <= 12, s"star needed $rStarR rounds on the scrambled cycle")
+    val (jumpR, rJumpR) = labelsOf(Dedup.connectedComponents(rand, maxIter = 50))
+    assert(rJumpR == 50 && jumpR != truth,
+      "pointer jumping now converges on the scrambled cycle — " +
+        "revisit the default-algorithm choice and this pin")
+    // and the conf switch actually routes minHashDedupTransitive:
+    // star is the default; "jump" opts back into pointer jumping
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val b = (4 until 44).map(i => s"tok$i").mkString(" ")
+    val c = (8 until 48).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val keptDefault = Dedup.minHashDedupTransitive(docs, "text", "doc_id",
+      bands = 16, rowsPerBand = 2, threshold = 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptDefault === Set(1L))
+    spark.conf.set("graft.cc.algorithm", "jump")
+    try {
+      val kept = Dedup.minHashDedupTransitive(docs, "text", "doc_id",
+        bands = 16, rowsPerBand = 2, threshold = 0.75)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L))
+    } finally spark.conf.unset("graft.cc.algorithm")
+  }
+
   test("transitive dedup with RELIABLE checkpointing matches localCheckpoint " +
       "exactly (cluster fault-tolerance mode)") {
     import spark.implicits._
