@@ -478,8 +478,15 @@ object Sqlite {
 
     /** Pack (rowid, record) cells into leaf pages; returns the pages'
       * bytes and each page's max rowid. */
-    def leafPages(rows: Seq[(Long, Array[Byte])]):
+    def leafPages(rowsIn: Seq[(Long, Array[Byte])]):
         Seq[(Array[Byte], Long)] = {
+      // index positionally below — a List input would make rows(i) /
+      // rows.length O(i)/O(n) each and the packing loop quadratic (a
+      // multi-M-cell sparse commit burned minutes here)
+      val rows: IndexedSeq[(Long, Array[Byte])] = rowsIn match {
+        case ix: IndexedSeq[(Long, Array[Byte])] @unchecked => ix
+        case other => other.toIndexedSeq
+      }
       val pages = mutable.ArrayBuffer.empty[(Array[Byte], Long)]
       var i = 0
       while (i < rows.length || pages.isEmpty) {
