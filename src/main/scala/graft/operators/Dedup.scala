@@ -401,7 +401,10 @@ object Dedup {
       .getOption("graft.cc.algorithm").getOrElse("star")
     val (labels, _) =
       if (algo == "jump") connectedComponents(pairs, maxIter, cut)
-      else connectedComponentsStar(pairs, maxIter, cut)
+      // minHashPairs emits distinct verified (id_a < id_b) pairs, so
+      // star contraction can skip its canonicalize-distinct shuffle
+      else connectedComponentsStar(pairs, maxIter, cut,
+        pairsCanonical = true)
     val dupIds = labels.filter(col("label") =!= col("id"))
       .select(col("id").as("__dup_id"))
     docs.join(dupIds, docs(idCol) === col("__dup_id"), "left_anti")
@@ -492,12 +495,17 @@ object Dedup {
     * (state lives IN the shrinking edge set). Returns (labels(id,
     * label), rounds). */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
-      cut: DataFrame => DataFrame = graft.core.DfOps.cut): (DataFrame, Int) = {
-    // canonical (larger u, smaller v) edges, self-loops dropped
-    val e0 = pairs
+      cut: DataFrame => DataFrame = graft.core.DfOps.cut,
+      pairsCanonical: Boolean = false): (DataFrame, Int) = {
+    // canonical (larger u, smaller v) edges, self-loops dropped.
+    // `pairsCanonical` skips the distinct shuffle when the caller
+    // guarantees unique (id_a < id_b) pairs — true for minHashPairs
+    // output (its candidate set is distinct before verification).
+    val e0raw = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
+    val e0 = if (pairsCanonical) e0raw else e0raw.distinct()
     var edges = cut(e0)
     var i = 0
     var done = edges.isEmpty
@@ -522,9 +530,24 @@ object Dedup {
         .union(withMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
       val next = cut(rewired)
-      // fixpoint: the canonical edge set is unchanged (a converged
-      // forest of stars maps to itself under both operations)
-      done = next.count() == edges.count() && next.except(edges).isEmpty
+      // fixpoint test: `next` IS a star forest — every child u has
+      // exactly one parent edge and no parent v is itself a child.
+      // Equivalent to the set-equality check it replaces (both star
+      // ops map a star forest to itself — large-star re-emits each
+      // (child, root) unchanged because the root is every child's
+      // minimum neighbor, and small-star re-roots each star onto the
+      // root it already has; and the algorithm's only fixpoints are
+      // star forests, Kiveris et al. SoCC'14 §3), but ONE aggregation
+      // job over the shrinking edge set instead of count() + a
+      // two-sided except() shuffle per round.
+      val ends = next.select(col("u").as("n"), lit(1L).as("cu"),
+          lit(0L).as("cv"))
+        .union(next.select(col("v").as("n"), lit(0L).as("cu"),
+          lit(1L).as("cv")))
+        .groupBy(col("n"))
+        .agg(sum(col("cu")).as("nu"), sum(col("cv")).as("nv"))
+      done = ends.filter(col("nu") > 1 ||
+        (col("nu") > 0 && col("nv") > 0)).isEmpty
       edges = next
       i += 1
     }
@@ -710,7 +733,14 @@ object Dedup {
   def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
       centroids: Array[Array[Double]], minCosine: Double = 0.95,
       maxCluster: Int = 10000): DataFrame = {
+    // The assignment (a dim×centroids mat-vec per row) feeds FIVE
+    // consumers below (hot-cluster count, both self-join sides, two
+    // exact-rescore joins) — persist it so the matrix math runs once,
+    // then (after pinning the small loser set) release the cache; the
+    // final anti-join's map-side re-evaluation is the only repeat.
+    // Same discipline as minHashPairs' signature cache.
     val assigned = assignClusters(emb, vecCol, idCol, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val guarded = dropHotGroups(assigned, Seq("cluster"), maxCluster)
     // Quantized prefilter over the quadratic stage: the self-join scans
     // 64-BYTE int8 codes (8× less payload than array<double>) and keeps
@@ -742,7 +772,11 @@ object Dedup {
           (col("csim_a") === col("csim_b") && col("id_a") > col("id_b")),
         col("id_a")).otherwise(col("id_b")).as("id"))
       .distinct()
-    assigned.join(losers, Seq("id"), "left_anti")
+    // pin the (near-dup-sized, tiny vs corpus) loser set, then release
+    // the assignment cache — the quadratic stages above all read it
+    val losersPinned = graft.core.DfOps.cut(losers)
+    assigned.unpersist(false)
+    assigned.join(losersPinned, Seq("id"), "left_anti")
       .select(col("id"), col("cluster"), col("csim"))
   }
 

@@ -202,17 +202,43 @@ object TextAnalysis {
   def lmScoreTables(train: DataFrame, trainTextCol: String,
       alpha: Double = 0.4, logFn: Double => Double = math.log,
       maxPairs: Int = 4000000): LmScoreTables = {
+    val (uc, bc) = lmCountTables(train, trainTextCol)
+    lmScoreTablesFromCounts(uc, bc, alpha, logFn, maxPairs)
+  }
+
+  /** The two LM count tables, MATERIALIZED (DfOps.cut): unigram
+    * (w, c) and bigram (w1, w2, c2). Both are vocabulary-sized —
+    * sublinear in the corpus — and every downstream consumer
+    * ([[lmScoreTablesFromCounts]]'s three driver-bounded reductions and
+    * [[lmPerplexityWithCounts]]'s score joins) reads the SAME
+    * materialized rows instead of re-tokenizing and re-exploding the
+    * training corpus per consumer (the pre-r14 shape paid ~6 full
+    * corpus passes per lmPerplexity call; now exactly two — one
+    * unigram, one bigram). */
+  def lmCountTables(train: DataFrame,
+      trainTextCol: String): (DataFrame, DataFrame) = {
     val trainToks =
       train.select(T.tokens(col(trainTextCol), "\\s+").as("__toks"))
-    val uni = trainToks.select(explode(col("__toks")).as("w"))
-    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val n = uni.count()
+    val uc = graft.core.DfOps.cut(
+      trainToks.select(explode(col("__toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val bc = graft.core.DfOps.cut(
+      trainToks.filter(size(col("__toks")) >= 2)
+        .select(explode(bigramArr(col("__toks"))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c2")))
+    (uc, bc)
+  }
+
+  /** [[lmScoreTables]] over pre-materialized [[lmCountTables]] output. */
+  def lmScoreTablesFromCounts(uc: DataFrame, bc: DataFrame,
+      alpha: Double = 0.4, logFn: Double => Double = math.log,
+      maxPairs: Int = 4000000): LmScoreTables = {
+    val n = Option(uc.agg(sum(col("c"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     require(n > 0, "lmScoreTables: training corpus has no tokens — " +
       "every backoff score would be log(x/0)")
-    val pairRows = trainToks.filter(size(col("__toks")) >= 2)
-      .select(explode(bigramArr(col("__toks"))).as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("c2"))
+    val pairRows = bc
       .join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
       .select(col("c2"), col("c1")).distinct()
       .limit(maxPairs + 1).collect()
@@ -276,33 +302,49 @@ object TextAnalysis {
   def lmPerplexityWith(docs: DataFrame, idCol: String, textCol: String,
       train: DataFrame, trainTextCol: String,
       tables: LmScoreTables): DataFrame = {
+    val (uc, bc) = lmCountTables(train, trainTextCol)
+    lmPerplexityWithCounts(docs, idCol, textCol, uc, bc, tables)
+  }
+
+  /** [[lmPerplexityWith]] over pre-materialized [[lmCountTables]]
+    * output — the entry point when the caller already derived the
+    * count tables (as [[lmScoreTablesFromCounts]] needs them too). */
+  def lmPerplexityWithCounts(docs: DataFrame, idCol: String,
+      textCol: String, uc: DataFrame, bc: DataFrame,
+      tables: LmScoreTables): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val seenDf = broadcast(
       tables.seen.toDF("__sc2", "__sc1", "__fp_seen"))
     val backDf = broadcast(tables.backoff.toDF("__bc", "__fp_back"))
-    val trainToks =
-      train.select(T.tokens(col(trainTextCol), "\\s+").as("__toks"))
-    val uc = trainToks.select(explode(col("__toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val bc = trainToks.filter(size(col("__toks")) >= 2)
-      .select(explode(bigramArr(col("__toks"))).as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("c2"))
     val docBg = docs
       .select(col(idCol).as("doc_id"), T.tokens(col(textCol), "\\s+").as("__toks"))
       .filter(size(col("__toks")) >= 2)
       .select(col("doc_id"), explode(bigramArr(col("__toks"))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val scored = docBg
-      .join(bc, Seq("w1", "w2"), "left")
-      .join(uc.select(col("w").as("w1"), col("c").as("__c1w1")), Seq("w1"), "left")
-      .join(uc.select(col("w").as("w2"), col("c").as("__c1w2")), Seq("w2"), "left")
+    // Attach the fixed-point scores to the COUNT tables first (both
+    // vocabulary-sized), then join the exploded doc bigrams — by far
+    // the biggest frame — against exactly two score tables. The
+    // previous shape joined docBg four times (bc, uc×2, then the
+    // broadcast score tables), i.e. one extra full shuffle of every
+    // document bigram just to carry c1(w1) to the seen lookup.
+    // Equivalence: `seen` maps EVERY distinct (c2, c1) pair (derived
+    // from the same bc⋈uc), so fp_seen is non-null iff the bigram was
+    // seen, and coalesce(fp_seen, fp_back, oov) reproduces the
+    // when(c2 seen)/backoff/OOV cascade bit-for-bit.
+    val seenScored = bc
+      .join(uc.select(col("w").as("w1"), col("c").as("__c1")), Seq("w1"))
       .join(seenDf, col("c2") === col("__sc2") &&
-        col("__c1w1") === col("__sc1"), "left")
-      .join(backDf, col("__c1w2") === col("__bc"), "left")
-      .withColumn("__fp", when(col("c2").isNotNull, col("__fp_seen"))
-        .otherwise(coalesce(col("__fp_back"), lit(tables.oovFp))))
+        col("__c1") === col("__sc1"), "left")
+      .select(col("w1"), col("w2"), col("__fp_seen"))
+    val backScored = uc
+      .join(backDf, col("c") === col("__bc"), "left")
+      .select(col("w").as("w2"), col("__fp_back"))
+    val scored = docBg
+      .join(seenScored, Seq("w1", "w2"), "left")
+      .join(backScored, Seq("w2"), "left")
+      .withColumn("__fp",
+        coalesce(col("__fp_seen"), col("__fp_back"), lit(tables.oovFp)))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__fp")).as("logprob_fp"))
       .withColumn("avg_logprob",
@@ -701,18 +743,70 @@ object TextAnalysis {
         .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
       out
     }
-    val (tc, rc) = (counts(target), counts(raw))
+    // The raw side's per-doc bucket arrays feed TWO consumers (the
+    // raw count aggregate and the scoring pass) — materialize them
+    // once so the tokenize+hash pass (md5-per-token on the q101
+    // contract) runs once, not per consumer. ~4 bytes/token at rest,
+    // far cheaper than a second digest pass over the corpus.
+    val rawB = graft.core.DfOps.cut(raw.select(col(idCol).as("id"),
+      buckets(T.tokens(col(textCol), "\\s+")).as("__b")))
+    val rc = {
+      val out = Array.fill(nBuckets)(0L)
+      rawB.select(explode(col("__b")).as("__bk"))
+        .groupBy(col("__bk")).agg(count(lit(1)).as("__c"))
+        .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
+      out
+    }
+    val tc = counts(target)
+    dsirScoreFrame(rawB, tc, rc, nBuckets, seed)
+  }
+
+  /** [[dsirScores]] when the target IS a predicate over the raw corpus
+    * (the common "target = the English slice" shape): ONE
+    * tokenize+hash pass computes every doc's buckets plus its target
+    * flag, ONE aggregation job yields both count vectors, and scoring
+    * reads the same materialized bucket frame — versus three full
+    * digest passes and two count jobs on the two-dataset path. Values
+    * are identical: the per-bucket counts, fixed-point weights and
+    * Gumbel draws are the same arithmetic in the same order. */
+  def dsirScoresFiltered(raw: DataFrame, targetPred: Column,
+      idCol: String, textCol: String, nBuckets: Int = 256, seed: Int = 42,
+      bucketsOf: Option[Column => Column] = None): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      "nBuckets must be in (0, 65536] — the weight table rides in the plan")
+    val buckets: Column => Column = bucketsOf.getOrElse(toks =>
+      transform(graft.plans.TokenHashes64.column(toks),
+        h => pmod(h, lit(nBuckets.toLong)).cast("int")))
+    val rawB = graft.core.DfOps.cut(raw.select(col(idCol).as("id"),
+      coalesce(targetPred, lit(false)).as("__t"),
+      buckets(T.tokens(col(textCol), "\\s+")).as("__b")))
+    val tc = Array.fill(nBuckets)(0L)
+    val rc = Array.fill(nBuckets)(0L)
+    rawB.select(col("__t"), explode(col("__b")).as("__bk"))
+      .groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+      .collect().foreach { r =>
+        rc(r.getInt(0)) = r.getLong(1); tc(r.getInt(0)) = r.getLong(2)
+      }
+    dsirScoreFrame(rawB.drop("__t"), tc, rc, nBuckets, seed)
+  }
+
+  /** Shared scoring tail of the DSIR variants: fixed-point per-bucket
+    * log-ratio weights from the two count vectors, applied map-side to
+    * the materialized (id, __b) frame, plus the deterministic md5
+    * Gumbel draw. KEEP the weight formula textually in sync with the
+    * q101 oracle SQL. */
+  private def dsirScoreFrame(rawB: DataFrame, tc: Array[Long],
+      rc: Array[Long], nBuckets: Int, seed: Int): DataFrame = {
     val (tN, rN) = (tc.sum.toDouble, rc.sum.toDouble)
-    // ln((tc+0.5)/(tN+0.5·B)) - ln((rc+0.5)/(rN+0.5·B)), µ-scaled.
-    // KEEP this formula textually in sync with the q101 oracle SQL.
     val fp: Seq[Long] = (0 until nBuckets).map { b =>
       math.round((math.log((tc(b) + 0.5) / (tN + 0.5 * nBuckets)) -
         math.log((rc(b) + 0.5) / (rN + 0.5 * nBuckets))) * 1e6)
     }
     val u = (hexVal(md5(concat(col("id").cast("string"),
       lit(s"-$seed")).cast("binary"))) + lit(0.5)) / lit(4294967296.0)
-    raw.select(col(idCol).as("id"), T.tokens(col(textCol), "\\s+").as("__toks"))
-      .withColumn("__b", buckets(col("__toks")))
+    rawB
       .withColumn("logw_fp", aggregate(col("__b"), lit(0L),
         (acc, b) => acc + element_at(typedLit(fp), b + 1)))
       .withColumn("gumbel_fp",
@@ -730,6 +824,15 @@ object TextAnalysis {
       textCol: String, k: Int, nBuckets: Int = 256, seed: Int = 42,
       bucketsOf: Option[Column => Column] = None): DataFrame =
     dsirScores(raw, target, idCol, textCol, nBuckets, seed, bucketsOf)
+      .orderBy(col("sel_fp").desc, col("id")).limit(k)
+
+  /** [[dsirSelect]] over [[dsirScoresFiltered]] — same Gumbel-top-k. */
+  def dsirSelectFiltered(raw: DataFrame, targetPred: Column,
+      idCol: String, textCol: String, k: Int, nBuckets: Int = 256,
+      seed: Int = 42,
+      bucketsOf: Option[Column => Column] = None): DataFrame =
+    dsirScoresFiltered(raw, targetPred, idCol, textCol, nBuckets, seed,
+      bucketsOf)
       .orderBy(col("sel_fp").desc, col("id")).limit(k)
 
   /** First 8 hex digits of an md5 hex string as a number in [0, 2^32)

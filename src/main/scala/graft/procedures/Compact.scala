@@ -439,13 +439,21 @@ object Compact {
         }
       }
       // leaves are independent (distinct dirs) and each rewrite is a
-      // small job, so run them through a FIXED 8-thread pool — 8 leaves
-      // stay in flight continuously (a batched barrier would gate each
-      // batch on its slowest leaf; one fat partition per batch would
-      // idle the other seven slots)
+      // small (often single-task) job, so run them through a fixed
+      // thread pool — that many leaves stay in flight continuously (a
+      // batched barrier would gate each batch on its slowest leaf).
+      // Pool size: `graft.compact.threads` (default 8). Measured at
+      // sf0.1/local[32] (r14): 4 threads 6.3 s, 8 → 3.35 s, 16 →
+      // 3.30 s after warm-up — throughput saturates at 8 concurrent
+      // leaf jobs locally, and a wider pool only adds scheduler/GC
+      // contention when the host is already loaded (a 16-default trial
+      // regressed q127 2.3× inside a full bench sweep). Deployments
+      // with many more leaves than cores set the conf explicitly.
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      val exec = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val threads = spark.conf.getOption("graft.compact.threads")
+        .map(_.toInt).getOrElse(8)
+      val exec = java.util.concurrent.Executors.newFixedThreadPool(threads)
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(exec)
       val reports =

@@ -543,7 +543,6 @@ object Procedures {
   def summaryStatisticsReference(df: DataFrame,
       cols: Seq[String]): Seq[ColSummary] = {
     import org.apache.spark.sql.types._
-    val total = df.count()
     def numExpr(c: String): Column = df.schema(c).dataType match {
       case BooleanType => col(s"`$c`").cast("int").cast("double")
       case _: NumericType => col(s"`$c`").cast("double")
@@ -576,8 +575,19 @@ object Procedures {
         case LongType | _: DecimalType => true
         case _ => false
       }).toSet
-    // pass 1: one aggregate row across every column
-    val aggs = cols.flatMap { c =>
+    // Statically-typed numeric columns are numeric whenever they hold
+    // a value (cast-to-double of a numeric/boolean is never null), so
+    // their count-table pass does NOT need pass 1's verdict — only
+    // string-typed columns need the nNum == nNotNull probe.
+    val staticNumeric: Set[String] = cols.filter(c =>
+      df.schema(c).dataType match {
+        case BooleanType | _: NumericType => true
+        case _ => false
+      }).toSet
+    // pass 1: one aggregate row across every column (total row count
+    // folded in — the separate df.count() pass this replaces was a
+    // whole extra scan)
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
       val n = numExpr(c)
       Seq(
         count(col(s"`$c`")).as(s"${c}__nNotNull"),
@@ -598,7 +608,27 @@ object Procedures {
            Seq(countDistinct(col(s"`$c`")).as(s"${c}__nUnique"))
          else Seq(countDistinct(strExpr(c)).as(s"${c}__nUnique")))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def meltedOver(ncols: Seq[String]) = df.select(explode(array(
+      ncols.map(c =>
+        struct(lit(c).as("c"), numExpr(c).as("v"))): _*)).as("cv"))
+      .select(col("cv.c").as("c"), col("cv.v").as("v"))
+      .filter(col("v").isNotNull)
+    // Overlap the two big scans (guide §2.6 — concurrent independent
+    // jobs back-fill each other's stragglers): pass 1 runs in a future
+    // while the statically-numeric count table materializes. The
+    // static table is correct regardless of pass 1's outcome — an
+    // all-null static column just contributes zero rows.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rowF = Future(df.agg(aggs.head, aggs.tail: _*).head())
+    val staticGrouped: Option[DataFrame] =
+      if (cols.exists(staticNumeric)) Some(graft.core.DfOps.cut(
+        meltedOver(cols.filter(staticNumeric))
+          .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))))
+      else None
+    val row = Await.result(rowF, Duration.Inf)
+    val total = row.getAs[Long]("__total")
     def g[T](c: String, st: String): T =
       row.getAs[T](s"${c}__$st")
     val numericCols = cols.filter { c =>
@@ -619,15 +649,14 @@ object Procedures {
     val numStats: Map[String, (Array[Double], Seq[(String, Long)])] =
       if (numericCols.isEmpty) Map.empty
       else {
-        val melted = df.select(explode(array(numericCols.map(c =>
-          struct(lit(c).as("c"), numExpr(c).as("v"))): _*)).as("cv"))
-          .select(col("cv.c").as("c"), col("cv.v").as("v"))
-          .filter(col("v").isNotNull)
-        // pinned: the count table feeds TWO actions (quartile collect,
-        // top-10 collect) — without the cut the melt + groupBy would
-        // run twice
-        val grouped = graft.core.DfOps.cut(melted
-          .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt")))
+        // the pre-built static table covers every numeric column unless
+        // a STRING column turned out numeric-in-content — only then pay
+        // a second (sequential) melt over the full numeric set
+        val grouped =
+          if (numericCols.forall(staticNumeric) && staticGrouped.nonEmpty)
+            staticGrouped.get
+          else graft.core.DfOps.cut(meltedOver(numericCols)
+            .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt")))
         val nn = numericCols.map(c => c -> g[Long](c, "nNotNull")).toMap
         // the pinned count table feeds three INDEPENDENT #columns-sized
         // outputs (unique counts, quartiles, top-10) — submit the jobs

@@ -835,10 +835,14 @@ object PipelineQueries {
     QueryDef("q89_lm_perplexity", q89OracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       val train = docs.filter(col("doc_id") % 2 === 0)
-      val t = graft.operators.TextAnalysis.lmScoreTables(train, "text")
+      // derive the (vocab-sized, materialized) count tables ONCE and
+      // feed both the score-table reduction and the scoring joins —
+      // the split-call shape re-tokenized the train corpus per consumer
+      val (uc, bc) = graft.operators.TextAnalysis.lmCountTables(train, "text")
+      val t = graft.operators.TextAnalysis.lmScoreTablesFromCounts(uc, bc)
       q89Tables = Some(t)
       graft.operators.TextAnalysis
-        .lmPerplexityWith(docs, "doc_id", "text", train, "text", t)
+        .lmPerplexityWithCounts(docs, "doc_id", "text", uc, bc, t)
         .select(col("doc_id"), col("n_bigrams"), col("logprob_fp"),
           col("avg_logprob"))
     },
@@ -1397,7 +1401,10 @@ object PipelineQueries {
       val mdBuckets: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         toks => transform(graft.plans.TokenHashesMd5x32.column(toks),
           h => pmod(h, lit(256L)).cast("int"))
-      TextAnalysis.dsirSelect(docs, docs.filter(col("lang") === "en"),
+      // target = a predicate over the same corpus → the one-pass
+      // filtered variant (one md5 digest pass + one count job instead
+      // of three passes + two jobs; identical arithmetic)
+      TextAnalysis.dsirSelectFiltered(docs, col("lang") === "en",
         "doc_id", "text", k = 100, nBuckets = 256, seed = 42,
         bucketsOf = Some(mdBuckets))
         .select(col("id").as("doc_id"), col("logw_fp"), col("gumbel_fp"),
@@ -1508,7 +1515,11 @@ object PipelineQueries {
         .filter(col("pass")).select("doc_id")
       val kept = docs.join(passed, Seq("doc_id"))
         .select(col("doc_id"), col("text"), col("source"))
-      val ded = Dedup.exact(kept, "text", "doc_id")
+      // temperatureSample runs TWO passes over its input (per-source
+      // count collect, then the rate filter) — pin the deduped frame so
+      // the gate+join+dedup subtree executes once, not per pass (the
+      // checkpoint a real pipeline writes between curation stages)
+      val ded = graft.core.DfOps.cut(Dedup.exact(kept, "text", "doc_id"))
       val sel = Procedures.temperatureSample(ded, "source", "doc_id",
         budgetFraction = 0.5, alpha = 0.5)
       sel.groupBy(col("source")).agg(
