@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   * at most one sample per query. */
 object ProbeTouched {
   def main(args: Array[String]): Unit = {
+    // a leading /path argument selects the data dir (the sbt server
+    // keeps its own env, so PROBE_SF_DIR doesn't reach a forked run)
+    val (dirArg, nameArgs) = args.toSeq.partition(_.startsWith("/"))
     val names =
-      if (args.nonEmpty) args.toSeq
+      if (nameArgs.nonEmpty) nameArgs
       else Seq("q89_lm_perplexity", "q100_semantic_dedup", "q101_dsir",
         "q103_pipeline_e2e", "q114_dedup_transitive",
         "q126_summary_quartiles", "q127_compact_store")
@@ -21,7 +24,9 @@ object ProbeTouched {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
+    val d = dirArg.headOption
+      .getOrElse(sys.env.getOrElse("PROBE_SF_DIR", "/root/testdata/sf0.1"))
+    println(s"[probe] data dir: $d")
     val all = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
     // warm: JIT/codegen at the small SF
     names.foreach(n => try all(n)(spark, "/root/testdata/sf0.001").count()
