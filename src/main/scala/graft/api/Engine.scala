@@ -1097,11 +1097,11 @@ final class GraftEngine(val spark: SparkSession) {
     compiledApplies.getOrElseUpdate((name, schema), compileApply(name, schema))
       match {
         case Some(c) =>
-          val outRow = c.synchronized {
-            c.fromCatalyst(c.proj(c.toCatalyst(row)
-              .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]))
-              .asInstanceOf[org.apache.spark.sql.Row]
-          }
+          // no lock: the projection is thread-local (see CompiledApply)
+          // so 8 concurrent scoring clients evaluate in parallel — the
+          // single shared projection's synchronized block serialized
+          // the whole scoring route at one core
+          val outRow = c(row).asInstanceOf[org.apache.spark.sql.Row]
           (c.outSchema, Seq(outRow))
         case None =>
           val df = applyFunction(name, spark.createDataFrame(
@@ -1124,11 +1124,26 @@ final class GraftEngine(val spark: SparkSession) {
   private val compiledApplies = scala.collection.concurrent.TrieMap[
     (String, org.apache.spark.sql.types.StructType), Option[CompiledApply]]()
 
+  /** The type converters are stateless closures (each call allocates
+    * its own rows) and safe to share; the PROJECTION reuses a mutable
+    * result row, so each thread gets its own instance via ThreadLocal
+    * — the codegen cache makes the per-thread compile a lookup. */
   private final case class CompiledApply(
       toCatalyst: Any => Any,
-      proj: org.apache.spark.sql.catalyst.expressions.Projection,
+      projFactory: () =>
+        org.apache.spark.sql.catalyst.expressions.Projection,
       fromCatalyst: Any => Any,
-      outSchema: org.apache.spark.sql.types.StructType)
+      outSchema: org.apache.spark.sql.types.StructType) {
+    private val proj = new ThreadLocal[
+        org.apache.spark.sql.catalyst.expressions.Projection] {
+      override def initialValue():
+          org.apache.spark.sql.catalyst.expressions.Projection =
+        projFactory()
+    }
+    def apply(row: Any): Any =
+      fromCatalyst(proj.get()(toCatalyst(row)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]))
+  }
 
   private def compileApply(name: String,
       inSchema: org.apache.spark.sql.types.StructType): Option[CompiledApply] = {
@@ -1155,14 +1170,18 @@ final class GraftEngine(val spark: SparkSession) {
           val bound = exprs.map(e => BindReferences.bindReference(
             e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression],
             l.output))
-          val proj = SafeProjection.create(bound)
-          proj.initialize(0) // non-deterministic exprs need a partition
+          val projFactory = () => {
+            val proj = SafeProjection.create(bound)
+            proj.initialize(0) // non-deterministic exprs need a partition
+            proj
+          }
+          projFactory() // compile eagerly so an unprojectable plan fails HERE
           val outSchema = StructType(exprs.map(e =>
             StructField(e.name, e.dataType, e.nullable)))
           Some(CompiledApply(
             org.apache.spark.sql.catalyst.CatalystTypeConverters
               .createToCatalystConverter(inSchema),
-            proj,
+            projFactory,
             org.apache.spark.sql.catalyst.CatalystTypeConverters
               .createToScalaConverter(outSchema),
             outSchema))
