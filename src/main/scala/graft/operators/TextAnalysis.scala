@@ -200,7 +200,7 @@ object TextAnalysis {
     * `logFn` exists for the determinism spec: perturbing ln by 1 ulp
     * must leave every fixed-point entry unchanged. */
   def lmScoreTables(train: DataFrame, trainTextCol: String,
-      alpha: Double = 0.4, logFn: Double => Double = math.log,
+      alpha: Double = 0.4, logFn: Double => Double = StrictMath.log,
       maxPairs: Int = 4000000): LmScoreTables = {
     val (uc, bc) = lmCountTables(train, trainTextCol)
     lmScoreTablesFromCounts(uc, bc, alpha, logFn, maxPairs)
@@ -230,9 +230,17 @@ object TextAnalysis {
     (uc, bc)
   }
 
-  /** [[lmScoreTables]] over pre-materialized [[lmCountTables]] output. */
+  /** [[lmScoreTables]] over pre-materialized [[lmCountTables]] output.
+    *
+    * `logFn` defaults to `StrictMath.log` (fdlibm — bit-identical on
+    * every platform BY SPEC, and the function Spark's own `log`
+    * expression evaluates), so the literal tables this derives agree
+    * bit-for-bit with [[lmPerplexityDistributedFromCounts]]'s
+    * executor-side scores on any JVM — the r15 change that let the
+    * scoring path drop this driver collect entirely (the collect now
+    * runs only when an oracle mirror needs the literal VALUES tables). */
   def lmScoreTablesFromCounts(uc: DataFrame, bc: DataFrame,
-      alpha: Double = 0.4, logFn: Double => Double = math.log,
+      alpha: Double = 0.4, logFn: Double => Double = StrictMath.log,
       maxPairs: Int = 4000000): LmScoreTables = {
     val n = Option(uc.agg(sum(col("c"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -345,6 +353,62 @@ object TextAnalysis {
       .join(backScored, Seq("w2"), "left")
       .withColumn("__fp",
         coalesce(col("__fp_seen"), col("__fp_back"), lit(tables.oovFp)))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__fp")).as("logprob_fp"))
+      .withColumn("avg_logprob",
+        col("logprob_fp").cast("double") / col("n_bigrams") / 1e6)
+      .withColumn("perplexity", round(exp(-col("avg_logprob")), 4))
+  }
+
+  /** [[lmPerplexityWithCounts]] WITHOUT the driver-side score-table
+    * collect: the per-bigram fixed-point scores are computed
+    * DISTRIBUTIVELY on the (vocabulary-sized, materialized) count
+    * tables as codegen'd expressions, so no data-dependent set ever
+    * reaches the driver — the only scalar pulled is N = Σ unigram
+    * counts (one row, any corpus size).
+    *
+    * Bit-equality with the table path: Spark's `log` expression
+    * evaluates `StrictMath.log` (fdlibm — identical on every platform
+    * by spec) and `round(x·1e6, 0)` on a double is
+    * `BigDecimal(x·1e6).setScale(0, HALF_UP)` — operand-for-operand the
+    * same arithmetic as [[fpMicro]]∘[[lmScoreTablesFromCounts]] with
+    * its StrictMath default, over the same count longs. The divisions
+    * and the ·1e6 multiply are single IEEE ops (correctly rounded,
+    * engine-independent). OperatorsSpec pins the distributed scores
+    * bit-equal to the collected-table scores on a mixed
+    * seen/backoff/OOV fixture; the q89 oracle keeps hashing exact.
+    *
+    * `fp_seen` is non-null exactly when the table path's left join
+    * found the pair: here it is computed inline on bc⋈uc (an inner
+    * join on w1 — every bigram's head word is in the unigram table by
+    * construction), so the coalesce cascade is unchanged. */
+  def lmPerplexityDistributedFromCounts(docs: DataFrame, idCol: String,
+      textCol: String, uc: DataFrame, bc: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    val n = Option(uc.agg(sum(col("c"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(n > 0, "lmPerplexity: training corpus has no tokens — " +
+      "every backoff score would be log(x/0)")
+    def fpOf(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    val docBg = docs
+      .select(col(idCol).as("doc_id"), T.tokens(col(textCol), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(bigramArr(col("__toks"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val seenScored = bc
+      .join(uc.select(col("w").as("w1"), col("c").as("__c1")), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        fpOf(log(col("c2").cast("double") / col("__c1").cast("double")))
+          .as("__fp_seen"))
+    val backScored = uc.select(col("w").as("w2"),
+      fpOf(log(lit(alpha) * col("c").cast("double") / lit(n.toDouble)))
+        .as("__fp_back"))
+    val oovFp = fpMicro(StrictMath.log(alpha * 0.5 / n))
+    val scored = docBg
+      .join(seenScored, Seq("w1", "w2"), "left")
+      .join(backScored, Seq("w2"), "left")
+      .withColumn("__fp",
+        coalesce(col("__fp_seen"), col("__fp_back"), lit(oovFp)))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__fp")).as("logprob_fp"))
       .withColumn("avg_logprob",

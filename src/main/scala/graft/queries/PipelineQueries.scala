@@ -43,19 +43,26 @@ object PipelineQueries {
       ", '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')" +
       ", '\\s+', ' ', 'g'))"
 
-  /** q89's driver-computed fixed-point score table, stashed by the
-    * impl and read by the oracle thunk (Verify runs every impl before
-    * it dumps oracle_sql.json, so the stash is always populated on the
-    * driver path; the fallback below only guards a Verify run where
-    * q89 itself crashed — in which case its oracle row is moot). */
-  @volatile private var q89Tables: Option[TextAnalysis.LmScoreTables] = None
+  /** q89's fixed-point score table DERIVATION, stashed by the impl as
+    * a thunk over its materialized count tables and forced only when
+    * the oracle SQL is dumped (Verify runs every impl before it dumps
+    * oracle_sql.json, so the stash is always populated on the driver
+    * path; the fallback below only guards a Verify run where q89
+    * itself crashed — in which case its oracle row is moot). The
+    * BENCH path never forces it: since r15 the Spark scoring computes
+    * the fixed-point scores distributively
+    * ([[TextAnalysis.lmPerplexityDistributedFromCounts]] —
+    * StrictMath.log on both sides, bit-equal by spec), so the ≤4M-row
+    * driver collect is an oracle-mirroring cost only. */
+  @volatile private var q89TableThunk: Option[() => TextAnalysis.LmScoreTables] = None
 
   /** DuckDB mirror of q89: re-derive the unigram/bigram counts
     * (integer-exact in any engine), then join the SAME literal
     * (count-pair → fixed-point log-score) tables the Spark plan
-    * broadcast — zero transcendentals in the hashed contract. */
+    * computes distributively (StrictMath.log both sides) — zero
+    * engine-libm transcendentals in the hashed contract. */
   private def q89OracleSql: String = {
-    val t = q89Tables.getOrElse(
+    val t = q89TableThunk.map(_.apply()).getOrElse(
       TextAnalysis.LmScoreTables(Seq((1L, 1L, 0L)), Seq((1L, 0L)), 0L, 1L))
     val seenVals =
       t.seen.map { case (c2, c1, fp) => s"($c2,$c1,$fp)" }.mkString(",")
@@ -839,10 +846,13 @@ object PipelineQueries {
       // feed both the score-table reduction and the scoring joins —
       // the split-call shape re-tokenized the train corpus per consumer
       val (uc, bc) = graft.operators.TextAnalysis.lmCountTables(train, "text")
-      val t = graft.operators.TextAnalysis.lmScoreTablesFromCounts(uc, bc)
-      q89Tables = Some(t)
+      // oracle-only: forced when Verify dumps oracle_sql.json (the
+      // count tables are materialized, so the force is two
+      // vocab-bounded reductions, not corpus passes)
+      q89TableThunk = Some(() =>
+        graft.operators.TextAnalysis.lmScoreTablesFromCounts(uc, bc))
       graft.operators.TextAnalysis
-        .lmPerplexityWithCounts(docs, "doc_id", "text", uc, bc, t)
+        .lmPerplexityDistributedFromCounts(docs, "doc_id", "text", uc, bc)
         .select(col("doc_id"), col("n_bigrams"), col("logprob_fp"),
           col("avg_logprob"))
     },

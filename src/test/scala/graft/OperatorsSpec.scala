@@ -170,8 +170,12 @@ class OperatorsSpec extends AnyFunSuite {
     // into one straggler task at scale
     val plans = Seq(
       Dedup.minHashPairs(doubled, "text", "doc_id", persistSignatures = false),
-      Dedup.simHashPairs(doubled, "text", "doc_id"),
-      Dedup.embeddingPairs(Tables.embeddings(spark, sf), "embedding", "vec_id"))
+      // persistSignatures=false: audit the LAZY pipeline — the
+      // production path eagerly checkpoints the pair set (r15), which
+      // hides the LSH stages from the final plan (minHashPairs' shape)
+      Dedup.simHashPairs(doubled, "text", "doc_id", persistSignatures = false),
+      Dedup.embeddingPairs(Tables.embeddings(spark, sf), "embedding", "vec_id",
+        persistSignatures = false))
       .map(_.queryExecution.executedPlan.toString)
     plans.foreach { p =>
       assert(!p.contains("Window"), s"window in an LSH plan:\n${p.take(3000)}")
@@ -618,6 +622,31 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id", "logprob_fp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
+  }
+
+  test("lmPerplexityDistributedFromCounts: bit-equal to the collected " +
+      "score-table path on seen, backoff and OOV bigrams") {
+    // r15: the scoring path computes the fixed-point scores
+    // distributively (Spark log = StrictMath.log + round(x·1e6) =
+    // fpMicro's BigDecimal HALF_UP) instead of collecting the ≤4M-row
+    // (c2,c1) table to the driver. This pins the replacement bit-exact
+    // against the table path over a real corpus slice (sf0.001 docs:
+    // even-id train → odd docs exercise backoff and OOV heavily).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val (uc, bc) = graft.operators.TextAnalysis.lmCountTables(train, "text")
+    val tables = graft.operators.TextAnalysis.lmScoreTablesFromCounts(uc, bc)
+    val viaTable = graft.operators.TextAnalysis
+      .lmPerplexityWithCounts(docs, "doc_id", "text", uc, bc, tables)
+      .select("doc_id", "n_bigrams", "logprob_fp").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val distributed = graft.operators.TextAnalysis
+      .lmPerplexityDistributedFromCounts(docs, "doc_id", "text", uc, bc)
+      .select("doc_id", "n_bigrams", "logprob_fp").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(distributed.nonEmpty)
+    assert(distributed === viaTable,
+      "distributed fixed-point scores must be bit-equal to the table path")
   }
 
   test("lmScoreTables: pathological count distributions fail fast on " +
