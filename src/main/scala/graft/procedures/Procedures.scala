@@ -618,12 +618,18 @@ object Procedures {
     // while the statically-numeric count table materializes. The
     // static table is correct regardless of pass 1's outcome — an
     // all-null static column just contributes zero rows.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val rowF = Future(df.agg(aggs.head, aggs.tail: _*).head())
+    // blocking{}: these futures hold Spark actions for seconds on the
+    // process-wide ForkJoin pool — mark them so the pool compensates
+    // and concurrent summaryStatistics calls cannot starve it
+    val rowF = Future(blocking { df.agg(aggs.head, aggs.tail: _*).head() })
+    // materialized ALREADY range-partitioned by (c, v): the quartile
+    // pass reads it in place — one pin instead of r14's two (hash
+    // count table + groupedRunningSums' internal range pin)
     val staticGrouped: Option[DataFrame] =
-      if (cols.exists(staticNumeric)) Some(graft.core.DfOps.cut(
+      if (cols.exists(staticNumeric)) Some(rangedCountTable(
         meltedOver(cols.filter(staticNumeric))
           .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))))
       else None
@@ -655,25 +661,27 @@ object Procedures {
         val grouped =
           if (numericCols.forall(staticNumeric) && staticGrouped.nonEmpty)
             staticGrouped.get
-          else graft.core.DfOps.cut(meltedOver(numericCols)
+          else rangedCountTable(meltedOver(numericCols)
             .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt")))
+        // the unique-count and top-10 consumers don't read the pid
+        val flat = grouped.drop("__q_pid")
         val nn = numericCols.map(c => c -> g[Long](c, "nNotNull")).toMap
         // the pinned count table feeds three INDEPENDENT #columns-sized
         // outputs (unique counts, quartiles, top-10) — submit the jobs
         // concurrently so their stages interleave on the executors
         // instead of running back to back
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, Future, blocking}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
         val uniqF =
           if (numericCols.exists(deriveUnique))
-            Future(grouped.groupBy(col("c"))
-              .agg(count(lit(1)).as("u")).collect())
+            Future(blocking { flat.groupBy(col("c"))
+              .agg(count(lit(1)).as("u")).collect() })
           else // nothing reads it: every numeric column here has a
                // pass-1 countDistinct
             Future.successful(Array.empty[org.apache.spark.sql.Row])
-        val qF = Future(numericQuartileFrame(grouped, nn).collect())
-        val topF = Future(topFrequentFrame(grouped).collect())
+        val qF = Future(blocking { numericQuartileFrame(grouped, nn).collect() })
+        val topF = Future(blocking { topFrequentFrame(flat).collect() })
         Await.result(uniqF, Duration.Inf)
           .foreach(r => derivedUnique(r.getString(0)) = r.getLong(1))
         val qRows = Await.result(qF, Duration.Inf)
@@ -749,29 +757,93 @@ object Procedures {
     }
   }
 
+  /** The per-(column, value) count table `(c, v, cnt)` range-partitioned
+    * by (c, v) with the physical partition id attached, PINNED
+    * (DfOps.cut — the totals pass and the selection pass must see the
+    * same row→partition assignment, the globalRowNumber discipline).
+    * This is the ONE materialization the quartile path needs; r14 paid
+    * two (the hash-partitioned count table + groupedRunningSums' own
+    * internal range pin). */
+  private[graft] def rangedCountTable(counts: DataFrame): DataFrame = {
+    val p = counts.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    graft.core.DfOps.cut(counts
+      .repartitionByRange(math.max(p, 1), col("c"), col("v"))
+      .withColumn("__q_pid", spark_partition_id()))
+  }
+
   /** One row per column: (c, q1, q2, q3) where each quartile is the
     * reference's "first value (ascending) whose cumulative count
     * strictly exceeds nn·t" (summary_statistics_proc.cc:516). Input is
-    * the per-(column, value) count table `(c, v: double, cnt)`; `nn`
-    * maps each column to its non-null count (known from pass 1).
-    * Distributed end to end: cumulative counts come from the
-    * range-partitioned prefix sum (never a column-name-keyed window),
-    * and the quartile selection folds into one `min(when(...))`
-    * aggregate per threshold, so the output — and any collect of it —
-    * is exactly #columns rows. */
+    * the per-(column, value) count table `(c, v: double, cnt)` —
+    * pre-ranged by [[rangedCountTable]] or raw; `nn` maps each column
+    * to its non-null count (known from pass 1).
+    *
+    * Fused range-partitioned selection (r15): per-(partition, column)
+    * count totals are ONE aggregation, collected (#partitions ×
+    * #columns rows — the globalRowNumber discipline); the driver
+    * prefix-sums them to locate each threshold's CROSSING partition
+    * (the first partition whose inclusive cumulative exceeds nn·t);
+    * then one pass over just the crossing partitions (≤ 3 per column,
+    * ~1/#partitions of the table) computes the inclusive cumulative
+    * count with a (partition, column)-local window + the collected
+    * offset and folds the quartile selection into one `min(when(...))`
+    * aggregate per threshold. Equivalence with the r14
+    * groupedRunningSums shape: `cum` here is the same long
+    * (partition offset + local inclusive prefix), the comparison
+    * `cum > nn·t` is textually identical, and the global first-crossing
+    * value for each threshold lives in that threshold's crossing
+    * partition (cum is monotone in v within a column and partitions are
+    * v-ordered), so `min(when(...))` over the crossing partitions picks
+    * exactly the row the full-table formulation picked. No
+    * column-name-keyed window anywhere; the output — and any collect of
+    * it — stays exactly #columns rows. */
   private[graft] def numericQuartileFrame(grouped: DataFrame,
       nn: Map[String, Long]): DataFrame = {
-    val withCum = graft.core.DfOps.groupedRunningSums(grouped,
-      col("c"), col("v"), Seq("__cumEx" -> col("cnt")), "__cntEx")
+    val ranged =
+      if (grouped.columns.contains("__q_pid")) grouped
+      else rangedCountTable(grouped)
+    val totals = ranged.groupBy(col("__q_pid"), col("c"))
+      .agg(sum(col("cnt")).as("t")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // driver prefix over pids within each column → (pid, offset, cumIncl)
+    val byCol = totals.groupBy(_._2).map { case (c0, rows) =>
+      var acc = 0L
+      c0 -> rows.sortBy(_._1).map { case (pid, _, t) =>
+        val off = acc; acc += t; (pid, off, acc) }
+    }
+    // crossing partition per (column, threshold), with its offset
+    val crossing = scala.collection.mutable.LinkedHashMap.empty[(Int, String), Long]
+    byCol.foreach { case (c0, rows) =>
+      nn.get(c0).foreach { n =>
+        Seq(0.25, 0.5, 0.75).foreach { t =>
+          rows.find { case (_, _, cumIncl) => cumIncl > n * t }
+            .foreach { case (pid, off, _) => crossing((pid, c0)) = off }
+        }
+      }
+    }
+    if (crossing.isEmpty) // no rows for any nn column: empty, same schema
+      return ranged.select(col("c"), col("v").as("q1"),
+        col("v").as("q2"), col("v").as("q3")).limit(0)
+    val candPred = crossing.keys.map { case (p, c0) =>
+      col("__q_pid") === p && col("c") === c0 }.reduce(_ || _)
+    val offExpr = crossing.foldLeft(lit(null).cast("long")) {
+      case (acc, ((p, c0), off)) =>
+        when(col("__q_pid") === p && col("c") === c0, off).otherwise(acc)
+    }
+    val wLoc = Window.partitionBy(col("__q_pid"), col("c"))
+      .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
     val nnExpr = element_at(
-      map(nn.toSeq.flatMap { case (c, n) =>
-        Seq(lit(c), lit(n.toDouble)) }: _*), col("c"))
-    val cum = col("__cumEx") + col("cnt") // inclusive cumulative count
-    withCum.withColumn("__nn", nnExpr)
+      map(nn.toSeq.flatMap { case (c0, n0) =>
+        Seq(lit(c0), lit(n0.toDouble)) }: _*), col("c"))
+    val cum = sum(col("cnt")).over(wLoc) + offExpr // inclusive cumulative
+    ranged.filter(candPred)
+      .withColumn("__q_cum", cum)
+      .withColumn("__q_nn", nnExpr)
       .groupBy(col("c")).agg(
-        min(when(cum > col("__nn") * 0.25, col("v"))).as("q1"),
-        min(when(cum > col("__nn") * 0.5, col("v"))).as("q2"),
-        min(when(cum > col("__nn") * 0.75, col("v"))).as("q3"))
+        min(when(col("__q_cum") > col("__q_nn") * 0.25, col("v"))).as("q1"),
+        min(when(col("__q_cum") > col("__q_nn") * 0.5, col("v"))).as("q2"),
+        min(when(col("__q_cum") > col("__q_nn") * 0.75, col("v"))).as("q3"))
   }
 
   /** Top-`k` most-frequent values per column over the `(c, v, cnt)`

@@ -652,7 +652,7 @@ class ScaleSpec extends AnyFunSuite {
     //    window is (c, salt)-keyed, and the c-only window sees ≤
     //    k·saltBuckets rows per column)
     val qPlan = qFrame.queryExecution.executedPlan.toString.toLowerCase
-    assert(qPlan.contains("windowspecdefinition(__grs_pid"), qPlan.take(2000))
+    assert(qPlan.contains("windowspecdefinition(__q_pid"), qPlan.take(2000))
     assert(!qPlan.contains("windowspecdefinition(c#"),
       "column-name-keyed window in the quartile path:\n" + qPlan.take(2000))
     val tPlan = tFrame.queryExecution.executedPlan.toString.toLowerCase
