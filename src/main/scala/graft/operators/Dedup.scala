@@ -568,10 +568,11 @@ object Dedup {
     * chunk-index trick: any pair within hamming 3 of 64 bits must
     * agree on at least one of 4 chunks). */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      persistSignatures: Boolean = true): DataFrame =
     hammingPairs(docs.select(col(idCol).as("id"),
       T.simHash64(col(textCol)).as("sim")), "sim", "id",
-      maxHamming, maxBucket)
+      maxHamming, maxBucket, persistSignatures)
 
   /** Near-dup pairs among 64-bit fingerprints by hamming distance —
     * the candidate trick shared by text simhash and image dHash: any
@@ -579,9 +580,21 @@ object Dedup {
     * least one of 4 16-bit chunks, so candidates = chunk-equality
     * join, verified with the exact popcount. */
   def hammingPairs(items: DataFrame, fingerprintCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val withSig = items.select(col(idCol).as("id"),
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      persistSignatures: Boolean = true): DataFrame = {
+    val withSig0 = items.select(col(idCol).as("id"),
       col(fingerprintCol).as("sim")).filter(col("sim").isNotNull)
+    // The fingerprint expression (simhash/dHash: tokenize + per-token
+    // hash + 64 accumulators per row) feeds THREE consumers — the
+    // hot-chunk count, and both sides of the self-join. Without the
+    // pin each consumer recomputes it, tripling the most expensive
+    // map stage (the minHashPairs discipline, r15: measured 3 full
+    // fingerprint passes in the q47 plan before).
+    val withSig = if (persistSignatures) {
+      val w = withSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count() // materialize NOW: concurrent fills would each recompute
+      w
+    } else withSig0
     val chunked0 = withSig.withColumn("chunk", explode(array(
       (0 until 4).map(i => struct(lit(i).as("i"),
         shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
@@ -591,10 +604,18 @@ object Dedup {
     val chunked = dropHotGroups(chunked0, Seq("chunk"), maxBucket)
     val a = chunked.select(col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, Seq("chunk")).filter(col("id_a") < col("id_b"))
       .withColumn("hamming", T.hamming64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b")).agg(min(col("hamming")).as("hamming"))
+    if (persistSignatures) {
+      // materialize the (near-dup-sized) pair set, release the cache —
+      // same persist→use→unpersist-within-one-invocation shape as
+      // minHashPairs; nothing survives the call
+      val out = graft.core.DfOps.cut(pairs)
+      withSig.unpersist(false)
+      out
+    } else pairs
   }
 
   /** Exact dedup of an incoming batch AGAINST a kept corpus with a
@@ -650,18 +671,33 @@ object Dedup {
     * sign bits, verify cosine within bucket. */
   def embeddingPairs(emb: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, nBits: Int = 8,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      persistSignatures: Boolean = true): DataFrame = {
     val withB0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", V.lshBucket(col("v"), nBits))
+    // the bucketed frame feeds THREE consumers (hot-bucket count, both
+    // self-join sides) — pin it so the corpus scan + per-row LSH
+    // mat-vec run once, not three times (the minHashPairs discipline,
+    // r15; persist→use→unpersist inside this one invocation)
+    val withBp = if (persistSignatures) {
+      val w = withB0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count()
+      w
+    } else withB0
     // Hot-bucket guard: near-identical embeddings (zero vectors, padding
     // artifacts) all land in one hyperplane bucket → quadratic verify.
-    val withB = dropHotGroups(withB0, Seq("bucket"), maxBucket)
+    val withB = dropHotGroups(withBp, Seq("bucket"), maxBucket)
     val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", V.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine")).distinct()
+    if (persistSignatures) {
+      val out = graft.core.DfOps.cut(pairs)
+      withBp.unpersist(false)
+      out
+    } else pairs
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
