@@ -1167,11 +1167,20 @@ final class GraftEngine(val spark: SparkSession) {
       }
       p match {
         case Project(exprs, l: LocalRelation) =>
-          val bound = exprs.map(e => BindReferences.bindReference(
-            e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression],
-            l.output))
+          // Each thread binds its own DEEP COPY of the expression trees:
+          // SafeProjection can fall back to CodegenFallback/interpreted
+          // evaluation, where a stateful (non-deterministic) expression
+          // instance carries mutable state — sharing one tree across 8
+          // concurrent scoring threads would race without the old
+          // route-wide lock. Copying at factory time keeps the hot path
+          // lock-free (the r14 change) AND state-isolated.
           val projFactory = () => {
-            val proj = SafeProjection.create(bound)
+            val fresh = exprs.map(e => BindReferences.bindReference(
+              e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+                .transformUp { case x => x.makeCopy(
+                  x.productIterator.map(_.asInstanceOf[AnyRef]).toArray) },
+              l.output))
+            val proj = SafeProjection.create(fresh)
             proj.initialize(0) // non-deterministic exprs need a partition
             proj
           }

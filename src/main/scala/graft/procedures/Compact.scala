@@ -452,7 +452,7 @@ object Compact {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val threads = spark.conf.getOption("graft.compact.threads")
-        .map(_.toInt).getOrElse(8)
+        .flatMap(_.toIntOption.filter(_ > 0)).getOrElse(8)
       val exec = java.util.concurrent.Executors.newFixedThreadPool(threads)
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(exec)
