@@ -3,16 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dumps `.explain("formatted")` for named queries into
-  * `plans/r14/<query>_<tag>.txt` — the optimization round's
+  * `plans/r15/<query>_<tag>.txt` — the optimization round's
   * before/after plan evidence. Usage:
-  *   sbt "runMain graft.PlanDump <tag> <query> [<query> ...]"
+  *   sbt "runMain graft.PlanDump [dir=plans/rNN] <tag> <query> [<query> ...]"
   * Tag is typically `before` or `after`. Uses the Bench session shape
   * (AQE on, shuffle.partitions = SPARK_GRAFT_CPUS) so the captured
   * initial plans match what Bench executes.
   */
 object PlanDump {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: PlanDump <tag> <query>...")
+  def main(args0: Array[String]): Unit = {
+    val outDir = args0.find(_.startsWith("dir="))
+      .map(_.drop(4)).getOrElse("plans/r15")
+    val args = args0.filterNot(_.startsWith("dir="))
+    require(args.length >= 2, "usage: PlanDump [dir=...] <tag> <query>...")
     val tag = args.head
     val names = args.tail.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,7 +29,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val out = java.nio.file.Paths.get("plans/r14")
+    val out = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(out)
     val all = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
     names.foreach { n =>
